@@ -1,0 +1,90 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** User-facing config error — maps to exit code 1 in the CLI
+  * (reference exit-code protocol: run.php:37-56). */
+final class UserException(msg: String) extends RuntimeException(msg)
+
+/** Parsed job config: either many tables ("tables" mode) or exactly
+  * one ("config row" mode), plus the requested action.
+  *
+  * Mirrors the reference's three Symfony config definitions
+  * (reference: src/Keboola/DbWriter/RedshiftApplication.php:23-35 and
+  * the files under Redshift/Configuration/). Re-expressed as plain
+  * case classes + hand validation — idiomatic Scala, no Symfony analog
+  * needed.
+  */
+final case class JobConfig(
+    action: String,
+    tables: Seq[TableConfig],
+    dataDir: Option[String])
+
+object ConfigParser {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): JobConfig = parseNode(mapper.readTree(json))
+
+  def parseFile(path: String): JobConfig =
+    parseNode(mapper.readTree(new java.io.File(path)))
+
+  private def parseNode(root: JsonNode): JobConfig = {
+    val action = opt(root, "action").map(_.asText).getOrElse("run")
+    val params = Option(root.get("parameters"))
+      .getOrElse(throw new UserException("Missing 'parameters' key"))
+    val dataDir = opt(params, "data_dir").map(_.asText)
+    // tables[] present → multi-table mode; else the parameters node
+    // itself is one table ("config row" mode,
+    // reference: RedshiftApplication.php:23-32).
+    val tables: Seq[TableConfig] = opt(params, "tables") match {
+      case Some(ts) => ts.elements.asScala.map(parseTable).toSeq
+      case None if action != "run" => Nil // action configs carry no table
+      case None => Seq(parseTable(params))
+    }
+    tables.foreach(validate)
+    JobConfig(action, tables, dataDir)
+  }
+
+  private def parseTable(n: JsonNode): TableConfig = TableConfig(
+    tableId = req(n, "tableId").asText,
+    dbName = req(n, "dbName").asText,
+    export = opt(n, "export").forall(_.asBoolean),
+    incremental = opt(n, "incremental").exists(_.asBoolean),
+    primaryKey = opt(n, "primaryKey").toSeq
+      .flatMap(_.elements.asScala.map(_.asText)),
+    items = opt(n, "items").toSeq
+      .flatMap(_.elements.asScala.map(parseItem)))
+
+  private def parseItem(n: JsonNode): ColumnSpec = ColumnSpec(
+    name = req(n, "name").asText,
+    dbName = req(n, "dbName").asText,
+    dataType = req(n, "type").asText,
+    size = opt(n, "size").map(_.asText).filter(_.nonEmpty),
+    nullable = opt(n, "nullable").exists(_.asBoolean),
+    default = opt(n, "default").map(_.asText).filter(_.nonEmpty))
+
+  private def validate(t: TableConfig): Unit =
+    t.items.filterNot(c => TypeMapper.isAllowed(c.dataType)).foreach { c =>
+      throw new UserException(
+        s"Type '${c.dataType}' of column '${c.name}' is not supported")
+    }
+
+  /** Order-sensitive equality of the input column list vs the declared
+    * items — the reference hard-fails on any difference because COPY
+    * maps CSV columns to DDL columns positionally
+    * (reference: RedshiftApplication.php:169-184). */
+  def checkColumns(inputColumns: Seq[String], table: TableConfig): Unit = {
+    val expected = table.items.map(_.name)
+    if (inputColumns != expected)
+      throw new UserException(
+        s"Columns in configuration of table '${table.tableId}' don't match " +
+          s"with input mapping. Expected [${expected.mkString(", ")}], " +
+          s"got [${inputColumns.mkString(", ")}]")
+  }
+
+  private def req(n: JsonNode, f: String): JsonNode =
+    Option(n.get(f)).getOrElse(throw new UserException(s"Missing '$f' key"))
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.operators.Load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operator queries (SURVEY §2.1–2.3, O2/O3) over the
+  * driver's TPC-H-ish parquet, each paired with a DuckDB oracle.
+  *
+  * Determinism rules (SURVEY §7 hard-part 4): decimal-cast before any
+  * cross-row SUM (exact, order-independent), final aggregates cast to
+  * DOUBLE on both sides (schema + value parity), DATE not raw
+  * timestamp, and a total ORDER BY on non-null keys.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The derived staging frame used by the merge-family queries:
+    * updates = orders with o_orderkey % 5 == 0, status rewritten;
+    * inserts = orders with o_orderkey % 7 == 3, key shifted out of the
+    * existing range. Mirrored exactly in SQL by [[stageSql]]. */
+  private def stage(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"))
+    val updates = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    val inserts = o.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    updates.unionByName(inserts)
+  }
+
+  private val stageSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         CAST(o_orderdate AS DATE) AS o_orderdate FROM orders
+      |), stage AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+      |         o_orderdate
+      |  FROM base WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |         o_totalprice, o_orderdate
+      |  FROM base WHERE o_orderkey % 7 = 3
+      |)""".stripMargin
+
+  private def target(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3/J3 — the flagship: stage-wins PK merge.
+    "upsert_merge" -> ((s, dir) =>
+      Load.upsert(target(s, dir), stage(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // J2 — staging rows with PKs absent from target.
+    "anti_join_new_rows" -> ((s, dir) =>
+      Load.newRows(stage(s, dir), target(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // J1 — staging rows whose PK matches target (the UPDATE-join's
+    // effective output: stage values win).
+    "update_join_changed_rows" -> ((s, dir) =>
+      Load.updateJoin(target(s, dir), stage(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // No-PK incremental = plain append (Redshift.php:169 guard).
+    "union_append" -> ((s, dir) =>
+      Load.upsert(target(s, dir), stage(s, dir), Nil)
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))),
+
+    // Window fix for duplicate-PK nondeterminism (SURVEY §2.3 caveat):
+    // per (user_id, event_type) keep the latest event.
+    "dedup_last_wins" -> ((s, dir) =>
+      Load.dedupLastWins(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("value")),
+        pk = Seq("user_id", "event_type"),
+        orderCols = Seq("event_id")) // event_id is monotone with ts and unique
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // P1/P2/P6 — projection + rename + varchar-truncate + lenient cast.
+    "project_cast_truncate" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        col("event_type").as("etype"),
+        substring(col("props"), 1, 8).as("props_trunc"),
+        col("value").cast("decimal(12,2)").as("value_dec"),
+        to_date(col("ts")).as("event_date"))
+        .orderBy(col("event_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "upsert_merge" ->
+      s"""$stageSql
+         |SELECT * FROM stage
+         |UNION ALL
+         |SELECT b.* FROM base b ANTI JOIN stage s USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "anti_join_new_rows" ->
+      s"""$stageSql
+         |SELECT s.* FROM stage s ANTI JOIN base b USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "update_join_changed_rows" ->
+      s"""$stageSql
+         |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "union_append" ->
+      s"""$stageSql
+         |SELECT * FROM base UNION ALL SELECT * FROM stage
+         |ORDER BY o_orderkey, o_orderstatus""".stripMargin,
+    "dedup_last_wins" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "project_cast_truncate" ->
+      """SELECT event_id, event_type AS etype,
+        |       substring(props, 1, 8) AS props_trunc,
+        |       CAST(value AS DECIMAL(12,2)) AS value_dec,
+        |       CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin)
+}
