@@ -18,8 +18,10 @@ object SparkEntry {
     RelationalQueries.queries("upsert_merge")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ AnalyticsQueries.queries
+    RelationalQueries.queries ++ AnalyticsQueries.queries ++
+      TextQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    RelationalQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      TextQueries.oracleSql ++ PipelineQueries.oracleSql
 }

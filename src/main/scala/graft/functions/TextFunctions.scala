@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data
+  * pipelines: tokenization, quality signals, language ID,
+  * fingerprinting. All pure `org.apache.spark.sql.functions`
+  * compositions — codegen'd, no UDFs, so they stay inside whole-stage
+  * codegen on the 100 TB scan path.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens, empties dropped. The same regex is
+    * mirrored in the DuckDB oracles (`[^a-z0-9]+`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct-token ratio — a cheap lexical-diversity quality signal. */
+  def distinctTokenRatio(text: Column): Column = {
+    val ts = tokens(text)
+    size(array_distinct(ts)).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Count of punctuation characters from a fixed set (explicit set so
+    * engines with different `[[:punct:]]` tables agree). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      .cast("double") / greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** English stopword density — fraction of tokens in a small fixed
+    * stopword list. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val ts = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(ts, t => array_contains(sw, t))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards lexical diversity
+    * and typical token length, penalizes punctuation soup. Pure
+    * per-row double arithmetic → bitwise-deterministic everywhere. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val diversity = distinctTokenRatio(text)
+    val punctPenalty = least(
+      punctCount(text).cast("double") /
+        greatest(length(text), lit(1)).cast("double") * lit(5.0), lit(1.0))
+    (lenScore * lit(0.3) + diversity * lit(0.5) +
+      (lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /** Tiny per-language stopword tables for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and fixed: the operator
+    * contract is a deterministic scoring function, mirrored 1:1 in the
+    * oracle SQL. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "to", "in", "and", "is", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "del", "las"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "you", "zai", "ta"))
+
+  /** Language-ID: per-language stopword hit count; argmax, ties broken
+    * by alphabetical language order (the fold keeps the earlier lang on
+    * ties because later langs must strictly exceed). */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    def score(words: Seq[String]): Column = {
+      val sw = array(words.map(lit): _*)
+      size(filter(ts, t => array_contains(sw, t)))
+    }
+    val scored = langStopwords.map { case (lang, words) => (lang, score(words)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, s)) =>
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Stable document fingerprint (md5 hex — identical in every engine). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over the character stream, mod a large
+    * prime — a locality-insensitive content hash useful for chunk-level
+    * dedup. Spark-side only (left-fold over characters). */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(1000000007L)))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column.
+  *
+  *  - Brute-force cosine top-k: exact baseline. Query set is broadcast;
+  *    the corpus — the 100 TB side — streams through one codegen'd
+  *    stage (dot products via zip_with/aggregate), then a per-query
+  *    top-k window. Cost O(|corpus|·|Q|·dim), no corpus shuffle except
+  *    the final top-k on |Q| keys.
+  *  - LSH (random hyperplane) bucketed variant: the scale path. Each
+  *    vector gets a sign-bit bucket from h fixed hyperplanes; queries
+  *    only score vectors in their bucket. Hyperplanes are generated
+  *    from a fixed seed → fully deterministic, no fit/state.
+  *    Recall/cost is tuned by the number of hyperplanes (bucket count
+  *    ≈ 2^h); multi-probe can be added by flipping low-confidence bits.
+  */
+object Similarity {
+
+  /** Cast float vector to double once; all arithmetic in double. */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k cosine neighbors of each query vector.
+    *
+    * @param queries small frame (q_id, q_vec) — broadcast
+    * @param corpus  large frame (idCol, vecCol)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes(p)(d)` derived
+    * from a seeded generator, materialized as a literal array — tiny
+    * (h·dim doubles), shipped in the plan itself. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = dot(asDouble(vec), planeCol)
+      when(d > 0, acc.bitwiseOR(shiftleft(lit(1L), i))).otherwise(acc)
+    }
+
+  /** LSH-bucketed approximate top-k: queries join the corpus only
+    * within their bucket (equi-join on bucket id — a hash join that
+    * AQE broadcasts for small query sets), then per-query top-k. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val q = queries.withColumn("bucket", lshBucket(col("q_vec"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
+    * the same bucket with cosine ≥ threshold. The embedding analog of
+    * [[Dedup.minhashNearDupPairs]]. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numPlanes: Int = 8,
+                         dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val withB = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val sizes = withB.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    val inB = withB.join(sizes, Seq("bucket"))
+    val a = inB.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = inB.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

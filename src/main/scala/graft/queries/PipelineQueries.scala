@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators: the dedup suite, embedding
+  * similarity search, and multimodal (binary-column) plumbing.
+  *
+  * Queries whose operators hinge on xxhash64/LSH internals have no
+  * SQL-expressible oracle (the driver records a rows-only check);
+  * everything else — exact dedup, brute-force jaccard and cosine — is
+  * oracle-verified, which transitively validates the LSH variants via
+  * the ScalaTest recall specs.
+  */
+object PipelineQueries {
+
+  /** Corpus with injected duplicates: every 10th doc reappears with a
+    * shifted id — exact copies for exact dedup, suffix-perturbed copies
+    * for the near-dup family. Mirrored in [[dupCorpusSql]]. */
+  private def dupCorpus(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        (if (perturb) concat(col("text"), lit(" qq ww")) else col("text")).as("text"))
+    docs.unionByName(copies)
+  }
+
+  private def dupCorpusSql(perturb: Boolean): String = {
+    val text = if (perturb) "text || ' qq ww'" else "text"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, $text FROM documents WHERE doc_id % 10 = 0
+       |)""".stripMargin
+  }
+
+  private val tokensSql =
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[Dedup.shingles]] (n=3) + array_distinct. */
+  private val shinglesSql =
+    s"""CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |     ELSE list_transform(range(0, len(toks) - 2),
+       |            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup suite -------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(dupCorpus(s, dir, perturb = false), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(dupCorpus(s, dir, perturb = true),
+          "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(dupCorpus(s, dir, perturb = true),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // brute-force companion, bounded to a 1-in-100 sample (quadratic!)
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          dupCorpus(s, dir, perturb = true).filter(col("doc_id") % 100 === 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search ------------------------------------------
+    "embedding_topk_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "embedding_lsh_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "embedding_near_dup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val shifted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(shifted),
+          "vec_id", "embedding", threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------
+    // Opaque binary payload + derived typed metadata. The payload here
+    // is the utf8 text bytes (no media libs in this container); the
+    // schema/partitioning/metadata path is the real thing.
+    "multimodal_meta" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(
+          col("doc_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("checksum"),
+          (length(col("media")).cast("long") % 640L).as("fake_width"),
+          (length(col("media")).cast("long") * 7L % 480L).as("fake_height"))
+        .orderBy(col("doc_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH ${dupCorpusSql(perturb = false)}
+         |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+         |       COUNT(*) AS n_dups
+         |FROM corpus GROUP BY md5(text)
+         |ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      s"""WITH ${dupCorpusSql(perturb = true)},
+         |sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS toks
+         |        FROM corpus WHERE doc_id % 100 = 0))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.sh, b.sh))
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "embedding_topk_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(list_zip(q.q_vec, e.embedding),
+        |                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |                (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(q.q_vec,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(e.embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+        |    AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
+        |  CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

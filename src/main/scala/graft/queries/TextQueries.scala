@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (token stats, quality
+  * scoring, language-ID, fingerprinting). Every Spark expression here
+  * is mirrored token-for-token in the DuckDB oracle (same regex, same
+  * operation order) so double arithmetic is bit-identical.
+  */
+object TextQueries {
+
+  /** Shared oracle fragment: the tokenizer, as DuckDB SQL. */
+  private val tokensSql =
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        distinctTokenRatio(col("text")).as("distinct_ratio"),
+        punctCount(col("text")).as("n_punct"),
+        meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "lang_id" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        // BPE-ish subword count: ceil(len/4) per token, summed.
+        aggregate(tokens(col("text")), lit(0L),
+          (acc, t) => acc + floor((length(t) + 3).cast("double") / 4.0).cast("long"))
+          .as("n_subwords"))
+        .orderBy(col("doc_id"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  len(list_distinct(toks)) / GREATEST(len(toks), 1) AS distinct_ratio,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  COALESCE(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum'), 0)
+         |    / GREATEST(len(toks), 1) AS mean_token_len
+         |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  LEAST(length(text) / 500.0, 1.0) * 0.3
+         |    + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+         |    + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                     / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality,
+         |  len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','on','for'], t)))
+         |    / GREATEST(len(toks), 1) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(['the','a','of','to','in','and','is','on'], t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','del','las'], t))) AS s_es,
+         |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est'], t))) AS s_fr,
+         |    len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','you','zai','ta'], t))) AS s_zh
+         |  FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  CAST(COALESCE(list_aggregate(list_transform(toks,
+         |    t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT) AS n_subwords
+         |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.model.{ColumnSpec, TableConfig, UserException}
+import graft.sources.CsvIngest
+import java.nio.file.Files
+
+/** CSV dialect + cast/project, ported from the reference's fixtures
+  * (FIXTURES.md): the `special.csv` torture test, header-only `empty`,
+  * `NULL` literal decoding, sliced/manifest mode, and the strict
+  * `bad_type` error ("Column 'created', line 3", reference
+  * tests/Keboola/FunctionalTest.php:12-79).
+  */
+class CsvIngestSpec extends SparkSpec {
+
+  private def tmpCsv(content: String): String = {
+    val f = Files.createTempFile("graft-test", ".csv")
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private val twoCol = TableConfig("t", "t", items = Seq(
+    ColumnSpec("col1", "col1", "varchar", Some("255")),
+    ColumnSpec("col2", "col2", "varchar", Some("255"))))
+
+  test("special.csv dialect: doubled quotes, commas, newlines, tabs in quoted fields") {
+    // mirrors reference tests/data/in/tables/special.csv
+    val path = tmpCsv(
+      "\"col1\",\"col2\"\n" +
+        "\"without special\",\"chars\"\n" +
+        "\"with\n\nnew\nlines\",\"columns\"\n" +
+        "\"with \"\"double\"\" quotes\",\"columns\"\n" +
+        "\"with comma, inside\",\"columns\"\n" +
+        "\"with\ttab\",\"columns\"\n")
+    val got = rows(CsvIngest.read(spark, path, twoCol).orderBy("col2", "col1"))
+    got should contain(Seq("with \"double\" quotes", "columns"))
+    got should contain(Seq("with comma, inside", "columns"))
+    got should contain(Seq("with\n\nnew\nlines", "columns"))
+    got should contain(Seq("with\ttab", "columns"))
+    got.length shouldBe 5
+  }
+
+  test("header-only empty.csv loads zero rows with declared schema") {
+    val path = tmpCsv("\"id\",\"name\"\n")
+    val t = TableConfig("empty", "empty", items = Seq(
+      ColumnSpec("id", "id", "int"),
+      ColumnSpec("name", "name", "nvarchar", Some("255"))))
+    val df = CsvIngest.read(spark, path, t)
+    df.count() shouldBe 0
+    df.columns.toSeq shouldBe Seq("id", "name")
+  }
+
+  test("literal NULL decodes to SQL NULL; empty string stays empty") {
+    val path = tmpCsv("\"col1\",\"col2\"\nNULL,\"\"\n\"x\",NULL\n")
+    val got = rows(CsvIngest.read(spark, path, twoCol).orderBy("col1"))
+    got shouldBe Seq(Seq(null, ""), Seq("x", null))
+  }
+
+  test("sliced mode: no header, explicit file list; empty list is a no-op") {
+    val p1 = tmpCsv("\"a\",\"1\"\n")
+    val p2 = tmpCsv("\"b\",\"2\"\n")
+    val df = CsvIngest.readSlices(spark, Seq(p1, p2), twoCol)
+    rows(df.orderBy("col1")) shouldBe Seq(Seq("a", "1"), Seq("b", "2"))
+    val empty = CsvIngest.readSlices(spark, Nil, twoCol)
+    empty.count() shouldBe 0
+    empty.columns.toSeq shouldBe Seq("col1", "col2")
+  }
+
+  test("manifest entries parse; missing entries key → empty") {
+    val m = Files.createTempFile("graft-manifest", ".json")
+    Files.writeString(m,
+      """{"entries":[{"url":"s3://b/k1.gz"},{"url":"s3://b/k2.gz"}]}""")
+    CsvIngest.manifestEntries(spark, m.toString) shouldBe
+      Seq("s3://b/k1.gz", "s3://b/k2.gz")
+    val m2 = Files.createTempFile("graft-manifest2", ".json")
+    Files.writeString(m2, """{}""")
+    CsvIngest.manifestEntries(spark, m2.toString) shouldBe Nil
+  }
+
+  test("castAndProject: rename, ignore-drop, varchar truncate, defaults, casts") {
+    import spark.implicits._
+    val t = TableConfig("t", "t", items = Seq(
+      ColumnSpec("id", "pk", "int"),
+      ColumnSpec("name", "label", "varchar", Some("3")),
+      ColumnSpec("secret", "secret", "ignore"),
+      ColumnSpec("prize", "prize", "decimal", Some("10,2"), default = Some("0")),
+      ColumnSpec("note", "note", "text", default = Some("dropped-for-text"))))
+    val df = Seq(("1", "abcdef", "shh", "299.9", null: String),
+      ("2", "xy", "shh", null: String, null: String))
+      .toDF("id", "name", "secret", "prize", "note")
+    val got = rows(CsvIngest.castAndProject(df, t).orderBy("pk"))
+    got.head shouldBe Seq(1, "abc", new java.math.BigDecimal("299.90"), null)
+    // default applied for non-text; TEXT default discarded (Redshift.php:142-145)
+    got(1) shouldBe Seq(2, "xy", new java.math.BigDecimal("0.00"), null)
+  }
+
+  test("strict mode reports 'Column x, line N' like stl_load_errors (O5)") {
+    // bad_type.csv: data row 2 (file line 3) has a garbage date
+    val path = tmpCsv("\"id\",\"name\",\"created\"\n" +
+      "\"1\",\"ok\",\"2020-01-01\"\n" +
+      "\"2\",\"bad\",\"this is not a date\"\n")
+    val t = TableConfig("bad_type", "bad_type", items = Seq(
+      ColumnSpec("id", "id", "int"),
+      ColumnSpec("name", "name", "nvarchar", Some("255")),
+      ColumnSpec("created", "created", "date")))
+    val raw = CsvIngest.read(spark, path, t)
+    val e = intercept[UserException] {
+      CsvIngest.castAndProjectStrict(raw, t)
+    }
+    e.getMessage should startWith("Column 'created', line 3")
+  }
+
+  test("gzip slices read transparently") {
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = dir.resolve("slice.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gz))
+    out.write("\"a\",\"1\"\n\"b\",\"2\"\n".getBytes("UTF-8"))
+    out.close()
+    CsvIngest.readSlices(spark, Seq(gz.toString), twoCol).count() shouldBe 2
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup suite: exact, MinHash+LSH recall against brute-force Jaccard,
+  * SimHash Hamming banding. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near dup of 1
+    (4L, "completely different text about machine learning models and training data"),
+    (5L, "another unrelated document discussing weather patterns in the north"),
+    (6L, "completely different text about machine learning models and training data sets") // near dup of 4
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = rows(Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").orderBy("keep_id"))
+    got should contain(Seq(1L, 2L)) // docs 1+2 collapse
+    got.map(_.head) shouldBe Seq(1L, 3L, 4L, 5L, 6L)
+  }
+
+  test("shingles: n-gram windows; short docs yield one whole-stream shingle") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val got = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    got(0) shouldBe Seq("a b c", "b c d")
+    got(1) shouldBe Seq("a b")
+  }
+
+  test("minhash LSH finds the exact and near dups; jaccard values match brute force") {
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    val lshPairs = rows(lsh)
+    val brutePairs = rows(brute)
+    // identical docs must always collide (every band equal)
+    lshPairs.map(r => (r(0), r(1))) should contain((1L, 2L))
+    // LSH output ⊆ brute force (verification step is exact jaccard)
+    brutePairs should contain allElementsOf lshPairs
+    // recall on this corpus: every brute-force pair found
+    lshPairs shouldBe brutePairs
+  }
+
+  test("simhash: identical docs distance 0; near dups within small hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be <= 16
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 10
+  }
+
+  test("simhash near-dup pairs finds exact dup, respects maxHamming") {
+    val got = rows(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3).select("id_a", "id_b").orderBy("id_a", "id_b"))
+    got should contain(Seq(1L, 2L))
+    // every reported pair actually within the bound
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { p =>
+      java.lang.Long.bitCount(
+        sigs(p(0).asInstanceOf[Long]) ^ sigs(p(1).asInstanceOf[Long])) should be <= 3
+    }
+  }
+
+  test("bucket-size skew guard drops degenerate buckets") {
+    // 50 identical docs → one giant bucket; cap at 10 drops it entirely
+    val many = (1L to 50L).map(i => (i, "same text for every single doc here"))
+      .toDF("doc_id", "text")
+    Dedup.minhashNearDupPairs(many, "doc_id", "text", maxBucket = 10)
+      .count() shouldBe 0
+    // with a big-enough cap all 50*49/2 pairs appear
+    Dedup.minhashNearDupPairs(many, "doc_id", "text", maxBucket = 100)
+      .count() shouldBe 50L * 49 / 2
+  }
+}

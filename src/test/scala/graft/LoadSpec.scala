@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Load
+
+/** The merge-family operators against the reference's golden upsert
+  * fixture (simple.csv / simple_increment.csv / simple_merged.csv —
+  * FIXTURES.md §1, reference tests/Keboola/Writer/RedshiftTest.php:181-219)
+  * plus seeded randomized law checks the reference never had (SURVEY §5).
+  */
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  // simple.csv: ids 0-8, id 7 glasses="yes"
+  private def target =
+    (0 to 8).map(i => (i, s"name$i", if (i == 7) "yes" else "no"))
+      .toDF("id", "name", "glasses")
+
+  // simple_increment.csv: ids 7-10; id 7 glasses="no" (update), 9-10 new
+  private def stage =
+    Seq((7, "name7", "no"), (8, "name8", "no"), (9, "name9", "yes"),
+      (10, "name10", "no")).toDF("id", "name", "glasses")
+
+  test("upsert matches the reference's simple_merged golden semantics") {
+    val merged = Load.upsert(target, stage, Seq("id")).orderBy("id")
+    val got = rows(merged)
+    got.map(_.head) shouldBe (0 to 10)
+    // stage wins for id 7 (the golden fixture's witness row)
+    got.find(_.head == 7).get(2) shouldBe "no"
+    // stage rows 9-10 appended
+    got.find(_.head == 9).get(2) shouldBe "yes"
+    // untouched target rows survive
+    got.find(_.head == 3).get(2) shouldBe "no"
+  }
+
+  test("upsert with no PK is a plain append (Redshift.php:169 guard)") {
+    Load.upsert(target, stage, Nil).count() shouldBe (9 + 4)
+  }
+
+  test("newRows = staging PKs absent from target (J2)") {
+    rows(Load.newRows(stage, target, Seq("id")).orderBy("id"))
+      .map(_.head) shouldBe Seq(9, 10)
+  }
+
+  test("updateJoin = staging rows whose PK matches target, stage values (J1)") {
+    val got = rows(Load.updateJoin(target, stage, Seq("id")).orderBy("id"))
+    got.map(_.head) shouldBe Seq(7, 8)
+    got.find(_.head == 7).get(2) shouldBe "no"
+  }
+
+  test("upsert on composite PK") {
+    val t = Seq((1, "a", 10), (1, "b", 20), (2, "a", 30)).toDF("k1", "k2", "v")
+    val s = Seq((1, "b", 99), (3, "c", 40)).toDF("k1", "k2", "v")
+    val got = rows(Load.upsert(t, s, Seq("k1", "k2")).orderBy("k1", "k2"))
+    got shouldBe Seq(Seq(1, "a", 10), Seq(1, "b", 99), Seq(2, "a", 30),
+      Seq(3, "c", 40))
+  }
+
+  test("dedupLastWins keeps exactly one row per PK, ordered desc") {
+    val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "only"))
+      .toDF("id", "ts", "v")
+    val got = rows(Load.dedupLastWins(df, Seq("id"), Seq("ts")).orderBy("id"))
+    got shouldBe Seq(Seq(1, 20L, "new"), Seq(2, 5L, "only"))
+  }
+
+  // Seeded randomized law checks: unique PKs per side (the operator
+  // contract; dup-PK staging is the reference's documented
+  // nondeterminism, fixed by dedupLastWins).
+  private def randomTables(seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    def gen() = List.fill(30)((rnd.nextInt(16), rnd.nextInt(1000)))
+      .distinctBy(_._1)
+    (gen(), gen())
+  }
+
+  test("law: upsert is idempotent — upsert(upsert(t,s),s) == upsert(t,s)") {
+    for (seed <- 1L to 10L) {
+      val (t0, s0) = randomTables(seed)
+      val t = t0.toDF("id", "v"); val s = s0.toDF("id", "v")
+      val once = Load.upsert(t, s, Seq("id"))
+      val twice = Load.upsert(once, s, Seq("id"))
+      rows(twice.orderBy("id", "v")) shouldBe rows(once.orderBy("id", "v"))
+    }
+  }
+
+  test("law: upsert preserves PK uniqueness, covers both key sets, stage wins") {
+    for (seed <- 11L to 20L) {
+      val (t0, s0) = randomTables(seed)
+      val out = Load.upsert(t0.toDF("id", "v"), s0.toDF("id", "v"), Seq("id"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1))
+      val keys = out.map(_._1)
+      keys.distinct.length shouldBe keys.length
+      keys.toSet shouldBe (t0.map(_._1) ++ s0.map(_._1)).toSet
+      val byKey = out.toMap
+      s0.foreach { case (k, v) => byKey(k) shouldBe v }
+    }
+  }
+}

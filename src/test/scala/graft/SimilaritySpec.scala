@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: exact cosine math, brute-force top-k, and
+  * LSH recall against the exact baseline. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    got(0) shouldBe 0.0 +- 1e-12
+    got(1) shouldBe 1.0 +- 1e-12
+    got(2) shouldBe (1.0 / math.sqrt(2)) +- 1e-12
+  }
+
+  // deterministic synthetic corpus: clusters around 4 axis directions
+  private def corpus(dim: Int = 64, n: Int = 200) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val base = Array.tabulate(dim)(d =>
+        if (d % 4 == i % 4) 1.0f else 0.0f)
+      val noisy = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, noisy)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+    got.groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 5L)
+    // ranks are 1..5 and cosine non-increasing within each query
+    val perQ = got.collect().groupBy(_.getLong(0))
+    perQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.map(_.getLong(3)).toSeq shouldBe (1L to 5L)
+      sorted.map(_.getDouble(2)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b
+        case _ =>
+      }
+    }
+    // neighbors of query i share its cluster (i % 4)
+    perQ.foreach { case (qid, rs) =>
+      rs.foreach(r => (r.getLong(1) % 4) shouldBe (qid % 4))
+    }
+  }
+
+  test("lshTopK recall >= 0.8 against brute force on clustered corpus") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("cosineNearDupPairs finds planted duplicates") {
+    val c = corpus(n = 100)
+    val shifted = c.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val got = Similarity.cosineNearDupPairs(c.unionByName(shifted),
+      "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each planted copy pairs with its source
+    (0L until 5L).foreach { i => got should contain((i, i + 1000L)) }
+  }
+
+  test("hyperplanes are deterministic under a fixed seed") {
+    Similarity.hyperplanes(4, 8).flatten.toSeq shouldBe
+      Similarity.hyperplanes(4, 8).flatten.toSeq
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+
+  private def oneD(c: org.apache.spark.sql.Column, text: String): Double =
+    one(c, text).asInstanceOf[Double]
+
+  test("tokens: lowercased alphanumeric, empties dropped") {
+    one(tokens(col("text")), "Hello, World! 42 foo_bar")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe
+      Seq("hello", "world", "42", "foo", "bar")
+    one(tokenCount(col("text")), "") shouldBe 0L
+  }
+
+  test("distinctTokenRatio and meanTokenLen") {
+    oneD(distinctTokenRatio(col("text")), "a a b") shouldBe (2.0 / 3) +- 1e-12
+    oneD(meanTokenLen(col("text")), "ab cdef") shouldBe 3.0 +- 1e-12
+    oneD(meanTokenLen(col("text")), "") shouldBe 0.0
+  }
+
+  test("punctCount counts only the fixed set") {
+    one(punctCount(col("text")), "a.b,c!d?e;f:g-h") shouldBe 6L
+  }
+
+  test("stopwordRatio") {
+    oneD(stopwordRatio(col("text")), "the cat is on a mat") shouldBe (4.0 / 6) +- 1e-12
+  }
+
+  test("qualityScore in [0,1]; higher for clean prose than punct soup") {
+    val clean = one(qualityScore(col("text")),
+      "A reasonably long sentence with varied vocabulary and structure flows well.")
+      .asInstanceOf[Double]
+    val soup = one(qualityScore(col("text")), "!!!...;;;:::,,,???")
+      .asInstanceOf[Double]
+    clean should be > soup
+    clean should (be >= 0.0 and be <= 1.0)
+    soup should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("langId picks the dominant stopword language") {
+    one(langId(col("text")), "the cat is on the mat and it is happy") shouldBe "en"
+    one(langId(col("text")), "der hund ist nicht mit der katze und das haus") shouldBe "de"
+    one(langId(col("text")), "el perro y la casa de los vecinos que ladra") shouldBe "es"
+    one(langId(col("text")), "le chat est dans les maisons et un jardin") shouldBe "fr"
+  }
+
+  test("fingerprint is md5 hex; rollingHash deterministic and order-sensitive") {
+    one(fingerprint(col("text")), "abc") shouldBe "900150983cd24fb0d6963f7d28e17f72"
+    val h1 = one(rollingHash(col("text")), "abc")
+    val h2 = one(rollingHash(col("text")), "abc")
+    val h3 = one(rollingHash(col("text")), "acb")
+    h1 shouldBe h2
+    h1 should not be h3
+  }
+}
