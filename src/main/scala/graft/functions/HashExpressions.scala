@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch/similarity hot paths.
+  *
+  * The declarative higher-order-function formulations (`transform` /
+  * `aggregate` / `zip_with`) evaluate one lambda call per array element
+  * per row — measured ~75 s for 20-permutation MinHash over sf0.1
+  * `documents` on local[32]. These expressions compute the same values
+  * with tight imperative loops and participate in whole-stage codegen
+  * via a static call (`doGenCode` emits one function call, so the
+  * surrounding operators stay fused). Hashing uses the same XXH64 core
+  * as Spark's built-in `xxhash64` (seed-compatible).
+  */
+object HashImpls {
+
+  /** k-permutation MinHash over an array of string shingles: element j
+    * = min over shingles of xxhash64(shingle, seed = j). */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashUTF8String(s, j.toLong)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word n-gram shingles of a token array, space-joined; a
+    * stream shorter than n tokens yields its whole joined stream as the
+    * single shingle (so empty docs still carry one "" shingle and
+    * Jaccard stays well-defined). First-occurrence order, like
+    * `array_distinct`. */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    def join(from: Int, len: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      while (i < len) { parts(i) = tokens.getUTF8String(from + i); i += 1 }
+      org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+    }
+    if (cnt < n) return new GenericArrayData(Array[Any](join(0, cnt)))
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= cnt - n) { seen.add(join(i, n)); i += 1 }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** 64-bit SimHash over an array of string tokens; per-token hash is
+    * xxhash64(token) with Spark's default seed 42. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** Sign-bit random-hyperplane LSH bucket of a double vector. */
+  def lshBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val d = math.min(dim, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) { dot += vec.getDouble(i) * plane(i); i += 1 }
+      if (dot > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Cosine similarity of two double vectors; accumulation order matches
+    * a sequential left fold (bit-identical with the DuckDB oracle's
+    * `list_reduce`). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; i += 1
+    }
+    i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); na += x * x; i += 1 }
+    i = 0
+    while (i < b.numElements()) { val y = b.getDouble(i); nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.minhash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_set"
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.lshBucket(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.lshBucket($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-API entry points for the native expressions. */
+object HashFunctions {
+  private def expr(c: Column) = GraftBridge.expression(c)
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(expr(shingles), k))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(expr(tokens)))
+
+  def shingleSet(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleSet(expr(tokens), n))
+
+  def lshBucket(vecDouble: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(LshBucket(expr(vecDouble), planes))
+
+  def cosineSim(aDouble: Column, bDouble: Column): Column =
+    GraftBridge.column(CosineSim(expr(aDouble), expr(bDouble)))
+}

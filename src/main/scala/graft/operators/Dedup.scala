@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit signature, banded into 16-bit chunks for
   *    candidate generation, verified by Hamming distance.
   *
-  * Everything is `functions._` compositions (no UDFs): the signature
-  * computation runs inside whole-stage codegen on the scan, and only
-  * (id, signature) pairs — never document text — flow through the
-  * candidate-generation shuffles.
+  * Signature computation is native Catalyst expressions (no UDFs —
+  * [[graft.functions.MinHashSig]] / [[graft.functions.SimHash64]] with
+  * codegen) running inside whole-stage codegen on the scan, and only
+  * (id, band-key) pairs — never document text or shingle sets — flow
+  * through the candidate-generation shuffles.
   */
 object Dedup {
 
@@ -30,21 +31,21 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of the token stream; a doc shorter than n
-    * tokens contributes its whole token stream as one shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = TextFunctions.tokens(text)
-    when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of the token stream; a doc shorter
+    * than n tokens contributes its whole token stream as one shingle.
+    * Native expression ([[graft.functions.ShingleSet]]) — one codegen'd
+    * call per row instead of a transform/slice/concat_ws tree that
+    * re-slices the token array per shingle. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.shingleSet(TextFunctions.tokens(text), n)
 
   /** k-permutation MinHash signature: element j = min over shingles of
-    * xxhash64(shingle, j). Seeding via an extra hashed column gives k
-    * independent-enough permutations without any driver-side state. */
+    * xxhash64(shingle, seed = j). Native Catalyst expression
+    * ([[graft.functions.MinHashSig]]) — the equivalent higher-order-
+    * function formulation costs ~75 s on sf0.1 documents; the imperative
+    * loop is sub-second and stays inside whole-stage codegen. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+    graft.functions.HashFunctions.minhashSig(shingleCol, k)
 
   /** Candidate pairs via banded LSH over the MinHash signature, then
     * exact-Jaccard verification over distinct shingle sets.
@@ -58,16 +59,18 @@ object Dedup {
                           threshold: Double = 0.5,
                           maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(
+    val withSh = docs.select(
       col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      shingles(col(textCol), shingleSize).as("sh"))
 
-    // band i = hash of its signature slice → (band_idx, band_key)
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    // band i = hash of its signature slice → (doc_id, band_idx, band_key).
+    // Only these slim triples enter the candidate-generation shuffles;
+    // the shingle sets are joined back by id for verification only.
+    val banded = withSh
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
 
@@ -78,15 +81,17 @@ object Dedup {
     val inBuckets = banded.join(bucketSizes, Seq("band_idx", "band_key"))
 
     val a = inBuckets.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      col("doc_id").as("id_a"))
     val b = inBuckets.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
     candidates
+      .join(withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -94,25 +99,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of the token stream. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    // per-bit vote: +1 if the token hash has bit i set, else -1
-    // (bit positions are compile-time constants → static shift amounts)
-    val votes = aggregate(hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
-            .otherwise(lit(-1))): _*),
-        (a, v) => a + v))
-    // collapse votes to the signature: bit i set iff vote > 0. The bit
-    // values are disjoint, so a sum assembles the pattern without any
-    // column-amount shifts (and cannot overflow: it IS the 64-bit word).
-    (0 until 64).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
+  /** 64-bit SimHash of the token stream: per-bit majority vote over
+    * xxhash64(token) (seed 42, matching the built-in). Native Catalyst
+    * expression ([[graft.functions.SimHash64]]) — the HOF vote
+    * formulation (aggregate over 64-element arrays) costs ~39 s on
+    * sf0.1 documents; the imperative loop is sub-second. */
+  def simhash(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextFunctions.tokens(text))
 
   /** SimHash near-dup pairs: 4×16-bit bands generate candidates (any
     * pair within Hamming distance 3 of each other shares at least one
@@ -153,7 +146,7 @@ object Dedup {
                         shingleSize: Int = 3,
                         threshold: Double = 0.1): DataFrame = {
     val withSh = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      shingles(col(textCol), shingleSize).as("sh"))
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

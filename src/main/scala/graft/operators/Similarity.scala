@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cast float vector to double once; all arithmetic in double. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  private def asDouble(v: Column): Column =
+    v.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -30,10 +32,12 @@ object Similarity {
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine via the native [[graft.functions.CosineSim]] expression —
+    * one codegen'd function call per row instead of three HOF
+    * traversals; accumulation order matches the HOF/DuckDB left fold
+    * bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.HashFunctions.cosineSim(asDouble(a), asDouble(b))
 
   /** Exact top-k cosine neighbors of each query vector.
     *
@@ -60,13 +64,11 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes
+    * (native [[graft.functions.LshBucket]] expression; the planes ride
+    * along as a codegen reference object, not a literal tree). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, i)) =>
-      val planeCol = array(plane.map(lit): _*)
-      val d = dot(asDouble(vec), planeCol)
-      when(d > 0, acc.bitwiseOR(shiftleft(lit(1L), i))).otherwise(acc)
-    }
+    graft.functions.HashFunctions.lshBucket(asDouble(vec), planes)
 
   /** LSH-bucketed approximate top-k: queries join the corpus only
     * within their bucket (equi-join on bucket id — a hash join that
