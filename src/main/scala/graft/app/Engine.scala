@@ -1,0 +1,85 @@
+package graft.app
+
+import graft.model._
+import graft.operators.Load
+import graft.sources.CsvIngest
+import org.apache.spark.sql.SparkSession
+
+/** Job orchestration — the reference's application layer re-expressed
+  * (reference: src/Keboola/DbWriter/RedshiftApplication.php).
+  *
+  * Per-table plan (run action):
+  *   filter export=false (P3) → guard empty schema (P4) → read CSV →
+  *   order-sensitive column check (P5) → cast/project (P1/P2/P6) →
+  *   full overwrite (O2) or stage-wins PK merge (O3/J3).
+  *
+  * Every sink write goes through [[Retry.withRetry]] (O4: ≤3 tries,
+  * quadratic backoff — reference: Writer/Redshift.php:226-260).
+  */
+final class Engine(spark: SparkSession, sink: TableSink) {
+
+  /** Run one table's load plan; returns true when the table was
+    * exported (mirrors the reference's `uploaded` list accounting). */
+  def writeTable(dataDir: String, table: TableConfig): Boolean = {
+    if (!table.export) return false                 // P3
+    if (table.items.isEmpty) return false           // P4 (RedshiftApplication.php:88-90)
+    val csvPath = s"$dataDir/in/tables/${table.tableId}.csv"
+    ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
+    val raw = CsvIngest.read(spark, csvPath, table)
+    val staged = CsvIngest.castAndProject(raw, table)
+    if (table.incremental) {
+      // O3: staging → (create target if missing) → upsert → drop staging.
+      // The staging table materializes implicitly as `staged`'s plan; the
+      // merge is one distributed dataflow, no temp DDL needed.
+      val merged =
+        if (sink.tableExists(table.dbName)) {
+          val target = sink.read(table.dbName)
+          Load.upsert(target, staged, table.primaryKey)
+        } else staged
+      // sink.overwrite stages-then-swaps, so the plan can read the
+      // current target while its replacement materializes.
+      Retry.withRetry(3)(sink.overwrite(merged, table.dbName))
+    } else {
+      // O2: full load = drop + create + copy ≡ atomic overwrite.
+      Retry.withRetry(3)(sink.overwrite(staged, table.dbName))
+    }
+    true
+  }
+
+  /** The `run` action over a parsed config (O1 dispatch target). */
+  def run(config: JobConfig, dataDir: String): Seq[String] =
+    config.tables.filter(t => writeTable(dataDir, t)).map(_.tableId)
+
+  /** O9 — `SELECT current_date` liveness probe. */
+  def testConnection(): Unit = { spark.sql("select current_date").collect(); () }
+
+  /** O10 — implemented properly (the reference throws
+    * ApplicationException('Method not implemented'),
+    * Writer/Redshift.php:295-303). */
+  def tablesInfo(): Seq[(String, Seq[(String, String)])] =
+    sink.listTables().map { name =>
+      name -> sink.read(name).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.simpleString)
+    }
+}
+
+/** O4 — retry with quadratic backoff: attempt i sleeps i² seconds
+  * before retrying (reference: `$maxTries = 3`, sleep(pow(tries, 2)),
+  * Writer/Redshift.php:238-253). Spark task retries cover the read
+  * side; this wraps driver-side sink actions. */
+object Retry {
+  def withRetry[T](maxTries: Int, sleepMs: Long => Long = i => i * i * 1000L)(f: => T): T = {
+    var tries = 0
+    var last: Throwable = null
+    while (tries < maxTries) {
+      try return f
+      catch {
+        case e: UserException => throw e // user errors are not transient
+        case e: Throwable =>
+          tries += 1; last = e
+          if (tries < maxTries) Thread.sleep(sleepMs(tries.toLong))
+      }
+    }
+    throw last
+  }
+}

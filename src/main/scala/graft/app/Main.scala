@@ -1,0 +1,61 @@
+package graft.app
+
+import graft.Sessions
+import graft.model._
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point with the reference's exit-code protocol
+  * (reference: run.php:18-56): user error → exit 1 (message on
+  * stderr), application error → exit 2, success → JSON status on
+  * stdout. Action dispatch per RedshiftApplication.php:47-55.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.collectFirst { case s if s.startsWith("--data=") =>
+      s.stripPrefix("--data=") }
+      .getOrElse { System.err.println("usage: --data=<dir>"); sys.exit(1) }
+    val spark = Sessions.get()
+    val sink = new ParquetSink(spark, s"$dataDir/out/tables")
+    val (code, out) = execute(spark, sink, dataDir)
+    out.foreach(println)
+    spark.stop()
+    sys.exit(code)
+  }
+
+  /** Testable core: returns (exitCode, stdoutJson). */
+  def execute(spark: SparkSession, sink: TableSink,
+              dataDir: String): (Int, Option[String]) =
+    try {
+      val config = ConfigParser.parseFile(s"$dataDir/config.json")
+      val engine = new Engine(spark, sink)
+      config.action match {
+        case "run" =>
+          val uploaded = engine.run(config, dataDir)
+          (0, Some(statusJson("success",
+            s""""uploaded":[${uploaded.map(t => s""""$t"""").mkString(",")}]""")))
+        case "testConnection" =>
+          engine.testConnection()
+          (0, Some(statusJson("success")))
+        case "getTablesInfo" =>
+          val tables = engine.tablesInfo().map { case (name, cols) =>
+            s""""$name":{${cols.map { case (c, t) => s""""$c":"$t"""" }.mkString(",")}}"""
+          }
+          (0, Some(s"""{"status":"success","tables":{${tables.mkString(",")}}}"""))
+        case other =>
+          // unknown action → UserException (RedshiftApplication.php:53-55)
+          System.err.println(s"Action '$other' does not exist.")
+          (1, None)
+      }
+    } catch {
+      case e: UserException =>
+        System.err.println(e.getMessage)
+        (1, None)
+      case e: Throwable =>
+        System.err.println(s"Application error: ${e.getMessage}")
+        (2, None)
+    }
+
+  private def statusJson(status: String, extra: String = ""): String =
+    if (extra.isEmpty) s"""{"status":"$status"}"""
+    else s"""{"status":"$status",$extra}"""
+}

@@ -1,0 +1,91 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Destination abstraction (reference: the PDO/pgsql connection in
+  * src/Keboola/DbWriter/Writer/Redshift.php:44-77). The engine's load
+  * plans talk to this interface; tests and the zero-egress bench use
+  * [[ParquetSink]], production writes use [[JdbcSink]] (S4 — the
+  * driver-mandated JDBC approach) with identical semantics.
+  */
+trait TableSink {
+  /** Catalog probe (reference: Writer/Redshift.php:216-224). */
+  def tableExists(name: String): Boolean
+
+  /** Read the current target table (for the merge's target side). */
+  def read(name: String): DataFrame
+
+  /** Replace the table wholesale (drop+create+copy collapses to one
+    * atomic overwrite — reference: RedshiftApplication.php:131-139). */
+  def overwrite(df: DataFrame, name: String): Unit
+
+  /** List destination tables (reference getTablesInfo surface,
+    * Writer/Redshift.php:295-303 — unimplemented there; real here). */
+  def listTables(): Seq[String]
+}
+
+/** Parquet-directory sink: one subdirectory per table.
+  *
+  * Overwrites go through a staging directory + swap — the reference's
+  * own staging-table pattern (`<name>_temp_<uniqid()>`,
+  * Writer/Redshift.php:345-348): the incremental merge plan READS the
+  * current target while computing its replacement, so writing in place
+  * would destroy an input mid-job. Staging+rename is also the pattern
+  * that scales (no lineage break / localCheckpoint of 100 TB).
+  */
+final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink {
+  private def path(name: String) = s"$baseDir/$name"
+
+  def tableExists(name: String): Boolean =
+    new java.io.File(path(name), "_SUCCESS").exists()
+
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  def overwrite(df: DataFrame, name: String): Unit = {
+    val stage = s"${name}__stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(path(stage))
+    val target = new java.io.File(path(name))
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(target)
+    }
+    if (!new java.io.File(path(stage)).renameTo(target))
+      throw new java.io.IOException(s"swap failed for table '$name'")
+  }
+
+  def listTables(): Seq[String] =
+    Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+}
+
+/** JDBC sink (reference: PDO DSN with port 5439 + keepalives,
+  * Writer/Redshift.php:44-77). Config surface only in this zero-egress
+  * environment; write path mirrors ParquetSink semantics via
+  * `.format("jdbc")` with `truncate` for overwrites.
+  */
+final class JdbcSink(spark: SparkSession, url: String,
+                     props: Map[String, String]) extends TableSink {
+  private def reader = props.foldLeft(
+    spark.read.format("jdbc").option("url", url)) {
+    case (r, (k, v)) => r.option(k, v)
+  }
+
+  def tableExists(name: String): Boolean =
+    try { reader.option("dbtable", name).load().schema; true }
+    catch { case _: Exception => false }
+
+  def read(name: String): DataFrame =
+    reader.option("dbtable", name).load()
+
+  def overwrite(df: DataFrame, name: String): Unit =
+    props.foldLeft(df.write.format("jdbc")
+        .option("url", url).option("dbtable", name)
+        .option("truncate", "true")) { case (w, (k, v)) => w.option(k, v) }
+      .mode("overwrite").save()
+
+  def listTables(): Seq[String] =
+    throw new UnsupportedOperationException(
+      "listTables over JDBC requires catalog queries; use information_schema")
+}

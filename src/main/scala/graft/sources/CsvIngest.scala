@@ -38,6 +38,16 @@ object CsvIngest {
            header: Boolean = true): DataFrame =
     reader(spark, header).schema(table.sourceSchema).csv(path)
 
+  /** The file's actual header column names (no declared schema — Spark
+    * takes the names from the header row). Drives the order-sensitive
+    * input-mapping check (P5): with a declared schema the reader maps
+    * positionally and never sees the header, so the check must read it
+    * explicitly — same split as the reference, whose column list comes
+    * from the storage manifest, not the COPY
+    * (RedshiftApplication.php:141-146,169-184). */
+  def headerColumns(spark: SparkSession, path: String): Seq[String] =
+    reader(spark, header = true).csv(path).columns.toSeq
+
   /** Sliced-file mode: explicit file list, no header rows
     * (reference: Writer/Redshift.php:107-108). An empty entry list is a
     * no-op load → empty frame (reference: Writer/Redshift.php:83-90). */

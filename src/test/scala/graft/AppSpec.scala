@@ -1,0 +1,138 @@
+package graft
+
+import graft.app.{Engine, Main, ParquetSink, Retry}
+import graft.model.UserException
+import java.nio.file.Files
+
+/** End-to-end application tests, ported from the reference's
+  * subprocess e2e suite (tests/Keboola/BaseFunctionalTest.php +
+  * FunctionalTest.php): happy-path run, full-then-incremental into the
+  * same table, column-order mismatch → exit 1, testConnection JSON,
+  * unknown action, retry semantics.
+  */
+class AppSpec extends SparkSpec {
+
+  private def mkJob(tables: String): (String, ParquetSink) = {
+    val dir = Files.createTempDirectory("graft-app").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/tables"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"parameters": {"tables": [$tables]}}""")
+    (dir, new ParquetSink(spark, s"$dir/out/tables"))
+  }
+
+  private val simpleItems =
+    """"items": [
+      |  {"name": "id", "dbName": "id", "type": "int"},
+      |  {"name": "name", "dbName": "name", "type": "nvarchar", "size": "255"},
+      |  {"name": "glasses", "dbName": "glasses", "type": "nvarchar", "size": "255"}
+      |]""".stripMargin
+
+  private def writeSimpleCsv(dir: String, name: String, rows: Seq[(Int, String, String)]): Unit =
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/$name.csv"),
+      "\"id\",\"name\",\"glasses\"\n" +
+        rows.map { case (i, n, g) => s""""$i","$n","$g"""" }.mkString("\n") + "\n")
+
+  test("full load then incremental upsert reproduces the golden merge (e2e)") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", "primaryKey": ["id"], $simpleItems},
+         |{"tableId": "simple_increment", "dbName": "simple",
+         | "incremental": true, "primaryKey": ["id"], $simpleItems}""".stripMargin)
+    // simple.csv ids 0-8 (id 7 glasses=yes); increment ids 7-10, id 7 -> no
+    writeSimpleCsv(dir, "simple",
+      (0 to 8).map(i => (i, s"n$i", if (i == 7) "yes" else "no")))
+    writeSimpleCsv(dir, "simple_increment",
+      Seq((7, "n7", "no"), (8, "n8", "no"), (9, "n9", "yes"), (10, "n10", "no")))
+
+    val (code, out) = Main.execute(spark, sink, dir)
+    code shouldBe 0
+    out.get should include(""""status":"success"""")
+    out.get should include(""""uploaded":["simple","simple_increment"]""")
+
+    val got = rows(sink.read("simple").orderBy("id"))
+    got.map(_.head) shouldBe (0 to 10)
+    got.find(_.head == 7).get(2) shouldBe "no" // stage wins (golden witness)
+    got.find(_.head == 3).get(2) shouldBe "no" // untouched target row
+  }
+
+  test("column-order mismatch fails with exit 1 and exact-message shape") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
+    // CSV columns shuffled vs items[].name
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/simple.csv"),
+      "\"name\",\"id\",\"glasses\"\n\"a\",\"1\",\"no\"\n")
+    val (code, _) = Main.execute(spark, sink, dir)
+    code shouldBe 1
+  }
+
+  test("export=false and empty-items tables are skipped, not uploaded") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems},
+         |{"tableId": "skipped", "dbName": "skipped", "export": false, $simpleItems},
+         |{"tableId": "noitems", "dbName": "noitems"}""".stripMargin)
+    writeSimpleCsv(dir, "simple", Seq((1, "a", "no")))
+    val (code, out) = Main.execute(spark, sink, dir)
+    code shouldBe 0
+    out.get should include(""""uploaded":["simple"]""")
+    sink.tableExists("skipped") shouldBe false
+  }
+
+  test("header-only CSV loads an empty table without error") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/simple.csv"),
+      "\"id\",\"name\",\"glasses\"\n")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    sink.read("simple").count() shouldBe 0
+  }
+
+  test("testConnection action emits success JSON; unknown action exits 1") {
+    val dir = Files.createTempDirectory("graft-act").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "testConnection", "parameters": {}}""")
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Main.execute(spark, sink, dir) shouldBe ((0, Some("""{"status":"success"}""")))
+
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "bogus", "parameters": {}}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("getTablesInfo lists tables with column types (O10, dead in reference)") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
+    writeSimpleCsv(dir, "simple", Seq((1, "a", "no")))
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "getTablesInfo", "parameters": {}}""")
+    val (code, out) = Main.execute(spark, sink, dir)
+    code shouldBe 0
+    out.get should include(""""simple":{"id":"int"""")
+  }
+
+  test("retry: transient failures retried <=3 times with backoff; user errors are not") {
+    var calls = 0
+    val got = Retry.withRetry(3, _ => 0L) { calls += 1
+      if (calls < 3) throw new RuntimeException("transient"); 42 }
+    got shouldBe 42
+    calls shouldBe 3
+
+    var calls2 = 0
+    intercept[RuntimeException](Retry.withRetry(3, _ => 0L) {
+      calls2 += 1; throw new RuntimeException("always") })
+    calls2 shouldBe 3
+
+    var calls3 = 0
+    intercept[UserException](Retry.withRetry(3, _ => 0L) {
+      calls3 += 1; throw new UserException("user") })
+    calls3 shouldBe 1
+  }
+
+  test("incremental into a missing target creates it (tableExists guard)") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "fresh",
+         | "incremental": true, "primaryKey": ["id"], $simpleItems}""".stripMargin)
+    writeSimpleCsv(dir, "simple", Seq((1, "a", "no"), (2, "b", "yes")))
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    sink.read("fresh").count() shouldBe 2
+  }
+}
