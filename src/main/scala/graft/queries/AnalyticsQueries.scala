@@ -79,6 +79,22 @@ object AnalyticsQueries {
         .filter(col("n_orders") >= 3)
         .orderBy(col("o_custkey"))),
 
+    // Tumbling daily window over the event stream (batch form of the
+    // streaming windowed aggregation; partial agg before one shuffle).
+    "events_window_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("day"), col("event_type"))),
+
+    // Gap-based sessionization (30-min inactivity) — one shuffle on the
+    // user key; streaming twin: graft.streaming.EventStreams.sessionize.
+    "sessionize_gap" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("session_id"))),
+
     // Multi-way star join over the dimension chain (all broadcastable).
     "star_join_agg" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
@@ -131,6 +147,32 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin,
+    "events_window_agg" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('day', ts), event_type
+        |ORDER BY day, event_type""".stripMargin,
+    "sessionize_gap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), ids AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM ids GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "star_join_agg" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

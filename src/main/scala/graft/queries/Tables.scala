@@ -21,7 +21,9 @@ object Tables {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral div: `/` would go through DOUBLE and lose precision
+        // on nano-epoch longs (> 2^53), shifting some stamps by 1 µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

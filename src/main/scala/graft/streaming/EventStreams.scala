@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event record for the stateful-streaming operators. */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** An emitted session: closed when `gapMinutes` pass without activity. */
+final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double)
+
+private final case class SessionState(start: Long, last: Long, n: Long,
+                                      total: Double)
+
+/** Structured Streaming operators over the `events` stream.
+  *
+  * The reference is strictly batch (one-shot CLI, run.php:18-56) — this
+  * is north-star surface for the continuous-ingest side of a training
+  * pipeline. All operators take a streaming `DataFrame` (`readStream`
+  * source) and return a transformed streaming frame the caller wires to
+  * `writeStream`; the same code paths work in batch mode (minus
+  * watermarks), which is how the ScalaTest specs drive them
+  * deterministically end-to-end via MemoryStream.
+  *
+  * Scale notes: windowed counts do partial aggregation before the
+  * shuffle on (window, event_type); sessionization shuffles once on
+  * user_id and keeps one small fixed-size state record per key, with
+  * event-time timeout so state is dropped — no unbounded growth.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with a watermark: late events beyond
+    * the watermark are dropped instead of growing state forever. */
+  def windowedStats(events: DataFrame, windowLength: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes after `gapMinutes` of inactivity (enforced with event-time
+    * timeout so sessions also close when the stream goes quiet). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // stream went quiet past the gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.{Event, EventStreams}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming operators driven deterministically through
+  * MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hour-aligned base so tumbling-window starts land on ts(0)/ts(60)
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1699999200000L + minutes * 60000L)
+
+  test("windowedStats aggregates per tumbling window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedStats(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(65), 2, "view", 5.0),
+        // watermark pusher: far future event closes earlier windows
+        Event(4, ts(60 * 10), 2, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("win_stats")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1.getTime)
+      got should contain((ts(0), "click", 2L, 3.0))
+      got should contain((ts(60), "view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions on gap and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 90-min gap
+      // → session closes when later events advance the watermark
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(95), 1, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark far ahead so the timeout fires for the open session
+      input.addData(Event(4, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 2, "view", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).sortBy(s => (s._1, s._2.getTime))
+      got should contain((1L, ts(0), ts(5), 2L, 3.0))   // gap-closed session
+      got should contain((1L, ts(95), ts(95), 1L, 4.0)) // timeout-closed session
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree on closed sessions") {
+    // batch twin over the same events
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(5), 1L, "click", 2.0),
+      (3L, ts(95), 1L, "click", 4.0),
+      (4L, ts(100), 1L, "click", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = rows(graft.operators.Sessionize.sessions(
+      events, "user_id", "ts", "event_id", "value", gapMinutes = 30)
+      .select("user_id", "session_id", "n_events", "total_value")
+      .orderBy("session_id"))
+    got shouldBe Seq(Seq(1L, 1L, 2L, 3.0), Seq(1L, 2L, 2L, 12.0))
+  }
+}
