@@ -102,6 +102,31 @@ object HashImpls {
     bucket
   }
 
+  /** Ids of the `nProbe` centroids nearest (by cosine) to a vector,
+    * most-similar first. */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Double]],
+                       nProbe: Int): ArrayData = {
+    val dim = vec.numElements()
+    var vNorm = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getDouble(i); vNorm += x * x; i += 1 }
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(dim, cent.length)
+      var dot = 0.0; var cNorm = 0.0
+      i = 0
+      while (i < d) { dot += vec.getDouble(i) * cent(i); i += 1 }
+      i = 0
+      while (i < cent.length) { cNorm += cent(i) * cent(i); i += 1 }
+      scores(c) = dot / (math.sqrt(vNorm) * math.sqrt(cNorm))
+      c += 1
+    }
+    val order = scores.indices.sortBy(j => (-scores(j), j)).take(nProbe)
+    new GenericArrayData(order.toArray)
+  }
+
   /** Cosine similarity of two double vectors; accumulation order matches
     * a sequential left fold (bit-identical with the DuckDB oracle's
     * `list_reduce`). */
@@ -173,6 +198,23 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "lsh_bucket"
 }
 
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nProbe: Int)
+    extends UnaryExpression {
+  require(nProbe > 0 && nProbe <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.nearestCentroids(input.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.nearestCentroids($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -203,4 +245,8 @@ object HashFunctions {
 
   def cosineSim(aDouble: Column, bDouble: Column): Column =
     GraftBridge.column(CosineSim(expr(aDouble), expr(bDouble)))
+
+  def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
+                       nProbe: Int): Column =
+    GraftBridge.column(NearestCentroids(expr(vecDouble), centroids, nProbe))
 }

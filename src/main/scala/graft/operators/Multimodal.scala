@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads
+  * with typed metadata, processed batch-wise with `mapPartitions` —
+  * the Scala analog of a Pandas-UDF/`mapInPandas` stage.
+  *
+  * The actual codec work is behind [[MediaDecoder]]; this container has
+  * no media libraries, so the default [[StubDecoder]] derives
+  * deterministic fake dimensions/frames from the payload bytes. The
+  * Spark-side plumbing — schemas, per-partition decoder lifecycle,
+  * iterator batch shape, row explosion for frame sampling — is the real
+  * thing and is what the specs pin down.
+  *
+  * Scale notes:
+  *  - One decoder instance per partition (`mapPartitions` closure inits
+  *    it once, not per row) — the pattern that amortizes expensive codec
+  *    init across a partition's rows.
+  *  - Payload bytes never shuffle: decode/feature stages are narrow
+  *    maps; only the extracted metadata/features (small, fixed-width)
+  *    continue into joins/aggregations.
+  *  - `maxRecordsPerBatch`-style batching is implicit: the iterator is
+  *    consumed lazily, so memory holds one in-flight payload per task,
+  *    not the whole partition.
+  */
+object Multimodal {
+
+  /** Codec seam. Implementations must be Serializable (constructed on
+    * the driver, initialized lazily per executor partition). */
+  trait MediaDecoder extends Serializable {
+    /** Called once per partition before any decode — heavyweight codec
+      * init goes here (model load, JNI handles, …). */
+    def open(): Unit = ()
+    /** Decode payload → (width, height, nChannels, nFrames). */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int)
+    /** Extract a fixed-length feature vector from one frame. */
+    def features(payload: Array[Byte], frameIdx: Int, dim: Int): Array[Float]
+  }
+
+  /** Deterministic stand-in for the absent codec libraries: dimensions
+    * and features are pure functions of the payload bytes. */
+  class StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      val n = payload.length
+      (n % 640, (n * 7) % 480, 3, n % 16 + 1)
+    }
+    def features(payload: Array[Byte], frameIdx: Int, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic FNV-ish fold of the bytes
+      var i = 0
+      while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+      var d = 0
+      while (d < dim) {
+        val v = h * (frameIdx * dim + d + 1)
+        out(d) = ((v % 1000003L).toFloat / 1000003f)
+        d += 1
+      }
+      out
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Decode each payload and attach a typed `meta` struct. Narrow map;
+    * decoder opened once per partition. */
+  def extractMeta(df: DataFrame, idCol: String, mediaCol: String,
+                  decoder: MediaDecoder = new StubDecoder): DataFrame = {
+    val outSchema = StructType(
+      df.schema(idCol) +: Seq(StructField("meta", metaSchema, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      decoder.open()
+      rows.map { r =>
+        val (w, h, c, f) = decoder.decode(r.getAs[Array[Byte]](mediaIdx))
+        Row(r.get(idIdx), Row(w, h, c, f))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Sample up to `maxFrames` evenly-strided frames per payload and emit
+    * one row per (doc, frame) with its feature vector — the row-
+    * explosion shape of video frame extraction. */
+  def frameFeatures(df: DataFrame, idCol: String, mediaCol: String,
+                    maxFrames: Int = 4, dim: Int = 8,
+                    decoder: MediaDecoder = new StubDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      decoder.open()
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        val (_, _, _, nFrames) = decoder.decode(payload)
+        val take = math.min(maxFrames, nFrames)
+        val stride = math.max(1, nFrames / math.max(take, 1))
+        (0 until take).iterator.map { i =>
+          val frame = i * stride
+          Row(r.get(idIdx), frame,
+            decoder.features(payload, frame, dim).toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** "Resize": emit a transformed payload + new dims. The stub keeps a
+    * deterministic byte slice; a real impl swaps in codec output. The
+    * point is the pass-through binary schema and narrow-map shape. */
+  def resize(df: DataFrame, idCol: String, mediaCol: String,
+             targetW: Int, targetH: Int,
+             decoder: MediaDecoder = new StubDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("media", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      decoder.open()
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](mediaIdx)
+        val scaled = java.util.Arrays.copyOf(
+          payload, math.min(payload.length, math.max(1, targetW * targetH / 64)))
+        Row(r.get(idIdx), scaled, targetW, targetH)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+}

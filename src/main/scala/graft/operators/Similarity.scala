@@ -89,6 +89,46 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the scale path beyond
+    * hyperplane LSH. Deterministic "training": centroids are a fixed
+    * systematic sample of the corpus (every ⌈n/c⌉-th vector by id —
+    * no iterative k-means, no RNG, no fit state). Corpus vectors are
+    * assigned to their nearest centroid (one list each); queries probe
+    * their `nProbe` nearest centroids and score only those lists.
+    *
+    * At 100 TB the centroid table stays driver-sized (c vectors); the
+    * corpus assignment is a narrow codegen'd map, and the probe join is
+    * an equi-join on centroid id — queries broadcast, corpus never
+    * shuffles except the final per-query top-k on |Q| keys. Recall/cost
+    * is tuned by (nCentroids, nProbe).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    // deterministic systematic sample as centroids
+    val ordered = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(col("cid"))
+    val n = ordered.count()
+    val step = math.max(1L, n / nCentroids)
+    val centroids = ordered.filter(col("cid") % step === 0)
+      .orderBy(col("cid")).limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val c = corpus.withColumn("centroid",
+      element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
+    val q = queries.withColumn("centroid",
+      explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    val scored = c.join(broadcast(q), Seq("centroid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
     * the same bucket with cosine ≥ threshold. The embedding analog of
     * [[Dedup.minhashNearDupPairs]]. */

@@ -84,6 +84,14 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    "embedding_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "embedding_near_dup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val shifted = emb.filter(col("vec_id") % 25 === 0)
@@ -92,6 +100,16 @@ object PipelineQueries {
           "vec_id", "embedding", threshold = 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // mapPartitions decode pipeline (stub codec): one row per sampled
+    // frame with a fixed-dim feature vector. Rows-only check (the fake
+    // features aren't SQL-expressible); the plumbing is spec-tested.
+    "media_frame_features" -> ((s, dir) =>
+      graft.operators.Multimodal.frameFeatures(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", maxFrames = 4, dim = 8)
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ---- multimodal plumbing ----------------------------------------
     // Opaque binary payload + derived typed metadata. The payload here

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Multimodal
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+
+object MultimodalSpec {
+  // local[_] runs executors in this JVM, so a static counter observes
+  // per-partition decoder lifecycle
+  val opens = new AtomicInteger(0)
+  final class CountingDecoder extends Multimodal.StubDecoder {
+    override def open(): Unit = { opens.incrementAndGet(); () }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "a tiny payload".getBytes("UTF-8")),
+    (2L, ("x" * 1000).getBytes("UTF-8")),
+    (3L, ("y" * 5000).getBytes("UTF-8"))
+  ).toDF("doc_id", "media")
+
+  test("extractMeta: typed meta struct, deterministic stub dims") {
+    val got = Multimodal.extractMeta(media, "doc_id", "media").orderBy("doc_id")
+    got.schema("meta").dataType shouldBe Multimodal.metaSchema
+    val r = got.collect()
+    r.length shouldBe 3
+    val m2 = r(1).getStruct(1)
+    m2.getInt(0) shouldBe 1000 % 640
+    m2.getInt(1) shouldBe (1000 * 7) % 480
+    m2.getInt(2) shouldBe 3
+    // determinism across runs
+    rows(Multimodal.extractMeta(media, "doc_id", "media").orderBy("doc_id")) shouldBe rows(got.orderBy("doc_id"))
+  }
+
+  test("frameFeatures explodes one row per sampled frame with fixed-dim vectors") {
+    val got = Multimodal.frameFeatures(media, "doc_id", "media",
+      maxFrames = 4, dim = 8).collect()
+    got.foreach { r =>
+      r.getSeq[Float](2).length shouldBe 8
+      r.getInt(1) should be >= 0
+    }
+    // payload of n bytes has n%16+1 frames, sampled up to 4
+    val byDoc = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    byDoc(1L) shouldBe math.min(4, "a tiny payload".length % 16 + 1)
+    byDoc(2L) shouldBe math.min(4, 1000 % 16 + 1)
+  }
+
+  test("resize emits transformed payload with target dims") {
+    val got = Multimodal.resize(media, "doc_id", "media", 64, 64)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      r.getInt(2) shouldBe 64
+      r.getInt(3) shouldBe 64
+      r.getAs[Array[Byte]](1).length should be <= 64 * 64 / 64
+    }
+  }
+
+  test("decoder opens once per partition, not per row") {
+    MultimodalSpec.opens.set(0)
+    val df = media.repartition(2)
+    Multimodal.extractMeta(df, "doc_id", "media",
+      new MultimodalSpec.CountingDecoder).count()
+    MultimodalSpec.opens.get() shouldBe 2
+  }
+
+  test("payload bytes stay out of the post-decode plan (only metadata flows)") {
+    val meta = Multimodal.extractMeta(media, "doc_id", "media")
+    val agged = meta.groupBy(col("meta.n_channels")).count()
+    agged.collect().head.getLong(1) shouldBe 3
+    // schema after extract carries no binary column
+    meta.schema.fields.map(_.dataType) should not contain
+      org.apache.spark.sql.types.BinaryType
+  }
+}

@@ -66,6 +66,21 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("ivfTopK recall >= 0.8 against brute force on clustered corpus") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(c, q, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val c = corpus(n = 100)
     val shifted = c.filter(col("vec_id") < 5)
