@@ -84,6 +84,32 @@ object RelationalQueries {
         orderCols = Seq("event_id")) // event_id is monotone with ts and unique
         .orderBy(col("user_id"), col("event_type"))),
 
+    // S1/S2 + P1/P6 — the CSV ingest path end-to-end in the driver
+    // gate: dump a deterministic orders slice to reference-dialect CSV
+    // (quoted, header, NULL literal), read it back with the declared
+    // schema + cast/project, compare against DuckDB on the parquet.
+    "csv_roundtrip" -> ((s, dir) => {
+      import graft.model.{ColumnSpec, TableConfig}
+      val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(Map("header" -> "true", "quoteAll" -> "true",
+          "nullValue" -> "NULL"))
+        .csv(out)
+      val cfg = TableConfig("orders", "orders", items = Seq(
+        ColumnSpec("o_orderkey", "o_orderkey", "bigint"),
+        ColumnSpec("o_custkey", "o_custkey", "bigint"),
+        ColumnSpec("o_orderstatus", "o_orderstatus", "varchar", Some("1")),
+        ColumnSpec("o_totalprice", "o_totalprice", "decimal", Some("12,2"))))
+      graft.sources.CsvIngest.castAndProject(
+          graft.sources.CsvIngest.read(s, out, cfg), cfg)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // P1/P2/P6 — projection + rename + varchar-truncate + lenient cast.
     "project_cast_truncate" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -113,6 +139,11 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT * FROM base UNION ALL SELECT * FROM stage
          |ORDER BY o_orderkey, o_orderstatus""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "dedup_last_wins" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
