@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.PartitionedStore
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => sqlfn}
+
+/** Scale-posture specs: salted joins/aggs equal their plain
+  * counterparts, and date-partitioned layouts actually prune. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share key 1 — the classic hot-key shape
+  private def skewed = (1 to 2000).map { i =>
+    (if (i % 10 == 0) i % 5 + 2 else 1, s"payload$i")
+  }.toDF("k", "v")
+
+  private def dim = Seq((1, "hot"), (2, "a"), (3, "b"), (4, "c"), (5, "d"), (6, "e"))
+    .toDF("k", "label")
+
+  test("saltedJoin equals the plain join on skewed data") {
+    val plain = skewed.join(dim, Seq("k")).orderBy("k", "v")
+    val salted = SkewJoin.saltedJoin(skewed, dim, Seq("k")).orderBy("k", "v")
+    rows(salted) shouldBe rows(plain)
+  }
+
+  test("saltedJoin spreads the hot key over saltFactor partitions") {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(8)))
+    val spread = salted.filter(col("k") === 1)
+      .select("__salt").distinct().count()
+    spread should be >= 6L // hot key occupies most of the 8 salt slots
+  }
+
+  test("saltedAgg equals the plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(sqlfn.length(col("v"))).as("chars"))
+      .orderBy("k")
+    val salted = SkewJoin.saltedAgg(skewed, Seq("k"), saltFactor = 8)(
+      partial = Seq(count(lit(1)) -> "pn", sum(sqlfn.length(col("v"))) -> "pchars"),
+      merge = Seq(sum(col("pn")) -> "n", sum(col("pchars")) -> "chars"))
+      .orderBy("k")
+    rows(salted) shouldBe rows(plain)
+  }
+
+  test("date-partitioned store prunes partitions under a date predicate") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val events = (0 until 100).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600L * 1000L), i * 1.5)
+    }.toDF("event_id", "ts", "value")
+    PartitionedStore.writeByDay(events, "ts", dir)
+
+    // layout: one directory per day
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("p_date=")).sorted
+    dirs.length should be >= 4
+
+    val firstDay = dirs.head.stripPrefix("p_date=")
+    val pruned = PartitionedStore.read(spark, dir)
+      .filter(col("p_date") === lit(firstDay))
+    // physical plan prunes to 1 partition directory before any I/O
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    scan.toString should include("PartitionFilters")
+    pruned.count() shouldBe events
+      .filter(to_date(col("ts")) === lit(firstDay)).count()
+
+    val partsRead = scan.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    partsRead shouldBe 1
+  }
+
+  test("plan shape: q1_agg pushes its filter and prunes columns at the scan") {
+    val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val scans = plan.collectLeaves().map(_.toString)
+    scans.exists(s => s.contains("PushedFilters: [IsNotNull(l_shipdate)")) shouldBe true
+    // projection pruning: the 16-column lineitem scan reads only 6
+    scans.exists(_.contains("l_comment")) shouldBe false
+  }
+
+  test("plan shape: q3 broadcasts the dimension side") {
+    val plan = SparkEntry.queries("q3_join_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("plan shape: LSH candidate shuffles carry no shingle arrays") {
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes its stages (and exchanges)
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode details: every node is a "(N) Name\nInput…" block;
+    // find Exchange blocks partitioned by band keys and check their
+    // input column lists stay free of the shingle array
+    val blocks = explained.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning") &&
+        b.contains("band_key"))
+    blocks should not be empty
+    blocks.foreach { b =>
+      val inputLine = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      inputLine should not include "sh#"
+    }
+  }
+}
