@@ -32,6 +32,19 @@ final case class ColumnSpec(
     else None
 }
 
+/** SSH tunnel block — parsed for config parity (O8); the tunnel itself
+  * is out of scope for the in-engine data path (in the reference the
+  * common lib opens it; here reads go straight to storage).
+  * Reference: RedshiftConfigDefinition.php:100-132. */
+final case class SshConfig(
+    enabled: Boolean = false,
+    sshHost: Option[String] = None,
+    sshPort: Int = 22,
+    remoteHost: Option[String] = None,
+    remotePort: Option[Int] = None,
+    localPort: Int = 33006,
+    user: Option[String] = None)
+
 /** One configured destination table.
   *
   * Mirrors a `parameters.tables[]` element (reference:

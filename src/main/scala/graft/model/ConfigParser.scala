@@ -19,7 +19,8 @@ final class UserException(msg: String) extends RuntimeException(msg)
 final case class JobConfig(
     action: String,
     tables: Seq[TableConfig],
-    dataDir: Option[String])
+    dataDir: Option[String],
+    ssh: SshConfig = SshConfig())
 
 object ConfigParser {
   private val mapper = new ObjectMapper()
@@ -43,8 +44,22 @@ object ConfigParser {
       case None => Seq(parseTable(params))
     }
     tables.foreach(validate)
-    JobConfig(action, tables, dataDir)
+    JobConfig(action, tables, dataDir, parseSsh(params))
   }
+
+  /** `parameters.db.ssh` block (same shape in both row definitions,
+    * reference: RedshiftConfigDefinition.php:100-132). */
+  private def parseSsh(params: JsonNode): SshConfig =
+    opt(params, "db").flatMap(db => opt(db, "ssh")).map { ssh =>
+      SshConfig(
+        enabled = opt(ssh, "enabled").exists(_.asBoolean),
+        sshHost = opt(ssh, "sshHost").map(_.asText),
+        sshPort = opt(ssh, "sshPort").map(_.asInt).getOrElse(22),
+        remoteHost = opt(ssh, "remoteHost").map(_.asText),
+        remotePort = opt(ssh, "remotePort").map(_.asInt),
+        localPort = opt(ssh, "localPort").map(_.asInt).getOrElse(33006),
+        user = opt(ssh, "user").map(_.asText))
+    }.getOrElse(SshConfig())
 
   private def parseTable(n: JsonNode): TableConfig = TableConfig(
     tableId = req(n, "tableId").asText,

@@ -31,6 +31,26 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup applied to the corpus: the surviving rows (smallest id
+    * per identical content, all columns kept). One window shuffle on
+    * the content hash — no join back. */
+  def exactCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Drop near-duplicates given a candidate pair list: any doc that
+    * pairs with a smaller id is removed, keeping the smallest id of
+    * each duplicate cluster reachable by id-descending edges (greedy
+    * representative selection — one anti-join, no transitive closure;
+    * a doc chained A<B<C loses B and C because both pair with a
+    * smaller id once LSH finds the pairs). */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Distinct word n-gram shingles of the token stream; a doc shorter
     * than n tokens contributes its whole token stream as one shingle.
     * Native expression ([[graft.functions.ShingleSet]]) — one codegen'd

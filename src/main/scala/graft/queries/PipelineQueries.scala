@@ -50,6 +50,20 @@ object PipelineQueries {
       Dedup.exact(dupCorpus(s, dir, perturb = false), "doc_id", "text")
         .orderBy(col("keep_id"))),
 
+    // surviving corpus rows after exact dedup (all columns kept)
+    "dedup_exact_corpus" -> ((s, dir) =>
+      Dedup.exactCorpus(dupCorpus(s, dir, perturb = false), "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy(col("doc_id"))),
+
+    // corpus minus LSH-found near-dups (rows-only: hash-dependent)
+    "dedup_filtered_corpus" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir, perturb = true)
+      val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text")
+      Dedup.dropNearDups(corpus, pairs, "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(dupCorpus(s, dir, perturb = true),
           "doc_id", "text")
@@ -133,6 +147,15 @@ object PipelineQueries {
          |       COUNT(*) AS n_dups
          |FROM corpus GROUP BY md5(text)
          |ORDER BY keep_id""".stripMargin,
+    "dedup_exact_corpus" ->
+      s"""WITH ${dupCorpusSql(perturb = false)},
+         |ranked AS (
+         |  SELECT doc_id, md5(text) AS content_hash,
+         |         row_number() OVER (PARTITION BY md5(text)
+         |                            ORDER BY doc_id) AS rn
+         |  FROM corpus)
+         |SELECT doc_id, content_hash FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH ${dupCorpusSql(perturb = true)},
          |sh AS (

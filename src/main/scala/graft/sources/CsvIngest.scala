@@ -124,9 +124,20 @@ object CsvIngest {
       val offenders = withLine.filter(pred).select(col("__line"), col(c.name))
         .orderBy(col("__line")).limit(1).collect()
       offenders.headOption.foreach { r =>
+        // message mirrors Redshift's stl_load_errors text that the
+        // reference surfaces verbatim (tests/Keboola/FunctionalTest.php:74-78)
+        val value = String.valueOf(r.get(1))
+        val reason = c.sparkType match {
+          case org.apache.spark.sql.types.DateType if value.length < 10 =>
+            "Invalid Date Format - length must be 10 or more"
+          case org.apache.spark.sql.types.DateType =>
+            s"Invalid date format - Invalid digit encountered"
+          case org.apache.spark.sql.types.TimestampType =>
+            "Invalid timestamp format or value out of range"
+          case t => s"Invalid digit, Value '$value', type ${t.simpleString}"
+        }
         throw new UserException(
-          s"Column '${c.dbName}', line ${r.getLong(0)}: " +
-            s"invalid value '${r.get(1)}' for type ${c.dataType}")
+          s"Column '${c.dbName}', line ${r.getLong(0)}: $reason")
       }
     }
     castAndProject(df, table)

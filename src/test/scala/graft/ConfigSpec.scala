@@ -89,6 +89,22 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     t.sourceSchema.fields.forall(_.dataType == StringType) shouldBe true
   }
 
+  test("ssh block parses with reference defaults (O8, config-only)") {
+    val cfg = ConfigParser.parse(
+      """{"parameters": {"db": {"ssh": {"enabled": true, "sshHost": "bastion",
+        |  "user": "svc", "remoteHost": "db.internal"}},
+        |  "tableId": "t", "dbName": "t",
+        |  "items": [{"name": "id", "dbName": "id", "type": "int"}]}}""".stripMargin)
+    cfg.ssh.enabled shouldBe true
+    cfg.ssh.sshHost shouldBe Some("bastion")
+    cfg.ssh.sshPort shouldBe 22       // default
+    cfg.ssh.localPort shouldBe 33006  // default
+    ConfigParser.parse(
+      """{"parameters": {"tableId": "t", "dbName": "t",
+        |  "items": [{"name": "id", "dbName": "id", "type": "int"}]}}""".stripMargin)
+      .ssh.enabled shouldBe false
+  }
+
   test("varcharLength only for varchar family with numeric size") {
     ColumnSpec("x", "x", "varchar", Some("42")).varcharLength shouldBe Some(42)
     ColumnSpec("x", "x", "text", Some("42")).varcharLength shouldBe None

@@ -107,6 +107,15 @@ class CsvIngestSpec extends SparkSpec {
       CsvIngest.castAndProjectStrict(raw, t)
     }
     e.getMessage should startWith("Column 'created', line 3")
+    // the reference's exact stl_load_errors phrasing for short non-dates
+    // ("this is not a date".length >= 10, so digit variant) — check the
+    // short-value variant too
+    val path2 = tmpCsv("\"id\",\"name\",\"created\"\n\"1\",\"x\",\"nope\"\n")
+    val e2 = intercept[UserException] {
+      CsvIngest.castAndProjectStrict(CsvIngest.read(spark, path2, t), t)
+    }
+    e2.getMessage shouldBe
+      "Column 'created', line 2: Invalid Date Format - length must be 10 or more"
   }
 
   test("gzip slices read transparently") {

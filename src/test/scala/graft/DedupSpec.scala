@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactCorpus keeps the smallest-id row of each content cluster") {
+    val kept = rows(Dedup.exactCorpus(docs, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")).map(_.head)
+    kept shouldBe Seq(1L, 3L, 4L, 5L, 6L) // doc 2 (exact dup of 1) dropped
+  }
+
+  test("dropNearDups removes every doc that pairs with a smaller id") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val kept = rows(Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").orderBy("doc_id")).map(_.head)
+    kept should contain(1L)      // cluster representative survives
+    kept should not contain 2L   // exact dup dropped
+    (kept should contain).oneOf(4L, 6L) // near-dup cluster keeps only one... (4 is rep)
+    kept should contain(5L)      // unique doc survives
+  }
+
   test("bucket-size skew guard drops degenerate buckets") {
     // 50 identical docs → one giant bucket; cap at 10 drops it entirely
     val many = (1L to 50L).map(i => (i, "same text for every single doc here"))
