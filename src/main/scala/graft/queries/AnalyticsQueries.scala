@@ -95,6 +95,31 @@ object AnalyticsQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // As-of join: each probe event picks up the latest reference event
+    // at-or-before its timestamp (union+window trick, one shuffle —
+    // graft.operators.AsOfJoin). DuckDB oracle uses native ASOF JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.filter(col("event_id") % 10 === 7)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
+          "ts", "ts", Seq("ref_event_id", "ref_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Custom TypedImperativeAggregate: linear-counting distinct sketch
+    // (fixed-size bitmap over the shuffle). Rows-only: the estimator is
+    // not SQL-expressible; accuracy is spec-tested against exact counts.
+    "approx_distinct_sketch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SketchFunctions.approxDistinct(col("user_id"))
+          .as("approx_users"))
+        .orderBy(col("event_type"))),
+
     // Multi-way star join over the dimension chain (all broadcastable).
     "star_join_agg" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
@@ -173,6 +198,16 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM ids GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ref_event_id, r.ref_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_id % 10 = 7) l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS rts, event_id AS ref_event_id,
+        |             value AS ref_value
+        |      FROM events WHERE event_id % 3 = 0) r
+        |  ON l.user_id = r.user_id AND r.rts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
     "star_join_agg" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("asOf picks the latest right row at-or-before each left time, per key") {
+    val left = Seq(
+      (1L, 1L, ts(10)),  // matches right at 5
+      (2L, 1L, ts(20)),  // matches right at 20 (equal time counts)
+      (3L, 1L, ts(3)),   // before any right → null
+      (4L, 2L, ts(50))   // key 2: matches right at 30
+    ).toDF("probe_id", "k", "t")
+    val right = Seq(
+      (1L, ts(5), 100.0), (1L, ts(20), 200.0), (1L, ts(25), 300.0),
+      (2L, ts(30), 400.0)
+    ).toDF("k", "t", "ref_value")
+
+    val got = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value")).select("probe_id", "ref_value").orderBy("probe_id"))
+    got shouldBe Seq(
+      Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, null), Seq(4L, 400.0))
+  }
+
+  test("asOf is a single-shuffle plan (no range-join explosion)") {
+    val left = Seq((1L, 1L, ts(1))).toDF("probe_id", "k", "t")
+    val right = Seq((1L, ts(0), 1.0)).toDF("k", "t", "v")
+    val df = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    plan should not include "Join" // union + window only
+  }
+
+  test("approxDistinct sketch within 5% of exact on events") {
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.01", "events")
+    val exact = events.select("user_id").distinct().count()
+    val approx = events
+      .agg(graft.functions.SketchFunctions.approxDistinct($"user_id"))
+      .collect().head.getLong(0)
+    math.abs(approx - exact).toDouble / exact should be <= 0.05
+  }
+
+  test("approxDistinct is deterministic across repartitionings") {
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+    def run(parts: Int) = events.repartition(parts)
+      .agg(graft.functions.SketchFunctions.approxDistinct($"props"))
+      .collect().head.getLong(0)
+    run(2) shouldBe run(7)
+  }
+}
