@@ -95,6 +95,17 @@ object AnalyticsQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ≡
+    // DuckDB `quantile_cont`).
+    "price_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"))
+        .orderBy(col("o_orderstatus"))),
+
     // As-of join: each probe event picks up the latest reference event
     // at-or-before its timestamp (union+window trick, one shuffle —
     // graft.operators.AsOfJoin). DuckDB oracle uses native ASOF JOIN.
@@ -178,6 +189,13 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('day', ts), event_type
         |ORDER BY day, event_type""".stripMargin,
+    "price_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "sessionize_gap" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

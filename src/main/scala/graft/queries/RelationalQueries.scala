@@ -68,6 +68,18 @@ object RelationalQueries {
       Load.updateJoin(target(s, dir), stage(s, dir), Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))),
 
+    // J3 on a composite PK over the big fact table: lineitem keyed by
+    // (l_orderkey, l_linenumber).
+    "upsert_merge_composite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val liStage = li.filter(col("l_orderkey") % 13 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 100.0)
+      Load.upsert(li, liStage, Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // No-PK incremental = plain append (Redshift.php:169 guard).
     "union_append" -> ((s, dir) =>
       Load.upsert(target(s, dir), stage(s, dir), Nil)
@@ -135,6 +147,20 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+    "upsert_merge_composite" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |  FROM lineitem
+        |), stage AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity + 100.0 AS l_quantity,
+        |         l_extendedprice
+        |  FROM li WHERE l_orderkey % 13 = 0
+        |)
+        |SELECT * FROM stage
+        |UNION ALL
+        |SELECT t.* FROM li t ANTI JOIN stage s
+        |  USING (l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "union_append" ->
       s"""$stageSql
          |SELECT * FROM base UNION ALL SELECT * FROM stage

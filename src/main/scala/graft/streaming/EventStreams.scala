@@ -45,6 +45,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** In-stream exactly-once dedup on an id column: duplicates arriving
+    * within the watermark window are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark` evicts ids once the watermark
+    * passes — at-least-once upstream delivery becomes effectively-once
+    * without unbounded key state). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of inactivity (enforced with event-time
     * timeout so sessions also close when the stream goes quiet). */

@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // duplicate delivery
+        Event(2, ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 1, "click", 2.0)) // late duplicate
+      q.processAllAvailable()
+      spark.table("dedup_stream").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     // batch twin over the same events
     val events = Seq(
