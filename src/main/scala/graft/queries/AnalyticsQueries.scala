@@ -95,6 +95,48 @@ object AnalyticsQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // TPC-H Q5-style: local-supplier revenue per nation in one region.
+    // Six-table join — dims broadcast, lineitem⋈orders⋈supplier left to
+    // AQE; only the final groupBy shuffles the big side.
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1995-01-01") &&
+          to_date(col("o_orderdate")) < lit("1996-01-01"))
+      val supp = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18-style: large-quantity orders (aggregate → having →
+    // join back to the order/customer detail).
+    "q18_large_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // Exact interpolated percentiles per group (Spark `percentile` ≡
     // DuckDB `quantile_cont`).
     "price_percentiles" -> ((s, dir) =>
@@ -189,6 +231,35 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('day', ts), event_type
         |ORDER BY day, event_type""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "price_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,

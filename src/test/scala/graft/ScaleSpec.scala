@@ -70,6 +70,32 @@ class ScaleSpec extends SparkSpec {
     partsRead shouldBe 1
   }
 
+  test("bucketed merge: the bucketed target side joins without a shuffle") {
+    import graft.sources.BucketedStore
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    BucketedStore.writeBucketed(target, "graft_bucket_target", Seq("id"), 4)
+    try {
+      val bucketed = BucketedStore.read(spark, "graft_bucket_target")
+      val stage = (500 to 520).map(i => (i.toLong, s"new$i")).toDF("id", "v")
+      val merged = graft.operators.Load.upsert(bucketed, stage, Seq("id"))
+      merged.count() shouldBe 1000 + 21 - 21
+
+      // force a shuffle-requiring join (disable broadcast) and check the
+      // bucketed side still has no exchange above its scan
+      val noBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val anti = bucketed.join(stage, Seq("id"), "left_anti")
+        val explained = anti.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        // exactly ONE exchange: the stage side; bucketed target reads
+        // its 4 buckets pre-partitioned
+        explained.split("\n").count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
+        anti.count() shouldBe 1000 - 21
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBroadcast)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucket_target")
+  }
+
   test("plan shape: q1_agg pushes its filter and prunes columns at the scan") {
     val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan
