@@ -72,13 +72,26 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: queries join the corpus only
     * within their bucket (equi-join on bucket id — a hash join that
-    * AQE broadcasts for small query sets), then per-query top-k. */
+    * AQE broadcasts for small query sets), then per-query top-k.
+    *
+    * @param multiProbe probe `multiProbe` extra buckets per query by
+    *   flipping one hyperplane bit each — recovers neighbors that fall
+    *   just across a hyperplane at the cost of proportionally more
+    *   candidates (queries explode ×(1+multiProbe); the corpus side is
+    *   untouched, so the 100 TB side still computes one bucket).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              numPlanes: Int = 8, dim: Int = 64,
+              multiProbe: Int = 0): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
-    val q = queries.withColumn("bucket", lshBucket(col("q_vec"), planes))
+    val qBase = queries.withColumn("__b", lshBucket(col("q_vec"), planes))
+    val probes = col("__b") +: (0 until math.min(multiProbe, numPlanes))
+      .map(i => col("__b").bitwiseXOR(lit(1L << i)))
+    val q = qBase
+      .withColumn("bucket", explode(array(probes: _*)))
+      .drop("__b")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))

@@ -1,0 +1,40 @@
+package graft
+
+/** SQL surface of the native expressions, registered via
+  * SparkSessionExtensions (graft.GraftExtensions, wired into
+  * [[Sessions.builder]]). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(array('hello', 'world')) AS sh,
+        |  minhash_sig(array('a b c'), 4) AS mh,
+        |  shingle_set(array('a','b','c','d'), 3) AS sg,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |""".stripMargin).collect().head
+    r.getLong(0) should not be 0L
+    r.getSeq[Long](1).length shouldBe 4
+    r.getSeq[String](2).toSeq shouldBe Seq("a b c", "b c d")
+    r.getDouble(3) shouldBe 1.0 +- 1e-12
+  }
+
+  test("SQL results agree with the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT simhash64(array('the','quick','fox'))").collect().head.getLong(0)
+    val viaApi = Seq("the quick fox").toDF("text")
+      .select(graft.operators.Dedup.simhash(col("text")))
+      .collect().head.getLong(0)
+    viaSql shouldBe viaApi
+  }
+
+  test("approx_distinct_lc works as a SQL aggregate") {
+    spark.range(1000).createOrReplaceTempView("graft_ext_range")
+    val est = spark.sql(
+      "SELECT approx_distinct_lc(xxhash64(id)) FROM graft_ext_range")
+      .collect().head.getLong(0)
+    math.abs(est - 1000).toDouble / 1000 should be <= 0.05
+  }
+}

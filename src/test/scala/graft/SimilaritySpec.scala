@@ -66,6 +66,26 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(probes: Int) = {
+      val got = Similarity.lshTopK(c, q, "vec_id", "embedding", k = 5,
+        multiProbe = probes)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(4)
+    multi should be >= single
+    multi should be >= 0.85
+  }
+
   test("ivfTopK recall >= 0.8 against brute force on clustered corpus") {
     val c = corpus()
     val q = c.filter(col("vec_id") % 50 === 0)

@@ -86,6 +86,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val tiers = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(tiers), Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 1.0),
+        Event(3, ts(2), 9, "click", 1.0)) // no tier → null
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.get(2))).sortBy(_._1).toSeq
+      got shouldBe Seq((1L, "gold"), (2L, "basic"), (3L, null))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     // batch twin over the same events
     val events = Seq(
