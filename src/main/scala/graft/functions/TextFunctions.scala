@@ -90,6 +90,33 @@ object TextFunctions {
     }._1
   }
 
+  /** Per-language character-trigram profiles for the n-gram language-ID
+    * variant (frequent trigrams of each language, ASCII-folded). */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ich", "sch", "ein", "die", "und", "den", "cht"),
+    "en" -> Seq("the", "ing", "and", "ion", "tio", "ent", "for", "her"),
+    "es" -> Seq("que", "los", "ado", "con", "cio", "las", "del", "una"),
+    "fr" -> Seq("les", "ent", "des", "eur", "ait", "une", "our", "eau"),
+    "zh" -> Seq("shi", "zhe", "ang", "eng", "ian", "uan", "hao", "men"))
+
+  /** Character-n-gram language ID: per language, total occurrence count
+    * of its profile trigrams in the lowercased text; argmax with
+    * alphabetical tie-break. Occurrences are counted by length delta
+    * under replace — pure string primitives, mirrored 1:1 in SQL. */
+  def langIdNgram(text: Column): Column = {
+    val lowered = lower(text)
+    def score(trigrams: Seq[String]): Column =
+      trigrams.map(t =>
+        (length(lowered) - length(regexp_replace(lowered, java.util.regex.Pattern.quote(t), ""))) / 3)
+        .reduce(_ + _)
+    val scored = langTrigrams.map { case (lang, tg) => (lang, score(tg)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, s)) =>
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
   /** Stable document fingerprint (md5 hex — identical in every engine). */
   def fingerprint(text: Column): Column = md5(text)
 

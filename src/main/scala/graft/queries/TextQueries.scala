@@ -40,6 +40,13 @@ object TextQueries {
         langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    "lang_id_ngram" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        langIdNgram(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -89,6 +96,30 @@ object TextQueries {
          |    len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo','you','zai','ta'], t))) AS s_zh
          |  FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "lang_id_ngram" -> {
+      def score(lang: String): String =
+        graft.functions.TextFunctions.langTrigrams.toMap.apply(lang)
+          .map(t => s"(length(lt) - length(replace(lt, '$t', ''))) / 3")
+          .mkString(" + ")
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ${score("de")} AS s_de,
+         |    ${score("en")} AS s_en,
+         |    ${score("es")} AS s_es,
+         |    ${score("fr")} AS s_fr,
+         |    ${score("zh")} AS s_zh
+         |  FROM (SELECT doc_id, lang, lower(text) AS lt FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
          |  CAST(COALESCE(list_aggregate(list_transform(toks,

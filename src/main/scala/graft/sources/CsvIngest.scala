@@ -143,6 +143,30 @@ object CsvIngest {
     castAndProject(df, table)
   }
 
+  /** Dead-letter split: partition the raw frame into (clean, quarantined)
+    * in ONE pass over the plan — rows where every declared cast succeeds
+    * flow to the typed output; offenders keep their raw values plus an
+    * `__errors` array naming each failing column. The scalable sibling
+    * of [[castAndProjectStrict]]: no driver-side collect, no abort —
+    * bad rows land in a quarantine sink for reprocessing.
+    */
+  def castAndProjectQuarantine(df: DataFrame, table: TableConfig): (DataFrame, DataFrame) = {
+    val checks = table.activeItems
+      .filter(c => c.sparkType != StringType)
+      .map { c =>
+        val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
+        (col(c.name).isNotNull && casted.isNull, c.dbName)
+      }
+    val errs = array_compact(array(checks.map { case (pred, name) =>
+      when(pred, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    val flagged = df.withColumn("__errors", errs)
+    val clean = castAndProject(flagged.filter(size(col("__errors")) === 0)
+      .drop("__errors"), table)
+    val quarantined = flagged.filter(size(col("__errors")) > 0)
+    (clean, quarantined)
+  }
+
   /** Attach 1-based line numbers (offset by `base`) preserving input
     * order. zipWithIndex is a narrow op plus one tiny count job — used
     * only on the strict-validation path. */

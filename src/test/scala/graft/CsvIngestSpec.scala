@@ -118,6 +118,21 @@ class CsvIngestSpec extends SparkSpec {
       "Column 'created', line 2: Invalid Date Format - length must be 10 or more"
   }
 
+  test("quarantine split: clean rows typed, offenders kept raw with error tags") {
+    import spark.implicits._
+    val t = TableConfig("q", "q", items = Seq(
+      ColumnSpec("id", "id", "int"),
+      ColumnSpec("created", "created", "date")))
+    val df = Seq(("1", "2020-01-01"), ("x", "2020-01-02"), ("3", "nope"),
+      ("y", "bad")).toDF("id", "created")
+    val (clean, quarantined) = CsvIngest.castAndProjectQuarantine(df, t)
+    rows(clean.orderBy("id")).map(_.head) shouldBe Seq(1)
+    val bad = quarantined.orderBy("id").collect()
+    bad.length shouldBe 3
+    bad.map(_.getSeq[String](2).toSeq).toSeq shouldBe
+      Seq(Seq("created"), Seq("id"), Seq("id", "created"))
+  }
+
   test("gzip slices read transparently") {
     val dir = Files.createTempDirectory("graft-gz")
     val gz = dir.resolve("slice.csv.gz")
