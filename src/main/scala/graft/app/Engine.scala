@@ -24,8 +24,24 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     if (!table.export) return false                 // P3
     if (table.items.isEmpty) return false           // P4 (RedshiftApplication.php:88-90)
     val csvPath = s"$dataDir/in/tables/${table.tableId}.csv"
-    ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
-    val raw = CsvIngest.read(spark, csvPath, table)
+    // Sliced input (S3): `<tableId>.csv` is a DIRECTORY of headerless
+    // slices, column list supplied by the manifest sidecar — mirrors
+    // the reference's COPY…MANIFEST path (Writer/Redshift.php:83-112).
+    // Single-file input: header row read for the order check (P5).
+    val sliced = new java.io.File(csvPath).isDirectory
+    val raw = if (sliced) {
+      val manifest = s"$csvPath.manifest"
+      if (new java.io.File(manifest).exists())
+        ConfigParser.checkColumns(manifestColumns(manifest), table) // P5
+      val slices = Option(new java.io.File(csvPath).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map(_.getPath).sorted
+      CsvIngest.readSlices(spark, slices, table)
+    } else {
+      ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
+      CsvIngest.read(spark, csvPath, table)
+    }
     val staged = CsvIngest.castAndProject(raw, table)
     if (table.incremental) {
       // O3: staging → (create target if missing) → upsert → drop staging.
@@ -44,6 +60,17 @@ final class Engine(spark: SparkSession, sink: TableSink) {
       Retry.withRetry(3)(sink.overwrite(staged, table.dbName))
     }
     true
+  }
+
+  /** Column list from a storage manifest sidecar `{id, columns:[…]}`
+    * (FIXTURES.md §6). */
+  private def manifestColumns(path: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    Option(root.get("columns")).toSeq.flatMap { cols =>
+      import scala.jdk.CollectionConverters._
+      cols.elements.asScala.map(_.asText).toSeq
+    }
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

@@ -127,6 +127,25 @@ class AppSpec extends SparkSpec {
     calls3 shouldBe 1
   }
 
+  test("sliced directory input: headerless slices + manifest column check") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
+    val sliceDir = java.nio.file.Paths.get(s"$dir/in/tables/simple.csv")
+    Files.createDirectories(sliceDir)
+    Files.writeString(sliceDir.resolve("part-00"), "\"1\",\"a\",\"no\"\n")
+    Files.writeString(sliceDir.resolve("part-01"), "\"2\",\"b\",\"yes\"\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/simple.csv.manifest"),
+      """{"id": "simple", "columns": ["id", "name", "glasses"]}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    rows(sink.read("simple").orderBy("id")) shouldBe
+      Seq(Seq(1, "a", "no"), Seq(2, "b", "yes"))
+
+    // manifest with wrong column order → exit 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/simple.csv.manifest"),
+      """{"id": "simple", "columns": ["name", "id", "glasses"]}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("incremental into a missing target creates it (tableExists guard)") {
     val (dir, sink) = mkJob(
       s"""{"tableId": "simple", "dbName": "fresh",
