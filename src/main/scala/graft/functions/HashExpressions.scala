@@ -127,6 +127,57 @@ object HashImpls {
     new GenericArrayData(order.toArray)
   }
 
+  /** Group index with the highest total of non-overlapping substring
+    * occurrences (the same count `length(s) - length(replace(s, p, ''))`
+    * yields, without one regex pass per pattern). Earlier group wins
+    * ties — the same semantics as a left fold with strict `>`. */
+  def argMaxSubstringGroup(text: org.apache.spark.unsafe.types.UTF8String,
+                           groups: Array[Array[String]]): Int = {
+    val s = text.toString
+    var best = 0
+    var bestScore = Long.MinValue
+    var g = 0
+    while (g < groups.length) {
+      val pats = groups(g)
+      var score = 0L
+      var p = 0
+      while (p < pats.length) {
+        val pat = pats(p)
+        var idx = s.indexOf(pat)
+        while (idx >= 0) { score += 1; idx = s.indexOf(pat, idx + pat.length) }
+        p += 1
+      }
+      if (score > bestScore) { best = g; bestScore = score }
+      g += 1
+    }
+    best
+  }
+
+  /** Set index with the most token-membership hits; earlier set wins
+    * ties. */
+  def argMaxTokenSetGroup(tokens: ArrayData,
+                          sets: Array[java.util.HashSet[String]]): Int = {
+    val counts = new Array[Long](sets.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(t)) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < sets.length) {
+      if (counts(j) > counts(best)) best = j
+      j += 1
+    }
+    best
+  }
+
   /** Cosine similarity of two double vectors; accumulation order matches
     * a sequential left fold (bit-identical with the DuckDB oracle's
     * `list_reduce`). */
@@ -215,6 +266,47 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** Index of the group with the highest substring-occurrence sum in the
+  * input string (earliest group wins ties) — one pass per pattern with
+  * indexOf instead of a regexp_replace per (group, pattern). */
+case class ArgMaxSubstringGroup(child: Expression, groups: Array[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.argMaxSubstringGroup(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], groups)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("groups", groups, "java.lang.String[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.argMaxSubstringGroup($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxSubstringGroup =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_substring_group"
+}
+
+/** Index of the token set with the most member hits in the token array
+  * (earliest set wins ties). */
+case class ArgMaxTokenSetGroup(child: Expression, sets: Array[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val hashSets: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val hs = new java.util.HashSet[String]()
+      s.foreach(hs.add); hs
+    }
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.argMaxTokenSetGroup(input.asInstanceOf[ArrayData], hashSets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sets", hashSets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.argMaxTokenSetGroup($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArgMaxTokenSetGroup =
+    copy(child = newChild)
+  override def prettyName: String = "argmax_token_set_group"
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -249,4 +341,10 @@ object HashFunctions {
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =
     GraftBridge.column(NearestCentroids(expr(vecDouble), centroids, nProbe))
+
+  def argMaxSubstringGroup(text: Column, groups: Array[Array[String]]): Column =
+    GraftBridge.column(ArgMaxSubstringGroup(expr(text), groups))
+
+  def argMaxTokenSetGroup(tokens: Column, sets: Array[Array[String]]): Column =
+    GraftBridge.column(ArgMaxTokenSetGroup(expr(tokens), sets))
 }

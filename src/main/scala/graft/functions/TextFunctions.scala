@@ -74,20 +74,14 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "you", "zai", "ta"))
 
   /** Language-ID: per-language stopword hit count; argmax, ties broken
-    * by alphabetical language order (the fold keeps the earlier lang on
-    * ties because later langs must strictly exceed). */
+    * by alphabetical language order (earlier lang wins — later langs
+    * must strictly exceed). Native expression
+    * ([[ArgMaxTokenSetGroup]]): one token pass over five hash sets
+    * instead of five filter/array_contains traversals per row. */
   def langId(text: Column): Column = {
-    val ts = tokens(text)
-    def score(words: Seq[String]): Column = {
-      val sw = array(words.map(lit): _*)
-      size(filter(ts, t => array_contains(sw, t)))
-    }
-    val scored = langStopwords.map { case (lang, words) => (lang, score(words)) }
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, s)) =>
-        (when(s > bestScore, lit(lang)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }._1
+    val idx = graft.functions.HashFunctions.argMaxTokenSetGroup(
+      tokens(text), langStopwords.map(_._2.toArray).toArray)
+    element_at(array(langStopwords.map(l => lit(l._1)): _*), idx + 1)
   }
 
   /** Per-language character-trigram profiles for the n-gram language-ID
@@ -99,22 +93,16 @@ object TextFunctions {
     "fr" -> Seq("les", "ent", "des", "eur", "ait", "une", "our", "eau"),
     "zh" -> Seq("shi", "zhe", "ang", "eng", "ian", "uan", "hao", "men"))
 
-  /** Character-n-gram language ID: per language, total occurrence count
-    * of its profile trigrams in the lowercased text; argmax with
-    * alphabetical tie-break. Occurrences are counted by length delta
-    * under replace — pure string primitives, mirrored 1:1 in SQL. */
+  /** Character-n-gram language ID: per language, total non-overlapping
+    * occurrence count of its profile trigrams in the lowercased text;
+    * argmax with alphabetical tie-break. Native expression
+    * ([[ArgMaxSubstringGroup]]): indexOf scans instead of one
+    * regexp_replace pass per (language, trigram) — the replace-delta
+    * SQL formulation stays the oracle mirror (same counts). */
   def langIdNgram(text: Column): Column = {
-    val lowered = lower(text)
-    def score(trigrams: Seq[String]): Column =
-      trigrams.map(t =>
-        (length(lowered) - length(regexp_replace(lowered, java.util.regex.Pattern.quote(t), ""))) / 3)
-        .reduce(_ + _)
-    val scored = langTrigrams.map { case (lang, tg) => (lang, score(tg)) }
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, s)) =>
-        (when(s > bestScore, lit(lang)).otherwise(bestLang),
-          when(s > bestScore, s).otherwise(bestScore))
-    }._1
+    val idx = graft.functions.HashFunctions.argMaxSubstringGroup(
+      lower(text), langTrigrams.map(_._2.toArray).toArray)
+    element_at(array(langTrigrams.map(l => lit(l._1)): _*), idx + 1)
   }
 
   /** Stable document fingerprint (md5 hex — identical in every engine). */
