@@ -127,6 +127,31 @@ object HashImpls {
     new GenericArrayData(order.toArray)
   }
 
+  /** Tokens = maximal runs of [a-z0-9] bytes (callers lowercase first).
+    * Byte-level scan is exact for UTF-8: multibyte sequences are all
+    * ≥ 0x80 and can never match [a-z0-9], so they delimit — identical
+    * output to `filter(split(lowered, "[^a-z0-9]+"), _ != "")`. */
+  def tokenSplit(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      val isTok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (isTok) {
+        var j = i + 1
+        while (j < n && {
+          val c = bytes(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, i, j - i))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Group index with the highest total of non-overlapping substring
     * occurrences (the same count `length(s) - length(replace(s, p, ''))`
     * yields, without one regex pass per pattern). Earlier group wins
@@ -266,6 +291,18 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+case class TokenSplit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.tokenSplit(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.tokenSplit($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenSplit =
+    copy(child = newChild)
+  override def prettyName: String = "token_split"
+}
+
 /** Index of the group with the highest substring-occurrence sum in the
   * input string (earliest group wins ties) — one pass per pattern with
   * indexOf instead of a regexp_replace per (group, pattern). */
@@ -341,6 +378,9 @@ object HashFunctions {
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =
     GraftBridge.column(NearestCentroids(expr(vecDouble), centroids, nProbe))
+
+  def tokenSplit(loweredText: Column): Column =
+    GraftBridge.column(TokenSplit(expr(loweredText)))
 
   def argMaxSubstringGroup(text: Column, groups: Array[Array[String]]): Column =
     GraftBridge.column(ArgMaxSubstringGroup(expr(text), groups))

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric tokens, empties dropped. The same regex is
-    * mirrored in the DuckDB oracles (`[^a-z0-9]+`). */
+  /** Lowercased alphanumeric tokens, empties dropped. Native expression
+    * ([[graft.functions.TokenSplit]], a byte-run scan) — exact match
+    * for the regex the DuckDB oracles mirror (`[^a-z0-9]+` split with
+    * empties filtered). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    graft.functions.HashFunctions.tokenSplit(lower(text))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
