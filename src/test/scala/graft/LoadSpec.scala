@@ -62,6 +62,14 @@ class LoadSpec extends SparkSpec {
     got shouldBe Seq(Seq(1, 20L, "new"), Seq(2, 5L, "only"))
   }
 
+  test("null PKs never match (SQL join semantics, like Redshift's UPDATE join)") {
+    val t = Seq((Some(1), "t1"), (None, "t-null")).toDF("id", "v")
+    val s = Seq((Some(1), "s1"), (None, "s-null")).toDF("id", "v")
+    val got = rows(Load.upsert(t, s, Seq("id")).orderBy("v"))
+    // null-keyed rows on both sides survive: null = null is not a match
+    got.map(_(1)) shouldBe Seq("s-null", "s1", "t-null")
+  }
+
   // Seeded randomized law checks: unique PKs per side (the operator
   // contract; dup-PK staging is the reference's documented
   // nondeterminism, fixed by dedupLastWins).
