@@ -122,6 +122,13 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Single-pass column profiler (nulls / exact distinct / min / max
+    // for every column in ONE aggregation over the data).
+    "profile_orders" -> ((s, dir) =>
+      graft.operators.Maintenance.profile(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate"))
+        .orderBy(col("column"))),
+
     // P1/P2/P6 — projection + rename + varchar-truncate + lenient cast.
     "project_cast_truncate" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -177,6 +184,21 @@ object RelationalQueries {
         |                            ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "profile_orders" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+      s"""SELECT * FROM (
+         |${one("o_orderkey")}
+         |UNION ALL
+         |${one("o_orderstatus")}
+         |UNION ALL
+         |${one("o_orderdate")})
+         |ORDER BY "column"""".stripMargin
+    },
     "project_cast_truncate" ->
       """SELECT event_id, event_type AS etype,
         |       substring(props, 1, 8) AS props_trunc,

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Maintenance
+import java.nio.file.Files
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactParquet merges many small files into few, preserving rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(50).write.parquet(dir) // 50 tiny files
+    def parquetFiles = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+    parquetFiles shouldBe 50
+
+    Maintenance.compactParquet(spark, dir, targetFileBytes = 10L * 1024 * 1024)
+    parquetFiles shouldBe 1
+    spark.read.parquet(dir).count() shouldBe 10000
+    spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id"))
+      .collect().head.getLong(0) shouldBe (1L to 10000L).sum
+  }
+
+  test("profile computes per-column stats in one aggregation pass") {
+    val df = Seq((1, Some("a")), (2, None), (2, Some("c")))
+      .toDF("id", "s")
+    val got = rows(Maintenance.profile(df).orderBy("column"))
+    got shouldBe Seq(
+      Seq("id", 3L, 0L, 2L, "1", "2"),
+      Seq("s", 3L, 1L, 2L, "a", "c"))
+    // one aggregate over the data — not one scan per column
+    val scans = Maintenance.profile(df).queryExecution.optimizedPlan
+      .collectLeaves().length
+    scans shouldBe 1
+  }
+}
