@@ -86,6 +86,8 @@ final class JdbcSink(spark: SparkSession, url: String,
       .mode("overwrite").save()
 
   def listTables(): Seq[String] =
-    throw new UnsupportedOperationException(
-      "listTables over JDBC requires catalog queries; use information_schema")
+    reader.option("query",
+        "SELECT table_name FROM information_schema.tables " +
+          "WHERE table_type = 'BASE TABLE'")
+      .load().collect().map(_.getString(0)).sorted.toSeq
 }

@@ -95,6 +95,27 @@ object AnalyticsQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Pivot: per-user event-type counts as columns (explicit value list
+    // — no driver-side distinct scan to discover columns).
+    "pivot_event_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    // Rollup: order counts at (status, year), per-status, and grand
+    // total levels in one pass.
+    "rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          year(to_date(col("o_orderdate"))).as("o_year"))
+        .rollup(col("o_orderstatus"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_year").asc_nulls_first)),
+
     // TPC-H Q5-style: local-supplier revenue per nation in one region.
     // Six-table join — dims broadcast, lineitem⋈orders⋈supplier left to
     // AQE; only the final groupBy shuffles the big side.
@@ -231,6 +252,21 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('day', ts), event_type
         |ORDER BY day, event_type""".stripMargin,
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_year, COUNT(*) AS n_orders FROM (
+        |  SELECT o_orderstatus,
+        |         year(CAST(o_orderdate AS DATE)) AS o_year
+        |  FROM orders)
+        |GROUP BY ROLLUP (o_orderstatus, o_year)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))

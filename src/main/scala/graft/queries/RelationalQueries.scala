@@ -122,6 +122,29 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Semi-structured: parse the events.props JSON column with an
+    // explicit schema (from_json; no inference at scale) and extract.
+    "json_extract_props" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k").as("prop_k"))
+        .orderBy(col("event_id"))),
+
+    // JSON-lines source roundtrip (spark.read.json with declared
+    // schema), S1-style but for the JSON format.
+    "json_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_json_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(out)
+        .orderBy(col("doc_id"))
+    }),
+
     // Single-pass column profiler (nulls / exact distinct / min / max
     // for every column in ONE aggregation over the data).
     "profile_orders" -> ((s, dir) =>
@@ -184,6 +207,13 @@ object RelationalQueries {
         |                            ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "json_extract_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
     "profile_orders" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
