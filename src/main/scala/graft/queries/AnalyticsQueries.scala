@@ -95,6 +95,56 @@ object AnalyticsQueries {
         t(s, dir, "events"), "user_id", "ts", "event_id", "value")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Window frame: running revenue per customer in order-date order.
+    "running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // Set ops: customers active in 1995 but not 1996 (EXCEPT), and the
+    // 1995∩1996 overlap (INTERSECT), tagged and unioned.
+    "set_ops_customers" -> ((s, dir) => {
+      def active(yr: Int) = t(s, dir, "orders")
+        .filter(year(to_date(col("o_orderdate"))) === yr)
+        .select(col("o_custkey"))
+      val only95 = active(1995).except(active(1996))
+        .withColumn("segment", lit("only_1995"))
+      val both = active(1995).intersect(active(1996))
+        .withColumn("segment", lit("both"))
+      only95.unionByName(both).orderBy(col("segment"), col("o_custkey"))
+    }),
+
+    // Correlated EXISTS subquery — Catalyst decorrelates to a semi-join.
+    "exists_high_value" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      s.sql("""
+        SELECT c_custkey, c_name FROM graft_customer_v c
+        WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }),
+
+    // Scalar subquery: orders above the global average price.
+    "above_avg_orders" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_v2")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM graft_orders_v2
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5
+                              FROM graft_orders_v2)
+        ORDER BY o_orderkey""")
+    }),
+
     // Pivot: per-user event-type counts as columns (explicit value list
     // — no driver-side distinct scan to discover columns).
     "pivot_event_counts" -> ((s, dir) =>
@@ -252,6 +302,37 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY date_trunc('day', ts), event_type
         |ORDER BY day, event_type""".stripMargin,
+    "running_total" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "set_ops_customers" ->
+      """WITH a95 AS (SELECT o_custkey FROM orders
+        |             WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |     a96 AS (SELECT o_custkey FROM orders
+        |             WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+        |SELECT * FROM (
+        |  SELECT o_custkey, 'only_1995' AS segment
+        |  FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96)
+        |  UNION ALL
+        |  SELECT o_custkey, 'both' AS segment
+        |  FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a96))
+        |ORDER BY segment, o_custkey""".stripMargin,
+    "exists_high_value" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "above_avg_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "pivot_event_counts" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (event_type = 'click') AS click,
