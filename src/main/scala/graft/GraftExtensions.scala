@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleSet(args.head, intArg(args(1), "shingle_set n"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("token_split"),
+      new ExpressionInfo(classOf[TokenSplit].getName, "token_split"),
+      (args: Seq[Expression]) => TokenSplit(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))

@@ -17,6 +17,8 @@ class ExtensionsSpec extends SparkSpec {
     r.getSeq[Long](1).length shouldBe 4
     r.getSeq[String](2).toSeq shouldBe Seq("a b c", "b c d")
     r.getDouble(3) shouldBe 1.0 +- 1e-12
+    spark.sql("SELECT token_split(lower('Hello, World!')) AS t")
+      .collect().head.getSeq[String](0).toSeq shouldBe Seq("hello", "world")
   }
 
   test("SQL results agree with the Column API") {

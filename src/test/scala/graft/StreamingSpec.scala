@@ -86,6 +86,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: windowedStats over parquet files arriving in a dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE"
+    val batch1 = Seq(
+      (1L, ts(5), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch1.write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*")
+    val q = EventStreams.windowedStats(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // second file arrives; watermark pusher closes the first window
+      Seq((3L, ts(600), 2L, "view", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("file_win").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      got should contain((ts(0), "click", 2L))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     val tiers = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
