@@ -23,20 +23,24 @@ final class Engine(spark: SparkSession, sink: TableSink) {
   def writeTable(dataDir: String, table: TableConfig): Boolean = {
     if (!table.export) return false                 // P3
     if (table.items.isEmpty) return false           // P4 (RedshiftApplication.php:88-90)
-    val csvPath = s"$dataDir/in/tables/${table.tableId}.csv"
+    val csvPath = CsvIngest.normalizeScheme(s"$dataDir/in/tables/${table.tableId}.csv")
     // Sliced input (S3): `<tableId>.csv` is a DIRECTORY of headerless
     // slices, column list supplied by the manifest sidecar — mirrors
     // the reference's COPY…MANIFEST path (Writer/Redshift.php:83-112).
     // Single-file input: header row read for the order check (P5).
-    val sliced = new java.io.File(csvPath).isDirectory
+    // All path handling is Hadoop-Path-based (file://, s3a://, hdfs://
+    // — same code path), never java.io.File.
+    val hPath = new org.apache.hadoop.fs.Path(csvPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val sliced = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
     val raw = if (sliced) {
-      val manifest = s"$csvPath.manifest"
-      if (new java.io.File(manifest).exists())
-        ConfigParser.checkColumns(manifestColumns(manifest), table) // P5
-      val slices = Option(new java.io.File(csvPath).listFiles()).toSeq.flatten
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
-        .map(_.getPath).sorted
+      val manifest = new org.apache.hadoop.fs.Path(s"$csvPath.manifest")
+      if (fs.exists(manifest))
+        ConfigParser.checkColumns(manifestColumns(manifest.toString), table) // P5
+      val slices = fs.listStatus(hPath).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
       CsvIngest.readSlices(spark, slices, table)
     } else {
       ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
@@ -63,14 +67,18 @@ final class Engine(spark: SparkSession, sink: TableSink) {
   }
 
   /** Column list from a storage manifest sidecar `{id, columns:[…]}`
-    * (FIXTURES.md §6). */
+    * (FIXTURES.md §6). Scheme-agnostic (Hadoop filesystem). */
   private def manifestColumns(path: String): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(new java.io.File(path))
-    Option(root.get("columns")).toSeq.flatMap { cols =>
-      import scala.jdk.CollectionConverters._
-      cols.elements.asScala.map(_.asText).toSeq
-    }
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val in = hPath.getFileSystem(spark.sessionState.newHadoopConf()).open(hPath)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(in)
+      Option(root.get("columns")).toSeq.flatMap { cols =>
+        import scala.jdk.CollectionConverters._
+        cols.elements.asScala.map(_.asText).toSeq
+      }
+    } finally in.close()
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

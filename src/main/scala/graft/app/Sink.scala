@@ -64,9 +64,41 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
   * Writer/Redshift.php:44-77). Config surface only in this zero-egress
   * environment; write path mirrors ParquetSink semantics via
   * `.format("jdbc")` with `truncate` for overwrites.
+  *
+  * Failures are re-thrown with credentials scrubbed from the message —
+  * the JDBC layer loves echoing the connection URL (e.g. "No suitable
+  * driver found for jdbc:…password=…") — mirroring the reference's
+  * `str_replace($password, '*****', $message)`
+  * (Writer/Redshift.php:229-233). The scrubbed exception carries no
+  * cause: a cause chain would re-surface the raw driver message.
   */
 final class JdbcSink(spark: SparkSession, url: String,
                      props: Map[String, String]) extends TableSink {
+
+  /** Every secret value that could leak into a driver message: any
+    * password-named prop plus password/secret params inside the URL. */
+  private val secrets: Seq[String] = {
+    val fromProps = props.collect {
+      case (k, v) if k.toLowerCase.contains("password") => v
+    }.toSeq
+    val urlParam = "(?i)(?:password|secret[^=&;]*)=([^&;]+)".r
+    val fromUrl = urlParam.findAllMatchIn(url).map(_.group(1)).toSeq
+    (fromProps ++ fromUrl).filter(_.nonEmpty).distinct
+  }
+
+  private[graft] def scrub(msg: String): String =
+    secrets.foldLeft(Option(msg).getOrElse(""))(_.replace(_, "*****"))
+
+  /** Wrap a JDBC action; any failure resurfaces with secrets masked.
+    * Stays a RuntimeException (not UserException) so [[Retry]] still
+    * treats transient connection errors as retryable. */
+  private def guarded[T](f: => T): T =
+    try f catch {
+      case e: Exception =>
+        throw new RuntimeException(
+          s"${e.getClass.getSimpleName}: ${scrub(e.getMessage)}")
+    }
+
   private def reader = props.foldLeft(
     spark.read.format("jdbc").option("url", url)) {
     case (r, (k, v)) => r.option(k, v)
@@ -77,17 +109,17 @@ final class JdbcSink(spark: SparkSession, url: String,
     catch { case _: Exception => false }
 
   def read(name: String): DataFrame =
-    reader.option("dbtable", name).load()
+    guarded(reader.option("dbtable", name).load())
 
   def overwrite(df: DataFrame, name: String): Unit =
-    props.foldLeft(df.write.format("jdbc")
+    guarded(props.foldLeft(df.write.format("jdbc")
         .option("url", url).option("dbtable", name)
         .option("truncate", "true")) { case (w, (k, v)) => w.option(k, v) }
-      .mode("overwrite").save()
+      .mode("overwrite").save())
 
   def listTables(): Seq[String] =
-    reader.option("query",
+    guarded(reader.option("query",
         "SELECT table_name FROM information_schema.tables " +
           "WHERE table_type = 'BASE TABLE'")
-      .load().collect().map(_.getString(0)).sorted.toSeq
+      .load().collect().map(_.getString(0)).sorted.toSeq)
 }

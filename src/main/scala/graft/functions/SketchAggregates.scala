@@ -87,9 +87,14 @@ case class LinearCountSketch(
 
 object SketchFunctions {
   /** Approximate distinct count of `c` (any type — hashed with
-    * xxhash64 first) using a 2^bits linear-counting bitmap. */
-  def approxDistinct(c: Column, bits: Int = 14): Column =
+    * xxhash64 first) using a 2^bits linear-counting bitmap. NULLs are
+    * excluded, matching `count_distinct` (xxhash64 alone would fold a
+    * NULL into the seed hash and count it as one distinct value). */
+  def approxDistinct(c: Column, bits: Int = 14): Column = {
+    import org.apache.spark.sql.functions.when
     GraftBridge.column(
-      LinearCountSketch(GraftBridge.expression(xxhash64(c)), bits)
+      LinearCountSketch(
+        GraftBridge.expression(when(c.isNotNull, xxhash64(c))), bits)
         .toAggregateExpression())
+  }
 }

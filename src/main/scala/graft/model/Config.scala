@@ -30,6 +30,11 @@ final case class ColumnSpec(
   def varcharLength: Option[Int] =
     if (TypeMapper.isVarcharFamily(dataType)) size.flatMap(_.trim.toIntOption)
     else None
+
+  /** char-family columns blank-pad to their declared width (Redshift
+    * CHAR semantics; SURVEY §1 pad-truncate), unlike varchar-family
+    * which only truncates. */
+  def charFamily: Boolean = TypeMapper.isCharFamily(dataType)
 }
 
 /** SSH tunnel block — parsed for config parity (O8); the tunnel itself
@@ -91,7 +96,11 @@ object TypeMapper {
   private val varcharFamily =
     Set("varchar", "character varying", "nvarchar", "char", "character", "nchar", "bpchar")
 
+  private val charFamily = Set("char", "character", "nchar", "bpchar")
+
   def isVarcharFamily(t: String): Boolean = varcharFamily(t.toLowerCase)
+
+  def isCharFamily(t: String): Boolean = charFamily(t.toLowerCase)
 
   def isAllowed(t: String): Boolean = allowed(t.toLowerCase)
 

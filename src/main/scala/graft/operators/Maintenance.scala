@@ -37,16 +37,29 @@ object Maintenance {
   }
 
   /** Single-pass column profile: one output row per column with null
-    * count, exact distinct count, and min/max rendered as strings.
+    * count, distinct count, and min/max rendered as strings.
     * All columns' aggregates evaluate in ONE aggregation over the data
     * (no per-column scans); the per-column rows come from exploding
-    * the aggregated struct, not re-reading. */
-  def profile(df: DataFrame): DataFrame = {
+    * the aggregated struct, not re-reading.
+    *
+    * `approxDistinct=true` is the 100 TB default: exact
+    * `count_distinct` over N columns makes Spark Expand-multiply the
+    * scan N-fold (one duplicated stream per distinct aggregate); the
+    * [[graft.functions.LinearCountSketch]] keeps the plan Expand-free —
+    * a fixed 2^bits bitmap per column crosses the shuffle instead of
+    * the values. Exact stays available as the verification companion.
+    */
+  def profile(df: DataFrame, approxDistinct: Boolean = false,
+              sketchBits: Int = 16): DataFrame = {
     val total = count(lit(1)).as("__total")
     val perCol = df.columns.flatMap { c =>
+      val nd =
+        if (approxDistinct)
+          graft.functions.SketchFunctions.approxDistinct(col(c), sketchBits)
+        else count_distinct(col(c))
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__distinct_$c"),
+        nd.as(s"__distinct_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

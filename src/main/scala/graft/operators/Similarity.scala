@@ -115,19 +115,34 @@ object Similarity {
     * shuffles except the final per-query top-k on |Q| keys. Recall/cost
     * is tuned by (nCentroids, nProbe).
     */
+  /** Deterministic systematic centroid sample: every ⌈n/c⌉-th vector by
+    * id. Scale-shaped: one `count()` (no sort of the corpus), then the
+    * modulo filter reduces the frame to ≈nCentroids rows BEFORE any
+    * ordering — the orderBy+limit collapses to TakeOrderedAndProject
+    * (per-partition top-k, driver merge), never a global sort/exchange
+    * of the 100 TB side. Pinned by a ScaleSpec plan assertion. */
+  def systematicCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                          nCentroids: Int): Array[Array[Double]] = {
+    val n = corpus.count()
+    val step = math.max(1L, n / nCentroids)
+    centroidCandidates(corpus, idCol, vecCol, step, nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+  }
+
+  /** The pre-collect centroid plan, exposed so specs can assert its
+    * shape (filter pushed below the ordering; TakeOrderedAndProject). */
+  def centroidCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                         step: Long, nCentroids: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .filter(col("cid") % step === 0)
+      .orderBy(col("cid")).limit(nCentroids)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    // deterministic systematic sample as centroids
-    val ordered = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(col("cid"))
-    val n = ordered.count()
-    val step = math.max(1L, n / nCentroids)
-    val centroids = ordered.filter(col("cid") % step === 0)
-      .orderBy(col("cid")).limit(nCentroids)
-      .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val centroids = systematicCentroids(corpus, idCol, vecCol, nCentroids)
     val c = corpus.withColumn("centroid",
       element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
     val q = queries.withColumn("centroid",

@@ -116,13 +116,19 @@ object PipelineQueries {
     }),
 
     // mapPartitions decode pipeline (stub codec): one row per sampled
-    // frame with a fixed-dim feature vector. Rows-only check (the fake
-    // features aren't SQL-expressible); the plumbing is spec-tested.
+    // frame. Rows-only check (the fake features aren't SQL-expressible);
+    // the plumbing is spec-tested. The feature vector is emitted as a
+    // driver-comparable scalar signature (the harness can't sort/hash an
+    // array<float> column) — fixed-point longs joined into one string.
     "media_frame_features" -> ((s, dir) =>
       graft.operators.Multimodal.frameFeatures(
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("media")),
         "doc_id", "media", maxFrames = 4, dim = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * 1000000d).cast("long")))
+            .as("feat_sig"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ---- multimodal plumbing ----------------------------------------

@@ -107,7 +107,8 @@ object RelationalQueries {
         .filter(col("o_orderkey") % 11 === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
-        .coalesce(1)
+        // multi-file write: the reader takes the directory, so nothing
+        // needs the single-task coalesce(1) serialization point
         .write.mode("overwrite")
         .options(Map("header" -> "true", "quoteAll" -> "true",
           "nullValue" -> "NULL"))
@@ -119,6 +120,10 @@ object RelationalQueries {
         ColumnSpec("o_totalprice", "o_totalprice", "decimal", Some("12,2"))))
       graft.sources.CsvIngest.castAndProject(
           graft.sources.CsvIngest.read(s, out, cfg), cfg)
+        // determinism rule §10-13: final DECIMAL cast to DOUBLE on both
+        // sides — the driver's value representation of DECIMAL differs
+        // between Spark parquet and DuckDB.
+        .withColumn("o_totalprice", col("o_totalprice").cast("double"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -140,7 +145,7 @@ object RelationalQueries {
       Tables(s, dir, "documents")
         .filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("lang"), col("text"))
-        .coalesce(1).write.mode("overwrite").json(out)
+        .write.mode("overwrite").json(out)
       s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(out)
         .orderBy(col("doc_id"))
     }),
@@ -152,13 +157,36 @@ object RelationalQueries {
         t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate"))
         .orderBy(col("column"))),
 
+    // The 100 TB profile: sketch-based distinct keeps the plan free of
+    // the Expand multiply (rows-only gate; ≤5% error pinned by
+    // MaintenanceSpec against the exact twin).
+    "profile_orders_approx" -> ((s, dir) =>
+      graft.operators.Maintenance.profile(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        approxDistinct = true)
+        .orderBy(col("column"))),
+
+    // char(n) blank-pad semantics (SURVEY §1 pad-truncate) through the
+    // real ingest expression, oracle-matched against DuckDB's rpad.
+    "char_pad_cast" -> ((s, dir) => {
+      import graft.model.{ColumnSpec, TableConfig}
+      val cfg = TableConfig("events", "events", items = Seq(
+        ColumnSpec("event_id", "event_id", "bigint"),
+        ColumnSpec("event_type", "etype_char", "char", Some("10")),
+        ColumnSpec("props", "props_char", "char", Some("6"))))
+      graft.sources.CsvIngest.castAndProject(
+          t(s, dir, "events").select(col("event_id"),
+            col("event_type"), col("props")), cfg)
+        .orderBy(col("event_id"))
+    }),
+
     // P1/P2/P6 — projection + rename + varchar-truncate + lenient cast.
     "project_cast_truncate" -> ((s, dir) =>
       t(s, dir, "events").select(
         col("event_id"),
         col("event_type").as("etype"),
         substring(col("props"), 1, 8).as("props_trunc"),
-        col("value").cast("decimal(12,2)").as("value_dec"),
+        col("value").cast("decimal(12,2)").cast("double").as("value_dec"),
         to_date(col("ts")).as("event_date"))
         .orderBy(col("event_id"))))
 
@@ -197,7 +225,7 @@ object RelationalQueries {
          |ORDER BY o_orderkey, o_orderstatus""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 11 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "dedup_last_wins" ->
@@ -229,10 +257,15 @@ object RelationalQueries {
          |${one("o_orderdate")})
          |ORDER BY "column"""".stripMargin
     },
+    "char_pad_cast" ->
+      """SELECT event_id,
+        |       rpad(substring(event_type, 1, 10), 10, ' ') AS etype_char,
+        |       rpad(substring(props, 1, 6), 6, ' ') AS props_char
+        |FROM events ORDER BY event_id""".stripMargin,
     "project_cast_truncate" ->
       """SELECT event_id, event_type AS etype,
         |       substring(props, 1, 8) AS props_trunc,
-        |       CAST(value AS DECIMAL(12,2)) AS value_dec,
+        |       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_dec,
         |       CAST(ts AS DATE) AS event_date
         |FROM events ORDER BY event_id""".stripMargin)
 }

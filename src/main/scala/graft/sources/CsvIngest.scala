@@ -58,40 +58,72 @@ object CsvIngest {
     else reader(spark, header = false).schema(table.sourceSchema).csv(paths: _*)
 
   /** Parse a COPY-style JSON manifest `{"entries":[{"url": …}, …]}`
-    * into its file list (reference: Writer/Redshift.php:326-343). */
+    * into its file list (reference: Writer/Redshift.php:326-343).
+    *
+    * Scheme-agnostic: the manifest itself and the slice URLs it names
+    * may live on any Hadoop filesystem (`file://`, `s3a://`, `hdfs://`
+    * …) — resolution goes through `Path.getFileSystem`, never
+    * `java.io.File`, mirroring how the reference's COPY pulls straight
+    * from S3 (Writer/Redshift.php:92-114). */
   def manifestEntries(spark: SparkSession, manifestPath: String): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(new java.io.File(manifestPath))
-    Option(root.get("entries")).toSeq
-      .flatMap(_.elements.asScala.map(e => e.get("url").asText))
+    val path = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(in)
+      Option(root.get("entries")).toSeq
+        .flatMap(_.elements.asScala.map(e => e.get("url").asText))
+    } finally in.close()
   }
 
+  /** Map the reference's `s3://` manifest URLs onto Spark's Hadoop
+    * connector scheme (`s3a://`); every other scheme passes through. */
+  def normalizeScheme(url: String): String =
+    if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://") else url
+
   /** Typed projection: rename `name`→`dbName`, drop `ignore` columns,
-    * truncate varchar(n) (= TRUNCATECOLUMNS), lenient casts (garbage →
+    * truncate varchar(n) (= TRUNCATECOLUMNS), blank-pad char(n) to its
+    * declared width (Redshift CHAR semantics), lenient casts (garbage →
     * NULL, = ACCEPTANYDATE-style tolerance), apply declared defaults to
-    * missing values.
+    * unparsed values.
+    *
+    * DEFAULT semantics follow the reference's DDL
+    * (Writer/Redshift.php:141-145): the DB applies a default only when
+    * no usable value arrives — so it repairs values the cast rejects,
+    * but an explicit NULL (the CSV `NULL` literal) stays NULL; whether
+    * that NULL may load is the NOT NULL check's business
+    * ([[castAndProjectStrict]] / [[castAndProjectQuarantine]]).
     *
     * All of it is a single narrow `select` — no shuffle, fully
     * codegen'd, and Catalyst prunes the ignored columns out of the scan.
     */
   def castAndProject(df: DataFrame, table: TableConfig): DataFrame = {
-    val cols = table.activeItems.map { c =>
-      val src = quoted(c.name)
-      val truncated = c.varcharLength match {
-        case Some(n) => s"substring($src, 1, $n)"
-        case None    => src
-      }
-      val casted = expr(s"try_cast($truncated as ${c.sparkType.sql})")
-      val withDefault = c.default match {
-        case Some(d) if !c.dataType.equalsIgnoreCase("text") =>
-          // reference renders DEFAULT '<v>' for all types except TEXT
-          // (Writer/Redshift.php:142-145)
-          coalesce(casted, lit(d).cast(c.sparkType))
-        case _ => casted
-      }
-      withDefault.as(c.dbName)
-    }
+    val cols = table.activeItems.map(c => typedColumn(c).as(c.dbName))
     df.select(cols: _*)
+  }
+
+  /** The per-column ingest expression (truncate/pad → cast → default),
+    * shared by the lenient, strict, and quarantine paths. */
+  private def typedColumn(c: ColumnSpec): org.apache.spark.sql.Column = {
+    val src = quoted(c.name)
+    val shaped = c.varcharLength match {
+      // char-family blank-pads to the declared width (SURVEY §1
+      // pad-truncate); varchar-family only truncates
+      case Some(n) if c.charFamily => s"rpad(substring($src, 1, $n), $n, ' ')"
+      case Some(n)                 => s"substring($src, 1, $n)"
+      case None                    => src
+    }
+    val casted = expr(s"try_cast($shaped as ${c.sparkType.sql})")
+    c.default match {
+      case Some(d) if !c.dataType.equalsIgnoreCase("text") =>
+        // reference renders DEFAULT '<v>' for all types except TEXT
+        // (Writer/Redshift.php:142-145); applies only to unparsed
+        // values — explicit NULLs pass through unchanged
+        when(col(c.name).isNotNull && casted.isNull, lit(d).cast(c.sparkType))
+          .otherwise(casted)
+      case _ => casted
+    }
   }
 
   /** Backtick-quote an identifier for splicing into a SQL expression. */
@@ -112,32 +144,54 @@ object CsvIngest {
   def castAndProjectStrict(df: DataFrame, table: TableConfig,
                            header: Boolean = true): DataFrame = {
     val base = if (header) 2L else 1L // first data row's 1-based line
-    val withLine = zipWithLineNumbers(df, base)
-    val bad = table.activeItems
-      .filter(c => c.sparkType != StringType)
-      .map { c =>
-        val raw = col(c.name)
-        val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
-        (c, raw.isNotNull && casted.isNull)
+    // Per column, two offender predicates: (a) cast failure — raw value
+    // present but rejected by the typed cast; (b) NOT NULL violation —
+    // the effective (post-default) value is NULL on a nullable=false
+    // column (reference DDL renders NOT NULL, Redshift.php:141-145).
+    val checks: Seq[(ColumnSpec, org.apache.spark.sql.Column, String)] =
+      table.activeItems.flatMap { c =>
+        val castCheck =
+          if (c.sparkType == StringType) Nil
+          else {
+            val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
+            Seq((c, col(c.name).isNotNull && casted.isNull, "cast"))
+          }
+        val nnCheck =
+          if (c.nullable) Nil
+          else Seq((c, typedColumn(c).isNull, "notnull"))
+        castCheck ++ nnCheck
       }
-    bad.foldLeft(()) { case (_, (c, pred)) =>
-      val offenders = withLine.filter(pred).select(col("__line"), col(c.name))
-        .orderBy(col("__line")).limit(1).collect()
-      offenders.headOption.foreach { r =>
-        // message mirrors Redshift's stl_load_errors text that the
-        // reference surfaces verbatim (tests/Keboola/FunctionalTest.php:74-78)
-        val value = String.valueOf(r.get(1))
-        val reason = c.sparkType match {
-          case org.apache.spark.sql.types.DateType if value.length < 10 =>
-            "Invalid Date Format - length must be 10 or more"
-          case org.apache.spark.sql.types.DateType =>
-            s"Invalid date format - Invalid digit encountered"
-          case org.apache.spark.sql.types.TimestampType =>
-            "Invalid timestamp format or value out of range"
-          case t => s"Invalid digit, Value '$value', type ${t.simpleString}"
+    if (checks.nonEmpty) {
+      // ONE aggregation job over ONE pass: per check, the min (line,
+      // value) struct among its offenders — min on a struct orders by
+      // line first, so each slot holds that check's earliest offender.
+      // Column priority (declared order) is then resolved driver-side.
+      val withLine = zipWithLineNumbers(df, base)
+      val aggs = checks.zipWithIndex.map { case ((c, pred, _), i) =>
+        min(when(pred, struct(col("__line").as("line"),
+          col(c.name).cast(StringType).as("value")))).as(s"__c$i")
+      }
+      val firsts = withLine.agg(aggs.head, aggs.tail: _*).collect().head
+      checks.zipWithIndex.foreach { case ((c, _, kind), i) =>
+        if (!firsts.isNullAt(i)) {
+          val off = firsts.getStruct(i)
+          val line = off.getLong(0)
+          val value = String.valueOf(off.get(1))
+          // message mirrors Redshift's stl_load_errors text that the
+          // reference surfaces verbatim (tests/Keboola/FunctionalTest.php:74-78)
+          val reason =
+            if (kind == "notnull") "Missing data for not-null field"
+            else c.sparkType match {
+              case org.apache.spark.sql.types.DateType if value.length < 10 =>
+                "Invalid Date Format - length must be 10 or more"
+              case org.apache.spark.sql.types.DateType =>
+                s"Invalid date format - Invalid digit encountered"
+              case org.apache.spark.sql.types.TimestampType =>
+                "Invalid timestamp format or value out of range"
+              case t => s"Invalid digit, Value '$value', type ${t.simpleString}"
+            }
+          throw new UserException(s"Column '${c.dbName}', line $line: $reason")
         }
-        throw new UserException(
-          s"Column '${c.dbName}', line ${r.getLong(0)}: $reason")
       }
     }
     castAndProject(df, table)
@@ -151,12 +205,20 @@ object CsvIngest {
     * bad rows land in a quarantine sink for reprocessing.
     */
   def castAndProjectQuarantine(df: DataFrame, table: TableConfig): (DataFrame, DataFrame) = {
-    val checks = table.activeItems
-      .filter(c => c.sparkType != StringType)
-      .map { c =>
-        val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
-        (col(c.name).isNotNull && casted.isNull, c.dbName)
-      }
+    val checks = table.activeItems.flatMap { c =>
+      val castCheck =
+        if (c.sparkType == StringType) Nil
+        else {
+          val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
+          Seq((col(c.name).isNotNull && casted.isNull, c.dbName))
+        }
+      // NOT NULL violations quarantine too (reference DDL renders
+      // NOT NULL so the DB rejects the row; Redshift.php:141-145)
+      val nnCheck =
+        if (c.nullable) Nil
+        else Seq((typedColumn(c).isNull, s"${c.dbName}:notnull"))
+      castCheck ++ nnCheck
+    }
     val errs = array_compact(array(checks.map { case (pred, name) =>
       when(pred, lit(name)).otherwise(lit(null).cast("string"))
     }: _*))

@@ -146,6 +146,30 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("JdbcSink scrubs credentials from failure messages") {
+    import graft.app.JdbcSink
+    // no JDBC driver on the classpath → every action fails with a
+    // message that embeds the URL ("No suitable driver found for …")
+    val url = "jdbc:postgresql://host:5439/db?user=writer&password=s3cr3tPW"
+    val sink = new JdbcSink(spark, url, Map("password" -> "s3cr3tPW"))
+    val e = intercept[RuntimeException] { sink.read("t").collect() }
+    e.getMessage should not include "s3cr3tPW"
+    val e2 = intercept[RuntimeException] {
+      import spark.implicits._
+      sink.overwrite(Seq((1, "a")).toDF("id", "v"), "t")
+    }
+    e2.getMessage should not include "s3cr3tPW"
+    // cause chain must not resurface the raw message either
+    e.getCause shouldBe null
+    // the masking itself, on a driver message that echoes the URL
+    // (e.g. "No suitable driver found for jdbc:…password=…")
+    sink.scrub(s"No suitable driver found for $url") shouldBe
+      "No suitable driver found for " +
+        "jdbc:postgresql://host:5439/db?user=writer&password=*****"
+    sink.scrub("auth failed for password 's3cr3tPW'") shouldBe
+      "auth failed for password '*****'"
+  }
+
   test("incremental into a missing target creates it (tableExists guard)") {
     val (dir, sink) = mkJob(
       s"""{"tableId": "simple", "dbName": "fresh",

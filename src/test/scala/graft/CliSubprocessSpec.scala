@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Subprocess-level e2e for the exit-code protocol: forks the real CLI
+  * as a child JVM and asserts exit codes, stdout JSON, and stderr
+  * text — the analog of the reference's `(new Process('php run.php
+  * --data=…'))->run()` suite (tests/Keboola/BaseFunctionalTest.php:96-103),
+  * which in-process `Main.execute` tests can't cover (`sys.exit`
+  * wiring, stdout/stderr separation).
+  */
+class CliSubprocessSpec extends AnyFunSuite with Matchers {
+
+  /** JDK17 module opens Spark needs outside spark-submit — mirrors
+    * build.sbt / org.apache.spark.launcher.JavaModuleOptions. */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private case class RunResult(code: Int, stdout: String, stderr: String)
+
+  /** Fork `graft.app.Main --data=dataDir` with this JVM's classpath
+    * (sbt forks tests, so java.class.path is the full test classpath). */
+  private def runCli(dataDir: String): RunResult = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.app.Main", s"--data=$dataDir")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", "2") // small local session
+    val p = pb.start()
+    // drain stderr concurrently — Spark logs there, and a full pipe
+    // buffer would deadlock a sequential read of stdout-then-stderr
+    val errRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val drainer = new Thread(() =>
+      errRef.set(new String(p.getErrorStream.readAllBytes(), "UTF-8")))
+    drainer.setDaemon(true)
+    drainer.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    // reference gives a subprocess 300 s (BaseFunctionalTest.php:99)
+    p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    drainer.join(10000)
+    RunResult(p.exitValue(), out, errRef.get())
+  }
+
+  private val simpleItems =
+    """"items": [
+      |  {"name": "id", "dbName": "id", "type": "int"},
+      |  {"name": "name", "dbName": "name", "type": "nvarchar", "size": "255"}
+      |]""".stripMargin
+
+  private def mkDataDir(config: String, csv: Option[String]): String = {
+    val dir = Files.createTempDirectory("graft-cli").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/tables"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"), config)
+    csv.foreach(c => Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/tables/simple.csv"), c))
+    dir
+  }
+
+  test("happy path: exit 0, status JSON on stdout, nothing fatal on stderr") {
+    val dir = mkDataDir(
+      s"""{"parameters": {"tables": [
+         |  {"tableId": "simple", "dbName": "simple", $simpleItems}]}}""".stripMargin,
+      Some("\"id\",\"name\"\n\"1\",\"a\"\n\"2\",\"b\"\n"))
+    val r = runCli(dir)
+    withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    r.stdout.trim should include(""""status":"success"""")
+    r.stdout.trim should include(""""uploaded":["simple"]""")
+  }
+
+  test("column-order mismatch: exit 1, message on stderr, no stdout JSON") {
+    val dir = mkDataDir(
+      s"""{"parameters": {"tables": [
+         |  {"tableId": "simple", "dbName": "simple", $simpleItems}]}}""".stripMargin,
+      Some("\"name\",\"id\"\n\"a\",\"1\"\n"))
+    val r = runCli(dir)
+    r.code shouldBe 1
+    r.stderr should include("don't match with input mapping")
+    r.stdout should not include """"status":"success""""
+  }
+
+  test("bad column type: exit 1 with the unsupported-type message") {
+    val dir = mkDataDir(
+      """{"parameters": {"tables": [
+        |  {"tableId": "simple", "dbName": "simple", "items": [
+        |    {"name": "id", "dbName": "id", "type": "geometry"}]}]}}""".stripMargin,
+      Some("\"id\"\n\"1\"\n"))
+    val r = runCli(dir)
+    r.code shouldBe 1
+    r.stderr should include("Type 'geometry' of column 'id' is not supported")
+  }
+
+  test("unknown action: exit 1 with the reference's message") {
+    val dir = mkDataDir("""{"action": "bogus", "parameters": {}}""", None)
+    val r = runCli(dir)
+    r.code shouldBe 1
+    r.stderr should include("Action 'bogus' does not exist.")
+  }
+}

@@ -85,12 +85,105 @@ class CsvIngestSpec extends SparkSpec {
       ColumnSpec("prize", "prize", "decimal", Some("10,2"), default = Some("0")),
       ColumnSpec("note", "note", "text", default = Some("dropped-for-text"))))
     val df = Seq(("1", "abcdef", "shh", "299.9", null: String),
-      ("2", "xy", "shh", null: String, null: String))
+      ("2", "xy", "shh", null: String, null: String),
+      ("3", "zz", "shh", "not-a-number", null: String))
       .toDF("id", "name", "secret", "prize", "note")
     val got = rows(CsvIngest.castAndProject(df, t).orderBy("pk"))
     got.head shouldBe Seq(1, "abc", new java.math.BigDecimal("299.90"), null)
-    // default applied for non-text; TEXT default discarded (Redshift.php:142-145)
-    got(1) shouldBe Seq(2, "xy", new java.math.BigDecimal("0.00"), null)
+    // explicit NULL stays NULL — DEFAULT only fires when no usable
+    // value arrives, matching the reference's DB-side DDL semantics
+    // (Redshift.php:141-145); TEXT default discarded (:142-145)
+    got(1) shouldBe Seq(2, "xy", null, null)
+    // unparsed value → repaired by the declared default
+    got(2) shouldBe Seq(3, "zz", new java.math.BigDecimal("0.00"), null)
+  }
+
+  test("char(n) blank-pads to width; varchar only truncates") {
+    import spark.implicits._
+    val t = TableConfig("t", "t", items = Seq(
+      ColumnSpec("id", "id", "int"),
+      ColumnSpec("code", "code", "char", Some("5")),
+      ColumnSpec("name", "name", "varchar", Some("5"))))
+    val df = Seq(("1", "ab", "ab"), ("2", "abcdefgh", "abcdefgh"),
+      ("3", null: String, null: String)).toDF("id", "code", "name")
+    val got = rows(CsvIngest.castAndProject(df, t).orderBy("id"))
+    got shouldBe Seq(
+      Seq(1, "ab   ", "ab"),       // char pads, varchar doesn't
+      Seq(2, "abcde", "abcde"),    // both truncate past the width
+      Seq(3, null, null))          // NULL stays NULL, no padding
+  }
+
+  test("strict mode enforces NOT NULL with the stl_load_errors message") {
+    import spark.implicits._
+    val t = TableConfig("t", "t", items = Seq(
+      ColumnSpec("id", "id", "int", nullable = false),
+      ColumnSpec("name", "name", "varchar", Some("10"))))
+    val df = Seq(("1", "a"), (null: String, "b"), ("3", null: String))
+      .toDF("id", "name")
+    val e = intercept[UserException] {
+      CsvIngest.castAndProjectStrict(df, t)
+    }
+    e.getMessage shouldBe
+      "Column 'id', line 3: Missing data for not-null field"
+  }
+
+  test("strict validation runs a bounded number of jobs regardless of column count") {
+    import spark.implicits._
+    // 4 typed columns + NOT NULL — the old implementation ran one job
+    // per check; the fold into a single aggregation must keep the job
+    // count flat (zipWithIndex offsets + one agg)
+    val t = TableConfig("w", "w", items = Seq(
+      ColumnSpec("a", "a", "int", nullable = false),
+      ColumnSpec("b", "b", "int"),
+      ColumnSpec("c", "c", "date"),
+      ColumnSpec("d", "d", "decimal", Some("10,2")),
+      ColumnSpec("e", "e", "timestamp")))
+    val df = Seq(("1", "2", "2020-01-01", "1.5", "nope"))
+      .toDF("a", "b", "c", "d", "e")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      intercept[UserException] { CsvIngest.castAndProjectStrict(df, t) }
+      Thread.sleep(1000) // listener events are delivered asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // zipWithIndex offsets + the one aggregation (≤2 jobs under AQE);
+    // the old per-column loop ran 5+ here
+    counter.get() should be <= 3
+  }
+
+  test("quarantine tags NOT NULL violations") {
+    import spark.implicits._
+    val t = TableConfig("q", "q", items = Seq(
+      ColumnSpec("id", "id", "int", nullable = false),
+      ColumnSpec("v", "v", "varchar", Some("10"))))
+    val df = Seq(("1", "a"), (null: String, "b")).toDF("id", "v")
+    val (clean, quarantined) = CsvIngest.castAndProjectQuarantine(df, t)
+    rows(clean).map(_.head) shouldBe Seq(1)
+    val bad = quarantined.collect()
+    bad.length shouldBe 1
+    bad.head.getSeq[String](2).toSeq shouldBe Seq("id:notnull")
+  }
+
+  test("s3 scheme paths are accepted and normalized to s3a (no egress)") {
+    CsvIngest.normalizeScheme("s3://bucket/key/slice.csv.gz") shouldBe
+      "s3a://bucket/key/slice.csv.gz"
+    CsvIngest.normalizeScheme("/local/path.csv") shouldBe "/local/path.csv"
+    CsvIngest.normalizeScheme("hdfs://nn/path.csv") shouldBe "hdfs://nn/path.csv"
+    // Hadoop Path parsing accepts the remote scheme without touching it
+    val p = new org.apache.hadoop.fs.Path("s3a://bucket/in/tables/t.csv")
+    p.toUri.getScheme shouldBe "s3a"
+    p.getName shouldBe "t.csv"
+    // manifests may name s3 slices; the URLs pass through verbatim
+    val m = Files.createTempFile("graft-manifest-s3", ".json")
+    Files.writeString(m,
+      """{"entries":[{"url":"s3://b/slice.0000.csv.gz"}]}""")
+    CsvIngest.manifestEntries(spark, m.toString)
+      .map(CsvIngest.normalizeScheme) shouldBe Seq("s3a://b/slice.0000.csv.gz")
   }
 
   test("strict mode reports 'Column x, line N' like stl_load_errors (O5)") {

@@ -33,4 +33,25 @@ class MaintenanceSpec extends SparkSpec {
       .collectLeaves().length
     scans shouldBe 1
   }
+
+  test("approxDistinct profile: one Expand-free scan, <=5% error vs exact") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val approx = Maintenance.profile(orders, approxDistinct = true)
+    // still exactly one scan…
+    approx.queryExecution.optimizedPlan.collectLeaves().length shouldBe 1
+    // …and no Expand: exact multi-column count_distinct multiplies the
+    // scan per column; the sketch keeps the plan flat
+    approx.queryExecution.executedPlan.toString should not include "Expand"
+    Maintenance.profile(orders).queryExecution.executedPlan.toString should
+      include("Expand")
+
+    val exactByCol = rows(Maintenance.profile(orders).orderBy("column"))
+      .map(r => r.head -> r(3).asInstanceOf[Long]).toMap
+    rows(approx.orderBy("column")).foreach { r =>
+      val (c, est) = (r.head, r(3).asInstanceOf[Long])
+      val exact = exactByCol(c)
+      math.abs(est - exact).toDouble should be <= math.max(1.0, 0.05 * exact)
+    }
+  }
 }

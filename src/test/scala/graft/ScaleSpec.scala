@@ -111,6 +111,21 @@ class ScaleSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("plan shape: IVF centroid sampling never sorts the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cand = graft.operators.Similarity.centroidCandidates(
+      emb, "vec_id", "embedding", step = 10L, nCentroids = 16)
+    val explained = cand.queryExecution.executedPlan.toString
+    // the ordering collapses to per-partition top-k + driver merge:
+    // no global Sort, no range-partitioning Exchange above the scan
+    explained should include("TakeOrderedAndProject")
+    explained should not include "rangepartitioning"
+    explained.linesIterator.exists(_.trim.startsWith("+- Sort")) shouldBe false
+    // and the modulo filter sits below the ordering (filters candidates
+    // BEFORE the top-k, so the ordered set is ≈nCentroids, not |corpus|)
+    explained should include("Filter")
+  }
+
   test("plan shape: LSH candidate shuffles carry no shingle arrays") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes its stages (and exchanges)
