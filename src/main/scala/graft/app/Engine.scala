@@ -46,7 +46,12 @@ final class Engine(spark: SparkSession, sink: TableSink) {
       ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
       CsvIngest.read(spark, csvPath, table)
     }
-    val staged = CsvIngest.castAndProject(raw, table)
+    // Strict ingest = COPY semantics: a value the declared type rejects
+    // (or a NULL in a NOT NULL column) aborts the load as a UserException
+    // "Column 'x', line N: …" — the reference surfaces stl_load_errors
+    // this way and its e2e asserts it (tests/Keboola/FunctionalTest.php:74-78).
+    // One extra aggregation job over the scan; the projection stays narrow.
+    val staged = CsvIngest.castAndProjectStrict(raw, table, header = !sliced)
     if (table.incremental) {
       // O3: staging → (create target if missing) → upsert → drop staging.
       // The staging table materializes implicitly as `staged`'s plan; the

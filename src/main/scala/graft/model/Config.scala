@@ -125,7 +125,13 @@ object TypeMapper {
       case v if varcharFamily(v)                  => StringType // length enforced by truncate on ingest
       case "text"                                 => StringType
       case "date"                                 => DateType
-      case "timestamp" | "timestamp without timezone" => TimestampType // session TZ pinned UTC
+      // Redshift's TIMESTAMP has no zone. The explicit spelling maps to
+      // Spark's faithful TimestampNTZType (tz-independent); the bare
+      // `timestamp` keeps TimestampType with the session TZ pinned UTC
+      // (value-equivalent under the pin, and what parquet consumers of
+      // the existing layout expect).
+      case "timestamp without timezone"           => TimestampNTZType
+      case "timestamp"                            => TimestampType
       case other =>
         throw new IllegalArgumentException(s"Type '$other' is not supported")
     }

@@ -186,7 +186,8 @@ object CsvIngest {
                 "Invalid Date Format - length must be 10 or more"
               case org.apache.spark.sql.types.DateType =>
                 s"Invalid date format - Invalid digit encountered"
-              case org.apache.spark.sql.types.TimestampType =>
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
                 "Invalid timestamp format or value out of range"
               case t => s"Invalid digit, Value '$value', type ${t.simpleString}"
             }

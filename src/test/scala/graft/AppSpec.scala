@@ -146,6 +146,17 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("bad value in a typed column aborts the run with exit 1 (COPY semantics)") {
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
+    // id is declared int; data row 2 (file line 3) carries garbage
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/simple.csv"),
+      "\"id\",\"name\",\"glasses\"\n\"1\",\"a\",\"no\"\n\"x\",\"b\",\"yes\"\n")
+    val (code, _) = Main.execute(spark, sink, dir)
+    code shouldBe 1
+    sink.tableExists("simple") shouldBe false // nothing partially loaded
+  }
+
   test("JdbcSink scrubs credentials from failure messages") {
     import graft.app.JdbcSink
     // no JDBC driver on the classpath → every action fails with a

@@ -102,6 +102,21 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     r.stderr should include("Type 'geometry' of column 'id' is not supported")
   }
 
+  test("bad date value: exit 1 with the stl_load_errors-style message") {
+    // mirrors the reference's bad_type fixture e2e: a garbage date on
+    // file line 3 → "Column 'created', line 3" on stderr
+    // (tests/Keboola/FunctionalTest.php:63-79)
+    val dir = mkDataDir(
+      """{"parameters": {"tables": [
+        |  {"tableId": "simple", "dbName": "simple", "items": [
+        |    {"name": "id", "dbName": "id", "type": "int"},
+        |    {"name": "created", "dbName": "created", "type": "date"}]}]}}""".stripMargin,
+      Some("\"id\",\"created\"\n\"1\",\"2020-01-01\"\n\"2\",\"not a date\"\n"))
+    val r = runCli(dir)
+    r.code shouldBe 1
+    r.stderr should include("Column 'created', line 3")
+  }
+
   test("unknown action: exit 1 with the reference's message") {
     val dir = mkDataDir("""{"action": "bogus", "parameters": {}}""", None)
     val r = runCli(dir)

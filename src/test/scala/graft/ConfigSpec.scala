@@ -73,6 +73,9 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     TypeMapper.toSpark("text") shouldBe StringType
     TypeMapper.toSpark("date") shouldBe DateType
     TypeMapper.toSpark("timestamp") shouldBe TimestampType
+    // the explicit no-zone spelling maps to the faithful NTZ type —
+    // values don't move if a consumer changes session timezone
+    TypeMapper.toSpark("timestamp without timezone") shouldBe TimestampNTZType
     TypeMapper.isAllowed("IGNORE") shouldBe true
     TypeMapper.isAllowed("geometry") shouldBe false
   }

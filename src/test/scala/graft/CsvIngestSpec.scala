@@ -226,6 +226,25 @@ class CsvIngestSpec extends SparkSpec {
       Seq(Seq("created"), Seq("id"), Seq("id", "created"))
   }
 
+  test("timestamp without timezone ingests as TimestampNTZ, tz-independent") {
+    import spark.implicits._
+    val t = TableConfig("t", "t", items = Seq(
+      ColumnSpec("id", "id", "int"),
+      ColumnSpec("at", "at", "timestamp without timezone")))
+    val df = Seq(("1", "2021-06-01 12:30:00")).toDF("id", "at")
+    val typed = CsvIngest.castAndProject(df, t)
+    typed.schema("at").dataType shouldBe
+      org.apache.spark.sql.types.TimestampNTZType
+    val utcVal = typed.collect().head.get(1).toString
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // NTZ: same wall-clock value whatever the session timezone
+      CsvIngest.castAndProject(df, t).collect().head.get(1).toString shouldBe utcVal
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    utcVal shouldBe "2021-06-01T12:30"
+  }
+
   test("gzip slices read transparently") {
     val dir = Files.createTempDirectory("graft-gz")
     val gz = dir.resolve("slice.csv.gz")
