@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsert: micro-batches merge into the sink with stage-wins PK semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingUpsert(
+      input.toDF().select($"event_id", $"user_id", $"event_type", $"value"),
+      sink, "events_acc", pk = Seq("event_id"),
+      checkpointDir = s"$base/ckpt", orderCols = Seq("value"))
+    try {
+      // batch 1: initial load (target doesn't exist yet)
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      rows(sink.read("events_acc").orderBy("event_id"))
+        .map(r => (r.head, r(3))) shouldBe Seq((1L, 1.0), (2L, 2.0))
+
+      // batch 2: id 2 updated (stage wins), id 3 new, id 4 duplicated
+      // in-batch → last-wins by value
+      input.addData(Event(2, ts(2), 1, "view", 20.0),
+        Event(3, ts(3), 2, "click", 3.0),
+        Event(4, ts(4), 2, "view", 4.0),
+        Event(4, ts(5), 2, "view", 40.0))
+      q.processAllAvailable()
+      rows(sink.read("events_acc").orderBy("event_id"))
+        .map(r => (r.head, r(3))) shouldBe
+        Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 40.0))
+    } finally q.stop()
+  }
+
   test("file-source stream: windowedStats over parquet files arriving in a dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
