@@ -34,30 +34,35 @@ trait TableSink {
   * that scales (no lineage break / localCheckpoint of 100 TB).
   */
 final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink {
-  private def path(name: String) = s"$baseDir/$name"
+  import org.apache.hadoop.fs.Path
+
+  private def path(name: String) = new Path(baseDir, name)
+  // scheme-agnostic (file://, s3a://, hdfs://) like the ingest side;
+  // driver-only handle, never shipped to executors
+  private def fs = new Path(baseDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
 
   def tableExists(name: String): Boolean =
-    new java.io.File(path(name), "_SUCCESS").exists()
+    fs.exists(new Path(path(name), "_SUCCESS"))
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  def read(name: String): DataFrame = spark.read.parquet(path(name).toString)
 
   def overwrite(df: DataFrame, name: String): Unit = {
-    val stage = s"${name}__stage_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(path(stage))
-    val target = new java.io.File(path(name))
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-      }
-      rm(target)
-    }
-    if (!new java.io.File(path(stage)).renameTo(target))
+    val stage = path(
+      s"${name}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val target = path(name)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(stage, target))
       throw new java.io.IOException(s"swap failed for table '$name'")
   }
 
-  def listTables(): Seq[String] =
-    Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+  def listTables(): Seq[String] = {
+    val base = new Path(baseDir)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
 }
 
 /** JDBC sink (reference: PDO DSN with port 5439 + keepalives,

@@ -20,6 +20,24 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Whitespace token count — `wc -w` semantics. */
+  def whitespaceTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** GPT-2-style pre-tokenizer pattern: contractions, space-prefixed
+    * letter runs, digit runs, symbol runs, whitespace runs. Kept free
+    * of lookaheads so RE2-based engines (the DuckDB oracle) match the
+    * JVM regex exactly. */
+  val bpePiecePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish piece count: matches of [[bpePiecePattern]] — the standard
+    * LLM pre-tokenization granularity, an upper-ish bound on real BPE
+    * token count without a vocab. Codegen'd `regexp_extract_all`. */
+  def bpePieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePiecePattern), lit(0))).cast("long")
+
   /** Distinct-token ratio — a cheap lexical-diversity quality signal. */
   def distinctTokenRatio(text: Column): Column = {
     val ts = tokens(text)

@@ -15,23 +15,21 @@ object Maintenance {
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    def dirSize(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).toSeq.flatten.map(dirSize).sum
-    val bytes = dirSize(new java.io.File(path))
+    // scheme-agnostic (file://, s3a://, hdfs://): all metadata and the
+    // swap go through the Hadoop filesystem, same as the sinks
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
-    val stage = s"${path}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stage = new org.apache.hadoop.fs.Path(
+      s"${path}__compact_${java.util.UUID.randomUUID().toString.take(8)}")
     // repartition (not coalesce): coalesce would fuse upstream
     // parallelism into the reduced slot count; a compaction job wants
     // full read parallelism and only narrow output width
-    df.repartition(nFiles).write.mode("overwrite").parquet(stage)
-    val target = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-    }
-    rm(target)
-    if (!new java.io.File(stage).renameTo(target))
+    df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    fs.delete(target, true)
+    if (!fs.rename(stage, target))
       throw new java.io.IOException(s"compaction swap failed for '$path'")
     nFiles
   }

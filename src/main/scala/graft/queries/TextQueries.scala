@@ -47,6 +47,17 @@ object TextQueries {
         langIdNgram(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Token counting at the three granularities a data pipeline uses:
+    // whitespace words (wc -w), alphanumeric tokens, and BPE-ish
+    // pre-tokenizer pieces (GPT-2 pattern, vocab-free).
+    "token_counts" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        whitespaceTokenCount(col("text")).as("n_ws_tokens"),
+        tokenCount(col("text")).as("n_alnum_tokens"),
+        bpePieceCount(col("text")).as("n_bpe_pieces"))
+        .orderBy(col("doc_id"))),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -120,6 +131,15 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+         |  len($tokensSql) AS n_alnum_tokens,
+         |  len(regexp_extract_all(text,
+         |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+         |    AS n_bpe_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
          |  CAST(COALESCE(list_aggregate(list_transform(toks,

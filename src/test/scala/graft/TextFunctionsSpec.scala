@@ -51,6 +51,18 @@ class TextFunctionsSpec extends SparkSpec {
     one(langId(col("text")), "le chat est dans les maisons et un jardin") shouldBe "fr"
   }
 
+  test("token counts at all three granularities") {
+    // "don't stop, it's 42 tokens!" → ws: 5 words; alnum: don t stop
+    // it s 42 tokens = 7; bpe pieces: don|'t| stop|,| it|'s| 42|
+    // | tokens|! = 9
+    val s = "don't stop, it's 42 tokens!"
+    one(whitespaceTokenCount(col("text")), s) shouldBe 5L
+    one(tokenCount(col("text")), s) shouldBe 7L
+    one(bpePieceCount(col("text")), s) shouldBe 9L
+    one(whitespaceTokenCount(col("text")), "   ") shouldBe 0L
+    one(bpePieceCount(col("text")), "") shouldBe 0L
+  }
+
   test("fingerprint is md5 hex; rollingHash deterministic and order-sensitive") {
     one(fingerprint(col("text")), "abc") shouldBe "900150983cd24fb0d6963f7d28e17f72"
     val h1 = one(rollingHash(col("text")), "abc")
