@@ -38,6 +38,20 @@ object TextFunctions {
   def bpePieceCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePiecePattern), lit(0))).cast("long")
 
+  /** PII scrub patterns — RE2-compatible (no lookaround) so the JVM
+    * and the DuckDB oracle rewrite identically. Deliberately simple,
+    * recall-oriented shapes: pipeline PII passes favor over-redaction. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?\\d[\\d() -]{7,}\\d"
+
+  /** Redact emails then phone-shaped digit runs. Two codegen'd
+    * `regexp_replace` passes, narrow map — no shuffle at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Distinct-token ratio — a cheap lexical-diversity quality signal. */
   def distinctTokenRatio(text: Column): Column = {
     val ts = tokens(text)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Everything keys off a *portable* content hash — the first 8 hex
+  * chars of `md5(id)` parsed as a number — rather than `rand()` or
+  * Spark's `sample()`: the assignment of a row is a pure function of
+  * its id, so it is stable across runs, partitionings, engines (the
+  * DuckDB oracle computes the identical bucket), and cluster sizes.
+  * That stability is the property a 100 TB pipeline needs: re-running
+  * a split after appending data never reshuffles previously assigned
+  * rows between train and test (no leakage), and any engine can
+  * reproduce the exact membership.
+  *
+  * All expressions are codegen'd (`md5`/`conv`/`when`) — narrow maps,
+  * no shuffle, no driver state.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, nBuckets) from the row id: first 32 bits of
+    * md5(id-as-string), mod nBuckets. */
+  def hashBucket(id: Column, nBuckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+
+  /** Deterministic train/val/test label: percent buckets
+    * [0,trainPct) → train, [trainPct,trainPct+valPct) → val,
+    * rest → test. */
+  def splitLabel(id: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must fit in [0,100]")
+    val b = hashBucket(id, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic ~`fraction` sample: keeps rows whose hash bucket
+    * falls under the cut. Same row set on every run/engine. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          nBuckets: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    df.filter(hashBucket(col(idCol), nBuckets) <
+      math.round(fraction * nBuckets))
+  }
+}

@@ -131,6 +131,22 @@ object PipelineQueries {
             .as("feat_sig"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // ---- deterministic sampling / splitting --------------------------
+    // Hash-bucket split: assignment is a pure function of doc_id, so
+    // appending data never moves old rows between splits (no leakage)
+    // and the DuckDB oracle reproduces exact membership.
+    "sample_split" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.Sampling.splitLabel(col("doc_id"), 80, 10).as("split"))
+        .orderBy(col("doc_id"))),
+
+    "sample_fraction" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicSample(
+          Tables(s, dir, "documents"), "doc_id", fraction = 0.1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal plumbing ----------------------------------------
     // Opaque binary payload + derived typed metadata. The payload here
     // is the utf8 text bytes (no media libs in this container); the
@@ -198,6 +214,21 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "sample_fraction" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

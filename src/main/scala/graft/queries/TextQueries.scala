@@ -58,6 +58,18 @@ object TextQueries {
         bpePieceCount(col("text")).as("n_bpe_pieces"))
         .orderBy(col("doc_id"))),
 
+    // PII redaction over text with planted emails/phones (the corpus
+    // itself is synthetic, so the query injects deterministic PII and
+    // scrubs it — the oracle mirrors both steps).
+    "pii_redact" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        redactPii(concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or +1 555 123 4567")))
+          .as("clean_text"))
+        .orderBy(col("doc_id"))),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -139,6 +151,15 @@ object TextQueries {
          |  len(regexp_extract_all(text,
          |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
          |    AS n_bpe_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or +1 555 123 4567',
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,

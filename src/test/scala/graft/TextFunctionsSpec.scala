@@ -63,6 +63,14 @@ class TextFunctionsSpec extends SparkSpec {
     one(bpePieceCount(col("text")), "") shouldBe 0L
   }
 
+  test("redactPii scrubs emails and phone-shaped runs, leaves prose alone") {
+    one(redactPii(col("text")),
+      "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567 ok") shouldBe
+      "mail me at <EMAIL> or call <PHONE> ok"
+    one(redactPii(col("text")), "no pii here, just 42 and 3.14") shouldBe
+      "no pii here, just 42 and 3.14"
+  }
+
   test("fingerprint is md5 hex; rollingHash deterministic and order-sensitive") {
     one(fingerprint(col("text")), "abc") shouldBe "900150983cd24fb0d6963f7d28e17f72"
     val h1 = one(rollingHash(col("text")), "abc")
