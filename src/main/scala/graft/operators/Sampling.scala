@@ -46,4 +46,27 @@ object Sampling {
     df.filter(hashBucket(col(idCol), nBuckets) <
       math.round(fraction * nBuckets))
   }
+
+  /** Pack documents into ~`targetTokens` training-sequence bins:
+    * within each hash bucket, documents accumulate in id order and a
+    * bin closes when the running token total crosses the target —
+    * cumulative-sum packing, the streaming-friendly variant of
+    * first-fit (each doc lands in exactly one bin; bins fill to the
+    * target give or take one document).
+    *
+    * Scale shape: the window partitions by `pack_bucket`
+    * (`nBuckets`-way parallel, one shuffle), NOT a global ordering —
+    * a single-partition global cumulative sum would serialize 100 TB
+    * through one task. Bin identity `(pack_bucket, bin_id)` is again a
+    * pure function of the corpus content, reproducible anywhere.
+    */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               targetTokens: Long, nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+    df.withColumn("pack_bucket", hashBucket(col(idCol), nBuckets))
+      .withColumn("bin_id",
+        floor((sum(col(tokenCol)).over(w) - col(tokenCol))
+          .cast("double") / targetTokens).cast("long"))
+  }
 }

@@ -147,6 +147,35 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Sequence packing: documents accumulate into ~512-token bins per
+    // hash bucket (cumulative-sum packing; nBuckets-parallel, never a
+    // global-order window).
+    "pack_documents" -> ((s, dir) =>
+      graft.operators.Sampling.packBins(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", targetTokens = 512L, nBuckets = 16)
+        .select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("bin_id"))
+        .orderBy(col("doc_id"))),
+
+    // End-to-end corpus curation: language filter → token/quality
+    // gates → exact dedup (keep smallest id) → deterministic split.
+    // The composed pipeline a training-data run actually executes,
+    // oracle-verified at every step.
+    "corpus_curation" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val filtered = Tables(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("n_tokens") >= 5 && col("quality") >= 0.5)
+      Dedup.exactCorpus(filtered, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          graft.operators.Sampling.splitLabel(col("doc_id"), 90, 5).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     // Opaque binary payload + derived typed metadata. The payload here
     // is the utf8 text bytes (no media libs in this container); the
@@ -229,6 +258,43 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "pack_documents" ->
+      s"""SELECT doc_id, nt AS n_tokens, b AS pack_bucket,
+         |  CAST(floor((cum - nt) / 512.0) AS BIGINT) AS bin_id
+         |FROM (
+         |  SELECT doc_id, b, nt,
+         |    SUM(nt) OVER (PARTITION BY b ORDER BY doc_id) AS cum
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |               AS BIGINT) % 16 AS b,
+         |          len($tokensSql) AS nt
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_curation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, len(toks) AS n_tokens,
+         |    LEAST(length(text) / 500.0, 1.0) * 0.3
+         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents)
+         |  WHERE lang = 'en'
+         |), ok AS (
+         |  SELECT doc_id, text, n_tokens FROM scored
+         |  WHERE n_tokens >= 5 AND quality >= 0.5
+         |), survivors AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM ok)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN b < 90 THEN 'train'
+         |       WHEN b < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, n_tokens,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |             AS BIGINT) % 100 AS b
+         |      FROM survivors WHERE rn = 1)
+         |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -35,6 +35,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packBins: every doc in exactly one bin; bins start under target; deterministic") {
+    val docs = (0L until 2000L).map(i => (i, (i % 300) + 1)).toDF("id", "nt")
+    val packed = Sampling.packBins(docs, "id", "nt", targetTokens = 512L,
+      nBuckets = 8)
+    packed.count() shouldBe 2000L // narrow map: no row lost or duplicated
+    // cumulative-sum packing invariant: a bin's preceding load is under
+    // the target when each doc is placed (bin_id = floor(prefix/target))
+    val maxBin = packed.groupBy("pack_bucket")
+      .agg(org.apache.spark.sql.functions.max("bin_id").as("mb"),
+        org.apache.spark.sql.functions.sum("nt").as("tot"))
+      .collect()
+    maxBin.foreach { r =>
+      val bins = r.getLong(0 + 1) + 1 // mb is col 1
+      val tot = r.getLong(2)
+      // #bins can't exceed what the token mass demands by much: each
+      // bin except possibly the last holds >= target - max_doc tokens
+      bins should be <= (tot / (512 - 300) + 1)
+    }
+    // deterministic across partitionings
+    val again = Sampling.packBins(docs.repartition(7), "id", "nt", 512L, 8)
+      .select("id", "pack_bucket", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    packed.select("id", "pack_bucket", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1) shouldBe again
+  }
+
   test("deterministicSample keeps ~fraction of rows, and a sub-fraction nests") {
     val s10 = Sampling.deterministicSample(ids, "id", 0.1)
       .collect().map(_.getLong(0)).toSet
