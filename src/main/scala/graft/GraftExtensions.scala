@@ -51,5 +51,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LinearCountSketch].getName, "approx_distinct_lc"),
       (args: Seq[Expression]) =>
         LinearCountSketch(args.head).toAggregateExpression()))
+
+    // Composed operators surfaced to SQL as Catalyst trees mirroring
+    // their Column-API formulations (the Column wrapper can't be
+    // unwrapped pre-analysis in Spark 4 — ColumnNodes are unresolved).
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Md5,
+      RegExpExtractAll, RegExpReplace, Remainder, Size, Substring}
+    import org.apache.spark.sql.types.{LongType, StringType}
+
+    ext.injectFunction((
+      new FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "redact_pii"),
+      (args: Seq[Expression]) => new RegExpReplace(
+        new RegExpReplace(args.head,
+          Literal(TextFunctions.emailPattern), Literal("<EMAIL>")),
+        Literal(TextFunctions.phonePattern), Literal("<PHONE>"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_piece_count"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "bpe_piece_count"),
+      (args: Seq[Expression]) => Cast(
+        Size(RegExpExtractAll(args.head,
+          Literal(TextFunctions.bpePiecePattern), Literal(0))), LongType)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hash_bucket"),
+      new ExpressionInfo(graft.operators.Sampling.getClass.getName, "hash_bucket"),
+      (args: Seq[Expression]) => new Remainder(
+        Cast(Conv(Substring(Md5(Cast(args.head, StringType)),
+          Literal(1), Literal(8)), Literal(16), Literal(10)), LongType),
+        Cast(args(1), LongType))))
   }
 }

@@ -47,6 +47,19 @@ object Sampling {
       math.round(fraction * nBuckets))
   }
 
+  /** Deterministic weighted corpus mixture: source i contributes
+    * ~`weight_i` of its rows (each weight an independent keep-fraction
+    * in [0,1]), tagged with its position as `source_id`. Same hash
+    * discipline as [[deterministicSample]], so the mixture is
+    * reproducible and append-stable per source. All frames must share
+    * the mixed schema (project before mixing). */
+  def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      deterministicSample(df, idCol, w).withColumn("source_id", lit(i))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Pack documents into ~`targetTokens` training-sequence bins:
     * within each hash bucket, documents accumulate in id order and a
     * bin closes when the running token total crosses the target —

@@ -32,6 +32,21 @@ class ExtensionsSpec extends SparkSpec {
     viaSql shouldBe viaApi
   }
 
+  test("composed operators are callable from SQL (redact_pii, bpe_piece_count, hash_bucket)") {
+    spark.sql("SELECT redact_pii('mail a@b.co now')")
+      .collect().head.getString(0) shouldBe "mail <EMAIL> now"
+    spark.sql("SELECT bpe_piece_count(\"don't stop\")")
+      .collect().head.getLong(0) shouldBe 3L
+    val viaSql = spark.sql("SELECT hash_bucket(42, 100)")
+      .collect().head.getLong(0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaApi = Seq(42L).toDF("id")
+      .select(graft.operators.Sampling.hashBucket(col("id"), 100))
+      .collect().head.getLong(0)
+    viaSql shouldBe viaApi
+  }
+
   test("approx_distinct_lc works as a SQL aggregate") {
     spark.range(1000).createOrReplaceTempView("graft_ext_range")
     val est = spark.sql(

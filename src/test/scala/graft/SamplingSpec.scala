@@ -61,6 +61,19 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1) shouldBe again
   }
 
+  test("weightedMix keeps ~weight of each source, tagged and deterministic") {
+    val a = (0L until 5000L).toDF("id")
+    val b = (100000L until 105000L).toDF("id")
+    val mixed = Sampling.weightedMix(Seq(a -> 0.5, b -> 0.1), "id")
+    val bySource = mixed.groupBy("source_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    bySource(0).toDouble shouldBe 2500.0 +- 250.0
+    bySource(1).toDouble shouldBe 500.0 +- 120.0
+    // reproducible
+    Sampling.weightedMix(Seq(a -> 0.5, b -> 0.1), "id").count() shouldBe
+      mixed.count()
+  }
+
   test("deterministicSample keeps ~fraction of rows, and a sub-fraction nests") {
     val s10 = Sampling.deterministicSample(ids, "id", 0.1)
       .collect().map(_.getLong(0)).toSet

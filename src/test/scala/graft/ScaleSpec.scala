@@ -126,6 +126,17 @@ class ScaleSpec extends SparkSpec {
     explained should include("Filter")
   }
 
+  test("plan shape: packBins windows per hash bucket, never a global order") {
+    val docs = (0L until 1000L).map(i => (i, i % 50 + 1)).toDF("id", "nt")
+    val packed = graft.operators.Sampling.packBins(docs, "id", "nt", 512L, 16)
+    val explained = packed.queryExecution.executedPlan.toString
+    // the window's exchange hashes on pack_bucket (16-way parallel)…
+    explained should include("hashpartitioning(pack_bucket")
+    // …and nothing range-partitions (a global sort would serialize the
+    // cumulative sum through one ordering)
+    explained should not include "rangepartitioning"
+  }
+
   test("plan shape: LSH candidate shuffles carry no shingle arrays") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes its stages (and exchanges)
