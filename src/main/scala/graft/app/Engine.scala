@@ -32,26 +32,44 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     // — same code path), never java.io.File.
     val hPath = new org.apache.hadoop.fs.Path(csvPath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val sliced = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
-    val raw = if (sliced) {
-      val manifest = new org.apache.hadoop.fs.Path(s"$csvPath.manifest")
-      if (fs.exists(manifest))
-        ConfigParser.checkColumns(manifestColumns(manifest.toString), table) // P5
-      val slices = fs.listStatus(hPath).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_"))
-        .map(_.getPath.toString).sorted
-      CsvIngest.readSlices(spark, slices, table)
-    } else {
-      ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
-      CsvIngest.read(spark, csvPath, table)
+    val manifest = new org.apache.hadoop.fs.Path(s"$csvPath.manifest")
+    val (manifestCols, s3staged) =
+      if (fs.exists(manifest)) manifestInfo(manifest.toString) else (Nil, None)
+    if (manifestCols.nonEmpty)
+      ConfigParser.checkColumns(manifestCols, table) // P5
+    val (raw, hasHeader) = s3staged match {
+      case Some(s3) =>
+        // S3-staged input (the reference's writeFromS3 path,
+        // Writer/Redshift.php:79-114): credentials flow to the s3a
+        // connector; sliced keys name a COPY manifest of gzip slices
+        // (empty entry list → no-op load, :83-90), single keys read
+        // with IGNOREHEADER-style header skip.
+        applyS3Credentials(s3)
+        val url = stagedUrl(s3)
+        if (s3.isSliced) {
+          val entries = CsvIngest.manifestEntries(spark, url)
+            .map(CsvIngest.normalizeScheme)
+          (CsvIngest.readSlices(spark, entries, table), false)
+        } else (CsvIngest.read(spark, url, table), true)
+      case None =>
+        val sliced = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
+        if (sliced) {
+          val slices = fs.listStatus(hPath).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+              !st.getPath.getName.startsWith("_"))
+            .map(_.getPath.toString).sorted
+          (CsvIngest.readSlices(spark, slices, table), false)
+        } else {
+          ConfigParser.checkColumns(CsvIngest.headerColumns(spark, csvPath), table) // P5
+          (CsvIngest.read(spark, csvPath, table), true)
+        }
     }
     // Strict ingest = COPY semantics: a value the declared type rejects
     // (or a NULL in a NOT NULL column) aborts the load as a UserException
     // "Column 'x', line N: …" — the reference surfaces stl_load_errors
     // this way and its e2e asserts it (tests/Keboola/FunctionalTest.php:74-78).
     // One extra aggregation job over the scan; the projection stays narrow.
-    val staged = CsvIngest.castAndProjectStrict(raw, table, header = !sliced)
+    val staged = CsvIngest.castAndProjectStrict(raw, table, header = hasHeader)
     if (table.incremental) {
       // O3: staging → (create target if missing) → upsert → drop staging.
       // The staging table materializes implicitly as `staged`'s plan; the
@@ -71,19 +89,54 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     true
   }
 
-  /** Column list from a storage manifest sidecar `{id, columns:[…]}`
-    * (FIXTURES.md §6). Scheme-agnostic (Hadoop filesystem). */
-  private def manifestColumns(path: String): Seq[String] = {
+  /** Column list + optional S3 staging block from a storage manifest
+    * sidecar `{id, columns:[…], s3:{bucket,key,isSliced,region,
+    * credentials:{…}}}` (FIXTURES.md §6; reference
+    * RedshiftApplication.php:141-146 + Writer/Redshift.php:79-114).
+    * Scheme-agnostic (Hadoop filesystem). */
+  private[graft] def manifestInfo(path: String): (Seq[String], Option[S3Staged]) = {
+    import scala.jdk.CollectionConverters._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val in = hPath.getFileSystem(spark.sessionState.newHadoopConf()).open(hPath)
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(in)
-      Option(root.get("columns")).toSeq.flatMap { cols =>
-        import scala.jdk.CollectionConverters._
-        cols.elements.asScala.map(_.asText).toSeq
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      val cols = Option(root.get("columns")).toSeq
+        .flatMap(_.elements.asScala.map(_.asText).toSeq)
+      def str(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
+        Option(n.get(f)).map(_.asText).filter(_.nonEmpty)
+      val s3 = Option(root.get("s3")).flatMap { n =>
+        for (bucket <- str(n, "bucket"); key <- str(n, "key")) yield {
+          val creds = Option(n.get("credentials"))
+          S3Staged(bucket, key,
+            isSliced = Option(n.get("isSliced")).exists(_.asBoolean(false)),
+            region = str(n, "region"),
+            accessKeyId = creds.flatMap(str(_, "access_key_id")),
+            secretAccessKey = creds.flatMap(str(_, "secret_access_key")),
+            sessionToken = creds.flatMap(str(_, "session_token")))
+        }
       }
+      (cols, s3)
     } finally in.close()
+  }
+
+  /** `s3://bucket/key` → the Hadoop connector's `s3a://` URL. */
+  private[graft] def stagedUrl(s3: S3Staged): String =
+    CsvIngest.normalizeScheme(s"s3://${s3.bucket}/${s3.key}")
+
+  /** Map the manifest's temporary credentials onto the s3a connector
+    * (the analog of COPY's `CREDENTIALS 'aws_access_key_id=…'`,
+    * Writer/Redshift.php:95-98). Session-token creds select the
+    * temporary-credentials provider. */
+  private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    s3.accessKeyId.foreach(conf.set("fs.s3a.access.key", _))
+    s3.secretAccessKey.foreach(conf.set("fs.s3a.secret.key", _))
+    s3.sessionToken.foreach { t =>
+      conf.set("fs.s3a.session.token", t)
+      conf.set("fs.s3a.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    }
+    s3.region.foreach(conf.set("fs.s3a.endpoint.region", _))
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

@@ -37,6 +37,22 @@ final case class ColumnSpec(
   def charFamily: Boolean = TypeMapper.isCharFamily(dataType)
 }
 
+/** S3 staging block of an input-mapping manifest sidecar — the
+  * reference's `manifest['s3']` node handed to `writeFromS3`
+  * (reference: RedshiftApplication.php:85,120,138;
+  * Writer/Redshift.php:79-114): where the staged CSV lives and the
+  * temporary credentials Redshift's COPY uses. Here the same block
+  * resolves to an `s3a://` read with the credentials applied to the
+  * Hadoop connector configuration. */
+final case class S3Staged(
+    bucket: String,
+    key: String,
+    isSliced: Boolean = false,
+    region: Option[String] = None,
+    accessKeyId: Option[String] = None,
+    secretAccessKey: Option[String] = None,
+    sessionToken: Option[String] = None)
+
 /** SSH tunnel block — parsed for config parity (O8); the tunnel itself
   * is out of scope for the in-engine data path (in the reference the
   * common lib opens it; here reads go straight to storage).

@@ -181,6 +181,39 @@ class AppSpec extends SparkSpec {
       "auth failed for password '*****'"
   }
 
+  test("manifest s3 block parses and maps onto the s3a connector (writeFromS3 parity)") {
+    import graft.model.S3Staged
+    val dir = Files.createTempDirectory("graft-s3m").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/m.manifest"),
+      """{"id": "simple", "columns": ["id", "name"],
+        | "s3": {"isSliced": true, "region": "us-east-1",
+        |        "bucket": "kbc-bucket", "key": "exp/simple.csv.manifest",
+        |        "credentials": {"access_key_id": "AKIAEXAMPLE",
+        |                        "secret_access_key": "sEcReT",
+        |                        "session_token": "tOkEn"}}}""".stripMargin)
+    val engine = new Engine(spark, new ParquetSink(spark, s"$dir/out"))
+    val (cols, s3) = engine.manifestInfo(s"$dir/m.manifest")
+    cols shouldBe Seq("id", "name")
+    s3 shouldBe Some(S3Staged("kbc-bucket", "exp/simple.csv.manifest",
+      isSliced = true, region = Some("us-east-1"),
+      accessKeyId = Some("AKIAEXAMPLE"), secretAccessKey = Some("sEcReT"),
+      sessionToken = Some("tOkEn")))
+    engine.stagedUrl(s3.get) shouldBe "s3a://kbc-bucket/exp/simple.csv.manifest"
+
+    engine.applyS3Credentials(s3.get)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.get("fs.s3a.access.key") shouldBe "AKIAEXAMPLE"
+    conf.get("fs.s3a.secret.key") shouldBe "sEcReT"
+    conf.get("fs.s3a.session.token") shouldBe "tOkEn"
+    conf.get("fs.s3a.aws.credentials.provider") should include("Temporary")
+    conf.get("fs.s3a.endpoint.region") shouldBe "us-east-1"
+
+    // manifest without an s3 node (the local fixture shape) → None
+    Files.writeString(java.nio.file.Paths.get(s"$dir/m2.manifest"),
+      """{"id": "simple", "columns": ["id", "name"]}""")
+    engine.manifestInfo(s"$dir/m2.manifest")._2 shouldBe None
+  }
+
   test("incremental into a missing target creates it (tableExists guard)") {
     val (dir, sink) = mkJob(
       s"""{"tableId": "simple", "dbName": "fresh",
