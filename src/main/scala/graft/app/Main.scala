@@ -48,12 +48,19 @@ object Main {
       }
     } catch {
       case e: UserException =>
-        System.err.println(e.getMessage)
+        System.err.println(scrubAws(e.getMessage))
         (1, None)
       case e: Throwable =>
-        System.err.println(s"Application error: ${e.getMessage}")
+        System.err.println(s"Application error: ${scrubAws(e.getMessage)}")
         (2, None)
     }
+
+  /** Mask staged-copy credentials in surfaced errors — the reference's
+    * exact regex (Writer/Redshift.php:229-233). */
+  private[graft] def scrubAws(msg: String): String =
+    Option(msg).getOrElse("").replaceAll(
+      "aws_access_key_id=.*;aws_secret_access_key=.*",
+      "aws_access_key_id=***;aws_secret_access_key=***")
 
   private def statusJson(status: String, extra: String = ""): String =
     if (extra.isEmpty) s"""{"status":"$status"}"""

@@ -166,6 +166,17 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_year").asc_nulls_first)),
 
+    // Cube: all four grouping combinations of (status, priority-ish
+    // bucket) in one pass — ROLLUP's full-lattice sibling.
+    "cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          (col("o_orderkey") % 3).as("o_bucket"))
+        .cube(col("o_orderstatus"), col("o_bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_bucket").asc_nulls_first)),
+
     // TPC-H Q5-style: local-supplier revenue per nation in one region.
     // Six-table join — dims broadcast, lineitem⋈orders⋈supplier left to
     // AQE; only the final groupBy shuffles the big side.
@@ -348,6 +359,11 @@ object AnalyticsQueries {
         |  FROM orders)
         |GROUP BY ROLLUP (o_orderstatus, o_year)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin,
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_bucket, COUNT(*) AS n_orders FROM (
+        |  SELECT o_orderstatus, o_orderkey % 3 AS o_bucket FROM orders)
+        |GROUP BY CUBE (o_orderstatus, o_bucket)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_bucket ASC NULLS FIRST""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))

@@ -147,6 +147,17 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic weighted corpus mixture: 50% of English docs + 20%
+    // of the rest, tagged by source. Membership is hash-derived, so the
+    // oracle reproduces the exact mixture.
+    "corpus_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.operators.Sampling.weightedMix(Seq(
+          docs.filter(col("lang") === "en") -> 0.5,
+          docs.filter(col("lang") =!= "en") -> 0.2), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: documents accumulate into ~512-token bins per
     // hash bucket (cumulative-sum packing; nBuckets-parallel, never a
     // global-order window).
@@ -257,6 +268,18 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """SELECT doc_id, lang, source_id FROM (
+        |  SELECT doc_id, lang, 0 AS source_id FROM documents
+        |  WHERE lang = 'en'
+        |    AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 10000 < 5000
+        |  UNION ALL
+        |  SELECT doc_id, lang, 1 AS source_id FROM documents
+        |  WHERE lang <> 'en'
+        |    AND CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 10000 < 2000)
         |ORDER BY doc_id""".stripMargin,
     "pack_documents" ->
       s"""SELECT doc_id, nt AS n_tokens, b AS pack_bucket,

@@ -181,6 +181,14 @@ class AppSpec extends SparkSpec {
       "auth failed for password '*****'"
   }
 
+  test("surfaced errors mask aws credentials with the reference's regex") {
+    Main.scrubAws(
+      "COPY failed: CREDENTIALS 'aws_access_key_id=AKIA123;aws_secret_access_key=shh/x+y'") shouldBe
+      "COPY failed: CREDENTIALS 'aws_access_key_id=***;aws_secret_access_key=***"
+    Main.scrubAws("plain message") shouldBe "plain message"
+    Main.scrubAws(null) shouldBe ""
+  }
+
   test("manifest s3 block parses and maps onto the s3a connector (writeFromS3 parity)") {
     import graft.model.S3Staged
     val dir = Files.createTempDirectory("graft-s3m").toString
