@@ -51,6 +51,54 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Duplicate clusters as connected components of the candidate-pair
+    * graph: min-label propagation to fixpoint. Returns (id, cluster) —
+    * cluster = the smallest id reachable through any chain of pairs,
+    * so A–B + B–C yields one cluster {A,B,C} even though A and C never
+    * paired directly (the case [[dropNearDups]]'s greedy pass cannot
+    * see when edges skip the minimum).
+    *
+    * Scale: each iteration is one self-equi-join on ids (shuffle on a
+    * high-cardinality key) followed by a min-agg; iterations needed =
+    * graph diameter, and near-dup clusters are shallow (dups of one
+    * document), so the loop converges in a handful of rounds. Labels
+    * are checkpoint-free: each round's frame derives from the last
+    * (lineage depth = iterations, fine for small maxIter).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both orientations
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val vertices = edges.select(col("src").as("id")).distinct()
+    // label frames are (id, cluster) over only the docs that HAVE a
+    // duplicate — tiny next to the corpus — so caching each round is
+    // cheap and keeps the iteration cost flat instead of re-deriving
+    // the whole chain per fixpoint check
+    var labels = vertices.withColumn("cluster", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each vertex adopts the min of its own label and its neighbors'
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src")
+          .withColumnRenamed("cluster", "src_cluster"), Seq("src"))
+        .select(col("dst").as("id"), col("src_cluster").as("cand"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .groupBy("id")
+        .agg(least(min(col("cand")), first(col("cluster"))).as("cluster"))
+        .cache()
+      // fixpoint test: any label still shrinking?
+      val changed = next.as("n").join(labels.as("l"), Seq("id"))
+        .filter(col("n.cluster") =!= col("l.cluster")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Distinct word n-gram shingles of the token stream; a doc shorter
     * than n tokens contributes its whole token stream as one shingle.
     * Native expression ([[graft.functions.ShingleSet]]) — one codegen'd

@@ -81,6 +81,16 @@ object PipelineQueries {
           "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // connected components over the (deterministic, oracle-able)
+    // jaccard pair graph: min-label propagation to fixpoint, mirrored
+    // by a recursive CTE in DuckDB.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(
+            dupCorpus(s, dir, perturb = true).filter(col("doc_id") % 100 === 0),
+            "doc_id", "text", threshold = 0.5))
+        .orderBy(col("id"))),
+
     // ---- similarity search ------------------------------------------
     "embedding_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -269,6 +279,27 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${dupCorpusSql(perturb = true)},
+         |sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS toks
+         |        FROM corpus WHERE doc_id % 100 = 0)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh))
+         |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "corpus_mix" ->
       """SELECT doc_id, lang, source_id FROM (
         |  SELECT doc_id, lang, 0 AS source_id FROM documents

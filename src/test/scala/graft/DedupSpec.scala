@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     kept should contain(5L)      // unique doc survives
   }
 
+  test("duplicateClusters: chains collapse transitively where the greedy drop can't see") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+
+    // edges that skip the minimum: (2,3) + (1,3). Greedy dropNearDups
+    // keeps {1,2} (2 never appears as the larger side of a pair with a
+    // smaller id); components see one cluster {1,2,3} → representative 1
+    val skewed = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    Dedup.duplicateClusters(skewed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
   test("bucket-size skew guard drops degenerate buckets") {
     // 50 identical docs → one giant bucket; cap at 10 drops it entirely
     val many = (1L to 50L).map(i => (i, "same text for every single doc here"))
