@@ -66,10 +66,14 @@ object Dedup {
     * (lineage depth = iterations, fine for small maxIter).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both orientations
+    // undirected edge list, both orientations — cached: every
+    // iteration joins against it, and without the cache each round
+    // would re-run the (possibly expensive) candidate-pair lineage
+    // upstream, e.g. the quadratic jaccard scorer
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .cache()
     val vertices = edges.select(col("src").as("id")).distinct()
     // label frames are (id, cluster) over only the docs that HAVE a
     // duplicate — tiny next to the corpus — so caching each round is
@@ -96,6 +100,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist() // labels is materialized; the edge cache is done
     labels
   }
 
