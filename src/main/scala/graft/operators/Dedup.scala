@@ -104,6 +104,17 @@ object Dedup {
     labels
   }
 
+  /** Corpus minus transitive near-duplicates: keep each cluster's
+    * smallest id (and every unclustered doc). The exhaustive sibling
+    * of [[dropNearDups]], built on [[duplicateClusters]]. */
+  def dropNearDupsTransitive(docs: DataFrame, pairs: DataFrame,
+                             idCol: String): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word n-gram shingles of the token stream; a doc shorter
     * than n tokens contributes its whole token stream as one shingle.
     * Native expression ([[graft.functions.ShingleSet]]) — one codegen'd

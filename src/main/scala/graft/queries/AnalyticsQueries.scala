@@ -166,6 +166,26 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_year").asc_nulls_first)),
 
+    // Point-in-interval range join, bucketed to an equi-join (the raw
+    // theta formulation nested-loops): lineitem ship days against
+    // 7-day windows opened by a sample of orders.
+    "range_join_count" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val intervals = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 201 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      val facts = t(s, dir, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("ship_day"))
+      RangeJoin.pointInInterval(facts, intervals, "ship_day", "lo", "hi",
+          bucketWidth = 7L)
+        .groupBy("interval_id").agg(count(lit(1)).as("n_shipped"))
+        .orderBy(col("interval_id"))
+    }),
+
     // Cube: all four grouping combinations of (status, priority-ish
     // bucket) in one pass — ROLLUP's full-lattice sibling.
     "cube_orders" -> ((s, dir) =>
@@ -359,6 +379,18 @@ object AnalyticsQueries {
         |  FROM orders)
         |GROUP BY ROLLUP (o_orderstatus, o_year)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin,
+    "range_join_count" ->
+      """WITH intervals AS (
+        |  SELECT o_orderkey AS interval_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo
+        |  FROM orders WHERE o_orderkey % 201 = 0),
+        |facts AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day
+        |  FROM lineitem)
+        |SELECT interval_id, COUNT(*) AS n_shipped
+        |FROM facts f JOIN intervals i
+        |  ON f.ship_day >= i.lo AND f.ship_day < i.lo + 7
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
     "cube_orders" ->
       """SELECT o_orderstatus, o_bucket, COUNT(*) AS n_orders FROM (
         |  SELECT o_orderstatus, o_orderkey % 3 AS o_bucket FROM orders)

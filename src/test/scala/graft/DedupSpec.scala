@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
 
+  test("dropNearDupsTransitive keeps only cluster representatives") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    // greedy-blind shape: (2,3) + (1,3) chains 1-2-3; 4 unclustered
+    val pairs = Seq((2L, 3L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.dropNearDupsTransitive(docs, pairs, "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(1L, 4L, 10L, 99L)
+    // the greedy pass keeps 2 as well (never the larger side of a pair
+    // with a smaller id) — the transitive variant removes it
+    Dedup.dropNearDups(docs, pairs, "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(1L, 2L, 4L, 10L, 99L)
+  }
+
   test("bucket-size skew guard drops degenerate buckets") {
     // 50 identical docs → one giant bucket; cap at 10 drops it entirely
     val many = (1L to 50L).map(i => (i, "same text for every single doc here"))
