@@ -85,6 +85,123 @@ case class LinearCountSketch(
   override def prettyName: String = "linear_count_sketch"
 }
 
+/** Misra–Gries heavy-hitters sketch as a `TypedImperativeAggregate`.
+  *
+  * Buffer = at most `k` (item → counter) entries. update: increment a
+  * present item, insert while capacity remains, else decrement every
+  * counter (dropping zeros) — the classic frequent-items algorithm.
+  * merge: sum counterparts, then shrink back to `k` entries by
+  * subtracting the (k+1)-largest counter from all (the standard
+  * mergeable-summaries reduction). eval: (item, count) structs sorted
+  * by estimated count descending, then item.
+  *
+  * Guarantees: every item with true frequency > N/(k+1) survives, and
+  * each reported counter undercounts its true frequency by at most
+  * N/(k+1). Only ≤k entries cross the shuffle — the fixed-size-state
+  * property that makes corpus-wide vocabulary stats viable at 100 TB
+  * where an exact groupBy-count would shuffle every token.
+  */
+case class FrequentItemsSketch(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]] {
+
+  require(k >= 1 && k <= 100000, "k out of range")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("est_count", LongType,
+          nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(buf: scala.collection.mutable.HashMap[String, Long],
+                      input: InternalRow): scala.collection.mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.toString
+      buf.get(item) match {
+        case Some(c) => buf.update(item, c + 1)
+        case None if buf.size < k => buf.update(item, 1L)
+        case None => // decrement-all step: shrink every counter by one
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          buf.foreach { case (key, c) =>
+            if (c <= 1) dead += key else buf.update(key, c - 1)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.HashMap[String, Long],
+                     other: scala.collection.mutable.HashMap[String, Long]): scala.collection.mutable.HashMap[String, Long] = {
+    other.foreach { case (item, c) =>
+      buf.update(item, buf.getOrElse(item, 0L) + c)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-largest counter from everything, drop <=0
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      buf.foreach { case (key, c) =>
+        if (c - cut <= 0) dead += key else buf.update(key, c - cut)
+      }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toArray.sortBy { case (item, c) => (-c, item) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.map { case (item, c) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(item), c)
+      })
+  }
+
+  override def serialize(buf: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (item, c) =>
+      val bytes = item.getBytes("UTF-8")
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FrequentItemsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FrequentItemsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FrequentItemsSketch =
+    copy(child = newChildren.head)
+  override def prettyName: String = "frequent_items_sketch"
+}
+
 object SketchFunctions {
   /** Approximate distinct count of `c` (any type — hashed with
     * xxhash64 first) using a 2^bits linear-counting bitmap. NULLs are
@@ -97,4 +214,12 @@ object SketchFunctions {
         GraftBridge.expression(when(c.isNotNull, xxhash64(c))), bits)
         .toAggregateExpression())
   }
+
+  /** Misra–Gries heavy hitters of `c`: array of (item, est_count)
+    * structs, at most k entries, sorted by estimated count. Items with
+    * true frequency > N/(k+1) are guaranteed present. */
+  def frequentItems(c: Column, k: Int = 64): Column =
+    GraftBridge.column(
+      FrequentItemsSketch(GraftBridge.expression(c), k)
+        .toAggregateExpression())
 }

@@ -58,6 +58,24 @@ object TextQueries {
         bpePieceCount(col("text")).as("n_bpe_pieces"))
         .orderBy(col("doc_id"))),
 
+    // Heavy hitters, the scale pattern: a Misra–Gries sketch nominates
+    // ≤k candidate tokens (fixed-size state over the shuffle), then an
+    // exact count of ONLY the candidates picks the true top-10 — the
+    // sketch guarantees every token with freq > N/(k+1) is nominated,
+    // so the final ranking is deterministic and oracle-matched.
+    "heavy_hitter_tokens" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+      val cands = toks
+        .agg(graft.functions.SketchFunctions.frequentItems(col("token"), 200)
+          .as("cands"))
+        .select(explode(col("cands")).as("c"))
+        .select(col("c.item").as("token"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10)
+    }),
+
     // PII redaction over text with planted emails/phones (the corpus
     // itself is synthetic, so the query injects deterministic PII and
     // scrubs it — the oracle mirrors both steps).
@@ -152,6 +170,11 @@ object TextQueries {
          |    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
          |    AS n_bpe_pieces
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "heavy_hitter_tokens" ->
+      s"""SELECT t AS token, COUNT(*) AS n
+         |FROM (SELECT unnest(toks) AS t
+         |      FROM (SELECT $tokensSql AS toks FROM documents))
+         |GROUP BY t ORDER BY n DESC, token LIMIT 10""".stripMargin,
     "pii_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.SketchFunctions
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy-hitters sketch: capture guarantee, undercount
+  * bound, and the nominate-then-verify pattern's determinism. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf-ish stream: token t_i appears ~N/i times, i = 1..100
+  private def zipf = (1 to 100).flatMap(i => Seq.fill(1000 / i)(f"t_$i%03d"))
+    .toDF("token")
+
+  test("every item with frequency > N/(k+1) is captured; counts undercount by <= N/(k+1)") {
+    val n = zipf.count()
+    val k = 32
+    val got = zipf.agg(SketchFunctions.frequentItems($"token", k).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = zipf.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n.toDouble / (k + 1)
+    exact.filter(_._2 > bound).keys.foreach { hot =>
+      withClue(s"$hot (freq ${exact(hot)}) missing") {
+        got.contains(hot) shouldBe true
+      }
+    }
+    got.foreach { case (item, est) =>
+      est should be <= exact(item)
+      (exact(item) - est).toDouble should be <= bound
+    }
+  }
+
+  test("nominate-then-verify top-k is exact and partitioning-independent") {
+    def topVia(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
+      val cands = df.agg(SketchFunctions.frequentItems($"token", 64).as("hh"))
+        .select(explode($"hh").as("e")).select($"e.item".as("token"))
+      df.join(broadcast(cands), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val expected = zipf.groupBy("token").count()
+      .orderBy($"count".desc, $"token").limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    topVia(zipf) shouldBe expected
+    topVia(zipf.repartition(17)) shouldBe expected // sketch state merges across partitions
+  }
+}
