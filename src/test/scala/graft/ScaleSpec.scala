@@ -96,6 +96,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucket_target")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the fact scan at runtime") {
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/events"
+    val events = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600L * 1000L), i * 1.5)
+    }.toDF("event_id", "ts", "value")
+    PartitionedStore.writeByDay(events, "ts", dir)
+    val fact = PartitionedStore.read(spark, dir)
+    val days = fact.select(col("p_date").cast("string")).distinct()
+      .orderBy("p_date").collect().map(_.getString(0))
+    days.length should be >= 4
+
+    // dim carries the filter; the fact's partition scan must receive a
+    // runtime (dynamicpruning) filter derived from the dim broadcast.
+    // The dim must be a file source: a LocalRelation constant-folds its
+    // filter away and DPP's selectivity heuristic sees nothing to push.
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    days.zipWithIndex.map { case (d, i) => (d, i) }.toSeq
+      .toDF("p_date", "tag")
+      .select(col("p_date").cast("date").as("p_date"), col("tag"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === 0), Seq("p_date"))
+    joined.queryExecution.executedPlan.toString should include("dynamicpruning")
+    joined.count() shouldBe fact.filter(col("p_date") === days.head).count()
+  }
+
   test("plan shape: q1_agg pushes its filter and prunes columns at the scan") {
     val plan = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan
