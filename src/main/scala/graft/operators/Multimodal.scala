@@ -39,6 +39,11 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int, Int)
     /** Extract a fixed-length feature vector from one frame. */
     def features(payload: Array[Byte], frameIdx: Int, dim: Int): Array[Float]
+    /** Batched inference: one call per batch of payloads (frame 0 of
+      * each) — override where the backend amortizes per-call cost
+      * (GPU inference, vectorized codecs). Default: per-item loop. */
+    def featuresBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
+      payloads.map(features(_, 0, dim))
   }
 
   /** Deterministic stand-in for the absent codec libraries: dimensions
@@ -111,6 +116,36 @@ object Multimodal {
           Row(r.get(idIdx), frame,
             decoder.features(payload, frame, dim).toSeq)
         }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** One feature vector per document, computed in fixed-size BATCHES —
+    * the batch shape of GPU/accelerator inference over a 100 TB media
+    * column. The iterator is consumed lazily via `grouped(batchSize)`:
+    * memory holds one batch of payloads per task (batchSize × payload,
+    * not the partition), the decoder sees `featuresBatch` calls whose
+    * size is capped at `batchSize`, and the output flattens back to
+    * one row per doc. The analog of `mapInPandas` with
+    * `maxRecordsPerBatch` on the Python side.
+    */
+  def batchedFeatures(df: DataFrame, idCol: String, mediaCol: String,
+                      batchSize: Int = 64, dim: Int = 8,
+                      decoder: MediaDecoder = new StubDecoder): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      decoder.open()
+      rows.grouped(batchSize).flatMap { batch =>
+        val ids = batch.map(_.get(idIdx))
+        val payloads = batch.map(_.getAs[Array[Byte]](mediaIdx)).toArray
+        val feats = decoder.featuresBatch(payloads, dim)
+        ids.lazyZip(feats).map { (id, f) => Row(id, f.toSeq) }
       }
     }(RowEncoder.encoderFor(outSchema))
   }

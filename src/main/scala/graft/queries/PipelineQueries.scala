@@ -197,6 +197,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Batched-inference shape: one feature vector per doc computed in
+    // capped decoder batches (rows-only; scalar signature for the
+    // driver compare, like media_frame_features).
+    "media_batch_features" -> ((s, dir) =>
+      graft.operators.Multimodal.batchedFeatures(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", batchSize = 64, dim = 8)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast("double") * 1000000d).cast("long")))
+            .as("feat_sig"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal plumbing ----------------------------------------
     // Opaque binary payload + derived typed metadata. The payload here
     // is the utf8 text bytes (no media libs in this container); the

@@ -11,6 +11,16 @@ object MultimodalSpec {
   final class CountingDecoder extends Multimodal.StubDecoder {
     override def open(): Unit = { opens.incrementAndGet(); () }
   }
+
+  val batchCalls = new AtomicInteger(0)
+  val maxBatchSeen = new AtomicInteger(0)
+  final class BatchCountingDecoder extends Multimodal.StubDecoder {
+    override def featuresBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] = {
+      batchCalls.incrementAndGet()
+      maxBatchSeen.updateAndGet(m => math.max(m, payloads.length))
+      super.featuresBatch(payloads, dim)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -46,6 +56,27 @@ class MultimodalSpec extends SparkSpec {
     val byDoc = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     byDoc(1L) shouldBe math.min(4, "a tiny payload".length % 16 + 1)
     byDoc(2L) shouldBe math.min(4, 1000 % 16 + 1)
+  }
+
+  test("batchedFeatures: one vector per doc, decoder called in capped batches") {
+    val docs = (1L to 100L).map(i => (i, s"payload$i".getBytes("UTF-8")))
+      .toDF("doc_id", "media").repartition(2)
+    MultimodalSpec.batchCalls.set(0)
+    MultimodalSpec.maxBatchSeen.set(0)
+    val got = Multimodal.batchedFeatures(docs, "doc_id", "media",
+      batchSize = 16, dim = 4,
+      decoder = new MultimodalSpec.BatchCountingDecoder)
+    got.count() shouldBe 100
+    got.schema.fieldNames.toSeq shouldBe Seq("doc_id", "features")
+    // batches capped and amortized: ≥ ceil(100/16) calls (partition
+    // boundaries may add one), never a call above the cap
+    MultimodalSpec.maxBatchSeen.get() should be <= 16
+    MultimodalSpec.batchCalls.get() should be >= 7
+    MultimodalSpec.batchCalls.get() should be <= 10
+    // features deterministic: stub is a pure function of payload bytes
+    val f1 = got.filter(col("doc_id") === 1L).collect().head.getSeq[Float](1)
+    f1 shouldBe Multimodal.batchedFeatures(docs, "doc_id", "media", 16, 4)
+      .filter(col("doc_id") === 1L).collect().head.getSeq[Float](1)
   }
 
   test("resize emits transformed payload with target dims") {
