@@ -32,7 +32,11 @@ object RangeJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val expanded = intervals.withColumn("__bucket",
+    // empty intervals ([lo, hi) with hi <= lo) match nothing; drop them
+    // before the explode — Spark's sequence() would otherwise emit a
+    // DESCENDING bucket range for them (garbage candidates the residual
+    // filter must then discard)
+    val expanded = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
         // hi is exclusive, but a range ending exactly on a bucket edge
