@@ -71,4 +71,48 @@ object Maintenance {
     }
     agged.select(explode(array(rows.toSeq: _*)).as("p")).select("p.*")
   }
+
+  /** Data-quality drift between two snapshots of the same table: one
+    * row per column with before/after null-rate and distinct-count
+    * deltas and a min/max-changed flag — the between-loads monitor
+    * that catches schema rot and distribution shifts before they
+    * poison a training run. Two profile scans (one per snapshot),
+    * joined on tiny per-column frames. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   approxDistinct: Boolean = false): DataFrame = {
+    def prep(df: DataFrame, tag: String): DataFrame =
+      profile(df, approxDistinct).select(
+        col("column"),
+        col("n_rows").as(s"${tag}_rows"),
+        (col("n_nulls").cast("double") /
+          greatest(col("n_rows"), lit(1L))).as(s"${tag}_null_rate"),
+        col("n_distinct").as(s"${tag}_distinct"),
+        col("min_value").as(s"${tag}_min"),
+        col("max_value").as(s"${tag}_max"))
+    prep(before, "before").join(prep(after, "after"), Seq("column"), "full_outer")
+      .withColumn("null_rate_delta",
+        col("after_null_rate") - col("before_null_rate"))
+      .withColumn("distinct_delta",
+        col("after_distinct") - col("before_distinct"))
+      .withColumn("bounds_changed",
+        not(col("before_min") <=> col("after_min")) ||
+          not(col("before_max") <=> col("after_max")))
+      .select(col("column"), col("before_rows"), col("after_rows"),
+        col("null_rate_delta"), col("distinct_delta"), col("bounds_changed"))
+  }
+
+  /** Remove orphaned staging directories left by interrupted
+    * staging+swap writes (`<table>__stage_*`, `<path>__compact_*`):
+    * a crash between write and rename strands them. Returns the
+    * deleted paths. Scheme-agnostic like the sinks. */
+  def cleanOrphanStages(spark: SparkSession, baseDir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.contains("__stage_") ||
+          st.getPath.getName.contains("__compact_")))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
 }

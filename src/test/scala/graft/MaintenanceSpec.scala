@@ -34,6 +34,41 @@ class MaintenanceSpec extends SparkSpec {
     scans shouldBe 1
   }
 
+  test("profileDrift flags null-rate, distinct, and bounds changes per column") {
+    val before = Seq((1, Some("a")), (2, Some("b")), (3, Some("c")))
+      .toDF("id", "s")
+    val after = Seq((1, Some("a")), (2, None: Option[String]),
+      (4, Some("d")), (5, Some("d"))).toDF("id", "s")
+    val got = rows(Maintenance.profileDrift(before, after).orderBy("column"))
+      .map(r => r.head -> r).toMap
+    val id = got("id")
+    id(3) shouldBe 0.0                       // null_rate_delta
+    id(4) shouldBe 1L                        // distinct 3 -> 4
+    id(5) shouldBe true                      // max 3 -> 5
+    val s = got("s")
+    (s(3).asInstanceOf[Double] - 0.25).abs should be < 1e-9
+    s(4) shouldBe -1L                        // distinct 3 -> 2
+    s(5) shouldBe true                       // max c -> d
+  }
+
+  test("cleanOrphanStages removes stranded stage/compact dirs, leaves tables") {
+    val base = Files.createTempDirectory("graft-orphan").toString
+    def mk(name: String): Unit = {
+      val d = java.nio.file.Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), "x")
+    }
+    mk("orders")
+    mk("orders__stage_ab12cd34")
+    mk("events__compact_ef56ab78")
+    val deleted = Maintenance.cleanOrphanStages(spark, base)
+    deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted shouldBe
+      Seq("events__compact_ef56ab78", "orders__stage_ab12cd34")
+    new java.io.File(base, "orders").exists() shouldBe true
+    new java.io.File(base, "orders__stage_ab12cd34").exists() shouldBe false
+    Maintenance.cleanOrphanStages(spark, base) shouldBe Nil
+  }
+
   test("approxDistinct profile: one Expand-free scan, <=5% error vs exact") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus")
