@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Element-wise mean of fixed-dimension vectors as a
+  * `TypedImperativeAggregate` — the centroid-computation primitive for
+  * k-means/IVF training over an embedding column.
+  *
+  * Buffer = (running element sums, count): `dim` doubles + a long, so
+  * only a fixed-size record crosses the shuffle per group regardless
+  * of how many vectors fold into it — map-side partial aggregation
+  * does the heavy summing next to the scan, exactly like a builtin
+  * `avg`. Inputs whose length differs from `dim` are skipped (defensive
+  * against ragged data; a real pipeline validates upstream).
+  */
+case class VectorAvg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[(Array[Double], Long)] {
+
+  require(dim >= 1 && dim <= 65536, "dim out of range")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): (Array[Double], Long) =
+    (new Array[Double](dim), 0L)
+
+  override def update(buf: (Array[Double], Long),
+                      input: InternalRow): (Array[Double], Long) = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() != dim) buf
+      else {
+        val sums = buf._1
+        var i = 0
+        while (i < dim) { sums(i) += arr.getDouble(i); i += 1 }
+        (sums, buf._2 + 1)
+      }
+    }
+  }
+
+  override def merge(buf: (Array[Double], Long),
+                     other: (Array[Double], Long)): (Array[Double], Long) = {
+    val sums = buf._1
+    var i = 0
+    while (i < dim) { sums(i) += other._1(i); i += 1 }
+    (sums, buf._2 + other._2)
+  }
+
+  override def eval(buf: (Array[Double], Long)): Any = {
+    val n = math.max(buf._2, 1L).toDouble
+    new GenericArrayData(buf._1.map(_ / n))
+  }
+
+  override def serialize(buf: (Array[Double], Long)): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * dim + 8)
+    buf._1.foreach(bb.putDouble)
+    bb.putLong(buf._2)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): (Array[Double], Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val sums = Array.fill(dim)(bb.getDouble)
+    (sums, bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorAvg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "vector_avg"
+}
+
+object VectorFunctions {
+  /** Element-wise mean of an `array<double>` column of length `dim`. */
+  def vectorAvg(c: Column, dim: Int): Column =
+    GraftBridge.column(
+      VectorAvg(GraftBridge.expression(c), dim).toAggregateExpression())
+}

@@ -138,11 +138,48 @@ object Similarity {
       .filter(col("cid") % step === 0)
       .orderBy(col("cid")).limit(nCentroids)
 
+  /** Refine centroids with Lloyd (k-means) iterations: assign every
+    * corpus vector to its nearest centroid (narrow codegen'd map,
+    * broadcast centroids), recompute each centroid as the element-wise
+    * mean of its list ([[graft.functions.VectorAvg]] — fixed-size
+    * partial sums over the shuffle), collect the ≤k new centroids.
+    * Per iteration: one scan + one k-group shuffle; empty clusters
+    * keep their previous centroid. Deterministic given the
+    * deterministic systematic seed (up to double-sum rounding). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, iters: Int): Array[Array[Double]] = {
+    import graft.functions.HashFunctions.nearestCentroids
+    import graft.functions.VectorFunctions.vectorAvg
+    var centroids = systematicCentroids(corpus, idCol, vecCol, nCentroids)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters && dim > 0) {
+      val assigned = corpus.select(
+        element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1)
+          .as("cid"),
+        asDouble(col(vecCol)).as("v"))
+      val means = assigned.groupBy("cid")
+        .agg(vectorAvg(col("v"), dim).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old) // nearestCentroids ids are 0-based
+      }
+      it += 1
+    }
+    centroids
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    val centroids = systematicCentroids(corpus, idCol, vecCol, nCentroids)
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else systematicCentroids(corpus, idCol, vecCol, nCentroids)
     val c = corpus.withColumn("centroid",
       element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
     val q = queries.withColumn("centroid",

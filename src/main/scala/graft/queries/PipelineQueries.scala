@@ -116,6 +116,18 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // IVF with Lloyd-trained centroids (VectorAvg partial-sum agg);
+    // rows-only like the other hash/float-sensitive ANN variants,
+    // recall pinned in SimilaritySpec.
+    "embedding_ivf_trained" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+          trainIters = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "embedding_near_dup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val shifted = emb.filter(col("vec_id") % 25 === 0)

@@ -101,6 +101,50 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("kmeans-trained IVF: centroids converge to the 4 planted clusters; recall >= untrained") {
+    val c = corpus()
+    // VectorAvg correctness: mean of a known group, element-wise
+    val tiny = Seq((0, Array(1.0, 3.0)), (0, Array(3.0, 5.0)),
+      (1, Array(10.0, 10.0))).toDF("g", "v")
+    val means = tiny.groupBy("g")
+      .agg(graft.functions.VectorFunctions.vectorAvg(col("v"), 2).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    means(0) shouldBe Seq(2.0, 4.0)
+    means(1) shouldBe Seq(10.0, 10.0)
+
+    // Lloyd refinement with k=8 (the k=4 systematic seed lands only on
+    // two of the interleaved patterns — a textbook bad init): every
+    // planted cluster direction ends up covered by a trained centroid
+    val trained = Similarity.kmeansCentroids(c, "vec_id", "embedding",
+      nCentroids = 8, iters = 5)
+    trained.length shouldBe 8
+    val ideals = (0 until 4).map(m =>
+      Array.tabulate(64)(d => if (d % 4 == m) 1.0 else 0.0))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    ideals.foreach { ideal =>
+      trained.map(cos(_, ideal)).max should be > 0.95
+    }
+
+    // trained IVF recall is at least the untrained systematic recall
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(c, q, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 3, trainIters = iters)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    recallOf(3) should be >= recallOf(0)
+    recallOf(3) should be >= 0.8
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val c = corpus(n = 100)
     val shifted = c.filter(col("vec_id") < 5)
