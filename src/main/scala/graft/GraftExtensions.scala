@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         LinearCountSketch(args.head).toAggregateExpression()))
 
+    ext.injectFunction((
+      new FunctionIdentifier("frequent_items_sketch"),
+      new ExpressionInfo(classOf[FrequentItemsSketch].getName, "frequent_items_sketch"),
+      (args: Seq[Expression]) =>
+        FrequentItemsSketch(args.head,
+          intArg(args(1), "frequent_items_sketch k")).toAggregateExpression()))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vector_avg"),
+      new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
+      (args: Seq[Expression]) =>
+        VectorAvg(args.head,
+          intArg(args(1), "vector_avg dim")).toAggregateExpression()))
+
     // Composed operators surfaced to SQL as Catalyst trees mirroring
     // their Column-API formulations (the Column wrapper can't be
     // unwrapped pre-analysis in Spark 4 — ColumnNodes are unresolved).

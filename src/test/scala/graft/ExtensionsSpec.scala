@@ -54,4 +54,14 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     math.abs(est - 1000).toDouble / 1000 should be <= 0.05
   }
+
+  test("frequent_items_sketch and vector_avg work as SQL aggregates") {
+    spark.sql("SELECT explode(frequent_items_sketch(t, 8)) FROM " +
+        "(SELECT explode(array('a','a','a','b')) AS t)")
+      .collect().map(_.getStruct(0).getString(0)).toSeq should
+      contain inOrder("a", "b")
+    spark.sql("SELECT vector_avg(v, 2) FROM " +
+        "(SELECT explode(array(array(1.0d, 3.0d), array(3.0d, 5.0d))) AS v)")
+      .collect().head.getSeq[Double](0) shouldBe Seq(2.0, 4.0)
+  }
 }
