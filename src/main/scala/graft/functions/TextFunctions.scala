@@ -38,6 +38,12 @@ object TextFunctions {
   def bpePieceCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePiecePattern), lit(0))).cast("long")
 
+  /** Keep the first `maxTokens` alphanumeric tokens, space-joined —
+    * the token-budget truncation a context-window-bound pipeline
+    * applies before packing. Narrow codegen'd slice, no shuffle. */
+  def truncateTokens(text: Column, maxTokens: Int): Column =
+    array_join(slice(tokens(text), 1, maxTokens), " ")
+
   /** PII scrub patterns — RE2-compatible (no lookaround) so the JVM
     * and the DuckDB oracle rewrite identically. Deliberately simple,
     * recall-oriented shapes: pipeline PII passes favor over-redaction. */

@@ -47,6 +47,25 @@ object Sampling {
       math.round(fraction * nBuckets))
   }
 
+  /** Stratified quota sampling: each stratum keeps its own fraction
+    * (e.g. cap English at 30%, keep all of a rare language) — same
+    * hash discipline, so membership is reproducible and append-stable
+    * per stratum. Strata not in the map keep `default`. One codegen'd
+    * when-chain, no shuffle, no per-stratum pass. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0,
+                       nBuckets: Int = 10000): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "fractions in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(default * nBuckets))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum,
+        lit(math.round(f * nBuckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), nBuckets) < cut)
+  }
+
   /** Deterministic weighted corpus mixture: source i contributes
     * ~`weight_i` of its rows (each weight an independent keep-fraction
     * in [0,1]), tagged with its position as `source_id`. Same hash

@@ -169,6 +169,15 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Per-stratum quotas: halve English, quarter German, 5% of the
+    // rest — the language-rebalancing step of corpus assembly.
+    "stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25), default = 0.05)
+        .orderBy(col("doc_id"))),
+
     // Deterministic weighted corpus mixture: 50% of English docs + 20%
     // of the rest, tagged by source. Membership is hash-derived, so the
     // oracle reproduces the exact mixture.
@@ -304,6 +313,14 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 10000
+        |      < CASE WHEN lang = 'en' THEN 5000
+        |             WHEN lang = 'de' THEN 2500
+        |             ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${dupCorpusSql(perturb = true)},

@@ -47,6 +47,14 @@ object TextQueries {
         langIdNgram(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Token-budget truncation: keep the first 12 tokens, space-joined
+    // (what a context-window bound applies before packing).
+    "truncate_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        truncateTokens(col("text"), 12).as("head_text"))
+        .orderBy(col("doc_id"))),
+
     // Token counting at the three granularities a data pipeline uses:
     // whitespace words (wc -w), alphanumeric tokens, and BPE-ish
     // pre-tokenizer pieces (GPT-2 pattern, vocab-free).
@@ -161,6 +169,10 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "truncate_tokens" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_slice($tokensSql, 1, 12), ' ') AS head_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_counts" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -61,6 +61,24 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1) shouldBe again
   }
 
+  test("stratifiedSample applies per-stratum quotas; default covers the rest") {
+    val docs = (0L until 9000L).map(i =>
+      (i, Seq("en", "de", "fr")(i.toInt % 3))).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(docs, "id", "lang",
+      fractions = Map("en" -> 0.5, "de" -> 0.1), default = 0.0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.getOrElse("fr", 0L) shouldBe 0L            // default 0 drops
+    byLang("en").toDouble shouldBe 1500.0 +- 200.0     // 0.5 × 3000
+    byLang("de").toDouble shouldBe 300.0 +- 100.0      // 0.1 × 3000
+    // membership is stratum-independent: the en rows kept here are
+    // exactly the rows a plain 0.5 sample of the en slice keeps
+    val enOnly = Sampling.deterministicSample(
+      docs.filter(col("lang") === "en"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    kept.filter(col("lang") === "en").collect().map(_.getLong(0)).toSet shouldBe enOnly
+  }
+
   test("weightedMix keeps ~weight of each source, tagged and deterministic") {
     val a = (0L until 5000L).toDF("id")
     val b = (100000L until 105000L).toDF("id")

@@ -63,6 +63,13 @@ class TextFunctionsSpec extends SparkSpec {
     one(bpePieceCount(col("text")), "") shouldBe 0L
   }
 
+  test("truncateTokens keeps the first N tokens, space-joined") {
+    one(truncateTokens(col("text"), 3), "The quick, brown FOX jumps") shouldBe
+      "the quick brown"
+    one(truncateTokens(col("text"), 10), "two words") shouldBe "two words"
+    one(truncateTokens(col("text"), 3), "") shouldBe ""
+  }
+
   test("redactPii scrubs emails and phone-shaped runs, leaves prose alone") {
     one(redactPii(col("text")),
       "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567 ok") shouldBe
