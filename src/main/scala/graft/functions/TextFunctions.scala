@@ -44,6 +44,22 @@ object TextFunctions {
   def truncateTokens(text: Column, maxTokens: Int): Column =
     array_join(slice(tokens(text), 1, maxTokens), " ")
 
+  /** Overlapping token-window chunks (array of space-joined strings):
+    * windows of `chunkSize` tokens starting every `chunkSize - overlap`
+    * tokens — the chunking step of embedding/retrieval pipelines. A doc
+    * shorter than one chunk yields itself as a single chunk; the last
+    * chunk may be short. Pure expression composition (sequence →
+    * transform → slice), narrow and shuffle-free. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val ts = tokens(text)
+    val starts = sequence(lit(1),
+      greatest(size(ts) - overlap, lit(1)), lit(step))
+    transform(starts, s => array_join(slice(ts, s, lit(chunkSize)), " "))
+  }
+
   /** PII scrub patterns — RE2-compatible (no lookaround) so the JVM
     * and the DuckDB oracle rewrite identically. Deliberately simple,
     * recall-oriented shapes: pipeline PII passes favor over-redaction. */

@@ -47,6 +47,17 @@ object TextQueries {
         langIdNgram(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Chunking for embedding/retrieval: 16-token windows with 4-token
+    // overlap, one row per (doc, chunk).
+    "chunk_documents" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("text"), chunkSize = 16, overlap = 4))
+            .as(Seq("idx0", "chunk_text")))
+        .select(col("doc_id"), (col("idx0") + 1).cast("long").as("chunk_idx"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Token-budget truncation: keep the first 12 tokens, space-joined
     // (what a context-window bound applies before packing).
     "truncate_tokens" -> ((s, dir) =>
@@ -173,6 +184,16 @@ object TextQueries {
       s"""SELECT doc_id,
          |  array_to_string(list_slice($tokensSql, 1, 12), ' ') AS head_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      s"""SELECT doc_id,
+         |  CAST(unnest(range(1, len(chunks) + 1)) AS BIGINT) AS chunk_idx,
+         |  unnest(chunks) AS chunk_text
+         |FROM (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks) - 4, 1) + 1, 12),
+         |      s -> array_to_string(list_slice(toks, s, s + 15), ' ')) AS chunks
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "token_counts" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0

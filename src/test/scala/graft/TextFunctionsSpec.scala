@@ -70,6 +70,23 @@ class TextFunctionsSpec extends SparkSpec {
     one(truncateTokens(col("text"), 3), "") shouldBe ""
   }
 
+  test("chunkTokens: overlapping windows cover every token; short docs chunk whole") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val got = one(chunkTokens(col("text"), 8, 2), text)
+      .asInstanceOf[scala.collection.Seq[String]]
+    got.length shouldBe 3 // starts 1, 7, 13 (step 6, up to len-overlap=18)
+    got.head shouldBe (1 to 8).map(i => s"w$i").mkString(" ")
+    got(1) shouldBe (7 to 14).map(i => s"w$i").mkString(" ")
+    got.last shouldBe (13 to 20).map(i => s"w$i").mkString(" ")
+    // consecutive chunks share `overlap` tokens
+    got.head.split(" ").takeRight(2) shouldBe got(1).split(" ").take(2)
+    // every token appears in some chunk
+    got.flatMap(_.split(" ")).toSet shouldBe (1 to 20).map(i => s"w$i").toSet
+    // short doc → one whole chunk
+    one(chunkTokens(col("text"), 8, 2), "only three tokens")
+      .asInstanceOf[scala.collection.Seq[String]] shouldBe Seq("only three tokens")
+  }
+
   test("redactPii scrubs emails and phone-shaped runs, leaves prose alone") {
     one(redactPii(col("text")),
       "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567 ok") shouldBe
