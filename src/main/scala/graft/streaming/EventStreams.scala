@@ -96,6 +96,32 @@ object EventStreams {
       }
       .start()
 
+  /** Watermarked stream–stream inner join: match rows of two event
+    * streams on `keyCols` when the right event lands within
+    * `[left.ts, left.ts + withinSeconds]`. Both sides carry watermarks
+    * and the time-bound condition, so Spark can evict buffered state
+    * once the watermark passes — the REQUIRED shape for unbounded
+    * stream–stream joins (without the bound, state grows forever).
+    * Column conventions: left keeps its names, right's ts arrives as
+    * `r_ts` plus `valueCols` prefixed `r_`. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], withinSeconds: Long,
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.withWatermark("ts", watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (keyCols.contains(c)) df else df.withColumnRenamed(c, s"r_$c")
+    }
+    val cond = keyCols.map(k => l(k) === r(k))
+      .reduce(_ && _) &&
+      r("r_ts") >= l("ts") &&
+      r("r_ts") <= l("ts") + expr(s"INTERVAL $withinSeconds SECONDS")
+    // project the duplicate key columns away (keys keep the left copy)
+    val rightOnly = r.columns.filterNot(keyCols.contains).map(r(_))
+    l.join(r, cond, "inner")
+      .select(l.columns.map(l(_)) ++ rightOnly: _*)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of inactivity (enforced with event-time
     * timeout so sessions also close when the stream goes quiet). */

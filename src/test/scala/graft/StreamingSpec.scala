@@ -116,6 +116,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches events within the time bound, drops the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.streamStreamJoin(
+      clicks.toDF().select($"user_id", $"ts", $"event_id"),
+      views.toDF().select($"user_id", $"ts", $"event_id"),
+      keyCols = Seq("user_id"), withinSeconds = 600,
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 1.0))
+      views.addData(
+        Event(100, ts(5), 7, "view", 1.0),   // within 10 min → match
+        Event(101, ts(30), 7, "view", 1.0),  // outside the bound
+        Event(102, ts(5), 8, "view", 1.0))   // different user
+      // watermark pushers so buffered state can resolve
+      clicks.addData(Event(2, ts(120), 99, "click", 0.0))
+      views.addData(Event(103, ts(120), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("user_id", "event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got should contain((7L, 1L, 100L))
+      got should not contain ((7L, 1L, 101L))
+      got.map(_._1) should not contain 8L
+    } finally q.stop()
+  }
+
   test("file-source stream: windowedStats over parquet files arriving in a dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
