@@ -126,17 +126,30 @@ final class Engine(spark: SparkSession, sink: TableSink) {
   /** Map the manifest's temporary credentials onto the s3a connector
     * (the analog of COPY's `CREDENTIALS 'aws_access_key_id=…'`,
     * Writer/Redshift.php:95-98). Session-token creds select the
-    * temporary-credentials provider. */
+    * temporary-credentials provider.
+    *
+    * Every relevant key is (re)set or cleared on EVERY call so one
+    * table's credentials can never leak into the next table's reads
+    * (a token-less table after a token-ed one must NOT inherit the
+    * temporary provider or a stale token), and the s3a FileSystem
+    * cache is disabled — Hadoop caches filesystems by scheme+authority,
+    * not by configuration, so a cached FS would keep authenticating
+    * with whatever credentials it was first built with. */
   private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    s3.accessKeyId.foreach(conf.set("fs.s3a.access.key", _))
-    s3.secretAccessKey.foreach(conf.set("fs.s3a.secret.key", _))
-    s3.sessionToken.foreach { t =>
-      conf.set("fs.s3a.session.token", t)
-      conf.set("fs.s3a.aws.credentials.provider",
-        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    def setOrClear(key: String, v: Option[String]): Unit = v match {
+      case Some(value) => conf.set(key, value)
+      case None => conf.unset(key)
     }
-    s3.region.foreach(conf.set("fs.s3a.endpoint.region", _))
+    setOrClear("fs.s3a.access.key", s3.accessKeyId)
+    setOrClear("fs.s3a.secret.key", s3.secretAccessKey)
+    setOrClear("fs.s3a.session.token", s3.sessionToken)
+    conf.set("fs.s3a.aws.credentials.provider",
+      if (s3.sessionToken.isDefined)
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+      else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+    setOrClear("fs.s3a.endpoint.region", s3.region)
+    conf.set("fs.s3a.impl.disable.cache", "true")
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

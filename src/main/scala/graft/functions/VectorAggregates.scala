@@ -29,7 +29,9 @@ case class VectorAvg(
   require(dim >= 1 && dim <= 65536, "dim out of range")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // NULL when the group contributed no valid vectors — an all-zeros
+  // "mean" would masquerade as a genuine origin-centered cluster
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def createAggregationBuffer(): (Array[Double], Long) =
@@ -59,10 +61,9 @@ case class VectorAvg(
     (sums, buf._2 + other._2)
   }
 
-  override def eval(buf: (Array[Double], Long)): Any = {
-    val n = math.max(buf._2, 1L).toDouble
-    new GenericArrayData(buf._1.map(_ / n))
-  }
+  override def eval(buf: (Array[Double], Long)): Any =
+    if (buf._2 == 0L) null
+    else new GenericArrayData(buf._1.map(_ / buf._2.toDouble))
 
   override def serialize(buf: (Array[Double], Long)): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * dim + 8)

@@ -65,7 +65,7 @@ object Dedup {
     * are checkpoint-free: each round's frame derives from the last
     * (lineage depth = iterations, fine for small maxIter).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edge list, both orientations — cached: every
     // iteration joins against it, and without the cache each round
     // would re-run the (possibly expensive) candidate-pair lineage
@@ -92,15 +92,23 @@ object Dedup {
         .groupBy("id")
         .agg(least(min(col("cand")), first(col("cluster"))).as("cluster"))
         .cache()
-      // fixpoint test: any label still shrinking?
+      // fixpoint test: any label still shrinking? A FULL count (no
+      // limit) so every partition of `next` materializes into its
+      // cache before the parent cache is released — a short-circuited
+      // probe would leave partitions to recompute through the whole
+      // unpersisted lineage chain next round.
       val changed = next.as("n").join(labels.as("l"), Seq("id"))
-        .filter(col("n.cluster") =!= col("l.cluster")).limit(1).count()
+        .filter(col("n.cluster") =!= col("l.cluster")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
     edges.unpersist() // labels is materialized; the edge cache is done
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter iterations " +
+          "(pair-graph diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -102,17 +102,28 @@ object Maintenance {
   }
 
   /** Remove orphaned staging directories left by interrupted
-    * staging+swap writes (`<table>__stage_*`, `<path>__compact_*`):
-    * a crash between write and rename strands them. Returns the
-    * deleted paths. Scheme-agnostic like the sinks. */
-  def cleanOrphanStages(spark: SparkSession, baseDir: String): Seq[String] = {
+    * staging+swap writes (`<table>__stage_<hex8>`,
+    * `<path>__compact_<hex8>`): a crash between write and rename
+    * strands them. Returns the deleted paths. Scheme-agnostic like
+    * the sinks.
+    *
+    * Safety: the name must match the exact generated suffix shape
+    * (not merely contain the marker — a real table named
+    * `x__stage_backup` is untouched), and only directories whose
+    * last modification is older than `olderThanMs` are removed, so a
+    * concurrently running overwrite/compaction's in-flight staging
+    * dir (fresh mtime) survives. */
+  def cleanOrphanStages(spark: SparkSession, baseDir: String,
+                        olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val stagePattern = ".*__(stage|compact)_[0-9a-f]{8}".r
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - olderThanMs
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(st => st.isDirectory &&
-        (st.getPath.getName.contains("__stage_") ||
-          st.getPath.getName.contains("__compact_")))
+        stagePattern.matches(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 }

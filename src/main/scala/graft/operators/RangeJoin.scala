@@ -39,10 +39,13 @@ object RangeJoin {
     val expanded = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive, but a range ending exactly on a bucket edge
-        // still covers that bucket's opening instant minus epsilon —
-        // include the bucket of (hi - 1) to stay exact for integers
-        floor((col(hiCol) - 1) / bucketWidth).cast("long"))))
+        // cover through floor(hi/width): any point p < hi satisfies
+        // floor(p/w) <= floor(hi/w), and this stays exact for
+        // FRACTIONAL bounds too (floor((hi-1)/w) would skip the last
+        // bucket when hi has a fractional part crossing a bucket edge);
+        // the at-most-one superfluous bucket row per interval is
+        // discarded by the residual bounds filter
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     val pointed = facts.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pointed.join(expanded, Seq("__bucket"))

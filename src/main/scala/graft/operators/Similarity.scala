@@ -161,6 +161,7 @@ object Similarity {
       val means = assigned.groupBy("cid")
         .agg(vectorAvg(col("v"), dim).as("mean"))
         .collect()
+        .filter(!_.isNullAt(1)) // group with no valid vectors → keep old
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
       centroids = centroids.zipWithIndex.map { case (old, i) =>

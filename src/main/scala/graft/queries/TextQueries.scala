@@ -86,7 +86,11 @@ object TextQueries {
       val toks = Tables(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("token"))
       val cands = toks
-        .agg(graft.functions.SketchFunctions.frequentItems(col("token"), 200)
+        // k=1000 keeps the capture bound (freq > N/1001) far below any
+        // plausible top-10 frequency; for this corpus's small lorem
+        // vocabulary the sketch never even overflows, so nomination is
+        // exact — either way the exact-count pass does the ranking
+        .agg(graft.functions.SketchFunctions.frequentItems(col("token"), 1000)
           .as("cands"))
         .select(explode(col("cands")).as("c"))
         .select(col("c.item").as("token"))

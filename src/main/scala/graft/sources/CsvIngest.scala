@@ -120,7 +120,7 @@ object CsvIngest {
         // reference renders DEFAULT '<v>' for all types except TEXT
         // (Writer/Redshift.php:142-145); applies only to unparsed
         // values — explicit NULLs pass through unchanged
-        when(col(c.name).isNotNull && casted.isNull, lit(d).cast(c.sparkType))
+        when(col(quoted(c.name)).isNotNull && casted.isNull, lit(d).cast(c.sparkType))
           .otherwise(casted)
       case _ => casted
     }
@@ -154,7 +154,7 @@ object CsvIngest {
           if (c.sparkType == StringType) Nil
           else {
             val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
-            Seq((c, col(c.name).isNotNull && casted.isNull, "cast"))
+            Seq((c, col(quoted(c.name)).isNotNull && casted.isNull, "cast"))
           }
         val nnCheck =
           if (c.nullable) Nil
@@ -169,7 +169,7 @@ object CsvIngest {
       val withLine = zipWithLineNumbers(df, base)
       val aggs = checks.zipWithIndex.map { case ((c, pred, _), i) =>
         min(when(pred, struct(col("__line").as("line"),
-          col(c.name).cast(StringType).as("value")))).as(s"__c$i")
+          col(quoted(c.name)).cast(StringType).as("value")))).as(s"__c$i")
       }
       val firsts = withLine.agg(aggs.head, aggs.tail: _*).collect().head
       checks.zipWithIndex.foreach { case ((c, _, kind), i) =>
@@ -211,7 +211,7 @@ object CsvIngest {
         if (c.sparkType == StringType) Nil
         else {
           val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
-          Seq((col(c.name).isNotNull && casted.isNull, c.dbName))
+          Seq((col(quoted(c.name)).isNotNull && casted.isNull, c.dbName))
         }
       // NOT NULL violations quarantine too (reference DDL renders
       // NOT NULL so the DB rejects the row; Redshift.php:141-145)

@@ -226,6 +226,22 @@ class CsvIngestSpec extends SparkSpec {
       Seq(Seq("created"), Seq("id"), Seq("id", "created"))
   }
 
+  test("source column names containing dots resolve literally, not as struct fields") {
+    import spark.implicits._
+    val t = TableConfig("t", "t", items = Seq(
+      ColumnSpec("user.id", "uid", "int", nullable = false),
+      ColumnSpec("user.email", "email", "varchar", Some("50"),
+        default = Some("none"))))
+    val df = Seq(("1", "a@b.co"), ("2", null: String))
+      .toDF("user.id", "user.email")
+    val got = rows(CsvIngest.castAndProject(df, t).orderBy("uid"))
+    got shouldBe Seq(Seq(1, "a@b.co"), Seq(2, null))
+    // strict + quarantine paths build predicates over the same names
+    CsvIngest.castAndProjectStrict(df, t).count() shouldBe 2
+    val (clean, _) = CsvIngest.castAndProjectQuarantine(df, t)
+    clean.count() shouldBe 2
+  }
+
   test("timestamp without timezone ingests as TimestampNTZ, tz-independent") {
     import spark.implicits._
     val t = TableConfig("t", "t", items = Seq(

@@ -61,12 +61,16 @@ class MaintenanceSpec extends SparkSpec {
     mk("orders")
     mk("orders__stage_ab12cd34")
     mk("events__compact_ef56ab78")
-    val deleted = Maintenance.cleanOrphanStages(spark, base)
+    mk("x__stage_backup") // marker substring but NOT the generated shape
+    // age guard: a fresh (in-flight) staging dir survives the default cutoff
+    Maintenance.cleanOrphanStages(spark, base) shouldBe Nil
+    val deleted = Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L)
     deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted shouldBe
       Seq("events__compact_ef56ab78", "orders__stage_ab12cd34")
     new java.io.File(base, "orders").exists() shouldBe true
+    new java.io.File(base, "x__stage_backup").exists() shouldBe true
     new java.io.File(base, "orders__stage_ab12cd34").exists() shouldBe false
-    Maintenance.cleanOrphanStages(spark, base) shouldBe Nil
+    Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L) shouldBe Nil
   }
 
   test("approxDistinct profile: one Expand-free scan, <=5% error vs exact") {
