@@ -50,7 +50,15 @@ final class Engine(spark: SparkSession, sink: TableSink) {
           val entries = CsvIngest.manifestEntries(spark, url)
             .map(CsvIngest.normalizeScheme)
           (CsvIngest.readSlices(spark, entries, table), false)
-        } else (CsvIngest.read(spark, url, table), true)
+        } else {
+          // P5 must still hold when the manifest carries no columns
+          // list: read the staged file's header — positional schema
+          // mapping would otherwise load reordered columns silently
+          // into the wrong fields
+          if (manifestCols.isEmpty)
+            ConfigParser.checkColumns(CsvIngest.headerColumns(spark, url), table)
+          (CsvIngest.read(spark, url, table), true)
+        }
       case None =>
         val sliced = fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory
         if (sliced) {
@@ -77,7 +85,16 @@ final class Engine(spark: SparkSession, sink: TableSink) {
       val merged =
         if (sink.tableExists(table.dbName)) {
           val target = sink.read(table.dbName)
-          Load.upsert(target, staged, table.primaryKey)
+          // align staged column types to the STORED target's physical
+          // types — e.g. re-spelling a config's 'timestamp' as the
+          // equivalent 'timestamp without timezone' maps to NTZ while
+          // the stored table is LTZ; without the cast the merge union
+          // would mix flavors (fail or silently flip the table schema)
+          val aligned = staged.select(target.schema.fields.map { f =>
+            val q = "`" + f.name.replace("`", "``") + "`"
+            org.apache.spark.sql.functions.col(q).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+          Load.upsert(target, aligned, table.primaryKey)
         } else staged
       // sink.overwrite stages-then-swaps, so the plan can read the
       // current target while its replacement materializes.
@@ -128,28 +145,30 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     * Writer/Redshift.php:95-98). Session-token creds select the
     * temporary-credentials provider.
     *
-    * Every relevant key is (re)set or cleared on EVERY call so one
-    * table's credentials can never leak into the next table's reads
-    * (a token-less table after a token-ed one must NOT inherit the
-    * temporary provider or a stale token), and the s3a FileSystem
-    * cache is disabled — Hadoop caches filesystems by scheme+authority,
-    * not by configuration, so a cached FS would keep authenticating
-    * with whatever credentials it was first built with. */
+    * Scoped PER BUCKET (`fs.s3a.bucket.<name>.*`): global keys would
+    * leak one table's credentials into every other s3a read of the
+    * run, and disabling the FS cache to compensate leaks an unclosed
+    * S3AFileSystem (connection pool + threads) per access. Per-bucket
+    * config also composes with Hadoop's FS cache, which keys on
+    * scheme+authority (= bucket). A manifest without a credentials
+    * node sets nothing — the default provider chain (env/IAM) stays
+    * intact for public or instance-profile buckets. Known residual:
+    * rotated credentials for the SAME bucket within one session still
+    * hit the first-built cached FS. */
   private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def setOrClear(key: String, v: Option[String]): Unit = v match {
-      case Some(value) => conf.set(key, value)
-      case None => conf.unset(key)
+    val p = s"fs.s3a.bucket.${s3.bucket}"
+    s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
+    s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
+    s3.sessionToken.foreach { t =>
+      conf.set(s"$p.session.token", t)
+      conf.set(s"$p.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
     }
-    setOrClear("fs.s3a.access.key", s3.accessKeyId)
-    setOrClear("fs.s3a.secret.key", s3.secretAccessKey)
-    setOrClear("fs.s3a.session.token", s3.sessionToken)
-    conf.set("fs.s3a.aws.credentials.provider",
-      if (s3.sessionToken.isDefined)
-        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
-      else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
-    setOrClear("fs.s3a.endpoint.region", s3.region)
-    conf.set("fs.s3a.impl.disable.cache", "true")
+    if (s3.sessionToken.isEmpty && s3.accessKeyId.isDefined)
+      conf.set(s"$p.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+    s3.region.foreach(conf.set(s"$p.endpoint.region", _))
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

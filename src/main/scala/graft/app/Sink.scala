@@ -42,8 +42,12 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
   private def fs = new Path(baseDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  def tableExists(name: String): Boolean =
-    fs.exists(new Path(path(name), "_SUCCESS"))
+  // Directory presence, not _SUCCESS: a partially-written table must
+  // read loudly (or fail) downstream rather than be silently treated
+  // as absent — a spurious `false` would make the incremental paths
+  // (Engine.writeTable, streamingUpsert) replace the table with just
+  // the current batch.
+  def tableExists(name: String): Boolean = fs.exists(path(name))
 
   def read(name: String): DataFrame = spark.read.parquet(path(name).toString)
 
@@ -51,10 +55,22 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
     val stage = path(
       s"${name}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(stage.toString)
+    // The swap is retried HERE, and its terminal failure is a
+    // UserException: the outer Retry wrapper must never re-execute the
+    // write plan once the target is deleted — an incremental merge
+    // plan READS the target, so a re-run would find its input gone.
+    // On terminal failure the staged data survives at `stage`.
     val target = path(name)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(stage, target))
-      throw new java.io.IOException(s"swap failed for table '$name'")
+    try Retry.withRetry(3) {
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(stage, target))
+        throw new java.io.IOException(s"swap failed for table '$name'")
+    } catch {
+      case e: Exception =>
+        throw new graft.model.UserException(
+          s"swap failed for table '$name' after retries " +
+            s"(staged data preserved at $stage): ${e.getMessage}")
+    }
   }
 
   def listTables(): Seq[String] = {
@@ -109,9 +125,17 @@ final class JdbcSink(spark: SparkSession, url: String,
     case (r, (k, v)) => r.option(k, v)
   }
 
-  def tableExists(name: String): Boolean =
-    try { reader.option("dbtable", name).load().schema; true }
-    catch { case _: Exception => false }
+  // The reference's catalog probe (Writer/Redshift.php:216-224): a
+  // definite count from information_schema. Connection failures
+  // PROPAGATE (scrubbed, via guarded) — mapping them to false would
+  // make the incremental paths treat a transient outage as "table
+  // missing" and truncate-replace the accumulated table with one batch.
+  def tableExists(name: String): Boolean = guarded {
+    reader.option("query",
+        "SELECT table_name FROM information_schema.tables " +
+          s"WHERE table_name = '${name.toLowerCase.replace("'", "''")}'")
+      .load().count() > 0
+  }
 
   def read(name: String): DataFrame =
     guarded(reader.option("dbtable", name).load())

@@ -28,6 +28,20 @@ case class VectorAvg(
 
   require(dim >= 1 && dim <= 65536, "dim out of range")
 
+  // Reject non-array<double> inputs at ANALYSIS time: float-encoded
+  // ArrayData read through getDouble is a ClassCastException or —
+  // worse, on unsafe rows — silent 8-byte-stride garbage. SQL callers
+  // over the repo's array<float> embedding columns must cast first.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_avg requires array<double>, got ${other.simpleString}; " +
+            "cast the column to array<double> first")
+    }
+
   override def children: Seq[Expression] = Seq(child)
   // NULL when the group contributed no valid vectors — an all-zeros
   // "mean" would masquerade as a genuine origin-centered cluster

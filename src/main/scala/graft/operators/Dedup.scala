@@ -105,10 +105,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist() // labels is materialized; the edge cache is done
-    if (!converged)
+    if (!converged) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations " +
           "(pair-graph diameter exceeds maxIter); raise maxIter")
+    }
+    // NOTE: the returned frame is cached (it was materialized by the
+    // fixpoint probes); callers that are done with it may unpersist()
     labels
   }
 

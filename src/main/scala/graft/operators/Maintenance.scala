@@ -28,9 +28,18 @@ object Maintenance {
     // parallelism into the reduced slot count; a compaction job wants
     // full read parallelism and only narrow output width
     df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
-    fs.delete(target, true)
-    if (!fs.rename(stage, target))
-      throw new java.io.IOException(s"compaction swap failed for '$path'")
+    // swap retried in place; terminal failure reports the preserved
+    // stage dir — never re-execute the write against a deleted target
+    try graft.app.Retry.withRetry(3) {
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(stage, target))
+        throw new java.io.IOException(s"compaction swap failed for '$path'")
+    } catch {
+      case e: Exception =>
+        throw new graft.model.UserException(
+          s"compaction swap failed for '$path' after retries " +
+            s"(compacted data preserved at $stage): ${e.getMessage}")
+    }
     nFiles
   }
 

@@ -84,9 +84,13 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       decoder.open()
-      rows.map { r =>
-        val (w, h, c, f) = decoder.decode(r.getAs[Array[Byte]](mediaIdx))
-        Row(r.get(idIdx), Row(w, h, c, f))
+      // NULL payloads are skipped (no decodable media → no row); the
+      // declared non-null output schemas could not represent them
+      rows.flatMap { r =>
+        Option(r.getAs[Array[Byte]](mediaIdx)).map { payload =>
+          val (w, h, c, f) = decoder.decode(payload)
+          Row(r.get(idIdx), Row(w, h, c, f))
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -106,7 +110,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       decoder.open()
-      rows.flatMap { r =>
+      rows.filter(_.getAs[Array[Byte]](mediaIdx) != null).flatMap { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
         val (_, _, _, nFrames) = decoder.decode(payload)
         val take = math.min(maxFrames, nFrames)
@@ -141,12 +145,13 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       decoder.open()
-      rows.grouped(batchSize).flatMap { batch =>
-        val ids = batch.map(_.get(idIdx))
-        val payloads = batch.map(_.getAs[Array[Byte]](mediaIdx)).toArray
-        val feats = decoder.featuresBatch(payloads, dim)
-        ids.lazyZip(feats).map { (id, f) => Row(id, f.toSeq) }
-      }
+      rows.filter(_.getAs[Array[Byte]](mediaIdx) != null)
+        .grouped(batchSize).flatMap { batch =>
+          val ids = batch.map(_.get(idIdx))
+          val payloads = batch.map(_.getAs[Array[Byte]](mediaIdx)).toArray
+          val feats = decoder.featuresBatch(payloads, dim)
+          ids.lazyZip(feats).map { (id, f) => Row(id, f.toSeq) }
+        }
     }(RowEncoder.encoderFor(outSchema))
   }
 
@@ -165,7 +170,7 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       decoder.open()
-      rows.map { r =>
+      rows.filter(_.getAs[Array[Byte]](mediaIdx) != null).map { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
         val scaled = java.util.Arrays.copyOf(
           payload, math.min(payload.length, math.max(1, targetW * targetH / 64)))

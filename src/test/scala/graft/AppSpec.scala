@@ -208,13 +208,19 @@ class AppSpec extends SparkSpec {
       sessionToken = Some("tOkEn")))
     engine.stagedUrl(s3.get) shouldBe "s3a://kbc-bucket/exp/simple.csv.manifest"
 
-    engine.applyS3Credentials(s3.get)
     val conf = spark.sparkContext.hadoopConfiguration
-    conf.get("fs.s3a.access.key") shouldBe "AKIAEXAMPLE"
-    conf.get("fs.s3a.secret.key") shouldBe "sEcReT"
-    conf.get("fs.s3a.session.token") shouldBe "tOkEn"
-    conf.get("fs.s3a.aws.credentials.provider") should include("Temporary")
-    conf.get("fs.s3a.endpoint.region") shouldBe "us-east-1"
+    val globalProviderBefore = conf.get("fs.s3a.aws.credentials.provider")
+    engine.applyS3Credentials(s3.get)
+    // scoped per bucket — never the global fs.s3a.* keys (credential
+    // leak into every other s3a read of the session)
+    val p = "fs.s3a.bucket.kbc-bucket"
+    conf.get(s"$p.access.key") shouldBe "AKIAEXAMPLE"
+    conf.get(s"$p.secret.key") shouldBe "sEcReT"
+    conf.get(s"$p.session.token") shouldBe "tOkEn"
+    conf.get(s"$p.aws.credentials.provider") should include("Temporary")
+    conf.get(s"$p.endpoint.region") shouldBe "us-east-1"
+    conf.get("fs.s3a.access.key") shouldBe null
+    conf.get("fs.s3a.aws.credentials.provider") shouldBe globalProviderBefore
 
     // manifest without an s3 node (the local fixture shape) → None
     Files.writeString(java.nio.file.Paths.get(s"$dir/m2.manifest"),

@@ -58,6 +58,19 @@ class MultimodalSpec extends SparkSpec {
     byDoc(2L) shouldBe math.min(4, 1000 % 16 + 1)
   }
 
+  test("NULL payloads are skipped, not NPEs") {
+    val withNull = Seq((1L, "x".getBytes("UTF-8")), (2L, null: Array[Byte]))
+      .toDF("doc_id", "media")
+    Multimodal.extractMeta(withNull, "doc_id", "media")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    Multimodal.frameFeatures(withNull, "doc_id", "media")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    Multimodal.batchedFeatures(withNull, "doc_id", "media")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    Multimodal.resize(withNull, "doc_id", "media", 64, 64)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   test("batchedFeatures: one vector per doc, decoder called in capped batches") {
     val docs = (1L to 100L).map(i => (i, s"payload$i".getBytes("UTF-8")))
       .toDF("doc_id", "media").repartition(2)
