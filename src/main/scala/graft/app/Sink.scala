@@ -82,9 +82,18 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
 }
 
 /** JDBC sink (reference: PDO DSN with port 5439 + keepalives,
-  * Writer/Redshift.php:44-77). Config surface only in this zero-egress
-  * environment; write path mirrors ParquetSink semantics via
-  * `.format("jdbc")` with `truncate` for overwrites.
+  * Writer/Redshift.php:44-77).
+  *
+  * Overwrites go through a STAGING TABLE + swap — the reference's own
+  * `<name>_temp_<uniqid()>` pattern (Writer/Redshift.php:345-348) and
+  * a correctness requirement here: the incremental merge plan READS
+  * the current target lazily, so truncating the target before the
+  * write job pulls its rows would feed the merge an empty input.
+  * The swap (drop old + rename stage) runs on one JDBC connection.
+  *
+  * `catalogSql` / `renameSql` default to the Redshift/Postgres
+  * dialect; other engines (e.g. embedded Derby in the integration
+  * spec) pass their own.
   *
   * Failures are re-thrown with credentials scrubbed from the message —
   * the JDBC layer loves echoing the connection URL (e.g. "No suitable
@@ -94,7 +103,13 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
   * cause: a cause chain would re-surface the raw driver message.
   */
 final class JdbcSink(spark: SparkSession, url: String,
-                     props: Map[String, String]) extends TableSink {
+                     props: Map[String, String],
+                     catalogSql: String =
+                       "SELECT table_name FROM information_schema.tables " +
+                         "WHERE table_type = 'BASE TABLE'",
+                     renameSql: (String, String) => String =
+                       (from, to) => s"ALTER TABLE $from RENAME TO $to")
+    extends TableSink {
 
   /** Every secret value that could leak into a driver message: any
     * password-named prop plus password/secret params inside the URL. */
@@ -125,30 +140,44 @@ final class JdbcSink(spark: SparkSession, url: String,
     case (r, (k, v)) => r.option(k, v)
   }
 
-  // The reference's catalog probe (Writer/Redshift.php:216-224): a
-  // definite count from information_schema. Connection failures
-  // PROPAGATE (scrubbed, via guarded) — mapping them to false would
-  // make the incremental paths treat a transient outage as "table
-  // missing" and truncate-replace the accumulated table with one batch.
-  def tableExists(name: String): Boolean = guarded {
-    reader.option("query",
-        "SELECT table_name FROM information_schema.tables " +
-          s"WHERE table_name = '${name.toLowerCase.replace("'", "''")}'")
-      .load().count() > 0
-  }
+  // The reference's catalog probe (Writer/Redshift.php:216-224).
+  // Connection failures PROPAGATE (scrubbed, via guarded) — mapping
+  // them to false would make the incremental paths treat a transient
+  // outage as "table missing" and replace the accumulated table with
+  // one batch.
+  def tableExists(name: String): Boolean =
+    listTables().exists(_.equalsIgnoreCase(name))
 
   def read(name: String): DataFrame =
     guarded(reader.option("dbtable", name).load())
 
-  def overwrite(df: DataFrame, name: String): Unit =
-    guarded(props.foldLeft(df.write.format("jdbc")
-        .option("url", url).option("dbtable", name)
-        .option("truncate", "true")) { case (w, (k, v)) => w.option(k, v) }
-      .mode("overwrite").save())
+  def overwrite(df: DataFrame, name: String): Unit = guarded {
+    val stage = s"${name}_temp_${java.util.UUID.randomUUID().toString.take(8)}"
+    props.foldLeft(df.write.format("jdbc")
+        .option("url", url).option("dbtable", stage)) {
+      case (w, (k, v)) => w.option(k, v)
+    }.mode("errorifexists").save()
+    val existed = tableExists(name)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try {
+        if (existed) st.execute(s"DROP TABLE $name")
+        st.execute(renameSql(stage, name))
+      } finally st.close()
+    } finally conn.close()
+  }
 
   def listTables(): Seq[String] =
-    guarded(reader.option("query",
-        "SELECT table_name FROM information_schema.tables " +
-          "WHERE table_type = 'BASE TABLE'")
+    guarded(reader.option("query", catalogSql)
       .load().collect().map(_.getString(0)).sorted.toSeq)
+
+  /** Driver-side connection for the swap DDL (user/password taken
+    * from the Spark JDBC props). */
+  private def connect(): java.sql.Connection = {
+    val p = new java.util.Properties()
+    props.get("user").foreach(p.setProperty("user", _))
+    props.get("password").foreach(p.setProperty("password", _))
+    java.sql.DriverManager.getConnection(url, p)
+  }
 }
