@@ -157,15 +157,25 @@ final class JdbcSink(spark: SparkSession, url: String,
         .option("url", url).option("dbtable", stage)) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("errorifexists").save()
-    val existed = tableExists(name)
-    val conn = connect()
-    try {
-      val st = conn.createStatement()
+    // Like ParquetSink: the swap retries IN PLACE and fails terminally
+    // as a UserException — the outer retry must never re-execute a
+    // merge plan whose input table was already dropped; the staged
+    // table survives for manual recovery.
+    try Retry.withRetry(3) {
+      val conn = connect()
       try {
-        if (existed) st.execute(s"DROP TABLE $name")
-        st.execute(renameSql(stage, name))
-      } finally st.close()
-    } finally conn.close()
+        val st = conn.createStatement()
+        try {
+          if (tableExists(name)) st.execute(s"DROP TABLE $name")
+          st.execute(renameSql(stage, name))
+        } finally st.close()
+      } finally conn.close()
+    } catch {
+      case e: Exception =>
+        throw new graft.model.UserException(
+          s"swap failed for table '$name' after retries " +
+            s"(staged data preserved in table $stage): ${scrub(e.getMessage)}")
+    }
   }
 
   def listTables(): Seq[String] =
