@@ -127,9 +127,13 @@ final class JdbcSink(spark: SparkSession, url: String,
 
   /** Wrap a JDBC action; any failure resurfaces with secrets masked.
     * Stays a RuntimeException (not UserException) so [[Retry]] still
-    * treats transient connection errors as retryable. */
+    * treats transient connection errors as retryable — but an inner
+    * UserException (the terminal swap failure, already scrubbed)
+    * passes through untouched: re-wrapping it retryable would let the
+    * outer retry re-execute a plan whose input table is gone. */
   private def guarded[T](f: => T): T =
     try f catch {
+      case e: graft.model.UserException => throw e
       case e: Exception =>
         throw new RuntimeException(
           s"${e.getClass.getSimpleName}: ${scrub(e.getMessage)}")
