@@ -250,6 +250,20 @@ object AnalyticsQueries {
           expr("percentile(o_totalprice, 0.75)").as("p75"))
         .orderBy(col("o_orderstatus"))),
 
+    // The 100 TB percentile path: Spark's Greenwald–Khanna sketch
+    // (approx_percentile) — exact `percentile` buffers every value per
+    // group; the sketch keeps bounded state over the shuffle. Rows-only
+    // gate (approximation isn't oracle-reproducible); error bound
+    // pinned in SketchSpec against the exact twin.
+    "price_percentiles_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
+        .orderBy(col("o_orderstatus"))),
+
     // As-of join: each probe event picks up the latest reference event
     // at-or-before its timestamp (union+window trick, one shuffle —
     // graft.operators.AsOfJoin). DuckDB oracle uses native ASOF JOIN.

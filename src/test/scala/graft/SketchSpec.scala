@@ -33,6 +33,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track exact within 1% relative error on orders") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    def p50(agg: String): Map[String, Double] =
+      orders.groupBy("o_orderstatus")
+        .agg(expr(agg).cast("double").as("p50"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = p50("percentile(o_totalprice, 0.5)")
+    p50("approx_percentile(o_totalprice, 0.5, 10000)").foreach {
+      case (k, approx) =>
+        math.abs(approx - exact(k)) / exact(k) should be <= 0.01
+    }
+  }
+
   test("nominate-then-verify top-k is exact and partitioning-independent") {
     def topVia(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] = {
       val cands = df.agg(SketchFunctions.frequentItems($"token", 64).as("hh"))
