@@ -85,15 +85,29 @@ final class Engine(spark: SparkSession, sink: TableSink) {
       val merged =
         if (sink.tableExists(table.dbName)) {
           val target = sink.read(table.dbName)
-          // align staged column types to the STORED target's physical
-          // types — e.g. re-spelling a config's 'timestamp' as the
-          // equivalent 'timestamp without timezone' maps to NTZ while
-          // the stored table is LTZ; without the cast the merge union
-          // would mix flavors (fail or silently flip the table schema)
-          val aligned = staged.select(target.schema.fields.map { f =>
-            val q = "`" + f.name.replace("`", "``") + "`"
-            org.apache.spark.sql.functions.col(q).cast(f.dataType).as(f.name)
-          }.toSeq: _*)
+          // Align ONLY timestamp flavors to the stored target: a config
+          // re-spelling 'timestamp' as 'timestamp without timezone'
+          // maps to NTZ while the stored table is LTZ (equivalent under
+          // the UTC pin) — cast so the merge union doesn't mix flavors.
+          // Anything else (added/removed columns, genuine type changes)
+          // passes through so Load.upsert fails LOUDLY, like the
+          // reference's column-mismatch error — a blanket cast to the
+          // target schema would silently drop new columns or null out
+          // incompatible values.
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+          val tsFlavors: Set[org.apache.spark.sql.types.DataType] =
+            Set(TimestampType, TimestampNTZType)
+          val targetTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+          val aligned = staged.schema.fields.foldLeft(staged) { (df, f) =>
+            targetTypes.get(f.name) match {
+              case Some(tt) if tt != f.dataType &&
+                  tsFlavors(tt) && tsFlavors(f.dataType) =>
+                val q = "`" + f.name.replace("`", "``") + "`"
+                df.withColumn(f.name, col(q).cast(tt))
+              case _ => df
+            }
+          }
           Load.upsert(target, aligned, table.primaryKey)
         } else staged
       // sink.overwrite stages-then-swaps, so the plan can read the
@@ -158,17 +172,24 @@ final class Engine(spark: SparkSession, sink: TableSink) {
   private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = s"fs.s3a.bucket.${s3.bucket}"
-    s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
-    s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
-    s3.sessionToken.foreach { t =>
-      conf.set(s"$p.session.token", t)
-      conf.set(s"$p.aws.credentials.provider",
-        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    // set OR CLEAR each key: a later manifest for the same bucket
+    // without a credentials node must fall back to the default
+    // provider chain, not inherit a previous table's (possibly
+    // expired) keys or provider pin
+    def setOrClear(key: String, v: Option[String]): Unit = v match {
+      case Some(value) => conf.set(key, value)
+      case None => conf.unset(key)
     }
-    if (s3.sessionToken.isEmpty && s3.accessKeyId.isDefined)
-      conf.set(s"$p.aws.credentials.provider",
-        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
-    s3.region.foreach(conf.set(s"$p.endpoint.region", _))
+    setOrClear(s"$p.access.key", s3.accessKeyId)
+    setOrClear(s"$p.secret.key", s3.secretAccessKey)
+    setOrClear(s"$p.session.token", s3.sessionToken)
+    setOrClear(s"$p.aws.credentials.provider",
+      if (s3.sessionToken.isDefined)
+        Some("org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+      else if (s3.accessKeyId.isDefined)
+        Some("org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+      else None)
+    setOrClear(s"$p.endpoint.region", s3.region)
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

@@ -8,6 +8,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[ParquetSink]], production writes use [[JdbcSink]] (S4 — the
   * driver-mandated JDBC approach) with identical semantics.
   */
+/** Shared protection for staging swaps: retry the swap body in place,
+  * and surface terminal failure as a NON-RETRYABLE UserException — an
+  * outer retry must never re-execute a write plan whose input (the
+  * old target) a half-finished swap already removed. Bodies must be
+  * IDEMPOTENT across ambiguous failures (an operation that committed
+  * server-side while the client saw an error must not be repeated
+  * destructively on the next attempt). */
+private[graft] object SwapGuard {
+  def apply[T](recovery: => String)(body: => T): T =
+    try Retry.withRetry(3)(body)
+    catch {
+      case e: Exception =>
+        throw new graft.model.UserException(s"$recovery: ${e.getMessage}")
+    }
+}
+
 trait TableSink {
   /** Catalog probe (reference: Writer/Redshift.php:216-224). */
   def tableExists(name: String): Boolean
@@ -55,21 +71,23 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
     val stage = path(
       s"${name}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(stage.toString)
-    // The swap is retried HERE, and its terminal failure is a
-    // UserException: the outer Retry wrapper must never re-execute the
-    // write plan once the target is deleted — an incremental merge
-    // plan READS the target, so a re-run would find its input gone.
-    // On terminal failure the staged data survives at `stage`.
     val target = path(name)
-    try Retry.withRetry(3) {
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.rename(stage, target))
-        throw new java.io.IOException(s"swap failed for table '$name'")
-    } catch {
-      case e: Exception =>
-        throw new graft.model.UserException(
-          s"swap failed for table '$name' after retries " +
-            s"(staged data preserved at $stage): ${e.getMessage}")
+    // Idempotent swap (see SwapGuard): an ambiguous rename — committed
+    // server-side, error client-side (s3a copy+delete, HDFS timeouts)
+    // — leaves stage gone and target present; the retry must treat
+    // that as success, NOT delete the freshly swapped-in data.
+    SwapGuard(s"swap failed for table '$name' after retries " +
+        s"(staged data preserved at $stage)") {
+      if (!fs.exists(stage)) {
+        if (!fs.exists(target))
+          throw new java.io.IOException(
+            s"stage and target both missing for '$name'")
+        // else: a prior attempt's rename landed — done
+      } else {
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(stage, target))
+          throw new java.io.IOException(s"swap failed for table '$name'")
+      }
     }
   }
 
@@ -106,7 +124,8 @@ final class JdbcSink(spark: SparkSession, url: String,
                      props: Map[String, String],
                      catalogSql: String =
                        "SELECT table_name FROM information_schema.tables " +
-                         "WHERE table_type = 'BASE TABLE'",
+                         "WHERE table_type = 'BASE TABLE' " +
+                         "AND table_schema = current_schema()",
                      renameSql: (String, String) => String =
                        (from, to) => s"ALTER TABLE $from RENAME TO $to")
     extends TableSink {
@@ -161,24 +180,56 @@ final class JdbcSink(spark: SparkSession, url: String,
         .option("url", url).option("dbtable", stage)) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("errorifexists").save()
-    // Like ParquetSink: the swap retries IN PLACE and fails terminally
-    // as a UserException — the outer retry must never re-execute a
-    // merge plan whose input table was already dropped; the staged
-    // table survives for manual recovery.
-    try Retry.withRetry(3) {
-      val conn = connect()
-      try {
-        val st = conn.createStatement()
+    val sameShape = tableExists(name) &&
+      read(name).schema.fieldNames.toSeq
+        .map(_.toLowerCase) == read(stage).schema.fieldNames.toSeq
+        .map(_.toLowerCase)
+    if (sameShape) {
+      // DDL-preserving transactional replace: the target keeps its
+      // types/sort keys/grants/view dependencies (the reference's
+      // incremental path also mutates the target in place). DELETE +
+      // INSERT in ONE transaction is atomic AND idempotent — an
+      // ambiguous commit replayed on retry deletes-then-inserts the
+      // same rows again.
+      SwapGuard(s"replace failed for table '$name' after retries " +
+          s"(staged data preserved in table $stage)") {
+        val conn = connect()
         try {
-          if (tableExists(name)) st.execute(s"DROP TABLE $name")
-          st.execute(renameSql(stage, name))
-        } finally st.close()
-      } finally conn.close()
-    } catch {
-      case e: Exception =>
-        throw new graft.model.UserException(
-          s"swap failed for table '$name' after retries " +
-            s"(staged data preserved in table $stage): ${scrub(e.getMessage)}")
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            st.execute(s"DELETE FROM $name")
+            st.execute(s"INSERT INTO $name SELECT * FROM $stage")
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally st.close()
+        } finally conn.close()
+      }
+      dropQuietly(stage)
+    } else {
+      // First creation or schema change (= the reference's full-load
+      // drop+create): rename the stage in. Idempotent across ambiguous
+      // failures — if a prior attempt's rename landed, the stage is
+      // gone and the target exists, which the retry treats as done.
+      SwapGuard(s"swap failed for table '$name' after retries " +
+          s"(staged data preserved in table $stage)") {
+        val conn = connect()
+        try {
+          val st = conn.createStatement()
+          try {
+            if (!tableExists(stage)) {
+              if (!tableExists(name))
+                throw new IllegalStateException(
+                  s"stage and target both missing for '$name'")
+              // else: prior rename landed — done
+            } else {
+              if (tableExists(name)) st.execute(s"DROP TABLE $name")
+              st.execute(renameSql(stage, name))
+            }
+          } finally st.close()
+        } finally conn.close()
+      }
     }
   }
 
@@ -186,12 +237,33 @@ final class JdbcSink(spark: SparkSession, url: String,
     guarded(reader.option("query", catalogSql)
       .load().collect().map(_.getString(0)).sorted.toSeq)
 
-  /** Driver-side connection for the swap DDL (user/password taken
-    * from the Spark JDBC props). */
+  /** Drop stranded `<name>_temp_<hex8>` staging tables (a write that
+    * failed mid-job leaves one per attempt; nothing else cleans JDBC
+    * temps). Returns the dropped names. */
+  def cleanOrphanTemps(): Seq[String] = {
+    val tempPattern = ".*_temp_[0-9a-f]{8}".r
+    listTables().filter(t => tempPattern.matches(t.toLowerCase))
+      .map { t => dropQuietly(t); t }
+  }
+
+  private def dropQuietly(table: String): Unit =
+    try {
+      val conn = connect()
+      try {
+        val st = conn.createStatement()
+        try st.execute(s"DROP TABLE $table")
+        finally st.close()
+      } finally conn.close()
+    } catch { case _: Exception => () }
+
+  /** Driver-side connection for the swap DDL. Honors the full prop map
+    * — notably `driver` (jars added via --jars are invisible to
+    * DriverManager's ServiceLoader, the documented reason Spark's JDBC
+    * source has the option) and ssl/connection settings. */
   private def connect(): java.sql.Connection = {
+    props.get("driver").foreach(Class.forName(_))
     val p = new java.util.Properties()
-    props.get("user").foreach(p.setProperty("user", _))
-    props.get("password").foreach(p.setProperty("password", _))
+    props.foreach { case (k, v) => if (k != "driver") p.setProperty(k, v) }
     java.sql.DriverManager.getConnection(url, p)
   }
 }

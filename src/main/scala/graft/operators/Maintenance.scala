@@ -28,17 +28,20 @@ object Maintenance {
     // parallelism into the reduced slot count; a compaction job wants
     // full read parallelism and only narrow output width
     df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
-    // swap retried in place; terminal failure reports the preserved
-    // stage dir — never re-execute the write against a deleted target
-    try graft.app.Retry.withRetry(3) {
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.rename(stage, target))
-        throw new java.io.IOException(s"compaction swap failed for '$path'")
-    } catch {
-      case e: Exception =>
-        throw new graft.model.UserException(
-          s"compaction swap failed for '$path' after retries " +
-            s"(compacted data preserved at $stage): ${e.getMessage}")
+    // idempotent swap under SwapGuard (see graft.app.SwapGuard): an
+    // ambiguous rename that landed server-side must read as success,
+    // and terminal failure is non-retryable with the stage preserved
+    graft.app.SwapGuard(s"compaction swap failed for '$path' after " +
+        s"retries (compacted data preserved at $stage)") {
+      if (!fs.exists(stage)) {
+        if (!fs.exists(target))
+          throw new java.io.IOException(
+            s"stage and target both missing for '$path'")
+      } else {
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(stage, target))
+          throw new java.io.IOException(s"compaction swap failed for '$path'")
+      }
     }
     nFiles
   }

@@ -34,6 +34,19 @@ class JdbcSinkSpec extends SparkSpec {
     s.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
   }
 
+  test("cleanOrphanTemps drops stranded temp tables, leaves real ones") {
+    val s = sink
+    s.overwrite(Seq((1L, "x")).toDF("id", "v"), "keepme")
+    // simulate a stranded stage from a failed write
+    Seq((9L, "z")).toDF("id", "v").write.format("jdbc")
+      .option("url", url).option("dbtable", "dead_temp_0badf00d")
+      .mode("errorifexists").save()
+    val dropped = s.cleanOrphanTemps()
+    dropped.map(_.toLowerCase) should contain("dead_temp_0badf00d")
+    s.tableExists("keepme") shouldBe true
+    s.tableExists("dead_temp_0badf00d") shouldBe false
+  }
+
   test("incremental merge via JDBC: the plan reads the target it replaces") {
     val s = sink
     s.overwrite((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), "jt2")
