@@ -195,6 +195,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Slim banded LSH keys of a corpus — the PERSISTENT index of
+    * incremental dedup: `(doc_id, band_idx, band_key)` triples,
+    * computed ONCE over the (100 TB) corpus, written to a store
+    * (bucket by band_key for shuffle-free probes), and probed by every
+    * subsequent batch via [[incrementalNearDupPairs]]. Parameters must
+    * match between index build and probe. */
+  def minhashBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, k: Int = 20,
+                      bands: Int = 5): DataFrame = {
+    val rows = k / bands
+    docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** `(doc_id, sh)` distinct-shingle store — the index's verification
+    * companion (candidates join their shingle rows by id; the corpus
+    * text itself is never rescanned). */
+  def shingleStore(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+
+  /** Near-dup pairs of a NEW batch against an indexed corpus — the
+    * production shape of continuous dedup: the corpus contributes only
+    * its prebuilt band keys (candidate generation) and the candidates'
+    * shingle rows (verification); its text is never rescanned and it
+    * never self-joins. Cost scales with the BATCH, not the corpus.
+    * Returns `(new_id, corpus_id, jaccard)`. Batch-internal duplicates
+    * are [[minhashNearDupPairs]]'s job on the batch alone.
+    *
+    * @param indexBands     [[minhashBandKeys]] of the corpus (same
+    *                       shingleSize/k/bands as passed here)
+    * @param corpusShingles [[shingleStore]] of the corpus
+    */
+  def incrementalNearDupPairs(indexBands: DataFrame, corpusShingles: DataFrame,
+                              newDocs: DataFrame, idCol: String, textCol: String,
+                              shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    // skew guard over the index side only (band-key aggregation, no text)
+    val bucketSizes = indexBands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val okIndex = indexBands.join(bucketSizes, Seq("band_idx", "band_key"))
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("corpus_id"))
+    val newBands = minhashBandKeys(newDocs, idCol, textCol, shingleSize, k, bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
+    val candidates = newBands.join(okIndex, Seq("band_idx", "band_key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+    val newSh = shingleStore(newDocs, idCol, textCol, shingleSize)
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_new"))
+    candidates
+      .join(newSh, "new_id")
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_corpus")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_corpus"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of the token stream: per-bit majority vote over
     * xxhash64(token) (seed 42, matching the built-in). Native Catalyst
     * expression ([[graft.functions.SimHash64]]) — the HOF vote

@@ -69,6 +69,21 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental dedup: a perturbed batch probes the corpus's
+    // prebuilt LSH index — corpus text never rescanned, cost scales
+    // with the batch (rows-only: hash-dependent).
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" qq ww")).as("text"))
+      Dedup.incrementalNearDupPairs(
+          Dedup.minhashBandKeys(corpus, "doc_id", "text"),
+          Dedup.shingleStore(corpus, "doc_id", "text"),
+          batch, "doc_id", "text")
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(dupCorpus(s, dir, perturb = true),
           "doc_id", "text", maxHamming = 3)

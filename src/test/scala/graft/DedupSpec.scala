@@ -103,6 +103,35 @@ class DedupSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
 
+  test("incremental dedup: batch probes the prebuilt index, matches brute force") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i =>
+      (i, s"corpus document number $i with words ${"w" * (i.toInt % 5 + 1)} " +
+        s"alpha beta gamma delta epsilon zeta eta theta $i")).toDF("doc_id", "text")
+    // new batch: 3 near-copies of corpus docs (suffix-perturbed) + 2 novel
+    val batch = Seq(
+      (1000L, corpus.filter($"doc_id" === 7L).head().getString(1) + " qq"),
+      (1001L, corpus.filter($"doc_id" === 50L).head().getString(1) + " ww"),
+      (1002L, corpus.filter($"doc_id" === 150L).head().getString(1) + " ee"),
+      (1003L, "entirely novel content about completely different things one"),
+      (1004L, "another unrelated fresh document mentioning nothing shared two")
+    ).toDF("doc_id", "text")
+
+    val index = Dedup.minhashBandKeys(corpus, "doc_id", "text")
+    val store = Dedup.shingleStore(corpus, "doc_id", "text")
+    val pairs = Dedup.incrementalNearDupPairs(index, store, batch,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    pairs should contain((1000L, 7L))
+    pairs should contain((1001L, 50L))
+    pairs should contain((1002L, 150L))
+    // novel docs pair with nothing; no corpus-corpus pairs ever emitted
+    pairs.map(_._1) should not contain 1003L
+    pairs.map(_._1) should not contain 1004L
+    pairs.foreach { case (n, c) => n should be >= 1000L; c should be < 1000L }
+  }
+
   test("dropNearDupsTransitive keeps only cluster representatives") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
