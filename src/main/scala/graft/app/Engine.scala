@@ -98,9 +98,12 @@ final class Engine(spark: SparkSession, sink: TableSink) {
           import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
           val tsFlavors: Set[org.apache.spark.sql.types.DataType] =
             Set(TimestampType, TimestampNTZType)
-          val targetTypes = target.schema.fields.map(f => f.name -> f.dataType).toMap
+          // keyed lowercase: JDBC catalogs that fold identifiers to
+          // uppercase (Derby, Oracle) must still match the staged names
+          val targetTypes = target.schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
           val aligned = staged.schema.fields.foldLeft(staged) { (df, f) =>
-            targetTypes.get(f.name) match {
+            targetTypes.get(f.name.toLowerCase) match {
               case Some(tt) if tt != f.dataType &&
                   tsFlavors(tt) && tsFlavors(f.dataType) =>
                 val q = "`" + f.name.replace("`", "``") + "`"
@@ -169,27 +172,36 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     * intact for public or instance-profile buckets. Known residual:
     * rotated credentials for the SAME bucket within one session still
     * hit the first-built cached FS. */
+  /** Buckets whose per-bucket keys THIS engine set — so a later
+    * credential-less manifest clears only what the engine applied,
+    * never operator-provided spark-defaults for the same bucket. */
+  private val bucketsWithEngineCreds =
+    scala.collection.mutable.Set.empty[String]
+
   private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = s"fs.s3a.bucket.${s3.bucket}"
-    // set OR CLEAR each key: a later manifest for the same bucket
-    // without a credentials node must fall back to the default
-    // provider chain, not inherit a previous table's (possibly
-    // expired) keys or provider pin
-    def setOrClear(key: String, v: Option[String]): Unit = v match {
-      case Some(value) => conf.set(key, value)
-      case None => conf.unset(key)
+    val keys = Seq(s"$p.access.key", s"$p.secret.key", s"$p.session.token",
+      s"$p.aws.credentials.provider", s"$p.endpoint.region")
+    if (s3.accessKeyId.isDefined) {
+      // manifest credentials override for this bucket
+      keys.foreach(conf.unset)
+      s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
+      s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
+      s3.sessionToken.foreach(conf.set(s"$p.session.token", _))
+      conf.set(s"$p.aws.credentials.provider",
+        if (s3.sessionToken.isDefined)
+          "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+      s3.region.foreach(conf.set(s"$p.endpoint.region", _))
+      bucketsWithEngineCreds += s3.bucket
+    } else if (bucketsWithEngineCreds.remove(s3.bucket)) {
+      // no credentials in THIS manifest, but a previous manifest set
+      // some for the bucket: clear the engine's keys so the default
+      // provider chain applies — but never touch buckets the engine
+      // hasn't configured (operator-provided spark-defaults stay)
+      keys.foreach(conf.unset)
     }
-    setOrClear(s"$p.access.key", s3.accessKeyId)
-    setOrClear(s"$p.secret.key", s3.secretAccessKey)
-    setOrClear(s"$p.session.token", s3.sessionToken)
-    setOrClear(s"$p.aws.credentials.provider",
-      if (s3.sessionToken.isDefined)
-        Some("org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
-      else if (s3.accessKeyId.isDefined)
-        Some("org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
-      else None)
-    setOrClear(s"$p.endpoint.region", s3.region)
   }
 
   /** The `run` action over a parsed config (O1 dispatch target). */

@@ -16,11 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * server-side while the client saw an error must not be repeated
   * destructively on the next attempt). */
 private[graft] object SwapGuard {
-  def apply[T](recovery: => String)(body: => T): T =
+  /** `sanitize` scrubs the embedded failure message (the JDBC sink
+    * passes its credential scrubber — driver errors echo the URL). */
+  def apply[T](recovery: => String,
+               sanitize: String => String = identity)(body: => T): T =
     try Retry.withRetry(3)(body)
     catch {
       case e: Exception =>
-        throw new graft.model.UserException(s"$recovery: ${e.getMessage}")
+        throw new graft.model.UserException(
+          s"$recovery: ${sanitize(Option(e.getMessage).getOrElse(""))}")
     }
 }
 
@@ -180,10 +184,13 @@ final class JdbcSink(spark: SparkSession, url: String,
         .option("url", url).option("dbtable", stage)) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("errorifexists").save()
-    val sameShape = tableExists(name) &&
-      read(name).schema.fieldNames.toSeq
-        .map(_.toLowerCase) == read(stage).schema.fieldNames.toSeq
-        .map(_.toLowerCase)
+    // same shape = identical column names AND types: a type change
+    // (e.g. a widened varchar config on a full load) must take the
+    // drop+rename path so the new DDL lands — DELETE+INSERT into the
+    // old DDL would fail forever or silently keep stale types
+    def shapeOf(t: String) = read(t).schema.fields.toSeq
+      .map(f => (f.name.toLowerCase, f.dataType))
+    val sameShape = tableExists(name) && shapeOf(name) == shapeOf(stage)
     if (sameShape) {
       // DDL-preserving transactional replace: the target keeps its
       // types/sort keys/grants/view dependencies (the reference's
@@ -192,7 +199,7 @@ final class JdbcSink(spark: SparkSession, url: String,
       // ambiguous commit replayed on retry deletes-then-inserts the
       // same rows again.
       SwapGuard(s"replace failed for table '$name' after retries " +
-          s"(staged data preserved in table $stage)") {
+          s"(staged data preserved in table $stage)", scrub) {
         val conn = connect()
         try {
           conn.setAutoCommit(false)
@@ -213,18 +220,20 @@ final class JdbcSink(spark: SparkSession, url: String,
       // failures — if a prior attempt's rename landed, the stage is
       // gone and the target exists, which the retry treats as done.
       SwapGuard(s"swap failed for table '$name' after retries " +
-          s"(staged data preserved in table $stage)") {
+          s"(staged data preserved in table $stage)", scrub) {
+        // one catalog probe per attempt answers all existence checks
+        val tables = listTables().map(_.toLowerCase).toSet
         val conn = connect()
         try {
           val st = conn.createStatement()
           try {
-            if (!tableExists(stage)) {
-              if (!tableExists(name))
+            if (!tables(stage.toLowerCase)) {
+              if (!tables(name.toLowerCase))
                 throw new IllegalStateException(
                   s"stage and target both missing for '$name'")
               // else: prior rename landed — done
             } else {
-              if (tableExists(name)) st.execute(s"DROP TABLE $name")
+              if (tables(name.toLowerCase)) st.execute(s"DROP TABLE $name")
               st.execute(renameSql(stage, name))
             }
           } finally st.close()
@@ -239,22 +248,28 @@ final class JdbcSink(spark: SparkSession, url: String,
 
   /** Drop stranded `<name>_temp_<hex8>` staging tables (a write that
     * failed mid-job leaves one per attempt; nothing else cleans JDBC
-    * temps). Returns the dropped names. */
+    * temps). Returns the names actually dropped.
+    *
+    * CAUTION — run only while no load is in flight: JDBC catalogs
+    * expose no creation time, so a concurrently running overwrite's
+    * live stage table is indistinguishable from an orphan (unlike the
+    * filesystem cleanup's mtime guard). */
   def cleanOrphanTemps(): Seq[String] = {
     val tempPattern = ".*_temp_[0-9a-f]{8}".r
     listTables().filter(t => tempPattern.matches(t.toLowerCase))
-      .map { t => dropQuietly(t); t }
+      .filter(dropQuietly)
   }
 
-  private def dropQuietly(table: String): Unit =
+  /** Best-effort drop; true only when the DROP actually succeeded. */
+  private def dropQuietly(table: String): Boolean =
     try {
       val conn = connect()
       try {
         val st = conn.createStatement()
-        try st.execute(s"DROP TABLE $table")
+        try { st.execute(s"DROP TABLE $table"); true }
         finally st.close()
       } finally conn.close()
-    } catch { case _: Exception => () }
+    } catch { case _: Exception => false }
 
   /** Driver-side connection for the swap DDL. Honors the full prop map
     * — notably `driver` (jars added via --jars are invisible to

@@ -154,21 +154,14 @@ object Dedup {
                           shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
                           threshold: Double = 0.5,
                           maxBucket: Int = 1000): DataFrame = {
-    val rows = k / bands
-    val withSh = docs.select(
-      col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleSize).as("sh"))
+    val withSh = shingleStore(docs, idCol, textCol, shingleSize)
 
     // band i = hash of its signature slice → (doc_id, band_idx, band_key).
     // Only these slim triples enter the candidate-generation shuffles;
     // the shingle sets are joined back by id for verification only.
-    val banded = withSh
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+    // SHARED formula with the persistent index ([[minhashBandKeys]]) —
+    // index build and probe must stay bit-identical forever.
+    val banded = minhashBandKeys(docs, idCol, textCol, shingleSize, k, bands)
 
     // skew guard: drop degenerate buckets before the self-join
     val bucketSizes = banded.groupBy("band_idx", "band_key")
@@ -231,6 +224,10 @@ object Dedup {
     * Returns `(new_id, corpus_id, jaccard)`. Batch-internal duplicates
     * are [[minhashNearDupPairs]]'s job on the batch alone.
     *
+    * CONTRACT: batch and corpus id spaces must be DISJOINT — a batch
+    * row reusing a corpus id is an update/re-ingest, not a duplicate,
+    * and its self-pair is filtered out.
+    *
     * @param indexBands     [[minhashBandKeys]] of the corpus (same
     *                       shingleSize/k/bands as passed here)
     * @param corpusShingles [[shingleStore]] of the corpus
@@ -240,14 +237,20 @@ object Dedup {
                               shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
                               threshold: Double = 0.5,
                               maxBucket: Int = 1000): DataFrame = {
-    // skew guard over the index side only (band-key aggregation, no text)
-    val bucketSizes = indexBands.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-    val okIndex = indexBands.join(bucketSizes, Seq("band_idx", "band_key"))
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("corpus_id"))
     val newBands = minhashBandKeys(newDocs, idCol, textCol, shingleSize, k, bands)
       .select(col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
+    // restrict the index to the buckets the batch actually probes
+    // BEFORE any aggregation — "cost scales with the batch" must hold
+    // for the skew guard too, not just the join (a full-index groupBy
+    // per batch would rescan the 100 TB side's keys every increment)
+    val probedKeys = newBands.select("band_idx", "band_key").distinct()
+    val probedIndex = indexBands.join(broadcast(probedKeys),
+      Seq("band_idx", "band_key"))
+    val bucketSizes = probedIndex.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val okIndex = probedIndex.join(bucketSizes, Seq("band_idx", "band_key"))
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("corpus_id"))
     val candidates = newBands.join(okIndex, Seq("band_idx", "band_key"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id")
