@@ -1,4 +1,5 @@
 package graft
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,15 +17,40 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try exec(fn) catch { case _: Throwable => () }
     }
+    // Each query runs twice: `queries` keeps the FIRST (cold) time for
+    // round-over-round continuity; `queries_warm` is the second run —
+    // the number that separates plan cost from one-time classloading/
+    // JIT (the r2 verdict's json_extract_props 9.7x question).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try exec(fn) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = timed()
+      val warm = timed()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","config":{"master":"local[$cpus]","shuffle_partitions":$cpus}}""")
+    def r3(v: Double): String = f"$v%.3f" // 3 decimals keeps the line short
+    def jmap(vs: Seq[(String, Double)]): String =
+      vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalWarm = results.map(_._3).sum
+    // Totals appear BOTH first (contract) and as the LAST keys: the
+    // driver tail-captures stdout, which truncates the FRONT of a long
+    // line — trailing totals survive truncation.
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":${jmap(results.map(t => t._1 -> t._2))},""" +
+        s""""queries_warm":${jmap(results.map(t => t._1 -> t._3))},""" +
+        s""""sf":"$sfDir","config":{"master":"local[$cpus]","shuffle_partitions":$cpus},""" +
+        s""""total_s":${r3(total)},"total_warm_s":${r3(totalWarm)}}"""
+    // Side file: tail-capture-proof copy for round-over-round comparison.
+    try {
+      val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+    println(json)
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bound plan-string rendering: iterative plans (dedup clustering)
+      // can grow large trees, and every execution/AQE listener event
+      // renders the plan — the default (unbounded) lets one deep plan
+      // OOM the driver on STRING BUILDING alone
+      .config("spark.sql.maxPlanStringLength", "100000")
       // events.parquet is TIMESTAMP(NANOS); Spark 4 reads it only as a
       // raw long behind this flag (normalized back in queries.Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -76,7 +76,8 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     // (or a NULL in a NOT NULL column) aborts the load as a UserException
     // "Column 'x', line N: …" — the reference surfaces stl_load_errors
     // this way and its e2e asserts it (tests/Keboola/FunctionalTest.php:74-78).
-    // One extra aggregation job over the scan; the projection stays narrow.
+    // Two-phase: the clean-load path costs one codegen'd exists-probe
+    // scan; the per-line location pass runs only when an offender exists.
     val staged = CsvIngest.castAndProjectStrict(raw, table, header = hasHeader)
     if (table.incremental) {
       // O3: staging → (create target if missing) → upsert → drop staging.
@@ -167,25 +168,41 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     * run, and disabling the FS cache to compensate leaks an unclosed
     * S3AFileSystem (connection pool + threads) per access. Per-bucket
     * config also composes with Hadoop's FS cache, which keys on
-    * scheme+authority (= bucket). A manifest without a credentials
-    * node sets nothing — the default provider chain (env/IAM) stays
-    * intact for public or instance-profile buckets. Known residual:
-    * rotated credentials for the SAME bucket within one session still
-    * hit the first-built cached FS. */
-  /** Buckets whose per-bucket keys THIS engine set — so a later
-    * credential-less manifest clears only what the engine applied,
-    * never operator-provided spark-defaults for the same bucket. */
-  private val bucketsWithEngineCreds =
-    scala.collection.mutable.Set.empty[String]
-
+    * scheme+authority (= bucket).
+    *
+    * Mechanics: before the FIRST engine touch of a bucket, the
+    * pre-existing per-bucket keys (operator spark-defaults, e.g. an
+    * endpoint region) are SNAPSHOT; every application first restores
+    * that snapshot, then overlays the manifest's values — so a
+    * manifest with creds but no region keeps the operator's region,
+    * and a later credential-less manifest restores the operator
+    * baseline exactly (default provider chain for public/IAM
+    * buckets). After any change the bucket's cached S3AFileSystem is
+    * evicted, so SAME-BUCKET credential rotation within one session
+    * takes effect instead of hitting the first-built cached FS.
+    * Tracking lives in [[S3CredentialScope]] keyed by the Hadoop
+    * Configuration — session-scoped like the configuration itself, so
+    * a second Engine instance on the same session sees what the first
+    * set. */
   private[graft] def applyS3Credentials(s3: S3Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = s"fs.s3a.bucket.${s3.bucket}"
     val keys = Seq(s"$p.access.key", s"$p.secret.key", s"$p.session.token",
       s"$p.aws.credentials.provider", s"$p.endpoint.region")
+    val scope = S3CredentialScope.forConf(conf)
+    def restore(snapshot: Map[String, Option[String]]): Unit =
+      keys.foreach { k =>
+        snapshot.getOrElse(k, None) match {
+          case Some(v) => conf.set(k, v)
+          case None    => conf.unset(k)
+        }
+      }
     if (s3.accessKeyId.isDefined) {
-      // manifest credentials override for this bucket
-      keys.foreach(conf.unset)
+      // snapshot the operator baseline on first engine touch only —
+      // later manifests must not snapshot engine-set values
+      val snapshot = scope.getOrElseUpdate(s3.bucket,
+        keys.map(k => k -> Option(conf.get(k))).toMap)
+      restore(snapshot) // engine keys from a prior manifest cleared
       s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
       s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
       s3.sessionToken.foreach(conf.set(s"$p.session.token", _))
@@ -194,22 +211,38 @@ final class Engine(spark: SparkSession, sink: TableSink) {
           "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
         else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
       s3.region.foreach(conf.set(s"$p.endpoint.region", _))
-      bucketsWithEngineCreds += s3.bucket
-    } else if (bucketsWithEngineCreds.remove(s3.bucket)) {
+      evictCachedFs(s"s3a://${s3.bucket}/")
+    } else scope.remove(s3.bucket).foreach { snapshot =>
       // no credentials in THIS manifest, but a previous manifest set
-      // some for the bucket: clear the engine's keys so the default
-      // provider chain applies — but never touch buckets the engine
-      // hasn't configured (operator-provided spark-defaults stay)
-      keys.foreach(conf.unset)
+      // some for the bucket: back to the operator baseline — but never
+      // touch buckets the engine hasn't configured
+      restore(snapshot)
+      evictCachedFs(s"s3a://${s3.bucket}/")
     }
   }
+
+  /** Drop the JVM-cached FileSystem for `uri` so the next access
+    * rebuilds it under the CURRENT configuration. `FileSystem.get`
+    * returns the cached instance when one exists (building one
+    * otherwise — harmless, it is built with the new config);
+    * `close()` deregisters it from the cache. Best-effort: an
+    * unreachable endpoint during rebuild must not fail the load —
+    * the actual read will surface it. */
+  private[graft] def evictCachedFs(uri: String): Unit =
+    try org.apache.hadoop.fs.FileSystem
+      .get(java.net.URI.create(uri), spark.sparkContext.hadoopConfiguration)
+      .close()
+    catch { case _: Exception => () }
 
   /** The `run` action over a parsed config (O1 dispatch target). */
   def run(config: JobConfig, dataDir: String): Seq[String] =
     config.tables.filter(t => writeTable(dataDir, t)).map(_.tableId)
 
-  /** O9 — `SELECT current_date` liveness probe. */
-  def testConnection(): Unit = { spark.sql("select current_date").collect(); () }
+  /** O9 — liveness probe against the configured DESTINATION via
+    * [[TableSink.ping]] (reference: `SELECT current_date` over the PDO
+    * connection, Writer/Redshift.php:321-324). Probing local Spark
+    * instead would succeed with the sink endpoint down. */
+  def testConnection(): Unit = sink.ping()
 
   /** O10 — implemented properly (the reference throws
     * ApplicationException('Method not implemented'),
@@ -218,6 +251,29 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     sink.listTables().map { name =>
       name -> sink.read(name).schema.fields.toSeq
         .map(f => f.name -> f.dataType.simpleString)
+    }
+}
+
+/** Per-bucket operator-baseline snapshots, keyed by the Hadoop
+  * Configuration they apply to. The configuration is session-global,
+  * so the tracking must be too: with per-Engine tracking, a second
+  * Engine instance on the same session could not restore (or would
+  * re-snapshot) keys the first instance set. WeakHashMap so a retired
+  * session's configuration doesn't pin its snapshots. */
+private[graft] object S3CredentialScope {
+  private val scopes = new java.util.WeakHashMap[
+    org.apache.hadoop.conf.Configuration,
+    scala.collection.mutable.Map[String, Map[String, Option[String]]]]()
+
+  def forConf(conf: org.apache.hadoop.conf.Configuration)
+      : scala.collection.mutable.Map[String, Map[String, Option[String]]] =
+    scopes.synchronized {
+      var m = scopes.get(conf)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        scopes.put(conf, m)
+      }
+      m
     }
 }
 

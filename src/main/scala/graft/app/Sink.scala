@@ -29,6 +29,13 @@ private[graft] object SwapGuard {
 }
 
 trait TableSink {
+  /** Liveness probe against the DESTINATION (O9 — the reference pings
+    * the database with `SELECT current_date` over PDO,
+    * Writer/Redshift.php:321-324). Throws when the sink endpoint is
+    * unreachable; a local-Spark no-op would pass testConnection even
+    * with the destination down. */
+  def ping(): Unit
+
   /** Catalog probe (reference: Writer/Redshift.php:216-224). */
   def tableExists(name: String): Boolean
 
@@ -62,11 +69,19 @@ final class ParquetSink(spark: SparkSession, baseDir: String) extends TableSink 
   private def fs = new Path(baseDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  // Directory presence, not _SUCCESS: a partially-written table must
-  // read loudly (or fail) downstream rather than be silently treated
-  // as absent — a spurious `false` would make the incremental paths
-  // (Engine.writeTable, streamingUpsert) replace the table with just
-  // the current batch.
+  /** Destination reachability = the base filesystem answers a status
+    * call (throws on an unreachable scheme/endpoint; a missing-but-
+    * creatable directory is fine — that's what the first write makes). */
+  def ping(): Unit = { fs.exists(new Path(baseDir)); () }
+
+  // Directory presence, not _SUCCESS: the engine treats a present
+  // directory as a live table so the incremental paths never replace
+  // accumulated data with one batch on a spurious `false`. Caveat
+  // (non-atomic s3a dir "rename" = copy+delete): a crash mid-swap can
+  // leave a PARTIAL directory, and parquet reads of it succeed
+  // silently on whatever files are present — recovery is the swap's
+  // staged copy plus Maintenance.cleanOrphanStages, which refuses to
+  // delete a stage whose target is missing.
   def tableExists(name: String): Boolean = fs.exists(path(name))
 
   def read(name: String): DataFrame = spark.read.parquet(path(name).toString)
@@ -131,8 +146,20 @@ final class JdbcSink(spark: SparkSession, url: String,
                          "WHERE table_type = 'BASE TABLE' " +
                          "AND table_schema = current_schema()",
                      renameSql: (String, String) => String =
-                       (from, to) => s"ALTER TABLE $from RENAME TO $to")
+                       (from, to) => s"ALTER TABLE $from RENAME TO $to",
+                     pingSql: String = "SELECT 1")
     extends TableSink {
+
+  /** O9 — one trivial statement over a real connection to the
+    * configured endpoint (the reference's `SELECT current_date` PDO
+    * ping, Writer/Redshift.php:321-324). Derby passes `VALUES 1`. */
+  def ping(): Unit = guarded {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try st.executeQuery(pingSql).close() finally st.close()
+    } finally conn.close()
+  }
 
   /** Every secret value that could leak into a driver message: any
     * password-named prop plus password/secret params inside the URL. */
@@ -184,13 +211,21 @@ final class JdbcSink(spark: SparkSession, url: String,
         .option("url", url).option("dbtable", stage)) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("errorifexists").save()
-    // same shape = identical column names AND types: a type change
-    // (e.g. a widened varchar config on a full load) must take the
+    // same shape = identical column names AND DDL-level types: a type
+    // change (e.g. a widened varchar on a full load) must take the
     // drop+rename path so the new DDL lands — DELETE+INSERT into the
-    // old DDL would fail forever or silently keep stale types
-    def shapeOf(t: String) = read(t).schema.fields.toSeq
-      .map(f => (f.name.toLowerCase, f.dataType))
-    val sameShape = tableExists(name) && shapeOf(name) == shapeOf(stage)
+    // old DDL would fail forever or silently keep stale types.
+    // Compared at the JDBC-metadata level (TYPE_NAME + size/scale),
+    // NOT Spark schemas: Spark collapses every varchar width to
+    // StringType, which would mis-route a width-only change on an
+    // externally created target into the DDL-preserving branch.
+    val sameShape = tableExists(name) && {
+      val conn = connect()
+      try {
+        val t = ddlShape(conn, name)
+        t.nonEmpty && t == ddlShape(conn, stage)
+      } finally conn.close()
+    }
     if (sameShape) {
       // DDL-preserving transactional replace: the target keeps its
       // types/sort keys/grants/view dependencies (the reference's
@@ -258,6 +293,33 @@ final class JdbcSink(spark: SparkSession, url: String,
     val tempPattern = ".*_temp_[0-9a-f]{8}".r
     listTables().filter(t => tempPattern.matches(t.toLowerCase))
       .filter(dropQuietly)
+  }
+
+  /** DDL-level column shape via JDBC metadata, in ordinal order:
+    * (lowercased name, TYPE_NAME, COLUMN_SIZE, DECIMAL_DIGITS).
+    * Identifier-case variants are probed because catalogs fold
+    * unquoted names (Derby/Oracle upper, Postgres lower); `_` in
+    * table names is escaped — it is a single-char WILDCARD in
+    * `getColumns` patterns, and every staging name contains it. */
+  private def ddlShape(conn: java.sql.Connection,
+                       table: String): Seq[(String, String, Int, Int)] = {
+    val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def cols(t: String): Seq[(String, String, Int, Int)] = {
+      val pattern = t.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getColumns(null, null, pattern, null)
+      try {
+        val buf = Seq.newBuilder[(String, String, Int, Int)]
+        while (rs.next())
+          buf += ((rs.getString("COLUMN_NAME").toLowerCase,
+            rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"),
+            rs.getInt("DECIMAL_DIGITS")))
+        buf.result()
+      } finally rs.close()
+    }
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      .iterator.map(cols).find(_.nonEmpty).getOrElse(Nil)
   }
 
   /** Best-effort drop; true only when the DROP actually succeeded. */

@@ -61,9 +61,9 @@ object Dedup {
     * Scale: each iteration is one self-equi-join on ids (shuffle on a
     * high-cardinality key) followed by a min-agg; iterations needed =
     * graph diameter, and near-dup clusters are shallow (dups of one
-    * document), so the loop converges in a handful of rounds. Labels
-    * are checkpoint-free: each round's frame derives from the last
-    * (lineage depth = iterations, fine for small maxIter).
+    * document), so the loop converges in a handful of rounds. Lineage
+    * is truncated with localCheckpoint every 10 rounds so adversarial
+    * graphs (long chains) can't blow up the plan DAG.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edge list, both orientations — cached: every
@@ -100,7 +100,19 @@ object Dedup {
       val changed = next.as("n").join(labels.as("l"), Seq("id"))
         .filter(col("n.cluster") =!= col("l.cluster")).count()
       labels.unpersist()
-      labels = next
+      // caching bounds recompute but not lineage: each round's plan
+      // references the previous round's TWICE (self-join + fixpoint
+      // probe), so the logical tree DOUBLES per round — analysis and
+      // plan rendering go exponential on deep-diameter graphs.
+      // localCheckpoint every 5 rounds truncates the lineage to the
+      // materialized partitions (cheap — `next` is already cached by
+      // the fixpoint probe above), capping the tree at ~2^5 copies.
+      labels =
+        if ((i + 1) % 5 == 0) {
+          val cp = next.localCheckpoint(true)
+          next.unpersist()
+          cp
+        } else next
       converged = changed == 0
       i += 1
     }

@@ -121,21 +121,53 @@ object Maintenance {
     *
     * Safety: the name must match the exact generated suffix shape
     * (not merely contain the marker — a real table named
-    * `x__stage_backup` is untouched), and only directories whose
+    * `x__stage_backup` is untouched); only directories whose
     * last modification is older than `olderThanMs` are removed, so a
     * concurrently running overwrite/compaction's in-flight staging
-    * dir (fresh mtime) survives. */
+    * dir (fresh mtime) survives; and a stage whose TARGET is missing
+    * is never deleted — after a crash mid-swap (target deleted,
+    * rename not yet done) that stage holds the ONLY copy of the
+    * table, and recovery should rename it in, not lose it. Such
+    * stages are reported by [[recoverableStages]]. */
   def cleanOrphanStages(spark: SparkSession, baseDir: String,
                         olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val stagePattern = ".*__(stage|compact)_[0-9a-f]{8}".r
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val cutoff = System.currentTimeMillis() - olderThanMs
+    stageDirs(fs, base)
+      .filter { case (st, targetExists) =>
+        st.getModificationTime <= cutoff && targetExists
+      }
+      .map { case (st, _) => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
+  /** Stage/compact directories whose target path is MISSING — the
+    * crash-mid-swap signature: these hold the only surviving copy of
+    * their table and need a manual (or scripted) rename-in, which is
+    * why [[cleanOrphanStages]] refuses to delete them. */
+  def recoverableStages(spark: SparkSession, baseDir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    stageDirs(fs, base).collect { case (st, false) => st.getPath.toString }
+  }
+
+  private val stageSuffix = "__(stage|compact)_[0-9a-f]{8}$".r
+
+  /** (stage dir status, does its target exist) for every well-formed
+    * stage/compact directory directly under `baseDir`. */
+  private def stageDirs(fs: org.apache.hadoop.fs.FileSystem,
+                        base: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.FileStatus, Boolean)] =
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq
       .filter(st => st.isDirectory &&
-        stagePattern.matches(st.getPath.getName) &&
-        st.getModificationTime <= cutoff)
-      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
-  }
+        stageSuffix.findFirstIn(st.getPath.getName).isDefined)
+      .map { st =>
+        val targetName = stageSuffix.replaceAllIn(st.getPath.getName, "")
+        // a stage name is always `<target>__stage_<hex8>`, so an empty
+        // remainder can't occur for well-formed names; guard anyway
+        val ok = targetName.nonEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(base, targetName))
+        (st, ok)
+      }
 }

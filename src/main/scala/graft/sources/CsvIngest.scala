@@ -137,31 +137,22 @@ object CsvIngest {
     * asserted tests/Keboola/FunctionalTest.php:74-78).
     *
     * Line numbers are 1-based and count the header (so the first data
-    * row is line 2), matching the reference's fixture assertions. The
-    * line index is derived per-partition with zipWithIndex — only on
-    * this validation path; the happy path stays a pure narrow select.
+    * row is line 2), matching the reference's fixture assertions.
+    *
+    * TWO-PHASE so the happy path never leaves whole-stage codegen:
+    * phase 1 is a pure vectorized offender-EXISTS aggregation over the
+    * scan (no line column, no RDD conversion); only when an offender
+    * exists does phase 2 run the zipWithIndex pass that locates the
+    * per-column first offending line. A clean load — the overwhelmingly
+    * common case at 100 TB — thus costs one codegen'd scan, while the
+    * failure path keeps the exact per-line message parity (one extra
+    * scan on a load that is about to abort anyway).
     */
   def castAndProjectStrict(df: DataFrame, table: TableConfig,
                            header: Boolean = true): DataFrame = {
     val base = if (header) 2L else 1L // first data row's 1-based line
-    // Per column, two offender predicates: (a) cast failure — raw value
-    // present but rejected by the typed cast; (b) NOT NULL violation —
-    // the effective (post-default) value is NULL on a nullable=false
-    // column (reference DDL renders NOT NULL, Redshift.php:141-145).
-    val checks: Seq[(ColumnSpec, org.apache.spark.sql.Column, String)] =
-      table.activeItems.flatMap { c =>
-        val castCheck =
-          if (c.sparkType == StringType) Nil
-          else {
-            val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
-            Seq((c, col(quoted(c.name)).isNotNull && casted.isNull, "cast"))
-          }
-        val nnCheck =
-          if (c.nullable) Nil
-          else Seq((c, typedColumn(c).isNull, "notnull"))
-        castCheck ++ nnCheck
-      }
-    if (checks.nonEmpty) {
+    val checks = strictChecks(table)
+    if (checks.nonEmpty && strictOffenderExists(df, table)) {
       // ONE aggregation job over ONE pass: per check, the min (line,
       // value) struct among its offenders — min on a struct orders by
       // line first, so each slot holds that check's earliest offender.
@@ -198,6 +189,39 @@ object CsvIngest {
     castAndProject(df, table)
   }
 
+  /** Offender predicates for the strict path — per column: (a) cast
+    * failure — raw value present but rejected by the typed cast;
+    * (b) NOT NULL violation — the effective (post-default) value is
+    * NULL on a nullable=false column (reference DDL renders NOT NULL,
+    * Redshift.php:141-145). */
+  private def strictChecks(table: TableConfig)
+      : Seq[(ColumnSpec, org.apache.spark.sql.Column, String)] =
+    table.activeItems.flatMap { c =>
+      val castCheck =
+        if (c.sparkType == StringType) Nil
+        else {
+          val casted = expr(s"try_cast(${quoted(c.name)} as ${c.sparkType.sql})")
+          Seq((c, col(quoted(c.name)).isNotNull && casted.isNull, "cast"))
+        }
+      val nnCheck =
+        if (c.nullable) Nil
+        else Seq((c, typedColumn(c).isNull, "notnull"))
+      castCheck ++ nnCheck
+    }
+
+  /** Phase 1 of strict validation: a single boolean ANY-offender
+    * aggregation with no auxiliary columns — stays entirely inside
+    * whole-stage codegen (no RDD conversion, no row deserialization).
+    * Requires at least one check (caller guards). Exposed for the
+    * plan-shape spec that pins the clean-load path codegen-only. */
+  private[graft] def strictExistsFrame(df: DataFrame, table: TableConfig): DataFrame = {
+    val preds = strictChecks(table).map(_._2)
+    df.agg(max(when(preds.reduce(_ || _), lit(true))).as("__offender"))
+  }
+
+  private def strictOffenderExists(df: DataFrame, table: TableConfig): Boolean =
+    !strictExistsFrame(df, table).collect().head.isNullAt(0)
+
   /** Dead-letter split: partition the raw frame into (clean, quarantined)
     * in ONE pass over the plan — rows where every declared cast succeeds
     * flow to the typed output; offenders keep their raw values plus an
@@ -232,7 +256,8 @@ object CsvIngest {
 
   /** Attach 1-based line numbers (offset by `base`) preserving input
     * order. zipWithIndex is a narrow op plus one tiny count job — used
-    * only on the strict-validation path. */
+    * only on the strict-validation FAILURE path (phase 2); a clean
+    * load never builds this frame. */
   private def zipWithLineNumbers(df: DataFrame, base: Long): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(StructField("__line", org.apache.spark.sql.types.LongType,

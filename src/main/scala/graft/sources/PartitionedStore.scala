@@ -25,4 +25,98 @@ object PartitionedStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Partition-scoped stage-wins PK merge: upsert `batch` into the
+    * day-partitioned table at `path`, REWRITING ONLY the `p_date`
+    * partitions the batch touches. The scale-safe shape for continuous
+    * ingest — a micro-batch against a 100 TB table costs
+    * O(touched partitions), not O(|target|): the target slice read is
+    * partition-pruned to the batch's dates, the merge writes to a
+    * staging dir, and only the touched partition DIRECTORIES swap in.
+    * Untouched partitions' files are never read, written, or moved.
+    *
+    * CONTRACT: a PK's `tsCol` date must be stable across arrivals
+    * (event-time immutability — re-deliveries of event X carry X's
+    * original timestamp). A PK that "moved" dates would leave its old
+    * copy in the unread partition, the same constraint every
+    * partition-path-keyed merge (e.g. Hudi/Delta with a date partition
+    * key and merge predicates) operates under.
+    *
+    * Returns the touched partition dates (micro-batch-sized driver
+    * list — partition NAMES, never data). Duplicate PKs within the
+    * batch resolve last-wins by `orderCols` when provided, like
+    * [[graft.operators.Load.dedupLastWins]].
+    */
+  def mergeByDay(batch: DataFrame, path: String, tsCol: String,
+                 pk: Seq[String], orderCols: Seq[String] = Nil,
+                 targetFileRows: Long = 5000000L): Seq[String] = {
+    import graft.operators.Load
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val deduped =
+      if (pk.nonEmpty && orderCols.nonEmpty)
+        Load.dedupLastWins(batch, pk, orderCols)
+      else batch
+    val withDate = deduped.withColumn("p_date", to_date(col(tsCol)))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // the batch's distinct dates: partition names only, bounded by the
+    // batch's span — safe to collect. Rendered with date_format (the
+    // exact partition-directory spelling); java.sql.Date#toString would
+    // re-interpret through the JVM-local timezone and can shift a day.
+    val dateRows = withDate
+      .select(date_format(col("p_date"), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    if (dateRows.contains(None))
+      throw new IllegalArgumentException(
+        s"mergeByDay: '$tsCol' contains NULLs — null-dated rows would " +
+          "land in the default partition and never swap in")
+    val dates = dateRows.flatten.sorted
+    if (dates.isEmpty) return Nil
+    val exists = fs.exists(target)
+    val merged =
+      if (exists) {
+        // partition-pruned target slice: only the touched dates scan
+        val slice = spark.read.parquet(path)
+          .filter(col("p_date").isin(dates.map(lit(_).cast("date")): _*))
+        Load.upsert(slice, withDate, pk)
+      } else withDate
+    val stage = new Path(
+      s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetFileRows)
+      .partitionBy("p_date").parquet(stage.toString)
+    // swap ONLY the touched partition directories; idempotent per
+    // partition across ambiguous failures (graft.app.SwapGuard rules:
+    // a prior attempt's landed rename reads as success)
+    graft.app.SwapGuard(s"partition swap failed for '$path' after " +
+        s"retries (staged partitions preserved at $stage)") {
+      if (!fs.exists(stage)) {
+        val missing = dates.filterNot(d =>
+          fs.exists(new Path(target, s"p_date=$d")))
+        if (missing.nonEmpty)
+          throw new java.io.IOException(
+            s"stage gone but partitions [${missing.mkString(",")}] " +
+              s"missing under '$path'")
+        // else: a prior attempt completed — done
+      } else {
+        if (!fs.exists(target)) fs.mkdirs(target)
+        dates.foreach { d =>
+          val src = new Path(stage, s"p_date=$d")
+          val dst = new Path(target, s"p_date=$d")
+          if (fs.exists(src)) {
+            if (fs.exists(dst)) fs.delete(dst, true)
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(
+                s"partition swap failed for '$dst'")
+          } else if (!fs.exists(dst))
+            throw new java.io.IOException(
+              s"staged partition '$src' missing and '$dst' absent")
+          // src gone + dst present: prior attempt landed — done
+        }
+        fs.delete(stage, true) // shell (_SUCCESS) only; partitions moved
+      }
+    }
+    dates
+  }
 }

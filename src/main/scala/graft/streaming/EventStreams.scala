@@ -73,6 +73,10 @@ object EventStreams {
     * micro-batch-sized → broadcast) against the current target; the
     * sink's staging+swap write keeps the read-while-replace safe.
     * Checkpointing makes the merge effectively-once per batch id.
+    * NOTE the sink-generic shape rewrites the WHOLE target per
+    * micro-batch — O(|target|) per batch. For large parquet targets
+    * use [[streamingUpsertPartitioned]], which rewrites only the
+    * partitions a batch touches.
     */
   def streamingUpsert(stage: DataFrame, sink: graft.app.TableSink,
                       tableName: String, pk: Seq[String],
@@ -92,6 +96,30 @@ object EventStreams {
             graft.operators.Load.upsert(sink.read(tableName), deduped, pk)
           else deduped
         sink.overwrite(merged, tableName)
+        ()
+      }
+      .start()
+
+  /** [[streamingUpsert]] at scale: the target is a day-partitioned
+    * parquet layout ([[graft.sources.PartitionedStore]]) and each
+    * micro-batch rewrites ONLY the `p_date` partitions its rows touch —
+    * O(touched partitions) per batch instead of the whole-table
+    * read+rewrite of the sink-generic variant, which is the wall at
+    * 100 TB continuous ingest. Same merge semantics (stage-wins PK
+    * upsert, optional last-wins intra-batch dedup); see
+    * [[graft.sources.PartitionedStore.mergeByDay]] for the
+    * partition-stability contract and swap mechanics. */
+  def streamingUpsertPartitioned(stage: DataFrame, targetPath: String,
+                                 tsCol: String, pk: Seq[String],
+                                 checkpointDir: String,
+                                 orderCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stage.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.PartitionedStore.mergeByDay(
+          batch.toDF(), targetPath, tsCol, pk, orderCols)
         ()
       }
       .start()

@@ -10,6 +10,13 @@ import java.nio.file.Files
   * same table, column-order mismatch → exit 1, testConnection JSON,
   * unknown action, retry semantics.
   */
+/** Cacheable dummy FileSystem for the eviction test — Hadoop's FS
+  * cache keys on scheme+authority, so instances of this class stand in
+  * for per-bucket S3AFileSystems without any network. */
+class MockCacheFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mock3a"
+}
+
 class AppSpec extends SparkSpec {
 
   private def mkJob(tables: String): (String, ParquetSink) = {
@@ -95,6 +102,18 @@ class AppSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
       """{"action": "bogus", "parameters": {}}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("testConnection probes the sink destination, not local Spark (O9)") {
+    // reachable base filesystem → ping succeeds
+    val okDir = Files.createTempDirectory("graft-ping").toString
+    noException should be thrownBy
+      new Engine(spark, new ParquetSink(spark, okDir)).testConnection()
+    // unreachable destination (unregistered scheme) → ping throws —
+    // the local-Spark probe of old would have succeeded here
+    val bad = new ParquetSink(spark, "nosuchscheme://unreachable/base")
+    an[Exception] should be thrownBy
+      new Engine(spark, bad).testConnection()
   }
 
   test("getTablesInfo lists tables with column types (O10, dead in reference)") {
@@ -226,6 +245,68 @@ class AppSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$dir/m2.manifest"),
       """{"id": "simple", "columns": ["id", "name"]}""")
     engine.manifestInfo(s"$dir/m2.manifest")._2 shouldBe None
+  }
+
+  test("same-bucket credential rotation: new creds take effect, baseline restored") {
+    import graft.model.S3Staged
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = "fs.s3a.bucket.rotate-bucket"
+    // operator baseline from spark-defaults: a region, no creds
+    conf.set(s"$p.endpoint.region", "eu-west-1")
+    try {
+      val dir = Files.createTempDirectory("graft-rot").toString
+      val engine = new Engine(spark, new ParquetSink(spark, s"$dir/out"))
+      def staged(region: Option[String], key: Option[String],
+                 secret: Option[String], token: Option[String]) =
+        S3Staged("rotate-bucket", "k", isSliced = false, region = region,
+          accessKeyId = key, secretAccessKey = secret, sessionToken = token)
+
+      engine.applyS3Credentials(
+        staged(None, Some("AKIA1"), Some("S1"), Some("T1")))
+      conf.get(s"$p.access.key") shouldBe "AKIA1"
+      conf.get(s"$p.session.token") shouldBe "T1"
+      // manifest carried no region → the operator's region SURVIVES
+      conf.get(s"$p.endpoint.region") shouldBe "eu-west-1"
+
+      // rotation: same bucket, new creds, no session token this time
+      engine.applyS3Credentials(
+        staged(Some("ap-south-1"), Some("AKIA2"), Some("S2"), None))
+      conf.get(s"$p.access.key") shouldBe "AKIA2"
+      conf.get(s"$p.secret.key") shouldBe "S2"
+      conf.get(s"$p.session.token") shouldBe null // stale token cleared
+      conf.get(s"$p.aws.credentials.provider") should include("Simple")
+      conf.get(s"$p.endpoint.region") shouldBe "ap-south-1"
+
+      // a credential-less manifest — through a SECOND Engine instance
+      // on the same session — restores the operator baseline exactly
+      val engine2 = new Engine(spark, new ParquetSink(spark, s"$dir/out2"))
+      engine2.applyS3Credentials(staged(None, None, None, None))
+      conf.get(s"$p.access.key") shouldBe null
+      conf.get(s"$p.secret.key") shouldBe null
+      conf.get(s"$p.aws.credentials.provider") shouldBe null
+      conf.get(s"$p.endpoint.region") shouldBe "eu-west-1"
+    } finally conf.unset(s"$p.endpoint.region")
+  }
+
+  test("credential change evicts the bucket's cached FileSystem") {
+    // generic mechanism check on a registrable scheme (s3a would need
+    // network): the JVM FS cache keys on scheme+authority; after
+    // evictCachedFs the next get() builds a FRESH instance under the
+    // current configuration — the stale-creds residual from r2
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock3a.impl", classOf[MockCacheFs].getName)
+    try {
+      val uri = java.net.URI.create("mock3a://rotate-bucket/")
+      val fs1 = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+      org.apache.hadoop.fs.FileSystem.get(uri, conf) should
+        be theSameInstanceAs fs1
+      val dir = Files.createTempDirectory("graft-evict").toString
+      val engine = new Engine(spark, new ParquetSink(spark, s"$dir/out"))
+      engine.evictCachedFs("mock3a://rotate-bucket/")
+      val fs2 = org.apache.hadoop.fs.FileSystem.get(uri, conf)
+      fs2 should not be theSameInstanceAs(fs1)
+      fs2.close()
+    } finally conf.unset("fs.mock3a.impl")
   }
 
   test("incremental into a missing target creates it (tableExists guard)") {

@@ -151,9 +151,47 @@ class CsvIngestSpec extends SparkSpec {
       intercept[UserException] { CsvIngest.castAndProjectStrict(df, t) }
       Thread.sleep(1000) // listener events are delivered asynchronously
     } finally spark.sparkContext.removeSparkListener(listener)
-    // zipWithIndex offsets + the one aggregation (≤2 jobs under AQE);
-    // the old per-column loop ran 5+ here
-    counter.get() should be <= 3
+    // exists-probe (≤2 AQE stage jobs) + zipWithIndex offsets + the one
+    // location aggregation (≤2) — flat in column count; the old
+    // per-column loop ran one aggregation per check (10+ here)
+    counter.get() should be <= 5
+  }
+
+  test("clean strict load stays in codegen: no RDD scan, one probe job") {
+    import spark.implicits._
+    val t = TableConfig("w", "w", items = Seq(
+      ColumnSpec("a", "a", "int", nullable = false),
+      ColumnSpec("b", "b", "date"),
+      ColumnSpec("c", "c", "decimal", Some("10,2"))))
+    val df = Seq(("1", "2020-01-01", "1.50"), ("2", "2021-06-30", "9.25"))
+      .toDF("a", "b", "c")
+    // phase 1's offender-exists probe is a pure vectorized aggregation:
+    // no RDD conversion, no object (de)serialization in its plan
+    val probe = CsvIngest.strictExistsFrame(df, t)
+    val plan = probe.queryExecution.executedPlan.toString
+    plan should not include "ExistingRDD"
+    plan should not include "DeserializeToObject"
+    plan should not include "SerializeFromObject"
+    plan should include("HashAggregate")
+    // a clean load runs ONLY that probe — the zipWithIndex line-location
+    // pass (RDD, extra scan) must not fire when no offender exists
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val r = CsvIngest.castAndProjectStrict(df, t)
+        Thread.sleep(1000) // listener events are delivered asynchronously
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // one aggregation query (≤2 jobs under AQE) — the 3-job floor of
+    // the old always-on zipWithIndex path is gone
+    counter.get() should be <= 2
+    rows(out.orderBy("a")).map(_.head) shouldBe Seq(1, 2)
   }
 
   test("quarantine tags NOT NULL violations") {

@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
 
+  test("duplicateClusters: deep chain (diameter > 20) converges without DAG blowup") {
+    import spark.implicits._
+    // a 26-node chain: min-label propagation needs ~25 rounds, crossing
+    // the every-10-rounds localCheckpoint twice — without the lineage
+    // truncation each round's plan re-derives through all prior rounds
+    // and analysis time grows superlinearly
+    val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe (0L to 25L).toSet
+    got.values.toSet shouldBe Set(0L) // one component, min-id representative
+    labels.unpersist()
+  }
+
   test("incremental dedup: batch probes the prebuilt index, matches brute force") {
     import spark.implicits._
     val corpus = (0L until 200L).map(i =>

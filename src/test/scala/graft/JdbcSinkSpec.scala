@@ -34,6 +34,18 @@ class JdbcSinkSpec extends SparkSpec {
     s.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
   }
 
+  test("ping hits the JDBC endpoint: up succeeds, down fails (O9)") {
+    val up = new JdbcSink(spark, url, Map.empty, pingSql = "VALUES 1")
+    noException should be thrownBy up.ping()
+    noException should be thrownBy new Engine(spark, up).testConnection()
+    // a database that doesn't exist (no ;create=true) → connect fails;
+    // testConnection must surface that, not succeed via local Spark
+    val down = new JdbcSink(spark, "jdbc:derby:memory:graft_no_such_db",
+      Map.empty, pingSql = "VALUES 1")
+    an[Exception] should be thrownBy down.ping()
+    an[Exception] should be thrownBy new Engine(spark, down).testConnection()
+  }
+
   test("cleanOrphanTemps drops stranded temp tables, leaves real ones") {
     val s = sink
     s.overwrite(Seq((1L, "x")).toDF("id", "v"), "keepme")
@@ -45,6 +57,50 @@ class JdbcSinkSpec extends SparkSpec {
     dropped.map(_.toLowerCase) should contain("dead_temp_0badf00d")
     s.tableExists("keepme") shouldBe true
     s.tableExists("dead_temp_0badf00d") shouldBe false
+  }
+
+  test("type change takes drop+rename (new DDL lands); same shape preserves DDL") {
+    def withConn[T](f: java.sql.Connection => T): T = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    def exec(sql: String): Unit = withConn { c =>
+      val st = c.createStatement(); try st.execute(sql) finally st.close()
+    }
+    def colType(table: String, col: String): String = withConn { c =>
+      val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      try {
+        var t: String = null
+        while (rs.next())
+          if (rs.getString("COLUMN_NAME").equalsIgnoreCase(col))
+            t = rs.getString("TYPE_NAME")
+        t
+      } finally rs.close()
+    }
+    // externally created target whose WIDTH-only difference is
+    // invisible at the Spark-schema level (VARCHAR(50) and CLOB both
+    // read back as StringType) — the DDL-level compare must still
+    // route this through drop+rename so the new DDL lands
+    exec("CREATE TABLE shp (id BIGINT, v VARCHAR(50))")
+    exec("INSERT INTO shp VALUES (0, 'old')")
+    colType("shp", "v") shouldBe "VARCHAR"
+    val s = sink
+    s.overwrite(Seq((1L, "after type change")).toDF("id", "v"), "shp")
+    colType("shp", "v") shouldBe "CLOB" // Spark's Derby mapping landed
+    rows(s.read("shp")) shouldBe Seq(Seq(1L, "after type change"))
+
+    // same-shape reload must take DELETE+INSERT: pin it with a
+    // dependent view — Derby REFUSES to drop a table a view reads
+    // (X0Y23), so the drop+rename branch would fail loudly here
+    // Spark's JDBC writer QUOTES column names, so the rebuilt table's
+    // columns are lowercase case-sensitive — quote them here too
+    exec("CREATE VIEW shp_view AS SELECT \"id\" FROM shp")
+    s.overwrite(Seq((2L, "delete+insert")).toDF("id", "v"), "shp")
+    rows(s.read("shp")) shouldBe Seq(Seq(2L, "delete+insert"))
+    // the view survived ⇒ the table was never dropped
+    rows(s.read("shp_view")) shouldBe Seq(Seq(2L))
+    exec("DROP VIEW shp_view")
+    s.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
   }
 
   test("incremental merge via JDBC: the plan reads the target it replaces") {

@@ -59,9 +59,12 @@ class MaintenanceSpec extends SparkSpec {
       Files.writeString(d.resolve("part-0.parquet"), "x")
     }
     mk("orders")
+    mk("events")
     mk("orders__stage_ab12cd34")
     mk("events__compact_ef56ab78")
     mk("x__stage_backup") // marker substring but NOT the generated shape
+    // crash-mid-swap signature: target gone, stage holds the only copy
+    mk("lost__stage_deadbeef")
     // age guard: a fresh (in-flight) staging dir survives the default cutoff
     Maintenance.cleanOrphanStages(spark, base) shouldBe Nil
     val deleted = Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L)
@@ -70,6 +73,12 @@ class MaintenanceSpec extends SparkSpec {
     new java.io.File(base, "orders").exists() shouldBe true
     new java.io.File(base, "x__stage_backup").exists() shouldBe true
     new java.io.File(base, "orders__stage_ab12cd34").exists() shouldBe false
+    // the recoverable stage was NOT deleted (it's the only copy of
+    // 'lost') and is reported for rename-in recovery
+    new java.io.File(base, "lost__stage_deadbeef").exists() shouldBe true
+    Maintenance.recoverableStages(spark, base)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) shouldBe
+      Seq("lost__stage_deadbeef")
     Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L) shouldBe Nil
   }
 

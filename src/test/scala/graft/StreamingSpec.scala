@@ -116,6 +116,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsertPartitioned rewrites only the partitions a batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-pupsert").toString
+    val target = s"$base/events_pt"
+    // seed two day partitions: ts(0)/ts(30) → 2023-11-14 (22:00 UTC),
+    // ts(150) → 2023-11-15 (00:30 UTC)
+    val seed = Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(30), 1, "view", 2.0),
+      Event(10, ts(150), 2, "click", 5.0)).toDF()
+    graft.sources.PartitionedStore.writeByDay(seed, "ts", target)
+
+    // every file (incl. local-fs .crc sidecars) under a day's partition
+    def partFiles(day: String): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(target, s"p_date=$day")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val dayB = "2023-11-15"
+    val before = partFiles(dayB)
+    before should not be empty
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingUpsertPartitioned(input.toDF(), target,
+      tsCol = "ts", pk = Seq("event_id"), checkpointDir = s"$base/ckpt")
+    try {
+      // the batch touches ONLY day A: event 1 updated (stage wins,
+      // same-day per the partition-stability contract), event 3 new
+      input.addData(Event(1, ts(1), 1, "click", 100.0),
+        Event(3, ts(40), 3, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // untouched day-B partition: the exact same files, byte for byte
+    partFiles(dayB) shouldBe before
+    // merge semantics across the whole table
+    spark.read.parquet(target).select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      Map(1L -> 100.0, 2L -> 2.0, 3L -> 3.0, 10L -> 5.0)
+    // no staging residue next to the target
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.contains("__stage_")).toSeq shouldBe empty
+  }
+
   test("stream-stream join matches events within the time bound, drops the rest") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
