@@ -105,6 +105,69 @@ object TextFunctions {
       greatest(size(ts), lit(1)).cast("double")
   }
 
+  /** Adjacent word bigrams ("a b") of the token stream — empty when
+    * the doc has fewer than two tokens. */
+  def tokenBigrams(text: Column): Column = {
+    val ts = tokens(text)
+    val n = greatest(size(ts) - 1, lit(0))
+    zip_with(slice(ts, lit(1), n), slice(ts, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Highest multiplicity of any element of `arr`: sort + run-length
+    * max — O(L log L) per row and fully codegen'd, never the O(L²)
+    * count-each-distinct formulation (which is fine for a small
+    * oracle, wrong for a 100 TB scan of long documents). */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Fraction of token occurrences taken by the single most frequent
+    * token — the "repeated word" share of a Gopher-style repetition
+    * rule set (Rae et al. 2021, arXiv:2112.11446 §A1.1 uses the
+    * analogous top-n-gram character share). */
+  def topTokenFraction(text: Column): Column = {
+    val ts = tokens(text)
+    maxMultiplicity(ts).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Fraction of bigram occurrences taken by the most frequent word
+    * bigram — phrase-level repetition (loops, boilerplate, chant text
+    * score high; natural prose stays low). */
+  def topBigramFraction(text: Column): Column = {
+    val bgs = tokenBigrams(text)
+    maxMultiplicity(bgs).cast("double") /
+      greatest(size(bgs), lit(1)).cast("double")
+  }
+
+  /** Gopher-style corpus keep/drop decision: length bounds, lexical
+    * diversity, phrase repetition, and stopword presence composed into
+    * one boolean — the document-level quality gate of an LLM data
+    * pipeline (thresholds are corpus-tunable; defaults follow the
+    * Gopher rules' shape adapted to short synthetic docs). All inputs
+    * are int-ratio doubles, so the decision is engine-deterministic. */
+  def gopherKeep(text: Column,
+                 minTokens: Long = 20L, maxTokens: Long = 90L,
+                 minDistinctRatio: Double = 0.4,
+                 maxTopBigramFrac: Double = 0.05,
+                 minStopwordRatio: Double = 0.02): Column = {
+    val n = tokenCount(text)
+    n >= minTokens && n <= maxTokens &&
+      distinctTokenRatio(text) >= minDistinctRatio &&
+      topBigramFraction(text) <= maxTopBigramFrac &&
+      stopwordRatio(text) >= minStopwordRatio
+  }
+
   /** Composite quality score in [0,1]-ish: rewards lexical diversity
     * and typical token length, penalizes punctuation soup. Pure
     * per-row double arithmetic → bitwise-deterministic everywhere. */

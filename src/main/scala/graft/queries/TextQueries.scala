@@ -111,6 +111,29 @@ object TextQueries {
           .as("clean_text"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals: share of token/bigram
+    // occurrences taken by the single most frequent one (boilerplate,
+    // loops, and chant text score high; natural prose stays low).
+    "repetition_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        topTokenFraction(col("text")).as("top_token_frac"),
+        topBigramFraction(col("text")).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // The composed document-level quality gate: length bounds, lexical
+    // diversity, phrase repetition, stopword presence → one keep/drop
+    // boolean per doc (the decision a curation pipeline filters on).
+    "gopher_quality_filter" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenRatio(col("text")).as("distinct_ratio"),
+        topBigramFraction(col("text")).as("top_bigram_frac"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        gopherKeep(col("text")).as("keep"))
+        .orderBy(col("doc_id"))),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -221,6 +244,39 @@ object TextQueries {
          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      s"""SELECT doc_id,
+         |  COALESCE(list_aggregate(list_transform(list_distinct(toks),
+         |      x -> len(list_filter(toks, y -> y = x))), 'max'), 0)
+         |    / GREATEST(len(toks), 1) AS top_token_frac,
+         |  COALESCE(list_aggregate(list_transform(list_distinct(bgs),
+         |      x -> len(list_filter(bgs, y -> y = x))), 'max'), 0)
+         |    / GREATEST(len(bgs), 1) AS top_bigram_frac
+         |FROM (SELECT doc_id, toks,
+         |        list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+         |          i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+         |      FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "gopher_quality_filter" ->
+      s"""SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+         |  stopword_ratio,
+         |  (n_tokens >= 20 AND n_tokens <= 90 AND distinct_ratio >= 0.4
+         |    AND top_bigram_frac <= 0.05 AND stopword_ratio >= 0.02) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    len(list_distinct(toks)) / GREATEST(len(toks), 1) AS distinct_ratio,
+         |    COALESCE(list_aggregate(list_transform(list_distinct(bgs),
+         |        x -> len(list_filter(bgs, y -> y = x))), 'max'), 0)
+         |      / GREATEST(len(bgs), 1) AS top_bigram_frac,
+         |    len(list_filter(toks, t -> list_contains(
+         |        ['the','a','an','of','to','in','and','is','on','for'], t)))
+         |      / GREATEST(len(toks), 1) AS stopword_ratio
+         |  FROM (SELECT doc_id, toks,
+         |          list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+         |            i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+         |        FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
          |  CAST(COALESCE(list_aggregate(list_transform(toks,

@@ -95,6 +95,33 @@ class TextFunctionsSpec extends SparkSpec {
       "no pii here, just 42 and 3.14"
   }
 
+  test("repetition fractions: sorted run-length max matches hand counts") {
+    // "go go go stop": top token 'go' 3/4; bigrams [go go, go go,
+    // go stop] → top 'go go' 2/3
+    oneD(topTokenFraction(col("text")), "go go go stop") shouldBe 0.75
+    oneD(topBigramFraction(col("text")), "go go go stop") shouldBe 2.0 / 3.0
+    // all-distinct prose: token frac 1/n, bigram frac 1/(n-1)
+    oneD(topTokenFraction(col("text")), "one two three four") shouldBe 0.25
+    oneD(topBigramFraction(col("text")), "one two three four") shouldBe 1.0 / 3.0
+    // degenerate docs: empty and single-token
+    oneD(topTokenFraction(col("text")), "") shouldBe 0.0
+    oneD(topBigramFraction(col("text")), "solo") shouldBe 0.0
+  }
+
+  test("gopherKeep composes length, diversity, repetition, stopword gates") {
+    val varied = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and"
+    one(gopherKeep(col("text")), varied) shouldBe true
+    // too short
+    one(gopherKeep(col("text")), "the of and") shouldBe false
+    // repetitive: one bigram dominates
+    one(gopherKeep(col("text")),
+      ("spam ham " * 20) + (1 to 10).map(i => s"w$i").mkString(" ") +
+        " the of and") shouldBe false
+    // no stopwords (non-English-looking)
+    one(gopherKeep(col("text")),
+      (1 to 30).map(i => s"w$i").mkString(" ")) shouldBe false
+  }
+
   test("fingerprint is md5 hex; rollingHash deterministic and order-sensitive") {
     one(fingerprint(col("text")), "abc") shouldBe "900150983cd24fb0d6963f7d28e17f72"
     val h1 = one(rollingHash(col("text")), "abc")
