@@ -31,7 +31,10 @@ object Bench {
       val warm = timed()
       (name, cold, warm)
     }
-    def r3(v: Double): String = f"$v%.3f" // 3 decimals keeps the line short
+    // 3 decimals keeps the line short; Locale.ROOT because the default
+    // locale's decimal separator (e.g. comma) would break the JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -180,6 +180,12 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     * buckets). After any change the bucket's cached S3AFileSystem is
     * evicted, so SAME-BUCKET credential rotation within one session
     * takes effect instead of hitting the first-built cached FS.
+    * The eviction reaches every FS cache in THIS JVM (driver +
+    * local-mode executors — the deployment this engine targets); in a
+    * multi-JVM cluster, executor JVMs key their FS cache on
+    * scheme+authority and would keep a pre-rotation instance — set
+    * `fs.s3a.impl.disable.cache=true` there, or rely on new executors
+    * post-rotation.
     * Tracking lives in [[S3CredentialScope]] keyed by the Hadoop
     * Configuration — session-scoped like the configuration itself, so
     * a second Engine instance on the same session sees what the first

@@ -305,10 +305,16 @@ final class JdbcSink(spark: SparkSession, url: String,
                        table: String): Seq[(String, String, Int, Int)] = {
     val md = conn.getMetaData
     val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def escaped(s: String) = s.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    // scope to the CURRENT schema (like the catalog probe): a
+    // same-named table in another schema would otherwise contribute
+    // rows and corrupt the comparison
+    val schemaPattern =
+      try Option(conn.getSchema).filter(_.nonEmpty).map(escaped).orNull
+      catch { case _: Exception => null }
     def cols(t: String): Seq[(String, String, Int, Int)] = {
-      val pattern = t.replace(esc, esc + esc)
-        .replace("_", esc + "_").replace("%", esc + "%")
-      val rs = md.getColumns(null, null, pattern, null)
+      val rs = md.getColumns(null, schemaPattern, escaped(t), null)
       try {
         val buf = Seq.newBuilder[(String, String, Int, Int)]
         while (rs.next())

@@ -62,7 +62,7 @@ object Dedup {
     * high-cardinality key) followed by a min-agg; iterations needed =
     * graph diameter, and near-dup clusters are shallow (dups of one
     * document), so the loop converges in a handful of rounds. Lineage
-    * is truncated with localCheckpoint every 10 rounds so adversarial
+    * is truncated with localCheckpoint every 5 rounds so adversarial
     * graphs (long chains) can't blow up the plan DAG.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
@@ -124,7 +124,12 @@ object Dedup {
           "(pair-graph diameter exceeds maxIter); raise maxIter")
     }
     // NOTE: the returned frame is cached (it was materialized by the
-    // fixpoint probes); callers that are done with it may unpersist()
+    // fixpoint probes); callers that are done with it may unpersist().
+    // On a checkpoint round the frame is localCheckpoint-backed
+    // instead: unpersist() is a harmless no-op there and the blocks
+    // are reclaimed by the ContextCleaner once the frame is
+    // dereferenced — same applies to the intermediate checkpoints the
+    // loop drops on reassignment.
     labels
   }
 

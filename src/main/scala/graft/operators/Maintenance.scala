@@ -141,10 +141,12 @@ object Maintenance {
       .map { case (st, _) => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
-  /** Stage/compact directories whose target path is MISSING — the
-    * crash-mid-swap signature: these hold the only surviving copy of
-    * their table and need a manual (or scripted) rename-in, which is
-    * why [[cleanOrphanStages]] refuses to delete them. */
+  /** Stage/compact directories whose target path is MISSING — or
+    * which hold a staged PARTITION the target lacks (the
+    * partition-scoped merge's crash-mid-swap signature): these hold
+    * the only surviving copy of their data and need a manual (or
+    * scripted) rename-in, which is why [[cleanOrphanStages]] refuses
+    * to delete them. */
   def recoverableStages(spark: SparkSession, baseDir: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -153,8 +155,13 @@ object Maintenance {
 
   private val stageSuffix = "__(stage|compact)_[0-9a-f]{8}$".r
 
-  /** (stage dir status, does its target exist) for every well-formed
-    * stage/compact directory directly under `baseDir`. */
+  /** (stage dir status, is it safe to delete) for every well-formed
+    * stage/compact directory directly under `baseDir`. Deletion is
+    * safe only when the target exists AND, for a partition-layout
+    * stage (`p_date=*` subdirs from the partition-scoped merge), every
+    * staged partition also exists under the target — a crash between
+    * a partition's delete and its rename leaves the TABLE dir present
+    * but that staged partition as the only surviving copy. */
   private def stageDirs(fs: org.apache.hadoop.fs.FileSystem,
                         base: org.apache.hadoop.fs.Path)
       : Seq[(org.apache.hadoop.fs.FileStatus, Boolean)] =
@@ -166,8 +173,13 @@ object Maintenance {
         val targetName = stageSuffix.replaceAllIn(st.getPath.getName, "")
         // a stage name is always `<target>__stage_<hex8>`, so an empty
         // remainder can't occur for well-formed names; guard anyway
-        val ok = targetName.nonEmpty &&
-          fs.exists(new org.apache.hadoop.fs.Path(base, targetName))
+        val target = new org.apache.hadoop.fs.Path(base, targetName)
+        val ok = targetName.nonEmpty && fs.exists(target) && {
+          val stagedParts = fs.listStatus(st.getPath).toSeq
+            .filter(p => p.isDirectory && p.getPath.getName.contains("="))
+          stagedParts.forall(p =>
+            fs.exists(new org.apache.hadoop.fs.Path(target, p.getPath.getName)))
+        }
         (st, ok)
       }
 }

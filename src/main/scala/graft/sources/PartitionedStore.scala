@@ -42,6 +42,15 @@ object PartitionedStore {
     * partition-path-keyed merge (e.g. Hudi/Delta with a date partition
     * key and merge predicates) operates under.
     *
+    * Crash recovery: per-partition swaps are idempotent under the
+    * in-process retry, and a driver death between a partition's delete
+    * and its rename leaves the staged copy as the only one — which is
+    * why [[graft.operators.Maintenance.cleanOrphanStages]] refuses to
+    * delete a stage holding partitions the target lacks and
+    * `recoverableStages` reports it for rename-in. Replaying the
+    * micro-batch (streaming checkpoint) AFTER renaming the staged
+    * partition in restores the exact merge result.
+    *
     * Returns the touched partition dates (micro-batch-sized driver
     * list — partition NAMES, never data). Duplicate PKs within the
     * batch resolve last-wins by `orderCols` when provided, like
@@ -73,7 +82,12 @@ object PartitionedStore {
           "land in the default partition and never swap in")
     val dates = dateRows.flatten.sorted
     if (dates.isEmpty) return Nil
-    val exists = fs.exists(target)
+    // an existing-but-EMPTY target dir reads as absent: a crash between
+    // mkdirs and the first partition rename would otherwise wedge every
+    // later merge on "unable to infer parquet schema". One listing page
+    // (iterator, not a full list) — cheap even at many partitions.
+    val exists = fs.exists(target) &&
+      fs.listStatusIterator(target).hasNext
     val merged =
       if (exists) {
         // partition-pruned target slice: only the touched dates scan

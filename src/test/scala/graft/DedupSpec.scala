@@ -106,9 +106,9 @@ class DedupSpec extends SparkSpec {
   test("duplicateClusters: deep chain (diameter > 20) converges without DAG blowup") {
     import spark.implicits._
     // a 26-node chain: min-label propagation needs ~25 rounds, crossing
-    // the every-10-rounds localCheckpoint twice — without the lineage
-    // truncation each round's plan re-derives through all prior rounds
-    // and analysis time grows superlinearly
+    // the every-5-rounds localCheckpoint several times — without the
+    // lineage truncation the plan tree DOUBLES per round (self-join +
+    // fixpoint probe) and rendering/analysis go exponential
     val pairs = (0L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.duplicateClusters(pairs)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -65,6 +65,10 @@ class MaintenanceSpec extends SparkSpec {
     mk("x__stage_backup") // marker substring but NOT the generated shape
     // crash-mid-swap signature: target gone, stage holds the only copy
     mk("lost__stage_deadbeef")
+    // partition-scoped variant: target TABLE exists, but the stage
+    // holds a partition the target lacks (deleted before its rename)
+    mk("events/p_date=2024-01-01")
+    mk("events__stage_0badcafe/p_date=2024-01-02")
     // age guard: a fresh (in-flight) staging dir survives the default cutoff
     Maintenance.cleanOrphanStages(spark, base) shouldBe Nil
     val deleted = Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L)
@@ -73,12 +77,13 @@ class MaintenanceSpec extends SparkSpec {
     new java.io.File(base, "orders").exists() shouldBe true
     new java.io.File(base, "x__stage_backup").exists() shouldBe true
     new java.io.File(base, "orders__stage_ab12cd34").exists() shouldBe false
-    // the recoverable stage was NOT deleted (it's the only copy of
-    // 'lost') and is reported for rename-in recovery
+    // the recoverable stages were NOT deleted (each holds the only
+    // copy of its data) and are reported for rename-in recovery
     new java.io.File(base, "lost__stage_deadbeef").exists() shouldBe true
+    new java.io.File(base, "events__stage_0badcafe").exists() shouldBe true
     Maintenance.recoverableStages(spark, base)
-      .map(p => p.substring(p.lastIndexOf('/') + 1)) shouldBe
-      Seq("lost__stage_deadbeef")
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted shouldBe
+      Seq("events__stage_0badcafe", "lost__stage_deadbeef")
     Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L) shouldBe Nil
   }
 

@@ -165,6 +165,19 @@ class StreamingSpec extends SparkSpec {
       .filter(_.contains("__stage_")).toSeq shouldBe empty
   }
 
+  test("mergeByDay treats an empty target dir as absent (crash recovery)") {
+    // a crash between mkdirs and the first partition rename leaves an
+    // empty target; the next merge must bootstrap, not throw on schema
+    // inference
+    val base = java.nio.file.Files.createTempDirectory("graft-mbd").toString
+    val target = s"$base/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target))
+    val batch = Seq(Event(1, ts(0), 1, "click", 1.0)).toDF()
+    graft.sources.PartitionedStore.mergeByDay(batch, target, "ts",
+      pk = Seq("event_id")) should not be empty
+    spark.read.parquet(target).count() shouldBe 1
+  }
+
   test("stream-stream join matches events within the time bound, drops the rest") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
