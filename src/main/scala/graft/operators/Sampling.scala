@@ -26,6 +26,16 @@ object Sampling {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % nBuckets
 
+  /** Deterministic global shuffle key for training order:
+    * md5("shuffle:<salt>:" + id) — a seeded pseudo-random permutation
+    * that is engine-reproducible and append-stable per id (new rows
+    * interleave without moving existing ones). Sorting by it is
+    * Spark's range-partitioned total sort (sample pass + one shuffle,
+    * the TeraSort shape) — the right primitive for randomizing a
+    * 100 TB corpus, vs. rand() which reshuffles on every retry. */
+  def shuffleKey(id: Column, salt: String = "0"): Column =
+    md5(concat(lit(s"shuffle:$salt:"), id.cast("string")))
+
   /** Deterministic train/val/test label: percent buckets
     * [0,trainPct) → train, [trainPct,trainPct+valPct) → val,
     * rest → test. */

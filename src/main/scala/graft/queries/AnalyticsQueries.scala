@@ -110,6 +110,21 @@ object AnalyticsQueries {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // Offset windows: each order beside its customer's previous/next
+    // order value (lag/lead share running_total's single per-customer
+    // shuffle and sort).
+    "lead_lag_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice").cast("double").as("price"))
+        .withColumn("prev_price", lag(col("price"), 1).over(w))
+        .withColumn("next_price", lead(col("price"), 1).over(w))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
     // Set ops: customers active in 1995 but not 1996 (EXCEPT), and the
     // 1995∩1996 overlap (INTERSECT), tagged and unioned.
     "set_ops_customers" -> ((s, dir) => {
@@ -355,6 +370,14 @@ object AnalyticsQueries {
         |               ORDER BY o_orderdate, o_orderkey
         |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
         |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "lead_lag_orders" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  LAG(CAST(o_totalprice AS DOUBLE), 1) OVER w AS prev_price,
+        |  LEAD(CAST(o_totalprice AS DOUBLE), 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "set_ops_customers" ->
       """WITH a95 AS (SELECT o_custkey FROM orders

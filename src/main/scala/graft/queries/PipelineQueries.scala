@@ -184,6 +184,35 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic training-order shuffle: a seeded pseudo-random
+    // permutation via a keyed hash sort — range-partitioned total sort
+    // (the TeraSort shape), reproducible across engines and retries,
+    // append-stable per id (rand() is none of these).
+    "corpus_shuffle" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.Sampling.shuffleKey(col("doc_id")).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))),
+
+    // Benchmark decontamination: drop-list of corpus docs sharing any
+    // word n-gram with the held-out eval set (doc_id % 100 == 0 stands
+    // in for the benchmark; n=3 tuned to this corpus — real pipelines
+    // use 8-13 grams on natural text). The eval side's distinct
+    // shingles are benchmark-sized → broadcast, so the corpus scan
+    // never shuffles its shingles; only matched doc_ids shuffle for
+    // the final distinct.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def sh(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      val benchShingles = sh(docs.filter(col("doc_id") % 100 === 0))
+        .select("sh").distinct()
+      sh(docs.filter(col("doc_id") % 100 =!= 0))
+        .join(broadcast(benchShingles), Seq("sh"))
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
+
     // Per-stratum quotas: halve English, quarter German, 5% of the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> ((s, dir) =>
@@ -329,6 +358,26 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id,
+        |  md5('shuffle:0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         | sh AS (SELECT doc_id,
+         |          unnest(CASE WHEN len(toks) < 3
+         |                 THEN [array_to_string(toks, ' ')]
+         |                 ELSE list_distinct(list_transform(
+         |                   range(1, GREATEST(len(toks) - 2, 0) + 1),
+         |                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         |                 END) AS s
+         |        FROM d)
+         |SELECT DISTINCT a.doc_id FROM sh a
+         |JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0) b
+         |  ON a.s = b.s
+         |WHERE a.doc_id % 100 <> 0
+         |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -180,4 +180,14 @@ class ScaleSpec extends SparkSpec {
       inputLine should not include "sh#"
     }
   }
+
+  test("plan shape: decontamination broadcasts the eval shingles") {
+    val df = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes its stages
+    val plan = df.queryExecution.executedPlan.toString
+    // benchmark side broadcasts → the corpus-side scan joins map-side;
+    // a SortMergeJoin here would shuffle every corpus shingle string
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }
