@@ -36,6 +36,24 @@ object Sampling {
   def shuffleKey(id: Column, salt: String = "0"): Column =
     md5(concat(lit(s"shuffle:$salt:"), id.cast("string")))
 
+  /** Deterministic per-group sample: the k rows with the smallest
+    * shuffle-key hash in each group — uniform-without-replacement
+    * reservoir semantics whose membership is a pure function of ids
+    * (a new row displaces at most one prior member, exactly like a
+    * reservoir). One shuffle on the group key; rank + filter fuse in
+    * whole-stage codegen. The per-stratum quota sibling of
+    * [[deterministicSample]] for "n examples per class/language"
+    * selections. */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(shuffleKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic train/val/test label: percent buckets
     * [0,trainPct) → train, [trainPct,trainPct+valPct) → val,
     * rest → test. */

@@ -184,6 +184,14 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Per-group reservoir: exactly 20 docs per language, membership a
+    // pure hash function of doc_id (append-stable, engine-reproducible).
+    "group_sample" -> ((s, dir) =>
+      graft.operators.Sampling.groupSample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", k = 20)
+        .orderBy(col("doc_id"))),
+
     // Deterministic training-order shuffle: a seeded pseudo-random
     // permutation via a keyed hash sort — range-partitioned total sort
     // (the TeraSort shape), reproducible across engines and retries,
@@ -357,6 +365,15 @@ object PipelineQueries {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+    "group_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('shuffle:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
         |ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id,

@@ -92,6 +92,25 @@ class SamplingSpec extends SparkSpec {
       mixed.count()
   }
 
+  test("groupSample: exactly k per group, reservoir-stable under appends") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val s1 = Sampling.groupSample(docs, "grp", "id", k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    s1.groupBy(_._1).view.mapValues(_.length).toMap shouldBe
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10)
+    // deterministic across runs
+    Sampling.groupSample(docs, "grp", "id", k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet shouldBe s1.toSet
+    // reservoir property: appending one row displaces AT MOST one
+    // prior member of its group (membership is hash-rank, not order)
+    val appended = docs.unionByName(Seq((999L, "g0")).toDF("id", "grp"))
+    val s2 = Sampling.groupSample(appended, "grp", "id", k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    (s1.toSet -- s2).size should be <= 1
+    s2.filter(_._1 != "g0") shouldBe s1.toSet.filter(_._1 != "g0")
+  }
+
   test("deterministicSample keeps ~fraction of rows, and a sub-fraction nests") {
     val s10 = Sampling.deterministicSample(ids, "id", 0.1)
       .collect().map(_.getLong(0)).toSet
