@@ -189,7 +189,13 @@ final class JdbcSink(spark: SparkSession, url: String,
           s"${e.getClass.getSimpleName}: ${scrub(e.getMessage)}")
     }
 
-  private def reader = props.foldLeft(
+  /** Keys the SINK interprets itself — never forwarded raw: Spark
+    * rejects `partitionColumn` without explicit bounds (and with the
+    * catalog `query` option), so the engine supplies the bounds by
+    * probing MIN/MAX at read time instead. */
+  private val sinkOnlyKeys = Set("partitionColumn")
+
+  private def reader = props.filterNot(kv => sinkOnlyKeys(kv._1)).foldLeft(
     spark.read.format("jdbc").option("url", url)) {
     case (r, (k, v)) => r.option(k, v)
   }
@@ -202,12 +208,58 @@ final class JdbcSink(spark: SparkSession, url: String,
   def tableExists(name: String): Boolean =
     listTables().exists(_.equalsIgnoreCase(name))
 
-  def read(name: String): DataFrame =
-    guarded(reader.option("dbtable", name).load())
+  /** Table read; parallel when `partitionColumn` is configured in
+    * `props` (a numeric column, typically the PK). A single-connection
+    * JDBC read is the scale wall for warehouse-resident merge targets:
+    * with a partition column, the driver probes MIN/MAX once (one
+    * 1-row query) and Spark opens `numPartitions` (default 8) range
+    * scans instead of one stream. Empty tables and NULL bounds fall
+    * back to the plain read. The probe quotes the column, mirroring
+    * Spark's own JDBC identifier quoting. */
+  def read(name: String): DataFrame = guarded {
+    val plain = reader.option("dbtable", name)
+    props.get("partitionColumn") match {
+      case Some(pc) =>
+        boundsOf(name, pc) match {
+          case Some((lo, hi)) =>
+            plain
+              .option("partitionColumn", pc)
+              .option("lowerBound", lo.toString)
+              .option("upperBound", hi.toString)
+              .option("numPartitions",
+                props.getOrElse("numPartitions", "8"))
+              .load()
+          case None => plain.load()
+        }
+      case None => plain.load()
+    }
+  }
+
+  /** MIN/MAX of the partition column, driver-side (one 1-row query).
+    * None when the table is empty or the bounds are NULL. */
+  private def boundsOf(table: String, column: String): Option[(Long, Long)] = {
+    val q = "\"" + column.replace("\"", "\"\"") + "\""
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($q), MAX($q) FROM $table")
+        try {
+          if (!rs.next()) None
+          else {
+            val lo = rs.getLong(1); val loNull = rs.wasNull()
+            val hi = rs.getLong(2); val hiNull = rs.wasNull()
+            if (loNull || hiNull) None else Some((lo, hi))
+          }
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
 
   def overwrite(df: DataFrame, name: String): Unit = guarded {
     val stage = s"${name}_temp_${java.util.UUID.randomUUID().toString.take(8)}"
-    props.foldLeft(df.write.format("jdbc")
+    props.filterNot(kv => sinkOnlyKeys(kv._1)).foldLeft(
+      df.write.format("jdbc")
         .option("url", url).option("dbtable", stage)) {
       case (w, (k, v)) => w.option(k, v)
     }.mode("errorifexists").save()
@@ -346,7 +398,9 @@ final class JdbcSink(spark: SparkSession, url: String,
   private def connect(): java.sql.Connection = {
     props.get("driver").foreach(Class.forName(_))
     val p = new java.util.Properties()
-    props.foreach { case (k, v) => if (k != "driver") p.setProperty(k, v) }
+    props.foreach { case (k, v) =>
+      if (k != "driver" && !sinkOnlyKeys(k)) p.setProperty(k, v)
+    }
     java.sql.DriverManager.getConnection(url, p)
   }
 }

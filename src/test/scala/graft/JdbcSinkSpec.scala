@@ -34,6 +34,30 @@ class JdbcSinkSpec extends SparkSpec {
     s.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
   }
 
+  test("partitionColumn config turns reads into parallel range scans") {
+    val ps = new JdbcSink(spark, url,
+      Map("partitionColumn" -> "id", "numPartitions" -> "4"),
+      catalogSql =
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+    ps.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "jpart")
+    val df = ps.read("jpart")
+    // bounds probed MIN/MAX → 4 range partitions, not one stream
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe 100
+    rows(df.orderBy("id").limit(2)) shouldBe Seq(Seq(1L, "v1"), Seq(2L, "v2"))
+    // the merge path composes: target read is partitioned, result right
+    val merged = graft.operators.Load.upsert(ps.read("jpart"),
+      Seq((100L, "NEW"), (101L, "v101")).toDF("id", "v"), Seq("id"))
+    ps.overwrite(merged, "jpart")
+    ps.read("jpart").count() shouldBe 101
+    // empty table → bounds are NULL → plain single-stream read, no error
+    ps.overwrite(Seq.empty[(Long, String)].toDF("id", "v"), "jempty")
+    ps.read("jempty").count() shouldBe 0
+    // catalog listing (query option) unaffected by the partition config
+    ps.listTables() should contain("jpart".toUpperCase)
+  }
+
   test("ping hits the JDBC endpoint: up succeeds, down fails (O9)") {
     val up = new JdbcSink(spark, url, Map.empty, pingSql = "VALUES 1")
     noException should be thrownBy up.ping()
