@@ -236,8 +236,16 @@ final class JdbcSink(spark: SparkSession, url: String,
   }
 
   /** MIN/MAX of the partition column, driver-side (one 1-row query).
-    * None when the table is empty or the bounds are NULL. */
-  private def boundsOf(table: String, column: String): Option[(Long, Long)] = {
+    * None when the table is empty, the bounds are NULL, or the probe
+    * fails — the sink is shared across tables, so a table WITHOUT the
+    * configured column (a different PK, or any catalog table reached
+    * via tablesInfo) must fall back to the plain single-stream read,
+    * not crash the read. */
+  private def boundsOf(table: String, column: String): Option[(Long, Long)] =
+    try boundsQuery(table, column)
+    catch { case _: Exception => None }
+
+  private def boundsQuery(table: String, column: String): Option[(Long, Long)] = {
     val q = "\"" + column.replace("\"", "\"\"") + "\""
     val conn = connect()
     try {
@@ -363,8 +371,10 @@ final class JdbcSink(spark: SparkSession, url: String,
     // same-named table in another schema would otherwise contribute
     // rows and corrupt the comparison
     val schemaPattern =
+      // Throwable, not Exception: pre-JDBC-4.1 drivers throw
+      // AbstractMethodError (an Error) from getSchema
       try Option(conn.getSchema).filter(_.nonEmpty).map(escaped).orNull
-      catch { case _: Exception => null }
+      catch { case _: Throwable => null }
     def cols(t: String): Seq[(String, String, Int, Int)] = {
       val rs = md.getColumns(null, schemaPattern, escaped(t), null)
       try {

@@ -169,17 +169,24 @@ object Maintenance {
     else fs.listStatus(base).toSeq
       .filter(st => st.isDirectory &&
         stageSuffix.findFirstIn(st.getPath.getName).isDefined)
-      .map { st =>
+      .flatMap { st =>
         val targetName = stageSuffix.replaceAllIn(st.getPath.getName, "")
         // a stage name is always `<target>__stage_<hex8>`, so an empty
         // remainder can't occur for well-formed names; guard anyway
         val target = new org.apache.hadoop.fs.Path(base, targetName)
-        val ok = targetName.nonEmpty && fs.exists(target) && {
-          val stagedParts = fs.listStatus(st.getPath).toSeq
-            .filter(p => p.isDirectory && p.getPath.getName.contains("="))
-          stagedParts.forall(p =>
-            fs.exists(new org.apache.hadoop.fs.Path(target, p.getPath.getName)))
+        try {
+          val ok = targetName.nonEmpty && fs.exists(target) && {
+            val stagedParts = fs.listStatus(st.getPath).toSeq
+              .filter(p => p.isDirectory && p.getPath.getName.contains("="))
+            stagedParts.forall(p =>
+              fs.exists(new org.apache.hadoop.fs.Path(target, p.getPath.getName)))
+          }
+          Some((st, ok))
+        } catch {
+          // a concurrently finishing swap deletes its stage between
+          // the base listing and this inspection — not an orphan,
+          // just gone: skip it instead of aborting the sweep
+          case _: java.io.FileNotFoundException => None
         }
-        (st, ok)
       }
 }

@@ -44,12 +44,16 @@ object JsonIngest {
       "columnNameOfCorruptRecord" -> corruptCol)
     val fields = table.sourceSchema.fieldNames.toSeq.map(n =>
       col("j.`" + n.replace("`", "``") + "`"))
+    // a top-level JSON ARRAY is corrupt for JSONL (one object per
+    // line): from_json with a struct schema would silently collapse
+    // it to its FIRST object, dropping the rest with no signal
+    val isArray = substring(ltrim(col("value")), 1, 1) === "["
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0)
       .withColumn("j", from_json(col("value"), schema, opts))
       .select(fields :+
         coalesce(col(s"j.$corruptCol"),
-          when(col("j").isNull, col("value"))).as(corruptCol): _*)
+          when(col("j").isNull || isArray, col("value"))).as(corruptCol): _*)
   }
 
   /** (parsed, corrupt) split of a [[read]] frame — one pass over the

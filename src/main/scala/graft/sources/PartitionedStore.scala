@@ -82,12 +82,21 @@ object PartitionedStore {
           "land in the default partition and never swap in")
     val dates = dateRows.flatten.sorted
     if (dates.isEmpty) return Nil
-    // an existing-but-EMPTY target dir reads as absent: a crash between
-    // mkdirs and the first partition rename would otherwise wedge every
-    // later merge on "unable to infer parquet schema". One listing page
-    // (iterator, not a full list) — cheap even at many partitions.
-    val exists = fs.exists(target) &&
-      fs.listStatusIterator(target).hasNext
+    // a target dir with no DATA entries reads as absent: a crash
+    // between mkdirs and the first partition rename — or a bootstrap
+    // write of zero rows (_SUCCESS only) — would otherwise wedge every
+    // later merge on "unable to infer parquet schema". Short-circuits
+    // on the first data entry; marker files (_SUCCESS, .crc,
+    // _temporary) don't count.
+    val exists = fs.exists(target) && {
+      val it = fs.listStatusIterator(target)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
     val merged =
       if (exists) {
         // partition-pruned target slice: only the touched dates scan

@@ -54,6 +54,10 @@ class JdbcSinkSpec extends SparkSpec {
     // empty table → bounds are NULL → plain single-stream read, no error
     ps.overwrite(Seq.empty[(Long, String)].toDF("id", "v"), "jempty")
     ps.read("jempty").count() shouldBe 0
+    // a table WITHOUT the configured column (different PK, or any
+    // catalog table via tablesInfo) falls back to the plain read
+    ps.overwrite(Seq((1L, "x")).toDF("k", "v"), "jnopc")
+    ps.read("jnopc").count() shouldBe 1
     // catalog listing (query option) unaffected by the partition config
     ps.listTables() should contain("jpart".toUpperCase)
   }

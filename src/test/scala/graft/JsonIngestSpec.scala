@@ -48,6 +48,17 @@ class JsonIngestSpec extends SparkSpec {
       Seq(Seq(1, "alpha", 1.25f), Seq(3, "c", 3.5f))
   }
 
+  test("top-level array lines quarantine whole (no silent first-object collapse)") {
+    val path = tmpJsonl(
+      """{"id": 1, "name": "a", "score": 1.0}
+        |[{"id": 2, "name": "b", "score": 2.0}, {"id": 3, "name": "c", "score": 3.0}]
+        |""".stripMargin)
+    val (parsed, corrupt) = JsonIngest.split(JsonIngest.read(spark, path, table))
+    rows(parsed).map(_.head) shouldBe Seq("1")
+    corrupt.collect().map(_.getString(0)).toSeq shouldBe
+      Seq("""[{"id": 2, "name": "b", "score": 2.0}, {"id": 3, "name": "c", "score": 3.0}]""")
+  }
+
   test("strict validation aborts on a type offender with the COPY message") {
     val path = tmpJsonl(
       """{"id": 1, "name": "ok", "score": 1.0}

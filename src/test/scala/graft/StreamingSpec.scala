@@ -176,6 +176,15 @@ class StreamingSpec extends SparkSpec {
     graft.sources.PartitionedStore.mergeByDay(batch, target, "ts",
       pk = Seq("event_id")) should not be empty
     spark.read.parquet(target).count() shouldBe 1
+    // marker-only target (a zero-row bootstrap leaves just _SUCCESS)
+    // must also read as absent, not wedge on schema inference
+    val target2 = s"$base/t2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target2))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target2, "_SUCCESS"), "")
+    graft.sources.PartitionedStore.mergeByDay(batch, target2, "ts",
+      pk = Seq("event_id")) should not be empty
+    spark.read.parquet(target2).count() shouldBe 1
   }
 
   test("stream-stream join matches events within the time bound, drops the rest") {
