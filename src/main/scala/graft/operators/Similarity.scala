@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -186,6 +186,67 @@ object Similarity {
     val q = queries.withColumn("centroid",
       explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
     val scored = c.join(broadcast(q), Seq("centroid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+  }
+
+  /** Persist a built IVF index under `path`: `centroids/` (id +
+    * vector, driver-sized) and `assignments/` — the corpus tagged with
+    * its nearest centroid, PARTITIONED BY centroid so each inverted
+    * list is its own directory. Persistence is what makes IVF an
+    * INDEX rather than a per-query rebuild: probes stop paying
+    * training and the full-corpus assignment scan, and per-probe I/O
+    * shrinks to ~nProbe/nCentroids of the corpus via partition
+    * pruning. Rebuild cadence pairs with
+    * [[graft.operators.Maintenance.compactParquet]] like any derived
+    * table. */
+  def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, nCentroids: Int = 16,
+                   trainIters: Int = 0): Unit = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val spark = corpus.sparkSession
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else systematicCentroids(corpus, idCol, vecCol, nCentroids)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid", "cvec")
+      .coalesce(1) // driver-sized by construction
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .withColumn("centroid",
+        element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$path/assignments")
+  }
+
+  def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("centroid")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Top-k against a PERSISTED index: assigns queries to their nProbe
+    * centroids, then scans ONLY the probed lists — the probed ids are
+    * |Q|×nProbe (collected driver-side), so the `isin` filter prunes
+    * assignment partitions statically before any I/O. Same scoring
+    * and ranking as [[ivfTopK]]. */
+  def ivfTopKPersisted(spark: SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val centroids = loadIvfCentroids(spark, path)
+    val q = queries.withColumn("centroid",
+      explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    val probed = q.select("centroid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$path/assignments")
+      .filter(col("centroid").isin(probed: _*))
+    val scored = lists.join(broadcast(q), Seq("centroid"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
     val w = Window.partitionBy(col("q_id"))

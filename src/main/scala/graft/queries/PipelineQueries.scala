@@ -131,6 +131,23 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // IVF as a PERSISTED index: centroids + centroid-partitioned
+    // inverted lists written to parquet, probe reads only the probed
+    // lists (partition pruning). Rows-only; parity with the in-memory
+    // build is spec-pinned.
+    "embedding_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16)
+      Similarity.ivfTopKPersisted(s, path, queries, "vec_id", "embedding",
+          k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // IVF with Lloyd-trained centroids (VectorAvg partial-sum agg);
     // rows-only like the other hash/float-sensitive ANN variants,
     // recall pinned in SimilaritySpec.

@@ -145,6 +145,25 @@ class SimilaritySpec extends SparkSpec {
     recallOf(3) should be >= 0.8
   }
 
+  test("persisted IVF index: probe matches the in-memory build, prunes lists") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 16)
+    val persisted = Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 5)
+    // identical results to building the same (untrained) index in-plan
+    val inMemory = Similarity.ivfTopK(c, q, "vec_id", "embedding", k = 5)
+    rows(persisted.orderBy("q_id", "rnk")) shouldBe
+      rows(inMemory.orderBy("q_id", "rnk"))
+    // the probed-lists filter reaches the scan as a partition filter:
+    // only nProbe directories per query are read, not the whole index
+    val plan = persisted.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("centroid")
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val c = corpus(n = 100)
     val shifted = c.filter(col("vec_id") < 5)
