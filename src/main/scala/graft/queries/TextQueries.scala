@@ -134,6 +134,20 @@ object TextQueries {
         gopherKeep(col("text")).as("keep"))
         .orderBy(col("doc_id"))),
 
+    // Percentile-gated curation: keep docs at or above the corpus's
+    // 75th quality percentile. The threshold is ONE exact-percentile
+    // aggregate (sort-based, one double column) broadcast as a scalar
+    // — dynamic thresholds beat fixed ones when corpus mix drifts.
+    "quality_threshold_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), qualityScore(col("text")).as("quality"))
+      val thr = docs.agg(expr("percentile(quality, 0.75)").as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("thr"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -244,6 +258,18 @@ object TextQueries {
          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_threshold_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    LEAST(length(text) / 500.0, 1.0) * 0.3
+         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
+         |SELECT doc_id, quality
+         |FROM q, (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
+         |WHERE quality >= thr
+         |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""SELECT doc_id,
          |  COALESCE(list_aggregate(list_transform(list_distinct(toks),
