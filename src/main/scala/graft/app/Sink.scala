@@ -236,14 +236,21 @@ final class JdbcSink(spark: SparkSession, url: String,
   }
 
   /** MIN/MAX of the partition column, driver-side (one 1-row query).
-    * None when the table is empty, the bounds are NULL, or the probe
-    * fails — the sink is shared across tables, so a table WITHOUT the
-    * configured column (a different PK, or any catalog table reached
-    * via tablesInfo) must fall back to the plain single-stream read,
-    * not crash the read. */
+    * None when the table is empty, the bounds are NULL, or the column
+    * doesn't exist on this table — the sink is shared across tables,
+    * so a table with a different PK (or any catalog table reached via
+    * tablesInfo) must fall back to the plain single-stream read.
+    * ONLY syntax/access-class failures (SQLState 42xxx — undefined
+    * column/table) soften to the fallback; connection outages
+    * PROPAGATE, same policy as tableExists — silently degrading to a
+    * single stream on a transient blip would hide the parallelism
+    * this feature exists for. */
   private def boundsOf(table: String, column: String): Option[(Long, Long)] =
     try boundsQuery(table, column)
-    catch { case _: Exception => None }
+    catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) => None
+    }
 
   private def boundsQuery(table: String, column: String): Option[(Long, Long)] = {
     val q = "\"" + column.replace("\"", "\"\"") + "\""

@@ -49,6 +49,14 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    rankTopK(scored, idCol, k)
+  }
+
+  /** Shared per-query ranking tail of every top-k variant: rank scored
+    * candidates by cosine (ties broken by corpus id — deterministic),
+    * keep the top k. ONE definition so tie-breaking and output shape
+    * can't drift between the exact/LSH/IVF/persisted paths. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -95,11 +103,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+    rankTopK(scored, idCol, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the scale path beyond
@@ -188,11 +192,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("centroid"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Persist a built IVF index under `path`: `centroids/` (id +
@@ -242,18 +242,20 @@ object Similarity {
     val centroids = loadIvfCentroids(spark, path)
     val q = queries.withColumn("centroid",
       explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
-    val probed = q.select("centroid").distinct().collect()
-      .map(_.getInt(0)).toSeq
+    // ONE evaluation of the (small, broadcast-by-contract) query side:
+    // collect it, derive the probed id set driver-side, and join the
+    // localized frame — collecting just the ids and then broadcasting
+    // `q` would re-run the queries lineage a second time
+    val qRows = q.collect()
+    val probed = qRows.map(_.getAs[Int]("centroid")).distinct.toSeq
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q.schema)
     val lists = spark.read.parquet(s"$path/assignments")
       .filter(col("centroid").isin(probed: _*))
-    val scored = lists.join(broadcast(q), Seq("centroid"))
+    val scored = lists.join(broadcast(qLocal), Seq("centroid"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col(idCol).as("neighbor_id"), col("cos"), col("rnk"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in

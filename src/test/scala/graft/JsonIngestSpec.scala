@@ -57,6 +57,13 @@ class JsonIngestSpec extends SparkSpec {
     rows(parsed).map(_.head) shouldBe Seq("1")
     corrupt.collect().map(_.getString(0)).toSeq shouldBe
       Seq("""[{"id": 2, "name": "b", "score": 2.0}, {"id": 3, "name": "c", "score": 3.0}]""")
+
+    // leading tab is legal JSON whitespace — the array guard must be
+    // whitespace-class, not space-only ltrim
+    val path2 = tmpJsonl("\t[{\"id\": 9, \"name\": \"t\", \"score\": 1.0}]\n")
+    val (p2, c2) = JsonIngest.split(JsonIngest.read(spark, path2, table))
+    p2.count() shouldBe 0
+    c2.count() shouldBe 1
   }
 
   test("strict validation aborts on a type offender with the COPY message") {

@@ -157,11 +157,11 @@ class SimilaritySpec extends SparkSpec {
     val inMemory = Similarity.ivfTopK(c, q, "vec_id", "embedding", k = 5)
     rows(persisted.orderBy("q_id", "rnk")) shouldBe
       rows(inMemory.orderBy("q_id", "rnk"))
-    // the probed-lists filter reaches the scan as a partition filter:
-    // only nProbe directories per query are read, not the whole index
+    // the probed-lists filter reaches the scan as a NON-EMPTY partition
+    // filter on centroid (the scan always prints "PartitionFilters: []",
+    // so asserting mere presence would be vacuous)
     val plan = persisted.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
-    plan should include("centroid")
+    plan should include regex "PartitionFilters: \\[[^\\]]*centroid"
   }
 
   test("cosineNearDupPairs finds planted duplicates") {
