@@ -213,8 +213,13 @@ object AnalyticsQueries {
           col("o_bucket").asc_nulls_first)),
 
     // TPC-H Q5-style: local-supplier revenue per nation in one region.
-    // Six-table join — dims broadcast, lineitem⋈orders⋈supplier left to
-    // AQE; only the final groupBy shuffles the big side.
+    // Six-table join. Broadcast hints ONLY on nation/region — genuinely
+    // constant-size at any SF. customer/supplier grow linearly with
+    // scale factor (multi-TB at the 100 TB posture), so their join
+    // strategy is delegated to AQE: below the auto-broadcast threshold
+    // it picks broadcast anyway (sf0.1 plans are unchanged); at scale
+    // it falls back to a shuffle join instead of OOMing the driver on a
+    // forced broadcast. ScaleSpec pins the delegation.
     "q5_region_revenue" -> ((s, dir) => {
       val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = t(s, dir, "nation")
@@ -225,8 +230,8 @@ object AnalyticsQueries {
       val supp = t(s, dir, "supplier")
       val li = t(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -246,8 +251,10 @@ object AnalyticsQueries {
         .filter(col("total_qty") > 250)
       val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
+      // customer scales with SF — no broadcast hint; AQE broadcasts it
+      // at small SF and shuffles at scale (see q5 comment).
       big.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("o_orderdate"),
           col("o_totalprice"), col("total_qty"))
@@ -304,13 +311,15 @@ object AnalyticsQueries {
           .as("approx_users"))
         .orderBy(col("event_type"))),
 
-    // Multi-way star join over the dimension chain (all broadcastable).
+    // Multi-way star join over the dimension chain. nation/region are
+    // constant-size → pinned broadcast; customer scales with SF → AQE
+    // decides (see q5 comment).
     "star_join_agg" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region")
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

@@ -181,6 +181,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: no pinned broadcast hints on SF-scaling tables") {
+    // nation/region are constant-size at any scale factor → an explicit
+    // broadcast() hint is safe. customer/supplier grow linearly with SF
+    // (multi-TB at the 100 TB posture) → their join strategy must be
+    // AQE's call, not a hard-coded hint that becomes an OOM at scale.
+    // This pins the r4 delegation: hints in these plans may reference
+    // only the constant-size dims.
+    for (name <- Seq("q5_region_revenue", "q18_large_orders", "star_join_agg")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.child.output.map(_.name)
+      }.flatten
+      withClue(s"$name hinted columns: $hinted") {
+        hinted.filter(c => c.startsWith("c_") || c.startsWith("s_")) shouldBe empty
+      }
+    }
+  }
+
   test("plan shape: decontamination broadcasts the eval shingles") {
     val df = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes its stages
