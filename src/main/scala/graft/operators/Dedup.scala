@@ -233,6 +233,57 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleSize).as("sh"))
 
+  /** Persist the minhash LSH index as BUCKETED catalog tables —
+    * `<name>_bands` (doc_id, band_idx, band_key) bucketed by
+    * (band_idx, band_key) — the exact probe join key, so Spark's
+    * co-partitioning check accepts the buckets verbatim (subset-key
+    * reuse is off by default via requireAllClusterKeysForCoPartition)
+    * — and `<name>_shingles` (doc_id, sh) bucketed by doc_id.
+    * Realizes the design note above: probes against the (100 TB-side)
+    * index reuse the on-disk bucketing, so the corpus side of
+    * candidate generation and verification joins without reshuffling
+    * (pinned by a ScaleSpec one-exchange plan assertion). Parameters
+    * must match between build, append, and probe. */
+  def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                       name: String, shingleSize: Int = 3, k: Int = 20,
+                       bands: Int = 5, buckets: Int = 8): Unit = {
+    graft.sources.BucketedStore.writeBucketed(
+      minhashBandKeys(docs, idCol, textCol, shingleSize, k, bands),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+    graft.sources.BucketedStore.writeBucketed(
+      shingleStore(docs, idCol, textCol, shingleSize),
+      s"${name}_shingles", Seq("doc_id"), buckets)
+  }
+
+  /** Append a BATCH into the persisted minhash index: band keys and
+    * shingle rows computed from the batch alone (the corpus is never
+    * rescanned — band-key formula shared with the build, so probe and
+    * index stay bit-identical), bucket-appended so post-append probes
+    * remain shuffle-free. Disjoint-id contract as everywhere in
+    * incremental dedup. */
+  def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+                           name: String, shingleSize: Int = 3, k: Int = 20,
+                           bands: Int = 5, buckets: Int = 8): Unit = {
+    graft.sources.BucketedStore.appendBucketed(
+      minhashBandKeys(batch, idCol, textCol, shingleSize, k, bands),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+    graft.sources.BucketedStore.appendBucketed(
+      shingleStore(batch, idCol, textCol, shingleSize),
+      s"${name}_shingles", Seq("doc_id"), buckets)
+  }
+
+  /** [[incrementalNearDupPairs]] against the PERSISTED index tables
+    * written by [[saveMinhashIndex]]/[[appendToMinhashIndex]]. */
+  def incrementalNearDupPairsPersisted(spark: org.apache.spark.sql.SparkSession,
+                                       name: String, newDocs: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleSize: Int = 3, k: Int = 20,
+                                       bands: Int = 5, threshold: Double = 0.5,
+                                       maxBucket: Int = 1000): DataFrame =
+    incrementalNearDupPairs(spark.table(s"${name}_bands"),
+      spark.table(s"${name}_shingles"), newDocs, idCol, textCol,
+      shingleSize, k, bands, threshold, maxBucket)
+
   /** Near-dup pairs of a NEW batch against an indexed corpus — the
     * production shape of continuous dedup: the corpus contributes only
     * its prebuilt band keys (candidate generation) and the candidates'

@@ -185,8 +185,7 @@ object Similarity {
       if (trainIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
       else systematicCentroids(corpus, idCol, vecCol, nCentroids)
-    val c = corpus.withColumn("centroid",
-      element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
+    val c = assignFrame(corpus, vecCol, centroids)
     val q = queries.withColumn("centroid",
       explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
     val scored = c.join(broadcast(q), Seq("centroid"))
@@ -208,7 +207,6 @@ object Similarity {
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    path: String, nCentroids: Int = 16,
                    trainIters: Int = 0): Unit = {
-    import graft.functions.HashFunctions.nearestCentroids
     val spark = corpus.sparkSession
     val centroids =
       if (trainIters > 0)
@@ -219,11 +217,105 @@ object Similarity {
       .toDF("centroid", "cvec")
       .coalesce(1) // driver-sized by construction
       .write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .withColumn("centroid",
-        element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
+    assignFrame(corpus, vecCol, centroids)
       .write.mode("overwrite").partitionBy("centroid")
       .parquet(s"$path/assignments")
+    // fingerprint LAST: a crashed build leaves no (or a stale) marker,
+    // so reuse-validation fails closed and the caller rebuilds
+    writeIndexFingerprint(spark, path, corpusFingerprint(corpus, idCol))
+  }
+
+  /** Corpus rows tagged with their nearest centroid — the assignment
+    * map shared by the full build and the incremental append (ONE
+    * formula, so appended rows land in the same list a rebuild would
+    * put them in). */
+  private[graft] def assignFrame(df: DataFrame, vecCol: String,
+                                 centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    df.withColumn("centroid",
+      element_at(nearestCentroids(asDouble(col(vecCol)), centroids, 1), 1))
+  }
+
+  /** Append a BATCH to a persisted IVF index without touching the
+    * existing corpus: assigns ONLY the batch against the stored
+    * centroids (the job scans nothing but the batch — the spec pins
+    * it), appends the new rows into the probed `assignments/`
+    * partitions, and rolls the content fingerprint forward. The 100 TB
+    * posture: per-ingest cost scales with the batch; a full rebuild
+    * (re-training centroids over the grown corpus) becomes a
+    * compaction-cadence decision like
+    * [[graft.operators.Maintenance.compactParquet]], not a per-ingest
+    * wall.
+    *
+    * CONTRACT (same as incremental dedup): batch ids are DISJOINT from
+    * the indexed corpus, and the batch schema matches the corpus
+    * schema the index was built from. Returns the assignment frame it
+    * wrote, for introspection.
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = loadIvfCentroids(spark, path)
+    val assigned = assignFrame(batch, vecCol, centroids)
+    assigned.write.mode("append").partitionBy("centroid")
+      .parquet(s"$path/assignments")
+    readIndexFingerprint(spark, path).foreach { old =>
+      writeIndexFingerprint(spark, path,
+        combineFingerprints(old, corpusFingerprint(batch, idCol)))
+    }
+    assigned
+  }
+
+  /** Cheap content fingerprint of a corpus — `"<rows>:<maxId>"` — used
+    * to make persisted-index reuse self-validating (a regenerated
+    * corpus under the same path must trigger a rebuild, not serve
+    * stale answers). One narrow codegen'd aggregate; composable under
+    * the disjoint-id append contract, so [[appendToIvfIndex]] can roll
+    * it forward without rescanning the corpus. At 100 TB on a table
+    * format you'd use the snapshot/version id instead; count+max-id is
+    * the engine-portable analog for plain parquet. */
+  def corpusFingerprint(corpus: DataFrame, idCol: String): String = {
+    val r = corpus.agg(count(lit(1)), max(col(idCol).cast("long")))
+      .collect().head
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) "-" else r.getLong(1)}"
+  }
+
+  private def combineFingerprints(a: String, b: String): String = {
+    def parse(s: String): (Long, Option[Long]) = s.split(":") match {
+      case Array(n, "-") => (n.toLong, None)
+      case Array(n, m)   => (n.toLong, Some(m.toLong))
+      case _             => (0L, None)
+    }
+    val (na, ma) = parse(a); val (nb, mb) = parse(b)
+    val m = (ma.toSeq ++ mb.toSeq) match {
+      case Nil => "-"
+      case xs  => xs.max.toString
+    }
+    s"${na + nb}:$m"
+  }
+
+  private def fingerprintPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_FINGERPRINT")
+
+  def readIndexFingerprint(spark: SparkSession, path: String): Option[String] = {
+    val p = fingerprintPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def writeIndexFingerprint(spark: SparkSession, path: String,
+                                    fp: String): Unit = {
+    val p = fingerprintPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

@@ -24,5 +24,18 @@ object BucketedStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append a batch into an existing bucketed table under the SAME
+    * bucket spec — the incremental-index ingest path: new rows land in
+    * their key's bucket, so probes stay shuffle-free after every
+    * append (no rebucketing of the accumulated table). Spark validates
+    * the spec against the catalog; a drifted spec fails loudly. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

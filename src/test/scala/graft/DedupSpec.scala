@@ -146,6 +146,43 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (n, c) => n should be >= 1000L; c should be < 1000L }
   }
 
+  test("persisted minhash index: build + append probe matches the in-memory index") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i =>
+      (i, s"corpus document number $i with words ${"w" * (i.toInt % 5 + 1)} " +
+        s"alpha beta gamma delta epsilon zeta eta theta $i")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1000L, corpus.filter($"doc_id" === 7L).head().getString(1) + " qq"),
+      (1001L, corpus.filter($"doc_id" === 50L).head().getString(1) + " ww"),
+      (1002L, "entirely novel content about completely different things one")
+    ).toDF("doc_id", "text")
+    val name = "graft_mh_spec"
+    try {
+      // half the corpus at build time, half APPENDED — band keys are
+      // order-independent, so the persisted probe must equal the
+      // in-memory probe over the full corpus
+      Dedup.saveMinhashIndex(corpus.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", name)
+      Dedup.appendToMinhashIndex(corpus.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", name)
+      val persisted = Dedup.incrementalNearDupPairsPersisted(spark, name,
+        batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inMemory = Dedup.incrementalNearDupPairs(
+        Dedup.minhashBandKeys(corpus, "doc_id", "text"),
+        Dedup.shingleStore(corpus, "doc_id", "text"),
+        batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      persisted shouldBe inMemory
+      persisted should contain((1000L, 7L))
+      persisted should contain((1001L, 50L))
+      persisted.map(_._1) should not contain 1002L
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("dropNearDupsTransitive keeps only cluster representatives") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")

@@ -96,6 +96,42 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucket_target")
   }
 
+  test("persisted minhash bands: probes join the index side without reshuffling it") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"spec doc $i alpha beta gamma delta epsilon zeta $i"))
+      .toDF("doc_id", "text")
+    val name = "graft_mh_scale"
+    try {
+      graft.operators.Dedup.saveMinhashIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", name)
+      graft.operators.Dedup.appendToMinhashIndex(
+        docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", name)
+      // probe keys of a small batch (no distinct — keep the probe side
+      // a single narrow stage so the exchange count is deterministic)
+      val probe = graft.operators.Dedup.minhashBandKeys(
+        docs.filter($"doc_id" < 5), "doc_id", "text")
+        .select($"band_idx", $"band_key")
+      val noBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(s"${name}_bands")
+          .join(probe, Seq("band_idx", "band_key"))
+        val explained = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        // exactly ONE exchange — the probe side. The index side's
+        // buckets hash-partition on the full probe join key
+        // (band_idx, band_key), and appended files land in their key's
+        // bucket, so the accumulated 100 TB side never rebuckets per
+        // probe.
+        explained.split("\n").count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
+        joined.count() should be > 0L
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBroadcast)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes the fact scan at runtime") {
     val dir = Files.createTempDirectory("graft-dpp").toString + "/events"
     val events = (0 until 200).map { i =>

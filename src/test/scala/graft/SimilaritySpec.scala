@@ -164,6 +164,73 @@ class SimilaritySpec extends SparkSpec {
     plan should include regex "PartitionFilters: \\[[^\\]]*centroid"
   }
 
+  test("appendToIvfIndex: batch-only scan, centroids fixed, fingerprint rolls, appended rows searchable") {
+    val c = corpus(n = 150)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    // batch = near-copies of vectors 0..4 under fresh ids, staged on
+    // parquet so the batch-only-scan assertion sees real file sources
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    c.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+      .write.mode("overwrite").parquet(batchDir)
+    val batch = spark.read.parquet(batchDir)
+
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 8)
+    val centroidsBefore = Similarity.loadIvfCentroids(spark, path).map(_.toSeq).toSeq
+
+    val assigned = Similarity.appendToIvfIndex(batch, "vec_id", "embedding", path)
+
+    // the append job scans ONLY the batch — never the indexed corpus
+    val scanned = assigned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    scanned should not be empty
+    scanned.foreach(_ should include(batchDir))
+    scanned.foreach(_ should not include path)
+
+    // centroids untouched; assignments grew by exactly the batch
+    Similarity.loadIvfCentroids(spark, path).map(_.toSeq).toSeq shouldBe centroidsBefore
+    spark.read.parquet(s"$path/assignments").count() shouldBe 155L
+
+    // fingerprint rolled forward to fp(corpus ∪ batch) — composability
+    Similarity.readIndexFingerprint(spark, path) shouldBe
+      Some(Similarity.corpusFingerprint(c.unionByName(batch), "vec_id"))
+
+    // appended vectors are searchable: querying with original vector i
+    // finds its appended near-copy 1000+i at rank 1
+    val q = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top1 = Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 3L).foreach { i => top1(i) shouldBe (i + 1000L) }
+  }
+
+  test("persisted IVF reuse is content-validated: a regenerated corpus triggers rebuild") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivf-corpus").toString
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
+    corpus(n = 100).write.mode("overwrite").parquet(corpusDir)
+    // the exact reuse guard the embedding_ivf_persisted query runs
+    def buildIfStale(): Boolean = {
+      val emb = spark.read.parquet(corpusDir)
+      val stale = !Similarity.readIndexFingerprint(spark, path)
+        .contains(Similarity.corpusFingerprint(emb, "vec_id"))
+      if (stale)
+        Similarity.saveIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 8)
+      stale
+    }
+    buildIfStale() shouldBe true   // cold: no marker → build
+    buildIfStale() shouldBe false  // warm: fingerprint matches → reuse
+    // the corpus is regenerated in place (more rows, same path): the
+    // path-keyed marker alone would serve stale lists — the content
+    // fingerprint must force a rebuild
+    corpus(n = 120).write.mode("overwrite").parquet(corpusDir)
+    buildIfStale() shouldBe true
+    spark.read.parquet(s"$path/assignments").count() shouldBe 120L
+  }
+
   test("cosineNearDupPairs finds planted duplicates") {
     val c = corpus(n = 100)
     val shifted = c.filter(col("vec_id") < 5)
