@@ -209,30 +209,163 @@ final class JdbcSink(spark: SparkSession, url: String,
     listTables().exists(_.equalsIgnoreCase(name))
 
   /** Table read; parallel when `partitionColumn` is configured in
-    * `props` (a numeric column, typically the PK). A single-connection
-    * JDBC read is the scale wall for warehouse-resident merge targets:
-    * with a partition column, the driver probes MIN/MAX once (one
-    * 1-row query) and Spark opens `numPartitions` (default 8) range
-    * scans instead of one stream. Empty tables and NULL bounds fall
-    * back to the plain read. The probe quotes the column, mirroring
-    * Spark's own JDBC identifier quoting. */
+    * `props` (typically the PK). A single-connection JDBC read is the
+    * scale wall for warehouse-resident merge targets; the read routes
+    * by the column's JDBC metadata type:
+    *
+    *  - NUMERIC family: the driver probes MIN/MAX once (one 1-row
+    *    query) and Spark opens `numPartitions` (default 8) range scans
+    *    instead of one stream.
+    *  - CHAR/VARCHAR family (string/UUID PKs — common in warehouses):
+    *    the driver probes `numPartitions - 1` quantile split points via
+    *    ORDER BY … OFFSET/FETCH (one 1-row query each) and reads with
+    *    a `predicates` array of disjoint, covering ranges (NULLs ride
+    *    in the first). Range comparisons run in the SAME database that
+    *    ordered the probes, so collation stays consistent by
+    *    construction. This is the dialect-portable path; an engine
+    *    with a SQL hash function could use MOD(ABS(HASH(col)), n)
+    *    predicates and skip the probes.
+    *  - anything else (or a table without the column — the sink is
+    *    shared across tables): plain single-stream read.
+    *
+    * Empty/tiny tables and NULL bounds fall back to the plain read.
+    * Probes quote the column, mirroring Spark's own JDBC identifier
+    * quoting. */
   def read(name: String): DataFrame = guarded {
     val plain = reader.option("dbtable", name)
     props.get("partitionColumn") match {
       case Some(pc) =>
-        boundsOf(name, pc) match {
-          case Some((lo, hi)) =>
-            plain
-              .option("partitionColumn", pc)
-              .option("lowerBound", lo.toString)
-              .option("upperBound", hi.toString)
-              .option("numPartitions",
-                props.getOrElse("numPartitions", "8"))
-              .load()
-          case None => plain.load()
+        val n = props.getOrElse("numPartitions", "8").toInt
+        partitionColumnType(name, pc) match {
+          case Some(t) if numericJdbcTypes(t) =>
+            boundsOf(name, pc) match {
+              case Some((lo, hi)) =>
+                plain
+                  .option("partitionColumn", pc)
+                  .option("lowerBound", lo.toString)
+                  .option("upperBound", hi.toString)
+                  .option("numPartitions", n.toString)
+                  .load()
+              case None => plain.load()
+            }
+          case Some(t) if charJdbcTypes(t) =>
+            stringSplitPoints(name, pc, n) match {
+              case Some(points) =>
+                spark.read.jdbc(url, name,
+                  rangePredicates(pc, points), connProperties)
+              case None => plain.load()
+            }
+          case _ => plain.load()
         }
       case None => plain.load()
     }
+  }
+
+  private val numericJdbcTypes: Set[Int] = {
+    import java.sql.Types._
+    Set(TINYINT, SMALLINT, INTEGER, BIGINT, NUMERIC, DECIMAL, REAL,
+      FLOAT, DOUBLE)
+  }
+
+  /** Orderable fixed-length/varying character types only — LOBs (how
+    * e.g. Derby stores Spark's unbounded StringType) are excluded:
+    * most engines refuse to ORDER BY or range-compare them. */
+  private val charJdbcTypes: Set[Int] = {
+    import java.sql.Types._
+    Set(CHAR, VARCHAR, LONGVARCHAR, NCHAR, NVARCHAR, LONGNVARCHAR)
+  }
+
+  /** JDBC DATA_TYPE of `column` on `table`, or None when either is
+    * missing — the fallback-to-plain-read signal. Case variants probed
+    * like [[ddlShape]] (catalogs fold unquoted identifiers). */
+  private def partitionColumnType(table: String, column: String): Option[Int] =
+    try {
+      val conn = connect()
+      try {
+        val md = conn.getMetaData
+        val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+        def escaped(s: String) = s.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+        Seq(table, table.toUpperCase, table.toLowerCase).distinct.iterator
+          .map { t =>
+            val rs = md.getColumns(null, null, escaped(t), null)
+            try {
+              var found: Option[Int] = None
+              while (rs.next())
+                if (rs.getString("COLUMN_NAME").equalsIgnoreCase(column))
+                  found = Some(rs.getInt("DATA_TYPE"))
+              found
+            } finally rs.close()
+          }.collectFirst { case Some(t) => t }
+      } finally conn.close()
+    } catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) => None
+    }
+
+  /** `n - 1` ordered quantile split points of a string column, probed
+    * driver-side with one 1-row OFFSET/FETCH query per point (cheap on
+    * an indexed PK; n is small). None when the table is too small to
+    * bother or the column vanished — same 42xxx-softening policy as
+    * [[boundsOf]]; connection outages PROPAGATE. */
+  private def stringSplitPoints(table: String, column: String,
+                                n: Int): Option[Seq[String]] =
+    try {
+      val q = quoteId(column)
+      val conn = connect()
+      try {
+        val st = conn.createStatement()
+        try {
+          val cnt = {
+            val rs = st.executeQuery(s"SELECT COUNT($q) FROM $table")
+            try { rs.next(); rs.getLong(1) } finally rs.close()
+          }
+          if (cnt < n * 2L) None
+          else {
+            val points = (1 until n).iterator.flatMap { i =>
+              val off = i.toLong * cnt / n
+              val rs = st.executeQuery(
+                s"SELECT $q FROM $table WHERE $q IS NOT NULL " +
+                  s"ORDER BY $q OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+              try {
+                if (rs.next()) Option(rs.getString(1)) else None
+              } finally rs.close()
+            }.toSeq.distinct
+            if (points.isEmpty) None else Some(points)
+          }
+        } finally st.close()
+      } finally conn.close()
+    } catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) => None
+    }
+
+  /** Disjoint, covering range predicates over the split points:
+    * (-∞, p₁) ∪ NULL, [p₁, p₂), …, [pₖ, ∞). */
+  private def rangePredicates(column: String,
+                              points: Seq[String]): Array[String] = {
+    val q = quoteId(column)
+    def strLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val first = s"$q < ${strLit(points.head)} OR $q IS NULL"
+    val mids = points.sliding(2).collect {
+      case Seq(a, b) => s"$q >= ${strLit(a)} AND $q < ${strLit(b)}"
+    }.toSeq
+    val last = s"$q >= ${strLit(points.last)}"
+    (first +: mids :+ last).toArray
+  }
+
+  private def quoteId(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Connection properties for Spark's predicates-array `jdbc()`
+    * overload (sink-only keys stripped; `driver` passes through — the
+    * overload honors it). */
+  private def connProperties: java.util.Properties = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) =>
+      if (!sinkOnlyKeys(k)) p.setProperty(k, v)
+    }
+    p
   }
 
   /** MIN/MAX of the partition column, driver-side (one 1-row query).
@@ -253,7 +386,7 @@ final class JdbcSink(spark: SparkSession, url: String,
     }
 
   private def boundsQuery(table: String, column: String): Option[(Long, Long)] = {
-    val q = "\"" + column.replace("\"", "\"\"") + "\""
+    val q = quoteId(column)
     val conn = connect()
     try {
       val st = conn.createStatement()

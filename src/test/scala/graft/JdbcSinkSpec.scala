@@ -62,6 +62,47 @@ class JdbcSinkSpec extends SparkSpec {
     ps.listTables() should contain("jpart".toUpperCase)
   }
 
+  test("varchar partition column reads via predicate ranges, n > 1 partitions") {
+    val ps = new JdbcSink(spark, url,
+      Map("partitionColumn" -> "pk", "numPartitions" -> "4"),
+      catalogSql =
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement(); try st.execute(sql) finally st.close()
+      } finally c.close()
+    }
+    // externally created, string-keyed table (the UUID-PK warehouse
+    // shape); quoted lowercase columns match the engine's convention
+    exec("CREATE TABLE jvar (\"pk\" VARCHAR(8), \"v\" INTEGER)")
+    (0 until 40).foreach(i => exec(f"INSERT INTO jvar VALUES ('k$i%02d', $i)"))
+    exec("INSERT INTO jvar VALUES (NULL, -1)") // NULLs ride partition 1
+
+    val df = ps.read("jvar")
+    // quantile split points → 4 disjoint covering predicates, not one
+    // stream — and nothing lost or duplicated across the ranges
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe 41
+    df.select(sum("v")).head().getLong(0) shouldBe (0 until 40).sum - 1
+    // every partition got real work (ordered keys split evenly)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    sizes.foreach(_ should be > 0)
+    // content identical to the plain single-stream read
+    val plainSink = new JdbcSink(spark, url, Map.empty,
+      catalogSql =
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+    rows(df.orderBy("pk")) shouldBe rows(plainSink.read("jvar").orderBy("pk"))
+
+    // a CLOB-typed key (how Derby stores Spark's unbounded strings)
+    // cannot range-compare: falls back to the plain read, no error
+    ps.overwrite(Seq(("a", 1), ("b", 2)).toDF("pk", "v"), "jclob")
+    ps.read("jclob").rdd.getNumPartitions shouldBe 1
+    ps.read("jclob").count() shouldBe 2
+  }
+
   test("ping hits the JDBC endpoint: up succeeds, down fails (O9)") {
     val up = new JdbcSink(spark, url, Map.empty, pingSql = "VALUES 1")
     noException should be thrownBy up.ping()
