@@ -196,34 +196,39 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     val keys = Seq(s"$p.access.key", s"$p.secret.key", s"$p.session.token",
       s"$p.aws.credentials.provider", s"$p.endpoint.region")
     val scope = S3CredentialScope.forConf(conf)
-    def restore(snapshot: Map[String, Option[String]]): Unit =
-      keys.foreach { k =>
-        snapshot.getOrElse(k, None) match {
-          case Some(v) => conf.set(k, v)
-          case None    => conf.unset(k)
+    // serialize snapshot/restore/overlay against concurrent table
+    // loads (run's bounded pool) — per-bucket keys keep different
+    // buckets independent, but the snapshot bookkeeping must not tear
+    scope.synchronized {
+      def restore(snapshot: Map[String, Option[String]]): Unit =
+        keys.foreach { k =>
+          snapshot.getOrElse(k, None) match {
+            case Some(v) => conf.set(k, v)
+            case None    => conf.unset(k)
+          }
         }
+      if (s3.accessKeyId.isDefined) {
+        // snapshot the operator baseline on first engine touch only —
+        // later manifests must not snapshot engine-set values
+        val snapshot = scope.getOrElseUpdate(s3.bucket,
+          keys.map(k => k -> Option(conf.get(k))).toMap)
+        restore(snapshot) // engine keys from a prior manifest cleared
+        s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
+        s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
+        s3.sessionToken.foreach(conf.set(s"$p.session.token", _))
+        conf.set(s"$p.aws.credentials.provider",
+          if (s3.sessionToken.isDefined)
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+          else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+        s3.region.foreach(conf.set(s"$p.endpoint.region", _))
+        evictCachedFs(s"s3a://${s3.bucket}/")
+      } else scope.remove(s3.bucket).foreach { snapshot =>
+        // no credentials in THIS manifest, but a previous manifest set
+        // some for the bucket: back to the operator baseline — but never
+        // touch buckets the engine hasn't configured
+        restore(snapshot)
+        evictCachedFs(s"s3a://${s3.bucket}/")
       }
-    if (s3.accessKeyId.isDefined) {
-      // snapshot the operator baseline on first engine touch only —
-      // later manifests must not snapshot engine-set values
-      val snapshot = scope.getOrElseUpdate(s3.bucket,
-        keys.map(k => k -> Option(conf.get(k))).toMap)
-      restore(snapshot) // engine keys from a prior manifest cleared
-      s3.accessKeyId.foreach(conf.set(s"$p.access.key", _))
-      s3.secretAccessKey.foreach(conf.set(s"$p.secret.key", _))
-      s3.sessionToken.foreach(conf.set(s"$p.session.token", _))
-      conf.set(s"$p.aws.credentials.provider",
-        if (s3.sessionToken.isDefined)
-          "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
-        else "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
-      s3.region.foreach(conf.set(s"$p.endpoint.region", _))
-      evictCachedFs(s"s3a://${s3.bucket}/")
-    } else scope.remove(s3.bucket).foreach { snapshot =>
-      // no credentials in THIS manifest, but a previous manifest set
-      // some for the bucket: back to the operator baseline — but never
-      // touch buckets the engine hasn't configured
-      restore(snapshot)
-      evictCachedFs(s"s3a://${s3.bucket}/")
     }
   }
 
@@ -240,9 +245,56 @@ final class Engine(spark: SparkSession, sink: TableSink) {
       .close()
     catch { case _: Exception => () }
 
-  /** The `run` action over a parsed config (O1 dispatch target). */
-  def run(config: JobConfig, dataDir: String): Seq[String] =
-    config.tables.filter(t => writeTable(dataDir, t)).map(_.tableId)
+  /** The `run` action over a parsed config (O1 dispatch target).
+    *
+    * `maxParallelLoads = 1` (the default) is the reference's serial
+    * loop (RedshiftApplication.php:64-69). Width > 1 runs INDEPENDENT
+    * destinations concurrently on a bounded pool — with many tables
+    * the driver otherwise serializes loads Spark's scheduler would
+    * happily overlap. Semantics preserved:
+    *  - tables sharing a dbName (full load + its increment) form an
+    *    ordered CHAIN — they stay sequenced, chains parallelize;
+    *  - the `uploaded` list keeps config order regardless of
+    *    completion order;
+    *  - first failure wins (earliest chain in config order) and the
+    *    remaining chains are cancelled — like the serial loop, except
+    *    chains already past the failure point may have completed their
+    *    (per-table atomic) swaps.
+    * Same-bucket S3 credential rotation across concurrently loading
+    * tables is order-dependent by nature — keep width 1 for
+    * credential-rotating workloads ([[applyS3Credentials]] itself is
+    * synchronized, so the config map never tears). */
+  def run(config: JobConfig, dataDir: String): Seq[String] = {
+    val width = math.max(1, config.maxParallelLoads)
+    if (width <= 1 || config.tables.sizeIs <= 1)
+      config.tables.filter(t => writeTable(dataDir, t)).map(_.tableId)
+    else {
+      val byDest = config.tables.groupBy(_.dbName)
+      val chains = config.tables.map(_.dbName).distinct.map(byDest)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(width, chains.size))
+      try {
+        val futures = chains.map { chain =>
+          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+            def call(): Seq[String] =
+              chain.filter(t => writeTable(dataDir, t)).map(_.tableId)
+          })
+        }
+        // harvest in chain (= config) order: deterministic failure
+        // attribution and an order-stable uploaded list
+        val perChain = futures.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              futures.foreach(_.cancel(true))
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+        val uploaded = perChain.flatten.toSet
+        config.tables.map(_.tableId).filter(uploaded)
+      } finally pool.shutdownNow()
+    }
+  }
 
   /** O9 — liveness probe against the configured DESTINATION via
     * [[TableSink.ping]] (reference: `SELECT current_date` over the PDO

@@ -20,7 +20,12 @@ final case class JobConfig(
     action: String,
     tables: Seq[TableConfig],
     dataDir: Option[String],
-    ssh: SshConfig = SshConfig())
+    ssh: SshConfig = SshConfig(),
+    /** Engine extension (no reference analog — its loop is serial,
+      * RedshiftApplication.php:64-69): width of the bounded pool
+      * [[graft.app.Engine.run]] loads independent destinations on.
+      * Default 1 = reference-parity serial. */
+    maxParallelLoads: Int = 1)
 
 object ConfigParser {
   private val mapper = new ObjectMapper()
@@ -44,7 +49,10 @@ object ConfigParser {
       case None => Seq(parseTable(params))
     }
     tables.foreach(validate)
-    JobConfig(action, tables, dataDir, parseSsh(params))
+    val width = opt(params, "maxParallelLoads").map(_.asInt).getOrElse(1)
+    if (width < 1)
+      throw new UserException("maxParallelLoads must be >= 1")
+    JobConfig(action, tables, dataDir, parseSsh(params), width)
   }
 
   /** `parameters.db.ssh` block (same shape in both row definitions,

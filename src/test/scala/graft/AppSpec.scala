@@ -61,6 +61,91 @@ class AppSpec extends SparkSpec {
     got.find(_.head == 3).get(2) shouldBe "no" // untouched target row
   }
 
+  test("maxParallelLoads: tables load concurrently, outputs identical to serial") {
+    def job(extra: String): (String, ParquetSink) = {
+      val dir = Files.createTempDirectory("graft-par").toString
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/tables"))
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"parameters": {$extra"tables": [
+           |  {"tableId": "ta", "dbName": "ta", $simpleItems},
+           |  {"tableId": "tb", "dbName": "tb", $simpleItems},
+           |  {"tableId": "tc", "dbName": "tc", $simpleItems}]}}""".stripMargin)
+      Seq("ta", "tb", "tc").zipWithIndex.foreach { case (t, i) =>
+        writeSimpleCsv(dir, t, (0 to 20).map(j => (j * 10 + i, s"$t$j", "no")))
+      }
+      (dir, new ParquetSink(spark, s"$dir/out/tables"))
+    }
+
+    // serial baseline
+    val (sDir, sSink) = job("")
+    Main.execute(spark, sSink, sDir)._1 shouldBe 0
+
+    // parallel run through a concurrency-counting sink wrapper
+    val (pDir, pSink) = job(""""maxParallelLoads": 3, """)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new graft.app.TableSink {
+      def ping(): Unit = pSink.ping()
+      def tableExists(n: String): Boolean = pSink.tableExists(n)
+      def read(n: String) = pSink.read(n)
+      def listTables(): Seq[String] = pSink.listTables()
+      def overwrite(df: org.apache.spark.sql.DataFrame, n: String): Unit = {
+        val now = inFlight.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, now))
+        try { Thread.sleep(300); pSink.overwrite(df, n) }
+        finally inFlight.decrementAndGet()
+      }
+    }
+    val (code, out) = Main.execute(spark, counting, pDir)
+    code shouldBe 0
+    // uploaded list keeps CONFIG order regardless of completion order
+    out.get should include(""""uploaded":["ta","tb","tc"]""")
+    // the three independent destinations actually overlapped
+    maxSeen.get() should be >= 2
+    // byte-identical table contents vs the serial run
+    Seq("ta", "tb", "tc").foreach { t =>
+      rows(pSink.read(t).orderBy("id")) shouldBe rows(sSink.read(t).orderBy("id"))
+    }
+  }
+
+  test("maxParallelLoads: shared destination stays sequenced; failures still exit 1") {
+    // full load + its increment target the SAME dbName — they must
+    // chain even at width 3 (the golden-merge shape, parallelized)
+    val dir = Files.createTempDirectory("graft-par-chain").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/tables"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"parameters": {"maxParallelLoads": 3, "tables": [
+         |  {"tableId": "simple", "dbName": "simple", "primaryKey": ["id"], $simpleItems},
+         |  {"tableId": "other", "dbName": "other", $simpleItems},
+         |  {"tableId": "simple_increment", "dbName": "simple",
+         |   "incremental": true, "primaryKey": ["id"], $simpleItems}]}}""".stripMargin)
+    writeSimpleCsv(dir, "simple",
+      (0 to 8).map(i => (i, s"n$i", if (i == 7) "yes" else "no")))
+    writeSimpleCsv(dir, "other", Seq((1, "o1", "no")))
+    writeSimpleCsv(dir, "simple_increment",
+      Seq((7, "n7", "no"), (9, "n9", "yes")))
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    code shouldBe 0
+    out.get should include(""""uploaded":["simple","other","simple_increment"]""")
+    val got = rows(sink.read("simple").orderBy("id"))
+    got.map(_.head) shouldBe ((0 to 9))
+    got.find(_.head == 7).get(2) shouldBe "no" // increment ran AFTER the full load
+
+    // a bad typed value in one table still fails the whole run (exit 1)
+    val dir2 = Files.createTempDirectory("graft-par-fail").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir2/in/tables"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/config.json"),
+      s"""{"parameters": {"maxParallelLoads": 2, "tables": [
+         |  {"tableId": "good", "dbName": "good", $simpleItems},
+         |  {"tableId": "bad", "dbName": "bad", "items": [
+         |    {"name": "id", "dbName": "id", "type": "int", "nullable": false}]}]}}""".stripMargin)
+    writeSimpleCsv(dir2, "good", Seq((1, "a", "no")))
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/in/tables/bad.csv"),
+      "\"id\"\n\"1\"\n\"oops\"\n")
+    Main.execute(spark, new ParquetSink(spark, s"$dir2/out/tables"), dir2)._1 shouldBe 1
+  }
+
   test("column-order mismatch fails with exit 1 and exact-message shape") {
     val (dir, sink) = mkJob(
       s"""{"tableId": "simple", "dbName": "simple", $simpleItems}""")
