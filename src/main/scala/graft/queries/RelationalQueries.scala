@@ -127,6 +127,43 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // P6's dead-letter twin in the driver gate: plant deterministic
+    // cast failures into a CSV fixture (o_custkey → 'xx' on every 3rd
+    // key, o_totalprice → 'bad' on every 5th), split with
+    // castAndProjectQuarantine, and emit a per-row clean/quarantined
+    // status + failing-column list — DuckDB reproduces the corruption
+    // rule on the parquet side, so the split is hash-verified end to
+    // end (the strict path's abort semantics stay spec-tested; this
+    // exercises the same predicates through the non-aborting sink).
+    "csv_quarantine" -> ((s, dir) => {
+      import graft.model.{ColumnSpec, TableConfig}
+      val out = s"/tmp/graft_csv_quarantine_${dir.replaceAll("[^0-9.]", "")}"
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").cast("string"),
+          when(col("o_orderkey") % 3 === 0, lit("xx"))
+            .otherwise(col("o_custkey").cast("string")).as("o_custkey"),
+          when(col("o_orderkey") % 5 === 0, lit("bad"))
+            .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"))
+        .write.mode("overwrite")
+        .options(Map("header" -> "true", "quoteAll" -> "true"))
+        .csv(out)
+      val cfg = TableConfig("orders", "orders", items = Seq(
+        ColumnSpec("o_orderkey", "o_orderkey", "bigint"),
+        ColumnSpec("o_custkey", "o_custkey", "bigint"),
+        ColumnSpec("o_totalprice", "o_totalprice", "decimal", Some("12,2"))))
+      val (clean, quarantined) = graft.sources.CsvIngest
+        .castAndProjectQuarantine(graft.sources.CsvIngest.read(s, out, cfg), cfg)
+      clean
+        .select(col("o_orderkey"), lit("clean").as("status"),
+          lit("").as("errs"))
+        .unionByName(quarantined.select(
+          col("o_orderkey").cast("bigint").as("o_orderkey"),
+          lit("quarantined").as("status"),
+          concat_ws(",", col("__errors")).as("errs")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Semi-structured: parse the events.props JSON column with an
     // explicit schema (from_json; no inference at scale) and extract.
     "json_extract_props" -> ((s, dir) =>
@@ -226,6 +263,17 @@ object RelationalQueries {
     "csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "csv_quarantine" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+        |       THEN 'quarantined' ELSE 'clean' END AS status,
+        |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+        |         THEN 'o_custkey,o_totalprice'
+        |       WHEN o_orderkey % 3 = 0 THEN 'o_custkey'
+        |       WHEN o_orderkey % 5 = 0 THEN 'o_totalprice'
+        |       ELSE '' END AS errs
         |FROM orders WHERE o_orderkey % 11 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "dedup_last_wins" ->
