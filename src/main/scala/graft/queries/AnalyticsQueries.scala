@@ -57,6 +57,54 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // TPC-H Q10-style: revenue lost to returned items per customer.
+    // The returnflag + date filters push to the scans; nation is the
+    // only pinned broadcast (genuinely constant-size) — the
+    // li⋈ord⋈cust strategies are AQE's call, since customer/orders
+    // scale with SF (the r3 verdict's broadcast rule).
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q16-style: distinct suppliers per part profile, excluding
+    // one brand and suppliers "under complaint" (acctbal < 2000 stands
+    // in for the NOT IN subquery). countDistinct rides the
+    // (brand, type, size) shuffle; the complaint anti-join is against
+    // an SF-scaling table, so its strategy is AQE's call.
+    "q16_part_suppliers" -> ((s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSupp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 2000)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // Window: top-3 highest-value events per user (row_number over a
     // per-user ordering; single shuffle on user_id).
     "window_topk_per_user" -> ((s, dir) => {
@@ -352,6 +400,29 @@ object AnalyticsQueries {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000) b
+        |  ON l_suppkey = b.s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "window_topk_per_user" ->
       """SELECT user_id, event_id, event_type, value, rnk FROM (
         |  SELECT user_id, event_id, event_type, value,

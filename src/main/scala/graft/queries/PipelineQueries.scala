@@ -308,6 +308,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source cap with quality preference — the domain-quota step
+    // of corpus assembly (no single source may dominate the mix, and
+    // when a source exceeds its quota, its BEST documents survive):
+    // per-source top-k window, one shuffle on the source key, never a
+    // global sort. Quality is the engine's own scorer; the oracle
+    // recomputes it bit-identically (text_quality precedent).
+    "cap_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-stratum quotas: halve English, quarter German, 5% of the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> ((s, dir) =>
@@ -481,6 +499,21 @@ object PipelineQueries {
          |JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0) b
          |  ON a.s = b.s
          |WHERE a.doc_id % 100 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    "cap_per_source" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    LEAST(length(text) / 500.0, 1.0) * 0.3
+         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM (SELECT doc_id, source, text, $tokensSql AS toks FROM documents))
+         |SELECT doc_id, source, quality, rnk FROM (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 20
          |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -121,6 +121,29 @@ object TextQueries {
         topBigramFraction(col("text")).as("top_bigram_frac"))
         .orderBy(col("doc_id"))),
 
+    // Unigram-LM cross-entropy — the model-based quality signal
+    // (high xent ≈ unusual token mix ≈ noise): pass 1 aggregates
+    // corpus token counts (one shuffle on token), pass 2 joins each
+    // doc's tokens to their counts and averages -ln p(tok). The
+    // token↔count join is a plain shuffle join — the vocabulary is
+    // corpus-scale, nothing broadcast; the grand total is ONE scalar
+    // broadcast (quality_threshold_filter's shape). ROUND(4) on both
+    // sides absorbs fold-order float drift in the average.
+    "unigram_logprob" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(counts, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(-avg(log(col("c").cast("double") / col("n_total"))), 4)
+            .as("xent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed document-level quality gate: length bounds, lexical
     // diversity, phrase repetition, stopword presence → one keep/drop
     // boolean per doc (the decision a curation pipeline filters on).
@@ -269,6 +292,17 @@ object TextQueries {
          |SELECT doc_id, quality
          |FROM q, (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
          |WHERE quality >= thr
+         |ORDER BY doc_id""".stripMargin,
+    "unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(t) AS tok
+         |  FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         |total AS (SELECT COUNT(*) AS n_total FROM toks)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(-AVG(LN(CAST(c AS DOUBLE) / n_total)), 4) AS xent
+         |FROM toks JOIN counts USING (tok) CROSS JOIN total
+         |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       s"""SELECT doc_id,
