@@ -121,6 +121,30 @@ object TextQueries {
         topBigramFraction(col("text")).as("top_bigram_frac"))
         .orderBy(col("doc_id"))),
 
+    // Boilerplate detection at the sentence level (the C4-style "same
+    // line in ≥2 documents" signal): explode sentences, find the ones
+    // shared across documents, and score each doc's boilerplate
+    // fraction. Two shuffles — sentence-key count (map-side combined)
+    // and the doc-key rollup; sentences shuffle as values once, and
+    // the shared-set join keys on the sentence itself (no broadcast
+    // assumption — boilerplate sets are corpus-scale).
+    "boilerplate_sentences" -> ((s, dir) => {
+      val sents = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), trim(col("raw")).as("sent"))
+        .filter(length(col("sent")) > 0)
+      val shared = sents.groupBy("sent")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      sents.join(shared, Seq("sent"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sents"),
+          count(col("n_docs")).as("n_boiler"),
+          (count(col("n_docs")).cast("double") / count(lit(1)))
+            .as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM cross-entropy — the model-based quality signal
     // (high xent ≈ unusual token mix ≈ noise): pass 1 aggregates
     // corpus token counts (one shuffle on token), pass 2 joins each
@@ -142,6 +166,34 @@ object TextQueries {
           round(-avg(log(col("c").cast("double") / col("n_total"))), 4)
             .as("xent"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Count-Min frequency sketch over the token stream — the
+    // complement of the Misra-Gries heavy hitters (MG nominates WHO is
+    // frequent; CM answers "how often is X" for ANY x from a
+    // fixed-size counter grid). Only the eps×δ counter grid crosses
+    // the shuffle (counter addition — order-independent, so the
+    // result is deterministic under the fixed seed); the sketch and
+    // the exact top-10 ranking are metadata-sized driver pulls. The
+    // CM guarantee (exact ≤ est ≤ exact + 2εN) is spec-pinned;
+    // rows-only here (no DuckDB analog).
+    "token_freq_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      val skBytes = toks
+        .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42))
+          .as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10).collect()
+      top.toSeq.map(r => (r.getString(0), r.getLong(1),
+          cm.estimateCount(r.getString(0))))
+        .toDF("token", "n_exact", "n_est")
+        .orderBy(col("token"))
     }),
 
     // The composed document-level quality gate: length bounds, lexical
@@ -293,6 +345,21 @@ object TextQueries {
          |FROM q, (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
          |WHERE quality >= thr
          |ORDER BY doc_id""".stripMargin,
+    "boilerplate_sentences" ->
+      """WITH sents AS (
+        |  SELECT doc_id, trim(x) AS sent
+        |  FROM (SELECT doc_id, unnest(str_split_regex(text, '[.!?]+')) AS x
+        |        FROM documents)
+        |  WHERE length(trim(x)) > 0),
+        |shared AS (
+        |  SELECT sent FROM sents GROUP BY sent
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, COUNT(*) AS n_sents,
+        |  COUNT(sh.sent) AS n_boiler,
+        |  CAST(COUNT(sh.sent) AS DOUBLE) / COUNT(*) AS boiler_frac
+        |FROM sents s LEFT JOIN shared sh ON s.sent = sh.sent
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "unigram_logprob" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(t) AS tok

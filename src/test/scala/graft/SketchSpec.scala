@@ -61,4 +61,31 @@ class SketchSpec extends SparkSpec {
     topVia(zipf) shouldBe expected
     topVia(zipf.repartition(17)) shouldBe expected // sketch state merges across partitions
   }
+
+  test("count-min sketch: never undercounts, overcount within 2*eps*N") {
+    val n = 2000
+    val df = (1 to n).map(i => s"tok${i % 37}").toDF("tok")
+    val eps = 0.001
+    val skBytes = df
+      .agg(count_min_sketch($"tok", lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = df.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (tok, c) =>
+      val est = cm.estimateCount(tok)
+      est should be >= c // CM can only overcount
+      est should be <= c + math.ceil(2 * eps * n).toLong
+    }
+    // merge across partitionings is counter addition → deterministic
+    val skBytes2 = df.repartition(17)
+      .agg(count_min_sketch($"tok", lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cm2 = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes2))
+    exact.keys.foreach { tok =>
+      cm2.estimateCount(tok) shouldBe cm.estimateCount(tok)
+    }
+  }
 }
