@@ -290,9 +290,25 @@ final class Engine(spark: SparkSession, sink: TableSink) {
               throw Option(e.getCause).getOrElse(e)
           }
         }
-        val uploaded = perChain.flatten.toSet
-        config.tables.map(_.tableId).filter(uploaded)
-      } finally pool.shutdownNow()
+        // multiset, not Set: duplicate tableIds in a config must be
+        // reported once per uploaded occurrence, like the serial loop
+        val counts = scala.collection.mutable.Map.empty[String, Int]
+          .withDefaultValue(0)
+        perChain.flatten.foreach(id => counts(id) += 1)
+        config.tables.flatMap { t =>
+          if (counts(t.tableId) > 0) {
+            counts(t.tableId) -= 1; Some(t.tableId)
+          } else None
+        }
+      } finally {
+        pool.shutdownNow()
+        // bounded drain: interrupted chains unwind (Retry rethrows
+        // interrupts instead of re-executing the write) before the CLI
+        // reports and exits; a Spark action that ignores the interrupt
+        // at most completes its per-table ATOMIC swap
+        try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
     }
   }
 
@@ -347,6 +363,10 @@ object Retry {
       try return f
       catch {
         case e: UserException => throw e // user errors are not transient
+        case e: InterruptedException =>
+          // cancellation, not a transient failure: re-executing the
+          // body would resurrect a load the engine just cancelled
+          Thread.currentThread().interrupt(); throw e
         case e: Throwable =>
           tries += 1; last = e
           if (tries < maxTries) Thread.sleep(sleepMs(tries.toLong))

@@ -147,7 +147,17 @@ final class JdbcSink(spark: SparkSession, url: String,
                          "AND table_schema = current_schema()",
                      renameSql: (String, String) => String =
                        (from, to) => s"ALTER TABLE $from RENAME TO $to",
-                     pingSql: String = "SELECT 1")
+                     pingSql: String = "SELECT 1",
+                     /** 1-row probe for the i-th string split point
+                       * (`quotedCol` comes pre-quoted). The default
+                       * speaks Redshift/Postgres/MySQL LIMIT/OFFSET;
+                       * SQL-standard engines (Derby, MSSQL) pass an
+                       * OFFSET…FETCH variant. */
+                     splitProbeSql: (String, String, Long) => String =
+                       (table, quotedCol, offset) =>
+                         s"SELECT $quotedCol FROM $table " +
+                           s"WHERE $quotedCol IS NOT NULL " +
+                           s"ORDER BY $quotedCol LIMIT 1 OFFSET $offset")
     extends TableSink {
 
   /** O9 — one trivial statement over a real connection to the
@@ -218,7 +228,7 @@ final class JdbcSink(spark: SparkSession, url: String,
     *    instead of one stream.
     *  - CHAR/VARCHAR family (string/UUID PKs — common in warehouses):
     *    the driver probes `numPartitions - 1` quantile split points via
-    *    ORDER BY … OFFSET/FETCH (one 1-row query each) and reads with
+    *    the dialect's `splitProbeSql` (one 1-row query each) and reads with
     *    a `predicates` array of disjoint, covering ranges (NULLs ride
     *    in the first). Range comparisons run in the SAME database that
     *    ordered the probes, so collation stays consistent by
@@ -236,26 +246,33 @@ final class JdbcSink(spark: SparkSession, url: String,
     props.get("partitionColumn") match {
       case Some(pc) =>
         val n = props.getOrElse("numPartitions", "8").toInt
-        partitionColumnType(name, pc) match {
-          case Some(t) if numericJdbcTypes(t) =>
-            boundsOf(name, pc) match {
-              case Some((lo, hi)) =>
-                plain
-                  .option("partitionColumn", pc)
-                  .option("lowerBound", lo.toString)
-                  .option("upperBound", hi.toString)
-                  .option("numPartitions", n.toString)
-                  .load()
-              case None => plain.load()
+        // ONE driver connection serves all probes (type, then bounds
+        // or split points) — reads against high-latency warehouses
+        // shouldn't pay per-probe connection setup
+        val probed: Option[Either[(Long, Long), Seq[String]]] = {
+          val conn = connect()
+          try {
+            partitionColumnType(conn, name, pc) match {
+              case Some(t) if numericJdbcTypes(t) =>
+                boundsOf(conn, name, pc).map(Left(_))
+              case Some(t) if charJdbcTypes(t) =>
+                stringSplitPoints(conn, name, pc, n).map(Right(_))
+              case _ => None
             }
-          case Some(t) if charJdbcTypes(t) =>
-            stringSplitPoints(name, pc, n) match {
-              case Some(points) =>
-                spark.read.jdbc(url, name,
-                  rangePredicates(pc, points), connProperties)
-              case None => plain.load()
-            }
-          case _ => plain.load()
+          } finally conn.close()
+        }
+        probed match {
+          case Some(Left((lo, hi))) =>
+            plain
+              .option("partitionColumn", pc)
+              .option("lowerBound", lo.toString)
+              .option("upperBound", hi.toString)
+              .option("numPartitions", n.toString)
+              .load()
+          case Some(Right(points)) =>
+            spark.read.jdbc(url, name,
+              rangePredicates(pc, points), connProperties)
+          case None => plain.load()
         }
       case None => plain.load()
     }
@@ -277,71 +294,76 @@ final class JdbcSink(spark: SparkSession, url: String,
 
   /** JDBC DATA_TYPE of `column` on `table`, or None when either is
     * missing — the fallback-to-plain-read signal. Case variants probed
-    * like [[ddlShape]] (catalogs fold unquoted identifiers). */
-  private def partitionColumnType(table: String, column: String): Option[Int] =
+    * and the lookup scoped to the CURRENT schema, both like
+    * [[ddlShape]] (a same-named table in another schema must not
+    * decide this table's partition strategy). */
+  private def partitionColumnType(conn: java.sql.Connection, table: String,
+                                  column: String): Option[Int] =
     try {
-      val conn = connect()
-      try {
-        val md = conn.getMetaData
-        val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-        def escaped(s: String) = s.replace(esc, esc + esc)
-          .replace("_", esc + "_").replace("%", esc + "%")
-        Seq(table, table.toUpperCase, table.toLowerCase).distinct.iterator
-          .map { t =>
-            val rs = md.getColumns(null, null, escaped(t), null)
-            try {
-              var found: Option[Int] = None
-              while (rs.next())
-                if (rs.getString("COLUMN_NAME").equalsIgnoreCase(column))
-                  found = Some(rs.getInt("DATA_TYPE"))
-              found
-            } finally rs.close()
-          }.collectFirst { case Some(t) => t }
-      } finally conn.close()
+      val md = conn.getMetaData
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escaped(s: String) = s.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val schemaPattern =
+        try Option(conn.getSchema).filter(_.nonEmpty).map(escaped).orNull
+        catch { case _: Throwable => null } // pre-4.1 drivers: AbstractMethodError
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.iterator
+        .map { t =>
+          val rs = md.getColumns(null, schemaPattern, escaped(t), null)
+          try {
+            var found: Option[Int] = None
+            while (rs.next())
+              if (rs.getString("COLUMN_NAME").equalsIgnoreCase(column))
+                found = Some(rs.getInt("DATA_TYPE"))
+            found
+          } finally rs.close()
+        }.collectFirst { case Some(t) => t }
     } catch {
       case e: java.sql.SQLException
           if Option(e.getSQLState).exists(_.startsWith("42")) => None
     }
 
   /** `n - 1` ordered quantile split points of a string column, probed
-    * driver-side with one 1-row OFFSET/FETCH query per point (cheap on
-    * an indexed PK; n is small). None when the table is too small to
-    * bother or the column vanished — same 42xxx-softening policy as
-    * [[boundsOf]]; connection outages PROPAGATE. */
-  private def stringSplitPoints(table: String, column: String,
-                                n: Int): Option[Seq[String]] =
+    * driver-side with one 1-row query per point (cheap on an indexed
+    * PK; n is small). None when the table is too small to bother, the
+    * column vanished, or a value would not splice safely into a
+    * predicate — same 42xxx-softening policy as [[boundsOf]];
+    * connection outages PROPAGATE. */
+  private def stringSplitPoints(conn: java.sql.Connection, table: String,
+                                column: String, n: Int): Option[Seq[String]] =
     try {
       val q = quoteId(column)
-      val conn = connect()
+      val st = conn.createStatement()
       try {
-        val st = conn.createStatement()
-        try {
-          val cnt = {
-            val rs = st.executeQuery(s"SELECT COUNT($q) FROM $table")
-            try { rs.next(); rs.getLong(1) } finally rs.close()
-          }
-          if (cnt < n * 2L) None
-          else {
-            val points = (1 until n).iterator.flatMap { i =>
-              val off = i.toLong * cnt / n
-              val rs = st.executeQuery(
-                s"SELECT $q FROM $table WHERE $q IS NOT NULL " +
-                  s"ORDER BY $q OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
-              try {
-                if (rs.next()) Option(rs.getString(1)) else None
-              } finally rs.close()
-            }.toSeq.distinct
-            if (points.isEmpty) None else Some(points)
-          }
-        } finally st.close()
-      } finally conn.close()
+        val cnt = {
+          val rs = st.executeQuery(s"SELECT COUNT($q) FROM $table")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        }
+        if (cnt < n * 2L) None
+        else {
+          val points = (1 until n).iterator.flatMap { i =>
+            val off = i.toLong * cnt / n
+            val rs = st.executeQuery(splitProbeSql(table, q, off))
+            try {
+              if (rs.next()) Option(rs.getString(1)) else None
+            } finally rs.close()
+          }.toSeq.distinct
+          // backslash escape rules are dialect-dependent (standard-
+          // conforming vs C-style) — no single literal encoding is
+          // safe on both, so such values fall back to one stream
+          if (points.isEmpty || points.exists(_.contains("\\"))) None
+          else Some(points)
+        }
+      } finally st.close()
     } catch {
       case e: java.sql.SQLException
           if Option(e.getSQLState).exists(_.startsWith("42")) => None
     }
 
   /** Disjoint, covering range predicates over the split points:
-    * (-∞, p₁) ∪ NULL, [p₁, p₂), …, [pₖ, ∞). */
+    * (-∞, p₁) ∪ NULL, [p₁, p₂), …, [pₖ, ∞). Quote-doubling is the one
+    * string-literal escape every SQL dialect shares; backslash-bearing
+    * values never reach here ([[stringSplitPoints]] rejects them). */
   private def rangePredicates(column: String,
                               points: Seq[String]): Array[String] = {
     val q = quoteId(column)
@@ -378,30 +400,29 @@ final class JdbcSink(spark: SparkSession, url: String,
     * PROPAGATE, same policy as tableExists — silently degrading to a
     * single stream on a transient blip would hide the parallelism
     * this feature exists for. */
-  private def boundsOf(table: String, column: String): Option[(Long, Long)] =
-    try boundsQuery(table, column)
+  private def boundsOf(conn: java.sql.Connection, table: String,
+                       column: String): Option[(Long, Long)] =
+    try boundsQuery(conn, table, column)
     catch {
       case e: java.sql.SQLException
           if Option(e.getSQLState).exists(_.startsWith("42")) => None
     }
 
-  private def boundsQuery(table: String, column: String): Option[(Long, Long)] = {
+  private def boundsQuery(conn: java.sql.Connection, table: String,
+                          column: String): Option[(Long, Long)] = {
     val q = quoteId(column)
-    val conn = connect()
+    val st = conn.createStatement()
     try {
-      val st = conn.createStatement()
+      val rs = st.executeQuery(s"SELECT MIN($q), MAX($q) FROM $table")
       try {
-        val rs = st.executeQuery(s"SELECT MIN($q), MAX($q) FROM $table")
-        try {
-          if (!rs.next()) None
-          else {
-            val lo = rs.getLong(1); val loNull = rs.wasNull()
-            val hi = rs.getLong(2); val hiNull = rs.wasNull()
-            if (loNull || hiNull) None else Some((lo, hi))
-          }
-        } finally rs.close()
-      } finally st.close()
-    } finally conn.close()
+        if (!rs.next()) None
+        else {
+          val lo = rs.getLong(1); val loNull = rs.wasNull()
+          val hi = rs.getLong(2); val hiNull = rs.wasNull()
+          if (loNull || hiNull) None else Some((lo, hi))
+        }
+      } finally rs.close()
+    } finally st.close()
   }
 
   def overwrite(df: DataFrame, name: String): Unit = guarded {

@@ -63,11 +63,17 @@ class JdbcSinkSpec extends SparkSpec {
   }
 
   test("varchar partition column reads via predicate ranges, n > 1 partitions") {
+    // Derby speaks the SQL-standard OFFSET…FETCH, not the default
+    // (Redshift/Postgres) LIMIT/OFFSET — exercised via the pluggable
+    // probe, like catalogSql/renameSql
     val ps = new JdbcSink(spark, url,
       Map("partitionColumn" -> "pk", "numPartitions" -> "4"),
       catalogSql =
         "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
-      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to",
+      splitProbeSql = (table, q, off) =>
+        s"SELECT $q FROM $table WHERE $q IS NOT NULL " +
+          s"ORDER BY $q OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
     def exec(sql: String): Unit = {
       val c = java.sql.DriverManager.getConnection(url)
       try {
