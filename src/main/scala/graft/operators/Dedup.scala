@@ -284,6 +284,42 @@ object Dedup {
       spark.table(s"${name}_shingles"), newDocs, idCol, textCol,
       shingleSize, k, bands, threshold, maxBucket)
 
+  /** The CONTINUOUS-dedup ingest step, composed end to end — what a
+    * production pipeline runs per arriving batch:
+    *
+    *  1. batch-internal near-dups dropped ([[minhashNearDupPairs]] on
+    *     the batch alone + [[dropNearDups]] — smallest id survives);
+    *  2. survivors probe the PERSISTED index
+    *     ([[incrementalNearDupPairsPersisted]] — corpus never
+    *     rescanned, cost scales with the batch);
+    *  3. docs matching the corpus are dropped;
+    *  4. the remaining novel docs are APPENDED to the index
+    *     ([[appendToMinhashIndex]]), so the NEXT batch dedups against
+    *     them too.
+    *
+    * Returns the accepted (novel) docs. Steps 1–3 are lazy dataflow;
+    * step 4 materializes it once (the append job is the action).
+    * Disjoint-id contract as everywhere in incremental dedup. */
+  def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession, name: String,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
+                       threshold: Double = 0.5,
+                       maxBucket: Int = 1000): DataFrame = {
+    val internal = minhashNearDupPairs(batch, idCol, textCol,
+      shingleSize, k, bands, threshold, maxBucket)
+    val batchClean = dropNearDups(batch, internal, idCol)
+    val corpusPairs = incrementalNearDupPairsPersisted(spark, name,
+      batchClean, idCol, textCol, shingleSize, k, bands, threshold, maxBucket)
+    val dupIds = corpusPairs.select(col("new_id")).distinct()
+    // cached: the accept-plan (incl. the index probe) feeds the two
+    // append writes AND the caller's action — once, not three times.
+    // Batch-sized by construction; caller unpersists when done.
+    val novel = batchClean.join(dupIds,
+      batchClean(idCol) === dupIds("new_id"), "left_anti").persist()
+    appendToMinhashIndex(novel, idCol, textCol, name, shingleSize, k, bands)
+    novel
+  }
+
   /** Near-dup pairs of a NEW batch against an indexed corpus — the
     * production shape of continuous dedup: the corpus contributes only
     * its prebuilt band keys (candidate generation) and the candidates'

@@ -239,6 +239,22 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Embedding-level corpus filter: near-dup pairs from the LSH
+    // buckets, then the standard smallest-id-survives drop — the
+    // semantic-dedup step of corpus assembly (rows-only:
+    // hyperplane-hash-dependent; the pair stage is spec-tested via
+    // planted duplicates).
+    "dedup_embedding_corpus" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val shifted = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(shifted)
+      val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.99)
+      Dedup.dropNearDups(all, pairs, "vec_id")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // mapPartitions decode pipeline (stub codec): one row per sampled
     // frame. Rows-only check (the fake features aren't SQL-expressible);
     // the plumbing is spec-tested. The feature vector is emitted as a

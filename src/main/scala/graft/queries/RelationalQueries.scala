@@ -164,6 +164,27 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // csv_quarantine's sibling for the JSONL path: every 7th doc's
+    // line is written truncated mid-object; JsonIngest.readStrict
+    // peels corrupt lines into the dead-letter side, and the good
+    // split + corrupt count both hash-verify against DuckDB's
+    // reproduction of the corruption rule.
+    "jsonl_quarantine" -> ((s, dir) => {
+      import graft.model.{ColumnSpec, TableConfig}
+      val out = s"/tmp/graft_jsonl_quarantine_${dir.replaceAll("[^0-9.]", "")}"
+      Tables(s, dir, "documents")
+        .select(when(col("doc_id") % 7 === 0, lit("{\"doc_id\": "))
+          .otherwise(to_json(struct(col("doc_id"), col("lang")))).as("value"))
+        .write.mode("overwrite").text(out)
+      val cfg = TableConfig("docs", "docs", items = Seq(
+        ColumnSpec("doc_id", "doc_id", "bigint"),
+        ColumnSpec("lang", "lang", "varchar", Some("8"))))
+      val (typed, corrupt) = graft.sources.JsonIngest.readStrict(s, out, cfg)
+      typed
+        .crossJoin(broadcast(corrupt.agg(count(lit(1)).as("n_corrupt"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // Semi-structured: parse the events.props JSON column with an
     // explicit schema (from_json; no inference at scale) and extract.
     "json_extract_props" -> ((s, dir) =>
@@ -283,6 +304,11 @@ object RelationalQueries {
         |                            ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "jsonl_quarantine" ->
+      """SELECT doc_id, lang,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS n_corrupt
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
     "json_extract_props" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k

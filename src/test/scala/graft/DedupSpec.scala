@@ -183,6 +183,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestDedupBatch: continuous dedup across batches, index grows with survivors") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i =>
+      (i, s"seed document number $i with words alpha beta gamma delta " +
+        s"epsilon zeta eta theta iota kappa $i")).toDF("doc_id", "text")
+    def doc(i: Long) = corpus.filter($"doc_id" === i).head().getString(1)
+    val name = "graft_mh_ingest"
+    try {
+      Dedup.saveMinhashIndex(corpus, "doc_id", "text", name)
+
+      // batch 1: one corpus dup, one internal dup pair, one novel
+      val b1 = Seq(
+        (1000L, doc(7) + " qq"),                                  // dup of corpus 7
+        (1001L, "fresh topic about completely new material one two"),
+        (1002L, "fresh topic about completely new material one three") // dup of 1001
+      ).toDF("doc_id", "text")
+      val a1 = Dedup.ingestDedupBatch(spark, name, b1, "doc_id", "text")
+      val ids1 = a1.collect().map(_.getLong(0)).toSet
+      ids1 shouldBe Set(1001L) // 1000 hit the corpus; 1002 lost to 1001 in-batch
+      a1.unpersist()
+
+      // batch 2: a dup of batch 1's SURVIVOR must now be caught — the
+      // index grew by the accepted docs, not just the original corpus
+      val b2 = Seq(
+        (2000L, "fresh topic about completely new material one two four"),
+        (2001L, "entirely different unrelated subject matter here five")
+      ).toDF("doc_id", "text")
+      val a2 = Dedup.ingestDedupBatch(spark, name, b2, "doc_id", "text")
+      a2.collect().map(_.getLong(0)).toSet shouldBe Set(2001L)
+      a2.unpersist()
+
+      // index now holds corpus + both accepted docs
+      spark.table(s"${name}_shingles").count() shouldBe 102L
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("dropNearDupsTransitive keeps only cluster representatives") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
