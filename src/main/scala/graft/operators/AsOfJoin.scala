@@ -1,22 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join: for each left row, the single right row
-  * with the greatest right-time ≤ left-time within the same key — the
-  * lookup shape of feature stores and slowly-changing joins. Spark has
-  * no native operator for it; the naive formulation (range join +
-  * per-row max) explodes to O(|L|·|R|) per key.
+  * nearest in time within the same key — the lookup shape of feature
+  * stores and slowly-changing joins. Spark has no native operator for
+  * it; the naive formulation (range join + per-row max) explodes to
+  * O(|L|·|R|) per key.
   *
   * This is the union trick: tag both sides, union, sort per key by
   * (time, side) with right rows first at equal times, and carry the
   * latest right payload forward with `last_value(ignoreNulls)`. ONE
   * shuffle on the key, no range explosion, window stays in codegen —
   * the formulation that survives 100 TB.
+  *
+  * Directions:
+  *  - `backward` (default): greatest right-time ≤ left-time;
+  *  - `forward`: smallest right-time ≥ left-time (the same carry over
+  *    the REVERSED time ordering — still one shuffle);
+  *  - `nearest`: whichever of the two is closer, ties to backward.
+  *    Both carries share the key partitioning, so Spark reuses one
+  *    exchange with two in-partition sorts. Timestamp distances
+  *    compare in EXACT integer microseconds (`unix_micros`), never
+  *    floating seconds — cross-engine tie behavior stays bit-stable.
   */
 object AsOfJoin {
+
+  private def timeAsNum(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c)
+    case _                                => c.cast("double")
+  }
 
   /** @param left      probe side
     * @param right     reference side (its `payload` columns are taken)
@@ -24,34 +40,60 @@ object AsOfJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param payload   right columns to attach (must not clash with left)
+    * @param direction "backward" | "forward" | "nearest"
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String],
+           direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
-    // one unified schema: left columns + packed right payload + tags
+    val timeType = right.schema(rightTime).dataType
+    // one unified schema: left columns + packed right payload (+ the
+    // matched right time, which `nearest` compares) + tags
+    val payloadType = StructType(
+      payload.map(c => StructField(c, right.schema(c).dataType,
+        nullable = true)) :+ StructField("__rt", timeType, nullable = true))
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
-      .withColumn("__payload",
-        lit(null).cast(org.apache.spark.sql.types.StructType(
-          payload.map(c => org.apache.spark.sql.types.StructField(
-            c, right.schema(c).dataType, nullable = true)))))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val taggedRight = right
       .select((keys.map(col) :+ col(rightTime).as("__t")) :+
-        struct(payload.map(col): _*).as("__payload"): _*)
+        struct(payload.map(col) :+ col(rightTime).as("__rt"): _*)
+          .as("__payload"): _*)
       .withColumn("__is_left", lit(0))
     val unioned = taggedLeft.select(
       (keys.map(col) :+ col("__t") :+ col("__is_left") :+ col("__payload")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
       .unionByName(taggedRight, allowMissingColumns = true)
 
-    // right rows sort before left rows at equal time → rt <= lt matches
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned.withColumn("__match",
-      last(col("__payload"), ignoreNulls = true).over(w))
+    // right rows sort before left rows at equal time (either
+    // direction) → the boundary match is inclusive
+    def carry(timeOrd: Column): Column =
+      last(col("__payload"), ignoreNulls = true).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(timeOrd, col("__is_left"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val backward = carry(col("__t").asc)
+    val forward = carry(col("__t").desc)
+
+    val matched = direction match {
+      case "backward" => unioned.withColumn("__match", backward)
+      case "forward"  => unioned.withColumn("__match", forward)
+      case "nearest" =>
+        val t = timeAsNum(col("__t"), timeType)
+        def rt(m: String) = timeAsNum(col(s"$m.__rt"), timeType)
+        unioned
+          .withColumn("__b", backward)
+          .withColumn("__f", forward)
+          .withColumn("__match",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(t - rt("__b") <= rt("__f") - t, col("__b"))
+              .otherwise(col("__f")))
+    }
 
     matched.filter(col("__is_left") === 1)
       .select(leftCols.map(col) ++

@@ -349,6 +349,37 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: first reference event at-or-after each probe —
+    // the same one-shuffle carry over the reversed time ordering.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.filter(col("event_id") % 10 === 7)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
+          "ts", "ts", Seq("ref_event_id", "ref_value"),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of: closer of the backward/forward matches, ties to
+    // backward; timestamp distances compare in exact integer micros on
+    // BOTH engines (unix_micros / epoch_us), so ties are bit-stable.
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.filter(col("event_id") % 10 === 7)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
+          "ts", "ts", Seq("ref_event_id", "ref_value"),
+          direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // Custom TypedImperativeAggregate: linear-counting distinct sketch
     // (fixed-size bitmap over the shuffle). Rows-only: the estimator is
     // not SQL-expressible; accuracy is spec-tested against exact counts.
@@ -578,6 +609,29 @@ object AnalyticsQueries {
         |             value AS ref_value
         |      FROM events WHERE event_id % 3 = 0) r
         |  ON l.user_id = r.user_id AND r.rts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ref_event_id, r.ref_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_id % 10 = 7) l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS rts, event_id AS ref_event_id,
+        |             value AS ref_value
+        |      FROM events WHERE event_id % 3 = 0) r
+        |  ON l.user_id = r.user_id AND r.rts >= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "asof_join_nearest" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ref_event_id, r.ref_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_id % 10 = 7) l
+        |LEFT JOIN LATERAL (
+        |  SELECT ref_event_id, ref_value
+        |  FROM (SELECT user_id, ts AS rts, event_id AS ref_event_id,
+        |               value AS ref_value
+        |        FROM events WHERE event_id % 3 = 0) x
+        |  WHERE x.user_id = l.user_id
+        |  ORDER BY ABS(epoch_us(x.rts) - epoch_us(l.ts)), x.rts
+        |  LIMIT 1) r ON true
         |ORDER BY l.event_id""".stripMargin,
     "star_join_agg" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

@@ -26,12 +26,46 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, null), Seq(4L, 400.0))
   }
 
+  test("asOf forward picks the first right row at-or-after; nearest ties to backward") {
+    val left = Seq(
+      (1L, 1L, ts(10)), // forward → 20; nearest → 5 (5 away vs 10)
+      (2L, 1L, ts(20)), // forward → 20 (equal time counts); nearest → 20
+      (3L, 1L, ts(35)), // forward → null (after last); nearest → 30
+      (4L, 1L, ts(25))  // equidistant 20 ↔ 30 → tie → backward (20)
+    ).toDF("probe_id", "k", "t")
+    val right = Seq(
+      (1L, ts(5), 100.0), (1L, ts(20), 200.0), (1L, ts(30), 300.0)
+    ).toDF("k", "t", "ref_value")
+
+    val fwd = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value"), direction = "forward")
+      .select("probe_id", "ref_value").orderBy("probe_id"))
+    fwd shouldBe Seq(
+      Seq(1L, 200.0), Seq(2L, 200.0), Seq(3L, null), Seq(4L, 300.0))
+
+    val near = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value"), direction = "nearest")
+      .select("probe_id", "ref_value").orderBy("probe_id"))
+    near shouldBe Seq(
+      Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, 300.0), Seq(4L, 200.0))
+  }
+
   test("asOf is a single-shuffle plan (no range-join explosion)") {
     val left = Seq((1L, 1L, ts(1))).toDF("probe_id", "k", "t")
     val right = Seq((1L, ts(0), 1.0)).toDF("k", "t", "v")
     val df = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
     val plan = df.queryExecution.optimizedPlan.toString
     plan should not include "Join" // union + window only
+
+    // `nearest` runs BOTH carries but they share the key partitioning:
+    // still one exchange (two in-partition sorts), never a second
+    // shuffle or a join
+    val near = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "nearest")
+    near.queryExecution.optimizedPlan.toString should not include "Join"
+    val explained = near.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    explained.split("\n").count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
   }
 
   test("approxDistinct sketch within 5% of exact on events") {
