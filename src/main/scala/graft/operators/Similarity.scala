@@ -350,6 +350,49 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** The CONTINUOUS embedding-dedup ingest step against a persisted
+    * IVF index — [[graft.operators.Dedup.ingestDedupBatch]]'s vector
+    * twin:
+    *
+    *  1. batch-internal near-dups dropped ([[cosineNearDupPairs]] +
+    *     smallest-id-survives);
+    *  2. survivors probe the index for any neighbor with cosine ≥
+    *     `threshold` — by JOIN, not the driver-collect probe path:
+    *     the batch assigns to its nProbe nearest centroids and
+    *     equi-joins the centroid-partitioned lists (broadcast batch →
+    *     dynamic partition pruning trims unprobed lists at runtime),
+    *     so ingest never collects the batch driver-side;
+    *  3. batch docs matching the corpus are dropped;
+    *  4. the remaining novel vectors are APPENDED
+    *     ([[appendToIvfIndex]]) so the next batch dedups against them.
+    *
+    * Returns the accepted vectors (cached — feeds the append and the
+    * caller; caller unpersists). Disjoint-id contract throughout. */
+  def ingestEmbeddingBatch(spark: SparkSession, path: String,
+                           batch: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.99, nProbe: Int = 4,
+                           numPlanes: Int = 8, dim: Int = 64,
+                           maxBucket: Int = 10000): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val internal = cosineNearDupPairs(batch, idCol, vecCol, threshold,
+      numPlanes, dim, maxBucket)
+    val batchClean = graft.operators.Dedup.dropNearDups(batch, internal, idCol)
+    val centroids = loadIvfCentroids(spark, path)
+    val q = batchClean.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("centroid",
+        explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    val lists = spark.read.parquet(s"$path/assignments")
+    val dupIds = lists.join(broadcast(q), Seq("centroid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id")).distinct()
+    val novel = batchClean.join(dupIds,
+      batchClean(idCol) === dupIds("q_id"), "left_anti").persist()
+    appendToIvfIndex(novel, idCol, vecCol, path)
+    novel
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in
     * the same bucket with cosine ≥ threshold. The embedding analog of
     * [[Dedup.minhashNearDupPairs]]. */

@@ -239,6 +239,31 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Continuous embedding ingest: base corpus indexed, then one
+    // batch (near-copies of indexed vectors + genuinely new ones)
+    // flows through ingestEmbeddingBatch — copies rejected against
+    // the index, novel vectors accepted and appended. Rebuilds base +
+    // re-ingests on every evaluation (overwrite), so repeated driver
+    // runs are deterministic. Rows-only: hash/centroid-dependent.
+    "embedding_ingest_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val copies = base.filter(col("vec_id") % 50 === 1) // ids present in base
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(1e-5f)).as("embedding"))
+      val batch = emb.filter(col("vec_id") % 10 === 0).unionByName(copies)
+      val path = sys.props("java.io.tmpdir") + "/graft_ivf_ing_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.saveIvfIndex(base, "vec_id", "embedding", path,
+        nCentroids = 16)
+      val accepted = Similarity.ingestEmbeddingBatch(s, path, batch,
+        "vec_id", "embedding", threshold = 0.99)
+      val out = accepted.select(col("vec_id")).orderBy(col("vec_id"))
+        .localCheckpoint() // materialize before unpersist
+      accepted.unpersist()
+      out
+    }),
+
     // Embedding-level corpus filter: near-dup pairs from the LSH
     // buckets, then the standard smallest-id-survives drop — the
     // semantic-dedup step of corpus assembly (rows-only:

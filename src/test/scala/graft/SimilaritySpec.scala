@@ -208,6 +208,52 @@ class SimilaritySpec extends SparkSpec {
     (0L until 3L).foreach { i => top1(i) shouldBe (i + 1000L) }
   }
 
+  test("ingestEmbeddingBatch: continuous dedup across batches, index grows with survivors") {
+    val c = corpus(n = 100)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-ing").toString
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 8)
+
+    def nearCopy(of: Long, as: Long) = c.filter(col("vec_id") === of)
+      .select(lit(as).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+    // a vector near nothing indexed: one 8-dim block spikes at 5.0 —
+    // different blocks are near-orthogonal to each other and to the 4
+    // every-4th-dim cluster directions
+    def novelVec(as: Long, block: Int) = {
+      import spark.implicits._
+      val rnd = new scala.util.Random(block)
+      Seq((as, Array.tabulate(64)(d =>
+        (if (d >= 8 * block && d < 8 * block + 8) 5.0f else 0.0f) +
+          rnd.nextFloat() * 0.01f)))
+        .toDF("vec_id", "embedding")
+    }
+
+    // batch 1: corpus dup + internal dup pair + novel
+    val b1 = nearCopy(7L, 1000L)
+      .unionByName(novelVec(1001L, 1))
+      .unionByName(novelVec(1002L, 1)) // same block → near-dup of 1001
+    val a1 = Similarity.ingestEmbeddingBatch(spark, path, b1,
+      "vec_id", "embedding", threshold = 0.99)
+    a1.collect().map(_.getLong(0)).toSet shouldBe Set(1001L)
+    a1.unpersist()
+
+    // batch 2: a dup of batch 1's SURVIVOR must now be caught — its
+    // vector comes from the index itself (c never contained 1001)
+    val b2 = spark.read.parquet(s"$path/assignments")
+      .filter(col("vec_id") === 1001L)
+      .select(lit(2000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+      .unionByName(novelVec(2001L, 3)) // block 3 ⊥ block 1
+    val a2 = Similarity.ingestEmbeddingBatch(spark, path, b2,
+      "vec_id", "embedding", threshold = 0.99)
+    a2.collect().map(_.getLong(0)).toSet shouldBe Set(2001L)
+    a2.unpersist()
+
+    // index = corpus + the two accepted vectors, fingerprint rolled
+    spark.read.parquet(s"$path/assignments").count() shouldBe 102L
+    Similarity.readIndexFingerprint(spark, path) shouldBe Some("102:2001")
+  }
+
   test("persisted IVF reuse is content-validated: a regenerated corpus triggers rebuild") {
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivf-corpus").toString
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
