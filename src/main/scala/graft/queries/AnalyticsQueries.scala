@@ -105,6 +105,25 @@ object AnalyticsQueries {
           col("p_size"))
     }),
 
+    // TPC-H Q14-style promo revenue share: conditional aggregation
+    // over one join — both sums ride the same shuffle; DECIMAL sums
+    // keep the division's operands bit-identical across engines.
+    "q14_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1996-04-01"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val pt = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0)
+          * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(22,6)"))).cast("double")
+          / sum(rev).cast("double")).as("promo_share"))
+        .orderBy(col("promo_share")) // 1 row; contract wants a total order
+    }),
+
     // Window: top-3 highest-value events per user (row_number over a
     // per-user ordering; single shuffle on user_id).
     "window_topk_per_user" -> ((s, dir) => {
@@ -610,6 +629,17 @@ object AnalyticsQueries {
         |      FROM events WHERE event_id % 3 = 0) r
         |  ON l.user_id = r.user_id AND r.rts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT 100.0
+        |  * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |             ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |ORDER BY promo_share""".stripMargin,
     "asof_join_forward" ->
       """SELECT l.event_id, l.user_id, l.ts, r.ref_event_id, r.ref_value
         |FROM (SELECT event_id, user_id, ts FROM events

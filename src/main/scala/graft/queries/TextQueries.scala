@@ -168,6 +168,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-decile binning — the "sort corpus into quality tiers"
+    // curation step, in the scale shape: ONE exact-percentile
+    // aggregate produces the 9 thresholds, broadcast as a scalar
+    // array; each doc bins with a codegen'd count-of-thresholds-below
+    // — never a global-order ntile window (which would serialize the
+    // corpus through one partition).
+    "quality_deciles" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      val thr = docs.agg(expr(
+        "percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("quality"),
+          (lit(1) + size(filter(col("thr"), t => t <= col("quality"))))
+            .cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+        .orderBy(col("decile"))
+    }),
+
     // Count-Min frequency sketch over the token stream — the
     // complement of the Misra-Gries heavy hitters (MG nominates WHO is
     // frequent; CM answers "how often is X" for ANY x from a
@@ -345,6 +367,25 @@ object TextQueries {
          |FROM q, (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
          |WHERE quality >= thr
          |ORDER BY doc_id""".stripMargin,
+    "quality_deciles" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    LEAST(length(text) / 500.0, 1.0) * 0.3
+         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)),
+         |thr AS (
+         |  SELECT [quantile_cont(quality, 0.1), quantile_cont(quality, 0.2),
+         |          quantile_cont(quality, 0.3), quantile_cont(quality, 0.4),
+         |          quantile_cont(quality, 0.5), quantile_cont(quality, 0.6),
+         |          quantile_cont(quality, 0.7), quantile_cont(quality, 0.8),
+         |          quantile_cont(quality, 0.9)] AS t FROM q)
+         |SELECT CAST(1 + len(list_filter(t, x -> x <= quality)) AS BIGINT) AS decile,
+         |  COUNT(*) AS n_docs, MIN(quality) AS min_q, MAX(quality) AS max_q
+         |FROM q, thr
+         |GROUP BY 1
+         |ORDER BY decile""".stripMargin,
     "boilerplate_sentences" ->
       """WITH sents AS (
         |  SELECT doc_id, trim(x) AS sent
