@@ -29,9 +29,20 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampN
   */
 object AsOfJoin {
 
+  /** Numeric form of a time value for distance arithmetic — EXACT for
+    * every discrete type (integer micros for timestamps, day numbers
+    * for dates, the value itself for integrals — a cast to double
+    * would silently round nano-epoch longs beyond 2^53 and reject
+    * DATE outright); only genuinely fractional types go through
+    * double. */
   private def timeAsNum(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType => unix_micros(c)
-    case _                                => c.cast("double")
+    case TimestampType | TimestampNTZType      => unix_micros(c)
+    case org.apache.spark.sql.types.DateType   => datediff(c, lit("1970-01-01"))
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType   => c
+    case _                                     => c.cast("double")
   }
 
   /** @param left      probe side
@@ -50,19 +61,25 @@ object AsOfJoin {
       s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
     val timeType = right.schema(rightTime).dataType
-    // one unified schema: left columns + packed right payload (+ the
-    // matched right time, which `nearest` compares) + tags
+    // one unified schema: left columns + packed right payload + tags.
+    // Only `nearest` compares the matched right time, so only it pays
+    // for carrying `__rt` through the shuffle.
+    val rtField =
+      if (direction == "nearest")
+        Seq(StructField("__rt", timeType, nullable = true))
+      else Nil
+    val rtCol =
+      if (direction == "nearest") Seq(col(rightTime).as("__rt")) else Nil
     val payloadType = StructType(
       payload.map(c => StructField(c, right.schema(c).dataType,
-        nullable = true)) :+ StructField("__rt", timeType, nullable = true))
+        nullable = true)) ++ rtField)
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
       .withColumn("__payload", lit(null).cast(payloadType))
     val taggedRight = right
       .select((keys.map(col) :+ col(rightTime).as("__t")) :+
-        struct(payload.map(col) :+ col(rightTime).as("__rt"): _*)
-          .as("__payload"): _*)
+        struct(payload.map(col) ++ rtCol: _*).as("__payload"): _*)
       .withColumn("__is_left", lit(0))
     val unioned = taggedLeft.select(
       (keys.map(col) :+ col("__t") :+ col("__is_left") :+ col("__payload")) ++

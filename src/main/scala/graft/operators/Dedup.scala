@@ -303,8 +303,8 @@ object Dedup {
   def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession, name: String,
                        batch: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
-                       threshold: Double = 0.5,
-                       maxBucket: Int = 1000): DataFrame = {
+                       threshold: Double = 0.5, maxBucket: Int = 1000,
+                       buckets: Int = 8): DataFrame = {
     val internal = minhashNearDupPairs(batch, idCol, textCol,
       shingleSize, k, bands, threshold, maxBucket)
     val batchClean = dropNearDups(batch, internal, idCol)
@@ -316,7 +316,9 @@ object Dedup {
     // Batch-sized by construction; caller unpersists when done.
     val novel = batchClean.join(dupIds,
       batchClean(idCol) === dupIds("new_id"), "left_anti").persist()
-    appendToMinhashIndex(novel, idCol, textCol, name, shingleSize, k, bands)
+    try appendToMinhashIndex(novel, idCol, textCol, name,
+      shingleSize, k, bands, buckets)
+    catch { case e: Throwable => novel.unpersist(); throw e }
     novel
   }
 

@@ -354,8 +354,10 @@ object Similarity {
     * IVF index — [[graft.operators.Dedup.ingestDedupBatch]]'s vector
     * twin:
     *
-    *  1. batch-internal near-dups dropped ([[cosineNearDupPairs]] +
-    *     smallest-id-survives);
+    *  1. batch-internal near-dups dropped (centroid-blocked pair
+    *     generation — the SAME blocking as the cross-batch probe, so
+    *     acceptance never depends on where batch boundaries fall —
+    *     then smallest-id-survives);
     *  2. survivors probe the index for any neighbor with cosine ≥
     *     `threshold` — by JOIN, not the driver-collect probe path:
     *     the batch assigns to its nProbe nearest centroids and
@@ -370,14 +372,29 @@ object Similarity {
     * caller; caller unpersists). Disjoint-id contract throughout. */
   def ingestEmbeddingBatch(spark: SparkSession, path: String,
                            batch: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double = 0.99, nProbe: Int = 4,
-                           numPlanes: Int = 8, dim: Int = 64,
-                           maxBucket: Int = 10000): DataFrame = {
+                           threshold: Double = 0.99,
+                           nProbe: Int = 4): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    val internal = cosineNearDupPairs(batch, idCol, vecCol, threshold,
-      numPlanes, dim, maxBucket)
-    val batchClean = graft.operators.Dedup.dropNearDups(batch, internal, idCol)
     val centroids = loadIvfCentroids(spark, path)
+    // intra-batch candidates use the SAME centroid blocking as the
+    // cross-batch probe (both sides explode to nProbe centroids, pairs
+    // meet iff they share one) — a different generator (e.g. the LSH
+    // hyperplane buckets) would make acceptance depend on where batch
+    // boundaries fall, since a pair missed in-batch would have been
+    // caught had it arrived one batch later
+    def probed(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), col(vec)).withColumn("centroid",
+        explode(nearestCentroids(asDouble(col(vec)), centroids, nProbe)))
+    val a = probed(batch, idCol, vecCol)
+      .select(col("centroid"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = probed(batch, idCol, vecCol)
+      .select(col("centroid"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val internal = a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    val batchClean = graft.operators.Dedup.dropNearDups(batch, internal, idCol)
     val q = batchClean.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid",
         explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
@@ -389,7 +406,8 @@ object Similarity {
       .select(col("q_id")).distinct()
     val novel = batchClean.join(dupIds,
       batchClean(idCol) === dupIds("q_id"), "left_anti").persist()
-    appendToIvfIndex(novel, idCol, vecCol, path)
+    try appendToIvfIndex(novel, idCol, vecCol, path)
+    catch { case e: Throwable => novel.unpersist(); throw e }
     novel
   }
 

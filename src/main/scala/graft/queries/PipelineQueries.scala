@@ -38,6 +38,17 @@ object PipelineQueries {
   private val tokensSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Embedding corpus with planted duplicates: every 25th vector
+    * reappears verbatim under a shifted id — shared by the near-dup
+    * pair query and the corpus filter so the planted population can't
+    * drift between them. */
+  private def dupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val shifted = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    emb.unionByName(shifted)
+  }
+
   /** DuckDB mirror of [[Dedup.shingles]] (n=3) + array_distinct. */
   private val shinglesSql =
     s"""CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -230,14 +241,10 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    "embedding_near_dup" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val shifted = emb.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.cosineNearDupPairs(emb.unionByName(shifted),
+    "embedding_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(dupEmbeddings(s, dir),
           "vec_id", "embedding", threshold = 0.99)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Continuous embedding ingest: base corpus indexed, then one
     // batch (near-copies of indexed vectors + genuinely new ones)
@@ -270,10 +277,7 @@ object PipelineQueries {
     // hyperplane-hash-dependent; the pair stage is spec-tested via
     // planted duplicates).
     "dedup_embedding_corpus" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val shifted = emb.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val all = emb.unionByName(shifted)
+      val all = dupEmbeddings(s, dir)
       val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
         threshold = 0.99)
       Dedup.dropNearDups(all, pairs, "vec_id")
