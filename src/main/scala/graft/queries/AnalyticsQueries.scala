@@ -425,6 +425,152 @@ object AnalyticsQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // TPC-H Q4-style: order counts per priority where at least one
+    // line item shipped >60 days after the order date (the testdata
+    // carries no commit/receipt dates, so late shipment stands in for
+    // commit<receipt). Catalyst plans the EXISTS as a left-semi join —
+    // lineitem never duplicates orders rows, and the non-equi date
+    // condition rides the semi-join, not a post-join filter.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1995-07-01") &&
+          to_date(col("o_orderdate")) < lit("1995-10-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            to_date(col("l_shipdate")) >
+              date_add(to_date(col("o_orderdate")), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q7-style: shipping volume between two nations by year.
+    // The two nation aliases are filtered to the two names BEFORE the
+    // joins, so the 2-row broadcasts prune supplier/customer early;
+    // only the cross-pair OR runs post-join. supplier/customer scale
+    // with SF → their strategies stay AQE's call (q5 comment).
+    "q7_nation_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_11", "NATION_20")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1995-01-01") &&
+          to_date(col("l_shipdate")) <= lit("1996-12-31"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(to_date(col("l_shipdate"))).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q13-style: distribution of customers by order count,
+    // including zero-order customers (the left join keeps them; the
+    // ON-clause priority filter must NOT drop them, unlike a WHERE).
+    // Two aggregations: per-customer counts ride the custkey shuffle,
+    // the tiny distribution rides a second shuffle on the count.
+    "q13_order_distribution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17-style: revenue from small-quantity line items, where
+    // "small" is relative to the part's own average quantity. The
+    // correlated per-part average is a WINDOW over the brand-filtered
+    // join — one partkey shuffle, no join-back, no second lineitem
+    // scan. The threshold compares in exact integer/decimal arithmetic
+    // (qty*n*5 < sum ⟺ qty < 0.2*avg) so boundary rows can't drift
+    // between engines; only the final 1-row division goes to double.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .withColumn("sum_qty", sum(col("qty")).over(w))
+        .withColumn("n_li", count(lit(1)).over(w))
+        .filter(col("qty") * col("n_li") * 5 < col("sum_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+        .orderBy(col("avg_yearly")) // 1 row; contract wants a total order
+    }),
+
+    // TPC-H Q19-style: disjunctive brand/size/quantity brackets.
+    // Catalyst distributes the cross-table OR into single-table
+    // disjunctions and pushes each to its scan (PushedFilters shows
+    // Or(And(quantity≥1,quantity≤11),…) on lineitem and the brand/size
+    // disjunction on part) — at 100 TB that's row-group min/max
+    // skipping on both sides with no hand-written superset bounds.
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue")) // 1 row; contract wants a total order
+    }),
+
+    // TPC-H Q22-style: well-funded customers who never placed a large
+    // order, per nation (the testdata has no phone column, so
+    // nationkey stands in for the country code; every customer has
+    // SOME order in this data, so "large order" stands in for "any").
+    // The global average is ONE decimal-exact aggregate broadcast as a
+    // scalar — no driver collect — and the no-large-order test is an
+    // anti-join that AQE sizes (orders scales with SF).
+    "q22_inactive_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -671,5 +817,80 @@ object AnalyticsQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
-        |ORDER BY r_name, n_name""".stripMargin)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE) >
+        |                    CAST(o_orderdate AS DATE) + 60)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_11', 'NATION_20')
+        |    AND n2.n_name IN ('NATION_11', 'NATION_20')
+        |    AND n1.n_name <> n2.n_name
+        |    AND CAST(l_shipdate AS DATE)
+        |        BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |            AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM (
+        |  SELECT l_extendedprice,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |           OVER (PARTITION BY l_partkey) AS sum_qty,
+        |         COUNT(*) OVER (PARTITION BY l_partkey) AS n_li
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12')
+        |WHERE qty * n_li * 5 < sum_qty
+        |ORDER BY avg_yearly""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)
+        |ORDER BY revenue""".stripMargin,
+    "q22_inactive_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |ANTI JOIN (SELECT o_custkey FROM orders
+        |           WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o.o_custkey
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |                               AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
 }
