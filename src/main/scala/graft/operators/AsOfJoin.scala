@@ -52,24 +52,32 @@ object AsOfJoin {
     * @param rightTime event-time column on `right`
     * @param payload   right columns to attach (must not clash with left)
     * @param direction "backward" | "forward" | "nearest"
+    * @param tolerance max |left-right| distance for a match to count,
+    *                  in the time column's own discrete units (micros
+    *                  for timestamps, days for dates, the value's own
+    *                  units for integrals — [[timeAsNum]]'s scale). A
+    *                  carried match farther than this yields NULL
+    *                  payload, same as no match (pandas merge_asof
+    *                  semantics); the left row itself is always kept.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            payload: Seq[String],
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
     val timeType = right.schema(rightTime).dataType
     // one unified schema: left columns + packed right payload + tags.
-    // Only `nearest` compares the matched right time, so only it pays
-    // for carrying `__rt` through the shuffle.
+    // Only `nearest` and tolerance checks compare the matched right
+    // time, so only they pay for carrying `__rt` through the shuffle.
+    val needRt = direction == "nearest" || tolerance.isDefined
     val rtField =
-      if (direction == "nearest")
-        Seq(StructField("__rt", timeType, nullable = true))
+      if (needRt) Seq(StructField("__rt", timeType, nullable = true))
       else Nil
     val rtCol =
-      if (direction == "nearest") Seq(col(rightTime).as("__rt")) else Nil
+      if (needRt) Seq(col(rightTime).as("__rt")) else Nil
     val payloadType = StructType(
       payload.map(c => StructField(c, right.schema(c).dataType,
         nullable = true)) ++ rtField)
@@ -112,8 +120,17 @@ object AsOfJoin {
               .otherwise(col("__f")))
     }
 
+    // tolerance nulls the payload instead of re-matching: the carried
+    // row IS the nearest candidate in `direction`, so if it's out of
+    // range nothing else can be in range
+    val takePayload: String => Column = tolerance match {
+      case None => c => col(s"__match.$c").as(c)
+      case Some(tol) =>
+        val dist = abs(timeAsNum(col("__t"), timeType) -
+          timeAsNum(col("__match.__rt"), timeType))
+        c => when(dist <= tol, col(s"__match.$c")).as(c)
+    }
     matched.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col(s"__match.$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(takePayload): _*)
   }
 }

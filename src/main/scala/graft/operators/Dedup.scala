@@ -417,6 +417,42 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard over a (sampled) corpus — the
     * brute-force oracle companion to [[minhashNearDupPairs]]. Quadratic:
     * only for bounded subsets / verification, never the 100 TB path. */
+  /** Token-window duplication stats — the scale-friendly stand-in for
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): slide windows of
+    * `windowSize` tokens at `stride` over each document; a window that
+    * appears verbatim in ≥2 documents marks duplicated text. Returns
+    * per-doc (n_windows, n_dup_windows, dup_frac); docs shorter than
+    * one window have no windows and are omitted (nothing to score).
+    *
+    * Scale shape: two shuffles — the window-key count (map-side
+    * combined, high-cardinality skew-free key) and the doc-id rollup.
+    * The window strings themselves shuffle once as grouping keys; at
+    * 100 TB swap the join key to a 128-bit hash of the window (same
+    * plan, slimmer rows) — kept as raw strings here so the DuckDB
+    * oracle matches byte-for-byte with no cross-engine hash parity.
+    */
+  def windowDupStats(docs: DataFrame, idCol: String, textCol: String,
+                     windowSize: Int = 8, stride: Int = 4): DataFrame = {
+    require(windowSize > 0 && stride > 0, "windowSize/stride must be positive")
+    val wins = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= windowSize)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $windowSize, $stride),
+           |          i -> array_join(slice(__toks, i + 1, $windowSize), ' '))"""
+          .stripMargin)).as("__win"))
+    val shared = wins.groupBy(col("__win"))
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+      .filter(col("__n_docs") >= 2)
+    wins.join(shared, Seq("__win"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__n_docs")).as("n_dup_windows"),
+        (count(col("__n_docs")).cast("double") / count(lit(1)))
+          .as("dup_frac"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3,
                         threshold: Double = 0.1): DataFrame = {

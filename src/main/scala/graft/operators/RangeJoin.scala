@@ -52,4 +52,34 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Join every `left` interval `[leftLo, leftHi)` to every `right`
+    * interval `[rightLo, rightHi)` it overlaps — the interval×interval
+    * sibling of [[pointInInterval]] (genomics/temporal overlap shape).
+    *
+    * Both sides explode to their covered buckets and meet on an
+    * equi-join; a pair sharing k buckets would emit k copies, so each
+    * pair is kept only in its FIRST shared bucket
+    * (max of the two start buckets) — dedup by arithmetic, not a
+    * `distinct` shuffle over the output. Pick `bucketWidth` near the
+    * larger side's median interval length to bound the explode factor.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftLo: String, leftHi: String,
+                      rightLo: String, rightHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def expand(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(hi) > col(lo)).withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    expand(left, leftLo, leftHi)
+      .join(expand(right, rightLo, rightHi), Seq("__bucket"))
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      .filter(col("__bucket") ===
+        greatest(floor(col(leftLo) / bucketWidth).cast("long"),
+          floor(col(rightLo) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
 }

@@ -399,6 +399,41 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Tolerance-bounded as-of: the backward carry, but matches farther
+    // than 10 minutes yield NULL payload (pandas merge_asof semantics
+    // — a stale reference is no reference). Distance compares in exact
+    // integer micros on both engines.
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probes = ev.filter(col("event_id") % 10 === 7)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
+          "ts", "ts", Seq("ref_event_id", "ref_value"),
+          tolerance = Some(600L * 1000000L))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval×interval overlap join, bucketed to an equi-join (the
+    // raw theta form nested-loops): 7-day windows from one order
+    // sample against 5-day windows from another. Pairs meet in their
+    // first shared bucket only — dedup by arithmetic, no distinct.
+    "interval_overlap_count" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      def sample(mod: Int, width: Int, p: String) =
+        t(s, dir, "orders").filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(s"${p}_id"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as(s"${p}_lo"))
+          .withColumn(s"${p}_hi", col(s"${p}_lo") + width)
+      RangeJoin.intervalOverlap(sample(201, 7, "a"), sample(157, 5, "b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 7L)
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("a_id"))
+    }),
+
     // Custom TypedImperativeAggregate: linear-counting distinct sketch
     // (fixed-size bitmap over the shuffle). Rows-only: the estimator is
     // not SQL-expressible; accuracy is spec-tested against exact counts.
@@ -818,6 +853,32 @@ object AnalyticsQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "asof_join_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.rts) <= 600000000
+        |       THEN r.ref_event_id END AS ref_event_id,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.rts) <= 600000000
+        |       THEN r.ref_value END AS ref_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_id % 10 = 7) l
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts AS rts, event_id AS ref_event_id,
+        |             value AS ref_value
+        |      FROM events WHERE event_id % 3 = 0) r
+        |  ON l.user_id = r.user_id AND r.rts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "interval_overlap_count" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo
+        |  FROM orders WHERE o_orderkey % 201 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b_lo
+        |  FROM orders WHERE o_orderkey % 157 = 0)
+        |SELECT a_id, COUNT(*) AS n_overlap
+        |FROM a JOIN b ON a_lo < b_lo + 5 AND b_lo < a_lo + 7
+        |GROUP BY a_id ORDER BY a_id""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

@@ -138,6 +138,16 @@ object PipelineQueries {
           "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Token-window duplication stats over the planted-near-copy corpus
+    // — the scalable stand-in for suffix-array substring dedup: the
+    // perturbed copies share most (not all) 8-token windows with their
+    // originals, so dup_frac lands strictly between 0 and 1 for the
+    // planted population.
+    "window_dedup_stats" -> ((s, dir) =>
+      Dedup.windowDupStats(dupCorpus(s, dir, perturb = true),
+          "doc_id", "text", windowSize = 8, stride = 4)
+        .orderBy(col("doc_id"))),
+
     // connected components over the (deterministic, oracle-able)
     // jaccard pair graph: min-label propagation to fixpoint, mirrored
     // by a recursive CTE in DuckDB.
@@ -479,6 +489,22 @@ object PipelineQueries {
          |  AND len(list_intersect(a.sh, b.sh))
          |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "window_dedup_stats" ->
+      s"""WITH ${dupCorpusSql(perturb = true)},
+         |d AS (SELECT doc_id, $tokensSql AS toks FROM corpus),
+         |wins AS (
+         |  SELECT doc_id, array_to_string(toks[i + 1:i + 8], ' ') AS win
+         |  FROM d, LATERAL (SELECT unnest(range(0, len(toks) - 7, 4)) AS i) s
+         |  WHERE len(toks) >= 8),
+         |shared AS (
+         |  SELECT win FROM wins
+         |  GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT w.doc_id AS doc_id, COUNT(*) AS n_windows,
+         |  COUNT(s.win) AS n_dup_windows,
+         |  CAST(COUNT(s.win) AS DOUBLE) / COUNT(*) AS dup_frac
+         |FROM wins w LEFT JOIN shared s ON w.win = s.win
+         |GROUP BY w.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "embedding_topk_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings

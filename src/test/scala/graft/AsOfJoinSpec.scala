@@ -50,6 +50,22 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, 300.0), Seq(4L, 200.0))
   }
 
+  test("asOf tolerance nulls matches farther than the bound, keeps the rest") {
+    val left = Seq(
+      (1L, 1L, ts(10)), // backward match at 5 → exactly 5 min → kept
+      (2L, 1L, ts(30)), // backward match at 20 → 10 min → nulled
+      (3L, 1L, ts(3))   // no match at all → null either way
+    ).toDF("probe_id", "k", "t")
+    val right = Seq(
+      (1L, ts(5), 100.0), (1L, ts(20), 200.0)
+    ).toDF("k", "t", "ref_value")
+
+    val got = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value"), tolerance = Some(5L * 60L * 1000000L))
+      .select("probe_id", "ref_value").orderBy("probe_id"))
+    got shouldBe Seq(Seq(1L, 100.0), Seq(2L, null), Seq(3L, null))
+  }
+
   test("asOf is a single-shuffle plan (no range-join explosion)") {
     val left = Seq((1L, 1L, ts(1))).toDF("probe_id", "k", "t")
     val right = Seq((1L, ts(0), 1.0)).toDF("k", "t", "v")

@@ -222,6 +222,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("windowDupStats: full copies score 1.0, unique docs 0.0, short docs omitted") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l"), // 12 tokens, w=8 s=4 → 2 windows
+      (2L, "a b c d e f g h i j k l"), // verbatim copy → both windows shared
+      (3L, "z y x w v u t s r q p o"), // disjoint → nothing shared
+      (4L, "a b c")                    // < one window → omitted
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.windowDupStats(corpus, "doc_id", "text",
+      windowSize = 8, stride = 4).orderBy("doc_id"))
+    got shouldBe Seq(
+      Seq(1L, 2L, 2L, 1.0), Seq(2L, 2L, 2L, 1.0), Seq(3L, 2L, 0L, 0.0))
+  }
+
   test("dropNearDupsTransitive keeps only cluster representatives") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")

@@ -26,6 +26,24 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  private def intervalsB = (0L until 40L)
+    .map(i => (i, i * 23 % 800, i * 23 % 800 + (i % 7) * 11 + 2))
+    .toDF("b_id", "b_lo", "b_hi")
+
+  test("intervalOverlap equals the naive theta join, each pair exactly once") {
+    // exact multiset equality vs the naive join proves both coverage
+    // AND that the first-shared-bucket dedup emits no pair twice
+    val naive = intervals.join(intervalsB,
+        col("lo") < col("b_hi") && col("b_lo") < col("hi"))
+      .select("interval_id", "b_id").orderBy("interval_id", "b_id")
+    for (width <- Seq(1L, 13L, 256L)) {
+      val got = RangeJoin.intervalOverlap(intervals, intervalsB,
+          "lo", "hi", "b_lo", "b_hi", bucketWidth = width)
+        .select("interval_id", "b_id").orderBy("interval_id", "b_id")
+      withClue(s"bucketWidth=$width") { rows(got) shouldBe rows(naive) }
+    }
+  }
+
   test("plan shape: equi-join on the bucket, no nested loop over the fact side") {
     val plan = RangeJoin.pointInInterval(facts, intervals, "p", "lo", "hi", 16L)
       .queryExecution.executedPlan.toString
