@@ -100,6 +100,27 @@ object RelationalQueries {
     // gate: dump a deterministic orders slice to reference-dialect CSV
     // (quoted, header, NULL literal), read it back with the declared
     // schema + cast/project, compare against DuckDB on the parquet.
+    // ORC write+read round-trip (Spark's second columnar format, built
+    // in): a lineitem slice goes out to ORC and comes back for an
+    // aggregate the oracle computes from the original parquet — value
+    // fidelity across the format boundary is the assertion.
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_orc_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       import graft.model.{ColumnSpec, TableConfig}
       val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
@@ -281,6 +302,13 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT * FROM base UNION ALL SELECT * FROM stage
          |ORDER BY o_orderkey, o_orderstatus""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 13 = 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
