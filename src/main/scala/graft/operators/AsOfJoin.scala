@@ -67,6 +67,8 @@ object AsOfJoin {
            tolerance: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction '$direction'")
+    tolerance.foreach(tol => require(tol >= 0,
+      s"tolerance must be non-negative, got $tol"))
     val leftCols = left.columns.toSeq
     val timeType = right.schema(rightTime).dataType
     // one unified schema: left columns + packed right payload + tags.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at 100 TB
@@ -414,9 +415,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Exact pairwise n-gram Jaccard over a (sampled) corpus — the
-    * brute-force oracle companion to [[minhashNearDupPairs]]. Quadratic:
-    * only for bounded subsets / verification, never the 100 TB path. */
   /** Token-window duplication stats — the scale-friendly stand-in for
     * suffix-array substring dedup (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better"): slide windows of
@@ -425,12 +423,14 @@ object Dedup {
     * per-doc (n_windows, n_dup_windows, dup_frac); docs shorter than
     * one window have no windows and are omitted (nothing to score).
     *
-    * Scale shape: two shuffles — the window-key count (map-side
-    * combined, high-cardinality skew-free key) and the doc-id rollup.
-    * The window strings themselves shuffle once as grouping keys; at
-    * 100 TB swap the join key to a 128-bit hash of the window (same
-    * plan, slimmer rows) — kept as raw strings here so the DuckDB
-    * oracle matches byte-for-byte with no cross-engine hash parity.
+    * Scale shape: ONE corpus scan, three slim shuffles, no self-join —
+    * per-(doc, window) combine (map-side, skew-free key), a COUNT
+    * window over the window key (bounded state: a count, never a
+    * collected doc list — a boilerplate window in millions of docs
+    * stays O(1) per key), and the doc-id rollup. At 100 TB swap the
+    * shuffled key to a 128-bit hash of the window (same plan, slimmer
+    * rows) — raw strings kept here so the DuckDB oracle matches
+    * byte-for-byte with no cross-engine hash parity.
     */
   def windowDupStats(docs: DataFrame, idCol: String, textCol: String,
                      windowSize: Int = 8, stride: Int = 4): DataFrame = {
@@ -442,17 +442,23 @@ object Dedup {
         s"""transform(sequence(0, size(__toks) - $windowSize, $stride),
            |          i -> array_join(slice(__toks, i + 1, $windowSize), ' '))"""
           .stripMargin)).as("__win"))
-    val shared = wins.groupBy(col("__win"))
-      .agg(countDistinct(col(idCol)).as("__n_docs"))
-      .filter(col("__n_docs") >= 2)
-    wins.join(shared, Seq("__win"), "left")
+    // one row per (doc, window) with its in-doc multiplicity; a COUNT
+    // over the window key then IS the distinct-doc count
+    val perDocWin = wins.groupBy(col(idCol), col("__win"))
+      .agg(count(lit(1)).as("__n_occ"))
+    val nDocs = count(lit(1)).over(Window.partitionBy(col("__win")))
+    perDocWin.withColumn("__n_docs", nDocs)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        count(col("__n_docs")).as("n_dup_windows"),
-        (count(col("__n_docs")).cast("double") / count(lit(1)))
-          .as("dup_frac"))
+      .agg(sum(col("__n_occ")).as("n_windows"),
+        sum(when(col("__n_docs") >= 2, col("__n_occ")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** Exact pairwise n-gram Jaccard over a (sampled) corpus — the
+    * brute-force oracle companion to [[minhashNearDupPairs]]. Quadratic:
+    * only for bounded subsets / verification, never the 100 TB path. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3,
                         threshold: Double = 0.1): DataFrame = {

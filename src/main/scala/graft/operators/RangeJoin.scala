@@ -28,24 +28,30 @@ object RangeJoin {
     * @param bucketWidth bucket size in the point's units; intervals
     *   explode to ⌈(hi-lo)/bucketWidth⌉+1 rows each
     */
+  /** Explode an interval frame to one row per fixed-width bucket its
+    * `[lo, hi)` range covers, as `__bucket`.
+    *
+    * Empty intervals (hi <= lo) match nothing and are dropped before
+    * the explode — Spark's sequence() would otherwise emit a DESCENDING
+    * bucket range for them (garbage candidates the residual filter must
+    * then discard). Coverage runs through floor(hi/width): any point
+    * p < hi satisfies floor(p/w) <= floor(hi/w), and this stays exact
+    * for FRACTIONAL bounds too (floor((hi-1)/w) would skip the last
+    * bucket when hi has a fractional part crossing a bucket edge); the
+    * at-most-one superfluous bucket row per interval is discarded by
+    * the caller's residual bounds filter. */
+  private def bucketCover(df: DataFrame, loCol: String, hiCol: String,
+                          bucketWidth: Long): DataFrame =
+    df.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+
   def pointInInterval(facts: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // empty intervals ([lo, hi) with hi <= lo) match nothing; drop them
-    // before the explode — Spark's sequence() would otherwise emit a
-    // DESCENDING bucket range for them (garbage candidates the residual
-    // filter must then discard)
-    val expanded = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // cover through floor(hi/width): any point p < hi satisfies
-        // floor(p/w) <= floor(hi/w), and this stays exact for
-        // FRACTIONAL bounds too (floor((hi-1)/w) would skip the last
-        // bucket when hi has a fractional part crossing a bucket edge);
-        // the at-most-one superfluous bucket row per interval is
-        // discarded by the residual bounds filter
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+    val expanded = bucketCover(intervals, loCol, hiCol, bucketWidth)
     val pointed = facts.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pointed.join(expanded, Seq("__bucket"))
@@ -69,13 +75,8 @@ object RangeJoin {
                       rightLo: String, rightHi: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def expand(df: DataFrame, lo: String, hi: String) =
-      df.filter(col(hi) > col(lo)).withColumn("__bucket",
-        explode(sequence(
-          floor(col(lo) / bucketWidth).cast("long"),
-          floor(col(hi) / bucketWidth).cast("long"))))
-    expand(left, leftLo, leftHi)
-      .join(expand(right, rightLo, rightHi), Seq("__bucket"))
+    bucketCover(left, leftLo, leftHi, bucketWidth)
+      .join(bucketCover(right, rightLo, rightHi, bucketWidth), Seq("__bucket"))
       .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
       .filter(col("__bucket") ===
         greatest(floor(col(leftLo) / bucketWidth).cast("long"),

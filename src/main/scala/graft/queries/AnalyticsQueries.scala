@@ -15,6 +15,20 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared probe/reference sampling for the as-of join family — the
+    * four variants (backward/forward/nearest/tolerance) and their four
+    * oracle strings must agree on this population, so it lives once. */
+  private def asOfProbesRefs(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+    val probes = ev.filter(col("event_id") % 10 === 7)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val refs = ev.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+    (probes, refs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary. Group-by-agg with partial
     // (map-side) aggregation — one shuffle on the tiny group key.
@@ -357,12 +371,7 @@ object AnalyticsQueries {
     // at-or-before its timestamp (union+window trick, one shuffle —
     // graft.operators.AsOfJoin). DuckDB oracle uses native ASOF JOIN.
     "asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val probes = ev.filter(col("event_id") % 10 === 7)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val refs = ev.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      val (probes, refs) = asOfProbesRefs(s, dir)
       graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
           "ts", "ts", Seq("ref_event_id", "ref_value"))
         .orderBy(col("event_id"))
@@ -371,12 +380,7 @@ object AnalyticsQueries {
     // Forward as-of: first reference event at-or-after each probe —
     // the same one-shuffle carry over the reversed time ordering.
     "asof_join_forward" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val probes = ev.filter(col("event_id") % 10 === 7)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val refs = ev.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      val (probes, refs) = asOfProbesRefs(s, dir)
       graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
           "ts", "ts", Seq("ref_event_id", "ref_value"),
           direction = "forward")
@@ -387,12 +391,7 @@ object AnalyticsQueries {
     // backward; timestamp distances compare in exact integer micros on
     // BOTH engines (unix_micros / epoch_us), so ties are bit-stable.
     "asof_join_nearest" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val probes = ev.filter(col("event_id") % 10 === 7)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val refs = ev.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      val (probes, refs) = asOfProbesRefs(s, dir)
       graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
           "ts", "ts", Seq("ref_event_id", "ref_value"),
           direction = "nearest")
@@ -404,12 +403,7 @@ object AnalyticsQueries {
     // — a stale reference is no reference). Distance compares in exact
     // integer micros on both engines.
     "asof_join_tolerance" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val probes = ev.filter(col("event_id") % 10 === 7)
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val refs = ev.filter(col("event_id") % 3 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("ref_event_id"), col("value").as("ref_value"))
+      val (probes, refs) = asOfProbesRefs(s, dir)
       graft.operators.AsOfJoin.asOf(probes, refs, Seq("user_id"),
           "ts", "ts", Seq("ref_event_id", "ref_value"),
           tolerance = Some(600L * 1000000L))

@@ -96,10 +96,6 @@ object RelationalQueries {
         orderCols = Seq("event_id")) // event_id is monotone with ts and unique
         .orderBy(col("user_id"), col("event_type"))),
 
-    // S1/S2 + P1/P6 — the CSV ingest path end-to-end in the driver
-    // gate: dump a deterministic orders slice to reference-dialect CSV
-    // (quoted, header, NULL literal), read it back with the declared
-    // schema + cast/project, compare against DuckDB on the parquet.
     // ORC write+read round-trip (Spark's second columnar format, built
     // in): a lineitem slice goes out to ORC and comes back for an
     // aggregate the oracle computes from the original parquet — value
@@ -121,6 +117,10 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // S1/S2 + P1/P6 — the CSV ingest path end-to-end in the driver
+    // gate: dump a deterministic orders slice to reference-dialect CSV
+    // (quoted, header, NULL literal), read it back with the declared
+    // schema + cast/project, compare against DuckDB on the parquet.
     "csv_roundtrip" -> ((s, dir) => {
       import graft.model.{ColumnSpec, TableConfig}
       val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
