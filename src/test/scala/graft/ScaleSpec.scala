@@ -217,6 +217,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: windowDupStats is join-free — one scan, bounded window state") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = graft.operators.Dedup.windowDupStats(docs, "doc_id", "text")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the shared-window count is a COUNT window over the window key,
+    // never a self-join back to the exploded windows (which would scan
+    // and shuffle the corpus-scale window strings twice)
+    optimized should not include "Join"
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    explained.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 1
+  }
+
   test("plan shape: no pinned broadcast hints on SF-scaling tables") {
     // nation/region are constant-size at any scale factor → an explicit
     // broadcast() hint is safe. customer/supplier grow linearly with SF
