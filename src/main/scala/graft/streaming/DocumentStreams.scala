@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming face of the continuous document-ingest pipeline: the
+  * batch building blocks ([[graft.operators.Dedup.ingestDedupBatch]]
+  * and friends) wired to Structured Streaming micro-batches.
+  */
+object DocumentStreams {
+
+  /** Continuous dedup-gated ingest as a streaming sink: every
+    * micro-batch drops its internal near-dups, probes the persisted
+    * minhash index for near-dups of anything already accepted, appends
+    * its survivors to the index, and lands them under
+    * `corpusPath/batch_id=<id>`. The first batch bootstraps the index
+    * if `<indexName>_bands` doesn't exist yet. Per-batch cost scales
+    * with the BATCH (bucket-joins against a bucketed index — see
+    * [[graft.operators.Dedup.incrementalNearDupPairs]]), which is what
+    * makes this viable as a standing 100 TB ingest gate.
+    *
+    * Replay semantics (foreachBatch is at-least-once): the corpus
+    * write is idempotent — a replayed batch OVERWRITES its own
+    * deterministic `batch_id` partition, never duplicating documents
+    * downstream. The index append is not replay-deduplicated;
+    * duplicate (id, band) rows only widen candidate generation (pairs
+    * are distinct-ed before gating) and can never change which
+    * documents are accepted — self-pairs are filtered by id.
+    */
+  def streamingIngestDedup(docs: DataFrame, indexName: String,
+                           corpusPath: String, idCol: String,
+                           textCol: String, checkpointDir: String,
+                           shingleSize: Int = 3, k: Int = 20,
+                           bands: Int = 5, threshold: Double = 0.5,
+                           maxBucket: Int = 1000,
+                           buckets: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bdf = batch.toDF()
+        val novel =
+          if (!spark.catalog.tableExists(s"${indexName}_bands")) {
+            // bootstrap: in-batch dedup, then a full index build
+            val internal = Dedup.minhashNearDupPairs(bdf, idCol, textCol,
+              shingleSize, k, bands, threshold, maxBucket)
+            val clean = Dedup.dropNearDups(bdf, internal, idCol).persist()
+            try Dedup.saveMinhashIndex(clean, idCol, textCol, indexName,
+              shingleSize, k, bands, buckets)
+            catch { case e: Throwable => clean.unpersist(); throw e }
+            clean
+          } else
+            Dedup.ingestDedupBatch(spark, indexName, bdf, idCol, textCol,
+              shingleSize, k, bands, threshold, maxBucket, buckets)
+        try novel.write.mode("overwrite")
+          .parquet(s"$corpusPath/batch_id=$batchId")
+        finally novel.unpersist()
+        ()
+      }
+      .start()
+}

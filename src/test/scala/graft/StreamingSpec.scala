@@ -278,4 +278,43 @@ class StreamingSpec extends SparkSpec {
       .orderBy("session_id"))
     got shouldBe Seq(Seq(1L, 1L, 2L, 3.0), Seq(1L, 2L, 2L, 12.0))
   }
+
+  test("streamingIngestDedup: first batch bootstraps the index; later near-dups are gated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-singest").toString
+    val name = s"graft_mh_stream_${System.nanoTime}"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.streamingIngestDedup(
+      input.toDF().toDF("doc_id", "text"), name, s"$base/corpus",
+      "doc_id", "text", checkpointDir = s"$base/ckpt")
+    def corpusIds: Set[Long] = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 1 (bootstrap): 2 is a near-copy of 1 → in-batch dropped
+      input.addData(
+        (1L, "seed document with words alpha beta gamma delta epsilon zeta"),
+        (2L, "seed document with words alpha beta gamma delta epsilon eta"),
+        (3L, "fresh topic about completely new material one two"))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 3L)
+
+      // batch 2: 4 near-copies an INDEXED doc → dropped; 5 is novel
+      input.addData(
+        (4L, "seed document with words alpha beta gamma delta epsilon zeta qq"),
+        (5L, "entirely different unrelated subject matter here five"))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 3L, 5L)
+
+      // the index grew by every accepted doc: a dup of batch 2's
+      // survivor is caught in batch 3
+      input.addData(
+        (6L, "entirely different unrelated subject matter here six"))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 3L, 5L)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
 }
