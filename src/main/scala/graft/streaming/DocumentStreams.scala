@@ -60,4 +60,50 @@ object DocumentStreams {
         ()
       }
       .start()
+
+  /** [[streamingIngestDedup]]'s vector twin: continuous embedding
+    * ingest gated by cosine near-dup against the persisted IVF index
+    * ([[graft.operators.Similarity.ingestEmbeddingBatch]] per
+    * micro-batch — centroid-blocked in-batch dedup, index probe by
+    * join, survivor append into the centroid partitions). The first
+    * batch bootstraps the index (k-means-trained on itself). Same
+    * replay posture: corpus partitions are overwrite-idempotent per
+    * batch_id; index replay widens candidates only.
+    */
+  def streamingIngestEmbeddings(vectors: DataFrame, indexPath: String,
+                                corpusPath: String, idCol: String,
+                                vecCol: String, checkpointDir: String,
+                                threshold: Double = 0.99, nProbe: Int = 4,
+                                nCentroids: Int = 16,
+                                trainIters: Int = 3): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{Dedup, Similarity}
+        val bdf = batch.toDF()
+        val bootstrapped =
+          new org.apache.hadoop.fs.Path(s"$indexPath/centroids").getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+        val novel =
+          if (!bootstrapped) {
+            // bootstrap: exact in-batch cosine dedup, then index build
+            val internal = Similarity.cosineNearDupPairs(bdf, idCol, vecCol,
+              threshold)
+            val clean = Dedup.dropNearDups(bdf, internal, idCol).persist()
+            try Similarity.saveIvfIndex(clean, idCol, vecCol, indexPath,
+              nCentroids, trainIters)
+            catch { case e: Throwable => clean.unpersist(); throw e }
+            clean
+          } else
+            Similarity.ingestEmbeddingBatch(spark, indexPath, bdf,
+              idCol, vecCol, threshold, nProbe)
+        try novel.write.mode("overwrite")
+          .parquet(s"$corpusPath/batch_id=$batchId")
+        finally novel.unpersist()
+        ()
+      }
+      .start()
 }

@@ -317,4 +317,41 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
     }
   }
+
+  test("streamingIngestEmbeddings: IVF-gated continuous vector ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-semb").toString
+    // one 8-dim block spikes at 5.0; distinct blocks are near-orthogonal
+    def blockVec(block: Int, seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Array.tabulate(64)(d =>
+        (if (d >= 8 * block && d < 8 * block + 8) 5.0f else 0.0f) +
+          rnd.nextFloat() * 0.01f)
+    }
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.DocumentStreams.streamingIngestEmbeddings(
+      input.toDF().toDF("vec_id", "embedding"), s"$base/index",
+      s"$base/corpus", "vec_id", "embedding",
+      checkpointDir = s"$base/ckpt", nCentroids = 4, trainIters = 2)
+    def corpusIds: Set[Long] = spark.read.parquet(s"$base/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 1 (bootstrap): 5 is vector-identical to 1 → in-batch drop
+      input.addData((1L, blockVec(0, 1)), (2L, blockVec(1, 2)),
+        (3L, blockVec(2, 3)), (4L, blockVec(3, 4)), (5L, blockVec(0, 1)))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 2L, 3L, 4L)
+
+      // batch 2: 10 duplicates INDEXED 2 → dropped; 11 is a new block
+      input.addData((10L, blockVec(1, 2)), (11L, blockVec(4, 11)))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 2L, 3L, 4L, 11L)
+
+      // batch 3: a dup of batch 2's survivor is caught — the index
+      // grew by the accepted vectors, not just the bootstrap set
+      input.addData((20L, blockVec(4, 11)))
+      q.processAllAvailable()
+      corpusIds shouldBe Set(1L, 2L, 3L, 4L, 11L)
+    } finally q.stop()
+  }
 }
