@@ -425,12 +425,16 @@ object Dedup {
     *
     * Scale shape: ONE corpus scan, three slim shuffles, no self-join —
     * per-(doc, window) combine (map-side, skew-free key), a COUNT
-    * window over the window key (bounded state: a count, never a
-    * collected doc list — a boilerplate window in millions of docs
-    * stays O(1) per key), and the doc-id rollup. At 100 TB swap the
-    * shuffled key to a 128-bit hash of the window (same plan, slimmer
-    * rows) — raw strings kept here so the DuckDB oracle matches
-    * byte-for-byte with no cross-engine hash parity.
+    * window over the window key (aggregation state is a single count,
+    * never a collected doc list), and the doc-id rollup. Skew caveat:
+    * WindowExec still sorts-and-buffers each window-key partition, so
+    * a boilerplate window present in millions of docs degrades to a
+    * disk spill on that key (not an OOM); if that population is known
+    * to exist, strip boilerplate first (see the boilerplate_sentences
+    * pipeline). At 100 TB swap the shuffled key to a 128-bit hash of
+    * the window (same plan, slimmer rows) — raw strings kept here so
+    * the DuckDB oracle matches byte-for-byte with no cross-engine hash
+    * parity.
     */
   def windowDupStats(docs: DataFrame, idCol: String, textCol: String,
                      windowSize: Int = 8, stride: Int = 4): DataFrame = {

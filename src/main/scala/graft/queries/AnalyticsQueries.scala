@@ -577,6 +577,41 @@ object AnalyticsQueries {
         .orderBy(col("revenue")) // 1 row; contract wants a total order
     }),
 
+    // TPC-H Q6: the canonical scan-efficiency query — every predicate
+    // pushes to the parquet scan (row-group min/max skipping), one
+    // partial-aggregated sum, zero joins. At 100 TB this is the query
+    // whose cost is pure I/O; anything beyond a single scan + scalar
+    // agg in the plan is a bug.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1995-01-01") &&
+          to_date(col("l_shipdate")) < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue"))), // 1 row; contract wants a total order
+
+    // TPC-H Q15-style: supplier(s) with the quarter's maximum revenue.
+    // The revenue aggregate is computed ONCE and reused for both the
+    // scalar MAX (1-row broadcast) and the equality probe; supplier is
+    // SF-scaling so its join stays AQE's call.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1995-01-01") &&
+          to_date(col("l_shipdate")) < lit("1995-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q22-style: well-funded customers who never placed a large
     // order, per nation (the testdata has no phone column, so
     // nationkey stands in for the country code; every customer has
@@ -936,6 +971,28 @@ object AnalyticsQueries {
         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
         |        AND l_quantity BETWEEN 20 AND 30)
         |ORDER BY revenue""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |            AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |ORDER BY revenue""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q22_inactive_customers" ->
       """SELECT c_nationkey, COUNT(*) AS numcust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
