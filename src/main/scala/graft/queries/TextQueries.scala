@@ -15,6 +15,14 @@ object TextQueries {
   private val tokensSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared oracle fragment: [[graft.functions.TextFunctions.qualityScore]]
+    * as DuckDB SQL (expects `text` and `toks` in scope). */
+  private val qualitySql =
+    """LEAST(length(text) / 500.0, 1.0) * 0.3
+      |    + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
+      |    + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+      |                     / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -32,6 +40,25 @@ object TextQueries {
         qualityScore(col("text")).as("quality"),
         stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
+
+    // Corpus card: per-(lang, source) doc counts, token totals, and
+    // mean quality — the summary a curated training set ships with.
+    // One grouped aggregate; the mean is FLOOR-quantized to integer
+    // micro-units per row before summing, so the cross-row sum is
+    // order-independent (double avg is not associative) AND boundary-
+    // stable across engines (a decimal CAST rounds .5 half-up in Spark
+    // but half-even in DuckDB; floor of identical doubles can't
+    // disagree). Divided back out to double only at the end.
+    "corpus_report" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("lang"), col("source"),
+          tokenCount(col("text")).as("n_toks"),
+          qualityScore(col("text")).as("q"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          (sum(floor(col("q") * 1e6).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e6))).as("mean_quality"))
+        .orderBy(col("lang"), col("source"))),
 
     "lang_id" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -268,14 +295,19 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
-         |  LEAST(length(text) / 500.0, 1.0) * 0.3
-         |    + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
-         |    + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |                     / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality,
+         |  $qualitySql AS quality,
          |  len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','on','for'], t)))
          |    / GREATEST(len(toks), 1) AS stopword_ratio
          |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "corpus_report" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(FLOOR(($qualitySql) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * 1000000) AS mean_quality
+         |FROM (SELECT lang, source, text, $tokensSql AS toks FROM documents)
+         |GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
     "lang_id" ->
       s"""SELECT doc_id, lang,
          |  CASE

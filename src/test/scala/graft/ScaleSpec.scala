@@ -217,6 +217,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: q6 pushes every predicate to the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, "/root/testdata/sf0.001")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the canonical scan-bound query: date, discount, and quantity
+    // bounds must ALL reach PushedFilters (row-group min/max skipping
+    // is the whole cost model at 100 TB), and the plan holds exactly
+    // one scan and no join
+    val pushed = explained.linesIterator
+      .filter(_.trim.startsWith("PushedFilters:")).mkString
+    pushed should include("l_shipdate")
+    pushed should include("l_discount")
+    pushed should include("LessThan(l_quantity,24.0)")
+    explained.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 1
+    explained should not include "Join"
+  }
+
   test("plan shape: windowDupStats is join-free — one scan, bounded window state") {
     val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = graft.operators.Dedup.windowDupStats(docs, "doc_id", "text")
