@@ -592,10 +592,14 @@ object AnalyticsQueries {
           .cast("decimal(22,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue"))), // 1 row; contract wants a total order
 
-    // TPC-H Q15-style: supplier(s) with the quarter's maximum revenue.
-    // The revenue aggregate is computed ONCE and reused for both the
-    // scalar MAX (1-row broadcast) and the equality probe; supplier is
-    // SF-scaling so its join stays AQE's call.
+    // TPC-H Q15-style: supplier(s) with the quarter's maximum revenue,
+    // ties kept. The scalar-subquery formulation (rev → max → probe
+    // rev) plans TWO lineitem scans — exchange reuse does not fire
+    // across the differently-pruned subtrees — so the max runs as a
+    // deliberate single-partition window over the per-supplier
+    // aggregate instead: rev is SF-linear but SLIM (suppkey, revenue —
+    // tens of MB at 100 TB), and one narrow pass over it beats
+    // rescanning the fact table. supplier's join stays AQE's call.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(to_date(col("l_shipdate")) >= lit("1995-01-01") &&
@@ -603,13 +607,55 @@ object AnalyticsQueries {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(22,6)")).cast("double").as("total_revenue"))
-      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
-      rev.crossJoin(broadcast(maxRev))
+      rev.withColumn("max_revenue",
+          max(col("total_revenue")).over(Window.partitionBy(lit(0))))
         .filter(col("total_revenue") === col("max_revenue"))
         .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q8-style: one nation's market share of ECONOMY-part
+    // revenue sold into ASIA, by ship year. Both conditional and total
+    // sums ride ONE shuffle on the year key; nation/region broadcasts
+    // prune customers to the region before the fact joins;
+    // customer/supplier/orders strategies stay AQE's call.
+    "q8_market_share" -> ((s, dir) => {
+      val pt = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val custSide = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) >= lit("1995-01-01") &&
+            to_date(col("o_orderdate")) <= lit("1996-12-31"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(to_date(col("o_orderdate"))).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custSide, col("o_custkey") === col("c_custkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_20", rev)
+            .otherwise(lit(0).cast("decimal(22,6)"))).cast("double")
+          / sum(rev).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
     }),
 
     // TPC-H Q22-style: well-funded customers who never placed a large
@@ -993,6 +1039,29 @@ object AnalyticsQueries {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_20'
+        |           THEN CAST(volume AS DECIMAL(22,6))
+        |           ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |         n2.n_name AS supp_nation,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND CAST(o_orderdate AS DATE)
+        |        BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
     "q22_inactive_customers" ->
       """SELECT c_nationkey, COUNT(*) AS numcust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
