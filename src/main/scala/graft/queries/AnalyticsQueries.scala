@@ -681,6 +681,59 @@ object AnalyticsQueries {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
             .as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // TPC-H Q12-style: late-shipped line items split into high/low
+    // priority classes (the testdata has no shipmode/commit/receipt
+    // columns, so l_linestatus stands in for the mode and "late" means
+    // shipped >30 days after the order date). One li⋈ord join — both
+    // sides SF-scaling, strategy stays AQE's call — then both
+    // conditional counts ride ONE shuffle on the 2-value group key.
+    "q12_late_lines" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(to_date(col("l_shipdate")) >
+          date_add(to_date(col("o_orderdate")), 30))
+        .groupBy(col("l_linestatus"))
+        .agg(count(when(hi, lit(1))).as("high_count"),
+          count(when(!hi, lit(1))).as("low_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q21-style: suppliers who were the ONLY late supplier on a
+    // finished multi-supplier order (no commit/receipt dates in the
+    // testdata, so late := shipped >85 days after the order date).
+    // The reference formulation's double EXISTS/NOT EXISTS self-joins
+    // of lineitem decorrelate into ONE (orderkey, suppkey) aggregation
+    // + ONE orderkey window over the slim per-supplier rows — the
+    // 100 TB fact table is scanned once and never self-joined;
+    // supplier joins the already-tiny survivors and stays AQE's call.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val late = (to_date(col("l_shipdate")) >
+        date_add(to_date(col("o_orderdate")), 85)).cast("int")
+      val per = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(late).as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      per
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1073,5 +1126,35 @@ object AnalyticsQueries {
         |                               AS DOUBLE) / COUNT(*)
         |                   FROM customer WHERE c_acctbal > 0)
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS high_count,
+        |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         MAX(CASE WHEN CAST(l_shipdate AS DATE) >
+        |                       CAST(o_orderdate AS DATE) + 85
+        |                  THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |win AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |         SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM per)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM win JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
 }
