@@ -431,4 +431,55 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the corpus, then compare pairs
+    * ONLY within a cluster. The cluster plays the role the random
+    * hyperplane bucket plays in [[cosineNearDupPairs]], but is LEARNED
+    * from the data — near-duplicates land in the same Voronoi cell by
+    * construction instead of hoping no hyperplane separates them, so
+    * recall at a given comparison budget is higher on clustered data.
+    *
+    * Scale: pairwise work is confined to clusters, so k is the cost
+    * dial — at 100 TB you run with k large enough that |cluster| ≈
+    * 10²–10³ (SemDeDup itself uses k≈10⁵ on web-scale corpora) and the
+    * per-cluster quadratic term stays trivial; `maxCluster` skew-caps
+    * the degenerate case by passing an over-sized cluster through
+    * UNCOMPARED (conservative: never drops without evidence, mirrors
+    * the LSH/minhash `maxBucket` guards). Training cost is bounded by
+    * [[kmeansCentroids]] (one scan + one k-group shuffle per iter). */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nCentroids: Int = 16,
+                           trainIters: Int = 2,
+                           maxCluster: Int = 10000): DataFrame = {
+    val centroids =
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+    val withC = assignFrame(
+      corpus.select(col(idCol).as("vid"), col(vecCol).as("v")), "v", centroids)
+    val sizes = withC.groupBy("centroid").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxCluster))
+    val inC = withC.join(sizes, Seq("centroid"))
+    val a = inC.select(col("centroid"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = inC.select(col("centroid"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Corpus minus semantic near-duplicates: greedy keep-smallest-id
+    * ([[Dedup.dropNearDups]] policy — one anti-join, no closure) over
+    * [[semanticNearDupPairs]]. The embedding-space sibling of the
+    * lexical corpus filter ([[Dedup.dropNearDups]] over
+    * [[Dedup.minhashNearDupPairs]]): minhash catches copies that share
+    * surface n-grams, this catches paraphrases that share an embedding
+    * neighborhood. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCentroids: Int = 16,
+                    trainIters: Int = 2, maxCluster: Int = 10000): DataFrame =
+    Dedup.dropNearDups(corpus,
+      semanticNearDupPairs(corpus, idCol, vecCol, threshold,
+        nCentroids, trainIters, maxCluster),
+      idCol)
 }

@@ -734,6 +734,67 @@ object AnalyticsQueries {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q2-style: each part's cheapest ASIA supplier, ties kept
+    // (no partsupp table in the testdata, so the observed minimum line
+    // price per (part, supplier) stands in for ps_supplycost). The
+    // correlated min-subquery decorrelates into a window MIN over the
+    // per-pair aggregate — the fact table is scanned ONCE; the
+    // region/nation broadcasts prune suppliers before the fact join;
+    // the supplier⋈lineitem strategy stays AQE's call (supplier scales
+    // with SF). MIN of a double is exact, so no decimal staging needed.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val asiaSupp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val offers = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"))
+        .agg(min(col("l_extendedprice")).as("price"))
+      val w = Window.partitionBy(col("l_partkey"))
+      offers.withColumn("min_price", min(col("price")).over(w))
+        .filter(col("price") === col("min_price"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("price"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+
+    // TPC-H Q11-style: parts whose single-nation line value exceeds
+    // 0.1% of that nation's total (lineitem value stands in for
+    // supplycost·availqty — no partsupp). The global total is a
+    // single-partition window over the already-aggregated per-part
+    // rows (q15's pattern: SF-linear but slim — never a second fact
+    // scan), and the threshold compares in EXACT decimal arithmetic
+    // (value·1000 > total), so boundary parts can't drift between
+    // engines; only the reported column goes to double.
+    "q11_important_parts" -> ((s, dir) => {
+      val value = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).as("v"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_20")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("v")).as("value"))
+      value.withColumn("total",
+          sum(col("value")).over(Window.partitionBy(lit(0))))
+        .filter(col("value") * 1000 > col("total"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1156,5 +1217,34 @@ object AnalyticsQueries {
         |FROM win JOIN supplier ON l_suppkey = s_suppkey
         |WHERE late = 1 AND n_supp > 1 AND n_late = 1
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin)
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+        |         MIN(l_extendedprice) AS price
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey, s_suppkey, s_name)
+        |SELECT p_partkey, s_suppkey, s_name, price FROM (
+        |  SELECT *, MIN(price) OVER (PARTITION BY p_partkey) AS min_price
+        |  FROM offers)
+        |WHERE price = min_price
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q11_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_20'
+        |  GROUP BY l_partkey)
+        |SELECT p_partkey, CAST(v AS DOUBLE) AS part_value FROM (
+        |  SELECT *, SUM(v) OVER () AS total FROM val)
+        |WHERE v * 1000 > total
+        |ORDER BY part_value DESC, p_partkey""".stripMargin)
 }

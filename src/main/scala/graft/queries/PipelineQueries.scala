@@ -294,6 +294,16 @@ object PipelineQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means clusters confine the
+    // pairwise comparisons (learned cells, vs dedup_embedding_corpus's
+    // fixed hyperplane buckets), then the same smallest-id-survives
+    // drop. Rows-only: centroid/double-rounding dependent; planted-dup
+    // removal and LSH-recall parity are spec-tested.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(dupEmbeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.99, nCentroids = 16, trainIters = 2)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+
     // mapPartitions decode pipeline (stub codec): one row per sampled
     // frame. Rows-only check (the fake features aren't SQL-expressible);
     // the plumbing is spec-tested. The feature vector is emitted as a

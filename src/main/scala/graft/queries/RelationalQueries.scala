@@ -267,7 +267,36 @@ object RelationalQueries {
         substring(col("props"), 1, 8).as("props_trunc"),
         col("value").cast("decimal(12,2)").cast("double").as("value_dec"),
         to_date(col("ts")).as("event_date"))
-        .orderBy(col("event_id"))))
+        .orderBy(col("event_id"))),
+
+    // Snapshot diff: full-outer reconciliation of two table versions —
+    // the writer-side "what changed between the target and this load"
+    // audit. Adds/removes/changes classify in ONE pass over ONE
+    // full-outer shuffle join on the PK (at 100 TB: no per-class
+    // re-scan, no driver-side diffing); the two snapshots here are
+    // deterministic slices of `orders` (%5 drops simulate deletes, %7
+    // gaps simulate inserts, %11 rows get a price bump).
+    "snapshot_diff" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val prev = ord.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("old_key"),
+          col("o_totalprice").as("old_price"))
+      val next = ord.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("new_key"),
+          when(col("o_orderkey") % 11 === 0,
+            col("o_totalprice") * lit(1.1).cast("double"))
+            .otherwise(col("o_totalprice")).as("new_price"))
+      prev.join(next, col("old_key") === col("new_key"), "full_outer")
+        .select(
+          coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+          when(col("old_key").isNull, "added")
+            .when(col("new_key").isNull, "removed")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("same").as("status"),
+          col("old_price"), col("new_price"))
+        .orderBy(col("o_orderkey"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "upsert_merge" ->
@@ -369,5 +398,23 @@ object RelationalQueries {
         |       substring(props, 1, 8) AS props_trunc,
         |       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_dec,
         |       CAST(ts AS DATE) AS event_date
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey AS old_key, o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |next AS (
+        |  SELECT o_orderkey AS new_key,
+        |         CASE WHEN o_orderkey % 11 = 0
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(old_key, new_key) AS o_orderkey,
+        |       CASE WHEN old_key IS NULL THEN 'added'
+        |            WHEN new_key IS NULL THEN 'removed'
+        |            WHEN old_price <> new_price THEN 'changed'
+        |            ELSE 'same' END AS status,
+        |       old_price, new_price
+        |FROM prev FULL JOIN next ON old_key = new_key
+        |ORDER BY o_orderkey""".stripMargin)
 }

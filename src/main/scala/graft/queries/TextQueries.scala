@@ -280,7 +280,42 @@ object TextQueries {
         aggregate(tokens(col("text")), lit(0L),
           (acc, t) => acc + floor((length(t) + 3).cast("double") / 4.0).cast("long"))
           .as("n_subwords"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF keyword extraction: per-doc top-3 terms. The idf is the
+    // RAW Sparck-Jones ratio N/df, not its log — tf·N is exact integer
+    // arithmetic and one IEEE division is bit-identical across
+    // engines, where ln() is libm-dependent and would make the rank
+    // (and the hash gate) flap on near-ties. Shape at 100 TB: the
+    // corpus TEXT is read exactly once (one explode → (doc,term)
+    // shuffle for tf); df is a COUNT window over tf's slim output on
+    // the term key — a join back to a separate df aggregate would
+    // re-derive tf from a second corpus scan (exchange reuse does not
+    // fire across the branches; measured); N is a zero-column
+    // metadata-only count broadcast as a scalar; top-k is a per-doc
+    // window. Two shuffles of slim rows total, one text read.
+    "tfidf_keywords" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val wTerm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("term"))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(n))
+        .withColumn("weight",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(wDoc).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("weight"),
+          col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -482,5 +517,22 @@ object TextQueries {
          |  CAST(COALESCE(list_aggregate(list_transform(toks,
          |    t -> CAST(floor((length(t) + 3) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT) AS n_subwords
          |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "tfidf_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t
+         |        FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+         |  GROUP BY doc_id, t),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, weight, rnk FROM (
+         |  SELECT doc_id, term, tf,
+         |         CAST(tf * n_docs AS DOUBLE) / df AS weight,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY CAST(tf * n_docs AS DOUBLE) / df
+         |                              DESC, term) AS rnk
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin)
 }

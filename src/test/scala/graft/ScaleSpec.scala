@@ -268,6 +268,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: tfidf reads the corpus text once — df via window, not a join-back") {
+    val df = SparkEntry.queries("tfidf_keywords")(spark, "/root/testdata/sf0.001")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // one token explode: a df join-back would re-derive tf (and its
+    // Generate) from a second corpus-text scan — exchange reuse does
+    // not fire across those branches, so at 100 TB that shape reads
+    // the corpus twice
+    explained.linesIterator.count(
+      _.matches("""\(\d+\) Generate\s*""")) shouldBe 1
+    // two scans total: the token explode + the zero-column N count
+    explained.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 2
+  }
+
+  test("plan shape: q21 scans the fact table once — the EXISTS pair never self-joins") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, "/root/testdata/sf0.001")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the textbook Q21 plan joins lineitem against itself twice (EXISTS
+    // + NOT EXISTS); the window decorrelation must keep exactly one
+    // lineitem scan
+    explained.linesIterator.count(l =>
+      l.trim.startsWith("Location:") && l.contains("lineitem")) shouldBe 1
+  }
+
   test("plan shape: decontamination broadcasts the eval shingles") {
     val df = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes its stages

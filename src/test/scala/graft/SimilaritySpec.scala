@@ -292,4 +292,44 @@ class SimilaritySpec extends SparkSpec {
     Similarity.hyperplanes(4, 8).flatten.toSeq shouldBe
       Similarity.hyperplanes(4, 8).flatten.toSeq
   }
+
+  test("semanticNearDupPairs finds planted duplicates via learned clusters") {
+    val c = corpus(n = 100)
+    val shifted = c.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val got = Similarity.semanticNearDupPairs(c.unionByName(shifted),
+      "vec_id", "embedding", threshold = 0.9999,
+      nCentroids = 8, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // an exact copy lands in its source's Voronoi cell by construction
+    (0L until 5L).foreach { i => got should contain((i, i + 1000L)) }
+  }
+
+  test("semanticDedup drops planted copies, keeps originals and distant vectors") {
+    val c = corpus(n = 100)
+    val shifted = c.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val survivors = Similarity.semanticDedup(c.unionByName(shifted),
+      "vec_id", "embedding", threshold = 0.9999,
+      nCentroids = 8, trainIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // copies (larger ids) dropped, their sources kept
+    (0L until 5L).foreach { i =>
+      survivors should contain(i)
+      survivors should not contain (i + 1000L)
+    }
+    // the 0.999 threshold separates cluster-mates (cos ≈ 0.97 under
+    // the ±0.05 noise) from copies — nothing else is dropped
+    survivors should have size 100
+  }
+
+  test("semanticNearDupPairs maxCluster guard passes oversized clusters through uncompared") {
+    val c = corpus(n = 100)
+    val shifted = c.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val got = Similarity.semanticNearDupPairs(c.unionByName(shifted),
+      "vec_id", "embedding", threshold = 0.9999,
+      nCentroids = 8, trainIters = 2, maxCluster = 3)
+    got.count() shouldBe 0L // every cluster holds >3 of the 105 vectors
+  }
 }
