@@ -195,6 +195,66 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, data selection
+    // via importance resampling): per-doc avg of ln p_target(tok) −
+    // ln p_raw(tok), where the target LM comes from the in-domain
+    // slice (source = 'src0') and the raw LM from the whole corpus.
+    // Docs whose token mix looks target-like score high and would be
+    // resampled in. Both LMs come from ONE conditional aggregation
+    // over one token explode (never two corpus passes for the two
+    // models); target counts are add-1 smoothed over the vocab so
+    // out-of-target tokens stay finite; totals + vocab size ride one
+    // scalar broadcast; the scoring join shuffles on the token key
+    // (vocab-scale, AQE's call). unigram_logprob's ROUND(4) rule.
+    "dsir_importance" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("source") === "src0", lit(1))).as("c_tgt"))
+      val totals = counts.agg(
+        sum(col("c_raw")).as("n_raw"),
+        sum(col("c_tgt")).as("n_tgt"),
+        count(lit(1)).as("vocab"))
+      toks.join(counts, "tok")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(
+            log((col("c_tgt") + 1).cast("double") /
+              (col("n_tgt") + col("vocab"))) -
+            log(col("c_raw").cast("double") / col("n_raw"))), 4)
+            .as("importance"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM cross-entropy — the CCNet-perplexity-style filter one
+    // order up from unigram_logprob: xent = −avg ln p(tok | prev)
+    // with p from corpus bigram/prefix counts. Token PAIRS come from
+    // a lag window per doc (one doc-key shuffle of the exploded
+    // stream — no self-join on position); bigram counts then prefix
+    // counts are two aggregations over the already-slim pair stream;
+    // scoring joins on the bigram key. Every scored pair exists in
+    // the corpus LM, so no smoothing term is needed.
+    "bigram_logprob" -> ((s, dir) => {
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("prev", lag(col("tok"), 1).over(wPos))
+        .filter(col("prev").isNotNull)
+      val bg = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("c_bg"))
+      val pf = bg.groupBy("prev").agg(sum(col("c_bg")).as("c_prev"))
+      pairs.join(bg, Seq("prev", "tok")).join(pf, Seq("prev"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(log(col("c_bg").cast("double") / col("c_prev"))), 4)
+            .as("xent2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-decile binning — the "sort corpus into quality tiers"
     // curation step, in the scale shape: ONE exact-percentile
     // aggregate produces the 9 thresholds, broadcast as a scalar
@@ -477,6 +537,41 @@ object TextQueries {
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  ROUND(-AVG(LN(CAST(c AS DOUBLE) / n_total)), 4) AS xent
          |FROM toks JOIN counts USING (tok) CROSS JOIN total
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "dsir_importance" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(t) AS tok
+         |  FROM (SELECT doc_id, source, $tokensSql AS t FROM documents)),
+         |counts AS (
+         |  SELECT tok, COUNT(*) AS c_raw,
+         |         COUNT(*) FILTER (WHERE source = 'src0') AS c_tgt
+         |  FROM toks GROUP BY tok),
+         |totals AS (
+         |  SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+         |         COUNT(*) AS vocab
+         |  FROM counts)
+         |SELECT doc_id, source, COUNT(*) AS n_tokens,
+         |  ROUND(AVG(LN(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + vocab))
+         |          - LN(CAST(c_raw AS DOUBLE) / n_raw)), 4) AS importance
+         |FROM toks JOIN counts USING (tok) CROSS JOIN totals
+         |GROUP BY doc_id, source
+         |ORDER BY doc_id""".stripMargin,
+    "bigram_logprob" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, prev, tok FROM (
+         |    SELECT doc_id, tok,
+         |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM (SELECT doc_id, unnest(toks) AS tok,
+         |                 unnest(range(1, len(toks) + 1)) AS pos
+         |          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
+         |  WHERE prev IS NOT NULL),
+         |bg AS (SELECT prev, tok, COUNT(*) AS c_bg FROM pairs
+         |       GROUP BY prev, tok),
+         |pf AS (SELECT prev, SUM(c_bg) AS c_prev FROM bg GROUP BY prev)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(-AVG(LN(CAST(c_bg AS DOUBLE) / c_prev)), 4) AS xent2
+         |FROM pairs JOIN bg USING (prev, tok) JOIN pf USING (prev)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
