@@ -269,15 +269,21 @@ final class Engine(spark: SparkSession, sink: TableSink) {
     if (width <= 1 || config.tables.sizeIs <= 1)
       config.tables.filter(t => writeTable(dataDir, t)).map(_.tableId)
     else {
-      val byDest = config.tables.groupBy(_.dbName)
+      // chains carry each table's CONFIG POSITION so the uploaded list
+      // can be rebuilt by index — a tableId-keyed multiset would
+      // attribute an upload to the wrong occurrence of a duplicated
+      // tableId and diverge from the serial loop's order
+      val indexed = config.tables.zipWithIndex
+      val byDest = indexed.groupBy(_._1.dbName)
       val chains = config.tables.map(_.dbName).distinct.map(byDest)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(width, chains.size))
       try {
         val futures = chains.map { chain =>
-          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-            def call(): Seq[String] =
-              chain.filter(t => writeTable(dataDir, t)).map(_.tableId)
+          pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+            def call(): Seq[Int] =
+              chain.filter { case (t, _) => writeTable(dataDir, t) }
+                .map(_._2)
           })
         }
         // harvest in chain (= config) order: deterministic failure
@@ -290,16 +296,10 @@ final class Engine(spark: SparkSession, sink: TableSink) {
               throw Option(e.getCause).getOrElse(e)
           }
         }
-        // multiset, not Set: duplicate tableIds in a config must be
-        // reported once per uploaded occurrence, like the serial loop
-        val counts = scala.collection.mutable.Map.empty[String, Int]
-          .withDefaultValue(0)
-        perChain.flatten.foreach(id => counts(id) += 1)
-        config.tables.flatMap { t =>
-          if (counts(t.tableId) > 0) {
-            counts(t.tableId) -= 1; Some(t.tableId)
-          } else None
-        }
+        // config order by position: exact serial-loop semantics even
+        // when a tableId appears more than once in the config
+        val uploadedIdx = perChain.flatten.toSet
+        indexed.collect { case (t, i) if uploadedIdx(i) => t.tableId }
       } finally {
         pool.shutdownNow()
         // bounded drain: interrupted chains unwind (Retry rethrows

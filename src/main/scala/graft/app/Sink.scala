@@ -292,11 +292,41 @@ final class JdbcSink(spark: SparkSession, url: String,
     Set(CHAR, VARCHAR, LONGVARCHAR, NCHAR, NVARCHAR, LONGNVARCHAR)
   }
 
+  /** Metadata-probe scope of a configured table name: a QUALIFIED
+    * `schema.table` scopes the `getColumns` lookup to its own schema —
+    * probing it under the connection's current schema would match no
+    * row and silently degrade the caller (single-stream read, DDL
+    * drop+rename) for exactly the warehouse-style names the reference
+    * targets. Unqualified names scope to the current schema (a
+    * same-named table in another schema must not decide this table's
+    * fate). */
+  private def metaScope(conn: java.sql.Connection,
+                        table: String): (Option[String], String) =
+    table.lastIndexOf('.') match {
+      case -1 =>
+        val cur =
+          // Throwable, not Exception: pre-JDBC-4.1 drivers throw
+          // AbstractMethodError (an Error) from getSchema
+          try Option(conn.getSchema).filter(_.nonEmpty)
+          catch { case _: Throwable => None }
+        (cur, table)
+      case i => (Some(table.substring(0, i)), table.substring(i + 1))
+    }
+
+  /** Identifier-case variants of a (schema, table) scope — catalogs
+    * fold unquoted names (Derby/Oracle upper, Postgres lower), and the
+    * schema part must fold WITH the table part. */
+  private def scopeVariants(scope: (Option[String], String))
+      : Seq[(Option[String], String)] = {
+    val (s, t) = scope
+    Seq((s, t), (s.map(_.toUpperCase), t.toUpperCase),
+      (s.map(_.toLowerCase), t.toLowerCase)).distinct
+  }
+
   /** JDBC DATA_TYPE of `column` on `table`, or None when either is
     * missing — the fallback-to-plain-read signal. Case variants probed
-    * and the lookup scoped to the CURRENT schema, both like
-    * [[ddlShape]] (a same-named table in another schema must not
-    * decide this table's partition strategy). */
+    * and the lookup schema-scoped via [[metaScope]], both like
+    * [[ddlShape]]. */
   private def partitionColumnType(conn: java.sql.Connection, table: String,
                                   column: String): Option[Int] =
     try {
@@ -304,12 +334,9 @@ final class JdbcSink(spark: SparkSession, url: String,
       val esc = Option(md.getSearchStringEscape).getOrElse("\\")
       def escaped(s: String) = s.replace(esc, esc + esc)
         .replace("_", esc + "_").replace("%", esc + "%")
-      val schemaPattern =
-        try Option(conn.getSchema).filter(_.nonEmpty).map(escaped).orNull
-        catch { case _: Throwable => null } // pre-4.1 drivers: AbstractMethodError
-      Seq(table, table.toUpperCase, table.toLowerCase).distinct.iterator
-        .map { t =>
-          val rs = md.getColumns(null, schemaPattern, escaped(t), null)
+      scopeVariants(metaScope(conn, table)).iterator
+        .map { case (s, t) =>
+          val rs = md.getColumns(null, s.map(escaped).orNull, escaped(t), null)
           try {
             var found: Option[Int] = None
             while (rs.next())
@@ -528,16 +555,12 @@ final class JdbcSink(spark: SparkSession, url: String,
     val esc = Option(md.getSearchStringEscape).getOrElse("\\")
     def escaped(s: String) = s.replace(esc, esc + esc)
       .replace("_", esc + "_").replace("%", esc + "%")
-    // scope to the CURRENT schema (like the catalog probe): a
-    // same-named table in another schema would otherwise contribute
-    // rows and corrupt the comparison
-    val schemaPattern =
-      // Throwable, not Exception: pre-JDBC-4.1 drivers throw
-      // AbstractMethodError (an Error) from getSchema
-      try Option(conn.getSchema).filter(_.nonEmpty).map(escaped).orNull
-      catch { case _: Throwable => null }
-    def cols(t: String): Seq[(String, String, Int, Int)] = {
-      val rs = md.getColumns(null, schemaPattern, escaped(t), null)
+    // schema scoping + case folding via metaScope/scopeVariants, same
+    // rules as partitionColumnType (qualified names probe their own
+    // schema; a same-named table in another schema must not
+    // contribute rows and corrupt the comparison)
+    def cols(s: Option[String], t: String): Seq[(String, String, Int, Int)] = {
+      val rs = md.getColumns(null, s.map(escaped).orNull, escaped(t), null)
       try {
         val buf = Seq.newBuilder[(String, String, Int, Int)]
         while (rs.next())
@@ -547,8 +570,8 @@ final class JdbcSink(spark: SparkSession, url: String,
         buf.result()
       } finally rs.close()
     }
-    Seq(table, table.toUpperCase, table.toLowerCase).distinct
-      .iterator.map(cols).find(_.nonEmpty).getOrElse(Nil)
+    scopeVariants(metaScope(conn, table)).iterator
+      .map { case (s, t) => cols(s, t) }.find(_.nonEmpty).getOrElse(Nil)
   }
 
   /** Best-effort drop; true only when the DROP actually succeeded. */

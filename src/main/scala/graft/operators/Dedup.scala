@@ -248,12 +248,17 @@ object Dedup {
   def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                        name: String, shingleSize: Int = 3, k: Int = 20,
                        bands: Int = 5, buckets: Int = 8): Unit = {
-    graft.sources.BucketedStore.writeBucketed(
-      minhashBandKeys(docs, idCol, textCol, shingleSize, k, bands),
-      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+    // shingles FIRST: a failure between the two writes then leaves
+    // orphan shingle rows (never candidates — harmless), where the
+    // reverse order would leave band keys with no shingle rows and
+    // the verification join would silently drop every pair those docs
+    // generate — near-copies accepted forever with no error
     graft.sources.BucketedStore.writeBucketed(
       shingleStore(docs, idCol, textCol, shingleSize),
       s"${name}_shingles", Seq("doc_id"), buckets)
+    graft.sources.BucketedStore.writeBucketed(
+      minhashBandKeys(docs, idCol, textCol, shingleSize, k, bands),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
   }
 
   /** Append a BATCH into the persisted minhash index: band keys and
@@ -265,12 +270,14 @@ object Dedup {
   def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
                            name: String, shingleSize: Int = 3, k: Int = 20,
                            bands: Int = 5, buckets: Int = 8): Unit = {
-    graft.sources.BucketedStore.appendBucketed(
-      minhashBandKeys(batch, idCol, textCol, shingleSize, k, bands),
-      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
+    // shingles first — same fail-safe ordering rationale as
+    // [[saveMinhashIndex]]
     graft.sources.BucketedStore.appendBucketed(
       shingleStore(batch, idCol, textCol, shingleSize),
       s"${name}_shingles", Seq("doc_id"), buckets)
+    graft.sources.BucketedStore.appendBucketed(
+      minhashBandKeys(batch, idCol, textCol, shingleSize, k, bands),
+      s"${name}_bands", Seq("band_idx", "band_key"), buckets)
   }
 
   /** [[incrementalNearDupPairs]] against the PERSISTED index tables

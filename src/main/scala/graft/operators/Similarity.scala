@@ -222,7 +222,8 @@ object Similarity {
       .parquet(s"$path/assignments")
     // fingerprint LAST: a crashed build leaves no (or a stale) marker,
     // so reuse-validation fails closed and the caller rebuilds
-    writeIndexFingerprint(spark, path, corpusFingerprint(corpus, idCol))
+    writeIndexFingerprint(spark, path,
+      corpusFingerprint(corpus, idCol, vecCol))
   }
 
   /** Corpus rows tagged with their nearest centroid — the assignment
@@ -261,37 +262,45 @@ object Similarity {
       .parquet(s"$path/assignments")
     readIndexFingerprint(spark, path).foreach { old =>
       writeIndexFingerprint(spark, path,
-        combineFingerprints(old, corpusFingerprint(batch, idCol)))
+        combineFingerprints(old, corpusFingerprint(batch, idCol, vecCol)))
     }
     assigned
   }
 
-  /** Cheap content fingerprint of a corpus — `"<rows>:<maxId>"` — used
-    * to make persisted-index reuse self-validating (a regenerated
-    * corpus under the same path must trigger a rebuild, not serve
-    * stale answers). One narrow codegen'd aggregate; composable under
-    * the disjoint-id append contract, so [[appendToIvfIndex]] can roll
-    * it forward without rescanning the corpus. At 100 TB on a table
-    * format you'd use the snapshot/version id instead; count+max-id is
-    * the engine-portable analog for plain parquet. */
-  def corpusFingerprint(corpus: DataFrame, idCol: String): String = {
-    val r = corpus.agg(count(lit(1)), max(col(idCol).cast("long")))
+  /** Content fingerprint of a corpus — `"<rows>:<maxId>:<hashSum>"`,
+    * where hashSum is the order-independent SUM of per-row xxhash64
+    * over `contentCol` (exact decimal — no overflow, no fold-order
+    * drift) — used to make persisted-index reuse self-validating: a
+    * regenerated corpus under the same path triggers a rebuild rather
+    * than serving stale answers, INCLUDING re-embedding under
+    * unchanged ids (which count+max-id alone cannot see). One narrow
+    * codegen'd aggregate; composable under the disjoint-id append
+    * contract, so [[appendToIvfIndex]] can roll it forward without
+    * rescanning the corpus. At 100 TB on a table format you'd use the
+    * snapshot/version id instead; this is the engine-portable analog
+    * for plain parquet. */
+  def corpusFingerprint(corpus: DataFrame, idCol: String,
+                        contentCol: String): String = {
+    val r = corpus.agg(count(lit(1)), max(col(idCol).cast("long")),
+        sum(xxhash64(col(contentCol)).cast("decimal(38,0)")))
       .collect().head
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) "-" else r.getLong(1)}"
+    val m = if (r.isNullAt(1)) "-" else r.getLong(1).toString
+    val h = if (r.isNullAt(2)) "0" else r.getDecimal(2).toBigInteger.toString
+    s"${r.getLong(0)}:$m:$h"
   }
 
   private def combineFingerprints(a: String, b: String): String = {
-    def parse(s: String): (Long, Option[Long]) = s.split(":") match {
-      case Array(n, "-") => (n.toLong, None)
-      case Array(n, m)   => (n.toLong, Some(m.toLong))
-      case _             => (0L, None)
+    def parse(s: String): (Long, Option[Long], BigInt) = s.split(":") match {
+      case Array(n, m, h) =>
+        (n.toLong, if (m == "-") None else Some(m.toLong), BigInt(h))
+      case _ => (0L, None, BigInt(0))
     }
-    val (na, ma) = parse(a); val (nb, mb) = parse(b)
+    val (na, ma, ha) = parse(a); val (nb, mb, hb) = parse(b)
     val m = (ma.toSeq ++ mb.toSeq) match {
       case Nil => "-"
       case xs  => xs.max.toString
     }
-    s"${na + nb}:$m"
+    s"${na + nb}:$m:${ha + hb}"
   }
 
   private def fingerprintPath(path: String) =
@@ -361,9 +370,10 @@ object Similarity {
     *  2. survivors probe the index for any neighbor with cosine ≥
     *     `threshold` — by JOIN, not the driver-collect probe path:
     *     the batch assigns to its nProbe nearest centroids and
-    *     equi-joins the centroid-partitioned lists (broadcast batch →
-    *     dynamic partition pruning trims unprobed lists at runtime),
-    *     so ingest never collects the batch driver-side;
+    *     equi-joins the centroid-partitioned lists, so ingest never
+    *     collects the batch driver-side (no broadcast pin either —
+    *     AQE broadcasts small batches, and a replayed backfill batch
+    *     can be arbitrarily large);
     *  3. batch docs matching the corpus are dropped;
     *  4. the remaining novel vectors are APPENDED
     *     ([[appendToIvfIndex]]) so the next batch dedups against them.
@@ -398,8 +408,13 @@ object Similarity {
     val q = batchClean.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("centroid",
         explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    // no broadcast() pin: a backfill replay can deliver an arbitrarily
+    // large micro-batch, and a forced broadcast would materialize all
+    // of it (×nProbe) on the driver — the same scaling-input rule
+    // ScaleSpec pins for the TPC-H dims; AQE broadcasts small batches
+    // on its own
     val lists = spark.read.parquet(s"$path/assignments")
-    val dupIds = lists.join(broadcast(q), Seq("centroid"))
+    val dupIds = lists.join(q, Seq("centroid"))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
       .filter(col("cos") >= threshold)

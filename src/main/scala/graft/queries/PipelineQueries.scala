@@ -35,8 +35,10 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
-  private val tokensSql =
-    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  // the one shared tokenizer/quality-formula definition lives in
+  // TextQueries — aliased here so this group's oracles can't drift
+  private val tokensSql = TextQueries.tokensSql
+  private val qualitySql = TextQueries.qualitySql
 
   /** Embedding corpus with planted duplicates: every 25th vector
     * reappears verbatim under a shifted id — shared by the near-dup
@@ -196,15 +198,15 @@ object PipelineQueries {
       // (bench cold+warm, verify) probe it without rebuilding — and a
       // fresh temp dir per evaluation would accumulate corpus copies.
       // Reuse is SELF-VALIDATING: the index carries a content
-      // fingerprint (row count + max id) of the corpus it was built
-      // from; regenerated parquet under the same sf dir mismatches and
-      // triggers a rebuild instead of serving stale answers. The
-      // validation costs one narrow aggregate over (vec_id) — nothing
-      // vector-sized moves.
+      // fingerprint (row count + max id + vector-hash sum) of the
+      // corpus it was built from; regenerated parquet under the same
+      // sf dir — even re-embedded under unchanged ids — mismatches
+      // and triggers a rebuild instead of serving stale answers. The
+      // validation is one narrow codegen'd aggregate.
       val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       if (!Similarity.readIndexFingerprint(s, path)
-          .contains(Similarity.corpusFingerprint(emb, "vec_id")))
+          .contains(Similarity.corpusFingerprint(emb, "vec_id", "embedding")))
         Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
           nCentroids = 16)
       Similarity.ivfTopKPersisted(s, path, queries, "vec_id", "embedding",
@@ -229,7 +231,7 @@ object PipelineQueries {
       // only once BOTH build and append have completed — so the marker
       // check covers the two-step construction atomically
       if (!Similarity.readIndexFingerprint(s, path)
-          .contains(Similarity.corpusFingerprint(emb, "vec_id"))) {
+          .contains(Similarity.corpusFingerprint(emb, "vec_id", "embedding"))) {
         Similarity.saveIvfIndex(base, "vec_id", "embedding", path,
           nCentroids = 16)
         Similarity.appendToIvfIndex(batch, "vec_id", "embedding", path)
@@ -584,10 +586,7 @@ object PipelineQueries {
     "cap_per_source" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
-         |    LEAST(length(text) / 500.0, 1.0) * 0.3
-         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
-         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |    $qualitySql AS quality
          |  FROM (SELECT doc_id, source, text, $tokensSql AS toks FROM documents))
          |SELECT doc_id, source, quality, rnk FROM (
          |  SELECT doc_id, source, quality,
@@ -652,10 +651,7 @@ object PipelineQueries {
     "corpus_curation" ->
       s"""WITH scored AS (
          |  SELECT doc_id, text, len(toks) AS n_tokens,
-         |    LEAST(length(text) / 500.0, 1.0) * 0.3
-         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
-         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |    $qualitySql AS quality
          |  FROM (SELECT doc_id, lang, text, $tokensSql AS toks FROM documents)
          |  WHERE lang = 'en'
          |), ok AS (

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Shared oracle fragment: the tokenizer, as DuckDB SQL. */
-  private val tokensSql =
+  /** Shared oracle fragment: the tokenizer, as DuckDB SQL. The ONE
+    * definition for every query group — a drifted copy would pin a
+    * stale tokenizer into some oracles and fail the hash gate. */
+  private[queries] val tokensSql =
     "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Shared oracle fragment: [[graft.functions.TextFunctions.qualityScore]]
-    * as DuckDB SQL (expects `text` and `toks` in scope). */
-  private val qualitySql =
+    * as DuckDB SQL (expects `text` and `toks` in scope). Same
+    * single-definition rule as [[tokensSql]]. */
+  private[queries] val qualitySql =
     """LEAST(length(text) / 500.0, 1.0) * 0.3
       |    + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
       |    + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
@@ -185,7 +188,10 @@ object TextQueries {
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // total from the vocab-sized counts, NOT a third corpus explode
+      // (exchange reuse does not fire across the branches — measured
+      // on tfidf_keywords, same shape)
+      val total = counts.agg(sum(col("c")).as("n_total"))
       toks.join(counts, "tok")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
@@ -485,10 +491,7 @@ object TextQueries {
     "quality_threshold_filter" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    LEAST(length(text) / 500.0, 1.0) * 0.3
-         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
-         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |    $qualitySql AS quality
          |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
          |SELECT doc_id, quality
          |FROM q, (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
@@ -497,10 +500,7 @@ object TextQueries {
     "quality_deciles" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    LEAST(length(text) / 500.0, 1.0) * 0.3
-         |      + (len(list_distinct(toks)) / GREATEST(len(toks), 1)) * 0.5
-         |      + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |                       / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.2 AS quality
+         |    $qualitySql AS quality
          |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)),
          |thr AS (
          |  SELECT [quantile_cont(quality, 0.1), quantile_cont(quality, 0.2),

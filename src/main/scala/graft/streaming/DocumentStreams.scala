@@ -43,6 +43,30 @@ object DocumentStreams {
         val bdf = batch.toDF()
         val novel =
           if (!spark.catalog.tableExists(s"${indexName}_bands")) {
+            // restart audit BEFORE bootstrapping: with a
+            // non-persistent catalog, a prior JVM's index FILES
+            // survive in the warehouse while the table registration
+            // does not. Bootstrapping over them would either crash
+            // (CTAS into a non-empty managed location) or rebuild the
+            // index from this batch alone — silently re-admitting
+            // near-copies of everything accepted before the restart.
+            // Fail loud with the two real remedies instead. (The
+            // embeddings twin keys off its plain parquet path and is
+            // restart-safe without this.)
+            val wh = new org.apache.hadoop.fs.Path(
+              spark.conf.get("spark.sql.warehouse.dir"))
+            val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+            val leftover = Seq("_bands", "_shingles")
+              .map(sfx => new org.apache.hadoop.fs.Path(
+                wh, (indexName + sfx).toLowerCase))
+              .filter(fs.exists)
+            if (leftover.nonEmpty)
+              throw new graft.model.UserException(
+                s"dedup index '$indexName' has data files " +
+                  s"(${leftover.mkString(", ")}) but no catalog entry " +
+                  "— restarted with a non-persistent catalog? Configure " +
+                  "a persistent metastore to resume this index, or " +
+                  "delete the directories to rebuild from scratch")
             // bootstrap: in-batch dedup, then a full index build
             val internal = Dedup.minhashNearDupPairs(bdf, idCol, textCol,
               shingleSize, k, bands, threshold, maxBucket)

@@ -62,6 +62,21 @@ class JdbcSinkSpec extends SparkSpec {
     ps.listTables() should contain("jpart".toUpperCase)
   }
 
+  test("schema-qualified names keep parallel reads (probe scopes to the qualifier)") {
+    val ps = new JdbcSink(spark, url,
+      Map("partitionColumn" -> "id", "numPartitions" -> "4"),
+      catalogSql =
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+    ps.overwrite((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "jqual")
+    // Derby's default schema is APP: the qualified name must route the
+    // getColumns probe to (APP, jqual) — matching nothing and silently
+    // falling back to a single-stream read is the regression this pins
+    val df = ps.read("APP.jqual")
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe 50
+  }
+
   test("varchar partition column reads via predicate ranges, n > 1 partitions") {
     // Derby speaks the SQL-standard OFFSET…FETCH, not the default
     // (Redshift/Postgres) LIMIT/OFFSET — exercised via the pluggable

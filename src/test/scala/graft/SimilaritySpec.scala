@@ -196,7 +196,8 @@ class SimilaritySpec extends SparkSpec {
 
     // fingerprint rolled forward to fp(corpus ∪ batch) — composability
     Similarity.readIndexFingerprint(spark, path) shouldBe
-      Some(Similarity.corpusFingerprint(c.unionByName(batch), "vec_id"))
+      Some(Similarity.corpusFingerprint(c.unionByName(batch), "vec_id",
+        "embedding"))
 
     // appended vectors are searchable: querying with original vector i
     // finds its appended near-copy 1000+i at rank 1
@@ -251,7 +252,8 @@ class SimilaritySpec extends SparkSpec {
 
     // index = corpus + the two accepted vectors, fingerprint rolled
     spark.read.parquet(s"$path/assignments").count() shouldBe 102L
-    Similarity.readIndexFingerprint(spark, path) shouldBe Some("102:2001")
+    val fp = Similarity.readIndexFingerprint(spark, path)
+    fp.map(_.split(":").take(2).toSeq) shouldBe Some(Seq("102", "2001"))
   }
 
   test("persisted IVF reuse is content-validated: a regenerated corpus triggers rebuild") {
@@ -262,13 +264,23 @@ class SimilaritySpec extends SparkSpec {
     def buildIfStale(): Boolean = {
       val emb = spark.read.parquet(corpusDir)
       val stale = !Similarity.readIndexFingerprint(spark, path)
-        .contains(Similarity.corpusFingerprint(emb, "vec_id"))
+        .contains(Similarity.corpusFingerprint(emb, "vec_id", "embedding"))
       if (stale)
         Similarity.saveIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 8)
       stale
     }
     buildIfStale() shouldBe true   // cold: no marker → build
     buildIfStale() shouldBe false  // warm: fingerprint matches → reuse
+    // RE-EMBEDDED corpus: same ids, same row count, different vectors
+    // (a new embedding model) — count+max-id alone cannot see this;
+    // the content-hash term must force the rebuild
+    corpus(n = 100)
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x + org.apache.spark.sql.functions.lit(1.0f)))
+      .write.mode("overwrite").parquet(corpusDir)
+    buildIfStale() shouldBe true
+    buildIfStale() shouldBe false
     // the corpus is regenerated in place (more rows, same path): the
     // path-keyed marker alone would serve stale lists — the content
     // fingerprint must force a rebuild
