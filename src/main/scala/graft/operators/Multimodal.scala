@@ -74,6 +74,26 @@ object Multimodal {
     StructField("n_channels", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
+  /** Ingest a DIRECTORY of raw media files as binary rows via Spark's
+    * `binaryFile` source — the on-ramp from an object-store media dump
+    * (`s3a://bucket/images/…`) into the binary-column pipeline above.
+    * Directory listing parallelizes on the cluster, `glob` prunes by
+    * name BEFORE any byte is read (pathGlobFilter), and payloads enter
+    * as a narrow scan that never shuffles — downstream is the
+    * mapPartitions family. `media_id` is the xxhash64 of the file
+    * path: stable across re-ingests, join-ready for the dedup/meta
+    * stages. */
+  def ingestBinaryDir(spark: SparkSession, dir: String,
+                      glob: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir).select(
+      xxhash64(col("path")).as("media_id"),
+      col("path"),
+      col("length"),
+      col("content").as("media"))
+  }
+
   /** Decode each payload and attach a typed `meta` struct. Narrow map;
     * decoder opened once per partition. */
   def extractMeta(df: DataFrame, idCol: String, mediaCol: String,

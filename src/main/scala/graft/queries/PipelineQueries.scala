@@ -306,6 +306,35 @@ object PipelineQueries {
           threshold = 0.99, nCentroids = 16, trainIters = 2)
         .select(col("vec_id")).orderBy(col("vec_id"))),
 
+    // binaryFile-source ingest: a directory of raw media payloads
+    // enters the binary pipeline through Spark's binaryFile source
+    // (glob-pruned listing, payloads scanned narrow and never
+    // shuffled), then the stub decoder types it. The fixture writes
+    // 20 deterministic payloads + one glob-excluded file per sf dir;
+    // rows-only (byte-level round-trip is spec-pinned).
+    "media_binary_ingest" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val out = s"/tmp/graft_media_fix_${dir.replaceAll("[^0-9.]", "")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+      (0 until 20).foreach { i =>
+        val os = fs.create(new org.apache.hadoop.fs.Path(out, f"m$i%03d.bin"), true)
+        try os.write(Array.tabulate[Byte](64 + i * 7)(j => ((i * 31 + j) % 251).toByte))
+        finally os.close()
+      }
+      val x = fs.create(new org.apache.hadoop.fs.Path(out, "skip.txt"), true)
+      try x.write("not media".getBytes("UTF-8")) finally x.close()
+      val ingested = Multimodal.ingestBinaryDir(s, out, glob = Some("*.bin"))
+      val meta = Multimodal.extractMeta(ingested, "media_id", "media")
+      ingested.select(col("media_id"),
+          element_at(split(col("path"), "/"), -1).as("file"), col("length"))
+        .join(meta, "media_id")
+        .select(col("file"), col("length"), col("meta.width"),
+          col("meta.height"), col("meta.n_channels"), col("meta.n_frames"))
+        .orderBy(col("file"))
+    }),
+
     // mapPartitions decode pipeline (stub codec): one row per sampled
     // frame. Rows-only check (the fake features aren't SQL-expressible);
     // the plumbing is spec-tested. The feature vector is emitted as a

@@ -296,7 +296,52 @@ object RelationalQueries {
             .otherwise("same").as("status"),
           col("old_price"), col("new_price"))
         .orderBy(col("o_orderkey"))
-    }))
+    }),
+
+    // Incremental rollup maintenance: per-customer order stats kept
+    // current by folding three key-OVERLAPPING batches through
+    // [[graft.operators.IncrementalAgg]] — history is never rescanned,
+    // each fold shuffles only key-cardinality state rows — and the
+    // final state equals the one-shot GROUP BY the oracle runs over
+    // the whole table (the monoid-correctness check).
+    "incremental_rollup" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) = ord.filter(col("o_orderkey") % 3 === i)
+      val state = Seq(1, 2).foldLeft(
+        IncrementalAgg.partialState(slice(0), Seq("o_custkey"), "o_totalprice"))(
+        (st, i) => IncrementalAgg.mergeState(st, slice(i),
+          Seq("o_custkey"), "o_totalprice"))
+      IncrementalAgg.finalizeState(state, Seq("o_custkey"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // LOCF forward fill — the gap-filling step of event-stream
+    // feature prep: a sparse column (every 3rd event observes a value)
+    // carries forward per user. ONE user-key shuffle; the running
+    // window is rows-unbounded-preceding, so state per partition is a
+    // single value, never a buffered frame.
+    "forward_fill_events" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 3 === 0, col("value")).as("sparse"))
+        .withColumn("filled", last(col("sparse"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("sparse"), col("filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    // UNPIVOT (melt): wide measure columns to (measure, val) rows via
+    // the stack generator — one narrow codegen'd pass, the inverse of
+    // pivot_event_counts' PIVOT.
+    "unpivot_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        expr("stack(2, 'custkey', CAST(o_custkey AS DOUBLE), " +
+          "'totalprice', o_totalprice) AS (measure, val)"))
+        .orderBy(col("o_orderkey"), col("measure"))))
 
   val oracleSql: Map[String, String] = Map(
     "upsert_merge" ->
@@ -416,5 +461,29 @@ object RelationalQueries {
         |            ELSE 'same' END AS status,
         |       old_price, new_price
         |FROM prev FULL JOIN next ON old_key = new_key
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "incremental_rollup" ->
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mean,
+        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "forward_fill_events" ->
+      """SELECT event_id, user_id, sparse,
+        |  last_value(sparse IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_id % 3 = 0 THEN value END AS sparse
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "unpivot_orders" ->
+      """SELECT o_orderkey, measure, val FROM (
+        |  SELECT o_orderkey, 'custkey' AS measure,
+        |         CAST(o_custkey AS DOUBLE) AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'totalprice', o_totalprice FROM orders)
+        |ORDER BY o_orderkey, measure""".stripMargin)
 }

@@ -102,4 +102,41 @@ class LoadSpec extends SparkSpec {
       s0.foreach { case (k, v) => byKey(k) shouldBe v }
     }
   }
+
+  // deterministic fact rows with overlapping keys across batches
+  private def facts = (1 to 300)
+    .map(i => (i.toLong, (i % 7).toString, (i % 13) * 1.5))
+    .toDF("rid", "k", "v")
+
+  test("IncrementalAgg: folded batches equal the one-shot aggregate, any batch order") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.functions._
+    val oneShot = IncrementalAgg.finalizeState(
+      IncrementalAgg.partialState(facts, Seq("k"), "v"), Seq("k"))
+      .orderBy("k")
+    def folded(order: Seq[Int]) = {
+      def slice(i: Int) = facts.filter(col("rid") % 3 === i)
+      val st = order.tail.foldLeft(
+        IncrementalAgg.partialState(slice(order.head), Seq("k"), "v"))(
+        (s, i) => IncrementalAgg.mergeState(s, slice(i), Seq("k"), "v"))
+      IncrementalAgg.finalizeState(st, Seq("k")).orderBy("k")
+    }
+    rows(folded(Seq(0, 1, 2))) shouldBe rows(oneShot)
+    // commutativity: a different arrival order yields the same state
+    rows(folded(Seq(2, 0, 1))) shouldBe rows(oneShot)
+  }
+
+  test("IncrementalAgg: state schema is stable across repeated folds") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.functions._
+    def slice(i: Int) = facts.filter(col("rid") % 4 === i)
+    val s1 = IncrementalAgg.partialState(slice(0), Seq("k"), "v")
+    val s3 = (1 to 3).foldLeft(s1)((s, i) =>
+      IncrementalAgg.mergeState(s, slice(i), Seq("k"), "v"))
+    // a drifting sum precision would break unionByName on the NEXT
+    // fold and any persisted-state reader (nullability legitimately
+    // differs — count is non-null only pre-merge — so compare types)
+    s3.schema.map(f => (f.name, f.dataType)) shouldBe
+      s1.schema.map(f => (f.name, f.dataType))
+  }
 }

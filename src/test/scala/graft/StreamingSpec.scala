@@ -318,6 +318,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-srestart").toString
+    val name = s"graft_mh_orphan_${System.nanoTime}"
+    // simulate the restart wreckage: index FILES in the warehouse,
+    // no catalog entry (a prior JVM's managed tables after an
+    // in-memory catalog went away)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(wh, s"${name}_bands".toLowerCase)
+    fs.mkdirs(orphan)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.streamingIngestDedup(
+      input.toDF().toDF("doc_id", "text"), name, s"$base/corpus",
+      "doc_id", "text", checkpointDir = s"$base/ckpt")
+    try {
+      input.addData((1L, "some document text alpha beta"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // bootstrapping over the orphan would silently rebuild the index
+      // from one batch (re-admitting every prior accepted doc's dups)
+      // — the gate must surface the operator error instead
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      chain should include(name)
+      chain should include("no catalog entry")
+    } finally {
+      q.stop()
+      fs.delete(orphan, true)
+    }
+  }
+
   test("streamingIngestEmbeddings: IVF-gated continuous vector ingest") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-semb").toString
