@@ -124,6 +124,65 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming face of [[graft.operators.IncrementalAgg]]: keep a
+    * persisted per-key rollup current as micro-batches arrive. Each
+    * batch folds through the monoid state (one key-cardinality
+    * shuffle — history never rescanned) and the new state swaps in via
+    * staging+rename, the engine's overwrite pattern.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay: the
+    * `_APPLIED_<batchId>` marker is written INTO the staging directory
+    * before the atomic rename, so state and marker commit together —
+    * a replayed batch sees its own marker inside the live state and
+    * skips the fold (a marker-after-swap scheme would double-count on
+    * a crash between swap and marker). Only the latest marker needs
+    * carrying: the checkpoint replays at most the last uncommitted
+    * batch. Crash between delete and rename leaves the stage as the
+    * only copy — it uses the `__stage_` naming, so
+    * [[graft.operators.Maintenance.recoverableStages]] reports it. */
+  def streamingRollup(events: DataFrame, statePath: String,
+                      keys: Seq[String], valueCol: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol)
+        ()
+      }
+      .start()
+
+  /** One batch's fold, exposed for the replay-idempotence spec.
+    * Returns false when the batch was already applied (marker found in
+    * the live state). */
+  private[graft] def applyRollupBatch(batch: DataFrame, statePath: String,
+                                      batchId: Long, keys: Seq[String],
+                                      valueCol: String): Boolean = {
+    import graft.operators.IncrementalAgg
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new Path(root, "state")
+    if (fs.exists(new Path(cur, s"_APPLIED_$batchId"))) return false
+    val partial = IncrementalAgg.partialState(batch, keys, valueCol)
+    val next =
+      if (fs.exists(cur))
+        IncrementalAgg.mergeStates(spark.read.parquet(cur.toString),
+          partial, keys)
+      else partial
+    val stage = new Path(root,
+      s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    next.write.mode("overwrite").parquet(stage.toString) // materializes
+    fs.create(new Path(stage, s"_APPLIED_$batchId"), true).close()
+    if (fs.exists(cur)) fs.delete(cur, true)
+    if (!fs.rename(stage, cur))
+      throw new java.io.IOException(
+        s"state swap failed: $stage -> $cur (stage holds the new state)")
+    true
+  }
+
   /** Watermarked stream–stream inner join: match rows of two event
     * streams on `keyCols` when the right event lands within
     * `[left.ts, left.ts + withinSeconds]`. Both sides carry watermarks

@@ -318,6 +318,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingRollup maintains a persisted per-key rollup; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-srollup").toString
+    val input = MemoryStream[(String, Double)]
+    val q = EventStreams.streamingRollup(input.toDF().toDF("k", "v"),
+      s"$base/rollup", Seq("k"), "v", s"$base/ckpt")
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 4.0), ("c", 7.0))
+      q.processAllAvailable()
+      val got = graft.operators.IncrementalAgg.finalizeState(
+        spark.read.parquet(s"$base/rollup/state"), Seq("k")).orderBy("k")
+      rows(got) shouldBe Seq(
+        Seq("a", 3L, 7.0, 7.0 / 3, 1.0, 4.0),
+        Seq("b", 1L, 10.0, 10.0, 10.0, 10.0),
+        Seq("c", 1L, 7.0, 7.0, 7.0, 7.0))
+    } finally q.stop()
+    // replay idempotence: foreachBatch is at-least-once, so re-applying
+    // the last committed batch id must be a marker-detected no-op
+    val before = rows(spark.read.parquet(s"$base/rollup/state").orderBy("k"))
+    val replay = Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v")
+    EventStreams.applyRollupBatch(replay, s"$base/rollup", 1L,
+      Seq("k"), "v") shouldBe false
+    rows(spark.read.parquet(s"$base/rollup/state").orderBy("k")) shouldBe before
+    // a NEW batch id applies
+    EventStreams.applyRollupBatch(replay, s"$base/rollup", 2L,
+      Seq("k"), "v") shouldBe true
+    val a = graft.operators.IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$base/rollup/state"), Seq("k"))
+      .filter(org.apache.spark.sql.functions.col("k") === "a")
+      .collect().head
+    a.getLong(1) shouldBe 4L
+  }
+
   test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-srestart").toString
