@@ -12,7 +12,13 @@ object Sessions {
       .withExtensions(new GraftExtensions)
       // shuffle partitions sized to local cores, not the 200 default
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE: runtime join-strategy selection (the SF-scaling dims the
+      // queries deliberately leave unhinted), partition coalescing,
+      // and skew-join splitting. skewJoin defaults on with AQE — set
+      // explicitly because the engine's skew posture (SCALE.md) names
+      // it as the second line of defense behind salting.
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // bound plan-string rendering: iterative plans (dedup clustering)
       // can grow large trees, and every execution/AQE listener event
