@@ -300,8 +300,8 @@ final class JdbcSink(spark: SparkSession, url: String,
     * targets. Unqualified names scope to the current schema (a
     * same-named table in another schema must not decide this table's
     * fate). */
-  private def metaScope(conn: java.sql.Connection,
-                        table: String): (Option[String], String) =
+  private def metaScope(conn: java.sql.Connection, table: String)
+      : (Option[String], String, Boolean) =
     table.lastIndexOf('.') match {
       case -1 =>
         val cur =
@@ -309,18 +309,35 @@ final class JdbcSink(spark: SparkSession, url: String,
           // AbstractMethodError (an Error) from getSchema
           try Option(conn.getSchema).filter(_.nonEmpty)
           catch { case _: Throwable => None }
-        (cur, table)
-      case i => (Some(table.substring(0, i)), table.substring(i + 1))
+        (cur, table, false)
+      case i => (Some(table.substring(0, i)), table.substring(i + 1), true)
     }
 
-  /** Identifier-case variants of a (schema, table) scope — catalogs
-    * fold unquoted names (Derby/Oracle upper, Postgres lower), and the
-    * schema part must fold WITH the table part. */
-  private def scopeVariants(scope: (Option[String], String))
+  /** Identifier-case variants of a probe scope — catalogs fold
+    * unquoted names (Derby/Oracle upper, Postgres lower). A
+    * USER-QUALIFIED schema folds WITH the table (both came from the
+    * same unquoted config string); the connection's CURRENT schema is
+    * already the catalog's exact spelling and must NOT be folded — a
+    * mixed-case current schema (quoted at creation) would never match
+    * its own folded variants. */
+  private def scopeVariants(scope: (Option[String], String, Boolean))
       : Seq[(Option[String], String)] = {
-    val (s, t) = scope
-    Seq((s, t), (s.map(_.toUpperCase), t.toUpperCase),
-      (s.map(_.toLowerCase), t.toLowerCase)).distinct
+    val (s, t, qualified) = scope
+    if (qualified)
+      Seq((s, t), (s.map(_.toUpperCase), t.toUpperCase),
+        (s.map(_.toLowerCase), t.toLowerCase)).distinct
+    else
+      Seq((s, t), (s, t.toUpperCase), (s, t.toLowerCase)).distinct
+  }
+
+  /** `getColumns`-pattern escaping: `_`/`%` are single/multi-char
+    * WILDCARDS in JDBC metadata patterns (every staging name contains
+    * `_`), so literal lookups must escape them with the driver's
+    * search-string escape. ONE definition for both probes. */
+  private def metaEscaper(md: java.sql.DatabaseMetaData): String => String = {
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    s => s.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
   }
 
   /** JDBC DATA_TYPE of `column` on `table`, or None when either is
@@ -331,9 +348,7 @@ final class JdbcSink(spark: SparkSession, url: String,
                                   column: String): Option[Int] =
     try {
       val md = conn.getMetaData
-      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-      def escaped(s: String) = s.replace(esc, esc + esc)
-        .replace("_", esc + "_").replace("%", esc + "%")
+      val escaped = metaEscaper(md)
       scopeVariants(metaScope(conn, table)).iterator
         .map { case (s, t) =>
           val rs = md.getColumns(null, s.map(escaped).orNull, escaped(t), null)
@@ -552,9 +567,7 @@ final class JdbcSink(spark: SparkSession, url: String,
   private def ddlShape(conn: java.sql.Connection,
                        table: String): Seq[(String, String, Int, Int)] = {
     val md = conn.getMetaData
-    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-    def escaped(s: String) = s.replace(esc, esc + esc)
-      .replace("_", esc + "_").replace("%", esc + "%")
+    val escaped = metaEscaper(md)
     // schema scoping + case folding via metaScope/scopeVariants, same
     // rules as partitionColumnType (qualified names probe their own
     // schema; a same-named table in another schema must not

@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** The partial (mergeable) state of one batch: per-key count / sum /
-    * min / max over `valueCol`. */
+    * min / max over `valueCol`.
+    *
+    * PRECISION CONTRACT: values quantize to the state's
+    * decimal(38,6) on entry — exact, order-independent addition is
+    * what makes the fold a monoid (double sums are not associative,
+    * so a double state would drift with batch order). Values smaller
+    * than 1e-6 round to zero in the SUM (min/max keep the native
+    * type); a domain needing finer scale pre-scales the column. */
   def partialState(batch: DataFrame, keys: Seq[String],
                    valueCol: String): DataFrame =
     normalize(batch.groupBy(keys.map(col): _*).agg(
       count(col(valueCol)).as("agg_count"),
-      sum(col(valueCol).cast("decimal(28,4)")).as("agg_sum"),
+      sum(col(valueCol).cast("decimal(38,6)")).as("agg_sum"),
       min(col(valueCol)).as("agg_min"),
       max(col(valueCol)).as("agg_max")), keys)
 

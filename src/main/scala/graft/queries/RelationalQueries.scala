@@ -464,8 +464,8 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "incremental_rollup" ->
       """SELECT o_custkey, COUNT(o_totalprice) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / COUNT(o_totalprice) AS mean,
         |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
         |FROM orders GROUP BY o_custkey

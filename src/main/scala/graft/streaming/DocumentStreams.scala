@@ -56,7 +56,14 @@ object DocumentStreams {
             val wh = new org.apache.hadoop.fs.Path(
               spark.conf.get("spark.sql.warehouse.dir"))
             val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+            // only files whose TABLE is missing count as orphaned: a
+            // crashed first-batch bootstrap legitimately leaves the
+            // shingles table registered (files + catalog entry) with
+            // bands absent — the Overwrite rebuild handles that;
+            // flagging registered tables would wedge the stream on a
+            // false "restarted without a catalog" diagnosis
             val leftover = Seq("_bands", "_shingles")
+              .filterNot(sfx => spark.catalog.tableExists(indexName + sfx))
               .map(sfx => new org.apache.hadoop.fs.Path(
                 wh, (indexName + sfx).toLowerCase))
               .filter(fs.exists)

@@ -166,6 +166,25 @@ object EventStreams {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(root, "state")
     if (fs.exists(new Path(cur, s"_APPLIED_$batchId"))) return false
+    // Stranded-stage audit BEFORE treating a missing state dir as
+    // first-batch bootstrap: a crash between the swap's delete and
+    // rename leaves the stage as the ONLY copy of the accumulated
+    // rollup — bootstrapping over it would silently reset the state
+    // to one batch. Fail loud; recovery is renaming the stage in
+    // (it is exactly what [[graft.operators.Maintenance
+    // .recoverableStages]] reports, by the shared naming).
+    if (!fs.exists(cur)) {
+      val stranded =
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.matches("state__stage_[0-9a-f]{8}"))
+      if (stranded.nonEmpty)
+        throw new graft.model.UserException(
+          s"rollup state at $statePath is missing but staged copies " +
+            s"exist (${stranded.mkString(", ")}) — a crashed swap. " +
+            "Rename the newest stage to 'state' to recover; starting " +
+            "the fold over would silently drop the accumulated rollup")
+    }
     val partial = IncrementalAgg.partialState(batch, keys, valueCol)
     val next =
       if (fs.exists(cur))
@@ -176,10 +195,23 @@ object EventStreams {
       s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
     next.write.mode("overwrite").parquet(stage.toString) // materializes
     fs.create(new Path(stage, s"_APPLIED_$batchId"), true).close()
-    if (fs.exists(cur)) fs.delete(cur, true)
-    if (!fs.rename(stage, cur))
-      throw new java.io.IOException(
-        s"state swap failed: $stage -> $cur (stage holds the new state)")
+    // Idempotent swap, same rules as ParquetSink.overwrite: retried,
+    // and an ambiguous rename (committed server-side, error
+    // client-side) must read as success on retry, not delete the
+    // freshly swapped-in state.
+    graft.app.SwapGuard(s"rollup state swap failed after retries " +
+        s"(new state preserved at $stage)") {
+      if (!fs.exists(stage)) {
+        if (!fs.exists(cur))
+          throw new java.io.IOException("stage and state both missing")
+        // else: a prior attempt's rename landed — done
+      } else {
+        if (fs.exists(cur)) fs.delete(cur, true)
+        if (!fs.rename(stage, cur))
+          throw new java.io.IOException(
+            s"state swap failed: $stage -> $cur")
+      }
+    }
     true
   }
 

@@ -351,6 +351,24 @@ class StreamingSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("k") === "a")
       .collect().head
     a.getLong(1) shouldBe 4L
+
+    // crash-mid-swap recovery posture: state gone, a stranded stage
+    // holds the only copy — the fold must fail loud, NOT bootstrap
+    // from one batch (which would silently reset the rollup)
+    val root = new org.apache.hadoop.fs.Path(s"$base/rollup")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(root, "state"),
+      new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd"))
+    val e = intercept[graft.model.UserException] {
+      EventStreams.applyRollupBatch(replay, s"$base/rollup", 3L,
+        Seq("k"), "v")
+    }
+    e.getMessage should include("state__stage_0123abcd")
+    // recovery = rename the stage back in; the fold resumes
+    fs.rename(new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd"),
+      new org.apache.hadoop.fs.Path(root, "state"))
+    EventStreams.applyRollupBatch(replay, s"$base/rollup", 3L,
+      Seq("k"), "v") shouldBe true
   }
 
   test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
