@@ -126,6 +126,33 @@ class LoadSpec extends SparkSpec {
     rows(folded(Seq(2, 0, 1))) shouldBe rows(oneShot)
   }
 
+  test("law: IncrementalAgg fold equals one-shot under random data and random partitioning") {
+    import graft.operators.IncrementalAgg
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val data = (1 to 200).map { i =>
+        (i.toLong, rnd.nextInt(9).toString,
+          // mixed magnitudes incl. values at the 1e-6 quantum edge
+          (rnd.nextInt(2000000) - 1000000) / 1e6 * math.pow(10, rnd.nextInt(4)))
+      }
+      val nBatches = 2 + rnd.nextInt(4)
+      val cuts = data.map(_ => rnd.nextInt(nBatches))
+      val df = data.toDF("rid", "k", "v")
+      val oneShot = IncrementalAgg.finalizeState(
+        IncrementalAgg.partialState(df, Seq("k"), "v"), Seq("k"))
+        .orderBy("k")
+      val batches = (0 until nBatches).map { b =>
+        data.zip(cuts).collect { case (row, c) if c == b => row }
+          .toDF("rid", "k", "v")
+      }.filter(!_.isEmpty)
+      val st = batches.tail.foldLeft(
+        IncrementalAgg.partialState(batches.head, Seq("k"), "v"))(
+        (s, b) => IncrementalAgg.mergeState(s, b, Seq("k"), "v"))
+      rows(IncrementalAgg.finalizeState(st, Seq("k")).orderBy("k")) shouldBe
+        rows(oneShot)
+    }
+  }
+
   test("IncrementalAgg: state schema is stable across repeated folds") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions._

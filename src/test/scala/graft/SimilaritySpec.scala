@@ -335,6 +335,38 @@ class SimilaritySpec extends SparkSpec {
     survivors should have size 100
   }
 
+  test("semanticNearDupPairs recall vs brute-force all-pairs on clustered corpus") {
+    // near-dup population: small-shift copies (cos ≈ 0.99995 — well
+    // above any same-cluster background pair at ≈0.997, so the exact
+    // set at this threshold is the planted population; a looser
+    // threshold would legitimately include cluster-mate pairs that
+    // k-means cells split, which is the documented blocking trade-off,
+    // not a recall bug)
+    val c = corpus(n = 100)
+    val near = c.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    val all = c.unionByName(near)
+    val thr = 0.9999
+    // brute force: every pair, no blocking
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= thr)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.semanticNearDupPairs(all, "vec_id", "embedding",
+      threshold = thr, nCentroids = 8, trainIters = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocking can only LOSE pairs (cell boundaries), never invent them
+    got.subsetOf(exact) shouldBe true
+    exact should not be empty
+    val recall = (exact & got).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
   test("semanticNearDupPairs maxCluster guard passes oversized clusters through uncompared") {
     val c = corpus(n = 100)
     val shifted = c.filter(col("vec_id") < 5)
