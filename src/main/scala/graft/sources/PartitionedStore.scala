@@ -97,6 +97,36 @@ object PartitionedStore {
       }
       found
     }
+    // Stranded-stage audit (same class as the rollup's guard): a crash
+    // between a partition's delete and rename leaves the staged copy
+    // as the ONLY copy of that partition. Re-merging as if the
+    // partition never existed would silently replace its history with
+    // this batch — and the next swap would strand the old stage
+    // forever. Refuse loud; [[graft.operators.Maintenance
+    // .recoverableStages]] reports the rename-in. (Single writer per
+    // path — the streaming checkpoint's contract — so any stage found
+    // at ENTRY is from a crashed run, not a concurrent one.)
+    {
+      val parent = target.getParent
+      val prefix = target.getName + "__stage_"
+      val stranded =
+        if (parent == null || !fs.exists(parent)) Nil
+        else fs.listStatus(parent).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(prefix))
+          .map(_.getPath)
+      val lost = dates.filter { d =>
+        !fs.exists(new Path(target, s"p_date=$d")) &&
+          stranded.exists(sp => fs.exists(new Path(sp, s"p_date=$d")))
+      }
+      if (lost.nonEmpty)
+        throw new graft.model.UserException(
+          s"partitions [${lost.mkString(",")}] of '$path' exist only " +
+            s"in stranded stage dirs (${stranded.mkString(", ")}) — a " +
+            "crashed swap. Rename the staged partitions in (see " +
+            "Maintenance.recoverableStages) before merging; merging " +
+            "now would silently replace their history with this batch")
+    }
     val merged =
       if (exists) {
         // partition-pruned target slice: only the touched dates scan

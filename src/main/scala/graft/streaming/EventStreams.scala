@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -152,6 +152,120 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** Bucket-partitioned variant of [[streamingRollup]] for
+    * HIGH-CARDINALITY keys (per-user / per-document rollups —
+    * billions of keys at the 100 TB posture): the state persists
+    * partitioned by `bucket = pmod(xxhash64(keys), nBuckets)` and a
+    * batch rewrites ONLY the buckets its keys touch —
+    * O(touched state), not O(|keys|) — the same wall
+    * [[graft.sources.PartitionedStore.mergeByDay]] removes for data.
+    * Exactly-once is per BUCKET: each staged bucket carries the
+    * batch's `_APPLIED_<batchId>` marker through its atomic rename,
+    * so a replayed batch folds only buckets whose swap never landed
+    * (already-landed buckets are skipped, not re-folded). */
+  def streamingRollupBucketed(events: DataFrame, statePath: String,
+                              keys: Seq[String], valueCol: String,
+                              checkpointDir: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyRollupBatchBucketed(batch.toDF(), statePath, batchId, keys,
+          valueCol, nBuckets)
+        ()
+      }
+      .start()
+
+  /** One bucketed fold; returns the bucket ids actually swapped (empty
+    * = the batch was fully applied already). */
+  private[graft] def applyRollupBatchBucketed(batch: DataFrame,
+                                              statePath: String,
+                                              batchId: Long,
+                                              keys: Seq[String],
+                                              valueCol: String,
+                                              nBuckets: Int): Seq[Int] = {
+    import graft.operators.IncrementalAgg
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new Path(root, "state")
+    def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
+      .cast("int").as("bucket")
+    val partial = IncrementalAgg.partialState(batch, keys, valueCol)
+      .withColumn("bucket", bucketOf)
+    // the batch's distinct buckets: ≤ nBuckets values, safe to collect
+    val touched = partial.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return Nil
+    val pending = touched.filterNot(b =>
+      fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
+    if (pending.isEmpty) return Nil
+    // stranded-stage audit per bucket, same rules as the whole-state
+    // variant: a bucket missing from the state but present in a
+    // stranded stage is a crashed swap's only copy — refuse
+    val stranded =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+    val lost = pending.filter { b =>
+      !fs.exists(new Path(cur, s"bucket=$b")) &&
+        stranded.exists(sp => fs.exists(new Path(sp, s"bucket=$b")))
+    }
+    if (lost.nonEmpty)
+      throw new graft.model.UserException(
+        s"state buckets [${lost.mkString(",")}] of $statePath exist " +
+          s"only in stranded stage dirs (${stranded.mkString(", ")}) — " +
+          "a crashed swap. Rename the staged buckets in to recover; " +
+          "folding over them would silently drop their rollup history")
+    val pendingCols = pending.map(b => lit(b): Column)
+    val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
+    val havePrior = pending.exists(b => fs.exists(new Path(cur, s"bucket=$b")))
+    val next =
+      (if (havePrior) {
+        // partition-pruned: only the pending buckets' files scan
+        val slice = spark.read.parquet(cur.toString)
+          .filter(col("bucket").isin(pendingCols: _*))
+        IncrementalAgg.mergeStates(slice.drop("bucket"),
+          partialPending.drop("bucket"), keys)
+      } else partialPending.drop("bucket"))
+        .withColumn("bucket", bucketOf)
+    val stage = new Path(root,
+      s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    next.write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage.toString) // materializes before any delete
+    pending.foreach(b =>
+      fs.create(new Path(stage, s"bucket=$b/_APPLIED_$batchId"), true).close())
+    graft.app.SwapGuard(s"bucketed rollup swap failed after retries " +
+        s"(staged buckets preserved at $stage)") {
+      if (!fs.exists(stage)) {
+        val missing = pending.filterNot(b =>
+          fs.exists(new Path(cur, s"bucket=$b")))
+        if (missing.nonEmpty)
+          throw new java.io.IOException(
+            s"stage gone but buckets [${missing.mkString(",")}] missing")
+        // else: a prior attempt landed — done
+      } else {
+        if (!fs.exists(cur)) fs.mkdirs(cur)
+        pending.foreach { b =>
+          val src = new Path(stage, s"bucket=$b")
+          val dst = new Path(cur, s"bucket=$b")
+          if (fs.exists(src)) {
+            if (fs.exists(dst)) fs.delete(dst, true)
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(s"bucket swap failed for $dst")
+          } else if (!fs.exists(dst))
+            throw new java.io.IOException(
+              s"staged bucket $src missing and $dst absent")
+          // src gone + dst present: prior attempt landed — done
+        }
+        fs.delete(stage, true) // shell only; buckets moved
+      }
+    }
+    pending
+  }
 
   /** One batch's fold, exposed for the replay-idempotence spec.
     * Returns false when the batch was already applied (marker found in

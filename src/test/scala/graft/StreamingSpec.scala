@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(target2).count() shouldBe 1
   }
 
+  test("mergeByDay refuses to merge over a partition stranded in a stage dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mbd2").toString
+    val target = s"$base/t"
+    val batch = Seq(Event(1, ts(0), 1, "click", 1.0)).toDF()
+    graft.sources.PartitionedStore.mergeByDay(batch, target, "ts",
+      pk = Seq("event_id"))
+    // simulate the crash-mid-swap: the partition's only copy sits in a
+    // stranded stage dir, the target partition is gone
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(target)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("p_date=")).head
+    val stage = new org.apache.hadoop.fs.Path(s"${target}__stage_deadbeef")
+    fs.mkdirs(stage)
+    fs.rename(new org.apache.hadoop.fs.Path(target, part),
+      new org.apache.hadoop.fs.Path(stage, part))
+    val update = Seq(Event(2, ts(60), 1, "click", 2.0)).toDF()
+    val e = intercept[graft.model.UserException] {
+      graft.sources.PartitionedStore.mergeByDay(update, target, "ts",
+        pk = Seq("event_id"))
+    }
+    e.getMessage should include("stranded stage")
+    // recovery = rename the staged partition back in; the merge resumes
+    fs.rename(new org.apache.hadoop.fs.Path(stage, part),
+      new org.apache.hadoop.fs.Path(target, part))
+    graft.sources.PartitionedStore.mergeByDay(update, target, "ts",
+      pk = Seq("event_id")) should not be empty
+    spark.read.parquet(target).count() shouldBe 2
+  }
+
   test("stream-stream join matches events within the time bound, drops the rest") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
@@ -369,6 +399,67 @@ class StreamingSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root, "state"))
     EventStreams.applyRollupBatch(replay, s"$base/rollup", 3L,
       Seq("k"), "v") shouldBe true
+  }
+
+  test("bucketed rollup: only touched buckets rewrite; replay folds only unlanded buckets") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-brollup").toString
+    val statePath = s"$base/rollup"
+    val nB = 8
+    // enough distinct keys to populate several buckets
+    val b0 = (1 to 80).map(i => (s"k${i % 20}", i * 1.0)).toDF("k", "v")
+    EventStreams.applyRollupBatchBucketed(b0, statePath, 0L,
+      Seq("k"), "v", nB) should not be empty
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/state/bucket=$b")
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).toSeq
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    }
+    val allBuckets = (0 until nB).filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/state/bucket=$b")))
+    allBuckets.size should be > 2 // keys actually spread
+    // batch 2 touches exactly one key → one bucket
+    val before = allBuckets.map(b => b -> bucketFiles(b)).toMap
+    val b1 = Seq(("k3", 100.0)).toDF("k", "v")
+    val swapped = EventStreams.applyRollupBatchBucketed(b1, statePath, 1L,
+      Seq("k"), "v", nB)
+    swapped should have size 1
+    // untouched buckets: byte-identical files (same names, same mtimes)
+    allBuckets.filterNot(swapped.contains).foreach { b =>
+      bucketFiles(b) shouldBe before(b)
+    }
+    // replay of the same batch id is a no-op (marker in the bucket)
+    EventStreams.applyRollupBatchBucketed(b1, statePath, 1L,
+      Seq("k"), "v", nB) shouldBe empty
+    // state equals the one-shot aggregate over everything
+    val oneShot = IncrementalAgg.finalizeState(
+      IncrementalAgg.partialState(b0.unionByName(b1), Seq("k"), "v"),
+      Seq("k")).orderBy("k")
+    val got = IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$statePath/state").drop("bucket"), Seq("k"))
+      .orderBy("k")
+    rows(got) shouldBe rows(oneShot)
+    // stranded-bucket guard: a bucket that exists only in a stage dir
+    // refuses the fold
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val victim = swapped.head
+    val stage = new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd")
+    fs.mkdirs(stage)
+    fs.rename(new org.apache.hadoop.fs.Path(root, s"state/bucket=$victim"),
+      new org.apache.hadoop.fs.Path(stage, s"bucket=$victim"))
+    val e = intercept[graft.model.UserException] {
+      EventStreams.applyRollupBatchBucketed(b1, statePath, 2L,
+        Seq("k"), "v", nB)
+    }
+    e.getMessage should include("stranded stage")
+    fs.rename(new org.apache.hadoop.fs.Path(stage, s"bucket=$victim"),
+      new org.apache.hadoop.fs.Path(root, s"state/bucket=$victim"))
+    EventStreams.applyRollupBatchBucketed(b1, statePath, 2L,
+      Seq("k"), "v", nB) should have size 1
   }
 
   test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
