@@ -317,6 +317,30 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // The BUCKETED fold through the same state machinery the streaming
+    // sink runs (per-bucket markers + swaps): state is wiped per
+    // evaluation (the production path accumulates; the gate needs a
+    // deterministic fresh fold), three key-overlapping batches fold
+    // in, and the persisted state must equal the one-shot GROUP BY —
+    // driver-gate evidence for the O(touched-buckets) rollup path.
+    "incremental_rollup_bucketed" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val root = "/tmp/graft_rollupb_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0 until 3).foreach { i =>
+        graft.streaming.EventStreams.applyRollupBatchBucketed(
+          ord.filter(col("o_orderkey") % 3 === i), root, i.toLong,
+          Seq("o_custkey"), "o_totalprice", nBuckets = 16)
+      }
+      IncrementalAgg.finalizeState(
+          s.read.parquet(s"$root/state").drop("bucket"), Seq("o_custkey"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -463,6 +487,14 @@ object RelationalQueries {
         |FROM prev FULL JOIN next ON old_key = new_key
         |ORDER BY o_orderkey""".stripMargin,
     "incremental_rollup" ->
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mean,
+        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "incremental_rollup_bucketed" ->
       """SELECT o_custkey, COUNT(o_totalprice) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
