@@ -26,6 +26,42 @@ private[graft] object SwapGuard {
         throw new graft.model.UserException(
           s"$recovery: ${sanitize(Option(e.getMessage).getOrElse(""))}")
     }
+
+  /** The per-child-directory swap every partition-scoped writer runs
+    * (day partitions, state buckets): rename each staged child over
+    * its target sibling, idempotently across ambiguous failures —
+    * src gone + dst present reads as a prior attempt's landed rename.
+    * ONE definition so the crash/replay semantics cannot diverge
+    * between the writers. Wrapped in [[apply]] by the caller. */
+  def swapChildren(fs: org.apache.hadoop.fs.FileSystem,
+                   stage: org.apache.hadoop.fs.Path,
+                   target: org.apache.hadoop.fs.Path,
+                   children: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(stage)) {
+      val missing = children.filterNot(c => fs.exists(new Path(target, c)))
+      if (missing.nonEmpty)
+        throw new java.io.IOException(
+          s"stage gone but children [${missing.mkString(",")}] missing " +
+            s"under '$target'")
+      // else: a prior attempt completed — done
+    } else {
+      if (!fs.exists(target)) fs.mkdirs(target)
+      children.foreach { c =>
+        val src = new Path(stage, c)
+        val dst = new Path(target, c)
+        if (fs.exists(src)) {
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"child swap failed for '$dst'")
+        } else if (!fs.exists(dst))
+          throw new java.io.IOException(
+            s"staged child '$src' missing and '$dst' absent")
+        // src gone + dst present: prior attempt landed — done
+      }
+      fs.delete(stage, true) // shell (_SUCCESS etc.) only; children moved
+    }
+  }
 }
 
 trait TableSink {

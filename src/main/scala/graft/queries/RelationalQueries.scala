@@ -46,6 +46,18 @@ object RelationalQueries {
       |  FROM base WHERE o_orderkey % 7 = 3
       |)""".stripMargin
 
+  /** ONE oracle for both incremental-rollup gate queries — the plain
+    * and bucketed folds pin the SAME monoid contract, so their oracle
+    * strings must be the same definition, not drifting copies. */
+  private val rollupOracleSql =
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mean,
+        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
+
   private def target(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -486,22 +498,8 @@ object RelationalQueries {
         |       old_price, new_price
         |FROM prev FULL JOIN next ON old_key = new_key
         |ORDER BY o_orderkey""".stripMargin,
-    "incremental_rollup" ->
-      """SELECT o_custkey, COUNT(o_totalprice) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-        |    / COUNT(o_totalprice) AS mean,
-        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
-        |FROM orders GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
-    "incremental_rollup_bucketed" ->
-      """SELECT o_custkey, COUNT(o_totalprice) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-        |    / COUNT(o_totalprice) AS mean,
-        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
-        |FROM orders GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin,
+    "incremental_rollup" -> rollupOracleSql,
+    "incremental_rollup_bucketed" -> rollupOracleSql,
     "forward_fill_events" ->
       """SELECT event_id, user_id, sparse,
         |  last_value(sparse IGNORE NULLS)

@@ -99,25 +99,33 @@ object PartitionedStore {
     }
     // Stranded-stage audit (same class as the rollup's guard): a crash
     // between a partition's delete and rename leaves the staged copy
-    // as the ONLY copy of that partition. Re-merging as if the
+    // as the ONLY copy of that partition — re-merging as if the
     // partition never existed would silently replace its history with
-    // this batch — and the next swap would strand the old stage
-    // forever. Refuse loud; [[graft.operators.Maintenance
-    // .recoverableStages]] reports the rename-in. (Single writer per
-    // path — the streaming checkpoint's contract — so any stage found
-    // at ENTRY is from a crashed run, not a concurrent one.)
+    // this batch. Discriminator: stages mark partitions that did NOT
+    // exist in the target when the stage was built (`_FRESH_<d>`) —
+    // a stranded FRESH partition is a crashed first write whose replay
+    // recomputes it (self-healing, cleanOrphanStages reaps the stage
+    // once the target partition lands); an UNMARKED stranded partition
+    // held merged history and must be renamed in by the operator (see
+    // Maintenance.recoverableStages). Exact `__stage_[0-9a-f]{8}`
+    // shape, like Maintenance: a user's `t__stage_backup` dir must not
+    // trip the audit. Single writer per path (the streaming
+    // checkpoint's contract), so any stage found at ENTRY is from a
+    // crashed run, not a concurrent one.
     {
       val parent = target.getParent
-      val prefix = target.getName + "__stage_"
+      val shape = (java.util.regex.Pattern.quote(target.getName) +
+        "__stage_[0-9a-f]{8}").r
       val stranded =
         if (parent == null || !fs.exists(parent)) Nil
         else fs.listStatus(parent).toSeq
           .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(prefix))
+            shape.matches(st.getPath.getName))
           .map(_.getPath)
       val lost = dates.filter { d =>
         !fs.exists(new Path(target, s"p_date=$d")) &&
-          stranded.exists(sp => fs.exists(new Path(sp, s"p_date=$d")))
+          stranded.exists(sp => fs.exists(new Path(sp, s"p_date=$d")) &&
+            !fs.exists(new Path(sp, s"_FRESH_$d")))
       }
       if (lost.nonEmpty)
         throw new graft.model.UserException(
@@ -139,36 +147,18 @@ object PartitionedStore {
     merged.write.mode("overwrite")
       .option("maxRecordsPerFile", targetFileRows)
       .partitionBy("p_date").parquet(stage.toString)
+    // mark the first-write partitions (audit discriminator above) —
+    // written BEFORE any target deletion, so a crash at any later
+    // point leaves the markers in place
+    dates.filterNot(d => fs.exists(new Path(target, s"p_date=$d")))
+      .foreach(d => fs.create(new Path(stage, s"_FRESH_$d"), true).close())
     // swap ONLY the touched partition directories; idempotent per
-    // partition across ambiguous failures (graft.app.SwapGuard rules:
+    // partition across ambiguous failures (shared SwapGuard rules:
     // a prior attempt's landed rename reads as success)
     graft.app.SwapGuard(s"partition swap failed for '$path' after " +
         s"retries (staged partitions preserved at $stage)") {
-      if (!fs.exists(stage)) {
-        val missing = dates.filterNot(d =>
-          fs.exists(new Path(target, s"p_date=$d")))
-        if (missing.nonEmpty)
-          throw new java.io.IOException(
-            s"stage gone but partitions [${missing.mkString(",")}] " +
-              s"missing under '$path'")
-        // else: a prior attempt completed — done
-      } else {
-        if (!fs.exists(target)) fs.mkdirs(target)
-        dates.foreach { d =>
-          val src = new Path(stage, s"p_date=$d")
-          val dst = new Path(target, s"p_date=$d")
-          if (fs.exists(src)) {
-            if (fs.exists(dst)) fs.delete(dst, true)
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(
-                s"partition swap failed for '$dst'")
-          } else if (!fs.exists(dst))
-            throw new java.io.IOException(
-              s"staged partition '$src' missing and '$dst' absent")
-          // src gone + dst present: prior attempt landed — done
-        }
-        fs.delete(stage, true) // shell (_SUCCESS) only; partitions moved
-      }
+      graft.app.SwapGuard.swapChildren(fs, stage, target,
+        dates.map(d => s"p_date=$d"))
     }
     dates
   }

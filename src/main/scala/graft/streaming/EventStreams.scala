@@ -178,8 +178,8 @@ object EventStreams {
       }
       .start()
 
-  /** One bucketed fold; returns the bucket ids actually swapped (empty
-    * = the batch was fully applied already). */
+  /** One bucketed fold; returns the bucket ids actually swapped or
+    * recovered (empty = the batch was fully applied already). */
   private[graft] def applyRollupBatchBucketed(batch: DataFrame,
                                               statePath: String,
                                               batchId: Long,
@@ -188,83 +188,109 @@ object EventStreams {
                                               nBuckets: Int): Seq[Int] = {
     import graft.operators.IncrementalAgg
     import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(root, "state")
+    // The bucket function is part of the PERSISTED layout: a changed
+    // nBuckets (or key set/order) re-hashes keys into different
+    // buckets, and a partial rewrite under the new function would
+    // strand — then silently delete — rows of the old layout. Pin the
+    // config at first fold; any later mismatch fails loud (re-shard by
+    // folding the old state into a fresh path instead).
+    val configFile = new Path(root, "_CONFIG")
+    val config = s"$nBuckets|${keys.mkString(",")}|$valueCol"
+    if (fs.exists(configFile)) {
+      val in = fs.open(configFile)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (stored != config)
+        throw new graft.model.UserException(
+          s"rollup state at $statePath was built with layout " +
+            s"[$stored] but this fold uses [$config] — a partial " +
+            "rewrite under a different bucket function would corrupt " +
+            "the state. Fold the old state into a new path to re-shard")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(configFile, true)
+      try out.write(config.getBytes("UTF-8")) finally out.close()
+    }
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
       .cast("int").as("bucket")
+    // the partial state feeds the touched-bucket collect AND the stage
+    // write — persist so the batch aggregation runs once, not twice
     val partial = IncrementalAgg.partialState(batch, keys, valueCol)
-      .withColumn("bucket", bucketOf)
-    // the batch's distinct buckets: ≤ nBuckets values, safe to collect
-    val touched = partial.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    if (touched.isEmpty) return Nil
-    val pending = touched.filterNot(b =>
-      fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
-    if (pending.isEmpty) return Nil
-    // stranded-stage audit per bucket, same rules as the whole-state
-    // variant: a bucket missing from the state but present in a
-    // stranded stage is a crashed swap's only copy — refuse
-    val stranded =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
-    val lost = pending.filter { b =>
-      !fs.exists(new Path(cur, s"bucket=$b")) &&
-        stranded.exists(sp => fs.exists(new Path(sp, s"bucket=$b")))
-    }
-    if (lost.nonEmpty)
-      throw new graft.model.UserException(
-        s"state buckets [${lost.mkString(",")}] of $statePath exist " +
-          s"only in stranded stage dirs (${stranded.mkString(", ")}) — " +
-          "a crashed swap. Rename the staged buckets in to recover; " +
-          "folding over them would silently drop their rollup history")
-    val pendingCols = pending.map(b => lit(b): Column)
-    val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
-    val havePrior = pending.exists(b => fs.exists(new Path(cur, s"bucket=$b")))
-    val next =
-      (if (havePrior) {
-        // partition-pruned: only the pending buckets' files scan
-        val slice = spark.read.parquet(cur.toString)
-          .filter(col("bucket").isin(pendingCols: _*))
-        IncrementalAgg.mergeStates(slice.drop("bucket"),
-          partialPending.drop("bucket"), keys)
-      } else partialPending.drop("bucket"))
-        .withColumn("bucket", bucketOf)
-    val stage = new Path(root,
-      s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    next.write.mode("overwrite").partitionBy("bucket")
-      .parquet(stage.toString) // materializes before any delete
-    pending.foreach(b =>
-      fs.create(new Path(stage, s"bucket=$b/_APPLIED_$batchId"), true).close())
-    graft.app.SwapGuard(s"bucketed rollup swap failed after retries " +
-        s"(staged buckets preserved at $stage)") {
-      if (!fs.exists(stage)) {
-        val missing = pending.filterNot(b =>
-          fs.exists(new Path(cur, s"bucket=$b")))
-        if (missing.nonEmpty)
-          throw new java.io.IOException(
-            s"stage gone but buckets [${missing.mkString(",")}] missing")
-        // else: a prior attempt landed — done
-      } else {
-        if (!fs.exists(cur)) fs.mkdirs(cur)
-        pending.foreach { b =>
-          val src = new Path(stage, s"bucket=$b")
-          val dst = new Path(cur, s"bucket=$b")
-          if (fs.exists(src)) {
-            if (fs.exists(dst)) fs.delete(dst, true)
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(s"bucket swap failed for $dst")
-          } else if (!fs.exists(dst))
-            throw new java.io.IOException(
-              s"staged bucket $src missing and $dst absent")
-          // src gone + dst present: prior attempt landed — done
+      .withColumn("bucket", bucketOf).persist()
+    try {
+      // the batch's distinct buckets: ≤ nBuckets values, safe to collect
+      val touched = partial.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.isEmpty) return Nil
+      var pending = touched.filterNot(b =>
+        fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
+      if (pending.isEmpty) return Nil
+      // Stranded-stage triage for buckets missing from the state:
+      //  - the stranded bucket carries THIS batch's marker → it is the
+      //    replayed batch's own completed fold whose swap crashed;
+      //    renaming it in finishes the batch (automatic recovery);
+      //  - any other stranded copy is older history → refuse loud
+      //    (folding over it would silently drop the bucket's rollup).
+      val stranded =
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+      val recovered = Seq.newBuilder[Int]
+      pending = pending.filter { b =>
+        if (fs.exists(new Path(cur, s"bucket=$b"))) true
+        else stranded.find(sp => fs.exists(new Path(sp, s"bucket=$b"))) match {
+          case None => true // genuine first write of this bucket
+          case Some(sp)
+              if fs.exists(new Path(sp, s"bucket=$b/_APPLIED_$batchId")) =>
+            if (!fs.exists(cur)) fs.mkdirs(cur)
+            if (!fs.rename(new Path(sp, s"bucket=$b"),
+                new Path(cur, s"bucket=$b")))
+              throw new java.io.IOException(
+                s"recovery rename failed for bucket $b from $sp")
+            recovered += b
+            false // bucket is now applied; nothing left to fold
+          case Some(sp) =>
+            throw new graft.model.UserException(
+              s"state bucket $b of $statePath exists only in stranded " +
+                s"stage $sp without this batch's marker — older rollup " +
+                "history from a crashed swap. Rename it in to recover; " +
+                "folding over it would silently drop the bucket")
         }
-        fs.delete(stage, true) // shell only; buckets moved
       }
-    }
-    pending
+      if (pending.isEmpty) return recovered.result()
+      val pendingCols = pending.map(b => lit(b): Column)
+      val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
+      val havePrior = pending.exists(b =>
+        fs.exists(new Path(cur, s"bucket=$b")))
+      val next =
+        (if (havePrior) {
+          // partition-pruned: only the pending buckets' files scan
+          val slice = spark.read.parquet(cur.toString)
+            .filter(col("bucket").isin(pendingCols: _*))
+          IncrementalAgg.mergeStates(slice.drop("bucket"),
+            partialPending.drop("bucket"), keys)
+        } else partialPending.drop("bucket"))
+          .withColumn("bucket", bucketOf)
+      val stage = new Path(root,
+        s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+      next.write.mode("overwrite").partitionBy("bucket")
+        .parquet(stage.toString) // materializes before any delete
+      pending.foreach(b =>
+        fs.create(new Path(stage, s"bucket=$b/_APPLIED_$batchId"), true)
+          .close())
+      graft.app.SwapGuard(s"bucketed rollup swap failed after retries " +
+          s"(staged buckets preserved at $stage)") {
+        graft.app.SwapGuard.swapChildren(fs, stage, cur,
+          pending.map(b => s"bucket=$b"))
+      }
+      recovered.result() ++ pending
+    } finally partial.unpersist()
   }
 
   /** One batch's fold, exposed for the replay-idempotence spec.
@@ -280,22 +306,32 @@ object EventStreams {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(root, "state")
     if (fs.exists(new Path(cur, s"_APPLIED_$batchId"))) return false
-    // Stranded-stage audit BEFORE treating a missing state dir as
+    // Stranded-stage triage BEFORE treating a missing state dir as
     // first-batch bootstrap: a crash between the swap's delete and
     // rename leaves the stage as the ONLY copy of the accumulated
     // rollup — bootstrapping over it would silently reset the state
-    // to one batch. Fail loud; recovery is renaming the stage in
-    // (it is exactly what [[graft.operators.Maintenance
+    // to one batch. A stage carrying THIS batch's marker is the
+    // replayed batch's own completed fold: renaming it in finishes
+    // the batch automatically. Anything else is older history — fail
+    // loud (recovery is the rename-in [[graft.operators.Maintenance
     // .recoverableStages]] reports, by the shared naming).
     if (!fs.exists(cur)) {
       val stranded =
         if (!fs.exists(root)) Nil
-        else fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.matches("state__stage_[0-9a-f]{8}"))
+        else fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+      stranded.find(sp => fs.exists(new Path(sp, s"_APPLIED_$batchId")))
+        .foreach { own =>
+          if (!fs.rename(own, cur))
+            throw new java.io.IOException(
+              s"recovery rename failed: $own -> $cur")
+          return true // the replayed batch's fold is now the live state
+        }
       if (stranded.nonEmpty)
         throw new graft.model.UserException(
           s"rollup state at $statePath is missing but staged copies " +
-            s"exist (${stranded.mkString(", ")}) — a crashed swap. " +
+            s"exist (${stranded.map(_.getName).mkString(", ")}) without " +
+            "this batch's marker — a crashed swap of an earlier batch. " +
             "Rename the newest stage to 'state' to recover; starting " +
             "the fold over would silently drop the accumulated rollup")
     }

@@ -212,9 +212,23 @@ class StreamingSpec extends SparkSpec {
     // recovery = rename the staged partition back in; the merge resumes
     fs.rename(new org.apache.hadoop.fs.Path(stage, part),
       new org.apache.hadoop.fs.Path(target, part))
+    fs.delete(stage, true)
     graft.sources.PartitionedStore.mergeByDay(update, target, "ts",
       pk = Seq("event_id")) should not be empty
     spark.read.parquet(target).count() shouldBe 2
+
+    // a stranded FIRST-WRITE stage (carries the _FRESH marker) is the
+    // crashed write of a partition that never existed: replay must
+    // self-heal by recomputing, not wedge on the audit
+    val stage2 = new org.apache.hadoop.fs.Path(s"${target}__stage_00000002")
+    fs.mkdirs(stage2)
+    fs.rename(new org.apache.hadoop.fs.Path(target, part),
+      new org.apache.hadoop.fs.Path(stage2, part))
+    fs.create(new org.apache.hadoop.fs.Path(stage2,
+      "_FRESH_" + part.stripPrefix("p_date=")), true).close()
+    graft.sources.PartitionedStore.mergeByDay(update, target, "ts",
+      pk = Seq("event_id")) should not be empty
+    spark.read.parquet(target).count() shouldBe 1 // replay recomputed
   }
 
   test("stream-stream join matches events within the time bound, drops the rest") {
@@ -382,11 +396,21 @@ class StreamingSpec extends SparkSpec {
       .collect().head
     a.getLong(1) shouldBe 4L
 
-    // crash-mid-swap recovery posture: state gone, a stranded stage
-    // holds the only copy — the fold must fail loud, NOT bootstrap
-    // from one batch (which would silently reset the rollup)
+    // crash-mid-swap, REPLAYED batch: the stranded stage carries the
+    // replaying batch's own _APPLIED marker → automatic rename-in
     val root = new org.apache.hadoop.fs.Path(s"$base/rollup")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(root, "state"),
+      new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd"))
+    EventStreams.applyRollupBatch(replay, s"$base/rollup", 2L,
+      Seq("k"), "v") shouldBe true // recovered via marker, not re-folded
+    val aAfter = graft.operators.IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$base/rollup/state"), Seq("k"))
+      .filter(org.apache.spark.sql.functions.col("k") === "a")
+      .collect().head
+    aAfter.getLong(1) shouldBe 4L // unchanged — no double fold
+    // crash-mid-swap, OLDER batch's stage: no marker for the current
+    // batch id → fail loud, NOT bootstrap from one batch
     fs.rename(new org.apache.hadoop.fs.Path(root, "state"),
       new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd"))
     val e = intercept[graft.model.UserException] {
@@ -394,7 +418,7 @@ class StreamingSpec extends SparkSpec {
         Seq("k"), "v")
     }
     e.getMessage should include("state__stage_0123abcd")
-    // recovery = rename the stage back in; the fold resumes
+    // manual recovery = rename the stage back in; the fold resumes
     fs.rename(new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd"),
       new org.apache.hadoop.fs.Path(root, "state"))
     EventStreams.applyRollupBatch(replay, s"$base/rollup", 3L,
@@ -443,12 +467,21 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$statePath/state").drop("bucket"), Seq("k"))
       .orderBy("k")
     rows(got) shouldBe rows(oneShot)
-    // stranded-bucket guard: a bucket that exists only in a stage dir
-    // refuses the fold
+    // crash-mid-swap, REPLAYED batch: the stranded bucket carries the
+    // replaying batch's own marker → automatic rename-in recovery
     val root = new org.apache.hadoop.fs.Path(statePath)
     val victim = swapped.head
     val stage = new org.apache.hadoop.fs.Path(root, "state__stage_0123abcd")
     fs.mkdirs(stage)
+    fs.rename(new org.apache.hadoop.fs.Path(root, s"state/bucket=$victim"),
+      new org.apache.hadoop.fs.Path(stage, s"bucket=$victim"))
+    EventStreams.applyRollupBatchBucketed(b1, statePath, 1L,
+      Seq("k"), "v", nB) shouldBe Seq(victim) // recovered, not re-folded
+    rows(IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$statePath/state").drop("bucket"), Seq("k"))
+      .orderBy("k")) shouldBe rows(oneShot) // values unchanged
+    // crash-mid-swap, OLDER batch's stage: no marker for the current
+    // batch → refuse loud (folding over it would drop history)
     fs.rename(new org.apache.hadoop.fs.Path(root, s"state/bucket=$victim"),
       new org.apache.hadoop.fs.Path(stage, s"bucket=$victim"))
     val e = intercept[graft.model.UserException] {
@@ -460,6 +493,12 @@ class StreamingSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root, s"state/bucket=$victim"))
     EventStreams.applyRollupBatchBucketed(b1, statePath, 2L,
       Seq("k"), "v", nB) should have size 1
+    // a changed bucket function must fail loud, not corrupt the layout
+    val cfg = intercept[graft.model.UserException] {
+      EventStreams.applyRollupBatchBucketed(b1, statePath, 3L,
+        Seq("k"), "v", nB * 2)
+    }
+    cfg.getMessage should include("layout")
   }
 
   test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
