@@ -683,6 +683,29 @@ object AnalyticsQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Time-based rolling aggregate — the RANGE-frame window shape
+    // (every other window here is row-framed): per-customer 7-day
+    // rolling revenue where the frame is defined by the ORDER-BY
+    // VALUE (epoch day), not row offsets, so sparse/bursty order
+    // histories aggregate correctly. One custkey shuffle; frame state
+    // is bounded by the 7-day span, not the partition.
+    "rolling_revenue_7d" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_day"))
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("epoch_day"),
+          col("o_totalprice"))
+        .withColumn("rolling_7d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          col("rolling_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // TPC-H Q12-style: late-shipped line items split into high/low
     // priority classes (the testdata has no shipmode/commit/receipt
     // columns, so l_linestatus stands in for the mode and "late" means
@@ -1188,6 +1211,17 @@ object AnalyticsQueries {
         |                   FROM customer WHERE c_acctbal > 0)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "rolling_revenue_7d" ->
+      """SELECT o_custkey, o_orderkey, epoch_day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY epoch_day
+        |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rolling_7d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |             AS BIGINT) AS epoch_day
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q12_late_lines" ->
       """SELECT l_linestatus,
         |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
