@@ -58,7 +58,8 @@ object PartitionedStore {
     */
   def mergeByDay(batch: DataFrame, path: String, tsCol: String,
                  pk: Seq[String], orderCols: Seq[String] = Nil,
-                 targetFileRows: Long = 5000000L): Seq[String] = {
+                 targetFileRows: Long = 5000000L,
+                 batchId: Option[Long] = None): Seq[String] = {
     import graft.operators.Load
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
@@ -82,21 +83,6 @@ object PartitionedStore {
           "land in the default partition and never swap in")
     val dates = dateRows.flatten.sorted
     if (dates.isEmpty) return Nil
-    // a target dir with no DATA entries reads as absent: a crash
-    // between mkdirs and the first partition rename — or a bootstrap
-    // write of zero rows (_SUCCESS only) — would otherwise wedge every
-    // later merge on "unable to infer parquet schema". Short-circuits
-    // on the first data entry; marker files (_SUCCESS, .crc,
-    // _temporary) don't count.
-    val exists = fs.exists(target) && {
-      val it = fs.listStatusIterator(target)
-      var found = false
-      while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
-    }
     // Stranded-stage audit (same class as the rollup's guard): a crash
     // between a partition's delete and rename leaves the staged copy
     // as the ONLY copy of that partition — re-merging as if the
@@ -112,7 +98,7 @@ object PartitionedStore {
     // trip the audit. Single writer per path (the streaming
     // checkpoint's contract), so any stage found at ENTRY is from a
     // crashed run, not a concurrent one.
-    {
+    locally {
       val parent = target.getParent
       val shape = (java.util.regex.Pattern.quote(target.getName) +
         "__stage_[0-9a-f]{8}").r
@@ -126,6 +112,23 @@ object PartitionedStore {
         !fs.exists(new Path(target, s"p_date=$d")) &&
           stranded.exists(sp => fs.exists(new Path(sp, s"p_date=$d")) &&
             !fs.exists(new Path(sp, s"_FRESH_$d")))
+      }.filterNot { d =>
+        // a stage carrying THIS batch's completion marker is the
+        // replaying batch's own finished merge whose swap crashed:
+        // rename the partition in (the subsequent upsert is
+        // idempotent, so re-merging over the recovered copy is safe)
+        batchId.exists { id =>
+          stranded.find(sp =>
+            fs.exists(new Path(sp, s"_APPLIED_$id")) &&
+              fs.exists(new Path(sp, s"p_date=$d"))).exists { sp =>
+            if (!fs.exists(target)) fs.mkdirs(target)
+            if (!fs.rename(new Path(sp, s"p_date=$d"),
+                new Path(target, s"p_date=$d")))
+              throw new java.io.IOException(
+                s"recovery rename failed for p_date=$d from $sp")
+            true
+          }
+        }
       }
       if (lost.nonEmpty)
         throw new graft.model.UserException(
@@ -134,6 +137,21 @@ object PartitionedStore {
             "crashed swap. Rename the staged partitions in (see " +
             "Maintenance.recoverableStages) before merging; merging " +
             "now would silently replace their history with this batch")
+    }
+    // a target dir with no DATA entries reads as absent: a crash
+    // between mkdirs and the first partition rename — or a bootstrap
+    // write of zero rows (_SUCCESS only) — would otherwise wedge every
+    // later merge on "unable to infer parquet schema". Short-circuits
+    // on the first data entry; marker files (_SUCCESS, .crc,
+    // _temporary) don't count.
+    val exists = fs.exists(target) && {
+      val it = fs.listStatusIterator(target)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
     }
     val merged =
       if (exists) {
@@ -144,14 +162,22 @@ object PartitionedStore {
       } else withDate
     val stage = new Path(
       s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.write.mode("overwrite")
-      .option("maxRecordsPerFile", targetFileRows)
-      .partitionBy("p_date").parquet(stage.toString)
-    // mark the first-write partitions (audit discriminator above) —
-    // written BEFORE any target deletion, so a crash at any later
-    // point leaves the markers in place
+    // _FRESH markers go in BEFORE the (long) data write: they state a
+    // fact about the TARGET ("this partition never existed"), so a
+    // crash mid-write leaves a marked stage the replay recomputes
+    // instead of an unmarked one that wedges the audit. The data write
+    // appends into the pre-marked dir (unique name — append ≡ fresh).
+    fs.mkdirs(stage)
     dates.filterNot(d => fs.exists(new Path(target, s"p_date=$d")))
       .foreach(d => fs.create(new Path(stage, s"_FRESH_$d"), true).close())
+    merged.write.mode("append")
+      .option("maxRecordsPerFile", targetFileRows)
+      .partitionBy("p_date").parquet(stage.toString)
+    // the completion marker goes in AFTER the data write (it licenses
+    // the replay's rename-in recovery, so it must assert a COMPLETE
+    // stage)
+    batchId.foreach(id =>
+      fs.create(new Path(stage, s"_APPLIED_$id"), true).close())
     // swap ONLY the touched partition directories; idempotent per
     // partition across ambiguous failures (shared SwapGuard rules:
     // a prior attempt's landed rename reads as success)

@@ -117,9 +117,12 @@ object EventStreams {
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId flows through so a replayed batch can recover its
+        // own crashed partition swap automatically (_APPLIED marker)
         graft.sources.PartitionedStore.mergeByDay(
-          batch.toDF(), targetPath, tsCol, pk, orderCols)
+          batch.toDF(), targetPath, tsCol, pk, orderCols,
+          batchId = Some(batchId))
         ()
       }
       .start()
@@ -200,7 +203,13 @@ object EventStreams {
     // config at first fold; any later mismatch fails loud (re-shard by
     // folding the old state into a fresh path instead).
     val configFile = new Path(root, "_CONFIG")
-    val config = s"$nBuckets|${keys.mkString(",")}|$valueCol"
+    // URL-encode each component: column names may legally contain the
+    // delimiters (backticked `a|b`), and an ambiguous encoding would
+    // let two different bucket functions serialize identically —
+    // passing the very pin that exists to stop them
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val config =
+      s"$nBuckets|${keys.map(enc).mkString(",")}|${enc(valueCol)}"
     if (fs.exists(configFile)) {
       val in = fs.open(configFile)
       val stored =
@@ -244,23 +253,32 @@ object EventStreams {
       val recovered = Seq.newBuilder[Int]
       pending = pending.filter { b =>
         if (fs.exists(new Path(cur, s"bucket=$b"))) true
-        else stranded.find(sp => fs.exists(new Path(sp, s"bucket=$b"))) match {
-          case None => true // genuine first write of this bucket
-          case Some(sp)
-              if fs.exists(new Path(sp, s"bucket=$b/_APPLIED_$batchId")) =>
-            if (!fs.exists(cur)) fs.mkdirs(cur)
-            if (!fs.rename(new Path(sp, s"bucket=$b"),
-                new Path(cur, s"bucket=$b")))
-              throw new java.io.IOException(
-                s"recovery rename failed for bucket $b from $sp")
-            recovered += b
-            false // bucket is now applied; nothing left to fold
-          case Some(sp) =>
-            throw new graft.model.UserException(
-              s"state bucket $b of $statePath exists only in stranded " +
-                s"stage $sp without this batch's marker — older rollup " +
-                "history from a crashed swap. Rename it in to recover; " +
-                "folding over it would silently drop the bucket")
+        else {
+          // search by MARKER first: with several stranded stages (a
+          // markerless partial write from one crash, the completed
+          // fold from another), bucket presence alone could select
+          // the unrecoverable one and shadow the recoverable copy
+          val own = stranded.find(sp =>
+            fs.exists(new Path(sp, s"bucket=$b/_APPLIED_$batchId")))
+          val any = own.orElse(
+            stranded.find(sp => fs.exists(new Path(sp, s"bucket=$b"))))
+          (own, any) match {
+            case (Some(sp), _) =>
+              if (!fs.exists(cur)) fs.mkdirs(cur)
+              if (!fs.rename(new Path(sp, s"bucket=$b"),
+                  new Path(cur, s"bucket=$b")))
+                throw new java.io.IOException(
+                  s"recovery rename failed for bucket $b from $sp")
+              recovered += b
+              false // bucket is now applied; nothing left to fold
+            case (None, Some(sp)) =>
+              throw new graft.model.UserException(
+                s"state bucket $b of $statePath exists only in stranded " +
+                  s"stage $sp without this batch's marker — older rollup " +
+                  "history from a crashed swap. Rename it in to recover; " +
+                  "folding over it would silently drop the bucket")
+            case (None, None) => true // genuine first write of this bucket
+          }
         }
       }
       if (pending.isEmpty) return recovered.result()

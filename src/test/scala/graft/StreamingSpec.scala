@@ -229,6 +229,22 @@ class StreamingSpec extends SparkSpec {
     graft.sources.PartitionedStore.mergeByDay(update, target, "ts",
       pk = Seq("event_id")) should not be empty
     spark.read.parquet(target).count() shouldBe 1 // replay recomputed
+    fs.delete(stage2, true)
+
+    // a stranded stage carrying the replaying batch's _APPLIED marker
+    // is that batch's completed merge: the partition renames in
+    // automatically and the idempotent re-merge proceeds over it
+    val stage3 = new org.apache.hadoop.fs.Path(s"${target}__stage_00000003")
+    fs.mkdirs(stage3)
+    fs.rename(new org.apache.hadoop.fs.Path(target, part),
+      new org.apache.hadoop.fs.Path(stage3, part))
+    fs.create(new org.apache.hadoop.fs.Path(stage3, "_APPLIED_77"), true)
+      .close()
+    val late = Seq(Event(9, ts(90), 1, "click", 9.0)).toDF()
+    graft.sources.PartitionedStore.mergeByDay(late, target, "ts",
+      pk = Seq("event_id"), batchId = Some(77L)) should not be empty
+    // recovered row (event 2) + the batch row (event 9)
+    spark.read.parquet(target).count() shouldBe 2
   }
 
   test("stream-stream join matches events within the time bound, drops the rest") {
