@@ -62,6 +62,29 @@ private[graft] object SwapGuard {
       fs.delete(stage, true) // shell (_SUCCESS etc.) only; children moved
     }
   }
+
+  /** Marker-licensed crash recovery, ONE definition like
+    * [[swapChildren]]: find the stranded stage whose `markerIn` file
+    * proves it holds the replaying batch's COMPLETED output for
+    * `child` (marker-first — a markerless stage holding the child
+    * must never shadow the recoverable copy), and rename that child
+    * into `target`. Returns true when a recovery happened. */
+  def recoverChild(fs: org.apache.hadoop.fs.FileSystem,
+                   stranded: Seq[org.apache.hadoop.fs.Path],
+                   child: String,
+                   markerIn: org.apache.hadoop.fs.Path =>
+                     org.apache.hadoop.fs.Path,
+                   target: org.apache.hadoop.fs.Path): Boolean = {
+    import org.apache.hadoop.fs.Path
+    stranded.find(sp => fs.exists(markerIn(sp)) &&
+        fs.exists(new Path(sp, child))).exists { sp =>
+      if (!fs.exists(target)) fs.mkdirs(target)
+      if (!fs.rename(new Path(sp, child), new Path(target, child)))
+        throw new java.io.IOException(
+          s"recovery rename failed for '$child' from $sp")
+      true
+    }
+  }
 }
 
 trait TableSink {

@@ -117,18 +117,9 @@ object PartitionedStore {
         // replaying batch's own finished merge whose swap crashed:
         // rename the partition in (the subsequent upsert is
         // idempotent, so re-merging over the recovered copy is safe)
-        batchId.exists { id =>
-          stranded.find(sp =>
-            fs.exists(new Path(sp, s"_APPLIED_$id")) &&
-              fs.exists(new Path(sp, s"p_date=$d"))).exists { sp =>
-            if (!fs.exists(target)) fs.mkdirs(target)
-            if (!fs.rename(new Path(sp, s"p_date=$d"),
-                new Path(target, s"p_date=$d")))
-              throw new java.io.IOException(
-                s"recovery rename failed for p_date=$d from $sp")
-            true
-          }
-        }
+        batchId.exists(id =>
+          graft.app.SwapGuard.recoverChild(fs, stranded, s"p_date=$d",
+            sp => new Path(sp, s"_APPLIED_$id"), target))
       }
       if (lost.nonEmpty)
         throw new graft.model.UserException(

@@ -210,12 +210,21 @@ object EventStreams {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val config =
       s"$nBuckets|${keys.map(enc).mkString(",")}|${enc(valueCol)}"
+    // legacy form (pre-encoding states): raw components. Accepting it
+    // when it denotes the SAME layout keeps existing states foldable
+    // after the encoding change — the stream must not demand a
+    // re-shard of a healthy state over a serialization upgrade.
+    val legacy = s"$nBuckets|${keys.mkString(",")}|$valueCol"
     if (fs.exists(configFile)) {
       val in = fs.open(configFile)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (stored != config)
+      if (stored == legacy && stored != config) {
+        // migrate the pin to the unambiguous encoding in place
+        val out = fs.create(configFile, true)
+        try out.write(config.getBytes("UTF-8")) finally out.close()
+      } else if (stored != config)
         throw new graft.model.UserException(
           s"rollup state at $statePath was built with layout " +
             s"[$stored] but this fold uses [$config] — a partial " +
@@ -253,32 +262,23 @@ object EventStreams {
       val recovered = Seq.newBuilder[Int]
       pending = pending.filter { b =>
         if (fs.exists(new Path(cur, s"bucket=$b"))) true
-        else {
-          // search by MARKER first: with several stranded stages (a
-          // markerless partial write from one crash, the completed
-          // fold from another), bucket presence alone could select
-          // the unrecoverable one and shadow the recoverable copy
-          val own = stranded.find(sp =>
-            fs.exists(new Path(sp, s"bucket=$b/_APPLIED_$batchId")))
-          val any = own.orElse(
-            stranded.find(sp => fs.exists(new Path(sp, s"bucket=$b"))))
-          (own, any) match {
-            case (Some(sp), _) =>
-              if (!fs.exists(cur)) fs.mkdirs(cur)
-              if (!fs.rename(new Path(sp, s"bucket=$b"),
-                  new Path(cur, s"bucket=$b")))
-                throw new java.io.IOException(
-                  s"recovery rename failed for bucket $b from $sp")
-              recovered += b
-              false // bucket is now applied; nothing left to fold
-            case (None, Some(sp)) =>
-              throw new graft.model.UserException(
-                s"state bucket $b of $statePath exists only in stranded " +
-                  s"stage $sp without this batch's marker — older rollup " +
-                  "history from a crashed swap. Rename it in to recover; " +
-                  "folding over it would silently drop the bucket")
-            case (None, None) => true // genuine first write of this bucket
-          }
+        // marker-first recovery via the shared helper: a markerless
+        // stage holding the bucket (a crash's partial write) must
+        // never shadow the completed copy
+        else if (graft.app.SwapGuard.recoverChild(fs, stranded,
+            s"bucket=$b",
+            sp => new Path(sp, s"bucket=$b/_APPLIED_$batchId"), cur)) {
+          recovered += b
+          false // bucket is now applied; nothing left to fold
+        } else stranded.find(sp =>
+            fs.exists(new Path(sp, s"bucket=$b"))) match {
+          case Some(sp) =>
+            throw new graft.model.UserException(
+              s"state bucket $b of $statePath exists only in stranded " +
+                s"stage $sp without this batch's marker — older rollup " +
+                "history from a crashed swap. Rename it in to recover; " +
+                "folding over it would silently drop the bucket")
+          case None => true // genuine first write of this bucket
         }
       }
       if (pending.isEmpty) return recovered.result()
