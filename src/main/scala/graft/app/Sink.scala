@@ -356,37 +356,43 @@ final class JdbcSink(spark: SparkSession, url: String,
     * probing it under the connection's current schema would match no
     * row and silently degrade the caller (single-stream read, DDL
     * drop+rename) for exactly the warehouse-style names the reference
-    * targets. Unqualified names scope to the current schema (a
-    * same-named table in another schema must not decide this table's
-    * fate). */
+    * targets. A three-part `catalog.schema.table` additionally routes
+    * its first part to the metadata call's CATALOG argument (splitting
+    * only on the last dot would probe schemaPattern "catalog.schema" —
+    * matching nothing, the same silent degrade). Unqualified names
+    * scope to the current schema (a same-named table in another schema
+    * must not decide this table's fate). */
   private def metaScope(conn: java.sql.Connection, table: String)
-      : (Option[String], String, Boolean) =
-    table.lastIndexOf('.') match {
-      case -1 =>
+      : (Option[String], Option[String], String, Boolean) =
+    table.split('.') match {
+      case Array(c, s, t) => (Some(c), Some(s), t, true)
+      case Array(s, t)    => (None, Some(s), t, true)
+      case _ =>
         val cur =
           // Throwable, not Exception: pre-JDBC-4.1 drivers throw
           // AbstractMethodError (an Error) from getSchema
           try Option(conn.getSchema).filter(_.nonEmpty)
           catch { case _: Throwable => None }
-        (cur, table, false)
-      case i => (Some(table.substring(0, i)), table.substring(i + 1), true)
+        (None, cur, table, false)
     }
 
   /** Identifier-case variants of a probe scope — catalogs fold
     * unquoted names (Derby/Oracle upper, Postgres lower). A
-    * USER-QUALIFIED schema folds WITH the table (both came from the
-    * same unquoted config string); the connection's CURRENT schema is
-    * already the catalog's exact spelling and must NOT be folded — a
+    * USER-QUALIFIED catalog/schema folds WITH the table (all came from
+    * the same unquoted config string); the connection's CURRENT schema
+    * is already the catalog's exact spelling and must NOT be folded — a
     * mixed-case current schema (quoted at creation) would never match
     * its own folded variants. */
-  private def scopeVariants(scope: (Option[String], String, Boolean))
-      : Seq[(Option[String], String)] = {
-    val (s, t, qualified) = scope
+  private def scopeVariants(scope: (Option[String], Option[String],
+                                    String, Boolean))
+      : Seq[(Option[String], Option[String], String)] = {
+    val (c, s, t, qualified) = scope
     if (qualified)
-      Seq((s, t), (s.map(_.toUpperCase), t.toUpperCase),
-        (s.map(_.toLowerCase), t.toLowerCase)).distinct
+      Seq((c, s, t),
+        (c.map(_.toUpperCase), s.map(_.toUpperCase), t.toUpperCase),
+        (c.map(_.toLowerCase), s.map(_.toLowerCase), t.toLowerCase)).distinct
     else
-      Seq((s, t), (s, t.toUpperCase), (s, t.toLowerCase)).distinct
+      Seq((c, s, t), (c, s, t.toUpperCase), (c, s, t.toLowerCase)).distinct
   }
 
   /** `getColumns`-pattern escaping: `_`/`%` are single/multi-char
@@ -409,8 +415,10 @@ final class JdbcSink(spark: SparkSession, url: String,
       val md = conn.getMetaData
       val escaped = metaEscaper(md)
       scopeVariants(metaScope(conn, table)).iterator
-        .map { case (s, t) =>
-          val rs = md.getColumns(null, s.map(escaped).orNull, escaped(t), null)
+        .map { case (c, s, t) =>
+          // catalog is NOT a pattern argument in the JDBC spec — no escape
+          val rs = md.getColumns(c.orNull, s.map(escaped).orNull,
+            escaped(t), null)
           try {
             var found: Option[Int] = None
             while (rs.next())
@@ -631,8 +639,9 @@ final class JdbcSink(spark: SparkSession, url: String,
     // rules as partitionColumnType (qualified names probe their own
     // schema; a same-named table in another schema must not
     // contribute rows and corrupt the comparison)
-    def cols(s: Option[String], t: String): Seq[(String, String, Int, Int)] = {
-      val rs = md.getColumns(null, s.map(escaped).orNull, escaped(t), null)
+    def cols(c: Option[String], s: Option[String],
+             t: String): Seq[(String, String, Int, Int)] = {
+      val rs = md.getColumns(c.orNull, s.map(escaped).orNull, escaped(t), null)
       try {
         val buf = Seq.newBuilder[(String, String, Int, Int)]
         while (rs.next())
@@ -643,7 +652,7 @@ final class JdbcSink(spark: SparkSession, url: String,
       } finally rs.close()
     }
     scopeVariants(metaScope(conn, table)).iterator
-      .map { case (s, t) => cols(s, t) }.find(_.nonEmpty).getOrElse(Nil)
+      .map { case (c, s, t) => cols(c, s, t) }.find(_.nonEmpty).getOrElse(Nil)
   }
 
   /** Best-effort drop; true only when the DROP actually succeeded. */

@@ -261,8 +261,16 @@ object Similarity {
     assigned.write.mode("append").partitionBy("centroid")
       .parquet(s"$path/assignments")
     readIndexFingerprint(spark, path).foreach { old =>
-      writeIndexFingerprint(spark, path,
-        combineFingerprints(old, corpusFingerprint(batch, idCol, vecCol)))
+      combineFingerprints(old, corpusFingerprint(batch, idCol, vecCol)) match {
+        case Some(fp) => writeIndexFingerprint(spark, path, fp)
+        case None =>
+          // legacy/corrupt marker: folding zeros into a fresh
+          // fingerprint would silently describe only this batch, and
+          // the NEXT append would roll that lie forward. Delete the
+          // marker instead — the reuse check then fails closed and the
+          // caller rebuilds the index.
+          deleteIndexFingerprint(spark, path)
+      }
     }
     assigned
   }
@@ -289,18 +297,25 @@ object Similarity {
     s"${r.getLong(0)}:$m:$h"
   }
 
-  private def combineFingerprints(a: String, b: String): String = {
-    def parse(s: String): (Long, Option[Long], BigInt) = s.split(":") match {
-      case Array(n, m, h) =>
-        (n.toLong, if (m == "-") None else Some(m.toLong), BigInt(h))
-      case _ => (0L, None, BigInt(0))
+  /** None ⇔ either side is not a well-formed `<rows>:<maxId>:<hashSum>`
+    * fingerprint — a legacy or corrupt marker must surface as an
+    * explicit mismatch (caller deletes the marker, forcing the
+    * fail-closed rebuild), never be silently folded in as zeros. */
+  private[graft] def combineFingerprints(a: String, b: String): Option[String] = {
+    def parse(s: String): Option[(Long, Option[Long], BigInt)] =
+      s.split(":") match {
+        case Array(n, m, h) =>
+          try Some((n.toLong, if (m == "-") None else Some(m.toLong), BigInt(h)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    for ((na, ma, ha) <- parse(a); (nb, mb, hb) <- parse(b)) yield {
+      val m = (ma.toSeq ++ mb.toSeq) match {
+        case Nil => "-"
+        case xs  => xs.max.toString
+      }
+      s"${na + nb}:$m:${ha + hb}"
     }
-    val (na, ma, ha) = parse(a); val (nb, mb, hb) = parse(b)
-    val m = (ma.toSeq ++ mb.toSeq) match {
-      case Nil => "-"
-      case xs  => xs.max.toString
-    }
-    s"${na + nb}:$m:${ha + hb}"
   }
 
   private def fingerprintPath(path: String) =
@@ -316,6 +331,12 @@ object Similarity {
         java.nio.charset.StandardCharsets.UTF_8).trim)
       finally in.close()
     }
+  }
+
+  private def deleteIndexFingerprint(spark: SparkSession, path: String): Unit = {
+    val p = fingerprintPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
   }
 
   private def writeIndexFingerprint(spark: SparkSession, path: String,
@@ -335,28 +356,49 @@ object Similarity {
     * centroids, then scans ONLY the probed lists — the probed ids are
     * |Q|×nProbe (collected driver-side), so the `isin` filter prunes
     * assignment partitions statically before any I/O. Same scoring
-    * and ranking as [[ivfTopK]]. */
+    * and ranking as [[ivfTopK]].
+    *
+    * The driver-side collect is safe only while the probe set is small
+    * (the interactive-ANN contract). `maxCollectQueries` guards it:
+    * past the cap the probe auto-routes to the JOIN form — no driver
+    * materialization, no static pruning (a query set that large
+    * touches most lists anyway), same results. Bulk/backfill callers
+    * get the scale path without having to know about it. */
   def ivfTopKPersisted(spark: SparkSession, path: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nProbe: Int = 4): DataFrame = {
+                       k: Int, nProbe: Int = 4,
+                       maxCollectQueries: Int = 65536): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     val centroids = loadIvfCentroids(spark, path)
     val q = queries.withColumn("centroid",
       explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
-    // ONE evaluation of the (small, broadcast-by-contract) query side:
-    // collect it, derive the probed id set driver-side, and join the
-    // localized frame — collecting just the ids and then broadcasting
-    // `q` would re-run the queries lineage a second time
-    val qRows = q.collect()
-    val probed = qRows.map(_.getAs[Int]("centroid")).distinct.toSeq
-    val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), q.schema)
-    val lists = spark.read.parquet(s"$path/assignments")
-      .filter(col("centroid").isin(probed: _*))
-    val scored = lists.join(broadcast(qLocal), Seq("centroid"))
-      .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
-    rankTopK(scored, idCol, k)
+    // ONE evaluation of the (small-by-contract) query side: collect it
+    // WITH a cap (limit cap+1 detects overflow without counting first),
+    // derive the probed id set driver-side, and join the localized
+    // frame — collecting just the ids and then broadcasting `q` would
+    // re-run the queries lineage a second time
+    val capExploded = maxCollectQueries.toLong * nProbe
+    val qRows = q.limit((capExploded + 1).min(Int.MaxValue).toInt).collect()
+    if (qRows.length > capExploded) {
+      // bulk kNN: same plan as the continuous-ingest probe — the
+      // centroid equi-join against the partitioned lists, strategy
+      // left to AQE (it broadcasts genuinely-small sides on its own)
+      val lists = spark.read.parquet(s"$path/assignments")
+      val scored = lists.join(q, Seq("centroid"))
+        .filter(col(idCol) =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      rankTopK(scored, idCol, k)
+    } else {
+      val probed = qRows.map(_.getAs[Int]("centroid")).distinct.toSeq
+      val qLocal = spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), q.schema)
+      val lists = spark.read.parquet(s"$path/assignments")
+        .filter(col("centroid").isin(probed: _*))
+      val scored = lists.join(broadcast(qLocal), Seq("centroid"))
+        .filter(col(idCol) =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      rankTopK(scored, idCol, k)
+    }
   }
 
   /** The CONTINUOUS embedding-dedup ingest step against a persisted

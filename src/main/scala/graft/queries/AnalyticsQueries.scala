@@ -45,8 +45,8 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     // TPC-H Q3-style: dimension filter + two joins + group + top-k.
-    // customer is small → broadcast; lineitem (the 100 TB side) never
-    // shuffles for the join, only for the final aggregation.
+    // lineitem (the 100 TB side) never shuffles for a broadcast-able
+    // join, only for the final aggregation.
     "q3_join_topk" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
@@ -58,10 +58,11 @@ object AnalyticsQueries {
       val li = t(s, dir, "lineitem")
         .filter(to_date(col("l_shipdate")) > lit("1995-03-15"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      // cust is the only side safe to broadcast at 100 TB; the
-      // li⋈ord equi-join is left to Catalyst/AQE (sort-merge or
-      // broadcast depending on the filtered orders size at runtime).
-      li.join(ord.join(broadcast(cust),
+      // customer scales with SF (1-in-5 segment selectivity is still
+      // billions of keys at the 100 TB posture) → no pinned broadcast;
+      // Catalyst's size stats / AQE pick broadcast at small SF and
+      // sort-merge at scale. Same rule as q5/q18/star_join.
+      li.join(ord.join(cust,
           col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -795,9 +796,12 @@ object AnalyticsQueries {
     // supplycost·availqty — no partsupp). The global total is a
     // single-partition window over the already-aggregated per-part
     // rows (q15's pattern: SF-linear but slim — never a second fact
-    // scan), and the threshold compares in EXACT decimal arithmetic
-    // (value·1000 > total), so boundary parts can't drift between
-    // engines; only the reported column goes to double.
+    // scan). The threshold compares in DOUBLE on BOTH engines: DuckDB
+    // promotes v*1000 to double anyway (DECIMAL(38,4)×INT would
+    // exceed width 38) while Spark keeps a precision-reduced decimal,
+    // so the explicit double cast is the one representation both
+    // engines compute identically (IEEE ops over the exact decimal
+    // sums are deterministic).
     "q11_important_parts" -> ((s, dir) => {
       val value = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
@@ -814,7 +818,8 @@ object AnalyticsQueries {
         .agg(sum(col("v")).as("value"))
       value.withColumn("total",
           sum(col("value")).over(Window.partitionBy(lit(0))))
-        .filter(col("value") * 1000 > col("total"))
+        .filter(col("value").cast("double") * 1000 >
+          col("total").cast("double"))
         .select(col("l_partkey").as("p_partkey"),
           col("value").cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("p_partkey"))
@@ -1279,6 +1284,6 @@ object AnalyticsQueries {
         |  GROUP BY l_partkey)
         |SELECT p_partkey, CAST(v AS DOUBLE) AS part_value FROM (
         |  SELECT *, SUM(v) OVER () AS total FROM val)
-        |WHERE v * 1000 > total
+        |WHERE CAST(v AS DOUBLE) * 1000 > CAST(total AS DOUBLE)
         |ORDER BY part_value DESC, p_partkey""".stripMargin)
 }

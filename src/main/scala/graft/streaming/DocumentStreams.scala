@@ -53,20 +53,42 @@ object DocumentStreams {
             // Fail loud with the two real remedies instead. (The
             // embeddings twin keys off its plain parquet path and is
             // restart-safe without this.)
-            val wh = new org.apache.hadoop.fs.Path(
-              spark.conf.get("spark.sql.warehouse.dir"))
-            val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
             // only files whose TABLE is missing count as orphaned: a
             // crashed first-batch bootstrap legitimately leaves the
             // shingles table registered (files + catalog entry) with
             // bands absent — the Overwrite rebuild handles that;
             // flagging registered tables would wedge the stream on a
-            // false "restarted without a catalog" diagnosis
+            // false "restarted without a catalog" diagnosis. The
+            // expected location comes from the CATALOG's own
+            // default-location logic (handles database-qualified names
+            // → <warehouse>/<db>.db/<table>), not a hand-built
+            // <warehouse>/<name> path. A table created at a CUSTOM
+            // location is out of audit reach by construction — its
+            // location lived only in the catalog entry that this very
+            // audit says is gone.
             val leftover = Seq("_bands", "_shingles")
               .filterNot(sfx => spark.catalog.tableExists(indexName + sfx))
-              .map(sfx => new org.apache.hadoop.fs.Path(
-                wh, (indexName + sfx).toLowerCase))
-              .filter(fs.exists)
+              .map { sfx =>
+                val ident = spark.sessionState.sqlParser
+                  .parseTableIdentifier(indexName + sfx)
+                // the DATABASE registration may be gone too (same
+                // non-persistent catalog) — defaultTablePath would
+                // throw NoSuchDatabase; fall back to the catalog's own
+                // default-location convention <warehouse>/<db>.db/
+                try new org.apache.hadoop.fs.Path(
+                  spark.sessionState.catalog.defaultTablePath(ident))
+                catch {
+                  case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+                    val wh = new org.apache.hadoop.fs.Path(
+                      spark.conf.get("spark.sql.warehouse.dir"))
+                    val db = ident.database.get.toLowerCase
+                    new org.apache.hadoop.fs.Path(
+                      new org.apache.hadoop.fs.Path(wh, s"$db.db"),
+                      ident.table.toLowerCase)
+                }
+              }
+              .filter(p => p.getFileSystem(
+                spark.sessionState.newHadoopConf()).exists(p))
             if (leftover.nonEmpty)
               throw new graft.model.UserException(
                 s"dedup index '$indexName' has data files " +

@@ -193,6 +193,52 @@ class JdbcSinkSpec extends SparkSpec {
     s.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
   }
 
+  test("width-ONLY varchar change takes drop+rename; matching width keeps DDL") {
+    def withConn[T](f: java.sql.Connection => T): T = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    def exec(sql: String): Unit = withConn { c =>
+      val st = c.createStatement(); try st.execute(sql) finally st.close()
+    }
+    def colWidth(table: String, col: String): Int = withConn { c =>
+      val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      try {
+        var w = -1
+        while (rs.next())
+          if (rs.getString("COLUMN_NAME").equalsIgnoreCase(col))
+            w = rs.getInt("COLUMN_SIZE")
+        w
+      } finally rs.close()
+    }
+    // same TYPE_NAME (VARCHAR), different COLUMN_SIZE — invisible at
+    // the Spark-schema level (both are StringType), so only the
+    // DDL-level size compare can route it correctly. The stage's DDL
+    // is forced to VARCHAR via createTableColumnTypes.
+    val wide = new JdbcSink(spark, url,
+      Map("createTableColumnTypes" -> "v VARCHAR(40)"),
+      catalogSql =
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+      renameSql = (from, to) => s"RENAME TABLE $from TO $to")
+    exec("CREATE TABLE wshp (\"id\" BIGINT, \"v\" VARCHAR(20))")
+    exec("INSERT INTO wshp VALUES (0, 'old')")
+    colWidth("wshp", "v") shouldBe 20
+    wide.overwrite(Seq((1L, "widened")).toDF("id", "v"), "wshp")
+    // width-only drift took the drop+rename path: the NEW width landed
+    colWidth("wshp", "v") shouldBe 40
+    rows(wide.read("wshp")) shouldBe Seq(Seq(1L, "widened"))
+
+    // matching width reload is same-shape → DELETE+INSERT preserves the
+    // DDL; pin with a dependent view (Derby refuses to drop a viewed
+    // table, so the drop+rename branch would fail loudly here)
+    exec("CREATE VIEW wshp_view AS SELECT \"id\" FROM wshp")
+    wide.overwrite(Seq((2L, "same width")).toDF("id", "v"), "wshp")
+    rows(wide.read("wshp")) shouldBe Seq(Seq(2L, "same width"))
+    rows(wide.read("wshp_view")) shouldBe Seq(Seq(2L))
+    exec("DROP VIEW wshp_view")
+    wide.listTables().filter(_.toLowerCase.contains("_temp_")) shouldBe empty
+  }
+
   test("incremental merge via JDBC: the plan reads the target it replaces") {
     val s = sink
     s.overwrite((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"), "jt2")

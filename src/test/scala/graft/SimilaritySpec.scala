@@ -209,6 +209,46 @@ class SimilaritySpec extends SparkSpec {
     (0L until 3L).foreach { i => top1(i) shouldBe (i + 1000L) }
   }
 
+  test("ivfTopKPersisted past the collect cap routes to the join path, same results") {
+    val c = corpus(n = 60)
+    val q = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-cap").toString
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 8)
+    val collected = Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3)
+    // cap below |Q|: the bulk route must kick in (no driver collect of
+    // the query side, no static partition pruning) and return the SAME
+    // ranked neighbors
+    val bulk = Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3, maxCollectQueries = 4)
+    rows(bulk.orderBy("q_id", "rnk")) shouldBe
+      rows(collected.orderBy("q_id", "rnk"))
+    // and it really is the join plan: the localized-queries broadcast
+    // of the collect path never appears (its probe frame is a
+    // LocalTableScan; the bulk path scans only files)
+    val leaves = bulk.queryExecution.executedPlan.collectLeaves().map(_.nodeName)
+    leaves.exists(_.contains("LocalTableScan")) shouldBe false
+  }
+
+  test("appendToIvfIndex on a legacy/corrupt fingerprint fails closed: marker deleted, reuse rebuilds") {
+    val c = corpus(n = 50)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-leg").toString
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 8)
+    // simulate a pre-upgrade marker (2-part format): rolling a batch
+    // into it cannot produce a truthful combined fingerprint
+    val p = new org.apache.hadoop.fs.Path(s"$path/_FINGERPRINT")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    out.write("50:49".getBytes("UTF-8")); out.close()
+    val batch = c.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", path)
+    // the marker is GONE (not a zero-folded lie describing one batch):
+    // the next reuse check mismatches and rebuilds
+    Similarity.readIndexFingerprint(spark, path) shouldBe None
+  }
+
   test("ingestEmbeddingBatch: continuous dedup across batches, index grows with survivors") {
     val c = corpus(n = 100)
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-ing").toString
