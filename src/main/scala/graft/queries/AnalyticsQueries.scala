@@ -29,6 +29,46 @@ object AnalyticsQueries {
     (probes, refs)
   }
 
+  /** Deterministic `partsupp` DERIVED from part × |supplier| — the
+    * testdata ships no partsupp table, so the two TPC-H shapes that
+    * need it (q9 profit rollup joining on BOTH keys, q20 availqty
+    * semi-join) derive the same fixture in BOTH engines: 4 suppliers
+    * per part via integer-only arithmetic (no RNG, no float drift),
+    * availqty/supplycost keyed off (partkey, suppkey); supplycost
+    * lands as exact DECIMAL(12,2) via an integer-cents × 0.01 decimal
+    * multiply. The oracle reproduces it verbatim as a CTE
+    * ([[partsuppSql]]). Scale posture: 4×|part| rows from one
+    * projection of part plus a one-row count broadcast — no shuffle,
+    * no data movement beyond the scan. */
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"))
+    val sc = t(s, dir, "supplier").agg(count(lit(1)).as("sc"))
+    p.crossJoin(broadcast(sc)) // one-row scalar — always broadcast-safe
+      .withColumn("j", explode(array((0 until 4).map(lit(_)): _*)))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") * 13 + col("j") * 7) % col("sc"))
+      .withColumn("ps_availqty",
+        (col("p_partkey") * 37 + col("ps_suppkey") * 11) % 9999 + 1)
+      .withColumn("__cents",
+        (col("p_partkey") * 29 + col("ps_suppkey") * 23) % 99901 + 100)
+      .withColumn("ps_supplycost", expr(
+        "CAST(CAST(__cents AS DECIMAL(9,0)) * CAST(0.01 AS DECIMAL(3,2)) " +
+          "AS DECIMAL(12,2))"))
+      .select(col("p_partkey").as("ps_partkey"), col("ps_suppkey"),
+        col("ps_availqty"), col("ps_supplycost"))
+  }
+
+  /** The oracle's CTE twin of [[derivedPartsupp]] — the SAME integer
+    * formulas, so both engines see one identical partsupp. */
+  private val partsuppSql: String =
+    """WITH s_cnt AS (SELECT COUNT(*) AS sc FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 13 + j * 7) % sc AS ps_suppkey,
+      |         (p_partkey * 37 + ((p_partkey * 13 + j * 7) % sc) * 11) % 9999 + 1 AS ps_availqty,
+      |         CAST(CAST((p_partkey * 29 + ((p_partkey * 13 + j * 7) % sc) * 23) % 99901 + 100 AS DECIMAL(9,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS ps_supplycost
+      |  FROM part CROSS JOIN s_cnt CROSS JOIN (VALUES (0),(1),(2),(3)) AS js(j))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary. Group-by-agg with partial
     // (map-side) aggregation — one shuffle on the tiny group key.
@@ -791,6 +831,73 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"), col("s_suppkey"))
     }),
 
+    // TPC-H Q9: profit by nation and order year, joining the derived
+    // partsupp on BOTH keys (the two-key dimension join q9 exists to
+    // exercise). Filters first: the name filter prunes part before any
+    // join; partsupp is 4×|part| (SF-scaling → strategy is AQE's
+    // call); nation is the only pinned broadcast. Profit terms are
+    // exact decimals; only the reported sum goes to double.
+    "q9_product_profit" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+      li.join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(derivedPartsupp(s, dir),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,6)") -
+            (col("ps_supplycost") * col("l_quantity").cast("decimal(12,2)"))
+              .cast("decimal(22,6)"))
+          .cast("double").as("sum_profit"))
+        .select(col("n_name").as("nation"), col("o_year"), col("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q20: suppliers in one nation holding excess stock of promo
+    // parts — the nested-semi-join shape over availqty. The inner
+    // quantity rollup shuffles on the SAME (partkey, suppkey) pair the
+    // partsupp join needs; the threshold compares 2·availqty > qty in
+    // exact integer/decimal arithmetic (0.5·qty would promote to
+    // double at DuckDB's decimal-width cap — the q11 drift class).
+    // The final supplier semi-join strategy is AQE's call.
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val promo = t(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val ship = t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val picks = derivedPartsupp(s, dir)
+        .join(promo, col("ps_partkey") === col("p_partkey"))
+        .join(ship, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_18")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(picks, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q11-style: parts whose single-nation line value exceeds
     // 0.1% of that nation's total (lineitem value stands in for
     // supplycost·availqty — no partsupp). The global total is a
@@ -1272,6 +1379,38 @@ object AnalyticsQueries {
         |  FROM offers)
         |WHERE price = min_price
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q9_product_profit" -> (partsuppSql +
+      """
+        |SELECT n_name AS nation, EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) -
+        |           CAST(ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin),
+    "q20_promo_suppliers" -> (partsuppSql +
+      """,
+        |ship AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |picks AS (
+        |  SELECT DISTINCT ps_suppkey FROM partsupp
+        |  JOIN part ON p_partkey = ps_partkey
+        |  JOIN ship ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  WHERE p_name LIKE 'red%' AND ps_availqty * 2 > qty)
+        |SELECT s_suppkey, s_name FROM supplier
+        |SEMI JOIN picks ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_18'
+        |ORDER BY s_suppkey""".stripMargin),
     "q11_important_parts" ->
       """WITH val AS (
         |  SELECT l_partkey AS p_partkey,

@@ -262,7 +262,8 @@ class ScaleSpec extends SparkSpec {
     // This pins the r4 delegation: hints in these plans may reference
     // only the constant-size dims.
     for (name <- Seq("q3_join_topk", "q5_region_revenue", "q18_large_orders",
-                     "star_join_agg")) {
+                     "star_join_agg", "q9_product_profit",
+                     "q20_promo_suppliers")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       val hinted = df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
