@@ -46,6 +46,139 @@ object Maintenance {
     nFiles
   }
 
+  /** Bucketing-PRESERVING compaction of a bucketed catalog table — the
+    * maintenance cadence behind the append-mode persisted indexes
+    * ([[Dedup.appendToMinhashIndex]]): every micro-batch append adds at
+    * least one file per bucket, and after thousands of batches the
+    * zero-exchange probe drowns in per-file open/footer overhead.
+    * Rewrites the table through a STAGE TABLE with the SAME
+    * bucketBy/sortBy spec (the probe plans' co-partitioning contract
+    * survives — pinned by a ScaleSpec assertion that re-checks the
+    * zero-exchange probe AFTER compaction), then drop+rename, guarded
+    * and idempotent like every swap here.
+    *
+    * Task count is size-aware: `max(buckets, bytes/targetFileBytes)`
+    * tasks, so a bucket bigger than the target splits across files
+    * (hash spread of its keys) while small tables collapse to one file
+    * per bucket. Returns the task count used. */
+  def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
+                      buckets: Int,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(loc).getLength
+    val nTasks = math.max(buckets,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val stage = s"${table}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    // one shuffle on the bucket keys: with nTasks == buckets each task
+    // holds exactly one bucket (same murmur3 pmod as the bucket spec)
+    // → one file per bucket; with more tasks a big bucket's keys
+    // spread, splitting its output near the target size.
+    // autoBucketedScan must be OFF for this read: with it on, the
+    // scan's HashPartitioning lets EnsureRequirements drop the
+    // repartition, and DisableUnnecessaryBucketedScan then un-buckets
+    // the scan — leaving NEITHER the distribution nor the shuffle, so
+    // every read task writes a file per bucket (the exact small-file
+    // pattern this job exists to undo)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoWas = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try graft.sources.BucketedStore.writeBucketed(
+      spark.table(table).repartition(nTasks, keys.map(col): _*),
+      stage, keys, buckets)
+    finally spark.conf.set(autoKey, autoWas)
+    graft.app.SwapGuard(s"compaction swap failed for table '$table' " +
+        s"(compacted data preserved in table $stage)") {
+      // idempotent across ambiguous failures, same shape as the JDBC
+      // sink swap: stage gone + target present = a prior attempt landed
+      if (!spark.catalog.tableExists(stage)) {
+        if (!spark.catalog.tableExists(table))
+          throw new IllegalStateException(
+            s"stage and target tables both missing for '$table'")
+      } else {
+        if (spark.catalog.tableExists(table))
+          spark.sql(s"DROP TABLE $table")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+      }
+    }
+    nTasks
+  }
+
+  /** Compact the minhash index pair ([[Dedup.saveMinhashIndex]]'s
+    * `<name>_bands` + `<name>_shingles`) with their exact bucket specs.
+    * Bands first: a failure between the two leaves shingles
+    * uncompacted (slower, never wrong). */
+  def compactMinhashIndex(spark: SparkSession, name: String,
+                          buckets: Int = 8,
+                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    compactBucketed(spark, s"${name}_bands", Seq("band_idx", "band_key"),
+      buckets, targetFileBytes)
+    compactBucketed(spark, s"${name}_shingles", Seq("doc_id"),
+      buckets, targetFileBytes)
+  }
+
+  /** Per-centroid compaction of a persisted IVF index's inverted lists
+    * ([[Similarity.appendToIvfIndex]] appends files into the probed
+    * `assignments/centroid=K` partitions). Only lists holding more
+    * than `maxFilesPerList` files are rewritten; the layout
+    * (partitioned by centroid), the centroids, and the content
+    * fingerprint are untouched — compaction moves bytes, never
+    * content. ONE job writes every touched list into an
+    * underscore-prefixed stage (invisible to parquet partition
+    * discovery, so readers racing the compaction never see doubled
+    * rows), then the per-partition swap reuses
+    * [[graft.app.SwapGuard.swapChildren]] — the same idempotent
+    * crash/replay semantics as every partition-scoped writer here.
+    * Returns the compacted centroid ids. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      maxFilesPerList: Int = 4,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val assign = new Path(s"$path/assignments")
+    val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(assign)) return Nil
+    val lists = fs.listStatus(assign).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("centroid="))
+    val touched = lists.filter { st =>
+      fs.listStatus(st.getPath).count(f =>
+        f.getPath.getName.endsWith(".parquet")) > maxFilesPerList
+    }
+    if (touched.isEmpty) return Nil
+    val ids = touched.map(_.getPath.getName.stripPrefix("centroid=").toInt)
+    // per-list output file counts from on-disk bytes; ≥1 each
+    val nf = touched.map { st =>
+      st.getPath.getName.stripPrefix("centroid=").toInt ->
+        math.max(1, math.ceil(fs.getContentSummary(st.getPath).getLength
+          .toDouble / targetFileBytes).toInt)
+    }
+    val stage = new Path(assign,
+      s"_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    val df = spark.read.parquet(assign.toString)
+      .filter(col("centroid").isin(ids: _*))
+    // spread each list over its target file count: hash the full row
+    // into a per-list slot, shuffle on (centroid, slot) with the total
+    // output width — one file per occupied slot (hash collisions can
+    // merge two small lists into a task; they still write separate
+    // files per partition value)
+    import spark.implicits._
+    val nfDf = nf.toDF("centroid", "__nf")
+    df.join(broadcast(nfDf), Seq("centroid"))
+      .withColumn("__slot",
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)),
+          col("__nf")))
+      .repartition(nf.map(_._2).sum, col("centroid"), col("__slot"))
+      .drop("__nf", "__slot")
+      .write.partitionBy("centroid").parquet(stage.toString)
+    graft.app.SwapGuard(s"IVF list compaction swap failed for '$path' " +
+        s"(compacted lists preserved at $stage)") {
+      graft.app.SwapGuard.swapChildren(fs, stage, assign,
+        ids.map(i => s"centroid=$i"))
+    }
+    ids
+  }
+
   /** Single-pass column profile: one output row per column with null
     * count, distinct count, and min/max rendered as strings.
     * All columns' aggregates evaluate in ONE aggregation over the data

@@ -21,6 +21,88 @@ class MaintenanceSpec extends SparkSpec {
       .collect().head.getLong(0) shouldBe (1L to 10000L).sum
   }
 
+  test("compactBucketed collapses append-accreted files, keeps spec and rows") {
+    import org.apache.spark.sql.functions._
+    val name = "graft_cb_spec"
+    try {
+      val base = (0L until 400L).map(i => (i, i % 37)).toDF("k", "v")
+      graft.sources.BucketedStore.writeBucketed(base, name, Seq("k"), 4)
+      // 5 micro-batch appends: each adds ≥1 file per touched bucket
+      (1 to 5).foreach { b =>
+        graft.sources.BucketedStore.appendBucketed(
+          (0L until 40L).map(i => (1000L * b + i, i)).toDF("k", "v"),
+          name, Seq("k"), 4)
+      }
+      def files = {
+        val loc = new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(name))
+            .location.toString))
+        Option(loc.listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet"))
+      }
+      files should be >= 20 // ≥4 per write × 6 writes, minus empties
+      val before = rows(spark.table(name).orderBy("k"))
+      Maintenance.compactBucketed(spark, name, Seq("k"), 4)
+      files shouldBe 4 // exactly one file per bucket
+      rows(spark.table(name).orderBy("k")) shouldBe before
+      // the rewritten table still carries the bucket spec (catalog-level)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(name))
+      meta.bucketSpec.map(_.numBuckets) shouldBe Some(4)
+      meta.bucketSpec.map(_.bucketColumnNames) shouldBe Some(Seq("k"))
+      // no stage residue
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(_.contains("__compact_")) shouldBe empty
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("compactIvfIndex collapses touched lists only; probe results and fingerprint unchanged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    def vec(c: Int) = Array.tabulate(16)(d =>
+      (if (d == c % 16) 10f else 0f) + rnd.nextFloat() * 0.1f)
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt % 4)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path, nCentroids = 4)
+    // 6 appends → each touched centroid dir accretes a file per batch
+    (1 to 6).foreach { b =>
+      Similarity.appendToIvfIndex(
+        (0L until 8L).map(i => (10000L * b + i, vec(i.toInt % 4)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    }
+    def filesPerList: Map[String, Int] = {
+      val dirs = Option(new java.io.File(s"$path/assignments").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.startsWith("centroid="))
+      dirs.map(d => d.getName -> Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))).toMap
+    }
+    filesPerList.values.max should be > 4
+    val q = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val before = rows(Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3).orderBy("q_id", "rnk"))
+    val fpBefore = Similarity.readIndexFingerprint(spark, path)
+
+    val compacted = Maintenance.compactIvfIndex(spark, path,
+      maxFilesPerList = 4)
+    compacted.nonEmpty shouldBe true
+    filesPerList.values.max should be <= 4
+    // second run: nothing left over the threshold
+    Maintenance.compactIvfIndex(spark, path, maxFilesPerList = 4) shouldBe empty
+    // content untouched: same probe results, same fingerprint, no
+    // stage residue visible to partition discovery
+    rows(Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3).orderBy("q_id", "rnk")) shouldBe before
+    Similarity.readIndexFingerprint(spark, path) shouldBe fpBefore
+    Option(new java.io.File(s"$path/assignments").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_compact_")) shouldBe empty
+  }
+
   test("profile computes per-column stats in one aggregation pass") {
     val df = Seq((1, Some("a")), (2, None), (2, Some("c")))
       .toDF("id", "s")

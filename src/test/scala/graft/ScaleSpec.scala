@@ -114,17 +114,27 @@ class ScaleSpec extends SparkSpec {
       val noBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val joined = spark.table(s"${name}_bands")
-          .join(probe, Seq("band_idx", "band_key"))
-        val explained = joined.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        def probePlan() = {
+          val joined = spark.table(s"${name}_bands")
+            .join(probe, Seq("band_idx", "band_key"))
+          (joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode), joined.count())
+        }
         // exactly ONE exchange — the probe side. The index side's
         // buckets hash-partition on the full probe join key
         // (band_idx, band_key), and appended files land in their key's
         // bucket, so the accumulated 100 TB side never rebuckets per
         // probe.
+        val (explained, hits) = probePlan()
         explained.split("\n").count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
-        joined.count() should be > 0L
+        hits should be > 0L
+        // …and the contract SURVIVES compaction: the bucket spec is
+        // rewritten verbatim, so the post-compaction probe keeps the
+        // single probe-side exchange and identical hits
+        graft.operators.Maintenance.compactMinhashIndex(spark, name)
+        val (explained2, hits2) = probePlan()
+        explained2.split("\n").count(_.matches("\\(\\d+\\) Exchange.*")) shouldBe 1
+        hits2 shouldBe hits
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBroadcast)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
