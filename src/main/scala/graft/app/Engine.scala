@@ -112,7 +112,30 @@ final class Engine(spark: SparkSession, sink: TableSink) {
               case _ => df
             }
           }
-          Load.upsert(target, aligned, table.primaryKey)
+          // Add-nullable-column evolution (extension; flag-gated, see
+          // TableConfig.allowAddColumns — default keeps reference
+          // parity: ANY drift fails loudly in the merge union below).
+          // Only DECLARED-nullable additions are filled: NULL-filling
+          // a NOT NULL column would manufacture history rows that
+          // violate the declared constraint.
+          val evolved =
+            if (table.allowAddColumns) {
+              val have = target.columns.map(_.toLowerCase).toSet
+              val added = aligned.schema.fields
+                .filterNot(f => have(f.name.toLowerCase))
+              val spec = table.activeItems
+                .map(c => c.dbName.toLowerCase -> c).toMap
+              added.filter(f =>
+                  spec.get(f.name.toLowerCase).exists(!_.nullable))
+                .foreach { f =>
+                  throw new UserException(
+                    s"Cannot add NOT NULL column '${f.name}' to existing " +
+                      s"table '${table.dbName}': existing rows have no " +
+                      "value for it")
+                }
+              Load.withStageColumns(target, aligned)
+            } else target
+          Load.upsert(evolved, aligned, table.primaryKey)
         } else staged
       // sink.overwrite stages-then-swaps, so the plan can read the
       // current target while its replacement materializes.

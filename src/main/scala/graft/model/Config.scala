@@ -78,7 +78,15 @@ final case class TableConfig(
     export: Boolean = true,
     incremental: Boolean = false,
     primaryKey: Seq[String] = Nil,
-    items: Seq[ColumnSpec] = Nil) {
+    items: Seq[ColumnSpec] = Nil,
+    /** Extension beyond the reference (which hard-fails on ANY column
+      * drift, RedshiftApplication.php:169-184 — and that stays the
+      * default): when true, an incremental load whose stage carries
+      * extra NULLABLE columns NULL-fills the target side instead of
+      * failing, so a continuously-maintained 100 TB table survives the
+      * commonest upstream drift without a drop-and-reload. Added NOT
+      * NULL columns and removed/retyped columns still fail loudly. */
+    allowAddColumns: Boolean = false) {
 
   /** Columns that participate in the load (ignore-typed ones dropped). */
   def activeItems: Seq[ColumnSpec] = items.filterNot(_.ignored)

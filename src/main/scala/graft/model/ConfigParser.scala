@@ -77,7 +77,8 @@ object ConfigParser {
     primaryKey = opt(n, "primaryKey").toSeq
       .flatMap(_.elements.asScala.map(_.asText)),
     items = opt(n, "items").toSeq
-      .flatMap(_.elements.asScala.map(parseItem)))
+      .flatMap(_.elements.asScala.map(parseItem)),
+    allowAddColumns = opt(n, "allowAddColumns").exists(_.asBoolean))
 
   private def parseItem(n: JsonNode): ColumnSpec = ColumnSpec(
     name = req(n, "name").asText,

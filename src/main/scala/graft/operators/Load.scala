@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Load {
 
+  /** Add-column schema evolution for the incremental merge: extend
+    * `target` with every column `stage` carries that it lacks,
+    * NULL-filled at the stage's type — the commonest upstream drift (a
+    * new nullable column appears in the feed) no longer forces a drop
+    * and 100 TB reload. Pure column projection (no shuffle, no scan
+    * cost beyond the merge itself). Caller gates WHETHER evolution is
+    * allowed (engine flag + nullability check); this only performs it.
+    * Removed/retyped columns pass through untouched so the merge union
+    * still fails loudly on them. */
+  def withStageColumns(target: DataFrame, stage: DataFrame): DataFrame = {
+    val have = target.columns.map(_.toLowerCase).toSet
+    stage.schema.fields.filterNot(f => have(f.name.toLowerCase))
+      .foldLeft(target)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Stage-wins primary-key merge (J1+J2+J3). */
   def upsert(target: DataFrame, stage: DataFrame, pk: Seq[String]): DataFrame =
     if (pk.isEmpty) target.unionByName(stage)

@@ -69,6 +69,18 @@ object RelationalQueries {
       Load.upsert(target(s, dir), stage(s, dir), Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))),
 
+    // Add-nullable-column schema evolution on the merge: the stage
+    // carries a column the target lacks; the target side NULL-fills
+    // it ([[Load.withStageColumns]]) and the stage-wins merge runs
+    // unchanged — old rows read NULL, merged/new rows carry values.
+    "upsert_schema_drift" -> ((s, dir) => {
+      val st = stage(s, dir).withColumn("o_note",
+        concat(lit("p"), (col("o_orderkey") % 3).cast("string")))
+      val tg = target(s, dir)
+      Load.upsert(Load.withStageColumns(tg, st), st, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // J2 — staging rows with PKs absent from target.
     "anti_join_new_rows" -> ((s, dir) =>
       Load.newRows(stage(s, dir), target(s, dir), Seq("o_orderkey"))
@@ -385,6 +397,16 @@ object RelationalQueries {
          |SELECT * FROM stage
          |UNION ALL
          |SELECT b.* FROM base b ANTI JOIN stage s USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "upsert_schema_drift" ->
+      s"""$stageSql,
+         |stage2 AS (
+         |  SELECT *, 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS o_note
+         |  FROM stage)
+         |SELECT * FROM stage2
+         |UNION ALL
+         |SELECT b.*, CAST(NULL AS VARCHAR) AS o_note
+         |FROM base b ANTI JOIN stage2 s USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
     "anti_join_new_rows" ->
       s"""$stageSql

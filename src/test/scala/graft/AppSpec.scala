@@ -61,6 +61,64 @@ class AppSpec extends SparkSpec {
     got.find(_.head == 3).get(2) shouldBe "no" // untouched target row
   }
 
+  test("schema drift: added nullable column NULL-fills behind the flag, fails loud without") {
+    val extendedItems = simpleItems.stripSuffix("]").stripSuffix("\n") +
+      """,  {"name": "mood", "dbName": "mood", "type": "nvarchar",
+        |     "size": "255", "nullable": true}
+        |]""".stripMargin
+    def csvWithMood(dir: String, name: String,
+                    rows: Seq[(Int, String, String, String)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/in/tables/$name.csv"),
+        "\"id\",\"name\",\"glasses\",\"mood\"\n" +
+          rows.map { case (i, n, g, m) => s""""$i","$n","$g","$m"""" }
+            .mkString("\n") + "\n")
+
+    // 1) flag ON: merge succeeds, old rows read NULL for the new column
+    val (dir, sink) = mkJob(
+      s"""{"tableId": "simple", "dbName": "drifty", "primaryKey": ["id"], $simpleItems},
+         |{"tableId": "simple_increment", "dbName": "drifty",
+         | "incremental": true, "primaryKey": ["id"],
+         | "allowAddColumns": true, $extendedItems}""".stripMargin)
+    writeSimpleCsv(dir, "simple", (0 to 4).map(i => (i, s"n$i", "no")))
+    csvWithMood(dir, "simple_increment",
+      Seq((4, "n4", "yes", "calm"), (5, "n5", "no", "sunny")))
+    val (code, out) = Main.execute(spark, sink, dir)
+    code shouldBe 0
+    out.get should include(""""status":"success"""")
+    val got = rows(sink.read("drifty").orderBy("id"))
+    got.map(_.head) shouldBe (0 to 5)
+    got.find(_.head == 4).get(3) shouldBe "calm"  // merged row carries value
+    got.find(_.head == 5).get(3) shouldBe "sunny" // inserted row too
+    Option(got.find(_.head == 2).get(3)) shouldBe None // history NULL-filled
+
+    // 2) default (no flag): the same drift fails loudly — reference parity
+    val (dir2, sink2) = mkJob(
+      s"""{"tableId": "simple", "dbName": "drifty2", "primaryKey": ["id"], $simpleItems},
+         |{"tableId": "simple_increment", "dbName": "drifty2",
+         | "incremental": true, "primaryKey": ["id"], $extendedItems}""".stripMargin)
+    writeSimpleCsv(dir2, "simple", (0 to 2).map(i => (i, s"n$i", "no")))
+    csvWithMood(dir2, "simple_increment", Seq((2, "n2", "yes", "calm")))
+    val (code2, _) = Main.execute(spark, sink2, dir2)
+    code2 should not be 0
+
+    // 3) flag ON but the added column is NOT NULL: loud refusal — the
+    // engine must not manufacture constraint-violating history rows
+    val notNullItems = extendedItems.replace("\"nullable\": true",
+      "\"nullable\": false")
+    val (dir3, sink3) = mkJob(
+      s"""{"tableId": "simple", "dbName": "drifty3", "primaryKey": ["id"], $simpleItems},
+         |{"tableId": "simple_increment", "dbName": "drifty3",
+         | "incremental": true, "primaryKey": ["id"],
+         | "allowAddColumns": true, $notNullItems}""".stripMargin)
+    writeSimpleCsv(dir3, "simple", (0 to 2).map(i => (i, s"n$i", "no")))
+    csvWithMood(dir3, "simple_increment", Seq((2, "n2", "yes", "calm")))
+    // exit 1 (UserException) = OUR guard fired; the unguarded merge
+    // failure surfaces as exit 2 (application error) — so the code
+    // alone pins which path refused
+    val (code3, _) = Main.execute(spark, sink3, dir3)
+    code3 shouldBe 1
+  }
+
   test("maxParallelLoads: tables load concurrently, outputs identical to serial") {
     def job(extra: String): (String, ParquetSink) = {
       val dir = Files.createTempDirectory("graft-par").toString
