@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions.xxhash64
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Linear-counting distinct sketch as a `TypedImperativeAggregate`.
   *
@@ -83,6 +83,173 @@ case class LinearCountSketch(
       newChildren: IndexedSeq[Expression]): LinearCountSketch =
     copy(child = newChildren.head)
   override def prettyName: String = "linear_count_sketch"
+}
+
+/** Shared bitmap mechanics of the linear-counting family — ONE
+  * definition so the value-consuming aggregate, the state-merging
+  * aggregate, and the scalar estimator cannot drift. */
+private[functions] object LinearCount {
+  def estimate(words: Array[Long], m: Int): Long = {
+    var zeros = 0L
+    var i = 0
+    while (i < words.length) {
+      zeros += 64 - java.lang.Long.bitCount(words(i)); i += 1
+    }
+    if (zeros == 0) m.toLong // saturated: lower bound
+    else math.round(-m.toDouble * math.log(zeros.toDouble / m))
+  }
+
+  def toBytes(words: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    bb.asLongBuffer().put(words)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte], words: Int): Array[Long] = {
+    val out = new Array[Long](words)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  def orInto(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+}
+
+/** [[LinearCountSketch]]'s STATE-valued twin: identical bitmap, but
+  * eval returns the serialized bitmap (binary) instead of the
+  * estimate — the mergeable partial state the incremental-rollup fold
+  * persists per key ([[graft.operators.IncrementalAgg]]). Merging two
+  * states is bitwise OR, so folds stay commutative/associative and
+  * replay-order-independent like the algebraic state columns. */
+case class LinearCountSketchState(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(bits >= 4 && bits <= 26, "bits out of range")
+  private val m = 1 << bits
+  private val words = m / 64
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val idx = java.lang.Long.remainderUnsigned(h, m.toLong).toInt
+      buf(idx >>> 6) |= 1L << (idx & 63)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    LinearCount.orInto(buf, other)
+
+  override def eval(buf: Array[Long]): Any = LinearCount.toBytes(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    LinearCount.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    LinearCount.fromBytes(bytes, words)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LinearCountSketchState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LinearCountSketchState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LinearCountSketchState =
+    copy(child = newChildren.head)
+  override def prettyName: String = "linear_count_sketch_state"
+}
+
+/** OR-merge of SERIALIZED linear-count states (binary in, binary
+  * out) — how [[graft.operators.IncrementalAgg.mergeStates]] folds a
+  * persisted per-key state with a batch's partial state without ever
+  * seeing the underlying values. NULL inputs (e.g. a key absent from
+  * one side of an outer fold) contribute nothing. */
+case class LinearCountSketchCombine(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(bits >= 4 && bits <= 26, "bits out of range")
+  private val m = 1 << bits
+  private val words = m / 64
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(bytes.length == words * 8,
+        s"sketch state of ${bytes.length} bytes does not match bits=$bits " +
+          s"(expected ${words * 8}) — states must merge at the bits they " +
+          "were built with")
+      LinearCount.orInto(buf, LinearCount.fromBytes(bytes, words))
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    LinearCount.orInto(buf, other)
+
+  override def eval(buf: Array[Long]): Any = LinearCount.toBytes(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    LinearCount.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    LinearCount.fromBytes(bytes, words)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LinearCountSketchCombine =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LinearCountSketchCombine =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LinearCountSketchCombine =
+    copy(child = newChildren.head)
+  override def prettyName: String = "linear_count_sketch_combine"
+}
+
+/** Scalar linear-counting estimator over a serialized state.
+  * CodegenFallback is deliberate: this evaluates at READ time over
+  * key-cardinality state rows (never over event-scale data), so
+  * interpreter dispatch is noise and a doGenCode would buy nothing. */
+case class LinearCountEstimate(child: Expression, bits: Int = 14)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bits >= 4 && bits <= 26, "bits out of range")
+  private val m = 1 << bits
+  private val words = m / 64
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    require(bytes.length == words * 8,
+      s"sketch state of ${bytes.length} bytes does not match bits=$bits")
+    LinearCount.estimate(LinearCount.fromBytes(bytes, words), m)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LinearCountEstimate = copy(child = newChild)
+  override def prettyName: String = "linear_count_estimate"
 }
 
 /** Misra–Gries heavy-hitters sketch as a `TypedImperativeAggregate`.
@@ -214,6 +381,28 @@ object SketchFunctions {
         GraftBridge.expression(when(c.isNotNull, xxhash64(c))), bits)
         .toAggregateExpression())
   }
+
+  /** Mergeable distinct-sketch STATE of `c` (binary bitmap) — the
+    * per-key partial the incremental rollup persists. Same NULL
+    * handling as [[approxDistinct]]. */
+  def distinctSketchState(c: Column, bits: Int = 14): Column = {
+    import org.apache.spark.sql.functions.when
+    GraftBridge.column(
+      LinearCountSketchState(
+        GraftBridge.expression(when(c.isNotNull, xxhash64(c))), bits)
+        .toAggregateExpression())
+  }
+
+  /** OR-merge aggregate over serialized sketch states. */
+  def mergeSketchStates(c: Column, bits: Int = 14): Column =
+    GraftBridge.column(
+      LinearCountSketchCombine(GraftBridge.expression(c), bits)
+        .toAggregateExpression())
+
+  /** Scalar estimate from a serialized sketch state. */
+  def sketchEstimate(c: Column, bits: Int = 14): Column =
+    GraftBridge.column(
+      LinearCountEstimate(GraftBridge.expression(c), bits))
 
   /** Misra–Gries heavy hitters of `c`: array of (item, est_count)
     * structs, at most k entries, sorted by estimated count. Items with

@@ -28,8 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** Fixed sketch width for the distinct state — part of the persisted
+    * layout like the bucketed rollup's `_CONFIG` pin: states only
+    * OR-merge at the width they were built with (the combine aggregate
+    * enforces it loudly on byte-length mismatch). */
+  val DistinctSketchBits = 14
+
   /** The partial (mergeable) state of one batch: per-key count / sum /
-    * min / max over `valueCol`.
+    * min / max over `valueCol`, plus — when `distinctCol` is set — a
+    * linear-counting bitmap of that column's distinct values
+    * ([[graft.functions.LinearCountSketchState]]). The bitmap is the
+    * ONLY way distinct-count fits this monoid: exact distinct is not
+    * mergeable without keeping every value, while the fixed 2 KiB
+    * state ORs associatively/commutatively like the algebraic columns.
     *
     * PRECISION CONTRACT: values quantize to the state's
     * decimal(38,6) on entry — exact, order-independent addition is
@@ -37,40 +48,67 @@ object IncrementalAgg {
     * so a double state would drift with batch order). Values smaller
     * than 1e-6 round to zero in the SUM (min/max keep the native
     * type); a domain needing finer scale pre-scales the column. */
-  def partialState(batch: DataFrame, keys: Seq[String],
-                   valueCol: String): DataFrame =
-    normalize(batch.groupBy(keys.map(col): _*).agg(
+  def partialState(batch: DataFrame, keys: Seq[String], valueCol: String,
+                   distinctCol: Option[String] = None): DataFrame = {
+    val base = Seq(
       count(col(valueCol)).as("agg_count"),
       sum(col(valueCol).cast("decimal(38,6)")).as("agg_sum"),
       min(col(valueCol)).as("agg_min"),
-      max(col(valueCol)).as("agg_max")), keys)
+      max(col(valueCol)).as("agg_max"))
+    val aggs = base ++ distinctCol.map(dc =>
+      graft.functions.SketchFunctions
+        .distinctSketchState(col(dc), DistinctSketchBits).as("agg_distinct"))
+    normalize(
+      batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys)
+  }
 
   /** Fold one batch into the state: union of two partial-state frames,
     * one groupBy on the key. Associative and commutative — batch
     * order never changes the result (up to the value type's own
     * min/max/sum semantics). */
   def mergeState(state: DataFrame, batch: DataFrame, keys: Seq[String],
-                 valueCol: String): DataFrame =
-    mergeStates(state, partialState(batch, keys, valueCol), keys)
+                 valueCol: String,
+                 distinctCol: Option[String] = None): DataFrame =
+    mergeStates(state, partialState(batch, keys, valueCol, distinctCol), keys)
 
   /** Merge two already-partial states (e.g. the persisted state and a
-    * pre-aggregated shard from another pipeline). */
-  def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
-    normalize(a.unionByName(b).groupBy(keys.map(col): _*).agg(
+    * pre-aggregated shard from another pipeline). The distinct column
+    * rides along schema-driven: present in both → OR-merged; absent →
+    * untouched; present in only one → loud unionByName failure (a
+    * state cannot grow or lose a tracked aggregate mid-life). */
+  def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val hasDistinct = a.columns.contains("agg_distinct")
+    val base = Seq(
       sum(col("agg_count")).as("agg_count"),
       sum(col("agg_sum")).as("agg_sum"),
       min(col("agg_min")).as("agg_min"),
-      max(col("agg_max")).as("agg_max")), keys)
+      max(col("agg_max")).as("agg_max"))
+    val aggs = base ++ (if (hasDistinct)
+      Seq(graft.functions.SketchFunctions
+        .mergeSketchStates(col("agg_distinct"), DistinctSketchBits)
+        .as("agg_distinct"))
+    else Nil)
+    normalize(a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*), keys)
+  }
 
   /** Read-time view of the state: the user-facing aggregate columns
-    * (avg derived — it is NOT a monoid and is never stored). */
-  def finalizeState(state: DataFrame, keys: Seq[String]): DataFrame =
-    state.select(keys.map(col) ++ Seq(
+    * (avg derived — it is NOT a monoid and is never stored; the
+    * distinct estimate likewise derives from the stored bitmap). */
+  def finalizeState(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val base = Seq(
       col("agg_count").as("n"),
       col("agg_sum").cast("double").as("total"),
       (col("agg_sum").cast("double") / col("agg_count")).as("mean"),
       col("agg_min").as("vmin"),
-      col("agg_max").as("vmax")): _*)
+      col("agg_max").as("vmax"))
+    val cols = base ++ (if (state.columns.contains("agg_distinct"))
+      Seq(graft.functions.SketchFunctions
+        .sketchEstimate(col("agg_distinct"), DistinctSketchBits)
+        .as("n_distinct"))
+    else Nil)
+    state.select(keys.map(col) ++ cols: _*)
+  }
 
   /** Pin the state schema so repeated folds keep byte-identical types
     * (sum would otherwise widen decimal(28,4)→(38,4) on first merge
@@ -80,5 +118,7 @@ object IncrementalAgg {
       col("agg_count").cast("long").as("agg_count"),
       col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
       col("agg_min"),
-      col("agg_max")): _*)
+      col("agg_max")) ++
+      (if (df.columns.contains("agg_distinct")) Seq(col("agg_distinct"))
+       else Nil): _*)
 }

@@ -341,6 +341,28 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Approx-distinct rides the SAME fold: the state carries a
+    // fixed-size OR-mergeable bitmap per key, so the maintained
+    // rollup reports distinct orders per customer without ever
+    // rescanning history (exact distinct is not expressible as
+    // bounded fold state). Rows-only in the driver gate (the estimate
+    // is approximate by construction); the ≤5% error bound vs exact
+    // and fold-order invariance are spec-asserted.
+    "incremental_rollup_distinct" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(i: Int) = ord.filter(col("o_orderkey") % 3 === i)
+      val dc = Some("o_orderkey")
+      val state = Seq(1, 2).foldLeft(
+        IncrementalAgg.partialState(slice(0), Seq("o_custkey"),
+          "o_totalprice", dc))(
+        (st, i) => IncrementalAgg.mergeState(st, slice(i),
+          Seq("o_custkey"), "o_totalprice", dc))
+      IncrementalAgg.finalizeState(state, Seq("o_custkey"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // The BUCKETED fold through the same state machinery the streaming
     // sink runs (per-bucket markers + swaps): state is wiped per
     // evaluation (the production path accumulates; the gate needs a

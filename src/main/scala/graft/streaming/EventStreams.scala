@@ -145,13 +145,21 @@ object EventStreams {
     * [[graft.operators.Maintenance.recoverableStages]] reports it. */
   def streamingRollup(events: DataFrame, statePath: String,
                       keys: Seq[String], valueCol: String,
-                      checkpointDir: String)
+                      checkpointDir: String,
+                      /** Also maintain an approx-distinct of this
+                        * column per key (fixed-size OR-mergeable
+                        * bitmap state — see
+                        * [[graft.operators.IncrementalAgg.partialState]]);
+                        * exact distinct is not expressible as bounded
+                        * fold state. */
+                      distinctCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol)
+        applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol,
+          distinctCol)
         ()
       }
       .start()
@@ -316,7 +324,9 @@ object EventStreams {
     * the live state). */
   private[graft] def applyRollupBatch(batch: DataFrame, statePath: String,
                                       batchId: Long, keys: Seq[String],
-                                      valueCol: String): Boolean = {
+                                      valueCol: String,
+                                      distinctCol: Option[String] = None)
+      : Boolean = {
     import graft.operators.IncrementalAgg
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
@@ -353,7 +363,8 @@ object EventStreams {
             "Rename the newest stage to 'state' to recover; starting " +
             "the fold over would silently drop the accumulated rollup")
     }
-    val partial = IncrementalAgg.partialState(batch, keys, valueCol)
+    val partial = IncrementalAgg.partialState(batch, keys, valueCol,
+      distinctCol)
     val next =
       if (fs.exists(cur))
         IncrementalAgg.mergeStates(spark.read.parquet(cur.toString),

@@ -153,6 +153,46 @@ class LoadSpec extends SparkSpec {
     }
   }
 
+  test("IncrementalAgg distinct sketch: fold-order invariant, <=5% error vs exact, fold equals one-shot") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.functions._
+    // 300 rows / 7 keys, distinct rid per key ~43 — well under sketch
+    // saturation, so the estimate must sit within the linear-counting
+    // error envelope
+    val dc = Some("rid")
+    val oneShot = IncrementalAgg.finalizeState(
+      IncrementalAgg.partialState(facts, Seq("k"), "v", dc), Seq("k"))
+      .orderBy("k")
+    oneShot.columns should contain("n_distinct")
+    def folded(order: Seq[Int]) = {
+      def slice(i: Int) = facts.filter(col("rid") % 3 === i)
+      val st = order.tail.foldLeft(
+        IncrementalAgg.partialState(slice(order.head), Seq("k"), "v", dc))(
+        (s, i) => IncrementalAgg.mergeState(s, slice(i), Seq("k"), "v", dc))
+      IncrementalAgg.finalizeState(st, Seq("k")).orderBy("k")
+    }
+    // the bitmap ORs associatively/commutatively: ANY fold order gives
+    // byte-identical state, hence identical estimates — and identical
+    // to never having batched at all
+    val base = rows(folded(Seq(0, 1, 2)))
+    rows(folded(Seq(2, 0, 1))) shouldBe base
+    rows(folded(Seq(1, 2, 0))) shouldBe base
+    base shouldBe rows(oneShot)
+    // accuracy: per-key estimate within 5% of the exact distinct count
+    val exact = facts.groupBy("k").agg(countDistinct(col("rid")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    oneShot.collect().foreach { r =>
+      val est = r.getLong(r.fieldIndex("n_distinct")).toDouble
+      val ex = exact(r.getString(0)).toDouble
+      math.abs(est - ex) / ex should be <= 0.05
+    }
+    // the algebraic columns are untouched by the extra state column
+    rows(oneShot.drop("n_distinct")) shouldBe rows(
+      IncrementalAgg.finalizeState(
+        IncrementalAgg.partialState(facts, Seq("k"), "v"), Seq("k"))
+        .orderBy("k"))
+  }
+
   test("IncrementalAgg: state schema is stable across repeated folds") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions._

@@ -441,6 +441,28 @@ class StreamingSpec extends SparkSpec {
       Seq("k"), "v") shouldBe true
   }
 
+  test("streamingRollup with distinctCol maintains approx-distinct per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-srldist").toString
+    val input = MemoryStream[(String, Double, Long)]
+    val q = EventStreams.streamingRollup(input.toDF().toDF("k", "v", "uid"),
+      s"$base/rollup", Seq("k"), "v", s"$base/ckpt",
+      distinctCol = Some("uid"))
+    try {
+      input.addData(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 10.0, 1L))
+      q.processAllAvailable()
+      // uid 2 repeats across batches: the OR-merged bitmap must not
+      // double-count it; uid 3 is new
+      input.addData(("a", 3.0, 2L), ("a", 4.0, 3L))
+      q.processAllAvailable()
+      val got = graft.operators.IncrementalAgg.finalizeState(
+        spark.read.parquet(s"$base/rollup/state"), Seq("k"))
+        .select("k", "n_distinct").orderBy("k")
+      // at 3 values in a 2^14 bitmap the estimator is exact
+      rows(got) shouldBe Seq(Seq("a", 3L), Seq("b", 1L))
+    } finally q.stop()
+  }
+
   test("bucketed rollup: only touched buckets rewrite; replay folds only unlanded buckets") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions.col
