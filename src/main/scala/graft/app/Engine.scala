@@ -120,9 +120,10 @@ final class Engine(spark: SparkSession, sink: TableSink) {
           // violate the declared constraint.
           val evolved =
             if (table.allowAddColumns) {
-              val have = target.columns.map(_.toLowerCase).toSet
-              val added = aligned.schema.fields
-                .filterNot(f => have(f.name.toLowerCase))
+              // same diff definition as the fill itself (Load
+              // .addedColumns) — guard and fill can never disagree on
+              // what counts as an added column
+              val added = Load.addedColumns(target, aligned)
               val spec = table.activeItems
                 .map(c => c.dbName.toLowerCase -> c).toMap
               added.filter(f =>

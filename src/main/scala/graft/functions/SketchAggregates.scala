@@ -49,31 +49,15 @@ case class LinearCountSketch(
     buf
   }
 
-  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < words) { buf(i) |= other(i); i += 1 }
-    buf
-  }
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    LinearCount.orInto(buf, other)
 
-  override def eval(buf: Array[Long]): Any = {
-    var zeros = 0L
-    var i = 0
-    while (i < words) { zeros += 64 - java.lang.Long.bitCount(buf(i)); i += 1 }
-    if (zeros == 0) m.toLong // saturated: lower bound
-    else math.round(-m.toDouble * math.log(zeros.toDouble / m))
-  }
+  override def eval(buf: Array[Long]): Any = LinearCount.estimate(buf, m)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(words * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](words)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    LinearCount.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    LinearCount.fromBytes(bytes, words)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): LinearCountSketch =
     copy(mutableAggBufferOffset = newOffset)

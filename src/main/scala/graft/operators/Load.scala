@@ -37,11 +37,19 @@ object Load {
     * allowed (engine flag + nullability check); this only performs it.
     * Removed/retyped columns pass through untouched so the merge union
     * still fails loudly on them. */
-  def withStageColumns(target: DataFrame, stage: DataFrame): DataFrame = {
+  def withStageColumns(target: DataFrame, stage: DataFrame): DataFrame =
+    addedColumns(target, stage).foldLeft(target)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+
+  /** The columns `stage` carries that `target` lacks (case-insensitive
+    * match, like the merge's own column resolution). ONE definition:
+    * the engine's nullability guard and [[withStageColumns]]'s fill
+    * must agree on what counts as "added", or a column could be filled
+    * without being checked. */
+  def addedColumns(target: DataFrame,
+                   stage: DataFrame): Seq[org.apache.spark.sql.types.StructField] = {
     val have = target.columns.map(_.toLowerCase).toSet
-    stage.schema.fields.filterNot(f => have(f.name.toLowerCase))
-      .foldLeft(target)((df, f) =>
-        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    stage.schema.fields.filterNot(f => have(f.name.toLowerCase)).toSeq
   }
 
   /** Stage-wins primary-key merge (J1+J2+J3). */

@@ -51,23 +51,40 @@ object Maintenance {
     * ([[Dedup.appendToMinhashIndex]]): every micro-batch append adds at
     * least one file per bucket, and after thousands of batches the
     * zero-exchange probe drowns in per-file open/footer overhead.
-    * Rewrites the table through a STAGE TABLE with the SAME
-    * bucketBy/sortBy spec (the probe plans' co-partitioning contract
-    * survives — pinned by a ScaleSpec assertion that re-checks the
-    * zero-exchange probe AFTER compaction), then drop+rename, guarded
-    * and idempotent like every swap here.
+    * Rewrites the table through a STAGE TABLE with the table's OWN
+    * bucketBy/sortBy spec — read from the catalog, never caller-
+    * supplied, so a compaction cannot silently re-spec the index the
+    * way a mismatched argument would (the probe plans' co-partitioning
+    * contract survives; pinned by a ScaleSpec assertion that re-checks
+    * the zero-exchange probe AFTER compaction) — then drop+rename,
+    * guarded and idempotent like every swap here.
+    *
+    * SINGLE-WRITER CADENCE (like [[graft.app.JdbcSink.cleanOrphanTemps]]):
+    * rows appended between the compaction read and the swap would be
+    * dropped by the rename. A pre-swap file-listing recheck aborts
+    * loudly when it detects a concurrent append; the residual window
+    * (recheck → rename) is the caller's scheduling contract.
     *
     * Task count is size-aware: `max(buckets, bytes/targetFileBytes)`
     * tasks, so a bucket bigger than the target splits across files
     * (hash spread of its keys) while small tables collapse to one file
     * per bucket. Returns the task count used. */
-  def compactBucketed(spark: SparkSession, table: String, keys: Seq[String],
-                      buckets: Int,
+  def compactBucketed(spark: SparkSession, table: String,
                       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val bucketSpec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' carries no bucket spec — use compactParquet for " +
+        "plain layouts"))
+    val keys = bucketSpec.bucketColumnNames
+    val buckets = bucketSpec.numBuckets
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(): Set[String] = fs.listStatus(loc).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    val snapshot = dataFiles()
     val bytes = fs.getContentSummary(loc).getLength
     val nTasks = math.max(buckets,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -89,6 +106,16 @@ object Maintenance {
       spark.table(table).repartition(nTasks, keys.map(col): _*),
       stage, keys, buckets)
     finally spark.conf.set(autoKey, autoWas)
+    // concurrent-append recheck BEFORE the destructive swap: a batch
+    // landed after the compaction read would be silently dropped by
+    // drop+rename — abort loudly instead and clean our stage up
+    if (dataFiles() != snapshot) {
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      throw new graft.model.UserException(
+        s"concurrent append detected on '$table' during compaction — " +
+          "aborted (no data touched). Schedule compaction while no " +
+          "ingest is in flight")
+    }
     graft.app.SwapGuard(s"compaction swap failed for table '$table' " +
         s"(compacted data preserved in table $stage)") {
       // idempotent across ambiguous failures, same shape as the JDBC
@@ -107,16 +134,14 @@ object Maintenance {
   }
 
   /** Compact the minhash index pair ([[Dedup.saveMinhashIndex]]'s
-    * `<name>_bands` + `<name>_shingles`) with their exact bucket specs.
-    * Bands first: a failure between the two leaves shingles
-    * uncompacted (slower, never wrong). */
+    * `<name>_bands` + `<name>_shingles`) — each table's bucket spec
+    * comes from the catalog, so the compaction can never drift from
+    * the spec the index was built with. Bands first: a failure between
+    * the two leaves shingles uncompacted (slower, never wrong). */
   def compactMinhashIndex(spark: SparkSession, name: String,
-                          buckets: Int = 8,
                           targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    compactBucketed(spark, s"${name}_bands", Seq("band_idx", "band_key"),
-      buckets, targetFileBytes)
-    compactBucketed(spark, s"${name}_shingles", Seq("doc_id"),
-      buckets, targetFileBytes)
+    compactBucketed(spark, s"${name}_bands", targetFileBytes)
+    compactBucketed(spark, s"${name}_shingles", targetFileBytes)
   }
 
   /** Per-centroid compaction of a persisted IVF index's inverted lists
@@ -131,6 +156,15 @@ object Maintenance {
     * rows), then the per-partition swap reuses
     * [[graft.app.SwapGuard.swapChildren]] — the same idempotent
     * crash/replay semantics as every partition-scoped writer here.
+    *
+    * SINGLE-WRITER CADENCE like [[compactBucketed]]: a concurrent
+    * [[Similarity.appendToIvfIndex]] into a touched list between the
+    * compaction read and the swap would be dropped by the rename — and
+    * worse than a lost batch, the appender has already rolled the
+    * fingerprint forward, so the index would keep VALIDATING while
+    * silently missing those vectors. The pre-swap recheck aborts
+    * loudly on any touched list whose file set changed; the residual
+    * window (recheck → rename) is the caller's scheduling contract.
     * Returns the compacted centroid ids. */
   def compactIvfIndex(spark: SparkSession, path: String,
                       maxFilesPerList: Int = 4,
@@ -141,11 +175,12 @@ object Maintenance {
     if (!fs.exists(assign)) return Nil
     val lists = fs.listStatus(assign).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("centroid="))
-    val touched = lists.filter { st =>
-      fs.listStatus(st.getPath).count(f =>
-        f.getPath.getName.endsWith(".parquet")) > maxFilesPerList
-    }
+    def listFiles(p: Path): Set[String] = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val touched = lists.filter(st => listFiles(st.getPath).size > maxFilesPerList)
     if (touched.isEmpty) return Nil
+    val snapshot = touched.map(st => st.getPath -> listFiles(st.getPath)).toMap
     val ids = touched.map(_.getPath.getName.stripPrefix("centroid=").toInt)
     // per-list output file counts from on-disk bytes; ≥1 each
     val nf = touched.map { st =>
@@ -171,6 +206,17 @@ object Maintenance {
       .repartition(nf.map(_._2).sum, col("centroid"), col("__slot"))
       .drop("__nf", "__slot")
       .write.partitionBy("centroid").parquet(stage.toString)
+    // concurrent-append recheck BEFORE any destructive rename
+    val drifted = snapshot.collect {
+      case (p, files) if fs.exists(p) && listFiles(p) != files => p.getName
+    }
+    if (drifted.nonEmpty) {
+      fs.delete(stage, true)
+      throw new graft.model.UserException(
+        s"concurrent append detected in $path (${drifted.mkString(", ")}) " +
+          "during IVF compaction — aborted (no data touched). Schedule " +
+          "compaction while no ingest is in flight")
+    }
     graft.app.SwapGuard(s"IVF list compaction swap failed for '$path' " +
         s"(compacted lists preserved at $stage)") {
       graft.app.SwapGuard.swapChildren(fs, stage, assign,

@@ -74,17 +74,23 @@ object DocumentStreams {
                 // the DATABASE registration may be gone too (same
                 // non-persistent catalog) — defaultTablePath would
                 // throw NoSuchDatabase; fall back to the catalog's own
-                // default-location convention <warehouse>/<db>.db/
+                // default-location convention: <warehouse>/<db>.db/
+                // for named databases, the warehouse root for 'default'
+                // (its location IS the warehouse). An unqualified ident
+                // resolves against the CURRENT database here, same as
+                // defaultTablePath would have.
                 try new org.apache.hadoop.fs.Path(
                   spark.sessionState.catalog.defaultTablePath(ident))
                 catch {
                   case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
                     val wh = new org.apache.hadoop.fs.Path(
                       spark.conf.get("spark.sql.warehouse.dir"))
-                    val db = ident.database.get.toLowerCase
-                    new org.apache.hadoop.fs.Path(
-                      new org.apache.hadoop.fs.Path(wh, s"$db.db"),
-                      ident.table.toLowerCase)
+                    val db = ident.database.getOrElse(
+                      spark.sessionState.catalog.getCurrentDatabase).toLowerCase
+                    val dbDir =
+                      if (db == "default") wh
+                      else new org.apache.hadoop.fs.Path(wh, s"$db.db")
+                    new org.apache.hadoop.fs.Path(dbDir, ident.table.toLowerCase)
                 }
               }
               .filter(p => p.getFileSystem(

@@ -43,7 +43,9 @@ class MaintenanceSpec extends SparkSpec {
       }
       files should be >= 20 // ≥4 per write × 6 writes, minus empties
       val before = rows(spark.table(name).orderBy("k"))
-      Maintenance.compactBucketed(spark, name, Seq("k"), 4)
+      // the bucket spec comes from the CATALOG — no caller-supplied
+      // keys/buckets that could silently re-spec the index
+      Maintenance.compactBucketed(spark, name)
       files shouldBe 4 // exactly one file per bucket
       rows(spark.table(name).orderBy("k")) shouldBe before
       // the rewritten table still carries the bucket spec (catalog-level)
@@ -54,6 +56,16 @@ class MaintenanceSpec extends SparkSpec {
       // no stage residue
       spark.catalog.listTables().collect()
         .map(_.name).filter(_.contains("__compact_")) shouldBe empty
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("compactBucketed refuses a table without a bucket spec") {
+    val name = "graft_cb_plain"
+    try {
+      (1 to 10).map(i => (i.toLong, i)).toDF("k", "v")
+        .write.saveAsTable(name)
+      an[IllegalArgumentException] should be thrownBy
+        Maintenance.compactBucketed(spark, name)
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
