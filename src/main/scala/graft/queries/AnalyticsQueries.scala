@@ -898,6 +898,64 @@ object AnalyticsQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q2 FAITHFUL (over the derived partsupp): min-supply-cost
+    // supplier per part within one region, part filter on type+size.
+    // The correlated min-cost subquery decorrelates to a window over
+    // ONE partition shuffle of the region-restricted partsupp —
+    // never a self-join. partsupp/supplier scale with SF → AQE;
+    // nation/region constant → pinned broadcasts.
+    "q2_min_cost_supplier_ps" -> ((s, dir) => {
+      val euro = derivedPartsupp(s, dir)
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey"), col("s_acctbal"), col("s_name")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+      val w = Window.partitionBy(col("ps_partkey"))
+      euro.withColumn("min_cost", min(col("ps_supplycost")).over(w))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .join(t(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY" && col("p_size") < 25)
+          .select(col("p_partkey")),
+          col("p_partkey") === col("ps_partkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"),
+          col("s_acctbal"), col("ps_supplycost").cast("double")
+            .as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 FAITHFUL (over the derived partsupp): parts whose
+    // single-nation stock value (supplycost·availqty) exceeds 0.1% of
+    // that nation's total. Value terms are exact decimals; the
+    // threshold compares in DOUBLE on both engines (decimal×1000
+    // exceeds DuckDB's width cap — the q11-analog drift class).
+    "q11_important_parts_ps" -> ((s, dir) => {
+      val natps = derivedPartsupp(s, dir)
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_18")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty").cast("decimal(6,0)"))
+            .cast("decimal(22,2)").as("v"))
+      natps.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value"))
+        .withColumn("total", sum(col("value")).over(Window.partitionBy(lit(0))))
+        .filter(col("value").cast("double") * 1000 >
+          col("total").cast("double"))
+        .select(col("ps_partkey").as("p_partkey"),
+          col("value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
     // TPC-H Q11-style: parts whose single-nation line value exceeds
     // 0.1% of that nation's total (lineitem value stands in for
     // supplycost·availqty — no partsupp). The global total is a
@@ -1379,6 +1437,38 @@ object AnalyticsQueries {
         |  FROM offers)
         |WHERE price = min_price
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q2_min_cost_supplier_ps" -> (partsuppSql +
+      """,
+        |euro AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        |  FROM partsupp
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |best AS (
+        |  SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+        |  FROM euro)
+        |SELECT p_partkey, s_name, n_name, s_acctbal,
+        |       CAST(ps_supplycost AS DOUBLE) AS supply_cost
+        |FROM best JOIN part ON p_partkey = ps_partkey
+        |WHERE ps_supplycost = min_cost AND p_type = 'ECONOMY' AND p_size < 25
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+    "q11_important_parts_ps" -> (partsuppSql +
+      """,
+        |natps AS (
+        |  SELECT ps_partkey,
+        |         CAST(ps_supplycost * CAST(ps_availqty AS DECIMAL(6,0)) AS DECIMAL(22,2)) AS v
+        |  FROM partsupp
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_18'),
+        |val AS (SELECT ps_partkey, SUM(v) AS value FROM natps GROUP BY ps_partkey)
+        |SELECT ps_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+        |FROM (SELECT *, SUM(value) OVER () AS total FROM val)
+        |WHERE CAST(value AS DOUBLE) * 1000 > CAST(total AS DOUBLE)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin),
     "q9_product_profit" -> (partsuppSql +
       """
         |SELECT n_name AS nation, EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
