@@ -467,6 +467,73 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the actionable upgrade
+    * of [[windowDupStats]] (which only measures): every token covered
+    * by a `windowSize`-token window that also appears in a SMALLER
+    * doc_id is dropped; the smallest doc keeps its text (exact-
+    * substring dedup à la Lee et al. "Deduplicating Training Data",
+    * with fixed windows standing in for the suffix array). In-doc
+    * repetition is untouched — only cross-document sharing removes.
+    *
+    * Returns `(doc_id, clean_text, n_tokens, n_removed)`; docs with
+    * zero tokens are dropped (both engines agree — the oracle mirrors
+    * this).
+    *
+    * Scale shape — ONE corpus scan, TWO shuffles, NO joins:
+    *  1. one explode to token rows `(doc, i, tok, whash)` where
+    *     `whash` hashes the window STARTING at i (the window string
+    *     exists only inside the codegen'd stage; a 64-bit hash crosses
+    *     the shuffle, never w-token strings — collisions only
+    *     over-remove, at ~2^-64 per pair);
+    *  2. min-doc per window via a window function over the whash
+    *     partition (never a join-back). Tail positions (no full
+    *     window starts there) must NOT pile into one corpus-scale
+    *     null partition, and branching them around the shuffle would
+    *     re-derive the explode from a second corpus scan (exchange
+    *     reuse does not fire across such branches) — instead they get
+    *     structurally-disjoint SINGLETON partition keys
+    *     `(isNull, doc, i)`, where real windows share
+    *     `(false, whash, 0)`: one lineage, one scan, a singleton's
+    *     min(doc) is its own doc so the flag is naturally false;
+    *  3. a per-doc ordered window (`rows [-(w-1), 0]` max) turns
+    *     dup-start flags into covered-token flags, and the groupBy on
+    *     the SAME doc key reassembles the kept tokens (one exchange,
+    *     reused). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            windowSize: Int = 8): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    val w = windowSize
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val rows = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""IF(size(__toks) = 0, array(),
+           |   transform(sequence(0, size(__toks) - 1), i -> named_struct(
+           |     'tok', __toks[i],
+           |     'whash', IF(i <= size(__toks) - $w,
+           |       xxhash64(array_join(slice(__toks, i + 1, $w), ' ')),
+           |       CAST(NULL AS BIGINT)))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("__i"),
+        col("col.tok").as("__tok"), col("col.whash").as("__whash"))
+    val winW = Window.partitionBy(
+      col("__whash").isNull,
+      coalesce(col("__whash"), col("doc_id")),
+      when(col("__whash").isNull, col("__i")).otherwise(lit(0L)))
+    val coverW = Window.partitionBy(col("doc_id")).orderBy(col("__i"))
+      .rowsBetween(-(w - 1), 0)
+    rows
+      .withColumn("__dupstart",
+        (min(col("doc_id")).over(winW) < col("doc_id")).cast("int"))
+      .withColumn("__cov", max(col("__dupstart")).over(coverW))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("""array_join(transform(array_sort(collect_list(
+                |  IF(__cov = 0, named_struct('i', __i, 't', __tok), NULL))),
+                |  s -> s.t), ' ')""".stripMargin).as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__cov")).cast("long").as("n_removed"))
+  }
+
   /** Exact pairwise n-gram Jaccard over a (sampled) corpus — the
     * brute-force oracle companion to [[minhashNearDupPairs]]. Quadratic:
     * only for bounded subsets / verification, never the 100 TB path. */

@@ -150,6 +150,16 @@ object PipelineQueries {
           "doc_id", "text", windowSize = 8, stride = 4)
         .orderBy(col("doc_id"))),
 
+    // The REMOVAL upgrade of window_dedup_stats: tokens covered by an
+    // 8-token window shared with a smaller doc_id are dropped (the
+    // original keeps its text; the planted copies keep only their
+    // perturbed tails). Hash-verified end to end — the oracle rebuilds
+    // the cleaned text in SQL.
+    "window_dedup_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(dupCorpus(s, dir, perturb = true),
+          "doc_id", "text", windowSize = 8)
+        .orderBy(col("doc_id"))),
+
     // connected components over the (deterministic, oracle-able)
     // jaccard pair graph: min-label propagation to fixpoint, mirrored
     // by a recursive CTE in DuckDB.
@@ -545,6 +555,34 @@ object PipelineQueries {
          |  CAST(COUNT(s.win) AS DOUBLE) / COUNT(*) AS dup_frac
          |FROM wins w LEFT JOIN shared s ON w.win = s.win
          |GROUP BY w.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "window_dedup_removal" ->
+      s"""WITH ${dupCorpusSql(perturb = true)},
+         |d AS (SELECT doc_id, $tokensSql AS toks FROM corpus),
+         |rows AS (
+         |  SELECT doc_id, i, toks[i + 1] AS tok,
+         |         CASE WHEN i <= len(toks) - 8
+         |              THEN array_to_string(toks[i + 1:i + 8], ' ') END AS win
+         |  FROM d, LATERAL (SELECT unnest(range(0, len(toks))) AS i) s
+         |  WHERE len(toks) > 0),
+         |flagged AS (
+         |  SELECT doc_id, i, tok,
+         |         CASE WHEN win IS NOT NULL
+         |              AND MIN(doc_id) OVER (PARTITION BY win) < doc_id
+         |              THEN 1 ELSE 0 END AS dupstart
+         |  FROM rows),
+         |covered AS (
+         |  SELECT doc_id, i, tok,
+         |         MAX(dupstart) OVER (PARTITION BY doc_id ORDER BY i
+         |                             ROWS BETWEEN 7 PRECEDING
+         |                             AND CURRENT ROW) AS cov
+         |  FROM flagged)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cov = 0),
+         |           '') AS clean_text,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(cov) AS BIGINT) AS n_removed
+         |FROM covered GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "embedding_topk_cosine" ->
       """WITH q AS (

@@ -68,6 +68,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpans: cross-doc spans removed from the later doc only; in-doc repeats kept") {
+    val corpus = Seq(
+      // 12 shared tokens + distinct tails: the shared prefix is
+      // covered by 4-token windows in BOTH, removed only from doc 11
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu original tail here"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu copied ending differs"),
+      // in-doc repetition, no cross-doc sharing → fully kept
+      (12L, "solo solo solo solo solo solo solo solo unique closing words"),
+      // shorter than the window → untouched
+      (13L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+        windowSize = 4).orderBy("doc_id"))
+    val byId = got.map(r => r.head -> r).toMap
+    // doc 10 is the canonical (smallest) owner: untouched
+    byId(10L)(1) shouldBe "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu original tail here"
+    byId(10L)(3) shouldBe 0L
+    // doc 11 loses exactly the 12 shared tokens, keeps its tail
+    byId(11L)(1) shouldBe "copied ending differs"
+    byId(11L)(2) shouldBe 15L
+    byId(11L)(3) shouldBe 12L
+    // in-doc repetition is not cross-document sharing
+    byId(12L)(3) shouldBe 0L
+    // sub-window doc unchanged
+    byId(13L)(1) shouldBe "tiny doc"
+    byId(13L)(3) shouldBe 0L
+  }
+
+  test("removeDuplicatedSpans: exact copy collapses to empty text, original intact") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+        windowSize = 4).orderBy("doc_id"))
+    got shouldBe Seq(
+      Seq(1L, "one two three four five six seven eight nine ten", 10L, 0L),
+      Seq(2L, "", 10L, 10L))
+  }
+
   test("exactCorpus keeps the smallest-id row of each content cluster") {
     val kept = rows(Dedup.exactCorpus(docs, "doc_id", "text")
       .select("doc_id").orderBy("doc_id")).map(_.head)

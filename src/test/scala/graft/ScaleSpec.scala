@@ -264,6 +264,20 @@ class ScaleSpec extends SparkSpec {
       _.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 1
   }
 
+  test("plan shape: removeDuplicatedSpans is join-free — one corpus scan") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+    // min-doc-per-window is a window over the whash partition and the
+    // tail rows ride the SAME lineage under singleton keys — a
+    // branch-and-union (or a join-back) would scan and explode the
+    // corpus twice, since exchange reuse does not fire across branches
+    df.queryExecution.optimizedPlan.toString should not include "Join"
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    explained.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) shouldBe 1
+  }
+
   test("plan shape: no pinned broadcast hints on SF-scaling tables") {
     // nation/region are constant-size at any scale factor → an explicit
     // broadcast() hint is safe. customer/supplier grow linearly with SF
