@@ -34,7 +34,15 @@ object DocumentStreams {
                            shingleSize: Int = 3, k: Int = 20,
                            bands: Int = 5, threshold: Double = 0.5,
                            maxBucket: Int = 1000,
-                           buckets: Int = 8): StreamingQuery =
+                           buckets: Int = 8,
+                           /** Compact the index every N batches (0 =
+                             * never). Runs INSIDE foreachBatch, so the
+                             * compactors' single-writer contract holds
+                             * by construction — no appender can race
+                             * the swap. This is the operational
+                             * cadence that keeps zero-exchange probes
+                             * fast after thousands of appends. */
+                           compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -116,6 +124,13 @@ object DocumentStreams {
         try novel.write.mode("overwrite")
           .parquet(s"$corpusPath/batch_id=$batchId")
         finally novel.unpersist()
+        // cadence AFTER the batch landed: a compaction failure must
+        // not roll back an accepted batch (the corpus partition and
+        // index append are already durable; the stream fails loud and
+        // the next restart replays only the compaction-era batch,
+        // which the per-batch_id overwrite makes idempotent)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.operators.Maintenance.compactMinhashIndex(spark, indexName)
         ()
       }
       .start()
@@ -134,7 +149,13 @@ object DocumentStreams {
                                 vecCol: String, checkpointDir: String,
                                 threshold: Double = 0.99, nProbe: Int = 4,
                                 nCentroids: Int = 16,
-                                trainIters: Int = 3): StreamingQuery =
+                                trainIters: Int = 3,
+                                /** Compact touched IVF lists every N
+                                  * batches (0 = never) — same
+                                  * single-writer-by-construction
+                                  * cadence as [[streamingIngestDedup]]. */
+                                compactEvery: Int = 0,
+                                maxFilesPerList: Int = 4): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -162,6 +183,10 @@ object DocumentStreams {
         try novel.write.mode("overwrite")
           .parquet(s"$corpusPath/batch_id=$batchId")
         finally novel.unpersist()
+        // post-landing cadence, same rationale as the text twin
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.operators.Maintenance.compactIvfIndex(spark, indexPath,
+            maxFilesPerList)
         ()
       }
       .start()

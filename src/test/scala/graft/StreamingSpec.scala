@@ -378,6 +378,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingIngestDedup compactEvery: index files stay bounded, gating unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-singest-c").toString
+    val name = s"graft_mh_streamc_${System.nanoTime}"
+    val input = MemoryStream[(Long, String)]
+    // compact every 2 batches, INSIDE foreachBatch — the compactors'
+    // single-writer contract holds by construction here
+    val q = graft.streaming.DocumentStreams.streamingIngestDedup(
+      input.toDF().toDF("doc_id", "text"), name, s"$base/corpus",
+      "doc_id", "text", checkpointDir = s"$base/ckpt", compactEvery = 2)
+    def bandFiles: Int = {
+      val loc = new java.io.File(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_bands"))
+          .location.toString))
+      Option(loc.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def corpusIds: Set[Long] = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      input.addData(
+        (1L, "seed document with words alpha beta gamma delta epsilon zeta"),
+        (3L, "fresh topic about completely new material one two"))
+      q.processAllAvailable()
+      (2 to 5).foreach { b =>
+        input.addData((100L + b,
+          s"novel subject number $b with its own distinct vocabulary"))
+        q.processAllAvailable()
+      }
+      // 6 batches (1 bootstrap + 5 appends) with compaction every 2:
+      // the bands table sits at its compacted width (8 buckets → 8
+      // files, +append residue of at most one uncompacted cycle)
+      bandFiles should be <= 8 * 2
+      // gating still correct after compactions: a near-copy of the
+      // FIRST batch and of a late append are both dropped
+      input.addData(
+        (7L, "seed document with words alpha beta gamma delta epsilon zeta qq"),
+        (8L, "novel subject number 5 with its own distinct vocabulary x"))
+      q.processAllAvailable()
+      corpusIds.intersect(Set(7L, 8L)) shouldBe Set.empty
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("streamingRollup maintains a persisted per-key rollup; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-srollup").toString
@@ -588,7 +636,8 @@ class StreamingSpec extends SparkSpec {
     val q = graft.streaming.DocumentStreams.streamingIngestEmbeddings(
       input.toDF().toDF("vec_id", "embedding"), s"$base/index",
       s"$base/corpus", "vec_id", "embedding",
-      checkpointDir = s"$base/ckpt", nCentroids = 4, trainIters = 2)
+      checkpointDir = s"$base/ckpt", nCentroids = 4, trainIters = 2,
+      compactEvery = 2, maxFilesPerList = 1)
     def corpusIds: Set[Long] = spark.read.parquet(s"$base/corpus")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     try {
@@ -608,6 +657,18 @@ class StreamingSpec extends SparkSpec {
       input.addData((20L, blockVec(4, 11)))
       q.processAllAvailable()
       corpusIds shouldBe Set(1L, 2L, 3L, 4L, 11L)
+
+      // the in-stream compaction cadence (every 2 batches, threshold 1
+      // file per list) kept the touched lists collapsed: no list holds
+      // more than 2 files (one compacted + at most one fresh append)
+      val dirs = Option(new java.io.File(s"$base/index/assignments")
+        .listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+      dirs should not be empty
+      dirs.foreach { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet")) should be <= 2
+      }
     } finally q.stop()
   }
 }
