@@ -522,8 +522,16 @@ object Dedup {
     val coverW = Window.partitionBy(col("doc_id")).orderBy(col("__i"))
       .rowsBetween(-(w - 1), 0)
     rows
+      // coalesce to false mirrors the oracle's CASE WHEN … THEN 1 ELSE 0:
+      // a NULL doc_id compares as NULL against the window's min — left
+      // bare, that NULL rides through max() into __cov and the IF below
+      // silently drops the document's every token (and NULLs n_removed).
+      // NULL-id docs are never treated as duplicates (min() ignores
+      // NULLs, so they also can't "own" a span) and, SQL GROUP BY
+      // semantics, collapse into one output group.
       .withColumn("__dupstart",
-        (min(col("doc_id")).over(winW) < col("doc_id")).cast("int"))
+        coalesce(min(col("doc_id")).over(winW) < col("doc_id"), lit(false))
+          .cast("int"))
       .withColumn("__cov", max(col("__dupstart")).over(coverW))
       .groupBy(col("doc_id"))
       .agg(

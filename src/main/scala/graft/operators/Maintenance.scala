@@ -68,9 +68,26 @@ object Maintenance {
     * Task count is size-aware: `max(buckets, bytes/targetFileBytes)`
     * tasks, so a bucket bigger than the target splits across files
     * (hash spread of its keys) while small tables collapse to one file
-    * per bucket. Returns the task count used. */
+    * per bucket. Returns the task count used.
+    *
+    * `maxFilesPerBucket > 0` turns the call into an accretion-gated
+    * no-op: when the table holds at most `buckets * maxFilesPerBucket`
+    * data files there is nothing worth rewriting, and the (full-table)
+    * rewrite is skipped — returns 0. A recurring cadence MUST set this
+    * (the in-stream `compactEvery` sinks do): without it every firing
+    * rewrites the whole accreted table even when almost nothing was
+    * appended since the last pass. Note the rewrite that DOES fire is
+    * still O(table), not O(accreted) — a bucketed catalog table has no
+    * per-bucket commit protocol to rewrite one bucket in place — so
+    * the amortized cadence cost is O(table / firings); layouts that
+    * need true O(appended) maintenance use the partition-per-list
+    * shape ([[compactIvfIndex]]) instead. */
   def compactBucketed(spark: SparkSession, table: String,
-                      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                      targetFileBytes: Long = 128L * 1024 * 1024,
+                      maxFilesPerBucket: Int = 0): Int = {
+    // a prior run may have died between its swap's DROP and RENAME —
+    // complete that swap first (the stage table is the only copy)
+    recoverCompactSwap(spark, table)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val bucketSpec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -85,6 +102,8 @@ object Maintenance {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName).toSet
     val snapshot = dataFiles()
+    if (maxFilesPerBucket > 0 && snapshot.size <= buckets * maxFilesPerBucket)
+      return 0
     val bytes = fs.getContentSummary(loc).getLength
     val nTasks = math.max(buckets,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -119,7 +138,11 @@ object Maintenance {
     graft.app.SwapGuard(s"compaction swap failed for table '$table' " +
         s"(compacted data preserved in table $stage)") {
       // idempotent across ambiguous failures, same shape as the JDBC
-      // sink swap: stage gone + target present = a prior attempt landed
+      // sink swap: stage gone + target present = a prior attempt landed.
+      // PROCESS death between the DROP and the RENAME is recovered by
+      // [[recoverCompactSwap]] on the next call (or by the streaming
+      // sinks at batch start): with a persistent metastore the stage
+      // table survives as the only — and complete — copy.
       if (!spark.catalog.tableExists(stage)) {
         if (!spark.catalog.tableExists(table))
           throw new IllegalStateException(
@@ -133,15 +156,65 @@ object Maintenance {
     nTasks
   }
 
+  /** Complete a [[compactBucketed]] swap that a PROCESS crash cut
+    * between its `DROP TABLE <table>` and `ALTER TABLE <stage> RENAME`:
+    * with a persistent metastore the restarted session sees the target
+    * table gone while `<table>__compact_<hex8>` — a complete compacted
+    * copy, written and concurrency-rechecked before the swap began —
+    * is still registered. Without this, an index consumer that treats
+    * "table missing" as "bootstrap" would silently rebuild from one
+    * batch, discarding the accreted history (the streaming ingest
+    * sinks call this before that decision). Returns true when a
+    * stranded swap was completed. Target present → no-op (a pre-swap
+    * stage left behind is stale — possibly missing later appends — and
+    * must never be renamed over the live table). Several candidate
+    * stages with the target missing is genuinely ambiguous (only one
+    * can be the crashed swap's) — fail loud rather than guess. */
+  def recoverCompactSwap(spark: SparkSession, table: String): Boolean = {
+    if (spark.catalog.tableExists(table)) return false
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = ident.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    val re = ("^" + java.util.regex.Pattern.quote(ident.table.toLowerCase) +
+      "__compact_[0-9a-f]{8}$").r
+    val stages = spark.sessionState.catalog.listTables(db)
+      .filter(t => re.findFirstIn(t.table).isDefined)
+    stages match {
+      case Seq() => false
+      case Seq(st) =>
+        graft.app.SwapGuard(s"recovery rename failed for crashed " +
+            s"compaction of '$table' (data preserved in table ${st.table})") {
+          // idempotent: a prior recovery attempt that landed leaves the
+          // stage gone and the target present
+          if (spark.catalog.tableExists(s"`$db`.`${st.table}`"))
+            spark.sql(
+              s"ALTER TABLE `$db`.`${st.table}` RENAME TO `$db`.`${ident.table}`")
+          else if (!spark.catalog.tableExists(table))
+            throw new IllegalStateException(
+              s"stage '${st.table}' and target '$table' both missing")
+        }
+        true
+      case many => throw new graft.model.UserException(
+        s"table '$table' is missing and ${many.size} compaction stages " +
+          s"survive (${many.map(_.table).mkString(", ")}) — cannot pick " +
+          "the crashed swap's copy automatically; rename the latest in " +
+          "manually and drop the rest")
+    }
+  }
+
   /** Compact the minhash index pair ([[Dedup.saveMinhashIndex]]'s
     * `<name>_bands` + `<name>_shingles`) — each table's bucket spec
     * comes from the catalog, so the compaction can never drift from
     * the spec the index was built with. Bands first: a failure between
-    * the two leaves shingles uncompacted (slower, never wrong). */
+    * the two leaves shingles uncompacted (slower, never wrong).
+    * `maxFilesPerBucket` gates each table on accretion (see
+    * [[compactBucketed]]) — recurring cadences must set it. */
   def compactMinhashIndex(spark: SparkSession, name: String,
-                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    compactBucketed(spark, s"${name}_bands", targetFileBytes)
-    compactBucketed(spark, s"${name}_shingles", targetFileBytes)
+                          targetFileBytes: Long = 128L * 1024 * 1024,
+                          maxFilesPerBucket: Int = 0): Unit = {
+    compactBucketed(spark, s"${name}_bands", targetFileBytes, maxFilesPerBucket)
+    compactBucketed(spark, s"${name}_shingles", targetFileBytes,
+      maxFilesPerBucket)
   }
 
   /** Per-centroid compaction of a persisted IVF index's inverted lists
@@ -173,6 +246,10 @@ object Maintenance {
     val assign = new Path(s"$path/assignments")
     val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(assign)) return Nil
+    // a prior run may have died mid-swap — rename its licensed stage's
+    // stranded lists back in before reading the (otherwise silently
+    // incomplete) index
+    recoverIvfCompaction(spark, path)
     val lists = fs.listStatus(assign).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.startsWith("centroid="))
     def listFiles(p: Path): Set[String] = fs.listStatus(p).toSeq
@@ -217,12 +294,65 @@ object Maintenance {
           "during IVF compaction — aborted (no data touched). Schedule " +
           "compaction while no ingest is in flight")
     }
+    // swap license marker (repo convention: _APPLIED_* = "this stage's
+    // content is COMPLETE and the destructive swap may begin/resume").
+    // A process crash inside swapChildren's delete(dst)→rename window
+    // would otherwise leave that centroid's list silently missing while
+    // the index keeps validating — the marker lets
+    // [[recoverIvfCompaction]] rename the stranded copy back in; a
+    // markerless stage is by the same token pre-swap garbage (target
+    // intact) and safe to clear.
+    fs.create(new Path(stage, "_APPLIED_SWAP"), true).close()
     graft.app.SwapGuard(s"IVF list compaction swap failed for '$path' " +
         s"(compacted lists preserved at $stage)") {
       graft.app.SwapGuard.swapChildren(fs, stage, assign,
         ids.map(i => s"centroid=$i"))
     }
     ids
+  }
+
+  /** Crash recovery for [[compactIvfIndex]], marker-licensed like
+    * every partition-scoped writer here ([[graft.app.SwapGuard.recoverChild]]
+    * semantics): a `_compact_<hex8>` stage under `assignments/` bearing
+    * the `_APPLIED_SWAP` marker holds complete compacted copies of its
+    * lists and a swap that may have died mid-rename — any `centroid=K`
+    * child missing from the live layout is renamed back in (a child
+    * still live was not yet swapped; its staged copy — equal content by
+    * the pre-swap recheck — is dropped with the stage). A markerless
+    * stage died before its swap was licensed: the live layout is
+    * untouched and the stage is cleared. SINGLE-WRITER contract as for
+    * the compactor itself — never call concurrently with a running
+    * compaction (its in-flight stage is markerless). Returns the
+    * recovered child names. */
+  def recoverIvfCompaction(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val assign = new Path(s"$path/assignments")
+    val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(assign)) return Nil
+    val compactStage = "^_compact_[0-9a-f]{8}$".r
+    fs.listStatus(assign).toSeq
+      .filter(st => st.isDirectory &&
+        compactStage.findFirstIn(st.getPath.getName).isDefined)
+      .flatMap { st =>
+        val sp = st.getPath
+        val licensed = fs.exists(new Path(sp, "_APPLIED_SWAP"))
+        val recovered =
+          if (!licensed) Nil
+          else fs.listStatus(sp).toSeq
+            .filter(c => c.isDirectory && c.getPath.getName.startsWith("centroid="))
+            .map(_.getPath.getName)
+            .filter { c =>
+              val dst = new Path(assign, c)
+              !fs.exists(dst) && {
+                if (!fs.rename(new Path(sp, c), dst))
+                  throw new java.io.IOException(
+                    s"recovery rename failed for '$c' from $sp")
+                true
+              }
+            }
+        fs.delete(sp, true)
+        recovered
+      }
   }
 
   /** Single-pass column profile: one output row per column with null

@@ -42,13 +42,34 @@ object DocumentStreams {
                              * the swap. This is the operational
                              * cadence that keeps zero-exchange probes
                              * fast after thousands of appends. */
-                           compactEvery: Int = 0): StreamingQuery =
+                           compactEvery: Int = 0,
+                           /** Accretion gate for the cadence: a firing
+                             * only rewrites a table holding more than
+                             * `buckets * maxFilesPerBucket` files
+                             * (see [[graft.operators.Maintenance
+                             * .compactBucketed]]) — without it every
+                             * firing is a full-index rewrite even
+                             * when nearly nothing accreted. */
+                           maxFilesPerBucket: Int = 4): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val bdf = batch.toDF()
+        // a PROCESS crash inside a previous batch's compaction swap
+        // (DROP landed, RENAME didn't) leaves the table missing while
+        // its __compact_ stage — the only complete copy — survives in
+        // a persistent metastore. Complete that swap BEFORE the
+        // bootstrap decision below: treating "table missing" as
+        // "bootstrap" would rebuild the index from this batch alone and
+        // silently re-admit near-copies of the whole accreted history.
+        if (!spark.catalog.tableExists(s"${indexName}_bands") ||
+            !spark.catalog.tableExists(s"${indexName}_shingles"))
+          Seq("_bands", "_shingles").foreach { sfx =>
+            graft.operators.Maintenance.recoverCompactSwap(
+              spark, indexName + sfx)
+          }
         val novel =
           if (!spark.catalog.tableExists(s"${indexName}_bands")) {
             // restart audit BEFORE bootstrapping: with a
@@ -126,11 +147,14 @@ object DocumentStreams {
         finally novel.unpersist()
         // cadence AFTER the batch landed: a compaction failure must
         // not roll back an accepted batch (the corpus partition and
-        // index append are already durable; the stream fails loud and
-        // the next restart replays only the compaction-era batch,
-        // which the per-batch_id overwrite makes idempotent)
+        // index append are already durable). An in-process exception
+        // fails the stream loud and the restart replays only the
+        // compaction-era batch (idempotent per-batch_id overwrite);
+        // PROCESS death inside the swap window is healed by the
+        // recoverCompactSwap call at the top of the next batch.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.operators.Maintenance.compactMinhashIndex(spark, indexName)
+          graft.operators.Maintenance.compactMinhashIndex(spark, indexName,
+            maxFilesPerBucket = maxFilesPerBucket)
         ()
       }
       .start()
@@ -167,6 +191,13 @@ object DocumentStreams {
           new org.apache.hadoop.fs.Path(s"$indexPath/centroids").getFileSystem(
             spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(s"$indexPath/centroids"))
+        // heal a previous batch's compaction swap that a process crash
+        // cut mid-rename: a licensed _compact_ stage's stranded lists
+        // are renamed back in BEFORE this batch probes the index —
+        // otherwise the probe keeps validating while silently missing
+        // those vectors (re-admitting their near-duplicates)
+        if (bootstrapped)
+          graft.operators.Maintenance.recoverIvfCompaction(spark, indexPath)
         val novel =
           if (!bootstrapped) {
             // bootstrap: exact in-batch cosine dedup, then index build
@@ -184,6 +215,8 @@ object DocumentStreams {
           .parquet(s"$corpusPath/batch_id=$batchId")
         finally novel.unpersist()
         // post-landing cadence, same rationale as the text twin
+        // (process death mid-swap is healed by the recoverIvfCompaction
+        // call at the top of the next batch)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           graft.operators.Maintenance.compactIvfIndex(spark, indexPath,
             maxFilesPerList)

@@ -59,6 +59,113 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("compactBucketed accretion gate: below-threshold table is left untouched") {
+    val name = "graft_cb_gate"
+    try {
+      graft.sources.BucketedStore.writeBucketed(
+        (0L until 100L).map(i => (i, i)).toDF("k", "v"), name, Seq("k"), 4)
+      def fileNames: Set[String] = {
+        val loc = new java.io.File(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(name))
+            .location.toString))
+        Option(loc.listFiles()).toSeq.flatten.map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val before = fileNames
+      // freshly written: at most one file per bucket — nothing accreted
+      Maintenance.compactBucketed(spark, name, maxFilesPerBucket = 4) shouldBe 0
+      fileNames shouldBe before // not rewritten, same physical files
+      // gate off (default) → the rewrite happens
+      Maintenance.compactBucketed(spark, name) should be > 0
+      fileNames should not be before
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("recoverCompactSwap completes a crashed DROP-RENAME swap; never clobbers a live table") {
+    val name = "graft_rcs"
+    val stage = s"${name}__compact_00abcdef"
+    try {
+      graft.sources.BucketedStore.writeBucketed(
+        (0L until 200L).map(i => (i, i % 7)).toDF("k", "v"), name, Seq("k"), 4)
+      val before = rows(spark.table(name).orderBy("k"))
+      // live target + stranded pre-swap stage: recovery must refuse
+      // (the stage may be missing appends that landed after it was cut)
+      graft.sources.BucketedStore.writeBucketed(
+        spark.table(name), stage, Seq("k"), 4)
+      Maintenance.recoverCompactSwap(spark, name) shouldBe false
+      rows(spark.table(name).orderBy("k")) shouldBe before
+      // simulate the crash window: DROP landed, RENAME didn't — the
+      // stage table is now the only copy
+      spark.sql(s"DROP TABLE $name")
+      Maintenance.recoverCompactSwap(spark, name) shouldBe true
+      rows(spark.table(name).orderBy("k")) shouldBe before
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(name))
+      meta.bucketSpec.map(_.numBuckets) shouldBe Some(4)
+      spark.catalog.tableExists(stage) shouldBe false
+      // idempotent: nothing left to recover
+      Maintenance.recoverCompactSwap(spark, name) shouldBe false
+      // two surviving stages with the target missing is ambiguous —
+      // loud, not a guess
+      spark.sql(s"ALTER TABLE $name RENAME TO $stage")
+      graft.sources.BucketedStore.writeBucketed(
+        spark.table(stage), s"${name}__compact_00012345", Seq("k"), 4)
+      an[graft.model.UserException] should be thrownBy
+        Maintenance.recoverCompactSwap(spark, name)
+    } finally Seq(name, stage, s"${name}__compact_00012345")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("recoverIvfCompaction: licensed stage restores a stranded list, markerless stage is cleared") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    def vec(c: Int) = Array.tabulate(16)(d =>
+      (if (d == c % 16) 10f else 0f) + rnd.nextFloat() * 0.1f)
+    val corpus = (0L until 120L).map(i => (i, vec(i.toInt % 4)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("graft-ivf-recover").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path, nCentroids = 4)
+    val q = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val before = rows(Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3).orderBy("q_id", "rnk"))
+    val assign = new java.io.File(s"$path/assignments")
+    val lists = assign.listFiles().filter(_.getName.startsWith("centroid="))
+    lists.length shouldBe 4
+    // simulate a crash inside swapChildren: one list's delete(dst)
+    // happened and the rename didn't — its only copy sits in the
+    // licensed stage; a second list was staged but not yet swapped
+    // (live copy still present)
+    val stage = new java.io.File(assign, "_compact_00000001")
+    stage.mkdir()
+    val gone = lists.head
+    val kept = lists(1)
+    java.nio.file.Files.move(gone.toPath,
+      new java.io.File(stage, gone.getName).toPath)
+    locally { // flat copy (a centroid list dir holds only data files)
+      val dst = new java.io.File(stage, kept.getName); dst.mkdir()
+      kept.listFiles().filter(_.isFile).foreach(f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath))
+    }
+    new java.io.File(stage, "_APPLIED_SWAP").createNewFile()
+    // plus a markerless stage from a crash BEFORE any destructive step
+    val preswap = new java.io.File(assign, "_compact_00000002")
+    preswap.mkdir()
+    new java.io.File(preswap, "junk").createNewFile()
+
+    Maintenance.recoverIvfCompaction(spark, path) shouldBe Seq(gone.getName)
+    new java.io.File(assign, gone.getName).exists() shouldBe true
+    new java.io.File(assign, kept.getName).exists() shouldBe true
+    stage.exists() shouldBe false
+    preswap.exists() shouldBe false
+    // the healed index answers exactly as before the crash
+    rows(Similarity.ivfTopKPersisted(spark, path, q,
+      "vec_id", "embedding", k = 3).orderBy("q_id", "rnk")) shouldBe before
+  }
+
   test("compactBucketed refuses a table without a bucket spec") {
     val name = "graft_cb_plain"
     try {

@@ -385,9 +385,13 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     // compact every 2 batches, INSIDE foreachBatch — the compactors'
     // single-writer contract holds by construction here
+    // maxFilesPerBucket=1: at test scale the accretion gate (default 4)
+    // would skip every firing — one file per bucket of slack keeps the
+    // cadence exercising the actual rewrite
     val q = graft.streaming.DocumentStreams.streamingIngestDedup(
       input.toDF().toDF("doc_id", "text"), name, s"$base/corpus",
-      "doc_id", "text", checkpointDir = s"$base/ckpt", compactEvery = 2)
+      "doc_id", "text", checkpointDir = s"$base/ckpt", compactEvery = 2,
+      maxFilesPerBucket = 1)
     def bandFiles: Int = {
       val loc = new java.io.File(java.net.URI.create(
         spark.sessionState.catalog.getTableMetadata(
@@ -408,9 +412,10 @@ class StreamingSpec extends SparkSpec {
           s"novel subject number $b with its own distinct vocabulary"))
         q.processAllAvailable()
       }
-      // 6 batches (1 bootstrap + 5 appends) with compaction every 2:
-      // the bands table sits at its compacted width (8 buckets → 8
-      // files, +append residue of at most one uncompacted cycle)
+      // 5 batches (bootstrap at batchId 0 + 4 appends) with
+      // compactEvery=2 → the cadence fired at batchIds 1 and 3: at
+      // assertion time the bands table is at its batch-3-compacted
+      // width (8 buckets → 8 files) plus the batch-4 append residue
       bandFiles should be <= 8 * 2
       // gating still correct after compactions: a near-copy of the
       // FIRST batch and of a late append are both dropped
