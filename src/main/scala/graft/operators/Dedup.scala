@@ -477,7 +477,8 @@ object Dedup {
     *
     * Returns `(doc_id, clean_text, n_tokens, n_removed)`; docs with
     * zero tokens are dropped (both engines agree — the oracle mirrors
-    * this).
+    * this). A NULL id fails loud (see the guard comment in the body) —
+    * assign surrogate ids upstream.
     *
     * Scale shape — ONE corpus scan, TWO shuffles, NO joins:
     *  1. one explode to token rows `(doc, i, tok, whash)` where
@@ -503,7 +504,21 @@ object Dedup {
                             windowSize: Int = 8): DataFrame = {
     require(windowSize > 0, "windowSize must be positive")
     val w = windowSize
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // a NULL id is refused LOUDLY, in-lineage (no extra scan, no plan
+    // change): it can neither own a span (min() ignores NULLs) nor be
+    // marked a duplicate, and letting it through would either silently
+    // EMPTY the doc's clean_text (the bare NULL comparison riding
+    // max() into __cov) or — under SQL GROUP BY semantics — merge
+    // every NULL doc into one group whose reassembly interleaves their
+    // tokens into garbage. Routing them around instead would cost a
+    // second corpus scan on every call to serve a branch that a sane
+    // corpus leaves empty. The remedy belongs upstream.
+    val toks = docs.select(
+      when(col(idCol).isNull, raise_error(lit(
+          s"removeDuplicatedSpans: NULL document id in '$idCol' — " +
+            "assign surrogate ids upstream; a NULL can neither own a " +
+            "span nor be deduplicated")))
+        .otherwise(col(idCol)).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
     val rows = toks
       .select(col("doc_id"), posexplode(expr(
@@ -522,16 +537,11 @@ object Dedup {
     val coverW = Window.partitionBy(col("doc_id")).orderBy(col("__i"))
       .rowsBetween(-(w - 1), 0)
     rows
-      // coalesce to false mirrors the oracle's CASE WHEN … THEN 1 ELSE 0:
-      // a NULL doc_id compares as NULL against the window's min — left
-      // bare, that NULL rides through max() into __cov and the IF below
-      // silently drops the document's every token (and NULLs n_removed).
-      // NULL-id docs are never treated as duplicates (min() ignores
-      // NULLs, so they also can't "own" a span) and, SQL GROUP BY
-      // semantics, collapse into one output group.
+      // NULL-free by construction (the raise_error guard above), so
+      // the min-id comparison can never ride a NULL through max() into
+      // __cov — which would silently empty the document's clean_text
       .withColumn("__dupstart",
-        coalesce(min(col("doc_id")).over(winW) < col("doc_id"), lit(false))
-          .cast("int"))
+        (min(col("doc_id")).over(winW) < col("doc_id")).cast("int"))
       .withColumn("__cov", max(col("__dupstart")).over(coverW))
       .groupBy(col("doc_id"))
       .agg(

@@ -72,8 +72,10 @@ object Maintenance {
     *
     * `maxFilesPerBucket > 0` turns the call into an accretion-gated
     * no-op: when the table holds at most `buckets * maxFilesPerBucket`
-    * data files there is nothing worth rewriting, and the (full-table)
-    * rewrite is skipped — returns 0. A recurring cadence MUST set this
+    * data files BEYOND the size-justified baseline (`max(buckets,
+    * bytes/targetFileBytes)` — what a fresh compaction would leave)
+    * there is nothing worth rewriting, and the (full-table) rewrite is
+    * skipped — returns 0. A recurring cadence MUST set this
     * (the in-stream `compactEvery` sinks do): without it every firing
     * rewrites the whole accreted table even when almost nothing was
     * appended since the last pass. Note the rewrite that DOES fire is
@@ -102,11 +104,19 @@ object Maintenance {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName).toSet
     val snapshot = dataFiles()
-    if (maxFilesPerBucket > 0 && snapshot.size <= buckets * maxFilesPerBucket)
-      return 0
     val bytes = fs.getContentSummary(loc).getLength
     val nTasks = math.max(buckets,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // the gate measures ACCRETION over the size-justified baseline: a
+    // freshly compacted table already holds ~nTasks files, so a flat
+    // `buckets * maxFilesPerBucket` cap would stop closing once the
+    // table outgrows that many target-sized files and every firing
+    // would become a full rewrite. (bytes includes the accreted data,
+    // overstating the baseline slightly — errs toward skipping, never
+    // toward a needless rewrite.)
+    if (maxFilesPerBucket > 0 &&
+        snapshot.size <= nTasks + buckets * maxFilesPerBucket)
+      return 0
     val stage = s"${table}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
     // one shuffle on the bucket keys: with nTasks == buckets each task
     // holds exactly one bucket (same murmur3 pmod as the bucket spec)
@@ -186,10 +196,26 @@ object Maintenance {
             s"compaction of '$table' (data preserved in table ${st.table})") {
           // idempotent: a prior recovery attempt that landed leaves the
           // stage gone and the target present
-          if (spark.catalog.tableExists(s"`$db`.`${st.table}`"))
+          if (spark.catalog.tableExists(s"`$db`.`${st.table}`")) {
+            // the adjacent crash window — DURING the DROP's data
+            // deletion — leaves the registration gone but a partial
+            // directory at the managed location; the rename's dir move
+            // would collide with it forever (a wedged stream). The
+            // catalog says no such table exists, and the stage holds
+            // the complete copy: clear the unregistered remnant first.
+            try {
+              val leftover = new org.apache.hadoop.fs.Path(
+                spark.sessionState.catalog.defaultTablePath(ident))
+              val lfs = leftover.getFileSystem(
+                spark.sessionState.newHadoopConf())
+              if (lfs.exists(leftover)) lfs.delete(leftover, true)
+            } catch {
+              case _: org.apache.spark.sql.catalyst.analysis
+                  .NoSuchDatabaseException => () // no dir to collide with
+            }
             spark.sql(
               s"ALTER TABLE `$db`.`${st.table}` RENAME TO `$db`.`${ident.table}`")
-          else if (!spark.catalog.tableExists(table))
+          } else if (!spark.catalog.tableExists(table))
             throw new IllegalStateException(
               s"stage '${st.table}' and target '$table' both missing")
         }
@@ -312,18 +338,28 @@ object Maintenance {
   }
 
   /** Crash recovery for [[compactIvfIndex]], marker-licensed like
-    * every partition-scoped writer here ([[graft.app.SwapGuard.recoverChild]]
-    * semantics): a `_compact_<hex8>` stage under `assignments/` bearing
-    * the `_APPLIED_SWAP` marker holds complete compacted copies of its
-    * lists and a swap that may have died mid-rename — any `centroid=K`
-    * child missing from the live layout is renamed back in (a child
-    * still live was not yet swapped; its staged copy — equal content by
-    * the pre-swap recheck — is dropped with the stage). A markerless
-    * stage died before its swap was licensed: the live layout is
-    * untouched and the stage is cleared. SINGLE-WRITER contract as for
-    * the compactor itself — never call concurrently with a running
-    * compaction (its in-flight stage is markerless). Returns the
-    * recovered child names. */
+    * every partition-scoped writer here: a `_compact_<hex8>` stage
+    * under `assignments/` bearing the `_APPLIED_SWAP` marker holds
+    * COMPLETE compacted copies of its lists and a swap that may have
+    * died anywhere — so recovery simply finishes the swap
+    * ([[graft.app.SwapGuard.swapChildren]]) with the staged copies.
+    * Preferring the stage is the only safe choice: the pre-swap
+    * recheck guaranteed staged content == live content when the swap
+    * was licensed, while a live list the crash caught mid-`delete` is
+    * PARTIAL in a way no recovery can detect — keeping it would
+    * silently lose vectors behind a still-validating fingerprint. A
+    * markerless stage died before its swap was licensed: the live
+    * layout is untouched and the stage is cleared. SINGLE-WRITER
+    * contract as for the compactor itself — never call concurrently
+    * with a running compaction (its in-flight stage is markerless) or
+    * append; every write path here ([[compactIvfIndex]],
+    * [[Similarity.appendToIvfIndex]], the streaming sink) recovers at
+    * entry, so an append can never land on a half-swapped layout that
+    * recovery would then overwrite. Pure READERS deliberately do not
+    * recover (a reader may race a live compaction by design and must
+    * not delete its in-flight stage) — a probe between a crash and the
+    * next write can miss the stranded lists; any write heals it.
+    * Returns the swapped child names. */
   def recoverIvfCompaction(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val assign = new Path(s"$path/assignments")
@@ -335,23 +371,20 @@ object Maintenance {
         compactStage.findFirstIn(st.getPath.getName).isDefined)
       .flatMap { st =>
         val sp = st.getPath
-        val licensed = fs.exists(new Path(sp, "_APPLIED_SWAP"))
-        val recovered =
-          if (!licensed) Nil
-          else fs.listStatus(sp).toSeq
-            .filter(c => c.isDirectory && c.getPath.getName.startsWith("centroid="))
-            .map(_.getPath.getName)
-            .filter { c =>
-              val dst = new Path(assign, c)
-              !fs.exists(dst) && {
-                if (!fs.rename(new Path(sp, c), dst))
-                  throw new java.io.IOException(
-                    s"recovery rename failed for '$c' from $sp")
-                true
-              }
-            }
-        fs.delete(sp, true)
-        recovered
+        if (fs.exists(new Path(sp, "_APPLIED_SWAP"))) {
+          val children = fs.listStatus(sp).toSeq
+            .filter(c => c.isDirectory &&
+              c.getPath.getName.startsWith("centroid="))
+            .map(_.getPath.getName).sorted
+          graft.app.SwapGuard(s"IVF compaction recovery failed for " +
+              s"'$path' (staged lists preserved at $sp)") {
+            graft.app.SwapGuard.swapChildren(fs, sp, assign, children)
+          }
+          children
+        } else {
+          fs.delete(sp, true)
+          Nil
+        }
       }
   }
 

@@ -256,6 +256,11 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        path: String): DataFrame = {
     val spark = batch.sparkSession
+    // finish any crashed compaction swap BEFORE appending: a file
+    // landed in a half-swapped list would be overwritten by the
+    // recovery's staged copy (every WRITE path recovers at entry —
+    // see Maintenance.recoverIvfCompaction)
+    Maintenance.recoverIvfCompaction(spark, path)
     val centroids = loadIvfCentroids(spark, path)
     val assigned = assignFrame(batch, vecCol, centroids)
     assigned.write.mode("append").partitionBy("centroid")

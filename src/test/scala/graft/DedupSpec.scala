@@ -108,25 +108,26 @@ class DedupSpec extends SparkSpec {
       Seq(2L, "", 10L, 10L))
   }
 
-  test("removeDuplicatedSpans: NULL doc_id keeps its text — never a dup, never an owner") {
-    // the oracle's CASE WHEN … THEN 1 ELSE 0 makes a NULL id's
-    // min(doc_id) comparison fall to "not a duplicate"; the DataFrame
-    // must match (a bare NULL comparison would otherwise ride into
-    // __cov and silently EMPTY the document's clean_text)
+  test("removeDuplicatedSpans: a NULL doc_id fails loud, never silently empties text") {
+    // a NULL id can't own a span or be a duplicate; letting it through
+    // would either silently EMPTY its clean_text (a bare NULL
+    // comparison riding into __cov) or merge all NULL docs into one
+    // garbled interleaved group — the operator refuses loudly instead
+    // (in-lineage raise_error: no second corpus scan, ScaleSpec's
+    // one-scan pin holds)
     val corpus = Seq(
       (Some(1L), "one two three four five six seven eight first tail"),
-      (Some(2L), "one two three four five six seven eight second tail"),
       (None: Option[Long], "one two three four five six seven eight anon tail")
     ).toDF("doc_id", "text")
-    val got = rows(Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
-        windowSize = 8).orderBy(asc_nulls_last("doc_id")))
-    got shouldBe Seq(
-      Seq(1L, "one two three four five six seven eight first tail", 10L, 0L),
-      // doc 2 loses the 8-token window shared with doc 1 (only i=0
-      // matches: later windows differ at the tails)
-      Seq(2L, "second tail", 10L, 8L),
-      // the NULL-id doc shares that window too but is untouched
-      Seq(null, "one two three four five six seven eight anon tail", 10L, 0L))
+    val e = intercept[Exception] {
+      Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", windowSize = 8)
+        .collect()
+    }
+    e.getMessage should include("NULL document id")
+    // null-free corpora are untouched by the guard
+    val ok = Seq((Some(1L), "one two three")).toDF("doc_id", "text")
+    rows(Dedup.removeDuplicatedSpans(ok, "doc_id", "text", windowSize = 8))
+      .shouldBe(Seq(Seq(1L, "one two three", 3L, 0L)))
   }
 
   test("exactCorpus keeps the smallest-id row of each content cluster") {

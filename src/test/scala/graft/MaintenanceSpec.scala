@@ -76,6 +76,14 @@ class MaintenanceSpec extends SparkSpec {
       // freshly written: at most one file per bucket — nothing accreted
       Maintenance.compactBucketed(spark, name, maxFilesPerBucket = 4) shouldBe 0
       fileNames shouldBe before // not rewritten, same physical files
+      // size-JUSTIFIED files are not accretion: with a 1-byte target
+      // every file is justified by bytes alone, so even a 1-file-per-
+      // bucket allowance skips (a flat buckets*max cap would misfire
+      // here forever once a table outgrows it — the gate measures
+      // accretion over the max(buckets, bytes/target) baseline)
+      Maintenance.compactBucketed(spark, name, targetFileBytes = 1,
+        maxFilesPerBucket = 1) shouldBe 0
+      fileNames shouldBe before
       // gate off (default) → the rewrite happens
       Maintenance.compactBucketed(spark, name) should be > 0
       fileNames should not be before
@@ -156,7 +164,12 @@ class MaintenanceSpec extends SparkSpec {
     preswap.mkdir()
     new java.io.File(preswap, "junk").createNewFile()
 
-    Maintenance.recoverIvfCompaction(spark, path) shouldBe Seq(gone.getName)
+    // recovery COMPLETES the licensed swap with the staged copies —
+    // both children are swapped in (a live dir the crash caught
+    // mid-delete would be undetectably partial; the staged copy is
+    // complete by construction), the markerless stage is cleared
+    Maintenance.recoverIvfCompaction(spark, path).toSet shouldBe
+      Set(gone.getName, kept.getName)
     new java.io.File(assign, gone.getName).exists() shouldBe true
     new java.io.File(assign, kept.getName).exists() shouldBe true
     stage.exists() shouldBe false

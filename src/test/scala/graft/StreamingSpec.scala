@@ -385,13 +385,13 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     // compact every 2 batches, INSIDE foreachBatch — the compactors'
     // single-writer contract holds by construction here
-    // maxFilesPerBucket=1: at test scale the accretion gate (default 4)
-    // would skip every firing — one file per bucket of slack keeps the
-    // cadence exercising the actual rewrite
+    // maxFilesPerBucket=0 disables the accretion gate: at test scale
+    // it would skip every firing, and this test pins the REWRITE
+    // (the gate itself is covered in MaintenanceSpec)
     val q = graft.streaming.DocumentStreams.streamingIngestDedup(
       input.toDF().toDF("doc_id", "text"), name, s"$base/corpus",
       "doc_id", "text", checkpointDir = s"$base/ckpt", compactEvery = 2,
-      maxFilesPerBucket = 1)
+      maxFilesPerBucket = 0)
     def bandFiles: Int = {
       val loc = new java.io.File(java.net.URI.create(
         spark.sessionState.catalog.getTableMetadata(
