@@ -99,12 +99,17 @@ object Maintenance {
     val buckets = bucketSpec.numBuckets
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    def dataFiles(): Set[String] = fs.listStatus(loc).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName).toSet
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(loc).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
     val snapshot = dataFiles()
-    val bytes = fs.getContentSummary(loc).getLength
+    val snapNames = snapshot.map(_.getPath.getName).toSet
+    // bytes from the same flat listing (data files only — consistent
+    // with what snapshot counts); a getContentSummary here would be a
+    // second full tree walk on EVERY gated firing, whose common case
+    // is the skip
+    val bytes = snapshot.map(_.getLen).sum
     val nTasks = math.max(buckets,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // the gate measures ACCRETION over the size-justified baseline: a
@@ -115,7 +120,7 @@ object Maintenance {
     // overstating the baseline slightly — errs toward skipping, never
     // toward a needless rewrite.)
     if (maxFilesPerBucket > 0 &&
-        snapshot.size <= nTasks + buckets * maxFilesPerBucket)
+        snapNames.size <= nTasks + buckets * maxFilesPerBucket)
       return 0
     val stage = s"${table}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
     // one shuffle on the bucket keys: with nTasks == buckets each task
@@ -138,7 +143,7 @@ object Maintenance {
     // concurrent-append recheck BEFORE the destructive swap: a batch
     // landed after the compaction read would be silently dropped by
     // drop+rename — abort loudly instead and clean our stage up
-    if (dataFiles() != snapshot) {
+    if (dataFiles().map(_.getPath.getName).toSet != snapNames) {
       spark.sql(s"DROP TABLE IF EXISTS $stage")
       throw new graft.model.UserException(
         s"concurrent append detected on '$table' during compaction — " +
@@ -201,14 +206,27 @@ object Maintenance {
             // deletion — leaves the registration gone but a partial
             // directory at the managed location; the rename's dir move
             // would collide with it forever (a wedged stream). The
-            // catalog says no such table exists, and the stage holds
-            // the complete copy: clear the unregistered remnant first.
+            // remnant is moved ASIDE, never deleted: from here it is
+            // indistinguishable from a live un-cataloged directory
+            // someone keeps at the table's default path (or a table
+            // whose catalog entry was lost externally) — deleting
+            // would turn the old loud wedge into silent data loss.
+            // A `__remnant_` dir deliberately matches no stage-GC
+            // pattern; it lingers for manual inspection/rescue.
             try {
               val leftover = new org.apache.hadoop.fs.Path(
                 spark.sessionState.catalog.defaultTablePath(ident))
               val lfs = leftover.getFileSystem(
                 spark.sessionState.newHadoopConf())
-              if (lfs.exists(leftover)) lfs.delete(leftover, true)
+              if (lfs.exists(leftover)) {
+                val aside = new org.apache.hadoop.fs.Path(
+                  leftover.getParent, leftover.getName + "__remnant_" +
+                    java.util.UUID.randomUUID().toString.take(8))
+                if (!lfs.rename(leftover, aside))
+                  throw new java.io.IOException(
+                    s"could not move dangling '$leftover' aside to " +
+                      s"'$aside' before recovery rename")
+              }
             } catch {
               case _: org.apache.spark.sql.catalyst.analysis
                   .NoSuchDatabaseException => () // no dir to collide with
@@ -352,14 +370,47 @@ object Maintenance {
     * layout is untouched and the stage is cleared. SINGLE-WRITER
     * contract as for the compactor itself — never call concurrently
     * with a running compaction (its in-flight stage is markerless) or
-    * append; every write path here ([[compactIvfIndex]],
-    * [[Similarity.appendToIvfIndex]], the streaming sink) recovers at
-    * entry, so an append can never land on a half-swapped layout that
-    * recovery would then overwrite. Pure READERS deliberately do not
-    * recover (a reader may race a live compaction by design and must
-    * not delete its in-flight stage) — a probe between a crash and the
-    * next write can miss the stranded lists; any write heals it.
-    * Returns the swapped child names. */
+    * append. Only the contractual single writers auto-recover:
+    * [[compactIvfIndex]] at entry and the streaming sink at batch top.
+    * Other write paths ([[Similarity.appendToIvfIndex]],
+    * [[Similarity.ingestEmbeddingBatch]]) instead fail LOUD on a
+    * detected crash ([[requireNoCrashedIvfCompaction]]) — destructive
+    * recovery from a non-single-writer entry point would race a live
+    * compactor if the contract were being violated. Pure READERS do
+    * neither (a reader may race a live compaction by design) — a probe
+    * between a crash and the next write can miss the stranded lists;
+    * the next write surfaces or heals it. Returns the swapped child
+    * names. */
+  /** READ-ONLY companion to [[recoverIvfCompaction]] for write paths
+    * that are NOT the single writer (standalone
+    * [[Similarity.appendToIvfIndex]]/[[Similarity.ingestEmbeddingBatch]]
+    * callers): a licensed `_compact_` stage means a crashed swap whose
+    * layout may be half-swapped — appending or probing against it is
+    * wrong, but auto-recovering from a non-single-writer entry point
+    * would race a live compactor if the contract is being violated
+    * (turning its loud abort into silent loss). So: detect, fail loud,
+    * name the remedy. Markerless stages are inert here — either
+    * pre-license crash garbage (the live layout is intact) or a live
+    * compactor's in-flight write (not ours to touch). */
+  def requireNoCrashedIvfCompaction(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val assign = new Path(s"$path/assignments")
+    val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(assign)) return
+    val compactStage = "^_compact_[0-9a-f]{8}$".r
+    val crashed = fs.listStatus(assign).toSeq.filter(st =>
+      st.isDirectory &&
+        compactStage.findFirstIn(st.getPath.getName).isDefined &&
+        fs.exists(new Path(st.getPath, "_APPLIED_SWAP")))
+    if (crashed.nonEmpty)
+      throw new graft.model.UserException(
+        s"IVF index at '$path' has a crashed compaction swap " +
+          s"(${crashed.map(_.getPath.getName).mkString(", ")}) — run " +
+          "Maintenance.recoverIvfCompaction (or the next compaction / " +
+          "streaming-sink batch, which recover automatically) before " +
+          "appending or probing")
+  }
+
   def recoverIvfCompaction(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val assign = new Path(s"$path/assignments")

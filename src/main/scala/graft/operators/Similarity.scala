@@ -256,11 +256,16 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        path: String): DataFrame = {
     val spark = batch.sparkSession
-    // finish any crashed compaction swap BEFORE appending: a file
-    // landed in a half-swapped list would be overwritten by the
-    // recovery's staged copy (every WRITE path recovers at entry —
-    // see Maintenance.recoverIvfCompaction)
-    Maintenance.recoverIvfCompaction(spark, path)
+    // READ-ONLY probe, not auto-recovery: a licensed _compact_ stage
+    // means a crashed swap — the layout may be half-swapped, and a
+    // file appended now would be silently dropped when recovery
+    // prefers the staged copies. Recovering from HERE would be worse:
+    // if the single-writer contract is being violated by a live
+    // compactor, destructive recovery races its swap (the old loud
+    // abort becomes silent loss). Fail loud with the remedy instead;
+    // the streaming sink (the contractual single writer) heals at
+    // batch top before ever reaching this.
+    Maintenance.requireNoCrashedIvfCompaction(spark, path)
     val centroids = loadIvfCentroids(spark, path)
     val assigned = assignFrame(batch, vecCol, centroids)
     assigned.write.mode("append").partitionBy("centroid")
@@ -432,6 +437,11 @@ object Similarity {
                            threshold: Double = 0.99,
                            nProbe: Int = 4): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
+    // loud, read-only (same rationale as appendToIvfIndex): the probe
+    // below would otherwise run against a half-swapped layout — and
+    // the lazy probe plan would capture a file listing that the append
+    // leg's recovery would then mutate out from under it
+    Maintenance.requireNoCrashedIvfCompaction(spark, path)
     val centroids = loadIvfCentroids(spark, path)
     // intra-batch candidates use the SAME centroid blocking as the
     // cross-batch probe (both sides explode to nProbe centroids, pairs

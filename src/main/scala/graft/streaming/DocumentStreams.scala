@@ -46,6 +46,8 @@ object DocumentStreams {
                            /** Accretion gate for the cadence: a firing
                              * only rewrites a table holding more than
                              * `buckets * maxFilesPerBucket` files
+                             * BEYOND the size-justified baseline
+                             * `max(buckets, bytes/targetFileBytes)`
                              * (see [[graft.operators.Maintenance
                              * .compactBucketed]]) — without it every
                              * firing is a full-index rewrite even

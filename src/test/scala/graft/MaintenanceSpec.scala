@@ -106,8 +106,31 @@ class MaintenanceSpec extends SparkSpec {
       // simulate the crash window: DROP landed, RENAME didn't — the
       // stage table is now the only copy
       spark.sql(s"DROP TABLE $name")
+      // and an ADJACENT crash (during the DROP's data deletion) left a
+      // partial unregistered dir at the managed location: recovery
+      // must not wedge on the collision NOR delete the dir — it is
+      // moved aside for manual inspection
+      val leftover = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(name)))
+      val lfs = leftover.getFileSystem(spark.sessionState.newHadoopConf())
+      lfs.mkdirs(leftover)
+      lfs.create(new org.apache.hadoop.fs.Path(leftover, "partial.parquet"),
+        true).close()
+      // the warehouse persists across test runs — diff the remnant
+      // set, don't count absolutely
+      def remnantDirs: Set[String] = lfs.listStatus(leftover.getParent)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(leftover.getName + "__remnant_")).toSet
+      val staleRemnants = remnantDirs
       Maintenance.recoverCompactSwap(spark, name) shouldBe true
       rows(spark.table(name).orderBy("k")) shouldBe before
+      val fresh = (remnantDirs -- staleRemnants).toSeq
+      fresh.length shouldBe 1
+      lfs.exists(new org.apache.hadoop.fs.Path(leftover.getParent,
+        s"${fresh.head}/partial.parquet")) shouldBe true
+      lfs.delete(new org.apache.hadoop.fs.Path(leftover.getParent,
+        fresh.head), true)
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(name))
       meta.bucketSpec.map(_.numBuckets) shouldBe Some(4)
@@ -164,6 +187,17 @@ class MaintenanceSpec extends SparkSpec {
     preswap.mkdir()
     new java.io.File(preswap, "junk").createNewFile()
 
+    // non-single-writer write paths fail LOUD on the crashed swap
+    // (auto-recovering from them could race a live compactor if the
+    // single-writer contract were being violated)
+    an[graft.model.UserException] should be thrownBy
+      Similarity.appendToIvfIndex(
+        Seq((9999L, vec(0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    an[graft.model.UserException] should be thrownBy
+      Similarity.ingestEmbeddingBatch(spark, path,
+        Seq((9999L, vec(0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
     // recovery COMPLETES the licensed swap with the staged copies —
     // both children are swapped in (a live dir the crash caught
     // mid-delete would be undetectably partial; the staged copy is
