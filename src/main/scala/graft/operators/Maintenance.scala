@@ -381,45 +381,12 @@ object Maintenance {
     * between a crash and the next write can miss the stranded lists;
     * the next write surfaces or heals it. Returns the swapped child
     * names. */
-  /** READ-ONLY companion to [[recoverIvfCompaction]] for write paths
-    * that are NOT the single writer (standalone
-    * [[Similarity.appendToIvfIndex]]/[[Similarity.ingestEmbeddingBatch]]
-    * callers): a licensed `_compact_` stage means a crashed swap whose
-    * layout may be half-swapped — appending or probing against it is
-    * wrong, but auto-recovering from a non-single-writer entry point
-    * would race a live compactor if the contract is being violated
-    * (turning its loud abort into silent loss). So: detect, fail loud,
-    * name the remedy. Markerless stages are inert here — either
-    * pre-license crash garbage (the live layout is intact) or a live
-    * compactor's in-flight write (not ours to touch). */
-  def requireNoCrashedIvfCompaction(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val assign = new Path(s"$path/assignments")
-    val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(assign)) return
-    val compactStage = "^_compact_[0-9a-f]{8}$".r
-    val crashed = fs.listStatus(assign).toSeq.filter(st =>
-      st.isDirectory &&
-        compactStage.findFirstIn(st.getPath.getName).isDefined &&
-        fs.exists(new Path(st.getPath, "_APPLIED_SWAP")))
-    if (crashed.nonEmpty)
-      throw new graft.model.UserException(
-        s"IVF index at '$path' has a crashed compaction swap " +
-          s"(${crashed.map(_.getPath.getName).mkString(", ")}) — run " +
-          "Maintenance.recoverIvfCompaction (or the next compaction / " +
-          "streaming-sink batch, which recover automatically) before " +
-          "appending or probing")
-  }
-
   def recoverIvfCompaction(spark: SparkSession, path: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val assign = new Path(s"$path/assignments")
     val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(assign)) return Nil
-    val compactStage = "^_compact_[0-9a-f]{8}$".r
-    fs.listStatus(assign).toSeq
-      .filter(st => st.isDirectory &&
-        compactStage.findFirstIn(st.getPath.getName).isDefined)
+    ivfCompactStages(fs, assign)
       .flatMap { st =>
         val sp = st.getPath
         if (fs.exists(new Path(sp, "_APPLIED_SWAP"))) {
@@ -437,6 +404,46 @@ object Maintenance {
           Nil
         }
       }
+  }
+
+  /** READ-ONLY companion to [[recoverIvfCompaction]] for write paths
+    * that are NOT the single writer (standalone
+    * [[Similarity.appendToIvfIndex]]/[[Similarity.ingestEmbeddingBatch]]
+    * callers): a licensed `_compact_` stage means a crashed swap whose
+    * layout may be half-swapped — appending or probing against it is
+    * wrong, but auto-recovering from a non-single-writer entry point
+    * would race a live compactor if the contract is being violated
+    * (turning its loud abort into silent loss). So: detect, fail loud,
+    * name the remedy. Markerless stages are inert here — either
+    * pre-license crash garbage (the live layout is intact) or a live
+    * compactor's in-flight write (not ours to touch). */
+  def requireNoCrashedIvfCompaction(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val assign = new Path(s"$path/assignments")
+    val fs = assign.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(assign)) return
+    val crashed = ivfCompactStages(fs, assign)
+      .filter(st => fs.exists(new Path(st.getPath, "_APPLIED_SWAP")))
+    if (crashed.nonEmpty)
+      throw new graft.model.UserException(
+        s"IVF index at '$path' has a crashed compaction swap " +
+          s"(${crashed.map(_.getPath.getName).mkString(", ")}) — run " +
+          "Maintenance.recoverIvfCompaction (or the next compaction / " +
+          "streaming-sink batch, which recover automatically) before " +
+          "appending or probing")
+  }
+
+  /** The ONE definition of the IVF compaction-stage naming convention
+    * (`_compact_<hex8>` dirs under `assignments/`) — recovery and the
+    * loud-fail detector must never drift apart on it, or the detector
+    * silently passes over exactly the crashed swap it exists to
+    * catch. */
+  private def ivfCompactStages(fs: org.apache.hadoop.fs.FileSystem,
+                               assign: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val compactStage = "^_compact_[0-9a-f]{8}$".r
+    fs.listStatus(assign).toSeq.filter(st => st.isDirectory &&
+      compactStage.findFirstIn(st.getPath.getName).isDefined)
   }
 
   /** Single-pass column profile: one output row per column with null

@@ -255,7 +255,6 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        path: String): DataFrame = {
-    val spark = batch.sparkSession
     // READ-ONLY probe, not auto-recovery: a licensed _compact_ stage
     // means a crashed swap — the layout may be half-swapped, and a
     // file appended now would be silently dropped when recovery
@@ -265,7 +264,16 @@ object Similarity {
     // abort becomes silent loss). Fail loud with the remedy instead;
     // the streaming sink (the contractual single writer) heals at
     // batch top before ever reaching this.
-    Maintenance.requireNoCrashedIvfCompaction(spark, path)
+    Maintenance.requireNoCrashedIvfCompaction(batch.sparkSession, path)
+    appendAssignments(batch, idCol, vecCol, path)
+  }
+
+  /** [[appendToIvfIndex]] minus the crashed-swap probe — for callers
+    * that already established it this batch ([[ingestEmbeddingBatch]]
+    * checks once at entry). */
+  private def appendAssignments(batch: DataFrame, idCol: String,
+                                vecCol: String, path: String): DataFrame = {
+    val spark = batch.sparkSession
     val centroids = loadIvfCentroids(spark, path)
     val assigned = assignFrame(batch, vecCol, centroids)
     assigned.write.mode("append").partitionBy("centroid")
@@ -437,10 +445,10 @@ object Similarity {
                            threshold: Double = 0.99,
                            nProbe: Int = 4): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
-    // loud, read-only (same rationale as appendToIvfIndex): the probe
-    // below would otherwise run against a half-swapped layout — and
-    // the lazy probe plan would capture a file listing that the append
-    // leg's recovery would then mutate out from under it
+    // loud, read-only (same rationale as appendToIvfIndex): probing a
+    // half-swapped layout would silently miss the stranded lists'
+    // vectors and re-admit their near-duplicates. Checked ONCE here —
+    // the append below uses the unchecked variant.
     Maintenance.requireNoCrashedIvfCompaction(spark, path)
     val centroids = loadIvfCentroids(spark, path)
     // intra-batch candidates use the SAME centroid blocking as the
@@ -478,7 +486,7 @@ object Similarity {
       .select(col("q_id")).distinct()
     val novel = batchClean.join(dupIds,
       batchClean(idCol) === dupIds("q_id"), "left_anti").persist()
-    try appendToIvfIndex(novel, idCol, vecCol, path)
+    try appendAssignments(novel, idCol, vecCol, path)
     catch { case e: Throwable => novel.unpersist(); throw e }
     novel
   }
