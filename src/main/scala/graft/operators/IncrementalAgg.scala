@@ -34,6 +34,12 @@ object IncrementalAgg {
     * enforces it loudly on byte-length mismatch). */
   val DistinctSketchBits = 14
 
+  /** Fixed relative accuracy for the quantile state — pinned for the
+    * same reason as [[DistinctSketchBits]]: bucket boundaries are a
+    * function of alpha, so states only compose at the alpha they were
+    * built with (the sketch header enforces it loudly). */
+  val QuantileAlpha = 0.01
+
   /** The partial (mergeable) state of one batch: per-key count / sum /
     * min / max over `valueCol`, plus — when `distinctCol` is set — a
     * linear-counting bitmap of that column's distinct values
@@ -49,7 +55,13 @@ object IncrementalAgg {
     * than 1e-6 round to zero in the SUM (min/max keep the native
     * type); a domain needing finer scale pre-scales the column. */
   def partialState(batch: DataFrame, keys: Seq[String], valueCol: String,
-                   distinctCol: Option[String] = None): DataFrame = {
+                   distinctCol: Option[String] = None,
+                   /** Also maintain a relative-error quantile sketch of
+                     * `valueCol` per key (bounded count-additive bucket
+                     * state — [[graft.functions.QuantileSketchState]]);
+                     * exact quantiles are not expressible as bounded
+                     * fold state any more than exact distinct is. */
+                   trackQuantiles: Boolean = false): DataFrame = {
     val base = Seq(
       count(col(valueCol)).as("agg_count"),
       sum(col(valueCol).cast("decimal(38,6)")).as("agg_sum"),
@@ -57,7 +69,12 @@ object IncrementalAgg {
       max(col(valueCol)).as("agg_max"))
     val aggs = base ++ distinctCol.map(dc =>
       graft.functions.SketchFunctions
-        .distinctSketchState(col(dc), DistinctSketchBits).as("agg_distinct"))
+        .distinctSketchState(col(dc), DistinctSketchBits).as("agg_distinct")) ++
+      (if (trackQuantiles)
+        Seq(graft.functions.QuantileFunctions
+          .quantileSketchState(col(valueCol), QuantileAlpha)
+          .as("agg_quantile"))
+      else Nil)
     normalize(
       batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys)
   }
@@ -68,8 +85,10 @@ object IncrementalAgg {
     * min/max/sum semantics). */
   def mergeState(state: DataFrame, batch: DataFrame, keys: Seq[String],
                  valueCol: String,
-                 distinctCol: Option[String] = None): DataFrame =
-    mergeStates(state, partialState(batch, keys, valueCol, distinctCol), keys)
+                 distinctCol: Option[String] = None,
+                 trackQuantiles: Boolean = false): DataFrame =
+    mergeStates(state,
+      partialState(batch, keys, valueCol, distinctCol, trackQuantiles), keys)
 
   /** Merge two already-partial states (e.g. the persisted state and a
     * pre-aggregated shard from another pipeline). The distinct column
@@ -78,6 +97,7 @@ object IncrementalAgg {
     * state cannot grow or lose a tracked aggregate mid-life). */
   def mergeStates(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val hasDistinct = a.columns.contains("agg_distinct")
+    val hasQuantile = a.columns.contains("agg_quantile")
     val base = Seq(
       sum(col("agg_count")).as("agg_count"),
       sum(col("agg_sum")).as("agg_sum"),
@@ -87,6 +107,10 @@ object IncrementalAgg {
       Seq(graft.functions.SketchFunctions
         .mergeSketchStates(col("agg_distinct"), DistinctSketchBits)
         .as("agg_distinct"))
+    else Nil) ++ (if (hasQuantile)
+      Seq(graft.functions.QuantileFunctions
+        .mergeQuantileStates(col("agg_quantile"), QuantileAlpha)
+        .as("agg_quantile"))
     else Nil)
     normalize(a.unionByName(b).groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*), keys)
@@ -106,6 +130,11 @@ object IncrementalAgg {
       Seq(graft.functions.SketchFunctions
         .sketchEstimate(col("agg_distinct"), DistinctSketchBits)
         .as("n_distinct"))
+    else Nil) ++ (if (state.columns.contains("agg_quantile"))
+      Seq(0.5, 0.95, 0.99).map(q =>
+        graft.functions.QuantileFunctions
+          .quantileEstimate(col("agg_quantile"), q, QuantileAlpha)
+          .as(s"p${(q * 100).toInt}"))
     else Nil)
     state.select(keys.map(col) ++ cols: _*)
   }
@@ -120,5 +149,7 @@ object IncrementalAgg {
       col("agg_min"),
       col("agg_max")) ++
       (if (df.columns.contains("agg_distinct")) Seq(col("agg_distinct"))
+       else Nil) ++
+      (if (df.columns.contains("agg_quantile")) Seq(col("agg_quantile"))
        else Nil): _*)
 }

@@ -363,6 +363,30 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Quantiles ride the SAME fold: the state carries a relative-error
+    // (α = 1%) DDSketch-style bucket map per key whose merge is count
+    // ADDITION, so the maintained rollup reports p50/p95/p99 order
+    // value per clerk without ever rescanning history (exact quantiles
+    // are no more expressible as bounded fold state than exact
+    // distinct). Keyed by order priority (not customer) so each key
+    // holds enough orders for a quantile to mean something. Rows-only in the
+    // driver gate (the estimate is approximate by construction); the
+    // ≤α relative-error bound vs exact and the byte-identical
+    // fold-order invariance are spec-asserted.
+    "incremental_rollup_quantile" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      def slice(i: Int) = ord.filter(col("o_orderkey") % 3 === i)
+      val state = Seq(1, 2).foldLeft(
+        IncrementalAgg.partialState(slice(0), Seq("o_orderpriority"),
+          "o_totalprice", trackQuantiles = true))(
+        (st, i) => IncrementalAgg.mergeState(st, slice(i),
+          Seq("o_orderpriority"), "o_totalprice", trackQuantiles = true))
+      IncrementalAgg.finalizeState(state, Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // The BUCKETED fold through the same state machinery the streaming
     // sink runs (per-bucket markers + swaps): state is wiped per
     // evaluation (the production path accumulates; the gate needs a

@@ -152,14 +152,20 @@ object EventStreams {
                         * [[graft.operators.IncrementalAgg.partialState]]);
                         * exact distinct is not expressible as bounded
                         * fold state. */
-                      distinctCol: Option[String] = None)
+                      distinctCol: Option[String] = None,
+                      /** Also maintain p50/p95/p99 of `valueCol` per
+                        * key (bounded count-additive sketch state — see
+                        * [[graft.operators.IncrementalAgg.partialState]]);
+                        * exact quantiles are not expressible as bounded
+                        * fold state. */
+                      trackQuantiles: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol,
-          distinctCol)
+          distinctCol, trackQuantiles)
         ()
       }
       .start()
@@ -325,7 +331,8 @@ object EventStreams {
   private[graft] def applyRollupBatch(batch: DataFrame, statePath: String,
                                       batchId: Long, keys: Seq[String],
                                       valueCol: String,
-                                      distinctCol: Option[String] = None)
+                                      distinctCol: Option[String] = None,
+                                      trackQuantiles: Boolean = false)
       : Boolean = {
     import graft.operators.IncrementalAgg
     import org.apache.hadoop.fs.Path
@@ -364,7 +371,7 @@ object EventStreams {
             "the fold over would silently drop the accumulated rollup")
     }
     val partial = IncrementalAgg.partialState(batch, keys, valueCol,
-      distinctCol)
+      distinctCol, trackQuantiles)
     val next =
       if (fs.exists(cur))
         IncrementalAgg.mergeStates(spark.read.parquet(cur.toString),

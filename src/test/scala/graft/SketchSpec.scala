@@ -62,6 +62,111 @@ class SketchSpec extends SparkSpec {
     topVia(zipf.repartition(17)) shouldBe expected // sketch state merges across partitions
   }
 
+  test("quantile sketch: p50/p95/p99 within alpha relative error of exact, signed values and zeros included") {
+    import graft.functions.QuantileFunctions
+    val alpha = 0.01
+    // signed, zero-crossing, 5-decades-of-magnitude stream — exercises
+    // the mirrored negative store, the zero counter, and sub-1 buckets
+    val vals = (1 to 4000).map { i =>
+      val mag = math.pow(10.0, (i % 5) - 2) * (1.0 + (i % 97) / 97.0)
+      if (i % 11 == 0) 0.0 else if (i % 3 == 0) -mag else mag
+    }
+    val df = vals.toDF("v")
+    val exact = df.agg(
+      expr("percentile(v, array(0.5, 0.95, 0.99))")).head
+      .getSeq[Double](0)
+    val est = df.agg(
+        QuantileFunctions.quantileSketchState($"v", alpha).as("st"))
+      .select(
+        QuantileFunctions.quantileEstimate($"st", 0.5, alpha),
+        QuantileFunctions.quantileEstimate($"st", 0.95, alpha),
+        QuantileFunctions.quantileEstimate($"st", 0.99, alpha))
+      .head
+    Seq(0, 1, 2).foreach { i =>
+      val (e, a) = (exact(i), est.getDouble(i))
+      withClue(s"q=${Seq(0.5, 0.95, 0.99)(i)} exact=$e est=$a") {
+        // DDSketch guarantee: the estimate is within alpha of SOME
+        // value within rank-interpolation distance of the true
+        // quantile; on continuous data that is |est-exact| <~ alpha*|exact|
+        // (2x slack absorbs the rank convention difference)
+        math.abs(a - e) should be <= 2 * alpha * math.abs(e)
+      }
+    }
+  }
+
+  test("quantile sketch state is byte-identical across partitionings and merge orders") {
+    import graft.functions.QuantileFunctions
+    val df = (1 to 2000).map(i => (i % 7, (i % 83) * 1.5 - 40.0)).toDF("k", "v")
+    def stateBytes(d: org.apache.spark.sql.DataFrame): Map[Int, Seq[Byte]] =
+      d.groupBy("k")
+        .agg(QuantileFunctions.quantileSketchState($"v").as("st"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+    val a = stateBytes(df)
+    stateBytes(df.repartition(17)) shouldBe a // partitioning-independent
+    // combine of partial states is order-independent: fold slices
+    // 0,1,2 vs 2,1,0 through the serialized-state combine
+    def slice(i: Int) = df.filter($"k".isNotNull && $"v" =!= -1e9)
+      .filter(expr(s"pmod(CAST(v * 2 AS INT), 3) = $i"))
+    def foldOrder(order: Seq[Int]): Map[Int, Seq[Byte]] = {
+      val partials = order.map(i => slice(i).groupBy("k")
+        .agg(QuantileFunctions.quantileSketchState($"v").as("st")))
+      partials.reduce(_ unionByName _)
+        .groupBy("k")
+        .agg(QuantileFunctions.mergeQuantileStates($"st").as("st"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+    }
+    foldOrder(Seq(0, 1, 2)) shouldBe foldOrder(Seq(2, 1, 0))
+    // cross-alpha merge fails loud: bucket boundaries differ
+    val partial = df.groupBy("k")
+      .agg(QuantileFunctions.quantileSketchState($"v", 0.01).as("st"))
+    val e = intercept[Exception] {
+      partial.groupBy("k")
+        .agg(QuantileFunctions.mergeQuantileStates($"st", 0.02).as("st"))
+        .collect()
+    }
+    // the require fires inside a task; Spark may wrap it — search the
+    // cause chain for the loud alpha-mismatch message
+    Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ") should
+      include("alpha")
+  }
+
+  test("incremental rollup with trackQuantiles: fold equals one-shot within alpha; fold order cannot change a state byte") {
+    import graft.operators.IncrementalAgg
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    def slice(i: Int) = orders.filter($"o_orderkey" % 3 === i)
+    def fold(order: Seq[Int]): org.apache.spark.sql.DataFrame =
+      order.tail.foldLeft(
+        IncrementalAgg.partialState(slice(order.head),
+          Seq("o_orderpriority"), "o_totalprice", trackQuantiles = true))(
+        (st, i) => IncrementalAgg.mergeState(st, slice(i),
+          Seq("o_orderpriority"), "o_totalprice", trackQuantiles = true))
+    val folded = fold(Seq(0, 1, 2))
+    // persisted state bytes are fold-order-invariant
+    def stBytes(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Byte]] =
+      df.select($"o_orderpriority", $"agg_quantile").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    stBytes(fold(Seq(2, 0, 1))) shouldBe stBytes(folded)
+    // finalize estimates track the exact percentiles over ALL rows
+    val got = IncrementalAgg.finalizeState(folded, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"p50", $"p95", $"p99")
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, es) =>
+      es.zip(got(k)).foreach { case (e, a) =>
+        withClue(s"key=$k exact=$e est=$a") {
+          math.abs(a - e) should be <= 2 * 0.01 * math.abs(e)
+        }
+      }
+    }
+  }
+
   test("count-min sketch: never undercounts, overcount within 2*eps*N") {
     val n = 2000
     val df = (1 to n).map(i => s"tok${i % 37}").toDF("tok")

@@ -516,6 +516,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollup with trackQuantiles maintains per-key quantiles across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-srlq").toString
+    val input = MemoryStream[(String, Double)]
+    val q = EventStreams.streamingRollup(input.toDF().toDF("k", "v"),
+      s"$base/rollup", Seq("k"), "v", s"$base/ckpt",
+      trackQuantiles = true)
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 4.0), ("a", 5.0))
+      q.processAllAvailable()
+      val got = graft.operators.IncrementalAgg.finalizeState(
+          spark.read.parquet(s"$base/rollup/state"), Seq("k"))
+        .select("k", "p50", "p99").orderBy("k")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      got.length shouldBe 2
+      // a holds {1..5} across the two batches: p50 ≈ 3, p99 ≈ 5,
+      // each within the sketch's 1% relative error
+      val (_, aP50, aP99) = got(0)
+      math.abs(aP50 - 3.0) should be <= 0.03
+      math.abs(aP99 - 5.0) should be <= 0.05
+      val (_, bP50, _) = got(1)
+      math.abs(bP50 - 10.0) should be <= 0.1
+    } finally q.stop()
+  }
+
   test("bucketed rollup: only touched buckets rewrite; replay folds only unlanded buckets") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions.col
