@@ -28,9 +28,60 @@ object Maintenance {
     // parallelism into the reduced slot count; a compaction job wants
     // full read parallelism and only narrow output width
     df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
-    // idempotent swap under SwapGuard (see graft.app.SwapGuard): an
-    // ambiguous rename that landed server-side must read as success,
-    // and terminal failure is non-retryable with the stage preserved
+    swapDirIn(fs, stage, target, path)
+    nFiles
+  }
+
+  /** Z-ORDER variant of [[compactParquet]]: rewrites the directory
+    * CLUSTERED on `cols` — rows sorted by the interleaved-bit key of
+    * [[graft.functions.ZOrderFunctions.zkey]], ranged into
+    * ~`targetFileBytes` files — so each output file's footer min/max
+    * is narrow in EVERY listed column and a selective scan on any of
+    * them skips most files/row-groups through ordinary parquet
+    * pushdown. Costs one boundary-sketch pass + one range shuffle of
+    * the data (the same bytes a plain compaction moves); run it as the
+    * compaction cadence for layouts whose read pattern filters on
+    * non-leading columns. Same staging + idempotent swap, same
+    * single-writer contract as [[compactParquet]]. For a
+    * date-partitioned layout, run per partition directory — the z-key
+    * then spans only the columns queries filter WITHIN a partition. */
+  def zorderCompact(spark: SparkSession, path: String, cols: Seq[String],
+                    bits: Int = 8,
+                    targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import graft.functions.ZOrderFunctions
+    require(cols.nonEmpty, "zorderCompact needs at least one column")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    require(!df.columns.contains("__zkey"),
+      "input already has a __zkey column")
+    val bnds = ZOrderFunctions.boundaries(df, cols, bits)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"${path}__compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.withColumn("__zkey",
+        ZOrderFunctions.zkey(cols.map(col), bnds, bits))
+      // range partition + in-partition sort on the z-key: every file
+      // covers a contiguous z-range => tight per-file min/max on each
+      // clustered column. The key is dropped before write — readers
+      // see the original schema, clustering lives only in row order.
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(stage.toString)
+    swapDirIn(fs, stage, target, path)
+    nFiles
+  }
+
+  /** Idempotent stage→target directory swap under SwapGuard (see
+    * [[graft.app.SwapGuard]]): an ambiguous rename that landed
+    * server-side must read as success on retry, and terminal failure
+    * is non-retryable with the stage preserved. */
+  private def swapDirIn(fs: org.apache.hadoop.fs.FileSystem,
+                        stage: org.apache.hadoop.fs.Path,
+                        target: org.apache.hadoop.fs.Path,
+                        path: String): Unit =
     graft.app.SwapGuard(s"compaction swap failed for '$path' after " +
         s"retries (compacted data preserved at $stage)") {
       if (!fs.exists(stage)) {
@@ -43,8 +94,6 @@ object Maintenance {
           throw new java.io.IOException(s"compaction swap failed for '$path'")
       }
     }
-    nFiles
-  }
 
   /** Bucketing-PRESERVING compaction of a bucketed catalog table — the
     * maintenance cadence behind the append-mode persisted indexes

@@ -269,6 +269,44 @@ object RelationalQueries {
         approxDistinct = true)
         .orderBy(col("column"))),
 
+    // Z-order clustered layout (Maintenance.zorderCompact): rewrite a
+    // copy of orders clustered on (o_custkey, o_totalprice), then
+    // report — from ONE scan grouped by _metadata.file_path, the same
+    // min/max the parquet footers carry — how many files a
+    // bottom-decile range probe on EACH clustered column must read.
+    // Rows-only gate (file counts hinge on parquet encoding sizes);
+    // the ≤half-the-files pruning bound on both columns is pinned by
+    // ZOrderSpec.
+    "zorder_prune_stats" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val path =
+        s"/tmp/graft_zorder_${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      // deterministic fresh layout per evaluation (gate artifact; the
+      // production cadence compacts in place on a schedule)
+      base.repartition(8).write.mode("overwrite").parquet(path)
+      graft.operators.Maintenance.zorderCompact(s, path,
+        // small target so the pruning effect is visible even at the
+        // gate's sf0.01 (production default is 128 MiB files)
+        Seq("o_custkey", "o_totalprice"), targetFileBytes = 64L * 1024)
+      val b = base.agg(min("o_custkey"), max("o_custkey"),
+        min("o_totalprice"), max("o_totalprice")).head()
+      val cHi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10
+      val pHi = b.getDouble(2) + (b.getDouble(3) - b.getDouble(2)) / 10
+      s.read.parquet(path)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+          min("o_totalprice").as("pmin"), max("o_totalprice").as("pmax"),
+          count(lit(1)).as("file_rows"))
+        .agg(
+          count(lit(1)).as("files_total"),
+          sum(when(col("cmin") <= cHi, 1L).otherwise(0L))
+            .as("files_custkey_probe"),
+          sum(when(col("pmin") <= pHi, 1L).otherwise(0L))
+            .as("files_price_probe"),
+          sum(col("file_rows")).as("rows_total"))
+    }),
+
     // char(n) blank-pad semantics (SURVEY §1 pad-truncate) through the
     // real ingest expression, oracle-matched against DuckDB's rpad.
     "char_pad_cast" -> ((s, dir) => {
