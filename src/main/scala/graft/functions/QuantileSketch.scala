@@ -31,19 +31,31 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * Zero and negatives are first-class: zero has its own counter;
   * negatives mirror into sign-flagged buckets of |v|, so the sketch
   * covers signed metrics (deltas, PnL) with the same guarantee.
+  * ±Infinity counts under dedicated sentinel buckets at the extreme
+  * ends of the value walk (an upstream divide-by-zero must not alias
+  * into a finite bucket — `(idx<<1)` overflow would otherwise map
+  * +Inf near 1.0); NaN contributes nothing, like NULL (it has no
+  * order position, so no rank walk can place it).
   */
 private[functions] object DDQuantile {
   /** Buckets: sorted (key → count). Key encodes (log-bucket, sign):
-    * `idx << 1 | signBit`; zero values count under [[ZeroKey]] (a key
-    * no real bucket can produce — idx is bounded far below 2^62). */
+    * `idx << 1 | signBit`; zero values count under [[ZeroKey]] and
+    * ±Infinity under [[PosInfKey]]/[[NegInfKey]] — all three are keys
+    * no finite bucket can produce (finite |idx| is bounded by
+    * log_γ(Double.MaxValue) ≈ 1e5 at practical α, far inside 2^62). */
   type Buckets = java.util.TreeMap[Long, Long]
 
   val ZeroKey: Long = Long.MinValue
+  val NegInfKey: Long = Long.MinValue + 1
+  val PosInfKey: Long = Long.MaxValue
 
   def gamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
 
+  /** Bucket key for a NON-NaN value (callers skip NaN like NULL). */
   def keyOf(v: Double, lgGamma: Double): Long =
     if (v == 0.0) ZeroKey
+    else if (v == Double.PositiveInfinity) PosInfKey
+    else if (v == Double.NegativeInfinity) NegInfKey
     else {
       val idx = math.ceil(math.log(math.abs(v)) / lgGamma).toLong
       (idx << 1) | (if (v < 0) 1L else 0L)
@@ -52,6 +64,8 @@ private[functions] object DDQuantile {
   /** Midpoint estimate of the bucket: 2γ^idx/(γ+1), sign restored. */
   def valueOf(key: Long, g: Double): Double =
     if (key == ZeroKey) 0.0
+    else if (key == PosInfKey) Double.PositiveInfinity
+    else if (key == NegInfKey) Double.NegativeInfinity
     else {
       val idx = key >> 1
       val mag = 2.0 * math.pow(g, idx.toDouble) / (g + 1.0)
@@ -108,12 +122,13 @@ private[functions] object DDQuantile {
     buf
   }
 
-  /** Quantile q ∈ [0,1] — walk buckets in VALUE order (negative
-    * buckets descending by idx, then zero, then positive ascending;
-    * the key encoding does not sort in value order, so the walk
-    * re-orders) to the bucket holding the rank-⌈q·(n−1)⌉ element
-    * (0-based, the paper's convention). Returns NaN on an empty
-    * sketch (the Column wrapper turns that into NULL upstream). */
+  /** Quantile q ∈ [0,1] — walk buckets in VALUE order (−Inf, then
+    * negative buckets descending by idx, then zero, then positive
+    * ascending, then +Inf; the key encoding does not sort in value
+    * order, so the walk re-orders) to the bucket holding the
+    * rank-⌈q·(n−1)⌉ element (0-based, the paper's convention).
+    * Returns NaN on an empty sketch (the Column wrapper turns that
+    * into NULL upstream). */
   def quantile(buf: Buckets, q: Double, g: Double): Double = {
     var total = 0L
     val it0 = buf.values().iterator()
@@ -125,16 +140,21 @@ private[functions] object DDQuantile {
     val neg = scala.collection.mutable.ArrayBuffer.empty[Long]
     val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
     var zero = 0L
+    var negInf = 0L
+    var posInf = 0L
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey == ZeroKey) zero = e.getValue
+      else if (e.getKey == NegInfKey) negInf = e.getValue
+      else if (e.getKey == PosInfKey) posInf = e.getValue
       else if ((e.getKey & 1L) == 1L) neg += e.getKey
       else pos += e.getKey
     }
     val negS = neg.sorted
     val posS = pos.sorted
-    var seen = 0L
+    var seen = negInf
+    if (seen > rank) return Double.NegativeInfinity
     // negative keys ascending-by-key = ascending idx = DESCENDING
     // value, so walk them reversed
     var i = negS.length - 1
@@ -151,14 +171,17 @@ private[functions] object DDQuantile {
       if (seen > rank) return valueOf(posS(j), g)
       j += 1
     }
-    // unreachable (rank < total), but keep the compiler total
-    valueOf(posS.last, g)
+    // rank < total, so anything left lands in the +Inf bucket
+    Double.PositiveInfinity
   }
 }
 
 /** Mergeable quantile-sketch STATE of a double column (binary) — the
   * per-key partial the incremental rollup persists; the quantile-family
-  * twin of [[LinearCountSketchState]]. NULLs contribute nothing. */
+  * twin of [[LinearCountSketchState]]. NULLs and NaNs contribute
+  * nothing; ±Infinity counts at the walk's extremes (sentinel
+  * buckets), so one upstream 1/0 surfaces as an infinite tail
+  * quantile instead of silently corrupting a finite bucket. */
 case class QuantileSketchState(
     child: Expression,
     alpha: Double = 0.01,
@@ -179,8 +202,10 @@ case class QuantileSketchState(
   override def update(buf: DDQuantile.Buckets,
                       input: InternalRow): DDQuantile.Buckets = {
     val v = child.eval(input)
-    if (v != null)
-      DDQuantile.add(buf, DDQuantile.keyOf(v.asInstanceOf[Double], lgGamma), 1L)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!d.isNaN) DDQuantile.add(buf, DDQuantile.keyOf(d, lgGamma), 1L)
+    }
     buf
   }
 

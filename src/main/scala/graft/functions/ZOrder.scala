@@ -31,6 +31,8 @@ case class ZOrderKey(children: Seq[Expression],
     extends Expression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  // capacity: bits × cols must fit the 63 usable bits of a long, so 8
+  // columns need bits <= 7 (Maintenance.zorderCompact clamps for you)
   require(children.nonEmpty && children.size <= 8,
     s"z-order takes 1..8 columns, got ${children.size}")
   require(boundaries.size == children.size,

@@ -38,39 +38,55 @@ object Maintenance {
     * ~`targetFileBytes` files — so each output file's footer min/max
     * is narrow in EVERY listed column and a selective scan on any of
     * them skips most files/row-groups through ordinary parquet
-    * pushdown. Costs one boundary-sketch pass + one range shuffle of
-    * the data (the same bytes a plain compaction moves); run it as the
+    * pushdown. Costs ONE disk read of the data (the source is
+    * persisted for the job's duration — `repartitionByRange` runs a
+    * hidden RangePartitioner sampling job over every row of its
+    * child, which without the persist would be a second full scan on
+    * top of the boundary pass) plus the boundary-sketch aggregation,
+    * the range-sample pass, and the range shuffle; run it as the
     * compaction cadence for layouts whose read pattern filters on
     * non-leading columns. Same staging + idempotent swap, same
     * single-writer contract as [[compactParquet]]. For a
     * date-partitioned layout, run per partition directory — the z-key
-    * then spans only the columns queries filter WITHIN a partition. */
+    * then spans only the columns queries filter WITHIN a partition
+    * (which also keeps the persisted working set to one partition).
+    *
+    * `bits` is clamped so the interleaved key fits a long: effective
+    * bits = min(bits, 63/cols.size) — at the default 8 bits, 8
+    * columns cluster at 7 bits each rather than failing after the
+    * boundary pass has already paid a scan. */
   def zorderCompact(spark: SparkSession, path: String, cols: Seq[String],
                     bits: Int = 8,
                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import graft.functions.ZOrderFunctions
-    require(cols.nonEmpty, "zorderCompact needs at least one column")
+    require(cols.nonEmpty && cols.size <= 8,
+      s"zorderCompact clusters on 1..8 columns, got ${cols.size}")
+    require(bits >= 1, s"bits must be positive: $bits")
+    val effBits = math.min(bits, 63 / cols.size)
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
-    require(!df.columns.contains("__zkey"),
-      "input already has a __zkey column")
-    val bnds = ZOrderFunctions.boundaries(df, cols, bits)
-    val stage = new org.apache.hadoop.fs.Path(
-      s"${path}__compact_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.withColumn("__zkey",
-        ZOrderFunctions.zkey(cols.map(col), bnds, bits))
-      // range partition + in-partition sort on the z-key: every file
-      // covers a contiguous z-range => tight per-file min/max on each
-      // clustered column. The key is dropped before write — readers
-      // see the original schema, clustering lives only in row order.
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions(col("__zkey"))
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(stage.toString)
-    swapDirIn(fs, stage, target, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(!df.columns.contains("__zkey"),
+        "input already has a __zkey column")
+      val bnds = ZOrderFunctions.boundaries(df, cols, effBits)
+      val stage = new org.apache.hadoop.fs.Path(
+        s"${path}__compact_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.withColumn("__zkey",
+          ZOrderFunctions.zkey(cols.map(col), bnds, effBits))
+        // range partition + in-partition sort on the z-key: every file
+        // covers a contiguous z-range => tight per-file min/max on each
+        // clustered column. The key is dropped before write — readers
+        // see the original schema, clustering lives only in row order.
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+        .write.mode("overwrite").parquet(stage.toString)
+      swapDirIn(fs, stage, target, path)
+    } finally df.unpersist()
     nFiles
   }
 

@@ -94,9 +94,42 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch: ±Infinity sorts at the extremes, NaN contributes nothing") {
+    import graft.functions.QuantileFunctions
+    // one upstream divide-by-zero among finite values: the infinity
+    // must surface at the TAIL quantile, never alias into a finite
+    // bucket near 1.0 (the idx<<1 overflow failure mode), and NaN
+    // must act like NULL
+    val df = Seq(100.0, 200.0, 300.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NaN).toDF("v")
+    val st = df.agg(QuantileFunctions.quantileSketchState($"v").as("st"))
+    val row = st.select(
+      QuantileFunctions.quantileEstimate($"st", 0.0),
+      QuantileFunctions.quantileEstimate($"st", 0.5),
+      QuantileFunctions.quantileEstimate($"st", 1.0)).head
+    row.getDouble(0) shouldBe Double.NegativeInfinity
+    row.getDouble(1) should (be >= 190.0 and be <= 210.0) // NaN excluded: median of 5 values is 200
+    row.getDouble(2) shouldBe Double.PositiveInfinity
+    // all-NaN column = empty sketch = NULL estimate
+    val onlyNaN = Seq(Double.NaN, Double.NaN).toDF("v")
+      .agg(QuantileFunctions.quantileSketchState($"v").as("st"))
+      .select(QuantileFunctions.quantileEstimate($"st", 0.5)).head
+    onlyNaN.isNullAt(0) shouldBe true
+    // the sentinel buckets survive the serialized-state combine
+    val p1 = Seq(Double.PositiveInfinity).toDF("v")
+      .agg(QuantileFunctions.quantileSketchState($"v").as("st"))
+    val p2 = Seq(1.0, 2.0).toDF("v")
+      .agg(QuantileFunctions.quantileSketchState($"v").as("st"))
+    val merged = p1.unionByName(p2)
+      .agg(QuantileFunctions.mergeQuantileStates($"st").as("st"))
+      .select(QuantileFunctions.quantileEstimate($"st", 1.0)).head
+    merged.getDouble(0) shouldBe Double.PositiveInfinity
+  }
+
   test("quantile sketch state is byte-identical across partitionings and merge orders") {
     import graft.functions.QuantileFunctions
-    val df = (1 to 2000).map(i => (i % 7, (i % 83) * 1.5 - 40.0)).toDF("k", "v")
+    val df = (1 to 2000).map(i => (i % 7, i, (i % 83) * 1.5 - 40.0))
+      .toDF("k", "i", "v")
     def stateBytes(d: org.apache.spark.sql.DataFrame): Map[Int, Seq[Byte]] =
       d.groupBy("k")
         .agg(QuantileFunctions.quantileSketchState($"v").as("st"))
@@ -105,9 +138,15 @@ class SketchSpec extends SparkSpec {
     val a = stateBytes(df)
     stateBytes(df.repartition(17)) shouldBe a // partitioning-independent
     // combine of partial states is order-independent: fold slices
-    // 0,1,2 vs 2,1,0 through the serialized-state combine
-    def slice(i: Int) = df.filter($"k".isNotNull && $"v" =!= -1e9)
-      .filter(expr(s"pmod(CAST(v * 2 AS INT), 3) = $i"))
+    // 0,1,2 vs 2,1,0 through the serialized-state combine. Slice on
+    // the row INDEX (every residue class is populated for every key —
+    // asserted below, so the merge really does combine two non-empty
+    // states in both orders; a value-derived predicate here was once
+    // constant, making the assertion vacuous)
+    def slice(i: Int) = df.filter(expr(s"pmod(i, 3) = $i"))
+    (0 until 3).foreach { i =>
+      slice(i).groupBy("k").count().count() shouldBe 7
+    }
     def foldOrder(order: Seq[Int]): Map[Int, Seq[Byte]] = {
       val partials = order.map(i => slice(i).groupBy("k")
         .agg(QuantileFunctions.quantileSketchState($"v").as("st")))

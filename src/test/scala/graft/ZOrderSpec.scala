@@ -79,9 +79,12 @@ class ZOrderSpec extends SparkSpec {
     overlapping("x", 0, 99) shouldBe files.size  // unsorted: no skipping
     overlapping("y", 0, 99) shouldBe files.size
 
+    // enough output files that each covers a narrow z-range: the
+    // overlap fraction of a 10% slab then sits well under 1/2, so the
+    // assertion is not hostage to one file of range-sampling jitter
     val nFiles = Maintenance.zorderCompact(spark, dir, Seq("x", "y"),
-      targetFileBytes = 24L * 1024)
-    nFiles should be >= 8
+      targetFileBytes = 12L * 1024)
+    nFiles should be >= 16
     val out = spark.read.parquet(dir)
     out.columns.toSeq shouldBe Seq("id", "x", "y") // no __zkey leaks
     out.count() shouldBe n
@@ -92,6 +95,22 @@ class ZOrderSpec extends SparkSpec {
     val total = files.size
     overlapping("x", 0, 99) should be <= (total / 2)
     overlapping("y", 0, 99) should be <= (total / 2)
+  }
+
+  test("zorderCompact: 8 columns at default bits clamps (8x8=64 would overflow a long)") {
+    val dir = Files.createTempDirectory("graft-zorder-8col").toString + "/t"
+    val df = (0 until 200).map { i =>
+      (i.toLong, i % 3, i % 5, i % 7, i % 11, i % 13, i % 17, i % 19, i % 23)
+    }.toDF("id", "a", "b", "c", "d", "e", "f", "g", "h")
+    df.repartition(4).write.parquet(dir)
+    // pre-fix this passed the 1..8-column check, paid the boundary
+    // scan, THEN threw from the bits*cols require — now it clamps to
+    // 63/8 = 7 bits per column and completes
+    Maintenance.zorderCompact(spark, dir,
+      Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+    val out = spark.read.parquet(dir)
+    out.count() shouldBe 200
+    out.agg(sum("id")).head().getLong(0) shouldBe (0 until 200).map(_.toLong).sum
   }
 
   test("zorderCompact refuses a reserved __zkey column") {
