@@ -75,6 +75,97 @@ object Load {
   def newRows(stage: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
     stage.join(target.select(pk.map(col): _*), pk, "left_anti")
 
+  /** Type-2 slowly-changing-dimension merge — the history-keeping
+    * upgrade of [[upsert]]: instead of overwriting a matched row, the
+    * current version is CLOSED (`validTo` := `effectiveDate`,
+    * `isCurrent` := false) and the staged values open a new current
+    * version; history rows are never touched. The reference's upsert
+    * family destroys prior values by design (stage wins wholesale);
+    * a warehouse tracking attribute history needs this variant of the
+    * same merge.
+    *
+    * Semantics per staged business key:
+    *  - no current target row          → new current version (new key,
+    *    or a key whose last version was closed earlier)
+    *  - current row, tracked attrs equal (null-safe) → no-op
+    *  - current row, any tracked attr differs → close + open
+    * Target rows with keys absent from the stage — current or
+    * historical — pass through untouched. Tracked attributes = every
+    * stage column outside the key. Stage keys must be unique (run
+    * [[dedupLastWins]] first if a feed can repeat keys — same contract
+    * as the reference's upsert, SURVEY §2.3 caveat).
+    *
+    * Scale (100 TB posture): ONE full-outer join keyed on the business
+    * key (target matched only where `isCurrent` — history rows fall
+    * through as unmatched-left in the same pass, so the target scans
+    * ONCE), then a generate/explode that emits 1 row for pass-through/
+    * no-op, 2 for close+open. No branch-and-union that would re-scan
+    * either side, no driver collection. A full-outer join cannot
+    * broadcast, so this is a sort-merge shuffle of both sides on the
+    * key — the honest cost of a history merge that must see every
+    * target row to decide pass-through. */
+  def scd2Merge(target: DataFrame, stage: DataFrame, pk: Seq[String],
+                effectiveDate: org.apache.spark.sql.Column,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to",
+                isCurrent: String = "is_current"): DataFrame = {
+    require(pk.nonEmpty, "SCD2 merge needs a business key")
+    val scdCols = Set(validFrom, validTo, isCurrent)
+    require(!stage.columns.exists(scdCols),
+      s"stage must not carry SCD bookkeeping columns ($scdCols); the " +
+        "merge derives them")
+    val missing = (stage.columns.toSet ++ scdCols) -- target.columns.toSet
+    require(missing.isEmpty,
+      s"target lacks columns the SCD2 merge needs: $missing")
+    val outCols = target.columns.toSeq
+    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataCols = stage.columns.filterNot(pk.contains).toSeq
+
+    // existence markers: a pk column CAN be null-free by contract, but
+    // a lit(true) marker makes match-side detection independent of it
+    val c = target.withColumn("__c_ex", lit(true)).alias("c")
+    val s = stage.withColumn("__s_ex", lit(true)).alias("s")
+    val cond = pk.map(k => col(s"c.$k") === col(s"s.$k")).reduce(_ && _) &&
+      col(s"c.$isCurrent")
+    val j = c.join(s, cond, "full_outer")
+
+    // all three row shapes share ONE struct schema (names + target
+    // types) so the conditional array is well-typed for the explode
+    val cRow = struct(outCols.map(a => col(s"c.$a").as(a)): _*)
+    val closedRow = struct(outCols.map {
+      case a if a == validTo =>
+        effectiveDate.cast(tType(validTo)).as(validTo)
+      case a if a == isCurrent => lit(false).as(isCurrent)
+      case a => col(s"c.$a").as(a)
+    }: _*)
+    val newRow = struct(outCols.map {
+      case a if a == validFrom =>
+        effectiveDate.cast(tType(validFrom)).as(validFrom)
+      case a if a == validTo => lit(null).cast(tType(validTo)).as(validTo)
+      case a if a == isCurrent => lit(true).as(isCurrent)
+      case a => col(s"s.$a").cast(tType(a)).as(a)
+    }: _*)
+    val changed = dataCols.map(a => !(col(s"c.$a") <=> col(s"s.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    j.select(explode(
+        when(col("s.__s_ex").isNull, array(cRow))          // untouched (incl. history)
+          .when(col("c.__c_ex").isNull, array(newRow))     // brand-new current
+          .when(changed, array(closedRow, newRow))          // close + open
+          .otherwise(array(cRow))).as("__r"))               // no-op match
+      .select(outCols.map(a => col(s"__r.$a").as(a)): _*)
+  }
+
+  /** Point-in-time snapshot of an SCD2 table: the rows whose validity
+    * interval covers `at` (`validFrom <= at < validTo`, open current
+    * versions unbounded). A filter — pushes to the scan, prunes on
+    * footer stats when the layout clusters by validity. */
+  def scd2AsOf(scd: DataFrame, at: org.apache.spark.sql.Column,
+               validFrom: String = "valid_from",
+               validTo: String = "valid_to"): DataFrame =
+    scd.filter(col(validFrom) <= at &&
+      (col(validTo).isNull || col(validTo) > at))
+
   /** Deterministic duplicate-PK resolution — the fix for the
     * reference's documented nondeterminism (its UPDATE…FROM with
     * duplicate staged PKs is undefined; SURVEY §2.3 caveat). Keeps, per

@@ -46,6 +46,88 @@ object RelationalQueries {
       |  FROM base WHERE o_orderkey % 7 = 3
       |)""".stripMargin
 
+  /** SCD2 fixture, derived from orders exactly like [[stage]]: the
+    * target holds every order as an open current version (from
+    * 1992-01-01) plus a closed 'H' history version for keys %4==1;
+    * the staged batch carries changed attrs (%5==0, status 'X'),
+    * byte-identical no-ops (%5==2), and brand-new keys (%7==3,
+    * shifted). Mirrored exactly in SQL by [[scdSql]]. */
+  private def scdBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+
+  private def scdTarget(s: SparkSession, dir: String): DataFrame = {
+    val base = scdBase(s, dir)
+    val cur = base
+      .withColumn("valid_from", to_date(lit("1992-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val hist = base.filter(col("o_orderkey") % 4 === 1)
+      .withColumn("o_orderstatus", lit("H"))
+      .withColumn("valid_from", to_date(lit("1990-01-01")))
+      .withColumn("valid_to", to_date(lit("1992-01-01")))
+      .withColumn("is_current", lit(false))
+    cur.unionByName(hist)
+  }
+
+  private def scdStage(s: SparkSession, dir: String): DataFrame = {
+    val base = scdBase(s, dir)
+    base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .unionByName(base.filter(col("o_orderkey") % 5 === 2))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+  }
+
+  private val scdSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders
+      |), tgt AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |         TRUE AS is_current FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'H', o_totalprice,
+      |         DATE '1990-01-01', DATE '1992-01-01', FALSE
+      |  FROM base WHERE o_orderkey % 4 = 1
+      |), stg AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 5 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 7 = 3
+      |), merged AS (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |         t.valid_from, t.valid_to, t.is_current
+      |  FROM tgt t LEFT JOIN stg s
+      |    ON t.o_orderkey = s.o_orderkey AND t.is_current
+      |  WHERE s.o_orderkey IS NULL
+      |     OR (t.o_custkey IS NOT DISTINCT FROM s.o_custkey
+      |         AND t.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+      |         AND t.o_totalprice IS NOT DISTINCT FROM s.o_totalprice)
+      |  UNION ALL
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |         t.valid_from, DATE '1995-06-01', FALSE
+      |  FROM tgt t JOIN stg s ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.is_current
+      |    AND (t.o_custkey IS DISTINCT FROM s.o_custkey
+      |         OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |         OR t.o_totalprice IS DISTINCT FROM s.o_totalprice)
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+      |         DATE '1995-06-01', CAST(NULL AS DATE), TRUE
+      |  FROM stg s LEFT JOIN (SELECT * FROM tgt WHERE is_current) t
+      |    ON s.o_orderkey = t.o_orderkey
+      |  WHERE t.o_orderkey IS NULL
+      |     OR (t.o_custkey IS DISTINCT FROM s.o_custkey
+      |         OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |         OR t.o_totalprice IS DISTINCT FROM s.o_totalprice)
+      |)""".stripMargin
+
   /** ONE oracle for both incremental-rollup gate queries — the plain
     * and bucketed folds pin the SAME monoid contract, so their oracle
     * strings must be the same definition, not drifting copies. */
@@ -80,6 +162,25 @@ object RelationalQueries {
       Load.upsert(Load.withStageColumns(tg, st), st, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // Type-2 SCD merge: matched-and-changed current versions close at
+    // the effective date and re-open with staged values; history and
+    // no-op matches pass through from the SAME single full-outer join
+    // (one target scan — Load.scd2Merge).
+    "scd2_merge" -> ((s, dir) =>
+      Load.scd2Merge(scdTarget(s, dir), scdStage(s, dir),
+          Seq("o_orderkey"), to_date(lit("1995-06-01")))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
+    // Point-in-time read over the merged history: 1993-06-01 falls
+    // inside the closed [1992, 1995-06) version for changed keys and
+    // the still-open version for unchanged ones.
+    "scd2_as_of" -> ((s, dir) =>
+      Load.scd2AsOf(
+          Load.scd2Merge(scdTarget(s, dir), scdStage(s, dir),
+            Seq("o_orderkey"), to_date(lit("1995-06-01"))),
+          to_date(lit("1993-06-01")))
+        .orderBy(col("o_orderkey"))),
 
     // J2 — staging rows with PKs absent from target.
     "anti_join_new_rows" -> ((s, dir) =>
@@ -491,6 +592,16 @@ object RelationalQueries {
          |UNION ALL
          |SELECT b.*, CAST(NULL AS VARCHAR) AS o_note
          |FROM base b ANTI JOIN stage2 s USING (o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_merge" ->
+      s"""$scdSql
+         |SELECT * FROM merged
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "scd2_as_of" ->
+      s"""$scdSql
+         |SELECT * FROM merged
+         |WHERE valid_from <= DATE '1993-06-01'
+         |  AND (valid_to IS NULL OR valid_to > DATE '1993-06-01')
          |ORDER BY o_orderkey""".stripMargin,
     "anti_join_new_rows" ->
       s"""$stageSql

@@ -193,6 +193,97 @@ class LoadSpec extends SparkSpec {
         .orderBy("k"))
   }
 
+  // ---- SCD2 (type-2 history) merge ----
+
+  private def scdTarget = Seq(
+    // id 1: history + current; id 2: current only; id 3: current only;
+    // id 5: only a CLOSED version (key retired earlier)
+    (1, "a_old", java.sql.Date.valueOf("1990-01-01"),
+      Option(java.sql.Date.valueOf("1992-01-01")), false),
+    (1, "a", java.sql.Date.valueOf("1992-01-01"), None: Option[java.sql.Date], true),
+    (2, "b", java.sql.Date.valueOf("1992-01-01"), None: Option[java.sql.Date], true),
+    (3, "c", java.sql.Date.valueOf("1992-01-01"), None: Option[java.sql.Date], true),
+    (5, "e_old", java.sql.Date.valueOf("1990-01-01"),
+      Option(java.sql.Date.valueOf("1993-01-01")), false)
+  ).toDF("id", "attr", "valid_from", "valid_to", "is_current")
+
+  private def scdStage = Seq(
+    (1, "a2"),  // changed -> close + open
+    (2, "b"),   // identical -> no-op
+    (4, "d"),   // brand-new key
+    (5, "e2")   // key with no OPEN version -> plain new current
+  ).toDF("id", "attr")
+
+  private val eff = org.apache.spark.sql.functions.to_date(
+    org.apache.spark.sql.functions.lit("1995-06-01"))
+
+  test("scd2Merge: close+open on change, no-op on equal, history untouched, retired keys reopen") {
+    val out = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
+      .orderBy("id", "valid_from")
+    val got = rows(out)
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    got shouldBe Seq(
+      Seq(1, "a_old", d("1990-01-01"), d("1992-01-01"), false), // history untouched
+      Seq(1, "a", d("1992-01-01"), d("1995-06-01"), false),     // closed at eff
+      Seq(1, "a2", d("1995-06-01"), null, true),                // reopened with staged attr
+      Seq(2, "b", d("1992-01-01"), null, true),                 // no-op: still open from 1992
+      Seq(3, "c", d("1992-01-01"), null, true),                 // untouched (not staged)
+      Seq(5, "e_old", d("1990-01-01"), d("1993-01-01"), false), // closed version untouched
+      Seq(5, "e2", d("1995-06-01"), null, true),                // retired key reopens
+      Seq(4, "d", d("1995-06-01"), null, true)                  // brand-new key
+    ).sortBy(r => (r(0).asInstanceOf[Int], r(2).asInstanceOf[java.sql.Date].toString))
+  }
+
+  test("scd2Merge is idempotent: replaying the same stage changes nothing") {
+    val once = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
+    val twice = Load.scd2Merge(once, scdStage, Seq("id"), eff)
+    rows(twice.orderBy("id", "valid_from")) shouldBe
+      rows(once.orderBy("id", "valid_from"))
+  }
+
+  test("scd2Merge: null-safe attribute compare (null vs null is a no-op, null vs value a change)") {
+    val tgt = Seq(
+      (1, None: Option[String], java.sql.Date.valueOf("1992-01-01"),
+        None: Option[java.sql.Date], true),
+      (2, Option("x"), java.sql.Date.valueOf("1992-01-01"),
+        None: Option[java.sql.Date], true)
+    ).toDF("id", "attr", "valid_from", "valid_to", "is_current")
+    val stg = Seq((1, None: Option[String]), (2, None: Option[String]))
+      .toDF("id", "attr")
+    val out = Load.scd2Merge(tgt, stg, Seq("id"), eff)
+    out.count() shouldBe 3 // id 1 no-op; id 2 closed + reopened-null
+    out.filter($"id" === 2 && $"is_current").select("attr")
+      .head.isNullAt(0) shouldBe true
+  }
+
+  test("scd2Merge rejects a stage carrying SCD bookkeeping columns or a missing target column") {
+    an[IllegalArgumentException] should be thrownBy
+      Load.scd2Merge(scdTarget, scdStage.withColumn("is_current",
+        org.apache.spark.sql.functions.lit(true)), Seq("id"), eff)
+    an[IllegalArgumentException] should be thrownBy
+      Load.scd2Merge(scdTarget.drop("valid_to"), scdStage, Seq("id"), eff)
+  }
+
+  test("scd2AsOf: snapshot picks exactly the covering versions") {
+    val merged = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
+    // 1993-06-01: id1 -> the closed [1992,1995-06) version; id2/id3 open
+    // versions; id5's closed version ended 1993-01-01 -> absent; id4 not
+    // yet born
+    val snap = rows(Load.scd2AsOf(merged,
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("1993-06-01"))).orderBy("id"))
+    snap.map(r => (r(0), r(1))) shouldBe
+      Seq((1, "a"), (2, "b"), (3, "c"))
+  }
+
+  test("scd2Merge plan: ONE scan of the target, one join, no union re-scan") {
+    val out = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
+    val plan = out.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    plan.collect { case j: Join => j }.size shouldBe 1
+    plan.collect { case u: Union => u } shouldBe empty
+  }
+
   test("IncrementalAgg: state schema is stable across repeated folds") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions._
