@@ -79,14 +79,24 @@ private[functions] object DDQuantile {
     buf.put(key, base + n)
   }
 
+  /** Current state-format version. v1 = the ±Inf-sentinel encoding;
+    * version-less pre-v1 states (whose Inf values aliased into FINITE
+    * buckets via `idx<<1` overflow) must refuse to merge — folding new
+    * batches into silently-corrupt buckets would perpetuate the exact
+    * corruption the sentinels fixed. A pre-v1 payload starts with
+    * alpha's raw double bits, whose high int can never equal a small
+    * version number, so the check is unambiguous. */
+  val FormatVersion: Int = 1
+
   /** Serialized form — CANONICAL (sorted by key) so equal bucket
     * contents always serialize to identical bytes regardless of
-    * insertion/merge order: [alphaBits][n][(key,count)×n]. The alpha
-    * header makes cross-alpha merges fail loud: two sketches built at
-    * different γ have incompatible bucket meanings. */
+    * insertion/merge order: [version][alphaBits][n][(key,count)×n].
+    * The alpha header makes cross-alpha merges fail loud: two sketches
+    * built at different γ have incompatible bucket meanings. */
   def toBytes(alpha: Double, buf: Buckets): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(16 + buf.size() * 16)
+    val bos = new java.io.ByteArrayOutputStream(20 + buf.size() * 16)
     val out = new java.io.DataOutputStream(bos)
+    out.writeInt(FormatVersion)
     out.writeLong(java.lang.Double.doubleToLongBits(alpha))
     out.writeInt(buf.size())
     val it = buf.entrySet().iterator()
@@ -101,6 +111,12 @@ private[functions] object DDQuantile {
   def fromBytes(bytes: Array[Byte], alpha: Double): Buckets = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == FormatVersion,
+      s"unsupported quantile-sketch state version $version (expected " +
+        s"$FormatVersion) — a version-less pre-v1 state may hold Inf " +
+        "counts aliased into finite buckets and cannot be merged; " +
+        "rebuild the rollup state from source")
     val storedAlpha = java.lang.Double.longBitsToDouble(in.readLong())
     require(storedAlpha == alpha,
       s"quantile sketch built at alpha=$storedAlpha cannot merge at " +

@@ -100,6 +100,11 @@ object ZOrderFunctions {
     * boundaries (every value buckets to 0) rather than failing. */
   def boundaries(df: DataFrame, cols: Seq[String],
                  bits: Int): Seq[Array[Double]] = {
+    // Int-shift arithmetic below: past 30 bits `1 << bits` wraps, and
+    // a 2^bits-element driver-side quantile array is absurd long
+    // before that — fail loud, don't OOM the driver
+    require(bits >= 1 && bits <= 20,
+      s"bucket bits out of [1, 20]: $bits")
     val n = (1 << bits) - 1
     val qs = (1 to n).map(_.toDouble / (1 << bits)).toArray
     // accuracy >> bucket count so adjacent boundaries stay ordered

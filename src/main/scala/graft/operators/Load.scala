@@ -114,9 +114,24 @@ object Load {
     require(!stage.columns.exists(scdCols),
       s"stage must not carry SCD bookkeeping columns ($scdCols); the " +
         "merge derives them")
+    val markers = Seq("__c_ex", "__s_ex")
+    require(!(target.columns ++ stage.columns).exists(markers.contains),
+      s"inputs must not carry the reserved marker columns $markers")
     val missing = (stage.columns.toSet ++ scdCols) -- target.columns.toSet
     require(missing.isEmpty,
       s"target lacks columns the SCD2 merge needs: $missing")
+    // the converse too: every non-SCD target column (pk included) must
+    // exist in the stage, or newRow below would reference s.<col> and
+    // die with an opaque unresolved-column error instead of this
+    // contract message. A target that evolved a column the feed no
+    // longer sends must be migrated (or the column dropped) first.
+    val missingInStage =
+      (target.columns.toSet -- scdCols) -- stage.columns.toSet
+    require(missingInStage.isEmpty,
+      s"stage lacks columns the SCD2 merge must fill: $missingInStage " +
+        "(every non-bookkeeping target column needs a staged value)")
+    require(pk.forall(stage.columns.contains),
+      s"stage lacks business-key column(s): ${pk.filterNot(stage.columns.contains)}")
     val outCols = target.columns.toSeq
     val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
     val dataCols = stage.columns.filterNot(pk.contains).toSeq

@@ -51,10 +51,13 @@ object Maintenance {
     * then spans only the columns queries filter WITHIN a partition
     * (which also keeps the persisted working set to one partition).
     *
-    * `bits` is clamped so the interleaved key fits a long: effective
-    * bits = min(bits, 63/cols.size) — at the default 8 bits, 8
-    * columns cluster at 7 bits each rather than failing after the
-    * boundary pass has already paid a scan. */
+    * `bits` is clamped so the interleaved key fits a long AND the
+    * driver-side boundary arrays stay sane: effective bits =
+    * min(bits, 63/cols.size, 12) — at the default 8 bits, 8 columns
+    * cluster at 7 bits each rather than failing after the boundary
+    * pass has already paid a scan; past 12 bits (4096 rank buckets
+    * per column, far beyond any real file count) extra resolution
+    * buys no pruning and only bloats the percentile pass. */
   def zorderCompact(spark: SparkSession, path: String, cols: Seq[String],
                     bits: Int = 8,
                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
@@ -62,7 +65,7 @@ object Maintenance {
     require(cols.nonEmpty && cols.size <= 8,
       s"zorderCompact clusters on 1..8 columns, got ${cols.size}")
     require(bits >= 1, s"bits must be positive: $bits")
-    val effBits = math.min(bits, 63 / cols.size)
+    val effBits = math.min(math.min(bits, 63 / cols.size), 12)
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(target).getLength

@@ -264,6 +264,27 @@ class LoadSpec extends SparkSpec {
       Load.scd2Merge(scdTarget.drop("valid_to"), scdStage, Seq("id"), eff)
   }
 
+  test("scd2Merge fails LOUD (not unresolved-column) on stage-side gaps and marker collisions") {
+    import org.apache.spark.sql.functions.lit
+    // target evolved a column the feed no longer sends: the contract
+    // require must fire, not an AnalysisException from newRow's s.<col>
+    val e1 = intercept[IllegalArgumentException] {
+      Load.scd2Merge(scdTarget.withColumn("extra", lit(1)), scdStage,
+        Seq("id"), eff)
+    }
+    e1.getMessage should include("stage lacks columns")
+    // pk typo absent from both sides
+    val e2 = intercept[IllegalArgumentException] {
+      Load.scd2Merge(scdTarget, scdStage, Seq("idd"), eff)
+    }
+    e2.getMessage should include("business-key")
+    // a real column named like the reserved markers would be silently
+    // overwritten by the existence flag — refuse it instead
+    an[IllegalArgumentException] should be thrownBy
+      Load.scd2Merge(scdTarget.withColumn("__c_ex", lit(1)),
+        scdStage.withColumn("__c_ex", lit(1)), Seq("id"), eff)
+  }
+
   test("scd2AsOf: snapshot picks exactly the covering versions") {
     val merged = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
     // 1993-06-01: id1 -> the closed [1992,1995-06) version; id2/id3 open

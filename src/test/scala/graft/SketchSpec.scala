@@ -126,6 +126,27 @@ class SketchSpec extends SparkSpec {
     merged.getDouble(0) shouldBe Double.PositiveInfinity
   }
 
+  test("quantile sketch refuses version-less legacy state bytes (possible aliased-Inf corruption)") {
+    import graft.functions.QuantileFunctions
+    // pre-v1 layout: [alphaBits][n][(key,count)...] with no version
+    // header — such states may hold Inf counts overflowed into finite
+    // buckets; merging them would perpetuate silent corruption
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(java.lang.Double.doubleToLongBits(0.01))
+    out.writeInt(1)
+    out.writeLong(100L); out.writeLong(5L)
+    out.flush()
+    val legacy = Seq(bos.toByteArray).toDF("st")
+    val e = intercept[Exception] {
+      legacy.agg(QuantileFunctions.mergeQuantileStates($"st")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("state version"))) shouldBe true
+  }
+
   test("quantile sketch state is byte-identical across partitionings and merge orders") {
     import graft.functions.QuantileFunctions
     val df = (1 to 2000).map(i => (i % 7, i, (i % 83) * 1.5 - 40.0))

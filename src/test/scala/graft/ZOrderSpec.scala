@@ -113,6 +113,21 @@ class ZOrderSpec extends SparkSpec {
     out.agg(sum("id")).head().getLong(0) shouldBe (0 until 200).map(_.toLong).sum
   }
 
+  test("zorderCompact: absurd bits clamp instead of wrapping Int shifts / OOMing the driver") {
+    val dir = Files.createTempDirectory("graft-zorder-bits").toString + "/t"
+    (0 until 100).map(i => (i.toLong, (i * 37 % 100).toLong))
+      .toDF("id", "x").repartition(2).write.parquet(dir)
+    // pre-fix: effBits = min(64, 63/1) = 63 -> (1 << 63) wraps via Int
+    // shift and the boundary pass tries a ~2^31-element driver array;
+    // now clamps to 12 and completes
+    Maintenance.zorderCompact(spark, dir, Seq("x"), bits = 64)
+    spark.read.parquet(dir).count() shouldBe 100
+    // the low-level boundary helper itself fails loud past its range
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderFunctions.boundaries(
+        Seq((1.0, 2.0)).toDF("a", "b"), Seq("a"), bits = 31)
+  }
+
   test("zorderCompact refuses a reserved __zkey column") {
     val dir = Files.createTempDirectory("graft-zorder-bad").toString + "/t"
     Seq((1L, 2L)).toDF("__zkey", "x").write.parquet(dir)
