@@ -37,7 +37,13 @@ case class ZOrderKey(children: Seq[Expression],
     s"z-order takes 1..8 columns, got ${children.size}")
   require(boundaries.size == children.size,
     "one boundary array per column required")
-  require(bits >= 1 && bits * children.size <= 63,
+  // the same [1, 20] range boundaries() enforces: past 30 bits the
+  // Int-shift boundary-length check wraps ((1 << 32) - 1 == 0 would
+  // accept an EMPTY boundary array and emit a constant key — silent
+  // no-op clustering), and past 20 the per-column boundary array is
+  // absurd anyway
+  require(bits >= 1 && bits <= 20, s"bucket bits out of [1, 20]: $bits")
+  require(bits * children.size <= 63,
     s"bits=$bits x ${children.size} cols must fit a long")
   require(boundaries.forall(_.length == (1 << bits) - 1),
     s"each boundary array must hold 2^bits-1 = ${(1 << bits) - 1} entries")

@@ -110,14 +110,22 @@ object Load {
                 validTo: String = "valid_to",
                 isCurrent: String = "is_current"): DataFrame = {
     require(pk.nonEmpty, "SCD2 merge needs a business key")
-    val scdCols = Set(validFrom, validTo, isCurrent)
-    require(!stage.columns.exists(scdCols),
+    // every contract check compares LOWERCASE names: Spark resolves
+    // columns case-insensitively (default spark.sql.caseSensitive=
+    // false, and this file's addedColumns does the same), so a check
+    // stricter than the resolution would reject working calls — and a
+    // check looser than it would let a case-variant reserved name slip
+    // through to silent overwrite
+    val scdCols = Set(validFrom, validTo, isCurrent).map(_.toLowerCase)
+    val stageLc = stage.columns.map(_.toLowerCase).toSet
+    val targetLc = target.columns.map(_.toLowerCase).toSet
+    require(!stageLc.exists(scdCols),
       s"stage must not carry SCD bookkeeping columns ($scdCols); the " +
         "merge derives them")
-    val markers = Seq("__c_ex", "__s_ex")
-    require(!(target.columns ++ stage.columns).exists(markers.contains),
+    val markers = Set("__c_ex", "__s_ex")
+    require(!(stageLc ++ targetLc).exists(markers),
       s"inputs must not carry the reserved marker columns $markers")
-    val missing = (stage.columns.toSet ++ scdCols) -- target.columns.toSet
+    val missing = (stageLc ++ scdCols) -- targetLc
     require(missing.isEmpty,
       s"target lacks columns the SCD2 merge needs: $missing")
     // the converse too: every non-SCD target column (pk included) must
@@ -125,16 +133,17 @@ object Load {
     // die with an opaque unresolved-column error instead of this
     // contract message. A target that evolved a column the feed no
     // longer sends must be migrated (or the column dropped) first.
-    val missingInStage =
-      (target.columns.toSet -- scdCols) -- stage.columns.toSet
+    val missingInStage = (targetLc -- scdCols) -- stageLc
     require(missingInStage.isEmpty,
       s"stage lacks columns the SCD2 merge must fill: $missingInStage " +
         "(every non-bookkeeping target column needs a staged value)")
-    require(pk.forall(stage.columns.contains),
-      s"stage lacks business-key column(s): ${pk.filterNot(stage.columns.contains)}")
+    require(pk.forall(k => stageLc(k.toLowerCase)),
+      s"stage lacks business-key column(s): ${pk.filterNot(k => stageLc(k.toLowerCase))}")
     val outCols = target.columns.toSeq
-    val tType = target.schema.fields.map(f => f.name -> f.dataType).toMap
-    val dataCols = stage.columns.filterNot(pk.contains).toSeq
+    val tType = target.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val pkLc = pk.map(_.toLowerCase).toSet
+    val dataCols = stage.columns.filterNot(c => pkLc(c.toLowerCase)).toSeq
 
     // existence markers: a pk column CAN be null-free by contract, but
     // a lit(true) marker makes match-side detection independent of it
@@ -146,19 +155,23 @@ object Load {
 
     // all three row shapes share ONE struct schema (names + target
     // types) so the conditional array is well-typed for the explode
+    // branch aliases always use `a` — the TARGET's declared casing —
+    // so the three struct shapes stay field-name-identical even when
+    // the caller spelled the SCD parameter names in a different case
     val cRow = struct(outCols.map(a => col(s"c.$a").as(a)): _*)
     val closedRow = struct(outCols.map {
-      case a if a == validTo =>
-        effectiveDate.cast(tType(validTo)).as(validTo)
-      case a if a == isCurrent => lit(false).as(isCurrent)
+      case a if a.equalsIgnoreCase(validTo) =>
+        effectiveDate.cast(tType(a.toLowerCase)).as(a)
+      case a if a.equalsIgnoreCase(isCurrent) => lit(false).as(a)
       case a => col(s"c.$a").as(a)
     }: _*)
     val newRow = struct(outCols.map {
-      case a if a == validFrom =>
-        effectiveDate.cast(tType(validFrom)).as(validFrom)
-      case a if a == validTo => lit(null).cast(tType(validTo)).as(validTo)
-      case a if a == isCurrent => lit(true).as(isCurrent)
-      case a => col(s"s.$a").cast(tType(a)).as(a)
+      case a if a.equalsIgnoreCase(validFrom) =>
+        effectiveDate.cast(tType(a.toLowerCase)).as(a)
+      case a if a.equalsIgnoreCase(validTo) =>
+        lit(null).cast(tType(a.toLowerCase)).as(a)
+      case a if a.equalsIgnoreCase(isCurrent) => lit(true).as(a)
+      case a => col(s"s.$a").cast(tType(a.toLowerCase)).as(a)
     }: _*)
     val changed = dataCols.map(a => !(col(s"c.$a") <=> col(s"s.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -283,6 +283,21 @@ class LoadSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Load.scd2Merge(scdTarget.withColumn("__c_ex", lit(1)),
         scdStage.withColumn("__c_ex", lit(1)), Seq("id"), eff)
+    // ...and the refusal matches Spark's CASE-INSENSITIVE resolution:
+    // a case-variant marker would be overwritten just the same
+    an[IllegalArgumentException] should be thrownBy
+      Load.scd2Merge(scdTarget.withColumn("__C_EX", lit(1)),
+        scdStage.withColumn("__C_EX", lit(1)), Seq("id"), eff)
+  }
+
+  test("scd2Merge contract checks are case-insensitive, like Spark's own column resolution") {
+    // a pk spelled in a different case than the frames declare must
+    // still pass the contract checks (the join itself resolves it)
+    val out = Load.scd2Merge(scdTarget, scdStage, Seq("ID"), eff)
+    out.count() shouldBe 8
+    rows(out.orderBy("id", "valid_from")) shouldBe
+      rows(Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
+        .orderBy("id", "valid_from"))
   }
 
   test("scd2AsOf: snapshot picks exactly the covering versions") {

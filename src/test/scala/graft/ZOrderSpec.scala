@@ -126,6 +126,13 @@ class ZOrderSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       ZOrderFunctions.boundaries(
         Seq((1.0, 2.0)).toDF("a", "b"), Seq("a"), bits = 31)
+    // and so does the key expression: bits=32 on one column passes the
+    // fit-a-long check but (1 << 32) - 1 wraps to 0, which would
+    // accept an EMPTY boundary array and emit a constant key (silent
+    // no-op clustering)
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderFunctions.zkey(Seq(col("a")), Seq(Array.empty[Double]),
+        bits = 32)
   }
 
   test("zorderCompact refuses a reserved __zkey column") {
