@@ -127,6 +127,71 @@ object EventStreams {
       }
       .start()
 
+  /** Type-2 SCD history ([[graft.operators.Load.scd2Merge]]) lifted
+    * onto Structured Streaming: each micro-batch closes changed
+    * current versions at the batch's effective date — MAX(`effCol`)
+    * over the batch — and opens new ones; unchanged keys, history
+    * rows, and unmatched keys pass through. The first batch bootstraps
+    * the table (every row an open version from the batch date).
+    *
+    * EFFECTIVELY-ONCE WITHOUT MARKERS: the effective date derives from
+    * the BATCH DATA, so a checkpoint replay recomputes the identical
+    * merge — and `scd2Merge` is idempotent (re-applying a batch whose
+    * versions are already open is a pure no-op), so foreachBatch's
+    * at-least-once replay composes to exactly-once table state with
+    * none of the `_APPLIED` marker machinery the rollup sinks need.
+    *
+    * `effCol` is dropped from the tracked attributes: its monotone
+    * movement would otherwise read as a "change" and re-open every
+    * staged key every batch. Duplicate keys within a batch resolve
+    * last-wins by `orderCols` (default: `effCol` — latest record
+    * wins), since staged keys must be unique for the merge.
+    *
+    * Scale: same O(|target|)-per-batch rewrite as [[streamingUpsert]],
+    * which is the right trade for an SCD2 target — a dimension table
+    * orders of magnitude smaller than its fact streams. A huge
+    * dimension wants a stable-key-hash partitioned layout with
+    * per-partition merges (the [[streamingUpsertPartitioned]] shape);
+    * build that on [[graft.sources.PartitionedStore]] if needed. */
+  def streamingScd2(stage: DataFrame, sink: graft.app.TableSink,
+                    tableName: String, pk: Seq[String], effCol: String,
+                    checkpointDir: String,
+                    orderCols: Seq[String] = Nil,
+                    validFrom: String = "valid_from",
+                    validTo: String = "valid_to",
+                    isCurrent: String = "is_current")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(pk.nonEmpty, "streaming SCD2 needs a business key")
+    stage.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.operators.Load
+        val ord = if (orderCols.nonEmpty) orderCols else Seq(effCol)
+        val deduped = Load.dedupLastWins(batch.toDF(), pk, ord)
+        // one-row aggregate: the batch's effective date (NULL = empty
+        // or all-null batch → nothing to merge)
+        val effRow = deduped.agg(max(col(effCol))).head()
+        if (!effRow.isNullAt(0)) {
+          val effType = deduped.schema(deduped.schema.fieldIndex(effCol))
+            .dataType
+          val eff = lit(effRow.get(0)).cast(effType)
+          val data = deduped.drop(effCol)
+          val merged =
+            if (sink.tableExists(tableName))
+              Load.scd2Merge(sink.read(tableName), data, pk, eff,
+                validFrom, validTo, isCurrent)
+            else data
+              .withColumn(validFrom, eff)
+              .withColumn(validTo, lit(null).cast(effType))
+              .withColumn(isCurrent, lit(true))
+          sink.overwrite(merged, tableName)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming face of [[graft.operators.IncrementalAgg]]: keep a
     * persisted per-key rollup current as micro-batches arrive. Each
     * batch folds through the monoid state (one key-cardinality

@@ -116,6 +116,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingScd2: micro-batches keep type-2 history at the batch effective date") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingScd2(
+      input.toDF(), sink, "dim_events", pk = Seq("event_id"),
+      effCol = "ts", checkpointDir = s"$base/ckpt")
+    try {
+      // batch 1 bootstraps: every row an open version dated MAX(ts)
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      val t1 = sink.read("dim_events")
+      t1.count() shouldBe 2
+      t1.filter($"is_current").count() shouldBe 2
+      rows(t1.select("valid_from").distinct()) shouldBe Seq(Seq(ts(1)))
+
+      // batch 2 (effective date = MAX(ts) = ts(14)): id 2 changed,
+      // id 1 resent unchanged (no-op), id 3 new, id 4 duplicated
+      // in-batch → last-wins by ts
+      input.addData(
+        Event(2, ts(10), 1, "view", 20.0),
+        Event(1, ts(12), 1, "click", 1.0),
+        Event(3, ts(11), 2, "click", 3.0),
+        Event(4, ts(13), 2, "view", 4.0),
+        Event(4, ts(14), 2, "view", 40.0))
+      q.processAllAvailable()
+      val t2 = sink.read("dim_events")
+      // (event_id, value, valid_from, valid_to, is_current) tuples
+      def versions(id: Long) =
+        rows(t2.filter($"event_id" === id)
+          .select("value", "valid_from", "valid_to", "is_current")
+          .orderBy("valid_from"))
+      versions(1) shouldBe Seq(Seq(1.0, ts(1), null, true)) // no-op kept open
+      versions(2) shouldBe Seq(
+        Seq(2.0, ts(1), ts(14), false),   // closed at batch-2 eff date
+        Seq(20.0, ts(14), null, true))    // reopened with staged value
+      versions(3) shouldBe Seq(Seq(3.0, ts(14), null, true))
+      versions(4) shouldBe Seq(Seq(40.0, ts(14), null, true)) // dup last-wins
+    } finally q.stop()
+  }
+
   test("streamingUpsertPartitioned rewrites only the partitions a batch touches") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-pupsert").toString
