@@ -135,11 +135,26 @@ object EventStreams {
     * the table (every row an open version from the batch date).
     *
     * EFFECTIVELY-ONCE WITHOUT MARKERS: the effective date derives from
-    * the BATCH DATA, so a checkpoint replay recomputes the identical
-    * merge — and `scd2Merge` is idempotent (re-applying a batch whose
-    * versions are already open is a pure no-op), so foreachBatch's
-    * at-least-once replay composes to exactly-once table state with
-    * none of the `_APPLIED` marker machinery the rollup sinks need.
+    * the BATCH DATA (MAX over the RAW batch, before dedup), so a
+    * checkpoint replay recomputes the identical merge — and
+    * `scd2Merge` is idempotent (re-applying a batch whose versions are
+    * already open is a pure no-op), so foreachBatch's at-least-once
+    * replay composes to exactly-once table state with none of the
+    * `_APPLIED` marker machinery the rollup sinks need. Replay
+    * determinism also needs the intra-batch dedup to be deterministic
+    * under ORDER TIES (two updates to a key at the same `orderCols`
+    * values), so the last-wins ordering carries a full-row hash
+    * tiebreaker — without it, a replay could keep the other tied row
+    * and write a different table than the first attempt.
+    *
+    * LATE BATCHES FAIL LOUD: a batch whose effective date precedes the
+    * table's newest `validFrom` would close versions at a date BEFORE
+    * they opened — negative validity intervals that point-in-time
+    * reads can never match, i.e. silent history corruption. Retroactive
+    * corrections are a different operation (rebuild the affected
+    * range); this sink refuses the batch instead. Equal dates are
+    * fine (same-date re-changes close a zero-length version; the
+    * current version stays correct).
     *
     * `effCol` is dropped from the tracked attributes: its monotone
     * movement would otherwise read as a "change" and re-open every
@@ -162,31 +177,68 @@ object EventStreams {
                     isCurrent: String = "is_current")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(pk.nonEmpty, "streaming SCD2 needs a business key")
+    // contract checks at WIRING time (lowercase, like Spark's own
+    // resolution): failing here beats a bootstrap batch silently
+    // overwriting a real valid_from column and every later batch
+    // wedging on scd2Merge's stage check
+    val stageLc = stage.columns.map(_.toLowerCase).toSet
+    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
+      Set("__c_ex", "__s_ex", "__scd2_tb")
+    require(!stageLc.exists(reserved),
+      "stream columns collide with SCD/reserved names: " +
+        (stageLc & reserved).mkString(", "))
+    require(stageLc(effCol.toLowerCase),
+      s"effective-date column '$effCol' missing from the stream")
+    require(pk.forall(k => stageLc(k.toLowerCase)),
+      s"business-key column(s) missing from the stream: " +
+        pk.filterNot(k => stageLc(k.toLowerCase)).mkString(", "))
+    require(!pk.exists(_.equalsIgnoreCase(effCol)),
+      s"'$effCol' is a business-key column — the effective date is " +
+        "dropped from the merged attributes and cannot double as a key")
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         import graft.operators.Load
-        val ord = if (orderCols.nonEmpty) orderCols else Seq(effCol)
-        val deduped = Load.dedupLastWins(batch.toDF(), pk, ord)
-        // one-row aggregate: the batch's effective date (NULL = empty
-        // or all-null batch → nothing to merge)
-        val effRow = deduped.agg(max(col(effCol))).head()
-        if (!effRow.isNullAt(0)) {
-          val effType = deduped.schema(deduped.schema.fieldIndex(effCol))
-            .dataType
-          val eff = lit(effRow.get(0)).cast(effType)
-          val data = deduped.drop(effCol)
-          val merged =
-            if (sink.tableExists(tableName))
-              Load.scd2Merge(sink.read(tableName), data, pk, eff,
-                validFrom, validTo, isCurrent)
-            else data
-              .withColumn(validFrom, eff)
-              .withColumn(validTo, lit(null).cast(effType))
-              .withColumn(isCurrent, lit(true))
-          sink.overwrite(merged, tableName)
-        }
+        // the batch feeds two jobs (one-row MAX + the merge write):
+        // persist so the source scan and dedup window run once
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val aggFrame = b.agg(max(col(effCol)))
+          val effRow = aggFrame.head() // NULL = empty/all-null batch → no-op
+          if (!effRow.isNullAt(0)) {
+            val effType = aggFrame.schema.head.dataType
+            val eff = lit(effRow.get(0)).cast(effType)
+            val ord = if (orderCols.nonEmpty) orderCols else Seq(effCol)
+            val deduped = Load.dedupLastWins(
+                b.withColumn("__scd2_tb", xxhash64(b.columns.map(col): _*)),
+                pk, ord :+ "__scd2_tb")
+              .drop("__scd2_tb")
+            val data = deduped.drop(effCol)
+            val merged =
+              if (sink.tableExists(tableName)) {
+                val target = sink.read(tableName)
+                val maxVf = target.filter(col(isCurrent))
+                  .agg(max(col(validFrom))).head()
+                if (!maxVf.isNullAt(0) &&
+                    effRow.get(0).asInstanceOf[Comparable[Any]]
+                      .compareTo(maxVf.get(0)) < 0)
+                  throw new graft.model.UserException(
+                    s"late batch: effective date ${effRow.get(0)} precedes " +
+                      s"the table's newest $validFrom ${maxVf.get(0)} — " +
+                      "merging would create negative validity intervals " +
+                      "(silent history corruption). Rebuild the affected " +
+                      "range instead")
+                Load.scd2Merge(target, data, pk, eff,
+                  validFrom, validTo, isCurrent)
+              } else data
+                .withColumn(validFrom, eff)
+                .withColumn(validTo, lit(null).cast(effType))
+                .withColumn(isCurrent, lit(true))
+            sink.overwrite(merged, tableName)
+          }
+        } finally b.unpersist()
         ()
       }
       .start()

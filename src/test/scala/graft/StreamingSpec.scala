@@ -159,6 +159,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingScd2: late batches fail loud; reserved columns refused at wiring") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2-late").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    // wiring-time: a stream already carrying an SCD bookkeeping name
+    // would have its column silently overwritten by the bootstrap —
+    // refuse before any batch runs (case-variant included)
+    val input0 = MemoryStream[Event]
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.streamingScd2(
+        input0.toDF().withColumnRenamed("value", "VALID_FROM"),
+        sink, "dim_bad", Seq("event_id"), "ts", s"$base/ckpt0")
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.streamingScd2(input0.toDF(), sink, "dim_bad",
+        Seq("event_id"), "event_id", s"$base/ckpt1") // effCol = pk
+    // effCol in a different case than the frame still wires and runs
+    // (resolution is case-insensitive end to end)
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingScd2(input.toDF(), sink, "dim_late",
+      Seq("event_id"), "TS", s"$base/ckpt2")
+    try {
+      input.addData(Event(1, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      sink.read("dim_late").count() shouldBe 1
+      // a batch whose effective date precedes the newest valid_from
+      // would close versions before they opened — refused
+      input.addData(Event(1, ts(5), 1, "click", 99.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("late batch"))) shouldBe true
+      // the refused batch wrote nothing
+      rows(sink.read("dim_late").select("value", "is_current")) shouldBe
+        Seq(Seq(1.0, true))
+    } finally q.stop()
+  }
+
   test("streamingUpsertPartitioned rewrites only the partitions a batch touches") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-pupsert").toString
