@@ -163,11 +163,10 @@ object EventStreams {
     * wins), since staged keys must be unique for the merge.
     *
     * Scale: same O(|target|)-per-batch rewrite as [[streamingUpsert]],
-    * which is the right trade for an SCD2 target — a dimension table
-    * orders of magnitude smaller than its fact streams. A huge
-    * dimension wants a stable-key-hash partitioned layout with
-    * per-partition merges (the [[streamingUpsertPartitioned]] shape);
-    * build that on [[graft.sources.PartitionedStore]] if needed. */
+    * fine for a dimension table orders of magnitude smaller than its
+    * fact streams. A huge dimension wants the hash-bucketed layout —
+    * use [[streamingScd2Partitioned]], which rewrites only the buckets
+    * a batch's keys hash into. */
   def streamingScd2(stage: DataFrame, sink: graft.app.TableSink,
                     tableName: String, pk: Seq[String], effCol: String,
                     checkpointDir: String,
@@ -243,6 +242,31 @@ object EventStreams {
       }
       .start()
   }
+
+  /** [[streamingScd2]] at scale: the dimension lives hash-bucketed on
+    * the business key ([[graft.sources.PartitionedStore.scd2MergeBucketed]])
+    * and each micro-batch rewrites ONLY the buckets its keys hash
+    * into — O(touched buckets), not O(|target|). Same batch semantics
+    * (batch-derived effective date, tie-broken last-wins dedup, late
+    * batches refused) plus the `_APPLIED`-marker crashed-swap recovery
+    * every partition-scoped writer here shares; the bucket function is
+    * pinned at bootstrap, so a mis-wired restart fails loud instead of
+    * splitting key histories. */
+  def streamingScd2Partitioned(stage: DataFrame, targetPath: String,
+                               pk: Seq[String], effCol: String,
+                               nBuckets: Int, checkpointDir: String,
+                               orderCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stage.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.PartitionedStore.scd2MergeBucketed(
+          batch.toDF(), targetPath, pk, effCol, nBuckets, orderCols,
+          batchId = Some(batchId))
+        ()
+      }
+      .start()
 
   /** Streaming face of [[graft.operators.IncrementalAgg]]: keep a
     * persisted per-key rollup current as micro-batches arrive. Each

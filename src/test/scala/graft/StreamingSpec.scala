@@ -246,6 +246,93 @@ class StreamingSpec extends SparkSpec {
       .filter(_.contains("__stage_")).toSeq shouldBe empty
   }
 
+  test("scd2MergeBucketed rewrites only the buckets a batch touches; layout pinned; late refused") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2bk").toString
+    val target = s"$base/dim_bk"
+    import graft.sources.PartitionedStore
+
+    // bootstrap: 20 keys spread over 8 hash buckets
+    val b1 = (1L to 20L).map(i =>
+      Event(i, ts(10), i % 3, "click", i.toDouble)).toDF()
+    val touched1 = PartitionedStore.scd2MergeBucketed(
+      b1, target, Seq("event_id"), "ts", nBuckets = 8)
+    touched1 should not be empty
+    val t1 = spark.read.parquet(target)
+    t1.count() shouldBe 20
+    t1.filter(!$"is_current").count() shouldBe 0
+
+    def partFiles(k: Int): Map[String, Seq[Byte]] = {
+      val dir = java.nio.file.Paths.get(target, s"p_bucket=$k")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+    val before = touched1.map(k => k -> partFiles(k)).toMap
+
+    // batch 2 changes ONE key: only its bucket may rewrite
+    val b2 = Seq(Event(5, ts(20), 99, "click", 500.0)).toDF()
+    val touched2 = PartitionedStore.scd2MergeBucketed(
+      b2, target, Seq("event_id"), "ts", nBuckets = 8)
+    touched2 should have size 1
+    touched1.filterNot(touched2.contains).foreach { k =>
+      withClue(s"untouched bucket $k") { partFiles(k) shouldBe before(k) }
+    }
+    // key 5's version chain: closed at the batch-2 date + reopened
+    rows(spark.read.parquet(target).filter($"event_id" === 5)
+      .select("value", "valid_from", "valid_to", "is_current")
+      .orderBy("valid_from")) shouldBe Seq(
+      Seq(5.0, ts(10), ts(20), false),
+      Seq(500.0, ts(20), null, true))
+    // every other key untouched and still current
+    spark.read.parquet(target).count() shouldBe 21
+    spark.read.parquet(target).filter($"is_current").count() shouldBe 20
+
+    // the bucket function is pinned: different nBuckets fails loud
+    a[graft.model.UserException] should be thrownBy
+      PartitionedStore.scd2MergeBucketed(
+        b2, target, Seq("event_id"), "ts", nBuckets = 16)
+    // a late batch (effective date behind the slice's newest
+    // valid_from) is refused — negative intervals would corrupt history
+    a[graft.model.UserException] should be thrownBy
+      PartitionedStore.scd2MergeBucketed(
+        Seq(Event(6, ts(5), 1, "click", 6.0)).toDF(),
+        target, Seq("event_id"), "ts", nBuckets = 8)
+    // no staging residue
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(base))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.contains("__stage_")).toSeq shouldBe empty
+  }
+
+  test("streamingScd2Partitioned: micro-batches maintain bucketed type-2 history") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2p").toString
+    val target = s"$base/dim_pt"
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingScd2Partitioned(input.toDF(), target,
+      pk = Seq("event_id"), effCol = "ts", nBuckets = 4,
+      checkpointDir = s"$base/ckpt")
+    try {
+      input.addData(Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(11), 1, "view", 2.0))
+      q.processAllAvailable()
+      spark.read.parquet(target).count() shouldBe 2
+
+      input.addData(Event(2, ts(20), 1, "view", 20.0)) // changed
+      q.processAllAvailable()
+      rows(spark.read.parquet(target).filter($"event_id" === 2)
+        .select("value", "valid_from", "valid_to", "is_current")
+        .orderBy("valid_from")) shouldBe Seq(
+        Seq(2.0, ts(11), ts(20), false),
+        Seq(20.0, ts(20), null, true))
+      spark.read.parquet(target).filter($"event_id" === 1)
+        .count() shouldBe 1 // untouched key: still a single open version
+    } finally q.stop()
+  }
+
   test("mergeByDay treats an empty target dir as absent (crash recovery)") {
     // a crash between mkdirs and the first partition rename leaves an
     // empty target; the next merge must bootstrap, not throw on schema
