@@ -93,7 +93,12 @@ object Load {
     * historical — pass through untouched. Tracked attributes = every
     * stage column outside the key. Stage keys must be unique (run
     * [[dedupLastWins]] first if a feed can repeat keys — same contract
-    * as the reference's upsert, SURVEY §2.3 caveat).
+    * as the reference's upsert, SURVEY §2.3 caveat) and NON-NULL: a
+    * NULL key can never match the join, so every batch would append
+    * another open version for it — duplicate current rows, silently.
+    * This operator is lazy and cannot check that cheaply; the eager
+    * entry points (the streaming sinks, the bucketed merge) refuse
+    * NULL keys loudly per batch.
     *
     * Scale (100 TB posture): ONE full-outer join keyed on the business
     * key (target matched only where `isCurrent` — history rows fall
@@ -182,6 +187,36 @@ object Load {
           .when(changed, array(closedRow, newRow))          // close + open
           .otherwise(array(cRow))).as("__r"))               // no-op match
       .select(outCols.map(a => col(s"__r.$a").as(a)): _*)
+  }
+
+  /** Wiring-time contract checks shared by every SCD2 entry point
+    * (the streaming sinks and the bucketed merge): ONE definition so
+    * the contract cannot drift between them. Lowercase comparisons
+    * throughout — Spark resolves column names case-insensitively, so
+    * a stricter check would reject working calls and a looser one
+    * would let a case-variant reserved name slip through to silent
+    * overwrite. Fails loud at WIRING, before any batch can run (a
+    * bootstrap batch would otherwise overwrite a real `valid_from`
+    * column and wedge every later merge). */
+  def validateScd2Stage(columns: Seq[String], pk: Seq[String],
+                        effCol: String, validFrom: String,
+                        validTo: String, isCurrent: String,
+                        extraReserved: Set[String] = Set.empty): Unit = {
+    require(pk.nonEmpty, "SCD2 needs a business key")
+    val colsLc = columns.map(_.toLowerCase).toSet
+    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
+      Set("__c_ex", "__s_ex", "__scd2_tb") ++ extraReserved
+    require(!colsLc.exists(reserved),
+      "columns collide with SCD/reserved names: " +
+        (colsLc & reserved).mkString(", "))
+    require(colsLc(effCol.toLowerCase),
+      s"effective-date column '$effCol' missing")
+    require(pk.forall(k => colsLc(k.toLowerCase)),
+      s"business-key column(s) missing: " +
+        pk.filterNot(k => colsLc(k.toLowerCase)).mkString(", "))
+    require(!pk.exists(_.equalsIgnoreCase(effCol)),
+      s"'$effCol' is a business-key column — the effective date is " +
+        "dropped from the merged attributes and cannot double as a key")
   }
 
   /** Point-in-time snapshot of an SCD2 table: the rows whose validity

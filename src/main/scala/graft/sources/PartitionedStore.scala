@@ -83,86 +83,17 @@ object PartitionedStore {
           "land in the default partition and never swap in")
     val dates = dateRows.flatten.sorted
     if (dates.isEmpty) return Nil
-    // Stranded-stage audit (same class as the rollup's guard): a crash
-    // between a partition's delete and rename leaves the staged copy
-    // as the ONLY copy of that partition — re-merging as if the
-    // partition never existed would silently replace its history with
-    // this batch. Discriminator: stages mark partitions that did NOT
-    // exist in the target when the stage was built (`_FRESH_<d>`) —
-    // a stranded FRESH partition is a crashed first write whose replay
-    // recomputes it (self-healing, cleanOrphanStages reaps the stage
-    // once the target partition lands); an UNMARKED stranded partition
-    // held merged history and must be renamed in by the operator (see
-    // Maintenance.recoverableStages). Exact `__stage_[0-9a-f]{8}`
-    // shape, like Maintenance: a user's `t__stage_backup` dir must not
-    // trip the audit. Single writer per path (the streaming
-    // checkpoint's contract), so any stage found at ENTRY is from a
-    // crashed run, not a concurrent one.
-    locally {
-      val parent = target.getParent
-      val shape = (java.util.regex.Pattern.quote(target.getName) +
-        "__stage_[0-9a-f]{8}").r
-      val stranded =
-        if (parent == null || !fs.exists(parent)) Nil
-        else fs.listStatus(parent).toSeq
-          .filter(st => st.isDirectory &&
-            shape.matches(st.getPath.getName))
-          .map(_.getPath)
-      val lost = dates.filter { d =>
-        !fs.exists(new Path(target, s"p_date=$d")) &&
-          stranded.exists(sp => fs.exists(new Path(sp, s"p_date=$d")) &&
-            !fs.exists(new Path(sp, s"_FRESH_$d")))
-      }.filterNot { d =>
-        // a stage carrying THIS batch's completion marker is the
-        // replaying batch's own finished merge whose swap crashed:
-        // rename the partition in (the subsequent upsert is
-        // idempotent, so re-merging over the recovered copy is safe)
-        batchId.exists(id =>
-          graft.app.SwapGuard.recoverChild(fs, stranded, s"p_date=$d",
-            sp => new Path(sp, s"_APPLIED_$id"), target))
-      }
-      if (lost.nonEmpty)
-        throw new graft.model.UserException(
-          s"partitions [${lost.mkString(",")}] of '$path' exist only " +
-            s"in stranded stage dirs (${stranded.mkString(", ")}) — a " +
-            "crashed swap. Rename the staged partitions in (see " +
-            "Maintenance.recoverableStages) before merging; merging " +
-            "now would silently replace their history with this batch")
-    }
-    val exists = hasDataEntries(fs, target)
+    val children = dates.map(d => (s"p_date=$d", s"_FRESH_$d"))
+    auditStrandedStages(fs, target, path, children, batchId, "partitions")
     val merged =
-      if (exists) {
+      if (hasDataEntries(fs, target)) {
         // partition-pruned target slice: only the touched dates scan
         val slice = spark.read.parquet(path)
           .filter(col("p_date").isin(dates.map(lit(_).cast("date")): _*))
         Load.upsert(slice, withDate, pk)
       } else withDate
-    val stage = new Path(
-      s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    // _FRESH markers go in BEFORE the (long) data write: they state a
-    // fact about the TARGET ("this partition never existed"), so a
-    // crash mid-write leaves a marked stage the replay recomputes
-    // instead of an unmarked one that wedges the audit. The data write
-    // appends into the pre-marked dir (unique name — append ≡ fresh).
-    fs.mkdirs(stage)
-    dates.filterNot(d => fs.exists(new Path(target, s"p_date=$d")))
-      .foreach(d => fs.create(new Path(stage, s"_FRESH_$d"), true).close())
-    merged.write.mode("append")
-      .option("maxRecordsPerFile", targetFileRows)
-      .partitionBy("p_date").parquet(stage.toString)
-    // the completion marker goes in AFTER the data write (it licenses
-    // the replay's rename-in recovery, so it must assert a COMPLETE
-    // stage)
-    batchId.foreach(id =>
-      fs.create(new Path(stage, s"_APPLIED_$id"), true).close())
-    // swap ONLY the touched partition directories; idempotent per
-    // partition across ambiguous failures (shared SwapGuard rules:
-    // a prior attempt's landed rename reads as success)
-    graft.app.SwapGuard(s"partition swap failed for '$path' after " +
-        s"retries (staged partitions preserved at $stage)") {
-      graft.app.SwapGuard.swapChildren(fs, stage, target,
-        dates.map(d => s"p_date=$d"))
-    }
+    writeStageAndSwap(fs, target, path, merged, "p_date", children,
+      targetFileRows, batchId)
     dates
   }
 
@@ -170,7 +101,7 @@ object PartitionedStore {
     * between mkdirs and the first partition rename — or a bootstrap
     * write of zero rows (_SUCCESS only) — would otherwise wedge every
     * later merge on "unable to infer parquet schema". Short-circuits
-    * on the first data entry; marker files (_SUCCESS, .crc,
+    * on the first data entry; marker files (_SUCCESS, _CONFIG, .crc,
     * _temporary) don't count. */
   private def hasDataEntries(fs: org.apache.hadoop.fs.FileSystem,
                              target: org.apache.hadoop.fs.Path): Boolean =
@@ -184,6 +115,135 @@ object PartitionedStore {
       found
     }
 
+  /** ONE stranded-stage audit for every partition-scoped writer here
+    * (the day merge and the bucketed SCD2 merge) — the crash/replay
+    * discriminators must not diverge between them, same principle as
+    * the shared `SwapGuard.swapChildren`/`recoverChild`. (The bucketed
+    * rollup in EventStreams keeps its own variant: its marker commits
+    * INSIDE the state swap, a genuinely different protocol.)
+    *
+    * A crash between a child's delete and rename leaves the staged
+    * copy as the ONLY copy — re-merging as if it never existed would
+    * silently replace its history with this batch. Discriminators:
+    * `_FRESH_<x>` (child did not exist in the target when the stage
+    * was built) = crashed first write, replay recomputes it;
+    * `_APPLIED_<batchId>` = THIS batch's own finished merge whose swap
+    * crashed, renamed in here (the re-merge over the recovered copy is
+    * idempotent); unmarked = merged history only the operator may
+    * rename in. Exact `__stage_[0-9a-f]{8}` shape so a user's
+    * `t__stage_backup` dir cannot trip the audit. Single writer per
+    * path (the streaming checkpoint's contract), so any stage found at
+    * ENTRY is from a crashed run, not a concurrent one. */
+  private def auditStrandedStages(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, path: String,
+      children: Seq[(String, String)], // (childDirName, freshMarkerName)
+      batchId: Option[Long], what: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val parent = target.getParent
+    val shape = (java.util.regex.Pattern.quote(target.getName) +
+      "__stage_[0-9a-f]{8}").r
+    val stranded =
+      if (parent == null || !fs.exists(parent)) Nil
+      else fs.listStatus(parent).toSeq
+        .filter(st => st.isDirectory &&
+          shape.matches(st.getPath.getName))
+        .map(_.getPath)
+    val lost = children.filter { case (child, fresh) =>
+      !fs.exists(new Path(target, child)) &&
+        stranded.exists(sp => fs.exists(new Path(sp, child)) &&
+          !fs.exists(new Path(sp, fresh)))
+    }.filterNot { case (child, _) =>
+      batchId.exists(id =>
+        graft.app.SwapGuard.recoverChild(fs, stranded, child,
+          sp => new Path(sp, s"_APPLIED_$id"), target))
+    }
+    if (lost.nonEmpty)
+      throw new graft.model.UserException(
+        s"$what [${lost.map(_._1).mkString(",")}] of '$path' exist " +
+          s"only in stranded stage dirs (${stranded.mkString(", ")}) — " +
+          "a crashed swap. Rename the staged copies in (see " +
+          "Maintenance.recoverableStages) before merging; merging now " +
+          "would silently replace their history with this batch")
+  }
+
+  /** ONE stage-write-and-swap tail for the partition-scoped writers:
+    * `_FRESH` markers go in BEFORE the (long) data write — they state
+    * a fact about the TARGET ("this child never existed"), so a crash
+    * mid-write leaves a marked stage the replay recomputes instead of
+    * an unmarked one that wedges the audit. The `_APPLIED` completion
+    * marker goes in AFTER the data write (it licenses the replay's
+    * rename-in recovery, so it must assert a COMPLETE stage). Then
+    * ONLY the touched child directories swap in, idempotent per child
+    * across ambiguous failures (shared SwapGuard rules: a prior
+    * attempt's landed rename reads as success). */
+  private def writeStageAndSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, path: String,
+      merged: DataFrame, partitionCol: String,
+      children: Seq[(String, String)], targetFileRows: Long,
+      batchId: Option[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = new Path(
+      s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(stage)
+    children.filterNot { case (child, _) =>
+        fs.exists(new Path(target, child)) }
+      .foreach { case (_, fresh) =>
+        fs.create(new Path(stage, fresh), true).close() }
+    merged.write.mode("append")
+      .option("maxRecordsPerFile", targetFileRows)
+      .partitionBy(partitionCol).parquet(stage.toString)
+    batchId.foreach(id =>
+      fs.create(new Path(stage, s"_APPLIED_$id"), true).close())
+    graft.app.SwapGuard(s"partition swap failed for '$path' after " +
+        s"retries (staged copies preserved at $stage)") {
+      graft.app.SwapGuard.swapChildren(fs, stage, target,
+        children.map(_._1))
+    }
+  }
+
+  /** Layout pin shared by the pinned-layout writers here: refuse a
+    * call whose layout differs from the one the table was built with.
+    * The pin commits by write-to-temp + rename, so a crash can never
+    * leave a half-written `_CONFIG` that bricks the path — and an
+    * EMPTY stored pin (the crash signature of a create-then-write
+    * scheme, or a zero-byte upload) reads as absent and re-pins
+    * instead of mismatching forever. */
+  private def pinLayout(fs: org.apache.hadoop.fs.FileSystem,
+                        target: org.apache.hadoop.fs.Path, path: String,
+                        config: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val configFile = new Path(target, "_CONFIG")
+    val stored =
+      if (!fs.exists(configFile)) None
+      else {
+        val in = fs.open(configFile)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (s.isEmpty) None else Some(s)
+      }
+    stored match {
+      case Some(c) if c == config => ()
+      case Some(c) =>
+        throw new graft.model.UserException(
+          s"table at $path is pinned to layout [$c] but this call uses " +
+            s"[$config] — a partial rewrite under a different layout " +
+            "would corrupt it (split key histories across buckets). " +
+            "Use a new path to re-layout")
+      case None =>
+        fs.mkdirs(target)
+        val tmp = new Path(target,
+          s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(config.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(configFile)) fs.delete(configFile, true) // empty crashed pin
+        if (!fs.rename(tmp, configFile))
+          throw new java.io.IOException(
+            s"could not commit layout pin at $configFile")
+    }
+  }
+
   /** Partition-scoped TYPE-2 SCD merge — [[graft.operators.Load.scd2Merge]]
     * at the 100 TB dimension scale: the table lives hash-bucketed on
     * the business key (`p_bucket = pmod(xxhash64(pk), nBuckets)`
@@ -194,22 +254,25 @@ object PartitionedStore {
     * one bucket (the hash depends only on the key), so the pruned
     * slice always holds every row the merge may close or pass through.
     *
-    * The bucket function is PINNED at bootstrap (`_CONFIG`:
-    * nBuckets + key columns, like the bucketed rollup's layout pin):
-    * a later call with different parameters would scatter keys across
-    * buckets and silently split their histories — it fails loud
-    * instead. Re-shard by merging into a new path.
+    * The bucket function is PINNED at bootstrap (`_CONFIG`: nBuckets +
+    * lowercased key columns — case variants of the same key denote the
+    * same hash, so a restart that re-spells the key must not read as a
+    * re-shard): a later call with different parameters would scatter
+    * keys across buckets and silently split their histories — it
+    * fails loud instead. Re-shard by merging into a new path.
     *
     * Batch semantics match [[graft.streaming.EventStreams.streamingScd2]]
     * exactly (it is the intended `foreachBatch` body at scale): one
     * effective date per batch = MAX(`effCol`) over the raw batch
     * (dropped from tracked attributes), intra-batch duplicate keys
     * last-wins by `orderCols` (default `effCol`) with a full-row-hash
-    * tiebreaker so checkpoint replays keep the same row, late batches
-    * (effective date behind the touched slice's newest `validFrom`)
-    * refused loudly, empty/all-NULL batches a no-op. Replay safety is
-    * the same two-layer story as [[mergeByDay]]: the `_APPLIED`
-    * marker licenses crashed-swap recovery, and scd2Merge's
+    * tiebreaker so checkpoint replays keep the same row, NULL business
+    * keys refused loudly (a NULL key never matches the merge join, so
+    * it would accrete a duplicate open version per batch), late
+    * batches (effective date behind the touched slice's newest
+    * `validFrom`) refused loudly, empty/all-NULL batches a no-op.
+    * Replay safety is the same two-layer story as [[mergeByDay]]: the
+    * `_APPLIED` marker licenses crashed-swap recovery, and scd2Merge's
     * idempotence makes re-merging over a recovered copy safe.
     *
     * Returns the touched bucket ids (≤ nBuckets, driver-safe). */
@@ -224,51 +287,17 @@ object PartitionedStore {
     import graft.operators.Load
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    require(pk.nonEmpty, "bucketed SCD2 merge needs a business key")
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    // same wiring contract as streamingScd2 (lowercase, like Spark's
-    // resolution), plus the layout column
-    val batchLc = batch.columns.map(_.toLowerCase).toSet
-    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
-      Set("p_bucket", "__c_ex", "__s_ex", "__scd2_tb")
-    require(!batchLc.exists(reserved),
-      "batch columns collide with SCD/layout/reserved names: " +
-        (batchLc & reserved).mkString(", "))
-    require(batchLc(effCol.toLowerCase),
-      s"effective-date column '$effCol' missing from the batch")
-    require(pk.forall(k => batchLc(k.toLowerCase)),
-      s"business-key column(s) missing from the batch: " +
-        pk.filterNot(k => batchLc(k.toLowerCase)).mkString(", "))
-    require(!pk.exists(_.equalsIgnoreCase(effCol)),
-      s"'$effCol' is a business-key column — the effective date is " +
-        "dropped from the merged attributes and cannot double as a key")
+    Load.validateScd2Stage(batch.columns.toSeq, pk, effCol,
+      validFrom, validTo, isCurrent, extraReserved = Set("p_bucket"))
 
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-
-    // layout pin: nBuckets + key columns (URL-encoded components, same
-    // rationale as the bucketed rollup's _CONFIG)
-    locally {
-      val configFile = new Path(target, "_CONFIG")
-      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-      val config = s"scd2|$nBuckets|${pk.map(enc).mkString(",")}"
-      if (fs.exists(configFile)) {
-        val in = fs.open(configFile)
-        val stored =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        if (stored != config)
-          throw new graft.model.UserException(
-            s"SCD2 table at $path was bucketed with layout [$stored] " +
-              s"but this merge uses [$config] — a partial rewrite under " +
-              "a different bucket function would split key histories " +
-              "across buckets. Merge into a new path to re-shard")
-      } else {
-        fs.mkdirs(target)
-        val out = fs.create(configFile, true)
-        try out.write(config.getBytes("UTF-8")) finally out.close()
-      }
-    }
+    // URL-encode components (column names may contain the delimiters);
+    // lowercase first — the bucket hash resolves case-insensitively
+    def enc(s: String) = java.net.URLEncoder.encode(s.toLowerCase, "UTF-8")
+    pinLayout(fs, target, path,
+      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}")
 
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -283,86 +312,59 @@ object PartitionedStore {
           b.withColumn("__scd2_tb", xxhash64(b.columns.map(col): _*)),
           pk, ord :+ "__scd2_tb")
         .drop("__scd2_tb")
+      // persisted: the post-shuffle frame feeds BOTH the bucket probe
+      // and the merge write — without the persist the dedup window
+      // and hash run twice per batch (the bucketed rollup's precedent)
       val staged = deduped.drop(effCol)
         .withColumn("p_bucket",
           pmod(xxhash64(pk.map(col): _*), lit(nBuckets.toLong)).cast("int"))
-      val buckets = staged.select("p_bucket").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      if (buckets.isEmpty) return Nil
-
-      // stranded-stage audit, same discriminators as mergeByDay:
-      // _FRESH = crashed first write (replay recomputes), _APPLIED =
-      // this batch's own crashed swap (rename in, idempotent re-merge),
-      // unmarked = merged history only the operator may rename in
-      locally {
-        val parent = target.getParent
-        val shape = (java.util.regex.Pattern.quote(target.getName) +
-          "__stage_[0-9a-f]{8}").r
-        val stranded =
-          if (parent == null || !fs.exists(parent)) Nil
-          else fs.listStatus(parent).toSeq
-            .filter(st => st.isDirectory &&
-              shape.matches(st.getPath.getName))
-            .map(_.getPath)
-        val lost = buckets.filter { k =>
-          !fs.exists(new Path(target, s"p_bucket=$k")) &&
-            stranded.exists(sp => fs.exists(new Path(sp, s"p_bucket=$k")) &&
-              !fs.exists(new Path(sp, s"_FRESH_$k")))
-        }.filterNot { k =>
-          batchId.exists(id =>
-            graft.app.SwapGuard.recoverChild(fs, stranded, s"p_bucket=$k",
-              sp => new Path(sp, s"_APPLIED_$id"), target))
-        }
-        if (lost.nonEmpty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ONE probe job: touched buckets + the NULL-key refusal
+        val probe = staged.agg(
+          collect_set(col("p_bucket")).as("bks"),
+          max(pk.map(col(_).isNull).reduce(_ || _)).as("null_pk")).head()
+        if (probe.isNullAt(1)) return Nil // empty after dedup
+        if (probe.getBoolean(1))
           throw new graft.model.UserException(
-            s"buckets [${lost.mkString(",")}] of '$path' exist only in " +
-              s"stranded stage dirs (${stranded.mkString(", ")}) — a " +
-              "crashed swap. Rename the staged buckets in (see " +
-              "Maintenance.recoverableStages) before merging; merging " +
-              "now would silently replace their history with this batch")
-      }
+            s"batch carries NULL business key(s) [${pk.mkString(",")}] " +
+              "— a NULL key never matches the merge join, so each batch " +
+              "would append another open version for it (duplicate " +
+              "current rows). Filter or repair NULL-keyed rows upstream")
+        val buckets = probe.getSeq[Int](0).sorted
+        val children = buckets.map(k => (s"p_bucket=$k", s"_FRESH_$k"))
+        auditStrandedStages(fs, target, path, children, batchId, "buckets")
 
-      val merged =
-        if (hasDataEntries(fs, target)) {
-          // partition-pruned slice: only the touched buckets scan.
-          // p_bucket rides both sides of the merge as a (constant-per-
-          // key) tracked attribute — it can never read as a change.
-          val slice = spark.read.parquet(path)
-            .filter(col("p_bucket").isin(buckets.map(k => lit(k)): _*))
-          val maxVf = slice.filter(col(isCurrent))
-            .agg(max(col(validFrom))).head()
-          if (!maxVf.isNullAt(0) &&
-              effRow.get(0).asInstanceOf[Comparable[Any]]
-                .compareTo(maxVf.get(0)) < 0)
-            throw new graft.model.UserException(
-              s"late batch: effective date ${effRow.get(0)} precedes the " +
-                s"touched slice's newest $validFrom ${maxVf.get(0)} — " +
-                "merging would create negative validity intervals " +
-                "(silent history corruption). Rebuild the affected " +
-                "range instead")
-          Load.scd2Merge(slice, staged, pk, eff,
-            validFrom, validTo, isCurrent)
-        } else staged
-          .withColumn(validFrom, eff)
-          .withColumn(validTo, lit(null).cast(effType))
-          .withColumn(isCurrent, lit(true))
+        val merged =
+          if (hasDataEntries(fs, target)) {
+            // partition-pruned slice: only the touched buckets scan.
+            // p_bucket rides both sides of the merge as a (constant-
+            // per-key) tracked attribute — it can never read as a
+            // change.
+            val slice = spark.read.parquet(path)
+              .filter(col("p_bucket").isin(buckets.map(k => lit(k)): _*))
+            val maxVf = slice.filter(col(isCurrent))
+              .agg(max(col(validFrom))).head()
+            if (!maxVf.isNullAt(0) &&
+                effRow.get(0).asInstanceOf[Comparable[Any]]
+                  .compareTo(maxVf.get(0)) < 0)
+              throw new graft.model.UserException(
+                s"late batch: effective date ${effRow.get(0)} precedes " +
+                  s"the touched slice's newest $validFrom " +
+                  s"${maxVf.get(0)} — merging would create negative " +
+                  "validity intervals (silent history corruption). " +
+                  "Rebuild the affected range instead")
+            Load.scd2Merge(slice, staged, pk, eff,
+              validFrom, validTo, isCurrent)
+          } else staged
+            .withColumn(validFrom, eff)
+            .withColumn(validTo, lit(null).cast(effType))
+            .withColumn(isCurrent, lit(true))
 
-      val stage = new Path(
-        s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
-      fs.mkdirs(stage)
-      buckets.filterNot(k => fs.exists(new Path(target, s"p_bucket=$k")))
-        .foreach(k => fs.create(new Path(stage, s"_FRESH_$k"), true).close())
-      merged.write.mode("append")
-        .option("maxRecordsPerFile", targetFileRows)
-        .partitionBy("p_bucket").parquet(stage.toString)
-      batchId.foreach(id =>
-        fs.create(new Path(stage, s"_APPLIED_$id"), true).close())
-      graft.app.SwapGuard(s"bucket swap failed for '$path' after " +
-          s"retries (staged buckets preserved at $stage)") {
-        graft.app.SwapGuard.swapChildren(fs, stage, target,
-          buckets.map(k => s"p_bucket=$k"))
-      }
-      buckets
+        writeStageAndSwap(fs, target, path, merged, "p_bucket", children,
+          targetFileRows, batchId)
+        buckets
+      } finally staged.unpersist()
     } finally b.unpersist()
   }
 }

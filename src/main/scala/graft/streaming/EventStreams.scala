@@ -175,25 +175,12 @@ object EventStreams {
                     validTo: String = "valid_to",
                     isCurrent: String = "is_current")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(pk.nonEmpty, "streaming SCD2 needs a business key")
-    // contract checks at WIRING time (lowercase, like Spark's own
-    // resolution): failing here beats a bootstrap batch silently
-    // overwriting a real valid_from column and every later batch
-    // wedging on scd2Merge's stage check
-    val stageLc = stage.columns.map(_.toLowerCase).toSet
-    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
-      Set("__c_ex", "__s_ex", "__scd2_tb")
-    require(!stageLc.exists(reserved),
-      "stream columns collide with SCD/reserved names: " +
-        (stageLc & reserved).mkString(", "))
-    require(stageLc(effCol.toLowerCase),
-      s"effective-date column '$effCol' missing from the stream")
-    require(pk.forall(k => stageLc(k.toLowerCase)),
-      s"business-key column(s) missing from the stream: " +
-        pk.filterNot(k => stageLc(k.toLowerCase)).mkString(", "))
-    require(!pk.exists(_.equalsIgnoreCase(effCol)),
-      s"'$effCol' is a business-key column — the effective date is " +
-        "dropped from the merged attributes and cannot double as a key")
+    // contract checks at WIRING time (ONE definition shared by every
+    // SCD2 entry point — Load.validateScd2Stage): failing here beats a
+    // bootstrap batch silently overwriting a real valid_from column
+    // and every later batch wedging on scd2Merge's stage check
+    graft.operators.Load.validateScd2Stage(stage.columns.toSeq, pk,
+      effCol, validFrom, validTo, isCurrent)
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -204,8 +191,16 @@ object EventStreams {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val aggFrame = b.agg(max(col(effCol)))
+          // one probe job: the batch effective date + the NULL-key
+          // refusal (a NULL key never matches the merge join — it
+          // would accrete a duplicate open version per batch)
+          val aggFrame = b.agg(max(col(effCol)),
+            max(pk.map(col(_).isNull).reduce(_ || _)))
           val effRow = aggFrame.head() // NULL = empty/all-null batch → no-op
+          if (!effRow.isNullAt(1) && effRow.getBoolean(1))
+            throw new graft.model.UserException(
+              s"batch carries NULL business key(s) [${pk.mkString(",")}]" +
+                " — filter or repair NULL-keyed rows upstream")
           if (!effRow.isNullAt(0)) {
             val effType = aggFrame.schema.head.dataType
             val eff = lit(effRow.get(0)).cast(effType)
@@ -256,7 +251,13 @@ object EventStreams {
                                pk: Seq[String], effCol: String,
                                nBuckets: Int, checkpointDir: String,
                                orderCols: Seq[String] = Nil)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // same wiring-time contract as streamingScd2: a schema violation
+    // must fail at .start(), not hours later on the first micro-batch
+    graft.operators.Load.validateScd2Stage(stage.columns.toSeq, pk,
+      effCol, "valid_from", "valid_to", "is_current",
+      extraReserved = Set("p_bucket"))
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -267,6 +268,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /** Streaming face of [[graft.operators.IncrementalAgg]]: keep a
     * persisted per-key rollup current as micro-batches arrive. Each
@@ -375,8 +377,11 @@ object EventStreams {
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (stored == legacy && stored != config) {
-        // migrate the pin to the unambiguous encoding in place
+      if (stored.isEmpty || (stored == legacy && stored != config)) {
+        // empty = the crash signature of create-then-write (the create
+        // landed, the bytes did not): re-pin instead of mismatching
+        // forever; legacy = migrate the pin to the unambiguous
+        // encoding in place
         val out = fs.create(configFile, true)
         try out.write(config.getBytes("UTF-8")) finally out.close()
       } else if (stored != config)

@@ -307,11 +307,71 @@ class StreamingSpec extends SparkSpec {
       .filter(_.contains("__stage_")).toSeq shouldBe empty
   }
 
+  test("streamingScd2 refuses NULL business keys per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2n").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    val input = MemoryStream[(Option[Long], java.sql.Timestamp, Double)]
+    val q = EventStreams.streamingScd2(
+      input.toDF().toDF("id", "ts", "v"), sink, "dim_null",
+      Seq("id"), "ts", s"$base/ckpt")
+    try {
+      input.addData((Some(1L), ts(10), 1.0), (None, ts(10), 2.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("NULL business key"))) shouldBe true
+    } finally q.stop()
+  }
+
+  test("scd2MergeBucketed: NULL keys refused, empty _CONFIG self-heals, pk case ignored by the pin") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2bk2").toString
+    val target = s"$base/dim"
+    import graft.sources.PartitionedStore
+
+    // an empty _CONFIG (crashed create-then-write) must read as absent
+    // and re-pin, not brick the path with a mismatch-vs-[] forever
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(target, "_CONFIG"))
+    val b1 = Seq((1L, ts(10), "a"), (2L, ts(10), "b"))
+      .toDF("id", "ts", "attr")
+    PartitionedStore.scd2MergeBucketed(b1, target, Seq("id"), "ts",
+      nBuckets = 4) should not be empty
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target, "_CONFIG")),
+      "UTF-8") should not be empty
+
+    // a restart that re-spells the key in a different case is the SAME
+    // bucket function — accepted, and the merge resolves it
+    PartitionedStore.scd2MergeBucketed(
+      Seq((1L, ts(20), "a2")).toDF("id", "ts", "attr"),
+      target, Seq("ID"), "ts", nBuckets = 4) should have size 1
+    spark.read.parquet(target).filter($"id" === 1).count() shouldBe 2
+
+    // NULL business keys: the merge join can never match them — each
+    // batch would accrete another open version; refused loudly
+    val withNull = Seq((Option(3L), ts(30), "c"), (None, ts(30), "d"))
+      .toDF("id", "ts", "attr")
+    val e = intercept[graft.model.UserException] {
+      PartitionedStore.scd2MergeBucketed(withNull, target, Seq("id"),
+        "ts", nBuckets = 4)
+    }
+    e.getMessage should include("NULL business key")
+  }
+
   test("streamingScd2Partitioned: micro-batches maintain bucketed type-2 history") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-sscd2p").toString
     val target = s"$base/dim_pt"
     val input = MemoryStream[Event]
+    // wiring-time checks, like the sink-generic variant: a schema
+    // violation fails at .start(), not on the first micro-batch
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.streamingScd2Partitioned(
+        input.toDF().withColumnRenamed("value", "p_bucket"), target,
+        pk = Seq("event_id"), effCol = "ts", nBuckets = 4,
+        checkpointDir = s"$base/ckpt-bad")
     val q = EventStreams.streamingScd2Partitioned(input.toDF(), target,
       pk = Seq("event_id"), effCol = "ts", nBuckets = 4,
       checkpointDir = s"$base/ckpt")
