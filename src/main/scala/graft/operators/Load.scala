@@ -205,7 +205,8 @@ object Load {
     require(pk.nonEmpty, "SCD2 needs a business key")
     val colsLc = columns.map(_.toLowerCase).toSet
     val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
-      Set("__c_ex", "__s_ex", "__scd2_tb") ++ extraReserved
+      Set("__c_ex", "__s_ex", "__scd2_tb") ++
+      extraReserved.map(_.toLowerCase) // callers may spell these freely
     require(!colsLc.exists(reserved),
       "columns collide with SCD/reserved names: " +
         (colsLc & reserved).mkString(", "))

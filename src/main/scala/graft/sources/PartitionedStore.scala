@@ -103,8 +103,8 @@ object PartitionedStore {
     * later merge on "unable to infer parquet schema". Short-circuits
     * on the first data entry; marker files (_SUCCESS, _CONFIG, .crc,
     * _temporary) don't count. */
-  private def hasDataEntries(fs: org.apache.hadoop.fs.FileSystem,
-                             target: org.apache.hadoop.fs.Path): Boolean =
+  private[graft] def hasDataEntries(fs: org.apache.hadoop.fs.FileSystem,
+                                    target: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(target) && {
       val it = fs.listStatusIterator(target)
       var found = false
@@ -206,41 +206,64 @@ object PartitionedStore {
   /** Layout pin shared by the pinned-layout writers here: refuse a
     * call whose layout differs from the one the table was built with.
     * The pin commits by write-to-temp + rename, so a crash can never
-    * leave a half-written `_CONFIG` that bricks the path — and an
-    * EMPTY stored pin (the crash signature of a create-then-write
-    * scheme, or a zero-byte upload) reads as absent and re-pins
-    * instead of mismatching forever. */
+    * leave a half-written `_CONFIG` that bricks the path. An EMPTY
+    * stored pin (a zero-byte upload, or a legacy create-then-write
+    * crash) reads as absent ONLY while the table holds no data — with
+    * data present the layout is unknowable and silently re-pinning to
+    * THIS call's layout could bless a changed bucket function, so it
+    * fails loud instead. `legacy` names an older encoding of the SAME
+    * layout: accepted and migrated in place, never a spurious
+    * re-shard. Leftover `_CONFIG_tmp_*` from crashed commits are
+    * reaped opportunistically (harmless to readers — underscore
+    * prefix — but they would accumulate). */
   private def pinLayout(fs: org.apache.hadoop.fs.FileSystem,
                         target: org.apache.hadoop.fs.Path, path: String,
-                        config: String): Unit = {
+                        config: String,
+                        legacy: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val configFile = new Path(target, "_CONFIG")
+    def commit(): Unit = {
+      fs.mkdirs(target)
+      val tmp = new Path(target,
+        s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(config.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(configFile)) fs.delete(configFile, true)
+      if (!fs.rename(tmp, configFile))
+        throw new java.io.IOException(
+          s"could not commit layout pin at $configFile")
+    }
+    // reap stranded temp files from crashed commits (best effort)
+    if (fs.exists(target))
+      fs.listStatus(target).toSeq
+        .filter(_.getPath.getName.startsWith("_CONFIG_tmp_"))
+        .foreach(st => fs.delete(st.getPath, false))
     val stored =
       if (!fs.exists(configFile)) None
       else {
         val in = fs.open(configFile)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        if (s.isEmpty) None else Some(s)
+        Some(s)
       }
     stored match {
       case Some(c) if c == config => ()
+      case Some(c) if legacy.contains(c) => commit() // same layout, old spelling
+      case Some("") if !hasDataEntries(fs, target) => commit()
+      case Some("") =>
+        throw new graft.model.UserException(
+          s"table at $path has an EMPTY layout pin but holds data — " +
+            "the layout it was built with is unknowable, and re-pinning " +
+            "to this call's layout could bless a changed bucket " +
+            "function. Restore _CONFIG from the writer's parameters " +
+            "(or rebuild into a new path)")
       case Some(c) =>
         throw new graft.model.UserException(
           s"table at $path is pinned to layout [$c] but this call uses " +
             s"[$config] — a partial rewrite under a different layout " +
             "would corrupt it (split key histories across buckets). " +
             "Use a new path to re-layout")
-      case None =>
-        fs.mkdirs(target)
-        val tmp = new Path(target,
-          s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = fs.create(tmp, true)
-        try out.write(config.getBytes("UTF-8")) finally out.close()
-        if (fs.exists(configFile)) fs.delete(configFile, true) // empty crashed pin
-        if (!fs.rename(tmp, configFile))
-          throw new java.io.IOException(
-            s"could not commit layout pin at $configFile")
+      case None => commit()
     }
   }
 
@@ -294,16 +317,34 @@ object PartitionedStore {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     // URL-encode components (column names may contain the delimiters);
-    // lowercase first — the bucket hash resolves case-insensitively
-    def enc(s: String) = java.net.URLEncoder.encode(s.toLowerCase, "UTF-8")
+    // lowercase with Locale.ROOT first — the bucket hash resolves
+    // case-insensitively, and the pin is PERSISTED across JVMs, so a
+    // locale-dependent lowering (Turkish 'I' → 'ı') must never leak
+    // into it. The legacy form (pre-lowering pins) denotes the same
+    // hash — accepted and migrated, not a spurious re-shard.
+    def enc(s: String) = java.net.URLEncoder.encode(
+      s.toLowerCase(java.util.Locale.ROOT), "UTF-8")
+    def encLegacy(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     pinLayout(fs, target, path,
-      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}")
+      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}",
+      legacy = Some(s"scd2|$nBuckets|${pk.map(encLegacy).mkString(",")}"))
 
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val aggFrame = b.agg(max(col(effCol)))
+      // one probe job: the batch effective date + the NULL-key refusal,
+      // checked in the SAME order as streamingScd2 (NULL keys first —
+      // an all-NULL-effCol batch with NULL keys must not silently
+      // no-op on this path while the streaming twin fails loud)
+      val aggFrame = b.agg(max(col(effCol)),
+        max(pk.map(col(_).isNull).reduce(_ || _)))
       val effRow = aggFrame.head()
+      if (!effRow.isNullAt(1) && effRow.getBoolean(1))
+        throw new graft.model.UserException(
+          s"batch carries NULL business key(s) [${pk.mkString(",")}] " +
+            "— a NULL key never matches the merge join, so each batch " +
+            "would append another open version for it (duplicate " +
+            "current rows). Filter or repair NULL-keyed rows upstream")
       if (effRow.isNullAt(0)) return Nil // empty/all-null batch
       val effType = aggFrame.schema.head.dataType
       val eff = lit(effRow.get(0)).cast(effType)
@@ -320,18 +361,9 @@ object PartitionedStore {
           pmod(xxhash64(pk.map(col): _*), lit(nBuckets.toLong)).cast("int"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // ONE probe job: touched buckets + the NULL-key refusal
-        val probe = staged.agg(
-          collect_set(col("p_bucket")).as("bks"),
-          max(pk.map(col(_).isNull).reduce(_ || _)).as("null_pk")).head()
-        if (probe.isNullAt(1)) return Nil // empty after dedup
-        if (probe.getBoolean(1))
-          throw new graft.model.UserException(
-            s"batch carries NULL business key(s) [${pk.mkString(",")}] " +
-              "— a NULL key never matches the merge join, so each batch " +
-              "would append another open version for it (duplicate " +
-              "current rows). Filter or repair NULL-keyed rows upstream")
-        val buckets = probe.getSeq[Int](0).sorted
+        val buckets = staged.select("p_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (buckets.isEmpty) return Nil
         val children = buckets.map(k => (s"p_bucket=$k", s"_FRESH_$k"))
         auditStrandedStages(fs, target, path, children, batchId, "buckets")
 

@@ -372,29 +372,44 @@ object EventStreams {
     // after the encoding change — the stream must not demand a
     // re-shard of a healthy state over a serialization upgrade.
     val legacy = s"$nBuckets|${keys.mkString(",")}|$valueCol"
+    // the pin commits by write-to-temp + rename (never a truncating
+    // create-then-write, whose crash signature is an EMPTY pin next to
+    // full state)
+    def commitPin(): Unit = {
+      fs.mkdirs(root)
+      val tmp = new Path(root,
+        s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(config.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(configFile)) fs.delete(configFile, true)
+      if (!fs.rename(tmp, configFile))
+        throw new java.io.IOException(
+          s"could not commit layout pin at $configFile")
+    }
     if (fs.exists(configFile)) {
       val in = fs.open(configFile)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (stored.isEmpty || (stored == legacy && stored != config)) {
-        // empty = the crash signature of create-then-write (the create
-        // landed, the bytes did not): re-pin instead of mismatching
-        // forever; legacy = migrate the pin to the unambiguous
-        // encoding in place
-        val out = fs.create(configFile, true)
-        try out.write(config.getBytes("UTF-8")) finally out.close()
-      } else if (stored != config)
+      if (stored == config) ()
+      else if (stored == legacy) commitPin() // migrate old encoding in place
+      else if (stored.isEmpty &&
+          !graft.sources.PartitionedStore.hasDataEntries(fs, root))
+        commitPin() // crashed bootstrap pin, no state yet — re-pin
+      else if (stored.isEmpty)
+        throw new graft.model.UserException(
+          s"rollup state at $statePath has an EMPTY layout pin but " +
+            "holds state — the layout it was built with is unknowable, " +
+            "and re-pinning to this fold's layout could bless a changed " +
+            "bucket function. Restore _CONFIG from the writer's " +
+            "parameters (or fold into a new path)")
+      else
         throw new graft.model.UserException(
           s"rollup state at $statePath was built with layout " +
             s"[$stored] but this fold uses [$config] — a partial " +
             "rewrite under a different bucket function would corrupt " +
             "the state. Fold the old state into a new path to re-shard")
-    } else {
-      fs.mkdirs(root)
-      val out = fs.create(configFile, true)
-      try out.write(config.getBytes("UTF-8")) finally out.close()
-    }
+    } else commitPin()
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
       .cast("int").as("bucket")
     // the partial state feeds the touched-bucket collect AND the stage

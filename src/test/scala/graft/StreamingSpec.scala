@@ -358,6 +358,18 @@ class StreamingSpec extends SparkSpec {
         "ts", nBuckets = 4)
     }
     e.getMessage should include("NULL business key")
+
+    // an empty pin NEXT TO DATA is different: the layout is
+    // unknowable, so re-pinning to this call's layout could bless a
+    // changed bucket function — fail loud, never self-heal
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(target, "_CONFIG"), Array.empty[Byte])
+    val e2 = intercept[graft.model.UserException] {
+      PartitionedStore.scd2MergeBucketed(
+        Seq((9L, ts(40), "z")).toDF("id", "ts", "attr"),
+        target, Seq("id"), "ts", nBuckets = 4)
+    }
+    e2.getMessage should include("EMPTY layout pin")
   }
 
   test("streamingScd2Partitioned: micro-batches maintain bucketed type-2 history") {
