@@ -48,8 +48,8 @@ object Load {
     * without being checked. */
   def addedColumns(target: DataFrame,
                    stage: DataFrame): Seq[org.apache.spark.sql.types.StructField] = {
-    val have = target.columns.map(_.toLowerCase).toSet
-    stage.schema.fields.filterNot(f => have(f.name.toLowerCase)).toSeq
+    val have = target.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    stage.schema.fields.filterNot(f => have(f.name.toLowerCase(java.util.Locale.ROOT))).toSeq
   }
 
   /** Stage-wins primary-key merge (J1+J2+J3). */
@@ -121,9 +121,9 @@ object Load {
     // stricter than the resolution would reject working calls — and a
     // check looser than it would let a case-variant reserved name slip
     // through to silent overwrite
-    val scdCols = Set(validFrom, validTo, isCurrent).map(_.toLowerCase)
-    val stageLc = stage.columns.map(_.toLowerCase).toSet
-    val targetLc = target.columns.map(_.toLowerCase).toSet
+    val scdCols = Set(validFrom, validTo, isCurrent).map(_.toLowerCase(java.util.Locale.ROOT))
+    val stageLc = stage.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val targetLc = target.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     require(!stageLc.exists(scdCols),
       s"stage must not carry SCD bookkeeping columns ($scdCols); the " +
         "merge derives them")
@@ -142,13 +142,13 @@ object Load {
     require(missingInStage.isEmpty,
       s"stage lacks columns the SCD2 merge must fill: $missingInStage " +
         "(every non-bookkeeping target column needs a staged value)")
-    require(pk.forall(k => stageLc(k.toLowerCase)),
-      s"stage lacks business-key column(s): ${pk.filterNot(k => stageLc(k.toLowerCase))}")
+    require(pk.forall(k => stageLc(k.toLowerCase(java.util.Locale.ROOT))),
+      s"stage lacks business-key column(s): ${pk.filterNot(k => stageLc(k.toLowerCase(java.util.Locale.ROOT)))}")
     val outCols = target.columns.toSeq
     val tType = target.schema.fields
-      .map(f => f.name.toLowerCase -> f.dataType).toMap
-    val pkLc = pk.map(_.toLowerCase).toSet
-    val dataCols = stage.columns.filterNot(c => pkLc(c.toLowerCase)).toSeq
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    val pkLc = pk.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val dataCols = stage.columns.filterNot(c => pkLc(c.toLowerCase(java.util.Locale.ROOT))).toSeq
 
     // existence markers: a pk column CAN be null-free by contract, but
     // a lit(true) marker makes match-side detection independent of it
@@ -166,17 +166,17 @@ object Load {
     val cRow = struct(outCols.map(a => col(s"c.$a").as(a)): _*)
     val closedRow = struct(outCols.map {
       case a if a.equalsIgnoreCase(validTo) =>
-        effectiveDate.cast(tType(a.toLowerCase)).as(a)
+        effectiveDate.cast(tType(a.toLowerCase(java.util.Locale.ROOT))).as(a)
       case a if a.equalsIgnoreCase(isCurrent) => lit(false).as(a)
       case a => col(s"c.$a").as(a)
     }: _*)
     val newRow = struct(outCols.map {
       case a if a.equalsIgnoreCase(validFrom) =>
-        effectiveDate.cast(tType(a.toLowerCase)).as(a)
+        effectiveDate.cast(tType(a.toLowerCase(java.util.Locale.ROOT))).as(a)
       case a if a.equalsIgnoreCase(validTo) =>
-        lit(null).cast(tType(a.toLowerCase)).as(a)
+        lit(null).cast(tType(a.toLowerCase(java.util.Locale.ROOT))).as(a)
       case a if a.equalsIgnoreCase(isCurrent) => lit(true).as(a)
-      case a => col(s"s.$a").cast(tType(a.toLowerCase)).as(a)
+      case a => col(s"s.$a").cast(tType(a.toLowerCase(java.util.Locale.ROOT))).as(a)
     }: _*)
     val changed = dataCols.map(a => !(col(s"c.$a") <=> col(s"s.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -203,18 +203,18 @@ object Load {
                         validTo: String, isCurrent: String,
                         extraReserved: Set[String] = Set.empty): Unit = {
     require(pk.nonEmpty, "SCD2 needs a business key")
-    val colsLc = columns.map(_.toLowerCase).toSet
-    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase) ++
+    val colsLc = columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val reserved = Set(validFrom, validTo, isCurrent).map(_.toLowerCase(java.util.Locale.ROOT)) ++
       Set("__c_ex", "__s_ex", "__scd2_tb") ++
-      extraReserved.map(_.toLowerCase) // callers may spell these freely
+      extraReserved.map(_.toLowerCase(java.util.Locale.ROOT)) // callers may spell these freely
     require(!colsLc.exists(reserved),
       "columns collide with SCD/reserved names: " +
         (colsLc & reserved).mkString(", "))
-    require(colsLc(effCol.toLowerCase),
+    require(colsLc(effCol.toLowerCase(java.util.Locale.ROOT)),
       s"effective-date column '$effCol' missing")
-    require(pk.forall(k => colsLc(k.toLowerCase)),
+    require(pk.forall(k => colsLc(k.toLowerCase(java.util.Locale.ROOT))),
       s"business-key column(s) missing: " +
-        pk.filterNot(k => colsLc(k.toLowerCase)).mkString(", "))
+        pk.filterNot(k => colsLc(k.toLowerCase(java.util.Locale.ROOT))).mkString(", "))
     require(!pk.exists(_.equalsIgnoreCase(effCol)),
       s"'$effCol' is a business-key column — the effective date is " +
         "dropped from the merged attributes and cannot double as a key")

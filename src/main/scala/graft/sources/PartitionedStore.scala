@@ -203,27 +203,40 @@ object PartitionedStore {
     }
   }
 
-  /** Layout pin shared by the pinned-layout writers here: refuse a
+  /** ONE layout pin for every pinned-layout writer (the bucketed SCD2
+    * merge here and the bucketed rollup in EventStreams): refuse a
     * call whose layout differs from the one the table was built with.
     * The pin commits by write-to-temp + rename, so a crash can never
-    * leave a half-written `_CONFIG` that bricks the path. An EMPTY
-    * stored pin (a zero-byte upload, or a legacy create-then-write
-    * crash) reads as absent ONLY while the table holds no data — with
-    * data present the layout is unknowable and silently re-pinning to
-    * THIS call's layout could bless a changed bucket function, so it
-    * fails loud instead. `legacy` names an older encoding of the SAME
-    * layout: accepted and migrated in place, never a spurious
-    * re-shard. Leftover `_CONFIG_tmp_*` from crashed commits are
-    * reaped opportunistically (harmless to readers — underscore
-    * prefix — but they would accumulate). */
-  private def pinLayout(fs: org.apache.hadoop.fs.FileSystem,
-                        target: org.apache.hadoop.fs.Path, path: String,
-                        config: String,
-                        legacy: Option[String] = None): Unit = {
+    * leave a half-written `_CONFIG`; leftover `_CONFIG_tmp_*` from
+    * crashed commits are reaped inside the next commit (the only
+    * producer of them — the steady-state matching-pin path stays at
+    * one exists+open, no directory LIST per micro-batch).
+    *
+    * A MISSING or EMPTY stored pin reads as a fresh bootstrap ONLY
+    * while the table holds no data — every pinned table carries its
+    * pin from birth, so pin-less data means a crashed migration (the
+    * delete→rename window) or a manual deletion: the layout is
+    * unknowable and silently re-pinning to THIS call's layout could
+    * bless a changed bucket function, so it fails loud instead.
+    *
+    * Spelling drift never reads as a re-shard: `legacy` names an
+    * older EXACT encoding of the same layout, and `canon` maps every
+    * encoding generation of the same layout to one canonical form
+    * (e.g. decode + Locale.ROOT-lower key components) — either match
+    * accepts the table and migrates the pin in place. */
+  private[graft] def pinLayout(fs: org.apache.hadoop.fs.FileSystem,
+                               target: org.apache.hadoop.fs.Path,
+                               path: String, config: String,
+                               legacy: Option[String] = None,
+                               canon: String => String = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val configFile = new Path(target, "_CONFIG")
     def commit(): Unit = {
       fs.mkdirs(target)
+      // reap stranded temp files from prior crashed commits
+      fs.listStatus(target).toSeq
+        .filter(_.getPath.getName.startsWith("_CONFIG_tmp_"))
+        .foreach(st => fs.delete(st.getPath, false))
       val tmp = new Path(target,
         s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
@@ -233,11 +246,6 @@ object PartitionedStore {
         throw new java.io.IOException(
           s"could not commit layout pin at $configFile")
     }
-    // reap stranded temp files from crashed commits (best effort)
-    if (fs.exists(target))
-      fs.listStatus(target).toSeq
-        .filter(_.getPath.getName.startsWith("_CONFIG_tmp_"))
-        .foreach(st => fs.delete(st.getPath, false))
     val stored =
       if (!fs.exists(configFile)) None
       else {
@@ -248,22 +256,23 @@ object PartitionedStore {
       }
     stored match {
       case Some(c) if c == config => ()
-      case Some(c) if legacy.contains(c) => commit() // same layout, old spelling
-      case Some("") if !hasDataEntries(fs, target) => commit()
-      case Some("") =>
+      case Some(c) if c.nonEmpty &&
+          (legacy.contains(c) || canon(c) == canon(config)) =>
+        commit() // same layout, older spelling — migrate the pin
+      case Some("") | None if !hasDataEntries(fs, target) => commit()
+      case Some("") | None =>
         throw new graft.model.UserException(
-          s"table at $path has an EMPTY layout pin but holds data — " +
-            "the layout it was built with is unknowable, and re-pinning " +
-            "to this call's layout could bless a changed bucket " +
-            "function. Restore _CONFIG from the writer's parameters " +
-            "(or rebuild into a new path)")
+          s"table at $path has a missing or empty layout pin but holds " +
+            "data — the layout it was built with is unknowable, and " +
+            "re-pinning to this call's layout could bless a changed " +
+            "bucket function. Restore _CONFIG from the writer's " +
+            "parameters (or rebuild into a new path)")
       case Some(c) =>
         throw new graft.model.UserException(
           s"table at $path is pinned to layout [$c] but this call uses " +
             s"[$config] — a partial rewrite under a different layout " +
             "would corrupt it (split key histories across buckets). " +
             "Use a new path to re-layout")
-      case None => commit()
     }
   }
 
@@ -320,14 +329,23 @@ object PartitionedStore {
     // lowercase with Locale.ROOT first — the bucket hash resolves
     // case-insensitively, and the pin is PERSISTED across JVMs, so a
     // locale-dependent lowering (Turkish 'I' → 'ı') must never leak
-    // into it. The legacy form (pre-lowering pins) denotes the same
-    // hash — accepted and migrated, not a spurious re-shard.
+    // into it. The canonicalizer maps every older spelling of the
+    // same layout (pre-lowering pins, any caller casing, a default-
+    // locale-lowered pin a pre-fix JVM wrote) to one form, so a
+    // restart can never read as a spurious re-shard.
     def enc(s: String) = java.net.URLEncoder.encode(
       s.toLowerCase(java.util.Locale.ROOT), "UTF-8")
-    def encLegacy(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def canonScd2(pin: String): String = {
+      val parts = pin.split("\\|", -1)
+      if (parts.length != 3 || parts(0) != "scd2") pin
+      else {
+        val keys = parts(2).split(",", -1).map(k =>
+          enc(java.net.URLDecoder.decode(k, "UTF-8")))
+        s"scd2|${parts(1)}|${keys.mkString(",")}"
+      }
+    }
     pinLayout(fs, target, path,
-      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}",
-      legacy = Some(s"scd2|$nBuckets|${pk.map(encLegacy).mkString(",")}"))
+      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}", canon = canonScd2)
 
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

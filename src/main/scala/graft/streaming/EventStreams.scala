@@ -359,7 +359,6 @@ object EventStreams {
     // strand — then silently delete — rows of the old layout. Pin the
     // config at first fold; any later mismatch fails loud (re-shard by
     // folding the old state into a fresh path instead).
-    val configFile = new Path(root, "_CONFIG")
     // URL-encode each component: column names may legally contain the
     // delimiters (backticked `a|b`), and an ambiguous encoding would
     // let two different bucket functions serialize identically —
@@ -372,44 +371,12 @@ object EventStreams {
     // after the encoding change — the stream must not demand a
     // re-shard of a healthy state over a serialization upgrade.
     val legacy = s"$nBuckets|${keys.mkString(",")}|$valueCol"
-    // the pin commits by write-to-temp + rename (never a truncating
-    // create-then-write, whose crash signature is an EMPTY pin next to
-    // full state)
-    def commitPin(): Unit = {
-      fs.mkdirs(root)
-      val tmp = new Path(root,
-        s"_CONFIG_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(config.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(configFile)) fs.delete(configFile, true)
-      if (!fs.rename(tmp, configFile))
-        throw new java.io.IOException(
-          s"could not commit layout pin at $configFile")
-    }
-    if (fs.exists(configFile)) {
-      val in = fs.open(configFile)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (stored == config) ()
-      else if (stored == legacy) commitPin() // migrate old encoding in place
-      else if (stored.isEmpty &&
-          !graft.sources.PartitionedStore.hasDataEntries(fs, root))
-        commitPin() // crashed bootstrap pin, no state yet — re-pin
-      else if (stored.isEmpty)
-        throw new graft.model.UserException(
-          s"rollup state at $statePath has an EMPTY layout pin but " +
-            "holds state — the layout it was built with is unknowable, " +
-            "and re-pinning to this fold's layout could bless a changed " +
-            "bucket function. Restore _CONFIG from the writer's " +
-            "parameters (or fold into a new path)")
-      else
-        throw new graft.model.UserException(
-          s"rollup state at $statePath was built with layout " +
-            s"[$stored] but this fold uses [$config] — a partial " +
-            "rewrite under a different bucket function would corrupt " +
-            "the state. Fold the old state into a new path to re-shard")
-    } else commitPin()
+    // ONE pin implementation for every pinned-layout writer
+    // (PartitionedStore.pinLayout): temp+rename commit, missing/empty-
+    // pin-next-to-state refused loudly, the legacy raw encoding of the
+    // SAME layout accepted and migrated in place
+    graft.sources.PartitionedStore.pinLayout(fs, root, statePath, config,
+      legacy = Some(legacy))
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
       .cast("int").as("bucket")
     // the partial state feeds the touched-bucket collect AND the stage

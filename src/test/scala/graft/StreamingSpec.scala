@@ -369,7 +369,7 @@ class StreamingSpec extends SparkSpec {
         Seq((9L, ts(40), "z")).toDF("id", "ts", "attr"),
         target, Seq("id"), "ts", nBuckets = 4)
     }
-    e2.getMessage should include("EMPTY layout pin")
+    e2.getMessage should include("missing or empty layout pin")
   }
 
   test("streamingScd2Partitioned: micro-batches maintain bucketed type-2 history") {
