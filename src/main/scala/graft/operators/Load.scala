@@ -113,7 +113,37 @@ object Load {
                 effectiveDate: org.apache.spark.sql.Column,
                 validFrom: String = "valid_from",
                 validTo: String = "valid_to",
-                isCurrent: String = "is_current"): DataFrame = {
+                isCurrent: String = "is_current"): DataFrame =
+    scd2MergeImpl(target, stage, pk, effectiveDate, validFrom, validTo,
+      isCurrent, closeMissing = false)
+
+  /** [[scd2Merge]] for FULL-SNAPSHOT feeds, with delete detection:
+    * `snapshot` is the complete current universe of keys, so a current
+    * target version whose key is ABSENT from it was deleted upstream —
+    * it is CLOSED at the effective date (a soft delete that keeps
+    * history; no reopen), exactly how type-2 loads handle full
+    * extracts. All other semantics match [[scd2Merge]] (changed →
+    * close+open, equal → no-op, new key → open, history untouched).
+    * NEVER feed an incremental batch through this face: every key the
+    * batch happens not to mention would read as deleted and close.
+    * Same plan shape — the delete branch rides the SAME single
+    * full-outer join (unmatched-current rows close instead of passing
+    * through), no extra scan or anti-join. */
+  def scd2MergeSnapshot(target: DataFrame, snapshot: DataFrame,
+                        pk: Seq[String],
+                        effectiveDate: org.apache.spark.sql.Column,
+                        validFrom: String = "valid_from",
+                        validTo: String = "valid_to",
+                        isCurrent: String = "is_current"): DataFrame =
+    scd2MergeImpl(target, snapshot, pk, effectiveDate, validFrom, validTo,
+      isCurrent, closeMissing = true)
+
+  private def scd2MergeImpl(target: DataFrame, stage: DataFrame,
+                            pk: Seq[String],
+                            effectiveDate: org.apache.spark.sql.Column,
+                            validFrom: String, validTo: String,
+                            isCurrent: String,
+                            closeMissing: Boolean): DataFrame = {
     require(pk.nonEmpty, "SCD2 merge needs a business key")
     // every contract check compares LOWERCASE names: Spark resolves
     // columns case-insensitively (default spark.sql.caseSensitive=
@@ -181,8 +211,15 @@ object Load {
     val changed = dataCols.map(a => !(col(s"c.$a") <=> col(s"s.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
+    // unmatched-left rows: history always passes through; a CURRENT
+    // row without a staged match passes in incremental mode but is a
+    // soft DELETE in snapshot mode (the stage is the full universe)
+    val unmatchedLeft =
+      if (closeMissing)
+        when(col(s"c.$isCurrent"), array(closedRow)).otherwise(array(cRow))
+      else array(cRow)
     j.select(explode(
-        when(col("s.__s_ex").isNull, array(cRow))          // untouched (incl. history)
+        when(col("s.__s_ex").isNull, unmatchedLeft)        // untouched or deleted
           .when(col("c.__c_ex").isNull, array(newRow))     // brand-new current
           .when(changed, array(closedRow, newRow))          // close + open
           .otherwise(array(cRow))).as("__r"))               // no-op match

@@ -128,6 +128,70 @@ object RelationalQueries {
       |         OR t.o_totalprice IS DISTINCT FROM s.o_totalprice)
       |)""".stripMargin
 
+  /** Full-snapshot twin of [[scdStage]]: the complete key universe
+    * with %9==4 keys DELETED, %5==0 changed, %7==3 new. Mirrored
+    * exactly in SQL by [[scdSnapSql]]. */
+  private def scdSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val base = scdBase(s, dir)
+    base.filter(col("o_orderkey") % 9 =!= 4)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+  }
+
+  private val scdSnapSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders
+      |), tgt AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |         TRUE AS is_current FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'H', o_totalprice,
+      |         DATE '1990-01-01', DATE '1992-01-01', FALSE
+      |  FROM base WHERE o_orderkey % 4 = 1
+      |), snap AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+      |              ELSE o_orderstatus END AS o_orderstatus,
+      |         o_totalprice
+      |  FROM base WHERE o_orderkey % 9 <> 4
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 7 = 3
+      |), merged AS (
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |         t.valid_from, t.valid_to, t.is_current
+      |  FROM tgt t LEFT JOIN snap s
+      |    ON t.o_orderkey = s.o_orderkey AND t.is_current
+      |  WHERE (s.o_orderkey IS NOT NULL
+      |     AND t.o_custkey IS NOT DISTINCT FROM s.o_custkey
+      |     AND t.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+      |     AND t.o_totalprice IS NOT DISTINCT FROM s.o_totalprice)
+      |     OR NOT t.is_current
+      |  UNION ALL
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |         t.valid_from, DATE '1995-06-01', FALSE
+      |  FROM tgt t LEFT JOIN snap s ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.is_current
+      |    AND (s.o_orderkey IS NULL
+      |      OR t.o_custkey IS DISTINCT FROM s.o_custkey
+      |      OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |      OR t.o_totalprice IS DISTINCT FROM s.o_totalprice)
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+      |         DATE '1995-06-01', CAST(NULL AS DATE), TRUE
+      |  FROM snap s LEFT JOIN (SELECT * FROM tgt WHERE is_current) t
+      |    ON s.o_orderkey = t.o_orderkey
+      |  WHERE t.o_orderkey IS NULL
+      |     OR (t.o_custkey IS DISTINCT FROM s.o_custkey
+      |         OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+      |         OR t.o_totalprice IS DISTINCT FROM s.o_totalprice)
+      |)""".stripMargin
+
   /** ONE oracle for both incremental-rollup gate queries — the plain
     * and bucketed folds pin the SAME monoid contract, so their oracle
     * strings must be the same definition, not drifting copies. */
@@ -169,6 +233,15 @@ object RelationalQueries {
     // (one target scan — Load.scd2Merge).
     "scd2_merge" -> ((s, dir) =>
       Load.scd2Merge(scdTarget(s, dir), scdStage(s, dir),
+          Seq("o_orderkey"), to_date(lit("1995-06-01")))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
+    // Full-snapshot SCD2 with delete detection: a current version
+    // whose key is absent from the snapshot closes at the effective
+    // date (soft delete, history kept, no reopen) — riding the SAME
+    // single full-outer join as the incremental merge.
+    "scd2_snapshot_merge" -> ((s, dir) =>
+      Load.scd2MergeSnapshot(scdTarget(s, dir), scdSnapshot(s, dir),
           Seq("o_orderkey"), to_date(lit("1995-06-01")))
         .orderBy(col("o_orderkey"), col("valid_from"))),
 
@@ -603,6 +676,10 @@ object RelationalQueries {
          |WHERE valid_from <= DATE '1993-06-01'
          |  AND (valid_to IS NULL OR valid_to > DATE '1993-06-01')
          |ORDER BY o_orderkey""".stripMargin,
+    "scd2_snapshot_merge" ->
+      s"""$scdSnapSql
+         |SELECT * FROM merged
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
     "anti_join_new_rows" ->
       s"""$stageSql
          |SELECT s.* FROM stage s ANTI JOIN base b USING (o_orderkey)

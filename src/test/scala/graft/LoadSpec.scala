@@ -300,6 +300,29 @@ class LoadSpec extends SparkSpec {
         .orderBy("id", "valid_from"))
   }
 
+  test("scd2MergeSnapshot: keys absent from the full snapshot close (soft delete), rest matches scd2Merge") {
+    // snapshot universe: id 1 changed, id 2 identical, id 4 new;
+    // id 3 ABSENT -> its current version closes; id 5 has no current
+    // version (retired earlier) -> absence is a no-op
+    val snapshot = Seq((1, "a2"), (2, "b"), (4, "d")).toDF("id", "attr")
+    val out = Load.scd2MergeSnapshot(scdTarget, snapshot, Seq("id"), eff)
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    rows(out.filter($"id" === 3)) shouldBe Seq(
+      Seq(3, "c", d("1992-01-01"), d("1995-06-01"), false)) // deleted: closed, no reopen
+    rows(out.filter($"id" === 5)) shouldBe Seq(
+      Seq(5, "e_old", d("1990-01-01"), d("1993-01-01"), false)) // already closed: untouched
+    out.filter($"id" === 1).count() shouldBe 3 // history + closed + reopened
+    rows(out.filter($"id" === 2)) shouldBe Seq(
+      Seq(2, "b", d("1992-01-01"), null, true)) // identical: no-op
+    rows(out.filter($"id" === 4)) shouldBe Seq(
+      Seq(4, "d", d("1995-06-01"), null, true)) // new key
+    // idempotent: replaying the same snapshot changes nothing (deleted
+    // keys have no current version left to close again)
+    val twice = Load.scd2MergeSnapshot(out, snapshot, Seq("id"), eff)
+    rows(twice.orderBy("id", "valid_from")) shouldBe
+      rows(out.orderBy("id", "valid_from"))
+  }
+
   test("scd2AsOf: snapshot picks exactly the covering versions") {
     val merged = Load.scd2Merge(scdTarget, scdStage, Seq("id"), eff)
     // 1993-06-01: id1 -> the closed [1992,1995-06) version; id2/id3 open
