@@ -79,7 +79,11 @@ object RelationalQueries {
         .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
   }
 
-  private val scdSql =
+  /** ONE base/target CTE prefix for BOTH SCD2 oracles — they must
+    * mirror the single [[scdTarget]] fixture, so the SQL definition
+    * must be one string, not drifting copies (the [[rollupOracleSql]]
+    * rule). */
+  private val scdTgtSql =
     """WITH base AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |  FROM orders
@@ -91,7 +95,10 @@ object RelationalQueries {
       |  SELECT o_orderkey, o_custkey, 'H', o_totalprice,
       |         DATE '1990-01-01', DATE '1992-01-01', FALSE
       |  FROM base WHERE o_orderkey % 4 = 1
-      |), stg AS (
+      |)""".stripMargin
+
+  private val scdSql = scdTgtSql +
+    """, stg AS (
       |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice
       |  FROM base WHERE o_orderkey % 5 = 0
       |  UNION ALL
@@ -141,19 +148,8 @@ object RelationalQueries {
         .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
   }
 
-  private val scdSnapSql =
-    """WITH base AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      |  FROM orders
-      |), tgt AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-      |         DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-      |         TRUE AS is_current FROM base
-      |  UNION ALL
-      |  SELECT o_orderkey, o_custkey, 'H', o_totalprice,
-      |         DATE '1990-01-01', DATE '1992-01-01', FALSE
-      |  FROM base WHERE o_orderkey % 4 = 1
-      |), snap AS (
+  private val scdSnapSql = scdTgtSql +
+    """, snap AS (
       |  SELECT o_orderkey, o_custkey,
       |         CASE WHEN o_orderkey % 5 = 0 THEN 'X'
       |              ELSE o_orderstatus END AS o_orderstatus,

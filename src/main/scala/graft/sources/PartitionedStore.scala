@@ -257,7 +257,11 @@ object PartitionedStore {
     stored match {
       case Some(c) if c == config => ()
       case Some(c) if c.nonEmpty &&
-          (legacy.contains(c) || canon(c) == canon(config)) =>
+          (legacy.contains(c) ||
+            // canon may decode stored bytes — a malformed pin (e.g. a
+            // truncated %-escape) must fall through to the loud
+            // mismatch error below, not crash with a decode exception
+            scala.util.Try(canon(c) == canon(config)).getOrElse(false)) =>
         commit() // same layout, older spelling — migrate the pin
       case Some("") | None if !hasDataEntries(fs, target) => commit()
       case Some("") | None =>
@@ -329,10 +333,12 @@ object PartitionedStore {
     // lowercase with Locale.ROOT first — the bucket hash resolves
     // case-insensitively, and the pin is PERSISTED across JVMs, so a
     // locale-dependent lowering (Turkish 'I' → 'ı') must never leak
-    // into it. The canonicalizer maps every older spelling of the
-    // same layout (pre-lowering pins, any caller casing, a default-
-    // locale-lowered pin a pre-fix JVM wrote) to one form, so a
-    // restart can never read as a spurious re-shard.
+    // into it. The canonicalizer maps older spellings of the same
+    // layout (pre-lowering raw-cased pins, any caller casing) to one
+    // form so a restart never reads as a spurious re-shard. (A pin a
+    // pre-fix JVM wrote under a locale whose lowering is not a ROOT
+    // casing — 'I'→'ı' — is NOT recoverable by canonicalization; that
+    // pin names characters the current key simply does not contain.)
     def enc(s: String) = java.net.URLEncoder.encode(
       s.toLowerCase(java.util.Locale.ROOT), "UTF-8")
     def canonScd2(pin: String): String = {
