@@ -93,7 +93,7 @@ object PartitionedStore {
         Load.upsert(slice, withDate, pk)
       } else withDate
     writeStageAndSwap(fs, target, path, merged, "p_date", children,
-      targetFileRows, batchId)
+      targetFileRows, batchId, sortCols = Seq("p_date", tsCol))
     dates
   }
 
@@ -176,13 +176,22 @@ object PartitionedStore {
     * rename-in recovery, so it must assert a COMPLETE stage). Then
     * ONLY the touched child directories swap in, idempotent per child
     * across ambiguous failures (shared SwapGuard rules: a prior
-    * attempt's landed rename reads as success). */
+    * attempt's landed rename reads as success).
+    *
+    * `sortCols` (partition column first, then an in-partition order
+    * key) sorts each write task's rows BEFORE the partitioned write —
+    * no shuffle, one per-task sort — which (a) hands the writer each
+    * directory-partition's rows contiguously instead of interleaved
+    * (one open file at a time, not one per partition value the task
+    * holds), and (b) lays rows inside each file in key order, so
+    * range predicates on the order key (an as-of date, an event time)
+    * prune row groups through ordinary parquet footer min/max. */
   private def writeStageAndSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path, path: String,
       merged: DataFrame, partitionCol: String,
       children: Seq[(String, String)], targetFileRows: Long,
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], sortCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val stage = new Path(
       s"${path}__stage_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -191,7 +200,11 @@ object PartitionedStore {
         fs.exists(new Path(target, child)) }
       .foreach { case (_, fresh) =>
         fs.create(new Path(stage, fresh), true).close() }
-    merged.write.mode("append")
+    val laid =
+      if (sortCols.nonEmpty)
+        merged.sortWithinPartitions(sortCols.map(col): _*)
+      else merged
+    laid.write.mode("append")
       .option("maxRecordsPerFile", targetFileRows)
       .partitionBy(partitionCol).parquet(stage.toString)
     batchId.foreach(id =>
@@ -418,7 +431,7 @@ object PartitionedStore {
             .withColumn(isCurrent, lit(true))
 
         writeStageAndSwap(fs, target, path, merged, "p_bucket", children,
-          targetFileRows, batchId)
+          targetFileRows, batchId, sortCols = Seq("p_bucket", validFrom))
         buckets
       } finally staged.unpersist()
     } finally b.unpersist()

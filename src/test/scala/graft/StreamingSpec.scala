@@ -289,6 +289,14 @@ class StreamingSpec extends SparkSpec {
     // every other key untouched and still current
     spark.read.parquet(target).count() shouldBe 21
     spark.read.parquet(target).filter($"is_current").count() shouldBe 20
+    // the layout prunes: a bucket predicate reaches the scan as a
+    // PartitionFilter (directory-level skip before any I/O) — the same
+    // pruning the merge's own touched-slice read rides
+    val scan = spark.read.parquet(target)
+      .filter($"p_bucket" === touched2.head)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    scan should include("PartitionFilters")
+    scan should include("p_bucket")
 
     // the bucket function is pinned: different nBuckets fails loud
     a[graft.model.UserException] should be thrownBy
