@@ -293,6 +293,28 @@ object PartitionedStore {
     }
   }
 
+  /** ONE pin canonicalizer for every pinned-layout writer (the SCD2
+    * and rollup pins differ only in WHICH `|`-fields name columns):
+    * the comma-separated column components at `canonIdx` are decoded,
+    * Locale.ROOT-lowered, and re-encoded, so every encoding
+    * generation / caller casing of the same layout compares equal. A
+    * pin with the wrong field count passes through unchanged (it can
+    * only ever compare unequal — the loud mismatch path). Callers
+    * wrap this in Try ([[pinLayout]] does): decode throws on
+    * malformed bytes. */
+  private[graft] def canonPin(pin: String, nParts: Int,
+                              canonIdx: Set[Int]): String = {
+    val parts = pin.split("\\|", -1)
+    if (parts.length != nParts) pin
+    else parts.zipWithIndex.map { case (p, i) =>
+      if (!canonIdx(i)) p
+      else p.split(",", -1).map(k => java.net.URLEncoder.encode(
+          java.net.URLDecoder.decode(k, "UTF-8")
+            .toLowerCase(java.util.Locale.ROOT), "UTF-8"))
+        .mkString(",")
+    }.mkString("|")
+  }
+
   /** Partition-scoped TYPE-2 SCD merge — [[graft.operators.Load.scd2Merge]]
     * at the 100 TB dimension scale: the table lives hash-bucketed on
     * the business key (`p_bucket = pmod(xxhash64(pk), nBuckets)`
@@ -354,17 +376,9 @@ object PartitionedStore {
     // pin names characters the current key simply does not contain.)
     def enc(s: String) = java.net.URLEncoder.encode(
       s.toLowerCase(java.util.Locale.ROOT), "UTF-8")
-    def canonScd2(pin: String): String = {
-      val parts = pin.split("\\|", -1)
-      if (parts.length != 3 || parts(0) != "scd2") pin
-      else {
-        val keys = parts(2).split(",", -1).map(k =>
-          enc(java.net.URLDecoder.decode(k, "UTF-8")))
-        s"scd2|${parts(1)}|${keys.mkString(",")}"
-      }
-    }
     pinLayout(fs, target, path,
-      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}", canon = canonScd2)
+      s"scd2|$nBuckets|${pk.map(enc).mkString(",")}",
+      canon = canonPin(_, nParts = 3, canonIdx = Set(2)))
 
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -371,27 +371,18 @@ object EventStreams {
     // after the encoding change — the stream must not demand a
     // re-shard of a healthy state over a serialization upgrade.
     val legacy = s"$nBuckets|${keys.mkString(",")}|$valueCol"
-    // ONE pin implementation for every pinned-layout writer
-    // (PartitionedStore.pinLayout): temp+rename commit, missing/empty-
-    // pin-next-to-state refused loudly, the legacy raw encoding of the
-    // SAME layout accepted and migrated in place. The canonicalizer
-    // lowers key/value components (decoded, Locale.ROOT): the bucket
-    // hash reads column VALUES through case-insensitive resolution, so
-    // a restart that re-spells a column's casing is the same layout,
-    // not a re-shard — same rule as the SCD2 pin.
-    def canonRollup(pin: String): String = {
-      val parts = pin.split("\\|", -1)
-      if (parts.length != 3) pin
-      else {
-        def lower(k: String) = java.net.URLEncoder.encode(
-          java.net.URLDecoder.decode(k, "UTF-8")
-            .toLowerCase(java.util.Locale.ROOT), "UTF-8")
-        val ks = parts(1).split(",", -1).map(lower)
-        s"${parts(0)}|${ks.mkString(",")}|${lower(parts(2))}"
-      }
-    }
+    // ONE pin implementation AND one canonicalizer for every pinned-
+    // layout writer (PartitionedStore.pinLayout/canonPin): temp+rename
+    // commit, missing/empty-pin-next-to-state refused loudly, the
+    // legacy raw encoding of the SAME layout accepted and migrated in
+    // place, and key/value components compared decoded + Locale.ROOT-
+    // lowered — the bucket hash reads column VALUES through case-
+    // insensitive resolution, so a restart that re-spells a column's
+    // casing is the same layout, not a re-shard.
     graft.sources.PartitionedStore.pinLayout(fs, root, statePath, config,
-      legacy = Some(legacy), canon = canonRollup)
+      legacy = Some(legacy),
+      canon = graft.sources.PartitionedStore.canonPin(_,
+        nParts = 3, canonIdx = Set(1, 2)))
     def bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
       .cast("int").as("bucket")
     // the partial state feeds the touched-bucket collect AND the stage

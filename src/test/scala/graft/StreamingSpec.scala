@@ -289,14 +289,20 @@ class StreamingSpec extends SparkSpec {
     // every other key untouched and still current
     spark.read.parquet(target).count() shouldBe 21
     spark.read.parquet(target).filter($"is_current").count() shouldBe 20
-    // the layout prunes: a bucket predicate reaches the scan as a
-    // PartitionFilter (directory-level skip before any I/O) — the same
-    // pruning the merge's own touched-slice read rides
-    val scan = spark.read.parquet(target)
+    // the layout prunes: a bucket predicate reaches the scan's ACTUAL
+    // partition-filter list (directory-level skip before any I/O) —
+    // the same pruning the merge's own touched-slice read rides.
+    // (A string-contains check on the scan's toString is vacuous: the
+    // metadata prints an empty 'PartitionFilters: []' entry and the
+    // column name appears in the output list regardless.)
+    val scans = spark.read.parquet(target)
       .filter($"p_bucket" === touched2.head)
-      .queryExecution.executedPlan.collectLeaves().head.toString
-    scan should include("PartitionFilters")
-    scan should include("p_bucket")
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    scans should not be empty
+    scans.head.partitionFilters
+      .exists(_.toString.contains("p_bucket")) shouldBe true
 
     // the bucket function is pinned: different nBuckets fails loud
     a[graft.model.UserException] should be thrownBy
