@@ -315,6 +315,60 @@ object PartitionedStore {
     }.mkString("|")
   }
 
+  /** Point lookup on a [[scd2MergeBucketed]] table: the full version
+    * history of ONE business key at the cost of ONE bucket directory.
+    * The bucket id is recomputed from the key values with the SAME
+    * hash the merge used (`pmod(xxhash64(values), nBuckets)`, nBuckets
+    * read from the `_CONFIG` pin — never caller-supplied, so a lookup
+    * cannot silently scan the wrong bucket after a re-shard) and
+    * constant-folds into the scan's partition filter: directory-level
+    * pruning, then an exact key filter within the bucket (which the
+    * footer-stat row ordering by `valid_from` further prunes for
+    * as-of reads). This is the 100 TB "what happened to key X" query:
+    * O(|bucket|) I/O, never O(|table|). */
+  def scd2KeyHistory(spark: SparkSession, path: String,
+                     key: Map[String, Any]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(key.nonEmpty, "key lookup needs at least one column value")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val configFile = new Path(target, "_CONFIG")
+    require(fs.exists(configFile),
+      s"no layout pin at $path — not a bucketed SCD2 table")
+    val in = fs.open(configFile)
+    val pin = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val parts = pin.split("\\|", -1)
+    require(parts.length == 3 && parts(0) == "scd2",
+      s"layout pin at $path is not an SCD2 pin: [$pin]")
+    val nBuckets = parts(1).toInt
+    val pinnedKeys = parts(2).split(",", -1).toSeq.map(k =>
+      java.net.URLDecoder.decode(k, "UTF-8"))
+    val keyLc = key.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    require(pinnedKeys.toSet == keyLc.keySet,
+      s"lookup key columns ${keyLc.keySet} do not match the table's " +
+        s"pinned business key $pinnedKeys")
+    // hash the literals in the PINNED column order AND at the table's
+    // column types — the merge hashed pk columns in their declared
+    // order, and xxhash64 is both order- and type-sensitive (an Int
+    // literal hashes differently than the stored Long). The literal
+    // expression constant-folds, so the bucket predicate reaches the
+    // scan as a partition filter.
+    val df0 = spark.read.parquet(path)
+    val colType = df0.schema.fields.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    require(pinnedKeys.forall(colType.contains),
+      s"pinned key column(s) missing from the table schema: " +
+        pinnedKeys.filterNot(colType.contains).mkString(", "))
+    def keyLit(k: String) = lit(keyLc(k)).cast(colType(k))
+    val bucket = pmod(
+      xxhash64(pinnedKeys.map(keyLit): _*),
+      lit(nBuckets.toLong)).cast("int")
+    pinnedKeys.foldLeft(df0.filter(col("p_bucket") === bucket))(
+      (df, k) => df.filter(col(k) === keyLit(k)))
+  }
+
   /** Partition-scoped TYPE-2 SCD merge — [[graft.operators.Load.scd2Merge]]
     * at the 100 TB dimension scale: the table lives hash-bucketed on
     * the business key (`p_bucket = pmod(xxhash64(pk), nBuckets)`

@@ -304,6 +304,23 @@ class StreamingSpec extends SparkSpec {
     scans.head.partitionFilters
       .exists(_.toString.contains("p_bucket")) shouldBe true
 
+    // point lookup: key 5's full history at the cost of ONE bucket —
+    // the bucket id recomputes from the _CONFIG pin (Int literal cast
+    // to the stored Long type before hashing) and constant-folds into
+    // the scan's partition filter
+    val hist = PartitionedStore.scd2KeyHistory(spark, target,
+      Map("event_id" -> 5))
+    rows(hist.select("value", "is_current").orderBy("valid_from")) shouldBe
+      Seq(Seq(5.0, false), Seq(500.0, true))
+    val histScan = hist.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    histScan.partitionFilters
+      .exists(_.toString.contains("p_bucket")) shouldBe true
+    // mismatched key columns fail loud, not a wrong-bucket empty scan
+    an[IllegalArgumentException] should be thrownBy
+      PartitionedStore.scd2KeyHistory(spark, target, Map("user_id" -> 1))
+
     // the bucket function is pinned: different nBuckets fails loud
     a[graft.model.UserException] should be thrownBy
       PartitionedStore.scd2MergeBucketed(
