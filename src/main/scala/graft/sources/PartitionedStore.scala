@@ -259,15 +259,7 @@ object PartitionedStore {
         throw new java.io.IOException(
           s"could not commit layout pin at $configFile")
     }
-    val stored =
-      if (!fs.exists(configFile)) None
-      else {
-        val in = fs.open(configFile)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        Some(s)
-      }
-    stored match {
+    readPin(fs, target) match {
       case Some(c) if c == config => ()
       case Some(c) if c.nonEmpty &&
           (legacy.contains(c) ||
@@ -290,6 +282,22 @@ object PartitionedStore {
             s"[$config] — a partial rewrite under a different layout " +
             "would corrupt it (split key histories across buckets). " +
             "Use a new path to re-layout")
+    }
+  }
+
+  /** ONE stored-pin reader for the pin writer ([[pinLayout]]) and the
+    * pin-driven readers ([[scd2KeyHistory]]) — a future encoding or
+    * trim change must reach both or they drift. */
+  private def readPin(fs: org.apache.hadoop.fs.FileSystem,
+                      target: org.apache.hadoop.fs.Path): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val configFile = new Path(target, "_CONFIG")
+    if (!fs.exists(configFile)) None
+    else {
+      val in = fs.open(configFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(s)
     }
   }
 
@@ -332,23 +340,41 @@ object PartitionedStore {
     require(key.nonEmpty, "key lookup needs at least one column value")
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val configFile = new Path(target, "_CONFIG")
-    require(fs.exists(configFile),
-      s"no layout pin at $path — not a bucketed SCD2 table")
-    val in = fs.open(configFile)
-    val pin = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val parts = pin.split("\\|", -1)
-    require(parts.length == 3 && parts(0) == "scd2",
-      s"layout pin at $path is not an SCD2 pin: [$pin]")
-    val nBuckets = parts(1).toInt
-    val pinnedKeys = parts(2).split(",", -1).toSeq.map(k =>
-      java.net.URLDecoder.decode(k, "UTF-8"))
+    val pin = readPin(fs, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"no layout pin at $path — not a bucketed SCD2 table"))
+    // parse guarded: malformed bytes (bad %-escape, non-numeric bucket
+    // count) must surface as a loud contextual error, not a raw decode
+    // exception — same rationale as pinLayout's Try around canon.
+    // Pinned names canonicalize (decode + Locale.ROOT-lower) so a
+    // legacy raw-cased pin a merge has not yet migrated still serves
+    // lookups.
+    val (nBuckets, pinnedKeys) = scala.util.Try {
+      val parts = pin.split("\\|", -1)
+      require(parts.length == 3 && parts(0) == "scd2")
+      (parts(1).toInt, parts(2).split(",", -1).toSeq.map(k =>
+        java.net.URLDecoder.decode(k, "UTF-8")
+          .toLowerCase(java.util.Locale.ROOT)))
+    }.getOrElse(throw new graft.model.UserException(
+      s"layout pin at $path is not a readable SCD2 pin: [$pin] — " +
+        "restore _CONFIG from the writer's parameters"))
     val keyLc = key.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
+    // two caller keys differing only in case would silently collapse
+    // to one arbitrary value — ambiguous, refuse
+    require(keyLc.size == key.size,
+      s"lookup key columns collide case-insensitively: ${key.keySet}")
+    require(key.values.forall(_ != null),
+      "NULL key values are never stored (the merge refuses them) — " +
+        "a NULL lookup cannot match")
     require(pinnedKeys.toSet == keyLc.keySet,
       s"lookup key columns ${keyLc.keySet} do not match the table's " +
         s"pinned business key $pinnedKeys")
+    if (!hasDataEntries(fs, target))
+      throw new graft.model.UserException(
+        s"bucketed SCD2 table at $path is pinned but holds no data " +
+          "yet (a first batch that was empty leaves this state) — " +
+          "nothing to look up")
     // hash the literals in the PINNED column order AND at the table's
     // column types — the merge hashed pk columns in their declared
     // order, and xxhash64 is both order- and type-sensitive (an Int
@@ -361,7 +387,24 @@ object PartitionedStore {
     require(pinnedKeys.forall(colType.contains),
       s"pinned key column(s) missing from the table schema: " +
         pinnedKeys.filterNot(colType.contains).mkString(", "))
-    def keyLit(k: String) = lit(keyLc(k)).cast(colType(k))
+    def keyLit(k: String) = {
+      val c = lit(keyLc(k)).cast(colType(k))
+      // a value that casts to NULL would be SKIPPED by xxhash64 — the
+      // bucket expression still yields a concrete (meaningless) id and
+      // the scan returns empty, the silent wrong-bucket miss the
+      // docstring forbids. Evaluate the literal through a one-row
+      // local job (the session's own cast semantics: ANSI throws,
+      // legacy nulls — both must surface HERE, loud, not as an empty
+      // result or a mid-scan error) before building the plan.
+      val evaluated = scala.util.Try(
+        spark.range(1).select(c.as("v")).head().get(0))
+      if (evaluated.isFailure || evaluated.toOption.exists(_ == null))
+        throw new graft.model.UserException(
+          s"key value for '$k' (${keyLc(k)}) does not cast to the " +
+            s"stored type ${colType(k)} — the lookup would hash a NULL " +
+            "and scan a meaningless bucket")
+      c
+    }
     val bucket = pmod(
       xxhash64(pinnedKeys.map(keyLit): _*),
       lit(nBuckets.toLong)).cast("int")

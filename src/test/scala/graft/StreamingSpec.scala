@@ -320,6 +320,32 @@ class StreamingSpec extends SparkSpec {
     // mismatched key columns fail loud, not a wrong-bucket empty scan
     an[IllegalArgumentException] should be thrownBy
       PartitionedStore.scd2KeyHistory(spark, target, Map("user_id" -> 1))
+    // ...as does a value that would cast to NULL (xxhash64 skips NULLs
+    // -> meaningless bucket, silent empty result)
+    val eCast = intercept[graft.model.UserException] {
+      PartitionedStore.scd2KeyHistory(spark, target,
+        Map("event_id" -> "not-a-number"))
+    }
+    eCast.getMessage should include("does not cast")
+    // ...and case-colliding caller keys (ambiguous which value wins)
+    an[IllegalArgumentException] should be thrownBy
+      PartitionedStore.scd2KeyHistory(spark, target,
+        Map("EVENT_ID" -> 1, "event_id" -> 2))
+    // a legacy raw-cased pin (pre-lowering generation, no merge has
+    // migrated it yet) still serves lookups — names canonicalize.
+    // (Hand-writing the pin bypasses Hadoop's checksumming local fs —
+    // drop the stale .crc sidecar or the read throws ChecksumException)
+    def rewritePin(content: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(target, "._CONFIG.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(target, "_CONFIG"),
+        content.getBytes("UTF-8"))
+    }
+    rewritePin("scd2|8|EVENT_ID")
+    PartitionedStore.scd2KeyHistory(spark, target, Map("event_id" -> 5))
+      .count() shouldBe 2
+    rewritePin("scd2|8|event_id")
 
     // the bucket function is pinned: different nBuckets fails loud
     a[graft.model.UserException] should be thrownBy
