@@ -340,21 +340,26 @@ object PartitionedStore {
     require(key.nonEmpty, "key lookup needs at least one column value")
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // every misuse-of-the-table failure here is the same user-
+    // actionable category — ONE exception type (UserException), so a
+    // caller's catch does not handle a corrupt pin but leak a missing
+    // one
     val pin = readPin(fs, target).getOrElse(
-      throw new IllegalArgumentException(
+      throw new graft.model.UserException(
         s"no layout pin at $path — not a bucketed SCD2 table"))
     // parse guarded: malformed bytes (bad %-escape, non-numeric bucket
     // count) must surface as a loud contextual error, not a raw decode
     // exception — same rationale as pinLayout's Try around canon.
-    // Pinned names canonicalize (decode + Locale.ROOT-lower) so a
-    // legacy raw-cased pin a merge has not yet migrated still serves
-    // lookups.
+    // Name canonicalization routes through THE canonicalizer (canonPin)
+    // so a legacy raw-cased pin a merge has not yet migrated serves
+    // lookups, and a future canon change cannot reach the writer but
+    // miss this reader.
     val (nBuckets, pinnedKeys) = scala.util.Try {
-      val parts = pin.split("\\|", -1)
+      val parts = canonPin(pin, nParts = 3, canonIdx = Set(2))
+        .split("\\|", -1)
       require(parts.length == 3 && parts(0) == "scd2")
-      (parts(1).toInt, parts(2).split(",", -1).toSeq.map(k =>
-        java.net.URLDecoder.decode(k, "UTF-8")
-          .toLowerCase(java.util.Locale.ROOT)))
+      (parts(1).toInt, parts(2).split(",", -1).toSeq
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
     }.getOrElse(throw new graft.model.UserException(
       s"layout pin at $path is not a readable SCD2 pin: [$pin] — " +
         "restore _CONFIG from the writer's parameters"))
@@ -387,29 +392,38 @@ object PartitionedStore {
     require(pinnedKeys.forall(colType.contains),
       s"pinned key column(s) missing from the table schema: " +
         pinnedKeys.filterNot(colType.contains).mkString(", "))
-    def keyLit(k: String) = {
-      val c = lit(keyLc(k)).cast(colType(k))
-      // a value that casts to NULL would be SKIPPED by xxhash64 — the
-      // bucket expression still yields a concrete (meaningless) id and
-      // the scan returns empty, the silent wrong-bucket miss the
-      // docstring forbids. Evaluate the literal through a one-row
-      // local job (the session's own cast semantics: ANSI throws,
-      // legacy nulls — both must surface HERE, loud, not as an empty
-      // result or a mid-scan error) before building the plan.
-      val evaluated = scala.util.Try(
-        spark.range(1).select(c.as("v")).head().get(0))
-      if (evaluated.isFailure || evaluated.toOption.exists(_ == null))
+    // a value that casts to NULL would be SKIPPED by xxhash64 — the
+    // bucket expression still yields a concrete (meaningless) id and
+    // the scan returns empty, the silent wrong-bucket miss the
+    // docstring forbids. Validate ALL key literals in ONE one-row
+    // local job under the session's own cast semantics (ANSI throws,
+    // legacy nulls — both must surface here, loud, before the plan is
+    // built), then reuse the validated columns for the hash and the
+    // filters — no per-key probe jobs on the point-lookup path.
+    val lits = pinnedKeys.map(k =>
+      k -> lit(keyLc(k)).cast(colType(k))).toMap
+    scala.util.Try(
+        spark.range(1).select(pinnedKeys.map(k => lits(k).as(k)): _*)
+          .head()) match {
+      case scala.util.Failure(e) =>
         throw new graft.model.UserException(
-          s"key value for '$k' (${keyLc(k)}) does not cast to the " +
-            s"stored type ${colType(k)} — the lookup would hash a NULL " +
-            "and scan a meaningless bucket")
-      c
+          s"key value(s) $keyLc do not evaluate at the stored types " +
+            s"(${pinnedKeys.map(k => s"$k: ${colType(k)}").mkString(", ")})" +
+            s" — ${e.getMessage}")
+      case scala.util.Success(row) =>
+        val nulled = pinnedKeys.zipWithIndex
+          .collect { case (k, i) if row.isNullAt(i) => k }
+        if (nulled.nonEmpty)
+          throw new graft.model.UserException(
+            s"key value(s) for ${nulled.mkString(", ")} cast to NULL at " +
+              "the stored type — the lookup would hash a NULL and scan " +
+              "a meaningless bucket")
     }
     val bucket = pmod(
-      xxhash64(pinnedKeys.map(keyLit): _*),
+      xxhash64(pinnedKeys.map(lits): _*),
       lit(nBuckets.toLong)).cast("int")
     pinnedKeys.foldLeft(df0.filter(col("p_bucket") === bucket))(
-      (df, k) => df.filter(col(k) === keyLit(k)))
+      (df, k) => df.filter(col(k) === lits(k)))
   }
 
   /** Partition-scoped TYPE-2 SCD merge — [[graft.operators.Load.scd2Merge]]

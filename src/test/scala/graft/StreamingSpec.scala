@@ -326,7 +326,8 @@ class StreamingSpec extends SparkSpec {
       PartitionedStore.scd2KeyHistory(spark, target,
         Map("event_id" -> "not-a-number"))
     }
-    eCast.getMessage should include("does not cast")
+    eCast.getMessage should (include("do not evaluate") or
+      include("cast to NULL"))
     // ...and case-colliding caller keys (ambiguous which value wins)
     an[IllegalArgumentException] should be thrownBy
       PartitionedStore.scd2KeyHistory(spark, target,
