@@ -28,6 +28,14 @@ object Sessions {
       // events.parquet is TIMESTAMP(NANOS); Spark 4 reads it only as a
       // raw long behind this flag (normalized back in queries.Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables here exist to exploit their layout (zero-
+      // exchange probes, bucket-pruned term lookups). The auto mode
+      // lets DisableUnnecessaryBucketedScan un-bucket any scan whose
+      // partitioning no operator consumes — which also forfeits bucket
+      // PRUNING, turning an O(one bucket) point lookup back into a
+      // full-table scan. Pinned off (the compaction paths already pin
+      // it off locally for the same reason).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -57,7 +57,53 @@ object PipelineQueries {
        |     ELSE list_transform(range(0, len(toks) - 2),
        |            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END""".stripMargin
 
+  /** Build-once-per-session guard for the persisted inverted index
+    * (the dedup_incremental_persisted pattern): half the corpus at
+    * build, the other half APPENDED — so the gate itself exercises
+    * append-invariance of the tf/df math; the oracle computes over the
+    * full corpus. */
+  private def invertedIndexFor(s: SparkSession, dir: String): String = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val name = "graft_inv_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(s"${name}_postings")) {
+      // fresh session catalog, but a PRIOR JVM's files may still sit
+      // under the managed locations (CTAS into a non-empty dir throws)
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+      Seq("_postings", "_doclen").foreach { sfx =>
+        fs.delete(new org.apache.hadoop.fs.Path(wh, (name + sfx).toLowerCase), true)
+      }
+      graft.operators.InvertedIndex.saveIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", name)
+      graft.operators.InvertedIndex.appendToIndex(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", name)
+    }
+    name
+  }
+
+  /** The one bag-of-terms retrieval query both index gate queries
+    * share — mirrored literally in the oracles. */
+  private val probeTerms = Seq("spark", "merge", "window")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- inverted term index ----------------------------------------
+    // Point lookup against the PERSISTED posting lists: the term
+    // predicate bucket-prunes the scan (O(one bucket), plan-pinned in
+    // InvertedIndexSpec); hash-green — the oracle rebuilds the same
+    // postings from a full corpus scan.
+    "inverted_index_lookup" -> ((s, dir) =>
+      graft.operators.InvertedIndex.termLookup(s, invertedIndexFor(s, dir),
+          probeTerms)
+        .orderBy(col("term"), col("doc_id"))),
+
+    // BM25 ranking probing only the query terms' buckets; per-term
+    // scores floor-quantized to 1e-4 units before the per-doc sum
+    // (order-independent addition, the corpus_report discipline) so
+    // the oracle lands on identical longs.
+    "bm25_search" -> ((s, dir) =>
+      graft.operators.InvertedIndex.bm25(s, invertedIndexFor(s, dir),
+        probeTerms, topK = 20)),
+
     // ---- dedup suite -------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir, perturb = false), "doc_id", "text")
@@ -511,6 +557,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))))
 
   val oracleSql: Map[String, String] = Map(
+    "inverted_index_lookup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+         |SELECT term, doc_id, COUNT(*) AS tf
+         |FROM p WHERE term IN ('spark', 'merge', 'window')
+         |GROUP BY term, doc_id
+         |ORDER BY term, doc_id""".stripMargin,
+    // mirrors InvertedIndex.bm25 operation-for-operation (k1=1.2,
+    // b=0.75; 2.2 == 1.2+1.0 and 0.25 == 1.0-0.75 exactly in binary)
+    "bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         |stats AS (SELECT COUNT(*) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+         |          FROM dl),
+         |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |m AS (SELECT term, doc_id, COUNT(*) AS tf FROM p
+         |      WHERE term IN ('spark', 'merge', 'window')
+         |      GROUP BY term, doc_id),
+         |df AS (SELECT term, COUNT(*) AS df_t FROM m GROUP BY term),
+         |scored AS (
+         |  SELECT m.doc_id,
+         |    CAST(floor(
+         |      ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+         |        * (tf * 2.2)
+         |        / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |        * 10000.0) AS BIGINT) AS score_q4
+         |  FROM m JOIN df USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, score_q,
+         |  row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+         |FROM (SELECT doc_id, CAST(SUM(score_q4) AS BIGINT) AS score_q
+         |      FROM scored GROUP BY doc_id
+         |      ORDER BY score_q DESC, doc_id LIMIT 20)
+         |ORDER BY rnk""".stripMargin,
     "dedup_exact" ->
       s"""WITH ${dupCorpusSql(perturb = false)}
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
