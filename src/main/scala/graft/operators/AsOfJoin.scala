@@ -36,7 +36,11 @@ object AsOfJoin {
     * DATE outright); only genuinely fractional types go through
     * double. */
   private def timeAsNum(c: Column, dt: DataType): Column = dt match {
-    case TimestampType | TimestampNTZType      => unix_micros(c)
+    case TimestampType                         => unix_micros(c)
+    // unix_micros only accepts LTZ; the session pins UTC (Sessions.scala)
+    // so NTZ→LTZ is an exact reinterpretation, and even under another
+    // zone the constant shift cancels in every distance comparison.
+    case TimestampNTZType                      => unix_micros(c.cast(TimestampType))
     case org.apache.spark.sql.types.DateType   => datediff(c, lit("1970-01-01"))
     case org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.ShortType |

@@ -383,15 +383,17 @@ object AnalyticsQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
-    // Exact interpolated percentiles per group (Spark `percentile` ≡
-    // DuckDB `quantile_cont`).
+    // Exact interpolated percentiles per group (≡ DuckDB
+    // `quantile_cont`), via the bounded-memory nominate/locate/verify
+    // plan — naked `percentile()` over a 3-cardinality key buffers the
+    // whole table into three aggregation buffers, an executor OOM at
+    // 100 TB ([[graft.operators.Percentiles]]; bit-equality with
+    // `percentile()` is spec-pinned, hash-equality with the oracle
+    // unchanged).
     "price_percentiles" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          expr("percentile(o_totalprice, 0.25)").as("p25"),
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.75)").as("p75"))
+      graft.operators.Percentiles.exactGroupedPercentiles(
+          t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         .orderBy(col("o_orderstatus"))),
 
     // The 100 TB percentile path: Spark's Greenwald–Khanna sketch

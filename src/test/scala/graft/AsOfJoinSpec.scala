@@ -66,6 +66,31 @@ class AsOfJoinSpec extends SparkSpec {
     got shouldBe Seq(Seq(1L, 100.0), Seq(2L, null), Seq(3L, null))
   }
 
+  test("asOf nearest/tolerance work on TIMESTAMP_NTZ time columns") {
+    // The driver testdata's events.ts is TIMESTAMP_NTZ; `unix_micros`
+    // only accepts LTZ, so the distance arithmetic must reinterpret —
+    // regression for the r5 gate failure (DATATYPE_MISMATCH on __t).
+    import org.apache.spark.sql.functions.col
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("t", col("t").cast("timestamp_ntz"))
+    val left = ntz(Seq(
+      (1L, 1L, ts(10)), (2L, 1L, ts(25)), (3L, 1L, ts(35))
+    ).toDF("probe_id", "k", "t"))
+    val right = ntz(Seq(
+      (1L, ts(5), 100.0), (1L, ts(20), 200.0), (1L, ts(30), 300.0)
+    ).toDF("k", "t", "ref_value"))
+
+    val near = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value"), direction = "nearest")
+      .select("probe_id", "ref_value").orderBy("probe_id"))
+    near shouldBe Seq(Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, 300.0))
+
+    val tol = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+      Seq("ref_value"), tolerance = Some(5L * 60L * 1000000L))
+      .select("probe_id", "ref_value").orderBy("probe_id"))
+    tol shouldBe Seq(Seq(1L, 100.0), Seq(2L, 200.0), Seq(3L, 300.0))
+  }
+
   test("asOf is a single-shuffle plan (no range-join explosion)") {
     val left = Seq((1L, 1L, ts(1))).toDF("probe_id", "k", "t")
     val right = Seq((1L, ts(0), 1.0)).toDF("k", "t", "v")
