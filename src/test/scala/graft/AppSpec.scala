@@ -247,6 +247,59 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: lang-filter -> dedup -> split e2e with per-step stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val en1 = "the cat is on the mat and a dog is in the house of the king"
+    val en2 = "a boat of the sea is to sail in the wind and the sun is on"
+    val de = "der hund ist nicht ein tier und das haus ist mit der katze"
+    Seq((1L, en1), (2L, en1), (3L, de), (4L, en2))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/curated", "collectStats": true,
+        |  "steps": [
+        |    {"type": "langFilter", "languages": ["en"]},
+        |    {"type": "dedupExact"},
+        |    {"type": "split", "trainPct": 50, "valPct": 25}
+        |  ]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val json = out.get
+    json should include(""""rows_in":4""")
+    json should include(""""rows_out":2""")
+    json should include("""{"step":"langFilter","rows":3}""")
+    json should include("""{"step":"dedupExact","rows":2}""")
+    json should include("""{"step":"split","rows":2}""")
+
+    val curated = spark.read.parquet(s"$dir/out/curated")
+    curated.columns.toSeq should contain("split")
+    curated.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 4L) // German doc filtered; duplicate keeps smallest id
+    curated.select("split").collect().foreach(r =>
+      Set("train", "val", "test") should contain(r.getString(0)))
+  }
+
+  test("pipeline action config errors exit 1: unknown step, missing column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-bad").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/x",
+        |  "steps": [{"type": "frobnicate"}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1 // parser rejects the step
+
+    Seq((1L, "t")).toDF("id", "body")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/x", "steps": []}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1 // no doc_id/text columns
+  }
+
   test("testConnection probes the sink destination, not local Spark (O9)") {
     // reachable base filesystem → ping succeeds
     val okDir = Files.createTempDirectory("graft-ping").toString

@@ -123,4 +123,37 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     r.code shouldBe 1
     r.stderr should include("Action 'bogus' does not exist.")
   }
+
+  test("pipeline action: exit 0 + report JSON; unknown step exits 1") {
+    // csv input keeps the fixture sparkless — the child JVM does the
+    // reading; 'the/a/of/is' rows pass the en lang filter, the German
+    // row does not, and the duplicate row dedups away
+    val csv = "\"doc_id\",\"text\"\n" +
+      "\"1\",\"the cat is on the mat and a dog is in the house\"\n" +
+      "\"2\",\"the cat is on the mat and a dog is in the house\"\n" +
+      "\"3\",\"der hund ist nicht ein tier und das haus ist gross\"\n"
+    val dir = mkDataDir(
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/tables/docs.csv", "output": "out/curated",
+        |  "format": "csv", "collectStats": true,
+        |  "steps": [{"type": "langFilter", "languages": ["en"]},
+        |            {"type": "dedupExact"}]}}}""".stripMargin, None)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/tables/docs.csv"), csv)
+    val r = runCli(dir)
+    withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    r.stdout should include(""""status":"success"""")
+    r.stdout should include(""""rows_in":3""")
+    r.stdout should include(""""rows_out":1""")
+    r.stdout should include("""{"step":"dedupExact","rows":1}""")
+
+    val bad = mkDataDir(
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/x", "output": "out/x",
+        |  "steps": [{"type": "frobnicate"}]}}}""".stripMargin, None)
+    val rb = runCli(bad)
+    rb.code shouldBe 1
+    rb.stderr should include("Pipeline step 'frobnicate' does not exist.")
+    rb.stdout.trim shouldBe "" // user errors never emit status JSON
+  }
 }

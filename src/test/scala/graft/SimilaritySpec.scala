@@ -296,6 +296,32 @@ class SimilaritySpec extends SparkSpec {
     fp.map(_.split(":").take(2).toSeq) shouldBe Some(Seq("102", "2001"))
   }
 
+  test("screenEmbeddingBatch is pure: same accepts as ingest, index untouched") {
+    val c = corpus(n = 100)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-scr").toString
+    Similarity.saveIvfIndex(c, "vec_id", "embedding", path, nCentroids = 8)
+    val fpBefore = Similarity.readIndexFingerprint(spark, path)
+    val batch = c.filter(col("vec_id") === 7)
+      .select(lit(1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(1e-4f)).as("embedding"))
+      .unionByName(c.filter(col("vec_id") === 3)
+        .select(lit(1001L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")))
+    val accepted = Similarity.screenEmbeddingBatch(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.99)
+    // the near-copy of 7 is rejected; the negated vector is novel
+    accepted.collect().map(_.getLong(0)).toSet shouldBe Set(1001L)
+    // index is byte-identical: same row count, same fingerprint — a
+    // second screen of the SAME batch repeats the SAME answer (the
+    // ingest variant would have admitted 1001 and then rejected its
+    // replay)
+    spark.read.parquet(s"$path/assignments").count() shouldBe 100L
+    Similarity.readIndexFingerprint(spark, path) shouldBe fpBefore
+    Similarity.screenEmbeddingBatch(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1001L)
+  }
+
   test("persisted IVF reuse is content-validated: a regenerated corpus triggers rebuild") {
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivf-corpus").toString
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
