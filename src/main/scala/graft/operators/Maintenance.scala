@@ -609,6 +609,30 @@ object Maintenance {
       .map { case (st, _) => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
+  /** [[cleanOrphanStages]] scoped to ONE table/state path: only stage
+    * or compact shells belonging to `tablePath` (exact
+    * `<name>__stage_<hex8>` / `<name>__compact_<hex8>` siblings) are
+    * considered — the cadence hook a long-running streaming writer
+    * wires in ([[graft.streaming.EventStreams]]), where sweeping the
+    * whole parent directory would touch unrelated tables' shells.
+    * Same safety rules: age gate, target-exists, staged-partition-
+    * exists; recoverable shells are never deleted. */
+  def cleanTableOrphanStages(spark: SparkSession, tablePath: String,
+                             olderThanMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val parent = table.getParent
+    if (parent == null) return Nil
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    stageDirs(fs, parent)
+      .filter { case (st, deletable) =>
+        stageSuffix.replaceAllIn(st.getPath.getName, "") == table.getName &&
+          st.getModificationTime <= cutoff && deletable
+      }
+      .map { case (st, _) => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Stage/compact directories whose target path is MISSING — or
     * which hold a staged PARTITION the target lacks (the
     * partition-scoped merge's crash-mid-swap signature): these hold

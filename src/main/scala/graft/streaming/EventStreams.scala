@@ -112,7 +112,8 @@ object EventStreams {
   def streamingUpsertPartitioned(stage: DataFrame, targetPath: String,
                                  tsCol: String, pk: Seq[String],
                                  checkpointDir: String,
-                                 orderCols: Seq[String] = Nil)
+                                 orderCols: Seq[String] = Nil,
+                                 gcEveryBatches: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -123,7 +124,7 @@ object EventStreams {
         graft.sources.PartitionedStore.mergeByDay(
           batch.toDF(), targetPath, tsCol, pk, orderCols,
           batchId = Some(batchId))
-        ()
+        gcTick(batch.sparkSession, targetPath, batchId, gcEveryBatches)
       }
       .start()
 
@@ -250,7 +251,8 @@ object EventStreams {
   def streamingScd2Partitioned(stage: DataFrame, targetPath: String,
                                pk: Seq[String], effCol: String,
                                nBuckets: Int, checkpointDir: String,
-                               orderCols: Seq[String] = Nil)
+                               orderCols: Seq[String] = Nil,
+                               gcEveryBatches: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // same wiring-time contract as streamingScd2: a schema violation
     // must fail at .start(), not hours later on the first micro-batch
@@ -265,10 +267,37 @@ object EventStreams {
         graft.sources.PartitionedStore.scd2MergeBucketed(
           batch.toDF(), targetPath, pk, effCol, nBuckets, orderCols,
           batchId = Some(batchId))
-        ()
+        gcTick(batch.sparkSession, targetPath, batchId, gcEveryBatches)
       }
       .start()
   }
+
+  /** The maintenance cadence every long-running partition-scoped sink
+    * wires in: crash leftovers are PRESERVED by the swap protocol
+    * (a stranded stage can hold the only copy of its data, so nothing
+    * deletes eagerly), which means a stream that crashes and recovers
+    * over months accretes one deletable shell per healed crash unless
+    * something reaps them. Every `every` batches, sweep THIS table's
+    * shells through [[graft.operators.Maintenance
+    * .cleanTableOrphanStages]] — age-gated (default 24 h) so an
+    * in-flight concurrent writer's fresh stage survives, and
+    * recoverable shells (target missing / staged partition missing)
+    * are left for the loud manual path. GC failure must never wedge
+    * ingest: reported, not rethrown. */
+  private def gcTick(spark: org.apache.spark.sql.SparkSession,
+                     tablePath: String, batchId: Long, every: Int,
+                     olderThanMs: Long = 24L * 3600 * 1000): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      try {
+        graft.operators.Maintenance.cleanTableOrphanStages(
+          spark, tablePath, olderThanMs)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] orphan-stage GC for '$tablePath' skipped: " +
+              s"${e.getMessage}")
+      }
 
   /** Streaming face of [[graft.operators.IncrementalAgg]]: keep a
     * persisted per-key rollup current as micro-batches arrive. Each
@@ -301,7 +330,8 @@ object EventStreams {
                         * [[graft.operators.IncrementalAgg.partialState]]);
                         * exact quantiles are not expressible as bounded
                         * fold state. */
-                      trackQuantiles: Boolean = false)
+                      trackQuantiles: Boolean = false,
+                      gcEveryBatches: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -309,7 +339,10 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol,
           distinctCol, trackQuantiles)
-        ()
+        // the state dir is `<statePath>/state`; its healed-crash
+        // shells (`state__stage_*`) are siblings inside the root
+        gcTick(batch.sparkSession, s"$statePath/state", batchId,
+          gcEveryBatches)
       }
       .start()
 
@@ -326,7 +359,8 @@ object EventStreams {
     * (already-landed buckets are skipped, not re-folded). */
   def streamingRollupBucketed(events: DataFrame, statePath: String,
                               keys: Seq[String], valueCol: String,
-                              checkpointDir: String, nBuckets: Int = 64)
+                              checkpointDir: String, nBuckets: Int = 64,
+                              gcEveryBatches: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -334,7 +368,8 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyRollupBatchBucketed(batch.toDF(), statePath, batchId, keys,
           valueCol, nBuckets)
-        ()
+        gcTick(batch.sparkSession, s"$statePath/state", batchId,
+          gcEveryBatches)
       }
       .start()
 

@@ -70,6 +70,44 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed collapses an append-accreted index; pruned probe + bm25 unchanged") {
+    val name = "graft_inv_compact"
+    try {
+      // build + 5 appends: each append lands its own files per bucket
+      InvertedIndex.saveIndex(corpus.filter($"doc_id" === 0), "doc_id", "text", name)
+      (1 to 5).foreach(i => InvertedIndex.appendToIndex(
+        corpus.filter($"doc_id" === i), "doc_id", "text", name))
+      val before = rows(InvertedIndex.bm25(spark, name, Seq("rare", "beta"),
+        topK = 10))
+      def files(t: String): Int = {
+        val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser
+            .parseTableIdentifier(t)).location)
+        loc.getFileSystem(spark.sessionState.newHadoopConf())
+          .listStatus(loc).count(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+      }
+      val accreted = files(s"${name}_postings")
+      graft.operators.Maintenance.compactBucketed(spark, s"${name}_postings")
+      graft.operators.Maintenance.compactBucketed(spark, s"${name}_doclen")
+      files(s"${name}_postings") should be < accreted
+      // same answers after the rewrite…
+      rows(InvertedIndex.bm25(spark, name, Seq("rare", "beta"),
+        topK = 10)) shouldBe before
+      // …and the probe still reads O(one bucket) — the compacted table
+      // must keep the bucket spec, not just the rows
+      val scan = InvertedIndex.termLookup(spark, name, Seq("rare"))
+        .queryExecution.executedPlan.collectLeaves().head.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scan)
+      assert(m.isDefined, s"no bucket pruning after compaction: $scan")
+      m.get.group(1).toInt shouldBe 1
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_doclen")
+    }
+  }
+
   test("bm25 ranks tf and idf sensibly and emits a dense 1..k rank") {
     withIndex("graft_inv_rank") {
       val got = InvertedIndex.bm25(spark, "graft_inv_rank", Seq("rare"), topK = 5)

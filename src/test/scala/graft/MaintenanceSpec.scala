@@ -335,6 +335,61 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.cleanOrphanStages(spark, base, olderThanMs = 0L) shouldBe Nil
   }
 
+  test("cleanTableOrphanStages sweeps only the named table's deletable shells") {
+    val base = Files.createTempDirectory("graft-orphan-t").toString
+    def mk(name: String): Unit = {
+      val d = java.nio.file.Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), "x")
+    }
+    mk("dim"); mk("other")
+    mk("dim__stage_ab12cd34")
+    mk("dim__compact_ef56ab78")
+    mk("other__stage_12345678") // different table: out of scope
+    mk("dim__stage_deadbeef/p_bucket=3") // recoverable: partition absent
+    Maintenance.cleanTableOrphanStages(spark, s"$base/dim") shouldBe Nil // age gate
+    val deleted = Maintenance.cleanTableOrphanStages(
+      spark, s"$base/dim", olderThanMs = 0L)
+    deleted.map(_.split('/').last).sorted shouldBe
+      Seq("dim__compact_ef56ab78", "dim__stage_ab12cd34")
+    new java.io.File(base, "other__stage_12345678").exists() shouldBe true
+    new java.io.File(base, "dim__stage_deadbeef").exists() shouldBe true
+  }
+
+  test("rollup/SCD2 state roots stay bounded across batches + healed crashes") {
+    import org.apache.spark.sql.functions._
+    // N folds through the bucketed rollup, a healed-crash shell planted
+    // every few batches (the swap protocol preserves them by design);
+    // the streaming sinks' gcTick cadence runs this sweep — after it,
+    // the root must hold exactly the live state + pin, independent of N
+    val root = Files.createTempDirectory("graft-gc-roll").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (0 until 6).foreach { i =>
+      graft.streaming.EventStreams.applyRollupBatchBucketed(
+        orders.filter(col("o_orderkey") % 6 === i), root, i.toLong,
+        Seq("o_custkey"), "o_totalprice", nBuckets = 8)
+      if (i % 2 == 0) {
+        // healed crash leftover: shell whose buckets all exist live
+        val d = java.nio.file.Paths.get(root, f"state__stage_$i%08x")
+        Files.createDirectories(d.resolve("bucket=0"))
+        Files.writeString(d.resolve("bucket=0").resolve("p.parquet"), "x")
+      }
+    }
+    new java.io.File(root).list().count(
+      _.startsWith("state__stage_")) shouldBe 3
+    Maintenance.cleanTableOrphanStages(spark, s"$root/state",
+      olderThanMs = 0L) should have size 3
+    new java.io.File(root).list().filterNot(_.startsWith("."))
+      .sorted.toSeq shouldBe Seq("_CONFIG", "state")
+    // the swept state still folds and reads correctly
+    val got = graft.operators.IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$root/state").drop("bucket"), Seq("o_custkey"))
+    val want = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).count()
+    got.count() shouldBe want
+  }
+
   test("approxDistinct profile: one Expand-free scan, <=5% error vs exact") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus")

@@ -792,6 +792,33 @@ class StreamingSpec extends SparkSpec {
       Seq("k"), "v") shouldBe true
   }
 
+  test("streamingRollup gc cadence sweeps aged healed-crash shells, keeps fresh ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-srgc").toString
+    val input = MemoryStream[(String, Double)]
+    val q = EventStreams.streamingRollup(input.toDF().toDF("k", "v"),
+      s"$base/rollup", Seq("k"), "v", s"$base/ckpt", gcEveryBatches = 1)
+    try {
+      input.addData(("a", 1.0))
+      q.processAllAvailable() // batch 0: state exists now
+      // healed-crash leftover, AGED past the 24 h gate; plus a fresh
+      // one that must survive (could be a concurrent writer in-flight)
+      val aged = new java.io.File(s"$base/rollup/state__stage_00c0ffee")
+      java.nio.file.Files.createDirectories(aged.toPath)
+      java.nio.file.Files.writeString(
+        aged.toPath.resolve("p.parquet"), "x")
+      aged.setLastModified(1000L) shouldBe true
+      val fresh = new java.io.File(s"$base/rollup/state__stage_00facade")
+      java.nio.file.Files.createDirectories(fresh.toPath)
+      java.nio.file.Files.writeString(
+        fresh.toPath.resolve("p.parquet"), "x")
+      input.addData(("a", 2.0))
+      q.processAllAvailable() // batch 1: gcTick fires
+      aged.exists() shouldBe false
+      fresh.exists() shouldBe true
+    } finally q.stop()
+  }
+
   test("streamingRollup with distinctCol maintains approx-distinct per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-srldist").toString
