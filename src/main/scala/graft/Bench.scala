@@ -81,8 +81,7 @@ object Bench {
     // line — trailing totals survive truncation.
     // System load average (1-min) makes a contended run self-labeling:
     // the r3 anomaly would have shown load >> cores here.
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadAvg = loadNow()
     val anomaliesJson = anomalies.map { case (k, a) =>
       "\"" + k + "\":{\"cold\":" + r3(a.cold) + ",\"warm\":" + r3(a.warm) +
         ",\"gc_cold_ms\":" + a.gcColdMs + ",\"gc_warm_ms\":" + a.gcWarmMs +

@@ -43,18 +43,18 @@ object Main {
           (0, Some(s"""{"status":"success","tables":{${tables.mkString(",")}}}"""))
         case "pipeline" =>
           // engine extension: the curation library behind the same
-          // config-in/JSON-out protocol (steps validated by the parser)
-          val spec = config.pipeline.getOrElse(
-            throw new UserException("Missing 'pipeline' key"))
-          val rep = Pipeline.run(spark, spec, dataDir)
+          // config-in/JSON-out protocol (steps validated by the
+          // parser, which also guarantees the spec's presence)
+          val rep = Pipeline.run(spark, config.pipeline.get, dataDir)
           val steps = rep.steps.map(s =>
             s.rows match {
               case Some(n) => s"""{"step":"${s.kind}","rows":$n}"""
               case None    => s"""{"step":"${s.kind}"}"""
             }).mkString("[", ",", "]")
+          val rowsIn = rep.rowsIn.map(n => s""""rows_in":$n,""").getOrElse("")
           (0, Some(statusJson("success",
-            s""""rows_in":${rep.rowsIn},"rows_out":${rep.rowsOut},""" +
-              s""""steps":$steps,"output":"${rep.output}"""")))
+            rowsIn + s""""rows_out":${rep.rowsOut},""" +
+              s""""steps":$steps,"output":${jsonStr(rep.output)}""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")
@@ -79,4 +79,17 @@ object Main {
   private def statusJson(status: String, extra: String = ""): String =
     if (extra.isEmpty) s"""{"status":"$status"}"""
     else s"""{"status":"$status",$extra}"""
+
+  /** JSON string literal for USER-CONTROLLED values (paths from the
+    * config): a quote or backslash in a path must not emit malformed
+    * status JSON. Same escape set as Verify's oracle dump. */
+  private[app] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

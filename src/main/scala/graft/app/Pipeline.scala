@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions.col
 object Pipeline {
 
   final case class StepReport(kind: String, rows: Option[Long])
-  final case class Report(rowsIn: Long, rowsOut: Long,
+  final case class Report(rowsIn: Option[Long], rowsOut: Long,
                           steps: Seq[StepReport], output: String)
 
   def run(spark: SparkSession, p: PipelineConfig,
@@ -38,7 +38,11 @@ object Pipeline {
           s"Pipeline input has no column '$c' " +
             s"(available: ${src.columns.mkString(", ")})")
     }
-    val rowsIn = src.count()
+    // rows_in: free for parquet (footer metadata), a whole extra parse
+    // pass for CSV — so for CSV it is reported only under the same
+    // opt-in that licenses the per-step counts
+    val rowsIn =
+      if (p.format == "csv" && !p.collectStats) None else Some(src.count())
 
     var prev: Option[DataFrame] = None
     val (result, reports) = p.steps.foldLeft((src, Vector.empty[StepReport])) {

@@ -84,8 +84,26 @@ object ConfigParser {
 
   private def parseStep(n: JsonNode): PipelineStep = {
     import PipelineStep._
-    def dbl(f: String, dflt: Double) = opt(n, f).map(_.asDouble).getOrElse(dflt)
-    def int(f: String, dflt: Int) = opt(n, f).map(_.asInt).getOrElse(dflt)
+    // STRICT numerics: Jackson's asDouble/asInt coerce non-numeric
+    // JSON to 0, which would slip a typo'd "fraction":"abc" past the
+    // range checks as 0.0 and silently curate an empty corpus — the
+    // exact malformed-spec class this parser exists to refuse.
+    def dbl(f: String, dflt: Double) = opt(n, f).map { v =>
+      if (!v.isNumber) throw new UserException(
+        s"Pipeline step field '$f' must be a number, got: $v")
+      v.asDouble
+    }.getOrElse(dflt)
+    def int(f: String, dflt: Int) = opt(n, f).map { v =>
+      if (!v.isIntegralNumber || !v.canConvertToInt)
+        throw new UserException(
+          s"Pipeline step field '$f' must be an integer, got: $v")
+      v.asInt
+    }.getOrElse(dflt)
+    def lng(f: String, dflt: Long) = opt(n, f).map { v =>
+      if (!v.isIntegralNumber) throw new UserException(
+        s"Pipeline step field '$f' must be an integer, got: $v")
+      v.asLong
+    }.getOrElse(dflt)
     req(n, "type").asText match {
       case "langFilter" =>
         val langs = opt(n, "languages").toSeq
@@ -95,8 +113,8 @@ object ConfigParser {
         LangFilter(langs)
       case "qualityFilter" => QualityFilter(dbl("minScore", 0.5))
       case "gopherFilter" => GopherFilter(
-        minTokens = opt(n, "minTokens").map(_.asLong).getOrElse(20L),
-        maxTokens = opt(n, "maxTokens").map(_.asLong).getOrElse(90L),
+        minTokens = lng("minTokens", 20L),
+        maxTokens = lng("maxTokens", 90L),
         minDistinctRatio = dbl("minDistinctRatio", 0.4),
         maxTopBigramFrac = dbl("maxTopBigramFrac", 0.05),
         minStopwordRatio = dbl("minStopwordRatio", 0.02))

@@ -37,10 +37,21 @@ object AsOfJoin {
     * double. */
   private def timeAsNum(c: Column, dt: DataType): Column = dt match {
     case TimestampType                         => unix_micros(c)
-    // unix_micros only accepts LTZ; the session pins UTC (Sessions.scala)
-    // so NTZ→LTZ is an exact reinterpretation, and even under another
-    // zone the constant shift cancels in every distance comparison.
-    case TimestampNTZType                      => unix_micros(c.cast(TimestampType))
+    // unix_micros only accepts LTZ, and an NTZ→LTZ cast interprets the
+    // wall clock through the session zone — whose OFFSET IS NOT
+    // CONSTANT across a DST transition, so cast-then-unix_micros would
+    // distort distances near a spring-forward/fall-back boundary under
+    // any non-fixed-offset session zone. Linearize the wall clock
+    // directly instead: days×86 400e6 + in-day fields, all exact
+    // integer arithmetic (SECOND extracts as decimal(8,6) — ×1e6 is
+    // exact micros), identical to unix_micros under UTC and
+    // zone-independent everywhere.
+    case TimestampNTZType                      =>
+      datediff(c.cast("date"), lit("1970-01-01")).cast("long") *
+        lit(86400000000L) +
+        hour(c).cast("long") * lit(3600000000L) +
+        minute(c).cast("long") * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
     case org.apache.spark.sql.types.DateType   => datediff(c, lit("1970-01-01"))
     case org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.ShortType |

@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions._
   * per-group band/offset tables ride broadcast joins — the same
   * constraint any pivoted/wide result already implies). NULL values are
   * ignored per aggregate semantics; a group with only NULLs yields NULL
-  * percentiles, like `percentile()`.
+  * percentiles, like `percentile()`; NULL GROUP KEYS form their own
+  * group, also like `percentile()` (the internal joins carry the key
+  * as a struct for exactly this reason).
   */
 object Percentiles {
 
@@ -56,14 +58,20 @@ object Percentiles {
     require(targets.nonEmpty, "need at least one percentile target")
     targets.foreach { case (n, p) => require(p >= 0 && p <= 1,
       s"fraction for '$n' out of [0,1]: $p") }
-    val g = groupCols.map(col)
     val P = targets.size
     val delta = bandDelta.getOrElse(5.0 / accuracy)
     val fracs = targets.map(_._2)
     val loFracs = fracs.map(p => math.max(0.0, p - delta))
     val hiFracs = fracs.map(p => math.min(1.0, p + delta))
 
-    val dfv = df.select(g :+ col(valueCol).cast("double").as("__v"): _*)
+    // The group key rides every internal join/groupBy PACKED AS A
+    // STRUCT: struct equality treats NULL fields as equal (ordering
+    // semantics), where a bare multi-column equi-join silently drops
+    // NULL-keyed groups — and `percentile()` does return a row for a
+    // NULL group, so the parity contract requires carrying it.
+    val g = Seq(col("__g"))
+    val dfv = df.select(struct(groupCols.map(col): _*).as("__g"),
+      col(valueCol).cast("double").as("__v"))
 
     // Pass 1 — nominate: per-group count + one sketch evaluated at all
     // 2P band fractions (one buffer per group, bounded by accuracy).
@@ -76,7 +84,7 @@ object Percentiles {
     // In-band values are >= lo, so offset + in-band rank is the exact
     // global rank. Conditional sums, map-side combined — slim rows.
     val withBand = dfv.join(broadcast(brackets.filter(col("__n") > 0)),
-      groupCols)
+      Seq("__g"))
     val belowAggs = (0 until P).map(i =>
       sum(when(col("__v") < element_at(col("__band"), i + 1), 1L)
         .otherwise(0L)).as(s"__below_$i"))
@@ -103,7 +111,7 @@ object Percentiles {
     val k0 = floor(pos)
     val k1 = ceil(pos)
     val ranked = banded.withColumn("__rn", rn)
-      .join(broadcast(offsets), groupCols)
+      .join(broadcast(offsets), Seq("__g"))
       .withColumn("__rank",
         element_at(col("__belows"), col("__i") + 1) + col("__rn") - 1)
     val located = ranked
@@ -128,11 +136,11 @@ object Percentiles {
     // empty, so the extra scan exists only when actually needed.
     val expected = brackets.filter(col("__n") > 0)
       .select(g :+ explode(array((0 until P).map(lit): _*)).as("__i"): _*)
-    val missed = expected.join(covered, groupCols :+ "__i", "left_anti")
+    val missed = expected.join(covered, Seq("__g", "__i"), "left_anti")
     val missedGroups = missed.select(g: _*).distinct()
     val exactAggs = targets.zipWithIndex.map { case ((_, p), i) =>
       expr(s"percentile(__v, $p)").as(s"__exact_$i") }
-    val fallbackWide = dfv.join(broadcast(missedGroups), groupCols)
+    val fallbackWide = dfv.join(broadcast(missedGroups), Seq("__g"))
       .groupBy(g: _*).agg(exactAggs.head, exactAggs.tail: _*)
     val fallbackLong = fallbackWide
       .select(g :+ explode(array((0 until P).map(i => struct(
@@ -140,7 +148,7 @@ object Percentiles {
         .as("__e"): _*)
       .select(g ++ Seq(col("__e.__i").as("__i"), col("__e.__value")
         .as("__value")): _*)
-      .join(missed.select((g :+ col("__i")): _*), groupCols :+ "__i",
+      .join(missed.select((g :+ col("__i")): _*), Seq("__g", "__i"),
         "left_semi")
 
     // Wide result: one row per group, one column per target; groups
@@ -150,6 +158,8 @@ object Percentiles {
     val wideAggs = targets.zipWithIndex.map { case ((name, _), i) =>
       max(when(col("__i") === i, col("__value"))).as(name) }
     val wide = long.groupBy(g: _*).agg(wideAggs.head, wideAggs.tail: _*)
-    brackets.select(g: _*).join(wide, groupCols, "left")
+    brackets.select(g: _*).join(wide, Seq("__g"), "left")
+      .select(groupCols.map(c => col(s"__g.`$c`").as(c)) ++
+        targets.map { case (name, _) => col(name) }: _*)
   }
 }

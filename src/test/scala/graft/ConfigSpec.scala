@@ -113,4 +113,23 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     ColumnSpec("x", "x", "text", Some("42")).varcharLength shouldBe None
     ColumnSpec("x", "x", "varchar", None).varcharLength shouldBe None
   }
+
+  test("pipeline steps refuse non-numeric numeric fields (no silent 0-coercion)") {
+    def pipe(steps: String) = ConfigParser.parse(
+      s"""{"action": "pipeline", "parameters": {"pipeline": {
+         |  "input": "in/x", "output": "out/x", "steps": [$steps]}}}"""
+        .stripMargin)
+    // Jackson's asDouble would coerce "abc" to 0.0 — which PASSES the
+    // range check and would silently sample an empty corpus
+    val e = intercept[UserException] {
+      pipe("""{"type": "sample", "fraction": "abc"}""") }
+    e.getMessage should include("'fraction' must be a number")
+    intercept[UserException] {
+      pipe("""{"type": "split", "trainPct": "80", "valPct": 10}""") }
+    intercept[UserException] {
+      pipe("""{"type": "dedupMinhash", "bands": 2.5}""") }
+    // well-formed numerics still parse
+    pipe("""{"type": "sample", "fraction": 0.25}""")
+      .pipeline.get.steps.head shouldBe PipelineStep.Sample(0.25)
+  }
 }

@@ -49,6 +49,23 @@ class PercentilesSpec extends SparkSpec {
     check(df)
   }
 
+  test("NULL group keys form their own group, like percentile()") {
+    // percentile() under groupBy returns a row for the NULL-key group;
+    // a bare equi-join on the key would silently drop it (regression
+    // for the struct-packed join key)
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None, 10.0), (None, 20.0), (None, 30.0)).toDF("g", "v")
+    check(df)
+    // and with a composite key where only one component is null
+    val df2 = Seq((Some("a"), 1, 1.0), (None, 1, 5.0), (None, 1, 7.0))
+      .toDF("g", "g2", "v")
+    val got = rows(Percentiles.exactGroupedPercentiles(
+      df2, Seq("g", "g2"), "v", Seq("p50" -> 0.5)).orderBy("g", "g2"))
+    val want = rows(df2.groupBy("g", "g2")
+      .agg(expr("percentile(v, 0.5)").as("p50")).orderBy("g", "g2"))
+    got shouldBe want
+  }
+
   test("collapsed bands force the exact-verify fallback; result still exact") {
     // bandDelta = 0 shrinks every band to the sketch's point estimate;
     // with coarse accuracy the band misses true order statistics and
