@@ -4,7 +4,7 @@ import graft.model.{PipelineConfig, PipelineStep, UserException}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, explode, row_number}
 
 /** Executes a parsed [[PipelineConfig]] — the curation library
   * (lang-ID → quality gates → dedup → split/sample) behind the CLI's
@@ -47,7 +47,7 @@ object Pipeline {
     var prev: Option[DataFrame] = None
     val (result, reports) = p.steps.foldLeft((src, Vector.empty[StepReport])) {
       case ((df, reps), step) =>
-        val next = apply(df, step, p)
+        val next = apply(df, step, p, dataDir)
         if (p.collectStats) {
           val cached = next.persist()
           val n = cached.count()
@@ -64,9 +64,14 @@ object Pipeline {
   }
 
   private def apply(df: DataFrame, step: PipelineStep,
-                    p: PipelineConfig): DataFrame = {
+                    p: PipelineConfig, dataDir: String): DataFrame = {
     import PipelineStep._
     val text = col(p.textColumn)
+    def read(path: String, format: String): DataFrame = format match {
+      case "csv" => df.sparkSession.read.option("header", "true")
+        .csv(resolve(path, dataDir))
+      case _ => df.sparkSession.read.parquet(resolve(path, dataDir))
+    }
     step match {
       case LangFilter(langs) =>
         df.filter(TextFunctions.langId(text).isin(langs: _*))
@@ -85,6 +90,53 @@ object Pipeline {
         df.withColumn(p.textColumn, TextFunctions.redactPii(text))
       case Sample(fraction) =>
         Sampling.deterministicSample(df, p.idColumn, fraction)
+      case StratifiedSample(strata, fractions, default) =>
+        if (!df.columns.contains(strata))
+          throw new UserException(
+            s"stratifiedSample: input has no column '$strata'")
+        Sampling.stratifiedSample(df, p.idColumn, strata, fractions, default)
+      case TruncateTokens(maxTokens) =>
+        df.withColumn(p.textColumn,
+          TextFunctions.truncateTokens(text, maxTokens))
+      case Pack(targetTokens, buckets) =>
+        // derives n_tokens for the cumulative packing; keeps it — the
+        // packed output's consumer needs the per-doc token count anyway
+        Sampling.packBins(
+          df.withColumn("n_tokens", TextFunctions.tokenCount(text)),
+          p.idColumn, "n_tokens", targetTokens, buckets)
+      case d: Decontaminate =>
+        val eval = read(d.evalPath, d.evalFormat)
+        if (!eval.columns.contains(d.evalTextColumn))
+          throw new UserException(
+            s"decontaminate: eval set has no column '${d.evalTextColumn}'")
+        // eval shingles are benchmark-sized → broadcast; the corpus
+        // side's shingles stay inside its scan stage (never shuffled)
+        val evalShingles = eval.select(
+          explode(Dedup.shingles(col(d.evalTextColumn), d.ngram)).as("__sh"))
+          .distinct()
+        val contaminated = df.select(col(p.idColumn),
+            explode(Dedup.shingles(text, d.ngram)).as("__sh"))
+          .join(broadcast(evalShingles), Seq("__sh"))
+          .select(p.idColumn).distinct()
+        df.join(contaminated, Seq(p.idColumn), "left_anti")
+      case Mix(w0, extra) =>
+        val sources = (df, w0) +: extra.map(s => (read(s.input, s.format), s.weight))
+        sources.map(_._1.columns.toSet).distinct match {
+          case cols if cols.size > 1 => throw new UserException(
+            "mix sources must share the pipeline frame's columns " +
+              s"(saw: ${cols.map(_.toSeq.sorted.mkString("[", ",", "]")).mkString(" vs ")})")
+          case _ => ()
+        }
+        Sampling.weightedMix(sources, p.idColumn)
+      case CapPerSource(sourceCol, k) =>
+        if (!df.columns.contains(sourceCol))
+          throw new UserException(
+            s"capPerSource: input has no column '$sourceCol'")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol))
+          .orderBy(TextFunctions.qualityScore(text).desc, col(p.idColumn))
+        df.withColumn("__rnk", row_number().over(w))
+          .filter(col("__rnk") <= k).drop("__rnk")
       case Split(tr, va, column) =>
         df.withColumn(column,
           Sampling.splitLabel(col(p.idColumn), tr, va))

@@ -130,6 +130,62 @@ object ConfigParser {
         if (f < 0 || f > 1)
           throw new UserException("sample needs 'fraction' in [0,1]")
         Sample(f)
+      case "stratifiedSample" =>
+        val strata = req(n, "strataColumn").asText
+        val fr = opt(n, "fractions").map { node =>
+          node.properties.asScala.map { e =>
+            if (!e.getValue.isNumber) throw new UserException(
+              s"stratifiedSample fraction for '${e.getKey}' must be a number")
+            e.getKey -> e.getValue.asDouble
+          }.toMap
+        }.getOrElse(Map.empty[String, Double])
+        val dflt = dbl("default", 0.0)
+        if ((dflt +: fr.values.toSeq).exists(f => f < 0 || f > 1))
+          throw new UserException(
+            "stratifiedSample fractions must be in [0,1]")
+        StratifiedSample(strata, fr, dflt)
+      case "truncateTokens" =>
+        val m = int("maxTokens", -1)
+        if (m < 1)
+          throw new UserException("truncateTokens needs 'maxTokens' >= 1")
+        TruncateTokens(m)
+      case "pack" =>
+        val t = lng("targetTokens", -1L)
+        if (t < 1)
+          throw new UserException("pack needs 'targetTokens' >= 1")
+        Pack(t, int("buckets", 256))
+      case "decontaminate" =>
+        val ng = int("ngram", 3)
+        if (ng < 1)
+          throw new UserException("decontaminate 'ngram' must be >= 1")
+        Decontaminate(
+          evalPath = req(n, "evalPath").asText,
+          evalFormat = opt(n, "evalFormat").map(_.asText).getOrElse("parquet"),
+          evalTextColumn = opt(n, "evalTextColumn").map(_.asText)
+            .getOrElse("text"),
+          ngram = ng)
+      case "mix" =>
+        val w0 = dbl("weight", 1.0)
+        val extra = opt(n, "extra").toSeq.flatMap(_.elements.asScala).map { e =>
+          val w = Option(e.get("weight")).map { v =>
+            if (!v.isNumber) throw new UserException(
+              "mix source 'weight' must be a number")
+            v.asDouble
+          }.getOrElse(1.0)
+          MixSource(req(e, "input").asText, w,
+            Option(e.get("format")).map(_.asText).getOrElse("parquet"))
+        }
+        if (extra.isEmpty)
+          throw new UserException("mix needs a non-empty 'extra' source list")
+        if ((w0 +: extra.map(_.weight)).exists(w => w < 0 || w > 1))
+          throw new UserException("mix weights are keep-fractions in [0,1]")
+        Mix(w0, extra)
+      case "capPerSource" =>
+        val k = int("maxPerSource", -1)
+        if (k < 1)
+          throw new UserException("capPerSource needs 'maxPerSource' >= 1")
+        CapPerSource(opt(n, "sourceColumn").map(_.asText)
+          .getOrElse("source"), k)
       case "split" =>
         val tr = int("trainPct", -1); val va = int("valPct", 0)
         if (tr < 0 || va < 0 || tr + va > 100)

@@ -59,6 +59,56 @@ object PipelineStep {
     val kind = "sample"
   }
 
+  /** Per-stratum keep fractions
+    * ([[graft.operators.Sampling.stratifiedSample]]) — cap dominant
+    * languages/sources, keep all of rare ones. */
+  final case class StratifiedSample(strataColumn: String,
+                                    fractions: Map[String, Double],
+                                    default: Double) extends PipelineStep {
+    val kind = "stratifiedSample"
+  }
+
+  /** Truncate the text column to its first `maxTokens` tokens
+    * ([[graft.functions.TextFunctions.truncateTokens]]). */
+  final case class TruncateTokens(maxTokens: Int) extends PipelineStep {
+    val kind = "truncateTokens"
+  }
+
+  /** Tag rows with training-sequence bins (`pack_bucket`, `bin_id`,
+    * plus the derived `n_tokens`) —
+    * [[graft.operators.Sampling.packBins]]'s cumulative packing. */
+  final case class Pack(targetTokens: Long, buckets: Int)
+      extends PipelineStep {
+    val kind = "pack"
+  }
+
+  /** Drop documents sharing any word n-gram with a held-out eval set
+    * (benchmark decontamination; eval shingles broadcast, the corpus
+    * scan never shuffles its own shingles). */
+  final case class Decontaminate(evalPath: String, evalFormat: String,
+                                 evalTextColumn: String, ngram: Int)
+      extends PipelineStep {
+    val kind = "decontaminate"
+  }
+
+  /** Deterministic weighted mixture of the current frame (weight
+    * first) with extra corpora ([[graft.operators.Sampling
+    * .weightedMix]]); adds `source_id` (0 = the pipeline's input). */
+  final case class Mix(weight: Double, extra: Seq[MixSource])
+      extends PipelineStep {
+    val kind = "mix"
+  }
+  final case class MixSource(input: String, weight: Double, format: String)
+
+  /** Domain-quota step: each `sourceColumn` group keeps its
+    * `maxPerSource` highest-quality documents
+    * ([[graft.functions.TextFunctions.qualityScore]] ranking, one
+    * per-source window — never a global sort). */
+  final case class CapPerSource(sourceColumn: String, maxPerSource: Int)
+      extends PipelineStep {
+    val kind = "capPerSource"
+  }
+
   /** Append a leakage-free train/val/test label column
     * ([[graft.operators.Sampling.splitLabel]]). */
   final case class Split(trainPct: Int, valPct: Int, column: String)

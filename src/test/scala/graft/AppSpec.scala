@@ -282,6 +282,70 @@ class AppSpec extends SparkSpec {
       Set("train", "val", "test") should contain(r.getString(0)))
   }
 
+  test("pipeline action: cap/truncate/pack and mix/decontaminate step families") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe2").toString
+    Seq(
+      (1L, "srcA", "the cat is on the mat and a dog is in the house"),
+      (2L, "srcA", "zz zz zz zz zz"), // low quality: capped out of srcA
+      (3L, "srcB", "a boat of the sea is to sail in the wind today"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/packed", "collectStats": true,
+        |  "steps": [
+        |    {"type": "capPerSource", "sourceColumn": "source", "maxPerSource": 1},
+        |    {"type": "truncateTokens", "maxTokens": 3},
+        |    {"type": "pack", "targetTokens": 5, "buckets": 4}
+        |  ]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include("""{"step":"capPerSource","rows":2}""")
+    val packed = spark.read.parquet(s"$dir/out/packed")
+    packed.columns.toSeq should contain allOf ("n_tokens", "pack_bucket", "bin_id")
+    packed.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L) // srcA kept its higher-quality doc
+    packed.select("n_tokens").collect().foreach(_.getLong(0) should be <= 3L)
+
+    // mix two corpora then decontaminate against an eval set sharing a
+    // 3-gram with doc 1 only
+    Seq((11L, "totally fresh words here now"),
+      (12L, "another clean document entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/extra")
+    Seq((1L, "the cat is on the mat and a dog is in the house"),
+      (3L, "a boat of the sea is to sail in the wind today"))
+      .toDF("doc_id", "text").select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs2")
+    Seq(99L -> "well the cat is on the roof").toDF("eval_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/eval")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs2", "output": "out/mixed", "collectStats": true,
+        |  "steps": [
+        |    {"type": "mix", "weight": 1.0,
+        |     "extra": [{"input": "in/extra", "weight": 1.0}]},
+        |    {"type": "decontaminate", "evalPath": "in/eval", "ngram": 3}
+        |  ]}}}""".stripMargin)
+    val (code2, out2) = Main.execute(spark, sink, dir)
+    withClue(out2) { code2 shouldBe 0 }
+    val mixed = spark.read.parquet(s"$dir/out/mixed")
+    // doc 1 shares "cat is on"/"the cat is" with the eval set -> dropped
+    mixed.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(3L, 11L, 12L)
+    mixed.columns.toSeq should contain("source_id")
+    // schema mismatch between mix sources fails loud as a user error
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "mix", "weight": 1.0,
+        |             "extra": [{"input": "in/extra", "weight": 1.0}]}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action config errors exit 1: unknown step, missing column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-bad").toString
