@@ -46,11 +46,11 @@ object Main {
           // config-in/JSON-out protocol (steps validated by the
           // parser, which also guarantees the spec's presence)
           val rep = Pipeline.run(spark, config.pipeline.get, dataDir)
-          val steps = rep.steps.map(s =>
-            s.rows match {
-              case Some(n) => s"""{"step":"${s.kind}","rows":$n}"""
-              case None    => s"""{"step":"${s.kind}"}"""
-            }).mkString("[", ",", "]")
+          val steps = rep.steps.map { s =>
+            val rows = s.rows.map(n => s""","rows":$n""").getOrElse("")
+            val reused = if (s.reused) ""","reused":true""" else ""
+            s"""{"step":"${s.kind}"$rows$reused}"""
+          }.mkString("[", ",", "]")
           val rowsIn = rep.rowsIn.map(n => s""""rows_in":$n,""").getOrElse("")
           (0, Some(statusJson("success",
             rowsIn + s""""rows_out":${rep.rowsOut},""" +

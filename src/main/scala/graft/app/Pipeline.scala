@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions.{broadcast, col, explode, row_number}
   */
 object Pipeline {
 
-  final case class StepReport(kind: String, rows: Option[Long])
+  final case class StepReport(kind: String, rows: Option[Long],
+                              reused: Boolean = false)
   final case class Report(rowsIn: Option[Long], rowsOut: Long,
                           steps: Seq[StepReport], output: String)
 
@@ -44,23 +45,90 @@ object Pipeline {
     val rowsIn =
       if (p.format == "csv" && !p.collectStats) None else Some(src.count())
 
+    val ckpt = p.checkpointDir.map(d => new Checkpointer(
+      spark, resolve(d, dataDir), chainSeed(spark, p, inPath)))
     var prev: Option[DataFrame] = None
-    val (result, reports) = p.steps.foldLeft((src, Vector.empty[StepReport])) {
-      case ((df, reps), step) =>
-        val next = apply(df, step, p, dataDir)
-        if (p.collectStats) {
-          val cached = next.persist()
-          val n = cached.count()
-          prev.foreach(_.unpersist()) // previous stage fed this count
-          prev = Some(cached)
-          (cached, reps :+ StepReport(step.kind, Some(n)))
-        } else (next, reps :+ StepReport(step.kind, None))
-    }
+    val (result, reports) = p.steps.zipWithIndex
+      .foldLeft((src, Vector.empty[StepReport])) {
+        case ((df, reps), (step, i)) =>
+          val (next, reused) = ckpt match {
+            case Some(c) => c.stepOutput(step, i,
+              () => apply(df, step, p, dataDir))
+            case None => (apply(df, step, p, dataDir), false)
+          }
+          if (p.collectStats) {
+            // checkpointed steps count free via parquet footers; only
+            // the in-memory path needs the persist
+            if (ckpt.isDefined)
+              (next, reps :+ StepReport(step.kind, Some(next.count()), reused))
+            else {
+              val cached = next.persist()
+              val n = cached.count()
+              prev.foreach(_.unpersist()) // previous stage fed this count
+              prev = Some(cached)
+              (cached, reps :+ StepReport(step.kind, Some(n), reused))
+            }
+          } else (next, reps :+ StepReport(step.kind, None, reused))
+      }
     result.write.mode("overwrite").parquet(outPath)
     prev.foreach(_.unpersist())
     // parquet footers make this a metadata-only job
     val rowsOut = spark.read.parquet(outPath).count()
     Report(rowsIn, rowsOut, reports, outPath)
+  }
+
+  /** Chain-fingerprint seed: the resolved input identity plus a cheap
+    * metadata summary of its files (name, length, mtime) — a
+    * regenerated input under the same path invalidates every
+    * checkpoint without scanning a byte of data. */
+  private def chainSeed(spark: SparkSession, p: PipelineConfig,
+                        inPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files =
+      if (!fs.exists(path)) "absent"
+      else fs.listStatus(path).toSeq.sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(",")
+    md5Hex(s"$inPath|${p.format}|${p.idColumn}|${p.textColumn}|$files")
+  }
+
+  private[app] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-step materialize-or-reuse. The marker (`_DONE` holding the
+    * chain fingerprint) commits AFTER the data write — a crash
+    * mid-write leaves a markerless directory the re-run recomputes
+    * (mode=overwrite clears it), never a half-step that validates.
+    * The fingerprint chains (seed → step₀ → step₁ → …), so editing
+    * step k's config recomputes k and everything after it while steps
+    * before k still reuse. */
+  private final class Checkpointer(spark: SparkSession, dir: String,
+                                   seed: String) {
+    private var fp = seed
+    private val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    def stepOutput(step: PipelineStep, i: Int,
+                   compute: () => DataFrame): (DataFrame, Boolean) = {
+      // case-class toString is a deterministic full rendering of the
+      // step's parameters — exactly the config identity to chain
+      fp = md5Hex(s"$fp|$step")
+      val stepDir = s"$dir/step_${i}_${step.kind}"
+      val marker = new org.apache.hadoop.fs.Path(stepDir, "_DONE")
+      val valid = fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == fp
+        finally in.close()
+      }
+      if (!valid) {
+        compute().write.mode("overwrite").parquet(stepDir)
+        val out = fs.create(marker, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
+      (spark.read.parquet(stepDir), valid)
+    }
   }
 
   private def apply(df: DataFrame, step: PipelineStep,

@@ -79,7 +79,8 @@ object ConfigParser {
       textColumn = opt(p, "textColumn").map(_.asText).getOrElse("text"),
       format = fmt,
       steps = steps,
-      collectStats = opt(p, "collectStats").exists(_.asBoolean))
+      collectStats = opt(p, "collectStats").exists(_.asBoolean),
+      checkpointDir = opt(p, "checkpointDir").map(_.asText))
   }
 
   private def parseStep(n: JsonNode): PipelineStep = {

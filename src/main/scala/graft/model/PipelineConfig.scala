@@ -124,6 +124,14 @@ object PipelineStep {
   *                 step (one bounded persist per step) and the status
   *                 JSON reports them; default off — counting is not
   *                 free at 100 TB, so it is opt-in observability
+  * @param checkpointDir when set, every step's output materializes
+  *                 under `<dir>/step_<i>_<kind>` with a chain
+  *                 fingerprint marker, and a re-run reuses each step
+  *                 whose (input, upstream-chain, step-config)
+  *                 fingerprint still matches — a 100 TB curation job
+  *                 that dies at step 5 resumes at step 5 instead of
+  *                 redoing days of work. Opt-in: it trades one extra
+  *                 materialization per step for resumability.
   */
 final case class PipelineConfig(
     input: String,
@@ -132,4 +140,5 @@ final case class PipelineConfig(
     textColumn: String = "text",
     format: String = "parquet",
     steps: Seq[PipelineStep] = Nil,
-    collectStats: Boolean = false)
+    collectStats: Boolean = false,
+    checkpointDir: Option[String] = None)

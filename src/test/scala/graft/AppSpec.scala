@@ -346,6 +346,60 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline checkpointing: re-run reuses steps, config edit resumes mid-chain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-ck").toString
+    val en1 = "the cat is on the mat and a dog is in the house of the king"
+    val en2 = "a boat of the sea is to sail in the wind and the sun is on"
+    Seq((1L, en1), (2L, en1), (3L, en2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    def config(trainPct: Int) =
+      s"""{"action": "pipeline", "parameters": {"pipeline": {
+         |  "input": "in/docs", "output": "out/c", "collectStats": true,
+         |  "checkpointDir": "out/ckpt",
+         |  "steps": [
+         |    {"type": "dedupExact"},
+         |    {"type": "split", "trainPct": $trainPct, "valPct": 10}
+         |  ]}}}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"), config(50))
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+
+    val (c1, o1) = Main.execute(spark, sink, dir)
+    withClue(o1) { c1 shouldBe 0 }
+    o1.get should include("""{"step":"dedupExact","rows":2}""")
+    o1.get should not include "reused"
+
+    // identical re-run: every step reuses its checkpoint
+    val (c2, o2) = Main.execute(spark, sink, dir)
+    withClue(o2) { c2 shouldBe 0 }
+    o2.get should include("""{"step":"dedupExact","rows":2,"reused":true}""")
+    o2.get should include("""{"step":"split","rows":2,"reused":true}""")
+
+    // editing step 2's config: step 1 still reuses, step 2 recomputes
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"), config(80))
+    val (c3, o3) = Main.execute(spark, sink, dir)
+    withClue(o3) { c3 shouldBe 0 }
+    o3.get should include("""{"step":"dedupExact","rows":2,"reused":true}""")
+    o3.get should include("""{"step":"split","rows":2}""")
+    o3.get should not include """{"step":"split","rows":2,"reused":true}"""
+
+    // regenerated input under the same path invalidates the whole chain
+    Seq((1L, en1), (4L, en2 + " extended")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    val (c4, o4) = Main.execute(spark, sink, dir)
+    withClue(o4) { c4 shouldBe 0 }
+    o4.get should not include "reused"
+    spark.read.parquet(s"$dir/out/c").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L)
+
+    // crash-safety: a markerless (half-written) step dir recomputes
+    val stepDir = new java.io.File(s"$dir/out/ckpt/step_0_dedupExact")
+    new java.io.File(stepDir, "_DONE").delete() shouldBe true
+    val (c5, o5) = Main.execute(spark, sink, dir)
+    withClue(o5) { c5 shouldBe 0 }
+    o5.get should not include """{"step":"dedupExact","rows":2,"reused":true}"""
+  }
+
   test("pipeline action config errors exit 1: unknown step, missing column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-bad").toString
