@@ -29,10 +29,7 @@ object Pipeline {
           dataDir: String): Report = {
     val inPath = resolve(p.input, dataDir)
     val outPath = resolve(p.output, dataDir)
-    val src = p.format match {
-      case "csv" => spark.read.option("header", "true").csv(inPath)
-      case _     => spark.read.parquet(inPath)
-    }
+    val src = readInput(spark, inPath, p.format)
     Seq(p.idColumn, p.textColumn).foreach { c =>
       if (!src.columns.contains(c))
         throw new UserException(
@@ -53,6 +50,7 @@ object Pipeline {
         case ((df, reps), (step, i)) =>
           val (next, reused) = ckpt match {
             case Some(c) => c.stepOutput(step, i,
+              secondaryInputSummary(spark, step, dataDir),
               () => apply(df, step, p, dataDir))
             case None => (apply(df, step, p, dataDir), false)
           }
@@ -70,11 +68,52 @@ object Pipeline {
             }
           } else (next, reps :+ StepReport(step.kind, None, reused))
       }
-    result.write.mode("overwrite").parquet(outPath)
+    // checkpoint-protect the FINAL write too: on a fully-reused rerun
+    // the last step's copy is the single largest write of the job —
+    // skip it when the output still carries the chain's end fingerprint
+    val skipFinal = ckpt.exists(_.outputCurrent(outPath))
+    if (!skipFinal) {
+      result.write.mode("overwrite").parquet(outPath)
+      ckpt.foreach(_.markOutput(outPath))
+    }
     prev.foreach(_.unpersist())
     // parquet footers make this a metadata-only job
     val rowsOut = spark.read.parquet(outPath).count()
     Report(rowsIn, rowsOut, reports, outPath)
+  }
+
+  /** One reader for every pipeline input (primary, mix sources, eval
+    * sets) — format dispatch must not diverge between them. */
+  private def readInput(spark: SparkSession, path: String,
+                        format: String): DataFrame = format match {
+    case "csv" => spark.read.option("header", "true").csv(path)
+    case _     => spark.read.parquet(path)
+  }
+
+  /** File-metadata summary of a step's SECONDARY datasets (an eval
+    * set, mix sources) for the checkpoint chain: the step's toString
+    * carries only the PATH strings, so without this a regenerated
+    * eval set under the same path would silently reuse a stale
+    * decontamination. Empty for steps without secondary inputs. */
+  private def secondaryInputSummary(spark: SparkSession,
+                                    step: PipelineStep,
+                                    dataDir: String): String = {
+    import PipelineStep._
+    val paths = step match {
+      case d: Decontaminate => Seq(d.evalPath)
+      case m: Mix           => m.extra.map(_.input)
+      case _                => Nil
+    }
+    paths.map(pp => fileSummary(spark, resolve(pp, dataDir))).mkString(";")
+  }
+
+  private def fileSummary(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) "absent"
+    else fs.listStatus(path).toSeq.sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(",")
   }
 
   /** Chain-fingerprint seed: the resolved input identity plus a cheap
@@ -82,16 +121,9 @@ object Pipeline {
     * regenerated input under the same path invalidates every
     * checkpoint without scanning a byte of data. */
   private def chainSeed(spark: SparkSession, p: PipelineConfig,
-                        inPath: String): String = {
-    val path = new org.apache.hadoop.fs.Path(inPath)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val files =
-      if (!fs.exists(path)) "absent"
-      else fs.listStatus(path).toSeq.sortBy(_.getPath.getName)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .mkString(",")
-    md5Hex(s"$inPath|${p.format}|${p.idColumn}|${p.textColumn}|$files")
-  }
+                        inPath: String): String =
+    md5Hex(s"$inPath|${p.format}|${p.idColumn}|${p.textColumn}|" +
+      fileSummary(spark, inPath))
 
   private[app] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -110,11 +142,13 @@ object Pipeline {
     private val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-    def stepOutput(step: PipelineStep, i: Int,
+    def stepOutput(step: PipelineStep, i: Int, secondaries: String,
                    compute: () => DataFrame): (DataFrame, Boolean) = {
       // case-class toString is a deterministic full rendering of the
-      // step's parameters — exactly the config identity to chain
-      fp = md5Hex(s"$fp|$step")
+      // step's parameters — the config identity to chain; secondary
+      // datasets (eval sets, mix sources) contribute their file
+      // metadata since the toString holds only their path strings
+      fp = md5Hex(s"$fp|$step|$secondaries")
       val stepDir = s"$dir/step_${i}_${step.kind}"
       val marker = new org.apache.hadoop.fs.Path(stepDir, "_DONE")
       val valid = fs.exists(marker) && {
@@ -129,17 +163,31 @@ object Pipeline {
       }
       (spark.read.parquet(stepDir), valid)
     }
+
+    /** Does `outPath` already hold the chain's END fingerprint? (Call
+      * after all stepOutput calls — `fp` is then the final chain.) */
+    def outputCurrent(outPath: String): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(outPath, "_DONE")
+      fs.exists(marker) && {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") == fp
+        finally in.close()
+      }
+    }
+
+    def markOutput(outPath: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(outPath, "_DONE"), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   private def apply(df: DataFrame, step: PipelineStep,
                     p: PipelineConfig, dataDir: String): DataFrame = {
     import PipelineStep._
     val text = col(p.textColumn)
-    def read(path: String, format: String): DataFrame = format match {
-      case "csv" => df.sparkSession.read.option("header", "true")
-        .csv(resolve(path, dataDir))
-      case _ => df.sparkSession.read.parquet(resolve(path, dataDir))
-    }
+    def read(path: String, format: String): DataFrame =
+      readInput(df.sparkSession, resolve(path, dataDir), format)
     step match {
       case LangFilter(langs) =>
         df.filter(TextFunctions.langId(text).isin(langs: _*))
@@ -189,12 +237,16 @@ object Pipeline {
         df.join(contaminated, Seq(p.idColumn), "left_anti")
       case Mix(w0, extra) =>
         val sources = (df, w0) +: extra.map(s => (read(s.input, s.format), s.weight))
-        sources.map(_._1.columns.toSet).distinct match {
-          case cols if cols.size > 1 => throw new UserException(
-            "mix sources must share the pipeline frame's columns " +
-              s"(saw: ${cols.map(_.toSeq.sorted.mkString("[", ",", "]")).mkString(" vs ")})")
-          case _ => ()
-        }
+        // names AND types: a doc_id long vs string mismatch would
+        // otherwise surface as an opaque union failure (or silently
+        // coerce), not the loud config error this guard promises
+        val schemas = sources.map(_._1.schema.fields
+          .map(f => f.name -> f.dataType.simpleString).sortBy(_._1).toSeq)
+        if (schemas.distinct.size > 1)
+          throw new UserException(
+            "mix sources must share the pipeline frame's schema (saw: " +
+              schemas.distinct.map(_.map { case (n, t) => s"$n:$t" }
+                .mkString("[", ",", "]")).mkString(" vs ") + ")")
         Sampling.weightedMix(sources, p.idColumn)
       case CapPerSource(sourceCol, k) =>
         if (!df.columns.contains(sourceCol))

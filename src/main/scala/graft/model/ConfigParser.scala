@@ -101,10 +101,22 @@ object ConfigParser {
       v.asInt
     }.getOrElse(dflt)
     def lng(f: String, dflt: Long) = opt(n, f).map { v =>
-      if (!v.isIntegralNumber) throw new UserException(
-        s"Pipeline step field '$f' must be an integer, got: $v")
+      if (!v.isIntegralNumber || !v.canConvertToLong)
+        throw new UserException(
+          s"Pipeline step field '$f' must be a 64-bit integer, got: $v")
       v.asLong
     }.getOrElse(dflt)
+    // one validated format vocabulary for EVERY dataset reference —
+    // the runner treats unknown formats as parquet, so an unvalidated
+    // "CSV"/"json" here would surface as an opaque read failure
+    def fmt(node: JsonNode, f: String): String = {
+      val v = Option(node.get(f)).filterNot(_.isNull)
+        .map(_.asText).getOrElse("parquet")
+      if (!Set("parquet", "csv")(v))
+        throw new UserException(
+          s"Pipeline format '$v' is not supported")
+      v
+    }
     req(n, "type").asText match {
       case "langFilter" =>
         val langs = opt(n, "languages").toSeq
@@ -154,14 +166,17 @@ object ConfigParser {
         val t = lng("targetTokens", -1L)
         if (t < 1)
           throw new UserException("pack needs 'targetTokens' >= 1")
-        Pack(t, int("buckets", 256))
+        val b = int("buckets", 256)
+        if (b < 1)
+          throw new UserException("pack needs 'buckets' >= 1")
+        Pack(t, b)
       case "decontaminate" =>
         val ng = int("ngram", 3)
         if (ng < 1)
           throw new UserException("decontaminate 'ngram' must be >= 1")
         Decontaminate(
           evalPath = req(n, "evalPath").asText,
-          evalFormat = opt(n, "evalFormat").map(_.asText).getOrElse("parquet"),
+          evalFormat = fmt(n, "evalFormat"),
           evalTextColumn = opt(n, "evalTextColumn").map(_.asText)
             .getOrElse("text"),
           ngram = ng)
@@ -173,8 +188,7 @@ object ConfigParser {
               "mix source 'weight' must be a number")
             v.asDouble
           }.getOrElse(1.0)
-          MixSource(req(e, "input").asText, w,
-            Option(e.get("format")).map(_.asText).getOrElse("parquet"))
+          MixSource(req(e, "input").asText, w, fmt(e, "format"))
         }
         if (extra.isEmpty)
           throw new UserException("mix needs a non-empty 'extra' source list")

@@ -344,6 +344,18 @@ class AppSpec extends SparkSpec {
         |             "extra": [{"input": "in/extra", "weight": 1.0}]}]}}}"""
         .stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+
+    // …including a TYPE mismatch under identical column names
+    spark.read.parquet(s"$dir/in/extra")
+      .selectExpr("cast(doc_id as string) as doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/extra_str")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs2", "output": "out/bad2",
+        |  "steps": [{"type": "mix", "weight": 1.0,
+        |             "extra": [{"input": "in/extra_str", "weight": 1.0}]}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
   test("pipeline checkpointing: re-run reuses steps, config edit resumes mid-chain") {
@@ -398,6 +410,50 @@ class AppSpec extends SparkSpec {
     val (c5, o5) = Main.execute(spark, sink, dir)
     withClue(o5) { c5 shouldBe 0 }
     o5.get should not include """{"step":"dedupExact","rows":2,"reused":true}"""
+  }
+
+  test("checkpointing tracks secondary inputs and skips the final write on full reuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-ck2").toString
+    val en1 = "the cat is on the mat and a dog is in the house of the king"
+    val en2 = "a boat of the sea is to sail in the wind and the sun is on"
+    Seq((1L, en1), (3L, en2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Seq(99L -> "xyzzy unrelated completely").toDF("eval_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/eval")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/c", "collectStats": true,
+        |  "checkpointDir": "out/ckpt",
+        |  "steps": [{"type": "decontaminate", "evalPath": "in/eval", "ngram": 3}]
+        |}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (c1, o1) = Main.execute(spark, sink, dir)
+    withClue(o1) { c1 shouldBe 0 }
+    o1.get should include(""""rows_out":2""")
+
+    def outFiles(): Map[String, Long] =
+      new java.io.File(s"$dir/out/c").listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = outFiles()
+    val (c2, o2) = Main.execute(spark, sink, dir)
+    withClue(o2) { c2 shouldBe 0 }
+    o2.get should include("""{"step":"decontaminate","rows":2,"reused":true}""")
+    // the final write was SKIPPED: same part files, same mtimes
+    outFiles() shouldBe before
+
+    // regenerating the EVAL SET (a secondary input — the step config's
+    // path string is unchanged) must invalidate the step: doc 1 now
+    // shares "the cat is"/"cat is on" with the eval text
+    Seq(99L -> "well the cat is on the roof").toDF("eval_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/eval")
+    val (c3, o3) = Main.execute(spark, sink, dir)
+    withClue(o3) { c3 shouldBe 0 }
+    o3.get should not include "reused"
+    o3.get should include(""""rows_out":1""")
+    spark.read.parquet(s"$dir/out/c").select("doc_id")
+      .collect().map(_.getLong(0)) shouldBe Array(3L)
   }
 
   test("pipeline action config errors exit 1: unknown step, missing column") {
