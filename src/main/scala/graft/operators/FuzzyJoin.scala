@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance-bounded (fuzzy) joins without a cartesian product —
+  * the entity-resolution primitive (near-identical names, typo'd IDs,
+  * OCR'd labels) Spark has no operator for; the naive formulation is
+  * an O(|L|·|R|) cross join with `levenshtein` in the filter, which a
+  * planner can only nested-loop.
+  *
+  * Candidate generation is the SymSpell / symmetric-deletion scheme
+  * (Garbe's SymSpell, the FAREC/"deletion neighborhood" family): two
+  * strings within edit distance d share a member of their ≤d-deletion
+  * neighborhoods (delete up to d characters in every combination of
+  * positions). Deletions-only neighborhoods stay SMALL — O(len^d)
+  * variants per string, vs the O(len·Σ^d) of insert/substitute
+  * expansions — and the sharing property is a strict SUPERSET of the
+  * true pair set (e.g. "ab"/"ba" share a variant at distance 2), so an
+  * exact `levenshtein ≤ d` verify finishes the job. No false
+  * negatives: d deletions bound edit distance, so every true pair
+  * shares a variant.
+  *
+  * Scale shape: ONE shuffle keyed by the (hashed) variant; only
+  * `(variant-hash, id)` pairs cross it — never the strings, which join
+  * back by id for the verify. Variant-bucket sizes are data-dependent;
+  * `maxBucket` guards the degenerate key (a bucket of m contributes
+  * m(m−1)/2 candidates) by passing oversized buckets through
+  * UNCOMPARED — conservative, mirroring the minhash/LSH guards: never
+  * drops a pair silently below the cap, never melts down above it.
+  *
+  * The verify (`levenshtein`) is classic Wagner–Fischer on both this
+  * engine and DuckDB, so results are gate-hashable.
+  */
+object FuzzyJoin {
+
+  /** All variants of `s` with up to `d` characters deleted (including
+    * `s` itself), distinct. Higher-order-function expression — no UDF:
+    * one `transform` over the position sequence per deletion level. */
+  private[operators] def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 1 && d <= 2, s"maxDist must be 1 or 2, got $d")
+    def delOne(arr: Column): Column = array_distinct(flatten(
+      transform(arr, v => transform(
+        sequence(lit(1), greatest(length(v), lit(1))),
+        i => concat(v.substr(lit(1), i - 1),
+          v.substr(i + 1, length(v)))))))
+    val level1 = delOne(array(s))
+    val all =
+      if (d == 1) concat(array(s), level1)
+      else concat(array(s), level1, delOne(level1))
+    array_distinct(all)
+  }
+
+  /** Self-join: pairs of rows whose `strCol` values are within edit
+    * distance `maxDist` (1 or 2). Returns (id_a, id_b, dist) with
+    * id_a < id_b. NULL strings never match (SQL comparison semantics).
+    *
+    * @param maxBucket skew guard — variant buckets larger than this
+    *                  pass through uncompared (documented recall trade
+    *                  at degenerate keys; raise it for exactness). */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+               maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    // hash the variant before the shuffle: candidate keys are 8-byte
+    // longs, not strings (xxhash64 collisions only ADD candidates,
+    // which the exact verify removes)
+    val keyed = base.select(col("__id"),
+      explode(deletionVariants(col("__s"), maxDist)).as("__var"))
+      .select(col("__id"), xxhash64(col("__var")).as("__k"))
+      .distinct()
+    val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+    val inB = keyed.join(sizes, Seq("__k"))
+    val candidates = inB.select(col("__k"), col("__id").as("id_a"))
+      .join(inB.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Two-sided fuzzy join: left rows matched to right rows within
+    * `maxDist`. Returns (left id, right id, dist). Same candidate
+    * scheme; both sides explode their neighborhoods and meet on the
+    * variant hash. */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+           right: DataFrame, rightId: String, rightStr: String,
+           maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
+    def keyed(df: DataFrame, id: String, str: String, as: String) =
+      df.select(col(id).as(as), col(str).as(s"__s_$as"))
+        .filter(col(s"__s_$as").isNotNull)
+    val l = keyed(left, leftId, leftStr, "left_id")
+    val r = keyed(right, rightId, rightStr, "right_id")
+    val lk = l.select(col("left_id"),
+      explode(deletionVariants(col("__s_left_id"), maxDist)).as("__var"))
+      .select(col("left_id"), xxhash64(col("__var")).as("__k")).distinct()
+    val rk = r.select(col("right_id"),
+      explode(deletionVariants(col("__s_right_id"), maxDist)).as("__var"))
+      .select(col("right_id"), xxhash64(col("__var")).as("__k")).distinct()
+    // guard on the RIGHT side's bucket width (the index side by
+    // convention); a hot variant on either side caps the same way
+    val sizes = rk.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+    val candidates = lk.join(rk.join(sizes, Seq("__k")).drop("__n"), Seq("__k"))
+      .select("left_id", "right_id").distinct()
+    candidates.join(l, "left_id").join(r, "right_id")
+      .withColumn("dist",
+        levenshtein(col("__s_left_id"), col("__s_right_id")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("left_id", "right_id", "dist")
+  }
+}

@@ -453,6 +453,16 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Edit-distance-bounded self-join on customer names (SymSpell
+    // deletion-neighborhood candidates + exact levenshtein verify —
+    // graft.operators.FuzzyJoin): entity resolution without a
+    // cartesian. Hash-green: classic Wagner–Fischer on both engines;
+    // the oracle brute-forces the cross join at gate SF.
+    "fuzzy_selfjoin_names" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.selfJoin(
+          t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Interval×interval overlap join, bucketed to an equi-join (the
     // raw theta form nested-loops): 7-day windows from one order
     // sample against 5-day windows from another. Pairs meet in their
@@ -1251,6 +1261,12 @@ object AnalyticsQueries {
         |      FROM events WHERE event_id % 3 = 0) r
         |  ON l.user_id = r.user_id AND r.rts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+    "fuzzy_selfjoin_names" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "interval_overlap_count" ->
       """WITH a AS (
         |  SELECT o_orderkey AS a_id,
