@@ -396,6 +396,32 @@ object AnalyticsQueries {
           Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         .orderBy(col("o_orderstatus"))),
 
+    // Robust outlier profile per group: median + MAD (median absolute
+    // deviation) via TWO bounded-memory exact-percentile passes
+    // ([[graft.operators.Percentiles]] composing with itself — the
+    // operator is a building block, not just a query), then the
+    // standard |v − med| > 3·1.4826·MAD outlier count. Naked
+    // `percentile()` would buffer the table twice over a 3-key group;
+    // this stays bounded at any scale. Hash-green: exact interpolated
+    // medians on both engines, integer outlier counts.
+    "mad_outliers" -> ((s, dir) => {
+      import graft.operators.Percentiles
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      val med = Percentiles.exactGroupedPercentiles(
+        ord, Seq("o_orderstatus"), "o_totalprice", Seq("med" -> 0.5))
+      val dev = ord.join(broadcast(med), Seq("o_orderstatus"))
+        .withColumn("dev", abs(col("o_totalprice") - col("med")))
+      val mad = Percentiles.exactGroupedPercentiles(
+        dev, Seq("o_orderstatus"), "dev", Seq("mad" -> 0.5))
+      dev.join(broadcast(mad), Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > col("mad") * lit(3.0) * lit(1.4826), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // The 100 TB percentile path: Spark's Greenwald–Khanna sketch
     // (approx_percentile) — exact `percentile` buffers every value per
     // group; the sketch keeps bounded state over the shuffle. Rows-only
@@ -1261,6 +1287,23 @@ object AnalyticsQueries {
         |      FROM events WHERE event_id % 3 = 0) r
         |  ON l.user_id = r.user_id AND r.rts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+    "mad_outliers" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY o_orderstatus),
+        |d AS (
+        |  SELECT o.o_orderstatus, ABS(o.o_totalprice - m.med) AS dev, m.med
+        |  FROM orders o JOIN m USING (o_orderstatus)),
+        |mm AS (
+        |  SELECT o_orderstatus, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY o_orderstatus)
+        |SELECT d.o_orderstatus,
+        |       ANY_VALUE(d.med) AS med, ANY_VALUE(mm.mad) AS mad,
+        |       CAST(SUM(CASE WHEN d.dev > mm.mad * 3.0 * 1.4826
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mm USING (o_orderstatus)
+        |GROUP BY d.o_orderstatus
+        |ORDER BY d.o_orderstatus""".stripMargin,
     "fuzzy_selfjoin_names" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
