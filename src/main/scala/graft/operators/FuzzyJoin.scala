@@ -26,8 +26,18 @@ import org.apache.spark.sql.functions._
   * back by id for the verify. Variant-bucket sizes are data-dependent;
   * `maxBucket` guards the degenerate key (a bucket of m contributes
   * m(m−1)/2 candidates) by passing oversized buckets through
-  * UNCOMPARED — conservative, mirroring the minhash/LSH guards: never
-  * drops a pair silently below the cap, never melts down above it.
+  * UNCOMPARED — conservative, mirroring the minhash/LSH guards.
+  * Honest caveat on the cap: bucket sizes are measured on the HASHED
+  * key, so a 64-bit collision (≈ n²/2⁶⁵ at n distinct variants —
+  * negligible until variant cardinality reaches the billions) can
+  * merge two variants' buckets and push the merged bucket over the
+  * cap; a caller needing a hard no-recall-loss guarantee raises
+  * `maxBucket` (the verify keeps precision exact at any cap).
+  *
+  * CONTRACT: `idCol` uniquely identifies a row. Under duplicate ids
+  * the pair (id_a, id_b) is still emitted once, with the MINIMUM
+  * distance over the colliding strings (deterministic best-match
+  * semantics).
   *
   * The verify (`levenshtein`) is classic Wagner–Fischer on both this
   * engine and DuckDB, so results are gate-hashable.
@@ -51,6 +61,23 @@ object FuzzyJoin {
     array_distinct(all)
   }
 
+  /** ONE definition of the candidate keying (id, hashed ≤d-deletion
+    * variant) for both join shapes — the scheme (hashing, salting, a
+    * future length prefilter) must never diverge between them. */
+  private def neighborhoodKeys(df: DataFrame, idCol: String,
+                               strCol: String, maxDist: Int,
+                               idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idAs),
+        explode(deletionVariants(col("__s"), maxDist)).as("__var"))
+      // hash the variant before the shuffle: candidate keys are
+      // 8-byte longs, not strings; collisions only ever MERGE buckets
+      // (see the cap caveat above) and add candidates the exact
+      // verify removes
+      .select(col(idAs), xxhash64(col("__var")).as("__k"))
+      .distinct()
+
   /** Self-join: pairs of rows whose `strCol` values are within edit
     * distance `maxDist` (1 or 2). Returns (id_a, id_b, dist) with
     * id_a < id_b. NULL strings never match (SQL comparison semantics).
@@ -62,13 +89,7 @@ object FuzzyJoin {
                maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
-    // hash the variant before the shuffle: candidate keys are 8-byte
-    // longs, not strings (xxhash64 collisions only ADD candidates,
-    // which the exact verify removes)
-    val keyed = base.select(col("__id"),
-      explode(deletionVariants(col("__s"), maxDist)).as("__var"))
-      .select(col("__id"), xxhash64(col("__var")).as("__k"))
-      .distinct()
+    val keyed = neighborhoodKeys(df, idCol, strCol, maxDist, "__id")
     val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))
     val inB = keyed.join(sizes, Seq("__k"))
@@ -79,9 +100,11 @@ object FuzzyJoin {
     candidates
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .withColumn("__d", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("__d") <= maxDist)
+      // min over duplicate-id string collisions: deterministic
+      // best-match distance per pair (contract above)
+      .groupBy("id_a", "id_b").agg(min(col("__d")).as("dist"))
   }
 
   /** Two-sided fuzzy join: left rows matched to right rows within
@@ -91,27 +114,28 @@ object FuzzyJoin {
   def join(left: DataFrame, leftId: String, leftStr: String,
            right: DataFrame, rightId: String, rightStr: String,
            maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
-    def keyed(df: DataFrame, id: String, str: String, as: String) =
+    def base(df: DataFrame, id: String, str: String, as: String) =
       df.select(col(id).as(as), col(str).as(s"__s_$as"))
         .filter(col(s"__s_$as").isNotNull)
-    val l = keyed(left, leftId, leftStr, "left_id")
-    val r = keyed(right, rightId, rightStr, "right_id")
-    val lk = l.select(col("left_id"),
-      explode(deletionVariants(col("__s_left_id"), maxDist)).as("__var"))
-      .select(col("left_id"), xxhash64(col("__var")).as("__k")).distinct()
-    val rk = r.select(col("right_id"),
-      explode(deletionVariants(col("__s_right_id"), maxDist)).as("__var"))
-      .select(col("right_id"), xxhash64(col("__var")).as("__k")).distinct()
-    // guard on the RIGHT side's bucket width (the index side by
-    // convention); a hot variant on either side caps the same way
-    val sizes = rk.groupBy("__k").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-    val candidates = lk.join(rk.join(sizes, Seq("__k")).drop("__n"), Seq("__k"))
+    val l = base(left, leftId, leftStr, "left_id")
+    val r = base(right, rightId, rightStr, "right_id")
+    val lk = neighborhoodKeys(left, leftId, leftStr, maxDist, "left_id")
+    val rk = neighborhoodKeys(right, rightId, rightStr, maxDist, "right_id")
+    // BOTH sides cap: a candidate bucket contributes |l-bucket| ×
+    // |r-bucket| pairs, so a hot variant on either side alone is
+    // enough to melt the join down — guard each like selfJoin guards
+    // its single frame
+    def cap(k: DataFrame, id: String) = {
+      val sizes = k.groupBy("__k").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket)
+      k.join(sizes, Seq("__k")).drop("__n")
+    }
+    val candidates = cap(lk, "left_id").join(cap(rk, "right_id"), Seq("__k"))
       .select("left_id", "right_id").distinct()
     candidates.join(l, "left_id").join(r, "right_id")
-      .withColumn("dist",
+      .withColumn("__d",
         levenshtein(col("__s_left_id"), col("__s_right_id")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select("left_id", "right_id", "dist")
+      .filter(col("__d") <= maxDist)
+      .groupBy("left_id", "right_id").agg(min(col("__d")).as("dist"))
   }
 }

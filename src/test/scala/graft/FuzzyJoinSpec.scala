@@ -81,6 +81,26 @@ class FuzzyJoinSpec extends SparkSpec {
     optimized should not include "Join Cross"
   }
 
+  test("duplicate ids emit one pair with the MINIMUM distance (deterministic)") {
+    val df = Seq((1L, "abc"), (1L, "abd"), (2L, "abc")).toDF("id", "name")
+    val got = rows(FuzzyJoin.selfJoin(df, "id", "name", maxDist = 1)
+      .orderBy("id_a", "id_b"))
+    // (1,2) appears ONCE; best match is abc~abc = 0 (abd~abc would be 1)
+    got shouldBe Seq(Seq(1L, 2L, 0L))
+  }
+
+  test("two-sided join caps hot variants on BOTH sides") {
+    // left has the hot placeholder, right is small: a right-only guard
+    // would let |left-bucket| x |right-bucket| explode
+    val left = (0 until 40).map(i => (i.toLong, "n/a")).toDF("lid", "name")
+    val right = Seq((100L, "n/a"), (200L, "real name")).toDF("rid", "name")
+    FuzzyJoin.join(left, "lid", "name", right, "rid", "name",
+      maxDist = 1, maxBucket = 10).count() shouldBe 0L
+    // generous cap: all 40 left rows match the right "n/a"
+    FuzzyJoin.join(left, "lid", "name", right, "rid", "name",
+      maxDist = 1, maxBucket = 100).count() shouldBe 40L
+  }
+
   test("skew guard passes oversized variant buckets through uncompared") {
     // 50 identical strings → one hot bucket; cap below its size
     val df = (0 until 50).map(i => (i.toLong, "same")).toDF("id", "name")
