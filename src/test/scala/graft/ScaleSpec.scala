@@ -214,6 +214,26 @@ class ScaleSpec extends SparkSpec {
     explained should not include "rangepartitioning"
   }
 
+  test("plan shape: fuzzy-join candidate shuffles carry hashed longs, not strings") {
+    val df = SparkEntry.queries("fuzzy_selfjoin_names")(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes its stages
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the candidate-generation exchanges partition on the variant hash
+    // (__k); their inputs must carry only (__k, id) — never a name or
+    // exploded variant string
+    val blocks = explained.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning") &&
+        b.contains("__k"))
+    blocks should not be empty
+    blocks.foreach { b =>
+      val inputLine = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      inputLine should not include "__var"
+      inputLine should not include "c_name"
+      inputLine should not include "__s"
+    }
+  }
+
   test("plan shape: LSH candidate shuffles carry no shingle arrays") {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
     df.collect() // materialize so AQE finalizes its stages (and exchanges)
