@@ -267,6 +267,21 @@ object Load {
     scd.filter(col(validFrom) <= at &&
       (col(validTo).isNull || col(validTo) > at))
 
+  /** Retention policy over SCD2 history: drop versions that CEASED to
+    * be valid on-or-before `cutoff` (compliance/cost lifecycle — "keep
+    * N years of history"). Current versions are immune regardless of
+    * age; NULL `validTo` (open) rows likewise. As-of reads at or
+    * before the cutoff become unanswerable for vacuumed keys — that is
+    * the retention contract, not data loss. The bucketed store's
+    * [[graft.sources.PartitionedStore.scd2VacuumBucketed]] applies the
+    * SAME predicate rewriting only the buckets holding expirable
+    * rows. */
+  def scd2Retention(scd: DataFrame, cutoff: org.apache.spark.sql.Column,
+                    validTo: String = "valid_to",
+                    isCurrent: String = "is_current"): DataFrame =
+    scd.filter(col(isCurrent) || col(validTo).isNull ||
+      col(validTo) > cutoff)
+
   /** Deterministic duplicate-PK resolution — the fix for the
     * reference's documented nondeterminism (its UPDATE…FROM with
     * duplicate staged PKs is undefined; SURVEY §2.3 caveat). Keeps, per

@@ -241,6 +241,19 @@ object RelationalQueries {
           Seq("o_orderkey"), to_date(lit("1995-06-01")))
         .orderBy(col("o_orderkey"), col("valid_from"))),
 
+    // Retention vacuum over the merged history: versions that ceased
+    // to be valid on-or-before 1992-06-01 drop (the fixture's
+    // 1990→1992 'H' rows), newer closed versions and every current
+    // row stay. The bucketed store applies the same predicate
+    // touching only expirable buckets
+    // (PartitionedStore.scd2VacuumBucketed, spec-pinned).
+    "scd2_retention" -> ((s, dir) =>
+      Load.scd2Retention(
+          Load.scd2Merge(scdTarget(s, dir), scdStage(s, dir),
+            Seq("o_orderkey"), to_date(lit("1995-06-01"))),
+          to_date(lit("1992-06-01")))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
     // Point-in-time read over the merged history: 1993-06-01 falls
     // inside the closed [1992, 1995-06) version for changed keys and
     // the still-open version for unchanged ones.
@@ -672,6 +685,12 @@ object RelationalQueries {
          |WHERE valid_from <= DATE '1993-06-01'
          |  AND (valid_to IS NULL OR valid_to > DATE '1993-06-01')
          |ORDER BY o_orderkey""".stripMargin,
+    "scd2_retention" ->
+      s"""$scdSql
+         |SELECT * FROM merged
+         |WHERE is_current OR valid_to IS NULL
+         |   OR valid_to > DATE '1992-06-01'
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
     "scd2_snapshot_merge" ->
       s"""$scdSnapSql
          |SELECT * FROM merged

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Date-partitioned parquet layout for the event/document fact tables —
@@ -207,6 +207,16 @@ object PartitionedStore {
     laid.write.mode("append")
       .option("maxRecordsPerFile", targetFileRows)
       .partitionBy(partitionCol).parquet(stage.toString)
+    // a declared child the write produced NO rows for (a vacuum that
+    // empties a bucket) must still swap in — as an EMPTY directory —
+    // or swapChildren would read "src gone + dst present" as a prior
+    // landed attempt and keep the stale copy. Merges never hit this
+    // (a touched child always has staged rows); backfilling is a no-op
+    // for them.
+    children.foreach { case (child, _) =>
+      val sc = new Path(stage, child)
+      if (!fs.exists(sc)) fs.mkdirs(sc)
+    }
     batchId.foreach(id =>
       fs.create(new Path(stage, s"_APPLIED_$id"), true).close())
     graft.app.SwapGuard(s"partition swap failed for '$path' after " +
@@ -560,5 +570,48 @@ object PartitionedStore {
         buckets
       } finally staged.unpersist()
     } finally b.unpersist()
+  }
+
+  /** Retention vacuum over the bucketed SCD2 layout: apply
+    * [[graft.operators.Load.scd2Retention]]'s predicate — drop
+    * versions that ceased to be valid on-or-before `cutoff` — by
+    * rewriting ONLY the buckets that hold expirable rows. One slim
+    * probe scan (p_bucket + validity columns) finds them; untouched
+    * buckets' files are never opened, never rewritten. A bucket whose
+    * every version expires swaps to an EMPTY directory (the staged
+    * write-and-swap machinery backfills it), so the layout's bucket
+    * set is stable.
+    *
+    * Same single-writer contract as the merge and the compactors:
+    * schedule vacuum while no ingest is in flight (the shared
+    * stranded-stage audit fails loud on a crashed sibling's leftovers
+    * either way). Returns the bucket ids rewritten. */
+  def scd2VacuumBucketed(spark: SparkSession, path: String,
+                         cutoff: Column,
+                         targetFileRows: Long = 5000000L,
+                         batchId: Option[Long] = None,
+                         validFrom: String = "valid_from",
+                         validTo: String = "valid_to",
+                         isCurrent: String = "is_current"): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hasDataEntries(fs, target)) return Nil
+    val t = spark.read.parquet(path)
+    // expirable probe: slim columns only — the scan reads p_bucket
+    // (partition value) + the two validity columns, never the payload
+    val expirable = t.filter(!col(isCurrent) && col(validTo).isNotNull &&
+      col(validTo) <= cutoff)
+    val buckets = expirable.select("p_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // ≤ nBuckets, driver-safe
+    if (buckets.isEmpty) return Nil
+    val children = buckets.map(k => (s"p_bucket=$k", s"_FRESH_$k"))
+    auditStrandedStages(fs, target, path, children, batchId, "buckets")
+    val slice = t.filter(col("p_bucket").isin(buckets.map(lit(_)): _*))
+    val kept = graft.operators.Load.scd2Retention(
+      slice, cutoff, validTo, isCurrent)
+    writeStageAndSwap(fs, target, path, kept, "p_bucket", children,
+      targetFileRows, batchId, sortCols = Seq("p_bucket", validFrom))
+    buckets
   }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.{Event, EventStreams}
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming operators driven deterministically through
@@ -244,6 +245,88 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.list(java.nio.file.Paths.get(base))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(_.contains("__stage_")).toSeq shouldBe empty
+  }
+
+  test("scd2VacuumBucketed drops expired versions rewriting only expirable buckets") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2vac").toString
+    val target = s"$base/dim_vac"
+    import graft.sources.PartitionedStore
+    import graft.operators.Load
+
+    // bootstrap 20 keys at t10; change key 5 at t20 (closes at t20);
+    // change key 5 again at t40 (closes the t20 version at t40)
+    val b1 = (1L to 20L).map(i =>
+      Event(i, ts(10), i % 3, "click", i.toDouble)).toDF()
+    PartitionedStore.scd2MergeBucketed(b1, target, Seq("event_id"), "ts",
+      nBuckets = 8)
+    PartitionedStore.scd2MergeBucketed(
+      Seq(Event(5, ts(20), 99, "click", 500.0)).toDF(),
+      target, Seq("event_id"), "ts", nBuckets = 8)
+    PartitionedStore.scd2MergeBucketed(
+      Seq(Event(5, ts(40), 99, "click", 600.0)).toDF(),
+      target, Seq("event_id"), "ts", nBuckets = 8)
+    val pre = spark.read.parquet(target)
+    pre.count() shouldBe 22 // 20 current + 2 closed versions of key 5
+
+    def bucketFiles(k: Int): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(target, s"p_bucket=$k")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val allBuckets = new java.io.File(target).list()
+      .filter(_.startsWith("p_bucket=")).map(_.stripPrefix("p_bucket=").toInt)
+    val before = allBuckets.map(k => k -> bucketFiles(k)).toMap
+    // the in-memory retention over the same cutoff is the oracle
+    val want = rows(Load.scd2Retention(pre, lit(ts(30)))
+      .orderBy("event_id", "valid_from"))
+
+    // cutoff t30: the [t10,t20) version of key 5 expires; the
+    // [t20,t40) one (closed at t40 > t30) and all current rows stay
+    val touched = PartitionedStore.scd2VacuumBucketed(
+      spark, target, lit(ts(30)))
+    touched should have size 1 // only key 5's bucket holds expirable rows
+    val post = spark.read.parquet(target)
+    post.count() shouldBe 21
+    rows(post.orderBy("event_id", "valid_from")) shouldBe want
+    rows(post.filter($"event_id" === 5)
+      .select("value", "valid_from", "valid_to", "is_current")
+      .orderBy("valid_from")) shouldBe Seq(
+      Seq(500.0, ts(20), ts(40), false),
+      Seq(600.0, ts(40), null, true))
+    // untouched buckets: byte-identical file sets
+    allBuckets.filterNot(touched.contains).foreach { k =>
+      withClue(s"untouched bucket $k") { bucketFiles(k) shouldBe before(k) }
+    }
+    // idempotent: nothing left to expire at the same cutoff
+    PartitionedStore.scd2VacuumBucketed(spark, target, lit(ts(30))) shouldBe Nil
+  }
+
+  test("scd2VacuumBucketed swaps a fully-expired bucket to an EMPTY directory") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2vac2").toString
+    val target = s"$base/dim_vac2"
+    // hand-built layout: bucket 0 holds ONLY closed-old rows, bucket 1
+    // a mix — the vacuum must leave p_bucket=0 as an empty dir (bucket
+    // set stable), not keep the stale copy
+    Seq(
+      (1L, 10.0, ts(0), ts(10), false, 0),
+      (2L, 20.0, ts(0), ts(10), false, 0),
+      (3L, 30.0, ts(0), ts(10), false, 1),
+      (3L, 31.0, ts(10), null, true, 1))
+      .toDF("id", "value", "valid_from", "valid_to", "is_current", "p_bucket")
+      .write.partitionBy("p_bucket").parquet(target)
+    val touched = graft.sources.PartitionedStore.scd2VacuumBucketed(
+      spark, target, lit(ts(20)))
+    touched.sorted shouldBe Seq(0, 1)
+    val post = spark.read.parquet(target)
+    post.count() shouldBe 1
+    post.select("id").collect().head.getLong(0) shouldBe 3L
+    new java.io.File(s"$target/p_bucket=0").exists() shouldBe true
+    new java.io.File(s"$target/p_bucket=0").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".")) shouldBe 0
   }
 
   test("scd2MergeBucketed rewrites only the buckets a batch touches; layout pinned; late refused") {
