@@ -252,7 +252,18 @@ object EventStreams {
                                pk: Seq[String], effCol: String,
                                nBuckets: Int, checkpointDir: String,
                                orderCols: Seq[String] = Nil,
-                               gcEveryBatches: Int = 64)
+                               gcEveryBatches: Int = 64,
+                               /** Retention cadence: every
+                                 * `retentionEveryBatches` batches,
+                                 * vacuum versions that ceased to be
+                                 * valid more than `retentionLag` (an
+                                 * INTERVAL literal, e.g. "90 days")
+                                 * before the batch's own effective
+                                 * date — event-time-anchored, so a
+                                 * backfill replay vacuums identically.
+                                 * Off unless BOTH are set. */
+                               retentionLag: Option[String] = None,
+                               retentionEveryBatches: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // same wiring-time contract as streamingScd2: a schema violation
     // must fail at .start(), not hours later on the first micro-batch
@@ -260,6 +271,8 @@ object EventStreams {
       effCol, "valid_from", "valid_to", "is_current",
       extraReserved = Set("p_bucket"))
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    retentionLag.foreach(l => require(l.trim.nonEmpty,
+      "retentionLag must be a non-empty INTERVAL literal"))
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -267,6 +280,18 @@ object EventStreams {
         graft.sources.PartitionedStore.scd2MergeBucketed(
           batch.toDF(), targetPath, pk, effCol, nBuckets, orderCols,
           batchId = Some(batchId))
+        retentionLag.foreach { lag =>
+          if (retentionEveryBatches > 0 && batchId > 0 &&
+              batchId % retentionEveryBatches == 0) {
+            // cutoff anchors to the BATCH's effective date (its max
+            // effCol), not wall clock — replays vacuum the same rows
+            val effRow = batch.toDF().agg(max(col(effCol))).head()
+            if (!effRow.isNullAt(0))
+              graft.sources.PartitionedStore.scd2VacuumBucketed(
+                batch.sparkSession, targetPath,
+                lit(effRow.get(0)) - expr(s"INTERVAL $lag"))
+          }
+        }
         gcTick(batch.sparkSession, targetPath, batchId, gcEveryBatches)
       }
       .start()

@@ -329,6 +329,38 @@ class StreamingSpec extends SparkSpec {
       .count(f => f.isFile && !f.getName.startsWith(".")) shouldBe 0
   }
 
+  test("streamingScd2Partitioned retention cadence vacuums event-time-lagged history") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2-ret").toString
+    val target = s"$base/dim"
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingScd2Partitioned(
+      input.toDF(), target, pk = Seq("event_id"), effCol = "ts",
+      nBuckets = 4, checkpointDir = s"$base/ckpt",
+      retentionLag = Some("1 hour"), retentionEveryBatches = 2)
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(0), 1, "view", 2.0))
+      q.processAllAvailable() // batch 0: bootstrap, no vacuum
+      input.addData(Event(1, ts(100), 1, "click", 10.0))
+      q.processAllAvailable() // batch 1: closes v1 at t100
+      input.addData(Event(1, ts(300), 1, "click", 20.0))
+      q.processAllAvailable() // batch 2: closes v2 at t300, THEN
+      // vacuums with cutoff t300 - 1h = t240: the t100-closed version
+      // expires, the t300-closed one survives
+      val hist = rows(spark.read.parquet(target)
+        .filter($"event_id" === 1)
+        .select("value", "valid_from", "valid_to", "is_current")
+        .orderBy("valid_from"))
+      hist shouldBe Seq(
+        Seq(10.0, ts(100), ts(300), false),
+        Seq(20.0, ts(300), null, true))
+      // key 2 untouched by retention (still current from bootstrap)
+      spark.read.parquet(target).filter($"event_id" === 2)
+        .count() shouldBe 1
+    } finally q.stop()
+  }
+
   test("scd2MergeBucketed rewrites only the buckets a batch touches; layout pinned; late refused") {
     val base = java.nio.file.Files.createTempDirectory("graft-scd2bk").toString
     val target = s"$base/dim_bk"
