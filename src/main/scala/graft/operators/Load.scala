@@ -279,8 +279,12 @@ object Load {
   def scd2Retention(scd: DataFrame, cutoff: org.apache.spark.sql.Column,
                     validTo: String = "valid_to",
                     isCurrent: String = "is_current"): DataFrame =
-    scd.filter(col(isCurrent) || col(validTo).isNull ||
-      col(validTo) > cutoff)
+    // NULL isCurrent reads as not-current (coalesce) so this keep
+    // filter and the bucketed vacuum's expirable probe are EXACT
+    // complements — a malformed row is deterministically expirable,
+    // not retained-or-dropped depending on what shares its bucket
+    scd.filter(coalesce(col(isCurrent), lit(false)) ||
+      col(validTo).isNull || col(validTo) > cutoff)
 
   /** Deterministic duplicate-PK resolution — the fix for the
     * reference's documented nondeterminism (its UPDATE…FROM with

@@ -585,7 +585,12 @@ object PartitionedStore {
     * Same single-writer contract as the merge and the compactors:
     * schedule vacuum while no ingest is in flight (the shared
     * stranded-stage audit fails loud on a crashed sibling's leftovers
-    * either way). Returns the bucket ids rewritten. */
+    * either way). ALWAYS pass `batchId` (the orchestrator's batch/run
+    * id) when one exists: it licenses both this writer's pre-probe
+    * recovery and the streaming merge's replay-time `recoverChild`
+    * after a crashed swap; without it a crash needs the manual
+    * rename-in [[graft.operators.Maintenance.recoverableStages]]
+    * reports. Returns the bucket ids rewritten. */
   def scd2VacuumBucketed(spark: SparkSession, path: String,
                          cutoff: Column,
                          targetFileRows: Long = 5000000L,
@@ -597,11 +602,42 @@ object PartitionedStore {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!hasDataEntries(fs, target)) return Nil
+    // Complete any crashed predecessor's swap BEFORE probing. Unlike
+    // the merge — whose children re-derive from the replayed batch —
+    // the vacuum's children derive from the TARGET's state, which a
+    // crashed swap has already mutated: a bucket deleted-but-not-
+    // renamed would be invisible to the probe and its whole history
+    // (immune current rows included) would silently vanish. An
+    // `_APPLIED_*` marker in a stranded stage certifies the staged
+    // data is COMPLETE (markers commit after the data write), so
+    // renaming its target-missing children in finishes the crashed
+    // swap exactly as swapChildren would have.
+    val strandedRe = (new Path(path).getName +
+      "__(stage|compact)_[0-9a-f]{8}").r
+    Option(target.getParent).foreach { parent =>
+      if (fs.exists(parent))
+        fs.listStatus(parent).toSeq.map(_.getPath)
+          .filter(p => strandedRe.pattern.matcher(p.getName).matches())
+          .filter(sp => fs.listStatus(sp).exists(
+            _.getPath.getName.startsWith("_APPLIED_")))
+          .foreach { sp =>
+            fs.listStatus(sp).toSeq.map(_.getPath)
+              .filter(_.getName.startsWith("p_bucket="))
+              .foreach { ch =>
+                val dst = new Path(target, ch.getName)
+                if (!fs.exists(dst) && !fs.rename(ch, dst))
+                  throw new java.io.IOException(
+                    s"vacuum pre-recovery rename failed: $ch -> $dst")
+              }
+          }
+    }
     val t = spark.read.parquet(path)
     // expirable probe: slim columns only — the scan reads p_bucket
-    // (partition value) + the two validity columns, never the payload
-    val expirable = t.filter(!col(isCurrent) && col(validTo).isNotNull &&
-      col(validTo) <= cutoff)
+    // (partition value) + the two validity columns, never the payload.
+    // NULL isCurrent counts as expirable ([[graft.operators.Load
+    // .scd2Retention]]'s complement — see its coalesce note).
+    val expirable = t.filter(!coalesce(col(isCurrent), lit(false)) &&
+      col(validTo).isNotNull && col(validTo) <= cutoff)
     val buckets = expirable.select("p_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // ≤ nBuckets, driver-safe
     if (buckets.isEmpty) return Nil

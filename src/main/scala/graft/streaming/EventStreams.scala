@@ -271,27 +271,43 @@ object EventStreams {
       effCol, "valid_from", "valid_to", "is_current",
       extraReserved = Set("p_bucket"))
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    retentionLag.foreach(l => require(l.trim.nonEmpty,
-      "retentionLag must be a non-empty INTERVAL literal"))
+    // parse AND analyze the INTERVAL literal NOW: the wiring contract
+    // above says a bad spec fails at .start(), not on cadence batch N
+    // hours later (expr alone defers unit errors to analysis, so
+    // resolve it against a throwaway frame)
+    val retentionInterval = retentionLag.map { l =>
+      val c = expr(s"INTERVAL $l")
+      stage.sparkSession.range(1).select(c).schema // forces analysis
+      c
+    }
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.PartitionedStore.scd2MergeBucketed(
-          batch.toDF(), targetPath, pk, effCol, nBuckets, orderCols,
-          batchId = Some(batchId))
-        retentionLag.foreach { lag =>
-          if (retentionEveryBatches > 0 && batchId > 0 &&
-              batchId % retentionEveryBatches == 0) {
+        val cadence = retentionInterval.isDefined &&
+          retentionEveryBatches > 0 && batchId > 0 &&
+          batchId % retentionEveryBatches == 0
+        // cadence batches read the micro-batch TWICE (merge + the
+        // cutoff's max(effCol)) — persist so the source isn't
+        // re-fetched for the second pass
+        val df = if (cadence) batch.toDF().persist() else batch.toDF()
+        try {
+          graft.sources.PartitionedStore.scd2MergeBucketed(
+            df, targetPath, pk, effCol, nBuckets, orderCols,
+            batchId = Some(batchId))
+          if (cadence) {
             // cutoff anchors to the BATCH's effective date (its max
-            // effCol), not wall clock — replays vacuum the same rows
-            val effRow = batch.toDF().agg(max(col(effCol))).head()
+            // effCol), not wall clock — replays vacuum the same rows.
+            // batchId flows through so the vacuum's stage carries the
+            // _APPLIED license a crashed-swap replay recovers by.
+            val effRow = df.agg(max(col(effCol))).head()
             if (!effRow.isNullAt(0))
               graft.sources.PartitionedStore.scd2VacuumBucketed(
                 batch.sparkSession, targetPath,
-                lit(effRow.get(0)) - expr(s"INTERVAL $lag"))
+                lit(effRow.get(0)) - retentionInterval.get,
+                batchId = Some(batchId))
           }
-        }
+        } finally if (cadence) { df.unpersist(); () }
         gcTick(batch.sparkSession, targetPath, batchId, gcEveryBatches)
       }
       .start()

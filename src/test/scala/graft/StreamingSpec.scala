@@ -329,6 +329,74 @@ class StreamingSpec extends SparkSpec {
       .count(f => f.isFile && !f.getName.startsWith(".")) shouldBe 0
   }
 
+  test("scd2VacuumBucketed pre-probe recovery restores a crashed swap's bucket") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2vac3").toString
+    val target = s"$base/dim_vac3"
+    import graft.sources.PartitionedStore
+    val b1 = (1L to 12L).map(i =>
+      Event(i, ts(10), i % 3, "click", i.toDouble)).toDF()
+    PartitionedStore.scd2MergeBucketed(b1, target, Seq("event_id"), "ts",
+      nBuckets = 4, batchId = Some(0L))
+    val preCount = spark.read.parquet(target).count()
+
+    // simulate a crash between a swap's DELETE and RENAME: a stranded
+    // MARKED stage holds the only copy of one bucket
+    val bucketDir = new java.io.File(target).list()
+      .filter(_.startsWith("p_bucket=")).head
+    val stage = new java.io.File(s"${target}__stage_0deadbee")
+    java.nio.file.Files.createDirectories(stage.toPath)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(target, bucketDir),
+      stage.toPath.resolve(bucketDir))
+    java.nio.file.Files.createFile(stage.toPath.resolve("_APPLIED_7"))
+
+    // vacuum (nothing expirable): the lost bucket must be recovered
+    // BEFORE the probe — without recovery its keys would silently
+    // vanish from this read and every later one
+    PartitionedStore.scd2VacuumBucketed(spark, target, lit(ts(0)),
+      batchId = Some(8L)) shouldBe Nil
+    spark.read.parquet(target).count() shouldBe preCount
+    new java.io.File(target, bucketDir).exists() shouldBe true
+
+    // a MARKERLESS stage (crash mid-write, target intact) is ignored
+    val halfStage = new java.io.File(s"${target}__stage_0badf00d")
+    java.nio.file.Files.createDirectories(
+      halfStage.toPath.resolve("p_bucket=99"))
+    PartitionedStore.scd2VacuumBucketed(spark, target, lit(ts(0)),
+      batchId = Some(9L)) shouldBe Nil
+    new java.io.File(target, "p_bucket=99").exists() shouldBe false
+  }
+
+  test("NULL is_current rows are deterministically expirable (probe = filter complement)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2vac4").toString
+    val target = s"$base/dim_vac4"
+    // bucket 1 holds ONLY the malformed row — without the coalesce the
+    // probe would skip the bucket and the row would live forever even
+    // though scd2Retention drops it
+    Seq(
+      (1L, 10.0, ts(0), Some(ts(10)), None: Option[Boolean], 1),
+      (2L, 20.0, ts(0), None, Some(true), 2))
+      .toDF("id", "value", "valid_from", "valid_to", "is_current", "p_bucket")
+      .write.partitionBy("p_bucket").parquet(target)
+    val touched = graft.sources.PartitionedStore.scd2VacuumBucketed(
+      spark, target, lit(ts(20)))
+    touched shouldBe Seq(1)
+    spark.read.parquet(target).select("id").collect()
+      .map(_.getLong(0)) shouldBe Array(2L)
+  }
+
+  test("retention wiring rejects a malformed INTERVAL at .start(), not on batch N") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sscd2-badlag").toString
+    val input = MemoryStream[Event]
+    intercept[Exception] {
+      EventStreams.streamingScd2Partitioned(
+        input.toDF(), s"$base/dim", pk = Seq("event_id"), effCol = "ts",
+        nBuckets = 4, checkpointDir = s"$base/ckpt",
+        retentionLag = Some("90 dayz"), retentionEveryBatches = 64)
+    }.getMessage.toLowerCase should include("interval")
+  }
+
   test("streamingScd2Partitioned retention cadence vacuums event-time-lagged history") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-sscd2-ret").toString
