@@ -31,7 +31,12 @@ class PercentilesSpec extends SparkSpec {
       ("a", ((i * 2654435761L) % 100000).toDouble / 7.0))
     val dup = (0 until 500).map(i => ("b", (i % 7).toDouble))
     val one = Seq(("c", 42.0))
-    check((big ++ dup ++ one).toDF("g", "v"))
+    // the coverage-bound boundary zone: (δ−ε)·n ≈ 1 at n ≈ 2500 with
+    // default accuracy — the regime where the GK sketch stops being
+    // rank-exact but the widened band must still cover
+    val boundary = (0 until 2600).map(i =>
+      ("d", ((i * 48271L) % 31337).toDouble / 3.0))
+    check((big ++ dup ++ one ++ boundary).toDF("g", "v"))
   }
 
   test("integral rank positions interpolate to the exact data value") {
