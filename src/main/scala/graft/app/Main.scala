@@ -81,15 +81,7 @@ object Main {
     else s"""{"status":"$status",$extra}"""
 
   /** JSON string literal for USER-CONTROLLED values (paths from the
-    * config): a quote or backslash in a path must not emit malformed
-    * status JSON. Same escape set as Verify's oracle dump. */
-  private[app] def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+    * config) — the shared escaper, so the status line and the oracle
+    * dump can never drift. */
+  private[app] def jsonStr(s: String): String = graft.JsonUtil.str(s)
 }

@@ -77,8 +77,11 @@ object Pipeline {
       ckpt.foreach(_.markOutput(outPath))
     }
     prev.foreach(_.unpersist())
-    // parquet footers make this a metadata-only job
-    val rowsOut = spark.read.parquet(outPath).count()
+    // parquet footers make this a metadata-only job; the explicit
+    // schema keeps a ZERO-ROW output readable (an empty dir has no
+    // footers to infer from — the hasDataEntries lesson), so a
+    // filter-everything pipeline reports rows_out: 0, not exit 2
+    val rowsOut = spark.read.schema(result.schema).parquet(outPath).count()
     Report(rowsIn, rowsOut, reports, outPath)
   }
 
@@ -130,12 +133,13 @@ object Pipeline {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Per-step materialize-or-reuse. The marker (`_DONE` holding the
-    * chain fingerprint) commits AFTER the data write — a crash
-    * mid-write leaves a markerless directory the re-run recomputes
-    * (mode=overwrite clears it), never a half-step that validates.
-    * The fingerprint chains (seed → step₀ → step₁ → …), so editing
-    * step k's config recomputes k and everything after it while steps
-    * before k still reuse. */
+    * chain fingerprint + the step's output schema) commits AFTER the
+    * data write — a crash mid-write leaves a markerless directory the
+    * re-run recomputes (mode=overwrite clears it), never a half-step
+    * that validates. The fingerprint chains (seed → step₀ → step₁ →
+    * …), so editing step k's config recomputes k and everything after
+    * it while steps before k still reuse. The stored schema keeps a
+    * ZERO-ROW step readable on reuse (no footers to infer from). */
   private final class Checkpointer(spark: SparkSession, dir: String,
                                    seed: String) {
     private var fp = seed
@@ -151,17 +155,32 @@ object Pipeline {
       fp = md5Hex(s"$fp|$step|$secondaries")
       val stepDir = s"$dir/step_${i}_${step.kind}"
       val marker = new org.apache.hadoop.fs.Path(stepDir, "_DONE")
-      val valid = fs.exists(marker) && {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8") == fp
-        finally in.close()
+      // marker format: fingerprint line + schema JSON line
+      val stored: Option[Array[String]] =
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try Some(new String(in.readAllBytes(), "UTF-8").split("\n", 2))
+          finally in.close()
+        }
+      // a marker without the schema line (or with a stale fp) reads
+      // as invalid — reuse requires BOTH the chain identity and a
+      // readable schema
+      val okStored = stored.filter(a =>
+        a.head == fp && a.length > 1 && a(1).nonEmpty)
+      val schema = okStored match {
+        case Some(a) =>
+          org.apache.spark.sql.types.DataType.fromJson(a(1))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        case None =>
+          val out = compute()
+          out.write.mode("overwrite").parquet(stepDir)
+          val w = fs.create(marker, true)
+          try w.write((fp + "\n" + out.schema.json).getBytes("UTF-8"))
+          finally w.close()
+          out.schema
       }
-      if (!valid) {
-        compute().write.mode("overwrite").parquet(stepDir)
-        val out = fs.create(marker, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
-      }
-      (spark.read.parquet(stepDir), valid)
+      (spark.read.schema(schema).parquet(stepDir), okStored.isDefined)
     }
 
     /** Does `outPath` already hold the chain's END fingerprint? (Call

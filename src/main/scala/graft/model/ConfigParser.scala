@@ -67,9 +67,7 @@ object ConfigParser {
     * ranges validated HERE so the runner never sees a malformed spec
     * (bad config → UserException → exit 1, the reference protocol). */
   private def parsePipeline(p: JsonNode): PipelineConfig = {
-    val fmt = opt(p, "format").map(_.asText).getOrElse("parquet")
-    if (!Set("parquet", "csv")(fmt))
-      throw new UserException(s"Pipeline format '$fmt' is not supported")
+    val fmt = readFormat(p, "format")
     val steps = opt(p, "steps").toSeq
       .flatMap(_.elements.asScala).map(parseStep)
     PipelineConfig(
@@ -81,6 +79,18 @@ object ConfigParser {
       steps = steps,
       collectStats = opt(p, "collectStats").exists(_.asBoolean),
       checkpointDir = opt(p, "checkpointDir").map(_.asText))
+  }
+
+  /** ONE validated format vocabulary for EVERY dataset reference (the
+    * top-level input, eval sets, mix sources) — the runner treats
+    * unknown formats as parquet, so an unvalidated "CSV"/"json" would
+    * surface as an opaque read failure instead of exit 1. */
+  private def readFormat(node: JsonNode, f: String): String = {
+    val v = Option(node.get(f)).filterNot(_.isNull)
+      .map(_.asText).getOrElse("parquet")
+    if (!Set("parquet", "csv")(v))
+      throw new UserException(s"Pipeline format '$v' is not supported")
+    v
   }
 
   private def parseStep(n: JsonNode): PipelineStep = {
@@ -106,17 +116,7 @@ object ConfigParser {
           s"Pipeline step field '$f' must be a 64-bit integer, got: $v")
       v.asLong
     }.getOrElse(dflt)
-    // one validated format vocabulary for EVERY dataset reference —
-    // the runner treats unknown formats as parquet, so an unvalidated
-    // "CSV"/"json" here would surface as an opaque read failure
-    def fmt(node: JsonNode, f: String): String = {
-      val v = Option(node.get(f)).filterNot(_.isNull)
-        .map(_.asText).getOrElse("parquet")
-      if (!Set("parquet", "csv")(v))
-        throw new UserException(
-          s"Pipeline format '$v' is not supported")
-      v
-    }
+    def fmt(node: JsonNode, f: String): String = readFormat(node, f)
     req(n, "type").asText match {
       case "langFilter" =>
         val langs = opt(n, "languages").toSeq
@@ -136,7 +136,14 @@ object ConfigParser {
         val t = dbl("threshold", 0.5)
         if (t < 0 || t > 1)
           throw new UserException("dedupMinhash threshold must be in [0,1]")
-        DedupMinhash(t, int("shingleSize", 3), int("k", 20), int("bands", 5))
+        val (sh, kk, bd) =
+          (int("shingleSize", 3), int("k", 20), int("bands", 5))
+        // zero/negative values would silently disable dedup (zero band
+        // rows -> zero pairs -> everything kept, reported as success)
+        if (sh < 1 || kk < 1 || bd < 1)
+          throw new UserException(
+            "dedupMinhash shingleSize/k/bands must be >= 1")
+        DedupMinhash(t, sh, kk, bd)
       case "piiRedact" => PiiRedact
       case "sample" =>
         val f = dbl("fraction", -1)

@@ -125,12 +125,12 @@ object FuzzyJoin {
     // |r-bucket| pairs, so a hot variant on either side alone is
     // enough to melt the join down — guard each like selfJoin guards
     // its single frame
-    def cap(k: DataFrame, id: String) = {
+    def cap(k: DataFrame) = {
       val sizes = k.groupBy("__k").agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxBucket)
       k.join(sizes, Seq("__k")).drop("__n")
     }
-    val candidates = cap(lk, "left_id").join(cap(rk, "right_id"), Seq("__k"))
+    val candidates = cap(lk).join(cap(rk), Seq("__k"))
       .select("left_id", "right_id").distinct()
     candidates.join(l, "left_id").join(r, "right_id")
       .withColumn("__d",

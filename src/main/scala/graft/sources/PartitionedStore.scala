@@ -601,8 +601,10 @@ object PartitionedStore {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!hasDataEntries(fs, target)) return Nil
-    // Complete any crashed predecessor's swap BEFORE probing. Unlike
+    // Complete any crashed predecessor's swap BEFORE probing — and
+    // before the empty-table early return: a crash that deleted the
+    // table's LAST data bucket leaves a target hasDataEntries reads
+    // as absent, with the only copy in the marked stage. Unlike
     // the merge — whose children re-derive from the replayed batch —
     // the vacuum's children derive from the TARGET's state, which a
     // crashed swap has already mutated: a bucket deleted-but-not-
@@ -612,7 +614,10 @@ object PartitionedStore {
     // data is COMPLETE (markers commit after the data write), so
     // renaming its target-missing children in finishes the crashed
     // swap exactly as swapChildren would have.
-    val strandedRe = (new Path(path).getName +
+    // Pattern.quote like auditStrandedStages: a metacharacter in the
+    // table name ('dim.v2') must not match a SIBLING table's stages —
+    // renaming a stranger's buckets in would be cross-table corruption
+    val strandedRe = (java.util.regex.Pattern.quote(target.getName) +
       "__(stage|compact)_[0-9a-f]{8}").r
     Option(target.getParent).foreach { parent =>
       if (fs.exists(parent))
@@ -631,6 +636,7 @@ object PartitionedStore {
               }
           }
     }
+    if (!hasDataEntries(fs, target)) return Nil
     val t = spark.read.parquet(path)
     // expirable probe: slim columns only — the scan reads p_bucket
     // (partition value) + the two validity columns, never the payload.

@@ -271,6 +271,13 @@ object EventStreams {
       effCol, "valid_from", "valid_to", "is_current",
       extraReserved = Set("p_bucket"))
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    // retention is lag AND cadence — one without the other is a
+    // silently-never-firing policy (unbounded history accretion the
+    // operator believes is bounded); fail at wiring like every other
+    // bad spec here
+    require(retentionLag.isDefined == (retentionEveryBatches > 0),
+      "retention needs BOTH retentionLag and retentionEveryBatches > 0" +
+        " (or neither)")
     // parse AND analyze the INTERVAL literal NOW: the wiring contract
     // above says a bad spec fails at .start(), not on cadence batch N
     // hours later (expr alone defers unit errors to analysis, so

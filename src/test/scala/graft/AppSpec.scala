@@ -456,6 +456,31 @@ class AppSpec extends SparkSpec {
       .collect().map(_.getLong(0)) shouldBe Array(3L)
   }
 
+  test("pipeline that filters out every row reports rows_out 0, not a crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-empty").toString
+    Seq((1L, "the cat is on the mat and a dog is in the house"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    // no doc is language 'xx' → zero rows reach the output; the empty
+    // parquet dir must still read back (schema carried explicitly)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/none", "collectStats": true,
+        |  "checkpointDir": "out/ckpt",
+        |  "steps": [{"type": "langFilter", "languages": ["xx"]}]}}}"""
+        .stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include(""""rows_out":0""")
+    out.get should include("""{"step":"langFilter","rows":0}""")
+    // and the zero-row checkpoint step REUSES on rerun
+    val (code2, out2) = Main.execute(spark, sink, dir)
+    withClue(out2) { code2 shouldBe 0 }
+    out2.get should include("""{"step":"langFilter","rows":0,"reused":true}""")
+  }
+
   test("pipeline action config errors exit 1: unknown step, missing column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-bad").toString
