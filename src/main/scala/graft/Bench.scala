@@ -47,7 +47,13 @@ object Bench {
     final case class Anomaly(cold: Double, warm: Double, gcColdMs: Long,
                              gcWarmMs: Long, load: Double, reruns: Int)
     val anomalies = scala.collection.mutable.LinkedHashMap[String, Anomaly]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted iteration;
+    // unset (the driver's mode) benches the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def timed(): (Double, Long) = {
         val g0 = gcMsNow(); val t0 = System.nanoTime()
         try exec(fn) catch { case _: Throwable => () }

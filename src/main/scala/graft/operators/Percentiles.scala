@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Exact grouped percentiles with BOUNDED executor memory — the 100 TB
   * form of `percentile()`.
@@ -13,34 +14,58 @@ import org.apache.spark.sql.functions._
   * query. The approx sketch bounds memory but surrenders exactness.
   * This operator keeps both properties:
   *
-  *  1. SKETCH NOMINATES: one scan computes per-group counts and a
+  *  1. COUNT ROUTES: one cheap scan collects per-group non-NULL counts
+  *     to the driver (group cardinality is small by contract — the same
+  *     broadcastability constraint as before). Groups whose count fits
+  *     the classic buffer bound (`smallGroupThreshold`) take plain
+  *     `percentile()` — for them buffering IS the bounded plan, and the
+  *     sketch machinery would only add stages. Only oversized groups
+  *     enter the nominate/locate/verify path.
+  *  2. SKETCH NOMINATES: a second scan (large groups only) computes a
   *     Greenwald–Khanna band `[lo_p, hi_p]` around each target rank
   *     (`percentile_approx` at `p ± δ`, δ = 5/accuracy — wider than the
   *     sketch's own rank-error bound ε = 1/accuracy, so the true order
   *     statistics provably fall inside the band for any n with
-  *     (δ−ε)·n ≥ 1, and the sketch is rank-exact below that size).
-  *  2. EXACT LOCATES: a second scan counts values strictly below each
-  *     band (the rank offset); a third scans ONLY in-band rows —
-  *     O((δ+ε)·n) per group, a 0.06 % slice at the default accuracy —
-  *     ranks them with one small window, and picks the two order
-  *     statistics `floor/ceil(p·(n−1))` exactly. Interpolation then
-  *     reproduces `percentile()` bit-for-bit (its own two-sided form,
-  *     (k1 − pos)·v0 + (pos − k0)·v1 — the algebraically equal
-  *     v0 + f·(v1−v0) differs in the last ULP and fails a hash gate).
-  *  3. EXACT VERIFIES: any (group, p) whose band missed its order
-  *     statistics (possible only in degenerate sketch states — the
-  *     bound above covers normal operation) falls back to classic
-  *     `percentile()` restricted to JUST those groups via an inner join
-  *     that AQE eliminates when the miss-set is empty — the fallback
-  *     scan costs nothing unless it is needed.
+  *     (δ−ε)·n ≥ 1; large groups are far past that size). The bands are
+  *     ALSO collected: every downstream pass sees one literal,
+  *     byte-identical band table — GK merge results can vary with
+  *     partial-aggregate arrival order, so a lazily re-evaluated band
+  *     subtree could diverge between passes if exchange reuse ever
+  *     stopped deduping it. A literal cannot.
+  *  3. EXACT LOCATES: one pass counts, per (group, target), the values
+  *     strictly below the band (`rank offset`) and the values inside it.
+  *     Degenerate `lo == hi` bands — the heavy-duplicate case, e.g. a
+  *     column that is 90 % one value — short-circuit WITHOUT a window:
+  *     the run's offset+size prove the target ranks sit inside it, and
+  *     both order statistics equal the band value (interpolated with
+  *     `percentile()`'s own formula for bit-parity). Real `lo < hi`
+  *     bands are ranked by a window over ONLY in-band rows —
+  *     O((δ+ε)·n) per group, a 0.06 % slice at the default accuracy. A
+  *     band whose in-band count blew past that budget (duplicate-heavy
+  *     distributions can concentrate mass between two close distinct
+  *     values) is excluded from the window and routed to the fallback
+  *     instead — the window never ranks an unbounded run.
+  *  4. EXACT VERIFIES: any (group, p) not produced above — band missed
+  *     its order statistics, or was oversize-routed — falls back to
+  *     classic `percentile()` restricted to JUST those groups via an
+  *     inner join that AQE eliminates when the miss-set is empty — the
+  *     fallback scan costs nothing unless it is needed. (The fallback
+  *     buffers those groups like `percentile()` would — it is the
+  *     escape hatch, not the plan.)
+  *
+  * Interpolation everywhere uses `percentile()`'s OWN two-sided form,
+  * (k1 − pos)·v0 + (pos − k0)·v1 — the algebraically equal
+  * v0 + f·(v1−v0) differs in the last ULP and fails a hash gate.
   *
   * Same nominate-then-verify posture as `heavy_hitter_tokens`
   * (TextQueries): sketches pick candidates, exact passes decide.
   *
   * Contract: group cardinality must be small enough to broadcast (the
-  * per-group band/offset tables ride broadcast joins — the same
-  * constraint any pivoted/wide result already implies). NULL values are
-  * ignored per aggregate semantics; a group with only NULLs yields NULL
+  * per-group count/band tables are collected and ride broadcast joins —
+  * the same constraint any pivoted/wide result already implies). The
+  * operator is EAGER: it runs one or two small collect jobs at
+  * composition time to route the plan. NULL values are ignored per
+  * aggregate semantics; a group with only NULLs yields NULL
   * percentiles, like `percentile()`; NULL GROUP KEYS form their own
   * group, also like `percentile()` (the internal joins carry the key
   * as a struct for exactly this reason).
@@ -50,15 +75,24 @@ object Percentiles {
   /** @param targets  output-column-name → fraction in [0,1]
     * @param accuracy GK sketch accuracy (rank error ≤ n/accuracy)
     * @param bandDelta TEST SEAM: override the δ half-width; narrow
-    *                  deltas force the exact-verify fallback path. */
+    *                  deltas force the exact-verify fallback path.
+    * @param smallGroupThreshold groups with ≤ this many non-NULL values
+    *                  take plain `percentile()` (its buffer holds one
+    *                  entry per DISTINCT value, so this bounds the
+    *                  buffer at ~threshold entries worst-case); 0 forces
+    *                  every non-empty group through the sketch path. */
   def exactGroupedPercentiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, targets: Seq[(String, Double)],
       accuracy: Int = 10000,
-      bandDelta: Option[Double] = None): DataFrame = {
+      bandDelta: Option[Double] = None,
+      smallGroupThreshold: Long = 1L << 20): DataFrame = {
     require(targets.nonEmpty, "need at least one percentile target")
     targets.foreach { case (n, p) => require(p >= 0 && p <= 1,
       s"fraction for '$n' out of [0,1]: $p") }
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
     val P = targets.size
+    val eps = 1.0 / accuracy
     val delta = bandDelta.getOrElse(5.0 / accuracy)
     val fracs = targets.map(_._2)
     val loFracs = fracs.map(p => math.max(0.0, p - delta))
@@ -72,70 +106,166 @@ object Percentiles {
     val g = Seq(col("__g"))
     val dfv = df.select(struct(groupCols.map(col): _*).as("__g"),
       col(valueCol).cast("double").as("__v"))
+    val keyType = dfv.schema("__g").dataType
 
-    // Pass 1 — nominate: per-group count + one sketch evaluated at all
-    // 2P band fractions (one buffer per group, bounded by accuracy).
+    def unpack(wide: DataFrame): DataFrame =
+      wide.select(groupCols.map(c => col(s"__g.`$c`").as(c)) ++
+        targets.map { case (name, _) => col(name) }: _*)
+    def wideExact(src: DataFrame): DataFrame = {
+      val aggs = targets.map { case (name, p) =>
+        expr(s"percentile(__v, $p)").as(name) }
+      src.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    // Pass 1a — route (eager): per-group non-NULL counts at the driver.
+    val countRows = dfv.groupBy(g: _*)
+      .agg(count(col("__v")).as("__n")).collect()
+    val largeRows = countRows.filter(_.getLong(1) > smallGroupThreshold)
+
+    if (largeRows.isEmpty)
+      // Every group fits the classic buffer bound — buffering is
+      // bounded here BY CONSTRUCTION (driver-verified counts), and the
+      // plain one-aggregation plan is the cheapest correct plan.
+      return unpack(wideExact(dfv))
+
+    def keyFrame(rs: Seq[Row]): DataFrame = spark.createDataFrame(
+      rs.map(r => Row(r.get(0))).asJava,
+      StructType(Seq(StructField("__g", keyType, nullable = true))))
+    val largeKeys = keyFrame(largeRows.toSeq)
+
+    // Pass 1b — nominate (eager): GK bands for large groups only,
+    // collected → LITERAL brackets. One evaluation, by construction
+    // (GK merges are arrival-order sensitive; a re-evaluated subtree
+    // could band differently than the offsets pass counted).
     val bandExpr = s"percentile_approx(__v, array(${(loFracs ++ hiFracs)
       .mkString(",")}), $accuracy)"
-    val brackets = dfv.groupBy(g: _*)
+    val bracketRows = dfv.join(broadcast(largeKeys), Seq("__g"))
+      .groupBy(g: _*)
       .agg(count(col("__v")).as("__n"), expr(bandExpr).as("__band"))
+      .collect()
+    val bracketsSchema = StructType(Seq(
+      StructField("__g", keyType, nullable = true),
+      StructField("__n", LongType, nullable = false),
+      StructField("__band", ArrayType(DoubleType), nullable = true)))
+    val brackets = spark.createDataFrame(
+      bracketRows.toSeq.asJava, bracketsSchema)
 
-    // Pass 2 — rank offsets: #values strictly below each band's lo.
-    // In-band values are >= lo, so offset + in-band rank is the exact
-    // global rank. Conditional sums, map-side combined — slim rows.
-    val withBand = dfv.join(broadcast(brackets.filter(col("__n") > 0)),
-      Seq("__g"))
+    // Driver-side per-(group, target) routing table. pos/k0/k1 use
+    // percentile()'s own arithmetic (pos = p·(n−1) in doubles).
+    final case class Pair(key: Any, i: Int, lo: Double, hi: Double,
+        n: Long, pos: Double, k0: Long, k1: Long)
+    val pairs = bracketRows.toSeq.flatMap { r =>
+      val band = r.getSeq[Double](2)
+      (0 until P).map { i =>
+        val pos = fracs(i) * (r.getLong(1) - 1)
+        Pair(r.get(0), i, band(i), band(P + i), r.getLong(1), pos,
+          math.floor(pos).toLong, math.ceil(pos).toLong)
+      }
+    }
+    val (scPairs, winPairs) = pairs.partition(p => p.lo == p.hi)
+
+    // Pass 2 — rank offsets + in-band sizes: #values strictly below
+    // each band's lo, and #values inside [lo, hi]. In-band values are
+    // >= lo, so offset + in-band rank is the exact global rank.
+    // Conditional integer sums — deterministic under any evaluation
+    // order, map-side combined, slim rows.
+    val withBand = dfv.join(broadcast(brackets), Seq("__g"))
     val belowAggs = (0 until P).map(i =>
       sum(when(col("__v") < element_at(col("__band"), i + 1), 1L)
         .otherwise(0L)).as(s"__below_$i"))
+    val inAggs = (0 until P).map(i =>
+      sum(when(col("__v") >= element_at(col("__band"), i + 1) &&
+          col("__v") <= element_at(col("__band"), P + i + 1), 1L)
+        .otherwise(0L)).as(s"__in_$i"))
     val offsets = withBand.filter(col("__v").isNotNull)
-      .groupBy(g: _*).agg(belowAggs.head, belowAggs.tail: _*)
-      .select(g :+ array((0 until P).map(i => col(s"__below_$i")): _*)
-        .as("__belows"): _*)
+      .groupBy(g: _*).agg((belowAggs ++ inAggs).head,
+        (belowAggs ++ inAggs).tail: _*)
+      .select(g ++ Seq(
+        array((0 until P).map(i => col(s"__below_$i")): _*).as("__belows"),
+        array((0 until P).map(i => col(s"__in_$i")): _*).as("__ins")): _*)
 
-    // Pass 3 — locate: only in-band rows survive the filter; the window
-    // ranks O((δ+ε)n) rows per (group, target), never the table.
-    val bandStructs = array((0 until P).map(i => struct(
-      lit(i).as("__i"),
-      element_at(col("__band"), i + 1).as("__lo"),
-      element_at(col("__band"), P + i + 1).as("__hi"))): _*)
-    val banded = withBand.filter(col("__v").isNotNull)
-      .select(g ++ Seq(col("__v"), col("__n"), explode(bandStructs).as("__b")): _*)
-      .filter(col("__v") >= col("__b.__lo") && col("__v") <= col("__b.__hi"))
-      .select(g ++ Seq(col("__b.__i").as("__i"), col("__v"), col("__n")): _*)
+    // Degenerate-band short-circuit: lo == hi means every in-band row
+    // IS the band value; if the run [below, below+in) covers both
+    // target ranks, the result is fully determined by the offsets —
+    // no window touches the (possibly table-sized) duplicate run. The
+    // value is interpolated at the driver with percentile()'s formula
+    // (k0 != k1 still takes the weighted sum of the equal endpoints —
+    // bit-parity, not algebraic shortcut).
+    val scSchema = StructType(Seq(
+      StructField("__g", keyType, nullable = true),
+      StructField("__i", IntegerType, nullable = false),
+      StructField("__k0", LongType, nullable = false),
+      StructField("__k1", LongType, nullable = false),
+      StructField("__value", DoubleType, nullable = true)))
+    val scFrame = spark.createDataFrame(scPairs.map { p =>
+      val v = if (p.k0 == p.k1) p.lo
+        else (p.k1 - p.pos) * p.lo + (p.pos - p.k0) * p.lo
+      Row(p.key, p.i, p.k0, p.k1, v)
+    }.asJava, scSchema)
+    val scCovered = scFrame.join(broadcast(offsets), Seq("__g"))
+      .filter(col("__k0") >= element_at(col("__belows"), col("__i") + 1) &&
+        col("__k1") <= element_at(col("__belows"), col("__i") + 1) +
+          element_at(col("__ins"), col("__i") + 1) - 1)
+      .select(g ++ Seq(col("__i"), col("__value")): _*)
+
+    // Pass 3 — locate real bands: only in-band rows survive the range
+    // join; the window ranks O((δ+ε)n) rows per (group, target), never
+    // the table. A band whose in-band count exceeded its O((δ+ε)n)
+    // budget (32× headroom, 4096 floor) is excluded here → it surfaces
+    // in `missed` and the exact fallback takes it instead of a
+    // run-length window.
+    val winSchema = StructType(Seq(
+      StructField("__g", keyType, nullable = true),
+      StructField("__i", IntegerType, nullable = false),
+      StructField("__lo", DoubleType, nullable = true),
+      StructField("__hi", DoubleType, nullable = true),
+      StructField("__n", LongType, nullable = false),
+      StructField("__pos", DoubleType, nullable = false),
+      StructField("__k0", LongType, nullable = false),
+      StructField("__k1", LongType, nullable = false)))
+    val winFrame = spark.createDataFrame(winPairs.map(p =>
+      Row(p.key, p.i, p.lo, p.hi, p.n, p.pos, p.k0, p.k1)).asJava,
+      winSchema)
+    val bandBudget = greatest(lit(4096L),
+      lit(32.0 * (delta + eps)) * col("__n")).cast("long")
+    val banded = dfv.filter(col("__v").isNotNull)
+      .join(broadcast(winFrame), Seq("__g"))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .join(broadcast(offsets), Seq("__g"))
+      .filter(element_at(col("__ins"), col("__i") + 1) <= bandBudget)
     val rn = row_number().over(
       Window.partitionBy(g :+ col("__i"): _*).orderBy(col("__v")))
-    val fracOf = element_at(
-      array(fracs.map(lit): _*), col("__i") + 1)
-    val pos = fracOf * (col("__n") - 1).cast("double")
-    val k0 = floor(pos)
-    val k1 = ceil(pos)
-    val ranked = banded.withColumn("__rn", rn)
-      .join(broadcast(offsets), Seq("__g"))
+    val located = banded.withColumn("__rn", rn)
       .withColumn("__rank",
         element_at(col("__belows"), col("__i") + 1) + col("__rn") - 1)
-    val located = ranked
-      .filter(col("__rank") === k0 || col("__rank") === k1)
-      .groupBy(g :+ col("__i"): _*)
+      .filter(col("__rank") === col("__k0") || col("__rank") === col("__k1"))
+      .groupBy(g ++ Seq(col("__i"), col("__pos"), col("__k0"),
+        col("__k1")): _*)
       .agg(
-        min(when(col("__rank") === k0, col("__v"))).as("__v0"),
-        min(when(col("__rank") === k1, col("__v"))).as("__v1"),
-        first(col("__n")).as("__n"))
+        min(when(col("__rank") === col("__k0"), col("__v"))).as("__v0"),
+        min(when(col("__rank") === col("__k1"), col("__v"))).as("__v1"))
     // Interpolation uses percentile()'s OWN formula — the two-sided
     // weighted sum, NOT v0 + f·(v1−v0): the forms differ in the last
     // ULP and the gate hashes doubles bit-for-bit.
-    val covered = located
+    val winCovered = located
       .filter(col("__v0").isNotNull && col("__v1").isNotNull)
       .withColumn("__value",
-        when(k0 === k1, col("__v0"))
-          .otherwise((k1 - pos) * col("__v0") + (pos - k0) * col("__v1")))
+        when(col("__k0") === col("__k1"), col("__v0"))
+          .otherwise(
+            (col("__k1").cast("double") - col("__pos")) * col("__v0") +
+            (col("__pos") - col("__k0").cast("double")) * col("__v1")))
       .select(g ++ Seq(col("__i"), col("__value")): _*)
+    val covered = scCovered.unionByName(winCovered)
 
-    // Exact-verify fallback: (group, target) pairs the band missed.
-    // The inner join below is AQE-eliminated when `missedGroups` is
-    // empty, so the extra scan exists only when actually needed.
-    val expected = brackets.filter(col("__n") > 0)
-      .select(g :+ explode(array((0 until P).map(lit): _*)).as("__i"): _*)
+    // Exact-verify fallback: (group, target) pairs the band missed or
+    // the budget rerouted. The inner join below is AQE-eliminated when
+    // `missedGroups` is empty, so the extra scan exists only when
+    // actually needed.
+    val expSchema = StructType(Seq(
+      StructField("__g", keyType, nullable = true),
+      StructField("__i", IntegerType, nullable = false)))
+    val expected = spark.createDataFrame(
+      pairs.map(p => Row(p.key, p.i)).asJava, expSchema)
     val missed = expected.join(covered, Seq("__g", "__i"), "left_anti")
     val missedGroups = missed.select(g: _*).distinct()
     val exactAggs = targets.zipWithIndex.map { case ((_, p), i) =>
@@ -151,15 +281,26 @@ object Percentiles {
       .join(missed.select((g :+ col("__i")): _*), Seq("__g", "__i"),
         "left_semi")
 
-    // Wide result: one row per group, one column per target; groups
-    // with zero non-NULL values (dropped by every pass above) rejoin
-    // with NULL percentiles, matching `percentile()`.
+    // Wide sketch-path result: one row per large group, one column per
+    // target.
     val long = covered.unionByName(fallbackLong)
     val wideAggs = targets.zipWithIndex.map { case ((name, _), i) =>
       max(when(col("__i") === i, col("__value"))).as(name) }
-    val wide = long.groupBy(g: _*).agg(wideAggs.head, wideAggs.tail: _*)
-    brackets.select(g: _*).join(wide, Seq("__g"), "left")
-      .select(groupCols.map(c => col(s"__g.`$c`").as(c)) ++
-        targets.map { case (name, _) => col(name) }: _*)
+    val wideSketch = long.groupBy(g: _*).agg(wideAggs.head,
+      wideAggs.tail: _*)
+
+    // Small/empty groups (count ≤ threshold, driver-verified — incl.
+    // all-NULL groups, whose percentile() is NULL) take the classic
+    // plan restricted to just those groups.
+    val smallRows = countRows.filter(_.getLong(1) <= smallGroupThreshold)
+    val union =
+      if (smallRows.isEmpty) wideSketch
+      else wideExact(dfv.join(broadcast(keyFrame(smallRows.toSeq)),
+        Seq("__g"), "left_semi")).unionByName(wideSketch)
+
+    // Safety net: every observed group appears exactly once, NULL
+    // percentiles for any group both paths dropped.
+    val allKeys = keyFrame(countRows.toSeq)
+    unpack(allKeys.join(union, Seq("__g"), "left"))
   }
 }

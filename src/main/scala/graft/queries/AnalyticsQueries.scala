@@ -402,8 +402,12 @@ object AnalyticsQueries {
     // operator is a building block, not just a query), then the
     // standard |v − med| > 3·1.4826·MAD outlier count. Naked
     // `percentile()` would buffer the table twice over a 3-key group;
-    // this stays bounded at any scale. Hash-green: exact interpolated
-    // medians on both engines, integer outlier counts.
+    // this stays bounded at any scale: the operator's driver-side
+    // count routing proves which groups fit the classic buffer (they
+    // take one plain aggregation — the r6 ~35-stage plan is gone;
+    // job count spec-pinned in PercentilesSpec) and sends only
+    // oversized groups through the sketch passes. Hash-green: exact
+    // interpolated medians on both engines, integer outlier counts.
     "mad_outliers" -> ((s, dir) => {
       import graft.operators.Percentiles
       val ord = t(s, dir, "orders")

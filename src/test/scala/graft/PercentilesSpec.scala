@@ -17,14 +17,16 @@ class PercentilesSpec extends SparkSpec {
 
   private def check(df: org.apache.spark.sql.DataFrame,
                     accuracy: Int = 10000,
-                    bandDelta: Option[Double] = None): Unit = {
+                    bandDelta: Option[Double] = None,
+                    threshold: Long = 1L << 20): Unit = {
     val got = rows(Percentiles.exactGroupedPercentiles(
-      df, Seq("g"), "v", targets, accuracy, bandDelta).orderBy("g"))
+      df, Seq("g"), "v", targets, accuracy, bandDelta, threshold)
+      .orderBy("g"))
     val want = rows(exact(df).orderBy("g"))
     got shouldBe want
   }
 
-  test("matches percentile() bit-for-bit across group shapes") {
+  private def shapes = {
     // deterministic pseudo-random values; groups of very different
     // sizes, heavy duplicates in one, singleton in another
     val big = (0 until 9001).map(i =>
@@ -36,22 +38,50 @@ class PercentilesSpec extends SparkSpec {
     // rank-exact but the widened band must still cover
     val boundary = (0 until 2600).map(i =>
       ("d", ((i * 48271L) % 31337).toDouble / 3.0))
-    check((big ++ dup ++ one ++ boundary).toDF("g", "v"))
+    (big ++ dup ++ one ++ boundary).toDF("g", "v")
+  }
+
+  test("fast path matches percentile() bit-for-bit across group shapes") {
+    check(shapes) // default threshold: every group routes to percentile()
+  }
+
+  test("sketch path matches percentile() bit-for-bit across group shapes") {
+    check(shapes, threshold = 0) // force every group through the bands
+  }
+
+  test("mixed routing: small and large groups split across both paths") {
+    // threshold 1000: groups a (9001) and d (2600) take the sketch
+    // path, b (500) and c (1) the classic path — the union must still
+    // be bit-identical and carry every group exactly once
+    check(shapes, threshold = 1000)
+  }
+
+  test("heavy-duplicate group short-circuits without losing exactness") {
+    // 90 % of the group is one value: the p25/p50 bands collapse to
+    // lo == hi == 5.0 and the dominant run would be the whole window.
+    // The offsets-only short-circuit must produce the exact result.
+    val heavy = (0 until 9000).map(_ => ("h", 5.0)) ++
+      (0 until 1000).map(i => ("h", 10.0 + i))
+    check(heavy.toDF("g", "v"), threshold = 0)
   }
 
   test("integral rank positions interpolate to the exact data value") {
     // 5 values → p50 rank = 2.0 exactly: result must be v[2] itself
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0))
       .toDF("g", "v")
-    val got = rows(Percentiles.exactGroupedPercentiles(
-      df, Seq("g"), "v", Seq("p50" -> 0.5)))
-    got shouldBe Seq(Seq("a", 3.0))
+    for (th <- Seq(1L << 20, 0L)) {
+      val got = rows(Percentiles.exactGroupedPercentiles(
+        df, Seq("g"), "v", Seq("p50" -> 0.5),
+        smallGroupThreshold = th))
+      got shouldBe Seq(Seq("a", 3.0))
+    }
   }
 
   test("all-NULL group yields NULL percentiles, like percentile()") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("n", None))
       .toDF("g", "v")
     check(df)
+    check(df, threshold = 0)
   }
 
   test("NULL group keys form their own group, like percentile()") {
@@ -61,39 +91,86 @@ class PercentilesSpec extends SparkSpec {
     val df = Seq((Some("a"), 1.0), (Some("a"), 2.0),
       (None, 10.0), (None, 20.0), (None, 30.0)).toDF("g", "v")
     check(df)
+    check(df, threshold = 0)
     // and with a composite key where only one component is null
     val df2 = Seq((Some("a"), 1, 1.0), (None, 1, 5.0), (None, 1, 7.0))
       .toDF("g", "g2", "v")
-    val got = rows(Percentiles.exactGroupedPercentiles(
-      df2, Seq("g", "g2"), "v", Seq("p50" -> 0.5)).orderBy("g", "g2"))
-    val want = rows(df2.groupBy("g", "g2")
-      .agg(expr("percentile(v, 0.5)").as("p50")).orderBy("g", "g2"))
-    got shouldBe want
+    for (th <- Seq(1L << 20, 0L)) {
+      val got = rows(Percentiles.exactGroupedPercentiles(
+        df2, Seq("g", "g2"), "v", Seq("p50" -> 0.5),
+        smallGroupThreshold = th).orderBy("g", "g2"))
+      val want = rows(df2.groupBy("g", "g2")
+        .agg(expr("percentile(v, 0.5)").as("p50")).orderBy("g", "g2"))
+      got shouldBe want
+    }
   }
 
   test("collapsed bands force the exact-verify fallback; result still exact") {
     // bandDelta = 0 shrinks every band to the sketch's point estimate;
     // with coarse accuracy the band misses true order statistics and
-    // the AQE-gated percentile() fallback must produce them.
+    // the AQE-gated percentile() fallback must produce them. (With a
+    // point band lo == hi, this also exercises the short-circuit's
+    // covered check rejecting un-covered runs → fallback.)
     val vals = (0 until 4096).map(i =>
       ("a", ((i * 40503L) % 4096).toDouble)) ++
       (0 until 1000).map(i => ("b", math.sin(i).abs * 100))
-    check(vals.toDF("g", "v"), accuracy = 50, bandDelta = Some(0.0))
+    check(vals.toDF("g", "v"), accuracy = 50, bandDelta = Some(0.0),
+      threshold = 0)
   }
 
-  test("main-path plan has no full-table exact percentile aggregate") {
+  test("sketch-path plan has no full-table exact percentile aggregate") {
     // The unguarded buffer-everything aggregate must appear ONLY behind
-    // the fallback join (AQE-eliminated when unneeded); the nominate
-    // pass uses the bounded GK sketch.
-    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    // the fallback join (AQE-eliminated when unneeded) when groups are
+    // routed to the sketch path; the nominate pass uses the bounded GK
+    // sketch.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
     val plan = Percentiles.exactGroupedPercentiles(
-      df, Seq("g"), "v", Seq("p50" -> 0.5))
+      df, Seq("g"), "v", Seq("p50" -> 0.5), smallGroupThreshold = 0)
       .queryExecution.optimizedPlan.toString
-    plan should include("percentile_approx")
     // every exact percentile() node sits under a join with the
     // missed-groups side — crude but effective pin: the fallback's
     // aliases are the only exact-percentile outputs
     plan.linesIterator.filter(_.contains("percentile(__v"))
       .foreach(l => l should include("__exact_"))
+  }
+
+  test("small-group fast path is the plain one-aggregation plan") {
+    // Driver-verified small groups must NOT pay the sketch machinery:
+    // no percentile_approx, no window, no join in the optimized plan.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val plan = Percentiles.exactGroupedPercentiles(
+      df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .queryExecution.optimizedPlan.toString
+    plan should not include "percentile_approx"
+    plan.toLowerCase should not include "join"
+  }
+
+  test("fused mad-style composition stays within a bounded job count") {
+    // The round-6 mad_outliers plan ran ~35 stages from two composed
+    // percentile calls; the routed design collapses each small-data
+    // call to one collect job + one aggregation. Pin the job count of
+    // the full median→deviation→MAD→outlier composition.
+    val ord = shapes.withColumnRenamed("v", "price")
+    val sc = spark.sparkContext
+    sc.setJobGroup("mad-jobcount", "PercentilesSpec", false)
+    try {
+      val med = Percentiles.exactGroupedPercentiles(
+        ord, Seq("g"), "price", Seq("med" -> 0.5))
+      val dev = ord.join(broadcast(med), Seq("g"))
+        .withColumn("dev", abs(col("price") - col("med")))
+      val mad = Percentiles.exactGroupedPercentiles(
+        dev, Seq("g"), "dev", Seq("mad" -> 0.5))
+      val out = dev.join(broadcast(mad), Seq("g"))
+        .groupBy("g")
+        .agg(first("med").as("med"), first("mad").as("mad"),
+          sum(when(col("dev") > col("mad") * 3.0 * 1.4826, 1L)
+            .otherwise(0L)).as("n_outliers"))
+      out.collect()
+      val jobs = sc.statusTracker.getJobIdsForGroup("mad-jobcount").length
+      // 2 routing collects + the final action + AQE's per-exchange
+      // materialization jobs (measured: 12) — anything near the old
+      // ~35-stage plan is a regression
+      assert(jobs <= 14, s"mad composition ran $jobs jobs")
+    } finally sc.clearJobGroup()
   }
 }
