@@ -22,11 +22,27 @@ import org.apache.spark.sql.functions._
   * shares a variant.
   *
   * Scale shape: ONE shuffle keyed by the (hashed) variant; only
-  * `(variant-hash, id)` pairs cross it — never the strings, which join
-  * back by id for the verify. Variant-bucket sizes are data-dependent;
-  * `maxBucket` guards the degenerate key (a bucket of m contributes
-  * m(m−1)/2 candidates) by passing oversized buckets through
-  * UNCOMPARED — conservative, mirroring the minhash/LSH guards.
+  * `(variant-hash, id, len)` triples cross it — never the strings,
+  * which join back by id for the verify. The carried length funds a
+  * free candidate prefilter: edit distance ≥ |len(a) − len(b)|, so any
+  * candidate pair with length gap > d is dropped BEFORE the string
+  * join + levenshtein. Inside a true variant bucket the prune is
+  * vacuous by construction (every member's length lies within
+  * [len(v), len(v)+d], so pairwise gaps never exceed d) — its value is
+  * exactly the buckets the hashing can corrupt: a 64-bit collision
+  * that merges two unrelated variants' buckets produces cross-variant
+  * pairs with arbitrary length gaps, and the prefilter cuts those
+  * without consulting the strings (spec-pinned under a
+  * deliberately-degraded hash; recall is untouched because the prune
+  * is a necessary condition of d-proximity).
+  *
+  * Variant-bucket sizes are data-dependent; `maxBucket` guards the
+  * degenerate key (a self-join bucket of m contributes m(m−1)/2
+  * candidates) by passing oversized buckets through UNCOMPARED —
+  * conservative, mirroring the minhash/LSH guards. The two-sided join
+  * caps the candidate-pair PRODUCT |l-bucket|·|r-bucket| ≤ maxBucket
+  * per bucket — capping each side independently would read as engaged
+  * while admitting maxBucket² pairs from one near-threshold hot key.
   * Honest caveat on the cap: bucket sizes are measured on the HASHED
   * key, so a 64-bit collision (≈ n²/2⁶⁵ at n distinct variants —
   * negligible until variant cardinality reaches the billions) can
@@ -62,21 +78,49 @@ object FuzzyJoin {
   }
 
   /** ONE definition of the candidate keying (id, hashed ≤d-deletion
-    * variant) for both join shapes — the scheme (hashing, salting, a
-    * future length prefilter) must never diverge between them. */
-  private def neighborhoodKeys(df: DataFrame, idCol: String,
+    * variant, string length) for both join shapes — the scheme
+    * (hashing, salting, the length prefilter) must never diverge
+    * between them. `keyHash` is a TEST SEAM: the spec degrades it to
+    * force bucket merges and pin the prefilter's cut. */
+  private[graft] def neighborhoodKeys(df: DataFrame, idCol: String,
                                strCol: String, maxDist: Int,
-                               idAs: String): DataFrame =
+                               idAs: String,
+                               keyHash: Column => Column = xxhash64(_))
+      : DataFrame =
     df.select(col(idCol).as(idAs), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
-      .select(col(idAs),
+      .select(col(idAs), length(col("__s")).as(s"__len_$idAs"),
         explode(deletionVariants(col("__s"), maxDist)).as("__var"))
       // hash the variant before the shuffle: candidate keys are
       // 8-byte longs, not strings; collisions only ever MERGE buckets
-      // (see the cap caveat above) and add candidates the exact
-      // verify removes
-      .select(col(idAs), xxhash64(col("__var")).as("__k"))
+      // (see the cap caveat above) and add candidates the length
+      // prefilter + exact verify remove
+      .select(col(idAs), col(s"__len_$idAs"), keyHash(col("__var")).as("__k"))
       .distinct()
+
+  /** Candidate pairs for the self-join, pre-verify: same-bucket id
+    * pairs (id_a < id_b) surviving the skew cap and the length
+    * prefilter. Factored out so the spec can measure the candidate set
+    * under a degraded `keyHash` without duplicating the pipeline. */
+  private[graft] def selfCandidates(df: DataFrame, idCol: String,
+      strCol: String, maxDist: Int, maxBucket: Int,
+      keyHash: Column => Column = xxhash64(_),
+      lengthPrefilter: Boolean = true): DataFrame = {
+    val keyed = neighborhoodKeys(df, idCol, strCol, maxDist, "__id", keyHash)
+    val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+    val inB = keyed.join(sizes, Seq("__k"))
+    val paired = inB
+      .select(col("__k"), col("__id").as("id_a"), col("__len___id").as("__la"))
+      .join(inB.select(col("__k"), col("__id").as("id_b"),
+        col("__len___id").as("__lb")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+    val pre =
+      if (lengthPrefilter)
+        paired.filter(abs(col("__la") - col("__lb")) <= maxDist)
+      else paired
+    pre.select("id_a", "id_b").distinct()
+  }
 
   /** Self-join: pairs of rows whose `strCol` values are within edit
     * distance `maxDist` (1 or 2). Returns (id_a, id_b, dist) with
@@ -89,14 +133,7 @@ object FuzzyJoin {
                maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
-    val keyed = neighborhoodKeys(df, idCol, strCol, maxDist, "__id")
-    val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(2, maxBucket))
-    val inB = keyed.join(sizes, Seq("__k"))
-    val candidates = inB.select(col("__k"), col("__id").as("id_a"))
-      .join(inB.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates = selfCandidates(df, idCol, strCol, maxDist, maxBucket)
     candidates
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
@@ -110,7 +147,12 @@ object FuzzyJoin {
   /** Two-sided fuzzy join: left rows matched to right rows within
     * `maxDist`. Returns (left id, right id, dist). Same candidate
     * scheme; both sides explode their neighborhoods and meet on the
-    * variant hash. */
+    * variant hash.
+    *
+    * @param maxBucket per-bucket candidate-PAIR budget: a bucket is
+    *                  admitted iff |l-bucket| · |r-bucket| ≤ maxBucket
+    *                  (the quantity the verify actually pays for —
+    *                  per-side caps would admit maxBucket² pairs). */
   def join(left: DataFrame, leftId: String, leftStr: String,
            right: DataFrame, rightId: String, rightStr: String,
            maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
@@ -121,16 +163,16 @@ object FuzzyJoin {
     val r = base(right, rightId, rightStr, "right_id")
     val lk = neighborhoodKeys(left, leftId, leftStr, maxDist, "left_id")
     val rk = neighborhoodKeys(right, rightId, rightStr, maxDist, "right_id")
-    // BOTH sides cap: a candidate bucket contributes |l-bucket| ×
-    // |r-bucket| pairs, so a hot variant on either side alone is
-    // enough to melt the join down — guard each like selfJoin guards
-    // its single frame
-    def cap(k: DataFrame) = {
-      val sizes = k.groupBy("__k").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= maxBucket)
-      k.join(sizes, Seq("__k")).drop("__n")
-    }
-    val candidates = cap(lk).join(cap(rk), Seq("__k"))
+    // PRODUCT cap: a candidate bucket contributes |l-bucket| ×
+    // |r-bucket| verify pairs, so the admission test is on exactly
+    // that product — a hot variant on either side alone is enough to
+    // melt the join down, and near-threshold sides must not compound.
+    val admitted = lk.groupBy("__k").agg(count(lit(1)).as("__ln"))
+      .join(rk.groupBy("__k").agg(count(lit(1)).as("__rn")), Seq("__k"))
+      .filter(col("__ln") * col("__rn") <= lit(maxBucket.toLong))
+      .select("__k")
+    val candidates = lk.join(admitted, Seq("__k")).join(rk, Seq("__k"))
+      .filter(abs(col("__len_left_id") - col("__len_right_id")) <= maxDist)
       .select("left_id", "right_id").distinct()
     candidates.join(l, "left_id").join(r, "right_id")
       .withColumn("__d",

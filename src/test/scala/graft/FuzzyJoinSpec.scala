@@ -101,6 +101,46 @@ class FuzzyJoinSpec extends SparkSpec {
       maxDist = 1, maxBucket = 100).count() shouldBe 40L
   }
 
+  test("length prefilter cuts merged-bucket candidates at equal recall") {
+    // Inside a TRUE variant bucket every pairwise length gap is <= d by
+    // construction, so the prefilter's work is exactly the buckets the
+    // hashing can merge. Degrade the hash seam to 2 buckets — forcing
+    // unrelated variants together — and pin that (a) the prefilter
+    // measurably shrinks the candidate set, (b) every true pair
+    // survives it (the prune is a necessary condition of d-proximity).
+    val df = Seq(
+      (1L, "ab"), (2L, "ac"),                       // true pair, len 2
+      (3L, "wxyzabcdef"), (4L, "wxyzabcdeg"),       // true pair, len 10
+      (5L, "q"), (6L, "qrstuv"), (7L, "mnopqrstu")
+    ).toDF("id", "name")
+    val degraded: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => pmod(xxhash64(v), lit(2))
+    def cand(pre: Boolean) = FuzzyJoin.selfCandidates(
+      df, "id", "name", maxDist = 1, maxBucket = 10000,
+      keyHash = degraded, lengthPrefilter = pre)
+    val unfiltered = cand(pre = false).count()
+    val filtered = cand(pre = true).count()
+    assert(filtered < unfiltered,
+      s"prefilter cut nothing: $filtered vs $unfiltered")
+    // equal recall: the surviving candidates still cover every true pair
+    val truePairs = rows(bruteSelf(df.toDF("id", "s"), 1)
+      .select("id_a", "id_b"))
+    val kept = rows(cand(pre = true))
+    truePairs.foreach(p => kept should contain(p))
+  }
+
+  test("two-sided admission is the pair PRODUCT, not per-side size") {
+    // 9 x 9 hot bucket = 81 candidate pairs: per-side caps of 10 would
+    // read as engaged while admitting all 81; the product cap rejects
+    // at maxBucket=80 and admits at 81.
+    val left = (0 until 9).map(i => (i.toLong, "dup")).toDF("lid", "name")
+    val right = (0 until 9).map(i => (100L + i, "dup")).toDF("rid", "name")
+    FuzzyJoin.join(left, "lid", "name", right, "rid", "name",
+      maxDist = 1, maxBucket = 80).count() shouldBe 0L
+    FuzzyJoin.join(left, "lid", "name", right, "rid", "name",
+      maxDist = 1, maxBucket = 81).count() shouldBe 81L
+  }
+
   test("skew guard passes oversized variant buckets through uncompared") {
     // 50 identical strings → one hot bucket; cap below its size
     val df = (0 until 50).map(i => (i.toLong, "same")).toDF("id", "name")
