@@ -110,6 +110,15 @@ object Pipeline {
     paths.map(pp => fileSummary(spark, resolve(pp, dataDir))).mkString(";")
   }
 
+  /** Caveat (object stores): `getModificationTime` over s3a is the
+    * object's last-PUT time — real for the direct children listed
+    * here, but this listing is NON-recursive, so an in-place rewrite
+    * of a file nested under an unchanged child directory (same names,
+    * same lengths) is not detected. HDFS/local (the tested paths)
+    * surface directory mtime bumps; on object stores treat the
+    * fingerprint as name+length identity and regenerate inputs under
+    * a NEW path (the layout every writer in this engine already
+    * produces — overwrite mode replaces the direct children). */
   private def fileSummary(spark: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -155,19 +164,34 @@ object Pipeline {
       fp = md5Hex(s"$fp|$step|$secondaries")
       val stepDir = s"$dir/step_${i}_${step.kind}"
       val marker = new org.apache.hadoop.fs.Path(stepDir, "_DONE")
-      // marker format: fingerprint line + schema JSON line
+      // marker format: fingerprint line + schema JSON line + an
+      // optional third line ("data"|"empty") recording whether the
+      // committed write produced data files
       val stored: Option[Array[String]] =
         if (!fs.exists(marker)) None
         else {
           val in = fs.open(marker)
-          try Some(new String(in.readAllBytes(), "UTF-8").split("\n", 2))
+          try Some(new String(in.readAllBytes(), "UTF-8").split("\n", 3))
           finally in.close()
         }
-      // a marker without the schema line (or with a stale fp) reads
-      // as invalid — reuse requires BOTH the chain identity and a
-      // readable schema
-      val okStored = stored.filter(a =>
-        a.head == fp && a.length > 1 && a(1).nonEmpty)
+      // a marker without the schema line (or with a stale fp) reads as
+      // invalid — reuse requires the chain identity, a readable
+      // schema, AND the data files the marker promises: without the
+      // last check a later prune of stepDir (checkpoint GC, manual rm)
+      // would silently reuse an emptied directory and report success.
+      // A genuinely zero-row step output (marker line "empty" — no
+      // part files to lose) stays reusable. Markers from before the
+      // data line existed carry no promise — treated as promising data
+      // (the conservative side: a pruned dir recomputes; a legit
+      // zero-row old step recomputes ONCE and rewrites a marker that
+      // then reuses).
+      val okStored = stored.filter { a =>
+        a.head == fp && a.length > 1 && a(1).nonEmpty && {
+          val promisesData = a.length < 3 || a(2).trim != "empty"
+          !promisesData || graft.sources.PartitionedStore.hasDataEntries(
+            fs, new org.apache.hadoop.fs.Path(stepDir))
+        }
+      }
       val schema = okStored match {
         case Some(a) =>
           org.apache.spark.sql.types.DataType.fromJson(a(1))
@@ -175,8 +199,11 @@ object Pipeline {
         case None =>
           val out = compute()
           out.write.mode("overwrite").parquet(stepDir)
+          val wrote = graft.sources.PartitionedStore.hasDataEntries(
+            fs, new org.apache.hadoop.fs.Path(stepDir))
           val w = fs.create(marker, true)
-          try w.write((fp + "\n" + out.schema.json).getBytes("UTF-8"))
+          try w.write((fp + "\n" + out.schema.json + "\n" +
+            (if (wrote) "data" else "empty")).getBytes("UTF-8"))
           finally w.close()
           out.schema
       }
@@ -184,20 +211,32 @@ object Pipeline {
     }
 
     /** Does `outPath` already hold the chain's END fingerprint? (Call
-      * after all stepOutput calls — `fp` is then the final chain.) */
+      * after all stepOutput calls — `fp` is then the final chain.)
+      * Same data-promise check as step reuse: a fingerprint-current
+      * marker over a pruned output directory must NOT skip the final
+      * write (old fp-only markers promise data — conservative). */
     def outputCurrent(outPath: String): Boolean = {
       val marker = new org.apache.hadoop.fs.Path(outPath, "_DONE")
       fs.exists(marker) && {
         val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8") == fp
-        finally in.close()
+        val lines =
+          try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+          finally in.close()
+        lines.head == fp && {
+          val promisesData = lines.length < 2 || lines(1).trim != "empty"
+          !promisesData || graft.sources.PartitionedStore.hasDataEntries(
+            fs, new org.apache.hadoop.fs.Path(outPath))
+        }
       }
     }
 
     def markOutput(outPath: String): Unit = {
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(outPath, "_DONE"), true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      val wrote = graft.sources.PartitionedStore.hasDataEntries(fs, p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "_DONE"), true)
+      try out.write(
+        (fp + "\n" + (if (wrote) "data" else "empty")).getBytes("UTF-8"))
+      finally out.close()
     }
   }
 

@@ -412,6 +412,46 @@ class AppSpec extends SparkSpec {
     o5.get should not include """{"step":"dedupExact","rows":2,"reused":true}"""
   }
 
+  test("pruned checkpoint/output dirs with surviving markers recompute, not reuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-prune").toString
+    val en1 = "the cat is on the mat and a dog is in the house of the king"
+    Seq((1L, en1), (2L, en1)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/c", "collectStats": true,
+        |  "checkpointDir": "out/ckpt",
+        |  "steps": [{"type": "dedupExact"}]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (c1, o1) = Main.execute(spark, sink, dir)
+    withClue(o1) { c1 shouldBe 0 }
+    o1.get should include(""""rows_out":1""")
+
+    // prune the STEP dir's data files but leave _DONE (a checkpoint GC
+    // or manual rm): the marker promises data, so reuse must refuse
+    // and the step recomputes — the old behavior read an empty dir
+    // through the stored schema and reported rows 0 with success
+    val stepDir = new java.io.File(s"$dir/out/ckpt/step_0_dedupExact")
+    stepDir.listFiles().filter(_.getName.startsWith("part-"))
+      .foreach(f => f.delete() shouldBe true)
+    val (c2, o2) = Main.execute(spark, sink, dir)
+    withClue(o2) { c2 shouldBe 0 }
+    o2.get should not include "reused"
+    o2.get should include(""""rows_out":1""")
+
+    // prune the FINAL OUTPUT's data files but leave its _DONE: the
+    // full-reuse path must not skip the final write over an emptied
+    // output directory
+    val outDir = new java.io.File(s"$dir/out/c")
+    outDir.listFiles().filter(_.getName.startsWith("part-"))
+      .foreach(f => f.delete() shouldBe true)
+    val (c3, o3) = Main.execute(spark, sink, dir)
+    withClue(o3) { c3 shouldBe 0 }
+    o3.get should include(""""rows_out":1""")
+    spark.read.parquet(s"$dir/out/c").count() shouldBe 1L
+  }
+
   test("checkpointing tracks secondary inputs and skips the final write on full reuse") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ck2").toString
