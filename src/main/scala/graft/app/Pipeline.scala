@@ -240,6 +240,71 @@ object Pipeline {
     }
   }
 
+  /** One micro-batch through the step chain — the streaming face of
+    * [[run]] ([[graft.streaming.DocumentStreams.streamingPipeline]]
+    * calls this from foreachBatch). Differences from the batch path,
+    * each forced by streaming semantics:
+    *
+    *  - The INPUT is the micro-batch frame, so the checkpoint chain
+    *    seeds off `batchId` + the step-config rendering instead of an
+    *    input file summary: under Structured Streaming's offset-log
+    *    contract a replayed batch_id delivers the same rows, so the
+    *    id IS the data identity the batch path derives from files.
+    *  - Output lands at `<output>/batch_id=<id>` with overwrite — the
+    *    same idempotent-replay partition scheme as every streaming
+    *    corpus sink here (foreachBatch is at-least-once; a replayed
+    *    batch overwrites itself, never duplicates).
+    *  - Step checkpoints live under `<root>/batch_<id>` and exist for
+    *    INTRA-batch crash resume (a 12-step curation chain that dies
+    *    at step 9 replays the batch but reuses steps 0–8). Once batch
+    *    N commits, batches < N can never replay again, so their step
+    *    dirs are garbage — deleted here after N's output lands (GC
+    *    failure is non-fatal: stale dirs cost storage, not
+    *    correctness).
+    *  - No stats/report: per-step counts are batch-mode observability;
+    *    a standing stream meters its sink instead.
+    */
+  private[graft] def runMicroBatch(bdf: DataFrame, p: PipelineConfig,
+                                   dataDir: String,
+                                   stepCkptRoot: Option[String],
+                                   batchId: Long): Unit = {
+    val spark = bdf.sparkSession
+    Seq(p.idColumn, p.textColumn).foreach { c =>
+      if (!bdf.columns.contains(c))
+        throw new UserException(
+          s"Pipeline stream has no column '$c' " +
+            s"(available: ${bdf.columns.mkString(", ")})")
+    }
+    val outPath = resolve(p.output, dataDir)
+    val ckptRoot = stepCkptRoot.map(resolve(_, dataDir))
+    val ckpt = ckptRoot.map { root =>
+      new Checkpointer(spark, s"$root/batch_$batchId",
+        md5Hex(s"$batchId|${p.idColumn}|${p.textColumn}"))
+    }
+    val result = p.steps.zipWithIndex.foldLeft(bdf) {
+      case (df, (step, i)) => ckpt match {
+        case Some(c) => c.stepOutput(step, i,
+          secondaryInputSummary(spark, step, dataDir),
+          () => apply(df, step, p, dataDir))._1
+        case None => apply(df, step, p, dataDir)
+      }
+    }
+    result.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    ckptRoot.foreach { root =>
+      try {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(rootPath))
+          fs.listStatus(rootPath).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("batch_") &&
+                n.stripPrefix("batch_").toLongOption.exists(_ < batchId))
+              fs.delete(st.getPath, true)
+          }
+      } catch { case _: Exception => () } // GC is best-effort
+    }
+  }
+
   private def apply(df: DataFrame, step: PipelineStep,
                     p: PipelineConfig, dataDir: String): DataFrame = {
     import PipelineStep._
@@ -260,6 +325,50 @@ object Pipeline {
         val pairs = Dedup.minhashNearDupPairs(df, p.idColumn, p.textColumn,
           d.shingleSize, d.k, d.bands, d.threshold)
         Dedup.dropNearDups(df, pairs, p.idColumn)
+      case f: DedupFuzzy =>
+        if (!df.columns.contains(f.column))
+          throw new UserException(
+            s"dedupFuzzy: input has no column '${f.column}'")
+        val pairs = graft.operators.FuzzyJoin.selfJoin(
+          df, p.idColumn, f.column, f.maxDist, f.maxBucket)
+        Dedup.dropNearDups(df, pairs, p.idColumn)
+      case m: MadOutlierFilter =>
+        (m.column +: m.groupBy.toSeq).foreach { c =>
+          if (!df.columns.contains(c))
+            throw new UserException(
+              s"madOutlierFilter: input has no column '$c'")
+        }
+        import graft.operators.Percentiles
+        import org.apache.spark.sql.functions.{abs, lit, struct}
+        // global mode = one constant group; the percentile operator
+        // wants explicit group columns
+        val (work, gcols) = m.groupBy match {
+          case Some(gc) => (df, Seq(gc))
+          case None     => (df.withColumn("__mad_g", lit(0)), Seq("__mad_g"))
+        }
+        def gk(d: DataFrame) = struct(gcols.map(d(_)): _*)
+        val v = col(m.column).cast("double")
+        // pass 1: per-group median; pass 2: median absolute deviation.
+        // Both tables are group-cardinality-sized → broadcast joins;
+        // joined ON A STRUCT of the keys so NULL group keys keep their
+        // rows (a bare column equi-join would drop them — the operator
+        // itself returns a row for a NULL group).
+        val med = Percentiles.exactGroupedPercentiles(
+          work, gcols, m.column, Seq("__med" -> 0.5))
+        val withDev = work.join(
+            broadcast(med.select(gk(med).as("__gk"), col("__med"))),
+            gk(work) === col("__gk"), "left")
+          .drop("__gk").withColumn("__dev", abs(v - col("__med")))
+        val mad = Percentiles.exactGroupedPercentiles(
+          withDev, gcols, "__dev", Seq("__mad" -> 0.5))
+        withDev.join(
+            broadcast(mad.select(gk(mad).as("__gk"), col("__mad"))),
+            gk(withDev) === col("__gk"), "left")
+          // keep: NULL values/medians (missing data is not an outlier
+          // verdict), else |v − med| ≤ maxMads·1.4826·MAD
+          .filter(col("__dev").isNull ||
+            col("__dev") <= col("__mad") * lit(m.maxMads) * lit(1.4826))
+          .drop("__gk", "__med", "__dev", "__mad", "__mad_g")
       case PiiRedact =>
         df.withColumn(p.textColumn, TextFunctions.redactPii(text))
       case Sample(fraction) =>

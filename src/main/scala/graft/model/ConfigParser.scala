@@ -144,6 +144,24 @@ object ConfigParser {
           throw new UserException(
             "dedupMinhash shingleSize/k/bands must be >= 1")
         DedupMinhash(t, sh, kk, bd)
+      case "dedupFuzzy" =>
+        val d = int("maxDist", 1)
+        // the deletion-neighborhood scheme is sized for d ∈ {1,2};
+        // d=0 is dedupExact's job and d>2 explodes the variant count
+        if (d < 1 || d > 2)
+          throw new UserException("dedupFuzzy 'maxDist' must be 1 or 2")
+        val mb = int("maxBucket", 10000)
+        if (mb < 1)
+          throw new UserException("dedupFuzzy 'maxBucket' must be >= 1")
+        DedupFuzzy(req(n, "column").asText, d, mb)
+      case "madOutlierFilter" =>
+        val k = dbl("maxMads", 3.0)
+        // 0 would keep only exact-median rows on EVERY group — surely
+        // a config mistake, refused like the other silent-empty traps
+        if (k <= 0)
+          throw new UserException("madOutlierFilter 'maxMads' must be > 0")
+        MadOutlierFilter(req(n, "column").asText, k,
+          opt(n, "groupBy").map(_.asText))
       case "piiRedact" => PiiRedact
       case "sample" =>
         val f = dbl("fraction", -1)

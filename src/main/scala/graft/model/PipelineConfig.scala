@@ -49,6 +49,32 @@ object PipelineStep {
     val kind = "dedupMinhash"
   }
 
+  /** Edit-distance dedup on a short-string column (titles, names —
+    * entity resolution): among rows whose `column` values are within
+    * `maxDist` edits ([[graft.operators.FuzzyJoin.selfJoin]]'s
+    * SymSpell candidate scheme — never all-pairs), the smallest id
+    * survives ([[graft.operators.Dedup.dropNearDups]]). */
+  final case class DedupFuzzy(column: String, maxDist: Int = 1,
+                              maxBucket: Int = 10000) extends PipelineStep {
+    val kind = "dedupFuzzy"
+  }
+
+  /** Robust outlier filter: drop rows whose numeric `column` deviates
+    * from its median (per `groupBy` group when set, else global) by
+    * more than `maxMads` scaled MADs — two
+    * [[graft.operators.Percentiles.exactGroupedPercentiles]] passes,
+    * so the step stays bounded-memory at any group size. Rows with a
+    * NULL value (or an all-NULL group) are kept: the step removes
+    * outliers, it does not adjudicate missing data. A zero-MAD group
+    * (over half its values identical) keeps only its median-valued
+    * rows — the standard robust-z convention, documented here because
+    * it is strict. */
+  final case class MadOutlierFilter(column: String, maxMads: Double = 3.0,
+                                    groupBy: Option[String] = None)
+      extends PipelineStep {
+    val kind = "madOutlierFilter"
+  }
+
   /** Rewrite the text column with
     * [[graft.functions.TextFunctions.redactPii]]. */
   case object PiiRedact extends PipelineStep { val kind = "piiRedact" }

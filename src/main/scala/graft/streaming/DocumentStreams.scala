@@ -161,6 +161,47 @@ object DocumentStreams {
       }
       .start()
 
+  /** The curation pipeline as a standing stream: every micro-batch
+    * runs a validated [[graft.model.PipelineConfig]] step chain
+    * (lang-ID → quality gates → dedup → … — the same 16 step kinds
+    * the batch `pipeline` CLI action speaks) and lands its survivors
+    * under `<output>/batch_id=<id>`, the overwrite-idempotent
+    * partition scheme every corpus sink here uses, so at-least-once
+    * replay never duplicates documents.
+    *
+    * Step checkpoints (`stepCheckpoints=true`) give INTRA-batch crash
+    * resume: a chain that dies at step 9 replays the batch but reuses
+    * steps 0–8 from `<checkpointDir>/steps/batch_<id>` — the batch
+    * Checkpointer's marker/fingerprint machinery, seeded off the
+    * batch_id (under the offset-log contract a replayed id delivers
+    * the same rows, so the id is the data identity). Committed
+    * batches' step dirs are GC'd as soon as the next batch lands —
+    * they can never replay again.
+    *
+    * Per-batch semantics caveats, inherited from the step library:
+    * dedup steps gate WITHIN a micro-batch only — a standing
+    * cross-batch dedup gate is [[streamingIngestDedup]]'s job (index
+    * state); compose them (this stream's output as that stream's
+    * input) when both are needed. `split`/`sample` hash per-document,
+    * so they are batch-size-independent and replay-stable.
+    *
+    * `p.input` and `p.format` are ignored (the stream IS the input);
+    * `p.collectStats`/`p.checkpointDir` are batch-mode observability
+    * and resume knobs, superseded here by the stream's own machinery.
+    */
+  def streamingPipeline(docs: DataFrame, p: graft.model.PipelineConfig,
+                        dataDir: String, checkpointDir: String,
+                        stepCheckpoints: Boolean = true): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$checkpointDir/stream")
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.app.Pipeline.runMicroBatch(batch.toDF(), p, dataDir,
+          if (stepCheckpoints) Some(s"$checkpointDir/steps") else None,
+          batchId)
+      }
+      .start()
+
   /** [[streamingIngestDedup]]'s vector twin: continuous embedding
     * ingest gated by cosine near-dup against the persisted IVF index
     * ([[graft.operators.Similarity.ingestEmbeddingBatch]] per

@@ -358,6 +358,71 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: dedupFuzzy and madOutlierFilter steps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-er").toString
+    Seq(
+      (1L, "smith, john", "A", Some(10.0)),
+      (2L, "smith, jon", "A", Some(11.0)), // 1 edit from doc 1 → dropped
+      (3L, "doe, jane", "A", Some(12.0)),
+      (4L, "miller, anna", "A", Some(9.0)),
+      (5L, "wilson, mary", "A", Some(1000.0)), // MAD outlier in A
+      (6L, "brown, james", "B", Some(5.0)),
+      (7L, "taylor, emma", "B", Option.empty[Double])) // NULL score: kept
+      .toDF("doc_id", "text", "grp", "score")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/er", "collectStats": true,
+        |  "steps": [
+        |    {"type": "dedupFuzzy", "column": "text", "maxDist": 1},
+        |    {"type": "madOutlierFilter", "column": "score",
+        |     "maxMads": 3.0, "groupBy": "grp"}
+        |  ]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    // fuzzy: doc 2's title is 1 edit from doc 1's → smallest id wins.
+    // MAD in A over [9,10,12,1000]: med 11, devs [2,1,1,989], MAD 1.5,
+    // cutoff 3·1.4826·1.5 ≈ 6.67 → 1000 out. B: MAD 0 keeps the
+    // median-valued doc 6; doc 7's NULL score is kept by contract.
+    out.get should include("""{"step":"dedupFuzzy","rows":6}""")
+    out.get should include("""{"step":"madOutlierFilter","rows":5}""")
+    val er = spark.read.parquet(s"$dir/out/er")
+    er.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L, 4L, 6L, 7L)
+    // helper columns must not leak into the output
+    er.columns.toSeq.sorted shouldBe Seq("doc_id", "grp", "score", "text")
+
+    // global mode (no groupBy): one constant group over all rows
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/g", "collectStats": true,
+        |  "steps": [{"type": "madOutlierFilter", "column": "score"}]}}}"""
+        .stripMargin)
+    val (code2, out2) = Main.execute(spark, sink, dir)
+    withClue(out2) { code2 shouldBe 0 }
+    // [5,9,10,11,12,1000]: med 10.5, devs [5.5,1.5,.5,.5,1.5,989.5],
+    // MAD 1.5, cutoff ≈6.67 → only 1000.0 is out (5.5 < 6.67), NULL kept
+    spark.read.parquet(s"$dir/out/g")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 6L, 7L)
+
+    // config errors exit 1: bad maxDist, missing column
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/x",
+        |  "steps": [{"type": "dedupFuzzy", "column": "text", "maxDist": 3}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/x",
+        |  "steps": [{"type": "madOutlierFilter", "column": "nope"}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline checkpointing: re-run reuses steps, config edit resumes mid-chain") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ck").toString

@@ -156,4 +156,32 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     rb.stderr should include("Pipeline step 'frobnicate' does not exist.")
     rb.stdout.trim shouldBe "" // user errors never emit status JSON
   }
+
+  test("pipeline action: dedupFuzzy + madOutlierFilter through the CLI protocol") {
+    // titles 1 and 2 are one edit apart → doc 1 survives; scores
+    // [1,2,3,100] (doc 2 already dropped): med 2.5, devs
+    // [1.5,.5,.5,97.5], MAD ≈1.0 (interpolated over [.5,.5,1.5,97.5]),
+    // cutoff 3·1.4826 ≈ 4.45 → the 100 row is the only outlier
+    val csv = "\"doc_id\",\"title\",\"score\"\n" +
+      "\"1\",\"alpha beta\",\"1\"\n" +
+      "\"2\",\"alpha betb\",\"5\"\n" +
+      "\"3\",\"gamma delta\",\"2\"\n" +
+      "\"4\",\"epsilon zeta\",\"3\"\n" +
+      "\"5\",\"eta theta\",\"100\"\n"
+    val dir = mkDataDir(
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/tables/docs.csv", "output": "out/er",
+        |  "format": "csv", "textColumn": "title", "collectStats": true,
+        |  "steps": [{"type": "dedupFuzzy", "column": "title"},
+        |            {"type": "madOutlierFilter", "column": "score"}]}}}"""
+        .stripMargin, None)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/tables/docs.csv"), csv)
+    val r = runCli(dir)
+    withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    r.stdout should include(""""status":"success"""")
+    r.stdout should include("""{"step":"dedupFuzzy","rows":4}""")
+    r.stdout should include("""{"step":"madOutlierFilter","rows":3}""")
+    r.stdout should include(""""rows_out":3""")
+  }
 }

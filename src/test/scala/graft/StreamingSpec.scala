@@ -1211,4 +1211,56 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingPipeline: per-batch curation, step-checkpoint GC, replay reuses steps") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{PipelineConfig, PipelineStep}
+    val base = java.nio.file.Files.createTempDirectory("graft-spipe").toString
+    val p = PipelineConfig(input = "unused-by-streaming", output = "out",
+      steps = Seq(PipelineStep.LangFilter(Seq("en")), PipelineStep.DedupExact))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocumentStreams.streamingPipeline(
+      input.toDF().toDF("doc_id", "text"), p, base, s"$base/ckpt")
+    def outIds: Set[Long] = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: doc 2 exact-dups doc 1, doc 3 fails the en filter
+      input.addData(
+        (1L, "the cat is on the mat and a dog is in the house"),
+        (2L, "the cat is on the mat and a dog is in the house"),
+        (3L, "der hund ist nicht ein tier und das haus ist gross"))
+      q.processAllAvailable()
+      outIds shouldBe Set(1L)
+      new java.io.File(s"$base/ckpt/steps/batch_0").exists() shouldBe true
+
+      // batch 1 lands under its own partition; batch 0 can never
+      // replay once 1 commits → its step checkpoints are GC'd
+      input.addData((4L, "a boat of the sea is to sail in the wind and sun"))
+      q.processAllAvailable()
+      outIds shouldBe Set(1L, 4L)
+      new java.io.File(s"$base/ckpt/steps/batch_0").exists() shouldBe false
+      new java.io.File(s"$base/ckpt/steps/batch_1").exists() shouldBe true
+    } finally q.stop()
+
+    // at-least-once replay of batch 1 (same batch_id, same rows):
+    // every step checkpoint REUSES (part files untouched) and the
+    // partition overwrite is idempotent — same documents, no dups
+    def stepFiles: Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$base/ckpt/steps/batch_1"))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = stepFiles
+    before should not be empty
+    graft.app.Pipeline.runMicroBatch(
+      Seq((4L, "a boat of the sea is to sail in the wind and sun"))
+        .toDF("doc_id", "text"),
+      p, base, Some(s"$base/ckpt/steps"), 1L)
+    stepFiles shouldBe before
+    outIds shouldBe Set(1L, 4L)
+    spark.read.parquet(s"$base/out").count() shouldBe 2L
+  }
 }
