@@ -24,4 +24,53 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       TextQueries.oracleSql ++ PipelineQueries.oracleSql
+
+  /** Why each `queries` entry WITHOUT an `oracleSql` twin is rows-only
+    * BY DESIGN — the correctness artifact's `no_oracle` entries are
+    * this set, verbatim (Verify dumps it as `query_status.json` next
+    * to `oracle_sql.json`, so the round record self-describes instead
+    * of every reader re-deriving the allowlist). Each entry names the
+    * ScalaTest spec that carries the query's real correctness bound.
+    * ContractSpec pins keys == queries.keySet -- oracleSql.keySet:
+    * adding an oracle-less query without declaring WHY fails the
+    * suite. */
+  def rowsOnlyReasons: Map[String, String] = {
+    val sketch = "engine-specific sketch internals: approximate values" +
+      " are legal within an error bound, not bit-equal across engines;" +
+      " error-bound spec in "
+    val ann = "LSH/ANN candidate generation is hash-seeded; contract is" +
+      " a recall floor vs the exact brute-force twin, spec-pinned in "
+    val pairs = "near-dup candidate PAIRS depend on banding internals;" +
+      " the downstream drop-decision is oracle-checked via the corpus" +
+      " queries, pair-level recall spec in "
+    val media = "opaque binary columns (DuckDB compares no image/audio" +
+      " bytes); plumbing shape + determinism spec-pinned in "
+    Map(
+      "approx_distinct_sketch" -> (sketch + "SketchSpec"),
+      "token_freq_sketch" -> (sketch + "SketchSpec"),
+      "incremental_rollup_distinct" -> (sketch + "SketchSpec (exact-vs-sketch bound)"),
+      "incremental_rollup_quantile" -> (sketch + "SketchSpec (GK rank bound)"),
+      "price_percentiles_approx" -> (sketch + "PercentilesSpec (rank-error bound vs exact twin)"),
+      "profile_orders_approx" -> (sketch + "PercentilesSpec (Expand-free plan + bound)"),
+      "dedup_minhash_lsh" -> (pairs + "DedupSpec"),
+      "dedup_simhash" -> (pairs + "DedupSpec (Hamming bound)"),
+      "dedup_filtered_corpus" -> (pairs + "DedupSpec"),
+      "dedup_incremental" -> (pairs + "DedupSpec (batch-vs-rebuild parity)"),
+      "dedup_incremental_persisted" -> (pairs + "DedupSpec (persisted-index parity)"),
+      "dedup_embedding_corpus" -> (ann + "SimilaritySpec"),
+      "semantic_dedup" -> (ann + "SimilaritySpec (SemDeDup cells)"),
+      "embedding_near_dup" -> (ann + "SimilaritySpec"),
+      "embedding_lsh_topk" -> (ann + "SimilaritySpec (recall >= 0.8)"),
+      "embedding_ivf_topk" -> (ann + "SimilaritySpec (recall >= 0.8)"),
+      "embedding_ivf_trained" -> (ann + "SimilaritySpec (k-means training)"),
+      "embedding_ivf_persisted" -> (ann + "SimilaritySpec (persisted parity)"),
+      "embedding_ivf_append" -> (ann + "SimilaritySpec (append parity)"),
+      "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
+      "media_binary_ingest" -> (media + "MultimodalSpec"),
+      "media_batch_features" -> (media + "MultimodalSpec (capped batch shape)"),
+      "media_frame_features" -> (media + "MultimodalSpec (frame sampling)"),
+      "zorder_prune_stats" -> ("file-count pruning statistics measure THIS" +
+        " engine's physical layout — DuckDB has no twin table; pruning" +
+        " bound spec-pinned in ZOrderSpec"))
+  }
 }

@@ -21,6 +21,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-describing check modes: rows-only-BY-DESIGN queries carry
+    // their declared reason (and the spec holding the real bound), so
+    // the correctness artifact distinguishes them from a broken oracle
+    val status = SparkEntry.queries.keys.toSeq.sorted.map { k =>
+      val mode =
+        if (SparkEntry.oracleSql.contains(k)) s"""{"check": "oracle"}"""
+        else s"""{"check": "rows_only", "reason": ${q(
+          SparkEntry.rowsOnlyReasons.getOrElse(k, "UNDECLARED"))}}"""
+      s"${q(k)}: $mode"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_status.json"), status)
     spark.stop()
   }
 }

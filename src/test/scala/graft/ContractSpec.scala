@@ -22,6 +22,17 @@ class ContractSpec extends AnyFunSuite with Matchers {
     missing shouldBe empty
   }
 
+  test("rows-only reasons cover EXACTLY the oracle-less queries") {
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val declared = SparkEntry.rowsOnlyReasons.keySet
+    withClue("undeclared rows-only queries (add a reason or an oracle): ") {
+      (oracleLess -- declared) shouldBe empty
+    }
+    withClue("stale reasons (query gained an oracle or was removed): ") {
+      (declared -- oracleLess) shouldBe empty
+    }
+  }
+
   test("oracle SQL is syntactically ordered (ends with ORDER BY)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       withClue(name) {
