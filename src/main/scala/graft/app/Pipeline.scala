@@ -369,6 +369,21 @@ object Pipeline {
           .filter(col("__dev").isNull ||
             col("__dev") <= col("__mad") * lit(m.maxMads) * lit(1.4826))
           .drop("__gk", "__med", "__dev", "__mad", "__mad_g")
+      case w: Winsorize =>
+        (w.column +: w.groupBy.toSeq).foreach { c =>
+          if (!df.columns.contains(c))
+            throw new UserException(
+              s"winsorize: input has no column '$c'")
+        }
+        import org.apache.spark.sql.functions.lit
+        w.groupBy match {
+          case Some(gc) => graft.operators.Percentiles.winsorize(
+            df, Seq(gc), w.column, w.loFrac, w.hiFrac)
+          case None => graft.operators.Percentiles.winsorize(
+              df.withColumn("__w_g", lit(0)), Seq("__w_g"),
+              w.column, w.loFrac, w.hiFrac)
+            .drop("__w_g")
+        }
       case PiiRedact =>
         df.withColumn(p.textColumn, TextFunctions.redactPii(text))
       case Sample(fraction) =>

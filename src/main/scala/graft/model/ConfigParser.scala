@@ -162,6 +162,13 @@ object ConfigParser {
           throw new UserException("madOutlierFilter 'maxMads' must be > 0")
         MadOutlierFilter(req(n, "column").asText, k,
           opt(n, "groupBy").map(_.asText))
+      case "winsorize" =>
+        val (lo, hi) = (dbl("loFrac", 0.01), dbl("hiFrac", 0.99))
+        if (lo < 0 || hi > 1 || lo > hi)
+          throw new UserException(
+            "winsorize needs 0 <= loFrac <= hiFrac <= 1")
+        Winsorize(req(n, "column").asText, lo, hi,
+          opt(n, "groupBy").map(_.asText))
       case "piiRedact" => PiiRedact
       case "sample" =>
         val f = dbl("fraction", -1)

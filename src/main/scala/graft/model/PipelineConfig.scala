@@ -75,6 +75,18 @@ object PipelineStep {
     val kind = "madOutlierFilter"
   }
 
+  /** Winsorize a numeric column: clamp into its per-group (or global)
+    * exact [`loFrac`,`hiFrac`]-percentile band
+    * ([[graft.operators.Percentiles.winsorize]]) — cap the heavy tail
+    * instead of dropping the document (the clamp twin of
+    * [[MadOutlierFilter]]). NULL values stay NULL. */
+  final case class Winsorize(column: String, loFrac: Double = 0.01,
+                             hiFrac: Double = 0.99,
+                             groupBy: Option[String] = None)
+      extends PipelineStep {
+    val kind = "winsorize"
+  }
+
   /** Rewrite the text column with
     * [[graft.functions.TextFunctions.redactPii]]. */
   case object PiiRedact extends PipelineStep { val kind = "piiRedact" }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift profiling between two snapshots of a dataset —
+  * the standing question of a training-data pipeline ("did this
+  * month's crawl shift against the corpus we trained on?") answered
+  * at corpus scale: the returned plan reads each snapshot ONCE (plus
+  * one eager pass that fixes totals/edges at the driver — the
+  * [[Percentiles]] routing posture), and everything after the two
+  * bucket-count aggregations is arithmetic over a bucket- or
+  * category-cardinality frame.
+  *
+  * Both profiles report the Population Stability Index decomposed per
+  * bucket (`psi_term`; Σ terms = the PSI, with the usual reading:
+  * <0.1 stable, 0.1–0.25 shifted, >0.25 major drift). Zero-count
+  * buckets take the standard ε-smoothing on the RATE (rate ↦ max(rate,
+  * ε)) so a category that vanished — or appeared — contributes a
+  * large-but-finite term instead of ±∞.
+  *
+  * Scale posture: numeric bucket edges come from the baseline's EXACT
+  * percentiles via [[Percentiles.exactGroupedPercentiles]] (bounded
+  * memory at any size — never a full sort) and are collected as ≤
+  * `buckets` doubles; bucket assignment is one codegen'd CASE chain
+  * inside each snapshot's scan stage. The categorical profile
+  * shuffles only (category, count) pairs. Neither path ever joins the
+  * two snapshots row-to-row.
+  */
+object Drift {
+
+  /** Per-bucket numeric drift profile of `valueCol` between `base`
+    * and `cur`. Buckets are `base`'s exact `buckets`-quantile bands
+    * (edges at k/buckets for k = 1..buckets-1), unbounded at both
+    * ends, so the baseline lands ~1/buckets of its rows in each.
+    * Output: (bucket, lo, hi, base_n, cur_n, base_rate, cur_rate,
+    * psi_term) — one row per bucket, in bucket order. NULL values are
+    * excluded from both sides (a rate over NULLs is not a
+    * distribution statement).
+    *
+    * @param eps smoothing floor for zero rates (standard PSI
+    *            practice; documented in the term it produces). */
+  def numericPsi(base: DataFrame, cur: DataFrame, valueCol: String,
+                 buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val fracs = (1 until buckets).map(k => s"e$k" -> k.toDouble / buckets)
+    val edgeRows = Percentiles.exactGroupedPercentiles(
+      base.withColumn("__g", lit(0)), Seq("__g"), valueCol, fracs)
+      .collect()
+    require(edgeRows.nonEmpty && !edgeRows(0).isNullAt(
+        edgeRows(0).fieldIndex("e1")),
+      s"numericPsi: baseline has no non-NULL '$valueCol' values — no " +
+        "distribution to drift against")
+    val edges = fracs.map { case (name, _) =>
+      edgeRows(0).getAs[Double](name) }
+    val v = col(valueCol).cast("double")
+    // CASE chain: bucket k holds (edge_{k-1}, edge_k]; bucket 0 is
+    // (-inf, edge_1]; the last is (edge_{buckets-1}, +inf). `<=` on
+    // the right edge matches the SQL oracle's chain exactly.
+    val bucketOf: Column = edges.zipWithIndex.foldRight(
+      lit(buckets - 1): Column) { case ((e, i), rest) =>
+      when(v <= lit(e), lit(i)).otherwise(rest)
+    }
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(v.isNotNull).groupBy(bucketOf.as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val all = (0 until buckets).toDF("bucket")
+    val joined = all
+      .join(counts(base, "base_n"), Seq("bucket"), "left")
+      .join(counts(cur, "cur_n"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+    val lo = edges.zipWithIndex.foldRight(lit(Double.NegativeInfinity): Column) {
+      case ((e, i), rest) => when(col("bucket") === i + 1, lit(e)).otherwise(rest)
+    }
+    val hi = edges.zipWithIndex.foldRight(lit(Double.PositiveInfinity): Column) {
+      case ((e, i), rest) => when(col("bucket") === i, lit(e)).otherwise(rest)
+    }
+    withPsi(joined, eps)
+      .withColumn("lo", lo).withColumn("hi", hi)
+      .select(col("bucket").cast("bigint").as("bucket"), col("lo"),
+        col("hi"), col("base_n"), col("cur_n"), col("base_rate"),
+        col("cur_rate"), col("psi_term"))
+      .orderBy("bucket")
+  }
+
+  /** Per-category drift profile of `catCol` between `base` and `cur`:
+    * (category, base_n, cur_n, base_rate, cur_rate, psi_term), one
+    * row per category seen in EITHER snapshot (a vanished or novel
+    * category is exactly the drift worth flagging — it shows with a
+    * zero count and an ε-smoothed term). NULL categories count as a
+    * category (a rising NULL rate is drift too). */
+  def categoricalPsi(base: DataFrame, cur: DataFrame, catCol: String,
+                     eps: Double = 1e-6): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(catCol).as("category")).agg(count(lit(1)).as(as))
+    // full outer on the category: both sides are
+    // category-cardinality-sized aggregates, tiny next to the scans.
+    // NULL-SAFE (<=>) because NULL is a category here — a bare
+    // equi-join would emit the base-NULL and cur-NULL counts as two
+    // unmatched rows instead of one drifting category.
+    val b = counts(base, "base_n")
+    val c = counts(cur, "cur_n")
+    val joined = b.join(c, b("category") <=> c("category"), "full_outer")
+      .select(coalesce(b("category"), c("category")).as("category"),
+        coalesce(b("base_n"), lit(0L)).as("base_n"),
+        coalesce(c("cur_n"), lit(0L)).as("cur_n"))
+    withPsi(joined, eps)
+      .select("category", "base_n", "cur_n",
+        "base_rate", "cur_rate", "psi_term")
+      .orderBy(col("category").asc_nulls_first)
+  }
+
+  /** Rates + the smoothed PSI term over a (…, base_n, cur_n) frame.
+    * The operator is EAGER like [[Percentiles]]: one tiny job fixes
+    * the two totals at the driver and injects them as LITERALS — a
+    * totals-subquery cross join would duplicate the whole
+    * count-aggregation subtree in the plan (both snapshots scanned
+    * twice inside ONE evaluation) and ride on exchange reuse to stay
+    * consistent. It also makes empty snapshots fail loud here (a rate
+    * over zero rows is not a distribution; ANSI division would throw
+    * an opaque DIVIDE_BY_ZERO mid-plan instead).
+    * psi_term rounds to 9 decimals: the term is ln-based and two
+    * engines' libm may differ in the last ulp — 9 decimals is far
+    * below any drift-reading threshold and above ulp noise. */
+  private def withPsi(joined: DataFrame, eps: Double): DataFrame = {
+    val t0 = joined.agg(sum("base_n"), sum("cur_n")).collect()(0)
+    val (bt, ct) = (if (t0.isNullAt(0)) 0L else t0.getLong(0),
+      if (t0.isNullAt(1)) 0L else t0.getLong(1))
+    require(bt > 0 && ct > 0,
+      s"drift profile needs non-empty snapshots on both sides " +
+        s"(baseline n=$bt, current n=$ct)")
+    def rate(n: String, t: Long) = col(n).cast("double") / lit(t.toDouble)
+    def sm(c: Column) = greatest(c, lit(eps))
+    joined.withColumn("base_rate", rate("base_n", bt))
+      .withColumn("cur_rate", rate("cur_n", ct))
+      .withColumn("psi_term", round(
+        (sm(col("cur_rate")) - sm(col("base_rate"))) *
+          log(sm(col("cur_rate")) / sm(col("base_rate"))), 9))
+  }
+}

@@ -303,4 +303,43 @@ object Percentiles {
     val allKeys = keyFrame(countRows.toSeq)
     unpack(allKeys.join(union, Seq("__g"), "left"))
   }
+
+  /** Winsorization: clamp `valueCol` into its per-group exact
+    * [`lo`, `hi`]-percentile band — the CLAMP twin of the pipeline's
+    * MAD outlier DROP (cap the heavy tail instead of discarding the
+    * document). The band comes from [[exactGroupedPercentiles]], so
+    * the operator stays bounded-memory at any group size; the clamp
+    * itself is one broadcast join + `greatest`/`least` inside the
+    * scan stage. NULL values stay NULL; an all-NULL group (NULL band)
+    * passes its rows through unclamped — there is no distribution to
+    * clamp against. Joined on a STRUCT of the group keys so
+    * NULL-keyed groups keep their rows.
+    *
+    * @param as output column (defaults to rewriting `valueCol`;
+    *           original column order is preserved when rewriting). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99,
+                as: String = ""): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi,
+      s"winsorize needs 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    require(groupCols.nonEmpty,
+      "winsorize needs group columns; for a global clamp add a " +
+        "constant column (the pipeline step does exactly that)")
+    val outCol = if (as.isEmpty) valueCol else as
+    val bands = exactGroupedPercentiles(df, groupCols, valueCol,
+      Seq("__wlo" -> lo, "__whi" -> hi))
+    def gk(d: DataFrame) = struct(groupCols.map(d(_)): _*)
+    val v = col(valueCol).cast("double")
+    val clamped = when(v.isNull || col("__wlo").isNull, v)
+      .otherwise(least(greatest(v, col("__wlo")), col("__whi")))
+    val joined = df.join(
+      broadcast(bands.select(gk(bands).as("__gk"),
+        col("__wlo"), col("__whi"))),
+      gk(df) === col("__gk"), "left")
+    val projected = joined.withColumn(outCol, clamped)
+      .drop("__gk", "__wlo", "__whi")
+    // rewriting in place: withColumn keeps the original position, so
+    // column order already matches df (+ appended when `as` is new)
+    projected
+  }
 }

@@ -493,6 +493,68 @@ object AnalyticsQueries {
           t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Two-sided fuzzy join (FuzzyJoin.join — the product-capped
+    // candidate scheme): clean customer names against a
+    // deterministically dirtied twin (char 10 deleted, ids offset),
+    // the record-linkage shape. Hash-green: the oracle brute-forces
+    // the cross join with DuckDB levenshtein at gate SF.
+    "fuzzy_join_twosided" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"))
+      val dirty = cust.select((col("c_custkey") + lit(1000000L)).as("d_id"),
+        concat(substring(col("c_name"), 1, 9),
+          expr("substring(c_name, 11, length(c_name))")).as("d_name"))
+      graft.operators.FuzzyJoin.join(cust, "c_custkey", "c_name",
+          dirty, "d_id", "d_name", maxDist = 1)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
+    // Corpus-drift profile, numeric: PSI of o_totalprice between the
+    // pre- and post-1995-06-17 order snapshots over the BASELINE's
+    // exact decile bands (graft.operators.Drift — each snapshot
+    // scanned once; edges via the bounded-memory percentile operator).
+    // psi_term rounds to 9 decimals on both engines (ln ulp).
+    "drift_price_bands" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val split = lit("1995-06-17")
+      graft.operators.Drift.numericPsi(
+          ord.filter(to_date(col("o_orderdate")) < split),
+          ord.filter(to_date(col("o_orderdate")) >= split),
+          "o_totalprice", buckets = 10)
+        .drop("lo", "hi")
+        .orderBy(col("bucket"))
+    }),
+
+    // Corpus-drift profile, categorical: return-flag mix shift between
+    // pre- and post-1998H2 lineitems — one row per category seen in
+    // EITHER snapshot (vanished/novel categories are the drift worth
+    // flagging; ε-smoothed term instead of ±∞).
+    "drift_return_flags" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val split = lit("1998-06-01")
+      graft.operators.Drift.categoricalPsi(
+          li.filter(to_date(col("l_shipdate")) < split),
+          li.filter(to_date(col("l_shipdate")) >= split),
+          "l_returnflag")
+        .orderBy(col("category"))
+    }),
+
+    // Winsorization (Percentiles.winsorize): clamp order prices into
+    // the per-status exact [p05, p95] band — the CLAMP twin of the
+    // mad_outliers DROP, bounded-memory at any group size. Output is
+    // order-independent exact stats (count/min/max of the clamped
+    // column) per group.
+    "winsorize_prices" -> ((s, dir) => {
+      val w = graft.operators.Percentiles.winsorize(
+        t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice",
+        lo = 0.05, hi = 0.95, as = "w_price")
+      w.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("w_price")).as("min_w"),
+          max(col("w_price")).as("max_w"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Interval×interval overlap join, bucketed to an equi-join (the
     // raw theta form nested-loops): 7-day windows from one order
     // sample against 5-day windows from another. Pairs meet in their
@@ -1314,6 +1376,86 @@ object AnalyticsQueries {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "fuzzy_join_twosided" ->
+      """WITH dirty AS (
+        |  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS d_id,
+        |         substr(c_name, 1, 9) || substr(c_name, 11) AS d_name
+        |  FROM customer)
+        |SELECT CAST(a.c_custkey AS BIGINT) AS left_id, d.d_id AS right_id,
+        |       CAST(levenshtein(a.c_name, d.d_name) AS BIGINT) AS dist
+        |FROM customer a JOIN dirty d
+        |  ON levenshtein(a.c_name, d.d_name) <= 1
+        |ORDER BY left_id, right_id""".stripMargin,
+    "drift_price_bands" ->
+      """WITH b AS (SELECT o_totalprice AS v FROM orders
+        |           WHERE CAST(o_orderdate AS DATE) < DATE '1995-06-17'),
+        |c AS (SELECT o_totalprice AS v FROM orders
+        |      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-17'),
+        |e AS (SELECT quantile_cont(v, 0.1) AS e1, quantile_cont(v, 0.2) AS e2,
+        |             quantile_cont(v, 0.3) AS e3, quantile_cont(v, 0.4) AS e4,
+        |             quantile_cont(v, 0.5) AS e5, quantile_cont(v, 0.6) AS e6,
+        |             quantile_cont(v, 0.7) AS e7, quantile_cont(v, 0.8) AS e8,
+        |             quantile_cont(v, 0.9) AS e9 FROM b),
+        |bb AS (SELECT CASE WHEN v <= e1 THEN 0 WHEN v <= e2 THEN 1
+        |                   WHEN v <= e3 THEN 2 WHEN v <= e4 THEN 3
+        |                   WHEN v <= e5 THEN 4 WHEN v <= e6 THEN 5
+        |                   WHEN v <= e7 THEN 6 WHEN v <= e8 THEN 7
+        |                   WHEN v <= e9 THEN 8 ELSE 9 END AS bucket
+        |       FROM b, e),
+        |cb AS (SELECT CASE WHEN v <= e1 THEN 0 WHEN v <= e2 THEN 1
+        |                   WHEN v <= e3 THEN 2 WHEN v <= e4 THEN 3
+        |                   WHEN v <= e5 THEN 4 WHEN v <= e6 THEN 5
+        |                   WHEN v <= e7 THEN 6 WHEN v <= e8 THEN 7
+        |                   WHEN v <= e9 THEN 8 ELSE 9 END AS bucket
+        |       FROM c, e),
+        |bn AS (SELECT bucket, COUNT(*) AS n FROM bb GROUP BY bucket),
+        |cn AS (SELECT bucket, COUNT(*) AS n FROM cb GROUP BY bucket),
+        |k AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
+        |j AS (SELECT k.bucket, COALESCE(bn.n, 0) AS base_n,
+        |             COALESCE(cn.n, 0) AS cur_n
+        |      FROM k LEFT JOIN bn ON k.bucket = bn.bucket
+        |             LEFT JOIN cn ON k.bucket = cn.bucket),
+        |t AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS bt,
+        |             CAST(SUM(cur_n) AS DOUBLE) AS ct FROM j)
+        |SELECT bucket, base_n, cur_n,
+        |       base_n / bt AS base_rate, cur_n / ct AS cur_rate,
+        |       ROUND((GREATEST(cur_n / ct, 1e-6) - GREATEST(base_n / bt, 1e-6))
+        |             * LN(GREATEST(cur_n / ct, 1e-6)
+        |                  / GREATEST(base_n / bt, 1e-6)), 9) AS psi_term
+        |FROM j, t ORDER BY bucket""".stripMargin,
+    "drift_return_flags" ->
+      """WITH b AS (SELECT l_returnflag AS category FROM lineitem
+        |           WHERE CAST(l_shipdate AS DATE) < DATE '1998-06-01'),
+        |c AS (SELECT l_returnflag AS category FROM lineitem
+        |      WHERE CAST(l_shipdate AS DATE) >= DATE '1998-06-01'),
+        |bn AS (SELECT category, COUNT(*) AS base_n FROM b GROUP BY category),
+        |cn AS (SELECT category, COUNT(*) AS cur_n FROM c GROUP BY category),
+        |j AS (SELECT COALESCE(bn.category, cn.category) AS category,
+        |             COALESCE(base_n, 0) AS base_n,
+        |             COALESCE(cur_n, 0) AS cur_n
+        |      FROM bn FULL OUTER JOIN cn ON bn.category = cn.category),
+        |t AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS bt,
+        |             CAST(SUM(cur_n) AS DOUBLE) AS ct FROM j)
+        |SELECT category, base_n, cur_n,
+        |       base_n / bt AS base_rate, cur_n / ct AS cur_rate,
+        |       ROUND((GREATEST(cur_n / ct, 1e-6) - GREATEST(base_n / bt, 1e-6))
+        |             * LN(GREATEST(cur_n / ct, 1e-6)
+        |                  / GREATEST(base_n / bt, 1e-6)), 9) AS psi_term
+        |FROM j, t ORDER BY category""".stripMargin,
+    "winsorize_prices" ->
+      """WITH band AS (
+        |  SELECT o_orderstatus,
+        |         quantile_cont(o_totalprice, 0.05) AS lo,
+        |         quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders GROUP BY o_orderstatus),
+        |w AS (
+        |  SELECT o.o_orderstatus,
+        |         LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS w_price
+        |  FROM orders o JOIN band b USING (o_orderstatus))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       MIN(w_price) AS min_w, MAX(w_price) AS max_w
+        |FROM w GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "interval_overlap_count" ->
       """WITH a AS (
         |  SELECT o_orderkey AS a_id,

@@ -163,7 +163,7 @@ object DocumentStreams {
 
   /** The curation pipeline as a standing stream: every micro-batch
     * runs a validated [[graft.model.PipelineConfig]] step chain
-    * (lang-ID → quality gates → dedup → … — the same 16 step kinds
+    * (lang-ID → quality gates → dedup → … — the same 17 step kinds
     * the batch `pipeline` CLI action speaks) and lands its survivors
     * under `<output>/batch_id=<id>`, the overwrite-idempotent
     * partition scheme every corpus sink here uses, so at-least-once

@@ -408,7 +408,27 @@ class AppSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
       Array(1L, 2L, 3L, 4L, 6L, 7L)
 
-    // config errors exit 1: bad maxDist, missing column
+    // winsorize: clamp instead of drop — same rows out, tails capped.
+    // Group A [9,10,11,12,1000] p25/p75 = [10,12]; B [5,null] → [5,5]
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/w", "collectStats": true,
+        |  "steps": [{"type": "winsorize", "column": "score",
+        |             "loFrac": 0.25, "hiFrac": 0.75, "groupBy": "grp"}]}}}"""
+        .stripMargin)
+    val (code3, out3) = Main.execute(spark, sink, dir)
+    withClue(out3) { code3 shouldBe 0 }
+    out3.get should include("""{"step":"winsorize","rows":7}""")
+    val w = spark.read.parquet(s"$dir/out/w")
+    w.count() shouldBe 7L
+    val scores = w.collect().map(r =>
+      r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("score"))).toMap
+    scores(5L) shouldBe Some(12.0) // the 1000 outlier clamped to p75
+    scores(4L) shouldBe Some(10.0) // low tail 9 → p25
+    scores(1L) shouldBe Some(10.0)
+    scores(7L) shouldBe None       // NULL stays NULL
+
+    // config errors exit 1: bad maxDist, missing column, bad fracs
     Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
       """{"action": "pipeline", "parameters": {"pipeline": {
         |  "input": "in/docs", "output": "out/x",
@@ -420,6 +440,12 @@ class AppSpec extends SparkSpec {
         |  "input": "in/docs", "output": "out/x",
         |  "steps": [{"type": "madOutlierFilter", "column": "nope"}]}}}"""
         .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/x",
+        |  "steps": [{"type": "winsorize", "column": "score",
+        |             "loFrac": 0.9, "hiFrac": 0.1}]}}}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericPsi: identical snapshots → zero terms, decile-even baseline") {
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Drift.numericPsi(base, base, "v", buckets = 10).collect()
+    got.length shouldBe 10
+    got.foreach { r =>
+      r.getAs[Long]("base_n") shouldBe 10L      // exact deciles of 1..100
+      r.getAs[Long]("cur_n") shouldBe 10L
+      r.getAs[Double]("psi_term") shouldBe 0.0
+      r.getAs[Double]("base_rate") shouldBe 0.1
+    }
+    // band edges bracket correctly: bucket 0 unbounded below, 9 above
+    got.head.getAs[Double]("lo").isNegInfinity shouldBe true
+    got.last.getAs[Double]("hi").isPosInfinity shouldBe true
+  }
+
+  test("numericPsi: a shifted current lands mass in the top buckets") {
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (61 to 160).map(_.toDouble).toDF("v")
+    val got = Drift.numericPsi(base, cur, "v", buckets = 10)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cur_n"),
+        r.getAs[Double]("psi_term"))).toSeq
+    // edges at 10.9, 20.8, …, 90.1; cur = 61..160 → buckets 0-5 empty,
+    // 6 holds 61..70.3 (10), 7 holds ..80.2 (10), 8 ..90.1 (10),
+    // 9 the rest (70)
+    got.map(_._2) shouldBe Seq(0L, 0L, 0L, 0L, 0L, 0L, 10L, 10L, 10L, 70L)
+    // PSI total is large (major drift) and every term is finite
+    val psi = got.map(_._3).sum
+    psi should be > 0.25
+    got.foreach { case (_, _, t) => t.isNaN shouldBe false }
+    // vanished buckets carry the ε-smoothed positive term
+    got.take(6).foreach { case (_, _, t) => t should be > 0.0 }
+  }
+
+  test("numericPsi: NULLs excluded; empty snapshot fails loud") {
+    val base = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("v")
+    val got = Drift.numericPsi(base, base, "v", buckets = 2).collect()
+    got.map(_.getAs[Long]("base_n")).sum shouldBe 4L
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.numericPsi(empty, base, "v")
+    }
+    e.getMessage should include("no non-NULL")
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.numericPsi(base, empty, "v", buckets = 2)
+    }
+    e2.getMessage should include("non-empty snapshots")
+  }
+
+  test("categoricalPsi: vanished/novel/NULL categories profiled, not ±inf") {
+    val base = Seq("en", "en", "en", "de", null.asInstanceOf[String])
+      .toDF("lang")
+    val cur = Seq("en", "en", "fr", "fr", null.asInstanceOf[String],
+      null.asInstanceOf[String]).toDF("lang")
+    val got = Drift.categoricalPsi(base, cur, "lang").collect()
+    val byCat = got.map(r => Option(r.getAs[String]("category")) ->
+      (r.getAs[Long]("base_n"), r.getAs[Long]("cur_n"),
+        r.getAs[Double]("psi_term"))).toMap
+    byCat.keySet shouldBe Set(None, Some("en"), Some("de"), Some("fr"))
+    byCat(Some("de"))._1 shouldBe 1L   // vanished: base 1, cur 0
+    byCat(Some("de"))._2 shouldBe 0L
+    byCat(Some("fr"))._1 shouldBe 0L   // novel
+    byCat(Some("fr"))._2 shouldBe 2L
+    byCat(None)._1 shouldBe 1L         // NULL is a category
+    byCat(None)._2 shouldBe 2L
+    got.foreach { r =>
+      val t = r.getAs[Double]("psi_term")
+      t.isNaN shouldBe false
+      t.isInfinite shouldBe false
+      t should be >= 0.0 // every (p−q)·ln(p/q) term is non-negative
+    }
+    // vanished and novel categories contribute the LARGE terms
+    byCat(Some("de"))._3 should be > 0.5
+    byCat(Some("fr"))._3 should be > 0.5
+    // ordering: NULL category first, then lexicographic
+    got.head.isNullAt(0) shouldBe true
+  }
+
+  test("drift plans scan each snapshot once and never join them row-to-row") {
+    val base = (1 to 1000).map(i => (i.toLong, (i % 7).toString))
+      .toDF("id", "cat")
+    val cur = (1 to 1000).map(i => (i.toLong, (i % 5).toString))
+      .toDF("id", "cat")
+    val plan = Drift.categoricalPsi(base, cur, "cat")
+      .queryExecution.optimizedPlan.toString
+    // exactly ONE join: the category-cardinality full-outer between
+    // the two COUNT aggregates (totals are injected literals, not a
+    // subquery cross join) — the snapshots never meet row-to-row
+    "(?i)\\bjoin\\b".r.findAllIn(plan).length shouldBe 1
+    // and both join inputs are post-aggregation: the id column never
+    // reaches a join (it is pruned at the scans)
+    plan.split("\n").filter(_.toLowerCase.contains("join"))
+      .foreach(l => l should not include "id#")
+  }
+}

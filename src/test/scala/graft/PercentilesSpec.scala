@@ -173,4 +173,52 @@ class PercentilesSpec extends SparkSpec {
       assert(jobs <= 14, s"mad composition ran $jobs jobs")
     } finally sc.clearJobGroup()
   }
+
+  test("winsorize clamps into the exact percentile band; NULL semantics hold") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)),
+      ("b", Some(10.0)), ("b", None),
+      ("c", Option.empty[Double]), ("c", None))
+      .toDF("g", "v")
+    val w = Percentiles.winsorize(df, Seq("g"), "v", 0.25, 0.75)
+    // group a band = percentile(v, .25/.75) over [1,2,3,4,100] = [2,4]
+    val bands = df.groupBy("g").agg(
+      expr("percentile(v, 0.25)").as("lo"),
+      expr("percentile(v, 0.75)").as("hi"))
+    val wantA = rows(df.join(bands, Seq("g"))
+      .withColumn("v", when(col("v").isNull || col("lo").isNull, col("v"))
+        .otherwise(least(greatest(col("v"), col("lo")), col("hi"))))
+      .select("g", "v").orderBy("g", "v"))
+    rows(w.select("g", "v").orderBy("g", "v")) shouldBe wantA
+    // explicit expectations: clamp hit both tails of a; b's single
+    // value self-bands; c (all NULL) passes through unclamped
+    w.filter(col("g") === "a").select("v").collect()
+      .map(_.getDouble(0)).sorted shouldBe Array(2.0, 2.0, 3.0, 4.0, 4.0)
+    w.filter(col("g") === "b").select("v").collect()
+      .map(r => Option(r.get(0))).toSet shouldBe Set(Some(10.0), None)
+    w.filter(col("g") === "c").select("v").collect()
+      .foreach(r => r.isNullAt(0) shouldBe true)
+    // schema/order preserved when rewriting in place
+    w.columns.toSeq shouldBe df.columns.toSeq
+
+    // NULL group keys keep their rows (struct-keyed join)
+    val dfn = Seq((Some("a"), Some(1.0)), (None, Some(5.0)),
+      (None, Some(6.0))).toDF("g", "v")
+    Percentiles.winsorize(dfn, Seq("g"), "v", 0.0, 1.0).count() shouldBe 3L
+
+    // `as` appends a new column, original untouched
+    val w2 = Percentiles.winsorize(df, Seq("g"), "v", 0.25, 0.75, as = "vw")
+    w2.columns.toSeq shouldBe Seq("g", "v", "vw")
+    w2.filter(col("g") === "a" && col("v") === 100.0)
+      .select("vw").collect().head.getDouble(0) shouldBe 4.0
+
+    // config refusal
+    intercept[IllegalArgumentException] {
+      Percentiles.winsorize(df, Seq("g"), "v", 0.9, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Percentiles.winsorize(df, Nil, "v")
+    }
+  }
 }
