@@ -66,6 +66,8 @@ object SparkEntry {
       "embedding_ivf_persisted" -> (ann + "SimilaritySpec (persisted parity)"),
       "embedding_ivf_append" -> (ann + "SimilaritySpec (append parity)"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
+      "hybrid_search_indexed" -> (ann + "HybridSearchSpec (indexed fusion" +
+        " parity vs the exact hash-green hybrid_search twin)"),
       "media_binary_ingest" -> (media + "MultimodalSpec"),
       "media_batch_features" -> (media + "MultimodalSpec (capped batch shape)"),
       "media_frame_features" -> (media + "MultimodalSpec (frame sampling)"),

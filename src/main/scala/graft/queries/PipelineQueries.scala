@@ -51,6 +51,45 @@ object PipelineQueries {
     emb.unionByName(shifted)
   }
 
+  /** Shared WITH-members computing the quantized per-(term,doc) BM25
+    * scores over the full documents corpus — ONE definition so the
+    * bm25_search and hybrid_search oracles can't drift (k1=1.2,
+    * b=0.75; 2.2 == 1.2+1.0 and 0.25 == 1.0-0.75 exactly in binary;
+    * probe terms mirror [[probeTerms]] literally). */
+  private lazy val bm25ScoredCtes =
+    s"""d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |          FROM dl),
+       |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |m AS (SELECT term, doc_id, COUNT(*) AS tf FROM p
+       |      WHERE term IN ('spark', 'merge', 'window')
+       |      GROUP BY term, doc_id),
+       |df AS (SELECT term, COUNT(*) AS df_t FROM m GROUP BY term),
+       |scored AS (
+       |  SELECT m.doc_id,
+       |    CAST(floor(
+       |      ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+       |        * (tf * 2.2)
+       |        / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |        * 10000.0) AS BIGINT) AS score_q4
+       |  FROM m JOIN df USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats)""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.cosine]]: left-fold dot product and
+    * norms in list order — the identical IEEE operation sequence to
+    * Spark's `aggregate`/`transform` form, so doubles are bit-equal.
+    * ONE definition shared by every cosine oracle. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+       |                (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform($a,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform($b,
+       |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
   /** DuckDB mirror of [[Dedup.shingles]] (n=3) + array_distinct. */
   private val shinglesSql =
     s"""CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -85,6 +124,25 @@ object PipelineQueries {
     * share — mirrored literally in the oracles. */
   private val probeTerms = Seq("spark", "merge", "window")
 
+  /** Build-once-per-session guard for the persisted IVF index under a
+    * deterministic per-sfDir path — shared by every gate query that
+    * probes it so repeated evaluations (bench cold+warm, verify) hit
+    * ONE index instead of rebuilding. Reuse is SELF-VALIDATING: the
+    * index carries a content fingerprint (row count + max id +
+    * vector-hash sum) of the corpus it was built from; regenerated
+    * parquet under the same sf dir mismatches and triggers a rebuild
+    * instead of serving stale answers. */
+  private def ivfIndexFor(s: SparkSession, dir: String,
+                          emb: DataFrame): String = {
+    val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!Similarity.readIndexFingerprint(s, path)
+        .contains(Similarity.corpusFingerprint(emb, "vec_id", "embedding")))
+      Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
+        nCentroids = 16)
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- inverted term index ----------------------------------------
     // Point lookup against the PERSISTED posting lists: the term
@@ -103,6 +161,46 @@ object PipelineQueries {
     "bm25_search" -> ((s, dir) =>
       graft.operators.InvertedIndex.bm25(s, invertedIndexFor(s, dir),
         probeTerms, topK = 20)),
+
+    // ---- hybrid retrieval -------------------------------------------
+    // BM25 (persisted inverted index) ⊕ exact cosine, fused by
+    // reciprocal-rank: the fusion consumes only the two top-20 RANK
+    // lists, each quantized to integer 1e-9 units before the per-doc
+    // sum — hash-green, the oracle recomputes both retrievers and the
+    // identical fusion arithmetic in SQL.
+    "hybrid_search" -> ((s, dir) => {
+      val lex = graft.operators.InvertedIndex
+        .bm25(s, invertedIndexFor(s, dir), probeTerms, topK = 20)
+        .select(col("doc_id"), col("rnk"))
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val sem = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
+        topK = 10)
+    }),
+
+    // The 100 TB shape of the same fusion: both retrievers probe
+    // PERSISTED indexes (term-bucket-pruned BM25, centroid-pruned
+    // IVF), so per-query work is index-probe-sized, never
+    // corpus-sized. Rows-only (IVF candidate generation is
+    // centroid-dependent); indexed-vs-exact fusion parity is pinned in
+    // HybridSearchSpec.
+    "hybrid_search_indexed" -> ((s, dir) => {
+      val lex = graft.operators.InvertedIndex
+        .bm25(s, invertedIndexFor(s, dir), probeTerms, topK = 20)
+        .select(col("doc_id"), col("rnk"))
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val sem = Similarity.ivfTopKPersisted(s, ivfIndexFor(s, dir, emb),
+          q, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
+        topK = 10)
+    }),
 
     // ---- dedup suite -------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -244,29 +342,14 @@ object PipelineQueries {
     // IVF as a PERSISTED index: centroids + centroid-partitioned
     // inverted lists written to parquet, probe reads only the probed
     // lists (partition pruning). Rows-only; parity with the in-memory
-    // build is spec-pinned.
+    // build is spec-pinned. Index built once per sfDir and
+    // fingerprint-REUSED across evaluations ([[ivfIndexFor]]).
     "embedding_ivf_persisted" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // deterministic per-sfDir location, built once and REUSED: the
-      // whole point of a persisted index is that repeated queries
-      // (bench cold+warm, verify) probe it without rebuilding — and a
-      // fresh temp dir per evaluation would accumulate corpus copies.
-      // Reuse is SELF-VALIDATING: the index carries a content
-      // fingerprint (row count + max id + vector-hash sum) of the
-      // corpus it was built from; regenerated parquet under the same
-      // sf dir — even re-embedded under unchanged ids — mismatches
-      // and triggers a rebuild instead of serving stale answers. The
-      // validation is one narrow codegen'd aggregate.
-      val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!Similarity.readIndexFingerprint(s, path)
-          .contains(Similarity.corpusFingerprint(emb, "vec_id", "embedding")))
-        Similarity.saveIvfIndex(emb, "vec_id", "embedding", path,
-          nCentroids = 16)
-      Similarity.ivfTopKPersisted(s, path, queries, "vec_id", "embedding",
-          k = 5)
+      Similarity.ivfTopKPersisted(s, ivfIndexFor(s, dir, emb), queries,
+          "vec_id", "embedding", k = 5)
         .orderBy(col("q_id"), col("rnk"))
     }),
 
@@ -571,31 +654,45 @@ object PipelineQueries {
     // mirrors InvertedIndex.bm25 operation-for-operation (k1=1.2,
     // b=0.75; 2.2 == 1.2+1.0 and 0.25 == 1.0-0.75 exactly in binary)
     "bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
-         |stats AS (SELECT COUNT(*) AS n_docs,
-         |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-         |          FROM dl),
-         |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
-         |m AS (SELECT term, doc_id, COUNT(*) AS tf FROM p
-         |      WHERE term IN ('spark', 'merge', 'window')
-         |      GROUP BY term, doc_id),
-         |df AS (SELECT term, COUNT(*) AS df_t FROM m GROUP BY term),
-         |scored AS (
-         |  SELECT m.doc_id,
-         |    CAST(floor(
-         |      ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-         |        * (tf * 2.2)
-         |        / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |        * 10000.0) AS BIGINT) AS score_q4
-         |  FROM m JOIN df USING (term) JOIN dl USING (doc_id)
-         |  CROSS JOIN stats)
+      s"""WITH $bm25ScoredCtes
          |SELECT doc_id, score_q,
          |  row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
          |FROM (SELECT doc_id, CAST(SUM(score_q4) AS BIGINT) AS score_q
          |      FROM scored GROUP BY doc_id
          |      ORDER BY score_q DESC, doc_id LIMIT 20)
          |ORDER BY rnk""".stripMargin,
+    // both retrievers recomputed from scratch (bm25 CTEs shared with
+    // the bm25_search oracle; cosine shared with embedding_topk_cosine
+    // via cosSql), then the identical quantized RRF arithmetic
+    "hybrid_search" ->
+      s"""WITH $bm25ScoredCtes,
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, CAST(SUM(score_q4) AS BIGINT) AS score_q
+         |        FROM scored GROUP BY doc_id
+         |        ORDER BY score_q DESC, doc_id LIMIT 20)),
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 7),
+         |sem_scored AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("qv.q_vec", "e.embedding")} AS cos
+         |  FROM embeddings e, qv WHERE e.vec_id <> 7),
+         |sem AS (
+         |  SELECT doc_id, rnk FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk
+         |    FROM sem_scored) WHERE rnk <= 20),
+         |contrib AS (
+         |  SELECT doc_id,
+         |         CAST(floor(1e9 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS rrf_c
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT doc_id,
+         |         CAST(floor(1e9 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT)
+         |  FROM sem),
+         |fused AS (
+         |  SELECT doc_id, CAST(SUM(rrf_c) AS BIGINT) AS rrf_q FROM contrib
+         |  GROUP BY doc_id ORDER BY rrf_q DESC, doc_id LIMIT 10)
+         |SELECT doc_id, rrf_q,
+         |  row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
+         |FROM fused ORDER BY rnk""".stripMargin,
     "dedup_exact" ->
       s"""WITH ${dupCorpusSql(perturb = false)}
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -670,27 +767,21 @@ object PipelineQueries {
          |FROM covered GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "embedding_topk_cosine" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-        |  WHERE vec_id % 100 = 0),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id AS neighbor_id,
-        |    list_reduce(list_transform(list_zip(q.q_vec, e.embedding),
-        |                  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
-        |                (a, b) -> a + b)
-        |    / (sqrt(list_reduce(list_transform(q.q_vec,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-        |       * sqrt(list_reduce(list_transform(e.embedding,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
-        |    AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |ranked AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q.q_vec", "e.embedding")}
+         |    AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train'
