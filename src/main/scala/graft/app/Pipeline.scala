@@ -316,6 +316,14 @@ object Pipeline {
         df.filter(TextFunctions.langId(text).isin(langs: _*))
       case QualityFilter(minScore) =>
         df.filter(TextFunctions.qualityScore(text) >= minScore)
+      case c: ClassifierFilter =>
+        import graft.functions.LinearModel
+        val scoreQ = c.weightsQ match {
+          case Some(w) => LinearModel.linearScoreQ(text, w.toArray)
+          case None    => LinearModel.hashedLinearScoreQ(text, c.dim)
+        }
+        df.filter(LinearModel.meanLogit(scoreQ,
+          TextFunctions.tokenCount(text)) >= c.minMeanLogit)
       case g: GopherFilter =>
         df.filter(TextFunctions.gopherKeep(text, g.minTokens, g.maxTokens,
           g.minDistinctRatio, g.maxTopBigramFrac, g.minStopwordRatio))

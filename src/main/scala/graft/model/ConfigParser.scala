@@ -169,6 +169,29 @@ object ConfigParser {
             "winsorize needs 0 <= loFrac <= hiFrac <= 1")
         Winsorize(req(n, "column").asText, lo, hi,
           opt(n, "groupBy").map(_.asText))
+      case "classifierFilter" =>
+        val w = opt(n, "weightsQ").map { node =>
+          if (!node.isArray)
+            throw new UserException(
+              "classifierFilter 'weightsQ' must be an array of integers")
+          node.elements.asScala.map { e =>
+            if (!e.isIntegralNumber || !e.canConvertToLong)
+              throw new UserException(
+                "classifierFilter 'weightsQ' entries must be 64-bit integers")
+            e.asLong
+          }.toSeq
+        }
+        if (w.exists(_.isEmpty))
+          throw new UserException("classifierFilter 'weightsQ' is empty")
+        val d = int("dim", w.map(_.length).getOrElse(4096))
+        if (d < 1)
+          throw new UserException("classifierFilter 'dim' must be >= 1")
+        // a dim that disagrees with supplied weights would silently
+        // bucket past the array end at score time — refuse up front
+        if (w.exists(_.length != d))
+          throw new UserException(
+            "classifierFilter 'dim' conflicts with weightsQ length")
+        ClassifierFilter(dbl("minMeanLogit", 0.0), d, w)
       case "piiRedact" => PiiRedact
       case "sample" =>
         val f = dbl("fraction", -1)

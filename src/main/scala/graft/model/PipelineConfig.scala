@@ -87,6 +87,20 @@ object PipelineStep {
     val kind = "winsorize"
   }
 
+  /** Hashed-feature linear classifier gate
+    * ([[graft.functions.LinearModel]]): keep rows whose mean per-token
+    * logit ≥ `minMeanLogit`. `weightsQ` carries trained micro-unit
+    * weights inline (a `Seq` — NOT an `Array` — so the case-class
+    * toString that feeds the checkpoint chain fingerprint renders the
+    * values, not an identity hash); absent, the deterministic
+    * hash-derived weights score (the gate-query form). */
+  final case class ClassifierFilter(minMeanLogit: Double = 0.0,
+                                    dim: Int = 4096,
+                                    weightsQ: Option[Seq[Long]] = None)
+      extends PipelineStep {
+    val kind = "classifierFilter"
+  }
+
   /** Rewrite the text column with
     * [[graft.functions.TextFunctions.redactPii]]. */
   case object PiiRedact extends PipelineStep { val kind = "piiRedact" }

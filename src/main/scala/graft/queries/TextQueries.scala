@@ -44,6 +44,24 @@ object TextQueries {
         stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Hashed-feature linear classifier (the fastText/VW quality-model
+    // shape): per-token md5-bucket weights in integer micro-units,
+    // summed as longs — exact order-independent arithmetic, one
+    // codegen'd projection per document, no UDF/explode. Weights here
+    // are hash-derived (the deterministic stand-in that exercises the
+    // full scoring path; trained-weight form is LinearModel.linearScoreQ,
+    // spec-pinned in TextFunctionsSpec).
+    "quality_classifier" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.LinearModel.hashedLinearScoreQ(col("text"), 4096)
+            .as("logit_q"),
+          tokenCount(col("text")).as("n_toks"))
+        .withColumn("mean_logit",
+          graft.functions.LinearModel.meanLogit(col("logit_q"), col("n_toks")))
+        .withColumn("keep", col("logit_q") > 0)
+        .orderBy(col("doc_id"))),
+
     // Corpus card: per-(lang, source) doc counts, token totals, and
     // mean quality — the summary a curated training set ships with.
     // One grouped aggregate; the mean is FLOOR-quantized to integer
@@ -401,6 +419,26 @@ object TextQueries {
          |    / GREATEST(len(toks), 1) AS stopword_ratio
          |FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    // mirrors LinearModel: bucket = md5 first-8-hex % 4096, weight =
+    // bucket·2654435761 mod 1000003 − 500001, all-BIGINT; empty token
+    // lists score 0 (Spark aggregate's init value; list_reduce errors
+    // on [] so the CASE guard is required here)
+    "quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) = 0 THEN 0 ELSE
+         |          CAST(list_reduce(list_transform(toks,
+         |            tok -> (CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096)
+         |                     * 2654435761 % 1000003 - 500001),
+         |            (a, b) -> a + b) AS BIGINT)
+         |        END AS logit_q,
+         |        len(toks) AS n_toks
+         |      FROM t)
+         |SELECT doc_id, logit_q, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(logit_q AS DOUBLE)
+         |    / (1000003.0 * GREATEST(CAST(n_toks AS DOUBLE), 1.0)) AS mean_logit,
+         |  logit_q > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""SELECT lang, source, COUNT(*) AS n_docs,
          |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,

@@ -358,6 +358,51 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: classifierFilter step (trained weights and hash-derived)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-clf").toString
+    // md5 buckets at dim=4: good→2 great→3 bad/awful→0 the/spam→1
+    Seq(
+      (1L, "good great"), // mean logit +1.0 → kept
+      (2L, "bad awful"), // mean logit −1.0 → dropped
+      (3L, "good bad"), // mean logit 0 → dropped at 0.5
+      (4L, "the spam")) // mean logit 0 → dropped
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/clf", "collectStats": true,
+        |  "steps": [
+        |    {"type": "classifierFilter", "minMeanLogit": 0.5,
+        |     "weightsQ": [-1000003, 0, 1000003, 1000003]}
+        |  ]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include("""{"step":"classifierFilter","rows":1}""")
+    spark.read.parquet(s"$dir/out/clf")
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+
+    // hash-derived weights (no weightsQ): an always-pass threshold
+    // keeps every row — pins the default scoring path end to end
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/clfh",
+        |  "steps": [{"type": "classifierFilter", "minMeanLogit": -1.0}]}}}"""
+        .stripMargin)
+    val (code2, out2) = Main.execute(spark, sink, dir)
+    withClue(out2) { code2 shouldBe 0 }
+    spark.read.parquet(s"$dir/out/clfh").count() shouldBe 4L
+
+    // dim conflicting with the supplied weights is refused up front
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "classifierFilter", "dim": 8,
+        |             "weightsQ": [1, 2, 3, 4]}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: dedupFuzzy and madOutlierFilter steps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-er").toString

@@ -130,4 +130,53 @@ class TextFunctionsSpec extends SparkSpec {
     h1 shouldBe h2
     h1 should not be h3
   }
+
+  // ---- hashed-feature linear model ---------------------------------
+
+  /** JVM-side reference of LinearModel's md5 bucket + Knuth weight. */
+  private def refScore(text: String, dim: Int): Long = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    toks.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val b = java.lang.Long.parseLong(hex, 16) % dim
+      b * 2654435761L % 1000003L - 500001L
+    }.sum
+  }
+
+  test("hashedLinearScoreQ matches the JVM reference; empty text scores 0") {
+    import graft.functions.LinearModel
+    for (t <- Seq("Hello, World! 42", "the quick brown fox", "", "  ", "a"))
+      withClue(s"text='$t'") {
+        one(LinearModel.hashedLinearScoreQ(col("text"), 4096), t) shouldBe
+          refScore(t, 4096)
+      }
+  }
+
+  test("linearScoreQ with explicit weights sums the bucketed entries") {
+    import graft.functions.LinearModel
+    // dim=4: every token's contribution is weightsQ(bucket)
+    val weights = Array(10L, -20L, 300L, 4000L)
+    val text = "alpha beta gamma alpha"
+    val toks = Seq("alpha", "beta", "gamma", "alpha")
+    val expected = toks.map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      weights((java.lang.Long.parseLong(hex, 16) % 4).toInt)
+    }.sum
+    one(LinearModel.linearScoreQ(col("text"), weights), text) shouldBe expected
+    one(LinearModel.linearScoreQ(col("text"), weights), "") shouldBe 0L
+  }
+
+  test("linear model plan is pure codegen'd expressions — no UDF, no explode") {
+    import graft.functions.LinearModel
+    val plan = Seq("a b c").toDF("text")
+      .select(LinearModel.hashedLinearScoreQ(col("text"), 64).as("s"))
+      .queryExecution.executedPlan.toString()
+    plan should not include "BatchEvalPython"
+    plan.toLowerCase should not include "scalaudf"
+    plan should not include "Generate"
+  }
 }
