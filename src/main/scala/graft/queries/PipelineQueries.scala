@@ -202,6 +202,35 @@ object PipelineQueries {
         topK = 10)
     }),
 
+    // ---- corpus overlap (KMV set sketches) --------------------------
+    // "How much of corpus B is already in A?" from two k·8-byte KMV
+    // synopses (Beyer et al. SIGMOD'07) instead of a cross-corpus
+    // join. HASH-GREEN against exact DuckDB set SQL: a KMV sketch
+    // holding fewer than k distinct hashes IS the distinct set, so at
+    // verify SF every estimate is exact by construction; the over-full
+    // estimator path (k-th-minimum extrapolation, ~1/√k error) is
+    // pinned in SketchSpec. At 100 TB the two sketches are built in
+    // one pass each (map-side partials, ≤ k longs over the shuffle)
+    // and the set algebra touches only the synopses.
+    "corpus_overlap_kmv" -> ((s, dir) => {
+      import graft.functions.KmvFunctions._
+      val docs = Tables(s, dir, "documents")
+      val kk = 2048
+      val a = docs.filter(col("doc_id") % 3 === 0)
+        .agg(kmvState(col("text"), kk).as("sk_a"))
+      val b = docs.filter(col("doc_id") % 5 === 0)
+        .agg(kmvState(col("text"), kk).as("sk_b"))
+      a.crossJoin(b) // two one-row scalar frames
+        .select(kmvSetEstimates(col("sk_a"), col("sk_b"), kk).as("e"))
+        .select(
+          col("e.est_a").cast("long").as("n_a"),
+          col("e.est_b").cast("long").as("n_b"),
+          col("e.est_union").cast("long").as("n_union"),
+          col("e.est_intersection").cast("long").as("n_inter"),
+          col("e.jaccard").as("jaccard"))
+        .orderBy(col("n_a"))
+    }),
+
     // ---- dedup suite -------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir, perturb = false), "doc_id", "text")
@@ -693,6 +722,20 @@ object PipelineQueries {
          |SELECT doc_id, rrf_q,
          |  row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
          |FROM fused ORDER BY rnk""".stripMargin,
+    // exact set SQL; matches the sketch because under-full KMV is
+    // exact (see the query comment)
+    "corpus_overlap_kmv" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT text FROM a UNION SELECT text FROM b),
+        |i AS (SELECT text FROM a INTERSECT SELECT text FROM b)
+        |SELECT (SELECT COUNT(*) FROM a) AS n_a,
+        |       (SELECT COUNT(*) FROM b) AS n_b,
+        |       (SELECT COUNT(*) FROM u) AS n_union,
+        |       (SELECT COUNT(*) FROM i) AS n_inter,
+        |       CAST((SELECT COUNT(*) FROM i) AS DOUBLE)
+        |         / (SELECT COUNT(*) FROM u) AS jaccard
+        |ORDER BY n_a""".stripMargin,
     "dedup_exact" ->
       s"""WITH ${dupCorpusSql(perturb = false)}
          |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -253,4 +253,72 @@ class SketchSpec extends SparkSpec {
       cm2.estimateCount(tok) shouldBe cm.estimateCount(tok)
     }
   }
+
+  // ---- KMV distinct sketch -----------------------------------------
+
+  import graft.functions.KmvFunctions._
+
+  test("KMV under-full is exact; state is partitioning-independent bytes") {
+    val df = (1 to 300).map(i => s"v$i").toDF("v")
+    val k = 512
+    val sk1 = df.agg(kmvState($"v", k).as("sk")).head.getAs[Array[Byte]](0)
+    val sk2 = df.repartition(17)
+      .agg(kmvState($"v", k).as("sk")).head.getAs[Array[Byte]](0)
+    sk1 shouldBe sk2 // set-union merge: order/partitioning invariant
+    sk1.length shouldBe 300 * 8
+    val est = df.agg(kmvState($"v", k).as("sk"))
+      .select(kmvEstimate($"sk", k).as("e")).head.getDouble(0)
+    est shouldBe 300.0
+  }
+
+  test("KMV over-full estimates within ~4/sqrt(k) relative error") {
+    val n = 50000
+    val k = 1024
+    val df = (1 to n).map(i => s"item_$i").toDF("v")
+    val est = df.agg(kmvState($"v", k).as("sk"))
+      .select(kmvEstimate($"sk", k).as("e")).head.getDouble(0)
+    val relErr = math.abs(est - n) / n
+    withClue(s"est=$est") { relErr should be < 4.0 / math.sqrt(k.toDouble) }
+  }
+
+  test("KMV set estimates: exact under-full, bounded-error over-full") {
+    val k = 2048
+    // under-full: A = 1..300, B = 201..500 → inter 100, union 500
+    val a = (1 to 300).map(i => s"x$i").toDF("v")
+    val b = (201 to 500).map(i => s"x$i").toDF("v")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(kmvState($"v", k).as("sk"))
+    val row = sk(a).crossJoin(sk(b).withColumnRenamed("sk", "sk_b"))
+      .select(kmvSetEstimates($"sk", $"sk_b", k).as("e"))
+      .select($"e.est_a", $"e.est_b", $"e.est_union",
+        $"e.est_intersection", $"e.jaccard")
+      .head
+    row.getDouble(0) shouldBe 300.0
+    row.getDouble(1) shouldBe 300.0
+    row.getDouble(2) shouldBe 500.0
+    row.getDouble(3) shouldBe 100.0
+    row.getDouble(4) shouldBe (100.0 / 500.0)
+
+    // over-full: A = 1..40000, B = 20001..60000 → jaccard 1/3
+    val k2 = 512
+    val bigA = (1 to 40000).map(i => s"y$i").toDF("v")
+    val bigB = (20001 to 60000).map(i => s"y$i").toDF("v")
+    def sk2(df: org.apache.spark.sql.DataFrame) =
+      df.agg(kmvState($"v", k2).as("sk"))
+    val r2 = sk2(bigA).crossJoin(sk2(bigB).withColumnRenamed("sk", "sk_b"))
+      .select(kmvSetEstimates($"sk", $"sk_b", k2).as("e"))
+      .select($"e.est_union", $"e.est_intersection", $"e.jaccard")
+      .head
+    math.abs(r2.getDouble(0) - 60000) / 60000 should be < 0.2
+    math.abs(r2.getDouble(2) - 1.0 / 3.0) should be < 0.1
+    math.abs(r2.getDouble(1) - 20000) / 20000 should be < 0.3
+  }
+
+  test("KMV NULLs are excluded, matching count_distinct") {
+    val df = Seq(Some("a"), None, Some("b"), None, Some("a"))
+      .toDF("v")
+    val est = df.agg(kmvState($"v", 64).as("sk"))
+      .select(kmvEstimate($"sk", 64).as("e")).head.getDouble(0)
+    est shouldBe 2.0
+  }
 }
