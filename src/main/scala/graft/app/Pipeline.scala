@@ -396,6 +396,17 @@ object Pipeline {
         df.withColumn(p.textColumn, TextFunctions.redactPii(text))
       case Sample(fraction) =>
         Sampling.deterministicSample(df, p.idColumn, fraction)
+      case ws: WeightedSample =>
+        if (!df.columns.contains(ws.weightColumn))
+          throw new UserException(
+            s"weightedSample: input has no column '${ws.weightColumn}'")
+        // the operator emits a key_q helper column; dropping it must
+        // not swallow a user column of the same name
+        if (df.columns.contains("key_q"))
+          throw new UserException(
+            "weightedSample: input already has a 'key_q' column")
+        Sampling.weightedSample(df, p.idColumn, ws.weightColumn, ws.n)
+          .drop("key_q")
       case StratifiedSample(strata, fractions, default) =>
         if (!df.columns.contains(strata))
           throw new UserException(

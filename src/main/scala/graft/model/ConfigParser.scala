@@ -198,6 +198,11 @@ object ConfigParser {
         if (f < 0 || f > 1)
           throw new UserException("sample needs 'fraction' in [0,1]")
         Sample(f)
+      case "weightedSample" =>
+        val nn = int("n", -1)
+        if (nn < 1)
+          throw new UserException("weightedSample needs 'n' >= 1")
+        WeightedSample(nn, req(n, "weightColumn").asText)
       case "stratifiedSample" =>
         val strata = req(n, "strataColumn").asText
         val fr = opt(n, "fractions").map { node =>

@@ -111,6 +111,15 @@ object PipelineStep {
     val kind = "sample"
   }
 
+  /** Deterministic weight-proportional top-n sample
+    * ([[graft.operators.Sampling.weightedSample]] — A-ES keys); rows
+    * with NULL/non-positive weight are excluded. The helper `key_q`
+    * column is dropped from the step output. */
+  final case class WeightedSample(n: Int, weightColumn: String)
+      extends PipelineStep {
+    val kind = "weightedSample"
+  }
+
   /** Per-stratum keep fractions
     * ([[graft.operators.Sampling.stratifiedSample]]) — cap dominant
     * languages/sources, keep all of rare ones. */

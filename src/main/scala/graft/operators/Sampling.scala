@@ -75,6 +75,44 @@ object Sampling {
       math.round(fraction * nBuckets))
   }
 
+  /** Deterministic weight-proportional sample WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): every row
+    * draws key ln(u)/w — u the portable md5-uniform of its id in
+    * (0,1], w its positive weight — and the n largest keys win.
+    * Selection probability is proportional to weight, membership is a
+    * pure function of (id, weight) — reproducible across engines,
+    * runs, and partitionings, unlike rand()-based weighted sampling
+    * which reshuffles on every retry.
+    *
+    * The key is floor-quantized to integer 1e-9 units before ranking
+    * (ties break by id), so the DuckDB oracle — same md5 parse, same
+    * ln input, same division — ranks identical longs. Top-n is a
+    * TakeOrderedAndProject: n-sized per-partition heaps, ONE n-row
+    * final merge — no global sort at any corpus size.
+    *
+    * Rows with NULL or non-positive weight are excluded (a zero
+    * weight cannot be sampled; a negative one is a config error
+    * surfaced by the count, not a crash).
+    *
+    * @return input columns + `key_q` (quantized key), the n winners,
+    *         highest key first, ties by id
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    // u = (first-8-hex-of-md5 + 1) / 2^32 ∈ (0,1]; +1 and the
+    // power-of-two divide are exact, so ln sees the same double in
+    // every engine
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_q",
+        floor(lit(1e9) * log(u) / col(weightCol).cast("double"))
+          .cast("long"))
+      .orderBy(col("key_q").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Stratified quota sampling: each stratum keeps its own fraction
     * (e.g. cap English at 30%, keep all of a rare language) — same
     * hash discipline, so membership is reproducible and append-stable

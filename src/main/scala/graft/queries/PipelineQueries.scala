@@ -539,6 +539,16 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Weight-proportional sample (A-ES exponential keys): longer docs
+    // proportionally likelier, membership a pure function of
+    // (doc_id, n_chars) — hash-green, the oracle ranks the identical
+    // quantized keys.
+    "weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 100)
+        .orderBy(col("key_q").desc, col("doc_id"))),
+
     // Per-group reservoir: exactly 20 docs per language, membership a
     // pure hash function of doc_id (append-stable, engine-reproducible).
     "group_sample" -> ((s, dir) =>
@@ -840,6 +850,18 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    // mirrors Sampling.weightedSample: u = (md5-int + 1)/2^32 exact,
+    // key = ln(u)/w floor-quantized to 1e-9 units, ties by doc_id
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars, key_q FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(1e9 * ln(
+        |        (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) + 1) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY key_q DESC, doc_id LIMIT 100)
+        |ORDER BY key_q DESC, doc_id""".stripMargin,
     "group_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

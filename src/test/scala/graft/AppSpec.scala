@@ -403,6 +403,34 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: weightedSample step keeps n rows, drops its helper column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-ws").toString
+    (1L to 50L).map(i => (i, s"doc number $i", i.toDouble))
+      .toDF("doc_id", "text", "w")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/ws", "collectStats": true,
+        |  "steps": [{"type": "weightedSample", "n": 10,
+        |             "weightColumn": "w"}]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include("""{"step":"weightedSample","rows":10}""")
+    val ws = spark.read.parquet(s"$dir/out/ws")
+    ws.count() shouldBe 10L
+    ws.columns.toSeq.sorted shouldBe Seq("doc_id", "text", "w")
+
+    // missing weight column is refused with exit 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "weightedSample", "n": 10,
+        |             "weightColumn": "nope"}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: dedupFuzzy and madOutlierFilter steps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-er").toString

@@ -121,4 +121,53 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     s5.subsetOf(s10) shouldBe true
   }
+
+  /** JVM reference of weightedSample's quantized A-ES key. */
+  private def refKeyQ(id: Long, w: Double): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+    math.floor(1e9 * math.log(u) / w).toLong
+  }
+
+  test("weightedSample matches the JVM A-ES reference; bad weights excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(100.0)), (3L, Some(1.0)),
+      (4L, Option.empty[Double]), (5L, Some(0.0)), (6L, Some(-3.0)),
+      (7L, Some(50.0)), (8L, Some(5.0)))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", n = 3)
+      .select("id", "key_q").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Seq(1L -> 10.0, 2L -> 100.0, 3L -> 1.0, 7L -> 50.0, 8L -> 5.0)
+      .map { case (id, w) => (id, refKeyQ(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(3)
+    got.toSeq shouldBe want
+  }
+
+  test("weightedSample selection tracks weight; membership is partition-stable") {
+    import spark.implicits._
+    // 5000 light rows (w=1) vs 500 heavy rows (w=20): heavy mass is
+    // 10000/15000 → expect heavy to dominate a 500-row sample far
+    // beyond its 9% population share
+    val df = ((1L to 5000L).map(i => (i, 1.0)) ++
+      (10001L to 10500L).map(i => (i, 20.0))).toDF("id", "w")
+    val sample = Sampling.weightedSample(df, "id", "w", n = 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val heavy = sample.count(_ > 10000L)
+    heavy.toDouble should be > 200.0 // ~9% share would be ~45
+    // identical membership regardless of physical partitioning
+    val sample2 = Sampling.weightedSample(df.repartition(13), "id", "w", n = 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    sample2 shouldBe sample
+  }
+
+  test("weightedSample plan is a TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, 2.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", n = 10)
+      .queryExecution.executedPlan.toString()
+    plan should include("TakeOrderedAndProject")
+  }
 }
