@@ -73,6 +73,11 @@ object SparkEntry {
       "media_frame_features" -> (media + "MultimodalSpec (frame sampling)"),
       "zorder_prune_stats" -> ("file-count pruning statistics measure THIS" +
         " engine's physical layout — DuckDB has no twin table; pruning" +
-        " bound spec-pinned in ZOrderSpec"))
+        " bound spec-pinned in ZOrderSpec"),
+      "bpe_merges" -> ("iterative BPE induction has no SQL twin; exact" +
+        " parity with a single-JVM reference implementation (merge list" +
+        " AND encodings) is spec-pinned in BpeSpec"),
+      "bpe_encode" -> ("encodes with corpus-derived merges (no SQL twin);" +
+        " encoder-vs-reference parity spec-pinned in BpeSpec"))
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.BpeInduction
+import org.apache.spark.sql.functions._
+
+/** BPE induction: exact parity with a single-JVM reference
+  * implementation of Sennrich et al. — the merge LIST and the
+  * resulting ENCODINGS — plus unit pins on the merge fold. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- reference implementation (plain Scala, no Spark) -----------
+
+  private def refTokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def refMergeWord(sym: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Classic BPE on a word-frequency map; ties (count, then pair
+    * string ascending) mirror the operator's argmax. */
+  private def refBpe(texts: Seq[String], nMerges: Int): (Seq[(String, String)], Map[String, Vector[String]]) = {
+    val wc = texts.flatMap(refTokens).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    var words: Map[String, (Vector[String], Long)] =
+      wc.map { case (w, c) => w -> (w.split("").toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.values.foreach { case (sym, c) =>
+        sym.indices.dropRight(1).foreach { i =>
+          val p = (sym(i), sym(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x + " " + y) }._1
+        merges += ((a, b))
+        words = words.map { case (w, (sym, c)) =>
+          w -> (refMergeWord(sym, a, b), c)
+        }
+        round += 1
+      }
+    }
+    (merges.result(), words.map { case (w, (sym, _)) => w -> sym })
+  }
+
+  // a corpus small enough to hand-audit but rich enough to force
+  // multi-char merges and tie-breaks
+  private val corpus = Seq(
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wide wider widest wide",
+    "low new wide lowest newest")
+
+  test("induced merge list equals the reference BPE, merge for merge") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = BpeInduction.induceMerges(docs, "text", nMerges = 12)
+    val (want, _) = refBpe(corpus, nMerges = 12)
+    got shouldBe want
+  }
+
+  test("encode and encodeCorpus both match the reference word encodings") {
+    val docs = (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "...")) // token-less doc: empty encoding, never dropped
+      .toDF("doc_id", "text")
+    val merges = BpeInduction.induceMerges(docs, "text", nMerges = 12)
+    val (_, refWords) = refBpe(corpus, nMerges = 12)
+    val perRow = docs
+      .select($"doc_id", BpeInduction.encode($"text", merges).as("bpe"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toVector).toMap
+    val viaVocab = BpeInduction.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toVector).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val want = refTokens(text).flatMap(w => refWords(w)).toVector
+      withClue(s"doc $i") {
+        perRow(i.toLong) shouldBe want
+        viaVocab(i.toLong) shouldBe want
+      }
+    }
+    perRow(99L) shouldBe Vector.empty
+    viaVocab(99L) shouldBe Vector.empty
+  }
+
+  test("mergePair folds left-to-right without overlap, ANSI-safe on short words") {
+    def m(sym: Seq[String], a: String, b: String): Seq[String] =
+      Seq(sym).toDF("s")
+        .select(BpeInduction.mergePair($"s", a, b).as("m"))
+        .head.getSeq[String](0)
+    m(Seq("a", "b", "c"), "a", "b") shouldBe Seq("ab", "c")
+    m(Seq("a", "a", "a"), "a", "a") shouldBe Seq("aa", "a") // no overlap
+    m(Seq("a", "a", "b"), "a", "b") shouldBe Seq("a", "ab")
+    m(Seq("x"), "a", "b") shouldBe Seq("x") // single symbol
+    m(Seq.empty[String], "a", "b") shouldBe Seq.empty
+    m(Seq("a", "b", "a", "b"), "a", "b") shouldBe Seq("ab", "ab")
+  }
+
+  test("pairCounts weights pairs by word frequency; single-char words contribute none") {
+    val words = Seq(
+      (Seq("a", "b"), 3L), (Seq("b", "a", "b"), 2L), (Seq("x"), 5L))
+      .toDF("symbols", "cnt")
+    val got = BpeInduction.pairCounts(words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a b" -> 5L, "b a" -> 2L)
+  }
+
+  test("applyMerges refuses oversized merge lists (expression-tree bound)") {
+    val fake = Seq.fill(257)(("a", "b"))
+    an[IllegalArgumentException] should be thrownBy
+      BpeInduction.applyMerges(lit(Array("a")), fake)
+  }
+}
