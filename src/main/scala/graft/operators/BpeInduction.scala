@@ -150,15 +150,22 @@ object BpeInduction {
     * word once (measured 50×+ faster at sf0.1, and the gap grows with
     * corpus/vocab ratio). */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
-    flatten(transform(TextFunctions.tokens(text),
-      w => applyMerges(split(w, ""), merges)))
+    // coalesce: NULL text encodes to an empty array, matching
+    // encodeCorpus — the two entry points must not diverge on the
+    // same document
+    coalesce(
+      flatten(transform(TextFunctions.tokens(text),
+        w => applyMerges(toSymbols(w), merges))),
+      array().cast("array<string>"))
 
   /** Corpus encoding via the vocabulary: fold the merges over each
     * DISTINCT word (vocab-sized work — the same table induction
     * already aggregates), then broadcast-join token instances to
     * their encodings and reassemble per document in token order.
     *
-    * Scale shape: corpus tokens cross ONE shuffle (the per-doc
+    * Scale shape: two corpus scans (one feeds the distinct-word fold,
+    * one the instance join — cheaper than materializing the exploded
+    * token stream), corpus tokens cross ONE shuffle (the per-doc
     * regroup); the expensive merge fold never touches more than the
     * vocabulary. When the vocab outgrows a broadcast, drop the hint —
     * the same plan runs as a shuffle join.
@@ -170,11 +177,11 @@ object BpeInduction {
                    merges: Seq[(String, String)]): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
-    val vocab = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .distinct()
+    // vocab derives from toks — ONE corpus scan/tokenization feeds
+    // both the distinct-word fold and the instance join
+    val vocab = toks.select(col("word")).distinct()
       .select(col("word"),
-        applyMerges(split(col("word"), ""), merges).as("syms"))
+        applyMerges(toSymbols(col("word")), merges).as("syms"))
     val encoded = toks.join(broadcast(vocab), "word")
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -74,8 +74,10 @@ class BpeSpec extends SparkSpec {
   }
 
   test("encode and encodeCorpus both match the reference word encodings") {
-    val docs = (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
-      (99L, "...")) // token-less doc: empty encoding, never dropped
+    val docs = (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      // token-less and NULL-text docs: empty encoding on BOTH encoder
+      // entry points, never dropped
+      Seq((99L, "..."), (100L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
     val merges = BpeInduction.induceMerges(docs, "text", nMerges = 12)
     val (_, refWords) = refBpe(corpus, nMerges = 12)
@@ -95,6 +97,8 @@ class BpeSpec extends SparkSpec {
     }
     perRow(99L) shouldBe Vector.empty
     viaVocab(99L) shouldBe Vector.empty
+    perRow(100L) shouldBe Vector.empty
+    viaVocab(100L) shouldBe Vector.empty
   }
 
   test("mergePair folds left-to-right without overlap, ANSI-safe on short words") {
