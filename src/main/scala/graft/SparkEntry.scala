@@ -57,6 +57,8 @@ object SparkEntry {
       "dedup_filtered_corpus" -> (pairs + "DedupSpec"),
       "dedup_incremental" -> (pairs + "DedupSpec (batch-vs-rebuild parity)"),
       "dedup_incremental_persisted" -> (pairs + "DedupSpec (persisted-index parity)"),
+      "decontaminate_fuzzy" -> (pairs + "DedupSpec (planted-leak capture +" +
+        " no-false-drop vs the brute-force jaccard screen)"),
       "dedup_embedding_corpus" -> (ann + "SimilaritySpec"),
       "semantic_dedup" -> (ann + "SimilaritySpec (SemDeDup cells)"),
       "embedding_near_dup" -> (ann + "SimilaritySpec"),

@@ -103,9 +103,10 @@ object Pipeline {
                                     dataDir: String): String = {
     import PipelineStep._
     val paths = step match {
-      case d: Decontaminate => Seq(d.evalPath)
-      case m: Mix           => m.extra.map(_.input)
-      case _                => Nil
+      case d: Decontaminate      => Seq(d.evalPath)
+      case d: DecontaminateFuzzy => Seq(d.evalPath)
+      case m: Mix                => m.extra.map(_.input)
+      case _                     => Nil
     }
     paths.map(pp => fileSummary(spark, resolve(pp, dataDir))).mkString(";")
   }
@@ -436,6 +437,19 @@ object Pipeline {
           .join(broadcast(evalShingles), Seq("__sh"))
           .select(p.idColumn).distinct()
         df.join(contaminated, Seq(p.idColumn), "left_anti")
+      case d: DecontaminateFuzzy =>
+        val evalDocs = read(d.evalPath, d.evalFormat)
+        if (!evalDocs.columns.contains(d.evalTextColumn))
+          throw new UserException(
+            s"decontaminateFuzzy: eval set has no column '${d.evalTextColumn}'")
+        // eval ids are internal only (pair-dedup identities); the
+        // survivor set is independent of their values, so a synthetic
+        // id is safe even though it is not stable across runs
+        Dedup.fuzzyDecontaminate(df, p.idColumn, p.textColumn,
+          evalDocs.withColumn("__eval_id",
+            org.apache.spark.sql.functions.monotonically_increasing_id()),
+          "__eval_id", d.evalTextColumn,
+          shingleSize = d.shingleSize, threshold = d.threshold)
       case Mix(w0, extra) =>
         val sources = (df, w0) +: extra.map(s => (read(s.input, s.format), s.weight))
         // names AND types: a doc_id long vs string mismatch would

@@ -240,6 +240,22 @@ object ConfigParser {
           evalTextColumn = opt(n, "evalTextColumn").map(_.asText)
             .getOrElse("text"),
           ngram = ng)
+      case "decontaminateFuzzy" =>
+        val thr = dbl("threshold", 0.8)
+        if (thr <= 0 || thr > 1)
+          throw new UserException(
+            "decontaminateFuzzy 'threshold' must be in (0,1]")
+        val sh = int("shingleSize", 3)
+        if (sh < 1)
+          throw new UserException(
+            "decontaminateFuzzy 'shingleSize' must be >= 1")
+        DecontaminateFuzzy(
+          evalPath = req(n, "evalPath").asText,
+          evalFormat = fmt(n, "evalFormat"),
+          evalTextColumn = opt(n, "evalTextColumn").map(_.asText)
+            .getOrElse("text"),
+          threshold = thr,
+          shingleSize = sh)
       case "mix" =>
         val w0 = dbl("weight", 1.0)
         val extra = opt(n, "extra").toSeq.flatMap(_.elements.asScala).map { e =>

@@ -152,6 +152,18 @@ object PipelineStep {
     val kind = "decontaminate"
   }
 
+  /** Drop documents whose shingle-set Jaccard with ANY eval document
+    * reaches `threshold` ([[graft.operators.Dedup.fuzzyDecontaminate]]
+    * — catches eval leakage that survived light edits, which the exact
+    * [[Decontaminate]] screen misses). */
+  final case class DecontaminateFuzzy(evalPath: String, evalFormat: String,
+                                      evalTextColumn: String,
+                                      threshold: Double = 0.8,
+                                      shingleSize: Int = 3)
+      extends PipelineStep {
+    val kind = "decontaminateFuzzy"
+  }
+
   /** Deterministic weighted mixture of the current frame (weight
     * first) with extra corpora ([[graft.operators.Sampling
     * .weightedMix]]); adds `source_id` (0 = the pipeline's input). */

@@ -382,6 +382,62 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Fuzzy decontamination: drop corpus documents whose shingle-set
+    * Jaccard with ANY eval document reaches `threshold` — the near-dup
+    * generalization of the exact decontaminate step (an eval question
+    * that leaked with light edits survives an exact n-gram screen;
+    * it does not survive this one).
+    *
+    * Scale shape: the eval set (small by contract — benchmarks are
+    * KBs–MBs, the corpus is the 100 TB side) plays the index role. Its
+    * banded keys BROADCAST against the corpus band stream, so the
+    * corpus crosses one shuffle-free semi-restriction; only colliding
+    * (corpus_id, eval_id) candidates verify on shingle sets, and the
+    * corpus is filtered by ONE anti join. No cross pairs anywhere.
+    *
+    * Unlike the incremental-dedup probe there is NO disjoint-id
+    * contract: ids are namespaced per side, so an eval row may share
+    * an id value with an unrelated corpus row.
+    *
+    * @return the surviving corpus rows (all columns) */
+  def fuzzyDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalIdCol: String,
+                         evalTextCol: String, shingleSize: Int = 3,
+                         k: Int = 20, bands: Int = 5,
+                         threshold: Double = 0.8,
+                         maxBucket: Int = 1000): DataFrame = {
+    val corpusBands = minhashBandKeys(corpus, idCol, textCol,
+      shingleSize, k, bands)
+    val evalBands = minhashBandKeys(evalDocs, evalIdCol, evalTextCol,
+        shingleSize, k, bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
+    // skew guard on the eval buckets: a degenerate eval band key (e.g.
+    // hundreds of near-identical prompts) would fan every colliding
+    // corpus doc out maxBucket-fold
+    val bucketSizes = evalBands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val okEval = evalBands.join(bucketSizes, Seq("band_idx", "band_key"))
+      .select("band_idx", "band_key", "eval_id")
+    val candidates = corpusBands.join(broadcast(okEval),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id"))
+      .dropDuplicates("doc_id", "eval_id")
+    val corpusSh = shingleStore(corpus, idCol, textCol, shingleSize)
+    val evalSh = shingleStore(evalDocs, evalIdCol, evalTextCol, shingleSize)
+      .select(col("doc_id").as("eval_id"), col("sh").as("sh_eval"))
+    val contaminated = candidates
+      .join(corpusSh, "doc_id")
+      .join(broadcast(evalSh), "eval_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("sh_eval"))).cast("double") /
+          size(array_union(col("sh"), col("sh_eval"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash of the token stream: per-bit majority vote over
     * xxhash64(token) (seed 42, matching the built-in). Native Catalyst
     * expression ([[graft.functions.SimHash64]]) — the HOF vote

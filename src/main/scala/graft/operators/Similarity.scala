@@ -39,6 +39,40 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.HashFunctions.cosineSim(asDouble(a), asDouble(b))
 
+  // ---- int8 vector quantization ------------------------------------
+  // The 100 TB memory/IO lever: a float32 embedding column shrinks 4×
+  // (plus the two per-vector doubles), which is the difference between
+  // an IVF index that fits executor storage and one that doesn't.
+  // Per-vector affine quantization (asymmetric min/max — the ONNX/
+  // faiss SQ8 scheme): q_i = floor((v_i − zero)/scale + 0.5) in
+  // [0, 255] stored as a long array (parquet encodes the small range
+  // efficiently; Spark has no unsigned byte). Rounding is the explicit
+  // floor(x+0.5) form — identical in every engine, unlike round()
+  // whose half-even/half-up convention differs.
+
+  /** struct(scale, zero, q array<long>) for one vector. A constant
+    * vector (max == min) takes scale 1.0 so dequantization is still
+    * exact. Pure codegen'd HOF arithmetic — no UDF. */
+  def quantizeVector(v: Column): Column = {
+    val d = asDouble(v)
+    val lo = array_min(d)
+    val hi = array_max(d)
+    val scale = when(hi === lo, lit(1.0)).otherwise((hi - lo) / lit(255.0))
+    struct(
+      scale.as("scale"),
+      lo.as("zero"),
+      transform(d, x =>
+        floor((x - lo) / scale + lit(0.5)).cast("long")).as("q"))
+  }
+
+  /** Reconstruct doubles from a [[quantizeVector]] struct:
+    * v̂_i = zero + scale·q_i; max abs error ≤ scale/2. */
+  def dequantizeVector(qs: Column): Column = {
+    val scale = qs.getField("scale")
+    val zero = qs.getField("zero")
+    transform(qs.getField("q"), q => zero + scale * q.cast("double"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * @param queries small frame (q_id, q_vec) — broadcast

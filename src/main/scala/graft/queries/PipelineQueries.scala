@@ -344,6 +344,28 @@ object PipelineQueries {
         .orderBy(col("id"))),
 
     // ---- similarity search ------------------------------------------
+    // Per-vector int8 affine quantization (the faiss-SQ8 scheme): the
+    // 4× memory/IO lever for 100 TB ANN indexes. Hash-green — scale/
+    // zero/quantized codes and the reconstruction error are exact
+    // deterministic arithmetic (floor(x+0.5) rounding, identical in
+    // both engines; round() would not be).
+    "embedding_quantize" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val d = col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      emb.select(col("vec_id"), d.as("d"),
+          Similarity.quantizeVector(col("embedding")).as("qs"))
+        .select(col("vec_id"),
+          col("qs.scale").as("scale"), col("qs.zero").as("zero"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          element_at(col("qs.q"), 1).as("q_first"),
+          element_at(col("qs.q"), -1).as("q_last"),
+          array_max(zip_with(col("d"),
+            Similarity.dequantizeVector(col("qs")),
+            (a, b) => abs(a - b))).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     "embedding_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -586,6 +608,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Fuzzy decontamination: the near-dup generalization of the exact
+    // shingle screen — perturbed eval leakage (edited benchmark
+    // questions) is caught by Jaccard ≥ threshold, verified exactly
+    // after banded-LSH candidate generation. Eval ids deliberately
+    // OVERLAP corpus ids (they are namespaced per side). Rows-only:
+    // banding internals; parity/recall bounds pinned in DedupSpec.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_id"),
+          concat(col("text"), lit(" qq ww")).as("eval_text"))
+      Dedup.fuzzyDecontaminate(docs, "doc_id", "text",
+          evalSet, "eval_id", "eval_text", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Per-source cap with quality preference — the domain-quota step
     // of corpus assembly (no single source may dominate the mix, and
     // when a source exceeds its quota, its BEST documents survive):
@@ -819,6 +857,30 @@ object PipelineQueries {
          |  CAST(SUM(cov) AS BIGINT) AS n_removed
          |FROM covered GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // mirrors Similarity.quantizeVector/dequantizeVector operation
+    // for operation (floor(x+0.5), zero + scale*q)
+    "embedding_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, d, list_min(d) AS zero,
+        |    CASE WHEN list_max(d) = list_min(d) THEN 1.0
+        |         ELSE (list_max(d) - list_min(d)) / 255.0 END AS scale
+        |  FROM d),
+        |z AS (
+        |  SELECT vec_id, scale, zero, d,
+        |    list_transform(d, x ->
+        |      CAST(floor((x - zero) / scale + 0.5) AS BIGINT)) AS qv
+        |  FROM p)
+        |SELECT vec_id, scale, zero,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  qv[1] AS q_first, qv[len(qv)] AS q_last,
+        |  list_max(list_transform(list_zip(d, qv), s ->
+        |    abs(CAST(s[1] AS DOUBLE)
+        |        - (zero + scale * CAST(s[2] AS DOUBLE))))) AS max_err
+        |FROM z ORDER BY vec_id""".stripMargin,
     "embedding_topk_cosine" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings

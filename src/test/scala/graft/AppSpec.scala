@@ -403,6 +403,43 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: decontaminateFuzzy drops perturbed eval leaks, exact keeps them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-dfz").toString
+    def filler(i: Int) = (1 to 15).map(j => s"w${(i * 13 + j) % 50}").mkString(" ")
+    Seq((1L, "the capital of france is paris " + filler(1)),
+        (2L, "machine learning models need data " + filler(2)),
+        (3L, "totally unrelated document " + filler(3)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    // eval holds a lightly-EDITED copy of doc 1 — high jaccard, but
+    // no exact full-phrase guarantee
+    Seq("the capital of france is paris " + filler(1) + " edited")
+      .toDF("text").write.mode("overwrite").parquet(s"$dir/in/eval")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/clean", "collectStats": true,
+        |  "steps": [{"type": "decontaminateFuzzy", "evalPath": "in/eval",
+        |             "evalFormat": "parquet", "threshold": 0.6}]}}}"""
+        .stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include("""{"step":"decontaminateFuzzy","rows":2}""")
+    spark.read.parquet(s"$dir/out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L)
+
+    // bad threshold refused up front
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "decontaminateFuzzy", "evalPath": "in/eval",
+        |             "evalFormat": "parquet", "threshold": 0.0}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: weightedSample step keeps n rows, drops its helper column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ws").toString

@@ -322,4 +322,42 @@ class DedupSpec extends SparkSpec {
     Dedup.minhashNearDupPairs(many, "doc_id", "text", maxBucket = 100)
       .count() shouldBe 50L * 49 / 2
   }
+
+  test("fuzzyDecontaminate: planted leaks dropped, no false drops, ids namespaced") {
+    // 60 distinct corpus docs; eval = lightly-edited copies of docs
+    // 0/10/20 (the leak an EXACT screen with full-text equality would
+    // miss) + one unrelated eval doc whose id COLLIDES with corpus
+    // doc 5 (sides are namespaced — the collision must not drop 5)
+    def text(i: Int) = s"document number $i about topic ${i % 7} " +
+      (1 to 20).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")
+    val corpus = (0 until 60).map(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text")
+    val leaked = Seq(0L, 10L, 20L)
+    val evalSet = corpus.filter(col("doc_id").isin(leaked: _*))
+      .select((col("doc_id") + 500L).as("eval_id"),
+        concat(col("text"), lit(" tail")).as("eval_text"))
+      .unionByName(Seq((5L,
+        "completely unrelated benchmark question sharing no phrasing"))
+        .toDF("eval_id", "eval_text"))
+    val survivors = Dedup.fuzzyDecontaminate(corpus, "doc_id", "text",
+        evalSet, "eval_id", "eval_text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+
+    // brute-force contaminated set with the same shingle/jaccard defs
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalShingles = evalSet.collect()
+      .map(r => shingleSet(r.getString(1)))
+    val brute = (0 until 60).filter { i =>
+      val sh = shingleSet(text(i))
+      evalShingles.exists(e =>
+        (sh & e).size.toDouble / (sh | e).size >= 0.7)
+    }.map(_.toLong).toSet
+    brute should contain allElementsOf leaked // the plant is real
+    survivors shouldBe ((0L until 60L).toSet -- brute)
+    survivors should contain(5L)
+  }
 }

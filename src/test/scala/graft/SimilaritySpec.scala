@@ -442,4 +442,43 @@ class SimilaritySpec extends SparkSpec {
       nCentroids = 8, trainIters = 2, maxCluster = 3)
     got.count() shouldBe 0L // every cluster holds >3 of the 105 vectors
   }
+
+  test("int8 quantization: codes in [0,255], error <= scale/2, cosine preserved") {
+    import spark.implicits._
+    val c = corpus(n = 50)
+    val qs = c.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeVector(col("embedding")).as("qs"))
+    // every code in the byte range; reconstruction within scale/2 + eps
+    val checked = qs.select(
+      array_min(col("qs.q")).as("lo"), array_max(col("qs.q")).as("hi"),
+      (array_max(zip_with(
+        col("embedding").cast("array<double>"),
+        Similarity.dequantizeVector(col("qs")),
+        (a, b) => abs(a - b))) <= col("qs.scale") / 2 + lit(1e-12))
+        .as("ok"))
+      .collect()
+    checked.foreach { r =>
+      r.getLong(0) should be >= 0L
+      r.getLong(1) should be <= 255L
+      r.getBoolean(2) shouldBe true
+    }
+    // cosine between original and reconstruction stays ~1 (the ANN
+    // usefulness criterion for SQ8)
+    val cosines = qs.select(Similarity.cosine(col("embedding"),
+      Similarity.dequantizeVector(col("qs"))).as("c"))
+      .as[Double].collect()
+    all(cosines) should be > 0.999
+  }
+
+  test("int8 quantization: constant vector round-trips exactly") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    val r = df.select(
+      Similarity.quantizeVector(col("embedding")).as("qs"))
+      .select(col("qs.scale"), col("qs.zero"),
+        Similarity.dequantizeVector(col("qs")).as("back"))
+      .head
+    r.getDouble(0) shouldBe 1.0
+    r.getSeq[Double](2).foreach(_ shouldBe 0.25.toFloat.toDouble)
+  }
 }
