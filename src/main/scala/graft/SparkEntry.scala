@@ -65,6 +65,8 @@ object SparkEntry {
       "embedding_lsh_topk" -> (ann + "SimilaritySpec (recall >= 0.8)"),
       "embedding_ivf_topk" -> (ann + "SimilaritySpec (recall >= 0.8)"),
       "embedding_ivf_trained" -> (ann + "SimilaritySpec (k-means training)"),
+      "embedding_ivf_quantized" -> (ann + "SimilaritySpec (SQ8 recall vs" +
+        " the float index)"),
       "embedding_ivf_persisted" -> (ann + "SimilaritySpec (persisted parity)"),
       "embedding_ivf_append" -> (ann + "SimilaritySpec (append parity)"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),

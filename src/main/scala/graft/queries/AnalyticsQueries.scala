@@ -510,6 +510,17 @@ object AnalyticsQueries {
         .orderBy(col("left_id"), col("right_id"))
     }),
 
+    // Entity-resolution clusters: connected components over the
+    // edit-distance pair graph (FuzzyJoin candidates + min-label
+    // propagation to fixpoint — the same clustering the jaccard dedup
+    // family uses). Hash-green: the oracle brute-forces levenshtein
+    // pairs at gate SF and clusters them with a recursive CTE.
+    "fuzzy_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateClusters(
+          graft.operators.FuzzyJoin.selfJoin(
+            t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1))
+        .orderBy(col("id"))),
+
     // Corpus-drift profile, numeric: PSI of o_totalprice between the
     // pre- and post-1995-06-17 order snapshots over the BASELINE's
     // exact decile bands (graft.operators.Drift — each snapshot
@@ -1386,6 +1397,20 @@ object AnalyticsQueries {
         |FROM customer a JOIN dirty d
         |  ON levenshtein(a.c_name, d.d_name) <= 1
         |ORDER BY left_id, right_id""".stripMargin,
+    "fuzzy_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     "drift_price_bands" ->
       """WITH b AS (SELECT o_totalprice AS v FROM orders
         |           WHERE CAST(o_orderdate AS DATE) < DATE '1995-06-17'),

@@ -382,6 +382,26 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ANN over SQ8-compressed vectors: the corpus side carries 4×
+    // smaller codes and reconstructs on the fly (codegen'd HOF) — the
+    // memory/IO shape a 100 TB index actually runs. Rows-only;
+    // quantized-vs-float recall pinned in SimilaritySpec.
+    "embedding_ivf_quantized" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qemb = emb.select(col("vec_id"),
+        Similarity.dequantizeVector(
+            Similarity.quantizeVector(col("embedding")))
+          // back to the corpus vector type (float32): the IVF path is
+          // float-typed end to end, and SQ8 reconstruction error
+          // dwarfs the float rounding
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(qemb, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "embedding_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)

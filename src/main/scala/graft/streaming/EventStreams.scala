@@ -45,6 +45,78 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming drift monitor: per finalized event-time window, the
+    * categorical PSI of `catCol` against a STATIC reference snapshot —
+    * [[graft.operators.Drift.categoricalPsi]]'s arithmetic running
+    * continuously (the "is production traffic drifting from the
+    * training distribution?" alarm).
+    *
+    * Shape: two CHAINED stateful aggregations in append mode (the
+    * Spark 3.4+ multiple-stateful-operator form) — (window, category)
+    * counts under the watermark, then a same-length re-window collapse
+    * to ONE row per window carrying its category histogram. A window
+    * therefore emits exactly once, complete. Reference rates are fixed
+    * at wiring time as plan literals (category-cardinality-sized; the
+    * reference is never rescanned per batch; an empty reference fails
+    * loud here), and the PSI fold is pure codegen'd HOF arithmetic
+    * over the histogram — smoothed with `eps` exactly like the batch
+    * operator, including reference categories absent from the window
+    * and window categories absent from the reference.
+    *
+    * @return streaming (window_start, cur_total, psi) — append mode
+    */
+  def streamingCategoricalDrift(events: DataFrame, catCol: String,
+                                reference: DataFrame, refCatCol: String,
+                                windowLength: String = "1 hour",
+                                watermark: String = "2 hours",
+                                eps: Double = 1e-6): DataFrame = {
+    // reference rates at wiring: one tiny batch job, literals after
+    val refRows = reference.groupBy(col(refCatCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n")).collect()
+    val refTotal = refRows.map(_.getLong(1)).sum
+    require(refTotal > 0, "drift reference snapshot is empty")
+    val refRates: Seq[(String, Double)] = refRows.map(r =>
+      (r.getString(0), r.getLong(1).toDouble / refTotal)).toSeq
+    val refArr = typedlit(refRates)
+
+    def sm(c: Column) = greatest(c, lit(eps))
+    def term(cur: Column, base: Column): Column =
+      round((sm(cur) - sm(base)) * log(sm(cur) / sm(base)), 9)
+
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength),
+        col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("cur_n"))
+    // same-length re-window of the window's own event time → exactly
+    // one output window per input window, one row per window after the
+    // histogram collapse
+    val perWindow = counts
+      .groupBy(window(window_time(col("window")), windowLength))
+      .agg(collect_list(struct(col("category"), col("cur_n"))).as("cats"))
+    val total = aggregate(col("cats"), lit(0L),
+      (a, x) => a + x.getField("cur_n"))
+    // Σ cur_n of one category; empty-filter-safe (aggregate over [])
+    def curN(cat: Column) = aggregate(
+      filter(col("cats"), x => x.getField("category") <=> cat),
+      lit(0L), (a, x) => a + x.getField("cur_n"))
+    val refPsi = aggregate(refArr, lit(0.0), (acc, r) =>
+      acc + term(curN(r.getField("_1")).cast("double") /
+        col("cur_total").cast("double"), r.getField("_2")))
+    // window categories the reference has never seen: base rate = eps
+    val novelPsi = aggregate(
+      filter(col("cats"), x => !exists(refArr,
+        r => r.getField("_1") <=> x.getField("category"))),
+      lit(0.0), (acc, x) =>
+        acc + term(x.getField("cur_n").cast("double") /
+          col("cur_total").cast("double"), lit(eps)))
+    perWindow
+      .select(col("window.start").as("window_start"),
+        total.as("cur_total"), col("cats"))
+      .withColumn("psi", refPsi + novelPsi)
+      .drop("cats")
+  }
+
   /** In-stream exactly-once dedup on an id column: duplicates arriving
     * within the watermark window are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` evicts ids once the watermark

@@ -354,4 +354,26 @@ class ScaleSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("plan shape: KMV sketch aggregates partially map-side — only states cross the shuffle") {
+    import graft.functions.KmvFunctions._
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"v$i").toDF("v").repartition(8)
+    val plan = df.agg(kmvState($"v", 64).as("sk"))
+      .queryExecution.executedPlan.toString
+    // partial + final ObjectHashAggregate pair = map-side combine: the
+    // raw values never cross the exchange, only <= k*8-byte states
+    "(?i)objecthashaggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("partial_kmv_sketch_state")
+  }
+
+  test("plan shape: fuzzy decontamination broadcasts the eval side twice (bands + shingles)") {
+    val df = SparkEntry.queries("decontaminate_fuzzy")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both eval-side joins (band-key restriction, shingle verify) ride
+    // broadcasts; a SortMergeJoin would shuffle corpus shingle arrays
+    "(?i)broadcasthashjoin".r.findAllIn(plan).size should be >= 2
+  }
 }

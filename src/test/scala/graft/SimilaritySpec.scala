@@ -470,6 +470,24 @@ class SimilaritySpec extends SparkSpec {
     all(cosines) should be > 0.999
   }
 
+  test("IVF over SQ8-quantized vectors recalls the float index's neighbors") {
+    val c = corpus(n = 200)
+    val qc = c.select(col("vec_id"),
+      Similarity.dequantizeVector(
+          Similarity.quantizeVector(col("embedding")))
+        .cast("array<float>").as("embedding"))
+    val queries = c.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 5)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val float = topk(c)
+    val quant = topk(qc)
+    val recall = (float & quant).size.toDouble / float.size
+    recall should be >= 0.9
+  }
+
   test("int8 quantization: constant vector round-trips exactly") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")

@@ -38,6 +38,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCategoricalDrift: per-window PSI equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      Event(101, ts(0), 1, "click", 1.0), Event(102, ts(0), 1, "click", 1.0),
+      Event(103, ts(0), 1, "view", 1.0), Event(104, ts(0), 1, "view", 1.0))
+      .toDF()
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingCategoricalDrift(input.toDF(),
+        "event_type", reference, "event_type",
+        windowLength = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("drift_mon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val w0 = Seq(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(20), 1, "click", 1.0), Event(4, ts(30), 2, "view", 1.0),
+        Event(5, ts(40), 2, "scroll", 1.0)) // novel category
+      input.addData(w0: _*)
+      q.processAllAvailable()
+      // watermark pusher closes window 0 (two batches: advance, emit)
+      input.addData(Event(9, ts(60 * 10), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(60 * 20), 2, "view", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.table("drift_mon")
+        .select("window_start", "cur_total", "psi")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1.getTime)
+      got.head._1 shouldBe ts(0)
+      got.head._2 shouldBe 5L
+      // batch twin on the same slice: sum of per-category psi terms
+      val batchPsi = graft.operators.Drift.categoricalPsi(
+          reference, w0.toDF(), "event_type")
+        .agg(org.apache.spark.sql.functions.sum("psi_term"))
+        .head.getDouble(0)
+      got.head._3 shouldBe batchPsi +- 1e-8
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
