@@ -59,20 +59,63 @@ object Dedup {
     * paired directly (the case [[dropNearDups]]'s greedy pass cannot
     * see when edges skip the minimum).
     *
-    * Scale: each iteration is one self-equi-join on ids (shuffle on a
-    * high-cardinality key) followed by a min-agg; iterations needed =
-    * graph diameter, and near-dup clusters are shallow (dups of one
-    * document), so the loop converges in a handful of rounds. Lineage
-    * is truncated with localCheckpoint every 5 rounds so adversarial
-    * graphs (long chains) can't blow up the plan DAG.
+    * Scale: each iteration is a propagate equi-join + a
+    * pointer-jumping compression self-join + a min-agg; compression
+    * halves remaining path lengths per round, so iterations needed =
+    * O(log diameter) — a 1000-deep chain converges in ~10 rounds, not
+    * 1000. Lineage is truncated with localCheckpoint every 3 rounds so
+    * adversarial graphs can't blow up the plan DAG.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50,
+                        collectLimit: Long = 1L << 21): DataFrame = {
+    // Small-graph fast path (the Percentiles small-group discipline):
+    // the PAIR GRAPH after candidate generation is orders of magnitude
+    // smaller than the corpus — near-dup graphs of even a 100 TB
+    // corpus routinely fit in a few million edges. Under
+    // `collectLimit` edges, a driver union–find (min-id
+    // representative, path compression + union-by-min) answers in
+    // milliseconds what the iterative join loop pays many scheduled
+    // rounds for; distributed semantics are identical (connected
+    // components are unique) and spec-pinned against the loop. Above
+    // the limit, the O(log diameter) fixpoint loop below takes over.
+    val slim = pairs.select(col("id_a"), col("id_b")).cache()
+    val nPairs = slim.count()
+    if (nPairs <= collectLimit) {
+      val idType = slim.schema("id_a").dataType
+      val parent = new java.util.HashMap[Any, Any]()
+      def lt(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      slim.toLocalIterator().forEachRemaining { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val spark = pairs.sparkSession
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+      parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id, find(id)))
+      slim.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    }
     // undirected edge list, both orientations — cached: every
     // iteration joins against it, and without the cache each round
     // would re-run the (possibly expensive) candidate-pair lineage
     // upstream, e.g. the quadratic jaccard scorer
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = slim.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(slim.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     val vertices = edges.select(col("src").as("id")).distinct()
@@ -89,9 +132,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src")
           .withColumnRenamed("cluster", "src_cluster"), Seq("src"))
         .select(col("dst").as("id"), col("src_cluster").as("cand"))
-      val next = labels.join(neighborLabels, Seq("id"), "left")
+      val propagated = labels.join(neighborLabels, Seq("id"), "left")
         .groupBy("id")
         .agg(least(min(col("cand")), first(col("cluster"))).as("cluster"))
+      // pointer-jumping path compression: each vertex ALSO adopts its
+      // label's label. Every label value is itself a vertex id (the
+      // invariant since initialization), so one more equi-join halves
+      // remaining path lengths — convergence drops from O(diameter)
+      // to O(log diameter) rounds, which is what makes deep
+      // components (chained near-dups, digit-flip name cliques)
+      // affordable: round count, not round cost, dominates the loop.
+      val parentOf = propagated
+        .select(col("id").as("cluster"), col("cluster").as("parent"))
+      val next = propagated.join(parentOf, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("parent"), col("cluster")))
+            .as("cluster"))
         .cache()
       // fixpoint test: any label still shrinking? A FULL count (no
       // limit) so every partition of `next` materializes into its
@@ -102,14 +158,14 @@ object Dedup {
         .filter(col("n.cluster") =!= col("l.cluster")).count()
       labels.unpersist()
       // caching bounds recompute but not lineage: each round's plan
-      // references the previous round's TWICE (self-join + fixpoint
-      // probe), so the logical tree DOUBLES per round — analysis and
-      // plan rendering go exponential on deep-diameter graphs.
-      // localCheckpoint every 5 rounds truncates the lineage to the
-      // materialized partitions (cheap — `next` is already cached by
-      // the fixpoint probe above), capping the tree at ~2^5 copies.
+      // references the previous round's THREE times (propagate join,
+      // compression self-join, fixpoint probe), so the logical tree
+      // grows geometrically — localCheckpoint every 3 rounds truncates
+      // it to the materialized partitions (cheap — `next` is already
+      // cached by the fixpoint probe above), capping the tree at ~3^3
+      // copies.
       labels =
-        if ((i + 1) % 5 == 0) {
+        if ((i + 1) % 3 == 0) {
           val cp = next.localCheckpoint(true)
           next.unpersist()
           cp
@@ -118,6 +174,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist() // labels is materialized; the edge cache is done
+    slim.unpersist()
     if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(

@@ -483,6 +483,69 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Pairwise Pearson correlations of the lineitem measures in ONE
+    // aggregate pass (the co-moment aggregates fuse into a single
+    // scan — a profiling pipeline never re-reads the fact table per
+    // pair). Rounded to 9 decimals: corr is a co-moment ratio, engine
+    // formulas agree far below 1e-9 (the psi_term precedent).
+    "corr_matrix" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 9)
+            .as("corr_qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 9)
+            .as("corr_qty_disc"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 9)
+            .as("corr_price_disc"))
+        .orderBy(col("corr_qty_price"))),
+
+    // Mutual information between the two lineitem category axes:
+    // I(X;Y) terms p(x,y)·ln(p(x,y)/(p(x)p(y))) from EXACT counts —
+    // the feature-dependence profile. One grouped count, then window
+    // sums over the (category-cardinality-sized) contingency table.
+    "mutual_information" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      val all = Window.partitionBy()
+      val byF = Window.partitionBy(col("l_returnflag"))
+      val byS = Window.partitionBy(col("l_linestatus"))
+      cnt
+        .withColumn("total", sum(col("n")).over(all))
+        .withColumn("pxy", col("n").cast("double") / col("total"))
+        .withColumn("px",
+          sum(col("n")).over(byF).cast("double") / col("total"))
+        .withColumn("py",
+          sum(col("n")).over(byS).cast("double") / col("total"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("pxy") * log(col("pxy") / (col("px") * col("py"))), 9)
+            .as("mi_term"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Time-series resampling: a regular 1-day grid per user (min→max
+    // event day), value carried forward via ONE as-of join — the
+    // gap-fill/alignment primitive of feature pipelines (no per-step
+    // self-join, no window over the raw stream; grid explode is a
+    // codegen'd sequence()). References are first made UNIQUE per
+    // (user, ts) (max-event_id sample) so the as-of match is
+    // deterministic on both engines — DuckDB's ASOF JOIN breaks
+    // equal-ts ties arbitrarily otherwise. Hash-green.
+    "resample_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val refs = ev.groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("grid_ts"))
+      graft.operators.AsOfJoin.asOf(grid, refs, Seq("user_id"),
+          "grid_ts", "ts", Seq("value"), direction = "backward")
+        .orderBy(col("user_id"), col("grid_ts"))
+    }),
+
     // Edit-distance-bounded self-join on customer names (SymSpell
     // deletion-neighborhood candidates + exact levenshtein verify —
     // graft.operators.FuzzyJoin): entity resolution without a
@@ -515,10 +578,17 @@ object AnalyticsQueries {
     // propagation to fixpoint — the same clustering the jaccard dedup
     // family uses). Hash-green: the oracle brute-forces levenshtein
     // pairs at gate SF and clusters them with a recursive CTE.
+    // Sampled 1-in-10 (the dedup_clusters discipline): synthetic
+    // "Customer#NNN" names are a near-clique under 1-edit digit
+    // flips, and BOTH the iterative propagation and the oracle's
+    // recursive reach table scale with component size — the sample
+    // keeps the gate query iteration-cheap at every SF while still
+    // exercising multi-node chains.
     "fuzzy_clusters" -> ((s, dir) =>
       graft.operators.Dedup.duplicateClusters(
           graft.operators.FuzzyJoin.selfJoin(
-            t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1))
+            t(s, dir, "customer").filter(col("c_custkey") % 10 === 0),
+            "c_custkey", "c_name", maxDist = 1))
         .orderBy(col("id"))),
 
     // Corpus-drift profile, numeric: PSI of o_totalprice between the
@@ -1381,6 +1451,45 @@ object AnalyticsQueries {
         |FROM d JOIN mm USING (o_orderstatus)
         |GROUP BY d.o_orderstatus
         |ORDER BY d.o_orderstatus""".stripMargin,
+    "corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
+        |       round(corr(l_quantity, l_discount), 9) AS corr_qty_disc,
+        |       round(corr(l_extendedprice, l_discount), 9) AS corr_price_disc
+        |FROM lineitem
+        |ORDER BY corr_qty_price""".stripMargin,
+    "mutual_information" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |w AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nx,
+        |    CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS BIGINT) AS ny
+        |  FROM c)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  round((CAST(n AS DOUBLE) / total) *
+        |    ln((CAST(n AS DOUBLE) / total) /
+        |       ((CAST(nx AS DOUBLE) / total) * (CAST(ny AS DOUBLE) / total))),
+        |    9) AS mi_term
+        |FROM w
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "resample_events" ->
+      """WITH r AS (
+        |  SELECT user_id AS r_uid, CAST(ts AS TIMESTAMP) AS r_ts,
+        |         arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |b AS (SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+        |             date_trunc('day', MAX(ts)) AS d1
+        |      FROM events GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |        unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |          CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS grid_ts
+        |      FROM b)
+        |SELECT g.user_id, g.grid_ts, r.value
+        |FROM g ASOF LEFT JOIN r
+        |  ON g.user_id = r.r_uid AND g.grid_ts >= r.r_ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
     "fuzzy_selfjoin_names" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
@@ -1398,9 +1507,11 @@ object AnalyticsQueries {
         |  ON levenshtein(a.c_name, d.d_name) <= 1
         |ORDER BY left_id, right_id""".stripMargin,
     "fuzzy_clusters" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0),
+        |pairs AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs

@@ -323,6 +323,19 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 50L * 49 / 2
   }
 
+  test("duplicateClusters: driver union-find fast path equals the distributed loop") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val fast = rows(Dedup.duplicateClusters(pairs).orderBy("id"))
+    val dist = rows(
+      Dedup.duplicateClusters(pairs, collectLimit = 0).orderBy("id"))
+    fast shouldBe dist
+    fast shouldBe Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L),
+      Seq(10L, 10L), Seq(11L, 10L), Seq(20L, 20L), Seq(21L, 20L),
+      Seq(22L, 20L))
+  }
+
   test("fuzzyDecontaminate: planted leaks dropped, no false drops, ids namespaced") {
     // 60 distinct corpus docs; eval = lightly-edited copies of docs
     // 0/10/20 (the leak an EXACT screen with full-text equality would
