@@ -483,6 +483,52 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered funnel over the event stream: signup → first view AFTER
+    // it → first purchase after THAT, per user — two window passes
+    // over ONE user-partitioned shuffle (stage timestamps chain
+    // through the same partition), then a single count row. The
+    // sequential-conversion shape of product analytics. Hash-green.
+    "funnel_stages" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      val staged = ev
+        .withColumn("t2",
+          min(when(col("event_type") === "view" && col("ts") > col("t1"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(byUser))
+      staged.groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+        .agg(
+          count(col("t1")).as("n_signup"),
+          count(col("t2")).as("n_view_after"),
+          count(col("t3")).as("n_purchase_after"))
+        .orderBy(col("n_signup"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // counted per (cohort_week, week_offset) of later activity —
+    // integer week arithmetic end to end, two aggregations, no
+    // self-join of the raw stream. Hash-green.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val week = floor(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")) / 7).cast("long")
+      val activity = ev.select(col("user_id"), week.as("week")).distinct()
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Pairwise Pearson correlations of the lineitem measures in ONE
     // aggregate pass (the co-moment aggregates fuse into a single
     // scan — a profiling pipeline never re-reads the fact table per
@@ -1451,6 +1497,39 @@ object AnalyticsQueries {
         |FROM d JOIN mm USING (o_orderstatus)
         |GROUP BY d.o_orderstatus
         |ORDER BY d.o_orderstatus""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, ts, event_type, t1,
+        |    MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id, t1, t2,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |      FROM s3 GROUP BY user_id)
+        |SELECT COUNT(t1) AS n_signup, COUNT(t2) AS n_view_after,
+        |       COUNT(t3) AS n_purchase_after
+        |FROM u ORDER BY n_signup""".stripMargin,
+    "cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |                         CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_week, a.week - c.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "corr_matrix" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price,
         |       round(corr(l_quantity, l_discount), 9) AS corr_qty_disc,
