@@ -442,12 +442,17 @@ object Pipeline {
         if (!evalDocs.columns.contains(d.evalTextColumn))
           throw new UserException(
             s"decontaminateFuzzy: eval set has no column '${d.evalTextColumn}'")
-        // eval ids are internal only (pair-dedup identities); the
-        // survivor set is independent of their values, so a synthetic
-        // id is safe even though it is not stable across runs
+        // eval ids are internal (pair-dedup identities), but they MUST
+        // be consistent across the two independent evaluations of the
+        // eval plan inside fuzzyDecontaminate (band-key scan + shingle
+        // scan) — monotonically_increasing_id is partition-layout-
+        // dependent and can differ between those scans, silently
+        // verifying candidates against the WRONG eval text. A content
+        // hash is deterministic everywhere; duplicate texts collapsing
+        // to one id is fine (identical shingle sets).
         Dedup.fuzzyDecontaminate(df, p.idColumn, p.textColumn,
           evalDocs.withColumn("__eval_id",
-            org.apache.spark.sql.functions.monotonically_increasing_id()),
+            org.apache.spark.sql.functions.xxhash64(col(d.evalTextColumn))),
           "__eval_id", d.evalTextColumn,
           shingleSize = d.shingleSize, threshold = d.threshold)
       case Mix(w0, extra) =>

@@ -78,12 +78,25 @@ object Dedup {
     // rounds for; distributed semantics are identical (connected
     // components are unique) and spec-pinned against the loop. Above
     // the limit, the O(log diameter) fixpoint loop below takes over.
-    val slim = pairs.select(col("id_a"), col("id_b")).cache()
+    // null ids never join in the distributed loop (equi-join
+    // semantics); filter them here so BOTH paths agree
+    val slim = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .cache()
     val nPairs = slim.count()
     if (nPairs <= collectLimit) {
       val idType = slim.schema("id_a").dataType
       val parent = new java.util.HashMap[Any, Any]()
-      def lt(a: Any, b: Any) = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      // String order must match Spark's least()/min() — UTF-8 BINARY
+      // order, which differs from java.lang.String's UTF-16 compareTo
+      // for supplementary characters — or the two paths could pick
+      // different cluster representatives for the same graph
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
       def find(x: Any): Any = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -470,12 +483,22 @@ object Dedup {
       .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
     // skew guard on the eval buckets: a degenerate eval band key (e.g.
     // hundreds of near-identical prompts) would fan every colliding
-    // corpus doc out maxBucket-fold
-    val bucketSizes = evalBands.groupBy("band_idx", "band_key")
+    // corpus doc out maxBucket-fold. Unlike the dedup family — where a
+    // dropped bucket only costs dedup ratio — dropping here would
+    // EXEMPT those eval docs from the contamination screen, so an
+    // oversized bucket fails loud instead (raise maxBucket, or dedup
+    // the eval set first).
+    val oversized = evalBands.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-    val okEval = evalBands.join(bucketSizes, Seq("band_idx", "band_key"))
-      .select("band_idx", "band_key", "eval_id")
+      .filter(col("bucket_n") > maxBucket)
+      .limit(1).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalArgumentException(
+        s"fuzzyDecontaminate: an eval band bucket holds " +
+          s"${oversized(0).getLong(2)} docs (> maxBucket=$maxBucket); " +
+          "silently skipping them would exempt those eval docs from " +
+          "the screen — raise maxBucket or dedup the eval set")
+    val okEval = evalBands
     val candidates = corpusBands.join(broadcast(okEval),
         Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id"))

@@ -52,17 +52,32 @@ object Similarity {
 
   /** struct(scale, zero, q array<long>) for one vector. A constant
     * vector (max == min) takes scale 1.0 so dequantization is still
-    * exact. Pure codegen'd HOF arithmetic — no UDF. */
+    * exact. Pure codegen'd HOF arithmetic — no UDF.
+    *
+    * The min/max/scale are bound ONCE per row by routing them through
+    * a one-element-array transform: subexpression elimination does not
+    * descend into HOF lambdas, so referencing array_min(d) directly
+    * inside the per-element lambda would re-scan the vector per
+    * element — O(dim²) on the operator whose whole point is cheap
+    * bulk compression. As lambda-bound struct fields they are O(1)
+    * reads. */
   def quantizeVector(v: Column): Column = {
     val d = asDouble(v)
-    val lo = array_min(d)
-    val hi = array_max(d)
-    val scale = when(hi === lo, lit(1.0)).otherwise((hi - lo) / lit(255.0))
-    struct(
-      scale.as("scale"),
-      lo.as("zero"),
-      transform(d, x =>
-        floor((x - lo) / scale + lit(0.5)).cast("long")).as("q"))
+    val stats = array(struct(
+      array_min(d).as("lo"), array_max(d).as("hi")))
+    element_at(
+      transform(stats, s => {
+        val lo = s.getField("lo")
+        val hi = s.getField("hi")
+        val scale = when(hi === lo, lit(1.0))
+          .otherwise((hi - lo) / lit(255.0))
+        struct(
+          scale.as("scale"),
+          lo.as("zero"),
+          transform(d, x =>
+            floor((x - lo) / scale + lit(0.5)).cast("long")).as("q"))
+      }),
+      1)
   }
 
   /** Reconstruct doubles from a [[quantizeVector]] struct:

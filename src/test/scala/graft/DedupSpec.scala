@@ -323,6 +323,21 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 50L * 49 / 2
   }
 
+  test("fuzzyDecontaminate fails loud on an oversized eval band bucket") {
+    // 30 identical eval prompts share every band bucket; silently
+    // dropping them would exempt them from the screen
+    val corpus = Seq((1L, "some corpus document with several words here"))
+      .toDF("doc_id", "text")
+    val evalSet = (1 to 30).map(i =>
+      (i.toLong, "identical leaked prompt text repeated verbatim"))
+      .toDF("eval_id", "eval_text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fuzzyDecontaminate(corpus, "doc_id", "text",
+        evalSet, "eval_id", "eval_text", maxBucket = 10).count()
+    }
+    e.getMessage should include("maxBucket")
+  }
+
   test("duplicateClusters: driver union-find fast path equals the distributed loop") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L),
       (21L, 22L), (3L, 4L), (4L, 1L))
