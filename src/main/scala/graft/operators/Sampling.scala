@@ -113,6 +113,28 @@ object Sampling {
       .limit(n)
   }
 
+  /** Per-group [[weightedSample]]: the n highest A-ES keys WITHIN each
+    * group — "the k most representative docs per language, weighted by
+    * quality" in one window over one shuffle on the group key (the
+    * groupSample discipline, weight-aware). Same quantized-key
+    * determinism; rows with NULL/non-positive weight excluded. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+                             weightCol: String, groupCol: String,
+                             n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("key_q").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_q",
+        floor(lit(1e9) * log(u) / col(weightCol).cast("double"))
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+
   /** Stratified quota sampling: each stratum keeps its own fraction
     * (e.g. cap English at 30%, keep all of a rare language) — same
     * hash discipline, so membership is reproducible and append-stable

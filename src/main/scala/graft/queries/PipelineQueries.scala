@@ -581,6 +581,17 @@ object PipelineQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Per-language weighted reservoir: the 20 highest A-ES keys per
+    // lang, weight = doc length — "k representative docs per language,
+    // longer preferred" in one window over one shuffle. Hash-green.
+    "weighted_sample_grouped" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSamplePerGroup(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("key_q"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))),
+
     // Weight-proportional sample (A-ES exponential keys): longer docs
     // proportionally likelier, membership a pure function of
     // (doc_id, n_chars) — hash-green, the oracle ranks the identical
@@ -932,6 +943,20 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "weighted_sample_grouped" ->
+      """SELECT doc_id, lang, key_q, rnk FROM (
+        |  SELECT doc_id, lang, key_q,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY key_q DESC, doc_id) AS rnk
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(floor(1e9 * ln(
+        |          (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                AS BIGINT) + 1) / 4294967296.0)
+        |        / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
+        |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0))
+        |WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
     // mirrors Sampling.weightedSample: u = (md5-int + 1)/2^32 exact,
     // key = ln(u)/w floor-quantized to 1e-9 units, ties by doc_id
     "weighted_sample" ->

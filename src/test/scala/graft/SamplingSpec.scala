@@ -163,6 +163,24 @@ class SamplingSpec extends SparkSpec {
     sample2 shouldBe sample
   }
 
+  test("weightedSamplePerGroup: n per group, keys match the global sampler's") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "a", i.toDouble)) ++
+      (201L to 205L).map(i => (i, "b", 1.0))).toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "id", "w", "grp", n = 10)
+      .select("id", "grp", "key_q", "rnk").collect()
+    got.count(_.getString(1) == "a") shouldBe 10
+    got.count(_.getString(1) == "b") shouldBe 5 // under-full group kept whole
+    // per-row keys identical to the global sampler's quantized A-ES key
+    got.foreach { r =>
+      r.getLong(2) shouldBe refKeyQ(r.getLong(0),
+        if (r.getString(1) == "a") r.getLong(0).toDouble else 1.0)
+    }
+    // ranks are dense 1..n within each group
+    got.filter(_.getString(1) == "a").map(_.getLong(3)).sorted shouldBe
+      (1L to 10L).toArray
+  }
+
   test("weightedSample plan is a TakeOrderedAndProject, not a global sort") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, 2.0)).toDF("id", "w")
