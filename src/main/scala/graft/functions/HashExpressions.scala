@@ -220,6 +220,50 @@ object HashImpls {
     while (i < b.numElements()) { val y = b.getDouble(i); nb += y * y; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** SQ8 round-trip: per-vector affine int8 encode + decode in one
+    * imperative pass — the reconstruction the quantized-ANN path
+    * feeds to its distance computations. Arithmetic mirrors
+    * [[graft.operators.Similarity.quantizeVector]]/`dequantizeVector`
+    * exactly (min/max range, floor(x+0.5), zero + scale·q; constant
+    * vectors take scale 1.0), spec-pinned equal — the HOF pair stays
+    * the oracle-mirrored form, this is its hot-path twin. */
+  def sq8Roundtrip(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    if (n > 0) {
+      var lo = v.getDouble(0)
+      var hi = lo
+      var i = 1
+      while (i < n) {
+        val x = v.getDouble(i)
+        if (x < lo) lo = x
+        if (x > hi) hi = x
+        i += 1
+      }
+      val scale = if (hi == lo) 1.0 else (hi - lo) / 255.0
+      i = 0
+      while (i < n) {
+        out(i) = lo + scale * math.floor((v.getDouble(i) - lo) / scale + 0.5)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native SQ8 round-trip over a double vector — one codegen'd call
+  * per row vs hundreds of interpreted HOF node evals ([[HashImpls
+  * .sq8Roundtrip]]; the CosineSim precedent). */
+case class Sq8Roundtrip(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.sq8Roundtrip(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashImpls.sq8Roundtrip($a)")
+  override protected def withNewChildInternal(newChild: Expression): Sq8Roundtrip =
+    copy(child = newChild)
+  override def prettyName: String = "sq8_roundtrip"
 }
 
 case class MinHashSig(child: Expression, k: Int)
@@ -374,6 +418,9 @@ object HashFunctions {
 
   def cosineSim(aDouble: Column, bDouble: Column): Column =
     GraftBridge.column(CosineSim(expr(aDouble), expr(bDouble)))
+
+  def sq8Roundtrip(vecDouble: Column): Column =
+    GraftBridge.column(Sq8Roundtrip(expr(vecDouble)))
 
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =

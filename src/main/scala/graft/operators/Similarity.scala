@@ -88,6 +88,14 @@ object Similarity {
     transform(qs.getField("q"), q => zero + scale * q.cast("double"))
   }
 
+  /** encode∘decode in ONE native codegen'd call
+    * ([[graft.functions.Sq8Roundtrip]]) — the hot-path twin of
+    * `dequantizeVector(quantizeVector(v))` for feeding reconstructed
+    * vectors into distance computations (identical arithmetic,
+    * spec-pinned; the HOF pair stays as the oracle-mirrored form). */
+  def sq8Reconstruct(v: Column): Column =
+    graft.functions.HashFunctions.sq8Roundtrip(asDouble(v))
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * @param queries small frame (q_id, q_vec) — broadcast

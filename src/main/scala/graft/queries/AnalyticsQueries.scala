@@ -483,6 +483,34 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Week-over-week audience overlap from PER-GROUP KMV sketches:
+    // one pass builds a distinct-user synopsis per week (map-side
+    // partials, ≤ k longs each over the shuffle), then consecutive
+    // weeks compare by SET ALGEBRA on the synopses — at 100 TB the
+    // "returning users" question never joins week against week.
+    // Hash-green: under-full sketches are exact (corpus_overlap_kmv's
+    // lever), so the estimates equal DuckDB's exact set SQL.
+    "weekly_user_overlap_kmv" -> ((s, dir) => {
+      import graft.functions.KmvFunctions._
+      val kk = 4096
+      val week = floor(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")) / 7).cast("long")
+      val sk = t(s, dir, "events")
+        .groupBy(week.as("week"))
+        .agg(kmvState(col("user_id"), kk).as("sk"))
+      val a = sk.select(col("week"), col("sk"))
+      val b = sk.select((col("week") - 1L).as("week"), col("sk").as("sk_next"))
+      a.join(b, "week")
+        .select(col("week"),
+          kmvSetEstimates(col("sk"), col("sk_next"), kk).as("e"))
+        .select(col("week"),
+          col("e.est_a").cast("long").as("n_week"),
+          col("e.est_b").cast("long").as("n_next"),
+          col("e.est_intersection").cast("long").as("n_returning"),
+          col("e.jaccard").as("jaccard"))
+        .orderBy(col("week"))
+    }),
+
     // Ordered funnel over the event stream: signup → first view AFTER
     // it → first purchase after THAT, per user — two window passes
     // over ONE user-partitioned shuffle (stage timestamps chain
@@ -1497,6 +1525,25 @@ object AnalyticsQueries {
         |FROM d JOIN mm USING (o_orderstatus)
         |GROUP BY d.o_orderstatus
         |ORDER BY d.o_orderstatus""".stripMargin,
+    "weekly_user_overlap_kmv" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
+        |                              CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+        |         user_id
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT week, COUNT(*) AS n FROM a GROUP BY week),
+        |ov AS (
+        |  SELECT x.week, COUNT(*) AS n_returning
+        |  FROM a x JOIN a y ON x.user_id = y.user_id
+        |                    AND y.week = x.week + 1
+        |  GROUP BY x.week)
+        |SELECT w.week, w.n AS n_week, w2.n AS n_next,
+        |       COALESCE(ov.n_returning, 0) AS n_returning,
+        |       CAST(COALESCE(ov.n_returning, 0) AS DOUBLE)
+        |         / (w.n + w2.n - COALESCE(ov.n_returning, 0)) AS jaccard
+        |FROM w JOIN w w2 ON w2.week = w.week + 1
+        |LEFT JOIN ov ON ov.week = w.week
+        |ORDER BY w.week""".stripMargin,
     "funnel_stages" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_type,

@@ -389,13 +389,18 @@ object PipelineQueries {
     "embedding_ivf_quantized" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qemb = emb.select(col("vec_id"),
-        Similarity.dequantizeVector(
-            Similarity.quantizeVector(col("embedding")))
+        Similarity.sq8Reconstruct(col("embedding"))
           // back to the corpus vector type (float32): the IVF path is
           // float-typed end to end, and SQ8 reconstruction error
           // dwarfs the float rounding
           .cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)).as("embedding"))
+        // materialize the reconstruction ONCE: a real SQ8 index
+        // STORES the codes — leaving the reconstruction inline would
+        // re-run it inside every per-centroid distance of the IVF
+        // probe (with the HOF form this was 8× the query's cost;
+        // the native sq8Reconstruct kernel cuts per-row cost further)
+        .localCheckpoint(true)
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfTopK(qemb, queries, "vec_id", "embedding", k = 5)

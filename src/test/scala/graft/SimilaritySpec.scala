@@ -488,6 +488,28 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.9
   }
 
+  test("native sq8Reconstruct equals dequantize(quantize(v)) bit for bit") {
+    val c = corpus(n = 40)
+    val both = c.select(
+      Similarity.sq8Reconstruct(col("embedding")).as("native"),
+      Similarity.dequantizeVector(
+        Similarity.quantizeVector(col("embedding"))).as("hof"))
+    both.collect().foreach { r =>
+      r.getSeq[Double](0) shouldBe r.getSeq[Double](1)
+    }
+    // empty and constant vectors agree too
+    import spark.implicits._
+    val edge = Seq((1L, Array.empty[Float]), (2L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    edge.select(
+        Similarity.sq8Reconstruct(col("embedding")).as("native"),
+        Similarity.dequantizeVector(
+          Similarity.quantizeVector(col("embedding"))).as("hof"))
+      .collect().foreach { r =>
+        r.getSeq[Double](0) shouldBe r.getSeq[Double](1)
+      }
+  }
+
   test("int8 quantization: constant vector round-trips exactly") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
