@@ -117,6 +117,47 @@ object EventStreams {
       .drop("cats")
   }
 
+  /** Numeric twin of [[streamingCategoricalDrift]]: the stream's
+    * `valueCol` is bucketed by the REFERENCE's exact percentile bands
+    * (edges from [[graft.operators.Percentiles]] at wiring, one
+    * codegen'd CASE chain per event — exactly
+    * [[graft.operators.Drift.numericPsi]]'s banding), then the
+    * categorical monitor runs on the bucket id. NULL values are
+    * dropped before bucketing (matching the batch operator — a NULL
+    * has no position in a numeric distribution).
+    *
+    * @return streaming (window_start, cur_total, psi) — append mode */
+  def streamingNumericDrift(events: DataFrame, valueCol: String,
+                            reference: DataFrame, refValueCol: String,
+                            buckets: Int = 10,
+                            windowLength: String = "1 hour",
+                            watermark: String = "2 hours",
+                            eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    import graft.operators.Percentiles
+    val fracs = (1 until buckets).map(k => s"e$k" -> k.toDouble / buckets)
+    val edgeRows = Percentiles.exactGroupedPercentiles(
+      reference.withColumn("__g", lit(0)), Seq("__g"), refValueCol, fracs)
+      .collect()
+    require(edgeRows.nonEmpty &&
+        !edgeRows(0).isNullAt(edgeRows(0).fieldIndex("e1")),
+      s"streamingNumericDrift: reference has no non-NULL " +
+        s"'$refValueCol' values — no distribution to drift against")
+    val edges = fracs.map { case (name, _) =>
+      edgeRows(0).getAs[Double](name) }
+    def bucketOf(c: Column): Column =
+      edges.zipWithIndex.foldRight(lit(buckets - 1): Column) {
+        case ((e, i), rest) => when(c <= lit(e), lit(i)).otherwise(rest)
+      }
+    streamingCategoricalDrift(
+      events.filter(col(valueCol).isNotNull)
+        .withColumn("__bucket", bucketOf(col(valueCol).cast("double"))),
+      "__bucket",
+      reference.filter(col(refValueCol).isNotNull)
+        .select(bucketOf(col(refValueCol).cast("double")).as("__bucket")),
+      "__bucket", windowLength, watermark, eps)
+  }
+
   /** In-stream exactly-once dedup on an id column: duplicates arriving
     * within the watermark window are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` evicts ids once the watermark

@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNumericDrift: per-window PSI over reference percentile bands") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference values 1..100 → median edge at 50.5 (2 buckets)
+    val reference = (1 to 100).map(i =>
+      Event(1000L + i, ts(0), 1, "x", i.toDouble)).toDF()
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingNumericDrift(input.toDF(), "value",
+        reference, "value", buckets = 2,
+        windowLength = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ndrift_mon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 0 skews high: 1 below the median edge, 9 above
+      val w0 = (1 to 10).map(i =>
+        Event(i.toLong, ts(i.toLong), 1, "x", if (i == 1) 10.0 else 90.0))
+      input.addData(w0: _*)
+      q.processAllAvailable()
+      input.addData(Event(90L, ts(60 * 10), 2, "x", 50.0))
+      q.processAllAvailable()
+      input.addData(Event(91L, ts(60 * 20), 2, "x", 50.0))
+      q.processAllAvailable()
+      val got = spark.table("ndrift_mon")
+        .select("window_start", "cur_total", "psi")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1.getTime)
+      got.head._1 shouldBe ts(0)
+      got.head._2 shouldBe 10L
+      // batch twin: numericPsi of the same slice over the same bands
+      val batchPsi = graft.operators.Drift.numericPsi(
+          reference, w0.toDF(), "value", buckets = 2)
+        .agg(org.apache.spark.sql.functions.sum("psi_term"))
+        .head.getDouble(0)
+      got.head._3 shouldBe batchPsi +- 1e-8
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
