@@ -226,17 +226,29 @@ object HashImpls {
     * feeds to its distance computations. Arithmetic mirrors
     * [[graft.operators.Similarity.quantizeVector]]/`dequantizeVector`
     * exactly (min/max range, floor(x+0.5), zero + scale·q; constant
-    * vectors take scale 1.0), spec-pinned equal — the HOF pair stays
-    * the oracle-mirrored form, this is its hot-path twin. */
+    * vectors take scale 1.0), spec-pinned equal for FINITE, hole-free
+    * vectors; NaN/null elements fail loud (the HOF twin errors on its
+    * ANSI long cast for those — invalid input either way). The HOF
+    * pair stays the oracle-mirrored form, this is its hot-path twin. */
   def sq8Roundtrip(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Double](n)
     if (n > 0) {
-      var lo = v.getDouble(0)
-      var hi = lo
-      var i = 1
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      var i = 0
       while (i < n) {
+        // NaN / null elements fail LOUD: the HOF twin would error on
+        // the ANSI long cast anyway, and silently 0-filling or
+        // NaN-ordering here would let the two paths diverge — a
+        // vector with holes is invalid input, not a quantization case
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"sq8Roundtrip: null element at index $i")
         val x = v.getDouble(i)
+        if (x != x)
+          throw new IllegalArgumentException(
+            s"sq8Roundtrip: NaN element at index $i")
         if (x < lo) lo = x
         if (x > hi) hi = x
         i += 1

@@ -188,7 +188,12 @@ private[functions] object Kmv {
     if (x.isEmpty) (0.0, 0.0, 0.0)
     else {
       val j = rho.toDouble / x.length
-      (estU, j * estU, j)
+      // under-full X IS the exact union: ρ is the exact intersection
+      // COUNT — return it directly rather than (ρ/|X|)·|X|, whose FP
+      // round-trip can land at ρ−ε and truncate to ρ−1 downstream
+      // (the hash-green gate queries cast these to long)
+      val estI = if (x.length < k) rho.toDouble else j * estU
+      (estU, estI, j)
     }
   }
 }

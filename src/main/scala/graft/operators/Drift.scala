@@ -40,27 +40,40 @@ object Drift {
     *
     * @param eps smoothing floor for zero rates (standard PSI
     *            practice; documented in the term it produces). */
-  def numericPsi(base: DataFrame, cur: DataFrame, valueCol: String,
-                 buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+  /** Exact equi-depth band edges of `valueCol` from a reference frame
+    * — the ONE edge-derivation both the batch profile and the
+    * streaming monitor use ([[bandBucket]] is its CASE-chain
+    * companion); fails loud on an all-NULL reference. */
+  private[graft] def referenceBandEdges(reference: DataFrame,
+                                        valueCol: String,
+                                        buckets: Int): Seq[Double] = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val fracs = (1 until buckets).map(k => s"e$k" -> k.toDouble / buckets)
     val edgeRows = Percentiles.exactGroupedPercentiles(
-      base.withColumn("__g", lit(0)), Seq("__g"), valueCol, fracs)
+      reference.withColumn("__g", lit(0)), Seq("__g"), valueCol, fracs)
       .collect()
     require(edgeRows.nonEmpty && !edgeRows(0).isNullAt(
         edgeRows(0).fieldIndex("e1")),
-      s"numericPsi: baseline has no non-NULL '$valueCol' values — no " +
-        "distribution to drift against")
-    val edges = fracs.map { case (name, _) =>
-      edgeRows(0).getAs[Double](name) }
-    val v = col(valueCol).cast("double")
-    // CASE chain: bucket k holds (edge_{k-1}, edge_k]; bucket 0 is
-    // (-inf, edge_1]; the last is (edge_{buckets-1}, +inf). `<=` on
-    // the right edge matches the SQL oracle's chain exactly.
-    val bucketOf: Column = edges.zipWithIndex.foldRight(
-      lit(buckets - 1): Column) { case ((e, i), rest) =>
-      when(v <= lit(e), lit(i)).otherwise(rest)
+      s"drift banding: reference has no non-NULL '$valueCol' values — " +
+        "no distribution to drift against")
+    fracs.map { case (name, _) => edgeRows(0).getAs[Double](name) }
+  }
+
+  /** CASE chain over [[referenceBandEdges]]: bucket k holds
+    * (edge_{k-1}, edge_k]; bucket 0 is (-inf, edge_1]; the last is
+    * (edge_{buckets-1}, +inf). `<=` on the right edge matches the SQL
+    * oracle's chain exactly. */
+  private[graft] def bandBucket(v: Column, edges: Seq[Double],
+                                buckets: Int): Column =
+    edges.zipWithIndex.foldRight(lit(buckets - 1): Column) {
+      case ((e, i), rest) => when(v <= lit(e), lit(i)).otherwise(rest)
     }
+
+  def numericPsi(base: DataFrame, cur: DataFrame, valueCol: String,
+                 buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val edges = referenceBandEdges(base, valueCol, buckets)
+    val v = col(valueCol).cast("double")
+    val bucketOf: Column = bandBucket(v, edges, buckets)
     def counts(df: DataFrame, as: String): DataFrame =
       df.filter(v.isNotNull).groupBy(bucketOf.as("bucket"))
         .agg(count(lit(1)).as(as))

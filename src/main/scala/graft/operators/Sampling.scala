@@ -97,18 +97,23 @@ object Sampling {
     * @return input columns + `key_q` (quantized key), the n winners,
     *         highest key first, ties by id
     */
+  /** The quantized A-ES key ln(u)/w in integer 1e-9 units — ONE
+    * definition for both sampler shapes (the arithmetic is mirrored
+    * digit for digit by two DuckDB oracles; a drifted copy would break
+    * the hash gate). u = (first-8-hex-of-md5 + 1) / 2^32 ∈ (0,1]; +1
+    * and the power-of-two divide are exact, so ln sees the same
+    * double in every engine. */
+  private def aesKeyQ(idCol: String, weightCol: String): Column = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    floor(lit(1e9) * log(u) / col(weightCol).cast("double")).cast("long")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
-    // u = (first-8-hex-of-md5 + 1) / 2^32 ∈ (0,1]; +1 and the
-    // power-of-two divide are exact, so ln sees the same double in
-    // every engine
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key_q",
-        floor(lit(1e9) * log(u) / col(weightCol).cast("double"))
-          .cast("long"))
+      .withColumn("key_q", aesKeyQ(idCol, weightCol))
       .orderBy(col("key_q").desc, col(idCol))
       .limit(n)
   }
@@ -122,15 +127,11 @@ object Sampling {
                              weightCol: String, groupCol: String,
                              n: Int): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("key_q").desc, col(idCol))
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key_q",
-        floor(lit(1e9) * log(u) / col(weightCol).cast("double"))
-          .cast("long"))
+      .withColumn("key_q", aesKeyQ(idCol, weightCol))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= n)
   }

@@ -495,7 +495,11 @@ object AnalyticsQueries {
       val kk = 4096
       val week = floor(datediff(to_date(col("ts")),
         lit("2024-01-01").cast("date")) / 7).cast("long")
+      // NULL user_id excluded EXPLICITLY on both sides (kmvState skips
+      // NULLs; without the mirror filter the oracle's week totals
+      // would count a NULL-user group the sketch never sees)
       val sk = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
         .groupBy(week.as("week"))
         .agg(kmvState(col("user_id"), kk).as("sk"))
       val a = sk.select(col("week"), col("sk"))
@@ -1530,7 +1534,7 @@ object AnalyticsQueries {
         |  SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
         |                              CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
         |         user_id
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT week, COUNT(*) AS n FROM a GROUP BY week),
         |ov AS (
         |  SELECT x.week, COUNT(*) AS n_returning

@@ -133,29 +133,21 @@ object EventStreams {
                             windowLength: String = "1 hour",
                             watermark: String = "2 hours",
                             eps: Double = 1e-6): DataFrame = {
-    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
-    import graft.operators.Percentiles
-    val fracs = (1 until buckets).map(k => s"e$k" -> k.toDouble / buckets)
-    val edgeRows = Percentiles.exactGroupedPercentiles(
-      reference.withColumn("__g", lit(0)), Seq("__g"), refValueCol, fracs)
-      .collect()
-    require(edgeRows.nonEmpty &&
-        !edgeRows(0).isNullAt(edgeRows(0).fieldIndex("e1")),
-      s"streamingNumericDrift: reference has no non-NULL " +
-        s"'$refValueCol' values — no distribution to drift against")
-    val edges = fracs.map { case (name, _) =>
-      edgeRows(0).getAs[Double](name) }
-    def bucketOf(c: Column): Column =
-      edges.zipWithIndex.foldRight(lit(buckets - 1): Column) {
-        case ((e, i), rest) => when(c <= lit(e), lit(i)).otherwise(rest)
-      }
-    streamingCategoricalDrift(
-      events.filter(col(valueCol).isNotNull)
-        .withColumn("__bucket", bucketOf(col(valueCol).cast("double"))),
-      "__bucket",
-      reference.filter(col(refValueCol).isNotNull)
-        .select(bucketOf(col(refValueCol).cast("double")).as("__bucket")),
-      "__bucket", windowLength, watermark, eps)
+    import graft.operators.Drift
+    // wiring makes two reference passes (edge derivation, then the
+    // rate collect inside the categorical monitor) — cache across
+    // them so a stream (re)start costs one reference scan
+    val ref = reference.filter(col(refValueCol).isNotNull).cache()
+    try {
+      val edges = Drift.referenceBandEdges(ref, refValueCol, buckets)
+      def bucketOf(c: Column): Column = Drift.bandBucket(c, edges, buckets)
+      streamingCategoricalDrift(
+        events.filter(col(valueCol).isNotNull)
+          .withColumn("__bucket", bucketOf(col(valueCol).cast("double"))),
+        "__bucket",
+        ref.select(bucketOf(col(refValueCol).cast("double")).as("__bucket")),
+        "__bucket", windowLength, watermark, eps)
+    } finally ref.unpersist()
   }
 
   /** In-stream exactly-once dedup on an id column: duplicates arriving
