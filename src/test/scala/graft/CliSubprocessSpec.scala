@@ -184,4 +184,33 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     r.stdout should include("""{"step":"madOutlierFilter","rows":3}""")
     r.stdout should include(""""rows_out":3""")
   }
+
+  test("pipeline action: classifierFilter + weightedSample through the CLI protocol") {
+    // md5 buckets at dim=4: good→2 great→3 bad/awful→0 the/spam→1;
+    // weights [-D, 0, +D, +D] in micro-units → docs 1 and 3 score
+    // mean logit 1.0 (kept at 0.5), docs 2 and 4 score ≤0 (dropped);
+    // the weighted sampler then keeps the single highest A-ES key
+    val csv = "\"doc_id\",\"text\",\"w\"\n" +
+      "\"1\",\"good great\",\"2\"\n" +
+      "\"2\",\"bad awful\",\"9\"\n" +
+      "\"3\",\"good good\",\"5\"\n" +
+      "\"4\",\"the spam\",\"7\"\n"
+    val dir = mkDataDir(
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/tables/docs.csv", "output": "out/scored",
+        |  "format": "csv", "collectStats": true,
+        |  "steps": [
+        |    {"type": "classifierFilter", "minMeanLogit": 0.5,
+        |     "weightsQ": [-1000003, 0, 1000003, 1000003]},
+        |    {"type": "weightedSample", "n": 1, "weightColumn": "w"}
+        |  ]}}}""".stripMargin, None)
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/tables/docs.csv"), csv)
+    val r = runCli(dir)
+    withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    r.stdout should include(""""status":"success"""")
+    r.stdout should include("""{"step":"classifierFilter","rows":2}""")
+    r.stdout should include("""{"step":"weightedSample","rows":1}""")
+    r.stdout should include(""""rows_out":1""")
+  }
 }
