@@ -158,6 +158,32 @@ object BpeInduction {
         w => applyMerges(toSymbols(w), merges))),
       array().cast("array<string>"))
 
+  /** Persist a learned merge list as a tiny rank-ordered parquet —
+    * the tokenizer ARTIFACT a training pipeline ships alongside its
+    * corpus (induce once on the 100 TB corpus, encode everywhere).
+    * Overwrite semantics: a re-trained model replaces the old one
+    * atomically (parquet overwrite). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    require(merges.nonEmpty, "refusing to persist an empty merge list")
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rnk", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge list saved by [[saveMerges]], in learned order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rnk"), col("left"), col("right"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"no merges at $path")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Corpus encoding via the vocabulary: fold the merges over each
     * DISTINCT word (vocab-sized work — the same table induction
     * already aggregates), then broadcast-join token instances to

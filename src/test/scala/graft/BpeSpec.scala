@@ -123,6 +123,24 @@ class BpeSpec extends SparkSpec {
     got shouldBe Map("a b" -> 5L, "b a" -> 2L)
   }
 
+  test("saveMerges/loadMerges round-trips the model; encodings identical") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeInduction.induceMerges(docs, "text", nMerges = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/model"
+    BpeInduction.saveMerges(spark, merges, path)
+    val loaded = BpeInduction.loadMerges(spark, path)
+    loaded shouldBe merges
+    val a = BpeInduction.encodeCorpus(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = BpeInduction.encodeCorpus(docs, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    b shouldBe a
+    an[IllegalArgumentException] should be thrownBy
+      BpeInduction.saveMerges(spark, Seq.empty, path + "2")
+  }
+
   test("applyMerges refuses oversized merge lists (expression-tree bound)") {
     val fake = Seq.fill(257)(("a", "b"))
     an[IllegalArgumentException] should be thrownBy
