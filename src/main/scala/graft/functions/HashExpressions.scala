@@ -6,6 +6,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch/similarity hot paths.
   *
@@ -230,6 +231,16 @@ object HashImpls {
     * vectors; NaN/null elements fail loud (the HOF twin errors on its
     * ANSI long cast for those — invalid input either way). The HOF
     * pair stays the oracle-mirrored form, this is its hot-path twin. */
+  /** NFC normalization of a UTF8String; already-normalized input (all
+    * ASCII, most NFC text) short-circuits without re-encoding. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def sq8Roundtrip(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Double](n)
@@ -262,6 +273,24 @@ object HashImpls {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/** Unicode NFC normalization — the canonical-composition pass a text
+  * pipeline runs before hashing/dedup (the same logical string can
+  * arrive composed or decomposed; exact dedup and md5 fingerprints
+  * would treat them as different documents). Native expression with
+  * codegen (java.text.Normalizer is allocation-light for
+  * already-normalized ASCII/NFC input — the common case short-circuits
+  * via isNormalized). Mirrors DuckDB's `nfc_normalize`. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashImpls.nfc($a)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Native SQ8 round-trip over a double vector — one codegen'd call
@@ -433,6 +462,9 @@ object HashFunctions {
 
   def sq8Roundtrip(vecDouble: Column): Column =
     GraftBridge.column(Sq8Roundtrip(expr(vecDouble)))
+
+  def nfcNormalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(expr(text)))
 
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =

@@ -136,6 +136,30 @@ object TextQueries {
         bpePieceCount(col("text")).as("n_bpe_pieces"))
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC normalization (native codegen'd expression): the
+    // canonicalization pass that runs BEFORE hashing/dedup — the same
+    // logical text can arrive composed or decomposed, and md5
+    // fingerprints would split it into two "documents". The corpus
+    // plants decomposed e+COMBINING-ACUTE tails on every 20th doc;
+    // hash-green, the oracle uses DuckDB's own nfc_normalize.
+    "normalize_text" -> ((s, dir) => {
+      import graft.functions.HashFunctions.nfcNormalize
+      val decorated = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" caf"),
+          // DECOMPOSED e + U+0301 as an explicit escape (an editor
+          // could silently NFC-normalize a raw combining char; the
+          // oracle's 'e' || chr(769) matches this exactly)
+          lit("e\u0301")))
+          .otherwise(col("text")).as("text"))
+      decorated.select(col("doc_id"),
+          md5(nfcNormalize(col("text"))).as("nfc_md5"),
+          (nfcNormalize(col("text")) === col("text")).as("was_nfc"),
+          (length(nfcNormalize(col("text"))) - length(col("text")))
+            .cast("long").as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE tokenizer induction ------------------------------------
     // Corpus-weighted adjacent character-pair counts — round 0 of BPE
     // induction, hash-green (the oracle rebuilds word counts and char
@@ -495,6 +519,17 @@ object TextQueries {
          |    / (1000003.0 * GREATEST(CAST(n_toks AS DOUBLE), 1.0)) AS mean_logit,
          |  logit_q > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "normalize_text" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN text || ' caf' || 'e' || chr(769)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  nfc_normalize(text) = text AS was_nfc,
+        |  CAST(length(nfc_normalize(text)) - length(text) AS BIGINT)
+        |    AS len_delta
+        |FROM t ORDER BY doc_id""".stripMargin,
     // mirrors BpeInduction.wordCounts + pairCounts: same tokenizer,
     // char pairs as "left right", counts weighted by word frequency
     "bpe_pair_counts" ->

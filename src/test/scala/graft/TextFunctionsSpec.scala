@@ -131,6 +131,21 @@ class TextFunctionsSpec extends SparkSpec {
     h1 should not be h3
   }
 
+  test("nfcNormalize composes decomposed sequences; NFC/ASCII text unchanged") {
+    import graft.functions.HashFunctions.nfcNormalize
+    one(nfcNormalize(col("text")), "cafe\u0301") shouldBe "caf\u00e9"
+    one(nfcNormalize(col("text")), "caf\u00e9") shouldBe "caf\u00e9"
+    one(nfcNormalize(col("text")), "plain ascii") shouldBe "plain ascii"
+    one(nfcNormalize(col("text")), "") shouldBe ""
+    // dedup consequence: composed and decomposed forms fingerprint
+    // identically AFTER normalization, differently before
+    import org.apache.spark.sql.functions.md5
+    one(md5(nfcNormalize(col("text"))), "cafe\u0301") shouldBe
+      one(md5(nfcNormalize(col("text"))), "caf\u00e9")
+    one(md5(col("text")), "cafe\u0301") should not be
+      one(md5(col("text")), "caf\u00e9")
+  }
+
   // ---- hashed-feature linear model ---------------------------------
 
   /** JVM-side reference of LinearModel's md5 bucket + Knuth weight. */
