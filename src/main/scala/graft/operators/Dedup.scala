@@ -498,8 +498,7 @@ object Dedup {
           s"${oversized(0).getLong(2)} docs (> maxBucket=$maxBucket); " +
           "silently skipping them would exempt those eval docs from " +
           "the screen — raise maxBucket or dedup the eval set")
-    val okEval = evalBands
-    val candidates = corpusBands.join(broadcast(okEval),
+    val candidates = corpusBands.join(broadcast(evalBands),
         Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id"))
       .dropDuplicates("doc_id", "eval_id")

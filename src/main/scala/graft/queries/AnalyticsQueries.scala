@@ -15,6 +15,18 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Integer week-of-corpus of an event ts (days since 2024-01-01 div
+    * 7) — ONE definition for the cohort/overlap queries, mirrored by
+    * [[eventWeekSql]] in their oracles. */
+  private def eventWeek: org.apache.spark.sql.Column =
+    floor(datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date")) / 7).cast("long")
+
+  /** DuckDB mirror of [[eventWeek]]. */
+  private val eventWeekSql =
+    """CAST(floor(date_diff('day', DATE '2024-01-01',
+      |                              CAST(ts AS DATE)) / 7) AS BIGINT)""".stripMargin
+
   /** Shared probe/reference sampling for the as-of join family — the
     * four variants (backward/forward/nearest/tolerance) and their four
     * oracle strings must agree on this population, so it lives once. */
@@ -493,8 +505,7 @@ object AnalyticsQueries {
     "weekly_user_overlap_kmv" -> ((s, dir) => {
       import graft.functions.KmvFunctions._
       val kk = 4096
-      val week = floor(datediff(to_date(col("ts")),
-        lit("2024-01-01").cast("date")) / 7).cast("long")
+      val week = eventWeek
       // NULL user_id excluded EXPLICITLY on both sides (kmvState skips
       // NULLs; without the mirror filter the oracle's week totals
       // would count a NULL-user group the sketch never sees)
@@ -549,8 +560,7 @@ object AnalyticsQueries {
     // self-join of the raw stream. Hash-green.
     "cohort_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val week = floor(datediff(to_date(col("ts")),
-        lit("2024-01-01").cast("date")) / 7).cast("long")
+      val week = eventWeek
       val activity = ev.select(col("user_id"), week.as("week")).distinct()
       val cohorts = activity.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
@@ -1530,9 +1540,8 @@ object AnalyticsQueries {
         |GROUP BY d.o_orderstatus
         |ORDER BY d.o_orderstatus""".stripMargin,
     "weekly_user_overlap_kmv" ->
-      """WITH a AS (
-        |  SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
-        |                              CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+      s"""WITH a AS (
+        |  SELECT $eventWeekSql AS week,
         |         user_id
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT week, COUNT(*) AS n FROM a GROUP BY week),
@@ -1570,10 +1579,9 @@ object AnalyticsQueries {
         |       COUNT(t3) AS n_purchase_after
         |FROM u ORDER BY n_signup""".stripMargin,
     "cohort_retention" ->
-      """WITH a AS (
+      s"""WITH a AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(floor(date_diff('day', DATE '2024-01-01',
-        |                         CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+        |    $eventWeekSql AS week
         |  FROM events),
         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
         |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,

@@ -90,6 +90,16 @@ object PipelineQueries {
        |       * sqrt(list_reduce(list_transform($b,
        |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
 
+  /** DuckDB mirror of [[graft.operators.Sampling]]'s quantized A-ES
+    * key — ln(u)/w in integer 1e-9 units over (doc_id, n_chars). ONE
+    * definition for both weighted-sampler oracles (the single-
+    * definition rule: a drifted copy would break the hash gate). */
+  private val aesKeySql =
+    """CAST(floor(1e9 * ln(
+      |        (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |              AS BIGINT) + 1) / 4294967296.0)
+      |      / CAST(n_chars AS DOUBLE)) AS BIGINT)""".stripMargin
+
   /** DuckDB mirror of [[Dedup.shingles]] (n=3) + array_distinct. */
   private val shinglesSql =
     s"""CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -123,6 +133,24 @@ object PipelineQueries {
   /** The one bag-of-terms retrieval query both index gate queries
     * share — mirrored literally in the oracles. */
   private val probeTerms = Seq("spark", "merge", "window")
+
+  /** Shared shape of the two hybrid-retrieval gate queries: BM25
+    * top-20 fused with a semantic top-20 produced by `semantic`
+    * (exact brute force or the persisted IVF probe) from (corpus,
+    * one-query frame) — ONE definition so the exact and indexed
+    * variants can't drift in anything but the retriever. */
+  private def hybridFused(s: SparkSession, dir: String,
+                          semantic: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val lex = graft.operators.InvertedIndex
+      .bm25(s, invertedIndexFor(s, dir), probeTerms, topK = 20)
+      .select(col("doc_id"), col("rnk"))
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sem = semantic(emb, q)
+      .select(col("neighbor_id").as("doc_id"), col("rnk"))
+    graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id", topK = 10)
+  }
 
   /** Build-once-per-session guard for the persisted IVF index under a
     * deterministic per-sfDir path — shared by every gate query that
@@ -168,19 +196,9 @@ object PipelineQueries {
     // lists, each quantized to integer 1e-9 units before the per-doc
     // sum — hash-green, the oracle recomputes both retrievers and the
     // identical fusion arithmetic in SQL.
-    "hybrid_search" -> ((s, dir) => {
-      val lex = graft.operators.InvertedIndex
-        .bm25(s, invertedIndexFor(s, dir), probeTerms, topK = 20)
-        .select(col("doc_id"), col("rnk"))
-      val emb = Tables(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 7)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val sem = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
-          k = 20)
-        .select(col("neighbor_id").as("doc_id"), col("rnk"))
-      graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
-        topK = 10)
-    }),
+    "hybrid_search" -> ((s, dir) =>
+      hybridFused(s, dir, (emb, q) =>
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 20))),
 
     // The 100 TB shape of the same fusion: both retrievers probe
     // PERSISTED indexes (term-bucket-pruned BM25, centroid-pruned
@@ -188,19 +206,10 @@ object PipelineQueries {
     // corpus-sized. Rows-only (IVF candidate generation is
     // centroid-dependent); indexed-vs-exact fusion parity is pinned in
     // HybridSearchSpec.
-    "hybrid_search_indexed" -> ((s, dir) => {
-      val lex = graft.operators.InvertedIndex
-        .bm25(s, invertedIndexFor(s, dir), probeTerms, topK = 20)
-        .select(col("doc_id"), col("rnk"))
-      val emb = Tables(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 7)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val sem = Similarity.ivfTopKPersisted(s, ivfIndexFor(s, dir, emb),
-          q, "vec_id", "embedding", k = 20)
-        .select(col("neighbor_id").as("doc_id"), col("rnk"))
-      graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
-        topK = 10)
-    }),
+    "hybrid_search_indexed" -> ((s, dir) =>
+      hybridFused(s, dir, (emb, q) =>
+        Similarity.ivfTopKPersisted(s, ivfIndexFor(s, dir, emb), q,
+          "vec_id", "embedding", k = 20))),
 
     // ---- corpus overlap (KMV set sketches) --------------------------
     // "How much of corpus B is already in A?" from two k·8-byte KMV
@@ -949,28 +958,22 @@ object PipelineQueries {
         |           AS BIGINT) % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
     "weighted_sample_grouped" ->
-      """SELECT doc_id, lang, key_q, rnk FROM (
+      s"""SELECT doc_id, lang, key_q, rnk FROM (
         |  SELECT doc_id, lang, key_q,
         |    row_number() OVER (PARTITION BY lang
         |                       ORDER BY key_q DESC, doc_id) AS rnk
         |  FROM (
         |    SELECT doc_id, lang,
-        |      CAST(floor(1e9 * ln(
-        |          (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |                AS BIGINT) + 1) / 4294967296.0)
-        |        / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
+        |      $aesKeySql AS key_q
         |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0))
         |WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
     // mirrors Sampling.weightedSample: u = (md5-int + 1)/2^32 exact,
     // key = ln(u)/w floor-quantized to 1e-9 units, ties by doc_id
     "weighted_sample" ->
-      """SELECT doc_id, n_chars, key_q FROM (
+      s"""SELECT doc_id, n_chars, key_q FROM (
         |  SELECT doc_id, n_chars,
-        |    CAST(floor(1e9 * ln(
-        |        (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |              AS BIGINT) + 1) / 4294967296.0)
-        |      / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
+        |    $aesKeySql AS key_q
         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
         |  ORDER BY key_q DESC, doc_id LIMIT 100)
         |ORDER BY key_q DESC, doc_id""".stripMargin,
