@@ -395,6 +395,9 @@ object Pipeline {
         }
       case PiiRedact =>
         df.withColumn(p.textColumn, TextFunctions.redactPii(text))
+      case Normalize =>
+        df.withColumn(p.textColumn,
+          graft.functions.HashFunctions.nfcNormalize(text))
       case Sample(fraction) =>
         Sampling.deterministicSample(df, p.idColumn, fraction)
       case ws: WeightedSample =>

@@ -193,6 +193,7 @@ object ConfigParser {
             "classifierFilter 'dim' conflicts with weightsQ length")
         ClassifierFilter(dbl("minMeanLogit", 0.0), d, w)
       case "piiRedact" => PiiRedact
+      case "normalize" => Normalize
       case "sample" =>
         val f = dbl("fraction", -1)
         if (f < 0 || f > 1)

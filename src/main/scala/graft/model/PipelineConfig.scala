@@ -105,6 +105,11 @@ object PipelineStep {
     * [[graft.functions.TextFunctions.redactPii]]. */
   case object PiiRedact extends PipelineStep { val kind = "piiRedact" }
 
+  /** Unicode-NFC-normalize the text column
+    * ([[graft.functions.NfcNormalize]]) — run BEFORE dedup steps so
+    * composed/decomposed variants of the same text collapse. */
+  case object Normalize extends PipelineStep { val kind = "normalize" }
+
   /** Deterministic hash sample
     * ([[graft.operators.Sampling.deterministicSample]]). */
   final case class Sample(fraction: Double) extends PipelineStep {

@@ -440,6 +440,30 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: normalize step lets exact dedup collapse composed/decomposed twins") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-nfc").toString
+    Seq((1L, "summer caf\u00e9 menu"), // composed e-acute
+        (2L, "summer cafe\u0301 menu"), // decomposed e + U+0301
+        (3L, "unrelated document"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/n", "collectStats": true,
+        |  "steps": [{"type": "normalize"}, {"type": "dedupExact"}]}}}"""
+        .stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    // without normalization the two cafés hash apart; with it they
+    // dedup to the smaller id
+    out.get should include("""{"step":"dedupExact","rows":2}""")
+    spark.read.parquet(s"$dir/out/n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L)
+  }
+
   test("pipeline action: weightedSample step keeps n rows, drops its helper column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ws").toString
