@@ -376,4 +376,36 @@ class ScaleSpec extends SparkSpec {
     // broadcasts; a SortMergeJoin would shuffle corpus shingle arrays
     "(?i)broadcasthashjoin".r.findAllIn(plan).size should be >= 2
   }
+
+  /** The AQE plan string renders the Final AND Initial plans — slice
+    * to the final section so exchange counts aren't double-counted. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("Initial Plan")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("plan shape: funnel chains its three window minima over ONE user shuffle") {
+    val plan = finalPlanOf(SparkEntry.queries("funnel_stages")(
+      spark, "/root/testdata/sf0.001")).toLowerCase
+    // all three stage minima partition by user_id: the three Window
+    // operators and the per-user aggregate reuse one hash exchange of
+    // the event stream (plus the 1-row final agg exchange) — a
+    // per-stage re-shuffle would read 3× at any scale
+    "exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size shouldBe 1
+    "windowspecdefinition\\(user_id".r.findAllIn(plan).size should be >= 3
+  }
+
+  test("plan shape: grouped weighted sample is one window over the group key, no sort of the corpus") {
+    val plan = finalPlanOf(SparkEntry.queries("weighted_sample_grouped")(
+      spark, "/root/testdata/sf0.001")).toLowerCase
+    "exchange hashpartitioning\\(lang".r.findAllIn(plan).size shouldBe 1
+    plan should not include "cartesian"
+    // bonus optimizer behavior worth pinning: the rank-limit window
+    // runs with a PARTIAL WindowGroupLimit below the exchange, so each
+    // map task pre-trims to the top-n before shuffling
+    plan should include("windowgrouplimit")
+  }
 }
