@@ -80,12 +80,22 @@ object Percentiles {
     *                  take plain `percentile()` (its buffer holds one
     *                  entry per DISTINCT value, so this bounds the
     *                  buffer at ~threshold entries worst-case); 0 forces
-    *                  every non-empty group through the sketch path. */
+    *                  every non-empty group through the sketch path.
+    * @param maxRoutedGroups cardinality guard on the driver-side
+    *                  routing table: the count pass is probed with
+    *                  `limit(cap+1)` — if MORE groups exist, nothing
+    *                  further is collected and the whole computation
+    *                  takes [[distributedGroupedPercentiles]] (same
+    *                  algorithm, bands materialized on executors
+    *                  instead of as driver literals). Keeps a
+    *                  high-cardinality key (user_id, domain) from
+    *                  building an O(#groups) driver table. */
   def exactGroupedPercentiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, targets: Seq[(String, Double)],
       accuracy: Int = 10000,
       bandDelta: Option[Double] = None,
-      smallGroupThreshold: Long = 1L << 20): DataFrame = {
+      smallGroupThreshold: Long = 1L << 20,
+      maxRoutedGroups: Int = 65536): DataFrame = {
     require(targets.nonEmpty, "need at least one percentile target")
     targets.foreach { case (n, p) => require(p >= 0 && p <= 1,
       s"fraction for '$n' out of [0,1]: $p") }
@@ -117,9 +127,18 @@ object Percentiles {
       src.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
     }
 
-    // Pass 1a — route (eager): per-group non-NULL counts at the driver.
+    // Pass 1a — route (eager): per-group non-NULL counts at the
+    // driver, CARDINALITY-GUARDED: the probe collects at most cap+1
+    // rows (the aggregation itself is distributed either way; only
+    // the collect is bounded). cap+1 rows back means the group key is
+    // too wide for driver routing — take the fully-distributed plan,
+    // which never materializes a per-group table anywhere.
     val countRows = dfv.groupBy(g: _*)
-      .agg(count(col("__v")).as("__n")).collect()
+      .agg(count(col("__v")).as("__n"))
+      .limit(maxRoutedGroups + 1).collect()
+    if (countRows.length > maxRoutedGroups)
+      return distributedGroupedPercentiles(df, groupCols, valueCol,
+        targets, accuracy, bandDelta, smallGroupThreshold)
     val largeRows = countRows.filter(_.getLong(1) > smallGroupThreshold)
 
     if (largeRows.isEmpty)
@@ -301,6 +320,189 @@ object Percentiles {
     // Safety net: every observed group appears exactly once, NULL
     // percentiles for any group both paths dropped.
     val allKeys = keyFrame(countRows.toSeq)
+    unpack(allKeys.join(union, Seq("__g"), "left"))
+  }
+
+  /** The high-cardinality twin of [[exactGroupedPercentiles]]: same
+    * nominate/locate/verify algorithm, ZERO driver-side per-group
+    * state. Every table the routed plan collected (counts, GK bands,
+    * the (group, target) routing rows) stays a DataFrame keyed by the
+    * group struct; every broadcast join becomes a shuffle join on
+    * `__g`. Entered automatically when the routing probe overflows
+    * `maxRoutedGroups`, or callable directly when the caller knows the
+    * key is wide.
+    *
+    * The one materialization: the count+band aggregation is
+    * `localCheckpoint()`ed (eager). GK merge results vary with
+    * partial-aggregate arrival order, so the band subtree must be
+    * evaluated EXACTLY ONCE — the routed plan got that by collecting
+    * bands to literals; here lineage truncation gives the same
+    * guarantee with the blocks living on executors (lost-executor
+    * recomputation is impossible by construction — the job fails over
+    * to a retry rather than silently re-banding). Size is
+    * O(#groups × 2P doubles), spread across the cluster.
+    *
+    * Bit-parity with `percentile()` holds by the same argument as the
+    * routed plan: identical band widths, identical conditional-sum
+    * offsets, identical window ranking, identical two-sided
+    * interpolation arithmetic. */
+  def distributedGroupedPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, targets: Seq[(String, Double)],
+      accuracy: Int = 10000,
+      bandDelta: Option[Double] = None,
+      smallGroupThreshold: Long = 1L << 20): DataFrame = {
+    require(targets.nonEmpty, "need at least one percentile target")
+    targets.foreach { case (n, p) => require(p >= 0 && p <= 1,
+      s"fraction for '$n' out of [0,1]: $p") }
+    val P = targets.size
+    val eps = 1.0 / accuracy
+    val delta = bandDelta.getOrElse(5.0 / accuracy)
+    val fracs = targets.map(_._2)
+    val loFracs = fracs.map(p => math.max(0.0, p - delta))
+    val hiFracs = fracs.map(p => math.min(1.0, p + delta))
+
+    val g = Seq(col("__g"))
+    val dfv = df.select(struct(groupCols.map(col): _*).as("__g"),
+      col(valueCol).cast("double").as("__v"))
+
+    def unpack(wide: DataFrame): DataFrame =
+      wide.select(groupCols.map(c => col(s"__g.`$c`").as(c)) ++
+        targets.map { case (name, _) => col(name) }: _*)
+    def wideExact(src: DataFrame): DataFrame = {
+      val aggs = targets.map { case (name, p) =>
+        expr(s"percentile(__v, $p)").as(name) }
+      src.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    // Pass 1 — count + nominate in ONE aggregation, materialized
+    // eagerly exactly once (see scaladoc: GK is arrival-order
+    // sensitive; downstream passes must all see the same bands).
+    val bandExpr = s"percentile_approx(__v, array(${(loFracs ++ hiFracs)
+      .mkString(",")}), $accuracy)"
+    val stats = dfv.groupBy(g: _*)
+      .agg(count(col("__v")).as("__n"), expr(bandExpr).as("__band"))
+      .localCheckpoint()
+
+    val smallKeys = stats.filter(col("__n") <= smallGroupThreshold)
+      .select(g: _*)
+    val largeStats = stats.filter(col("__n") > smallGroupThreshold)
+
+    // Long-form routing table AS A DATAFRAME: one row per
+    // (group, target i) with band, pos/k0/k1 — percentile()'s own
+    // arithmetic (pos = p·(n−1) in doubles), matching the routed
+    // plan's driver-side Pair exactly.
+    val fracArr = array(fracs.map(lit): _*)
+    val pairsLong = largeStats
+      .select(col("__g"), col("__n"),
+        posexplode(array((0 until P).map(i => struct(
+          element_at(col("__band"), i + 1).as("lo"),
+          element_at(col("__band"), P + i + 1).as("hi"))): _*)))
+      .select(col("__g"), col("__n"), col("pos").as("__i"),
+        col("col.lo").as("__lo"), col("col.hi").as("__hi"))
+      .withColumn("__pos",
+        element_at(fracArr, col("__i") + 1) * (col("__n") - 1))
+      .withColumn("__k0", floor(col("__pos")).cast("long"))
+      .withColumn("__k1", ceil(col("__pos")).cast("long"))
+
+    // Pass 2 — rank offsets + in-band sizes (large groups only):
+    // identical conditional sums, shuffle join instead of broadcast.
+    val withBand = dfv
+      .join(largeStats.select(col("__g"), col("__band")), Seq("__g"))
+    val belowAggs = (0 until P).map(i =>
+      sum(when(col("__v") < element_at(col("__band"), i + 1), 1L)
+        .otherwise(0L)).as(s"__below_$i"))
+    val inAggs = (0 until P).map(i =>
+      sum(when(col("__v") >= element_at(col("__band"), i + 1) &&
+          col("__v") <= element_at(col("__band"), P + i + 1), 1L)
+        .otherwise(0L)).as(s"__in_$i"))
+    val offsets = withBand.filter(col("__v").isNotNull)
+      .groupBy(g: _*).agg((belowAggs ++ inAggs).head,
+        (belowAggs ++ inAggs).tail: _*)
+      .select(g ++ Seq(
+        array((0 until P).map(i => col(s"__below_$i")): _*).as("__belows"),
+        array((0 until P).map(i => col(s"__in_$i")): _*).as("__ins")): _*)
+
+    val pw = pairsLong.join(offsets, Seq("__g"))
+    val belowI = element_at(col("__belows"), col("__i") + 1)
+    val inI = element_at(col("__ins"), col("__i") + 1)
+
+    // Degenerate-band short-circuit — same covered check and same
+    // bit-parity interpolation of the equal endpoints.
+    val scCovered = pw
+      .filter(col("__lo") === col("__hi") &&
+        col("__k0") >= belowI && col("__k1") <= belowI + inI - 1)
+      .withColumn("__value",
+        when(col("__k0") === col("__k1"), col("__lo"))
+          .otherwise(
+            (col("__k1").cast("double") - col("__pos")) * col("__lo") +
+            (col("__pos") - col("__k0").cast("double")) * col("__lo")))
+      .select(g ++ Seq(col("__i"), col("__value")): _*)
+
+    // Pass 3 — locate real bands under the same in-band budget; a
+    // blown budget routes the pair to the fallback, never the window.
+    val bandBudget = greatest(lit(4096L),
+      lit(32.0 * (delta + eps)) * col("__n")).cast("long")
+    val winPairs = pw
+      .filter(col("__lo") < col("__hi") && inI <= bandBudget)
+      .select(g ++ Seq(col("__i"), col("__lo"), col("__hi"),
+        col("__pos"), col("__k0"), col("__k1"),
+        belowI.as("__below")): _*)
+    val banded = dfv.filter(col("__v").isNotNull)
+      .join(winPairs, Seq("__g"))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+    val rn = row_number().over(
+      Window.partitionBy(g :+ col("__i"): _*).orderBy(col("__v")))
+    val located = banded.withColumn("__rn", rn)
+      .withColumn("__rank", col("__below") + col("__rn") - 1)
+      .filter(col("__rank") === col("__k0") || col("__rank") === col("__k1"))
+      .groupBy(g ++ Seq(col("__i"), col("__pos"), col("__k0"),
+        col("__k1")): _*)
+      .agg(
+        min(when(col("__rank") === col("__k0"), col("__v"))).as("__v0"),
+        min(when(col("__rank") === col("__k1"), col("__v"))).as("__v1"))
+    val winCovered = located
+      .filter(col("__v0").isNotNull && col("__v1").isNotNull)
+      .withColumn("__value",
+        when(col("__k0") === col("__k1"), col("__v0"))
+          .otherwise(
+            (col("__k1").cast("double") - col("__pos")) * col("__v0") +
+            (col("__pos") - col("__k0").cast("double")) * col("__v1")))
+      .select(g ++ Seq(col("__i"), col("__value")): _*)
+    val covered = scCovered.unionByName(winCovered)
+
+    // Exact-verify fallback for missed/rerouted pairs — semi joins on
+    // the key, no broadcast pin (the missed set is usually empty and
+    // AQE collapses the scan).
+    val expected = pairsLong.select(g :+ col("__i"): _*)
+    val missed = expected.join(covered, Seq("__g", "__i"), "left_anti")
+    val missedGroups = missed.select(g: _*).distinct()
+    val exactAggs = targets.zipWithIndex.map { case ((_, p), i) =>
+      expr(s"percentile(__v, $p)").as(s"__exact_$i") }
+    val fallbackWide = dfv.join(missedGroups, Seq("__g"), "left_semi")
+      .groupBy(g: _*).agg(exactAggs.head, exactAggs.tail: _*)
+    val fallbackLong = fallbackWide
+      .select(g :+ explode(array((0 until P).map(i => struct(
+        lit(i).as("__i"), col(s"__exact_$i").as("__value"))): _*))
+        .as("__e"): _*)
+      .select(g ++ Seq(col("__e.__i").as("__i"), col("__e.__value")
+        .as("__value")): _*)
+      .join(missed.select((g :+ col("__i")): _*), Seq("__g", "__i"),
+        "left_semi")
+
+    val long = covered.unionByName(fallbackLong)
+    val wideAggs = targets.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("__i") === i, col("__value"))).as(name) }
+    val wideSketch = long.groupBy(g: _*).agg(wideAggs.head,
+      wideAggs.tail: _*)
+
+    // Small groups (incl. all-NULL) take the classic plan, restricted
+    // by semi join.
+    val smallWide = wideExact(
+      dfv.join(smallKeys, Seq("__g"), "left_semi"))
+    val union = smallWide.unionByName(wideSketch)
+
+    // Safety net: every observed group exactly once.
+    val allKeys = stats.select(g: _*)
     unpack(allKeys.join(union, Seq("__g"), "left"))
   }
 

@@ -18,9 +18,11 @@ class PercentilesSpec extends SparkSpec {
   private def check(df: org.apache.spark.sql.DataFrame,
                     accuracy: Int = 10000,
                     bandDelta: Option[Double] = None,
-                    threshold: Long = 1L << 20): Unit = {
+                    threshold: Long = 1L << 20,
+                    maxRouted: Int = 65536): Unit = {
     val got = rows(Percentiles.exactGroupedPercentiles(
-      df, Seq("g"), "v", targets, accuracy, bandDelta, threshold)
+      df, Seq("g"), "v", targets, accuracy, bandDelta, threshold,
+      maxRouted)
       .orderBy("g"))
     val want = rows(exact(df).orderBy("g"))
     got shouldBe want
@@ -172,6 +174,58 @@ class PercentilesSpec extends SparkSpec {
       // ~35-stage plan is a regression
       assert(jobs <= 14, s"mad composition ran $jobs jobs")
     } finally sc.clearJobGroup()
+  }
+
+  test("routing-cap overflow reroutes to the distributed plan; bit-parity holds") {
+    // maxRoutedGroups = 1 with 4 groups: the limit(2) probe overflows,
+    // nothing per-group is collected, and the distributed twin must
+    // produce percentile()-identical results across all group shapes
+    // and both small/large sub-paths.
+    check(shapes, maxRouted = 1)                       // all-small split
+    check(shapes, threshold = 0, maxRouted = 1)        // all-sketch
+    check(shapes, threshold = 1000, maxRouted = 1)     // mixed routing
+  }
+
+  test("distributed plan: NULL keys, all-NULL groups, duplicates, fallback") {
+    val mixed = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Some(3.0)), (None, Some(10.0)), (None, Some(20.0)),
+      (Some("n"), Option.empty[Double]), (Some("n"), None))
+      .toDF("g", "v")
+    for (th <- Seq(1L << 20, 0L)) {
+      val got = rows(Percentiles.distributedGroupedPercentiles(
+        mixed, Seq("g"), "v", targets, smallGroupThreshold = th)
+        .orderBy("g"))
+      got shouldBe rows(exact(mixed).orderBy("g"))
+    }
+    // heavy duplicates through the degenerate-band short-circuit
+    val heavy = ((0 until 9000).map(_ => ("h", 5.0)) ++
+      (0 until 1000).map(i => ("h", 10.0 + i))).toDF("g", "v")
+    rows(Percentiles.distributedGroupedPercentiles(
+      heavy, Seq("g"), "v", targets, smallGroupThreshold = 0)) shouldBe
+      rows(exact(heavy))
+    // collapsed bands force the exact-verify fallback — still exact
+    val vals = ((0 until 4096).map(i =>
+      ("a", ((i * 40503L) % 4096).toDouble)) ++
+      (0 until 1000).map(i => ("b", math.sin(i).abs * 100)))
+      .toDF("g", "v")
+    rows(Percentiles.distributedGroupedPercentiles(
+      vals, Seq("g"), "v", targets, accuracy = 50,
+      bandDelta = Some(0.0), smallGroupThreshold = 0)
+      .orderBy("g")) shouldBe rows(exact(vals).orderBy("g"))
+  }
+
+  test("distributed plan pins no broadcast on any SF-scaling relation") {
+    // The band/offset/routing tables all scale with #groups when the
+    // key is wide — the distributed twin must leave join strategy to
+    // size-based planning (no explicit broadcast() hints anywhere in
+    // its logical plan), unlike the routed plan whose hints are licensed
+    // by the driver-verified cardinality cap.
+    val df = shapes
+    val analyzed = Percentiles.distributedGroupedPercentiles(
+      df, Seq("g"), "v", targets, smallGroupThreshold = 0)
+      .queryExecution.analyzed.toString
+    analyzed should not include "ResolvedHint"
+    analyzed should not include "UnresolvedHint"
   }
 
   test("winsorize clamps into the exact percentile band; NULL semantics hold") {
