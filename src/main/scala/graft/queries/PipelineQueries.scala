@@ -763,7 +763,50 @@ object PipelineQueries {
           md5(col("media")).as("checksum"),
           (length(col("media")).cast("long") % 640L).as("fake_width"),
           (length(col("media")).cast("long") * 7L % 480L).as("fake_height"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // REAL container-header parsing, oracle-checked: every doc builds a
+    // spec-conformant PNG / JPEG / GIF byte stream IN SQL (unhex over
+    // concat'd hex — pure codegen, no UDF), with dimensions planted as
+    // arithmetic functions of doc_id; MediaHeaders must invert the
+    // construction byte-exactly. JPEG places variable-length APP0+COM
+    // segments before an alternating SOF0/SOF2 frame header so the
+    // marker SCAN is exercised, not a fixed offset; PNG varies the
+    // color type (→ channel count); GIF is little-endian. The oracle
+    // recomputes the planted values — the first hash-green multimodal
+    // entry (parse-real-images parity vs javax.imageio is spec-pinned
+    // in MultimodalSpec).
+    "media_dimensions" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val w = (lit(16) + pmod(col("doc_id"), lit(1000))).cast("int")
+      val h = (lit(16) + pmod(col("doc_id") * 7, lit(800))).cast("int")
+      def hx(c: org.apache.spark.sql.Column, n: Int) = lpad(hex(c), n, "0")
+      def le16(c: org.apache.spark.sql.Column) = concat(
+        hx(pmod(c, lit(256)), 2), hx(shiftright(c, 8), 2))
+      val colorType = pmod(col("doc_id"), lit(4)) * 2 // 0,2,4,6
+      val pngHex = concat(
+        lit("89504E470D0A1A0A0000000D49484452"), // sig + IHDR len/type
+        hx(w, 8), hx(h, 8), lit("08"), hx(colorType, 2),
+        lit("00000000000000")) // compression/filter/interlace + CRC
+      val pad = pmod(col("doc_id"), lit(37)) // COM comment length
+      val sof = when(pmod(col("doc_id"), lit(2)) === 0, "FFC0")
+        .otherwise("FFC2") // baseline / progressive
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFE000104A46494600010100000100010000"), // APP0 JFIF
+        lit("FFFE"), hx(pad + 2, 4), repeat(lit("41"), pad.cast("int")),
+        sof, lit("001108"), hx(h, 4), hx(w, 4),
+        lit("03012200021101031101")) // 3 components
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h),
+        lit("F700003B")) // flags/bg/aspect + trailer
+      val media = docs.select(col("doc_id"), unhex(
+        when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+          .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
+          .otherwise(gifHex)).as("media"))
+      Multimodal.imageDims(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "inverted_index_lookup" ->
@@ -1099,5 +1142,19 @@ object PipelineQueries {
         |  md5(text) AS checksum,
         |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
         |  CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted-dimension arithmetic of media_dimensions: the Spark
+    // side must recover exactly these values from the constructed
+    // container headers
+    "media_dimensions" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(16 + doc_id % 1000 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 800 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              WHEN 2 THEN 2 ELSE 4 END
+        |       ELSE 3 END AS INT) AS n_channels
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

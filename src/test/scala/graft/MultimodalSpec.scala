@@ -119,6 +119,87 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType
   }
 
+  test("MediaHeaders parses REAL images produced by javax.imageio") {
+    // Ground truth from an independent encoder in the JDK itself: write
+    // actual PNG/JPEG/GIF files and require the header parser to
+    // recover the encoded dimensions. (ImageIO is test-only ground
+    // truth — production payloads arrive as opaque bytes.)
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def render(fmt: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"ImageIO lacks $fmt writer")
+      bos.toByteArray
+    }
+    val cases = Seq(
+      ("png", 640, 480, BufferedImage.TYPE_INT_RGB, 3),
+      ("png", 17, 1203, BufferedImage.TYPE_INT_ARGB, 4),
+      ("png", 1, 1, BufferedImage.TYPE_BYTE_GRAY, 1),
+      ("jpg", 320, 240, BufferedImage.TYPE_INT_RGB, 3),
+      ("jpg", 1023, 7, BufferedImage.TYPE_INT_RGB, 3),
+      ("gif", 300, 200, BufferedImage.TYPE_INT_RGB, 3),
+      ("gif", 65535, 1, BufferedImage.TYPE_BYTE_INDEXED, 3))
+    cases.foreach { case (fmt, w, h, t, ch) =>
+      val (gotFmt, gotW, gotH, gotC) =
+        Multimodal.MediaHeaders.parse(render(fmt, w, h, t))
+      val wantFmt = if (fmt == "jpg") "jpeg" else fmt
+      (gotFmt, gotW, gotH) shouldBe ((wantFmt, w, h))
+      gotC shouldBe ch
+    }
+  }
+
+  test("MediaHeaders: truncated, corrupt, and non-image bytes are unknown") {
+    val mh = Multimodal.MediaHeaders
+    mh.parse(null) shouldBe mh.Unknown
+    mh.parse(Array[Byte]()) shouldBe mh.Unknown
+    mh.parse("plain text, not an image".getBytes("UTF-8")) shouldBe mh.Unknown
+    // PNG signature but truncated before the IHDR data
+    mh.parse(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
+      .map(_.toByte)) shouldBe mh.Unknown
+    // JPEG SOI but the stream hits start-of-scan without any SOF
+    mh.parse(Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0)
+      .map(_.toByte)) shouldBe mh.Unknown
+    // JPEG with lost marker sync (garbage where a marker must be)
+    mh.parse(Array(0xff, 0xd8, 0x12, 0x34, 0, 0).map(_.toByte)) shouldBe
+      mh.Unknown
+    // GIF signature with a bad version byte
+    mh.parse("GIF66a__________".getBytes("UTF-8")) shouldBe mh.Unknown
+  }
+
+  test("MediaHeaders: JPEG marker scan handles fill bytes and RSTn") {
+    // fill 0xFF padding between segments and a standalone TEM marker
+    // before SOF2 — the scanner must skip both without losing sync
+    def b(xs: Int*) = xs.map(_.toByte).toArray
+    val p = b(0xff, 0xd8) ++
+      b(0xff, 0xff, 0xff, 0x01) ++ // fill, fill, TEM (standalone)
+      b(0xff, 0xfe, 0x00, 0x05, 1, 2, 3) ++ // COM len 5
+      b(0xff, 0xc2, 0x00, 0x11, 8, 0x01, 0x00, 0x02, 0x00, 3) // SOF2 256x512
+    Multimodal.MediaHeaders.parse(p) shouldBe (("jpeg", 512, 256, 3))
+  }
+
+  test("imageDims: narrow map over the payload column, NULLs dropped") {
+    val pngHex = "89504E470D0A1A0A0000000D49484452" +
+      "00000280" + "000001E0" + "08" + "02" + "00000000000000"
+    val df = Seq(
+      (1L, Some(pngHex)),
+      (2L, Option.empty[String]),
+      (3L, Some("474946383961" + "4001" + "F000" + "F700003B")))
+      .toDF("doc_id", "hex")
+      .select(col("doc_id"), unhex(col("hex")).as("media"))
+    val got = Multimodal.imageDims(df, "doc_id", "media")
+      .orderBy("doc_id").collect()
+    got.length shouldBe 2 // NULL payload dropped
+    got(0).toSeq shouldBe Seq(1L, "png", 640, 480, 3)
+    got(1).toSeq shouldBe Seq(3L, "gif", 320, 240, 3)
+    // ImageHeaderDecoder feeds the same parse through the decoder seam
+    val meta = Multimodal.extractMeta(df, "doc_id", "media",
+      new Multimodal.ImageHeaderDecoder).orderBy("doc_id").collect()
+    meta(0).getStruct(1).toSeq shouldBe Seq(640, 480, 3, 1)
+  }
+
   test("ingestBinaryDir: byte-exact payloads, glob pruning, stable ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
     val payloads = (0 until 5).map { i =>
