@@ -106,6 +106,7 @@ object Pipeline {
       case d: Decontaminate      => Seq(d.evalPath)
       case d: DecontaminateFuzzy => Seq(d.evalPath)
       case m: Mix                => m.extra.map(_.input)
+      case c: ClassifierFilter   => c.weightsPath.toSeq // retrained model
       case _                     => Nil
     }
     paths.map(pp => fileSummary(spark, resolve(pp, dataDir))).mkString(";")
@@ -319,9 +320,12 @@ object Pipeline {
         df.filter(TextFunctions.qualityScore(text) >= minScore)
       case c: ClassifierFilter =>
         import graft.functions.LinearModel
-        val scoreQ = c.weightsQ match {
-          case Some(w) => LinearModel.linearScoreQ(text, w.toArray)
-          case None    => LinearModel.hashedLinearScoreQ(text, c.dim)
+        val scoreQ = (c.weightsQ, c.weightsPath) match {
+          case (Some(w), _) => LinearModel.linearScoreQ(text, w.toArray)
+          case (None, Some(pp)) => LinearModel.linearScoreQ(text,
+            LinearModel.loadWeightsQ(df.sparkSession,
+              resolve(pp, dataDir), c.dim))
+          case _ => LinearModel.hashedLinearScoreQ(text, c.dim)
         }
         df.filter(LinearModel.meanLogit(scoreQ,
           TextFunctions.tokenCount(text)) >= c.minMeanLogit)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hashed-feature linear text classifier — the fastText/VW shape of
@@ -70,4 +70,79 @@ object LinearModel {
   def meanLogit(scoreQ: Column, nTokens: Column): Column =
     scoreQ.cast("double") /
       (lit(WeightDenom.toDouble) * greatest(nTokens.cast("double"), lit(1.0)))
+
+  /** One-pass deterministic trainer: Naive-Bayes-style per-bucket
+    * posterior weights from a labeled corpus. For each feature bucket,
+    * w_q[b] = ⌊(pos_b + 1) · WeightDenom / (n_b + 2)⌋ − (WeightDenom−1)/2
+    * — the add-one-smoothed Bernoulli posterior P(pos | bucket),
+    * fixed-point quantized and recentered so an uninformative bucket
+    * (or one never seen in training: (0+1)/(0+2) = 1/2) weighs EXACTLY
+    * zero. The sum-of-posteriors vote replaces NB's sum-of-log-odds
+    * deliberately: every weight is pure integer arithmetic, so any
+    * engine reproduces it bit-for-bit (log()'s last ULP varies by
+    * libm, which would poison a hash gate and make model artifacts
+    * platform-dependent).
+    *
+    * ONE exploded aggregation over ≤ dim buckets, then a collect of
+    * ≤ dim rows — the model is driver-sized by construction (dim is
+    * the caller's feature-hash width, thousands not billions), the
+    * corpus is never collected. Training is the rare pass; scoring
+    * ([[linearScoreQ]]) stays the explode-free hot path.
+    *
+    * Overflow bound: (pos_b + 1) · WeightDenom needs pos_b < 9.2e12 —
+    * ~9 trillion positive-class token occurrences in ONE bucket —
+    * before Long overflow; far past any real corpus per-bucket mass. */
+  def trainPosteriorWeightsQ(labeled: DataFrame, textCol: String,
+                             labelCol: String, dim: Int): Array[Long] = {
+    require(dim >= 1, "dim must be >= 1")
+    val counts = labeled
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"),
+        col(labelCol).cast("boolean").as("__pos"))
+      .groupBy(featureBucket(col("__tok"), dim).as("__b"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__posc"),
+        count(lit(1)).as("__n"))
+      .collect()
+    val w = new Array[Long](dim) // unseen buckets stay 0 (= the prior)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      w(b) = (r.getLong(1) + 1) * WeightDenom / (r.getLong(2) + 2) -
+        (WeightDenom - 1) / 2
+    }
+    w
+  }
+
+  /** Persist trained micro-unit weights as a (bucket, weight_q)
+    * parquet — the model artifact a curation pipeline ships between
+    * the training job and every scoring job (same discipline as
+    * BpeInduction.saveMerges). Zero-weight buckets are stored too:
+    * the file IS the dimension (loadWeightsQ refuses a dim
+    * mismatch rather than silently re-bucketing). */
+  def saveWeightsQ(spark: SparkSession, weightsQ: Array[Long],
+                   path: String): Unit = {
+    require(weightsQ.nonEmpty, "empty weight vector")
+    import spark.implicits._
+    weightsQ.zipWithIndex
+      .map { case (w, b) => (b, w) }.toSeq
+      .toDF("bucket", "weight_q")
+      .coalesce(1) // dim-sized model: one file, not one per shuffle slot
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveWeightsQ]] artifact back into scoring form.
+    * `expectDim` (when >= 0) guards against pairing a model with a
+    * query compiled for a different feature-hash width — the failure
+    * would otherwise be silently wrong scores, never an error. */
+  def loadWeightsQ(spark: SparkSession, path: String,
+                   expectDim: Int = -1): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select(col("bucket").cast("int"), col("weight_q").cast("long"))
+      .collect()
+    require(rows.nonEmpty, s"no weights at $path")
+    val dim = rows.map(_.getInt(0)).max + 1
+    require(expectDim < 0 || dim == expectDim,
+      s"weights at $path have dim $dim, step expects $expectDim")
+    val w = new Array[Long](dim)
+    rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    w
+  }
 }

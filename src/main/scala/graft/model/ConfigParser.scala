@@ -191,7 +191,14 @@ object ConfigParser {
         if (w.exists(_.length != d))
           throw new UserException(
             "classifierFilter 'dim' conflicts with weightsQ length")
-        ClassifierFilter(dbl("minMeanLogit", 0.0), d, w)
+        val wp = opt(n, "weightsPath").map(_.asText)
+        if (wp.exists(_.isEmpty))
+          throw new UserException("classifierFilter 'weightsPath' is empty")
+        // two weight sources would make precedence a silent guess
+        if (w.isDefined && wp.isDefined)
+          throw new UserException(
+            "classifierFilter takes 'weightsQ' or 'weightsPath', not both")
+        ClassifierFilter(dbl("minMeanLogit", 0.0), d, w, wp)
       case "piiRedact" => PiiRedact
       case "normalize" => Normalize
       case "sample" =>

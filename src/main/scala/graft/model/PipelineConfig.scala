@@ -92,11 +92,16 @@ object PipelineStep {
     * logit ≥ `minMeanLogit`. `weightsQ` carries trained micro-unit
     * weights inline (a `Seq` — NOT an `Array` — so the case-class
     * toString that feeds the checkpoint chain fingerprint renders the
-    * values, not an identity hash); absent, the deterministic
+    * values, not an identity hash); `weightsPath` loads a
+    * LinearModel.saveWeightsQ parquet model instead (mutually
+    * exclusive with weightsQ — the file's content rides the
+    * checkpoint fingerprint via the secondary-input summary, like
+    * decontamination eval sets); absent both, the deterministic
     * hash-derived weights score (the gate-query form). */
   final case class ClassifierFilter(minMeanLogit: Double = 0.0,
                                     dim: Int = 4096,
-                                    weightsQ: Option[Seq[Long]] = None)
+                                    weightsQ: Option[Seq[Long]] = None,
+                                    weightsPath: Option[String] = None)
       extends PipelineStep {
     val kind = "classifierFilter"
   }

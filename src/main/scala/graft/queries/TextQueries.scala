@@ -73,6 +73,29 @@ object TextQueries {
         .withColumn("keep", col("logit_q") > 0)
         .orderBy(col("doc_id"))),
 
+    // The TRAINED end of the classifier: fit NB-style posterior
+    // weights on an 80% doc_id-hash split labeled `lang = 'en'`
+    // (one exploded aggregation, exact integer arithmetic —
+    // LinearModel.trainPosteriorWeightsQ), persist nothing here (the
+    // pipeline's weightsPath form covers that), then score the WHOLE
+    // corpus with the weights as a plan literal (linearScoreQ, the
+    // production scoring path). Oracle retrains identically in
+    // DuckDB — train → model → inference end-to-end, hash-checked.
+    "quality_classifier_trained" -> ((s, dir) => {
+      import graft.functions.LinearModel
+      val docs = Tables(s, dir, "documents")
+      val w = LinearModel.trainPosteriorWeightsQ(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select(col("text"), (col("lang") === "en").as("is_en")),
+        "text", "is_en", 4096)
+      docs.select(
+          col("doc_id"),
+          LinearModel.linearScoreQ(col("text"), w).as("score_q"),
+          tokenCount(col("text")).as("n_toks"))
+        .withColumn("keep", col("score_q") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus card: per-(lang, source) doc counts, token totals, and
     // mean quality — the summary a curated training set ships with.
     // One grouped aggregate; the mean is FLOOR-quantized to integer
@@ -519,6 +542,34 @@ object TextQueries {
          |    / (1000003.0 * GREATEST(CAST(n_toks AS DOUBLE), 1.0)) AS mean_logit,
          |  logit_q > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors LinearModel.trainPosteriorWeightsQ + linearScoreQ: train
+    // on doc_id%10<8 labeled lang='en', w_q[b] = (pos+1)*1000003 //
+    // (n+2) - 500001 (integer division — exact cross-engine; buckets
+    // unseen in training contribute 0), score every doc
+    "quality_classifier_trained" ->
+      s"""WITH tr AS (
+         |  SELECT unnest($tokensSql) AS tok, lang = 'en' AS pos
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |w AS (
+         |  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096
+         |           AS b,
+         |         (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000003
+         |           // (COUNT(*) + 2) - 500001 AS wq
+         |  FROM tr GROUP BY b),
+         |tok AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |sc AS (
+         |  SELECT t.doc_id, SUM(COALESCE(w.wq, 0)) AS score_q,
+         |         COUNT(*) AS n
+         |  FROM tok t LEFT JOIN w
+         |    ON CAST(('0x' || substring(md5(t.tok), 1, 8)) AS BIGINT) % 4096
+         |       = w.b
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(sc.score_q, 0) AS BIGINT) AS score_q,
+         |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_toks,
+         |  COALESCE(sc.score_q, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "normalize_text" ->
       """WITH t AS (
         |  SELECT doc_id,

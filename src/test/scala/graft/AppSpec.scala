@@ -401,6 +401,29 @@ class AppSpec extends SparkSpec {
         |  "steps": [{"type": "classifierFilter", "dim": 8,
         |             "weightsQ": [1, 2, 3, 4]}]}}}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+
+    // weightsPath: the same model shipped as a saved parquet artifact
+    // (train job → file → scoring job) must filter identically
+    graft.functions.LinearModel.saveWeightsQ(spark,
+      Array(-1000003L, 0L, 1000003L, 1000003L), s"$dir/in/model")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/clfp", "collectStats": true,
+        |  "steps": [{"type": "classifierFilter", "minMeanLogit": 0.5,
+        |             "dim": 4, "weightsPath": "in/model"}]}}}"""
+        .stripMargin)
+    val (code3, out3) = Main.execute(spark, sink, dir)
+    withClue(out3) { code3 shouldBe 0 }
+    spark.read.parquet(s"$dir/out/clfp")
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+
+    // both weight sources at once is a config error, not a precedence
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad3",
+        |  "steps": [{"type": "classifierFilter", "weightsPath": "in/model",
+        |             "weightsQ": [1, 2, 3, 4]}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
   test("pipeline action: decontaminateFuzzy drops perturbed eval leaks, exact keeps them") {

@@ -185,6 +185,49 @@ class TextFunctionsSpec extends SparkSpec {
     one(LinearModel.linearScoreQ(col("text"), weights), "") shouldBe 0L
   }
 
+  test("trainPosteriorWeightsQ: exact smoothed-posterior weights, unseen = 0") {
+    import graft.functions.LinearModel
+    // dim large enough that these tokens land in distinct buckets
+    val dim = 4096
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    // "good" appears 3× in positive docs; "bad" 2× in negative docs;
+    // "both" once in each class
+    val labeled = Seq(
+      ("good good both", true),
+      ("good", true),
+      ("bad both", false),
+      ("bad", false)).toDF("text", "label")
+    val w = LinearModel.trainPosteriorWeightsQ(labeled, "text", "label", dim)
+    w.length shouldBe dim
+    def expect(pos: Long, n: Long): Long = (pos + 1) * 1000003L / (n + 2) - 500001L
+    w(bucket("good")) shouldBe expect(3, 3)  // strongly positive
+    w(bucket("bad")) shouldBe expect(0, 2)   // strongly negative
+    w(bucket("both")) shouldBe expect(1, 2)  // balanced: exactly 0
+    w(bucket("both")) shouldBe 0L
+    w(bucket("unseen-token-zzz")) shouldBe 0L // prior = 0 by recentering
+    // end-to-end: trained weights separate the classes they were fit on
+    val scored = labeled.select(col("label"),
+      LinearModel.linearScoreQ(col("text"), w).as("s")).collect()
+    scored.foreach(r => (r.getLong(1) > 0) shouldBe r.getBoolean(0))
+  }
+
+  test("weight model save/load round-trip; dim-mismatch refused") {
+    import graft.functions.LinearModel
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    val w = Array(5L, 0L, -7L, 123L)
+    LinearModel.saveWeightsQ(spark, w, s"$dir/model")
+    LinearModel.loadWeightsQ(spark, s"$dir/model").toSeq shouldBe w.toSeq
+    LinearModel.loadWeightsQ(spark, s"$dir/model", 4).toSeq shouldBe w.toSeq
+    intercept[IllegalArgumentException] {
+      LinearModel.loadWeightsQ(spark, s"$dir/model", 4096)
+    }
+  }
+
   test("linear model plan is pure codegen'd expressions — no UDF, no explode") {
     import graft.functions.LinearModel
     val plan = Seq("a b c").toDF("text")
