@@ -56,26 +56,35 @@ object PipelineQueries {
     * bm25_search and hybrid_search oracles can't drift (k1=1.2,
     * b=0.75; 2.2 == 1.2+1.0 and 0.25 == 1.0-0.75 exactly in binary;
     * probe terms mirror [[probeTerms]] literally). */
-  private lazy val bm25ScoredCtes =
+  private lazy val bm25BaseCtes =
     s"""d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
        |stats AS (SELECT COUNT(*) AS n_docs,
        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
        |          FROM dl),
-       |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
-       |m AS (SELECT term, doc_id, COUNT(*) AS tf FROM p
-       |      WHERE term IN ('spark', 'merge', 'window')
+       |p AS (SELECT doc_id, unnest(toks) AS term FROM d)""".stripMargin
+
+  /** The per-term-set half of the BM25 oracle, suffix-namespaced so a
+    * batch oracle can instantiate it once per query's bag of terms
+    * without CTE collisions. Suffix "" reproduces the original
+    * single-query names (m/df/scored). */
+  private def bm25ScoredCtesFor(terms: Seq[String], sfx: String) =
+    s"""m$sfx AS (SELECT term, doc_id, COUNT(*) AS tf FROM p
+       |      WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
        |      GROUP BY term, doc_id),
-       |df AS (SELECT term, COUNT(*) AS df_t FROM m GROUP BY term),
-       |scored AS (
-       |  SELECT m.doc_id,
+       |df$sfx AS (SELECT term, COUNT(*) AS df_t FROM m$sfx GROUP BY term),
+       |scored$sfx AS (
+       |  SELECT m$sfx.doc_id,
        |    CAST(floor(
        |      ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
        |        * (tf * 2.2)
        |        / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
        |        * 10000.0) AS BIGINT) AS score_q4
-       |  FROM m JOIN df USING (term) JOIN dl USING (doc_id)
+       |  FROM m$sfx JOIN df$sfx USING (term) JOIN dl USING (doc_id)
        |  CROSS JOIN stats)""".stripMargin
+
+  private lazy val bm25ScoredCtes =
+    bm25BaseCtes + ",\n" + bm25ScoredCtesFor(probeTerms, "")
 
   /** DuckDB mirror of [[Similarity.cosine]]: left-fold dot product and
     * norms in list order — the identical IEEE operation sequence to
@@ -133,6 +142,15 @@ object PipelineQueries {
   /** The one bag-of-terms retrieval query both index gate queries
     * share — mirrored literally in the oracles. */
   private val probeTerms = Seq("spark", "merge", "window")
+
+  /** The batched retrieval workload: (query embedding id, its bag of
+    * lexical terms) — three heterogeneous queries fused AT ONCE, the
+    * shape a production retrieval pipeline runs (N queries per job,
+    * not one). Mirrored literally in the batch oracle. */
+  private val batchQueries: Seq[(Long, Seq[String])] = Seq(
+    7L -> probeTerms,
+    13L -> Seq("join", "hash"),
+    29L -> Seq("stream", "batch", "filter"))
 
   /** Shared shape of the two hybrid-retrieval gate queries: BM25
     * top-20 fused with a semantic top-20 produced by `semantic`
@@ -210,6 +228,29 @@ object PipelineQueries {
       hybridFused(s, dir, (emb, q) =>
         Similarity.ivfTopKPersisted(s, ivfIndexFor(s, dir, emb), q,
           "vec_id", "embedding", k = 20))),
+
+    // N queries fused AT ONCE — the per-query fan-out (rrfFuse
+    // keyCols): three heterogeneous (embedding, term-bag) queries, one
+    // semantic pass (brute-force window partitioned by q_id) + one
+    // lexical list per term bag, fused in a single plan whose window
+    // ranks ≤ k·|lists| rows PER QUERY. Hash-green: the oracle
+    // instantiates the shared BM25 CTEs per term set and the same
+    // per-query RRF arithmetic.
+    "hybrid_search_batch" -> ((s, dir) => {
+      val lex = batchQueries.map { case (qid, terms) =>
+        graft.operators.InvertedIndex
+          .bm25(s, invertedIndexFor(s, dir), terms, topK = 20)
+          .select(lit(qid).as("q_id"), col("doc_id"), col("rnk"))
+      }.reduce(_ unionByName _)
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id").isin(batchQueries.map(_._1): _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val sem = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+          k = 20)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.operators.HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
+        topK = 10, keyCols = Seq("q_id"))
+    }),
 
     // ---- corpus overlap (KMV set sketches) --------------------------
     // "How much of corpus B is already in A?" from two k·8-byte KMV
@@ -858,6 +899,55 @@ object PipelineQueries {
          |SELECT doc_id, rrf_q,
          |  row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
          |FROM fused ORDER BY rnk""".stripMargin,
+    // the batch twin: one scored CTE per term bag (same shared base),
+    // one windowed semantic pass over all three query vectors, same
+    // quantized RRF — everything keyed by q_id
+    "hybrid_search_batch" -> {
+      val lexCtes = batchQueries.zipWithIndex.map { case ((_, terms), i) =>
+        bm25ScoredCtesFor(terms, s"_q$i")
+      }.mkString(",\n")
+      val lexUnion = batchQueries.zipWithIndex.map { case ((qid, _), i) =>
+        s"""  SELECT CAST($qid AS BIGINT) AS q_id, doc_id,
+           |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+           |  FROM (SELECT doc_id, CAST(SUM(score_q4) AS BIGINT) AS score_q
+           |        FROM scored_q$i GROUP BY doc_id
+           |        ORDER BY score_q DESC, doc_id LIMIT 20)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val qids = batchQueries.map(_._1).mkString(", ")
+      s"""WITH $bm25BaseCtes,
+         |$lexCtes,
+         |lex AS (
+         |$lexUnion),
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_vec
+         |       FROM embeddings WHERE vec_id IN ($qids)),
+         |sem_scored AS (
+         |  SELECT qs.q_id, e.vec_id AS doc_id,
+         |         ${cosSql("qs.q_vec", "e.embedding")} AS cos
+         |  FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+         |sem AS (
+         |  SELECT q_id, doc_id, rnk FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY cos DESC, doc_id) AS rnk
+         |    FROM sem_scored) WHERE rnk <= 20),
+         |contrib AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(floor(1e9 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT) AS rrf_c
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT q_id, doc_id,
+         |    CAST(floor(1e9 / (60.0 + CAST(rnk AS DOUBLE))) AS BIGINT)
+         |  FROM sem),
+         |fused AS (
+         |  SELECT q_id, doc_id, CAST(SUM(rrf_c) AS BIGINT) AS rrf_q
+         |  FROM contrib GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, rrf_q, rnk FROM (
+         |  SELECT q_id, doc_id, rrf_q,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY rrf_q DESC, doc_id) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+    },
     // exact set SQL; matches the sketch because under-full KMV is
     // exact (see the query comment)
     "corpus_overlap_kmv" ->

@@ -58,6 +58,29 @@ class HybridSearchSpec extends SparkSpec {
       Seq("b", 20L, c(1), 2L))
   }
 
+  test("batch fusion == independent single-query fusions, row for row") {
+    // the hybrid_search_batch gate shape: fusing N queries in ONE plan
+    // (keyCols) must be exactly the concatenation of fusing each query
+    // alone — per-query independence at the RESULT level, and the
+    // batch's window input stays k·|lists| rows per query (the union
+    // below is list-sized by construction, never corpus-sized)
+    val lexRows = for (q <- 1L to 3L; r <- 1L to 20L)
+      yield (q, q * 1000L + r * 7L % 25L, r)
+    val semRows = for (q <- 1L to 3L; r <- 1L to 20L)
+      yield (q, q * 1000L + r * 11L % 25L, r)
+    val lex = lexRows.toDF("q_id", "doc_id", "rnk")
+    val sem = semRows.toDF("q_id", "doc_id", "rnk")
+    val batch = rows(HybridSearch.rrfFuse(Seq(lex, sem), "doc_id",
+      topK = 10, keyCols = Seq("q_id")))
+    val singles = (1L to 3L).flatMap { q =>
+      rows(HybridSearch.rrfFuse(
+        Seq(lex.filter(col("q_id") === q).drop("q_id"),
+          sem.filter(col("q_id") === q).drop("q_id")),
+        "doc_id", topK = 10)).map(r => Seq[Any](q) ++ r)
+    }
+    batch shouldBe singles
+  }
+
   test("three lists fuse; a doc absent from a list contributes nothing for it") {
     val a = Seq((1L, 1L)).toDF("doc_id", "rnk")
     val b = Seq((1L, 3L), (2L, 1L)).toDF("doc_id", "rnk")
