@@ -127,6 +127,76 @@ object BpeInduction {
     merges.result()
   }
 
+  /** FAST induction: learn up to `roundSize` merges per driver
+    * round-trip instead of one — the production mode for 32k–50k-entry
+    * vocabularies, where [[induceMerges]]' one-argmax-per-merge loop
+    * means nMerges Spark jobs driven serially from the driver.
+    *
+    * Each round takes the top candidates by the same deterministic
+    * (count DESC, pair ASC) order and greedily keeps those that share
+    * NO symbol with an earlier keep of the round (including the fused
+    * symbols they create). Non-overlapping picks cannot change each
+    * other's pair counts — a merge only perturbs counts of pairs
+    * touching its own symbols — so every kept pair's count is exact at
+    * selection time and the round's merges commute.
+    *
+    * DOCUMENTED DIVERGENCE from 1-at-a-time BPE: exact induction may
+    * rank a pair CREATED by this round's first merge (e.g. "ab c"
+    * right after "a b") above the round's remaining picks; the batched
+    * order defers such pairs to the next round. The merge LIST can
+    * therefore differ from [[induceMerges]]' — but it is still a valid
+    * BPE model (deterministic, encoder-foldable in learned order,
+    * symbols always reconstruct the word), and `roundSize = 1`
+    * degenerates to the exact algorithm, pick for pick (spec-pinned
+    * in BpeSpec). Round-trips drop ~roundSize×.
+    */
+  def induceMergesBatched(docs: DataFrame, textCol: String,
+                          nMerges: Int, roundSize: Int = 16): Seq[(String, String)] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    require(roundSize >= 1 && roundSize <= 256,
+      "roundSize in [1, 256] (applyMerges folds one round per plan)")
+    var words = wordCounts(docs, textCol)
+      .select(toSymbols(col("word")).as("symbols"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
+      val want = math.min(roundSize, nMerges - learned)
+      // over-fetch so conflict-skipping can still fill the round; an
+      // under-filled round self-heals (the next round re-counts)
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(want * 4 + 16).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = Seq.newBuilder[(String, String)]
+        var n = 0
+        var i = 0
+        while (i < top.length && n < want) {
+          val Array(a, b) = top(i).getString(0).split(" ", 2)
+          if (!used(a) && !used(b) && !used(a + b)) {
+            picked += ((a, b))
+            used ++= Seq(a, b, a + b)
+            n += 1
+          }
+          i += 1
+        }
+        val round = picked.result() // first candidate always keeps → progress
+        merges ++= round
+        learned += round.size
+        val prev = words
+        words = words
+          .select(applyMerges(col("symbols"), round).as("symbols"), col("cnt"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
   /** Apply a learned merge list to a symbol array column, in learned
     * order — `merges.size` nested folds in ONE projection. Fine for
     * the tens of merges the gate trains; a production 30k-merge

@@ -101,6 +101,44 @@ class BpeSpec extends SparkSpec {
     viaVocab(100L) shouldBe Vector.empty
   }
 
+  test("batched induction at roundSize=1 equals the exact algorithm, pick for pick") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    BpeInduction.induceMergesBatched(docs, "text", nMerges = 12,
+      roundSize = 1) shouldBe BpeInduction.induceMerges(docs, "text", 12)
+  }
+
+  test("batched induction: valid BPE model in ~roundSize× fewer rounds") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = BpeInduction.induceMergesBatched(docs, "text",
+      nMerges = 12, roundSize = 6)
+    fast.size shouldBe 12
+    fast.distinct.size shouldBe 12 // no merge learned twice
+    // every document's encoding under the fast model reconstructs the
+    // original token stream — symbols are a partition of each word
+    val enc = BpeInduction.encodeCorpus(docs, "doc_id", "text", fast)
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        concat_ws("", col("bpe")).as("joined"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text")))
+          .as("want"))
+      .collect()
+    enc.foreach(r => r.getString(1) shouldBe r.getString(2))
+    // and the fast model genuinely compresses: fewer symbols than
+    // characters for the merged words
+    val nSyms = BpeInduction.encodeCorpus(docs, "doc_id", "text", fast)
+      .selectExpr("sum(size(bpe))").collect().head.getLong(0)
+    val nChars = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .selectExpr("sum(length(concat_ws('', t)))")
+      .collect().head.getLong(0)
+    nSyms should be < nChars
+    // exact-mode parity of the FIRST pick: the top-count pair can never
+    // be deferred by conflict skipping
+    fast.head shouldBe BpeInduction.induceMerges(docs, "text", 1).head
+  }
+
   test("mergePair folds left-to-right without overlap, ANSI-safe on short words") {
     def m(sym: Seq[String], a: String, b: String): Seq[String] =
       Seq(sym).toDF("s")
