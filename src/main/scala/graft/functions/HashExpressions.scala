@@ -222,15 +222,6 @@ object HashImpls {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** SQ8 round-trip: per-vector affine int8 encode + decode in one
-    * imperative pass — the reconstruction the quantized-ANN path
-    * feeds to its distance computations. Arithmetic mirrors
-    * [[graft.operators.Similarity.quantizeVector]]/`dequantizeVector`
-    * exactly (min/max range, floor(x+0.5), zero + scale·q; constant
-    * vectors take scale 1.0), spec-pinned equal for FINITE, hole-free
-    * vectors; NaN/null elements fail loud (the HOF twin errors on its
-    * ANSI long cast for those — invalid input either way). The HOF
-    * pair stays the oracle-mirrored form, this is its hot-path twin. */
   /** NFC normalization of a UTF8String; already-normalized input (all
     * ASCII, most NFC text) short-circuits without re-encoding. */
   def nfc(s: UTF8String): UTF8String = {
@@ -241,6 +232,15 @@ object HashImpls {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** SQ8 round-trip: per-vector affine int8 encode + decode in one
+    * imperative pass — the reconstruction the quantized-ANN path
+    * feeds to its distance computations. Arithmetic mirrors
+    * [[graft.operators.Similarity.quantizeVector]]/`dequantizeVector`
+    * exactly (min/max range, floor(x+0.5), zero + scale·q; constant
+    * vectors take scale 1.0), spec-pinned equal for FINITE, hole-free
+    * vectors; NaN/null elements fail loud (the HOF twin errors on its
+    * ANSI long cast for those — invalid input either way). The HOF
+    * pair stays the oracle-mirrored form, this is its hot-path twin. */
   def sq8Roundtrip(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Double](n)

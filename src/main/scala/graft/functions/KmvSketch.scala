@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.functions.{when, xxhash64}
+import org.apache.spark.sql.functions.{length, lit, raise_error, when, xxhash64}
 import org.apache.spark.sql.types._
 
 /** KMV (k-minimum-values) distinct sketch — Beyer et al., SIGMOD'07
@@ -216,4 +216,19 @@ object KmvFunctions {
   def kmvSetEstimates(a: Column, b: Column, k: Int = 1024): Column =
     GraftBridge.column(KmvSetEstimates(
       GraftBridge.expression(a), GraftBridge.expression(b), k))
+
+  /** Pass-through guard asserting a KMV state is still UNDER-full —
+    * the regime where the sketch IS the distinct hash set and every
+    * estimate is exact. A sketch at capacity (k·8 bytes; exactly-k
+    * and overflowed states are indistinguishable by size) fails LOUD
+    * instead of letting an exactness-dependent consumer — a hash gate
+    * compared against exact set SQL, a dedup decision — silently
+    * degrade to a ~1/√k-error estimate. Estimator-mode consumers
+    * simply don't wrap their states. */
+  def kmvAssertUnderFull(sk: Column, k: Int, context: String): Column =
+    when(length(sk) >= k * 8, raise_error(lit(
+      s"$context: KMV sketch reached capacity k=$k — estimates are " +
+        "no longer exact; raise k, or drop this guard and treat the " +
+        "result as a ~1/sqrt(k)-error estimate")))
+      .otherwise(sk)
 }

@@ -67,7 +67,7 @@ object Dedup {
     * adversarial graphs can't blow up the plan DAG.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50,
-                        collectLimit: Long = 1L << 21): DataFrame = {
+                        collectLimit: Long = 1L << 20): DataFrame = {
     // Small-graph fast path (the Percentiles small-group discipline):
     // the PAIR GRAPH after candidate generation is orders of magnitude
     // smaller than the corpus — near-dup graphs of even a 100 TB
@@ -76,52 +76,40 @@ object Dedup {
     // representative, path compression + union-by-min) answers in
     // milliseconds what the iterative join loop pays many scheduled
     // rounds for; distributed semantics are identical (connected
-    // components are unique) and spec-pinned against the loop. Above
-    // the limit, the O(log diameter) fixpoint loop below takes over.
+    // components are unique) and spec-pinned against the loop.
+    //
+    // ONE capped streaming pass both routes AND builds: edges stream
+    // through `toLocalIterator` into the union–find and the pass
+    // ABORTS to the distributed loop at edge collectLimit+1 — no
+    // separate count job, and never more than collectLimit+1 edge
+    // rows on the driver at once. Long ids (the common case) use an
+    // open-addressed primitive parent table (~34 B/entry peak: ~70 MB
+    // transient at the default cap's ≤ 2^21 ids); other id types pay
+    // boxed HashMap entries (~3×) — size collectLimit to the driver
+    // accordingly. collectLimit = 0 forces the distributed loop.
+    //
     // null ids never join in the distributed loop (equi-join
     // semantics); filter them here so BOTH paths agree
     val slim = pairs.select(col("id_a"), col("id_b"))
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .cache()
-    val nPairs = slim.count()
-    if (nPairs <= collectLimit) {
-      val idType = slim.schema("id_a").dataType
-      val parent = new java.util.HashMap[Any, Any]()
-      // String order must match Spark's least()/min() — UTF-8 BINARY
-      // order, which differs from java.lang.String's UTF-16 compareTo
-      // for supplementary characters — or the two paths could pick
-      // different cluster representatives for the same graph
-      def lt(a: Any, b: Any): Boolean = (a, b) match {
-        case (x: String, y: String) =>
-          java.util.Arrays.compareUnsigned(
-            x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
-        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val idType = slim.schema("id_a").dataType
+    if (collectLimit > 0) {
+      val fastRows =
+        if (idType == org.apache.spark.sql.types.LongType)
+          longUnionFindRows(slim, collectLimit)
+        else anyUnionFindRows(slim, collectLimit)
+      fastRows match {
+        case Some(out) =>
+          val spark = pairs.sparkSession
+          slim.unpersist()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+          return spark.createDataFrame(
+            spark.sparkContext.parallelize(out, 1), schema)
+        case None => () // overflow: the O(log diameter) loop takes over
       }
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression
-        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
-        r
-      }
-      slim.toLocalIterator().forEachRemaining { row =>
-        val (a, b) = (row.get(0), row.get(1))
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val spark = pairs.sparkSession
-      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
-      parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id, find(id)))
-      slim.unpersist()
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
-        org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toSeq, 1), schema)
     }
     // undirected edge list, both orientations — cached: every
     // iteration joins against it, and without the cache each round
@@ -202,6 +190,124 @@ object Dedup {
     // dereferenced — same applies to the intermediate checkpoints the
     // loop drops on reassignment.
     labels
+  }
+
+  /** Minimal open-addressed long→long hash map (linear probing,
+    * power-of-two capacity, ≤ 0.5 load): the union–find parent table
+    * for long ids — two flat arrays + a bitset, ~34 bytes/entry at
+    * peak, zero per-op allocation, vs ~100+ bytes and a Long box per
+    * entry in java.util.HashMap. */
+  private final class LongParentMap(expected: Int) {
+    private var cap = { var c = 32; while (c < expected * 2) c <<= 1; c }
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new java.util.BitSet(cap)
+    private var n = 0
+    private def idx(k: Long): Int = {
+      val h = k * -7046029254386353131L // Stafford mix step
+      var i = (h ^ (h >>> 32)).toInt & (cap - 1)
+      while (used.get(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def contains(k: Long): Boolean = used.get(idx(k))
+    def get(k: Long): Long = vals(idx(k))
+    def put(k: Long, v: Long): Unit = {
+      if ((n + 1) * 2 > cap) grow()
+      val i = idx(k)
+      if (!used.get(i)) { used.set(i); keys(i) = k; n += 1 }
+      vals(i) = v
+    }
+    private def grow(): Unit = {
+      val (ok, ov, ou, oc) = (keys, vals, used, cap)
+      cap <<= 1
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      used = new java.util.BitSet(cap)
+      n = 0
+      var i = 0
+      while (i < oc) { if (ou.get(i)) put(ok(i), ov(i)); i += 1 }
+    }
+    /** Iterate entries; safe under value-only updates (path
+      * compression rewrites parents of EXISTING keys — no rehash). */
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used.get(i)) f(keys(i)); i += 1 }
+    }
+    def size: Int = n
+  }
+
+  /** Driver union–find over long-id edges, capped: streams at most
+    * `cap`+1 edge rows; returns None on overflow (caller falls back to
+    * the distributed loop). */
+  private def longUnionFindRows(slim: DataFrame,
+                                cap: Long): Option[Seq[org.apache.spark.sql.Row]] = {
+    val parent = new LongParentMap(1 << 12)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    val it = slim.toLocalIterator()
+    var n = 0L
+    while (it.hasNext) {
+      n += 1
+      if (n > cap) return None
+      val row = it.next()
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.foreachKey(id => out += org.apache.spark.sql.Row(id, find(id)))
+    Some(out.toSeq)
+  }
+
+  /** The boxed twin of [[longUnionFindRows]] for non-long id types. */
+  private def anyUnionFindRows(slim: DataFrame,
+                               cap: Long): Option[Seq[org.apache.spark.sql.Row]] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    // String order must match Spark's least()/min() — UTF-8 BINARY
+    // order, which differs from java.lang.String's UTF-16 compareTo
+    // for supplementary characters — or the two paths could pick
+    // different cluster representatives for the same graph
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    val it = slim.toLocalIterator()
+    var n = 0L
+    while (it.hasNext) {
+      n += 1
+      if (n > cap) return None
+      val row = it.next()
+      val (a, b) = (row.get(0), row.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id, find(id)))
+    Some(out.toSeq)
   }
 
   /** Corpus minus transitive near-duplicates: keep each cluster's
@@ -452,11 +558,58 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Derive banded-LSH parameters from a Jaccard threshold so the
+    * per-pair candidate recall AT the threshold meets a stated floor —
+    * for the decontamination screen, whose false negatives are safety
+    * failures, never a tuning detail. With r rows per band and b
+    * bands, a pair at similarity J collides with probability
+    * 1 − (1 − J^r)^b; this picks the LARGEST r (sharpest S-curve,
+    * fewest false candidates to verify) whose required
+    * b = ⌈ln(1−ρ) / ln(1−t^r)⌉ keeps the signature k = r·b within
+    * `kMax`. Thresholds too low to reach the floor even at r = 1
+    * within kMax are REFUSED (the screen would silently under-recall —
+    * exactly the failure this function exists to prevent).
+    *
+    * @return (k, bands) with k = r·b exactly divisible */
+  def lshBandingFor(threshold: Double, targetRecall: Double = 0.95,
+                    kMax: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1], got $threshold")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall in (0,1), got $targetRecall")
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val need = math.log1p(-targetRecall) // ln(1−ρ) < 0
+    var r = math.min(8, kMax)
+    while (r >= 1) {
+      val p = math.pow(threshold, r) // per-band collision at J = t
+      // band count as a DOUBLE until the bound check — tiny p makes
+      // the required b astronomically large, and a saturated toInt
+      // would wrap r·b past kMax
+      val b =
+        if (p >= 1.0) 1.0
+        else math.ceil(need / math.log1p(-p))
+      if (r * b <= kMax) return (r * b.toInt, b.toInt)
+      r -= 1
+    }
+    val minT = 1.0 - math.exp(need / kMax) // r = 1, b = kMax bound
+    throw new IllegalArgumentException(
+      f"no (rows, bands) with k <= $kMax reaches recall $targetRecall " +
+        f"at J = $threshold — the banded screen would silently miss " +
+        f"contamination; minimum supportable threshold is ~$minT%.3f " +
+        "(raise the threshold, targetRecall down, or kMax up)")
+  }
+
   /** Fuzzy decontamination: drop corpus documents whose shingle-set
     * Jaccard with ANY eval document reaches `threshold` — the near-dup
     * generalization of the exact decontaminate step (an eval question
     * that leaked with light edits survives an exact n-gram screen;
     * it does not survive this one).
+    *
+    * Banding is derived from `threshold` by default
+    * ([[lshBandingFor]]: candidate recall ≥ 0.95 for any pair AT the
+    * threshold, higher above it) — a fixed (k, bands) would silently
+    * under-recall at low thresholds, a false negative in a safety
+    * step. Pass explicit k AND bands to override (k % bands == 0).
     *
     * Scale shape: the eval set (small by contract — benchmarks are
     * KBs–MBs, the corpus is the 100 TB side) plays the index role. Its
@@ -473,13 +626,18 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
                          evalDocs: DataFrame, evalIdCol: String,
                          evalTextCol: String, shingleSize: Int = 3,
-                         k: Int = 20, bands: Int = 5,
+                         k: Int = 0, bands: Int = 0,
                          threshold: Double = 0.8,
                          maxBucket: Int = 1000): DataFrame = {
+    require((k > 0) == (bands > 0),
+      "override k and bands together, or neither (derived)")
+    val (kk, bb) =
+      if (k > 0) { require(k % bands == 0, "k must divide into bands"); (k, bands) }
+      else lshBandingFor(threshold)
     val corpusBands = minhashBandKeys(corpus, idCol, textCol,
-      shingleSize, k, bands)
+      shingleSize, kk, bb)
     val evalBands = minhashBandKeys(evalDocs, evalIdCol, evalTextCol,
-        shingleSize, k, bands)
+        shingleSize, kk, bb)
       .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
     // skew guard on the eval buckets: a degenerate eval band key (e.g.
     // hundreds of near-identical prompts) would fan every colliding

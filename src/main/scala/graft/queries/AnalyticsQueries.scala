@@ -513,6 +513,12 @@ object AnalyticsQueries {
         .filter(col("user_id").isNotNull)
         .groupBy(week.as("week"))
         .agg(kmvState(col("user_id"), kk).as("sk"))
+        // the hash gate compares against EXACT set SQL, which only
+        // holds while every weekly sketch is under-full — a quietly
+        // saturated sketch at a bigger SF must fail loud, not mismatch
+        .select(col("week"),
+          kmvAssertUnderFull(col("sk"), kk, "weekly_user_overlap_kmv")
+            .as("sk"))
       val a = sk.select(col("week"), col("sk"))
       val b = sk.select((col("week") - 1L).as("week"), col("sk").as("sk_next"))
       a.join(b, "week")

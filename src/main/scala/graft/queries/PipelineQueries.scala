@@ -271,7 +271,12 @@ object PipelineQueries {
       val b = docs.filter(col("doc_id") % 5 === 0)
         .agg(kmvState(col("text"), kk).as("sk_b"))
       a.crossJoin(b) // two one-row scalar frames
-        .select(kmvSetEstimates(col("sk_a"), col("sk_b"), kk).as("e"))
+        // exactness gate: saturated sketches fail loud (the hash gate
+        // compares against exact set SQL — see weekly_user_overlap_kmv)
+        .select(kmvSetEstimates(
+          kmvAssertUnderFull(col("sk_a"), kk, "corpus_overlap_kmv"),
+          kmvAssertUnderFull(col("sk_b"), kk, "corpus_overlap_kmv"),
+          kk).as("e"))
         .select(
           col("e.est_a").cast("long").as("n_a"),
           col("e.est_b").cast("long").as("n_b"),

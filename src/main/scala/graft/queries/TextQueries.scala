@@ -28,14 +28,21 @@ object TextQueries {
 
   /** Learned BPE merges per sfDir — a pure function of the corpus
     * (deterministic argmax each round), memoized so verify and bench
-    * share one induction per scale factor. */
+    * share one induction per scale factor. Keyed on (dir, corpus
+    * fingerprint) — the ivfIndexFor discipline — so parquet
+    * regenerated under the SAME directory within one JVM session
+    * re-induces instead of serving stale merges. The fingerprint is
+    * one cheap aggregate; induction is 20 full rounds. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
-  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeCache.computeIfAbsent(dir, _ =>
-      graft.operators.BpeInduction.induceMerges(
-        Tables(s, dir, "documents"), "text", nMerges = 20))
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val docs = Tables(s, dir, "documents")
+    val key = dir + "|" + graft.operators.Similarity.corpusFingerprint(
+      docs, "doc_id", "text")
+    bpeCache.computeIfAbsent(key, _ =>
+      graft.operators.BpeInduction.induceMerges(docs, "text", nMerges = 20))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> ((s, dir) =>

@@ -323,6 +323,26 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 50L * 49 / 2
   }
 
+  test("lshBandingFor meets the recall floor at the threshold, refuses below it") {
+    for (t <- Seq(0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 1.0)) {
+      val (k, b) = Dedup.lshBandingFor(t)
+      withClue(s"t=$t -> (k=$k, bands=$b): ") {
+        k % b shouldBe 0
+        k should be <= 64
+        val r = k / b
+        // analytic per-pair recall of banded LSH at J = t
+        val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+        recall should be >= 0.95
+      }
+    }
+    // the r=6 sharp-curve pick at the old default threshold
+    Dedup.lshBandingFor(0.8) shouldBe ((60, 10))
+    // a threshold so low no k <= 64 banding can recall it -> refused,
+    // naming the minimum supportable threshold
+    val e = intercept[IllegalArgumentException](Dedup.lshBandingFor(0.01))
+    e.getMessage should include("minimum supportable threshold")
+  }
+
   test("fuzzyDecontaminate fails loud on an oversized eval band bucket") {
     // 30 identical eval prompts share every band bucket; silently
     // dropping them would exempt them from the screen
@@ -349,6 +369,27 @@ class DedupSpec extends SparkSpec {
     fast shouldBe Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 1L),
       Seq(10L, 10L), Seq(11L, 10L), Seq(20L, 20L), Seq(21L, 20L),
       Seq(22L, 20L))
+    // string ids take the boxed path; same three-way parity
+    val spairs = Seq(("b", "a"), ("b", "c"), ("y", "z"))
+      .toDF("id_a", "id_b")
+    rows(Dedup.duplicateClusters(spairs).orderBy("id")) shouldBe
+      rows(Dedup.duplicateClusters(spairs, collectLimit = 0).orderBy("id"))
+  }
+
+  test("duplicateClusters: streaming cap aborts to the loop mid-pass, results identical") {
+    // 600 edges chained into one deep component + scattered doubletons,
+    // through a parent table forced to grow several times; a cap below
+    // the edge count must abort the capped stream and produce the
+    // distributed loop's exact answer
+    val chain = (1L until 400L).map(i => (i + 1, i))
+    val pairs = (chain ++ (0 until 200).map(i =>
+      (10000L + i * 2, 10001L + i * 2))).toDF("id_a", "id_b")
+    val capped = rows(
+      Dedup.duplicateClusters(pairs, collectLimit = 100).orderBy("id"))
+    val fast = rows(Dedup.duplicateClusters(pairs).orderBy("id"))
+    capped shouldBe fast
+    fast.take(1) shouldBe Seq(Seq(1L, 1L)) // chain collapses to min id
+    fast.count(_ == Seq(400L, 1L)) shouldBe 1
   }
 
   test("fuzzyDecontaminate: planted leaks dropped, no false drops, ids namespaced") {

@@ -314,6 +314,24 @@ class SketchSpec extends SparkSpec {
     math.abs(r2.getDouble(1) - 20000) / 20000 should be < 0.3
   }
 
+  test("KMV exactness guard: under-full passes through, capacity fails loud") {
+    val k = 64
+    val small = (1 to 50).map(i => s"u$i").toDF("v")
+      .agg(kmvState($"v", k).as("sk"))
+    // under-full: guard is the identity
+    small.select(kmvAssertUnderFull($"sk", k, "spec").as("g"))
+      .head.getAs[Array[Byte]](0).length shouldBe 50 * 8
+    // at/over capacity (here 200 distinct > k): a hash gate comparing
+    // against exact set SQL must error, not silently mismatch
+    val big = (1 to 200).map(i => s"u$i").toDF("v")
+      .agg(kmvState($"v", k).as("sk"))
+    val e = intercept[Exception] {
+      big.select(kmvAssertUnderFull($"sk", k, "spec-ctx").as("g")).head
+    }
+    e.getMessage should include("spec-ctx")
+    e.getMessage should include("capacity")
+  }
+
   test("KMV NULLs are excluded, matching count_distinct") {
     val df = Seq(Some("a"), None, Some("b"), None, Some("a"))
       .toDF("v")
