@@ -300,4 +300,58 @@ object Load {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Net effect of a change-data-capture stream: collapse an ordered
+    * log of I(nsert)/U(pdate)/D(elete) events to the final row per
+    * key — the one window pass that replaces replaying the log row by
+    * row. Per key, the event with the highest (`seqCol`, op-rank)
+    * wins; a winning D removes the key, a winning I/U contributes its
+    * payload. Op-rank (D=3 > U=2 > I=1) breaks EXACT seq ties so
+    * equal-sequence batches resolve deterministically (delete wins —
+    * the conservative reading of an ambiguous log); any other op
+    * string is refused loud at evaluation (corrupt log ≠ silent drop).
+    *
+    * ONE shuffle on the key, window + filter inside whole-stage
+    * codegen — the same plan family as [[dedupLastWins]]; at 100 TB
+    * the log partitions by key and no state accumulates (contrast
+    * with a foreachBatch replay, which this operator gives its
+    * per-batch net-change input).
+    *
+    * @param changes log carrying keyCols ++ (seqCol, opCol) ++ payload
+    * @return surviving rows, payload columns only (op/seq dropped) */
+  def cdcNetEffect(changes: DataFrame, keyCols: Seq[String],
+                   seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cdcNetEffect needs key columns")
+    val opRank = when(col(opCol) === "D", 3)
+      .when(col(opCol) === "U", 2)
+      .when(col(opCol) === "I", 1)
+      .otherwise(raise_error(concat(
+        lit("cdcNetEffect: unknown op '"), col(opCol),
+        lit("' (expected I/U/D)"))))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__op_rank").desc)
+    changes.withColumn("__op_rank", opRank)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", "__op_rank", seqCol, opCol)
+  }
+
+  /** Apply a CDC log to an existing base table: rows of keys the log
+    * never touched pass through; touched keys take the log's net
+    * effect (so a net D removes the base row, a net I/U replaces or
+    * inserts it). Schema contract: `changes`' payload must carry the
+    * base columns (extra log columns beyond seq/op are refused —
+    * silent column drift in a replication stream should fail loud).
+    * One shuffle each side of ONE left-anti + one union — no
+    * per-event work anywhere. */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    val net = cdcNetEffect(changes, keyCols, seqCol, opCol)
+    require(net.columns.sorted.sameElements(base.columns.sorted),
+      s"CDC payload columns ${net.columns.sorted.mkString(",")} != " +
+        s"base columns ${base.columns.sorted.mkString(",")}")
+    val touched = changes.select(keyCols.map(col): _*).distinct()
+    base.join(touched, keyCols, "left_anti")
+      .unionByName(net.select(base.columns.map(col): _*))
+  }
 }

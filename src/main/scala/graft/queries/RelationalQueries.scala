@@ -275,6 +275,31 @@ object RelationalQueries {
       Load.updateJoin(target(s, dir), stage(s, dir), Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))),
 
+    // CDC apply: a replication log of I/U/D events collapses to its
+    // net effect in ONE key-partitioned window (never replayed row by
+    // row), then applies to the base table via anti-join + union.
+    // The synthesized log exercises every path: fresh inserts (keys
+    // absent from base), updates, deletes of based keys, a key with
+    // BOTH a U and a later D (delete wins by seq), and an exact
+    // same-seq U/D tie (delete wins by op rank). Hash-green.
+    "cdc_apply" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus").map(col)
+      val orders = t(s, dir, "orders").select(cols: _*)
+      val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+      def ev(seq: Long, op: String, src: DataFrame) =
+        src.select(lit(seq).as("seq") +: lit(op).as("op") +: cols: _*)
+      val changes = ev(1L, "I", orders.filter(col("o_orderkey") % 4 === 0))
+        .unionByName(ev(2L, "U", orders.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)))
+        .unionByName(ev(3L, "D", orders.filter(col("o_orderkey") % 100 === 7)))
+        .unionByName(ev(4L, "U", orders.filter(col("o_orderkey") % 1000 === 11)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)))
+        .unionByName(ev(4L, "D", orders.filter(col("o_orderkey") % 1000 === 11)))
+      Load.cdcApply(base, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // J3 on a composite PK over the big fact table: lineitem keyed by
     // (l_orderkey, l_linenumber).
     "upsert_merge_composite" -> ((s, dir) => {
@@ -703,6 +728,40 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+    // mirrors Load.cdcNetEffect/cdcApply: last (seq, op-rank D>U>I)
+    // wins per key, net D removes, untouched base rows pass through
+    "cdc_apply" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |base AS (SELECT * FROM src WHERE o_orderkey % 4 <> 0),
+        |changes AS (
+        |  SELECT 1 AS seq, 'I' AS op, * FROM src WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 2, 'U', o_orderkey, o_custkey, o_totalprice * 2,
+        |         o_orderstatus FROM src WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 3, 'D', * FROM src WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT 4, 'U', o_orderkey, o_custkey, o_totalprice * 3,
+        |         o_orderstatus FROM src WHERE o_orderkey % 1000 = 11
+        |  UNION ALL
+        |  SELECT 4, 'D', * FROM src WHERE o_orderkey % 1000 = 11),
+        |net AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY o_orderkey
+        |        ORDER BY seq DESC,
+        |          CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC)
+        |      AS rn
+        |    FROM changes) WHERE rn = 1),
+        |touched AS (SELECT DISTINCT o_orderkey FROM changes)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+        |  SELECT * FROM base ANTI JOIN touched USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM net WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin,
     "upsert_merge_composite" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -343,6 +343,46 @@ class LoadSpec extends SparkSpec {
     plan.collect { case u: Union => u } shouldBe empty
   }
 
+  test("cdcNetEffect: last (seq, op-rank) wins, deletes remove, corrupt ops fail loud") {
+    import graft.operators.Load
+    val log = Seq(
+      (1L, 1L, "I", "a"), // k1: I then U -> final "a2"
+      (1L, 2L, "U", "a2"),
+      (2L, 1L, "I", "b"), // k2: I then D -> gone
+      (2L, 2L, "D", "b"),
+      (3L, 5L, "U", "c-old"), // k3: out-of-order log, seq wins not position
+      (3L, 9L, "U", "c-new"),
+      (3L, 7L, "U", "c-mid"),
+      (4L, 1L, "U", "d"), // k4: exact seq tie U vs D -> D wins (op rank)
+      (4L, 1L, "D", "d"))
+      .toDF("k", "seq", "op", "v")
+    val net = rows(Load.cdcNetEffect(log, Seq("k"), "seq", "op").orderBy("k"))
+    net shouldBe Seq(Seq(1L, "a2"), Seq(3L, "c-new"))
+    // unknown op: evaluation error, never a silent drop
+    val bad = Seq((1L, 1L, "X", "z")).toDF("k", "seq", "op", "v")
+    intercept[Exception] {
+      Load.cdcNetEffect(bad, Seq("k"), "seq", "op").collect()
+    }.getMessage should include("unknown op")
+  }
+
+  test("cdcApply: untouched base rows pass through; net effect replaces/removes/inserts") {
+    import graft.operators.Load
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("k", "v")
+    val log = Seq(
+      (2L, 1L, "U", "two-v2"), // update based key
+      (3L, 1L, "D", "x"), // delete based key
+      (9L, 1L, "I", "nine")) // insert new key
+      .toDF("k", "seq", "op", "v")
+    rows(Load.cdcApply(base, log, Seq("k"), "seq", "op").orderBy("k")) shouldBe
+      Seq(Seq(1L, "one"), Seq(2L, "two-v2"), Seq(9L, "nine"))
+    // payload schema drift is refused up front
+    val drift = Seq((2L, 1L, "U", "z", 42)).toDF("k", "seq", "op", "v", "extra")
+    intercept[IllegalArgumentException] {
+      Load.cdcApply(base, drift, Seq("k"), "seq", "op")
+    }.getMessage should include("base columns")
+  }
+
   test("IncrementalAgg: state schema is stable across repeated folds") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions._
