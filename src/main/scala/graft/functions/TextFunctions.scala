@@ -74,6 +74,46 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** HTML → text extraction patterns — RE2-compatible (non-greedy,
+    * inline (?is) flags, no lookaround) so the JVM and DuckDB rewrite
+    * identically. Element blocks whose CONTENT is never prose are
+    * removed whole; every other tag drops but keeps its content. */
+  val scriptBlockPattern: String = "(?is)<script\\b[^>]*>.*?</script>"
+  val styleBlockPattern: String = "(?is)<style\\b[^>]*>.*?</style>"
+  val commentPattern: String = "(?s)<!--.*?-->"
+  val tagPattern: String = "(?s)<[^>]*>"
+
+  /** Strip HTML to prose — the WET-extraction step of a web-crawl
+    * pipeline: drop script/style blocks (content included), comments,
+    * then every remaining tag; decode the five ubiquitous entities
+    * (&amp; LAST so "&amp;lt;" can't double-decode); collapse runs of
+    * whitespace the removed markup leaves behind. Six codegen'd
+    * regexp_replace passes in one narrow map — no shuffle at any
+    * scale, mirrored pattern-for-pattern in the oracle. Tag-soup
+    * caveat (documented contract): an UNCLOSED <script>/<style> block
+    * is not a block — its open tag strips like any tag and its
+    * content surfaces as text; downstream quality filters (gopher,
+    * classifier) are the backstop for that malformed sliver, the same
+    * division of labor as real WET extraction. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, scriptBlockPattern, " "),
+        styleBlockPattern, " "),
+      commentPattern, " ")
+    val noTags = regexp_replace(noBlocks, tagPattern, " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Distinct-token ratio — a cheap lexical-diversity quality signal. */
   def distinctTokenRatio(text: Column): Column = {
     val ts = tokens(text)

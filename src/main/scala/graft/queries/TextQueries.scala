@@ -122,6 +122,48 @@ object TextQueries {
             / (count(lit(1)) * lit(1e6))).as("mean_quality"))
         .orderBy(col("lang"), col("source"))),
 
+    // HTML → prose extraction (the WET step of a crawl pipeline):
+    // deterministic markup — style/script blocks, comments, entities,
+    // a tag-wrapped body — is planted around each doc's text in SQL,
+    // then stripped by the six-pass regex chain. Hash-green: the
+    // oracle constructs the identical page and mirrors every pattern.
+    "html_strip" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><head><title>doc</title>" +
+              "<style type=\"text/css\">p { color: #333; }</style>" +
+              "<script>var t = 1 < 2 && \"x\";</script></head>" +
+              "<body><!-- id: "),
+            col("doc_id"), lit(" --><h1>Doc "), col("doc_id"),
+            lit("</h1>\n<p class=\"main\">"), col("text"),
+            lit(" &amp; more &lt;tags&gt; &quot;quoted&quot; " +
+              "it&#39;s</p></body></html>")).as("html"))
+        .select(col("doc_id"), stripHtml(col("html")).as("clean_text"))
+        .withColumn("n_tokens", tokenCount(col("clean_text")))
+        .orderBy(col("doc_id"))),
+
+    // Out-of-vocabulary rate of the held-out split against the train
+    // split's token vocabulary — the coverage check run before fixing
+    // a tokenizer/vocab on a corpus. Vocabulary is a distinct-token
+    // table (vocab-sized, not corpus-sized); the held-out stream
+    // left-joins it on the token and aggregates per language. At
+    // 100 TB both sides shuffle on the token — no broadcast pin, the
+    // planner may still choose one when the vocab is small.
+    "oov_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val vocab = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select(explode(tokens(col("text"))).as("tok")).distinct()
+      val held = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      held.join(vocab.withColumn("__in", lit(1)), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "lang_id" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -610,6 +652,60 @@ object TextQueries {
          |FROM (SELECT lang, source, text, $tokensSql AS toks FROM documents)
          |GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+    // mirrors TextFunctions.stripHtml pattern-for-pattern on the same
+    // constructed page (entity decode order matters: &amp; LAST)
+    "html_strip" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc</title><style type="text/css">p { color: #333; }</style><script>var t = 1 < 2 && "x";</script></head><body><!-- id: '
+         |    || CAST(doc_id AS VARCHAR) || ' --><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+         |    || '<p class="main">' || text
+         |    || ' &amp; more &lt;tags&gt; &quot;quoted&quot; it&#39;s</p></body></html>'
+         |      AS html
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(
+         |                regexp_replace(
+         |                  regexp_replace(
+         |                    regexp_replace(html,
+         |                      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |                    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |                  '(?s)<!--.*?-->', ' ', 'g'),
+         |                '(?s)<[^>]*>', ' ', 'g'),
+         |              '&lt;', '<', 'g'),
+         |            '&gt;', '>', 'g'),
+         |          '&quot;', '"', 'g'),
+         |        '&#39;', '''', 'g'),
+         |      '&amp;', '&', 'g'),
+         |    '\\s+', ' ', 'g')) AS clean_text
+         |  FROM h)
+         |SELECT doc_id, clean_text,
+         |  CAST(len(list_filter(str_split_regex(lower(clean_text),
+         |    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // mirrors the oov_rate split/vocab/join exactly
+    "oov_rate" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT unnest($tokensSql) AS tok
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |h AS (
+         |  SELECT lang, unnest($tokensSql) AS tok
+         |  FROM documents WHERE doc_id % 10 >= 8),
+         |j AS (SELECT h.lang, v.tok AS vt
+         |      FROM h LEFT JOIN v ON h.tok = v.tok)
+         |SELECT lang, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS oov_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_id" ->
       s"""SELECT doc_id, lang,
          |  CASE

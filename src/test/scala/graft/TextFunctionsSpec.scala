@@ -95,6 +95,27 @@ class TextFunctionsSpec extends SparkSpec {
       "no pii here, just 42 and 3.14"
   }
 
+  test("stripHtml: blocks removed whole, tags dropped, entities decoded, ws collapsed") {
+    import graft.functions.TextFunctions
+    def strip(h: String): String =
+      Seq(h).toDF("t").select(TextFunctions.stripHtml(col("t")))
+        .head.getString(0)
+    strip("<html><body><h1>Title</h1><p>hello <b>bold</b> world</p></body></html>") shouldBe
+      "Title hello bold world"
+    // script/style contents never leak into prose
+    strip("<style>p{x:1}</style>keep<script>var a=1;</script>me") shouldBe "keep me"
+    // case-insensitive, attributes, multiline blocks
+    strip("<SCRIPT type=\"x\">\nline1\nline2\n</SCRIPT>after") shouldBe "after"
+    // comments removed, entities decoded, &amp; decoded LAST
+    strip("a<!-- hidden -->b &amp;lt; c &lt;tag&gt; &quot;q&quot; it&#39;s") shouldBe
+      "a b &lt; c <tag> \"q\" it's"
+    // unclosed block is not a block: tag strips, content surfaces as
+    // text (documented contract — quality filters are the backstop)
+    strip("before<script>oops") shouldBe "before oops"
+    // plain text untouched
+    strip("no markup at all") shouldBe "no markup at all"
+  }
+
   test("repetition fractions: sorted run-length max matches hand counts") {
     // "go go go stop": top token 'go' 3/4; bigrams [go go, go go,
     // go stop] → top 'go go' 2/3
