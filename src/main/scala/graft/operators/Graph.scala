@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the link/interaction-graph
+  * signals a corpus-curation pipeline derives (domain authority for
+  * source weighting, the PageRank-as-quality-prior trick of web-crawl
+  * pretraining sets).
+  *
+  * Everything here follows the dedup-cluster iteration discipline:
+  * per round, ONE key-partitioned join + one aggregation over the
+  * EDGE list (never a collect), lineage truncated with localCheckpoint
+  * so a 50-round computation plans like a 1-round one.
+  */
+object Graph {
+
+  /** Rank mass is carried in integer NANO-units (1e9 = total teleport
+    * mass of one node at N = 1). */
+  val RankDenom = 1000000000L
+
+  /** PageRank by fixed-round power iteration with ALL arithmetic in
+    * integer nano-units — floor division at every step, so the result
+    * is a pure function of (graph, iterations): partitioning-, order-
+    * and engine-independent (an oracle replays it bit-for-bit, and two
+    * cluster runs can never disagree in the last ULP the way float
+    * power iteration does).
+    *
+    * Update rule per round (damping d = 85/100, the Page et al.
+    * standard, kept as an exact rational):
+    *   contrib(s→t) = rank_q(s) div outdeg(s)
+    *   rank_q'(t)   = (15·RankDenom) div (100·N)  +  (85·Σ contrib) div 100
+    *
+    * Dangling mass (nodes with no out-edges) is DROPPED, not
+    * redistributed — the original simplification; total mass then
+    * decays slightly per round, which rescales ranks uniformly and
+    * changes no ordering. Floor-division dust has the same property.
+    *
+    * Scale shape: per round, the edge list joins ranks on src (one
+    * shuffle keyed by src), aggregates contributions by dst (one
+    * shuffle keyed by dst), and left-joins back to the node table —
+    * work proportional to |E| + |V| per round, no driver state beyond
+    * the scalar N. Edge and degree tables are computed once and
+    * cached; ranks localCheckpoint each round (node-sized), keeping
+    * the plan flat at any round count.
+    *
+    * @return (id, rank_q) — one row per node */
+  def pageRankQ(edges: DataFrame, srcCol: String, dstCol: String,
+                iterations: Int = 10): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .cache() // every round joins against it
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().cache()
+    val n = nodes.count() // the one driver scalar
+    require(n > 0, "empty graph")
+    val teleportQ = 15L * RankDenom / (100L * n)
+    var ranks = nodes
+      .select(col("id"), lit(RankDenom / n).as("rank_q"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val sums = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("rank_q div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("msum"))
+      val prev = ranks
+      ranks = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleportQ) +
+            expr("(85 * coalesce(msum, 0L)) div 100")).as("rank_q"))
+        .localCheckpoint(true) // flat lineage: one round, one plan
+      prev.unpersist()
+      i += 1
+    }
+    ranks
+  }
+}

@@ -537,6 +537,28 @@ object AnalyticsQueries {
     // over ONE user-partitioned shuffle (stage timestamps chain
     // through the same partition), then a single count row. The
     // sequential-conversion shape of product analytics. Hash-green.
+    // PageRank over the customer↔supplier interaction graph (edges
+    // both ways per distinct trading pair) — the domain-authority
+    // prior a crawl-curation pipeline computes over its link graph.
+    // Six power-iteration rounds with ALL arithmetic in integer
+    // nano-units (floor division everywhere), so the ranking is a
+    // pure function of the graph and the oracle replays it exactly
+    // with six unrolled CTE rounds. Per round: one src-keyed join +
+    // one dst-keyed aggregation over the edge list, no driver state.
+    "supplier_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRankQ(edges, "src", "dst", iterations = 6)
+        .orderBy(col("rank_q").desc, col("id"))
+    }),
+
     "funnel_stages" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
@@ -1269,7 +1291,45 @@ object AnalyticsQueries {
         .orderBy(col("part_value").desc, col("p_partkey"))
     }))
 
+  /** Unrolled power-iteration rounds for the supplier_pagerank oracle
+    * (DuckDB forbids aggregates over a recursive CTE reference, so the
+    * fixed round count is spelled out as chained CTEs — mirroring
+    * Graph.pageRankQ's integer arithmetic term for term). */
+  private def pageRankCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.id,
+         |    (CAST(15 AS BIGINT) * 1000000000) // (100 * n.cnt)
+         |      + (CAST(85 AS BIGINT) * COALESCE(s.msum, 0)) // 100 AS rank_q
+         |  FROM nodes nd CROSS JOIN n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.rank_q // d.outdeg) AS msum
+         |    FROM edges e
+         |    JOIN pr${i - 1} p ON e.src = p.id
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nd.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |pr0 AS (SELECT id, CAST(1000000000 AS BIGINT) // cnt AS rank_q FROM nodes, n),
+       |$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "supplier_pagerank" ->
+      s"""WITH ${pageRankCtes(6)}
+         |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
+         |FROM pr6 ORDER BY rank_q DESC, id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

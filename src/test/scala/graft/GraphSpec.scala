@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Integer-arithmetic PageRank: exact parity with a single-JVM
+  * reference of the same update rule, plus the structural properties
+  * (dedup of edges, dangling-mass decay, determinism). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference power iteration — the identical nano-unit floor
+    * arithmetic, computed with plain Scala maps. */
+  private def refPageRank(edges: Seq[(String, String)],
+                          iterations: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val teleport = 15L * 1000000000L / (100L * n)
+    var rank = nodes.map(_ -> 1000000000L / n).toMap
+    (0 until iterations).foreach { _ =>
+      val sums = scala.collection.mutable.Map[String, Long]()
+      e.foreach { case (s, t) =>
+        val c = rank(s) / outdeg(s)
+        sums(t) = sums.getOrElse(t, 0L) + c
+      }
+      rank = nodes.map(id =>
+        id -> (teleport + 85L * sums.getOrElse(id, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRankQ equals the reference arithmetic, rank for rank") {
+    // a cycle, a hub, a dangling sink, and a duplicate edge
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), // cycle
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), // in-star
+      ("hub", "sink"), // sink has no out-edges: dangling
+      ("a", "b")) // duplicate: must count once
+    for (iters <- Seq(0, 1, 3, 7)) {
+      val got = Graph.pageRankQ(edges.toDF("src", "dst"), "src", "dst",
+        iters).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got shouldBe refPageRank(edges, iters)
+    }
+  }
+
+  test("ranking is sensible: the in-star hub outranks its spokes") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
+    val got = Graph.pageRankQ(edges.toDF("src", "dst"), "src", "dst", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got("hub") should be > got("b")
+    got("hub") should be > got("c")
+    // total mass bounded by the initial mass (floor dust + dangling
+    // only ever REMOVE mass)
+    got.values.sum should be <= 1000000000L
+  }
+
+  test("NULL endpoints are dropped; empty graph refused; repeat runs identical") {
+    val e = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
+      .toDF("src", "dst")
+    Graph.pageRankQ(e, "src", "dst", 2).count() shouldBe 2L // a and b
+    intercept[IllegalArgumentException] {
+      Graph.pageRankQ(Seq.empty[(String, String)].toDF("src", "dst"),
+        "src", "dst", 1)
+    }
+    val big = (0 until 500).map(i => (s"n${i % 50}", s"n${(i * 7) % 50}"))
+    val r1 = rows(Graph.pageRankQ(big.toDF("src", "dst"), "src", "dst", 5)
+      .orderBy("id"))
+    val r2 = rows(Graph.pageRankQ(big.toDF("src", "dst").repartition(13),
+      "src", "dst", 5).orderBy("id"))
+    r1 shouldBe r2 // partitioning-independent by integer construction
+  }
+}
