@@ -537,6 +537,78 @@ object AnalyticsQueries {
     // over ONE user-partitioned shuffle (stage timestamps chain
     // through the same partition), then a single count row. The
     // sequential-conversion shape of product analytics. Hash-green.
+    // Markov transition matrix of the event stream: count + row-
+    // normalized probability for each (event_type → next event_type)
+    // step per user. ONE user-keyed window (lead over the total
+    // (ts, event_id) order) + one pair aggregation; the probability
+    // normalizer is a partition window over the 25-row result. The
+    // behavioral-model fit of product analytics, hash-green.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // RFM segmentation with BOUNDED-memory quartile thresholds: the
+    // customer aggregate is SF-scaling, so the three per-dimension
+    // quartile bands come from the exact-percentile operator (constant
+    // group — never a global ntile sort, never a buffer-the-table
+    // percentile()), then score = 1 + #thresholds strictly below the
+    // value, broadcast-compared in one scan. Hash-green.
+    "rfm_segments" -> ((s, dir) => {
+      import graft.operators.Percentiles
+      val custs = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          datediff(max(to_date(col("o_orderdate"))),
+            lit("1970-01-01").cast("date")).cast("double").as("rec_days"),
+          count(lit(1)).cast("double").as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+        .withColumn("__g", lit(1))
+      def thr(vc: String, p: String) = broadcast(
+        Percentiles.exactGroupedPercentiles(custs, Seq("__g"), vc,
+          Seq(s"${p}25" -> 0.25, s"${p}50" -> 0.5, s"${p}75" -> 0.75))
+          .drop("__g"))
+      def score(v: org.apache.spark.sql.Column, p: String) =
+        lit(1L) + when(col(s"${p}25") < v, 1L).otherwise(0L) +
+          when(col(s"${p}50") < v, 1L).otherwise(0L) +
+          when(col(s"${p}75") < v, 1L).otherwise(0L)
+      custs.crossJoin(thr("rec_days", "r"))
+        .crossJoin(thr("frequency", "f"))
+        .crossJoin(thr("monetary", "m"))
+        .select(col("o_custkey"),
+          score(col("rec_days"), "r").as("r_score"),
+          score(col("frequency"), "f").as("f_score"),
+          score(col("monetary"), "m").as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Exact equi-width histogram: min/max in one scalar aggregate
+    // (broadcast), bucket index by mirrored double arithmetic in the
+    // scan — the exact twin of histogram_numeric's approximation.
+    "price_histogram" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_totalprice").as("v"))
+      val mm = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(least(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / 20)), lit(19.0))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // PageRank over the customer↔supplier interaction graph (edges
     // both ways per distinct trading pair) — the domain-authority
     // prior a crawl-curation pipeline computes over its link graph.
@@ -1330,6 +1402,67 @@ object AnalyticsQueries {
       s"""WITH ${pageRankCtes(6)}
          |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
          |FROM pr6 ORDER BY rank_q DESC, id""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |tr AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         COUNT(*) AS n
+        |  FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM tr ORDER BY from_type, to_type""".stripMargin,
+    // quantile_cont == Spark percentile interpolation (the
+    // price_percentiles precedent); score arithmetic mirrored
+    "rfm_segments" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(DATEDIFF('day', DATE '1970-01-01',
+        |                  MAX(CAST(o_orderdate AS DATE))) AS DOUBLE)
+        |      AS rec_days,
+        |    CAST(COUNT(*) AS DOUBLE) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT quantile_cont(rec_days, 0.25) AS r25,
+        |         quantile_cont(rec_days, 0.5) AS r50,
+        |         quantile_cont(rec_days, 0.75) AS r75,
+        |         quantile_cont(frequency, 0.25) AS f25,
+        |         quantile_cont(frequency, 0.5) AS f50,
+        |         quantile_cont(frequency, 0.75) AS f75,
+        |         quantile_cont(monetary, 0.25) AS m25,
+        |         quantile_cont(monetary, 0.5) AS m50,
+        |         quantile_cont(monetary, 0.75) AS m75
+        |  FROM c),
+        |s AS (
+        |  SELECT o_custkey,
+        |    1 + CAST(rec_days > r25 AS BIGINT)
+        |      + CAST(rec_days > r50 AS BIGINT)
+        |      + CAST(rec_days > r75 AS BIGINT) AS r_score,
+        |    1 + CAST(frequency > f25 AS BIGINT)
+        |      + CAST(frequency > f50 AS BIGINT)
+        |      + CAST(frequency > f75 AS BIGINT) AS f_score,
+        |    1 + CAST(monetary > m25 AS BIGINT)
+        |      + CAST(monetary > m50 AS BIGINT)
+        |      + CAST(monetary > m75 AS BIGINT) AS m_score
+        |  FROM c CROSS JOIN t)
+        |SELECT o_custkey, r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    "price_histogram" ->
+      """WITH mm AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders)
+        |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)),
+        |                  19.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM orders CROSS JOIN mm
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
