@@ -275,6 +275,25 @@ object RelationalQueries {
       Load.updateJoin(target(s, dir), stage(s, dir), Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))),
 
+    // Salted join: the skew-mitigation plan — lineitem (the fact side,
+    // where one hot orderkey would otherwise pin a straggler task)
+    // salted across 8 shards, orders replicated 8× — MUST produce
+    // byte-identical results to the plain join; the gate pins exactly
+    // that (oracle = the unsalted SQL). Decimal-quantized revenue sum
+    // so cross-row addition is order-independent.
+    "salted_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"), factor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // CDC apply: a replication log of I/U/D events collapses to its
     // net effect in ONE key-partitioned window (never replayed row by
     // row), then applies to the base table via anti-join + union.
@@ -728,6 +747,14 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+    // the UNSALTED join — pins that salting changes partitioning only
+    "salted_join_revenue" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // mirrors Load.cdcNetEffect/cdcApply: last (seq, op-rank D>U>I)
     // wins per key, net D removes, untouched base rows pass through
     "cdc_apply" ->
