@@ -48,9 +48,12 @@ object Graph {
   def pageRankQ(edges: DataFrame, srcCol: String, dstCol: String,
                 iterations: Int = 10): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // the edge lineage (often a join upstream, e.g. the trading-pair
+    // derivation) is read by BOTH the degree table and the node table —
+    // cache it once so neither re-runs it
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .distinct().cache()
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .cache() // every round joins against it
@@ -79,6 +82,11 @@ object Graph {
       prev.unpersist()
       i += 1
     }
+    e.unpersist()
+    eDeg.unpersist()
+    nodes.unpersist()
+    // ranks is localCheckpoint-backed — independent of the dropped
+    // caches; blocks reclaim when the frame is dereferenced
     ranks
   }
 }

@@ -346,6 +346,54 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_bucket").asc_nulls_first)),
 
+    // Explicit GROUPING SETS — per-status totals, per-priority totals,
+    // and the grand total in ONE aggregation pass (the cube/rollup
+    // sibling where the wanted combinations are irregular).
+    "grouping_sets_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Per-group z-score outliers with EXACT-SUM variance: sums of v
+    // and v² ride decimals (order-independent exact — stddev_samp's
+    // running merge is partitioning-dependent in the last ULP and
+    // would flap a hash gate), variance/z derived from the exact sums
+    // in mirrored double arithmetic. One aggregation + one broadcast
+    // compare-scan. Gate threshold is 1.5 sigma: the synthetic price
+    // distribution is near-uniform (max |z| = sqrt(3) ~ 1.73), so a
+    // classic 3-sigma cut would select nothing at ANY scale factor —
+    // the operator shape, not the cutoff, is what's under test.
+    "zscore_outliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val st = o.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sx"),
+        // the square is taken IN decimal (v exact at 2 decimals, the
+        // product exact at 4) — squaring in double and casting down
+        // rounds half-up in Spark but half-even in DuckDB and flapped
+        // the gate by 3 ULPs; exact rationals convert identically
+        sum(col("o_totalprice").cast("decimal(12,2)") *
+            col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("sxx"))
+      o.join(broadcast(st), "o_orderstatus")
+        .withColumn("z",
+          (col("o_totalprice") - col("sx") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("z"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // TPC-H Q5-style: local-supplier revenue per nation in one region.
     // Six-table join. Broadcast hints ONLY on nation/region — genuinely
     // constant-size at any SF. customer/supplier grow linearly with
@@ -1598,6 +1646,28 @@ object AnalyticsQueries {
         |  SELECT o_orderstatus, o_orderkey % 3 AS o_bucket FROM orders)
         |GROUP BY CUBE (o_orderstatus, o_bucket)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_bucket ASC NULLS FIRST""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // identical exact-sum arithmetic, identical double op order
+    "zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+        |             * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  (o_totalprice - sx / n)
+        |    / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+        |FROM orders JOIN st USING (o_orderstatus)
+        |WHERE ABS((o_totalprice - sx / n)
+        |          / sqrt((sxx - sx * sx / n) / (n - 1))) > 1.5
+        |ORDER BY o_orderkey""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
