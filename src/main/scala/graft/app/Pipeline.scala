@@ -402,6 +402,8 @@ object Pipeline {
       case Normalize =>
         df.withColumn(p.textColumn,
           graft.functions.HashFunctions.nfcNormalize(text))
+      case HtmlStrip =>
+        df.withColumn(p.textColumn, TextFunctions.stripHtml(text))
       case Sample(fraction) =>
         Sampling.deterministicSample(df, p.idColumn, fraction)
       case ws: WeightedSample =>

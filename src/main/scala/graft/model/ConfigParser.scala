@@ -201,6 +201,7 @@ object ConfigParser {
         ClassifierFilter(dbl("minMeanLogit", 0.0), d, w, wp)
       case "piiRedact" => PiiRedact
       case "normalize" => Normalize
+      case "htmlStrip" => HtmlStrip
       case "sample" =>
         val f = dbl("fraction", -1)
         if (f < 0 || f > 1)

@@ -115,6 +115,12 @@ object PipelineStep {
     * composed/decomposed variants of the same text collapse. */
   case object Normalize extends PipelineStep { val kind = "normalize" }
 
+  /** Rewrite the text column with
+    * [[graft.functions.TextFunctions.stripHtml]] — the WET-extraction
+    * step; run FIRST on crawl-shaped corpora so every downstream
+    * filter/dedup sees prose, not markup. */
+  case object HtmlStrip extends PipelineStep { val kind = "htmlStrip" }
+
   /** Deterministic hash sample
     * ([[graft.operators.Sampling.deterministicSample]]). */
   final case class Sample(fraction: Double) extends PipelineStep {

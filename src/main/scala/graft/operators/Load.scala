@@ -320,7 +320,15 @@ object Load {
     * @param changes log carrying keyCols ++ (seqCol, opCol) ++ payload
     * @return surviving rows, payload columns only (op/seq dropped) */
   def cdcNetEffect(changes: DataFrame, keyCols: Seq[String],
-                   seqCol: String, opCol: String): DataFrame = {
+                   seqCol: String, opCol: String): DataFrame =
+    cdcNetEffectKeepSeq(changes, keyCols, seqCol, opCol).drop(seqCol)
+
+  /** [[cdcNetEffect]] retaining `seqCol` on the survivors — the form a
+    * CONTINUOUS apply stores, so the next batch's events can lose to
+    * an already-applied higher sequence (out-of-order delivery across
+    * micro-batches). */
+  def cdcNetEffectKeepSeq(changes: DataFrame, keyCols: Seq[String],
+                          seqCol: String, opCol: String): DataFrame = {
     require(keyCols.nonEmpty, "cdcNetEffect needs key columns")
     val opRank = when(col(opCol) === "D", 3)
       .when(col(opCol) === "U", 2)
@@ -333,7 +341,7 @@ object Load {
     changes.withColumn("__op_rank", opRank)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
-      .drop("__rn", "__op_rank", seqCol, opCol)
+      .drop("__rn", "__op_rank", opCol)
   }
 
   /** Apply a CDC log to an existing base table: rows of keys the log

@@ -205,6 +205,47 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous CDC apply: each micro-batch of I/U/D replication
+    * events merges into a keyed table that RETAINS each survivor's
+    * sequence number, so ordering holds ACROSS batches, not just
+    * within one — a batch-2 event older than the already-applied
+    * batch-1 state loses to it (the stored row re-enters the net-
+    * effect window as a 'U' at its stored sequence). Deletes are NOT
+    * tombstoned: an event older than an applied delete arriving in a
+    * later batch resurrects the key — the standard retention-window
+    * contract (replication feeds are near-ordered; violations beyond
+    * the feed's reorder window need tombstone retention upstream).
+    * Replaying a batch is a no-op by construction (same events, same
+    * window outcome). Whole-target rewrite per batch, like
+    * [[streamingUpsert]] — partition the store for large targets. */
+  def streamingCdcApply(changes: DataFrame, sink: graft.app.TableSink,
+                        tableName: String, keyCols: Seq[String],
+                        seqCol: String, opCol: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyCdcBatch(batch.toDF(), sink, tableName, keyCols, seqCol, opCol)
+        ()
+      }
+      .start()
+
+  private[graft] def applyCdcBatch(batch: DataFrame,
+                                   sink: graft.app.TableSink,
+                                   tableName: String, keyCols: Seq[String],
+                                   seqCol: String, opCol: String): Unit = {
+    import graft.operators.Load
+    val events =
+      if (sink.tableExists(tableName)) {
+        val stored = sink.read(tableName).withColumn(opCol, lit("U"))
+        stored.unionByName(batch.select(stored.columns.map(col): _*))
+      } else batch
+    sink.overwrite(
+      Load.cdcNetEffectKeepSeq(events, keyCols, seqCol, opCol), tableName)
+  }
+
   /** [[streamingUpsert]] at scale: the target is a day-partitioned
     * parquet layout ([[graft.sources.PartitionedStore]]) and each
     * micro-batch rewrites ONLY the `p_date` partitions its rows touch —

@@ -487,6 +487,26 @@ class AppSpec extends SparkSpec {
       Array(1L, 3L)
   }
 
+  test("pipeline action: htmlStrip step extracts prose before downstream filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-html").toString
+    Seq(
+      (1L, "<html><script>var x=9;</script><p>real prose &amp; words</p></html>"),
+      (2L, "plain text stays put"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/h",
+        |  "steps": [{"type": "htmlStrip"}]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val got = spark.read.parquet(s"$dir/out/h")
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    got shouldBe Array("real prose & words", "plain text stays put")
+  }
+
   test("pipeline action: weightedSample step keeps n rows, drops its helper column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ws").toString

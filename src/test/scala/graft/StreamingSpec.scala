@@ -193,6 +193,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCdcApply: cross-batch sequence ordering, deletes, out-of-order losers") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scdc").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    // (key, seq, op, value)
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = EventStreams.streamingCdcApply(
+      input.toDF().toDF("k", "seq", "op", "v"),
+      sink, "cdc_state", Seq("k"), "seq", "op", s"$base/ckpt")
+    try {
+      // batch 1: inserts + an in-batch update
+      input.addData((1L, 1L, "I", "one"), (2L, 1L, "I", "two"),
+        (2L, 2L, "U", "two-v2"))
+      q.processAllAvailable()
+      rows(sink.read("cdc_state").select("k", "v").orderBy("k")) shouldBe
+        Seq(Seq(1L, "one"), Seq(2L, "two-v2"))
+
+      // batch 2: delete key 1, and an OUT-OF-ORDER update for key 2
+      // (seq 1 < the applied seq 2) — the stored state must win
+      input.addData((1L, 3L, "D", "x"), (2L, 1L, "U", "two-stale"),
+        (3L, 1L, "I", "three"))
+      q.processAllAvailable()
+      rows(sink.read("cdc_state").select("k", "v").orderBy("k")) shouldBe
+        Seq(Seq(2L, "two-v2"), Seq(3L, "three"))
+
+      // batch 3: key 2 updated past its stored seq; key 1 resurrected
+      // by a NEWER insert (legal — only sub-delete-seq events are the
+      // documented retention caveat)
+      input.addData((2L, 5L, "U", "two-v3"), (1L, 9L, "I", "one-again"))
+      q.processAllAvailable()
+      rows(sink.read("cdc_state").select("k", "v").orderBy("k")) shouldBe
+        Seq(Seq(1L, "one-again"), Seq(2L, "two-v3"), Seq(3L, "three"))
+    } finally q.stop()
+  }
+
   test("streamingScd2: micro-batches keep type-2 history at the batch effective date") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-sscd2").toString
