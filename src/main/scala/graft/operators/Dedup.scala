@@ -212,9 +212,14 @@ object Dedup {
     def contains(k: Long): Boolean = used.get(idx(k))
     def get(k: Long): Long = vals(idx(k))
     def put(k: Long, v: Long): Unit = {
-      if ((n + 1) * 2 > cap) grow()
-      val i = idx(k)
-      if (!used.get(i)) { used.set(i); keys(i) = k; n += 1 }
+      var i = idx(k)
+      if (!used.get(i)) {
+        // grow ONLY when actually inserting a new key — a value-only
+        // update (path compression) must never rehash, or foreachKey's
+        // iteration invariant breaks mid-walk (duplicate/missing rows)
+        if ((n + 1) * 2 > cap) { grow(); i = idx(k) }
+        used.set(i); keys(i) = k; n += 1
+      }
       vals(i) = v
     }
     private def grow(): Unit = {

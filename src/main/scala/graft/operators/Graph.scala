@@ -15,9 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Rank mass is carried in integer NANO-units (1e9 = total teleport
-    * mass of one node at N = 1). */
+  /** Default rank-mass denominator: integer NANO-units (1e9 = total
+    * mass at N = 1). The per-node quantum is rankDenom / N, so the
+    * denominator must scale with the graph — see the guard in
+    * [[pageRankQ]]. */
   val RankDenom = 1000000000L
+
+  /** Smallest tolerable per-node initial quantum: below this the
+    * floor divisions swallow whole rank differences and mass-starved
+    * nodes collapse to indistinguishable zeros. */
+  private val MinQuantum = 1000L
+
+  /** Largest safe denominator: the round computes 85 · Σcontrib where
+    * Σcontrib ≤ rankDenom, so 85 · rankDenom must stay inside Long. */
+  val MaxRankDenom: Long = Long.MaxValue / 100L
 
   /** PageRank by fixed-round power iteration with ALL arithmetic in
     * integer nano-units — floor division at every step, so the result
@@ -44,10 +55,19 @@ object Graph {
     * cached; ranks localCheckpoint each round (node-sized), keeping
     * the plan flat at any round count.
     *
+    * @param rankDenom total rank mass in integer units; MUST scale
+    *        with the graph (guarded: the per-node quantum
+    *        rankDenom / N must stay ≥ 1000, or floor division would
+    *        silently zero out the ranking — raise rankDenom for big
+    *        graphs, up to [[MaxRankDenom]] ≈ 9.2e16, good for ~9e13
+    *        nodes).
     * @return (id, rank_q) — one row per node */
   def pageRankQ(edges: DataFrame, srcCol: String, dstCol: String,
-                iterations: Int = 10): DataFrame = {
+                iterations: Int = 10,
+                rankDenom: Long = RankDenom): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    require(rankDenom >= 1 && rankDenom <= MaxRankDenom,
+      s"rankDenom in [1, $MaxRankDenom], got $rankDenom")
     // the edge lineage (often a join upstream, e.g. the trading-pair
     // derivation) is read by BOTH the degree table and the node table —
     // cache it once so neither re-runs it
@@ -62,9 +82,17 @@ object Graph {
       .distinct().cache()
     val n = nodes.count() // the one driver scalar
     require(n > 0, "empty graph")
-    val teleportQ = 15L * RankDenom / (100L * n)
+    // LOUD quantization guard: a quantum below MinQuantum means the
+    // floor arithmetic would erase real rank differences (teleport
+    // itself floors to 0 past rankDenom/n < ~7) — the degenerate
+    // all-zero "ranking" must never come back silently
+    require(rankDenom / n >= MinQuantum,
+      s"graph of $n nodes needs rankDenom >= ${MinQuantum * n} for a " +
+        s"usable rank quantum (got $rankDenom); raise rankDenom " +
+        s"(max $MaxRankDenom)")
+    val teleportQ = 15L * rankDenom / (100L * n)
     var ranks = nodes
-      .select(col("id"), lit(RankDenom / n).as("rank_q"))
+      .select(col("id"), lit(rankDenom / n).as("rank_q"))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {

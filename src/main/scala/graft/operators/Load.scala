@@ -336,8 +336,14 @@ object Load {
       .otherwise(raise_error(concat(
         lit("cdcNetEffect: unknown op '"), col(opCol),
         lit("' (expected I/U/D)"))))
+    // final tiebreak: the row-content hash. Two same-key events at the
+    // SAME seq with the SAME op but different payloads are a log
+    // ambiguity no rank can resolve semantically — but the winner must
+    // at least be a pure function of the data, never of partitioning
+    // or arrival order (a replay/shuffle-dependent winner flaps state).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc, col("__op_rank").desc)
+      .orderBy(col(seqCol).desc, col("__op_rank").desc,
+        xxhash64(changes.columns.map(col): _*).desc)
     changes.withColumn("__op_rank", opRank)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")

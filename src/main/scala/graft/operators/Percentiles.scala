@@ -345,7 +345,16 @@ object Percentiles {
     * Bit-parity with `percentile()` holds by the same argument as the
     * routed plan: identical band widths, identical conditional-sum
     * offsets, identical window ranking, identical two-sided
-    * interpolation arithmetic. */
+    * interpolation arithmetic.
+    *
+    * MAINTENANCE CONTRACT: this is deliberately a structural twin of
+    * the routed plan (the join strategies differ too much to share a
+    * parameterized core without obscuring both); the drift guard is
+    * that BOTH twins are pinned bit-for-bit against the same external
+    * reference — Spark's own `percentile()` — across every group
+    * shape in PercentilesSpec. Any fix to band arithmetic,
+    * interpolation, or NULL handling must land in both twins, and an
+    * unmirrored change fails the spec rather than diverging silently. */
   def distributedGroupedPercentiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, targets: Seq[(String, Double)],
       accuracy: Int = 10000,

@@ -580,11 +580,6 @@ object AnalyticsQueries {
         .orderBy(col("week"))
     }),
 
-    // Ordered funnel over the event stream: signup → first view AFTER
-    // it → first purchase after THAT, per user — two window passes
-    // over ONE user-partitioned shuffle (stage timestamps chain
-    // through the same partition), then a single count row. The
-    // sequential-conversion shape of product analytics. Hash-green.
     // Markov transition matrix of the event stream: count + row-
     // normalized probability for each (event_type → next event_type)
     // step per user. ONE user-keyed window (lead over the total
@@ -623,6 +618,11 @@ object AnalyticsQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("monetary"))
         .withColumn("__g", lit(1))
+        // materialized ONCE: the three eager threshold calls below each
+        // run count-probe + band jobs over this frame, and the final
+        // compare-scan reads it again — without this the SF-scaling
+        // orders aggregation re-runs ~7 times
+        .localCheckpoint(true)
       def thr(vc: String, p: String) = broadcast(
         Percentiles.exactGroupedPercentiles(custs, Seq("__g"), vc,
           Seq(s"${p}25" -> 0.25, s"${p}50" -> 0.5, s"${p}75" -> 0.75))
@@ -679,6 +679,11 @@ object AnalyticsQueries {
         .orderBy(col("rank_q").desc, col("id"))
     }),
 
+    // Ordered funnel over the event stream: signup → first view AFTER
+    // it → first purchase after THAT, per user — two window passes
+    // over ONE user-partitioned shuffle (stage timestamps chain
+    // through the same partition), then a single count row. The
+    // sequential-conversion shape of product analytics. Hash-green.
     "funnel_stages" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))

@@ -376,6 +376,21 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.duplicateClusters(spairs, collectLimit = 0).orderBy("id"))
   }
 
+  test("duplicateClusters: output-time path compression at the exact grow boundary") {
+    // exactly 4096 distinct long ids (= initial parent-table cap/2, the
+    // load-factor boundary) built as a DESCENDING chain, so thousands
+    // of stale parents remain at output time and foreachKey's find()
+    // performs value-only compression puts while iterating. A put that
+    // grew the table on an update (not an insert) rehashed mid-walk and
+    // emitted duplicate/missing rows — this pins the boundary.
+    val pairs = (4095 to 1 by -1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+    got.length shouldBe 4096
+    got.map(_.getLong(0)).sorted shouldBe (1L to 4096L).toArray
+    got.map(_.getLong(1)).distinct.toSeq shouldBe Seq(1L)
+  }
+
   test("duplicateClusters: streaming cap aborts to the loop mid-pass, results identical") {
     // 600 edges chained into one deep component + scattered doubletons,
     // through a parent table forced to grow several times; a cap below
