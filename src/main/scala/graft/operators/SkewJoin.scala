@@ -18,18 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join of a skewed `big` side with a `small` side on
-    * `keys`, spreading each key over `saltFactor` partitions. */
+  /** Equi-join of a skewed `big` side with a `small` side on `keys`,
+    * spreading each key over `saltFactor` partitions. Only `inner` and
+    * `left` joins are accepted — a right/full join would emit each
+    * UNMATCHED small-side row once per replica, refused loud rather
+    * than silently duplicated. Rows identical in EVERY column share a
+    * shard (the salt is a pure row function — replay-safe under task
+    * retry, unlike random/partition-id salts); pre-aggregate full
+    * duplicates first if a hot key consists of them. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 saltFactor: Int = 8): DataFrame = {
+                 saltFactor: Int = 8,
+                 joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs join keys")
     require(saltFactor > 0)
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left (a $joinType join would emit " +
+        "unmatched small-side rows once per replica)")
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"), "'__salt' column collides")
     // salt from a hash of the big side's full row → deterministic,
     // uniform, and independent of the join key
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(saltFactor)))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    saltedBig.join(replicatedSmall, keys :+ "__salt").drop("__salt")
+    saltedBig.join(replicatedSmall, keys :+ "__salt", joinType)
+      .drop("__salt")
   }
 
   /** Two-phase (partial → final) aggregation that survives a skewed

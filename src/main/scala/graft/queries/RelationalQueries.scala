@@ -286,7 +286,7 @@ object RelationalQueries {
         col("l_extendedprice"), col("l_discount"))
       val ord = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
         col("o_orderstatus"))
-      graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"), factor = 8)
+      graft.operators.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

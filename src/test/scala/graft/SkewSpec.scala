@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.SkewJoin
 import org.apache.spark.sql.functions._
 
 class SkewSpec extends SparkSpec {
@@ -17,13 +17,13 @@ class SkewSpec extends SparkSpec {
     for (jt <- Seq("inner", "left")) {
       val plain = rows(large.join(small, Seq("k"), jt)
         .orderBy("k", "payload"))
-      val salted = rows(Skew.saltedJoin(large, small, Seq("k"),
-        factor = 8, joinType = jt).orderBy("k", "payload"))
+      val salted = rows(SkewJoin.saltedJoin(large, small, Seq("k"),
+        saltFactor = 8, joinType = jt).orderBy("k", "payload"))
       salted shouldBe plain
     }
     // left join keeps unmatched large rows exactly once
     val l2 = large.unionByName(Seq((999999L, "orphan")).toDF("k", "payload"))
-    Skew.saltedJoin(l2, small, Seq("k"), 8, "left")
+    SkewJoin.saltedJoin(l2, small, Seq("k"), 8, "left")
       .filter(col("k") === 999999L).count() shouldBe 1L
   }
 
@@ -32,7 +32,7 @@ class SkewSpec extends SparkSpec {
     // reproduce the internal salting and count distinct shards for the
     // hot key — a pure function of the rows, so assert directly
     val shards = large.filter(col("k") === 7L)
-      .select(pmod(xxhash64(col("k"), col("payload")), lit(factor))
+      .select(pmod(hash(col("k"), col("payload")), lit(factor))
         .cast("int").as("s"))
       .distinct().count()
     shards shouldBe factor.toLong // 900 varied rows hit all 8 shards
@@ -40,13 +40,13 @@ class SkewSpec extends SparkSpec {
 
   test("outer-duplication and column-collision hazards are refused") {
     intercept[IllegalArgumentException] {
-      Skew.saltedJoin(large, small, Seq("k"), 8, "full")
+      SkewJoin.saltedJoin(large, small, Seq("k"), 8, "full")
     }.getMessage should include("unmatched")
     intercept[IllegalArgumentException] {
-      Skew.saltedJoin(large.withColumn("__salt", lit(1)), small, Seq("k"))
+      SkewJoin.saltedJoin(large.withColumn("__salt", lit(1)), small, Seq("k"))
     }
     intercept[IllegalArgumentException] {
-      Skew.saltedJoin(large, small, Nil)
+      SkewJoin.saltedJoin(large, small, Nil)
     }
   }
 }
