@@ -286,6 +286,54 @@ object PipelineQueries {
         .orderBy(col("n_a"))
     }),
 
+    // Pairwise source-overlap matrix from per-source KMV synopses —
+    // "which sources duplicate each other" answered without any
+    // cross-source content join: one sketch pass, then set algebra
+    // over the 5×4/2 sketch pairs (a bounded #sources² comparison of
+    // k-long synopses, the corpus_overlap_kmv crossJoin precedent —
+    // never a row-level cartesian). Under-full sketches are exact →
+    // hash-green vs exact set SQL; saturation fails loud.
+    "source_overlap_matrix" -> ((s, dir) => {
+      import graft.functions.KmvFunctions._
+      val kk = 2048
+      val sk = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(kmvState(col("text"), kk).as("sk"))
+        .select(col("source"),
+          kmvAssertUnderFull(col("sk"), kk, "source_overlap_matrix")
+            .as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          kmvSetEstimates(col("sk_a"), col("sk_b"), kk).as("e"))
+        .select(col("src_a"), col("src_b"),
+          col("e.est_intersection").cast("long").as("n_shared"),
+          col("e.jaccard").as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Cross-document n-gram NOVELTY: per doc, the fraction of its
+    // distinct shingles not seen in any EARLIER doc (by id) — the
+    // marginal-contribution signal dedup-aware curation ranks sources
+    // by. One shingle explode + a min-per-shingle aggregation + one
+    // join back; no pairwise anything. Hash-green.
+    "ngram_novelty" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      val firstSeen = sh.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("first_id"))
+      sh.join(firstSeen, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup suite -------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir, perturb = false), "doc_id", "text")
@@ -953,6 +1001,39 @@ object PipelineQueries {
          |  FROM fused)
          |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
     },
+    // exact set SQL per source pair; zero-overlap pairs still appear
+    // (the sketch side emits every pair); jaccard mirrors the
+    // estimator's rho/|union| on exact counts
+    "source_overlap_matrix" ->
+      """WITH d AS (SELECT DISTINCT source, text FROM documents),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+        |ov AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |  FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+        |  FROM cnt x JOIN cnt y ON x.source < y.source)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(COALESCE(ov.shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(ov.shared, 0) AS DOUBLE)
+        |    / (p.n_a + p.n_b - COALESCE(ov.shared, 0)) AS jaccard
+        |FROM pairs p LEFT JOIN ov
+        |  ON p.src_a = ov.src_a AND p.src_b = ov.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // mirrors Dedup.shingles(3) + the min-doc_id first-seen pass
+    "ngram_novelty" ->
+      s"""WITH shs AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+         |fs AS (SELECT sh, MIN(doc_id) AS first_id FROM shs GROUP BY sh)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN fs.first_id = s.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN fs.first_id = s.doc_id THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / COUNT(*) AS novelty
+         |FROM shs s JOIN fs USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // exact set SQL; matches the sketch because under-full KMV is
     // exact (see the query comment)
     "corpus_overlap_kmv" ->
