@@ -82,6 +82,10 @@ object SparkEntry {
         " parity with a single-JVM reference implementation (merge list" +
         " AND encodings) is spec-pinned in BpeSpec"),
       "bpe_encode" -> ("encodes with corpus-derived merges (no SQL twin);" +
-        " encoder-vs-reference parity spec-pinned in BpeSpec"))
+        " encoder-vs-reference parity spec-pinned in BpeSpec"),
+      "compression_ratio" -> ("DuckDB has no deflate function to twin" +
+        " the zlib signal; byte-exact parity with java.util.zip and the" +
+        " repetitive-vs-prose ordering are spec-pinned in" +
+        " TextFunctionsSpec"))
   }
 }

@@ -222,6 +222,23 @@ object HashImpls {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Deflate (zlib, BEST_COMPRESSION, raw/nowrap) output size of the
+    * UTF-8 bytes. Level and nowrap are FIXED — they are part of the
+    * signal's definition; a level change would shift every ratio. */
+  def deflateLength(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** NFC normalization of a UTF8String; already-normalized input (all
     * ASCII, most NFC text) short-circuits without re-encoding. */
   def nfc(s: UTF8String): UTF8String = {
@@ -291,6 +308,26 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Deflate-compressed size of a string's UTF-8 bytes (zlib
+  * BEST_COMPRESSION, no header) — the numerator of the classic
+  * compression-ratio quality signal: highly repetitive/boilerplate
+  * text compresses far below prose, random noise barely at all.
+  * Deterministic for a fixed zlib build (the JDK bundles one); pinned
+  * rows-only at the gate (DuckDB has no deflate), exact parity with
+  * java.util.zip spec-pinned. One codegen'd call per row; the Deflater
+  * is created/ended per call — cheap next to the deflate itself, and
+  * expression instances are shared per-partition anyway. */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.deflateLength(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashImpls.deflateLength($a)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_length"
 }
 
 /** Native SQ8 round-trip over a double vector — one codegen'd call
@@ -465,6 +502,9 @@ object HashFunctions {
 
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(expr(text)))
+
+  def deflateLength(text: Column): Column =
+    GraftBridge.column(DeflateLength(expr(text)))
 
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =

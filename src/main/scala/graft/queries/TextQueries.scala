@@ -122,6 +122,21 @@ object TextQueries {
             / (count(lit(1)) * lit(1e6))).as("mean_quality"))
         .orderBy(col("lang"), col("source"))),
 
+    // Compression-ratio quality signal (the zlib trick of crawl
+    // curation: boilerplate/templated text compresses far below
+    // prose, noise barely at all). Native codegen'd deflate — one
+    // call per row, narrow map. Rows-only: DuckDB has no deflate;
+    // byte-exact parity with java.util.zip is spec-pinned.
+    "compression_ratio" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.HashFunctions.deflateLength(col("text"))
+            .as("deflate_bytes"))
+        .withColumn("ratio", col("deflate_bytes").cast("double") /
+          greatest(col("n_bytes"), lit(1L)))
+        .orderBy(col("doc_id"))),
+
     // HTML → prose extraction (the WET step of a crawl pipeline):
     // deterministic markup — style/script blocks, comments, entities,
     // a tag-wrapped body — is planted around each doc's text in SQL,

@@ -95,6 +95,40 @@ class TextFunctionsSpec extends SparkSpec {
       "no pii here, just 42 and 3.14"
   }
 
+  test("deflateLength: byte-exact vs java.util.zip; repetition compresses, noise doesn't") {
+    import graft.functions.HashFunctions
+    def ref(t: String): Long = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_COMPRESSION, true)
+      try {
+        d.setInput(t.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val texts = Seq("", "a", "hello world",
+      "spam spam spam " * 50, // heavy repetition
+      (1 to 400).map(i => (i * 2654435761L % 97).toChar + 30).mkString, // noisy
+      "café 中文 multi-byte")
+    val got = texts.toDF("text")
+      .select(HashFunctions.deflateLength(col("text")).as("n"))
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe texts.map(ref)
+    // the signal itself: repeated text compresses far below its size,
+    // and far below equally-long diverse text
+    val rep = "the same sentence again and again. " * 30
+    val repLen = ref(rep)
+    repLen.toDouble / rep.getBytes("UTF-8").length should be < 0.1
+    // partitioning independence (pure row function)
+    val df = (1 to 500).map(i => s"doc $i " + ("x" * (i % 37))).toDF("text")
+    val a = df.select(HashFunctions.deflateLength(col("text"))).collect()
+    val b = df.repartition(13)
+      .select(HashFunctions.deflateLength(col("text"))).collect()
+    a.map(_.getLong(0)).sorted shouldBe b.map(_.getLong(0)).sorted
+  }
+
   test("stripHtml: blocks removed whole, tags dropped, entities decoded, ws collapsed") {
     import graft.functions.TextFunctions
     def strip(h: String): String =
