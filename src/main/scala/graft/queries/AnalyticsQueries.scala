@@ -580,6 +580,25 @@ object AnalyticsQueries {
         .orderBy(col("week"))
     }),
 
+    // Top event PATHS: the most frequent 3-step event-type sequences
+    // across users — two leads over the same user-keyed window the
+    // transition matrix uses (ONE shuffle), then a path aggregation
+    // and a TakeOrderedAndProject top-20. Hash-green.
+    "event_paths_top" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // Markov transition matrix of the event stream: count + row-
     // normalized probability for each (event_type → next event_type)
     // step per user. ONE user-keyed window (lead over the total
@@ -1455,6 +1474,17 @@ object AnalyticsQueries {
       s"""WITH ${pageRankCtes(6)}
          |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
          |FROM pr6 ORDER BY rank_q DESC, id""".stripMargin,
+    "event_paths_top" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |       COUNT(*) AS n
+        |FROM e WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "event_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -294,6 +294,31 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Salted two-phase aggregation — the OTHER skew tool (a hot GROUP
+    // key dominating a hash aggregation, where AQE cannot split the
+    // building side): partial aggregates per (key, salt), then a merge
+    // of the salt partials. Decimal sums are order-independent, so the
+    // two-phase result is byte-identical to the plain aggregation —
+    // which is exactly what the oracle pins.
+    "salted_agg_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.{functions => F}
+      graft.operators.SkewJoin.saltedAgg(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        Seq("l_orderkey"), saltFactor = 8)(
+        partial = Seq(
+          (F.count(F.lit(1)), "n_part"),
+          (F.sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")), "rev_part")),
+        merge = Seq(
+          (F.sum(col("n_part")), "n_lines"),
+          (F.sum(col("rev_part")), "rev_dec")))
+        .filter(col("l_orderkey") % 50 === 0) // keep the gate result small
+        .select(col("l_orderkey"), col("n_lines"),
+          col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // CDC apply: a replication log of I/U/D events collapses to its
     // net effect in ONE key-partitioned window (never replayed row by
     // row), then applies to the base table via anti-join + union.
@@ -747,6 +772,16 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+    // the UNSALTED aggregation — pins that the two-phase salt split
+    // changes partitioning only (decimal partials merge exactly)
+    "salted_agg_revenue" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey % 50 = 0
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     // the UNSALTED join — pins that salting changes partitioning only
     "salted_join_revenue" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
