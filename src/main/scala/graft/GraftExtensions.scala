@@ -47,6 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_length"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "deflate_length"),
+      (args: Seq[Expression]) => DeflateLength(args.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("approx_distinct_lc"),
       new ExpressionInfo(classOf[LinearCountSketch].getName, "approx_distinct_lc"),
       (args: Seq[Expression]) =>

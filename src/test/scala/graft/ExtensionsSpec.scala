@@ -19,6 +19,14 @@ class ExtensionsSpec extends SparkSpec {
     r.getDouble(3) shouldBe 1.0 +- 1e-12
     spark.sql("SELECT token_split(lower('Hello, World!')) AS t")
       .collect().head.getSeq[String](0).toSeq shouldBe Seq("hello", "world")
+    // round-8 registrations: NFC normalization + deflate size
+    val r8 = spark.sql(
+      """SELECT nfc_normalize('café') AS nfc,
+        |       deflate_length(repeat('abc', 100)) AS dl,
+        |       deflate_length('') AS dl0""".stripMargin).collect().head
+    r8.getString(0) shouldBe "café"
+    r8.getLong(1) should be < 300L // 300 bytes of repetition compress
+    r8.getLong(2) should be > 0L // empty input still emits a block
   }
 
   test("SQL results agree with the Column API") {
