@@ -69,6 +69,8 @@ object SparkEntry {
         " the float index)"),
       "embedding_ivf_persisted" -> (ann + "SimilaritySpec (persisted parity)"),
       "embedding_ivf_append" -> (ann + "SimilaritySpec (append parity)"),
+      "embedding_pq_topk" -> (ann + "SimilaritySpec (ADC identity +" +
+        " PQ recall floor)"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
       "hybrid_search_indexed" -> (ann + "HybridSearchSpec (indexed fusion" +
         " parity vs the exact hash-green hybrid_search twin)"),

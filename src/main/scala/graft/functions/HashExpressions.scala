@@ -239,6 +239,61 @@ object HashImpls {
     } finally d.end()
   }
 
+  /** Product-quantization encode: per subspace, the index of the
+    * nearest (L2) codebook centroid of that slice of the vector.
+    * codebooks(s)(j) is centroid j of subspace s; subspace widths come
+    * from the codebooks themselves. */
+  def pqEncode(v: ArrayData,
+               codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val subDim = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getDouble(off + i) - cb(j)(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      off += subDim
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC (asymmetric distance computation) cosine against a PQ code:
+    * cos(q, x̂) for the reconstruction x̂ = concat of coded centroids,
+    * from per-query lookup tables — dotLut(s)(j) = q_s · c_s,j and
+    * normLut(s)(j) = |c_s,j|², so the per-row work is m table reads,
+    * never a dim-width multiply. EXACT for the reconstruction (the
+    * approximation lives entirely in the quantization). */
+  def pqAdcCos(codes: ArrayData, dotLut: Array[Array[Double]],
+               normLut: Array[Array[Double]], qNorm: Double): Double = {
+    var dot = 0.0
+    var n2 = 0.0
+    var s = 0
+    while (s < dotLut.length) {
+      val c = codes.getInt(s)
+      dot += dotLut(s)(c)
+      n2 += normLut(s)(c)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(n2)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   /** NFC normalization of a UTF8String; already-normalized input (all
     * ASCII, most NFC text) short-circuits without re-encoding. */
   def nfc(s: UTF8String): UTF8String = {
@@ -413,6 +468,44 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def prettyName: String = "nearest_centroids"
 }
 
+/** PQ encode of a double vector — codebooks ride as a codegen
+  * reference object (the NearestCentroids pattern). */
+case class PqEncode(child: Expression,
+                    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.pqEncode(input.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.pqEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC cosine of a PQ code column against ONE query's lookup tables
+  * (built driver-side per query — tiny: m·k doubles ×2). */
+case class PqAdcCos(child: Expression, dotLut: Array[Array[Double]],
+                    normLut: Array[Array[Double]], qNorm: Double)
+    extends UnaryExpression {
+  require(dotLut.length == normLut.length && dotLut.nonEmpty)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.pqAdcCos(input.asInstanceOf[ArrayData], dotLut, normLut, qNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.addReferenceObj("dotLut", dotLut, "double[][]")
+    val n = ctx.addReferenceObj("normLut", normLut, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.pqAdcCos($c, $d, $n, $qNorm)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcCos =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc_cos"
+}
+
 case class TokenSplit(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -505,6 +598,14 @@ object HashFunctions {
 
   def deflateLength(text: Column): Column =
     GraftBridge.column(DeflateLength(expr(text)))
+
+  def pqEncode(vecDouble: Column,
+               codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqEncode(expr(vecDouble), codebooks))
+
+  def pqAdcCos(codes: Column, dotLut: Array[Array[Double]],
+               normLut: Array[Array[Double]], qNorm: Double): Column =
+    GraftBridge.column(PqAdcCos(expr(codes), dotLut, normLut, qNorm))
 
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =

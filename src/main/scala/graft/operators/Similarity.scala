@@ -96,6 +96,97 @@ object Similarity {
   def sq8Reconstruct(v: Column): Column =
     graft.functions.HashFunctions.sq8Roundtrip(asDouble(v))
 
+  /** Train product-quantization codebooks: split the vector into `m`
+    * equal-width subspaces and run the SAME deterministic k-means the
+    * IVF path uses on each slice. Cost: m × (1 + iters) corpus scans —
+    * at 100 TB train on a deterministic hash sample
+    * ([[graft.operators.Sampling.deterministicSample]]), the codebook
+    * only needs distributional coverage.
+    * @return codebooks(s)(j) = centroid j of subspace s */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, kCodes: Int,
+                       iters: Int = 2): Array[Array[Array[Double]]] = {
+    require(m >= 1 && kCodes >= 1)
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"vector dim $dim must be a positive multiple of m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__subv")),
+        idCol, "__subv", kCodes, iters)
+    }.toArray
+  }
+
+  /** PQ-compressed exhaustive top-k: encode the corpus once (m small
+    * ints per vector — 64 floats → 8 codes at the defaults), then
+    * score each query by ADC cosine — per row, m table lookups
+    * instead of a dim-width dot product, the classic memory-bound
+    * 100 TB scan shape (Jégou et al., TPAMI'11). Queries are collected
+    * under a cap (the ivfTopKPersisted guard pattern) because each
+    * query ships its own tiny LUT pair into the plan.
+    *
+    * Approximation lives entirely in the quantization: the ADC score
+    * IS cos(query, reconstruction) exactly (spec-pinned identity).
+    * Like every production PQ system, the compressed scan feeds a
+    * REFINE stage: the ADC top (refine·k) candidate pool per query is
+    * re-ranked by TRUE cosine against the original vectors — a
+    * pool-sized semi join, so the full-width vectors are read for
+    * ~refine·k rows per query, never the corpus. `refine = 0` returns
+    * the raw ADC ranking (the identity spec's mode). Recall vs the
+    * exact scan is spec-pinned like the LSH/IVF family. Compose with
+    * IVF pruning upstream when a full compressed scan is still too
+    * much. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
+             iters: Int = 2, maxQueries: Int = 64,
+             refine: Int = 8): DataFrame = {
+    require(refine >= 0, "refine must be >= 0")
+    import graft.functions.HashFunctions.{pqAdcCos, pqEncode}
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, iters)
+    val sub = books(0)(0).length
+    val encoded = corpus.select(col(idCol),
+      pqEncode(asDouble(col(vecCol)), books).as("__codes"))
+    val qRows = queries.limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"pqTopK: more than $maxQueries query rows — batch the queries " +
+        "or raise maxQueries (each query ships an m×k LUT)")
+    val scored = qRows.map { r =>
+      val q = r.getSeq[Float](1).toArray.map(_.toDouble)
+      require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
+      val dotLut = Array.tabulate(m, kCodes) { (s, j) =>
+        val c = books(s)(j)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += q(s * sub + i) * c(i); i += 1 }
+        acc
+      }
+      val normLut = Array.tabulate(m, kCodes) { (s, j) =>
+        books(s)(j).map(x => x * x).sum
+      }
+      val qNorm = math.sqrt(q.map(x => x * x).sum)
+      encoded
+        .filter(col(idCol) =!= lit(r.get(0)))
+        .select(lit(r.get(0)).as("q_id"), col(idCol),
+          pqAdcCos(col("__codes"), dotLut, normLut, qNorm).as("cos"))
+    }.reduce(_ unionByName _)
+    if (refine == 0) rankTopK(scored, idCol, k)
+    else {
+      // exact re-rank of the ADC pool: pool rows join back to their
+      // full vectors; the query side is the (small, already-capped)
+      // queries frame
+      val pool = rankTopK(scored, idCol, refine * k)
+        .select(col("q_id"), col("neighbor_id").as(idCol))
+      val rescored = pool
+        .join(corpus.select(col(idCol), col(vecCol)), idCol)
+        .join(broadcast(queries), "q_id")
+        .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      rankTopK(rescored, idCol, k)
+    }
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * @param queries small frame (q_id, q_vec) — broadcast

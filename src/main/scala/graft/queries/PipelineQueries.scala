@@ -286,6 +286,21 @@ object PipelineQueries {
         .orderBy(col("n_a"))
     }),
 
+    // Product-quantized exhaustive ANN: 64-float vectors → 8 codebook
+    // codes, queries scored by ADC cosine (m table lookups per row —
+    // the memory-bound compressed-scan shape of 100 TB retrieval).
+    // Rows-only: codebooks come from k-means (double-sum rounding,
+    // like the IVF family); the ADC==reconstruction-cosine identity
+    // and recall floor are spec-pinned in SimilaritySpec.
+    "embedding_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 25)
+        .select(col("q_id"), col("neighbor_id"), col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
     // Pairwise source-overlap matrix from per-source KMV synopses —
     // "which sources duplicate each other" answered without any
     // cross-source content join: one sketch pass, then set algebra

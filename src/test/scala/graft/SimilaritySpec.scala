@@ -101,6 +101,64 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("PQ: ADC score equals cosine against the reconstruction, bit-for-bit-ish") {
+    val c = corpus(n = 120)
+    val books = Similarity.trainPqCodebooks(c, "vec_id", "embedding",
+      m = 8, kCodes = 8, iters = 1)
+    books.length shouldBe 8
+    books.foreach(_.length shouldBe 8)
+    // reconstruct every vector from its codes at the driver and check
+    // cos(q, x_hat) == the operator's ADC score
+    val sub = books(0)(0).length
+    val rows0 = c.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def encode(v: Array[Double]): Array[Int] =
+      Array.tabulate(8) { s =>
+        (0 until 8).minBy { j =>
+          (0 until sub).map(i =>
+            math.pow(v(s * sub + i) - books(s)(j)(i), 2)).sum
+        }
+      }
+    def reconstruct(codes: Array[Int]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (j, s) => books(s)(j) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = c.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qv = rows0.find(_._1 == 0L).get._2
+    val got = Similarity.pqTopK(c, q, "vec_id", "embedding", k = 119,
+        m = 8, kCodes = 8, iters = 1, refine = 0)
+      .select("neighbor_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows0.filter(_._1 != 0L).foreach { case (id, v) =>
+      val want = cos(qv, reconstruct(encode(v)))
+      got(id) shouldBe want +- 1e-9
+    }
+  }
+
+  test("pqTopK recall >= 0.8 against brute force on clustered corpus") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.8
+    // query-cap guard fails loud rather than collecting unbounded
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(c, c.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), "vec_id", "embedding", k = 2,
+        maxQueries = 10)
+    }
+  }
+
   test("kmeans-trained IVF: centroids converge to the 4 planted clusters; recall >= untrained") {
     val c = corpus()
     // VectorAvg correctness: mean of a known group, element-wise
