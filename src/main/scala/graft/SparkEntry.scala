@@ -71,6 +71,8 @@ object SparkEntry {
       "embedding_ivf_append" -> (ann + "SimilaritySpec (append parity)"),
       "embedding_pq_topk" -> (ann + "SimilaritySpec (ADC identity +" +
         " PQ recall floor)"),
+      "embedding_ivf_pq" -> (ann + "SimilaritySpec (composed IVF+PQ" +
+        " recall floor + true-cosine refine)"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
       "hybrid_search_indexed" -> (ann + "HybridSearchSpec (indexed fusion" +
         " parity vs the exact hash-green hybrid_search twin)"),

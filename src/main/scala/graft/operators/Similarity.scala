@@ -156,16 +156,17 @@ object Similarity {
     val scored = qRows.map { r =>
       val q = r.getSeq[Float](1).toArray.map(_.toDouble)
       require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
-      val dotLut = Array.tabulate(m, kCodes) { (s, j) =>
-        val c = books(s)(j)
-        var acc = 0.0
-        var i = 0
-        while (i < sub) { acc += q(s * sub + i) * c(i); i += 1 }
-        acc
+      // LUTs sized from the TRAINED books, not kCodes — k-means can
+      // return fewer centroids than asked (tiny/pruned populations)
+      val dotLut = books.zipWithIndex.map { case (cb, s) =>
+        cb.map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { acc += q(s * sub + i) * c(i); i += 1 }
+          acc
+        }
       }
-      val normLut = Array.tabulate(m, kCodes) { (s, j) =>
-        books(s)(j).map(x => x * x).sum
-      }
+      val normLut = books.map(_.map(_.map(x => x * x).sum))
       val qNorm = math.sqrt(q.map(x => x * x).sum)
       encoded
         .filter(col(idCol) =!= lit(r.get(0)))
@@ -340,6 +341,42 @@ object Similarity {
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
     rankTopK(scored, idCol, k)
+  }
+
+  /** IVF × PQ — the flagship big-corpus ANN composition: coarse
+    * centroids prune the corpus to the probed inverted lists
+    * (~nProbe/nCentroids of the rows), the survivors are scanned in
+    * PQ-compressed form (ADC: m table reads per row), and the ADC
+    * pool re-ranks by true cosine ([[pqTopK]]'s refine discipline).
+    * Candidate generation is doubly approximate (cell pruning +
+    * quantization) — recall-floor spec-pinned like the rest of the
+    * family; the refine stage keeps the FINAL ordering exact over
+    * whatever the candidates are. Codebooks are trained on the pruned
+    * candidate population per call (the ad-hoc form); a standing
+    * deployment persists codebooks trained once on the corpus — the
+    * saveIvfIndex / LinearModel.saveWeightsQ artifact pattern. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int = 16,
+                nProbe: Int = 4, trainIters: Int = 0, m: Int = 8,
+                kCodes: Int = 16, pqIters: Int = 2,
+                maxQueries: Int = 64, refine: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else systematicCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = assignFrame(corpus, vecCol, centroids)
+    val qCells = queries.withColumn("centroid",
+      explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    // prune FIRST: only rows in some query's probed cells reach the
+    // compressed scan (left_semi keeps each corpus row once even when
+    // several queries probe its cell; pqTopK re-fans per query)
+    val pruned = assigned
+      .join(broadcast(qCells.select(col("centroid")).distinct()),
+        Seq("centroid"), "left_semi")
+      .select(col(idCol), col(vecCol))
+    pqTopK(pruned, queries, idCol, vecCol, k, m, kCodes, pqIters,
+      maxQueries, refine)
   }
 
   /** Persist a built IVF index under `path`: `centroids/` (id +

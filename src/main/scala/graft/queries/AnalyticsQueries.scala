@@ -580,6 +580,24 @@ object AnalyticsQueries {
         .orderBy(col("week"))
     }),
 
+    // The remaining rank-window family in one query: rank, dense_rank,
+    // percent_rank, cume_dist, ntile — per status, totally ordered by
+    // (price, orderkey) so every function is deterministic. One
+    // shuffle, one window pass. Kept small via a key filter.
+    "window_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .filter(col("o_orderkey") % 20 === 0)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Top event PATHS: the most frequent 3-step event-type sequences
     // across users — two leads over the same user-keyed window the
     // transition matrix uses (ONE shuffle), then a path aggregation
@@ -1474,6 +1492,18 @@ object AnalyticsQueries {
       s"""WITH ${pageRankCtes(6)}
          |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
          |FROM pr6 ORDER BY rank_q DESC, id""".stripMargin,
+    "window_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "event_paths_top" ->
       """WITH e AS (
         |  SELECT event_type,

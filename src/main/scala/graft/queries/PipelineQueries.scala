@@ -301,6 +301,20 @@ object PipelineQueries {
         .orderBy(col("rnk"))
     }),
 
+    // IVF × PQ: centroid pruning, compressed ADC scan, exact refine —
+    // the composed 100 TB ANN shape. Rows-only (cell + codebook
+    // approximation); recall floor and true-cosine refine are
+    // spec-pinned in SimilaritySpec.
+    "embedding_ivf_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 25,
+          nCentroids = 16, nProbe = 6)
+        .select(col("q_id"), col("neighbor_id"), col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
     // Pairwise source-overlap matrix from per-source KMV synopses —
     // "which sources duplicate each other" answered without any
     // cross-source content join: one sketch pass, then set algebra

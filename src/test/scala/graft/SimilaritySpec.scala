@@ -159,6 +159,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: doubly-approximate candidates still clear the recall floor") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.8
+    // the refine stage reports TRUE cosines: every surviving score must
+    // equal the exact pair cosine computed independently
+    val scores = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactScores = Similarity.bruteForceTopK(c, q, "vec_id",
+        "embedding", k = 199).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    scores.foreach { case (pair, s) =>
+      s shouldBe exactScores(pair) +- 1e-12
+    }
+  }
+
   test("kmeans-trained IVF: centroids converge to the 4 planted clusters; recall >= untrained") {
     val c = corpus()
     // VectorAvg correctness: mean of a known group, element-wise
