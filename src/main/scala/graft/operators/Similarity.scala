@@ -142,10 +142,16 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
              iters: Int = 2, maxQueries: Int = 64,
-             refine: Int = 8): DataFrame = {
+             refine: Int = 8,
+             codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
     require(refine >= 0, "refine must be >= 0")
     import graft.functions.HashFunctions.{pqAdcCos, pqEncode}
-    val books = trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, iters)
+    // a standing deployment trains ONCE and injects persisted books
+    // (savePqCodebooks); absent, train on this call's corpus
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, iters))
+    require(books.length == m, s"codebooks have ${books.length} subspaces, m=$m")
     val sub = books(0)(0).length
     val encoded = corpus.select(col(idCol),
       pqEncode(asDouble(col(vecCol)), books).as("__codes"))
@@ -359,7 +365,9 @@ object Similarity {
                 vecCol: String, k: Int, nCentroids: Int = 16,
                 nProbe: Int = 4, trainIters: Int = 0, m: Int = 8,
                 kCodes: Int = 16, pqIters: Int = 2,
-                maxQueries: Int = 64, refine: Int = 8): DataFrame = {
+                maxQueries: Int = 64, refine: Int = 8,
+                codebooks: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
     import graft.functions.HashFunctions.nearestCentroids
     val centroids =
       if (trainIters > 0)
@@ -376,7 +384,36 @@ object Similarity {
         Seq("centroid"), "left_semi")
       .select(col(idCol), col(vecCol))
     pqTopK(pruned, queries, idCol, vecCol, k, m, kCodes, pqIters,
-      maxQueries, refine)
+      maxQueries, refine, codebooks)
+  }
+
+  /** Persist PQ codebooks as a (subspace, code, centroid) parquet —
+    * the model artifact of a standing PQ/IVF-PQ index (train once on
+    * the corpus, encode and probe everywhere; the
+    * LinearModel.saveWeightsQ discipline). */
+  def savePqCodebooks(spark: SparkSession,
+                      books: Array[Array[Array[Double]]],
+                      path: String): Unit = {
+    require(books.nonEmpty, "refusing to persist empty codebooks")
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks saved by [[savePqCodebooks]]. */
+  def loadPqCodebooks(spark: SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid"))
+      .collect()
+    require(rows.nonEmpty, s"no codebooks at $path")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }.toArray
   }
 
   /** Persist a built IVF index under `path`: `centroids/` (id +

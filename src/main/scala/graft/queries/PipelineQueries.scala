@@ -139,6 +139,23 @@ object PipelineQueries {
     name
   }
 
+  /** Build-once-per-corpus PQ codebooks (the ivfIndexFor/bpeCache
+    * discipline): trained on the FULL embeddings table — the
+    * production shape, where codebooks are a persisted artifact —
+    * keyed by (dir, corpus fingerprint) so regenerated parquet
+    * re-trains. Saves ~24 training jobs per gate evaluation. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqBooksFor(s: SparkSession, dir: String,
+                         emb: DataFrame): Array[Array[Array[Double]]] = {
+    val key = dir + "|" +
+      Similarity.corpusFingerprint(emb, "vec_id", "embedding")
+    pqBooksCache.computeIfAbsent(key, _ =>
+      Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, kCodes = 16, iters = 2))
+  }
+
   /** The one bag-of-terms retrieval query both index gate queries
     * share — mirrored literally in the oracles. */
   private val probeTerms = Seq("spark", "merge", "window")
@@ -296,7 +313,8 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 25)
+      Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 25,
+          codebooks = Some(pqBooksFor(s, dir, emb)))
         .select(col("q_id"), col("neighbor_id"), col("rnk"))
         .orderBy(col("rnk"))
     }),
@@ -310,7 +328,8 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 25,
-          nCentroids = 16, nProbe = 6)
+          nCentroids = 16, nProbe = 6,
+          codebooks = Some(pqBooksFor(s, dir, emb)))
         .select(col("q_id"), col("neighbor_id"), col("rnk"))
         .orderBy(col("rnk"))
     }),

@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ codebooks: save/load round-trip; injected books match retrained") {
+    val c = corpus(n = 120)
+    val books = Similarity.trainPqCodebooks(c, "vec_id", "embedding",
+      m = 8, kCodes = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.savePqCodebooks(spark, books, s"$dir/books")
+    val loaded = Similarity.loadPqCodebooks(spark, s"$dir/books")
+    loaded.length shouldBe books.length
+    loaded.zip(books).foreach { case (l, b) =>
+      l.zip(b).foreach { case (lc, bc) => lc.toSeq shouldBe bc.toSeq }
+    }
+    // scoring with injected persisted books == scoring with fresh
+    // training (same deterministic k-means → same books)
+    val q = c.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val a = rows(Similarity.pqTopK(c, q, "vec_id", "embedding", k = 10,
+      m = 8, kCodes = 8, iters = 1).orderBy("rnk"))
+    val b = rows(Similarity.pqTopK(c, q, "vec_id", "embedding", k = 10,
+      m = 8, kCodes = 8, codebooks = Some(loaded)).orderBy("rnk"))
+    b shouldBe a
+  }
+
   test("ivfPqTopK: doubly-approximate candidates still clear the recall floor") {
     val c = corpus()
     val q = c.filter(col("vec_id") % 50 === 0)
