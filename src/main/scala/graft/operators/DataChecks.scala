@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the dbt-test/expectations shape:
+  * a load (or a curated corpus) ships with machine-checkable
+  * assertions, and the report is data, not log lines.
+  *
+  * Scale shape: every SCALAR check (not-null, accepted-values, range,
+  * custom predicate) is a conditional sum folded into ONE aggregation
+  * over ONE scan of the table, regardless of how many such checks are
+  * declared. Uniqueness adds one key-grouped aggregation per distinct
+  * key set; referential integrity adds one anti-join per reference
+  * (the ref side is usually dimension-sized — join strategy is left
+  * to the planner). Nothing collects rows; the report is
+  * check-cardinality-sized.
+  *
+  * Violation semantics (SQL conventions, stated so reports are
+  * comparable across engines):
+  *  - notNull: NULL values violate.
+  *  - acceptedValues / inRange / predicate: NULL passes — declare a
+  *    separate notNull check to refuse NULLs (mirrors SQL CHECK
+  *    constraints, where NULL is not a violation).
+  *  - unique: n_violations = n_rows − n_distinct_keys (the surplus
+  *    duplicates); NULL keys group together like GROUP BY.
+  *  - refIntegrity: non-NULL values absent from the reference column
+  *    violate; NULL foreign keys pass (SQL FK semantics).
+  */
+object DataChecks {
+
+  sealed trait Check { def name: String }
+  final case class NotNull(column: String) extends Check {
+    val name = s"not_null:$column"
+  }
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Check {
+    require(values.nonEmpty, "acceptedValues needs a non-empty set")
+    val name = s"accepted_values:$column"
+  }
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Check {
+    require(lo <= hi, s"inRange needs lo <= hi, got [$lo, $hi]")
+    val name = s"in_range:$column"
+  }
+  /** Free-form row predicate; rows where it is FALSE violate (NULL
+    * passes, per the CHECK-constraint convention). */
+  final case class Predicate(label: String, expr: Column) extends Check {
+    val name = s"predicate:$label"
+  }
+  final case class Unique(columns: Seq[String]) extends Check {
+    require(columns.nonEmpty, "unique needs key columns")
+    val name = s"unique:${columns.mkString(",")}"
+  }
+  final case class RefIntegrity(column: String, ref: DataFrame,
+                                refColumn: String) extends Check {
+    val name = s"ref_integrity:$column"
+  }
+
+  /** Run all checks; @return (check, n_rows, n_violations, passed),
+    * one row per check, ordered by check name. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names — label predicates uniquely")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // ONE aggregation carries every scalar check
+    val scalar = checks.collect {
+      case c: NotNull =>
+        c.name -> sum(when(col(c.column).isNull, 1L).otherwise(0L))
+      case c: AcceptedValues =>
+        c.name -> sum(when(col(c.column).isNotNull &&
+          !col(c.column).isin(c.values: _*), 1L).otherwise(0L))
+      case c: InRange =>
+        c.name -> sum(when(col(c.column).isNotNull &&
+          (col(c.column) < c.lo || col(c.column) > c.hi), 1L)
+          .otherwise(0L))
+      case c: Predicate =>
+        // violation = predicate is definitively FALSE (NULL passes)
+        c.name -> sum(when(not(coalesce(c.expr, lit(true))), 1L)
+          .otherwise(0L))
+    }
+    val scalarReport: Seq[(String, Long, Long)] =
+      if (scalar.isEmpty) Nil
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          scalar.map { case (n, c) => c.as(n) }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getLong(0)
+        scalar.zipWithIndex.map { case ((name, _), i) =>
+          (name, n, row.getLong(i + 1))
+        }
+      }
+
+    val grouped = checks.collect {
+      case c: Unique =>
+        val r = df.agg(count(lit(1)).as("n"),
+          count_distinct(struct(c.columns.map(col): _*)).as("d"))
+          .collect().head
+        (c.name, r.getLong(0), r.getLong(0) - r.getLong(1))
+      case c: RefIntegrity =>
+        val present = df.filter(col(c.column).isNotNull)
+          .select(col(c.column).as("__fk"))
+        val orphans = present.join(
+          c.ref.select(col(c.refColumn).as("__fk")).distinct(),
+          Seq("__fk"), "left_anti").count()
+        (c.name, df.count(), orphans)
+    }
+
+    (scalarReport ++ grouped)
+      .map { case (n, rows, v) => (n, rows, v, v == 0L) }
+      .toDF("check", "n_rows", "n_violations", "passed")
+      .orderBy("check")
+  }
+}

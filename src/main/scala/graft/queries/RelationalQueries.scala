@@ -294,6 +294,25 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Declarative data-quality report (the dbt-test shape): every
+    // scalar check folds into ONE aggregation over one scan;
+    // uniqueness and referential integrity add one job each. A load
+    // ships with this report as DATA. Hash-green: each count is exact
+    // SQL. The range check is deliberately violated by the synthetic
+    // data (hi = 100k < max price) so the report exercises a FAILING
+    // row, not just green checkmarks.
+    "dq_report" -> ((s, dir) => {
+      import graft.operators.DataChecks._
+      run(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        NotNull("o_orderdate"),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        InRange("o_totalprice", 0.0, 100000.0),
+        Predicate("priority_nonempty", length(col("o_orderpriority")) > 0),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // Salted two-phase aggregation — the OTHER skew tool (a hot GROUP
     // key dominating a hash aggregation, where AQE cannot split the
     // building side): partial aggregates per (key, salt), then a merge
@@ -772,6 +791,42 @@ object RelationalQueries {
       s"""$stageSql
          |SELECT s.* FROM stage s SEMI JOIN base b USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin,
+    // each check recomputed as plain SQL counts
+    "dq_report" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |checks AS (
+        |  SELECT 'not_null:o_custkey' AS check,
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS v
+        |  UNION ALL
+        |  SELECT 'not_null:o_orderdate',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+        |  UNION ALL
+        |  SELECT 'accepted_values:o_orderstatus',
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |       AND o_orderstatus NOT IN ('F', 'O', 'P'))
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice',
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0.0 OR o_totalprice > 100000.0))
+        |  UNION ALL
+        |  SELECT 'predicate:priority_nonempty',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT COALESCE(length(o_orderpriority) > 0, TRUE))
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'ref_integrity:o_custkey',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                             WHERE c_custkey IS NOT NULL))
+        |)
+        |SELECT c.check, n.n_rows,
+        |  CAST(c.v AS BIGINT) AS n_violations,
+        |  c.v = 0 AS passed
+        |FROM checks c CROSS JOIN n
+        |ORDER BY c.check""".stripMargin,
     // the UNSALTED aggregation — pins that the two-phase salt split
     // changes partitioning only (decimal partials merge exactly)
     "salted_agg_revenue" ->
