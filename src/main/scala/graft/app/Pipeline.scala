@@ -404,6 +404,31 @@ object Pipeline {
           graft.functions.HashFunctions.nfcNormalize(text))
       case HtmlStrip =>
         df.withColumn(p.textColumn, TextFunctions.stripHtml(text))
+      case c: CheckStep =>
+        import graft.operators.DataChecks
+        val checks =
+          c.notNull.map(DataChecks.NotNull.apply) ++
+            (if (c.unique.nonEmpty) Seq(DataChecks.Unique(c.unique)) else Nil)
+        val failed =
+          (if (checks.nonEmpty)
+            DataChecks.run(df, checks).filter(!col("passed"))
+              .select(col("check"), col("n_violations")).collect().toSeq
+          else Nil) ++
+            (if (c.minRows > 0) {
+              // a limit probe, not a full count: minRows failing is
+              // the question, the exact deficit is not
+              val have = df.limit(
+                math.min(c.minRows, Int.MaxValue.toLong).toInt).count()
+              if (have < c.minRows)
+                Seq(org.apache.spark.sql.Row(s"min_rows:${c.minRows}",
+                  c.minRows - have))
+              else Nil
+            } else Nil)
+        if (failed.nonEmpty)
+          throw new UserException("check step failed: " + failed
+            .map(r => s"${r.get(0)} (${r.get(1)} violations)")
+            .mkString("; "))
+        df // identity when green
       case Sample(fraction) =>
         Sampling.deterministicSample(df, p.idColumn, fraction)
       case ws: WeightedSample =>

@@ -202,6 +202,18 @@ object ConfigParser {
       case "piiRedact" => PiiRedact
       case "normalize" => Normalize
       case "htmlStrip" => HtmlStrip
+      case "check" =>
+        val nn = opt(n, "notNull").toSeq
+          .flatMap(_.elements.asScala.map(_.asText))
+        val uq = opt(n, "unique").toSeq
+          .flatMap(_.elements.asScala.map(_.asText))
+        val mr = lng("minRows", 0L)
+        if (mr < 0)
+          throw new UserException("check 'minRows' must be >= 0")
+        if (nn.isEmpty && uq.isEmpty && mr == 0)
+          throw new UserException(
+            "check step declares nothing to check (notNull/unique/minRows)")
+        CheckStep(nn, uq, mr)
       case "sample" =>
         val f = dbl("fraction", -1)
         if (f < 0 || f > 1)

@@ -121,6 +121,17 @@ object PipelineStep {
     * filter/dedup sees prose, not markup. */
   case object HtmlStrip extends PipelineStep { val kind = "htmlStrip" }
 
+  /** Assert-before-publish gate ([[graft.operators.DataChecks]]): the
+    * pipeline FAILS (exit 1) if any declared check finds violations —
+    * a curated corpus that would ship broken ids/empty text never
+    * reaches the output path. Row-preserving when green (the step is
+    * an identity on the data). */
+  final case class CheckStep(notNull: Seq[String] = Nil,
+                             unique: Seq[String] = Nil,
+                             minRows: Long = 0L) extends PipelineStep {
+    val kind = "check"
+  }
+
   /** Deterministic hash sample
     * ([[graft.operators.Sampling.deterministicSample]]). */
   final case class Sample(fraction: Double) extends PipelineStep {

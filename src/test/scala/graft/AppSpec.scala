@@ -507,6 +507,46 @@ class AppSpec extends SparkSpec {
     got shouldBe Array("real prose & words", "plain text stays put")
   }
 
+  test("pipeline action: check step gates publish — green passes, violations exit 1") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-chk").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    // green: all checks hold -> identity step, output published
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/ok",
+        |  "steps": [{"type": "check", "notNull": ["doc_id", "text"],
+        |             "unique": ["doc_id"], "minRows": 3}]}}}""".stripMargin)
+    val (c0, out0) = Main.execute(spark, sink, dir)
+    withClue(out0) { c0 shouldBe 0 }
+    spark.read.parquet(s"$dir/out/ok").count() shouldBe 3L
+    // violated: duplicate key -> exit 1, nothing published
+    spark.read.parquet(s"$dir/in/docs")
+      .unionByName(Seq((1L, "dup")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$dir/in/dup")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/dup", "output": "out/bad",
+        |  "steps": [{"type": "check", "unique": ["doc_id"]}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1 // violation → exit 1
+    new java.io.File(s"$dir/out/bad").exists() shouldBe false
+    // minRows gate
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad2",
+        |  "steps": [{"type": "check", "minRows": 100}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // an empty check declaration is a config error
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad3",
+        |  "steps": [{"type": "check"}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: weightedSample step keeps n rows, drops its helper column") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-ws").toString
