@@ -406,8 +406,16 @@ object Pipeline {
         df.withColumn(p.textColumn, TextFunctions.stripHtml(text))
       case c: CheckStep =>
         import graft.operators.DataChecks
+        // config errors surface as UserException (exit 1), never as a
+        // resolution failure mid-job (exit 2): validate columns here
+        (c.notNull ++ c.unique).distinct.foreach { cc =>
+          if (!df.columns.exists(_.equalsIgnoreCase(cc)))
+            throw new UserException(
+              s"check step references no such column '$cc' " +
+                s"(available: ${df.columns.mkString(", ")})")
+        }
         val checks =
-          c.notNull.map(DataChecks.NotNull.apply) ++
+          c.notNull.distinct.map(DataChecks.NotNull.apply) ++
             (if (c.unique.nonEmpty) Seq(DataChecks.Unique(c.unique)) else Nil)
         val failed =
           (if (checks.nonEmpty)
@@ -416,9 +424,13 @@ object Pipeline {
           else Nil) ++
             (if (c.minRows > 0) {
               // a limit probe, not a full count: minRows failing is
-              // the question, the exact deficit is not
-              val have = df.limit(
-                math.min(c.minRows, Int.MaxValue.toLong).toInt).count()
+              // the question, the exact deficit is not. limit() takes
+              // an Int — past that, only a full count can prove the
+              // gate (a >2^31-row minimum is checking a full count
+              // anyway)
+              val have =
+                if (c.minRows <= Int.MaxValue) df.limit(c.minRows.toInt).count()
+                else df.count()
               if (have < c.minRows)
                 Seq(org.apache.spark.sql.Row(s"min_rows:${c.minRows}",
                   c.minRows - have))

@@ -203,10 +203,14 @@ object ConfigParser {
       case "normalize" => Normalize
       case "htmlStrip" => HtmlStrip
       case "check" =>
-        val nn = opt(n, "notNull").toSeq
-          .flatMap(_.elements.asScala.map(_.asText))
-        val uq = opt(n, "unique").toSeq
-          .flatMap(_.elements.asScala.map(_.asText))
+        def strArr(f: String): Seq[String] = opt(n, f).map { v =>
+          if (!v.isArray)
+            throw new UserException(
+              s"check '$f' must be an array of column names")
+          v.elements.asScala.map(_.asText).toSeq
+        }.getOrElse(Nil)
+        val nn = strArr("notNull")
+        val uq = strArr("unique")
         val mr = lng("minRows", 0L)
         if (mr < 0)
           throw new UserException("check 'minRows' must be >= 0")

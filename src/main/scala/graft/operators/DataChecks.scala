@@ -85,14 +85,20 @@ object DataChecks {
     val scalarReport: Seq[(String, Long, Long)] =
       if (scalar.isEmpty) Nil
       else {
+        // coalesce: SUM over an EMPTY frame is NULL — a filter chain
+        // that dropped every row must report 0 violations, not NPE
         val aggs = count(lit(1)).as("__n") +:
-          scalar.map { case (n, c) => c.as(n) }
+          scalar.map { case (n, c) => coalesce(c, lit(0L)).as(n) }
         val row = df.agg(aggs.head, aggs.tail: _*).collect().head
         val n = row.getLong(0)
         scalar.zipWithIndex.map { case ((name, _), i) =>
           (name, n, row.getLong(i + 1))
         }
       }
+    // row count shared by the reference checks: reuse the scalar
+    // aggregation's count when it ran; ONE extra count otherwise
+    lazy val nRowsShared: Long =
+      scalarReport.headOption.map(_._2).getOrElse(df.count())
 
     val grouped = checks.collect {
       case c: Unique =>
@@ -106,7 +112,7 @@ object DataChecks {
         val orphans = present.join(
           c.ref.select(col(c.refColumn).as("__fk")).distinct(),
           Seq("__fk"), "left_anti").count()
-        (c.name, df.count(), orphans)
+        (c.name, nRowsShared, orphans)
     }
 
     (scalarReport ++ grouped)

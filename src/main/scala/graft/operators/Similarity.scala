@@ -153,12 +153,33 @@ object Similarity {
       trainPqCodebooks(corpus, idCol, vecCol, m, kCodes, iters))
     require(books.length == m, s"codebooks have ${books.length} subspaces, m=$m")
     val sub = books(0)(0).length
-    val encoded = corpus.select(col(idCol),
-      pqEncode(asDouble(col(vecCol)), books).as("__codes"))
     val qRows = queries.limit(maxQueries + 1).collect()
     require(qRows.length <= maxQueries,
       s"pqTopK: more than $maxQueries query rows — batch the queries " +
         "or raise maxQueries (each query ships an m×k LUT)")
+    if (qRows.isEmpty) {
+      // empty queries -> empty result, like the rest of the top-k family
+      val spark = corpus.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          queries.schema("q_id").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          corpus.schema(idCol).dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val encodedLazy = corpus.select(col(idCol),
+      pqEncode(asDouble(col(vecCol)), books).as("__codes"))
+    // each query's scored branch scans the encoded corpus — with >1
+    // query, materialize the (tiny: id + m ints per row) code table
+    // ONCE so "encode the corpus once" holds in the physical plan too
+    val encoded =
+      if (qRows.length > 1) encodedLazy.localCheckpoint(true)
+      else encodedLazy
     val scored = qRows.map { r =>
       val q = r.getSeq[Float](1).toArray.map(_.toDouble)
       require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")

@@ -58,6 +58,20 @@ class DataChecksSpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY table reports zero violations, all-pass (no NPE on NULL sums)") {
+    val empty = t.filter(col("id") < 0L)
+    val rep = DataChecks.run(empty, Seq(
+      NotNull("name"), InRange("price", 0.0, 1.0),
+      AcceptedValues("status", Seq("F")), Unique(Seq("id")),
+      RefIntegrity("id", Seq(1L).toDF("rid"), "rid"))).collect()
+    rep.length shouldBe 5
+    rep.foreach { r =>
+      r.getLong(1) shouldBe 0L
+      r.getLong(2) shouldBe 0L
+      r.getBoolean(3) shouldBe true
+    }
+  }
+
   test("NULL keys group for uniqueness; NULL FKs pass integrity; refusals") {
     val d = Seq((Some(1L), "a"), (None, "b"), (None, "c"))
       .toDF("id", "v")

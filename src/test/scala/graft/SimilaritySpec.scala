@@ -159,6 +159,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: empty query frame returns an empty result, like the family") {
+    val c = corpus(n = 40)
+    val q = c.filter(col("vec_id") < 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = Similarity.pqTopK(c, q, "vec_id", "embedding", k = 3,
+      m = 8, kCodes = 4, iters = 0)
+    got.count() shouldBe 0L
+    got.columns.toSeq shouldBe Seq("q_id", "neighbor_id", "cos", "rnk")
+  }
+
   test("PQ codebooks: save/load round-trip; injected books match retrained") {
     val c = corpus(n = 120)
     val books = Similarity.trainPqCodebooks(c, "vec_id", "embedding",

@@ -110,7 +110,7 @@ class TextFunctionsSpec extends SparkSpec {
     }
     val texts = Seq("", "a", "hello world",
       "spam spam spam " * 50, // heavy repetition
-      (1 to 400).map(i => (i * 2654435761L % 97).toChar + 30).mkString, // noisy
+      (1 to 400).map(i => ((i * 2654435761L % 97) + 30).toChar).mkString, // noisy
       "café 中文 multi-byte")
     val got = texts.toDF("text")
       .select(HashFunctions.deflateLength(col("text")).as("n"))
