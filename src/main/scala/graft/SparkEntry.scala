@@ -73,6 +73,9 @@ object SparkEntry {
         " PQ recall floor)"),
       "embedding_ivf_pq" -> (ann + "SimilaritySpec (composed IVF+PQ" +
         " recall floor + true-cosine refine)"),
+      "embedding_drift" -> ("PSI over k-means cell occupancies —" +
+        " centroid training carries double-sum rounding; planted-shift" +
+        " detection and near-zero-on-identical spec-pinned in DriftSpec"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
       "hybrid_search_indexed" -> (ann + "HybridSearchSpec (indexed fusion" +
         " parity vs the exact hash-green hybrid_search twin)"),

@@ -104,6 +104,30 @@ object Drift {
     * category is exactly the drift worth flagging — it shows with a
     * zero count and an ε-smoothed term). NULL categories count as a
     * category (a rising NULL rate is drift too). */
+  /** Distribution drift of an EMBEDDING column: quantize both
+    * snapshots into the same k-means cells (trained on the BASE —
+    * the reference distribution owns the geometry, so a drifted
+    * current snapshot can't move the yardstick) and run categorical
+    * PSI over cell occupancies. The embedding twin of
+    * [[numericPsi]]'s decile bands: per snapshot one narrow
+    * assignment scan + one cell-count aggregate; snapshots never
+    * join row-to-row. Rows-only at the gate (k-means centroids carry
+    * double-sum rounding); shift-detection behavior is spec-pinned. */
+  def embeddingPsi(base: DataFrame, cur: DataFrame, vecCol: String,
+                   idCol: String, nCells: Int = 16, trainIters: Int = 2,
+                   eps: Double = 1e-6): DataFrame = {
+    import graft.functions.HashFunctions.nearestCentroids
+    val centroids = Similarity.kmeansCentroids(base, idCol, vecCol,
+      nCells, trainIters)
+    def cells(df: DataFrame) = df.select(
+      element_at(nearestCentroids(df(vecCol)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), centroids, 1), 1)
+        .as("cell"))
+    categoricalPsi(cells(base), cells(cur), "cell", eps)
+      .withColumnRenamed("category", "cell")
+  }
+
   def categoricalPsi(base: DataFrame, cur: DataFrame, catCol: String,
                      eps: Double = 1e-6): DataFrame = {
     def counts(df: DataFrame, as: String): DataFrame =

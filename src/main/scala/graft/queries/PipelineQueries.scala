@@ -319,6 +319,20 @@ object PipelineQueries {
         .orderBy(col("rnk"))
     }),
 
+    // Embedding-distribution drift: both snapshot halves quantized
+    // into k-means cells trained on the BASE half, categorical PSI
+    // over cell occupancies — "did the embedding distribution move"
+    // without any row-to-row comparison. Rows-only (centroid
+    // training); shift-detection spec-pinned in DriftSpec.
+    "embedding_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.operators.Drift.embeddingPsi(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", nCells = 8)
+        .orderBy(col("cell").asc_nulls_first)
+    }),
+
     // IVF × PQ: centroid pruning, compressed ADC scan, exact refine —
     // the composed 100 TB ANN shape. Rows-only (cell + codebook
     // approximation); recall floor and true-cosine refine are

@@ -84,6 +84,33 @@ class DriftSpec extends SparkSpec {
     got.head.isNullAt(0) shouldBe true
   }
 
+  test("embeddingPsi: identical snapshots ~ zero; a planted cluster shift surfaces") {
+    import graft.operators.Drift
+    def emb(n: Int, hotFrac: Double) = {
+      val rnd = new scala.util.Random(11)
+      (0 until n).map { i =>
+        // two planted directions; hotFrac of rows take direction 0
+        val dir = if (i < (n * hotFrac).toInt) 0 else 1
+        val v = Array.tabulate(16)(d =>
+          (if (d % 2 == dir) 1.0f else 0.0f) +
+            (rnd.nextFloat() - 0.5f) * 0.05f)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    }
+    val base = emb(400, 0.5)
+    // same distribution → PSI ≈ 0 everywhere
+    val same = Drift.embeddingPsi(base, emb(400, 0.5), "embedding",
+      "vec_id", nCells = 4)
+      .agg(sum(col("psi_term"))).collect().head.getDouble(0)
+    same should be < 0.01
+    // 50/50 → 90/10 cluster mix: total PSI is large
+    val shifted = Drift.embeddingPsi(base, emb(400, 0.9), "embedding",
+      "vec_id", nCells = 4)
+      .agg(sum(col("psi_term"))).collect().head.getDouble(0)
+    shifted should be > 0.2
+    shifted should be > same * 10
+  }
+
   test("drift plans scan each snapshot once and never join them row-to-row") {
     val base = (1 to 1000).map(i => (i.toLong, (i % 7).toString))
       .toDF("id", "cat")
