@@ -498,8 +498,14 @@ case class PqAdcCos(child: Expression, dotLut: Array[Array[Double]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val d = ctx.addReferenceObj("dotLut", dotLut, "double[][]")
     val n = ctx.addReferenceObj("normLut", normLut, "double[][]")
+    // qNorm via raw bits, NOT string interpolation of the double: the
+    // tokens "NaN"/"Infinity" are not valid Java literals, so a
+    // degenerate query vector would break whole-stage-codegen
+    // compilation (noisy interpreted fallback) instead of evaluating
+    val qn = s"Double.longBitsToDouble(" +
+      s"${java.lang.Double.doubleToRawLongBits(qNorm)}L)"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashImpls.pqAdcCos($c, $d, $n, $qNorm)")
+      c => s"graft.functions.HashImpls.pqAdcCos($c, $d, $n, $qn)")
   }
   override protected def withNewChildInternal(newChild: Expression): PqAdcCos =
     copy(child = newChild)

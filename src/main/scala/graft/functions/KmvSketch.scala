@@ -225,6 +225,29 @@ object KmvFunctions {
     * compared against exact set SQL, a dedup decision — silently
     * degrade to a ~1/√k-error estimate. Estimator-mode consumers
     * simply don't wrap their states. */
+  /** Sketch size that keeps every sketch UNDER-full (= exact) given a
+    * probed upper bound on per-group distinct counts: next power of
+    * two ≥ 2·bound+1 (2× headroom absorbs the probe's HLL error —
+    * ~2% at default precision, so 2× is orders of magnitude of
+    * slack). Pair with a cheap `approx_count_distinct` probe so
+    * exactness-gated queries derive k from the DATA instead of
+    * hard-coding a scale ceiling; past `maxK` the refusal is loud and
+    * names the remedy (estimator mode — drop the under-full guard
+    * and accept ~1/√k error) rather than surfacing later as a
+    * capacity assert. */
+  def kmvKFor(maxDistinct: Long, minK: Int = 1024,
+              maxK: Int = 1 << 20): Int = {
+    require(maxDistinct >= 0 && minK >= 2 && maxK >= minK)
+    val need = 2L * maxDistinct + 1L
+    var k = minK
+    while (k < need && k < maxK) k <<= 1
+    require(k >= need,
+      s"exact KMV needs k >= $need for ~$maxDistinct distinct values " +
+        s"per group, above the cap $maxK — switch this consumer to " +
+        "estimator mode (unguarded sketches, ~1/sqrt(k) error)")
+    k
+  }
+
   def kmvAssertUnderFull(sk: Column, k: Int, context: String): Column =
     when(length(sk) >= k * 8, raise_error(lit(
       s"$context: KMV sketch reached capacity k=$k — estimates are " +

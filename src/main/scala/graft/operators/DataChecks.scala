@@ -57,6 +57,24 @@ object DataChecks {
     val name = s"ref_integrity:$column"
   }
 
+  /** Assert-before-publish gate: run `checks` and throw LOUD on any
+    * violation (no-op for an empty check list). The streaming sinks
+    * call this on each micro-batch BEFORE any durable write — a
+    * violating batch fails the stream with nothing published, so the
+    * restart replays it against the unchanged state/marker machinery;
+    * a clean batch pays the one-scan report cost and proceeds. */
+  def assertPass(df: DataFrame, checks: Seq[Check],
+                 context: String): Unit =
+    if (checks.nonEmpty) {
+      val failed = run(df, checks).filter(!col("passed"))
+        .select(col("check"), col("n_violations")).collect()
+      if (failed.nonEmpty)
+        throw new graft.model.UserException(
+          s"$context: data checks failed: " + failed
+            .map(r => s"${r.get(0)} (${r.get(1)} violations)")
+            .mkString("; "))
+    }
+
   /** Run all checks; @return (check, n_rows, n_violations, passed),
     * one row per check, ordered by check name. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {

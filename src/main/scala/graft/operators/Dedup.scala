@@ -78,15 +78,20 @@ object Dedup {
     // rounds for; distributed semantics are identical (connected
     // components are unique) and spec-pinned against the loop.
     //
-    // ONE capped streaming pass both routes AND builds: edges stream
-    // through `toLocalIterator` into the union–find and the pass
-    // ABORTS to the distributed loop at edge collectLimit+1 — no
-    // separate count job, and never more than collectLimit+1 edge
-    // rows on the driver at once. Long ids (the common case) use an
-    // open-addressed primitive parent table (~34 B/entry peak: ~70 MB
-    // transient at the default cap's ≤ 2^21 ids); other id types pay
-    // boxed HashMap entries (~3×) — size collectLimit to the driver
-    // accordingly. collectLimit = 0 forces the distributed loop.
+    // ONE bounded PARALLEL job both routes AND fetches:
+    // `limit(cap+1).collect()` runs take-style jobs over
+    // geometrically-growing partition batches (1, 4, 16, rest — never
+    // one job per partition, so the possibly-expensive upstream pair
+    // generation keeps its parallelism), returns at most
+    // collectLimit+1 edge rows (driver-safe: ≤2^20+1 two-column rows
+    // at the default cap), and an overflowing probe (cap+1 rows came
+    // back) reroutes to the distributed loop with the scanned
+    // partitions already in the cache. Long ids (the common case) use
+    // an open-addressed primitive parent table (~34 B/entry peak:
+    // ~70 MB transient at the default cap's ≤ 2^21 ids); other id
+    // types pay boxed HashMap entries (~3×) — size collectLimit to
+    // the driver accordingly. collectLimit = 0 forces the distributed
+    // loop.
     //
     // null ids never join in the distributed loop (equi-join
     // semantics); filter them here so BOTH paths agree
@@ -94,22 +99,22 @@ object Dedup {
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .cache()
     val idType = slim.schema("id_a").dataType
-    if (collectLimit > 0) {
-      val fastRows =
-        if (idType == org.apache.spark.sql.types.LongType)
-          longUnionFindRows(slim, collectLimit)
-        else anyUnionFindRows(slim, collectLimit)
-      fastRows match {
-        case Some(out) =>
-          val spark = pairs.sparkSession
-          slim.unpersist()
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", idType, nullable = false),
-            org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
-          return spark.createDataFrame(
-            spark.sparkContext.parallelize(out, 1), schema)
-        case None => () // overflow: the O(log diameter) loop takes over
+    if (collectLimit > 0 && collectLimit < Int.MaxValue) {
+      val probe = slim.limit(collectLimit.toInt + 1).collect()
+      if (probe.length <= collectLimit) {
+        val out =
+          if (idType == org.apache.spark.sql.types.LongType)
+            longUnionFindRows(probe)
+          else anyUnionFindRows(probe)
+        val spark = pairs.sparkSession
+        slim.unpersist()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), schema)
       }
+      // overflow: the O(log diameter) loop takes over
     }
     // undirected edge list, both orientations — cached: every
     // iteration joins against it, and without the cache each round
@@ -241,11 +246,10 @@ object Dedup {
     def size: Int = n
   }
 
-  /** Driver union–find over long-id edges, capped: streams at most
-    * `cap`+1 edge rows; returns None on overflow (caller falls back to
-    * the distributed loop). */
-  private def longUnionFindRows(slim: DataFrame,
-                                cap: Long): Option[Seq[org.apache.spark.sql.Row]] = {
+  /** Driver union–find over collected long-id edge rows (the caller's
+    * bounded `limit(cap+1)` probe guarantees the array is small). */
+  private def longUnionFindRows(
+      edges: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
     val parent = new LongParentMap(1 << 12)
     def find(x: Long): Long = {
       var r = x
@@ -254,12 +258,10 @@ object Dedup {
       while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
       r
     }
-    val it = slim.toLocalIterator()
-    var n = 0L
-    while (it.hasNext) {
-      n += 1
-      if (n > cap) return None
-      val row = it.next()
+    var i = 0
+    while (i < edges.length) {
+      val row = edges(i)
+      i += 1
       val a = row.getLong(0)
       val b = row.getLong(1)
       if (!parent.contains(a)) parent.put(a, a)
@@ -272,12 +274,12 @@ object Dedup {
     }
     val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
     parent.foreachKey(id => out += org.apache.spark.sql.Row(id, find(id)))
-    Some(out.toSeq)
+    out.toSeq
   }
 
   /** The boxed twin of [[longUnionFindRows]] for non-long id types. */
-  private def anyUnionFindRows(slim: DataFrame,
-                               cap: Long): Option[Seq[org.apache.spark.sql.Row]] = {
+  private def anyUnionFindRows(
+      edges: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
     val parent = new java.util.HashMap[Any, Any]()
     // String order must match Spark's least()/min() — UTF-8 BINARY
     // order, which differs from java.lang.String's UTF-16 compareTo
@@ -296,12 +298,10 @@ object Dedup {
       while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
       r
     }
-    val it = slim.toLocalIterator()
-    var n = 0L
-    while (it.hasNext) {
-      n += 1
-      if (n > cap) return None
-      val row = it.next()
+    var i = 0
+    while (i < edges.length) {
+      val row = edges(i)
+      i += 1
       val (a, b) = (row.get(0), row.get(1))
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)
@@ -312,7 +312,7 @@ object Dedup {
     }
     val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
     parent.keySet().forEach(id => out += org.apache.spark.sql.Row(id, find(id)))
-    Some(out.toSeq)
+    out.toSeq
   }
 
   /** Corpus minus transitive near-duplicates: keep each cluster's

@@ -98,12 +98,6 @@ object Drift {
       .orderBy("bucket")
   }
 
-  /** Per-category drift profile of `catCol` between `base` and `cur`:
-    * (category, base_n, cur_n, base_rate, cur_rate, psi_term), one
-    * row per category seen in EITHER snapshot (a vanished or novel
-    * category is exactly the drift worth flagging — it shows with a
-    * zero count and an ε-smoothed term). NULL categories count as a
-    * category (a rising NULL rate is drift too). */
   /** Distribution drift of an EMBEDDING column: quantize both
     * snapshots into the same k-means cells (trained on the BASE —
     * the reference distribution owns the geometry, so a drifted
@@ -128,6 +122,12 @@ object Drift {
       .withColumnRenamed("category", "cell")
   }
 
+  /** Per-category drift profile of `catCol` between `base` and `cur`:
+    * (category, base_n, cur_n, base_rate, cur_rate, psi_term), one
+    * row per category seen in EITHER snapshot (a vanished or novel
+    * category is exactly the drift worth flagging — it shows with a
+    * zero count and an ε-smoothed term). NULL categories count as a
+    * category (a rising NULL rate is drift too). */
   def categoricalPsi(base: DataFrame, cur: DataFrame, catCol: String,
                      eps: Double = 1e-6): DataFrame = {
     def counts(df: DataFrame, as: String): DataFrame =

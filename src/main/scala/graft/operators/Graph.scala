@@ -26,6 +26,11 @@ object Graph {
     * nodes collapse to indistinguishable zeros. */
   private val MinQuantum = 1000L
 
+  /** localCheckpoint cadence for the rank iteration: lineage is linear
+    * so truncation every 3 rounds bounds the plan at 3 chained rounds
+    * while paying a third of the materialization jobs. */
+  private val CheckpointEvery = 3
+
   /** Largest safe denominator: the round computes 85 · Σcontrib where
     * Σcontrib ≤ rankDenom, so 85 · rankDenom must stay inside Long. */
   val MaxRankDenom: Long = Long.MaxValue / 100L
@@ -52,22 +57,29 @@ object Graph {
     * shuffle keyed by dst), and left-joins back to the node table —
     * work proportional to |E| + |V| per round, no driver state beyond
     * the scalar N. Edge and degree tables are computed once and
-    * cached; ranks localCheckpoint each round (node-sized), keeping
-    * the plan flat at any round count.
+    * cached. Rank lineage grows LINEARLY (each round references the
+    * previous exactly once), so rounds stay lazy and localCheckpoint
+    * fires only every [[CheckpointEvery]] rounds (and at the end) —
+    * one materialization job per 3 rounds instead of per round, the
+    * duplicateClusters discipline; results are bit-identical because
+    * the arithmetic is pure-integer (checkpoint-placement-invariant).
     *
     * @param rankDenom total rank mass in integer units; MUST scale
     *        with the graph (guarded: the per-node quantum
     *        rankDenom / N must stay ≥ 1000, or floor division would
     *        silently zero out the ranking — raise rankDenom for big
     *        graphs, up to [[MaxRankDenom]] ≈ 9.2e16, good for ~9e13
-    *        nodes).
+    *        nodes). Pass 0 to AUTO-SCALE: the denominator becomes
+    *        max([[RankDenom]], 1000·N), so the same call keeps a
+    *        usable quantum at every graph size (mirror the same
+    *        GREATEST in any replaying oracle).
     * @return (id, rank_q) — one row per node */
   def pageRankQ(edges: DataFrame, srcCol: String, dstCol: String,
                 iterations: Int = 10,
                 rankDenom: Long = RankDenom): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    require(rankDenom >= 1 && rankDenom <= MaxRankDenom,
-      s"rankDenom in [1, $MaxRankDenom], got $rankDenom")
+    require(rankDenom == 0 || (rankDenom >= 1 && rankDenom <= MaxRankDenom),
+      s"rankDenom 0 (auto) or in [1, $MaxRankDenom], got $rankDenom")
     // the edge lineage (often a join upstream, e.g. the trading-pair
     // derivation) is read by BOTH the degree table and the node table —
     // cache it once so neither re-runs it
@@ -82,17 +94,26 @@ object Graph {
       .distinct().cache()
     val n = nodes.count() // the one driver scalar
     require(n > 0, "empty graph")
+    // auto-scale: denominator grows with the graph so the per-node
+    // quantum never collapses (the fixed default walks into the guard
+    // below at ~1e6 nodes; auto mode cannot)
+    val rd =
+      if (rankDenom == 0L) math.max(RankDenom, MinQuantum * n)
+      else rankDenom
+    require(rd <= MaxRankDenom,
+      s"graph of $n nodes needs rankDenom $rd > MaxRankDenom " +
+        s"$MaxRankDenom — beyond integer-quantum range")
     // LOUD quantization guard: a quantum below MinQuantum means the
     // floor arithmetic would erase real rank differences (teleport
     // itself floors to 0 past rankDenom/n < ~7) — the degenerate
     // all-zero "ranking" must never come back silently
-    require(rankDenom / n >= MinQuantum,
+    require(rd / n >= MinQuantum,
       s"graph of $n nodes needs rankDenom >= ${MinQuantum * n} for a " +
-        s"usable rank quantum (got $rankDenom); raise rankDenom " +
-        s"(max $MaxRankDenom)")
-    val teleportQ = 15L * rankDenom / (100L * n)
-    var ranks = nodes
-      .select(col("id"), lit(rankDenom / n).as("rank_q"))
+        s"usable rank quantum (got $rd); raise rankDenom " +
+        s"(max $MaxRankDenom) or pass 0 for auto")
+    val teleportQ = 15L * rd / (100L * n)
+    var ranks: DataFrame = nodes
+      .select(col("id"), lit(rd / n).as("rank_q"))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
@@ -101,13 +122,18 @@ object Graph {
         .select(col("dst").as("id"),
           expr("rank_q div outdeg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("msum"))
-      val prev = ranks
-      ranks = nodes.join(sums, Seq("id"), "left")
+      val next = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(teleportQ) +
             expr("(85 * coalesce(msum, 0L)) div 100")).as("rank_q"))
-        .localCheckpoint(true) // flat lineage: one round, one plan
-      prev.unpersist()
+      // lineage is linear (one self-reference per round), so
+      // intermediate rounds stay LAZY; checkpoint every
+      // CheckpointEvery rounds (and on the last) to truncate the
+      // chain — round count drives shuffle work, not job count
+      ranks =
+        if ((i + 1) % CheckpointEvery == 0 || i + 1 == iterations)
+          next.localCheckpoint(true)
+        else next
       i += 1
     }
     e.unpersist()

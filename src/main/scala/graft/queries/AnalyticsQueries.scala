@@ -552,8 +552,14 @@ object AnalyticsQueries {
     // lever), so the estimates equal DuckDB's exact set SQL.
     "weekly_user_overlap_kmv" -> ((s, dir) => {
       import graft.functions.KmvFunctions._
-      val kk = 4096
       val week = eventWeek
+      // k derived from a per-week HLL probe (largest week bounds all),
+      // so the exactness gate never hits a hard-coded saturation wall
+      val kk = kmvKFor(t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(week.as("week"))
+        .agg(approx_count_distinct(col("user_id")).as("d"))
+        .agg(max(col("d"))).head.getLong(0))
       // NULL user_id excluded EXPLICITLY on both sides (kmvState skips
       // NULLs; without the mirror filter the oracle's week totals
       // would count a NULL-user group the sketch never sees)
@@ -712,7 +718,11 @@ object AnalyticsQueries {
         .distinct()
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pageRankQ(edges, "src", "dst", iterations = 6)
+      // rankDenom = 0 → auto-scale max(1e9, 1000·N): the quantum guard
+      // can never trip as the graph grows with SF (oracle mirrors the
+      // GREATEST in its rd CTE)
+      graft.operators.Graph.pageRankQ(edges, "src", "dst", iterations = 6,
+          rankDenom = 0L)
         .orderBy(col("rank_q").desc, col("id"))
     }),
 
@@ -1461,9 +1471,9 @@ object AnalyticsQueries {
     val rounds = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.id,
-         |    (CAST(15 AS BIGINT) * 1000000000) // (100 * n.cnt)
+         |    (CAST(15 AS BIGINT) * rd.rd) // (100 * n.cnt)
          |      + (CAST(85 AS BIGINT) * COALESCE(s.msum, 0)) // 100 AS rank_q
-         |  FROM nodes nd CROSS JOIN n
+         |  FROM nodes nd CROSS JOIN n CROSS JOIN rd
          |  LEFT JOIN (
          |    SELECT e.dst AS id, SUM(p.rank_q // d.outdeg) AS msum
          |    FROM edges e
@@ -1483,7 +1493,9 @@ object AnalyticsQueries {
        |nodes AS (SELECT DISTINCT src AS id FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
        |n AS (SELECT COUNT(*) AS cnt FROM nodes),
-       |pr0 AS (SELECT id, CAST(1000000000 AS BIGINT) // cnt AS rank_q FROM nodes, n),
+       |rd AS (SELECT GREATEST(CAST(1000000000 AS BIGINT), 1000 * cnt) AS rd
+       |       FROM n),
+       |pr0 AS (SELECT id, rd.rd // n.cnt AS rank_q FROM nodes, n, rd),
        |$rounds""".stripMargin
   }
 

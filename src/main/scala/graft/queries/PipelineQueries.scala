@@ -282,7 +282,11 @@ object PipelineQueries {
     "corpus_overlap_kmv" -> ((s, dir) => {
       import graft.functions.KmvFunctions._
       val docs = Tables(s, dir, "documents")
-      val kk = 2048
+      // k derived from the DATA: a cheap HLL probe bounds the distinct
+      // texts either side could hold, so the exactness gate scales with
+      // SF instead of hard-coding a saturation ceiling
+      val kk = kmvKFor(docs.agg(
+        approx_count_distinct(col("text")).as("d")).head.getLong(0))
       val a = docs.filter(col("doc_id") % 3 === 0)
         .agg(kmvState(col("text"), kk).as("sk_a"))
       val b = docs.filter(col("doc_id") % 5 === 0)
@@ -357,7 +361,12 @@ object PipelineQueries {
     // hash-green vs exact set SQL; saturation fails loud.
     "source_overlap_matrix" -> ((s, dir) => {
       import graft.functions.KmvFunctions._
-      val kk = 2048
+      // per-source HLL probe → k sized to the LARGEST source, so the
+      // exactness gate follows the data up the SF ladder
+      val kk = kmvKFor(Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("text")).as("d"))
+        .agg(max(col("d"))).head.getLong(0))
       val sk = Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(kmvState(col("text"), kk).as("sk"))

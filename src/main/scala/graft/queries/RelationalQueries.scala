@@ -813,8 +813,14 @@ object RelationalQueries {
         |    (SELECT COUNT(*) FROM orders
         |     WHERE NOT COALESCE(length(o_orderpriority) > 0, TRUE))
         |  UNION ALL
+        |  -- mirrors DataChecks.Unique's count_distinct(struct(key))
+        |  -- semantics: a NULL key-group is ONE distinct value (n NULL
+        |  -- rows -> n-1 violations), whereas bare COUNT(DISTINCT col)
+        |  -- ignores NULLs entirely — the CASE adds the NULL group back
         |  SELECT 'unique:o_orderkey',
-        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+        |       - CASE WHEN COUNT(*) > COUNT(o_orderkey) THEN 1 ELSE 0 END
+        |     FROM orders)
         |  UNION ALL
         |  SELECT 'ref_integrity:o_custkey',
         |    (SELECT COUNT(*) FROM orders

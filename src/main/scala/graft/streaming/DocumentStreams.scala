@@ -52,13 +52,22 @@ object DocumentStreams {
                              * .compactBucketed]]) — without it every
                              * firing is a full-index rewrite even
                              * when nearly nothing accreted. */
-                           maxFilesPerBucket: Int = 4): StreamingQuery =
+                           maxFilesPerBucket: Int = 4,
+                           /** Declarative per-batch quality gate
+                             * ([[graft.operators.DataChecks.assertPass]]):
+                             * a violating batch fails the stream before
+                             * ANY durable effect — index append, corpus
+                             * partition, bootstrap — so the restart
+                             * replays it clean. */
+                           checks: Seq[graft.operators.DataChecks.Check] = Nil): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val bdf = batch.toDF()
+        graft.operators.DataChecks.assertPass(bdf, checks,
+          s"streamingIngestDedup($indexName) batch $batchId")
         // a PROCESS crash inside a previous batch's compaction swap
         // (DROP landed, RENAME didn't) leaves the table missing while
         // its __compact_ stage — the only complete copy — survives in
@@ -222,7 +231,10 @@ object DocumentStreams {
                                   * single-writer-by-construction
                                   * cadence as [[streamingIngestDedup]]. */
                                 compactEvery: Int = 0,
-                                maxFilesPerList: Int = 4): StreamingQuery =
+                                maxFilesPerList: Int = 4,
+                                /** Per-batch quality gate — see
+                                  * [[streamingIngestDedup]]'s `checks`. */
+                                checks: Seq[graft.operators.DataChecks.Check] = Nil): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -230,6 +242,8 @@ object DocumentStreams {
         val spark = batch.sparkSession
         import graft.operators.{Dedup, Similarity}
         val bdf = batch.toDF()
+        graft.operators.DataChecks.assertPass(bdf, checks,
+          s"streamingIngestEmbeddings($indexPath) batch $batchId")
         val bootstrapped =
           new org.apache.hadoop.fs.Path(s"$indexPath/centroids").getFileSystem(
             spark.sparkContext.hadoopConfiguration)

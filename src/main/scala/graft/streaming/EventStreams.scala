@@ -186,12 +186,20 @@ object EventStreams {
   def streamingUpsert(stage: DataFrame, sink: graft.app.TableSink,
                       tableName: String, pk: Seq[String],
                       checkpointDir: String,
-                      orderCols: Seq[String] = Nil)
+                      orderCols: Seq[String] = Nil,
+                      /** Declarative per-batch quality gate
+                        * ([[graft.operators.DataChecks.assertPass]]):
+                        * a violating batch fails the stream BEFORE the
+                        * merge/swap — nothing publishes, and the
+                        * restart replays the same batch. */
+                      checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingUpsert($tableName) batch $batchId")
         val deduped =
           if (pk.nonEmpty && orderCols.nonEmpty)
             graft.operators.Load.dedupLastWins(batch.toDF(), pk, orderCols)
@@ -221,12 +229,17 @@ object EventStreams {
   def streamingCdcApply(changes: DataFrame, sink: graft.app.TableSink,
                         tableName: String, keyCols: Seq[String],
                         seqCol: String, opCol: String,
-                        checkpointDir: String)
+                        checkpointDir: String,
+                        /** Per-batch quality gate — see
+                          * [[streamingUpsert]]'s `checks`. */
+                        checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingCdcApply($tableName) batch $batchId")
         applyCdcBatch(batch.toDF(), sink, tableName, keyCols, seqCol, opCol)
         ()
       }
@@ -259,12 +272,17 @@ object EventStreams {
                                  tsCol: String, pk: Seq[String],
                                  checkpointDir: String,
                                  orderCols: Seq[String] = Nil,
-                                 gcEveryBatches: Int = 64)
+                                 gcEveryBatches: Int = 64,
+                                 /** Per-batch quality gate — see
+                                   * [[streamingUpsert]]'s `checks`. */
+                                 checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingUpsertPartitioned($targetPath) batch $batchId")
         // batchId flows through so a replayed batch can recover its
         // own crashed partition swap automatically (_APPLIED marker)
         graft.sources.PartitionedStore.mergeByDay(
@@ -320,7 +338,10 @@ object EventStreams {
                     orderCols: Seq[String] = Nil,
                     validFrom: String = "valid_from",
                     validTo: String = "valid_to",
-                    isCurrent: String = "is_current")
+                    isCurrent: String = "is_current",
+                    /** Per-batch quality gate — see
+                      * [[streamingUpsert]]'s `checks`. */
+                    checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // contract checks at WIRING time (ONE definition shared by every
     // SCD2 entry point — Load.validateScd2Stage): failing here beats a
@@ -331,8 +352,10 @@ object EventStreams {
     stage.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Load
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingScd2($tableName) batch $batchId")
         // the batch feeds two jobs (one-row MAX + the merge write):
         // persist so the source scan and dedup window run once
         val b = batch.toDF()
@@ -409,7 +432,10 @@ object EventStreams {
                                  * backfill replay vacuums identically.
                                  * Off unless BOTH are set. */
                                retentionLag: Option[String] = None,
-                               retentionEveryBatches: Int = 0)
+                               retentionEveryBatches: Int = 0,
+                               /** Per-batch quality gate — see
+                                 * [[streamingUpsert]]'s `checks`. */
+                               checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // same wiring-time contract as streamingScd2: a schema violation
     // must fail at .start(), not hours later on the first micro-batch
@@ -437,6 +463,8 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingScd2Partitioned($targetPath) batch $batchId")
         val cadence = retentionInterval.isDefined &&
           retentionEveryBatches > 0 && batchId > 0 &&
           batchId % retentionEveryBatches == 0
@@ -525,12 +553,17 @@ object EventStreams {
                         * exact quantiles are not expressible as bounded
                         * fold state. */
                       trackQuantiles: Boolean = false,
-                      gcEveryBatches: Int = 64)
+                      gcEveryBatches: Int = 64,
+                      /** Per-batch quality gate — see
+                        * [[streamingUpsert]]'s `checks`. */
+                      checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingRollup($statePath) batch $batchId")
         applyRollupBatch(batch.toDF(), statePath, batchId, keys, valueCol,
           distinctCol, trackQuantiles)
         // the state dir is `<statePath>/state`; its healed-crash
@@ -554,12 +587,17 @@ object EventStreams {
   def streamingRollupBucketed(events: DataFrame, statePath: String,
                               keys: Seq[String], valueCol: String,
                               checkpointDir: String, nBuckets: Int = 64,
-                              gcEveryBatches: Int = 64)
+                              gcEveryBatches: Int = 64,
+                              /** Per-batch quality gate — see
+                                * [[streamingUpsert]]'s `checks`. */
+                              checks: Seq[graft.operators.DataChecks.Check] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingRollupBucketed($statePath) batch $batchId")
         applyRollupBatchBucketed(batch.toDF(), statePath, batchId, keys,
           valueCol, nBuckets)
         gcTick(batch.sparkSession, s"$statePath/state", batchId,

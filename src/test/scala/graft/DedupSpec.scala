@@ -391,11 +391,11 @@ class DedupSpec extends SparkSpec {
     got.map(_.getLong(1)).distinct.toSeq shouldBe Seq(1L)
   }
 
-  test("duplicateClusters: streaming cap aborts to the loop mid-pass, results identical") {
+  test("duplicateClusters: probe overflow reroutes to the loop, results identical") {
     // 600 edges chained into one deep component + scattered doubletons,
     // through a parent table forced to grow several times; a cap below
-    // the edge count must abort the capped stream and produce the
-    // distributed loop's exact answer
+    // the edge count must overflow the limit(cap+1) probe and produce
+    // the distributed loop's exact answer
     val chain = (1L until 400L).map(i => (i + 1, i))
     val pairs = (chain ++ (0 until 200).map(i =>
       (10000L + i * 2, 10001L + i * 2))).toDF("id_a", "id_b")

@@ -193,6 +193,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming check gate: a violating batch blocks before publish; replay clean") {
+    import graft.operators.DataChecks
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-schk").toString
+    val sink = new graft.app.ParquetSink(spark, s"$base/tables")
+    val input = MemoryStream[Event]
+    def start() = EventStreams.streamingUpsert(
+      input.toDF().select($"event_id", $"user_id", $"event_type", $"value"),
+      sink, "events_chk", pk = Seq("event_id"),
+      checkpointDir = s"$base/ckpt",
+      checks = Seq(DataChecks.NotNull("event_type"),
+        DataChecks.InRange("value", 0.0, 100.0)))
+    val q = start()
+    try {
+      // clean batch publishes
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      rows(sink.read("events_chk").select("event_id")) shouldBe Seq(Seq(1L))
+      // planted violation: NULL event_type + out-of-range value —
+      // the stream fails LOUD and nothing reaches the sink
+      input.addData(Event(2, ts(1), 1, null, 1.0),
+        Event(3, ts(2), 2, "view", -5.0))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+      msg should include("data checks failed")
+      msg should include("not_null:event_type")
+      msg should include("in_range:value")
+      rows(sink.read("events_chk").select("event_id")) shouldBe Seq(Seq(1L))
+    } finally q.stop()
+    // restart from the SAME checkpoint: the blocked batch replays and
+    // blocks again — attempt 1 left no partial state behind
+    val q2 = start()
+    try {
+      intercept[Exception] { q2.processAllAvailable() }
+      rows(sink.read("events_chk").select("event_id")) shouldBe Seq(Seq(1L))
+    } finally q2.stop()
+    // operator intervention: restart with the gate relaxed — the same
+    // replayed batch now publishes, merging exactly once (the failed
+    // attempts never half-applied anything)
+    val q3 = EventStreams.streamingUpsert(
+      input.toDF().select($"event_id", $"user_id", $"event_type", $"value"),
+      sink, "events_chk", pk = Seq("event_id"),
+      checkpointDir = s"$base/ckpt")
+    try {
+      q3.processAllAvailable()
+      rows(sink.read("events_chk").select("event_id").orderBy("event_id")) shouldBe
+        Seq(Seq(1L), Seq(2L), Seq(3L))
+    } finally q3.stop()
+  }
+
   test("streamingCdcApply: cross-batch sequence ordering, deletes, out-of-order losers") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-scdc").toString
