@@ -143,4 +143,73 @@ object Graph {
     // caches; blocks reclaim when the frame is dereferenced
     ranks
   }
+
+  /** Per-node triangle counts (the clustering/community signal link
+    * analysis ranks sources by): every node that closes at least one
+    * triangle, with how many it closes. Nodes in no triangle are
+    * omitted — left-join [[pageRankQ]]-style node tables for zeros.
+    *
+    * The naive formulation (wedge join on EVERY node's adjacency)
+    * explodes quadratically at hub nodes: a degree-d node generates
+    * C(d,2) wedges, and real link graphs are power-law — one 10⁶-
+    * degree hub would emit 5·10¹¹ wedges. DEGREE ORIENTATION (the
+    * standard compact-forward trick: point each undirected edge from
+    * the (degree, id)-smaller endpoint to the larger) caps every
+    * node's OUT-degree at O(√|E|), so total wedge work is O(|E|^1.5)
+    * worst case — the scalable bound — while each triangle is
+    * produced exactly once (its orientation-minimal corner emits the
+    * wedge; the closing edge is oriented the same way by
+    * transitivity of the total order).
+    *
+    * Shape: canonical-edge distinct (one shuffle), degree agg (one
+    * shuffle), wedge self-join keyed on the spoke node, then one
+    * equi-join of wedges against oriented edges — every step a
+    * key-partitioned join/agg, no driver state, no collect.
+    *
+    * @return (id, triangles) — one row per triangle-closing node */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    // canonical undirected form: u < v, loops and NULLs dropped,
+    // parallel edges collapsed (a triangle is a property of the
+    // SIMPLE graph)
+    val e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .cache() // read by the degree agg AND the orientation join
+    val deg = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): a → b with a strictly smaller in the total
+    // order; carry b's (deg, id) so the wedge join can order spokes
+    // without re-joining degrees
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+          .otherwise(
+            struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
+          .as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
+      .cache() // wedge join reads it twice + the closing probe
+    // wedges (a; b → c) with b before c in the SAME total order, so
+    // the closing edge {b, c} — if present — is oriented b → c and one
+    // equi-join finds it
+    val wedges = oriented.as("l")
+      .join(oriented.as("r"), Seq("a"))
+      .filter(col("l.db") < col("r.db") ||
+        (col("l.db") === col("r.db") && col("l.b") < col("r.b")))
+      .select(col("a"), col("l.b").as("b"), col("r.b").as("c"))
+    val triangles = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val out = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    out
+  }
 }

@@ -130,6 +130,75 @@ object Multimodal {
     private def isJpeg(p: Array[Byte]): Boolean =
       p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
 
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    /** Audio twin of [[parse]]: (format, sample_rate, n_channels,
+      * bits_per_sample, n_samples), [[UnknownAudio]] for unrecognized
+      * or truncated containers. Parses declared header fields only —
+      * PCM WAV (RIFF chunk walk to `fmt `+`data`; n_samples =
+      * declared data size / block align, so a truncated payload still
+      * reports its header's promise) and FLAC STREAMINFO (fixed-layout
+      * bit unpack). Both are published container layouts (RIFF/WAVE
+      * multimedia spec; FLAC format spec). */
+    def parseAudio(p: Array[Byte]): (String, Int, Int, Int, Long) = {
+      if (p == null) UnknownAudio
+      else if (isWav(p)) parseWav(p)
+      else if (isFlac(p)) parseFlac(p)
+      else UnknownAudio
+    }
+
+    val UnknownAudio: (String, Int, Int, Int, Long) =
+      ("unknown", -1, -1, -1, -1L)
+
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E'
+
+    /** RIFF chunk walk: chunks are (id(4), size(4 LE), payload) —
+      * unknown chunks (LIST, fact, …) skip by declared size; stop once
+      * both `fmt ` and `data` have been seen. Odd chunk sizes pad to
+      * even per the RIFF spec. */
+    private def parseWav(p: Array[Byte]): (String, Int, Int, Int, Long) = {
+      var i = 12
+      var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
+      var dataSize = -1L
+      while (i + 8 <= p.length && (rate < 0 || dataSize < 0)) {
+        val id = new String(p, i, 4, "US-ASCII")
+        val size = le32(p, i + 4)
+        if (id == "fmt ") {
+          if (i + 24 > p.length) return UnknownAudio
+          ch = le16(p, i + 10)
+          rate = le32(p, i + 12).toInt
+          blockAlign = le16(p, i + 20)
+          bits = le16(p, i + 22)
+        } else if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataSize < 0)
+        UnknownAudio
+      else ("wav", rate, ch, bits, dataSize / blockAlign)
+    }
+
+    private def isFlac(p: Array[Byte]): Boolean =
+      p.length >= 42 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' &&
+        p(3) == 'C' && (p(4) & 0x7f) == 0 // first block is STREAMINFO
+
+    /** STREAMINFO fixed layout (34 bytes at offset 8): sample rate is
+      * 20 bits, channels-1 is 3, bits-1 is 5, total samples is 36 —
+      * straight bit unpack, no chunk walk needed. */
+    private def parseFlac(p: Array[Byte]): (String, Int, Int, Int, Long) = {
+      val rate = ((p(18) & 0xff) << 12) | ((p(19) & 0xff) << 4) |
+        ((p(20) & 0xff) >>> 4)
+      val ch = ((p(20) >>> 1) & 0x7) + 1
+      val bits = (((p(20) & 1) << 4) | ((p(21) & 0xff) >>> 4)) + 1
+      val samples = ((p(21) & 0x0fL) << 32) | ((p(22) & 0xffL) << 24) |
+        ((p(23) & 0xffL) << 16) | ((p(24) & 0xffL) << 8) | (p(25) & 0xffL)
+      if (rate <= 0) UnknownAudio else ("flac", rate, ch, bits, samples)
+    }
+
     /** Walk marker segments to the first frame header. SOF markers are
       * 0xC0–0xCF minus DHT (C4), JPG (C8), DAC (CC); everything else
       * before the scan carries a 2-byte big-endian length to skip. */
@@ -188,6 +257,37 @@ object Multimodal {
         Option(r.getAs[Array[Byte]](mediaIdx)).map { payload =>
           val (fmt, w, h, c) = MediaHeaders.parse(payload)
           Row(r.get(idIdx), fmt, w, h, c)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** [[imageDims]]' audio twin: typed header metadata straight off a
+    * binary audio column — (id, format, sample_rate, n_channels,
+    * bits_per_sample, n_samples, duration_ms). Same narrow
+    * allocation-free mapPartitions shape (header inspection only —
+    * sample decoding stays behind the codec seam); NULL payloads
+    * dropped. duration_ms is integer floor arithmetic
+    * (n_samples·1000 / rate) so both engines agree bit-for-bit. */
+  def audioMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("format", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(r.getAs[Array[Byte]](mediaIdx)).map { payload =>
+          val (fmt, rate, ch, bits, samples) =
+            MediaHeaders.parseAudio(payload)
+          val durMs = if (rate > 0 && samples >= 0)
+            samples * 1000L / rate else -1L
+          Row(r.get(idIdx), fmt, rate, ch, bits, samples, durMs)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

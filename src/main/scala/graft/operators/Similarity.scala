@@ -370,6 +370,56 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the top-k corpus vectors inside the cosine band
+    * (loCos, hiCos]. The band is the semantics: above hiCos a
+    * candidate is a near-duplicate/positive (training on it as a
+    * negative poisons the loss — the false-negative trap); below loCos
+    * it is an easy negative the model learns nothing from. Exact
+    * variant: one band-filtered broadcast scan of the corpus
+    * ([[bruteForceTopK]]'s shape — the band filter runs INSIDE the
+    * scan, so only in-band candidates reach the per-query top-k
+    * shuffle). For corpus-scale anchors use [[hardNegativesIvf]].
+    *
+    * @return (q_id, neighbor_id, cos, rnk) like every top-k here */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    loCos: Double = 0.5,
+                    hiCos: Double = 0.95): DataFrame = {
+    require(loCos < hiCos, s"need loCos < hiCos, got [$loCos, $hiCos]")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      .filter(col("cos") > loCos && col("cos") <= hiCos)
+    rankTopK(scored, idCol, k)
+  }
+
+  /** [[hardNegatives]] at corpus scale: IVF cell pruning first (hard
+    * negatives are by definition NEAR the anchor, so the probed
+    * nearest cells are exactly where they live), band filter inside
+    * the pruned scan, then per-query top-k. Approximate like every
+    * IVF path (recall bounded by cell pruning); same output shape. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       loCos: Double = 0.5, hiCos: Double = 0.95,
+                       nCentroids: Int = 16, nProbe: Int = 4,
+                       trainIters: Int = 0): DataFrame = {
+    require(loCos < hiCos, s"need loCos < hiCos, got [$loCos, $hiCos]")
+    import graft.functions.HashFunctions.nearestCentroids
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters)
+      else systematicCentroids(corpus, idCol, vecCol, nCentroids)
+    val c = assignFrame(corpus, vecCol, centroids)
+    val q = queries.withColumn("centroid",
+      explode(nearestCentroids(asDouble(col("q_vec")), centroids, nProbe)))
+    val scored = c.join(broadcast(q), Seq("centroid"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+      .filter(col("cos") > loCos && col("cos") <= hiCos)
+    rankTopK(scored, idCol, k)
+  }
+
   /** IVF × PQ — the flagship big-corpus ANN composition: coarse
     * centroids prune the corpus to the probed inverted lists
     * (~nProbe/nCentroids of the rows), the survivors are scanned in

@@ -726,6 +726,27 @@ object AnalyticsQueries {
         .orderBy(col("rank_q").desc, col("id"))
     }),
 
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing an order are linked; a triangle = three parts pairwise
+    // co-purchased — the cohesion signal community curation uses).
+    // Degree-oriented wedge join (Graph.triangleCounts): out-degree
+    // capped at O(√E) by orientation, so hub parts can't explode the
+    // wedge stage — the O(E^1.5) bound, never the naive per-node
+    // quadratic. Hash-green: exact counts vs DuckDB's three-way
+    // canonical self-join.
+    "copurchase_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .select(col("id").as("p_partkey"), col("triangles"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Ordered funnel over the event stream: signup → first view AFTER
     // it → first purchase after THAT, per user — two window passes
     // over ONE user-partitioned shuffle (stage timestamps chain
@@ -819,6 +840,28 @@ object AnalyticsQueries {
     // (user, ts) (max-event_id sample) so the as-of match is
     // deterministic on both engines — DuckDB's ASOF JOIN breaks
     // equal-ts ties arbitrarily otherwise. Hash-green.
+    // Linear gap interpolation (TimeSeries.interpolateLinear): values
+    // NULLed on a deterministic pattern, repaired from the nearest
+    // observations on the micro-second time axis — ONE window shuffle
+    // (all four helper frames share the user partition + (ts, id)
+    // order). Hash-green: identical IEEE double expression both sides.
+    "interpolate_gaps" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the
+          // cast is wall-clock-identity and matches epoch_us(ts)
+          expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+      graft.operators.TimeSeries.interpolateLinear(ev, Seq("user_id"),
+          "tsu", "v", orderCols = Seq("event_id"))
+        .filter(col("event_id") % 7 === 0) // report the repaired rows
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          col("value_filled"))
+        .orderBy(col("user_id"), col("tsu"), col("event_id"))
+    }),
+
     "resample_events" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val refs = ev.groupBy(col("user_id"), col("ts"))
@@ -1500,6 +1543,27 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // canonical u<v edges; each triangle counted once as a<b<c, then
+    // every corner credited — orientation-free, so it cross-checks the
+    // degree-oriented Spark plan rather than mirroring it
+    "copurchase_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT id AS p_partkey, COUNT(*) AS triangles
+        |FROM corners GROUP BY id ORDER BY p_partkey""".stripMargin,
     "supplier_pagerank" ->
       s"""WITH ${pageRankCtes(6)}
          |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
@@ -1958,6 +2022,39 @@ object AnalyticsQueries {
         |    9) AS mi_term
         |FROM w
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // mirrors TimeSeries.interpolateLinear term for term (same window
+    // frames, same IEEE double expression order)
+    "interpolate_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, event_id, tsu, v,
+        |    last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER wb AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |                    THEN CAST(tsu AS DOUBLE) END IGNORE NULLS)
+        |      OVER wb AS prev_t,
+        |    first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER wf AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL
+        |                     THEN CAST(tsu AS DOUBLE) END IGNORE NULLS)
+        |      OVER wf AS next_t
+        |  FROM e
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, tsu,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |       WHEN prev_v IS NULL THEN next_v
+        |       WHEN next_v IS NULL THEN prev_v
+        |       WHEN next_t = prev_t THEN prev_v
+        |       ELSE prev_v + (next_v - prev_v)
+        |            * (CAST(tsu AS DOUBLE) - prev_t) / (next_t - prev_t)
+        |  END AS value_filled
+        |FROM w WHERE event_id % 7 = 0
+        |ORDER BY user_id, tsu, event_id""".stripMargin,
     "resample_events" ->
       """WITH r AS (
         |  SELECT user_id AS r_uid, CAST(ts AS TIMESTAMP) AS r_ts,

@@ -540,6 +540,22 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-10 corpus vectors inside the cosine band (0.2, 0.9] — near
+    // enough to be informative, below the near-dup ceiling that would
+    // poison the loss with false negatives. Band filter runs INSIDE
+    // the broadcast scan; hash-green (cosine arithmetic shared with
+    // embedding_topk_cosine, band edges compare identical doubles).
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.hardNegatives(emb, q, "vec_id", "embedding", k = 10,
+          loCos = 0.2, hiCos = 0.9)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "embedding_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -971,6 +987,54 @@ object PipelineQueries {
           .otherwise(gifHex)).as("media"))
       Multimodal.imageDims(media, "doc_id", "media")
         .orderBy(col("doc_id"))
+    }),
+
+    // media_dimensions' AUDIO twin: spec-conformant PCM WAV (RIFF
+    // chunk layout, little-endian) and FLAC STREAMINFO (big-endian
+    // bit-packed) byte streams built IN SQL with sample rate /
+    // channels / bit depth / sample count planted as doc_id
+    // arithmetic; MediaHeaders.parseAudio must invert both layouts
+    // byte-exactly, and duration_ms is floor integer arithmetic on
+    // both sides. Real-encoder parity (javax.sound WAV writes) is
+    // spec-pinned in MultimodalSpec.
+    "audio_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def hx(c: org.apache.spark.sql.Column, n: Int) = lpad(hex(c), n, "0")
+      def le16h(c: org.apache.spark.sql.Column) = concat(
+        hx(pmod(c, lit(256)), 2), hx(shiftright(c, 8), 2))
+      def le32h(c: org.apache.spark.sql.Column) = concat(
+        hx(pmod(c, lit(256)), 2),
+        hx(pmod(shiftright(c, 8), lit(256)), 2),
+        hx(pmod(shiftright(c, 16), lit(256)), 2),
+        hx(pmod(shiftright(c, 24), lit(256)), 2))
+      val rate = expr("8000 + (doc_id % 8) * 4000")
+      val ch = expr("1 + (doc_id % 4) div 2")
+      val wavBits = expr("8 * (1 + (doc_id % 6) div 3)")
+      val samples = expr("1000 + doc_id % 9000")
+      val blockAlign = (ch * wavBits) / 8
+      val dataSize = samples * blockAlign
+      val wavHex = concat(
+        lit("52494646"), le32h(lit(36) + dataSize), lit("57415645"),
+        lit("666D7420"), le32h(lit(16)), le16h(lit(1)), le16h(ch),
+        le32h(rate), le32h(rate * blockAlign), le16h(blockAlign),
+        le16h(wavBits), lit("64617461"), le32h(dataSize))
+      // STREAMINFO: 4096 block sizes, zero frame bounds, 20-bit rate |
+      // 3-bit channels-1 | 5-bit bits-1 (fixed 16 → the F0 byte) |
+      // 36-bit sample count, zero md5
+      val flacHex = concat(
+        lit("664C6143"), lit("80000022"), lit("10001000"),
+        lit("000000000000"),
+        hx(shiftright(rate, 12), 2),
+        hx(pmod(shiftright(rate, 4), lit(256)), 2),
+        hx(pmod(rate, lit(16)) * 16 + (ch - 1) * 2, 2),
+        lit("F0"), hx(samples, 8),
+        repeat(lit("00"), 16))
+      val media = docs.select(col("doc_id"), unhex(
+        when(pmod(col("doc_id"), lit(2)) === 0, wavHex)
+          .otherwise(flacHex)).as("media"))
+      Multimodal.audioMeta(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1216,6 +1280,26 @@ object PipelineQueries {
         |    abs(CAST(s[1] AS DOUBLE)
         |        - (zero + scale * CAST(s[2] AS DOUBLE))))) AS max_err
         |FROM z ORDER BY vec_id""".stripMargin,
+    // embedding_topk_cosine's scorer with the hard-negative band
+    // filter before ranking
+    "hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q.q_vec", "e.embedding")}
+         |    AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |banded AS (
+         |  SELECT * FROM scored WHERE cos > 0.2 AND cos <= 0.9),
+         |ranked AS (
+         |  SELECT q_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM banded)
+         |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin,
     "embedding_topk_cosine" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
@@ -1403,5 +1487,19 @@ object PipelineQueries {
         |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
         |              WHEN 2 THEN 2 ELSE 4 END
         |       ELSE 3 END AS INT) AS n_channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted audio-header arithmetic of audio_meta; duration is
+    // floor integer division in both engines
+    "audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + (doc_id % 4) // 2 AS INT) AS n_channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN 8 * (1 + (doc_id % 6) // 3) ELSE 16 END AS INT)
+        |    AS bits_per_sample,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
+        |  CAST((1000 + doc_id % 9000) * 1000
+        |       // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

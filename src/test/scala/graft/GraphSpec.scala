@@ -72,4 +72,45 @@ class GraphSpec extends SparkSpec {
       "src", "dst", 5).orderBy("id"))
     r1 shouldBe r2 // partitioning-independent by integer construction
   }
+
+  test("triangleCounts: K4, bipartite zero, dirty-edge collapse") {
+    // K4: every node closes C(3,2) = 3 triangles
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    rows(Graph.triangleCounts(k4, "src", "dst").orderBy("id")) shouldBe
+      (1 to 4).map(i => Seq(i.toLong, 3L))
+    // bipartite graphs have no odd cycles → empty result
+    val bip = (for { a <- 1 to 3; b <- 10 to 12 } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    Graph.triangleCounts(bip, "src", "dst").count() shouldBe 0L
+    // duplicates, reversed duplicates, and self-loops collapse to the
+    // simple graph: one triangle {1,2,3}
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 3L)).toDF("src", "dst")
+    rows(Graph.triangleCounts(dirty, "src", "dst").orderBy("id")) shouldBe
+      Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L))
+  }
+
+  test("triangleCounts: parity with the orientation-free three-way join") {
+    // deterministic pseudo-random graph with hubs (node 0 touches
+    // everything) so the degree orientation actually reroutes wedges
+    val edges = ((0 until 300).map(i => (0L, (i % 40).toLong)) ++
+      (0 until 600).map(i => ((i * 7 % 40).toLong, (i * 13 % 40).toLong)))
+      .toDF("src", "dst")
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") &&
+        col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    rows(Graph.triangleCounts(edges, "src", "dst").orderBy("id")) shouldBe
+      rows(naive.orderBy("id"))
+    // repartition invariance: exact counts are partitioning-free
+    rows(Graph.triangleCounts(edges.repartition(17), "src", "dst")
+      .orderBy("id")) shouldBe rows(naive.orderBy("id"))
+  }
 }

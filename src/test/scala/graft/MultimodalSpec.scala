@@ -231,4 +231,85 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getString(1) -> r.getLong(0)).toMap
     byName.values.map(_._1).toSet shouldBe again.values.toSet
   }
+
+  test("MediaHeaders.parseAudio parses REAL WAV bytes from javax.sound") {
+    // independent-encoder ground truth, the ImageIO precedent: write
+    // actual PCM WAV streams and require the header parser to recover
+    // every encoded parameter
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def render(rate: Float, bits: Int, ch: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, bits > 8, false)
+      val data = new Array[Byte](nFrames * fmt.getFrameSize)
+      data.indices.foreach(i => data(i) = (i * 31).toByte)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val cases = Seq((8000f, 8, 1, 1000), (44100f, 16, 2, 4321),
+      (16000f, 16, 1, 1), (48000f, 8, 2, 0))
+    cases.foreach { case (rate, bits, ch, n) =>
+      Multimodal.MediaHeaders.parseAudio(render(rate, bits, ch, n)) shouldBe
+        (("wav", rate.toInt, ch, bits, n.toLong))
+    }
+  }
+
+  test("MediaHeaders.parseAudio: FLAC STREAMINFO unpack and junk refusal") {
+    val mh = Multimodal.MediaHeaders
+    // hand-packed STREAMINFO: rate 44100, 2 channels, 24 bits,
+    // 0x123456789 samples (exercises the 36-bit field's high nibble)
+    val rate = 44100; val ch = 2; val bits = 24
+    val samples = 0x123456789L
+    val si = new Array[Byte](42)
+    "fLaC".getBytes("US-ASCII").copyToArray(si, 0)
+    si(4) = 0x80.toByte // last block, type STREAMINFO
+    si(7) = 34 // block length
+    si(18) = (rate >> 12).toByte
+    si(19) = ((rate >> 4) & 0xff).toByte
+    si(20) = (((rate & 0xf) << 4) | ((ch - 1) << 1) |
+      ((bits - 1) >> 4)).toByte
+    si(21) = ((((bits - 1) & 0xf) << 4) | ((samples >> 32) & 0xf).toInt).toByte
+    si(22) = ((samples >> 24) & 0xff).toByte
+    si(23) = ((samples >> 16) & 0xff).toByte
+    si(24) = ((samples >> 8) & 0xff).toByte
+    si(25) = (samples & 0xff).toByte
+    mh.parseAudio(si) shouldBe (("flac", rate, ch, bits, samples))
+    // refusals: null, junk, truncated WAV, WAV missing its fmt chunk
+    mh.parseAudio(null) shouldBe mh.UnknownAudio
+    mh.parseAudio("not audio at all".getBytes("UTF-8")) shouldBe
+      mh.UnknownAudio
+    mh.parseAudio("RIFF    WAVE".getBytes("US-ASCII")) shouldBe
+      mh.UnknownAudio
+    val noFmt = new Array[Byte](20)
+    "RIFF".getBytes.copyToArray(noFmt, 0)
+    "WAVE".getBytes.copyToArray(noFmt, 8)
+    "data".getBytes.copyToArray(noFmt, 12)
+    mh.parseAudio(noFmt) shouldBe mh.UnknownAudio
+  }
+
+  test("audioMeta: narrow map, NULLs dropped, duration floor arithmetic") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wav(rate: Float, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(new Array[Byte](nFrames * 2)), fmt,
+        nFrames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(8000f, 12000)), // 1500 ms exactly
+      (2L, wav(44100f, 44099)), // floors to 999 ms
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, "garbage".getBytes("UTF-8"))).toDF("id", "media")
+    val got = rows(Multimodal.audioMeta(df, "id", "media").orderBy("id"))
+    got shouldBe Seq(
+      Seq(1L, "wav", 8000, 1, 16, 12000L, 1500L),
+      Seq(2L, "wav", 44100, 1, 16, 44099L, 999L),
+      Seq(4L, "unknown", -1, -1, -1, -1L, -1L))
+  }
 }

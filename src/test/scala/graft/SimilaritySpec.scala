@@ -637,4 +637,59 @@ class SimilaritySpec extends SparkSpec {
     r.getDouble(0) shouldBe 1.0
     r.getSeq[Double](2).foreach(_ shouldBe 0.25.toFloat.toDouble)
   }
+
+  test("hardNegatives: band excludes near-dups and easy negatives, ranks the rest") {
+    // planted geometry in 4 dims: anchor e1; a near-duplicate
+    // (cos ~0.9999), three mid-band vectors at distinct similarities,
+    // and an orthogonal easy negative
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val c = Seq(
+      (0L, v(1, 0, 0, 0)), // the anchor itself (self-filtered)
+      (1L, v(1, 0.01, 0, 0)), // near-dup: cos > 0.99 -> excluded
+      (2L, v(1, 1, 0, 0)), // cos ~0.707 -> in band
+      (3L, v(1, 2, 0, 0)), // cos ~0.447 -> in band
+      (4L, v(1, 4, 0, 0)), // cos ~0.243 -> in band
+      (5L, v(0, 0, 1, 0)), // orthogonal: cos 0 -> excluded
+      (6L, v(1, 8, 0, 0)) // cos ~0.124 -> below the band
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, v(1, 0, 0, 0))).toDF("q_id", "q_vec")
+    val got = rows(Similarity.hardNegatives(c, q, "vec_id", "embedding",
+      k = 10, loCos = 0.2, hiCos = 0.95)
+      .select("q_id", "neighbor_id", "rnk"))
+    got shouldBe Seq(Seq(0L, 2L, 1L), Seq(0L, 3L, 2L), Seq(0L, 4L, 3L))
+    // k caps the band: k = 2 keeps the two hardest (highest-cos)
+    rows(Similarity.hardNegatives(c, q, "vec_id", "embedding",
+      k = 2, loCos = 0.2, hiCos = 0.95)
+      .select("neighbor_id")) shouldBe Seq(Seq(2L), Seq(3L))
+    // degenerate band refused
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(c, q, "vec_id", "embedding", 5, 0.9, 0.5)
+    }
+  }
+
+  test("hardNegativesIvf: probing every cell equals the exact band mine") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = rows(Similarity.hardNegatives(c, q, "vec_id", "embedding",
+      k = 8, loCos = 0.1, hiCos = 0.9).orderBy("q_id", "rnk"))
+    val allProbed = rows(Similarity.hardNegativesIvf(c, q, "vec_id",
+      "embedding", k = 8, loCos = 0.1, hiCos = 0.9,
+      nCentroids = 8, nProbe = 8).orderBy("q_id", "rnk"))
+    allProbed shouldBe exact
+    // pruned probes stay inside the band and recall most of the exact set
+    val pruned = Similarity.hardNegativesIvf(c, q, "vec_id", "embedding",
+      k = 8, loCos = 0.1, hiCos = 0.9, nCentroids = 8, nProbe = 3)
+      .collect()
+    pruned.foreach { r =>
+      val cos = r.getDouble(2)
+      cos should be > 0.1
+      cos should be <= 0.9
+    }
+    val exactPairs: Set[(Long, Long)] =
+      exact.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val prunedPairs = pruned.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (prunedPairs.intersect(exactPairs).size.toDouble /
+      exactPairs.size) should be >= 0.5
+  }
 }
