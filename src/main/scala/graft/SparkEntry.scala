@@ -76,6 +76,9 @@ object SparkEntry {
       "embedding_drift" -> ("PSI over k-means cell occupancies —" +
         " centroid training carries double-sum rounding; planted-shift" +
         " detection and near-zero-on-identical spec-pinned in DriftSpec"),
+      "cluster_balanced_sample" -> ("k-means cell assignment carries" +
+        " double-sum rounding (no SQL twin); per-cell cap, dominant-mode" +
+        " equalization, and determinism spec-pinned in SamplingSpec"),
       "embedding_ingest_dedup" -> (ann + "SimilaritySpec (ingest gate parity)"),
       "hybrid_search_indexed" -> (ann + "HybridSearchSpec (indexed fusion" +
         " parity vs the exact hash-green hybrid_search twin)"),

@@ -144,6 +144,82 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg) by fixed-round power
+    * iteration, ALL arithmetic integer — the [[pageRankQ]] discipline
+    * applied to the bipartite-flavored ranking (who aggregates
+    * quality vs who carries it; the buyer/supplier, crawler/content
+    * split PageRank's single score conflates).
+    *
+    * The textbook update normalizes by the L2 norm — irrational, so
+    * no two engines agree bit-for-bit. Here each half-round rescales
+    * by the MAXIMUM instead (max score = `denom` after every
+    * half-round, floor division): same fixpoint direction (scale-free
+    * update), fully deterministic, oracle-replayable:
+    *
+    *   auth_raw(i) = Σ_{j→i} hub(j);   auth = auth_raw·denom div max(auth_raw)
+    *   hub_raw(j)  = Σ_{j→i} auth(i);  hub  = hub_raw·denom div max(hub_raw)
+    *
+    * The max enters the plan as a one-row aggregate cross-joined back
+    * (broadcast-nl of a scalar — never a driver action per round).
+    * Lineage is linear; localCheckpoint every [[CheckpointEvery]]
+    * rounds. Overflow guard: raw sums are bounded by
+    * maxdeg·denom — refused loud if that cannot fit a Long.
+    *
+    * @return (id, hub_q, auth_q) — one row per node */
+  def hitsQ(edges: DataFrame, srcCol: String, dstCol: String,
+            iterations: Int = 5,
+            denom: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(denom >= 1, s"denom must be positive, got $denom")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().cache()
+    val nNodes = nodes.count()
+    require(nNodes > 0, "empty graph")
+    val maxDeg = math.max(
+      e.groupBy("src").count().agg(max("count")).head.getLong(0),
+      e.groupBy("dst").count().agg(max("count")).head.getLong(0))
+    require(maxDeg <= Long.MaxValue / (denom + 1),
+      s"denom $denom × max degree $maxDeg would overflow the raw sums" +
+        " — lower denom")
+    def rescaled(raw: DataFrame, as: String): DataFrame = {
+      // one-row max cross-joined back: the rescale stays IN the plan
+      val m = raw.agg(max(col("raw")).as("m"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(m)
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) * $denom div m").as(as))
+    }
+    var hubs: DataFrame = nodes.select(col("id"), lit(denom).as("hub_q"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val checkpointRound = (i + 1) % CheckpointEvery == 0 ||
+        i + 1 == iterations
+      val authRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub_q")).as("raw"))
+      val a0 = rescaled(authRaw, "auth_q")
+      // checkpoint a BEFORE h builds on it: h's eager checkpoint would
+      // otherwise re-run a's whole lineage a second time
+      val a = if (checkpointRound) a0.localCheckpoint(true) else a0
+      val hubRaw = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth_q")).as("raw"))
+      val h0 = rescaled(hubRaw, "hub_q")
+      auths = a
+      hubs = if (checkpointRound) h0.localCheckpoint(true) else h0
+      i += 1
+    }
+    val out = hubs.join(auths, Seq("id"))
+    e.unpersist()
+    // nodes stays cached until `out` materializes (it appears in both
+    // rescale plans); checkpointed hubs/auths no longer reference it
+    nodes.unpersist()
+    out
+  }
+
   /** Per-node triangle counts (the clustering/community signal link
     * analysis ranks sources by): every node that closes at least one
     * triangle, with how many it closes. Nodes in no triangle are

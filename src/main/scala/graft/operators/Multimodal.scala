@@ -182,6 +182,57 @@ object Multimodal {
       else ("wav", rate, ch, bits, dataSize / blockAlign)
     }
 
+    /** Video twin: (format, major_brand, timescale, duration,
+      * duration_ms) from an ISO-BMFF (MP4/MOV) container — the
+      * published box grammar: length-prefixed boxes walked top-level
+      * for `ftyp` (brand) and `moov`, whose children are walked for
+      * `mvhd` (movie header: timescale + duration, version 0 = 32-bit
+      * fields, version 1 = 64-bit). Both boxes must be present;
+      * anything else is [[UnknownVideo]]. */
+    def parseVideo(p: Array[Byte]): (String, String, Int, Long, Long) = {
+      if (p == null) return UnknownVideo
+      var i = 0L
+      var brand = ""
+      var ts = -1
+      var dur = -1L
+      while (i + 8 <= p.length && (brand.isEmpty || ts < 0)) {
+        val size = be32(p, i.toInt) & 0xffffffffL
+        if (size < 8) return UnknownVideo // 0/1 (to-EOF / 64-bit) unsupported
+        val typ = new String(p, i.toInt + 4, 4, "US-ASCII")
+        if (typ == "ftyp") {
+          if (i + 12 > p.length) return UnknownVideo
+          brand = new String(p, i.toInt + 8, 4, "US-ASCII")
+        } else if (typ == "moov") {
+          // child walk inside [i+8, i+size)
+          var j = i + 8
+          val end = math.min(i + size, p.length.toLong)
+          while (j + 8 <= end && ts < 0) {
+            val csize = be32(p, j.toInt) & 0xffffffffL
+            if (csize < 8) return UnknownVideo
+            val ctyp = new String(p, j.toInt + 4, 4, "US-ASCII")
+            if (ctyp == "mvhd" && j + 12 <= end) {
+              val v = p(j.toInt + 8) & 0xff
+              if (v == 0 && j + 28 <= end) {
+                ts = be32(p, j.toInt + 20)
+                dur = be32(p, j.toInt + 24) & 0xffffffffL
+              } else if (v == 1 && j + 40 <= end) {
+                ts = be32(p, j.toInt + 28)
+                dur = ((be32(p, j.toInt + 32) & 0xffffffffL) << 32) |
+                  (be32(p, j.toInt + 36) & 0xffffffffL)
+              } else return UnknownVideo
+            }
+            j += csize
+          }
+        }
+        i += size
+      }
+      if (brand.isEmpty || ts <= 0 || dur < 0) UnknownVideo
+      else ("mp4", brand, ts, dur, dur * 1000L / ts)
+    }
+
+    val UnknownVideo: (String, String, Int, Long, Long) =
+      ("unknown", "", -1, -1L, -1L)
+
     private def isFlac(p: Array[Byte]): Boolean =
       p.length >= 42 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' &&
         p(3) == 'C' && (p(4) & 0x7f) == 0 // first block is STREAMINFO
@@ -288,6 +339,29 @@ object Multimodal {
           val durMs = if (rate > 0 && samples >= 0)
             samples * 1000L / rate else -1L
           Row(r.get(idIdx), fmt, rate, ch, bits, samples, durMs)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** [[audioMeta]]'s video twin: ISO-BMFF movie-header metadata —
+    * (id, format, brand, timescale, duration, duration_ms). Same
+    * narrow header-only mapPartitions; NULL payloads dropped. */
+  def videoMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("format", StringType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("timescale", IntegerType, nullable = false),
+      StructField("duration", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(r.getAs[Array[Byte]](mediaIdx)).map { payload =>
+          val (fmt, brand, ts, dur, ms) = MediaHeaders.parseVideo(payload)
+          Row(r.get(idIdx), fmt, brand, ts, dur, ms)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

@@ -190,4 +190,36 @@ object Sampling {
         floor((sum(col(tokenCol)).over(w) - col(tokenCol))
           .cast("double") / targetTokens).cast("long"))
   }
+
+  /** Cluster-balanced corpus cap — topic/content balancing in
+    * EMBEDDING space (the SemDeDup-adjacent curation pass): assign
+    * every row to a k-means cell of its embedding, keep at most
+    * `perCluster` rows per cell (smallest id first — deterministic),
+    * so one over-represented mode (boilerplate, a crawl-heavy domain,
+    * one language) cannot dominate the training mix however large it
+    * grows. Where [[graft.queries]] `cap_per_source` caps by a LABEL,
+    * this caps by CONTENT — it needs no source metadata.
+    *
+    * Shape: centroid training ([[Similarity.kmeansCentroids]] — one
+    * scan + k-group shuffle per iteration, k driver doubles), then a
+    * narrow codegen'd cell assignment and ONE window shuffle on ≤
+    * nCells keys. Output keeps the assignment as `cell`.
+    */
+  def clusterBalancedCap(df: DataFrame, idCol: String, vecCol: String,
+                         perCluster: Int, nCells: Int = 16,
+                         trainIters: Int = 2): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    import graft.functions.HashFunctions.nearestCentroids
+    import org.apache.spark.sql.expressions.Window
+    val centroids = Similarity.kmeansCentroids(df, idCol, vecCol,
+      nCells, trainIters)
+    val asD = df(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
+    df.withColumn("cell",
+        element_at(nearestCentroids(asD, centroids, 1), 1))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= perCluster)
+      .drop("__rnk")
+  }
 }

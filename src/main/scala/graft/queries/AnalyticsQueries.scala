@@ -726,6 +726,23 @@ object AnalyticsQueries {
         .orderBy(col("rank_q").desc, col("id"))
     }),
 
+    // HITS over the DIRECTED customer→supplier trading graph: hubs =
+    // customers aggregating across good suppliers, authorities =
+    // suppliers trading with good customers — the two-sided quality
+    // signal PageRank's single score conflates. Three rounds, integer
+    // max-rescaled arithmetic (Graph.hitsQ), replayed exactly by
+    // twelve unrolled CTEs. Hash-green.
+    "hits_trading" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.hitsQ(pairs, "src", "dst", iterations = 3)
+        .orderBy(col("id"))
+    }),
+
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an order are linked; a triangle = three parts pairwise
     // co-purchased — the cohesion signal community curation uses).
@@ -1542,7 +1559,44 @@ object AnalyticsQueries {
        |$rounds""".stripMargin
   }
 
+  /** Unrolled HITS rounds for the hits_trading oracle — mirrors
+    * Graph.hitsQ's integer max-rescale arithmetic term for term. */
+  private def hitsCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT p.dst AS id, SUM(h.hub_q) AS raw
+         |  FROM pairs p JOIN h${i - 1} h ON p.src = h.id GROUP BY p.dst),
+         |am$i AS (SELECT MAX(raw) AS m FROM ar$i),
+         |a$i AS (
+         |  SELECT nd.id,
+         |    CAST(COALESCE(r.raw, 0) * 1000000 // x.m AS BIGINT) AS auth_q
+         |  FROM nodes nd LEFT JOIN ar$i r ON nd.id = r.id
+         |  CROSS JOIN am$i x),
+         |hr$i AS (
+         |  SELECT p.src AS id, SUM(a.auth_q) AS raw
+         |  FROM pairs p JOIN a$i a ON p.dst = a.id GROUP BY p.src),
+         |hm$i AS (SELECT MAX(raw) AS m FROM hr$i),
+         |h$i AS (
+         |  SELECT nd.id,
+         |    CAST(COALESCE(r.raw, 0) * 1000000 // x.m AS BIGINT) AS hub_q
+         |  FROM nodes nd LEFT JOIN hr$i r ON nd.id = r.id
+         |  CROSS JOIN hm$i x)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |nodes AS (SELECT DISTINCT src AS id FROM pairs
+       |          UNION SELECT DISTINCT dst FROM pairs),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub_q FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "hits_trading" ->
+      s"""WITH ${hitsCtes(3)}
+         |SELECT h.id, h.hub_q, a.auth_q
+         |FROM h3 h JOIN a3 a USING (id) ORDER BY h.id""".stripMargin,
     // canonical u<v edges; each triangle counted once as a<b<c, then
     // every corner credited — orientation-free, so it cross-checks the
     // degree-oriented Spark plan rather than mirroring it

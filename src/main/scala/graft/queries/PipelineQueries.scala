@@ -323,6 +323,20 @@ object PipelineQueries {
         .orderBy(col("rnk"))
     }),
 
+    // Cluster-balanced corpus cap: embedding-space topic balancing —
+    // at most 40 vectors per k-means cell, so no single content mode
+    // dominates the mix regardless of its raw frequency. Rows-only
+    // (k-means training rounds doubles); the balance property and
+    // determinism are spec-pinned in SamplingSpec.
+    "cluster_balanced_sample" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Sampling.clusterBalancedCap(emb, "vec_id",
+          "embedding", perCluster = 40, nCells = 8)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-distribution drift: both snapshot halves quantized
     // into k-means cells trained on the BASE half, categorical PSI
     // over cell occupancies — "did the embedding distribution move"
@@ -1035,6 +1049,39 @@ object PipelineQueries {
           .otherwise(flacHex)).as("media"))
       Multimodal.audioMeta(media, "doc_id", "media")
         .orderBy(col("doc_id"))
+    }),
+
+    // the VIDEO leg: ISO-BMFF (MP4) containers built in SQL — ftyp
+    // with alternating brands, a variable-size filler child box ahead
+    // of mvhd (so the moov child WALK is exercised, not a fixed
+    // offset), and mvhd alternating version 0 (32-bit fields) /
+    // version 1 (64-bit); MediaHeaders.parseVideo must invert the box
+    // grammar exactly. Hash-green.
+    "video_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def hx(c: org.apache.spark.sql.Column, n: Int) = lpad(hex(c), n, "0")
+      val ts = expr("600 * (1 + doc_id % 4)")
+      val dur = expr("10000 + doc_id % 100000")
+      val pad = expr("cast(doc_id % 9 as int)")
+      val v0 = pmod(col("doc_id"), lit(2)) === 0
+      val brandHex = when(v0, "69736F6D").otherwise("6D703432")
+      val ftyp = concat(lit("0000001066747970"), brandHex, lit("00000000"))
+      val free = concat(hx(pad + 8, 8), lit("66726565"),
+        repeat(lit("00"), pad))
+      val mvhd = when(v0, concat(
+          lit("0000001C6D766864" + "00000000" + "00000000" + "00000000"),
+          hx(ts, 8), hx(dur, 8)))
+        .otherwise(concat(
+          lit("000000286D766864" + "01000000" +
+            "0000000000000000" + "0000000000000000"),
+          hx(ts, 8), hx(dur, 16)))
+      val moovSize = lit(16) + pad + when(v0, 28).otherwise(40)
+      val moov = concat(hx(moovSize, 8), lit("6D6F6F76"), free, mvhd)
+      val media = docs.select(col("doc_id"),
+        unhex(concat(ftyp, moov)).as("media"))
+      Multimodal.videoMeta(media, "doc_id", "media")
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1501,5 +1548,15 @@ object PipelineQueries {
         |  CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
         |  CAST((1000 + doc_id % 9000) * 1000
         |       // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted box-grammar arithmetic of video_meta
+    "video_meta" ->
+      """SELECT doc_id,
+        |  'mp4' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 * (1 + doc_id % 4) AS INT) AS timescale,
+        |  CAST(10000 + doc_id % 100000 AS BIGINT) AS duration,
+        |  CAST((10000 + doc_id % 100000) * 1000
+        |       // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

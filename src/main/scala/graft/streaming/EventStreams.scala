@@ -506,6 +506,125 @@ object EventStreams {
     * recoverable shells (target missing / staged partition missing)
     * are left for the loud manual path. GC failure must never wedge
     * ingest: reported, not rethrown. */
+  /** Watermark-driven LATE-EVENT ROUTER — the dead-letter shape
+    * Structured Streaming's own watermarking hides (late rows are
+    * silently dropped inside stateful operators; an auditable
+    * pipeline wants them ROUTED, counted, and replayable): each
+    * micro-batch splits against a persisted event-time high-watermark
+    * minus `latenessMs`; on-time rows land under
+    * `mainPath/batch_id=<id>`, late rows under `latePath/batch_id=
+    * <id>` (both overwrite-idempotent), and the watermark advances to
+    * max(previous, batch max event time).
+    *
+    * REPLAY-DETERMINISTIC: the naive design (read current watermark,
+    * split, advance) reclassifies rows on replay — the first attempt
+    * may have advanced the watermark before crashing, so the retry
+    * would see a HIGHER cutoff and route more rows late than the
+    * attempt that partially landed. Here each batch's marker
+    * (`_late_hwm/hwm_<id>`, staged+renamed) records the watermark
+    * BEFORE the batch; a replayed batch finds its own marker and
+    * re-splits against the identical cutoff, so both partition
+    * overwrites are byte-stable. Only the last two markers are kept
+    * (the checkpoint replays at most the last uncommitted batch) —
+    * the rollup sinks' marker discipline on a two-file budget.
+    *
+    * Rows with NULL event time are ON-TIME by definition (no basis to
+    * judge lateness; route them with a check if NULLs are invalid).
+    * First batch has no watermark — nothing can be late. */
+  def streamingLateRouter(events: DataFrame, mainPath: String,
+                          latePath: String, tsCol: String,
+                          latenessMs: Long, checkpointDir: String,
+                          /** Per-batch quality gate — see
+                            * [[streamingUpsert]]'s `checks`. */
+                          checks: Seq[graft.operators.DataChecks.Check] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(latenessMs >= 0, s"latenessMs must be >= 0, got $latenessMs")
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingLateRouter($mainPath) batch $batchId")
+        routeLateBatch(batch.toDF(), mainPath, latePath, tsCol,
+          latenessMs, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** One routed batch; exposed for specs. */
+  private[graft] def routeLateBatch(batch: DataFrame, mainPath: String,
+                                    latePath: String, tsCol: String,
+                                    latenessMs: Long,
+                                    batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val hwmDir = new Path(mainPath, "_late_hwm")
+    val fs = hwmDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val own = new Path(hwmDir, s"hwm_$batchId")
+    // marker payload: "<prev>|<new>" micros, "none" for absent
+    def readMarker(p: Path): (Option[Long], Option[Long]) = {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      line.split('|') match {
+        case Array(a, b) =>
+          def parse(s: String) = if (s == "none") None else Some(s.toLong)
+          (parse(a), parse(b))
+        case _ => throw new java.io.IOException(
+          s"corrupt late-router marker $p: '$line'")
+      }
+    }
+    val prev: Option[Long] =
+      if (fs.exists(own)) readMarker(own)._1 // replay: pin the original basis
+      else if (!fs.exists(hwmDir)) None
+      else {
+        val ids = fs.listStatus(hwmDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("hwm_"))
+          .map(_.stripPrefix("hwm_").toLong)
+          .filter(_ < batchId)
+        if (ids.isEmpty) None
+        else readMarker(new Path(hwmDir, s"hwm_${ids.max}"))._2
+      }
+    // the batch feeds three jobs (two writes + the max probe): persist
+    val b = batch.withColumn("__micros",
+        expr(s"unix_micros(cast(`$tsCol` as timestamp))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cutoff = prev.map(_ - latenessMs * 1000L)
+      val isLate = cutoff
+        .map(c => coalesce(col("__micros") < c, lit(false)))
+        .getOrElse(lit(false))
+      b.filter(!isLate).drop("__micros").write.mode("overwrite")
+        .parquet(s"$mainPath/batch_id=$batchId")
+      b.filter(isLate).drop("__micros").write.mode("overwrite")
+        .parquet(s"$latePath/batch_id=$batchId")
+      val mx = b.agg(max(col("__micros"))).head()
+      val batchMax = if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+      val newHwm = (prev.toSeq ++ batchMax.toSeq)
+        .reduceOption(math.max(_, _))
+      if (!fs.exists(own)) {
+        if (!fs.exists(hwmDir)) fs.mkdirs(hwmDir)
+        def render(o: Option[Long]) = o.map(_.toString).getOrElse("none")
+        val tmp = new Path(hwmDir, s".hwm_${batchId}_tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"${render(prev)}|${render(newHwm)}".getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, own))
+          throw new java.io.IOException(s"marker rename failed: $tmp -> $own")
+      }
+      // two-marker budget: this batch's and its predecessor's
+      fs.listStatus(hwmDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("hwm_") && n.stripPrefix("hwm_").toLong < batchId - 1) {
+          fs.delete(st.getPath, false)
+          ()
+        }
+      }
+    } finally { b.unpersist(); () }
+  }
+
   private def gcTick(spark: org.apache.spark.sql.SparkSession,
                      tablePath: String, batchId: Long, every: Int,
                      olderThanMs: Long = 24L * 3600 * 1000): Unit =

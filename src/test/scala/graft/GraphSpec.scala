@@ -73,6 +73,59 @@ class GraphSpec extends SparkSpec {
     r1 shouldBe r2 // partitioning-independent by integer construction
   }
 
+  /** Single-JVM HITS reference: the identical integer max-rescale
+    * arithmetic with plain Scala maps. */
+  private def refHits(edges: Seq[(String, String)], iters: Int,
+                      denom: Long = 1000000L): Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var hub = nodes.map(_ -> denom).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    (0 until iters).foreach { _ =>
+      val ar = nodes.map(n =>
+        n -> e.filter(_._2 == n).map(p => hub(p._1)).sum).toMap
+      val am = ar.values.max
+      auth = ar.map { case (k, v) => k -> v * denom / am }
+      val hr = nodes.map(n =>
+        n -> e.filter(_._1 == n).map(p => auth(p._2)).sum).toMap
+      val hm = hr.values.max
+      hub = hr.map { case (k, v) => k -> v * denom / hm }
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("hitsQ equals the reference arithmetic; structure is sensible") {
+    // two hubs of different breadth, one shared authority, a dangling
+    // source, and a duplicate edge
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h1", "a3"), // broad hub
+      ("h2", "a1"), // narrow hub
+      ("x", "h1"), // h1 is also an authority of x
+      ("h1", "a1")) // duplicate: must count once
+    for (iters <- Seq(1, 2, 4)) {
+      val got = Graph.hitsQ(edges.toDF("src", "dst"), "src", "dst", iters)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got shouldBe refHits(edges, iters)
+    }
+    val r3 = Graph.hitsQ(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the broad hub dominates hubs; the shared authority dominates auths
+    r3("h1")._1 shouldBe 1000000L
+    r3("h1")._1 should be > r3("h2")._1
+    r3("a1")._2 shouldBe 1000000L
+    r3("a1")._2 should be > r3("a2")._2
+    // pure sinks have zero hub score; pure sources zero authority
+    r3("a1")._1 shouldBe 0L
+    r3("x")._2 shouldBe 0L
+    // repartition invariance (integer arithmetic)
+    val rep = Graph.hitsQ(edges.toDF("src", "dst").repartition(7),
+      "src", "dst", 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rep shouldBe r3
+  }
+
   test("triangleCounts: K4, bipartite zero, dirty-edge collapse") {
     // K4: every node closes C(3,2) = 3 triangles
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))

@@ -289,6 +289,59 @@ class MultimodalSpec extends SparkSpec {
     mh.parseAudio(noFmt) shouldBe mh.UnknownAudio
   }
 
+  test("MediaHeaders.parseVideo: ISO-BMFF box walk, v0/v1 mvhd, refusals") {
+    val mh = Multimodal.MediaHeaders
+    def be32(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+      (x >> 8).toByte, x.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def ftyp(brand: String) = box("ftyp",
+      brand.getBytes("US-ASCII") ++ Array.fill(4)(0.toByte))
+    def mvhd0(ts: Int, dur: Long) = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(ts.toLong) ++ be32(dur))
+    def mvhd1(ts: Int, dur: Long) = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill(16)(0.toByte) ++
+        be32(ts.toLong) ++ be32(dur >> 32) ++ be32(dur & 0xffffffffL))
+    // v0, with a filler child before mvhd so the walk is exercised
+    val p0 = ftyp("isom") ++ box("moov",
+      box("free", Array.fill(5)(0.toByte)) ++ mvhd0(600, 123456L))
+    mh.parseVideo(p0) shouldBe (("mp4", "isom", 600, 123456L, 205760L))
+    // v1 with a 64-bit duration above 2^32
+    val bigDur = 0x123456789L
+    val p1 = ftyp("mp42") ++ box("moov", mvhd1(90000, bigDur))
+    mh.parseVideo(p1) shouldBe
+      (("mp4", "mp42", 90000, bigDur, bigDur * 1000L / 90000))
+    // trailing mdat after moov is fine; leading free box is fine
+    val p2 = box("free", Array.empty[Byte]) ++ p0 ++
+      box("mdat", Array.fill(9)(1.toByte))
+    mh.parseVideo(p2) shouldBe (("mp4", "isom", 600, 123456L, 205760L))
+    // refusals: null, junk, ftyp without moov, moov without mvhd,
+    // corrupt (size < 8) box
+    mh.parseVideo(null) shouldBe mh.UnknownVideo
+    mh.parseVideo("not a container".getBytes) shouldBe mh.UnknownVideo
+    mh.parseVideo(ftyp("isom")) shouldBe mh.UnknownVideo
+    mh.parseVideo(ftyp("isom") ++ box("moov",
+      box("free", Array.empty[Byte]))) shouldBe mh.UnknownVideo
+    mh.parseVideo(ftyp("isom") ++ be32(3L) ++ "moov".getBytes) shouldBe
+      mh.UnknownVideo
+  }
+
+  test("videoMeta: narrow map, NULLs dropped") {
+    def be32(x: Long) = Array((x >> 24).toByte, (x >> 16).toByte,
+      (x >> 8).toByte, x.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    val clip = box("ftyp", "isom".getBytes ++ Array.fill(4)(0.toByte)) ++
+      box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(1000L) ++ be32(2500L)))
+    val df = Seq((1L, clip), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, "junk".getBytes)).toDF("id", "media")
+    rows(Multimodal.videoMeta(df, "id", "media").orderBy("id")) shouldBe Seq(
+      Seq(1L, "mp4", "isom", 1000, 2500L, 2500L),
+      Seq(3L, "unknown", "", -1, -1L, -1L))
+  }
+
   test("audioMeta: narrow map, NULLs dropped, duration floor arithmetic") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}

@@ -188,4 +188,37 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     plan should include("TakeOrderedAndProject")
   }
+
+  test("clusterBalancedCap equalizes a dominant embedding mode; deterministic") {
+    import spark.implicits._
+    // two tight planted clusters, wildly imbalanced: 300 boilerplate
+    // copies near e1, 12 diverse docs near e2
+    val rnd = new scala.util.Random(11)
+    def near(base: Array[Float], i: Long) =
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val dominant = (1L to 300L).map(i => near(Array(1f, 0f, 0f, 0f), i))
+    val minority = (1001L to 1012L).map(i => near(Array(0f, 0f, 1f, 0f), i))
+    val df = (dominant ++ minority).toDF("vec_id", "embedding")
+    val got = Sampling.clusterBalancedCap(df, "vec_id", "embedding",
+      perCluster = 10, nCells = 4, trainIters = 3)
+    val byCell = got.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // no cell exceeds the cap, and the dominant mode is cut to it
+    byCell.values.foreach(_ should be <= 10L)
+    got.count() should be <= (10L * 4)
+    // the minority cluster survives (>= 10 of its 12 members kept —
+    // they may straddle two adjacent cells but cannot be crowded out
+    // by the dominant mode)
+    got.filter($"vec_id" >= 1000L).count() should be >= 10L
+    // cap keeps the SMALLEST ids per cell (deterministic selection)
+    val keptDominant = got.filter($"vec_id" < 1000L)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    if (keptDominant.nonEmpty)
+      keptDominant.head shouldBe 1L
+    // repartition invariance
+    val again = Sampling.clusterBalancedCap(df.repartition(13), "vec_id",
+      "embedding", perCluster = 10, nCells = 4, trainIters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    again shouldBe got.select("vec_id").collect().map(_.getLong(0)).sorted
+  }
 }

@@ -243,6 +243,54 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("streamingLateRouter: routes by the pinned watermark; replay byte-stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.streamingLateRouter(input.toDF(),
+      s"$base/main", s"$base/late", "ts",
+      latenessMs = 10L * 60000, checkpointDir = s"$base/ckpt")
+    try {
+      // batch 0: no watermark yet — nothing can be late
+      input.addData(Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(60), 1, "a", 1.0))
+      q.processAllAvailable()
+      spark.read.parquet(s"$base/main/batch_id=0").count() shouldBe 2
+      // batch 1: watermark ts(60) − 10 min ⇒ cutoff ts(50):
+      // ts(30) late, ts(55) and ts(70) on-time (70 advances the mark)
+      input.addData(Event(3, ts(30), 1, "a", 1.0),
+        Event(4, ts(55), 1, "a", 1.0), Event(5, ts(70), 1, "a", 1.0))
+      q.processAllAvailable()
+      spark.read.parquet(s"$base/main/batch_id=1")
+        .select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(4L, 5L)
+      spark.read.parquet(s"$base/late/batch_id=1")
+        .select("event_id").collect().map(_.getLong(0)) shouldBe Array(3L)
+    } finally q.stop()
+    // REPLAY batch 1 directly: the watermark has since advanced to
+    // ts(70) (cutoff would be ts(60), flagging event 4 too) — but the
+    // batch's own marker pins the ORIGINAL basis, so routing is
+    // byte-identical to the first attempt
+    val replay = Seq(Event(3, ts(30), 1, "a", 1.0),
+      Event(4, ts(55), 1, "a", 1.0), Event(5, ts(70), 1, "a", 1.0)).toDF()
+    EventStreams.routeLateBatch(replay, s"$base/main", s"$base/late",
+      "ts", 10L * 60000, batchId = 1)
+    spark.read.parquet(s"$base/main/batch_id=1")
+      .select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(4L, 5L)
+    spark.read.parquet(s"$base/late/batch_id=1")
+      .select("event_id").collect().map(_.getLong(0)) shouldBe Array(3L)
+    // a FRESH batch 2 does see the advanced watermark: cutoff ts(60)
+    val b2 = Seq(Event(6, ts(55), 1, "a", 1.0),
+      Event(7, ts(65), 1, "a", 1.0)).toDF()
+    EventStreams.routeLateBatch(b2, s"$base/main", s"$base/late",
+      "ts", 10L * 60000, batchId = 2)
+    spark.read.parquet(s"$base/late/batch_id=2")
+      .select("event_id").collect().map(_.getLong(0)) shouldBe Array(6L)
+    spark.read.parquet(s"$base/main/batch_id=2")
+      .select("event_id").collect().map(_.getLong(0)) shouldBe Array(7L)
+  }
+
   test("streamingCdcApply: cross-batch sequence ordering, deletes, out-of-order losers") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-scdc").toString
