@@ -159,11 +159,16 @@ object Graph {
     *   auth_raw(i) = Σ_{j→i} hub(j);   auth = auth_raw·denom div max(auth_raw)
     *   hub_raw(j)  = Σ_{j→i} auth(i);  hub  = hub_raw·denom div max(hub_raw)
     *
-    * The max enters the plan as a one-row aggregate cross-joined back
-    * (broadcast-nl of a scalar — never a driver action per round).
-    * Lineage is linear; localCheckpoint every [[CheckpointEvery]]
-    * rounds. Overflow guard: raw sums are bounded by
-    * maxdeg·denom — refused loud if that cannot fit a Long.
+    * Each half-round's raw-sum frame is cached and its max read back
+    * as a ONE-ROW driver scalar (the [[pageRankQ]] `nodes.count()`
+    * budget: O(1) rows per half-round, never node data). Folding the
+    * max in as a cross-joined aggregate instead would reference the
+    * raw subtree twice per half-round — doubling the logical plan
+    * every half-round, 2^(2·rounds) growth (measured: 26 s warm for 3
+    * rounds at sf0.1 vs ~2 s this way). Lineage stays linear;
+    * localCheckpoint every [[CheckpointEvery]] rounds. Overflow
+    * guard: raw sums are bounded by maxdeg·denom — refused loud if
+    * that cannot fit a Long.
     *
     * @return (id, hub_q, auth_q) — one row per node */
   def hitsQ(edges: DataFrame, srcCol: String, dstCol: String,
@@ -185,12 +190,27 @@ object Graph {
     require(maxDeg <= Long.MaxValue / (denom + 1),
       s"denom $denom × max degree $maxDeg would overflow the raw sums" +
         " — lower denom")
-    def rescaled(raw: DataFrame, as: String): DataFrame = {
-      // one-row max cross-joined back: the rescale stays IN the plan
-      val m = raw.agg(max(col("raw")).as("m"))
-      nodes.join(raw, Seq("id"), "left").crossJoin(m)
-        .select(col("id"),
-          expr(s"coalesce(raw, 0L) * $denom div m").as(as))
+    val rawCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    /** `complete = false` skips the nodes left join: a node absent
+      * from the raw sums has score 0 and contributes nothing to the
+      * next half-round's sums, so intermediate rounds work on the
+      * raw-keyed frame alone — only the FINAL round joins the full
+      * node set so zero-score nodes appear in the output. */
+    def rescaled(raw0: DataFrame, as: String,
+                 complete: Boolean): DataFrame = {
+      // cache: the max probe below materializes it, and the rescale
+      // join reads the cached blocks instead of re-running the chain
+      val raw = raw0.cache()
+      rawCaches += raw
+      val mRow = raw.agg(max(col("raw"))).head()
+      // raw is nonempty and every hub/auth max is exactly denom after
+      // its rescale, so the max is >= denom >= 1 — assert, don't mask
+      require(!mRow.isNullAt(0) && mRow.getLong(0) >= 1L,
+        "HITS invariant broken: empty or non-positive raw-sum max")
+      val m = mRow.getLong(0)
+      val base = if (complete) nodes.join(raw, Seq("id"), "left") else raw
+      base.select(col("id"),
+        expr(s"coalesce(raw, 0L) * $denom div ${m}L").as(as))
     }
     var hubs: DataFrame = nodes.select(col("id"), lit(denom).as("hub_q"))
       .localCheckpoint(true)
@@ -199,23 +219,25 @@ object Graph {
     while (i < iterations) {
       val checkpointRound = (i + 1) % CheckpointEvery == 0 ||
         i + 1 == iterations
+      val lastRound = i + 1 == iterations
       val authRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("hub_q")).as("raw"))
-      val a0 = rescaled(authRaw, "auth_q")
+      val a0 = rescaled(authRaw, "auth_q", complete = lastRound)
       // checkpoint a BEFORE h builds on it: h's eager checkpoint would
       // otherwise re-run a's whole lineage a second time
       val a = if (checkpointRound) a0.localCheckpoint(true) else a0
       val hubRaw = e.join(a.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth_q")).as("raw"))
-      val h0 = rescaled(hubRaw, "hub_q")
+      val h0 = rescaled(hubRaw, "hub_q", complete = lastRound)
       auths = a
       hubs = if (checkpointRound) h0.localCheckpoint(true) else h0
       i += 1
     }
+    // final round checkpointed both frames eagerly — every cache below
+    // is now unreferenced by the returned plan
     val out = hubs.join(auths, Seq("id"))
+    rawCaches.foreach(_.unpersist())
     e.unpersist()
-    // nodes stays cached until `out` materializes (it appears in both
-    // rescale plans); checkpointed hubs/auths no longer reference it
     nodes.unpersist()
     out
   }
