@@ -191,6 +191,33 @@ object Sampling {
           .cast("double") / targetTokens).cast("long"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: near-duplicates can never
+    * straddle splits. The naive per-id [[splitLabel]] puts a doc in
+    * train and its near-copy in test — the classic contamination that
+    * inflates eval scores. Here every doc inherits the split of its
+    * duplicate-cluster REPRESENTATIVE (the transitive min id over the
+    * candidate-pair graph, [[Dedup.duplicateClusters]]), so a whole
+    * near-dup family lands in ONE split by construction; unclustered
+    * docs split by their own id, identical to [[splitLabel]].
+    *
+    * Shape: the cluster map covers only docs that HAVE a duplicate
+    * (tiny next to the corpus), one left join attaches it, and the
+    * label is the usual codegen'd md5 bucket — no new shuffle beyond
+    * the clustering itself. Output adds `split_key` (the id the label
+    * hashes — cluster rep or self) and `split`.
+    *
+    * @param pairs candidate near-dup pairs (id_a, id_b) from any
+    *        generator (MinHash bands, SymSpell, embedding buckets) */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       trainPct: Int, valPct: Int): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("split", splitLabel(col("split_key"), trainPct, valPct))
+  }
+
   /** Cluster-balanced corpus cap — topic/content balancing in
     * EMBEDDING space (the SemDeDup-adjacent curation pass): assign
     * every row to a k-means cell of its embedding, keep at most

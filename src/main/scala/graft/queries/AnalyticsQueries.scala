@@ -904,6 +904,24 @@ object AnalyticsQueries {
           t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Leakage-safe split over the fuzzy-duplicate graph: every
+    // near-duplicate family (transitive levenshtein<=1 name cluster)
+    // inherits ONE split from its min-id representative, so a record
+    // can never sit in train while its near-copy sits in test — the
+    // eval-contamination guard a per-id split cannot give. Hash-green:
+    // recursive-CTE clusters + the sample_split md5 arithmetic.
+    "leakage_safe_split" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val pairs = graft.operators.FuzzyJoin.selfJoin(
+        cust, "c_custkey", "c_name", maxDist = 1)
+      graft.operators.Sampling.leakageSafeSplit(cust, pairs,
+          "c_custkey", trainPct = 80, valPct = 10)
+        .select(col("c_custkey"), col("split_key"), col("split"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Two-sided fuzzy join (FuzzyJoin.join — the product-capped
     // candidate scheme): clean customer names against a
     // deterministically dirtied twin (char 10 deleted, ids offset),
@@ -2157,6 +2175,36 @@ object AnalyticsQueries {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    // fuzzy_clusters' recursive CTE + sample_split's md5 bucket over
+    // the cluster representative (self for unclustered ids)
+    "leakage_safe_split" ->
+      """WITH RECURSIVE cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |k AS (
+        |  SELECT c.c_custkey,
+        |         COALESCE(cl.cluster, c.c_custkey) AS split_key
+        |  FROM cust c LEFT JOIN cl ON c.c_custkey = cl.id)
+        |SELECT c_custkey, split_key,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT c_custkey, split_key,
+        |        CAST(('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS b
+        |      FROM k)
+        |ORDER BY c_custkey""".stripMargin,
     "drift_price_bands" ->
       """WITH b AS (SELECT o_totalprice AS v FROM orders
         |           WHERE CAST(o_orderdate AS DATE) < DATE '1995-06-17'),

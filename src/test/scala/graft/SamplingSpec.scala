@@ -189,6 +189,33 @@ class SamplingSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("leakageSafeSplit: near-dup families share one split; singletons match splitLabel") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("id")
+    // chained family {3,7,11} (3-7, 7-11: transitive), pair {20,21},
+    // everything else unclustered
+    val pairs = Seq((3L, 7L), (7L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, pairs, "id",
+      trainPct = 60, valPct = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // whole families inherit the min-id representative's split
+    got(3L)._1 shouldBe 3L
+    got(7L) shouldBe got(3L)
+    got(11L) shouldBe got(3L)
+    got(21L) shouldBe got(20L)
+    // singletons split exactly as the plain per-id label would
+    val plain = docs.select(col("id"),
+      Sampling.splitLabel(col("id"), 60, 20).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 200L).filterNot(Set(7L, 11L, 21L)).foreach { i =>
+      got(i)._2 shouldBe plain(i)
+    }
+    // the guarantee itself: no pair straddles two splits
+    Seq((3L, 7L), (7L, 11L), (3L, 11L), (20L, 21L)).foreach {
+      case (a, b) => got(a)._2 shouldBe got(b)._2
+    }
+  }
+
   test("clusterBalancedCap equalizes a dominant embedding mode; deterministic") {
     import spark.implicits._
     // two tight planted clusters, wildly imbalanced: 300 boilerplate
