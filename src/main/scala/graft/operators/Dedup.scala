@@ -867,4 +867,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Directed n-gram CONTAINMENT pairs — the asymmetric near-dup
+    * signal Jaccard misses: a short document quoted wholesale inside a
+    * long one has tiny Jaccard (the union is dominated by the long
+    * doc) but containment ≈ 1 in the short→long direction. The
+    * quote/partial-copy detector of corpus curation (Broder's
+    * containment, the resemblance/containment split).
+    *
+    *   C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|   over df-capped shingles
+    *
+    * Scale shape — NEVER all-pairs: explode per-doc distinct shingles
+    * (one scan), drop shingles appearing in more than `maxShingleDf`
+    * documents (a boilerplate shingle in f docs would alone generate
+    * f·(f−1) candidate pairs — the df cap bounds posting-list fanout,
+    * the standard trick; it also removes exactly the shingles that
+    * carry no copy signal), self-join the postings on the shingle (one
+    * shingle-keyed shuffle; pairs arise ONLY from shared shingles),
+    * count per ordered pair, divide by the left doc's cold-shingle
+    * count. BOTH numerator and denominator use the df-capped shingle
+    * set, so the ratio is a true containment over the informative
+    * shingles; a doc whose every shingle is boilerplate has no cold
+    * shingles and is excluded (no 0/0).
+    *
+    * Output is DIRECTED: (id_a, id_b, containment) with id_a ≠ id_b,
+    * one row per direction that clears the threshold.
+    *
+    * @return (id_a, id_b, containment) — containment ≥ threshold */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String,
+                            textCol: String, shingleSize: Int = 3,
+                            threshold: Double = 0.5,
+                            maxShingleDf: Int = 50): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxShingleDf >= 2,
+      s"maxShingleDf must be >= 2 (pairs need a shared shingle to " +
+        s"live in two docs), got $maxShingleDf")
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    // df-cap: inner join keeps only shingles cold enough to pair on
+    val cold = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+        .select("sh"),
+      "sh")
+    val denom = cold.groupBy(col("doc_id").as("id_a"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = cold.as("a")
+      .join(cold.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(denom, "id_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_sh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

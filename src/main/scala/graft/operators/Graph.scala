@@ -35,6 +35,20 @@ object Graph {
     * Σcontrib ≤ rankDenom, so 85 · rankDenom must stay inside Long. */
   val MaxRankDenom: Long = Long.MaxValue / 100L
 
+  /** Deterministically release a `localCheckpoint`-backed frame's
+    * blocks. `Dataset.unpersist` only consults the CacheManager (a
+    * checkpoint is not a registered cache), so without this the
+    * intermediate per-round checkpoints linger until the
+    * ContextCleaner happens to GC the dereferenced RDDs — in a
+    * long-lived session that evicts useful cache. No-op on frames
+    * that are not checkpoint-backed. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** PageRank by fixed-round power iteration with ALL arithmetic in
     * integer nano-units — floor division at every step, so the result
     * is a pure function of (graph, iterations): partitioning-, order-
@@ -115,6 +129,10 @@ object Graph {
     var ranks: DataFrame = nodes
       .select(col("id"), lit(rd / n).as("rank_q"))
       .localCheckpoint(true)
+    // the checkpoint whose blocks the CURRENT lazy lineage still
+    // references — freed the moment an eager successor truncates it,
+    // so at most one superseded node-sized copy is ever live
+    var liveCkpt: DataFrame = ranks
     var i = 0
     while (i < iterations) {
       val sums = eDeg
@@ -130,10 +148,11 @@ object Graph {
       // intermediate rounds stay LAZY; checkpoint every
       // CheckpointEvery rounds (and on the last) to truncate the
       // chain — round count drives shuffle work, not job count
-      ranks =
-        if ((i + 1) % CheckpointEvery == 0 || i + 1 == iterations)
-          next.localCheckpoint(true)
-        else next
+      if ((i + 1) % CheckpointEvery == 0 || i + 1 == iterations) {
+        ranks = next.localCheckpoint(true) // eager: consumes liveCkpt
+        freeCheckpoint(liveCkpt)
+        liveCkpt = ranks
+      } else ranks = next
       i += 1
     }
     e.unpersist()
@@ -187,9 +206,14 @@ object Graph {
     val maxDeg = math.max(
       e.groupBy("src").count().agg(max("count")).head.getLong(0),
       e.groupBy("dst").count().agg(max("count")).head.getLong(0))
-    require(maxDeg <= Long.MaxValue / (denom + 1),
-      s"denom $denom × max degree $maxDeg would overflow the raw sums" +
-        " — lower denom")
+    // the rescale computes raw · denom div max(raw): raw sums reach
+    // maxDeg·denom, so the PRODUCT reaches maxDeg·denom² — that is the
+    // binding bound, not the raw sums alone (Long.MaxValue/denom/denom
+    // floors to 0 when denom² itself overflows, refusing loudly)
+    require(maxDeg <= Long.MaxValue / denom / denom,
+      s"denom $denom with max degree $maxDeg would overflow the " +
+        "rescale product (needs maxDeg × denom² ≤ Long.MaxValue) — " +
+        "lower denom")
     val rawCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     /** `complete = false` skips the nodes left join: a node absent
       * from the raw sums has score 0 and contributes nothing to the
@@ -215,6 +239,10 @@ object Graph {
     var hubs: DataFrame = nodes.select(col("id"), lit(denom).as("hub_q"))
       .localCheckpoint(true)
     var auths: DataFrame = null
+    // checkpoints the lazy lineage still references; freed the moment
+    // a newer eager checkpoint supersedes them (the pageRankQ
+    // discipline — the final round's pair stays live in the output)
+    var liveCkpts: List[DataFrame] = List(hubs)
     var i = 0
     while (i < iterations) {
       val checkpointRound = (i + 1) % CheckpointEvery == 0 ||
@@ -225,12 +253,25 @@ object Graph {
       val a0 = rescaled(authRaw, "auth_q", complete = lastRound)
       // checkpoint a BEFORE h builds on it: h's eager checkpoint would
       // otherwise re-run a's whole lineage a second time
-      val a = if (checkpointRound) a0.localCheckpoint(true) else a0
+      val a = if (checkpointRound) {
+        val c = a0.localCheckpoint(true) // eager: supersedes liveCkpts
+        liveCkpts.foreach(freeCheckpoint)
+        liveCkpts = List(c)
+        c
+      } else a0
       val hubRaw = e.join(a.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth_q")).as("raw"))
       val h0 = rescaled(hubRaw, "hub_q", complete = lastRound)
       auths = a
-      hubs = if (checkpointRound) h0.localCheckpoint(true) else h0
+      hubs = if (checkpointRound) {
+        val c = h0.localCheckpoint(true)
+        if (!lastRound) { // last round keeps a: it is joined into out
+          liveCkpts.foreach(freeCheckpoint)
+          liveCkpts = Nil
+        }
+        liveCkpts = liveCkpts :+ c
+        c
+      } else h0
       i += 1
     }
     // final round checkpointed both frames eagerly — every cache below
@@ -305,9 +346,91 @@ object Graph {
       .select(col("a"), col("l.b").as("b"), col("r.b").as("c"))
     val triangles = wedges.join(
       oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    // node-sized result: checkpoint it eagerly so the edge-sized
+    // caches can be released NOW instead of lingering in the block
+    // manager until session GC (the pageRankQ/hitsQ exit discipline)
     val out = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(true)
+    oriented.unpersist()
+    e.unpersist()
     out
+  }
+
+  /** k-core of the undirected simple graph: the maximal subgraph in
+    * which every node has degree ≥ k — the standard density filter
+    * link-based curation uses to separate a connected COMMUNITY from
+    * stars and chains (a spam hub with a million leaf links has a huge
+    * degree but falls out of even the 2-core once its leaves peel).
+    *
+    * Synchronous peeling: each round drops every node whose degree
+    * WITHIN the surviving subgraph is < k, until a fixpoint. The
+    * fixpoint is order-independent (peeling is monotone — the k-core
+    * is unique), so the result is a pure function of (graph, k) and an
+    * unrolled-round oracle replays it exactly: peeling past the
+    * fixpoint is a no-op, so an oracle unrolling R ≥ convergence
+    * rounds always agrees.
+    *
+    * Scale shape: per round, TWO semi-joins of the edge list against
+    * the shrinking survivor set (keyed on each endpoint) + one degree
+    * aggregation — work ∝ surviving |E| per round, no driver state
+    * beyond the per-round survivor count (the [[pageRankQ]] scalar
+    * budget). Unlike pageRankQ, the convergence check FORCES an action
+    * every round, so rounds checkpoint eagerly every time — each
+    * round's work runs exactly once (lazy rounds + a count would
+    * re-execute the chain since the last checkpoint), and the
+    * superseded checkpoint is freed immediately. `maxRounds` refuses
+    * loudly rather than spinning on a pathological path graph (peel
+    * depth is ≪ 20 on real link graphs, but a length-L chain peels in
+    * Θ(L/2) rounds).
+    *
+    * @return (id, core_deg) — the k-core members with their degree
+    *         inside the core (core_deg ≥ k by construction; empty
+    *         frame with the same schema when the core is empty) */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .cache() // re-joined every peel round
+    var live: DataFrame = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    var liveCkpt: DataFrame = live
+    var n = live.count()
+    var round = 0
+    while (round < maxRounds) {
+      // edges whose BOTH endpoints survive, then degree within them
+      val le = e
+        .join(live.select(col("id").as("u")), "u")
+        .join(live.select(col("id").as("v")), "v")
+      val next = le.select(col("u").as("id"))
+        .unionByName(le.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .localCheckpoint(true) // eager: supersedes liveCkpt
+      freeCheckpoint(liveCkpt)
+      liveCkpt = next
+      val m = next.count() // the one driver scalar per round
+      if (m == n || m == 0L) {
+        // fixpoint (every survivor already had core_deg >= k, so the
+        // degrees in `next` ARE the core degrees) or empty core — the
+        // typed empty frame falls out of the same plan
+        e.unpersist()
+        return next
+      }
+      live = next.select(col("id"))
+      n = m
+      round += 1
+    }
+    throw new IllegalArgumentException(
+      s"k-core peel did not converge in $maxRounds rounds " +
+        s"($n nodes still live) — raise maxRounds")
   }
 }

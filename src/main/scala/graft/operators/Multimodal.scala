@@ -162,20 +162,22 @@ object Multimodal {
       * both `fmt ` and `data` have been seen. Odd chunk sizes pad to
       * even per the RIFF spec. */
     private def parseWav(p: Array[Byte]): (String, Int, Int, Int, Long) = {
-      var i = 12
+      // Long cursor: a hostile 32-bit chunk size (up to 0xFFFFFFFF)
+      // truncated to Int can go negative and stall or reverse the walk.
+      var i = 12L
       var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
       var dataSize = -1L
       while (i + 8 <= p.length && (rate < 0 || dataSize < 0)) {
-        val id = new String(p, i, 4, "US-ASCII")
-        val size = le32(p, i + 4)
+        val id = new String(p, i.toInt, 4, "US-ASCII")
+        val size = le32(p, i.toInt + 4)
         if (id == "fmt ") {
           if (i + 24 > p.length) return UnknownAudio
-          ch = le16(p, i + 10)
-          rate = le32(p, i + 12).toInt
-          blockAlign = le16(p, i + 20)
-          bits = le16(p, i + 22)
+          ch = le16(p, i.toInt + 10)
+          rate = le32(p, i.toInt + 12).toInt
+          blockAlign = le16(p, i.toInt + 20)
+          bits = le16(p, i.toInt + 22)
         } else if (id == "data") dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1)
+        i += 8 + size + (size & 1)
       }
       if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataSize < 0)
         UnknownAudio
@@ -226,7 +228,8 @@ object Multimodal {
         }
         i += size
       }
-      if (brand.isEmpty || ts <= 0 || dur < 0) UnknownVideo
+      if (brand.isEmpty || ts <= 0 || dur < 0 ||
+          dur > Long.MaxValue / 1000L) UnknownVideo // ms conv would overflow
       else ("mp4", brand, ts, dur, dur * 1000L / ts)
     }
 

@@ -559,7 +559,8 @@ object AnalyticsQueries {
         .filter(col("user_id").isNotNull)
         .groupBy(week.as("week"))
         .agg(approx_count_distinct(col("user_id")).as("d"))
-        .agg(max(col("d"))).head.getLong(0))
+        // max over ZERO groups is NULL — empty input sizes k minimally
+        .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0))
       // NULL user_id excluded EXPLICITLY on both sides (kmvState skips
       // NULLs; without the mirror filter the oracle's week totals
       // would count a NULL-user group the sketch never sees)
@@ -761,6 +762,27 @@ object AnalyticsQueries {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graph.triangleCounts(edges, "src", "dst")
         .select(col("id").as("p_partkey"), col("triangles"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // 3-core of the same part co-purchase graph: the density filter
+    // that separates parts embedded in a cohesive co-purchase
+    // COMMUNITY from star hubs (raw degree keeps a hub; the core
+    // requires its NEIGHBORS to stay dense too). Synchronous peel to
+    // the unique fixpoint (Graph.kCore, order-independent), replayed
+    // exactly by 8 unrolled peel CTEs — convergence is 2–4 rounds at
+    // sf0.001–0.1 and peeling past the fixpoint is a no-op, so the
+    // deeper unroll always agrees. Hash-green.
+    "copurchase_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 3)
+        .select(col("id").as("p_partkey"), col("core_deg"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -1610,7 +1632,41 @@ object AnalyticsQueries {
        |$rounds""".stripMargin
   }
 
+  /** Unrolled synchronous-peel rounds for the copurchase_kcore oracle
+    * — each round recomputes degrees among the survivors and drops
+    * nodes below k; past the fixpoint rounds are no-ops, so any
+    * unroll ≥ the convergence depth (2–4 at gate SFs) replays
+    * Graph.kCore exactly. MATERIALIZED is load-bearing: each round
+    * references the previous survivor CTE twice, so DuckDB's default
+    * inlining would expand the chain 2^rounds times (observed as a
+    * file-handle explosion re-opening the parquet per inlined scan). */
+  private def kCoreCtes(rounds: Int, k: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, COUNT(*) AS c FROM (
+         |    SELECT e.u AS id FROM e
+         |    JOIN n${i - 1} a ON e.u = a.id JOIN n${i - 1} b ON e.v = b.id
+         |    UNION ALL
+         |    SELECT e.v FROM e
+         |    JOIN n${i - 1} a ON e.u = a.id JOIN n${i - 1} b ON e.v = b.id
+         |  ) t GROUP BY id),
+         |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_orderkey % 50 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.pk AS u, y.pk AS v
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       |n0 AS MATERIALIZED (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |$rs""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "copurchase_kcore" ->
+      s"""WITH ${kCoreCtes(8, 3)}
+         |SELECT id AS p_partkey, c AS core_deg
+         |FROM d8 WHERE c >= 3 ORDER BY p_partkey""".stripMargin,
     "hits_trading" ->
       s"""WITH ${hitsCtes(3)}
          |SELECT h.id, h.hub_q, a.auth_q

@@ -380,7 +380,8 @@ object PipelineQueries {
       val kk = kmvKFor(Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(approx_count_distinct(col("text")).as("d"))
-        .agg(max(col("d"))).head.getLong(0))
+        // max over ZERO groups is NULL — empty input sizes k minimally
+        .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0))
       val sk = Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(kmvState(col("text"), kk).as("sk"))
@@ -499,6 +500,18 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(
           dupCorpus(s, dir, perturb = true).filter(col("doc_id") % 100 === 0),
           "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Directed containment over the FULL planted-copy corpus — the
+    // asymmetric quote/partial-copy signal Jaccard misses (a short doc
+    // quoted inside a long one: tiny Jaccard, containment ≈ 1 in the
+    // short→long direction). Unlike the brute-force Jaccard companion
+    // above (1% sample, quadratic), this runs the WHOLE corpus through
+    // the df-capped posting-list join — pairs arise only from shared
+    // cold shingles, never all-pairs. Hash-green.
+    "ngram_containment_pairs" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(dupCorpus(s, dir, perturb = true),
+          "doc_id", "text", threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Token-window duplication stats over the planted-near-copy corpus
@@ -1258,6 +1271,24 @@ object PipelineQueries {
          |WHERE a.doc_id < b.doc_id
          |  AND len(list_intersect(a.sh, b.sh))
          |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ngram_containment_pairs" ->
+      s"""WITH ${dupCorpusSql(perturb = true)},
+         |sh0 AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM corpus)),
+         |colds AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+         |cold AS MATERIALIZED (
+         |  SELECT s.doc_id, s.sh FROM sh0 s JOIN colds c ON s.sh = c.sh),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM cold GROUP BY doc_id),
+         |i AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.inter AS DOUBLE) / CAST(n.n_sh AS DOUBLE) AS containment
+         |FROM i JOIN n ON i.id_a = n.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(n.n_sh AS DOUBLE) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
     "window_dedup_stats" ->
       s"""WITH ${dupCorpusSql(perturb = true)},

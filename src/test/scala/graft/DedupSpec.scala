@@ -444,4 +444,39 @@ class DedupSpec extends SparkSpec {
     survivors shouldBe ((0L until 60L).toSet -- brute)
     survivors should contain(5L)
   }
+
+  test("ngramContainmentPairs: asymmetric quote detection, df cap") {
+    // quote: the short doc appears wholesale inside the long one —
+    // Jaccard is tiny (union dominated by the long doc) but
+    // containment short→long is 1.0
+    val quote = "alpha beta gamma delta epsilon"
+    val long = ("zero one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen " + quote +
+      " sixteen seventeen eighteen nineteen twenty twentyone")
+    val docs = Seq(
+      (1L, quote), (2L, long),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.keySet shouldBe Set((1L, 2L)) // DIRECTED: only short→long
+    got((1L, 2L)) shouldBe 1.0 // every quote shingle is in the long doc
+    // Jaccard on the same pair is far below the containment signal
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.0).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    jac should be < 0.2
+    // df cap: a boilerplate shingle shared by MANY docs must not pair
+    // them — every doc here is the same 3 tokens (one shingle), hot
+    // once df > cap, so no cold shingles and NO pairs (and no 0/0)
+    val boiler = (1L to 10L).map(i => (i, "same exact text"))
+      .toDF("doc_id", "text")
+    Dedup.ngramContainmentPairs(boiler, "doc_id", "text",
+      threshold = 0.1, maxShingleDf = 5).count() shouldBe 0L
+    // ...but with the cap above the df the identical docs all pair at 1.0
+    Dedup.ngramContainmentPairs(boiler, "doc_id", "text",
+      threshold = 0.99, maxShingleDf = 10).count() shouldBe 90L
+  }
 }

@@ -124,6 +124,14 @@ class GraphSpec extends SparkSpec {
       "src", "dst", 3).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     rep shouldBe r3
+    // overflow guard binds on the RESCALE product maxDeg·denom², not
+    // the raw sums: denom=4e9 (denom² > Long.MaxValue) must refuse
+    // even this 6-edge graph, loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsQ(edges.toDF("src", "dst"), "src", "dst", 1,
+        denom = 4000000000L)
+    }
+    ex.getMessage should include("overflow")
   }
 
   test("triangleCounts: K4, bipartite zero, dirty-edge collapse") {
@@ -165,5 +173,70 @@ class GraphSpec extends SparkSpec {
     // repartition invariance: exact counts are partitioning-free
     rows(Graph.triangleCounts(edges.repartition(17), "src", "dst")
       .orderBy("id")) shouldBe rows(naive.orderBy("id"))
+  }
+
+  /** Single-JVM k-core reference: synchronous peel to fixpoint on
+    * plain Scala sets. */
+  private def refKCore(edges: Seq[(String, String)],
+                       k: Int): Map[String, Int] = {
+    val simple = edges.filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).distinct
+    var live = (simple.map(_._1) ++ simple.map(_._2)).toSet
+    var done = live.isEmpty
+    while (!done) {
+      val le = simple.filter(p => live(p._1) && live(p._2))
+      val deg = (le.map(_._1) ++ le.map(_._2))
+        .groupBy(identity).map { case (id, xs) => id -> xs.size }
+      val next = deg.filter(_._2 >= k).keySet
+      done = next == live
+      live = next
+    }
+    val le = simple.filter(p => live(p._1) && live(p._2))
+    (le.map(_._1) ++ le.map(_._2))
+      .groupBy(identity).map { case (id, xs) => id -> xs.size }
+  }
+
+  test("kCore: peel parity with the reference, structure, refusals") {
+    // K4 core plus a chain hanging off it, a star hub with 5 leaves
+    // attached to the core, a loop, and a duplicate edge: the star hub
+    // has raw degree 6 but only 1 core neighbor — classic hub-vs-
+    // community separation
+    val k4 = for { a <- Seq("c1", "c2", "c3", "c4")
+                   b <- Seq("c1", "c2", "c3", "c4") if a < b } yield (a, b)
+    val edges = k4 ++ Seq(
+      ("c1", "t1"), ("t1", "t2"), ("t2", "t3"), // chain: peels off
+      ("c2", "hub"), ("hub", "l1"), ("hub", "l2"), ("hub", "l3"),
+      ("hub", "l4"), ("hub", "l5"), // star: peels once leaves drop
+      ("c3", "c3"), // loop: ignored
+      ("c1", "c2")) // duplicate: counts once
+    for (k <- 1 to 4) {
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      got shouldBe refKCore(edges, k)
+    }
+    // the 3-core is exactly K4 with degree 3 everywhere
+    val c3 = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 3)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    c3 shouldBe Map("c1" -> 3L, "c2" -> 3L, "c3" -> 3L, "c4" -> 3L)
+    // above the max core the result is EMPTY but typed
+    val c9 = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 9)
+    c9.count() shouldBe 0L
+    c9.columns.toSeq shouldBe Seq("id", "core_deg")
+    // repartition invariance (the fixpoint is unique)
+    rows(Graph.kCore(edges.toDF("src", "dst").repartition(13),
+      "src", "dst", 2).orderBy("id")) shouldBe
+      rows(Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 2)
+        .orderBy("id"))
+    // a length-2L chain peels in ~L rounds: maxRounds refuses loudly
+    val chain = (0 until 30).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(chain.toDF("src", "dst"), "src", "dst", 2, maxRounds = 3)
+    }
+    ex.getMessage should include("did not converge")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(chain.toDF("src", "dst"), "src", "dst", 0)
+    }
   }
 }

@@ -287,6 +287,19 @@ class MultimodalSpec extends SparkSpec {
     "WAVE".getBytes.copyToArray(noFmt, 8)
     "data".getBytes.copyToArray(noFmt, 12)
     mh.parseAudio(noFmt) shouldBe mh.UnknownAudio
+    // hostile chunk sizes: 0xFFFFFFF8 truncated to Int is -8 (a naive
+    // Int cursor advances by ZERO — infinite loop); 0x80000000 drives
+    // it negative (index crash). Both must terminate as unknown.
+    for (evil <- Seq(0xFFFFFFF8L, 0x80000000L)) {
+      val p = new Array[Byte](24)
+      "RIFF".getBytes.copyToArray(p, 0)
+      "WAVE".getBytes.copyToArray(p, 8)
+      "junk".getBytes.copyToArray(p, 12)
+      p(16) = (evil & 0xff).toByte; p(17) = ((evil >> 8) & 0xff).toByte
+      p(18) = ((evil >> 16) & 0xff).toByte
+      p(19) = ((evil >> 24) & 0xff).toByte
+      mh.parseAudio(p) shouldBe mh.UnknownAudio
+    }
   }
 
   test("MediaHeaders.parseVideo: ISO-BMFF box walk, v0/v1 mvhd, refusals") {
@@ -325,6 +338,15 @@ class MultimodalSpec extends SparkSpec {
       box("free", Array.empty[Byte]))) shouldBe mh.UnknownVideo
     mh.parseVideo(ftyp("isom") ++ be32(3L) ++ "moov".getBytes) shouldBe
       mh.UnknownVideo
+    // a v1 duration so large the ms conversion (dur·1000) would wrap
+    // Long — must refuse as unknown, not emit a negative duration_ms
+    val huge = Long.MaxValue / 1000L + 1L
+    mh.parseVideo(ftyp("isom") ++ box("moov", mvhd1(600, huge))) shouldBe
+      mh.UnknownVideo
+    // ...while the largest convertible duration still parses
+    val edge = Long.MaxValue / 1000L
+    mh.parseVideo(ftyp("isom") ++ box("moov", mvhd1(600, edge))) shouldBe
+      (("mp4", "isom", 600, edge, edge * 1000L / 600))
   }
 
   test("videoMeta: narrow map, NULLs dropped") {
