@@ -85,6 +85,8 @@ object SparkEntry {
       "media_binary_ingest" -> (media + "MultimodalSpec"),
       "media_batch_features" -> (media + "MultimodalSpec (capped batch shape)"),
       "media_frame_features" -> (media + "MultimodalSpec (frame sampling)"),
+      "media_phash_pairs" -> (media + "MultimodalSpec (dHash plant" +
+        " recall, no-false-pair, splice locality)"),
       "zorder_prune_stats" -> ("file-count pruning statistics measure THIS" +
         " engine's physical layout — DuckDB has no twin table; pruning" +
         " bound spec-pinned in ZOrderSpec"),

@@ -693,9 +693,20 @@ object Dedup {
     * exact 16-bit band by pigeonhole), verified by bit_count(xor). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3,
-                          maxBucket: Int = 1000): DataFrame = {
-    val withSig = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sig"))
+                          maxBucket: Int = 1000): DataFrame =
+    hammingBandPairs(docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sig")), maxHamming, maxBucket)
+
+  /** Banded Hamming-neighbor join over ANY 64-bit signature column —
+    * the candidate machinery [[simhashNearDupPairs]] uses, shared with
+    * the perceptual-image-hash pairing
+    * ([[Multimodal.phashNearDupPairs]]): 4×16-bit bands generate
+    * candidates (pigeonhole: Hamming ≤ 3 ⇒ at least one band agrees
+    * exactly), oversized buckets dropped (a degenerate all-same band
+    * would otherwise go quadratic), then exact bit_count(xor)
+    * verification. Input must be (doc_id, sig: LONG). */
+  def hammingBandPairs(withSig: DataFrame, maxHamming: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
     val banded = withSig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

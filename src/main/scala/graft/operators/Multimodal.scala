@@ -39,6 +39,12 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int, Int)
     /** Extract a fixed-length feature vector from one frame. */
     def features(payload: Array[Byte], frameIdx: Int, dim: Int): Array[Float]
+    /** Downscaled grayscale grid (`cols`×`rows`, row-major, 0–255) of
+      * frame 0 — the tiny thumbnail perceptual hashing compares. A real
+      * codec decodes + area-averages; the contract that matters for the
+      * hash is LOCALITY: a small payload change must perturb few
+      * cells. */
+    def grayGrid(payload: Array[Byte], cols: Int, rows: Int): Array[Int]
     /** Batched inference: one call per batch of payloads (frame 0 of
       * each) — override where the backend amortizes per-call cost
       * (GPU inference, vectorized codecs). Default: per-item loop. */
@@ -63,6 +69,30 @@ object Multimodal {
         val v = h * (frameIdx * dim + d + 1)
         out(d) = ((v % 1000003L).toFloat / 1000003f)
         d += 1
+      }
+      out
+    }
+    /** Locally-sensitive stand-in for decode-then-downscale: cell =
+      * mean byte value of its contiguous payload slice. Mimics the
+      * area-averaging of real thumbnailing — perturbing a few payload
+      * bytes moves a few cell means slightly, which is exactly the
+      * property perceptual hashing needs (the FNV fold used by
+      * [[features]] would scatter any 1-byte change across all 64
+      * bits). */
+    def grayGrid(payload: Array[Byte], cols: Int, rows: Int): Array[Int] = {
+      val cells = cols * rows
+      val out = new Array[Int](cells)
+      val n = payload.length
+      if (n == 0) return out
+      var c = 0
+      while (c < cells) {
+        val from = (c.toLong * n / cells).toInt
+        val until = math.max(((c + 1).toLong * n / cells).toInt, from + 1)
+        var s = 0L
+        var i = from
+        while (i < until && i < n) { s += payload(i) & 0xff; i += 1 }
+        out(c) = (s / math.max(1, math.min(until, n) - from)).toInt
+        c += 1
       }
       out
     }
@@ -500,4 +530,60 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** 64-bit difference hash (dHash) of each payload — the standard
+    * perceptual image fingerprint (Krawetz's "kind of like that"
+    * construction, the workhorse of image dedup): downscale frame 0 to
+    * a 9×8 grayscale grid via the decoder seam, then one bit per
+    * horizontally-adjacent cell pair (bit set ⇔ left < right). Robust
+    * to what gradients survive — re-encoding, mild crops, brightness
+    * shifts move few bits — while unrelated images land ~32 bits
+    * apart. Narrow map, decoder opened once per partition, payload
+    * bytes never shuffle: only (id, LONG) flows on.
+    *
+    * @return (id, phash: LONG) — NULL payloads dropped */
+  def perceptualHash(df: DataFrame, idCol: String, mediaCol: String,
+                     decoder: MediaDecoder = new StubDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("phash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      decoder.open()
+      rows.flatMap { r =>
+        Option(r.getAs[Array[Byte]](mediaIdx)).map { payload =>
+          val g = decoder.grayGrid(payload, 9, 8)
+          var h = 0L
+          var row = 0
+          while (row < 8) {
+            var c = 0
+            while (c < 8) {
+              if (g(row * 9 + c) < g(row * 9 + c + 1))
+                h |= 1L << (row * 8 + c)
+              c += 1
+            }
+            row += 1
+          }
+          Row(r.get(idIdx), h)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Image near-duplicate pairs: [[perceptualHash]] signatures pushed
+    * through the shared banded Hamming join
+    * ([[Dedup.hammingBandPairs]] — 4×16-bit bands, pigeonhole-complete
+    * for Hamming ≤ 3, oversized buckets dropped, exact bit_count(xor)
+    * verification). The image twin of SimHash text dedup: one narrow
+    * hash scan + one band-keyed shuffle, NEVER all-pairs on payloads.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b */
+  def phashNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 1000,
+                        decoder: MediaDecoder = new StubDecoder): DataFrame =
+    Dedup.hammingBandPairs(
+      perceptualHash(df, idCol, mediaCol, decoder)
+        .select(col(idCol).as("doc_id"), col("phash").as("sig")),
+      maxHamming, maxBucket)
 }

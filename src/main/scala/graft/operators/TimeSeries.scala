@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,5 +61,60 @@ object TimeSeries {
         // earlier observation rather than divide by zero (ANSI-loud)
         .when(nextT === prevT, prevV)
         .otherwise(prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)))
+  }
+
+  /** Seasonal COUNT anomaly detection: bucket rows into
+    * (series, season, instance) event counts — e.g. series =
+    * event_type, season = hour-of-day, instance = calendar date — then
+    * flag instances whose count deviates from that (series, season)
+    * cell's cross-instance distribution by ≥ `minSigma` standard
+    * deviations. The seasonal-profile residual test: "checkout events
+    * at 3 am on May 9 ran 4σ over the usual 3-am rate" — traffic
+    * spikes, outages and bot bursts against a daily/weekly rhythm that
+    * a global threshold would drown in.
+    *
+    * Determinism: counts are INTEGERS, so Σc and Σc² are exact in any
+    * summation order (the float-sum ULP flap that forces the decimal
+    * machinery in the price queries cannot occur); mean/σ/z derive
+    * from the exact sums in double arithmetic an oracle mirrors
+    * bit-for-bit. Zero-variance cells are excluded by the EXACT
+    * integer identity n·Σc² = (Σc)² (a float `σ > 0` test would flap).
+    *
+    * Only OBSERVED instances participate: an (instance, series,
+    * season) bucket with zero rows does not appear — the baseline is
+    * over instances that produced data (absence detection is the gap
+    * family's job, not this one's).
+    *
+    * Scale shape: one count aggregation over one scan (shuffle keyed
+    * by the full bucket), one re-aggregation to per-cell moments
+    * (strictly smaller), one broadcast-friendly join back — counts and
+    * moments are |cells|-sized, never row-sized.
+    *
+    * @return (seriesCols…, season, instance, cnt, z) for |z| ≥
+    *         minSigma, z signed (spikes positive, droughts negative) */
+  def seasonalCountAnomalies(df: DataFrame, seriesCols: Seq[String],
+                             seasonCol: Column, instanceCol: Column,
+                             minSigma: Double = 3.0): DataFrame = {
+    require(seriesCols.nonEmpty, "need at least one series column")
+    val sc = seriesCols.map(col)
+    val buckets = df
+      .groupBy(sc :+ seasonCol.as("season") :+ instanceCol.as("instance"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val cells = buckets
+      .groupBy(sc :+ col("season"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      // n >= 2 (one instance has no distribution) and variance > 0 by
+      // the exact integer identity — NaN/Inf z can never reach the gate
+      .filter(col("n") >= 2 && col("n") * col("sxx") =!= col("sx") * col("sx"))
+    buckets.join(cells, seriesCols :+ "season")
+      .withColumn("z",
+        (col("cnt") - col("sx").cast("double") / col("n")) /
+          sqrt((col("sxx") - col("sx").cast("double") * col("sx") / col("n")) /
+            (col("n") - 1)))
+      .filter(abs(col("z")) >= minSigma)
+      .select(sc ++ Seq(col("season"), col("instance"), col("cnt"),
+        col("z")): _*)
   }
 }

@@ -901,6 +901,23 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("tsu"), col("event_id"))
     }),
 
+    // Seasonal count anomalies (TimeSeries.seasonalCountAnomalies):
+    // hourly event counts per type, each calendar date scored against
+    // its (type, hour-of-day) cell's cross-date distribution — the
+    // traffic-spike/outage detector that respects the daily rhythm.
+    // All-integer moments (counts are exact in any summation order, no
+    // decimal machinery needed); zero-variance cells excluded by the
+    // EXACT identity n·Σc² = (Σc)². Threshold 2.5σ: ~30 observed dates
+    // per cell bound |z| near √29, and the synthetic Poisson-ish counts
+    // put ~1% of buckets past 2.5 at any SF — 3σ would flag almost
+    // nothing and test only the empty set. Hash-green.
+    "hourly_count_anomalies" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalCountAnomalies(
+          t(s, dir, "events"), Seq("event_type"),
+          hour(col("ts")).cast("long"), to_date(col("ts")),
+          minSigma = 2.5)
+        .orderBy(col("event_type"), col("season"), col("instance"))),
+
     "resample_events" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val refs = ev.groupBy(col("user_id"), col("ts"))
@@ -2183,6 +2200,28 @@ object AnalyticsQueries {
         |  END AS value_filled
         |FROM w WHERE event_id % 7 = 0
         |ORDER BY user_id, tsu, event_id""".stripMargin,
+    // mirrors TimeSeries.seasonalCountAnomalies: integer moments, the
+    // exact zero-variance identity, the same double z expression
+    "hourly_count_anomalies" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS season,
+        |         CAST(ts AS DATE) AS instance, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT event_type, season, COUNT(*) AS n,
+        |         SUM(cnt) AS sx, SUM(cnt * cnt) AS sxx
+        |  FROM b GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |     AND COUNT(*) * SUM(cnt * cnt) <> SUM(cnt) * SUM(cnt))
+        |SELECT b.event_type, b.season, b.instance, b.cnt,
+        |  (b.cnt - CAST(c.sx AS DOUBLE) / c.n)
+        |    / sqrt((c.sxx - CAST(c.sx AS DOUBLE) * c.sx / c.n) / (c.n - 1))
+        |    AS z
+        |FROM b JOIN c USING (event_type, season)
+        |WHERE ABS((b.cnt - CAST(c.sx AS DOUBLE) / c.n)
+        |    / sqrt((c.sxx - CAST(c.sx AS DOUBLE) * c.sx / c.n) / (c.n - 1)))
+        |    >= 2.5
+        |ORDER BY event_type, season, instance""".stripMargin,
     "resample_events" ->
       """WITH r AS (
         |  SELECT user_id AS r_uid, CAST(ts AS TIMESTAMP) AS r_ts,

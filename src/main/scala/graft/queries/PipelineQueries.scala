@@ -958,6 +958,27 @@ object PipelineQueries {
             .as("feat_sig"))
         .orderBy(col("doc_id"))),
 
+    // Perceptual-hash image near-dup: every 10th payload reappears
+    // under a shifted id with a LENGTH-PRESERVING 2-byte splice (the
+    // re-encode/touch-up analog — a changed region, same frame) —
+    // dHash over the decoder seam must pair each plant with its
+    // original within Hamming 3 via the shared banded join, never
+    // all-pairs on payloads. Rows-only: the signature rides the
+    // decoder's grayscale grid (no SQL twin); plant-recall +
+    // no-false-pair + locality are spec-pinned in MultimodalSpec.
+    "media_phash_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("XY"),
+            expr("substring(text, 13)")).as("text"))
+      graft.operators.Multimodal.phashNearDupPairs(
+          docs.unionByName(copies)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")),
+          "doc_id", "media", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     // Opaque binary payload + derived typed metadata. The payload here
     // is the utf8 text bytes (no media libs in this container); the

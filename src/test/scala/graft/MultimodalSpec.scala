@@ -387,4 +387,60 @@ class MultimodalSpec extends SparkSpec {
       Seq(2L, "wav", 44100, 1, 16, 44099L, 999L),
       Seq(4L, "unknown", -1, -1, -1, -1L, -1L))
   }
+
+  test("perceptualHash: dHash parity with direct grid computation, " +
+      "splice locality, NULLs dropped") {
+    val dec = new Multimodal.StubDecoder
+    def refDHash(p: Array[Byte]): Long = {
+      val g = dec.grayGrid(p, 9, 8)
+      (0 until 8).flatMap(r => (0 until 8).map(c =>
+        if (g(r * 9 + c) < g(r * 9 + c + 1)) 1L << (r * 8 + c) else 0L))
+        .reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(300)(rnd.nextInt(256).toByte)
+    val spliced = base.clone(); spliced(40) = 91; spliced(41) = 92
+    val other = Array.fill(300)(rnd.nextInt(256).toByte)
+    val df = Seq(1L -> base, 2L -> spliced, 3L -> other,
+      4L -> null.asInstanceOf[Array[Byte]]).toDF("doc_id", "media")
+    val got = Multimodal.perceptualHash(df, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L) // NULL dropped
+    got(1L) shouldBe refDHash(base)
+    got(3L) shouldBe refDHash(other)
+    // LOCALITY: a 2-byte splice perturbs one ~4-byte cell → few bits;
+    // an unrelated payload lands ~32 bits away
+    java.lang.Long.bitCount(got(1L) ^ got(2L)) should be <= 3
+    java.lang.Long.bitCount(got(1L) ^ got(3L)) should be > 10
+  }
+
+  test("phashNearDupPairs: planted splices pair, no false pairs") {
+    val rnd = new scala.util.Random(11)
+    val originals = (0L until 40L).map(i =>
+      i -> Array.fill(300)(rnd.nextInt(256).toByte))
+    val plants = originals.filter(_._1 % 4 == 0).map { case (i, p) =>
+      val q = p.clone(); q(100) = 7; q(101) = 8
+      (i + 1000L) -> q
+    }
+    val df = (originals ++ plants).toDF("doc_id", "media")
+    val pairs = Multimodal.phashNearDupPairs(df, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every plant pairs with exactly its original...
+    val expected = originals.map(_._1).filter(_ % 4 == 0)
+      .map(i => (i, i + 1000L)).toSet
+    expected.subsetOf(pairs) shouldBe true
+    // ...and unrelated payloads never pair (any extra pair would be
+    // two independent random payloads within Hamming 3 — astronomically
+    // unlikely, and a banding bug would show up exactly here)
+    pairs shouldBe expected
+  }
+
+  test("grayGrid: empty and tiny payloads stay total") {
+    val dec = new Multimodal.StubDecoder
+    dec.grayGrid(Array.emptyByteArray, 9, 8) shouldBe Array.fill(72)(0)
+    val tiny = dec.grayGrid(Array[Byte](10, 20), 9, 8)
+    tiny.length shouldBe 72
+    all(tiny) should be >= 0
+    all(tiny) should be <= 255
+  }
 }

@@ -66,4 +66,42 @@ class TimeSeriesSpec extends SparkSpec {
     // same-instant gap: (t - prev_t) = 0 -> exactly the previous value
     got shouldBe Seq(Seq(1L, 1.0), Seq(2L, 1.0), Seq(3L, 3.0))
   }
+
+  test("seasonalCountAnomalies: spike flagged against its cell, " +
+      "zero-variance and single-instance cells excluded") {
+    // series "a", season 0: 9 quiet instances with 2 events + one
+    // spike instance with 20 events. mean≈3.8, the spike z ≈ +2.85.
+    // season 1: constant counts (zero variance) must NOT divide by 0.
+    // series "b": a single instance (n = 1) must be excluded.
+    val rows0 =
+      (0 until 9).flatMap(d => Seq.fill(2)(("a", 0L, d.toLong))) ++
+        Seq.fill(20)(("a", 0L, 9L)) ++
+        (0 until 10).flatMap(d => Seq.fill(3)(("a", 1L, d.toLong))) ++
+        Seq.fill(5)(("b", 0L, 0L))
+    val df = rows0.toDF("series", "season", "inst")
+    val got = TimeSeries.seasonalCountAnomalies(df, Seq("series"),
+        col("season"), col("inst"), minSigma = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.toSeq shouldBe Seq(("a", 0L, 9L, 20L)) // ONLY the spike
+    // exact single-JVM z for the spike: counts 2×9 + 20
+    val cnts = Seq.fill(9)(2L) :+ 20L
+    val n = cnts.size; val sx = cnts.sum; val sxx = cnts.map(c => c * c).sum
+    val z = (20L - sx.toDouble / n) /
+      math.sqrt((sxx - sx.toDouble * sx / n) / (n - 1))
+    val gotZ = TimeSeries.seasonalCountAnomalies(df, Seq("series"),
+        col("season"), col("inst"), minSigma = 2.0)
+      .collect().head.getDouble(4)
+    gotZ shouldBe z
+    // droughts are signed negative: flip the plant (one quiet instance
+    // among spikes) and the flagged z goes negative
+    val flipped = ((0 until 9).flatMap(d =>
+      Seq.fill(20)(("a", 0L, d.toLong))) ++ Seq.fill(2)(("a", 0L, 9L)))
+      .toDF("series", "season", "inst")
+    val neg = TimeSeries.seasonalCountAnomalies(flipped, Seq("series"),
+      col("season"), col("inst"), minSigma = 2.0).collect()
+    neg.length shouldBe 1
+    neg.head.getLong(2) shouldBe 9L
+    neg.head.getDouble(4) should be < 0.0
+  }
 }
