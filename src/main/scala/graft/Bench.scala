@@ -3,8 +3,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // BASELINE.md pins the bench config to local[4], shuffle.partitions=4
-    // — fixed (not machine-derived) so round-over-round totals compare.
+    // Local records pin local[4], shuffle.partitions=4 — fixed (not
+    // machine-derived) so round-over-round totals compare. The driver's
+    // per-round runs override via SPARK_GRAFT_CPUS=32 (the config
+    // BASELINE.md's bench-target line documents).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
