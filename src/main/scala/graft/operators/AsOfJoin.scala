@@ -35,7 +35,7 @@ object AsOfJoin {
     * would silently round nano-epoch longs beyond 2^53 and reject
     * DATE outright); only genuinely fractional types go through
     * double. */
-  private def timeAsNum(c: Column, dt: DataType): Column = dt match {
+  private[graft] def timeAsNum(c: Column, dt: DataType): Column = dt match {
     case TimestampType                         => unix_micros(c)
     // unix_micros only accepts LTZ, and an NTZ→LTZ cast interprets the
     // wall clock through the session zone — whose OFFSET IS NOT

@@ -82,6 +82,58 @@ object AnalyticsQueries {
       |  FROM part CROSS JOIN s_cnt CROSS JOIN (VALUES (0),(1),(2),(3)) AS js(j))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-pruned selective dim⋈fact join: the part subset (one
+    // brand, ~5% of parts) builds a Bloom filter that kills
+    // non-matching lineitem rows AT THE SCAN, before the join
+    // exchange — bit-identical to the plain join (false positives are
+    // removed by the join itself), with fact-side shuffle volume cut
+    // to ~the join selectivity. Explicit twin of the optimizer's
+    // runtime row-level filter, which silently declines without
+    // column statistics (BloomPrune scaladoc).
+    "bloom_prune_join" -> ((s, dir) => {
+      import graft.operators.BloomPrune
+      val dim = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"), col("p_type"))
+      BloomPrune.pruneInnerJoin(t(s, dir, "lineitem"), "l_partkey",
+          dim, "p_partkey", expectedItems = 100000L)
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("p_type"))
+    }),
+
+    // Multi-touch attribution, linear model: each view/click inside
+    // the 7-day lookback before a purchase by the same user gets
+    // value/n credit. Touches (the firehose side) map to ONE time
+    // bucket each — only the small conversion side explodes (×2) —
+    // and the sides meet on a (user, bucket) equi-join (Attribution
+    // scaladoc).
+    "attribution_linear" -> ((s, dir) => {
+      import graft.operators.Attribution
+      Attribution.linearCredit(t(s, dir, "events"),
+          Seq("click", "view"), "purchase", lookbackUs = 7L * 86400000000L)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_credited"),
+          sum(col("credit").cast("decimal(22,6)")).cast("double")
+            .as("credit"))
+        .orderBy(col("touch_type"))
+    }),
+
+    // U-shaped (position) attribution: 0.4 first / 0.4 last / 0.2
+    // split across middles — same matched-pair plan, credit keyed on
+    // the per-conversion rank (deterministic: ties break on event id).
+    "attribution_position" -> ((s, dir) => {
+      import graft.operators.Attribution
+      Attribution.positionCredit(t(s, dir, "events"),
+          Seq("click", "view"), "purchase", lookbackUs = 7L * 86400000000L)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_credited"),
+          sum(col("credit").cast("decimal(22,6)")).cast("double")
+            .as("credit"))
+        .orderBy(col("touch_type"))
+    }),
+
     // TPC-H Q1-style pricing summary. Group-by-agg with partial
     // (map-side) aggregation — one shuffle on the tiny group key.
     "q1_agg" -> ((s, dir) =>
@@ -1680,6 +1732,64 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // plain join — the Bloom prune must be invisible in the result
+    "bloom_prune_join" ->
+      """SELECT p_type, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT event_id AS touch_id, user_id, epoch_us(ts) AS touch_us,
+        |         event_type AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.conv_id, c.value, t.touch_type
+        |  FROM conv c JOIN tch t USING (user_id)
+        |  WHERE t.touch_us >= c.conv_us - 604800000000
+        |    AND t.touch_us < c.conv_us),
+        |n AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY conv_id) AS nt FROM j)
+        |SELECT touch_type, COUNT(*) AS n_credited,
+        |       CAST(SUM(CAST(value / nt AS DECIMAL(22,6))) AS DOUBLE)
+        |         AS credit
+        |FROM n GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    "attribution_position" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,
+        |         value
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT event_id AS touch_id, user_id, epoch_us(ts) AS touch_us,
+        |         event_type AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.conv_id, c.value, t.touch_type, t.touch_us, t.touch_id
+        |  FROM conv c JOIN tch t USING (user_id)
+        |  WHERE t.touch_us >= c.conv_us - 604800000000
+        |    AND t.touch_us < c.conv_us),
+        |n AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY conv_id) AS nt,
+        |         ROW_NUMBER() OVER (PARTITION BY conv_id
+        |                            ORDER BY touch_us, touch_id) AS rn
+        |  FROM j),
+        |w AS (
+        |  SELECT touch_type,
+        |         CASE WHEN nt = 1 THEN value
+        |              WHEN nt = 2 THEN value * 0.5
+        |              WHEN rn = 1 OR rn = nt THEN value * 0.4
+        |              ELSE value * 0.2 / (nt - 2) END AS credit
+        |  FROM n)
+        |SELECT touch_type, COUNT(*) AS n_credited,
+        |       CAST(SUM(CAST(credit AS DECIMAL(22,6))) AS DOUBLE)
+        |         AS credit
+        |FROM w GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "copurchase_kcore" ->
       s"""WITH ${kCoreCtes(8, 3)}
          |SELECT id AS p_partkey, c AS core_deg
