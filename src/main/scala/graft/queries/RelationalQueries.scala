@@ -720,6 +720,30 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Incremental JOIN-view maintenance: the denormalized
+    // orders⋈lineitem view kept current by folding three insert
+    // batches PER SIDE through the delta algebra
+    // ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB ([[graft.operators.JoinView]]) — history
+    // is never re-joined against itself, each fold joins only
+    // delta-sized frames. Lineitem slices by (orderkey+linenumber) so
+    // an order's lines arrive across DIFFERENT batches than its
+    // header — the old×new / new×old coverage is what's under test.
+    // Hash-green: the folded view equals the one-shot join.
+    "incremental_join_view" -> ((s, dir) => {
+      import graft.operators.JoinView
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      def sa(i: Int) = ord.filter(col("o_orderkey") % 3 === i)
+      def sb(i: Int) = li.filter(
+        (col("o_orderkey") + col("l_linenumber")) % 3 === i)
+      val st = Seq(1, 2).foldLeft(JoinView.init(sa(0), sb(0), "o_orderkey"))(
+        (acc, i) => JoinView.applyDelta(acc, sa(i), sb(i), "o_orderkey"))
+      st.view.orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -747,6 +771,12 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"), col("measure"))))
 
   val oracleSql: Map[String, String] = Map(
+    // one-shot join — the incremental fold must be invisible
+    "incremental_join_view" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |       l.l_linenumber, l.l_quantity, l.l_extendedprice
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "upsert_merge" ->
       s"""$stageSql
          |SELECT * FROM stage

@@ -45,6 +45,71 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream attribution join: conversions matched to same-user
+    * touches inside a lookback window, as an EVENT-TIME interval join
+    * with watermarks on BOTH sides — Spark derives a state-retention
+    * bound from the interval condition plus the watermark delay and
+    * DROPS join state as the watermark advances, so a month-long run
+    * holds `lookback + watermark` worth of per-user touches, never the
+    * full history (the unbounded-state hazard of a naive stream join).
+    *
+    * Output (append): one row per (conversion, touch) pair — the
+    * streaming twin of [[graft.operators.Attribution.touchPairs]]
+    * minus the per-conversion rank/count, which need the conversion
+    * CLOSED — [[streamingLastTouch]] adds that via a chained windowed
+    * aggregation. Window semantics match the batch operator exactly:
+    * `[conv_ts − lookback, conv_ts)`.
+    */
+  def streamingTouchPairs(events: DataFrame, touchTypes: Seq[String],
+                          convType: String, lookback: String,
+                          watermark: String): DataFrame = {
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("t_user_id"),
+        col("event_id").as("touch_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+      .withWatermark("touch_ts", watermark)
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"), col("value"))
+      .withWatermark("conv_ts", watermark)
+    convs.join(touches,
+        col("user_id") === col("t_user_id") &&
+          col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookback") &&
+          col("touch_ts") < col("conv_ts"))
+      .drop("t_user_id")
+  }
+
+  /** Streaming last-touch attribution: the interval join above CHAINED
+    * into a tumbling-window aggregation (the Spark 3.4+ multiple-
+    * stateful-operator form, like [[streamingCategoricalDrift]]) — one
+    * row per conversion once its window finalizes, carrying the LAST
+    * touch (max event-time, ties broken on touch id — deterministic
+    * under replay) and the touch count, so last-touch AND linear
+    * (value/n) credit read directly off the row.
+    *
+    * Operational note: the pipeline has TWO watermark nodes (one per
+    * join branch) and Spark's global watermark is their MIN — each
+    * branch only observes its own event types, so a quiet conversion
+    * stream holds emission back even while touches pour in. If
+    * conversions can go silent, either feed both branches a heartbeat
+    * or set `spark.sql.streaming.multipleWatermarkPolicy=max`
+    * (trading late-conversion tolerance for liveness).
+    */
+  def streamingLastTouch(events: DataFrame, touchTypes: Seq[String],
+                         convType: String, lookback: String,
+                         watermark: String,
+                         windowLength: String = "1 hour"): DataFrame =
+    streamingTouchPairs(events, touchTypes, convType, lookback, watermark)
+      .groupBy(window(col("conv_ts"), windowLength), col("conv_id"),
+        col("value"))
+      .agg(count(lit(1)).as("n_touches"),
+        max_by(struct(col("touch_id"), col("touch_type")),
+          struct(col("touch_ts"), col("touch_id"))).as("last"))
+      .select(col("window.start").as("window_start"), col("conv_id"),
+        col("value"), col("n_touches"),
+        col("last.touch_id").as("last_touch_id"),
+        col("last.touch_type").as("last_touch_type"))
+
   /** Streaming drift monitor: per finalized event-time window, the
     * categorical PSI of `catCol` against a STATIC reference snapshot —
     * [[graft.operators.Drift.categoricalPsi]]'s arithmetic running

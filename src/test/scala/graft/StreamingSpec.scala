@@ -1472,4 +1472,97 @@ class StreamingSpec extends SparkSpec {
     outIds shouldBe Set(1L, 4L)
     spark.read.parquet(s"$base/out").count() shouldBe 2L
   }
+
+  test("streamingTouchPairs: stream-stream interval join matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStreams.streamingTouchPairs(input.toDF(),
+      Seq("click", "view"), "purchase", "2 hours", "1 hour")
+    val q = out.writeStream.format("memory").queryName("touch_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = Seq(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(30), 1, "view", 0.0),
+        Event(4, ts(10), 2, "click", 0.0), // other user: not credited
+        Event(5, ts(60), 1, "error", 0.0)) // non-touch type: ignored
+      val conv = Event(3, ts(90), 1, "purchase", 30.0)
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(conv) // conversion arrives in a LATER micro-batch
+      q.processAllAvailable()
+      val got = spark.table("touch_pairs")
+        .select("conv_id", "touch_id", "touch_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      got shouldBe Set((3L, 1L, "click"), (3L, 2L, "view"))
+      // batch twin agrees on the matched pairs
+      val batch = graft.operators.Attribution.touchPairs(
+        spark.createDataset(evs :+ conv).toDF(),
+        Seq("click", "view"), "purchase", 2L * 3600000000L)
+        .select("conv_id", "touch_id", "touch_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      batch shouldBe got
+    } finally q.stop()
+  }
+
+  test("streamingTouchPairs: watermark-late rows join nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStreams.streamingTouchPairs(input.toDF(),
+      Seq("click", "view"), "purchase", "2 hours", "1 hour")
+    val q = out.writeStream.format("memory").queryName("touch_pairs_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 0.0))
+      q.processAllAvailable()
+      // advance both watermarks far past ts(0)+lookback+delay
+      input.addData(Event(2, ts(60 * 100 - 30), 2, "click", 0.0),
+        Event(3, ts(60 * 100), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      // this conversion's event time is deep below the watermark: the
+      // matching touch state is gone (and the row itself is late) —
+      // nothing for user 1 may appear
+      input.addData(Event(4, ts(30), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val users = spark.table("touch_pairs_late")
+        .select("conv_id").collect().map(_.getLong(0)).toSet
+      users shouldBe Set(3L)
+    } finally q.stop()
+  }
+
+  test("streamingLastTouch: chained join+aggregation emits closed conversions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStreams.streamingLastTouch(input.toDF(),
+      Seq("click", "view"), "purchase", "2 hours", "1 hour", "1 hour")
+    val q = out.writeStream.format("memory").queryName("last_touch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(30), 1, "view", 0.0),
+        Event(3, ts(45), 1, "click", 0.0),
+        Event(4, ts(50), 1, "purchase", 90.0))
+      q.processAllAvailable()
+      // push the watermark beyond the conversion's window end so the
+      // chained aggregation finalizes and emits. The global watermark
+      // is the MIN across both branch watermarks, and each branch only
+      // sees its own event types — so the pusher batch needs BOTH a
+      // far-future touch AND a far-future conversion (joining nothing);
+      // and it takes two micro-batches to cross the two stateful
+      // operators (watermarks advance at batch boundaries)
+      input.addData(Event(9, ts(60 * 200), 7, "view", 0.0),
+        Event(10, ts(60 * 200), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(11, ts(60 * 201), 7, "view", 0.0),
+        Event(12, ts(60 * 201), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("last_touch")
+        .select("conv_id", "value", "n_touches", "last_touch_id",
+          "last_touch_type").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      got.toSeq shouldBe Seq((4L, 90.0, 3L, 3L, "click"))
+    } finally q.stop()
+  }
 }
