@@ -176,4 +176,54 @@ object Drift {
         (sm(col("cur_rate")) - sm(col("base_rate"))) *
           log(sm(col("cur_rate")) / sm(col("base_rate"))), 9))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between `base` and
+    * `cur` on NUMERIC `valueCol`: D = max over observed values x of
+    * |F_base(x) − F_cur(x)|. Complements the PSI family — PSI needs
+    * bands chosen up front and saturates on tail shifts; KS is
+    * band-free and sensitive to ANY CDF displacement.
+    *
+    * All arithmetic stays in INTEGERS until the one final division:
+    * per distinct value the two counts accumulate through one window
+    * cumsum, and |cumB·N_cur − cumC·N_base| compares as exact longs —
+    * the statistic is bit-stable under any partitioning and engine.
+    *
+    * Shape: one groupBy on the value (partial-aggregated), one
+    * single-partition window over the DISTINCT values only (bounded
+    * by value cardinality, not row count — quantize a genuinely
+    * continuous 100 TB column upstream to bound it), one aggregate.
+    * Returns one row: (n_base, n_cur, ks_d, ks_at) with `ks_at` the
+    * SMALLEST value attaining the max (deterministic tie policy via
+    * lexicographic (diff, −v) struct max). Overflow guard: cumsums
+    * are ≤ N_base/N_cur and the cross products ≤ N_base·N_cur — exact
+    * in a long up to ~3·10⁹ rows per side; beyond that pre-aggregate.
+    */
+  def ksStatistic(base: DataFrame, cur: DataFrame,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, as: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as(as))
+    val counts = side(base, "nb")
+      .join(side(cur, "nc"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cb", sum("nb").over(cum))
+      .withColumn("cc", sum("nc").over(cum))
+      .withColumn("tb", sum("nb").over(all))
+      .withColumn("tc", sum("nc").over(all))
+      // |F_b − F_c| scaled to exact integers: |cb·tc − cc·tb|
+      .withColumn("diff", abs(col("cb") * col("tc") - col("cc") * col("tb")))
+      .agg(max(col("tb")).as("n_base"), max(col("tc")).as("n_cur"),
+        (max(col("diff")).cast("double") /
+          (max(col("tb")) * max(col("tc"))).cast("double")).as("ks_d"),
+        (-max(struct(col("diff"), (-col("v")).as("nv"))).getField("nv"))
+          .as("ks_at"))
+  }
 }

@@ -985,6 +985,51 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("grid_ts"))
     }),
 
+    // Fellegi–Sunter record-linkage scoring over blocked candidates:
+    // the fuzzy name pairs get per-field agreement log-odds weights
+    // (literals — the transcendental stays out of the plan, scores are
+    // bit-stable) summed to a match score. Scoring is pure per-row
+    // expression over the banded candidate set — no extra shuffle, no
+    // cartesian (RecordLinkage scaladoc).
+    "er_score_pairs" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val cust = t(s, dir, "customer")
+      val pairs = graft.operators.FuzzyJoin.selfJoin(
+          cust, "c_custkey", "c_name", maxDist = 1)
+        .join(cust.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("nation_a"),
+          col("c_mktsegment").as("seg_a"),
+          col("c_acctbal").as("bal_a")), Seq("id_a"))
+        .join(cust.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nation_b"),
+          col("c_mktsegment").as("seg_b"),
+          col("c_acctbal").as("bal_b")), Seq("id_b"))
+      RecordLinkage.score(pairs, Seq(
+          RecordLinkage.Field("name", col("dist") === 0, 6.0, -0.5),
+          RecordLinkage.Field("nation", col("nation_a") === col("nation_b"),
+            2.0, -0.3),
+          RecordLinkage.Field("segment", col("seg_a") === col("seg_b"),
+            1.5, -0.4),
+          RecordLinkage.Field("acctbal",
+            abs(col("bal_a") - col("bal_b")) < 100.0, 1.0, -0.2)))
+        .select(col("id_a"), col("id_b"), col("w_name"), col("w_nation"),
+          col("w_segment"), col("w_acctbal"), col("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT two-sample Kolmogorov–Smirnov drift between early and
+    // late shipment prices: integer cumsum arithmetic end to end, one
+    // division at the end (Drift.ksStatistic scaladoc) — the band-free
+    // complement of the PSI monitors.
+    "ks_price_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = to_date(col("l_shipdate")) < lit("1996-01-01")
+      graft.operators.Drift.ksStatistic(
+        li.filter(cut).select(col("l_extendedprice")),
+        li.filter(!cut).select(col("l_extendedprice")),
+        "l_extendedprice")
+    }),
+
     // Edit-distance-bounded self-join on customer names (SymSpell
     // deletion-neighborhood candidates + exact levenshtein verify —
     // graft.operators.FuzzyJoin): entity resolution without a
@@ -1732,6 +1777,57 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "er_score_pairs" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |         levenshtein(a.c_name, b.c_name) AS dist,
+        |         a.c_nationkey AS nation_a, b.c_nationkey AS nation_b,
+        |         a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+        |         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |w AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN dist = 0 THEN CAST(6.0 AS DOUBLE)
+        |         ELSE CAST(-0.5 AS DOUBLE) END AS w_name,
+        |    CASE WHEN nation_a = nation_b THEN CAST(2.0 AS DOUBLE)
+        |         ELSE CAST(-0.3 AS DOUBLE) END AS w_nation,
+        |    CASE WHEN seg_a = seg_b THEN CAST(1.5 AS DOUBLE)
+        |         ELSE CAST(-0.4 AS DOUBLE) END AS w_segment,
+        |    CASE WHEN ABS(bal_a - bal_b) < 100.0 THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(-0.2 AS DOUBLE) END AS w_acctbal
+        |  FROM p)
+        |SELECT id_a, id_b, w_name, w_nation, w_segment, w_acctbal,
+        |       w_name + w_nation + w_segment + w_acctbal AS score
+        |FROM w ORDER BY id_a, id_b""".stripMargin,
+    "ks_price_drift" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice AS v, COUNT(*) AS nb FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' GROUP BY 1),
+        |c AS (
+        |  SELECT l_extendedprice AS v, COUNT(*) AS nc FROM lineitem
+        |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT COALESCE(b.v, c.v) AS v, COALESCE(nb, 0) AS nb,
+        |         COALESCE(nc, 0) AS nc
+        |  FROM b FULL OUTER JOIN c ON b.v = c.v),
+        |d AS (
+        |  SELECT v,
+        |    CAST(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |    CAST(SUM(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+        |    CAST(SUM(nb) OVER () AS BIGINT) AS tb,
+        |    CAST(SUM(nc) OVER () AS BIGINT) AS tc
+        |  FROM u),
+        |e AS (SELECT v, ABS(cb * tc - cc * tb) AS diff, tb, tc FROM d),
+        |m AS (SELECT MAX(diff) AS mx FROM e)
+        |SELECT MAX(tb) AS n_base, MAX(tc) AS n_cur,
+        |       CAST(MAX(diff) AS DOUBLE) /
+        |         CAST(MAX(tb) * MAX(tc) AS DOUBLE) AS ks_d,
+        |       (SELECT MIN(v) FROM e, m WHERE e.diff = m.mx) AS ks_at
+        |FROM e""".stripMargin,
     // plain join — the Bloom prune must be invisible in the result
     "bloom_prune_join" ->
       """SELECT p_type, COUNT(*) AS n_lines,

@@ -45,6 +45,41 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zipf rank-frequency fit — the one-number vocabulary-health
+    // check (natural corpora run slope ≈ −1; a flatter curve smells
+    // of boilerplate/templating, a steeper one of vocabulary
+    // collapse). OLS of ln(freq) on ln(rank) over the exact top-200
+    // tokens; each ln rounds to 9 decimals (the psi_term libm-ulp
+    // discipline), the four cross-row sums go through DECIMAL, and
+    // the closed-form slope/intercept evaluate in doubles with the
+    // same operation order on both engines.
+    "zipf_slope" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val top = counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 200)
+        .select(round(log(col("rank").cast("double")), 9).as("x"),
+          round(log(col("n").cast("double")), 9).as("y"))
+      top
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(28,12)")).cast("double")
+            .as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(28,12)")).cast("double")
+            .as("sxx"))
+        .select(col("n_tokens"),
+          round((col("n_tokens") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("intercept"))
+    }),
+
     "text_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -569,6 +604,31 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "zipf_slope" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($tokensSql) AS token FROM documents),
+         |counts AS (
+         |  SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+         |top AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+         |  FROM counts QUALIFY rnk <= 200),
+         |v AS (
+         |  SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+         |         round(ln(CAST(n AS DOUBLE)), 9) AS y
+         |  FROM top),
+         |s AS (
+         |  SELECT COUNT(*) AS n_tokens,
+         |         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+         |  FROM v)
+         |SELECT n_tokens,
+         |       round((n_tokens * sxy - sx * sy) /
+         |             (n_tokens * sxx - sx * sx), 6) AS slope,
+         |       round((sy * sxx - sx * sxy) /
+         |             (n_tokens * sxx - sx * sx), 6) AS intercept
+         |FROM s""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  len(toks) AS n_tokens,

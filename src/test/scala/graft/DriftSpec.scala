@@ -127,4 +127,37 @@ class DriftSpec extends SparkSpec {
     plan.split("\n").filter(_.toLowerCase.contains("join"))
       .foreach(l => l should not include "id#")
   }
+
+  test("ksStatistic: exact D, location, and boundary cases") {
+    import spark.implicits._
+    def one(base: Seq[Double], cur: Seq[Double]) =
+      Drift.ksStatistic(base.toDF("p"), cur.toDF("p"), "p").head()
+    // hand case: base {1,2,3}, cur {3,4} → sup gap 2/3 at v=2
+    val r = one(Seq(1, 2, 3), Seq(3, 4))
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 2L))
+    r.getDouble(2) shouldBe (4.0 / 6.0)
+    r.getDouble(3) shouldBe 2.0
+    // identical distributions → D = 0
+    one(Seq(1, 2, 2, 5), Seq(1, 2, 2, 5)).getDouble(2) shouldBe 0.0
+    // disjoint supports → D = 1
+    one(Seq(1, 2), Seq(10, 11)).getDouble(2) shouldBe 1.0
+    // tie on the max gap → SMALLEST attaining value wins
+    val t = one(Seq(1, 3), Seq(2, 4))
+    t.getDouble(2) shouldBe 0.5
+    t.getDouble(3) shouldBe 1.0
+  }
+
+  test("ksStatistic ignores NULLs and is partitioning-invariant") {
+    import spark.implicits._
+    val base = Seq[Option[Double]](Some(1), None, Some(2), Some(3)).toDF("p")
+    val cur = Seq[Option[Double]](Some(3), Some(4), None).toDF("p")
+    val r = Drift.ksStatistic(base, cur, "p").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2)) shouldBe ((3L, 2L, 4.0 / 6.0))
+    val big = (1 to 5000).map(i => (i % 97).toDouble).toDF("p")
+    val cur2 = (1 to 4000).map(i => (i % 89).toDouble).toDF("p")
+    val a = Drift.ksStatistic(big.repartition(17), cur2.repartition(3), "p")
+      .head()
+    val b = Drift.ksStatistic(big.coalesce(1), cur2.coalesce(1), "p").head()
+    a.toSeq shouldBe b.toSeq
+  }
 }
