@@ -433,4 +433,53 @@ object Graph {
       s"k-core peel did not converge in $maxRounds rounds " +
         s"($n nodes still live) — raise maxRounds")
   }
+
+  /** Multi-source BFS hop levels on the undirected graph: per node the
+    * length of the shortest edge path from ANY seed (0 for the seeds
+    * themselves; nodes unreached within `maxHops` are absent).
+    *
+    * Synchronous frontier expansion — per round ONE frontier→neighbor
+    * equi-join plus one anti-join against the visited set, both
+    * key-partitioned (never a cartesian, never a collect). Rounds
+    * checkpoint eagerly ([[kCore]]'s discipline: the convergence probe
+    * forces an action anyway, so lazy rounds would re-execute the
+    * chain) and the superseded checkpoint is freed immediately. At
+    * 100 TB this is the standard O(diameter)-round Pregel BFS; real
+    * link graphs bottom out in single-digit rounds.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, idCol: String,
+                maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val und = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .unionByName(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      .distinct()
+      .cache() // re-joined every hop
+    var visited = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("id")
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier.join(und, col("id") === col("s"))
+        .select(col("d").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        freeCheckpoint(next)
+        und.unpersist()
+        return visited
+      }
+      val grown = visited.unionByName(next).localCheckpoint(true)
+      freeCheckpoint(visited)
+      freeCheckpoint(next)
+      visited = grown
+      frontier = grown.filter(col("hop") === hop).select("id")
+    }
+    und.unpersist()
+    visited
+  }
 }

@@ -985,6 +985,59 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("grid_ts"))
     }),
 
+    // Multi-source BFS hop levels over the co-purchase graph (same
+    // sampled edge set as copurchase_kcore): per part, the shortest
+    // path length from any seed part — per round ONE frontier join +
+    // one anti-join, eagerly checkpointed (Graph.bfsLevels). Oracle
+    // replays it with a recursive min-hop CTE. Hash-green.
+    "part_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val seeds = t(s, dir, "part").filter(col("p_partkey") % 199 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graph.bfsLevels(edges, "src", "dst",
+          seeds, "p_partkey", maxHops = 4)
+        .select(col("id").as("p_partkey"), col("hop").cast("long").as("hop"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // k-anonymity audit: quasi-identifier (nation, segment) groups
+    // with fewer than 10 members — the re-identification exposure a
+    // release gate reads. One partial-aggregated shuffle (Privacy
+    // scaladoc). Hash-green.
+    "k_anonymity_audit" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityViolations(
+          t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // l-diversity audit: (nation, segment) groups whose account-
+    // balance band (thousands) shows fewer than 8 distinct values —
+    // homogeneity leaks that survive k-anonymity. Hash-green.
+    "l_diversity_audit" -> ((s, dir) =>
+      graft.operators.Privacy.lDiversityViolations(
+          t(s, dir, "customer").withColumn("bal_band",
+            floor(col("c_acctbal") / 1000).cast("int")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 8)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // Market-basket association rules over order baskets: directed
+    // part pairs with support/confidence/lift from exact integer
+    // counts — per-basket self-join fanout only, ratios are single
+    // IEEE divisions (MarketBasket scaladoc). Hash-green.
+    "basket_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.MarketBasket.pairRules(li, "l_orderkey", "l_partkey",
+          minPairCount = 2)
+        .orderBy(col("antecedent"), col("consequent"))
+    }),
+
     // Fellegi–Sunter record-linkage scoring over blocked candidates:
     // the fuzzy name pairs get per-field agreement log-odds weights
     // (literals — the transcendental stays out of the plan, scores are
@@ -1777,6 +1830,68 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "part_bfs_hops" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (
+        |  SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        |und AS (
+        |  SELECT src AS s, dst AS d FROM e
+        |  UNION SELECT dst, src FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT p_partkey AS id FROM part
+        |  WHERE p_partkey % 199 = 0),
+        |r AS (
+        |  SELECT id, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT u.d, r.hop + 1 FROM r JOIN und u ON u.s = r.id
+        |  WHERE r.hop < 4)
+        |SELECT id AS p_partkey, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM r GROUP BY id ORDER BY p_partkey""".stripMargin,
+    "k_anonymity_audit" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING COUNT(*) < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "l_diversity_audit" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n,
+        |       COUNT(DISTINCT bal_band) AS sensitive_distinct
+        |FROM b
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING COUNT(DISTINCT bal_band) < 8
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "basket_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+        |itemn AS (SELECT i, COUNT(*) AS n_i FROM bi GROUP BY i),
+        |pairn AS (
+        |  SELECT x.i AS a, y.i AS c, COUNT(*) AS n_ab
+        |  FROM bi x JOIN bi y USING (b) WHERE x.i < y.i
+        |  GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+        |directed AS (
+        |  SELECT a, c, n_ab FROM pairn
+        |  UNION ALL SELECT c, a, n_ab FROM pairn)
+        |SELECT d.a AS antecedent, d.c AS consequent, d.n_ab,
+        |       ia.n_i AS n_a, ic.n_i AS n_c,
+        |       CAST(d.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        |       CAST(d.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+        |         AS confidence,
+        |       CAST(d.n_ab * nb.n AS DOUBLE) /
+        |         CAST(ia.n_i * ic.n_i AS DOUBLE) AS lift
+        |FROM directed d
+        |JOIN itemn ia ON ia.i = d.a
+        |JOIN itemn ic ON ic.i = d.c
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
     "er_score_pairs" ->
       """WITH p AS (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -239,4 +239,37 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(chain.toDF("src", "dst"), "src", "dst", 0)
     }
   }
+
+  test("bfsLevels: shortest hop from any seed, bounded by maxHops") {
+    import spark.implicits._
+    // path 1—2—3—4—5 plus isolated edge 8—9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    def run(seeds: Seq[Long], maxHops: Int) =
+      Graph.bfsLevels(edges, "src", "dst", seeds.toDF("id"), "id", maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    run(Seq(1L), 4) shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4)
+    // hop cap truncates the frontier
+    run(Seq(1L), 2) shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2)
+    // multi-seed: MIN hop wins; direction is ignored (undirected)
+    run(Seq(1L, 5L), 4) shouldBe Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1,
+      3L -> 2)
+    // disconnected component unreached; off-graph seed still hop 0
+    run(Seq(1L, 77L), 4) should contain allOf (77L -> 0, 5L -> 4)
+    run(Seq(1L), 10).keySet should not contain 8L
+  }
+
+  test("bfsLevels is partitioning-invariant and handles empty seeds") {
+    import spark.implicits._
+    val edges = (1 to 300).map(i => (i.toLong, ((i * 7) % 300 + 1).toLong))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 42L).toDF("id")
+    val a = Graph.bfsLevels(edges.repartition(9), "src", "dst",
+      seeds, "id", 5).orderBy("id")
+    val b = Graph.bfsLevels(edges.coalesce(1), "src", "dst",
+      seeds.coalesce(1), "id", 5).orderBy("id")
+    rows(a) shouldBe rows(b)
+    Graph.bfsLevels(edges, "src", "dst", seeds.limit(0), "id", 5)
+      .count() shouldBe 0L
+  }
 }
