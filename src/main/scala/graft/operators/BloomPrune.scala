@@ -103,15 +103,18 @@ object BloomPrune {
     * cheap); an UNDERestimate only raises fpp, never loses rows. */
   def pruneInnerJoin(fact: DataFrame, factKey: String,
                      dim: DataFrame, dimKey: String,
-                     expectedItems: Long, fpp: Double = 0.01): DataFrame =
+                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // dataset-qualified key refs: with an unqualified col(...), a key
+    // NAME shared by both sides (the natural `id = id` join) would
+    // resolve ambiguous and throw
+    def joined(f: DataFrame) = f.join(dim, f(factKey) === dim(dimKey))
     buildBloom(dim, dimKey, expectedItems, fpp) match {
       // dim side has no non-NULL keys: the inner join is empty; emit
       // the joined SCHEMA without scanning the fact side at all
-      case None => fact.filter(lit(false))
-        .join(dim, col(factKey) === col(dimKey))
-      case Some(bytes) => fact.filter(mightContain(bytes, col(factKey)))
-        .join(dim, col(factKey) === col(dimKey))
+      case None => joined(fact.filter(lit(false)))
+      case Some(bytes) => joined(fact.filter(mightContain(bytes, col(factKey))))
     }
+  }
 
   /** Left-semi variant: `fact` rows with at least one dim match,
     * Bloom-pruned the same way (the IN-subquery shape). */
@@ -120,7 +123,9 @@ object BloomPrune {
                     expectedItems: Long, fpp: Double = 0.01): DataFrame =
     buildBloom(dim, dimKey, expectedItems, fpp) match {
       case None => fact.filter(lit(false))
-      case Some(bytes) => fact.filter(mightContain(bytes, col(factKey)))
-        .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      case Some(bytes) =>
+        val f = fact.filter(mightContain(bytes, col(factKey)))
+        f.join(dim.select(col(dimKey)), f(factKey) === dim(dimKey),
+          "left_semi")
     }
 }

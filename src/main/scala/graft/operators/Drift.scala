@@ -205,6 +205,16 @@ object Drift {
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as(as))
+    // EAGER like withPsi: a sup-distance over an empty side is not a
+    // statistic — without this, tc=0 makes ks_d a silent NaN and a
+    // monitor reading `ks_d > threshold` passes forever. The probe is
+    // a limit(1) existence take per side, not an aggregation.
+    def empty(df: DataFrame) = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull).isEmpty
+    require(!empty(base),
+      "ksStatistic needs a non-empty base side (after NULL removal)")
+    require(!empty(cur),
+      "ksStatistic needs a non-empty current side (after NULL removal)")
     val counts = side(base, "nb")
       .join(side(cur, "nc"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("nb"), lit(0L)).as("nb"),

@@ -451,10 +451,12 @@ object Graph {
                 seeds: DataFrame, idCol: String,
                 maxHops: Int = 20): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // filter AFTER the direction union so a NULL endpoint is dropped
+    // from BOTH branches (a null-dst edge reversed is a null-src edge)
     val und = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .unionByName(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
       .filter(col("s").isNotNull && col("d").isNotNull &&
         col("s") =!= col("d"))
-      .unionByName(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
       .distinct()
       .cache() // re-joined every hop
     var visited = seeds.select(col(idCol).as("id")).distinct()

@@ -30,13 +30,16 @@ object MarketBasket {
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
                 minPairCount: Long = 1L): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    // bi feeds the self-join and the item counts inside ONE returned
-    // plan — its distinct's exchange is REUSED across those branches
-    // (no cache: a cache here would outlive the lazy result and leak)
+    // bi feeds the self-join, the item counts AND the basket total
+    // inside ONE returned lazy plan — its distinct's exchange is
+    // REUSED across those branches (no cache: a cache would outlive
+    // the lazy result and leak; no eager count: that would pay a
+    // separate full scan per call)
     val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
-    val nBaskets = bi.select(col("b")).distinct().count()
+    // one-row total, broadcast into the ratio projection
+    val nb = bi.agg(count_distinct(col("b")).as("n_baskets"))
     val itemN = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     // undirected co-occurrence counted once (i < j), emitted in both
     // directions afterwards — half the pair shuffle
@@ -51,12 +54,14 @@ object MarketBasket {
     directed
       .join(itemN.select(col("i").as("a"), col("n_i").as("n_a")), Seq("a"))
       .join(itemN.select(col("i").as("c"), col("n_i").as("n_c")), Seq("c"))
+      .crossJoin(broadcast(nb))
       .select(col("a").as("antecedent"), col("c").as("consequent"),
         col("n_ab"), col("n_a"), col("n_c"),
-        (col("n_ab").cast("double") / lit(nBaskets.toDouble)).as("support"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
         (col("n_ab").cast("double") / col("n_a").cast("double"))
           .as("confidence"),
-        ((col("n_ab") * nBaskets).cast("double") /
+        ((col("n_ab") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_c")).cast("double")).as("lift"))
   }
 }

@@ -1941,7 +1941,8 @@ object AnalyticsQueries {
         |SELECT MAX(tb) AS n_base, MAX(tc) AS n_cur,
         |       CAST(MAX(diff) AS DOUBLE) /
         |         CAST(MAX(tb) * MAX(tc) AS DOUBLE) AS ks_d,
-        |       (SELECT MIN(v) FROM e, m WHERE e.diff = m.mx) AS ks_at
+        |       CAST((SELECT MIN(v) FROM e, m WHERE e.diff = m.mx)
+        |         AS DOUBLE) AS ks_at
         |FROM e""".stripMargin,
     // plain join — the Bloom prune must be invisible in the result
     "bloom_prune_join" ->

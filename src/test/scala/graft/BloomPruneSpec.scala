@@ -109,6 +109,15 @@ class BloomPruneSpec extends SparkSpec {
     underJoin shouldBe true
   }
 
+  test("shared key NAMES resolve via dataset-qualified refs") {
+    val f = Seq((1L, "fx"), (2L, "fy")).toDF("id", "f_val")
+    val d = Seq((1L, "dx")).toDF("id", "d_val")
+    val inner = BloomPrune.pruneInnerJoin(f, "id", d, "id", 100L)
+    inner.count() shouldBe 1L
+    rows(BloomPrune.pruneSemiJoin(f, "id", d, "id", 100L)) shouldBe
+      rows(f.filter(col("id") === 1L))
+  }
+
   test("sizing: numBitsFor follows the standard formula and clamps") {
     // 1M items at 1% → ~9.59M bits
     val bits = BloomPrune.numBitsFor(1000000L, 0.01)

@@ -147,6 +147,16 @@ class DriftSpec extends SparkSpec {
     t.getDouble(3) shouldBe 1.0
   }
 
+  test("ksStatistic refuses an empty side instead of returning NaN") {
+    import spark.implicits._
+    val some = Seq(1.0, 2.0).toDF("p")
+    val onlyNulls = Seq[Option[Double]](None, None).toDF("p")
+    an[IllegalArgumentException] should be thrownBy
+      Drift.ksStatistic(some, some.limit(0), "p")
+    an[IllegalArgumentException] should be thrownBy
+      Drift.ksStatistic(onlyNulls, some, "p")
+  }
+
   test("ksStatistic ignores NULLs and is partitioning-invariant") {
     import spark.implicits._
     val base = Seq[Option[Double]](Some(1), None, Some(2), Some(3)).toDF("p")

@@ -272,4 +272,15 @@ class GraphSpec extends SparkSpec {
     Graph.bfsLevels(edges, "src", "dst", seeds.limit(0), "id", 5)
       .count() shouldBe 0L
   }
+
+  test("bfsLevels drops NULL endpoints in BOTH edge directions") {
+    import spark.implicits._
+    val dirty = Seq((Some(1L), Some(2L)), (None, Some(1L)),
+      (Some(2L), None)).toDF("src", "dst")
+    val got = Graph.bfsLevels(dirty, "src", "dst", Seq(1L).toDF("id"),
+        "id", 3)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0))
+        -> r.getInt(1))
+    got.toMap shouldBe Map(1L -> 0, 2L -> 1)
+  }
 }
