@@ -130,7 +130,73 @@ object Multimodal {
       else if (isPng(p)) parsePng(p)
       else if (isJpeg(p)) parseJpeg(p)
       else if (isGif(p)) ("gif", le16(p, 6), le16(p, 8), 3)
+      else if (isBmp(p)) parseBmp(p)
+      else if (isWebp(p)) parseWebp(p)
       else Unknown
+    }
+
+    /** BMP (Windows bitmap spec): "BM", DIB header at 14 — the modern
+      * BITMAPINFOHEADER family (size ≥ 40: LE32 width, SIGNED LE32
+      * height — negative means top-down, dimensions reported
+      * absolute) and the legacy BITMAPCOREHEADER (size 12: LE16
+      * fields). Channels from the bit-count: ≤8 palette-indexed → 1,
+      * 16/24 → 3, 32 → 4. */
+    private def isBmp(p: Array[Byte]): Boolean =
+      p.length >= 26 && p(0) == 'B' && p(1) == 'M'
+
+    private def bmpChannels(bits: Int): Int = bits match {
+      case 1 | 4 | 8 => 1
+      case 16 | 24 => 3
+      case 32 => 4
+      case _ => -1
+    }
+
+    private def parseBmp(p: Array[Byte]): (String, Int, Int, Int) = {
+      val dib = le32(p, 14)
+      if (dib >= 40 && p.length >= 14 + 40) {
+        val w = le32(p, 18).toInt
+        val h = le32(p, 22).toInt
+        val ch = bmpChannels(le16(p, 28))
+        if (w <= 0 || h == 0 || ch < 0) Unknown
+        else ("bmp", w, math.abs(h), ch)
+      } else if (dib == 12 && p.length >= 14 + 12) {
+        val ch = bmpChannels(le16(p, 24))
+        val (w, h) = (le16(p, 18), le16(p, 20))
+        if (w == 0 || h == 0 || ch < 0) Unknown else ("bmp", w, h, ch)
+      } else Unknown
+    }
+
+    /** WebP (RIFF container, Google's published format): "RIFF" …
+      * "WEBP" then the first chunk decides the flavor — "VP8 " (lossy:
+      * 3-byte frame tag, 9D 01 2A sync, 14-bit LE dimensions), "VP8L"
+      * (lossless: 0x2F signature then width−1/height−1 as 14-bit
+      * fields with an alpha flag at bit 28), "VP8X" (extended: flag
+      * byte with alpha at 0x10, canvas−1 as 24-bit LE fields). */
+    private def isWebp(p: Array[Byte]): Boolean =
+      p.length >= 21 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' &&
+        p(11) == 'P'
+
+    private def le24(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+    private def parseWebp(p: Array[Byte]): (String, Int, Int, Int) = {
+      val tag = new String(p.slice(12, 16), "US-ASCII")
+      tag match {
+        case "VP8L" if p.length >= 25 && (p(20) & 0xff) == 0x2f =>
+          val bits = le32(p, 21)
+          val w = (bits & 0x3fff).toInt + 1
+          val h = ((bits >> 14) & 0x3fff).toInt + 1
+          val alpha = ((bits >> 28) & 1L) == 1L
+          ("webp", w, h, if (alpha) 4 else 3)
+        case "VP8 " if p.length >= 30 && (p(23) & 0xff) == 0x9d &&
+          (p(24) & 0xff) == 0x01 && (p(25) & 0xff) == 0x2a =>
+          ("webp", le16(p, 26) & 0x3fff, le16(p, 28) & 0x3fff, 3)
+        case "VP8X" if p.length >= 30 =>
+          val alpha = (p(20) & 0x10) != 0
+          ("webp", le24(p, 24) + 1, le24(p, 27) + 1, if (alpha) 4 else 3)
+        case _ => Unknown
+      }
     }
 
     private def isPng(p: Array[Byte]): Boolean =

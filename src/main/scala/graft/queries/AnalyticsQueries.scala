@@ -985,6 +985,25 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("grid_ts"))
     }),
 
+    // Weakly connected components over the co-purchase graph (same
+    // sampled edge set as copurchase_kcore), via the dedup engine's
+    // min-label machinery (Dedup.duplicateClusters: driver union-find
+    // under the probe cap, distributed pointer-jumping loop above it
+    // — identical semantics, spec-pinned). The graph-analytics face
+    // of the same component problem near-dup clustering solves.
+    "copurchase_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("p_partkey"), col("cluster").as("component"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Multi-source BFS hop levels over the co-purchase graph (same
     // sampled edge set as copurchase_kcore): per part, the shortest
     // path length from any seed part — per round ONE frontier join +
@@ -1830,6 +1849,22 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "copurchase_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |p AS (
+        |  SELECT x.pk AS id_a, y.pk AS id_b
+        |  FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS p_partkey, MIN(lbl) AS component
+        |FROM reach GROUP BY id ORDER BY p_partkey""".stripMargin,
     "part_bfs_hops" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -583,6 +583,31 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // Offline search-quality evaluation: precision/recall/MRR/nDCG@5
+    // of the brute-force cosine top-k against label-match relevance
+    // judgments (same-label vectors are the relevant set). One
+    // (query, doc) join + one judgment window + two aggregations —
+    // RankingEval scaladoc carries the determinism discipline
+    // (round-9 discount terms, DECIMAL sums). Hash-green.
+    "search_eval_metrics" -> ((s, dir) => {
+      import graft.operators.{RankingEval, Similarity}
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val topk = Similarity.bruteForceTopK(
+          emb.select(col("vec_id"), col("embedding")), queries,
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      val judg = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("label") === col("q_label") && col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"), lit(1.0).as("rel"))
+      RankingEval.evaluate(topk, "q_id", "doc_id", "rnk", judg, "rel", 5)
+        .withColumnRenamed("q", "q_id")
+        .orderBy(col("q_id"))
+    }),
+
     "embedding_topk_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -1029,10 +1054,35 @@ object PipelineQueries {
         lit("03012200021101031101")) // 3 components
       val gifHex = concat(lit("474946383961"), le16(w), le16(h),
         lit("F700003B")) // flags/bg/aspect + trailer
+      def le32h(c: org.apache.spark.sql.Column) = concat(
+        hx(pmod(c, lit(256)), 2),
+        hx(pmod(shiftright(c, 8), lit(256)), 2),
+        hx(pmod(shiftright(c, 16), lit(256)), 2),
+        hx(pmod(shiftright(c, 24), lit(256)), 2))
+      // BITMAPINFOHEADER: BM + filesize/reserved/offset, dib=40,
+      // LE32 dims, planes=1, bitcount ∈ {8,24,32} → 1/3/4 channels
+      val bmpBitsFixed = when(pmod(col("doc_id"), lit(3)) === 0, 8)
+        .when(pmod(col("doc_id"), lit(3)) === 1, 24).otherwise(32)
+      val bmpHex = concat(
+        lit("424D"), le32h(lit(54)), lit("00000000"), le32h(lit(54)),
+        le32h(lit(40)), le32h(w), le32h(h),
+        concat(hx(lit(1), 2), lit("00")), // planes LE16 = 1
+        concat(hx(bmpBitsFixed, 2), lit("00")), // bitcount LE16
+        repeat(lit("00"), 24)) // compression..colors-important
+      // WebP VP8L: RIFF/WEBP + VP8L chunk, 0x2F sig, 14-bit dims with
+      // the alpha flag at bit 28
+      val alpha = pmod(col("doc_id"), lit(2))
+      val vp8lBits = (w - 1) + (h - 1) * lit(16384) +
+        alpha.cast("long") * lit(268435456L)
+      val webpHex = concat(
+        lit("52494646"), le32h(lit(17)), lit("57454250"),
+        lit("5650384C"), le32h(lit(5)), lit("2F"), le32h(vp8lBits))
       val media = docs.select(col("doc_id"), unhex(
-        when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
-          .when(pmod(col("doc_id"), lit(3)) === 1, jpegHex)
-          .otherwise(gifHex)).as("media"))
+        when(pmod(col("doc_id"), lit(5)) === 0, pngHex)
+          .when(pmod(col("doc_id"), lit(5)) === 1, jpegHex)
+          .when(pmod(col("doc_id"), lit(5)) === 2, gifHex)
+          .when(pmod(col("doc_id"), lit(5)) === 3, bmpHex)
+          .otherwise(webpHex)).as("media"))
       Multimodal.imageDims(media, "doc_id", "media")
         .orderBy(col("doc_id"))
     }),
@@ -1399,6 +1449,64 @@ object PipelineQueries {
          |  FROM banded)
          |SELECT q_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY q_id, rnk""".stripMargin,
+    "search_eval_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS doc_id,
+         |    ${cosSql("q.q_vec", "e.embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |res AS (
+         |  SELECT q_id, doc_id, rnk FROM (
+         |    SELECT q_id, doc_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cos DESC, doc_id) AS rnk
+         |    FROM scored) WHERE rnk <= 5),
+         |j AS (
+         |  SELECT q.q_id, e.vec_id AS doc_id, CAST(1.0 AS DOUBLE) AS rel
+         |  FROM q JOIN embeddings e
+         |    ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |joined AS (
+         |  SELECT r.q_id, r.rnk, COALESCE(j.rel, CAST(0.0 AS DOUBLE)) AS rel
+         |  FROM res r LEFT JOIN j ON j.q_id = r.q_id AND j.doc_id = r.doc_id),
+         |perq AS (
+         |  SELECT q_id, COUNT(*) AS n_results,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits,
+         |    MIN(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+         |    CAST(SUM(CAST(round(rel / (ln(CAST(rnk AS DOUBLE) + 1)
+         |                               / ln(2.0)), 9)
+         |                  AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+         |  FROM joined GROUP BY q_id),
+         |ideal AS (
+         |  SELECT q_id, rel,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY rel DESC, doc_id) AS irnk
+         |  FROM j),
+         |idealq AS (
+         |  SELECT q_id, COUNT(*) AS n_rel,
+         |    CAST(SUM(CASE WHEN irnk <= 5 THEN
+         |             CAST(round(rel / (ln(CAST(irnk AS DOUBLE) + 1)
+         |                               / ln(2.0)), 9)
+         |                  AS DECIMAL(28,12)) END) AS DOUBLE) AS idcg
+         |  FROM ideal GROUP BY q_id)
+         |SELECT p.q_id, p.n_results, COALESCE(i.n_rel, 0) AS n_rel,
+         |       p.hits,
+         |       CAST(p.hits AS DOUBLE) / CAST(5.0 AS DOUBLE)
+         |         AS precision_at_k,
+         |       CASE WHEN COALESCE(i.n_rel, 0) > 0
+         |            THEN CAST(p.hits AS DOUBLE) / CAST(i.n_rel AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS recall_at_k,
+         |       CASE WHEN p.first_rel IS NOT NULL
+         |            THEN CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS mrr,
+         |       p.dcg, COALESCE(i.idcg, CAST(0.0 AS DOUBLE)) AS idcg,
+         |       CASE WHEN COALESCE(i.idcg, CAST(0.0 AS DOUBLE)) > 0
+         |            THEN round(p.dcg / i.idcg, 9)
+         |            ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+         |FROM perq p LEFT JOIN idealq i ON i.q_id = p.q_id
+         |ORDER BY p.q_id""".stripMargin,
     "embedding_topk_cosine" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
@@ -1578,13 +1686,20 @@ object PipelineQueries {
     // container headers
     "media_dimensions" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |       WHEN 3 THEN 'bmp' ELSE 'webp' END AS format,
         |  CAST(16 + doc_id % 1000 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |       WHEN 0 THEN
         |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
         |              WHEN 2 THEN 2 ELSE 4 END
+        |       WHEN 3 THEN
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
+        |              ELSE 4 END
+        |       WHEN 4 THEN
+        |         CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 3 ELSE 4 END
         |       ELSE 3 END AS INT) AS n_channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the planted audio-header arithmetic of audio_meta; duration is

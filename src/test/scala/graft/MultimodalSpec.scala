@@ -443,4 +443,76 @@ class MultimodalSpec extends SparkSpec {
     all(tiny) should be >= 0
     all(tiny) should be <= 255
   }
+
+  test("MediaHeaders: BMP via ImageIO parity; WebP VP8/VP8L/VP8X layouts") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val mh = Multimodal.MediaHeaders
+    def bmp(w: Int, h: Int, t: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, t)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "bmp", bos), "ImageIO lacks bmp writer")
+      bos.toByteArray
+    }
+    mh.parse(bmp(321, 17, BufferedImage.TYPE_INT_RGB)) shouldBe
+      (("bmp", 321, 17, 3))
+    mh.parse(bmp(5, 1200, BufferedImage.TYPE_BYTE_GRAY)) shouldBe
+      (("bmp", 5, 1200, 1))
+    // hand-planted negative-height (top-down) BITMAPINFOHEADER reports
+    // the absolute height
+    val td = bmp(8, 4, BufferedImage.TYPE_INT_RGB).clone()
+    val neg = -4
+    td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+    td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+    mh.parse(td) shouldBe (("bmp", 8, 4, 3))
+
+    // WebP layouts from the published spec (no JDK encoder exists)
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      val size = 4 + 8 + payload.length
+      bos.write(Array[Byte]((size & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+        ((size >> 16) & 0xff).toByte, ((size >> 24) & 0xff).toByte))
+      bos.write("WEBP".getBytes("US-ASCII"))
+      bos.write(tag.getBytes("US-ASCII"))
+      val ps = payload.length
+      bos.write(Array[Byte]((ps & 0xff).toByte, ((ps >> 8) & 0xff).toByte,
+        ((ps >> 16) & 0xff).toByte, ((ps >> 24) & 0xff).toByte))
+      bos.write(payload)
+      bos.toByteArray
+    }
+    // VP8L: 0x2F then (w-1) | (h-1)<<14 | alpha<<28, LE32
+    def vp8l(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+      riff("VP8L", Array[Byte](0x2f, (bits & 0xff).toByte,
+        ((bits >> 8) & 0xff).toByte, ((bits >> 16) & 0xff).toByte,
+        ((bits >> 24) & 0xff).toByte))
+    }
+    mh.parse(vp8l(800, 601, alpha = false)) shouldBe (("webp", 800, 601, 3))
+    mh.parse(vp8l(1, 16383, alpha = true)) shouldBe (("webp", 1, 16383, 4))
+    // VP8 (lossy): 3-byte frame tag, 9D 01 2A sync, LE14 dims
+    def vp8(w: Int, h: Int): Array[Byte] =
+      riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte))
+    mh.parse(vp8(640, 480)) shouldBe (("webp", 640, 480, 3))
+    // VP8X (extended): flags byte (alpha 0x10), canvas-1 as LE24
+    def vp8x(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+      val (cw, chh) = (w - 1, h - 1)
+      riff("VP8X", Array[Byte]((if (alpha) 0x10 else 0).toByte, 0, 0, 0,
+        (cw & 0xff).toByte, ((cw >> 8) & 0xff).toByte,
+        ((cw >> 16) & 0xff).toByte,
+        (chh & 0xff).toByte, ((chh >> 8) & 0xff).toByte,
+        ((chh >> 16) & 0xff).toByte))
+    }
+    mh.parse(vp8x(4000, 3000, alpha = true)) shouldBe
+      (("webp", 4000, 3000, 4))
+    mh.parse(vp8x(2, 2, alpha = false)) shouldBe (("webp", 2, 2, 3))
+    // corrupt variants stay unknown
+    mh.parse(riff("VP8L", Array[Byte](0x30, 0, 0, 0, 0))) shouldBe mh.Unknown
+    mh.parse(riff("VP8 ", Array[Byte](0, 0, 0, 0x11, 0x22, 0x33,
+      1, 0, 1, 0))) shouldBe mh.Unknown
+    mh.parse("BMX not a bitmap".getBytes("US-ASCII")) shouldBe mh.Unknown
+  }
 }
