@@ -54,4 +54,46 @@ object Privacy {
           .as("sensitive_distinct"))
       .filter(col("sensitive_distinct") < l)
   }
+
+  /** One link in a deletion cascade: rows of `df` whose `matchKey` is
+    * in the incoming key set are deleted; `emitKey` (when set) feeds
+    * the NEXT table's key set — the foreign-key walk of a
+    * right-to-erasure request. */
+  final case class CascadeStep(table: String, df: DataFrame,
+                               matchKey: String,
+                               emitKey: Option[String] = None)
+
+  /** Right-to-erasure cascade AUDIT: walk the foreign-key chain from
+    * the root subject keys and report, per table, how many rows the
+    * deletion removes vs holds — the evidence a privacy review signs
+    * off before [[purge]] runs. Pure semi-join composition: each step
+    * is one key-partitioned semi-join plus two counts folded into a
+    * single lazy result; nothing is quadratic and nothing collects.
+    * Returns (tbl, n_total, n_deleted), one row per step, in step
+    * order (add your own ORDER BY for a stable external sort). */
+  def forgetCascadeAudit(rootKeys: DataFrame, rootKeyCol: String,
+                         steps: Seq[CascadeStep]): DataFrame = {
+    require(steps.nonEmpty, "at least one cascade step required")
+    var keys = rootKeys.select(col(rootKeyCol).as("__k")).distinct()
+    val audits = steps.map { st =>
+      val deleted = st.df.join(keys, st.df(st.matchKey) === col("__k"),
+        "left_semi")
+      val row = st.df.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(st.table).as("tbl"), col("n_total"), col("n_deleted"))
+      st.emitKey.foreach { ek =>
+        keys = deleted.select(col(ek).as("__k")).distinct()
+      }
+      row
+    }
+    audits.reduce(_.unionByName(_))
+  }
+
+  /** The destructive half: rows of `df` SURVIVING deletion of the
+    * given subject keys (anti-join — the exact complement of the
+    * audit's deleted set). */
+  def purge(df: DataFrame, matchKey: String, keys: DataFrame,
+            keyCol: String): DataFrame =
+    df.join(keys.select(col(keyCol).as("__k")).distinct(),
+      df(matchKey) === col("__k"), "left_anti")
 }

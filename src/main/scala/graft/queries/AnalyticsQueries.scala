@@ -1025,6 +1025,52 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Right-to-erasure cascade audit: deletion requests for a set of
+    // customers walk the FK chain customer → orders → lineitem, and
+    // each table reports rows removed vs held — the governance
+    // evidence before the purge runs. Pure semi-join composition in
+    // ONE lazy plan (Privacy.forgetCascadeAudit). Hash-green.
+    "forget_user_cascade" -> ((s, dir) => {
+      import graft.operators.Privacy
+      val req = t(s, dir, "customer").filter(col("c_custkey") % 101 === 0)
+      Privacy.forgetCascadeAudit(req, "c_custkey", Seq(
+          Privacy.CascadeStep("1_customer", t(s, dir, "customer"),
+            "c_custkey", Some("c_custkey")),
+          Privacy.CascadeStep("2_orders", t(s, dir, "orders"),
+            "o_custkey", Some("o_orderkey")),
+          Privacy.CascadeStep("3_lineitem", t(s, dir, "lineitem"),
+            "l_orderkey")))
+        .orderBy(col("tbl"))
+    }),
+
+    // Bitemporal as-of reconstruction: every order carries TWO
+    // versions (the original, transaction-visible from the order
+    // date; a correction visible 30 days later), each valid for 90
+    // days of business time. The query answers "what did we BELIEVE
+    // on T about the state valid at V" — both temporal axes filtered
+    // independently; exactly one version per order survives a fixed
+    // T. The valid-time twin of scd2_as_of's transaction-time read.
+    "bitemporal_as_of" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+      def version(n: Int, txFrom: org.apache.spark.sql.Column,
+                  txTo: org.apache.spark.sql.Column,
+                  price: org.apache.spark.sql.Column) =
+        ord.select(col("o_orderkey"), lit(n).cast("long").as("version"),
+          price.as("price"), col("d").as("valid_from"),
+          date_add(col("d"), 90).as("valid_to"),
+          txFrom.as("tx_from"), txTo.as("tx_to"))
+      val bt = version(1, col("d"), date_add(col("d"), 30),
+          col("o_totalprice"))
+        .unionByName(version(2, date_add(col("d"), 30),
+          lit("9999-12-31").cast("date"), col("o_totalprice") + 10.0))
+      val v = lit("1996-03-01").cast("date")
+      val tt = lit("1996-02-01").cast("date")
+      bt.filter(col("valid_from") <= v && v < col("valid_to") &&
+          col("tx_from") <= tt && tt < col("tx_to"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // k-anonymity audit: quasi-identifier (nation, segment) groups
     // with fewer than 10 members — the re-identification exposure a
     // release gate reads. One partial-aggregated shuffle (Privacy
@@ -1849,6 +1895,49 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "forget_user_cascade" ->
+      """WITH req AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 101 = 0),
+        |delc AS (SELECT c_custkey FROM customer SEMI JOIN req
+        |         ON c_custkey = k),
+        |delo AS (SELECT o_orderkey FROM orders SEMI JOIN delc
+        |         ON o_custkey = c_custkey),
+        |dell AS (SELECT l_orderkey FROM lineitem SEMI JOIN delo
+        |         ON l_orderkey = o_orderkey)
+        |SELECT * FROM (
+        |  SELECT '1_customer' AS tbl,
+        |         (SELECT COUNT(*) FROM customer) AS n_total,
+        |         (SELECT COUNT(*) FROM delc) AS n_deleted
+        |  UNION ALL
+        |  SELECT '2_orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM delo)
+        |  UNION ALL
+        |  SELECT '3_lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM dell))
+        |ORDER BY tbl""".stripMargin,
+    "bitemporal_as_of" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |bt AS (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+        |         o_totalprice AS price, d AS valid_from,
+        |         d + 90 AS valid_to, d AS tx_from, d + 30 AS tx_to
+        |  FROM ord
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT),
+        |         o_totalprice + 10.0, d, d + 90,
+        |         d + 30, DATE '9999-12-31'
+        |  FROM ord)
+        |SELECT * FROM bt
+        |WHERE valid_from <= DATE '1996-03-01'
+        |  AND DATE '1996-03-01' < valid_to
+        |  AND tx_from <= DATE '1996-02-01'
+        |  AND DATE '1996-02-01' < tx_to
+        |ORDER BY o_orderkey""".stripMargin,
     "copurchase_components" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

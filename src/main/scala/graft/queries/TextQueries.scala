@@ -138,6 +138,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Reliability diagram for the trained classifier: the HOLDOUT
+    // split (doc_id%10 >= 8 — never seen by the trainer) is scored,
+    // decile-binned on the integer micro-unit logit (ntile over a
+    // total (score, doc_id) order — deterministic), and each bin
+    // reports its actual positive rate vs its mean score. Everything
+    // is exact integer arithmetic until the two final divisions, so
+    // the calibration curve hash-matches across engines. A
+    // well-calibrated ranker shows pos_rate monotone in the bin.
+    "calibration_bins" -> ((s, dir) => {
+      import graft.functions.LinearModel
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val w = LinearModel.trainPosteriorWeightsQ(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select(col("text"), (col("lang") === "en").as("is_en")),
+        "text", "is_en", 4096)
+      docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score_q")).as("sum_score_q"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("pos_rate"),
+          (col("sum_score_q").cast("double") / col("n").cast("double"))
+            .as("mean_score_q"))
+        .orderBy(col("bin"))
+    }),
+
     // Corpus card: per-(lang, source) doc counts, token totals, and
     // mean quality — the summary a curated training set ships with.
     // One grouped aggregate; the mean is FLOOR-quantized to integer
@@ -694,6 +727,43 @@ object TextQueries {
          |  COALESCE(sc.score_q, 0) > 0 AS keep
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // trained-classifier CTEs + decile binning on the holdout split;
+    // integer arithmetic end to end except the two final divisions
+    "calibration_bins" ->
+      s"""WITH tr AS (
+         |  SELECT unnest($tokensSql) AS tok, lang = 'en' AS pos
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |w AS (
+         |  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096
+         |           AS b,
+         |         (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000003
+         |           // (COUNT(*) + 2) - 500001 AS wq
+         |  FROM tr GROUP BY b),
+         |tok AS (
+         |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents
+         |  WHERE doc_id % 10 >= 8),
+         |sc AS (
+         |  SELECT t.doc_id, SUM(COALESCE(w.wq, 0)) AS score_q
+         |  FROM tok t LEFT JOIN w
+         |    ON CAST(('0x' || substring(md5(t.tok), 1, 8)) AS BIGINT) % 4096
+         |       = w.b
+         |  GROUP BY t.doc_id),
+         |hold AS (
+         |  SELECT d.doc_id, d.lang = 'en' AS pos,
+         |         CAST(COALESCE(sc.score_q, 0) AS BIGINT) AS score_q
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |  WHERE d.doc_id % 10 >= 8),
+         |binned AS (
+         |  SELECT *, CAST(ntile(10) OVER (ORDER BY score_q, doc_id)
+         |                 AS BIGINT) AS bin
+         |  FROM hold)
+         |SELECT bin, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+         |  CAST(SUM(score_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_score_q
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     "normalize_text" ->
       """WITH t AS (
         |  SELECT doc_id,

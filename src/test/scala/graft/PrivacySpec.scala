@@ -59,4 +59,29 @@ class PrivacySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Privacy.lDiversityViolations(people, Seq("country"), "diag", 1)
   }
+
+  test("forgetCascadeAudit walks the FK chain; purge is its complement") {
+    val users = Seq((1L, "u1"), (2L, "u2"), (3L, "u3")).toDF("uid", "name")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("oid", "o_uid")
+    val items = Seq((10L, "a"), (10L, "b"), (12L, "c"), (13L, "d"))
+      .toDF("i_oid", "sku")
+    val req = Seq(1L, 2L).toDF("uid")
+    val audit = Privacy.forgetCascadeAudit(req, "uid", Seq(
+        Privacy.CascadeStep("users", users, "uid", Some("uid")),
+        Privacy.CascadeStep("orders", orders, "o_uid", Some("oid")),
+        Privacy.CascadeStep("items", items, "i_oid")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    audit.toSeq shouldBe Seq(("users", 3L, 2L), ("orders", 4L, 3L),
+      ("items", 4L, 3L))
+    // purge retains exactly the survivors of the same walk
+    val keptOrders = Privacy.purge(orders, "o_uid", req, "uid")
+    keptOrders.select("oid").as[Long].collect().toSeq shouldBe Seq(13L)
+    // anti vs semi are exact complements on every step
+    val delOrders = orders.join(req.select(col("uid").as("__k")),
+      col("o_uid") === col("__k"), "left_semi")
+    delOrders.count() + keptOrders.count() shouldBe orders.count()
+    an[IllegalArgumentException] should be thrownBy
+      Privacy.forgetCascadeAudit(req, "uid", Nil)
+  }
 }
