@@ -117,4 +117,34 @@ object TimeSeries {
       .select(sc ++ Seq(col("season"), col("instance"), col("cnt"),
         col("z")): _*)
   }
+
+  /** CUSUM change-point scan: S_t = Σ_{i≤t} (x_i − μ) against the
+    * whole-series mean μ — the classic cumulative-sum drift detector.
+    * A level shift makes |S| grow linearly from the shift onward, so
+    * argmax|S| locates the change; a stable series random-walks near
+    * zero. Per (series) one ordered window cumsum — the running sum
+    * evaluates in frame order, so the float accumulation is the SAME
+    * operation sequence on any engine and the statistic is
+    * bit-stable. μ is injected per series via one broadcast-joined
+    * aggregate (exact integer sum / count, one IEEE division).
+    *
+    * Returns the input keyed rows + (mu, s, abs_s); downstream picks
+    * argmax (deterministic: break ties on the order column).
+    */
+  def cusum(df: DataFrame, seriesCols: Seq[String], orderCol: String,
+            valueCol: String): DataFrame = {
+    require(seriesCols.nonEmpty,
+      "at least one series column required (use a literal for a single series)")
+    val sc = seriesCols.map(col)
+    val mu = df.groupBy(sc: _*)
+      .agg((sum(col(valueCol)).cast("double") /
+        count(lit(1)).cast("double")).as("mu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sc: _*).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    df.join(broadcast(mu), seriesCols)
+      .withColumn("s", sum(col(valueCol).cast("double") - col("mu")).over(w))
+      .withColumn("abs_s", abs(col("s")))
+  }
 }

@@ -1025,6 +1025,99 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Seasonal-naive forecast with MASE evaluation: per event type,
+    // forecast each of the series' LAST 7 days as "same day last
+    // week", score MAE over that holdout, and normalize by the
+    // in-sample naive MAE (Hyndman's MASE — the scale-free baseline
+    // every fancier forecaster must beat). Exact integer count
+    // arithmetic until the three final divisions; lag-7 is a CALENDAR
+    // self-join (robust to missing days, unlike a row-offset lag).
+    "forecast_seasonal_naive" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val horizon = daily.groupBy("event_type")
+        .agg(date_sub(max(col("day")), 6).as("h_start"))
+      val lagged = daily.as("c").join(
+          daily.select(col("event_type"), col("day").as("lag_day"),
+            col("n").as("n_lag")).as("l"),
+          col("c.event_type") === col("l.event_type") &&
+            col("c.day") === date_add(col("lag_day"), 7))
+        .select(col("c.event_type").as("event_type"), col("day"),
+          col("n"), col("n_lag"))
+        .join(horizon, Seq("event_type"))
+        .withColumn("abs_err", abs(col("n") - col("n_lag")))
+        .withColumn("holdout", col("day") >= col("h_start"))
+      lagged.groupBy("event_type").agg(
+          sum(when(col("holdout"), 1L).otherwise(0L)).as("n_holdout"),
+          sum(when(col("holdout"), col("abs_err"))).as("err_holdout"),
+          sum(when(!col("holdout"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(!col("holdout"), col("abs_err"))).as("err_train"))
+        .select(col("event_type"), col("n_holdout"), col("n_train"),
+          (col("err_holdout").cast("double") /
+            col("n_holdout").cast("double")).as("mae"),
+          ((col("err_holdout").cast("double") /
+            col("n_holdout").cast("double")) /
+            (col("err_train").cast("double") /
+              col("n_train").cast("double"))).as("mase"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUSUM change-point scan over the daily event volume: S_t =
+    // Σ(x−μ) random-walks near zero for a stable series and ramps
+    // from a level shift onward; argmax|S| locates the change
+    // (TimeSeries.cusum — the window cumsum evaluates in frame order,
+    // so the float accumulation is bit-stable cross-engine).
+    "cusum_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day_no"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.cusum(daily, Seq("event_type"),
+          "day_no", "n")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          max(col("mu")).as("mu"),
+          max(col("abs_s")).as("max_abs_s"),
+          (-max(struct(col("abs_s"), (-col("day_no")).as("nd")))
+            .getField("nd")).as("change_day"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Two-proportion z-test on an A/B split (user_id parity): did
+    // variant B convert (≥1 HIGH-VALUE purchase — value > 180; "any
+    // purchase" saturates at 100% on this data, degenerating the
+    // pooled variance to zero) at a different rate than A?
+    // Exact integer counts into the one closed-form z expression —
+    // sqrt is IEEE-correctly-rounded on both engines, so the
+    // statistic hash-matches. The experiment-analysis face of the
+    // engine's statistics surface.
+    "ab_conversion_ztest" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 180.0, 1L).otherwise(0L)).as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val agg = perUser.groupBy().agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted"))).as("x_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted"))).as("x_b"))
+      agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          (col("x_a").cast("double") / col("n_a").cast("double"))
+            .as("p_a"),
+          (col("x_b").cast("double") / col("n_b").cast("double"))
+            .as("p_b"),
+          ((col("x_a") + col("x_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")).as("p_pool"))
+        .withColumn("z",
+          (col("p_a") - col("p_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))))
+    }),
+
     // Right-to-erasure cascade audit: deletion requests for a set of
     // customers walk the FK chain customer → orders → lineitem, and
     // each table reports rows removed vs held — the governance
@@ -1895,6 +1988,92 @@ object AnalyticsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "forecast_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, MAX(day) - 6 AS h_start
+        |  FROM daily GROUP BY 1),
+        |lagged AS (
+        |  SELECT c.event_type, c.day, c.n, l.n AS n_lag
+        |  FROM daily c JOIN daily l
+        |    ON c.event_type = l.event_type AND c.day = l.day + 7),
+        |j AS (
+        |  SELECT lg.event_type, ABS(lg.n - lg.n_lag) AS abs_err,
+        |         lg.day >= h.h_start AS holdout
+        |  FROM lagged lg JOIN h ON lg.event_type = h.event_type)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN holdout THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_holdout,
+        |  CAST(SUM(CASE WHEN NOT holdout THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN holdout THEN abs_err END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN holdout THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS mae,
+        |  (CAST(SUM(CASE WHEN holdout THEN abs_err END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN holdout THEN 1 ELSE 0 END) AS DOUBLE))
+        |  / (CAST(SUM(CASE WHEN NOT holdout THEN abs_err END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN NOT holdout THEN 1 ELSE 0 END)
+        |           AS DOUBLE)) AS mase
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+        |           AS day_no,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.event_type, d.day_no, m.mu,
+        |         SUM(CAST(d.n AS DOUBLE) - m.mu)
+        |           OVER (PARTITION BY d.event_type ORDER BY d.day_no
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS s
+        |  FROM daily d JOIN m USING (event_type)),
+        |x AS (
+        |  SELECT *, MAX(ABS(s)) OVER (PARTITION BY event_type) AS mx
+        |  FROM c)
+        |SELECT event_type, COUNT(*) AS n_days, MAX(mu) AS mu,
+        |       MAX(ABS(s)) AS max_abs_s,
+        |       CAST(MIN(CASE WHEN ABS(s) = mx THEN day_no END) AS BIGINT)
+        |         AS change_day
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ab_conversion_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' AND value > 180.0
+        |             THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT *, user_id % 2 AS variant FROM pu),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS x_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS x_b
+        |  FROM v),
+        |p AS (
+        |  SELECT *,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      AS p_pool
+        |  FROM a)
+        |SELECT n_a, x_a, n_b, x_b, p_a, p_b, p_pool,
+        |       (p_a - p_b) /
+        |         sqrt(p_pool * (CAST(1.0 AS DOUBLE) - p_pool) *
+        |              (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |               CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
+        |FROM p""".stripMargin,
     "forget_user_cascade" ->
       """WITH req AS (
         |  SELECT DISTINCT c_custkey AS k FROM customer

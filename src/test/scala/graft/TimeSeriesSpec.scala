@@ -104,4 +104,28 @@ class TimeSeriesSpec extends SparkSpec {
     neg.head.getLong(2) shouldBe 9L
     neg.head.getDouble(4) should be < 0.0
   }
+
+  test("cusum: argmax|S| locates a planted level shift; stable series stays near zero") {
+    import spark.implicits._
+    // 40 days at level 10, then 40 at level 30 — shift at day 40
+    val shifted = (0 until 80).map(d =>
+      ("a", d.toLong, if (d < 40) 10L else 30L)).toDF("series", "day", "n")
+    val c = TimeSeries.cusum(shifted, Seq("series"), "day", "n")
+    val peak = c.orderBy(col("abs_s").desc, col("day")).select("day")
+      .head().getLong(0)
+    peak shouldBe 39L // |S| peaks on the last pre-shift day
+    // flat series: every prefix sums to exactly zero
+    val flat = (0 until 50).map(d => ("b", d.toLong, 7L))
+      .toDF("series", "day", "n")
+    TimeSeries.cusum(flat, Seq("series"), "day", "n")
+      .agg(max(abs(col("s")))).head().getDouble(0) shouldBe 0.0
+    // partitioning invariance of the running float sum
+    val a = TimeSeries.cusum(shifted.repartition(7), Seq("series"), "day", "n")
+      .orderBy("day").select("s").collect().map(_.getDouble(0)).toSeq
+    val b = TimeSeries.cusum(shifted.coalesce(1), Seq("series"), "day", "n")
+      .orderBy("day").select("s").collect().map(_.getDouble(0)).toSeq
+    a shouldBe b
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.cusum(flat, Nil, "day", "n")
+  }
 }
