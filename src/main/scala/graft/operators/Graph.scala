@@ -484,4 +484,73 @@ object Graph {
     und.unpersist()
     visited
   }
+
+  /** Link prediction over the undirected simple graph: for every
+    * non-adjacent node pair that shares at least `minCommon`
+    * neighbors, the three classic neighborhood scores —
+    * common-neighbor count, node Jaccard cn / (deg_a + deg_b − cn),
+    * and Adamic–Adar Σ_w 1/ln(deg(w)) over the shared neighbors w
+    * (rare shared neighbors are strong evidence; hubs are weak).
+    *
+    * Determinism: cn and the degrees are exact integers; Jaccard is
+    * ONE IEEE division; each Adamic–Adar term is 1/round(ln(deg),9)
+    * (the psi_term libm-ulp discipline) summed through DECIMAL so the
+    * total is independent of partitioning and engine.
+    *
+    * Scale shape: candidate pairs arise ONLY from the wedge self-join
+    * keyed on the shared neighbor — never an all-pairs product — so
+    * the work is Σ_w deg(w)² over spokes. `maxSpokeDeg` caps that
+    * quadratic term the way the n-gram containment df-cap does: a hub
+    * above the cap contributes NO pair evidence (its 1/ln weight is
+    * negligible anyway), bounding per-spoke fanout at maxSpokeDeg².
+    * The cap is part of the operator's semantics — an oracle must
+    * mirror it. Known-edge pairs leave via one anti-join against the
+    * canonical edge set.
+    *
+    * @return (id_a, id_b, common, jaccard, adamic_adar), id_a < id_b */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxSpokeDeg: Int = 10000,
+                  minCommon: Int = 1): DataFrame = {
+    require(maxSpokeDeg >= 2, s"maxSpokeDeg must be >= 2, got $maxSpokeDeg")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .cache() // adjacency + degrees + the known-edge anti-join
+    val adj = e.select(col("u").as("w"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy(col("w").as("id")).agg(count(lit(1)).as("deg"))
+    // spokes above the cap contribute no wedge (semantics, not a
+    // heuristic — mirrored by the oracle)
+    val spokes = adj
+      .join(deg.select(col("id").as("w"), col("deg").as("dw")), "w")
+      .filter(col("dw") <= maxSpokeDeg)
+    val pairs = spokes.as("l").join(spokes.as("r"), Seq("w"))
+      .filter(col("l.n") < col("r.n"))
+      .select(col("l.n").as("id_a"), col("r.n").as("id_b"),
+        col("l.dw").as("dw"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"),
+        sum((lit(1.0) / round(log(col("dw").cast("double")), 9))
+          .cast("decimal(28,12)")).cast("double").as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+      // id_a < id_b matches the canonical edge orientation, so one
+      // equi-anti-join removes every already-linked pair
+      .join(e.select(col("u").as("id_a"), col("v").as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+    val out = pairs
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"))
+          .as("jaccard"),
+        col("adamic_adar"))
+      .localCheckpoint(true) // node-pair-sized; frees the edge cache
+    e.unpersist()
+    out
+  }
 }

@@ -70,4 +70,62 @@ object RecordLinkage {
     if (total < 2) 0.0
     else row.getLong(0).toDouble / (total.toDouble * (total - 1).toDouble)
   }
+
+  /** Field-level survivorship rule for [[goldenRecord]]. NULLs never
+    * survive unless the cluster's field is entirely NULL (every rule
+    * rides an ordering that is NULL for NULL inputs, and
+    * `min_by`/`max_by` skip NULL orderings). Every rule is
+    * deterministic — ties break toward the SMALLEST value — so the
+    * golden record is a pure function of the cluster's contents,
+    * independent of partitioning or arrival order. */
+  sealed trait Rule
+  /** Largest value survives. */          case object MaxRule extends Rule
+  /** Smallest value survives. */         case object MinRule extends Rule
+  /** Longest string survives (tie → smallest). */
+  case object LongestRule extends Rule
+  /** Most frequent value survives (tie → smallest). */
+  case object ModeRule extends Rule
+
+  /** Golden-record merge — the survivorship step that completes the
+    * entity-resolution pipeline (candidate pairs → [[score]] →
+    * `Dedup.duplicateClusters` → ONE surviving record per entity).
+    * `records` must carry `clusterCol`; each listed field collapses
+    * per cluster under its [[Rule]], plus `n_members` (cluster size).
+    *
+    * Scale shape: max/min/longest fold in ONE partial-aggregated
+    * groupBy over the records; each MODE field needs its own
+    * (cluster, value) count — one extra aggregation + one
+    * cluster-keyed join per mode field, all partial-aggregated,
+    * never a window over raw rows. */
+  def goldenRecord(records: DataFrame, clusterCol: String,
+                   rules: Seq[(String, Rule)]): DataFrame = {
+    require(rules.nonEmpty, "at least one survivorship rule required")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate survivorship fields: ${names.mkString(", ")}")
+    require(!names.contains(clusterCol),
+      s"cluster column '$clusterCol' cannot carry a survivorship rule")
+    val base = records.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        rules.collect {
+          case (f, MaxRule) => max(col(f)).as(f)
+          case (f, MinRule) => min(col(f)).as(f)
+          case (f, LongestRule) =>
+            // longest, tie → smallest: minimize (−length, value).
+            // The ordering must be NULL (not a struct OF nulls) for
+            // NULL inputs so min_by skips them.
+            min_by(col(f), when(col(f).isNotNull,
+              struct((-length(col(f))).as("nl"), col(f).as("v")))).as(f)
+        }: _*)
+    rules.collect { case (f, ModeRule) => f }.foldLeft(base) { (acc, f) =>
+      val mode = records.filter(col(f).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"), col(f))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("cluster")
+        // most frequent, tie → smallest: minimize (−count, value)
+        .agg(min_by(col(f), struct((-col("cnt")).as("nc"),
+          col(f).as("v"))).as(f))
+      acc.join(mode, Seq("cluster"), "left")
+    }
+  }
 }

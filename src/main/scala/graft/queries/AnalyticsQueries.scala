@@ -1025,6 +1025,97 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // Link prediction over the co-purchase graph (same sampled edge
+    // set as copurchase_kcore): common-neighbor count, node Jaccard,
+    // Adamic–Adar for every non-adjacent pair sharing a neighbor —
+    // the "customers who bought X also bought Y" candidate generator.
+    // Pairs arise ONLY from the wedge join keyed on the shared
+    // neighbor (Graph.linkPredict; maxSpokeDeg caps hub fanout, far
+    // above any gate-SF degree but mirrored in the oracle as
+    // semantics). AA terms are 1/round(ln deg, 9) summed via DECIMAL.
+    "copurchase_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.linkPredict(edges, "src", "dst",
+          maxSpokeDeg = 100, minCommon = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Golden-record survivorship — the step that completes the ER
+    // pipeline (fuzzy candidate pairs → clusters → ONE surviving
+    // record per entity). Fuzzy-name candidates are BLOCKED on
+    // c_nationkey (the standard ER blocking key — without it the
+    // synthetic "Customer#NNN" names chain into one giant component
+    // under 1-edit flips and the merge degenerates to a single row);
+    // unclustered customers are their own entity. Field rules: min
+    // custkey (stable surviving id), longest name (tie → smallest),
+    // max acctbal, mode nationkey / mktsegment (tie → smallest) —
+    // every rule deterministic, so the golden record is a pure
+    // function of the cluster contents (RecordLinkage.goldenRecord).
+    "er_golden_record" -> ((s, dir) => {
+      import graft.operators.RecordLinkage._
+      val cust = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+      val nat = cust.select(col("c_custkey"), col("c_nationkey"))
+      val blocked = graft.operators.FuzzyJoin.selfJoin(cust, "c_custkey",
+          "c_name", maxDist = 1)
+        .join(nat.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("nk_a")), "id_a")
+        .join(nat.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nk_b")), "id_b")
+        .filter(col("nk_a") === col("nk_b"))
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.operators.Dedup.duplicateClusters(blocked)
+      val recs = cust
+        .join(clusters.withColumnRenamed("id", "c_custkey"),
+          Seq("c_custkey"), "left")
+        .withColumn("entity", coalesce(col("cluster"), col("c_custkey")))
+      goldenRecord(recs, "entity", Seq(
+          "c_custkey" -> MinRule, "c_name" -> LongestRule,
+          "c_acctbal" -> MaxRule, "c_nationkey" -> ModeRule,
+          "c_mktsegment" -> ModeRule))
+        .orderBy(col("cluster"))
+    }),
+
+    // Lagged cross-correlation between the daily view and purchase
+    // volumes at lags −3..+3 — "do purchases follow views by k days?".
+    // Pearson r from the SIX exact integer sums (daily counts are
+    // longs; Σxy ≲ 1e17 at 100 TB, inside Long) through one
+    // closed-form IEEE expression — identical op order both engines,
+    // so the statistic hash-matches. The lag axis is a 7-row
+    // broadcast; the calendar self-join keys on (day − lag).
+    "xcorr_view_purchase" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val lags = s.range(-3, 4)
+        .select(col("id").cast("int").as("lag"))
+      val n = col("n_days")
+      daily.select(col("day"), col("x")).crossJoin(broadcast(lags))
+        .join(daily.select(col("day").as("yday"), col("y")),
+          col("yday") === date_sub(col("day"), col("lag")))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag").cast("long").as("lag"), col("n_days"),
+          ((n * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((n * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((n * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("r"))
+        .orderBy(col("lag"))
+    }),
+
     // Seasonal-naive forecast with MASE evaluation: per event type,
     // forecast each of the series' LAST 7 days as "same day last
     // week", score MAE over that holdout, and normalize by the
@@ -2073,7 +2164,7 @@ object AnalyticsQueries {
         |         sqrt(p_pool * (CAST(1.0 AS DOUBLE) - p_pool) *
         |              (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
         |               CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
-        |FROM p""".stripMargin,
+        |FROM p ORDER BY n_a""".stripMargin,
     "forget_user_cascade" ->
       """WITH req AS (
         |  SELECT DISTINCT c_custkey AS k FROM customer
@@ -2133,6 +2224,115 @@ object AnalyticsQueries {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS p_partkey, MIN(lbl) AS component
         |FROM reach GROUP BY id ORDER BY p_partkey""".stripMargin,
+    "copurchase_link_predict" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (
+        |  SELECT DISTINCT LEAST(x.pk, y.pk) AS u, GREATEST(x.pk, y.pk) AS v
+        |  FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk),
+        |adj AS (
+        |  SELECT u AS w, v AS n FROM e
+        |  UNION ALL SELECT v AS w, u AS n FROM e),
+        |deg AS (SELECT w AS id, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |sp AS (
+        |  SELECT a.w, a.n, d.deg AS dw
+        |  FROM adj a JOIN deg d ON a.w = d.id WHERE d.deg <= 100),
+        |p AS (
+        |  SELECT l.n AS id_a, r.n AS id_b,
+        |         CAST(COUNT(*) AS BIGINT) AS common,
+        |         CAST(SUM(CAST(
+        |             CAST(1.0 AS DOUBLE)
+        |               / round(ln(CAST(l.dw AS DOUBLE)), 9)
+        |           AS DECIMAL(28,12))) AS DOUBLE) AS adamic_adar
+        |  FROM sp l JOIN sp r ON l.w = r.w AND l.n < r.n
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+        |np AS (
+        |  SELECT p.* FROM p ANTI JOIN e
+        |  ON p.id_a = e.u AND p.id_b = e.v)
+        |SELECT np.id_a, np.id_b, np.common,
+        |       CAST(np.common AS DOUBLE)
+        |         / CAST(da.deg + db.deg - np.common AS DOUBLE) AS jaccard,
+        |       np.adamic_adar
+        |FROM np JOIN deg da ON np.id_a = da.id
+        |        JOIN deg db ON np.id_b = db.id
+        |ORDER BY np.id_a, np.id_b""".stripMargin,
+    "er_golden_record" ->
+      """WITH RECURSIVE cust AS (
+        |  SELECT * FROM customer WHERE c_custkey % 10 = 0),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |    AND a.c_nationkey = b.c_nationkey),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |recs AS (
+        |  SELECT c.*, COALESCE(cl.cluster, c.c_custkey) AS entity
+        |  FROM cust c LEFT JOIN cl ON c.c_custkey = cl.id),
+        |base AS (
+        |  SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |         MIN(c_custkey) AS c_custkey, MAX(c_acctbal) AS c_acctbal
+        |  FROM recs GROUP BY entity),
+        |nm AS (
+        |  SELECT entity, c_name FROM (
+        |    SELECT entity, c_name, ROW_NUMBER() OVER (
+        |      PARTITION BY entity
+        |      ORDER BY length(c_name) DESC, c_name ASC) AS rn
+        |    FROM recs WHERE c_name IS NOT NULL) WHERE rn = 1),
+        |nk AS (
+        |  SELECT entity, c_nationkey FROM (
+        |    SELECT entity, c_nationkey, ROW_NUMBER() OVER (
+        |      PARTITION BY entity
+        |      ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+        |    FROM recs WHERE c_nationkey IS NOT NULL
+        |    GROUP BY entity, c_nationkey) WHERE rn = 1),
+        |mk AS (
+        |  SELECT entity, c_mktsegment FROM (
+        |    SELECT entity, c_mktsegment, ROW_NUMBER() OVER (
+        |      PARTITION BY entity
+        |      ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+        |    FROM recs WHERE c_mktsegment IS NOT NULL
+        |    GROUP BY entity, c_mktsegment) WHERE rn = 1)
+        |SELECT base.entity AS cluster, base.n_members, base.c_custkey,
+        |       nm.c_name, base.c_acctbal, nk.c_nationkey, mk.c_mktsegment
+        |FROM base
+        |LEFT JOIN nm USING (entity)
+        |LEFT JOIN nk USING (entity)
+        |LEFT JOIN mk USING (entity)
+        |ORDER BY cluster""".stripMargin,
+    "xcorr_view_purchase" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |              END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+        |j AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)),
+        |sums AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |       CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS r
+        |FROM sums ORDER BY lag""".stripMargin,
     "part_bfs_hops" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

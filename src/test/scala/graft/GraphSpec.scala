@@ -283,4 +283,63 @@ class GraphSpec extends SparkSpec {
         -> r.getInt(1))
     got.toMap shouldBe Map(1L -> 0, 2L -> 1)
   }
+
+  test("linkPredict scores the 4-cycle's diagonals exactly") {
+    import spark.implicits._
+    // square 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4), each with
+    // 2 common neighbors, all degrees 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredict(edges, "src", "dst")
+      .orderBy("id_a", "id_b").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((1L, 3L, 2L), (2L, 4L, 2L))
+    // jaccard = 2 / (2 + 2 − 2) = 1.0 (their neighborhoods coincide)
+    got.map(_.getDouble(3)) shouldBe Array(1.0, 1.0)
+    // adamic–adar = 2 · 1/round(ln 2, 9), summed through DECIMAL(28,12)
+    val term = BigDecimal(1.0 / BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    got.map(_.getDouble(4)) shouldBe Array.fill(2)((term + term).toDouble)
+  }
+
+  test("linkPredict excludes adjacent pairs and respects minCommon") {
+    import spark.implicits._
+    // triangle 1-2-3 (all pairs adjacent) plus a pendant 4-1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    // candidates: (2,4) and (3,4) via spoke 1 (cn=1), nothing else
+    Graph.linkPredict(tri, "src", "dst")
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted shouldBe
+      Array((2L, 4L), (3L, 4L))
+    Graph.linkPredict(tri, "src", "dst", minCommon = 2).count() shouldBe 0L
+  }
+
+  test("linkPredict's maxSpokeDeg cap removes hub evidence (semantics)") {
+    import spark.implicits._
+    // star: hub 0 with leaves 1..5 — every leaf pair shares ONLY the hub
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+    Graph.linkPredict(star, "src", "dst").count() shouldBe 10L
+    // cap below the hub degree: the hub contributes no wedges
+    Graph.linkPredict(star, "src", "dst", maxSpokeDeg = 4)
+      .count() shouldBe 0L
+    Graph.linkPredict(star, "src", "dst", maxSpokeDeg = 5)
+      .count() shouldBe 10L
+  }
+
+  test("linkPredict drops NULLs/loops/duplicates and is partitioning-invariant") {
+    import spark.implicits._
+    val dirty = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Some(2L), Some(3L)), (Some(3L), Some(3L)), (None, Some(1L)),
+      (Some(1L), None), (Some(3L), Some(4L))).toDF("src", "dst")
+    // path 1-2-3-4 after cleaning: candidates (1,3) via 2, (2,4) via 3
+    val got = Graph.linkPredict(dirty, "src", "dst")
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    got shouldBe Array((1L, 3L), (2L, 4L))
+    val a = Graph.linkPredict(dirty.repartition(7), "src", "dst")
+      .orderBy("id_a", "id_b")
+    val b = Graph.linkPredict(dirty.coalesce(1), "src", "dst")
+      .orderBy("id_a", "id_b")
+    rows(a) shouldBe rows(b)
+  }
 }

@@ -60,4 +60,54 @@ class RecordLinkageSpec extends SparkSpec {
     RecordLinkage.estimateU(recs.repartition(13), "v") shouldBe
       RecordLinkage.estimateU(recs.coalesce(1), "v")
   }
+
+  import RecordLinkage.{goldenRecord, MaxRule, MinRule, LongestRule, ModeRule}
+
+  test("goldenRecord applies every rule with deterministic ties") {
+    val recs = Seq(
+      // cluster 1: mode tie between "x" and "y" → smallest ("x");
+      // longest tie between "bbb" and "aaa" → smallest ("aaa")
+      (1L, 10L, "bbb", 5.0, "x"), (1L, 12L, "aaa", 7.0, "y"),
+      (1L, 11L, "cc", 6.0, "x"), (1L, 13L, "d", 4.0, "y"),
+      // cluster 2: singleton
+      (2L, 20L, "solo", 1.5, "z"))
+      .toDF("cluster", "id", "name", "bal", "seg")
+    val got = goldenRecord(recs, "cluster", Seq(
+        "id" -> MinRule, "name" -> LongestRule,
+        "bal" -> MaxRule, "seg" -> ModeRule))
+      .orderBy("cluster").collect()
+    got.map(_.toSeq) shouldBe Array(
+      Seq(1L, 4L, 10L, "aaa", 7.0, "x"),
+      Seq(2L, 1L, 20L, "solo", 1.5, "z"))
+  }
+
+  test("goldenRecord: NULLs never survive unless the field is all-NULL") {
+    val recs = Seq(
+      (1L, Some("ab"), Some("m")), (1L, None, None), (1L, Some("c"), None),
+      (2L, None, None))
+      .toDF("cluster", "name", "seg")
+    val got = goldenRecord(recs, "cluster",
+        Seq("name" -> LongestRule, "seg" -> ModeRule))
+      .orderBy("cluster").collect()
+    got.map(_.toSeq) shouldBe Array(
+      Seq(1L, 3L, "ab", "m"),
+      Seq(2L, 1L, null, null))
+  }
+
+  test("goldenRecord refuses bad wiring and is partitioning-invariant") {
+    val recs = (1 to 500).map(i =>
+      (i % 7L, i.toLong, s"n${i % 13}")).toDF("cluster", "id", "name")
+    an[IllegalArgumentException] should be thrownBy
+      goldenRecord(recs, "cluster", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      goldenRecord(recs, "cluster",
+        Seq("id" -> MinRule, "id" -> MaxRule))
+    an[IllegalArgumentException] should be thrownBy
+      goldenRecord(recs, "cluster", Seq("cluster" -> MinRule))
+    val a = goldenRecord(recs.repartition(11), "cluster",
+      Seq("id" -> MinRule, "name" -> ModeRule)).orderBy("cluster")
+    val b = goldenRecord(recs.coalesce(1), "cluster",
+      Seq("id" -> MinRule, "name" -> ModeRule)).orderBy("cluster")
+    rows(a) shouldBe rows(b)
+  }
 }
