@@ -138,4 +138,51 @@ object DataChecks {
       .toDF("check", "n_rows", "n_violations", "passed")
       .orderBy("check")
   }
+
+  /** Benford first-digit audit — the classic fabricated-amounts
+    * screen: naturally occurring amounts spread across orders of
+    * magnitude put digit d first with probability log10(1 + 1/d);
+    * invented figures don't. `units` must be an EXACT positive
+    * integer amount (money as cents — convert upstream via a
+    * DECIMAL(p,2)·100 cast, never via double string formatting):
+    * the first significant digit then falls out of INTEGER string
+    * formatting, which is identical on every engine, where a double's
+    * log10/format would wobble in the last ulp at decade boundaries.
+    * Non-positive and NULL units are excluded (they have no first
+    * significant digit).
+    *
+    * One partial-aggregated groupBy over the scan, a 9-row digit
+    * spine join, and a 9-row window for the total. Output one row
+    * per digit 1..9: (digit, n, n_total, p_obs, p_exp, chi_term)
+    * with p_exp = round(log10(1+1/d), 9) and chi_term =
+    * round((n − N·p_exp)² / (N·p_exp), 6) — Σ chi_term is the
+    * χ² statistic (8 degrees of freedom). An EMPTY input yields NaN
+    * rates (0/0), not an error — gate with a row-count check first. */
+  def benfordAudit(df: DataFrame, units: Column): DataFrame = {
+    val counts = df.select(units.cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("n_total", sum(col("n")).over(w))
+      .withColumn("p_exp",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 9))
+      .select(col("digit"), col("n"), col("n_total"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("p_obs"),
+        col("p_exp"),
+        round(
+          (col("n").cast("double") -
+            col("n_total").cast("double") * col("p_exp")) *
+            (col("n").cast("double") -
+              col("n_total").cast("double") * col("p_exp")) /
+            (col("n_total").cast("double") * col("p_exp")), 6)
+          .as("chi_term"))
+      .orderBy("digit")
+  }
 }

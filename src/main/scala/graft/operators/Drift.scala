@@ -149,6 +149,50 @@ object Drift {
       .orderBy(col("category").asc_nulls_first)
   }
 
+  /** Jensen–Shannon drift profile of `catCol` between `base` and
+    * `cur` — the BOUNDED complement of [[categoricalPsi]]: with
+    * M = (P+Q)/2, JSD = ½KL(P‖M) + ½KL(Q‖M) ∈ [0, ln 2], so a
+    * category present in only one snapshot contributes a FINITE term
+    * (PSI needs ε-smoothing there and its reading then depends on ε;
+    * JSD needs no smoothing at all — the 0·ln 0 = 0 convention is
+    * exact, and p/m ≤ 2 is always finite when p > 0).
+    *
+    * Same shape as categoricalPsi: two category-sized count
+    * aggregates, one NULL-safe full outer join, driver-literal
+    * totals. Output (category, base_n, cur_n, base_rate, cur_rate,
+    * jsd_term), Σ jsd_term = the divergence; each term rounds to 9
+    * decimals (the psi_term libm-ulp discipline). */
+  def jensenShannon(base: DataFrame, cur: DataFrame,
+                    catCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(catCol).as("category")).agg(count(lit(1)).as(as))
+    val b = counts(base, "base_n")
+    val c = counts(cur, "cur_n")
+    val joined = b.join(c, b("category") <=> c("category"), "full_outer")
+      .select(coalesce(b("category"), c("category")).as("category"),
+        coalesce(b("base_n"), lit(0L)).as("base_n"),
+        coalesce(c("cur_n"), lit(0L)).as("cur_n"))
+    val t0 = joined.agg(sum("base_n"), sum("cur_n")).collect()(0)
+    val (bt, ct) = (if (t0.isNullAt(0)) 0L else t0.getLong(0),
+      if (t0.isNullAt(1)) 0L else t0.getLong(1))
+    require(bt > 0 && ct > 0,
+      s"drift profile needs non-empty snapshots on both sides " +
+        s"(baseline n=$bt, current n=$ct)")
+    val p = col("base_n").cast("double") / lit(bt.toDouble)
+    val q = col("cur_n").cast("double") / lit(ct.toDouble)
+    val m = (p + q) / lit(2.0)
+    joined
+      .withColumn("base_rate", p).withColumn("cur_rate", q)
+      .withColumn("jsd_term", round(
+        when(col("base_n") > 0, lit(0.5) * p * log(p / m))
+          .otherwise(lit(0.0)) +
+          when(col("cur_n") > 0, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0)), 9))
+      .select("category", "base_n", "cur_n",
+        "base_rate", "cur_rate", "jsd_term")
+      .orderBy(col("category").asc_nulls_first)
+  }
+
   /** Rates + the smoothed PSI term over a (…, base_n, cur_n) frame.
     * The operator is EAGER like [[Percentiles]]: one tiny job fixes
     * the two totals at the driver and injects them as LITERALS — a

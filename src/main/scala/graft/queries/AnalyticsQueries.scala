@@ -1425,6 +1425,76 @@ object AnalyticsQueries {
         .orderBy(col("category"))
     }),
 
+    // Jensen–Shannon drift of the event-type mix between the first
+    // and second half of the corpus window — the BOUNDED complement
+    // of the PSI monitors (a category present on one side only gets a
+    // finite term with NO ε-smoothing; Σ jsd_term ≤ ln 2). Same
+    // two-aggregate + category-sized-join shape as categoricalPsi
+    // (Drift.jensenShannon); terms round to 9 decimals.
+    "js_drift_event_mix" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16").cast("date")
+      graft.operators.Drift.jensenShannon(
+          ev.filter(to_date(col("ts")) < split),
+          ev.filter(to_date(col("ts")) >= split),
+          "event_type")
+        .orderBy(col("category"))
+    }),
+
+    // Benford first-digit audit of order totals — the classic
+    // fabricated-amounts screen (DataChecks.benfordAudit). Prices
+    // become EXACT integer cents via a DECIMAL(18,2)·100 cast (never
+    // double formatting), so the first significant digit is integer
+    // string arithmetic on both engines; expected rates round ln-ulp
+    // style. TPC-H-ish prices span only ~2.7 decades, so the audit
+    // legitimately FLAGS them — the gate checks the arithmetic, not
+    // conformance.
+    "benford_price_audit" -> ((s, dir) =>
+      graft.operators.DataChecks.benfordAudit(t(s, dir, "orders"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long"))),
+
+    // Revenue concentration per market segment: exact-DECIMAL Gini
+    // coefficient (rank-weighted sum form over customers sorted by
+    // revenue, custkey tiebreak) and Herfindahl–Hirschman index
+    // (Σ share²) — the inequality lens on the customer base. All
+    // sums stay DECIMAL-exact; the three final divisions are the
+    // only doubles, identical op order both engines.
+    "revenue_concentration" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        // narrow the sum back to (18,2) — a (28,2) square would blow
+        // the 38-digit ceiling and BOTH engines would degrade (to
+        // rounded decimal here, to double there); one customer's
+        // revenue fits 16 integer digits at any SF
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("rev"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("rev"), col("c_custkey"))
+      val nd = col("n_cust").cast("double")
+      rev.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("rev")).as("tot"),
+          sum(col("i") * col("rev")).as("irev"),
+          sum(col("rev") * col("rev")).as("rev2"))
+        // round to 12 decimals: the wide-DECIMAL→DOUBLE cast is not
+        // correctly rounded in every engine at 20 significant digits
+        // (measured one-ulp drift on rev²), and an inequality index
+        // is never read below 1e-12
+        .select(col("c_mktsegment"), col("n_cust"),
+          col("tot").cast("double").as("total_rev"),
+          round(lit(2.0) * col("irev").cast("double") /
+            (nd * col("tot").cast("double")) -
+            (col("n_cust") + 1).cast("double") / nd, 12).as("gini"),
+          round(col("rev2").cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")), 12)
+            .as("hhi"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Winsorization (Percentiles.winsorize): clamp order prices into
     // the per-status exact [p05, p95] band — the CLAMP twin of the
     // mad_outliers DROP, bounded-memory at any group size. Output is
@@ -3181,6 +3251,87 @@ object AnalyticsQueries {
         |             * LN(GREATEST(cur_n / ct, 1e-6)
         |                  / GREATEST(base_n / bt, 1e-6)), 9) AS psi_term
         |FROM j, t ORDER BY category""".stripMargin,
+    "js_drift_event_mix" ->
+      """WITH bn AS (
+        |  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS base_n
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        |  GROUP BY 1),
+        |cn AS (
+        |  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS cur_n
+        |  FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(bn.category, cn.category) AS category,
+        |             COALESCE(base_n, 0) AS base_n,
+        |             COALESCE(cur_n, 0) AS cur_n
+        |      FROM bn FULL OUTER JOIN cn ON bn.category = cn.category),
+        |t AS (SELECT CAST(SUM(base_n) AS DOUBLE) AS bt,
+        |             CAST(SUM(cur_n) AS DOUBLE) AS ct FROM j),
+        |r AS (SELECT j.*, base_n / bt AS base_rate,
+        |             cur_n / ct AS cur_rate
+        |      FROM j, t)
+        |SELECT category, base_n, cur_n, base_rate, cur_rate,
+        |       ROUND(
+        |         CASE WHEN base_n > 0 THEN
+        |           0.5 * base_rate
+        |             * LN(base_rate / ((base_rate + cur_rate) / 2.0))
+        |         ELSE 0.0 END
+        |         + CASE WHEN cur_n > 0 THEN
+        |             0.5 * cur_rate
+        |               * LN(cur_rate / ((base_rate + cur_rate) / 2.0))
+        |           ELSE 0.0 END, 9) AS jsd_term
+        |FROM r ORDER BY category""".stripMargin,
+    "benford_price_audit" ->
+      """WITH u AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |              AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+        |           AS digit
+        |  FROM u WHERE c > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1),
+        |spine AS (SELECT CAST(UNNEST(range(1, 10)) AS INTEGER) AS digit),
+        |f AS (SELECT s.digit, COALESCE(g.n, 0) AS n
+        |      FROM spine s LEFT JOIN g USING (digit)),
+        |w AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+        |             ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+        |               AS p_exp
+        |      FROM f)
+        |SELECT digit, n, n_total,
+        |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_obs,
+        |       p_exp,
+        |       ROUND((CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * p_exp)
+        |             * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * p_exp)
+        |             / (CAST(n_total AS DOUBLE) * p_exp), 6) AS chi_term
+        |FROM w ORDER BY digit""".stripMargin,
+    "revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |              AS DECIMAL(18,2)) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY rev, c_custkey) AS BIGINT) AS i
+        |  FROM rev),
+        |a AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |         SUM(rev) AS tot,
+        |         SUM(i * rev) AS irev,
+        |         SUM(rev * rev) AS rev2
+        |  FROM rk GROUP BY 1)
+        |SELECT c_mktsegment, n_cust,
+        |       CAST(tot AS DOUBLE) AS total_rev,
+        |       ROUND(2.0 * CAST(irev AS DOUBLE)
+        |         / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE))
+        |         - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE),
+        |         12) AS gini,
+        |       ROUND(CAST(rev2 AS DOUBLE)
+        |         / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 12) AS hhi
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     "winsorize_prices" ->
       """WITH band AS (
         |  SELECT o_orderstatus,

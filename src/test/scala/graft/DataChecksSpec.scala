@@ -89,4 +89,45 @@ class DataChecksSpec extends SparkSpec {
     intercept[IllegalArgumentException] { InRange("x", 5.0, 1.0) }
     intercept[IllegalArgumentException] { AcceptedValues("x", Nil) }
   }
+
+  test("benfordAudit: exact digit extraction, full spine, hand χ² term") {
+    import spark.implicits._
+    // cents 100, 150, 250 → first digits 1, 1, 2; zero/negative/NULL
+    // amounts have no first significant digit and are excluded
+    val amounts = Seq(Some(100L), Some(150L), Some(250L), Some(0L),
+      Some(-300L), None).toDF("cents")
+    val got = DataChecks.benfordAudit(amounts, col("cents"))
+      .collect()
+    got.length shouldBe 9 // every digit present even at count 0
+    got.map(_.getInt(0)) shouldBe (1 to 9).toArray
+    got.map(_.getLong(1)) shouldBe
+      Array(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    all(got.map(_.getLong(2))) shouldBe 3L
+    // digit-1 row: p_exp = round(log10 2, 9), χ² term mirrors the
+    // operator's exact double op order
+    val p1 = BigDecimal(math.log10(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(0).getDouble(4) shouldBe p1
+    val d = 2.0 - 3.0 * p1
+    got(0).getDouble(5) shouldBe BigDecimal(d * d / (3.0 * p1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // expected proportions cover the digit space (Σ p_exp = 1)
+    math.abs(got.map(_.getDouble(4)).sum - 1.0) should be < 1e-8
+  }
+
+  test("benfordAudit: conforming vs uniform data orders by χ²; invariant") {
+    import spark.implicits._
+    // Benford-ish: exponential spread 1..10^4
+    val benf = (1 to 2000).map(i =>
+      math.pow(10.0, i * 4.0 / 2000).toLong max 1L).toDF("cents")
+    // uniform 5-digit amounts: first digits equidistributed
+    val unif = (1 to 2000).map(i => 10000L + i * 45L).toDF("cents")
+    def chi(df: org.apache.spark.sql.DataFrame): Double =
+      DataChecks.benfordAudit(df, col("cents")).collect()
+        .map(_.getDouble(5)).sum
+    chi(benf) should be < chi(unif)
+    val a = DataChecks.benfordAudit(benf.repartition(7), col("cents"))
+    val b = DataChecks.benfordAudit(benf.coalesce(1), col("cents"))
+    rows(a) shouldBe rows(b)
+  }
 }

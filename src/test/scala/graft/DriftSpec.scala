@@ -170,4 +170,42 @@ class DriftSpec extends SparkSpec {
     val b = Drift.ksStatistic(big.coalesce(1), cur2.coalesce(1), "p").head()
     a.toSeq shouldBe b.toSeq
   }
+
+  test("jensenShannon: identical mix → 0; disjoint → ln 2; no smoothing") {
+    import spark.implicits._
+    val base = Seq("a", "a", "b", "b").toDF("c")
+    val cur = Seq("a", "b").toDF("c")
+    Drift.jensenShannon(base, cur, "c").collect()
+      .map(_.getDouble(5)).sum shouldBe 0.0
+    // disjoint supports: each side's category contributes
+    // round(0.5·ln 2, 9); the total is ln 2 to rounding
+    val terms = Drift.jensenShannon(Seq("a").toDF("c"),
+      Seq("b").toDF("c"), "c").collect().map(_.getDouble(5))
+    terms shouldBe Array.fill(2)(
+      BigDecimal(0.5 * math.log(2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a vanished category gets a FINITE term without ε (unlike PSI)
+    val t2 = Drift.jensenShannon(Seq("a", "a", "b").toDF("c"),
+      Seq("a", "a", "a").toDF("c"), "c").collect()
+    all(t2.map(_.getDouble(5))) should be >= 0.0
+    every(t2.map(_.getDouble(5)).toSeq) should not be Double.PositiveInfinity
+  }
+
+  test("jensenShannon: NULL is a category; empty side refused; invariant") {
+    import spark.implicits._
+    val base = Seq(Some("a"), None, None).toDF("c")
+    val cur = Seq(Some("a"), Some("a"), None).toDF("c")
+    val got = Drift.jensenShannon(base, cur, "c").collect()
+    got.length shouldBe 2
+    got.head.isNullAt(0) shouldBe true // asc_nulls_first
+    got.head.getLong(1) shouldBe 2L
+    got.head.getLong(2) shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Drift.jensenShannon(base.limit(0), cur, "c")
+    val big = (1 to 3000).map(i => s"c${i % 11}").toDF("c")
+    val cur2 = (1 to 2000).map(i => s"c${i % 7}").toDF("c")
+    rows(Drift.jensenShannon(big.repartition(13), cur2.repartition(5),
+      "c")) shouldBe
+      rows(Drift.jensenShannon(big.coalesce(1), cur2.coalesce(1), "c"))
+  }
 }
