@@ -147,4 +147,65 @@ object TimeSeries {
       .withColumn("s", sum(col(valueCol).cast("double") - col("mu")).over(w))
       .withColumn("abs_s", abs(col("s")))
   }
+
+  /** Kaplan–Meier survival estimator over right-censored durations —
+    * the retention-curve machinery of churn/lifetime analysis. One
+    * row per subject: `durationCol` (non-negative integral time to
+    * event or censoring) and `eventCol` (1 = event observed,
+    * 0 = censored). NULL durations/events are excluded (no observed
+    * time); subjects censored at t leave the risk set after t.
+    *
+    * Per distinct time t: n_risk = |{duration ≥ t}|, n_events =
+    * events AT t, hazard = n_events/n_risk, and S(t) = Π_{u≤t}
+    * (1 − hazard_u). Determinism: counts are exact integers; the
+    * product is kept in LOG space — each factor's ln rounds to 9
+    * decimals (the psi_term libm-ulp discipline) and accumulates
+    * through an exact DECIMAL window cumsum, so `log_surv` is
+    * bit-stable under any partitioning and engine; `surv` re-rounds
+    * exp to 9 decimals. Once hazard hits 1 (everyone at risk events),
+    * S is exactly 0 from that time on: those rows carry surv = 0.0
+    * and NULL log_surv (−∞ has no stable float encoding).
+    *
+    * Shape: one partial-aggregated groupBy on duration, then one
+    * single-partition window over the DISTINCT durations only
+    * (bounded by time-grid cardinality, not subjects — quantize a
+    * continuous duration upstream at 100 TB; the [[Drift.ksStatistic]]
+    * posture).
+    *
+    * @return (duration, n_risk, n_events, n_censored, hazard,
+    *         log_surv, surv) ordered by duration */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(col(eventCol).cast("long")).as("n_events"))
+    val wDesc = Window.orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .withColumn("hazard",
+        col("n_events").cast("double") / col("n_risk").cast("double"))
+      // ln(1 − d/n) rounded to 9, summed EXACTLY in decimal frame
+      // order; the all-events time poisons every later S to exact 0
+      .withColumn("dead",
+        max(when(col("n_events") === col("n_risk"), 1).otherwise(0))
+          .over(wAsc))
+      .withColumn("log_surv",
+        when(col("dead") === 0,
+          sum(when(col("n_events") < col("n_risk"),
+            round(log(lit(1.0) - col("hazard")), 9))
+            .otherwise(lit(0.0)).cast("decimal(28,12)")).over(wAsc)
+            .cast("double")))
+      .withColumn("surv",
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("log_surv")), 9)))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        (col("n_at") - col("n_events")).as("n_censored"),
+        col("hazard"), col("log_surv"), col("surv"))
+      .orderBy("duration")
+  }
 }

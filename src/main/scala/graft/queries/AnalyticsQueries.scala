@@ -1425,6 +1425,30 @@ object AnalyticsQueries {
         .orderBy(col("category"))
     }),
 
+    // Kaplan–Meier user-retention curve: per user, duration = days
+    // between first and last activity; churned if the last activity
+    // predates the corpus end by > 3 days, else right-censored (still
+    // active — the unfinished lifetime KM exists to handle).
+    // TimeSeries.kaplanMeier keeps the survival product in log space
+    // (9-decimal ln terms through an exact DECIMAL window cumsum),
+    // so the curve hash-matches the oracle.
+    "survival_retention" -> ((s, dir) => {
+      // 1-in-20 event sample: full streams make every user span the
+      // whole corpus window (3 distinct durations — a degenerate
+      // curve); sparse activity spreads lifetimes across the range
+      val peru = t(s, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+      val subj = peru
+        .withColumn("cend", max(col("d1")).over(Window.partitionBy()))
+        .select(datediff(col("d1"), col("d0")).cast("long").as("dur"),
+          when(col("d1") <= date_sub(col("cend"), 3), 1L).otherwise(0L)
+            .as("churned"))
+      graft.operators.TimeSeries.kaplanMeier(subj, "dur", "churned")
+    }),
+
     // Jensen–Shannon drift of the event-type mix between the first
     // and second half of the corpus window — the BOUNDED complement
     // of the PSI monitors (a category present on one side only gets a
@@ -2053,7 +2077,12 @@ object AnalyticsQueries {
     * (DuckDB forbids aggregates over a recursive CTE reference, so the
     * fixed round count is spelled out as chained CTEs — mirroring
     * Graph.pageRankQ's integer arithmetic term for term). */
-  private def pageRankCtes(iters: Int): String = {
+  /** Unrolled integer PageRank rounds over a caller-supplied
+    * undirected pair set: `pairsSql` must define a CTE body producing
+    * (src, dst) — the helper adds the direction union, degrees, the
+    * auto-scaled denominator, and `iters` unrolled rounds, mirroring
+    * Graph.pageRankQ's nano-unit floor arithmetic term for term. */
+  private[queries] def pageRankCtes(iters: Int, pairsSql: String): String = {
     val rounds = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.id,
@@ -2067,10 +2096,7 @@ object AnalyticsQueries {
          |    JOIN deg d ON e.src = d.src
          |    GROUP BY e.dst) s ON nd.id = s.id)""".stripMargin
     }.mkString(",\n")
-    s"""pairs AS (
-       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-       |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s"""pairs AS ($pairsSql),
        |edges AS (
        |  SELECT src, dst FROM pairs
        |  UNION ALL
@@ -2084,6 +2110,14 @@ object AnalyticsQueries {
        |pr0 AS (SELECT id, rd.rd // n.cnt AS rank_q FROM nodes, n, rd),
        |$rounds""".stripMargin
   }
+
+  /** The customer↔supplier trading pairs for [[pageRankCtes]] —
+    * supplier_pagerank's original edge definition. */
+  private val tradingPairsSql =
+    """
+       |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+       |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
   /** Unrolled HITS rounds for the hits_trading oracle — mirrors
     * Graph.hitsQ's integer max-rescale arithmetic term for term. */
@@ -2605,7 +2639,7 @@ object AnalyticsQueries {
         |SELECT id AS p_partkey, COUNT(*) AS triangles
         |FROM corners GROUP BY id ORDER BY p_partkey""".stripMargin,
     "supplier_pagerank" ->
-      s"""WITH ${pageRankCtes(6)}
+      s"""WITH ${pageRankCtes(6, tradingPairsSql)}
          |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
          |FROM pr6 ORDER BY rank_q DESC, id""".stripMargin,
     "window_rank_family" ->
@@ -3251,6 +3285,47 @@ object AnalyticsQueries {
         |             * LN(GREATEST(cur_n / ct, 1e-6)
         |                  / GREATEST(base_n / bt, 1e-6)), 9) AS psi_term
         |FROM j, t ORDER BY category""".stripMargin,
+    "survival_retention" ->
+      """WITH pu AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+        |         MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(d1 - d0 AS BIGINT) AS duration,
+        |         CASE WHEN d1 <= (SELECT MAX(d1) FROM pu) - 3
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |g AS (
+        |  SELECT duration, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |         CAST(SUM(ev) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT *, CAST(SUM(n_at) OVER (ORDER BY duration DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM g),
+        |h AS (
+        |  SELECT *,
+        |    CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+        |    MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY duration
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead
+        |  FROM r),
+        |l AS (
+        |  SELECT *, CAST(SUM(CAST(
+        |      CASE WHEN n_events < n_risk
+        |           THEN round(ln(1.0 - hazard), 9) ELSE 0.0 END
+        |      AS DECIMAL(28,12))) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS ls
+        |  FROM h)
+        |SELECT duration, n_risk, n_events,
+        |       CAST(n_at - n_events AS BIGINT) AS n_censored, hazard,
+        |       CASE WHEN dead = 0 THEN ls END AS log_surv,
+        |       CASE WHEN dead = 1 THEN 0.0
+        |            ELSE round(exp(ls), 9) END AS surv
+        |FROM l ORDER BY duration""".stripMargin,
     "js_drift_event_mix" ->
       """WITH bn AS (
         |  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS base_n

@@ -45,6 +45,55 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flesch reading-ease per document from pure regexp-group counts
+    // (a [aeiouy]+ group ≈ one syllable — the standard cheap
+    // heuristic): counts fall out of length-difference arithmetic on
+    // regexp_replace (collapse each group to one char vs none), which
+    // is exact and engine-identical; the formula is the only double
+    // arithmetic, rounded to 6. Zero-word docs get NULL, not a
+    // division error.
+    "readability_scores" -> ((s, dir) => {
+      val lo = lower(col("text"))
+      def groups(pat: String) =
+        (length(regexp_replace(lo, pat, "#")) -
+          length(regexp_replace(lo, pat, ""))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          groups("[a-z0-9]+").as("n_words"),
+          groups("[aeiouy]+").as("n_syllables"),
+          greatest(groups("[.!?]+"), lit(1L)).as("n_sentences"))
+        .withColumn("flesch", when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)))
+        .orderBy("doc_id")
+    }),
+
+    // TextRank keywords: integer PageRank (Graph.pageRankQ, the
+    // supplier_pagerank machinery — auto-scaled denominator, floor
+    // arithmetic, bit-replayable) over the token co-occurrence graph
+    // (distinct token pairs sharing a document). The node set is the
+    // VOCABULARY — naturally bounded here; an open-vocabulary corpus
+    // caps document frequency first (the ngram-containment df-cap
+    // discipline). Oracle replays four unrolled CTE rounds over the
+    // same pair set.
+    "textrank_keywords" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val pairs = toks.as("a").join(toks.as("b"), Seq("doc_id"))
+        .filter(col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("src"), col("b.tok").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRankQ(edges, "src", "dst",
+          iterations = 4, rankDenom = 0L)
+        .orderBy(col("rank_q").desc, col("id"))
+    }),
+
     // Zipf rank-frequency fit — the one-number vocabulary-health
     // check (natural corpora run slope ≈ −1; a flatter curve smells
     // of boilerplate/templating, a steeper one of vocabulary
@@ -636,7 +685,45 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     }))
 
+  /** The textrank_keywords pair set for
+    * [[AnalyticsQueries.pageRankCtes]]: distinct co-occurring token
+    * pairs, ordered src < dst. */
+  private val textrankPairsSql =
+    s"""
+       |  SELECT DISTINCT a.tok AS src, b.tok AS dst
+       |  FROM (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
+       |        FROM documents) a
+       |  JOIN (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
+       |        FROM documents) b
+       |  USING (doc_id) WHERE a.tok < b.tok""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "readability_scores" ->
+      """WITH r AS (SELECT doc_id, lower(text) AS lo FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(lo, '[a-z0-9]+', '#', 'g'))
+        |       - length(regexp_replace(lo, '[a-z0-9]+', '', 'g'))
+        |       AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(lo, '[aeiouy]+', '#', 'g'))
+        |       - length(regexp_replace(lo, '[aeiouy]+', '', 'g'))
+        |       AS BIGINT) AS n_syllables,
+        |    GREATEST(CAST(length(regexp_replace(lo, '[.!?]+', '#', 'g'))
+        |       - length(regexp_replace(lo, '[.!?]+', '', 'g'))
+        |       AS BIGINT), 1) AS n_sentences
+        |  FROM r)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE)
+        |                 / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |                / CAST(n_words AS DOUBLE)), 6) END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "textrank_keywords" ->
+      s"""WITH ${AnalyticsQueries.pageRankCtes(4, textrankPairsSql)}
+         |SELECT id, CAST(rank_q AS BIGINT) AS rank_q
+         |FROM pr4 ORDER BY rank_q DESC, id""".stripMargin,
     "zipf_slope" ->
       s"""WITH toks AS (
          |  SELECT unnest($tokensSql) AS token FROM documents),

@@ -128,4 +128,66 @@ class TimeSeriesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TimeSeries.cusum(flat, Nil, "day", "n")
   }
+
+  /** The operator's own arithmetic on a plain Scala list: 9-decimal
+    * ln terms summed exactly, exp re-rounded to 9. */
+  private def refKm(subjects: Seq[(Long, Long)]) = {
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byT = subjects.groupBy(_._1).toSeq.sortBy(_._1)
+    var ls = BigDecimal(0)
+    var dead = false
+    byT.map { case (t, subs) =>
+      val nRisk = subjects.count(_._1 >= t).toLong
+      val d = subs.map(_._2).sum
+      if (d == nRisk) dead = true
+      else if (d > 0) ls += BigDecimal(r9(math.log(1.0 - d.toDouble / nRisk)))
+      (t, nRisk, d, subs.size - d,
+        d.toDouble / nRisk,
+        if (dead) null else ls.toDouble: java.lang.Double,
+        if (dead) 0.0 else r9(math.exp(ls.toDouble)))
+    }
+  }
+
+  test("kaplanMeier matches the hand reference, censoring included") {
+    import spark.implicits._
+    val subs = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+    val got = TimeSeries.kaplanMeier(subs.toDF("dur", "ev"), "dur", "ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5): java.lang.Double,
+        r.getDouble(6)))
+    got.toSeq shouldBe refKm(subs)
+    // the t=1 survival re-rounds to the exact product 0.8
+    got(0)._7 shouldBe 0.8
+    // risk sets shrink through both events and censorings
+    got.map(_._2) shouldBe Array(5L, 4L, 3L, 1L)
+  }
+
+  test("kaplanMeier: hazard 1 zeroes survival from that time on") {
+    import spark.implicits._
+    val subs = Seq((1L, 1L), (2L, 1L), (2L, 1L))
+    val got = TimeSeries.kaplanMeier(subs.toDF("dur", "ev"), "dur", "ev")
+      .collect()
+    got.map(_.getDouble(4)) shouldBe Array(1.0 / 3.0, 1.0)
+    got(1).isNullAt(5) shouldBe true
+    got(1).getDouble(6) shouldBe 0.0
+    // all-censored cohort: flat S = 1
+    val cens = TimeSeries.kaplanMeier(
+      Seq((5L, 0L), (7L, 0L)).toDF("dur", "ev"), "dur", "ev").collect()
+    cens.map(_.getDouble(6)) shouldBe Array(1.0, 1.0)
+    cens.map(_.getDouble(4)) shouldBe Array(0.0, 0.0)
+  }
+
+  test("kaplanMeier excludes NULLs and is partitioning-invariant") {
+    import spark.implicits._
+    val dirty = Seq((Some(1L), Some(1L)), (None, Some(1L)),
+      (Some(2L), None), (Some(2L), Some(0L))).toDF("dur", "ev")
+    val got = TimeSeries.kaplanMeier(dirty, "dur", "ev").collect()
+    got.map(_.getLong(1)) shouldBe Array(2L, 1L)
+    val big = (1 to 2000).map(i => ((i % 40).toLong, (i % 3 == 0)
+      .compareTo(false).toLong)).toDF("dur", "ev")
+    rows(TimeSeries.kaplanMeier(big.repartition(9), "dur", "ev")) shouldBe
+      rows(TimeSeries.kaplanMeier(big.coalesce(1), "dur", "ev"))
+  }
 }
