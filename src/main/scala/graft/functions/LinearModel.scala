@@ -145,4 +145,65 @@ object LinearModel {
     rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
     w
   }
+
+  /** Isotonic calibration of a binned reliability table by
+    * pool-adjacent-violators (PAVA — Ayer et al. 1955): the
+    * least-squares NON-DECREASING fit of the per-bin positive rate,
+    * the standard monotone recalibration on top of a ranker's score
+    * (the [[trainPosteriorWeightsQ]] eval loop's second half).
+    *
+    * `bins` must be the AGGREGATED table — one row per score bin with
+    * exact integer counts (`nCol` rows, `posCol` positives), the
+    * calibration_bins shape. PAVA itself is inherently sequential, so
+    * it runs on the DRIVER over the collected bins: the collect is
+    * cap-guarded (`maxBins`, refuses loud — bins are a score GRID, a
+    * thousand-fold smaller than data; quantize upstream if not), pool
+    * comparisons are EXACT cross-multiplied BigInt rationals (no
+    * double drift can merge or split a pool), and each bin's fitted
+    * rate is its pool's single Σpos/Σn division — so the output is a
+    * pure function of the bin table. Equal adjacent rates stay
+    * unmerged (identical fitted values either way).
+    *
+    * @return (bin, n, n_pos, pos_rate, iso_rate) ordered by bin */
+  def isotonicCalibrate(bins: DataFrame, binCol: String, nCol: String,
+                        posCol: String, maxBins: Int = 4096): DataFrame = {
+    require(maxBins >= 1, s"maxBins must be >= 1, got $maxBins")
+    val rows = bins
+      .select(col(binCol).cast("long").as("bin"),
+        col(nCol).cast("long").as("n"), col(posCol).cast("long").as("p"))
+      .limit(maxBins + 1).collect()
+    require(rows.length <= maxBins,
+      s"isotonicCalibrate: more than $maxBins bins — aggregate to a " +
+        "coarser score grid first")
+    require(rows.forall(r => !r.isNullAt(0) && r.getLong(1) > 0 &&
+        r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)),
+      "bins need non-NULL bin, n > 0, 0 <= pos <= n")
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(sorted.map(_._1).distinct.length == sorted.length,
+      "duplicate bin values")
+    // PAVA stack: (pos, n, span); merge while the previous pool's
+    // rate EXCEEDS the next's (strict violation of non-decreasing)
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    sorted.foreach { case (_, n, p) =>
+      var (cp, cn, cs) = (p, n, 1)
+      while (stack.nonEmpty && {
+        val (pp, pn, _) = stack.last
+        BigInt(pp) * cn > BigInt(cp) * pn
+      }) {
+        val (pp, pn, ps) = stack.remove(stack.length - 1)
+        cp += pp; cn += pn; cs += ps
+      }
+      stack += ((cp, cn, cs))
+    }
+    val fitted = stack.toSeq.flatMap { case (p, n, span) =>
+      Seq.fill(span)(p.toDouble / n.toDouble)
+    }
+    val out = sorted.zip(fitted).map { case ((b, n, p), iso) =>
+      (b, n, p, p.toDouble / n.toDouble, iso)
+    }
+    bins.sparkSession.createDataFrame(out)
+      .toDF("bin", "n", "n_pos", "pos_rate", "iso_rate")
+      .orderBy("bin")
+  }
 }

@@ -132,7 +132,47 @@ object Multimodal {
       else if (isGif(p)) ("gif", le16(p, 6), le16(p, 8), 3)
       else if (isBmp(p)) parseBmp(p)
       else if (isWebp(p)) parseWebp(p)
+      else if (isTiff(p)) parseTiff(p)
       else Unknown
+    }
+
+    /** TIFF 6.0 (published Adobe spec): byte-order mark "II"(LE) /
+      * "MM"(BE) + magic 42, then a walked IFD whose SHORT/LONG entries
+      * carry ImageWidth(256), ImageLength(257), SamplesPerPixel(277,
+      * default 1). Inline SHORT values sit in the FIRST two bytes of
+      * the 4-byte value field under BE and the low two under LE — the
+      * classic TIFF trap, covered by planting both flavors. */
+    private def isTiff(p: Array[Byte]): Boolean =
+      p.length >= 8 &&
+        ((p(0) == 'I' && p(1) == 'I' && (p(2) & 0xff) == 42 && p(3) == 0) ||
+          (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && (p(3) & 0xff) == 42))
+
+    private def parseTiff(p: Array[Byte]): (String, Int, Int, Int) = {
+      val le = p(0) == 'I'
+      def u16(i: Int) = if (le) le16(p, i) else be16(p, i)
+      def u32(i: Int) = if (le) le32(p, i) else be32(p, i) & 0xffffffffL
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > p.length) return Unknown
+      val n = u16(ifd.toInt)
+      if (ifd + 2 + 12L * n > p.length) return Unknown
+      var w = -1; var h = -1; var spp = 1
+      var k = 0
+      while (k < n) {
+        val e = ifd.toInt + 2 + 12 * k
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        // inline value: SHORT(3) reads 2 bytes at the value field's
+        // start; LONG(4) reads all 4
+        val v: Long =
+          if (typ == 3) u16(e + 8).toLong
+          else if (typ == 4) u32(e + 8)
+          else -1L
+        if (tag == 256) w = v.toInt
+        else if (tag == 257) h = v.toInt
+        else if (tag == 277 && v > 0) spp = v.toInt
+        k += 1
+      }
+      if (w <= 0 || h <= 0) Unknown else ("tiff", w, h, spp)
     }
 
     /** BMP (Windows bitmap spec): "BM", DIB header at 14 — the modern
@@ -242,7 +282,40 @@ object Multimodal {
       if (p == null) UnknownAudio
       else if (isWav(p)) parseWav(p)
       else if (isFlac(p)) parseFlac(p)
-      else UnknownAudio
+      else parseMp3(p) // frame-sync probe last: weakest signature
+    }
+
+    /** MPEG-1 Layer III (ISO/IEC 11172-3 frame header): an optional
+      * ID3v2 tag (10-byte header, SYNCSAFE 28-bit size) is skipped,
+      * then the 4-byte frame header at the sync point decodes the
+      * bitrate/sample-rate indices. bits_per_sample reports 0 (lossy —
+      * there is none); n_samples is the CBR promise
+      * floor(audioBytes / frameLen) · 1152, the same
+      * header-declared-not-verified posture as [[parseWav]].
+      * frameLen = 144000·kbps/rate + padding per the spec. */
+    private def parseMp3(p: Array[Byte]): (String, Int, Int, Int, Long) = {
+      val MaxSaneTag = Int.MaxValue - 32
+      var o = 0L
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        val size = ((p(6) & 0x7fL) << 21) | ((p(7) & 0x7fL) << 14) |
+          ((p(8) & 0x7fL) << 7) | (p(9) & 0x7fL)
+        o = 10L + size
+      }
+      if (o > MaxSaneTag || o + 4 > p.length) return UnknownAudio
+      val i = o.toInt
+      val b1 = p(i) & 0xff; val b2 = p(i + 1) & 0xff
+      val b3 = p(i + 2) & 0xff; val b4 = p(i + 3) & 0xff
+      // sync (11 bits), MPEG-1 (version bits 11), Layer III (01)
+      if (b1 != 0xff || (b2 & 0xfe) != 0xfa) return UnknownAudio
+      val kbps = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320, -1)((b3 >> 4) & 0xf)
+      val rate = Array(44100, 48000, 32000, -1)((b3 >> 2) & 3)
+      if (kbps <= 0 || rate <= 0) return UnknownAudio
+      val padding = (b3 >> 1) & 1
+      val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+      val frameLen = 144000L * kbps / rate + padding
+      val frames = (p.length - o) / frameLen
+      ("mp3", rate, channels, 0, frames * 1152L)
     }
 
     val UnknownAudio: (String, Int, Int, Int, Long) =

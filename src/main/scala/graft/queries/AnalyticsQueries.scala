@@ -1425,6 +1425,140 @@ object AnalyticsQueries {
         .orderBy(col("category"))
     }),
 
+    // Chi-square independence + Cramér's V between event type and
+    // weekday — "does behavior depend on the day?". Exact integer
+    // contingency counts over a FULL category spine (zero cells
+    // contribute their expected mass); expected counts and χ² terms
+    // are doubles rounded to 6, summed through DECIMAL; V =
+    // round(sqrt(χ²/(N·min(r−1,c−1))), 9).
+    "cramers_v_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+      val cells = ev.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val spine = cells.select("et").distinct()
+        .crossJoin(cells.select("dow").distinct())
+      val full = spine.join(cells, Seq("et", "dow"), "left")
+        .na.fill(0L, Seq("o"))
+      val w = Window.partitionBy()
+      val joined = full
+        .withColumn("rt", sum(col("o")).over(Window.partitionBy("et")))
+        .withColumn("ct", sum(col("o")).over(Window.partitionBy("dow")))
+        .withColumn("n", sum(col("o")).over(w))
+        .withColumn("e", col("rt").cast("double") *
+          col("ct").cast("double") / col("n").cast("double"))
+        .withColumn("term", round(
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 6))
+      joined.groupBy().agg(
+          max(col("n")).as("n"),
+          countDistinct(col("et")).as("r"),
+          countDistinct(col("dow")).as("c"),
+          sum(col("term").cast("decimal(28,12)")).cast("double")
+            .as("chi2"))
+        .select(col("n"), col("r"), col("c"), col("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+              least(col("r") - 1, col("c") - 1).cast("double"))), 9)
+            .as("cramers_v"))
+    }),
+
+    // Degree assortativity of the co-purchase graph (Newman r): do
+    // hub parts co-purchase with hubs? Pearson over the degree pairs
+    // at every edge stub — both orientations of each edge, so the
+    // statistic is symmetric and Σx = Σy. Exact integer sums through
+    // one closed-form IEEE expression (the xcorr discipline).
+    "degree_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val stubs = e.unionByName(
+          e.select(col("v").as("u"), col("u").as("v")))
+        .join(deg.select(col("id").as("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dy")), "v")
+      val m = col("m")
+      stubs.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+        .select(col("m"),
+          ((m * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (m * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("assortativity"))
+    }),
+
+    // 2D Pareto frontier (Skyline.frontier2d): the cheapest part at
+    // every size level no larger part undercuts — minimize price,
+    // maximize size (negated). Sort–prefix-min identity over the
+    // price GRID instead of the naive O(n²) dominance anti-join; the
+    // oracle replays the same window (a NOT EXISTS twin is quadratic
+    // in DuckDB too).
+    "pareto_price_size" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("neg_size", -col("p_size"))
+      graft.operators.Skyline.frontier2d(p, "p_retailprice", "neg_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+    }),
+
+    // Local clustering coefficient over the co-purchase graph:
+    // 2T / (deg·(deg−1)) per node — triangle closure rate, the
+    // community-density complement of k-core's global filter. Pure
+    // composition: Graph.triangleCounts (degree-oriented wedges) +
+    // one degree aggregate + one left join; single IEEE division.
+    "copurchase_clustering" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val tri = graft.operators.Graph.triangleCounts(e, "u", "v")
+      deg.join(tri, Seq("id"), "left")
+        .na.fill(0L, Seq("triangles"))
+        .filter(col("deg") >= 2)
+        .select(col("id").as("p_partkey"), col("deg"), col("triangles"),
+          ((col("triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")).as("coeff"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Dyadic exponential smoothing of daily event volume: an 8-tap
+    // EWMA truncation with power-of-two weights 128..1 — every
+    // product and both sums are EXACT integers (a true recursive EWMA
+    // accumulates float rounding; dyadic taps don't), one final
+    // division per row. Warm-up rows renormalize over the taps
+    // PRESENT (exact integer denominator) instead of emitting NULLs.
+    // Row-based taps — resample to a gap-free grid upstream if the
+    // calendar has holes (this corpus is gap-free daily).
+    "ewma_event_volume" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val taps = (0 to 7).map(k => (lag(col("n"), k).over(w),
+        lit(1L << (7 - k))))
+      val num = taps.map { case (x, wt) =>
+        coalesce(x, lit(0L)) * wt }.reduce(_ + _)
+      val den = taps.map { case (x, wt) =>
+        when(x.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+      daily.withColumn("smooth",
+          (num.cast("double") / den.cast("double")))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Kaplan–Meier user-retention curve: per user, duration = days
     // between first and last activity; churned if the last activity
     // predates the corpus end by > 3 days, else right-censored (still
@@ -3285,6 +3419,133 @@ object AnalyticsQueries {
         |             * LN(GREATEST(cur_n / ct, 1e-6)
         |                  / GREATEST(base_n / bt, 1e-6)), 9) AS psi_term
         |FROM j, t ORDER BY category""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday..6; Spark is 1..7 — the +1 aligns
+    "cramers_v_events" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et,
+        |         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+        |  FROM events),
+        |cells AS (SELECT et, dow, CAST(COUNT(*) AS BIGINT) AS o
+        |          FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT a.et, b.dow
+        |  FROM (SELECT DISTINCT et FROM cells) a
+        |  CROSS JOIN (SELECT DISTINCT dow FROM cells) b),
+        |full_t AS (
+        |  SELECT s.et, s.dow, COALESCE(c.o, 0) AS o
+        |  FROM spine s LEFT JOIN cells c
+        |    ON s.et = c.et AND s.dow = c.dow),
+        |m AS (
+        |  SELECT *,
+        |    CAST(SUM(o) OVER (PARTITION BY et) AS BIGINT) AS rt,
+        |    CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM full_t),
+        |terms AS (
+        |  SELECT *,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e
+        |  FROM m),
+        |agg AS (
+        |  SELECT MAX(n) AS n,
+        |         CAST(COUNT(DISTINCT et) AS BIGINT) AS r,
+        |         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+        |         CAST(SUM(CAST(round(
+        |             (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |               / e, 6) AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+        |  FROM terms)
+        |SELECT n, r, c, chi2,
+        |       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |         * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 9) AS cramers_v
+        |FROM agg ORDER BY n""".stripMargin,
+    "degree_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |stubs AS (
+        |  SELECT s.u, s.v, du.deg AS dx, dv.deg AS dy
+        |  FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) s
+        |  JOIN deg du ON s.u = du.id
+        |  JOIN deg dv ON s.v = dv.id),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |         CAST(SUM(dx) AS BIGINT) AS sx,
+        |         CAST(SUM(dy) AS BIGINT) AS sy,
+        |         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |         CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        |  FROM stubs)
+        |SELECT m,
+        |       CAST(m * sxy - sx * sy AS DOUBLE)
+        |         / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM a ORDER BY m""".stripMargin,
+    "pareto_price_size" ->
+      """WITH c AS (
+        |  SELECT p_partkey, p_retailprice, -p_size AS neg_size, p_size
+        |  FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |b AS (
+        |  SELECT p_retailprice AS x, MIN(neg_size) AS best
+        |  FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT x, best, MIN(best) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM b),
+        |fx AS (SELECT x, best FROM f WHERE prev IS NULL OR best < prev)
+        |SELECT c.p_partkey, c.p_retailprice, c.p_size
+        |FROM c JOIN fx ON c.p_retailprice = fx.x AND c.neg_size = fx.best
+        |ORDER BY c.p_retailprice, c.p_partkey""".stripMargin,
+    "copurchase_clustering" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS id FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t),
+        |tri AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+        |        FROM corners GROUP BY 1)
+        |SELECT d.id AS p_partkey, d.deg,
+        |       COALESCE(tri.triangles, 0) AS triangles,
+        |       CAST(COALESCE(tri.triangles, 0) * 2 AS DOUBLE)
+        |         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+        |FROM deg d LEFT JOIN tri ON d.id = tri.id
+        |WHERE d.deg >= 2 ORDER BY p_partkey""".stripMargin,
+    "ewma_event_volume" -> {
+      val num = (0 to 7).map(k =>
+        s"COALESCE(LAG(n, $k) OVER w, 0) * ${1L << (7 - k)}")
+        .mkString(" + ")
+      val den = (0 to 7).map(k =>
+        s"CASE WHEN LAG(n, $k) OVER w IS NOT NULL" +
+          s" THEN ${1L << (7 - k)} ELSE 0 END").mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         |       CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS smooth
+         |FROM daily
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    },
     "survival_retention" ->
       """WITH pu AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,

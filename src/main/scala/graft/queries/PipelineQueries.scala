@@ -1077,12 +1077,39 @@ object PipelineQueries {
       val webpHex = concat(
         lit("52494646"), le32h(lit(17)), lit("57454250"),
         lit("5650384C"), le32h(lit(5)), lit("2F"), le32h(vp8lBits))
+      // TIFF both byte orders (the II/MM inline-SHORT trap): LE uses
+      // SHORT entries (value in the LOW two bytes of the field), BE
+      // mixes LONG dims with SHORT spp (value in the FIRST two bytes)
+      val sppT = when(pmod(col("doc_id"), lit(2)) === 0, lit(1))
+        .otherwise(lit(3))
+      def le16e(c: org.apache.spark.sql.Column) = concat(
+        hx(pmod(c, lit(256)), 2), hx(shiftright(c, 8), 2))
+      def tiffLeEntry(tag: Int, v: org.apache.spark.sql.Column) = concat(
+        le16e(lit(tag)), le16e(lit(3)), le32h(lit(1)), le16e(v),
+        lit("0000"))
+      val tiffLeHex = concat(
+        lit("49492A00"), le32h(lit(8)), le16e(lit(4)),
+        tiffLeEntry(256, w), tiffLeEntry(257, h),
+        tiffLeEntry(258, lit(8)), tiffLeEntry(277, sppT),
+        le32h(lit(0)))
+      def tiffMmLong(tag: Int, v: org.apache.spark.sql.Column) = concat(
+        hx(lit(tag), 4), lit("0004"), lit("00000001"), hx(v, 8))
+      def tiffMmShort(tag: Int, v: org.apache.spark.sql.Column) = concat(
+        hx(lit(tag), 4), lit("0003"), lit("00000001"), hx(v, 4),
+        lit("0000"))
+      val tiffMmHex = concat(
+        lit("4D4D002A"), lit("00000008"), lit("0004"),
+        tiffMmLong(256, w), tiffMmLong(257, h),
+        tiffMmShort(258, lit(8)), tiffMmShort(277, sppT),
+        lit("00000000"))
       val media = docs.select(col("doc_id"), unhex(
-        when(pmod(col("doc_id"), lit(5)) === 0, pngHex)
-          .when(pmod(col("doc_id"), lit(5)) === 1, jpegHex)
-          .when(pmod(col("doc_id"), lit(5)) === 2, gifHex)
-          .when(pmod(col("doc_id"), lit(5)) === 3, bmpHex)
-          .otherwise(webpHex)).as("media"))
+        when(pmod(col("doc_id"), lit(7)) === 0, pngHex)
+          .when(pmod(col("doc_id"), lit(7)) === 1, jpegHex)
+          .when(pmod(col("doc_id"), lit(7)) === 2, gifHex)
+          .when(pmod(col("doc_id"), lit(7)) === 3, bmpHex)
+          .when(pmod(col("doc_id"), lit(7)) === 4, webpHex)
+          .when(pmod(col("doc_id"), lit(7)) === 5, tiffLeHex)
+          .otherwise(tiffMmHex)).as("media"))
       Multimodal.imageDims(media, "doc_id", "media")
         .orderBy(col("doc_id"))
     }),
@@ -1128,9 +1155,38 @@ object PipelineQueries {
         hx(pmod(rate, lit(16)) * 16 + (ch - 1) * 2, 2),
         lit("F0"), hx(samples, 8),
         repeat(lit("00"), 16))
+      // MPEG-1 Layer III: FF FB sync, bitrate/samplerate indices +
+      // padding in byte 3, channel mode in byte 4, then exactly
+      // `frames` CBR frames of zero so the n_samples promise
+      // (payload/frameLen · 1152) is exercised with floor arithmetic.
+      // Parameters key off doc_id div 3 — doc_id % 3 selects the
+      // format, so it is CONSTANT on this leg.
+      val d3 = expr("doc_id div 3")
+      val brIdx = when(pmod(d3, lit(4)) === 0, 1)
+        .when(pmod(d3, lit(4)) === 1, 5)
+        .when(pmod(d3, lit(4)) === 2, 7).otherwise(9)
+      val kbps = when(pmod(d3, lit(4)) === 0, 32)
+        .when(pmod(d3, lit(4)) === 1, 64)
+        .when(pmod(d3, lit(4)) === 2, 96).otherwise(128)
+      val srIdx = pmod(d3, lit(3))
+      val mRate = when(srIdx === 0, 44100).when(srIdx === 1, 48000)
+        .otherwise(32000)
+      val mPad = pmod(d3, lit(2))
+      val mono = pmod(d3, lit(5)) === 0
+      val frames = lit(2) + pmod(d3, lit(3))
+      // 144000·kbps/rate exact in doubles (both ≪ 2^53), floor = the
+      // spec's integer division
+      val frameLen = floor((lit(144000) * kbps).cast("double") /
+        mRate.cast("double")).cast("long") + mPad
+      val mp3Hex = concat(
+        lit("FFFB"),
+        hx(brIdx * 16 + srIdx * 4 + mPad * 2, 2),
+        when(mono, "C0").otherwise("00"),
+        repeat(lit("00"), (frameLen * frames - 4).cast("int")))
       val media = docs.select(col("doc_id"), unhex(
-        when(pmod(col("doc_id"), lit(2)) === 0, wavHex)
-          .otherwise(flacHex)).as("media"))
+        when(pmod(col("doc_id"), lit(3)) === 0, wavHex)
+          .when(pmod(col("doc_id"), lit(3)) === 1, flacHex)
+          .otherwise(mp3Hex)).as("media"))
       Multimodal.audioMeta(media, "doc_id", "media")
         .orderBy(col("doc_id"))
     }),
@@ -1686,12 +1742,13 @@ object PipelineQueries {
     // container headers
     "media_dimensions" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png'
+        |  CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'png'
         |       WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-        |       WHEN 3 THEN 'bmp' ELSE 'webp' END AS format,
+        |       WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp'
+        |       ELSE 'tiff' END AS format,
         |  CAST(16 + doc_id % 1000 AS INT) AS width,
         |  CAST(16 + (doc_id * 7) % 800 AS INT) AS height,
-        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |  CAST(CASE CAST(doc_id % 7 AS INT)
         |       WHEN 0 THEN
         |         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3
         |              WHEN 2 THEN 2 ELSE 4 END
@@ -1700,22 +1757,43 @@ object PipelineQueries {
         |              ELSE 4 END
         |       WHEN 4 THEN
         |         CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 3 ELSE 4 END
+        |       WHEN 5 THEN
+        |         CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 1 ELSE 3 END
+        |       WHEN 6 THEN
+        |         CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 1 ELSE 3 END
         |       ELSE 3 END AS INT) AS n_channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the planted audio-header arithmetic of audio_meta; duration is
     // floor integer division in both engines
     "audio_meta" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
-        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
-        |  CAST(1 + (doc_id % 4) // 2 AS INT) AS n_channels,
-        |  CAST(CASE WHEN doc_id % 2 = 0
-        |       THEN 8 * (1 + (doc_id % 6) // 3) ELSE 16 END AS INT)
-        |    AS bits_per_sample,
-        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
-        |  CAST((1000 + doc_id % 9000) * 1000
-        |       // (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id // 3) % 3 = 0 THEN 44100
+        |         WHEN (doc_id // 3) % 3 = 1 THEN 48000
+        |         ELSE 32000 END AS m_rate,
+        |    CASE WHEN (doc_id // 3) % 5 = 0 THEN 1 ELSE 2 END AS m_ch,
+        |    2 + (doc_id // 3) % 3 AS m_frames
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'wav'
+        |       WHEN 1 THEN 'flac' ELSE 'mp3' END AS format,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN m.m_rate
+        |       ELSE 8000 + (d.doc_id % 8) * 4000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN m.m_ch
+        |       ELSE 1 + (d.doc_id % 4) // 2 END AS INT) AS n_channels,
+        |  CAST(CASE CAST(d.doc_id % 3 AS INT)
+        |       WHEN 0 THEN 8 * (1 + (d.doc_id % 6) // 3)
+        |       WHEN 1 THEN 16 ELSE 0 END AS INT) AS bits_per_sample,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN m.m_frames * 1152
+        |       ELSE 1000 + d.doc_id % 9000 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN d.doc_id % 3 = 2
+        |       THEN m.m_frames * 1152 * 1000 // m.m_rate
+        |       ELSE (1000 + d.doc_id % 9000) * 1000
+        |            // (8000 + (d.doc_id % 8) * 4000) END AS BIGINT)
+        |    AS duration_ms
+        |FROM documents d JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the planted box-grammar arithmetic of video_meta
     "video_meta" ->
       """SELECT doc_id,

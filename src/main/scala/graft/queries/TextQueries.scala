@@ -220,6 +220,104 @@ object TextQueries {
         .orderBy(col("bin"))
     }),
 
+    // PAVA isotonic recalibration on top of calibration_bins' decile
+    // table: the least-squares non-decreasing fit of the per-bin
+    // positive rate (LinearModel.isotonicCalibrate — driver PAVA over
+    // the cap-guarded bin GRID with exact rational pool comparisons).
+    // The oracle replays it with the minimax identity iso(i) =
+    // max_{j≤i} min_{k≥i} mean(j..k) over the tiny bin cross join —
+    // both attain each pool's single Σpos/Σn division, so the fit
+    // hash-matches.
+    "calibration_isotonic" -> ((s, dir) => {
+      import graft.functions.LinearModel
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val w = LinearModel.trainPosteriorWeightsQ(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select(col("text"), (col("lang") === "en").as("is_en")),
+        "text", "is_en", 4096)
+      val binned = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      LinearModel.isotonicCalibrate(binned, "bin", "n", "n_pos")
+    }),
+
+    // Weight-of-evidence / information-value profile of the quality
+    // score against the language label — the credit-scoring feature
+    // diagnostic. Quality deciles (deterministic (q, doc_id) ntile);
+    // per bin WOE = ln(distr_pos/distr_neg) and IV term
+    // (dp−dn)·ln(dp/dn), each rounded to 9 (psi_term discipline);
+    // one-sided bins (np or nn = 0) get NULL WOE and a 0 IV term —
+    // the documented convention, no ε.
+    "woe_quality_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          qualityScore(col("text")).as("q"))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("q"), col("doc_id"))).cast("long"))
+      val b = d.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      val w = Window.partitionBy()
+      val dp = col("n_pos").cast("double") /
+        sum(col("n_pos")).over(w).cast("double")
+      val dn = col("n_neg").cast("double") /
+        sum(col("n_neg")).over(w).cast("double")
+      b.select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          dp.as("dp"), dn.as("dn"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(log(dp / dn), 9)).as("woe"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round((dp - dn) * log(dp / dn), 9)).otherwise(lit(0.0))
+            .as("iv_term"))
+        .orderBy(col("bin"))
+    }),
+
+    // Cumulative gains/lift table over the trained classifier's
+    // holdout deciles (the calibration_bins table read top-down):
+    // what share of all positives does the top-k% of the ranking
+    // capture, and at what lift over random. Exact integer cumsums;
+    // three final divisions.
+    "gains_table" -> ((s, dir) => {
+      import graft.functions.LinearModel
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val w = LinearModel.trainPosteriorWeightsQ(
+        docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+          .select(col("text"), (col("lang") === "en").as("is_en")),
+        "text", "is_en", 4096)
+      val b = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
+        .withColumn("bin", ntile(10).over(
+          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val desc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy()
+      b.withColumn("cum_n", sum(col("n")).over(desc))
+        .withColumn("cum_pos", sum(col("n_pos")).over(desc))
+        .withColumn("tot_n", sum(col("n")).over(tot))
+        .withColumn("tot_pos", sum(col("n_pos")).over(tot))
+        .select(col("bin"), col("n"), col("n_pos"), col("cum_n"),
+          col("cum_pos"),
+          (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+            .as("gain"),
+          ((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("tot_pos").cast("double") / col("tot_n").cast("double")))
+            .as("lift"))
+        .orderBy(col("bin").desc)
+    }),
+
     // Corpus card: per-(lang, source) doc counts, token totals, and
     // mean quality — the summary a curated training set ships with.
     // One grouped aggregate; the mean is FLOOR-quantized to integer
@@ -685,6 +783,44 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     }))
 
+  /** Trained-classifier + holdout decile-bin CTEs shared by the
+    * calibration_bins / calibration_isotonic oracles — ends with
+    * `b(bin, n, n_pos, sum_score_q)`, the exact-integer bin table. */
+  private val calibrationBinsCtes =
+    s"""tr AS (
+       |  SELECT unnest($tokensSql) AS tok, lang = 'en' AS pos
+       |  FROM documents WHERE doc_id % 10 < 8),
+       |w AS (
+       |  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096
+       |           AS b,
+       |         (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000003
+       |           // (COUNT(*) + 2) - 500001 AS wq
+       |  FROM tr GROUP BY b),
+       |tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents
+       |  WHERE doc_id % 10 >= 8),
+       |sc AS (
+       |  SELECT t.doc_id, SUM(COALESCE(w.wq, 0)) AS score_q
+       |  FROM tok t LEFT JOIN w
+       |    ON CAST(('0x' || substring(md5(t.tok), 1, 8)) AS BIGINT) % 4096
+       |       = w.b
+       |  GROUP BY t.doc_id),
+       |hold AS (
+       |  SELECT d.doc_id, d.lang = 'en' AS pos,
+       |         CAST(COALESCE(sc.score_q, 0) AS BIGINT) AS score_q
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |  WHERE d.doc_id % 10 >= 8),
+       |binned AS (
+       |  SELECT *, CAST(ntile(10) OVER (ORDER BY score_q, doc_id)
+       |                 AS BIGINT) AS bin
+       |  FROM hold),
+       |b AS (
+       |  SELECT bin, COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pos,
+       |         CAST(SUM(score_q) AS BIGINT) AS sum_score_q
+       |  FROM binned GROUP BY bin)""".stripMargin
+
   /** The textrank_keywords pair set for
     * [[AnalyticsQueries.pageRankCtes]]: distinct co-occurring token
     * pairs, ordered src < dst. */
@@ -817,40 +953,82 @@ object TextQueries {
     // trained-classifier CTEs + decile binning on the holdout split;
     // integer arithmetic end to end except the two final divisions
     "calibration_bins" ->
-      s"""WITH tr AS (
-         |  SELECT unnest($tokensSql) AS tok, lang = 'en' AS pos
-         |  FROM documents WHERE doc_id % 10 < 8),
-         |w AS (
-         |  SELECT CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096
-         |           AS b,
-         |         (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000003
-         |           // (COUNT(*) + 2) - 500001 AS wq
-         |  FROM tr GROUP BY b),
-         |tok AS (
-         |  SELECT doc_id, unnest($tokensSql) AS tok FROM documents
-         |  WHERE doc_id % 10 >= 8),
-         |sc AS (
-         |  SELECT t.doc_id, SUM(COALESCE(w.wq, 0)) AS score_q
-         |  FROM tok t LEFT JOIN w
-         |    ON CAST(('0x' || substring(md5(t.tok), 1, 8)) AS BIGINT) % 4096
-         |       = w.b
-         |  GROUP BY t.doc_id),
-         |hold AS (
-         |  SELECT d.doc_id, d.lang = 'en' AS pos,
-         |         CAST(COALESCE(sc.score_q, 0) AS BIGINT) AS score_q
-         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |  WHERE d.doc_id % 10 >= 8),
-         |binned AS (
-         |  SELECT *, CAST(ntile(10) OVER (ORDER BY score_q, doc_id)
-         |                 AS BIGINT) AS bin
-         |  FROM hold)
-         |SELECT bin, COUNT(*) AS n,
-         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
-         |  CAST(SUM(score_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      s"""WITH $calibrationBinsCtes
+         |SELECT bin, n, n_pos,
+         |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+         |  CAST(sum_score_q AS DOUBLE) / CAST(n AS DOUBLE)
          |    AS mean_score_q
-         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+         |FROM b ORDER BY bin""".stripMargin,
+    "woe_quality_bins" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang = 'en' AS pos, ($qualitySql) AS q
+         |  FROM (SELECT doc_id, lang, text, $tokensSql AS toks
+         |        FROM documents)),
+         |binned AS (
+         |  SELECT *, CAST(ntile(10) OVER (ORDER BY q, doc_id) AS BIGINT)
+         |              AS bin
+         |  FROM d),
+         |b AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM binned GROUP BY 1),
+         |r AS (
+         |  SELECT *,
+         |    CAST(n_pos AS DOUBLE) / CAST(SUM(n_pos) OVER () AS DOUBLE)
+         |      AS dp,
+         |    CAST(n_neg AS DOUBLE) / CAST(SUM(n_neg) OVER () AS DOUBLE)
+         |      AS dn
+         |  FROM b)
+         |SELECT bin, n, n_pos, n_neg, dp, dn,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN round(ln(dp / dn), 9) END AS woe,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |       THEN round((dp - dn) * ln(dp / dn), 9)
+         |       ELSE 0.0 END AS iv_term
+         |FROM r ORDER BY bin""".stripMargin,
+    "gains_table" ->
+      s"""WITH $calibrationBinsCtes,
+         |g AS (
+         |  SELECT bin, n, n_pos,
+         |    CAST(SUM(n) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_pos,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         |    CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+         |  FROM b)
+         |SELECT bin, n, n_pos, cum_n, cum_pos,
+         |  CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS gain,
+         |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+         |    / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift
+         |FROM g ORDER BY bin DESC""".stripMargin,
+    // the bin table + the isotonic minimax identity: iso(i) =
+    // max_{j<=i} min_{k>=i} mean(j..k) — a 10-bin cross join; the
+    // attained optimum is each PAVA pool's exact Sum-pos/Sum-n
+    // division, matching the operator's driver PAVA bit for bit
+    "calibration_isotonic" ->
+      s"""WITH $calibrationBinsCtes,
+         |r AS (
+         |  SELECT j.bin AS jb, k.bin AS kb,
+         |         CAST(SUM(m.n_pos) AS DOUBLE)
+         |           / CAST(SUM(m.n) AS DOUBLE) AS mean
+         |  FROM b j JOIN b k ON j.bin <= k.bin
+         |  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+         |  GROUP BY 1, 2),
+         |im AS (
+         |  SELECT i.bin, r.jb, MIN(r.mean) AS mn
+         |  FROM b i JOIN r ON r.jb <= i.bin AND i.bin <= r.kb
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT bin, MAX(mn) AS iso_rate FROM im GROUP BY bin)
+         |SELECT b.bin, b.n, b.n_pos,
+         |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+         |  iso.iso_rate
+         |FROM b JOIN iso USING (bin) ORDER BY b.bin""".stripMargin,
     "normalize_text" ->
       """WITH t AS (
         |  SELECT doc_id,

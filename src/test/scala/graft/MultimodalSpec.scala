@@ -151,6 +151,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaHeaders parses REAL TIFFs (ImageIO) in both byte orders") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def render(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "tiff", bos), "ImageIO lacks tiff writer")
+      bos.toByteArray
+    }
+    val rgb = render(321, 97, BufferedImage.TYPE_INT_RGB)
+    Multimodal.MediaHeaders.parse(rgb) shouldBe (("tiff", 321, 97, 3))
+    val gray = render(5, 1200, BufferedImage.TYPE_BYTE_GRAY)
+    Multimodal.MediaHeaders.parse(gray) shouldBe (("tiff", 5, 1200, 1))
+    // hand-built big-endian (MM) twin of the LE form ImageIO writes:
+    // LONG dims (first-2-bytes SHORT trap exercised on spp)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def entry(tag: Int, typ: Int, value: Array[Byte]) =
+      be16(tag) ++ be16(typ) ++ be32(1) ++ value
+    val mm = Array[Byte]('M', 'M', 0, 42) ++ be32(8) ++ be16(3) ++
+      entry(256, 4, be32(777)) ++ entry(257, 3, be16(55) ++ Array[Byte](0, 0)) ++
+      entry(277, 3, be16(3) ++ Array[Byte](0, 0)) ++ be32(0)
+    Multimodal.MediaHeaders.parse(mm) shouldBe (("tiff", 777, 55, 3))
+    // corrupt: IFD offset beyond the payload; entry table truncated
+    val evil = Array[Byte]('I', 'I', 42, 0) ++ Array[Byte](-1, -1, -1, 0x7f)
+    Multimodal.MediaHeaders.parse(evil) shouldBe Multimodal.MediaHeaders.Unknown
+    Multimodal.MediaHeaders.parse(mm.take(20)) shouldBe
+      Multimodal.MediaHeaders.Unknown
+  }
+
+  test("MediaHeaders.parseAudio decodes MP3 frame headers and ID3 skip") {
+    val mh = Multimodal.MediaHeaders
+    // 128 kbps, 44100 Hz, stereo, no padding: frameLen =
+    // floor(144000·128/44100) = 417; three frames promise 3456 samples
+    def mp3(b3: Int, b4: Int, totalLen: Int): Array[Byte] = {
+      val p = new Array[Byte](totalLen)
+      p(0) = 0xff.toByte; p(1) = 0xfb.toByte
+      p(2) = b3.toByte; p(3) = b4.toByte
+      p
+    }
+    mh.parseAudio(mp3(0x90, 0x00, 417 * 3)) shouldBe
+      (("mp3", 44100, 2, 0, 3456L))
+    // mono (mode 3), 32 kbps @ 48000 → frameLen 96, padding adds 1
+    mh.parseAudio(mp3(0x14, 0xc0, 96 * 2)) shouldBe
+      (("mp3", 48000, 1, 0, 2304L))
+    mh.parseAudio(mp3(0x16, 0xc0, 97 * 2)) shouldBe
+      (("mp3", 48000, 1, 0, 2304L)) // padding bit honored
+    // ID3v2 prefix: 10-byte header + syncsafe size 130 skipped
+    val tagged = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 2) ++
+      new Array[Byte](130) ++ mp3(0x90, 0x00, 417)
+    mh.parseAudio(tagged) shouldBe (("mp3", 44100, 2, 0, 1152L))
+    // refusals: free/bad bitrate, reserved rate, lost sync, truncation
+    mh.parseAudio(mp3(0x00, 0x00, 500)) shouldBe mh.UnknownAudio
+    mh.parseAudio(mp3(0x9c, 0x00, 500)) shouldBe mh.UnknownAudio
+    mh.parseAudio("not audio at all".getBytes("UTF-8")) shouldBe
+      mh.UnknownAudio
+    mh.parseAudio(Array[Byte](0xff.toByte)) shouldBe mh.UnknownAudio
+    // hostile syncsafe tag size must not wrap the cursor
+    val evilTag = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      0x7f, 0x7f, 0x7f, 0x7f)
+    mh.parseAudio(evilTag) shouldBe mh.UnknownAudio
+  }
+
   test("MediaHeaders: truncated, corrupt, and non-image bytes are unknown") {
     val mh = Multimodal.MediaHeaders
     mh.parse(null) shouldBe mh.Unknown

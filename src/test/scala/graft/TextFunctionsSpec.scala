@@ -292,4 +292,54 @@ class TextFunctionsSpec extends SparkSpec {
     plan.toLowerCase should not include "scalaudf"
     plan should not include "Generate"
   }
+
+  test("isotonicCalibrate: PAVA pools violators to the weighted mean") {
+    import spark.implicits._
+    import graft.functions.LinearModel.isotonicCalibrate
+    // rates 0.2, 0.6, 0.4, 0.8: bins 2 and 3 violate and pool to
+    // (6+4)/(10+10) = 0.5; ends untouched
+    val bins = Seq((1L, 10L, 2L), (2L, 10L, 6L), (3L, 10L, 4L),
+      (4L, 10L, 8L)).toDF("bin", "n", "p")
+    val got = isotonicCalibrate(bins, "bin", "n", "p").collect()
+    got.map(_.getDouble(4)) shouldBe Array(0.2, 0.5, 0.5, 0.8)
+    got.map(_.getDouble(3)) shouldBe Array(0.2, 0.6, 0.4, 0.8)
+    // cascade: a strictly decreasing table pools to ONE global rate
+    val desc = Seq((1L, 4L, 4L), (2L, 4L, 2L), (3L, 4L, 0L))
+      .toDF("bin", "n", "p")
+    isotonicCalibrate(desc, "bin", "n", "p").collect()
+      .map(_.getDouble(4)) shouldBe Array.fill(3)(0.5)
+    // weighted: the heavy bin dominates its pool
+    val wtd = Seq((1L, 90L, 90L), (2L, 10L, 0L)).toDF("bin", "n", "p")
+    isotonicCalibrate(wtd, "bin", "n", "p").collect()
+      .map(_.getDouble(4)) shouldBe Array.fill(2)(0.9)
+    // already-monotone input is untouched (equal rates stay split)
+    val mono = Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 4L))
+      .toDF("bin", "n", "p")
+    isotonicCalibrate(mono, "bin", "n", "p").collect()
+      .map(_.getDouble(4)) shouldBe Array(0.2, 0.2, 0.8)
+  }
+
+  test("isotonicCalibrate refuses bad bins and caps the collect") {
+    import spark.implicits._
+    import graft.functions.LinearModel.isotonicCalibrate
+    val ok = Seq((1L, 5L, 1L)).toDF("bin", "n", "p")
+    an[IllegalArgumentException] should be thrownBy
+      isotonicCalibrate(Seq((1L, 0L, 0L)).toDF("bin", "n", "p"),
+        "bin", "n", "p")
+    an[IllegalArgumentException] should be thrownBy
+      isotonicCalibrate(Seq((1L, 5L, 6L)).toDF("bin", "n", "p"),
+        "bin", "n", "p")
+    an[IllegalArgumentException] should be thrownBy
+      isotonicCalibrate(ok.unionAll(ok), "bin", "n", "p") // dup bins
+    an[IllegalArgumentException] should be thrownBy
+      isotonicCalibrate(
+        (1 to 50).map(i => (i.toLong, 5L, 1L)).toDF("bin", "n", "p"),
+        "bin", "n", "p", maxBins = 49) // grid over the cap: loud
+    // unsorted arrival is sorted by bin before fitting
+    val shuffled = Seq((3L, 5L, 0L), (1L, 5L, 5L), (2L, 5L, 2L))
+      .toDF("bin", "n", "p").repartition(3)
+    isotonicCalibrate(shuffled, "bin", "n", "p").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))) shouldBe
+      Array((1L, 7.0 / 15.0), (2L, 7.0 / 15.0), (3L, 7.0 / 15.0))
+  }
 }
