@@ -2205,6 +2205,96 @@ object AnalyticsQueries {
         .select(col("l_partkey").as("p_partkey"),
           col("value").cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    // Spearman rank correlation between quantity and discount per
+    // return flag — computed from the (flag, qty, disc) contingency
+    // table, NOT a per-row rank window: one grouped count compresses
+    // the fact table to ≤ flag×50×11 cells, marginal tie-averaged
+    // ranks (doubled, so integral) come from windows over THOSE
+    // cells, and the five moment sums accumulate in DECIMAL — the
+    // rank test that never total-sorts the fact table
+    // (operators/RankStats.spearmanFromCells).
+    "spearman_qty_discount" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("qty"),
+          col("l_discount").as("disc"))
+        .agg(count(lit(1)).as("cn"))
+      graft.operators.RankStats.spearmanFromCells(cells,
+          Seq("l_returnflag"), "qty", "disc", "cn")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Mann-Whitney U: do purchase events carry a different `value`
+    // distribution than view events? Rank-sum over the grouped
+    // distinct-value table (RankStats.mannWhitney): the scan is one
+    // hash aggregation; the ordered pass touches only distinct
+    // values; doubled ranks keep everything integral until the
+    // tie-corrected z. The non-parametric sibling of
+    // ab_conversion_ztest.
+    "mann_whitney_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+      graft.operators.RankStats.mannWhitney(ev,
+          col("event_type") === "purchase", "value")
+        .orderBy(col("n1"))
+    }),
+
+    // Per-event-type Shannon entropy of the hour-of-day distribution
+    // (RankStats.entropyProfile): a flat 24-cell spread scores high,
+    // a bursty bot-like type scores low — the temporal-diversity
+    // profile of a behavioral pipeline. Exact cell counts; p·ln p
+    // terms rounded per cell then DECIMAL-summed (the chi-square
+    // accumulation discipline), so the scalar survives any partition
+    // order.
+    "hourly_entropy_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      graft.operators.RankStats.entropyProfile(ev,
+          Seq("event_type"), "hr")
+        .select(col("event_type"), col("n"), col("k"),
+          col("entropy"), col("norm_entropy"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Discount elasticity of demand per brand: OLS slope of
+    // ln(quantity) on ln(1 − discount) — the price-response curve —
+    // computed from the (brand, discount, quantity) contingency
+    // cells (25×11×50 max), never per row: log terms are evaluated
+    // once per cell, rounded, DECIMAL-weighted by the exact cell
+    // count, and the closed-form slope runs over five exact sums.
+    // Part is a broadcast dimension join.
+    "discount_elasticity" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_discount").as("disc"),
+          col("l_quantity").as("qty"))
+        .agg(count(lit(1)).as("cn"))
+      val terms = cells
+        .withColumn("x", round(log(lit(1.0) - col("disc")), 9))
+        .withColumn("y", round(log(col("qty")), 9))
+      // count-weighted log terms multiply in DOUBLE (exact longs ×
+      // rounded logs — deterministic), round, then DECIMAL-sum: the
+      // chi-square accumulation pattern, dodging engine-specific
+      // decimal-product scale clamping.
+      val dec = (c: org.apache.spark.sql.Column) =>
+        sum(round(c, 6).cast("decimal(28,12)"))
+      val agg = terms.groupBy(col("p_brand")).agg(
+        sum(col("cn")).as("n"),
+        dec(col("cn") * col("x")).as("sx"),
+        dec(col("cn") * col("y")).as("sy"),
+        dec(col("cn") * col("x") * col("y")).as("sxy"),
+        dec(col("cn") * col("x") * col("x")).as("sxx"))
+      val d = (c: String) => col(c).cast("double")
+      agg.select(col("p_brand"), col("n"),
+          round((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (d("n") * d("sxx") - d("sx") * d("sx")), 6).as("elasticity"),
+          round((d("sy") - ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            (d("n") * d("sxx") - d("sx") * d("sx"))) * d("sx")) / d("n"), 6)
+            .as("intercept"))
+        .orderBy(col("p_brand"))
     }))
 
   /** Unrolled power-iteration rounds for the supplier_pagerank oracle
@@ -3947,5 +4037,162 @@ object AnalyticsQueries {
         |SELECT p_partkey, CAST(v AS DOUBLE) AS part_value FROM (
         |  SELECT *, SUM(v) OVER () AS total FROM val)
         |WHERE CAST(v AS DOUBLE) * 1000 > CAST(total AS DOUBLE)
-        |ORDER BY part_value DESC, p_partkey""".stripMargin)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+
+    // mirrors RankStats.spearmanFromCells: doubled tie-averaged ranks
+    // from the contingency-cell marginals, DECIMAL moment sums, the
+    // Pearson-on-ranks closed form in double
+    "spearman_qty_discount" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_quantity AS qty, l_discount AS disc,
+        |         COUNT(*) AS cn
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |gx AS (SELECT l_returnflag, qty, SUM(cn) AS tx
+        |       FROM cells GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT l_returnflag, qty,
+        |    2 * COALESCE(SUM(tx) OVER (PARTITION BY l_returnflag
+        |          ORDER BY qty
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + tx + 1 AS r2x
+        |  FROM gx),
+        |gy AS (SELECT l_returnflag, disc, SUM(cn) AS ty
+        |       FROM cells GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT l_returnflag, disc,
+        |    2 * COALESCE(SUM(ty) OVER (PARTITION BY l_returnflag
+        |          ORDER BY disc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + ty + 1 AS r2y
+        |  FROM gy),
+        |a AS (
+        |  SELECT c.l_returnflag,
+        |    SUM(CAST(c.cn AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(c.cn AS DECIMAL(18,0)) * CAST(rx.r2x AS DECIMAL(12,0)))
+        |      AS sx,
+        |    SUM(CAST(c.cn AS DECIMAL(18,0)) * CAST(ry.r2y AS DECIMAL(12,0)))
+        |      AS sy,
+        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(rx.r2x AS DECIMAL(12,0))
+        |        * CAST(ry.r2y AS DECIMAL(12,0))) AS sxy,
+        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(rx.r2x AS DECIMAL(12,0))
+        |        * CAST(rx.r2x AS DECIMAL(12,0))) AS sxx,
+        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(ry.r2y AS DECIMAL(12,0))
+        |        * CAST(ry.r2y AS DECIMAL(12,0))) AS syy
+        |  FROM cells c
+        |  JOIN rx ON c.l_returnflag = rx.l_returnflag AND c.qty = rx.qty
+        |  JOIN ry ON c.l_returnflag = ry.l_returnflag AND c.disc = ry.disc
+        |  GROUP BY 1)
+        |SELECT l_returnflag, CAST(s1 AS BIGINT) AS n,
+        |  round((CAST(s1 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(s1 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rho
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors RankStats.mannWhitney: grouped distinct-value table,
+    // doubled ranks, DECIMAL rank/tie sums, tie-corrected z in double
+    "mann_whitney_value" ->
+      """WITH f AS (
+        |  SELECT value AS v, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'view')),
+        |cells AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nb
+        |  FROM f GROUP BY v),
+        |r AS (
+        |  SELECT na, nb, na + nb AS t,
+        |    2 * COALESCE(SUM(na + nb) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (na + nb) + 1 AS r2
+        |  FROM cells),
+        |a AS (
+        |  SELECT SUM(CAST(na AS DECIMAL(38,0))) AS n1,
+        |    SUM(CAST(nb AS DECIMAL(38,0))) AS n2,
+        |    SUM(CAST(na AS DECIMAL(18,0)) * CAST(r2 AS DECIMAL(18,0)))
+        |      AS r1_2,
+        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+        |        * CAST(t AS DECIMAL(12,0))) AS t3,
+        |    SUM(CAST(t AS DECIMAL(38,0))) AS t1
+        |  FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  (CAST(r1_2 AS DOUBLE)
+        |    - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+        |  round(CAST(r1_2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)), 9)
+        |    AS r1_mean,
+        |  round(((CAST(r1_2 AS DOUBLE)
+        |          - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+        |         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+        |         - (CAST(t3 AS DOUBLE) - CAST(t1 AS DOUBLE))
+        |           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |              * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))),
+        |    9) AS z
+        |FROM a
+        |ORDER BY n1""".stripMargin,
+
+    // mirrors RankStats.entropyProfile: exact cell counts, p·ln p
+    // rounded per cell, DECIMAL-summed; norm divides the UNROUNDED
+    // entropy by ln(k)
+    "hourly_entropy_profile" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |         COUNT(*) AS cn
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, cn,
+        |    SUM(cn) OVER (PARTITION BY event_type) AS n,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS k
+        |  FROM cells),
+        |t2 AS (
+        |  SELECT event_type, n, k,
+        |    CAST(round((CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM w)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(CAST(-SUM(term) AS DOUBLE), 9) AS entropy,
+        |  round(CASE WHEN k > 1
+        |    THEN CAST(-SUM(term) AS DOUBLE) / ln(CAST(k AS DOUBLE))
+        |    ELSE 0.0 END, 9) AS norm_entropy
+        |FROM t2 GROUP BY event_type, n, k
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors discount_elasticity: per-cell count-weighted log terms
+    // multiplied in double, rounded, DECIMAL-summed; OLS closed form
+    "discount_elasticity" ->
+      """WITH cells AS (
+        |  SELECT p_brand, l_discount AS disc, l_quantity AS qty,
+        |         COUNT(*) AS cn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT p_brand, cn,
+        |    round(ln(1.0 - disc), 9) AS x,
+        |    round(ln(qty), 9) AS y
+        |  FROM cells),
+        |a AS (
+        |  SELECT p_brand, SUM(cn) AS n,
+        |    SUM(CAST(round(cn * x, 6) AS DECIMAL(28,12))) AS sx,
+        |    SUM(CAST(round(cn * y, 6) AS DECIMAL(28,12))) AS sy,
+        |    SUM(CAST(round(cn * x * y, 6) AS DECIMAL(28,12))) AS sxy,
+        |    SUM(CAST(round(cn * x * x, 6) AS DECIMAL(28,12))) AS sxx
+        |  FROM t2 GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity,
+        |  round((CAST(sy AS DOUBLE)
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a
+        |ORDER BY p_brand""".stripMargin)
 }
