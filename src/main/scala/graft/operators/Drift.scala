@@ -242,8 +242,8 @@ object Drift {
     * are ≤ N_base/N_cur and the cross products ≤ N_base·N_cur — exact
     * in a long up to ~3·10⁹ rows per side; beyond that pre-aggregate.
     */
-  def ksStatistic(base: DataFrame, cur: DataFrame,
-                  valueCol: String): DataFrame = {
+  def ksStatistic(base: DataFrame, cur: DataFrame, valueCol: String,
+                  maxGrid: Int = ValueGrid.DefaultMaxGrid): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, as: String) =
       df.select(col(valueCol).cast("double").as("v"))
@@ -263,6 +263,10 @@ object Drift {
       .join(side(cur, "nc"), Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("nb"), lit(0L)).as("nb"),
         coalesce(col("nc"), lit(0L)).as("nc"))
+    // LOUD grid guard (enforced, not documented — r9 verdict): the
+    // cumsum window below is single-partition over the distinct-value
+    // grid; an unbounded continuous axis would wedge that one task
+    ValueGrid.assertGridBounded(counts, "ksStatistic", maxGrid)
     val cum = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.rowsBetween(

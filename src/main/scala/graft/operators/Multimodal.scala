@@ -161,15 +161,22 @@ object Multimodal {
         val e = ifd.toInt + 2 + 12 * k
         val tag = u16(e)
         val typ = u16(e + 2)
+        val cnt = u32(e + 4)
         // inline value: SHORT(3) reads 2 bytes at the value field's
-        // start; LONG(4) reads all 4
+        // start; LONG(4) reads all 4 — but ONLY when count == 1. A
+        // multi-count entry stores an OFFSET in the value field
+        // (TIFF 6.0 §2), which read as a value fabricates dimensions;
+        // such entries are skipped (r9 ADVICE).
         val v: Long =
-          if (typ == 3) u16(e + 8).toLong
+          if (cnt != 1L) -1L
+          else if (typ == 3) u16(e + 8).toLong
           else if (typ == 4) u32(e + 8)
           else -1L
-        if (tag == 256) w = v.toInt
-        else if (tag == 257) h = v.toInt
-        else if (tag == 277 && v > 0) spp = v.toInt
+        if (v > 0) {
+          if (tag == 256) w = v.toInt
+          else if (tag == 257) h = v.toInt
+          else if (tag == 277) spp = v.toInt
+        }
         k += 1
       }
       if (w <= 0 || h <= 0) Unknown else ("tiff", w, h, spp)
@@ -314,6 +321,18 @@ object Multimodal {
       val padding = (b3 >> 1) & 1
       val channels = if (((b4 >> 6) & 3) == 3) 1 else 2
       val frameLen = 144000L * kbps / rate + padding
+      // A 4-byte pattern that happens to start FF FA/FB is not an MPEG
+      // stream. Two structural checks (r9 ADVICE — a 2-byte sync probe
+      // alone over-claims): the payload must hold at least ONE full
+      // declared frame, and when a second frame header fits, its sync
+      // word must appear at offset frameLen (CBR streams repeat the
+      // header every frameLen bytes).
+      if (p.length - o < frameLen) return UnknownAudio
+      if (o + frameLen + 4 <= p.length) {
+        val j = (o + frameLen).toInt
+        if ((p(j) & 0xff) != 0xff || (p(j + 1) & 0xfe) != 0xfa)
+          return UnknownAudio
+      }
       val frames = (p.length - o) / frameLen
       ("mp3", rate, channels, 0, frames * 1152L)
     }

@@ -96,12 +96,20 @@ object RankStats {
     * distinct-value table. One hash aggregation compresses the input;
     * the ordered pass and the rank-sum run over distinct values only.
     *
+    * NULL values are EXCLUDED before ranking (r9 ADVICE): a NULL has
+    * no rank position — and engines disagree on where it would sort
+    * (Spark windows put NULLS FIRST, ANSI ORDER BY defaults LAST), so
+    * ranking it would silently shift every statistic. Rows where
+    * `isA` is NULL count as group B (not-A), matching SQL boolean
+    * semantics of `CASE WHEN isA THEN … ELSE …`.
+    *
     * Output one row: n1, n2, u1, r1_mean, z — doubled-rank integer
     * arithmetic until the closed-form z (rounded to `scale`).
     */
   def mannWhitney(df: DataFrame, isA: Column, valueCol: String,
       scale: Int = 9): DataFrame = {
     val cells = df
+      .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
         sum(when(isA, 0L).otherwise(1L)).as("nb"))

@@ -26,11 +26,16 @@ object Skyline {
     * compare with nothing).
     *
     * @return the input rows on the frontier, all columns preserved */
-  def frontier2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def frontier2d(df: DataFrame, xCol: String, yCol: String,
+                 maxGrid: Int = ValueGrid.DefaultMaxGrid): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val bestAtX = clean.groupBy(col(xCol).as("__x"))
       .agg(min(col(yCol)).as("__best"))
+    // LOUD grid guard (enforced, not documented — r9 verdict): the
+    // prefix-min window below is single-partition over the distinct-x
+    // grid; quantize a continuous x upstream
+    ValueGrid.assertGridBounded(bestAtX, "frontier2d", maxGrid)
     val wPrev = Window.orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val frontierX = bestAtX

@@ -174,14 +174,18 @@ object TimeSeries {
     *
     * @return (duration, n_risk, n_events, n_censored, hazard,
     *         log_surv, surv) ordered by duration */
-  def kaplanMeier(df: DataFrame, durationCol: String,
-                  eventCol: String): DataFrame = {
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  maxGrid: Int = ValueGrid.DefaultMaxGrid): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df
       .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
       .groupBy(col(durationCol).cast("long").as("duration"))
       .agg(count(lit(1)).as("n_at"),
         sum(col(eventCol).cast("long")).as("n_events"))
+    // LOUD grid guard (enforced, not documented — r9 verdict): both
+    // windows below are single-partition over the distinct-duration
+    // grid; quantize a continuous duration upstream
+    ValueGrid.assertGridBounded(g, "kaplanMeier", maxGrid)
     val wDesc = Window.orderBy(col("duration").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAsc = Window.orderBy(col("duration"))

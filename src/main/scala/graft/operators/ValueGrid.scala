@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared discipline for the "value-grid window" family —
+  * [[Drift.ksStatistic]], [[TimeSeries.kaplanMeier]],
+  * [[Skyline.frontier2d]] — operators that compress N rows to the
+  * DISTINCT values of one column and run a single-partition ordered
+  * window over THAT grid.
+  *
+  * The shape is correct at any scale ONLY while the grid stays
+  * bounded. On a genuinely continuous column a 100× scale-up funnels
+  * hundreds of millions of distinct values into ONE window task and
+  * fails SLOW (a wedged stage, not an error) — the failure mode this
+  * codebase refuses everywhere else (`pageRankQ`'s quantum guard,
+  * `isotonicCalibrate`'s maxBins). These helpers make the contract
+  * LOUD instead of documented-only:
+  *
+  *  - [[assertGridBounded]] probes the grid with a limit-bounded job
+  *    and refuses with an actionable message when it overflows;
+  *  - [[quantize]] is the opt-in fix the message points at — bucket
+  *    the axis onto a bounded uniform grid upstream.
+  */
+object ValueGrid {
+
+  /** Default grid bound: a ~1M-row single-partition window is seconds
+    * of work on one core; the wedged-stage regime starts orders of
+    * magnitude later. Callers with a deliberately huge grid raise it
+    * explicitly — the point is that nobody crosses it silently. */
+  val DefaultMaxGrid: Int = 1 << 20
+
+  /** LOUD cardinality probe: counts the grid only up to `maxGrid + 1`
+    * rows (a `limit`-bounded job — never a full count of an unbounded
+    * grid) and refuses when it overflows. `what` names the operator
+    * for the error message. */
+  def assertGridBounded(grid: DataFrame, what: String,
+                        maxGrid: Int): Unit = {
+    require(maxGrid >= 1, s"maxGrid must be >= 1, got $maxGrid")
+    val n = grid.limit(maxGrid + 1).count()
+    require(n <= maxGrid,
+      s"$what: more than $maxGrid distinct grid values — the " +
+        "single-partition window over this grid would wedge one task " +
+        "at scale; quantize the axis upstream (ValueGrid.quantize) " +
+        "or raise maxGrid deliberately")
+  }
+
+  /** Opt-in quantizer: buckets a continuous column onto a uniform
+    * grid of at most `buckets` values, replacing each value with its
+    * bucket's LEFT EDGE (a real point on the original axis, so
+    * downstream statistics read naturally). One min/max aggregate —
+    * a one-row collect, the established scalar pattern — then a pure
+    * arithmetic narrow map: no shuffle, no UDF, codegen-friendly.
+    * NULLs pass through (every grid operator excludes them);
+    * constant and all-NULL columns come back untouched. The column
+    * keeps its name and position; its type widens to double (bucket
+    * edges are generally not integral). */
+  def quantize(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val mm = df.agg(min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi")).collect()(0)
+    if (mm.isNullAt(0)) return df // all-NULL column: nothing to map
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    if (lo == hi) return df // constant column: already a 1-point grid
+    val step = (hi - lo) / buckets
+    // the top edge (v == hi) clamps into the last bucket, so the grid
+    // has AT MOST `buckets` points
+    val bucket = least(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(step)),
+      lit((buckets - 1).toLong))
+    df.withColumn(valueCol,
+      when(col(valueCol).isNull, lit(null).cast("double"))
+        .otherwise(lit(lo) + bucket.cast("double") * lit(step)))
+  }
+}

@@ -1083,10 +1083,13 @@ object AnalyticsQueries {
 
     // Lagged cross-correlation between the daily view and purchase
     // volumes at lags −3..+3 — "do purchases follow views by k days?".
-    // Pearson r from the SIX exact integer sums (daily counts are
-    // longs; Σxy ≲ 1e17 at 100 TB, inside Long) through one
+    // Pearson r from the SIX exact integer sums through one
     // closed-form IEEE expression — identical op order both engines,
-    // so the statistic hash-matches. The lag axis is a 7-row
+    // so the statistic hash-matches. The cross products n·Σxy and
+    // Σx·Σy are ~n² times the per-day products, so they widen to
+    // DECIMAL before multiplying (the RankStats dprod discipline —
+    // LONG would silently wrap at large event volumes while the
+    // oracle's BIGINT raises; r9 ADVICE). The lag axis is a 7-row
     // broadcast; the calendar self-join keys on (day − lag).
     "xcorr_view_purchase" -> ((s, dir) => {
       val daily = t(s, dir, "events")
@@ -1097,7 +1100,8 @@ object AnalyticsQueries {
             .as("y"))
       val lags = s.range(-3, 4)
         .select(col("id").cast("int").as("lag"))
-      val n = col("n_days")
+      val d19 = (c: String) => col(c).cast("decimal(19,0)")
+      val n = col("n_days").cast("decimal(19,0)")
       daily.select(col("day"), col("x")).crossJoin(broadcast(lags))
         .join(daily.select(col("day").as("yday"), col("y")),
           col("yday") === date_sub(col("day"), col("lag")))
@@ -1108,10 +1112,10 @@ object AnalyticsQueries {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
         .select(col("lag").cast("long").as("lag"), col("n_days"),
-          ((n * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((n * col("sxx") - col("sx") * col("sx"))
+          ((n * d19("sxy") - d19("sx") * d19("sy")).cast("double") /
+            (sqrt((n * d19("sxx") - d19("sx") * d19("sx"))
               .cast("double")) *
-              sqrt((n * col("syy") - col("sy") * col("sy"))
+              sqrt((n * d19("syy") - d19("sy") * d19("sy"))
                 .cast("double")))).as("r"))
         .orderBy(col("lag"))
     }),
@@ -1484,14 +1488,17 @@ object AnalyticsQueries {
           e.select(col("v").as("u"), col("u").as("v")))
         .join(deg.select(col("id").as("u"), col("deg").as("dx")), "u")
         .join(deg.select(col("id").as("v"), col("deg").as("dy")), "v")
-      val m = col("m")
+      // m·Σxy and Σx·Σy are ~m² the per-stub products: widen to
+      // DECIMAL before multiplying so nothing wraps (r9 ADVICE)
+      val d19 = (c: String) => col(c).cast("decimal(19,0)")
+      val m = col("m").cast("decimal(19,0)")
       stubs.agg(count(lit(1)).as("m"),
           sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
           sum(col("dx") * col("dy")).as("sxy"),
           sum(col("dx") * col("dx")).as("sxx"))
         .select(col("m"),
-          ((m * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (m * col("sxx") - col("sx") * col("sx")).cast("double"))
+          ((m * d19("sxy") - d19("sx") * d19("sy")).cast("double") /
+            (m * d19("sxx") - d19("sx") * d19("sx")).cast("double"))
             .as("assortativity"))
     }),
 
@@ -2650,16 +2657,18 @@ object AnalyticsQueries {
         |  JOIN daily b ON b.day = a.day - CAST(l.lag AS INTEGER)),
         |sums AS (
         |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
-        |         CAST(SUM(x) AS BIGINT) AS sx,
-        |         CAST(SUM(y) AS BIGINT) AS sy,
-        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |         CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+        |         CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+        |         CAST(SUM(x * y) AS DECIMAL(19,0)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(19,0)) AS sxx,
+        |         CAST(SUM(y * y) AS DECIMAL(19,0)) AS syy
         |  FROM j GROUP BY lag)
         |SELECT CAST(lag AS BIGINT) AS lag, n_days,
-        |       CAST(n_days * sxy - sx * sy AS DOUBLE)
-        |         / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-        |            * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS r
+        |       CAST(CAST(n_days AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(CAST(n_days AS DECIMAL(19,0)) * sxx
+        |                      - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(CAST(n_days AS DECIMAL(19,0)) * syy
+        |                        - sy * sy AS DOUBLE))) AS r
         |FROM sums ORDER BY lag""".stripMargin,
     "part_bfs_hops" ->
       """WITH RECURSIVE li AS (
@@ -3566,14 +3575,15 @@ object AnalyticsQueries {
         |  JOIN deg dv ON s.v = dv.id),
         |a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
-        |         CAST(SUM(dx) AS BIGINT) AS sx,
-        |         CAST(SUM(dy) AS BIGINT) AS sy,
-        |         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-        |         CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        |         CAST(SUM(dx) AS DECIMAL(19,0)) AS sx,
+        |         CAST(SUM(dy) AS DECIMAL(19,0)) AS sy,
+        |         CAST(SUM(dx * dy) AS DECIMAL(19,0)) AS sxy,
+        |         CAST(SUM(dx * dx) AS DECIMAL(19,0)) AS sxx
         |  FROM stubs)
         |SELECT m,
-        |       CAST(m * sxy - sx * sy AS DOUBLE)
-        |         / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+        |       CAST(CAST(m AS DECIMAL(19,0)) * sxy - sx * sy AS DOUBLE)
+        |         / CAST(CAST(m AS DECIMAL(19,0)) * sxx
+        |                - sx * sx AS DOUBLE) AS assortativity
         |FROM a ORDER BY m""".stripMargin,
     "pareto_price_size" ->
       """WITH c AS (
@@ -4066,18 +4076,22 @@ object AnalyticsQueries {
         |      + ty + 1 AS r2y
         |  FROM gy),
         |a AS (
+        |  -- every factor at DECIMAL(19,0): the Spark side's headroom
+        |  -- (r2 = 2N+t+1 exceeds 1e12 beyond ~5e11 rows per group —
+        |  -- narrower casts made the ORACLE the scale ceiling; r9
+        |  -- ADVICE)
         |  SELECT c.l_returnflag,
         |    SUM(CAST(c.cn AS DECIMAL(38,0))) AS s1,
-        |    SUM(CAST(c.cn AS DECIMAL(18,0)) * CAST(rx.r2x AS DECIMAL(12,0)))
+        |    SUM(CAST(c.cn AS DECIMAL(19,0)) * CAST(rx.r2x AS DECIMAL(19,0)))
         |      AS sx,
-        |    SUM(CAST(c.cn AS DECIMAL(18,0)) * CAST(ry.r2y AS DECIMAL(12,0)))
+        |    SUM(CAST(c.cn AS DECIMAL(19,0)) * CAST(ry.r2y AS DECIMAL(19,0)))
         |      AS sy,
-        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(rx.r2x AS DECIMAL(12,0))
-        |        * CAST(ry.r2y AS DECIMAL(12,0))) AS sxy,
-        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(rx.r2x AS DECIMAL(12,0))
-        |        * CAST(rx.r2x AS DECIMAL(12,0))) AS sxx,
-        |    SUM(CAST(c.cn AS DECIMAL(14,0)) * CAST(ry.r2y AS DECIMAL(12,0))
-        |        * CAST(ry.r2y AS DECIMAL(12,0))) AS syy
+        |    SUM(CAST(c.cn AS DECIMAL(19,0)) * CAST(rx.r2x AS DECIMAL(19,0))
+        |        * CAST(ry.r2y AS DECIMAL(19,0))) AS sxy,
+        |    SUM(CAST(c.cn AS DECIMAL(19,0)) * CAST(rx.r2x AS DECIMAL(19,0))
+        |        * CAST(rx.r2x AS DECIMAL(19,0))) AS sxx,
+        |    SUM(CAST(c.cn AS DECIMAL(19,0)) * CAST(ry.r2y AS DECIMAL(19,0))
+        |        * CAST(ry.r2y AS DECIMAL(19,0))) AS syy
         |  FROM cells c
         |  JOIN rx ON c.l_returnflag = rx.l_returnflag AND c.qty = rx.qty
         |  JOIN ry ON c.l_returnflag = ry.l_returnflag AND c.disc = ry.disc
@@ -4097,7 +4111,8 @@ object AnalyticsQueries {
     "mann_whitney_value" ->
       """WITH f AS (
         |  SELECT value AS v, event_type FROM events
-        |  WHERE event_type IN ('purchase', 'view')),
+        |  WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
         |cells AS (
         |  SELECT v,
         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
@@ -4110,12 +4125,15 @@ object AnalyticsQueries {
         |      + (na + nb) + 1 AS r2
         |  FROM cells),
         |a AS (
+        |  -- DECIMAL(19,0) factors: the Spark dprod headroom (r9
+        |  -- ADVICE — narrower casts made the oracle the scale
+        |  -- ceiling); engines clamp the product at DECIMAL(38,0)
         |  SELECT SUM(CAST(na AS DECIMAL(38,0))) AS n1,
         |    SUM(CAST(nb AS DECIMAL(38,0))) AS n2,
-        |    SUM(CAST(na AS DECIMAL(18,0)) * CAST(r2 AS DECIMAL(18,0)))
+        |    SUM(CAST(na AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0)))
         |      AS r1_2,
-        |    SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
-        |        * CAST(t AS DECIMAL(12,0))) AS t3,
+        |    SUM(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+        |        * CAST(t AS DECIMAL(19,0))) AS t3,
         |    SUM(CAST(t AS DECIMAL(38,0))) AS t1
         |  FROM r)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,

@@ -1156,8 +1156,10 @@ object PipelineQueries {
         lit("F0"), hx(samples, 8),
         repeat(lit("00"), 16))
       // MPEG-1 Layer III: FF FB sync, bitrate/samplerate indices +
-      // padding in byte 3, channel mode in byte 4, then exactly
-      // `frames` CBR frames of zero so the n_samples promise
+      // padding in byte 3, channel mode in byte 4, repeated at EVERY
+      // frame boundary (a real CBR stream has a header per frame —
+      // parseMp3's second-sync probe requires it) for exactly
+      // `frames` frames so the n_samples promise
       // (payload/frameLen · 1152) is exercised with floor arithmetic.
       // Parameters key off doc_id div 3 — doc_id % 3 selects the
       // format, so it is CONSTANT on this leg.
@@ -1178,11 +1180,13 @@ object PipelineQueries {
       // spec's integer division
       val frameLen = floor((lit(144000) * kbps).cast("double") /
         mRate.cast("double")).cast("long") + mPad
-      val mp3Hex = concat(
+      val mp3Hdr = concat(
         lit("FFFB"),
         hx(brIdx * 16 + srIdx * 4 + mPad * 2, 2),
-        when(mono, "C0").otherwise("00"),
-        repeat(lit("00"), (frameLen * frames - 4).cast("int")))
+        when(mono, "C0").otherwise("00"))
+      val mp3Hex = repeat(
+        concat(mp3Hdr, repeat(lit("00"), (frameLen - 4).cast("int"))),
+        frames.cast("int"))
       val media = docs.select(col("doc_id"), unhex(
         when(pmod(col("doc_id"), lit(3)) === 0, wavHex)
           .when(pmod(col("doc_id"), lit(3)) === 1, flacHex)

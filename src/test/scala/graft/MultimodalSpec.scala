@@ -182,24 +182,42 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.MediaHeaders.parse(evil) shouldBe Multimodal.MediaHeaders.Unknown
     Multimodal.MediaHeaders.parse(mm.take(20)) shouldBe
       Multimodal.MediaHeaders.Unknown
+    // multi-count ImageWidth entry: the value field holds an OFFSET,
+    // not a value — reading it as the width fabricates dimensions, so
+    // the entry is skipped and the parse refuses (r9 ADVICE)
+    val multi = Array[Byte]('M', 'M', 0, 42) ++ be32(8) ++ be16(3) ++
+      (be16(256) ++ be16(4) ++ be32(2) ++ be32(777)) ++
+      entry(257, 3, be16(55) ++ Array[Byte](0, 0)) ++
+      entry(277, 3, be16(3) ++ Array[Byte](0, 0)) ++ be32(0)
+    Multimodal.MediaHeaders.parse(multi) shouldBe
+      Multimodal.MediaHeaders.Unknown
   }
 
   test("MediaHeaders.parseAudio decodes MP3 frame headers and ID3 skip") {
     val mh = Multimodal.MediaHeaders
     // 128 kbps, 44100 Hz, stereo, no padding: frameLen =
-    // floor(144000·128/44100) = 417; three frames promise 3456 samples
-    def mp3(b3: Int, b4: Int, totalLen: Int): Array[Byte] = {
+    // floor(144000·128/44100) = 417; three frames promise 3456
+    // samples. The header repeats at every frame boundary (CBR) —
+    // parseMp3's second-sync probe requires it on multi-frame
+    // payloads.
+    def mp3(b3: Int, b4: Int, totalLen: Int,
+            frameLen: Int = Int.MaxValue): Array[Byte] = {
       val p = new Array[Byte](totalLen)
-      p(0) = 0xff.toByte; p(1) = 0xfb.toByte
-      p(2) = b3.toByte; p(3) = b4.toByte
+      var o = 0L
+      while (o + 4 <= totalLen) {
+        val i = o.toInt
+        p(i) = 0xff.toByte; p(i + 1) = 0xfb.toByte
+        p(i + 2) = b3.toByte; p(i + 3) = b4.toByte
+        o += frameLen
+      }
       p
     }
-    mh.parseAudio(mp3(0x90, 0x00, 417 * 3)) shouldBe
+    mh.parseAudio(mp3(0x90, 0x00, 417 * 3, 417)) shouldBe
       (("mp3", 44100, 2, 0, 3456L))
     // mono (mode 3), 32 kbps @ 48000 → frameLen 96, padding adds 1
-    mh.parseAudio(mp3(0x14, 0xc0, 96 * 2)) shouldBe
+    mh.parseAudio(mp3(0x14, 0xc0, 96 * 2, 96)) shouldBe
       (("mp3", 48000, 1, 0, 2304L))
-    mh.parseAudio(mp3(0x16, 0xc0, 97 * 2)) shouldBe
+    mh.parseAudio(mp3(0x16, 0xc0, 97 * 2, 97)) shouldBe
       (("mp3", 48000, 1, 0, 2304L)) // padding bit honored
     // ID3v2 prefix: 10-byte header + syncsafe size 130 skipped
     val tagged = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 2) ++
@@ -208,6 +226,12 @@ class MultimodalSpec extends SparkSpec {
     // refusals: free/bad bitrate, reserved rate, lost sync, truncation
     mh.parseAudio(mp3(0x00, 0x00, 500)) shouldBe mh.UnknownAudio
     mh.parseAudio(mp3(0x9c, 0x00, 500)) shouldBe mh.UnknownAudio
+    // a lone FF FB header followed by zeros is NOT an MPEG stream:
+    // where a second frame header fits, its sync word must be there
+    mh.parseAudio(mp3(0x90, 0x00, 417 * 3)) shouldBe mh.UnknownAudio
+    // shorter than one declared frame: the header's promise doesn't
+    // fit its own payload
+    mh.parseAudio(mp3(0x90, 0x00, 100)) shouldBe mh.UnknownAudio
     mh.parseAudio("not audio at all".getBytes("UTF-8")) shouldBe
       mh.UnknownAudio
     mh.parseAudio(Array[Byte](0xff.toByte)) shouldBe mh.UnknownAudio
