@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise with `mapPartitions` —
   * the Scala analog of a Pandas-UDF/`mapInPandas` stage.
   *
-  * The actual codec work is behind [[MediaDecoder]]; this container has
-  * no media libraries, so the default [[StubDecoder]] derives
-  * deterministic fake dimensions/frames from the payload bytes. The
-  * Spark-side plumbing — schemas, per-partition decoder lifecycle,
-  * iterator batch shape, row explosion for frame sampling — is the real
-  * thing and is what the specs pin down.
+  * The actual codec work is behind [[MediaDecoder]]. The DEFAULT is
+  * [[ImageIoDecoder]] — real pixel decoding via the JDK's own
+  * `javax.imageio`, header-probed first so non-image payloads fall
+  * back to the deterministic [[StubDecoder]] (which derives fake
+  * dimensions/frames/grids from the payload bytes — the gate's
+  * synthetic payloads keep their stub signatures). The Spark-side
+  * plumbing — schemas, per-partition decoder lifecycle, iterator
+  * batch shape, row explosion for frame sampling — is shared by both
+  * and is what the specs pin down.
   *
   * Scale notes:
   *  - One decoder instance per partition (`mapPartitions` closure inits
@@ -481,6 +484,97 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel decoding behind the seam — the DEFAULT decoder. Backed
+    * by the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF readers
+    * ship with the JDK), so no external codec library is required.
+    *
+    * The container header is probed FIRST ([[MediaHeaders.parse]] —
+    * allocation-free byte inspection): only payloads that look like a
+    * recognized image container attempt an ImageIO decode, so the
+    * non-image/synthetic payloads of a mixed 100 TB media column skip
+    * straight to the [[StubDecoder]] fallback without paying a failed
+    * codec call. Anything ImageIO cannot turn into pixels (truncated
+    * body, hostile header, unsupported flavor) degrades to the stub
+    * the same way rather than throwing — one corrupt object can't
+    * fail a stage, and the gate's synthetic payloads keep their
+    * deterministic stub signatures.
+    *
+    * Per-partition lifecycle: [[open]] disables ImageIO's disk cache
+    * once per partition so decode stays in task memory (the
+    * documented heavyweight-init seam).
+    *
+    * [[grayGrid]] area-averages REAL luminance (integer ITU-R BT.601
+    * weights 299/587/114) over each cell's pixel block — the actual
+    * decode-then-downscale a perceptual hash wants, so dHash bits
+    * reflect true image gradients on encoded inputs (spec-pinned
+    * locality on real PNG/JPEG bytes in MultimodalSpec). */
+  class ImageIoDecoder extends StubDecoder {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (p == null || MediaHeaders.parse(p)._1 == "unknown") None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p)))
+      catch { case _: Exception => None } // corrupt body → fallback
+
+    override def decode(payload: Array[Byte]): (Int, Int, Int, Int) =
+      readImage(payload) match {
+        case Some(img) =>
+          (img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 1)
+        case None =>
+          // header-only middle rung: real container metadata when the
+          // header parses even though the pixels don't
+          val (fmt, w, h, c) = MediaHeaders.parse(payload)
+          if (fmt != "unknown" && w > 0) (w, h, c, 1)
+          else super.decode(payload)
+      }
+
+    override def grayGrid(payload: Array[Byte], cols: Int,
+                          rows: Int): Array[Int] =
+      readImage(payload) match {
+        case Some(img) => areaGray(img, cols, rows)
+        case None      => super.grayGrid(payload, cols, rows)
+      }
+
+    /** cols×rows mean-luminance grid over the image's pixel blocks —
+      * integer arithmetic throughout (deterministic across JVMs). */
+    private def areaGray(img: java.awt.image.BufferedImage, cols: Int,
+                         rows: Int): Array[Int] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](cols * rows)
+      var r = 0
+      while (r < rows) {
+        val y0 = (r.toLong * h / rows).toInt
+        val y1 = math.max(((r + 1).toLong * h / rows).toInt, y0 + 1)
+        var c = 0
+        while (c < cols) {
+          val x0 = (c.toLong * w / cols).toInt
+          val x1 = math.max(((c + 1).toLong * w / cols).toInt, x0 + 1)
+          var s = 0L
+          var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(r * cols + c) = if (n == 0) 0 else (s / n).toInt
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
   /** Typed dimensions straight off the media column: one narrow
     * mapPartitions over the payload bytes (no decoder init needed —
     * header inspection is allocation-free), NULL payloads dropped like
@@ -587,7 +681,7 @@ object Multimodal {
   /** Decode each payload and attach a typed `meta` struct. Narrow map;
     * decoder opened once per partition. */
   def extractMeta(df: DataFrame, idCol: String, mediaCol: String,
-                  decoder: MediaDecoder = new StubDecoder): DataFrame = {
+                  decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     val outSchema = StructType(
       df.schema(idCol) +: Seq(StructField("meta", metaSchema, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
@@ -610,7 +704,7 @@ object Multimodal {
     * explosion shape of video frame extraction. */
   def frameFeatures(df: DataFrame, idCol: String, mediaCol: String,
                     maxFrames: Int = 4, dim: Int = 8,
-                    decoder: MediaDecoder = new StubDecoder): DataFrame = {
+                    decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -645,7 +739,7 @@ object Multimodal {
     */
   def batchedFeatures(df: DataFrame, idCol: String, mediaCol: String,
                       batchSize: Int = 64, dim: Int = 8,
-                      decoder: MediaDecoder = new StubDecoder): DataFrame = {
+                      decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     require(batchSize >= 1, "batchSize must be positive")
     val outSchema = StructType(Seq(
       df.schema(idCol),
@@ -670,7 +764,7 @@ object Multimodal {
     * point is the pass-through binary schema and narrow-map shape. */
   def resize(df: DataFrame, idCol: String, mediaCol: String,
              targetW: Int, targetH: Int,
-             decoder: MediaDecoder = new StubDecoder): DataFrame = {
+             decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("media", BinaryType, nullable = true),
@@ -701,7 +795,7 @@ object Multimodal {
     *
     * @return (id, phash: LONG) — NULL payloads dropped */
   def perceptualHash(df: DataFrame, idCol: String, mediaCol: String,
-                     decoder: MediaDecoder = new StubDecoder): DataFrame = {
+                     decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("phash", LongType, nullable = false)))
@@ -739,7 +833,7 @@ object Multimodal {
     * @return (id_a, id_b, hamming) with id_a < id_b */
   def phashNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 1000,
-                        decoder: MediaDecoder = new StubDecoder): DataFrame =
+                        decoder: MediaDecoder = new ImageIoDecoder): DataFrame =
     Dedup.hammingBandPairs(
       perceptualHash(df, idCol, mediaCol, decoder)
         .select(col(idCol).as("doc_id"), col("phash").as("sig")),
