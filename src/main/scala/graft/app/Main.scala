@@ -55,6 +55,15 @@ object Main {
           (0, Some(statusJson("success",
             rowsIn + s""""rows_out":${rep.rowsOut},""" +
               s""""steps":$steps,"output":${jsonStr(rep.output)}""")))
+        case "maintainView" =>
+          // engine extension: incremental materialized-view upkeep
+          // behind the same config-in/JSON-out protocol; `applied` is
+          // false on an exactly-once replay of a committed batchId
+          val rep = ViewMaintenance.run(spark, config.view.get, dataDir)
+          val buckets = rep.buckets.map(n => s""","buckets":$n""").getOrElse("")
+          (0, Some(statusJson("success",
+            s""""view":"${rep.kind}","batch_id":${rep.batchId},""" +
+              s""""applied":${rep.applied}$buckets""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")

@@ -107,6 +107,7 @@ object Pipeline {
       case d: DecontaminateFuzzy => Seq(d.evalPath)
       case m: Mix                => m.extra.map(_.input)
       case c: ClassifierFilter   => c.weightsPath.toSeq // retrained model
+      case c: CapPerSource       => c.graphPrior.map(_.input).toSeq
       case _                     => Nil
     }
     paths.map(pp => fileSummary(spark, resolve(pp, dataDir))).mkString(";")
@@ -514,15 +515,30 @@ object Pipeline {
               schemas.distinct.map(_.map { case (n, t) => s"$n:$t" }
                 .mkString("[", ",", "]")).mkString(" vs ") + ")")
         Sampling.weightedMix(sources, p.idColumn)
-      case CapPerSource(sourceCol, k) =>
+      case CapPerSource(sourceCol, k, priorSpec) =>
         if (!df.columns.contains(sourceCol))
           throw new UserException(
             s"capPerSource: input has no column '$sourceCol'")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(sourceCol))
-          .orderBy(TextFunctions.qualityScore(text).desc, col(p.idColumn))
-        df.withColumn("__rnk", row_number().over(w))
-          .filter(col("__rnk") <= k).drop("__rnk")
+        priorSpec match {
+          case Some(g) =>
+            // authority-scaled quota: the graph prior consumed by
+            // curation (one broadcast join — the prior is per-source)
+            val prior = read(g.input, g.format)
+            for (c <- Seq(g.sourceColumn, g.weightColumn))
+              if (!prior.columns.contains(c))
+                throw new UserException(
+                  s"capPerSource.graphPrior: no column '$c' in ${g.input}")
+            Sampling.capPerSourceWeighted(df, sourceCol, p.idColumn,
+                Seq(TextFunctions.qualityScore(text).desc), k,
+                prior, g.sourceColumn, g.weightColumn)
+              .drop("cap_q", "rnk")
+          case None =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(sourceCol))
+              .orderBy(TextFunctions.qualityScore(text).desc, col(p.idColumn))
+            df.withColumn("__rnk", row_number().over(w))
+              .filter(col("__rnk") <= k).drop("__rnk")
+        }
       case Split(tr, va, column) =>
         df.withColumn(column,
           Sampling.splitLabel(col(p.idColumn), tr, va))

@@ -28,7 +28,10 @@ final case class JobConfig(
     maxParallelLoads: Int = 1,
     /** Engine extension: curation-pipeline spec for the `pipeline`
       * action ([[PipelineConfig]]). */
-    pipeline: Option[PipelineConfig] = None)
+    pipeline: Option[PipelineConfig] = None,
+    /** Engine extension: view-maintenance spec for the `maintainView`
+      * action ([[ViewConfig]]). */
+    view: Option[ViewConfig] = None)
 
 object ConfigParser {
   private val mapper = new ObjectMapper()
@@ -60,7 +63,53 @@ object ConfigParser {
         Some(parsePipeline(opt(params, "pipeline").getOrElse(
           throw new UserException("Missing 'pipeline' key"))))
       else None
-    JobConfig(action, tables, dataDir, parseSsh(params), width, pipeline)
+    val view =
+      if (action == "maintainView")
+        Some(parseView(opt(params, "view").getOrElse(
+          throw new UserException("Missing 'view' key"))))
+      else None
+    JobConfig(action, tables, dataDir, parseSsh(params), width, pipeline,
+      view)
+  }
+
+  /** `parameters.view` block for the `maintainView` action. Validated
+    * HERE like the pipeline block: malformed config → UserException →
+    * exit 1, never an opaque runner failure. */
+  private def parseView(v: JsonNode): ViewConfig = {
+    val statePath = req(v, "statePath").asText
+    val batchId = req(v, "batchId").asLong
+    if (batchId < 0) throw new UserException("view.batchId must be >= 0")
+    req(v, "kind").asText match {
+      case "join" =>
+        JoinViewConfig(statePath, batchId,
+          key = req(v, "key").asText,
+          deltaA = parseDelta(req(v, "deltaA")),
+          deltaB = parseDelta(req(v, "deltaB")))
+      case "rollup" =>
+        val keys = opt(v, "keys").toSeq.flatMap(_.elements.asScala)
+          .map(_.asText)
+        if (keys.isEmpty)
+          throw new UserException("view.keys must list group columns")
+        val nBuckets = opt(v, "nBuckets").map(_.asInt).getOrElse(16)
+        if (nBuckets < 1)
+          throw new UserException("view.nBuckets must be >= 1")
+        RollupViewConfig(statePath, batchId, keys,
+          valueColumn = req(v, "valueColumn").asText,
+          delta = parseDelta(req(v, "delta")), nBuckets = nBuckets)
+      case other =>
+        throw new UserException(s"View kind '$other' is not supported")
+    }
+  }
+
+  private def parseDelta(d: JsonNode): DeltaInput = {
+    val cdc = opt(d, "cdc").map { c =>
+      val keys = opt(c, "keyColumns").toSeq.flatMap(_.elements.asScala)
+        .map(_.asText)
+      if (keys.isEmpty)
+        throw new UserException("cdc.keyColumns must list key columns")
+      CdcSpec(keys, req(c, "seqColumn").asText, req(c, "opColumn").asText)
+    }
+    DeltaInput(req(d, "input").asText, readFormat(d, "format"), cdc)
   }
 
   /** `parameters.pipeline` block for the `pipeline` action. Shape and
@@ -300,8 +349,17 @@ object ConfigParser {
         val k = int("maxPerSource", -1)
         if (k < 1)
           throw new UserException("capPerSource needs 'maxPerSource' >= 1")
+        val prior = opt(n, "graphPrior").map { g =>
+          GraphPrior(
+            input = req(g, "input").asText,
+            format = readFormat(g, "format"),
+            sourceColumn = opt(g, "sourceColumn").map(_.asText)
+              .getOrElse("id"),
+            weightColumn = opt(g, "weightColumn").map(_.asText)
+              .getOrElse("rank_q"))
+        }
         CapPerSource(opt(n, "sourceColumn").map(_.asText)
-          .getOrElse("source"), k)
+          .getOrElse("source"), k, prior)
       case "split" =>
         val tr = int("trainPct", -1); val va = int("valPct", 0)
         if (tr < 0 || va < 0 || tr + va > 100)

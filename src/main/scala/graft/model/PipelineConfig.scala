@@ -203,11 +203,28 @@ object PipelineStep {
   /** Domain-quota step: each `sourceColumn` group keeps its
     * `maxPerSource` highest-quality documents
     * ([[graft.functions.TextFunctions.qualityScore]] ranking, one
-    * per-source window — never a global sort). */
-  final case class CapPerSource(sourceColumn: String, maxPerSource: Int)
+    * per-source window — never a global sort).
+    *
+    * With `graphPrior` set, the quota SCALES with each source's
+    * authority weight from the supplied table — a PageRank/HITS
+    * ranking composed into curation
+    * ([[graft.operators.Sampling.capPerSourceWeighted]]):
+    * cap(s) = max(1, maxPerSource·w(s) div max_w). The prior file's
+    * content rides the checkpoint chain via the secondary-input
+    * summary, like decontamination eval sets. */
+  final case class CapPerSource(sourceColumn: String, maxPerSource: Int,
+                                graphPrior: Option[GraphPrior] = None)
       extends PipelineStep {
     val kind = "capPerSource"
   }
+
+  /** Authority table for [[CapPerSource]]: `sourceColumn` matches the
+    * frame's source values, `weightColumn` holds integral weights
+    * (the graph operators' `*_q` micro-unit outputs). Defaults match
+    * [[graft.operators.Graph.pageRankQ]]'s (id, rank_q) schema. */
+  final case class GraphPrior(input: String, format: String = "parquet",
+                              sourceColumn: String = "id",
+                              weightColumn: String = "rank_q")
 
   /** Append a leakage-free train/val/test label column
     * ([[graft.operators.Sampling.splitLabel]]). */

@@ -241,7 +241,10 @@ object Drift {
     * lexicographic (diff, −v) struct max). Overflow guard: cumsums
     * are ≤ N_base/N_cur and the cross products ≤ N_base·N_cur — exact
     * in a long up to ~3·10⁹ rows per side; beyond that pre-aggregate.
-    */
+    *
+    * EAGER at construction: the grid-cardinality guard runs a
+    * limit-bounded Spark job (and persists the grid) when this method
+    * is CALLED, not when the result is acted on. */
   def ksStatistic(base: DataFrame, cur: DataFrame, valueCol: String,
                   maxGrid: Int = ValueGrid.DefaultMaxGrid): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -265,13 +268,15 @@ object Drift {
         coalesce(col("nc"), lit(0L)).as("nc"))
     // LOUD grid guard (enforced, not documented — r9 verdict): the
     // cumsum window below is single-partition over the distinct-value
-    // grid; an unbounded continuous axis would wedge that one task
-    ValueGrid.assertGridBounded(counts, "ksStatistic", maxGrid)
+    // grid; an unbounded continuous axis would wedge that one task.
+    // boundedGrid returns the grid PERSISTED so the probe job's
+    // aggregation is not recomputed by the window below.
+    val counts2 = ValueGrid.boundedGrid(counts, "ksStatistic", maxGrid)
     val cum = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    counts2
       .withColumn("cb", sum("nb").over(cum))
       .withColumn("cc", sum("nc").over(cum))
       .withColumn("tb", sum("nb").over(all))

@@ -41,7 +41,7 @@ object JoinView {
   /** In-memory state of the maintained view. */
   final case class State(a: DataFrame, b: DataFrame, view: DataFrame)
 
-  private def checkKeys(a: DataFrame, b: DataFrame, key: String): Unit = {
+  private[graft] def checkKeys(a: DataFrame, b: DataFrame, key: String): Unit = {
     require(a.columns.contains(key), s"left side lacks join key '$key'")
     require(b.columns.contains(key), s"right side lacks join key '$key'")
     val overlap = (a.columns.toSet & b.columns.toSet) - key

@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Pixel-count ceiling for real decoding ([[ImageIoDecoder]]): the
+    * largest DECLARED width*height a payload may claim before the
+    * codec call is refused (header-only rung instead). 64M pixels ≈
+    * a 256 MB ARGB raster — comfortably above any sane training image,
+    * far below what would OOM a task decoding a crafted bomb. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Codec seam. Implementations must be Serializable (constructed on
     * the driver, initialized lazily per executor partition). */
   trait MediaDecoder extends Serializable {
@@ -507,15 +514,33 @@ object Multimodal {
     * weights 299/587/114) over each cell's pixel block — the actual
     * decode-then-downscale a perceptual hash wants, so dHash bits
     * reflect true image gradients on encoded inputs (spec-pinned
-    * locality on real PNG/JPEG bytes in MultimodalSpec). */
+    * locality on real PNG/JPEG bytes in MultimodalSpec).
+    *
+    * Decompression-bomb guard: payloads whose header DECLARES more than
+    * [[MaxDecodePixels]] pixels (64M ≈ 256 MB ARGB raster) never reach
+    * `ImageIO.read` — they take the header-only rung, so a tiny hostile
+    * payload can't OOM an executor (OutOfMemoryError is not an
+    * `Exception`; no catch would save the task). */
   class ImageIoDecoder extends StubDecoder {
     override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
 
-    private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      if (p == null || MediaHeaders.parse(p)._1 == "unknown") None
+    private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (p == null) return None
+      val (fmt, w, h, _) = MediaHeaders.parse(p)
+      // Decompression-bomb guard: a hostile-but-valid header can declare
+      // e.g. 60000x60000, and ImageIO.read would allocate the full raster
+      // — the resulting OutOfMemoryError is an Error, not an Exception,
+      // so the catch below would NOT save the task. Refuse the codec call
+      // when the DECLARED raster exceeds the pixel cap and fall to the
+      // header-only rung instead (the declared dims still surface there).
+      // w/h <= 0 covers declared dims past 2^31 (big-endian reads wrap
+      // negative) — refuse those too rather than hand them to a codec
+      if (fmt == "unknown" || w <= 0 || h <= 0 ||
+          w.toLong * h.toLong > MaxDecodePixels) None
       else try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(p)))
       catch { case _: Exception => None } // corrupt body → fallback
+    }
 
     override def decode(payload: Array[Byte]): (Int, Int, Int, Int) =
       readImage(payload) match {

@@ -168,6 +168,56 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Authority-weighted domain quota — [[graft.operators.Graph]]'s
+    * quality prior COMPOSED into curation: each source group keeps its
+    * top-ranked documents, but the quota SCALES with the source's
+    * authority weight (a PageRank/HITS score, or any supplied
+    * per-source prior):
+    *
+    *   cap(s) = max(1, (maxPerSource · w(s)) div max_w)
+    *
+    * — the top-authority source keeps the full `maxPerSource`, others
+    * proportionally fewer, floor 1 (a source absent from the prior
+    * keeps exactly its single best document, never silently vanishes).
+    * Pure INTEGER arithmetic (`div` = floor division) so the quota is
+    * a bit-exact function of the prior — weights must be integral
+    * (the graph operators' `*_q` micro-unit outputs are), and
+    * `maxPerSource · max_w` must fit a long (micro-unit ranks leave
+    * ~9e12 headroom at maxPerSource ≤ 1000).
+    *
+    * Scale shape: the prior is per-SOURCE (domains — small against the
+    * corpus) → broadcast join, no corpus shuffle for the cap; then the
+    * same per-source top-k window as the unweighted quota step (ONE
+    * shuffle on the source key, never a global sort). One scalar
+    * collect (max weight) — the established one-row pattern.
+    *
+    * @param orderCols ranking within a source, best first (e.g.
+    *        quality DESC, id) — must be deterministic and total
+    * @return input columns + `cap_q` (the source's quota) + `rnk` */
+  def capPerSourceWeighted(df: DataFrame, sourceCol: String, idCol: String,
+                           orderCols: Seq[Column], maxPerSource: Int,
+                           prior: DataFrame, priorKeyCol: String,
+                           weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerSource >= 1, s"maxPerSource must be >= 1, got $maxPerSource")
+    val p = prior.select(col(priorKeyCol).as("__psrc"),
+      col(weightCol).cast("long").as("__w"))
+    val mm = p.agg(max(col("__w")).as("mw")).collect()(0)
+    require(!mm.isNullAt(0) && mm.getLong(0) > 0,
+      "capPerSourceWeighted: prior has no positive weights — an " +
+        "all-zero authority table would cap every source to 1 " +
+        "silently; fix the prior or use the unweighted quota")
+    val maxW = mm.getLong(0)
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(orderCols :+ col(idCol): _*)
+    df.join(broadcast(p), col(sourceCol) === col("__psrc"), "left")
+      .withColumn("cap_q", greatest(lit(1L),
+        expr(s"(coalesce(__w, 0L) * ${maxPerSource}L) div ${maxW}L")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("cap_q"))
+      .drop("__psrc", "__w")
+  }
+
   /** Pack documents into ~`targetTokens` training-sequence bins:
     * within each hash bucket, documents accumulate in id order and a
     * bin closes when the running token total crosses the target —

@@ -25,6 +25,10 @@ object Skyline {
     * wherever the grid does. NULL objectives are excluded (they
     * compare with nothing).
     *
+    * EAGER at construction: the grid-cardinality guard runs a
+    * limit-bounded Spark job (and persists the per-x minima grid)
+    * when this method is CALLED, not when the result is acted on.
+    *
     * @return the input rows on the frontier, all columns preserved */
   def frontier2d(df: DataFrame, xCol: String, yCol: String,
                  maxGrid: Int = ValueGrid.DefaultMaxGrid): DataFrame = {
@@ -34,11 +38,12 @@ object Skyline {
       .agg(min(col(yCol)).as("__best"))
     // LOUD grid guard (enforced, not documented — r9 verdict): the
     // prefix-min window below is single-partition over the distinct-x
-    // grid; quantize a continuous x upstream
-    ValueGrid.assertGridBounded(bestAtX, "frontier2d", maxGrid)
+    // grid; quantize a continuous x upstream. boundedGrid returns the
+    // grid PERSISTED so the probe's aggregation is not recomputed.
+    val bounded = ValueGrid.boundedGrid(bestAtX, "frontier2d", maxGrid)
     val wPrev = Window.orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontierX = bestAtX
+    val frontierX = bounded
       .withColumn("__prev", min(col("__best")).over(wPrev))
       // strictly better than every smaller-x best: an equal prefix
       // best at smaller x dominates via the strict x edge

@@ -172,6 +172,10 @@ object TimeSeries {
     * continuous duration upstream at 100 TB; the [[Drift.ksStatistic]]
     * posture).
     *
+    * EAGER at construction: the grid-cardinality guard runs a
+    * limit-bounded Spark job (and persists the grid) when this method
+    * is CALLED, not when the result is acted on.
+    *
     * @return (duration, n_risk, n_events, n_censored, hazard,
     *         log_surv, surv) ordered by duration */
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
@@ -184,13 +188,15 @@ object TimeSeries {
         sum(col(eventCol).cast("long")).as("n_events"))
     // LOUD grid guard (enforced, not documented — r9 verdict): both
     // windows below are single-partition over the distinct-duration
-    // grid; quantize a continuous duration upstream
-    ValueGrid.assertGridBounded(g, "kaplanMeier", maxGrid)
+    // grid; quantize a continuous duration upstream. boundedGrid
+    // returns the grid PERSISTED so the probe's aggregation is not
+    // recomputed by the windows below.
+    val g2 = ValueGrid.boundedGrid(g, "kaplanMeier", maxGrid)
     val wDesc = Window.orderBy(col("duration").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAsc = Window.orderBy(col("duration"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    g.withColumn("n_risk", sum(col("n_at")).over(wDesc))
+    g2.withColumn("n_risk", sum(col("n_at")).over(wDesc))
       .withColumn("hazard",
         col("n_events").cast("double") / col("n_risk").cast("double"))
       // ln(1 − d/n) rounded to 9, summed EXACTLY in decimal frame

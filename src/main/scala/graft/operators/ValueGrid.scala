@@ -33,16 +33,33 @@ object ValueGrid {
   /** LOUD cardinality probe: counts the grid only up to `maxGrid + 1`
     * rows (a `limit`-bounded job — never a full count of an unbounded
     * grid) and refuses when it overflows. `what` names the operator
-    * for the error message. */
-  def assertGridBounded(grid: DataFrame, what: String,
-                        maxGrid: Int): Unit = {
+    * for the error message.
+    *
+    * Returns the grid PERSISTED (memory-and-disk): the probe job
+    * computes the upstream aggregation, and without a cache the
+    * caller's returned query would recompute that same aggregation —
+    * doubling the operator's dominant cost (r10 ADVICE). In the
+    * common in-bound case the probe consumes every partition fully,
+    * so the cache is complete and the downstream window reads it
+    * instead of re-aggregating. The cached grid is ≤ maxGrid rows
+    * (≈ 1M at the default) — small against executor storage memory,
+    * and evicted LRU like any cache. On overflow the persist is
+    * released before the refusal throws. */
+  def boundedGrid(grid: DataFrame, what: String,
+                  maxGrid: Int): DataFrame = {
     require(maxGrid >= 1, s"maxGrid must be >= 1, got $maxGrid")
-    val n = grid.limit(maxGrid + 1).count()
-    require(n <= maxGrid,
-      s"$what: more than $maxGrid distinct grid values — the " +
-        "single-partition window over this grid would wedge one task " +
-        "at scale; quantize the axis upstream (ValueGrid.quantize) " +
-        "or raise maxGrid deliberately")
+    val cached = grid.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.limit(maxGrid + 1).count()
+    if (n > maxGrid) {
+      cached.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"$what: more than $maxGrid distinct grid values — the " +
+          "single-partition window over this grid would wedge one task " +
+          "at scale; quantize the axis upstream (ValueGrid.quantize) " +
+          "or raise maxGrid deliberately")
+    }
+    cached
   }
 
   /** Opt-in quantizer: buckets a continuous column onto a uniform
@@ -51,26 +68,34 @@ object ValueGrid {
     * downstream statistics read naturally). One min/max aggregate —
     * a one-row collect, the established scalar pattern — then a pure
     * arithmetic narrow map: no shuffle, no UDF, codegen-friendly.
-    * NULLs pass through (every grid operator excludes them);
-    * constant and all-NULL columns come back untouched. The column
-    * keeps its name and position; its type widens to double (bucket
-    * edges are generally not integral). */
+    * NULLs and NON-FINITE values (NaN, ±Infinity) pass through
+    * unchanged — min/max are taken over FINITE values only, so one
+    * NaN row cannot poison `hi`/`step` into NaN and silently collapse
+    * the whole grid (r10 ADVICE); the passed-through specials add at
+    * most 3 extra grid points. Constant and all-NULL/all-non-finite
+    * columns come back untouched. The column keeps its name and
+    * position; its type widens to double (bucket edges are generally
+    * not integral). */
   def quantize(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val mm = df.agg(min(col(valueCol).cast("double")).as("lo"),
-      max(col(valueCol).cast("double")).as("hi")).collect()(0)
-    if (mm.isNullAt(0)) return df // all-NULL column: nothing to map
+    val v = col(valueCol).cast("double")
+    // Spark sorts NaN ABOVE +Infinity, so an unguarded max() returns
+    // NaN whenever one row is NaN — hence the finite-only aggregate.
+    val finite = v.isNotNull && !isnan(v) &&
+      v =!= lit(Double.PositiveInfinity) && v =!= lit(Double.NegativeInfinity)
+    val mm = df.agg(min(when(finite, v)).as("lo"),
+      max(when(finite, v)).as("hi")).collect()(0)
+    if (mm.isNullAt(0)) return df // no finite values: nothing to map
     val lo = mm.getDouble(0)
     val hi = mm.getDouble(1)
     if (lo == hi) return df // constant column: already a 1-point grid
     val step = (hi - lo) / buckets
     // the top edge (v == hi) clamps into the last bucket, so the grid
-    // has AT MOST `buckets` points
-    val bucket = least(
-      floor((col(valueCol).cast("double") - lit(lo)) / lit(step)),
+    // has AT MOST `buckets` finite points
+    val bucket = least(floor((v - lit(lo)) / lit(step)),
       lit((buckets - 1).toLong))
     df.withColumn(valueCol,
-      when(col(valueCol).isNull, lit(null).cast("double"))
+      when(!finite, v) // NULL/NaN/±Inf: pass through (NULL stays NULL)
         .otherwise(lit(lo) + bucket.cast("double") * lit(step)))
   }
 }

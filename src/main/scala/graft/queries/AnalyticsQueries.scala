@@ -1336,6 +1336,25 @@ object AnalyticsQueries {
         "l_extendedprice")
     }),
 
+    // The documented escape hatch of the value-grid contract,
+    // exercised END TO END: quantize each side onto its own 1000-point
+    // uniform grid (ValueGrid.quantize — bucket LEFT EDGES, top edge
+    // clamped) and run the same exact-KS machinery on the bounded
+    // axis. Hash-green: the oracle mirrors the left-edge double
+    // arithmetic term for term, so the path users are told to take
+    // when ksStatistic refuses an unbounded grid is proven
+    // cross-engine exact, not just runnable.
+    "ks_price_drift_quantized" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = to_date(col("l_shipdate")) < lit("1996-01-01")
+      def q(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.ValueGrid.quantize(df, "l_extendedprice", 1000)
+      graft.operators.Drift.ksStatistic(
+        q(li.filter(cut).select(col("l_extendedprice"))),
+        q(li.filter(!cut).select(col("l_extendedprice"))),
+        "l_extendedprice", maxGrid = 2000)
+    }),
+
     // Edit-distance-bounded self-join on customer names (SymSpell
     // deletion-neighborhood candidates + exact levenshtein verify —
     // graft.operators.FuzzyJoin): entity resolution without a
@@ -2310,10 +2329,12 @@ object AnalyticsQueries {
     * Graph.pageRankQ's integer arithmetic term for term). */
   /** Unrolled integer PageRank rounds over a caller-supplied
     * undirected pair set: `pairsSql` must define a CTE body producing
-    * (src, dst) — the helper adds the direction union, degrees, the
-    * auto-scaled denominator, and `iters` unrolled rounds, mirroring
-    * Graph.pageRankQ's nano-unit floor arithmetic term for term. */
-  private[queries] def pageRankCtes(iters: Int, pairsSql: String): String = {
+    * (src, dst) — the helper adds the direction union (skipped when
+    * `directed`), degrees, the auto-scaled denominator, and `iters`
+    * unrolled rounds, mirroring Graph.pageRankQ's nano-unit floor
+    * arithmetic term for term. */
+  private[queries] def pageRankCtes(iters: Int, pairsSql: String,
+                                    directed: Boolean = false): String = {
     val rounds = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.id,
@@ -2329,9 +2350,9 @@ object AnalyticsQueries {
     }.mkString(",\n")
     s"""pairs AS ($pairsSql),
        |edges AS (
-       |  SELECT src, dst FROM pairs
-       |  UNION ALL
-       |  SELECT dst AS src, src AS dst FROM pairs),
+       |  SELECT src, dst FROM pairs${
+         if (directed) ""
+         else "\n  UNION ALL\n  SELECT dst AS src, src AS dst FROM pairs"}),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS id FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
@@ -2763,6 +2784,53 @@ object AnalyticsQueries {
         |  SELECT l_extendedprice AS v, COUNT(*) AS nc FROM lineitem
         |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')
         |  GROUP BY 1),
+        |u AS (
+        |  SELECT COALESCE(b.v, c.v) AS v, COALESCE(nb, 0) AS nb,
+        |         COALESCE(nc, 0) AS nc
+        |  FROM b FULL OUTER JOIN c ON b.v = c.v),
+        |d AS (
+        |  SELECT v,
+        |    CAST(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |    CAST(SUM(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+        |    CAST(SUM(nb) OVER () AS BIGINT) AS tb,
+        |    CAST(SUM(nc) OVER () AS BIGINT) AS tc
+        |  FROM u),
+        |e AS (SELECT v, ABS(cb * tc - cc * tb) AS diff, tb, tc FROM d),
+        |m AS (SELECT MAX(diff) AS mx FROM e)
+        |SELECT MAX(tb) AS n_base, MAX(tc) AS n_cur,
+        |       CAST(MAX(diff) AS DOUBLE) /
+        |         CAST(MAX(tb) * MAX(tc) AS DOUBLE) AS ks_d,
+        |       CAST((SELECT MIN(v) FROM e, m WHERE e.diff = m.mx)
+        |         AS DOUBLE) AS ks_at
+        |FROM e""".stripMargin,
+    // ValueGrid.quantize mirrored term for term (per-side min/max,
+    // step = (hi-lo)/1000, LEFT edge lo + k*step, top edge clamped to
+    // bucket 999), then the identical exact-KS tail
+    "ks_price_drift_quantized" ->
+      """WITH braw AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01'),
+        |craw AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE NOT (CAST(l_shipdate AS DATE) < DATE '1996-01-01')),
+        |bmm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM braw),
+        |cmm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM craw),
+        |bq AS (
+        |  SELECT CASE WHEN bmm.lo = bmm.hi THEN v
+        |    ELSE bmm.lo + LEAST(FLOOR((v - bmm.lo) /
+        |           ((bmm.hi - bmm.lo) / 1000)), 999) *
+        |         ((bmm.hi - bmm.lo) / 1000) END AS v
+        |  FROM braw, bmm),
+        |cq AS (
+        |  SELECT CASE WHEN cmm.lo = cmm.hi THEN v
+        |    ELSE cmm.lo + LEAST(FLOOR((v - cmm.lo) /
+        |           ((cmm.hi - cmm.lo) / 1000)), 999) *
+        |         ((cmm.hi - cmm.lo) / 1000) END AS v
+        |  FROM craw, cmm),
+        |b AS (SELECT v, COUNT(*) AS nb FROM bq GROUP BY 1),
+        |c AS (SELECT v, COUNT(*) AS nc FROM cq GROUP BY 1),
         |u AS (
         |  SELECT COALESCE(b.v, c.v) AS v, COALESCE(nb, 0) AS nb,
         |         COALESCE(nc, 0) AS nc

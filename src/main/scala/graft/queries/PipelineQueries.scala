@@ -920,6 +920,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GRAPH PRIOR COMPOSED INTO CURATION (r10 verdict #4): integer
+    // PageRank over the DIRECTED customer→supplier trading graph
+    // restricted to the 20 suppliers standing in for the corpus
+    // sources (the testdata's `source` column is round-robin by
+    // doc_id — perfectly regular BY CONSTRUCTION, so any co-occurrence
+    // graph over it has uniform ranks; the trading graph carries the
+    // genuine degree skew a domain link graph would) becomes each
+    // source's authority weight via srcK ↔ supplier K, and the domain
+    // quota SCALES with it — cap(s) = max(1, 20·rank(s) div max_rank)
+    // (Sampling.capPerSourceWeighted: ONE broadcast join for the cap,
+    // the same per-source top-k window as cap_per_source; caps land in
+    // 16..20 at gate SF, both scaling AND the full-quota top source
+    // exercised). Hash-green: the oracle replays 2 unrolled DIRECTED
+    // integer-PageRank rounds (pageRankCtes) and the identical
+    // div/greatest quota arithmetic.
+    "corpus_mix_graph_prior" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables(s, dir, "documents")
+      val pairs = Tables(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 20)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val prior = graft.operators.Graph.pageRankQ(pairs, "src", "dst",
+          iterations = 2, rankDenom = 0L)
+        .filter(col("id").startsWith("s"))
+        .select(concat(lit("src"), expr("substring(id, 2)")).as("id"),
+          col("rank_q"))
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.capPerSourceWeighted(scored, "source",
+          "doc_id", Seq(col("quality").desc), maxPerSource = 20,
+          prior, "id", "rank_q")
+        .select(col("doc_id"), col("source"), col("cap_q"), col("rnk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-stratum quotas: halve English, quarter German, 5% of the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> ((s, dir) =>
@@ -1659,6 +1699,35 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rnk <= 20
          |ORDER BY doc_id""".stripMargin,
+    // 2 unrolled DIRECTED integer-PageRank rounds over the restricted
+    // trading graph, srcK ↔ supplier K remap, then the exact
+    // div/greatest quota arithmetic of Sampling.capPerSourceWeighted
+    "corpus_mix_graph_prior" ->
+      s"""WITH ${AnalyticsQueries.pageRankCtes(2,
+             """SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+               |         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+               |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               |  WHERE l.l_suppkey < 20""".stripMargin,
+             directed = true)},
+         |prior AS (
+         |  SELECT 'src' || substring(id, 2) AS id,
+         |         CAST(rank_q AS BIGINT) AS rank_q
+         |  FROM pr2 WHERE id LIKE 's%'),
+         |maxw AS (SELECT MAX(rank_q) AS m FROM prior),
+         |scored AS (
+         |  SELECT doc_id, source, $qualitySql AS quality
+         |  FROM (SELECT doc_id, source, text, $tokensSql AS toks
+         |        FROM documents)),
+         |capped AS (
+         |  SELECT s.doc_id, s.source,
+         |    GREATEST(CAST(1 AS BIGINT),
+         |      (COALESCE(p.rank_q, 0) * 20) // mw.m) AS cap_q,
+         |    CAST(row_number() OVER (PARTITION BY s.source
+         |      ORDER BY s.quality DESC, s.doc_id) AS BIGINT) AS rnk
+         |  FROM scored s LEFT JOIN prior p ON s.source = p.id
+         |  CROSS JOIN maxw mw)
+         |SELECT doc_id, source, cap_q, rnk FROM capped
+         |WHERE rnk <= cap_q ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))

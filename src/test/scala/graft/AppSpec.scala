@@ -3,6 +3,7 @@ package graft
 import graft.app.{Engine, Main, ParquetSink, Retry}
 import graft.model.UserException
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 
 /** End-to-end application tests, ported from the reference's
   * subprocess e2e suite (tests/Keboola/BaseFunctionalTest.php +
@@ -1059,5 +1060,182 @@ class AppSpec extends SparkSpec {
     writeSimpleCsv(dir, "simple", Seq((1, "a", "no"), (2, "b", "yes")))
     Main.execute(spark, sink, dir)._1 shouldBe 0
     sink.read("fresh").count() shouldBe 2
+  }
+
+  test("pipeline action: capPerSource with graphPrior scales quotas " +
+      "by the authority table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-prior").toString
+    // srcA authority 1000 (full quota 2), srcB 500 (quota 1), srcC
+    // absent (floor 1); 3 docs each, same text → quality ties, the
+    // doc_id tiebreak keeps smallest ids
+    val txt = "the cat is on the mat and a dog is in the house"
+    (for (s <- Seq("srcA", "srcB", "srcC"); i <- 0 until 3)
+      yield ((Seq("srcA", "srcB", "srcC").indexOf(s) * 3 + i).toLong, s, txt))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    Seq(("srcA", 1000L), ("srcB", 500L)).toDF("id", "rank_q")
+      .write.mode("overwrite").parquet(s"$dir/in/prior")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/capped", "collectStats": true,
+        |  "steps": [
+        |    {"type": "capPerSource", "sourceColumn": "source",
+        |     "maxPerSource": 2,
+        |     "graphPrior": {"input": "in/prior"}}
+        |  ]}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include(""""rows_out":4""")
+    val got = spark.read.parquet(s"$dir/out/capped")
+    // schema unchanged: the helper cap_q/rnk columns are dropped
+    got.columns.sorted shouldBe Array("doc_id", "source", "text")
+    got.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(0L, 1L, 3L, 6L) // A keeps 2, B keeps 1, C floors at 1
+  }
+
+  // ---- maintainView action (r10 verdict #3: the view-maintenance
+  // library behind the reference's config-in/JSON-status-out idiom) --
+
+  private def viewConfig(dir: String, batchId: Int, extraB: String = ""): Unit =
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "join", "statePath": "state", "batchId": $batchId,
+         |  "key": "k",
+         |  "deltaA": {"input": "in/a$batchId"},
+         |  "deltaB": {"input": "in/b$batchId"$extraB}
+         |}}}""".stripMargin)
+
+  test("maintainView join: batched folds equal the one-shot join; " +
+      "replay is an exactly-once no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-view").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    // orders-shaped A (k, price) and lines-shaped B (k, line, qty);
+    // B slices by (k+line) so a key's lines land in DIFFERENT batches
+    // than its A row — the old×new / new×old coverage under test
+    val allA = (1L to 30L).map(k => (k, k * 10.0))
+    val allB = for { k <- 1L to 30L; l <- 1 to 3 } yield (k, l, k + l)
+    (0 until 3).foreach { i =>
+      allA.filter(_._1 % 3 == i).toDF("k", "price")
+        .write.mode("overwrite").parquet(s"$dir/in/a$i")
+      allB.filter { case (k, l, _) => (k + l) % 3 == i }
+        .toDF("k", "line", "qty")
+        .write.mode("overwrite").parquet(s"$dir/in/b$i")
+      viewConfig(dir, i)
+      val (code, out) = Main.execute(spark, sink, dir)
+      withClue(out) { code shouldBe 0 }
+      out.get should include(""""view":"join"""")
+      out.get should include(""""applied":true""")
+    }
+    // replay of a committed batch: exit 0, applied:false, state intact
+    viewConfig(dir, 2)
+    val (code2, out2) = Main.execute(spark, sink, dir)
+    code2 shouldBe 0
+    out2.get should include(""""applied":false""")
+    val got = graft.app.ViewMaintenance.readJoinView(spark, "state", dir)
+      .orderBy("k", "line")
+    val want = allA.toDF("k", "price")
+      .join(allB.toDF("k", "line", "qty"), "k").orderBy("k", "line")
+    rows(got) shouldBe rows(want)
+  }
+
+  test("maintainView join: unmarked rename-window garbage is reaped " +
+      "and refolded; schema drift refuses loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-view2").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Seq((1L, 5.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a0")
+    Seq((1L, 1, 9.0)).toDF("k", "line", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b0")
+    viewConfig(dir, 0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // fake a crashed batch 1: a committed-LOOKING dir without its
+    // marker (the rename window) holding garbage rows
+    Seq((99L, 1, -1.0)).toDF("k", "line", "qty")
+      .write.mode("overwrite").parquet(s"$dir/state/view/d1")
+    // a reader never sees it (no _APPLIED_1 marker)...
+    graft.app.ViewMaintenance.readJoinView(spark, "state", dir)
+      .count() shouldBe 1L
+    // ...and the real batch 1 reaps it and folds cleanly
+    Seq((2L, 7.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a1")
+    Seq((2L, 1, 3.0)).toDF("k", "line", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b1")
+    viewConfig(dir, 1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val view = graft.app.ViewMaintenance.readJoinView(spark, "state", dir)
+    view.count() shouldBe 2L
+    view.filter(col("k") === 99L).count() shouldBe 0L
+    // schema drift (renamed column) → layout pin refuses → exit 2 is
+    // wrong (config error): UserException path gives exit 1? The pin
+    // throws IllegalStateException → application error, exit 2 — a
+    // corrupted-state refusal is NOT a user mistake, so 2 is correct.
+    Seq((3L, 1.0)).toDF("k", "wrong_name")
+      .write.mode("overwrite").parquet(s"$dir/in/a2")
+    Seq((3L, 1, 1.0)).toDF("k", "line", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b2")
+    viewConfig(dir, 2)
+    Main.execute(spark, sink, dir)._1 should not be 0
+  }
+
+  test("maintainView join: CDC deltas net to final images before the fold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-view3").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    // batch 0: plain inserts on both sides
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a0")
+    // B side is a CDC log: key 1 inserted then updated (seq wins),
+    // key 2 inserted then deleted (net delete → never folds)
+    Seq((1L, 1, 5.0, 1L, "I"), (1L, 1, 6.0, 2L, "U"),
+        (2L, 1, 8.0, 1L, "I"), (2L, 1, 8.0, 2L, "D"))
+      .toDF("k", "line", "qty", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/b0")
+    viewConfig(dir, 0,
+      """, "cdc": {"keyColumns": ["k", "line"],
+        |          "seqColumn": "seq", "opColumn": "op"}""".stripMargin)
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val view = graft.app.ViewMaintenance.readJoinView(spark, "state", dir)
+    rows(view.orderBy("k")) shouldBe Seq(Seq(1L, 10.0, 1, 6.0))
+  }
+
+  test("maintainView rollup: bucketed exactly-once folds equal one-shot " +
+      "GROUP BY; replay reports zero buckets") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val dir = Files.createTempDirectory("graft-view4").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val all = (1L to 100L).map(i => (i % 7, i.toDouble))
+    def rollupConfig(batchId: Int): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "rollup", "statePath": "rstate", "batchId": $batchId,
+           |  "keys": ["g"], "valueColumn": "v", "nBuckets": 8,
+           |  "delta": {"input": "in/d$batchId"}
+           |}}}""".stripMargin)
+    (0 until 2).foreach { i =>
+      all.filter(_._2.toLong % 2 == i).toDF("g", "v")
+        .write.mode("overwrite").parquet(s"$dir/in/d$i")
+      rollupConfig(i)
+      val (code, out) = Main.execute(spark, sink, dir)
+      withClue(out) { code shouldBe 0 }
+      out.get should include(""""applied":true""")
+    }
+    rollupConfig(1) // replay
+    val (_, outR) = Main.execute(spark, sink, dir)
+    outR.get should include(""""applied":false""")
+    outR.get should include(""""buckets":0""")
+    val state = spark.read.parquet(s"$dir/rstate/state").drop("bucket")
+    val got = IncrementalAgg.finalizeState(state, Seq("g")).orderBy("g")
+    val want = all.toDF("g", "v").groupBy("g")
+      .agg(count(col("v")).as("n"), sum("v").cast("double").as("total"),
+        min("v").as("vmin"), max("v").as("vmax"))
+      .orderBy("g")
+    rows(got.select("g", "n", "total", "vmin", "vmax")) shouldBe
+      rows(want.select("g", "n", "total", "vmin", "vmax"))
   }
 }

@@ -213,4 +213,34 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     r.stdout should include("""{"step":"weightedSample","rows":1}""")
     r.stdout should include(""""rows_out":1""")
   }
+
+  test("maintainView action through the CLI protocol: fold then " +
+      "exactly-once replay") {
+    // join-view fold from CSV deltas (CSV keeps the fixture dependency-
+    // free in the child JVM); second invocation of the SAME batchId
+    // must exit 0 with applied:false — the scheduler-retry contract
+    def config(batchId: Int) =
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "join", "statePath": "state", "batchId": $batchId,
+         |  "key": "k",
+         |  "deltaA": {"input": "in/a", "format": "csv"},
+         |  "deltaB": {"input": "in/b", "format": "csv"}
+         |}}}""".stripMargin
+    val dir = mkDataDir(config(0), None)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/a"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/b"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/a/part.csv"),
+      "k,price\n1,10\n2,20\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b/part.csv"),
+      "k,qty\n1,5\n1,6\n3,7\n")
+    val r1 = runCli(dir)
+    withClue(s"stderr: ${r1.stderr}") { r1.code shouldBe 0 }
+    r1.stdout should include(""""status":"success"""")
+    r1.stdout should include(""""view":"join"""")
+    r1.stdout should include(""""batch_id":0""")
+    r1.stdout should include(""""applied":true""")
+    val r2 = runCli(dir) // same batchId again
+    withClue(s"stderr: ${r2.stderr}") { r2.code shouldBe 0 }
+    r2.stdout should include(""""applied":false""")
+  }
 }

@@ -605,4 +605,140 @@ class MultimodalSpec extends SparkSpec {
       1, 0, 1, 0))) shouldBe mh.Unknown
     mh.parse("BMX not a bitmap".getBytes("US-ASCII")) shouldBe mh.Unknown
   }
+
+  // ---- ImageIoDecoder: the DEFAULT decoder, on REAL pixels ----------
+  // (r10 verdict #1: the decoder shipped as the default with zero
+  // direct coverage; these cases pin every rung of its ladder.)
+
+  /** Encode a deterministic image via the JDK's own ImageIO — the
+    * independent-encoder ground truth the MediaHeaders tests use. */
+  private def encode(fmt: String, w: Int, h: Int, imgType: Int)(
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"ImageIO lacks $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Hand-crafted PNG signature + IHDR with NO decodable body — a
+    * header that parses but pixels that don't. `MediaHeaders.isPng`
+    * needs ≥ 29 bytes; the bogus CRC is irrelevant to header parsing
+    * and guarantees ImageIO cannot decode it. */
+  private def pngHeaderOnly(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    bos.write(Array[Byte](0, 0, 0, 13))
+    bos.write("IHDR".getBytes("US-ASCII"))
+    bos.write(be32(w)); bos.write(be32(h))
+    bos.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor
+    bos.write(Array[Byte](0, 0, 0, 0))    // bogus CRC
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder.decode: real dimensions/channels off decoded pixels") {
+    import java.awt.image.BufferedImage._
+    val dec = new Multimodal.ImageIoDecoder
+    dec.open()
+    dec.decode(encode("png", 64, 48, TYPE_INT_RGB)((x, y) => x * y)) shouldBe
+      ((64, 48, 3, 1))
+    dec.decode(encode("png", 17, 203, TYPE_INT_ARGB)((x, y) => x + y)) shouldBe
+      ((17, 203, 4, 1))
+    dec.decode(encode("jpg", 320, 240, TYPE_INT_RGB)((x, _) => x)) shouldBe
+      ((320, 240, 3, 1))
+    dec.decode(encode("bmp", 31, 9, TYPE_INT_RGB)((_, y) => y)) shouldBe
+      ((31, 9, 3, 1))
+  }
+
+  test("ImageIoDecoder.grayGrid: area-averaged BT.601 luminance of real pixels") {
+    val dec = new Multimodal.ImageIoDecoder
+    dec.open()
+    // uniform color: every cell is the pixel's integer BT.601 luminance
+    val c = (10 << 16) | (20 << 8) | 30 // (299*10 + 587*20 + 114*30)/1000 = 18
+    val uniform = encode("png", 36, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)((_, _) => c)
+    dec.grayGrid(uniform, 9, 8) shouldBe Array.fill(72)(18)
+    // left 4 of 9 cell-columns black, the rest white — cell boundaries
+    // land exactly on the color edge (90/9 = 10 px cells, edge at 40)
+    val split = encode("png", 90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)(
+      (x, _) => if (x < 40) 0x000000 else 0xffffff)
+    val grid = dec.grayGrid(split, 9, 8)
+    grid shouldBe Array.tabulate(72)(i => if (i % 9 < 4) 0 else 255)
+  }
+
+  test("ImageIoDecoder: dHash locality on REAL pixels " +
+      "(2-pixel edit ≤3 bits, unrelated image >10)") {
+    import java.awt.image.BufferedImage.TYPE_INT_RGB
+    def gradient(w: Int, reversed: Boolean)(x: Int): Int = {
+      val v = (x * 255) / (w - 1)
+      val g = if (reversed) 255 - v else v
+      (g << 16) | (g << 8) | g
+    }
+    val w = 72; val h = 64
+    val base = encode("png", w, h, TYPE_INT_RGB)((x, _) => gradient(w, reversed = false)(x))
+    // 2-pixel edit inside ONE 8x8 cell: shifts that cell's mean by
+    // ≤ 8 gray levels, far below the ~28-level gap between adjacent
+    // cell means of the gradient — few (here zero) dHash bits move
+    val edited = encode("png", w, h, TYPE_INT_RGB) { (x, y) =>
+      if ((x == 4 || x == 5) && y == 4) 0xffffff
+      else gradient(w, reversed = false)(x)
+    }
+    val other = encode("png", w, h, TYPE_INT_RGB)((x, _) => gradient(w, reversed = true)(x))
+    val df = Seq(1L -> base, 2L -> edited, 3L -> other).toDF("doc_id", "media")
+    val got = Multimodal.perceptualHash(df, "doc_id", "media",
+        new Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(got(1L) ^ got(2L)) should be <= 3
+    java.lang.Long.bitCount(got(1L) ^ got(3L)) should be > 10
+  }
+
+  test("ImageIoDecoder ladder: header-only middle rung, stub fallback " +
+      "identity on header-less payloads") {
+    val dec = new Multimodal.ImageIoDecoder
+    val stub = new Multimodal.StubDecoder
+    dec.open()
+    // header parses, body doesn't: REAL container dims, stub grid
+    val headerOnly = pngHeaderOnly(60, 40)
+    dec.decode(headerOnly) shouldBe ((60, 40, 3, 1))
+    dec.grayGrid(headerOnly, 9, 8) shouldBe stub.grayGrid(headerOnly, 9, 8)
+    // corrupt BODY of a real PNG (signature + IHDR intact): same rung
+    val real = encode("png", 24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)((x, y) => x * y)
+    val corrupt = real.clone()
+    java.util.Arrays.fill(corrupt, 40, corrupt.length, 0x5a.toByte)
+    dec.decode(corrupt) shouldBe ((24, 16, 3, 1))
+    dec.grayGrid(corrupt, 9, 8) shouldBe stub.grayGrid(corrupt, 9, 8)
+    // header-less payloads: byte-identical to the stub on BOTH apis —
+    // the gate's synthetic payloads keep their deterministic
+    // signatures under the default decoder (pinned, not lucky)
+    val junk = ("z" * 300).getBytes("UTF-8")
+    dec.decode(junk) shouldBe stub.decode(junk)
+    dec.grayGrid(junk, 9, 8) shouldBe stub.grayGrid(junk, 9, 8)
+    dec.decode(Array.emptyByteArray) shouldBe stub.decode(Array.emptyByteArray)
+  }
+
+  test("ImageIoDecoder: decompression-bomb header never reaches the codec") {
+    val dec = new Multimodal.ImageIoDecoder
+    dec.open()
+    // a valid header DECLARING 60000x60000 (3.6G pixels — a ~14 GB
+    // raster if decoded); the pixel cap refuses the ImageIO call and
+    // the declared dims surface from the header-only rung instead of
+    // an executor-killing OutOfMemoryError
+    (60000L * 60000L) should be > Multimodal.MaxDecodePixels
+    dec.decode(pngHeaderOnly(60000, 60000)) shouldBe ((60000, 60000, 3, 1))
+    // just UNDER the cap: the codec call is attempted, fails on the
+    // bodyless payload, and degrades to the same header rung
+    (10000L * 6000L) should be <= Multimodal.MaxDecodePixels
+    dec.decode(pngHeaderOnly(10000, 6000)) shouldBe ((10000, 6000, 3, 1))
+  }
 }

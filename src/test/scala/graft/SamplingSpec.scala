@@ -248,4 +248,33 @@ class SamplingSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).sorted
     again shouldBe got.select("vec_id").collect().map(_.getLong(0)).sorted
   }
+
+  test("capPerSourceWeighted: quota scales with authority, floor 1, " +
+      "integer-exact caps") {
+    // sources A (w=1000), B (w=500), C (w=124), D absent from the
+    // prior; 8 docs each, quality = -doc_id so SMALLEST ids win
+    val docs = (for (s <- Seq("A", "B", "C", "D"); i <- 0 until 8)
+      yield (s, (Seq("A", "B", "C", "D").indexOf(s) * 8 + i).toLong))
+      .toDF("src", "doc_id")
+      .withColumn("q", -col("doc_id").cast("double"))
+    val prior = Seq(("A", 1000L), ("B", 500L), ("C", 124L)).toDF("s", "w")
+    val got = Sampling.capPerSourceWeighted(docs, "src", "doc_id",
+      Seq(col("q").desc), maxPerSource = 8, prior, "s", "w")
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // caps: A 8·1000 div 1000 = 8, B 8·500 div 1000 = 4,
+    // C 8·124 div 1000 = 0 → floor 1, D missing → floor 1
+    bySrc shouldBe Map("A" -> 8L, "B" -> 4L, "C" -> 1L, "D" -> 1L)
+    // best-first within a source: B keeps its 4 smallest ids (q desc)
+    got.filter(col("src") === "B").select("doc_id").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(8L, 9L, 10L, 11L)
+    // cap_q surfaced for observability
+    got.filter(col("src") === "B").select("cap_q").head.getLong(0) shouldBe 4L
+    // all-zero prior refuses loud instead of silently capping to 1
+    val err = intercept[IllegalArgumentException] {
+      Sampling.capPerSourceWeighted(docs, "src", "doc_id",
+        Seq(col("q").desc), 8, Seq(("A", 0L)).toDF("s", "w"), "s", "w")
+    }
+    err.getMessage should include("positive weights")
+  }
 }

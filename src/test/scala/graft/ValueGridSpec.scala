@@ -87,6 +87,25 @@ class ValueGridSpec extends SparkSpec {
     ValueGrid.quantize(allNull, "v", 3).count() shouldBe 4L
   }
 
+  test("quantize: non-finite values neither poison the grid nor vanish") {
+    // r10 ADVICE: one NaN used to make hi (and so step) NaN, mapping
+    // EVERY row to NaN. min/max are now finite-only; the specials pass
+    // through like NULLs.
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity).toDF("v")
+    val q = ValueGrid.quantize(df, "v", 2).select("v").as[Double].collect()
+    q.length shouldBe 8
+    q.count(_.isNaN) shouldBe 1
+    q.count(_ == Double.PositiveInfinity) shouldBe 1
+    q.count(_ == Double.NegativeInfinity) shouldBe 1
+    // finite rows bucket onto {0.0, 2.0} (lo = 0, hi = 4, step = 2;
+    // the top edge clamps into the last bucket)
+    q.filter(v => !v.isNaN && !v.isInfinite).toSet shouldBe Set(0.0, 2.0)
+    // all-non-finite column: no finite values → untouched, no throw
+    val allBad = Seq(Double.NaN, Double.PositiveInfinity).toDF("v")
+    ValueGrid.quantize(allBad, "v", 3).count() shouldBe 2L
+  }
+
   test("default maxGrid leaves the gate-scale callers untouched") {
     // the three operators with default bounds over small grids — the
     // exact call shape the gate queries use
