@@ -81,10 +81,14 @@ object ConfigParser {
     if (batchId < 0) throw new UserException("view.batchId must be >= 0")
     req(v, "kind").asText match {
       case "join" =>
+        val nBuckets = opt(v, "nBuckets").map(_.asInt).getOrElse(64)
+        if (nBuckets < 1)
+          throw new UserException("view.nBuckets must be >= 1")
         JoinViewConfig(statePath, batchId,
           key = req(v, "key").asText,
           deltaA = parseDelta(req(v, "deltaA")),
-          deltaB = parseDelta(req(v, "deltaB")))
+          deltaB = parseDelta(req(v, "deltaB")),
+          nBuckets = nBuckets)
       case "rollup" =>
         val keys = opt(v, "keys").toSeq.flatMap(_.elements.asScala)
           .map(_.asText)

@@ -36,10 +36,13 @@ final case class CdcSpec(keyColumns: Seq[String], seqColumn: String,
 /** Maintained inner-equi-join view `V = A ⋈ B` (delta algebra
   * ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB — [[graft.operators.JoinView]]): each fold
   * joins only delta-sized frames against the retained snapshots;
-  * history is never re-joined against itself. */
+  * history is never re-joined against itself, and the key-hash
+  * bucket layout (`nBuckets`, pinned at first fold) prunes each
+  * fold's snapshot reads to the delta's touched buckets. */
 final case class JoinViewConfig(statePath: String, batchId: Long,
                                 key: String, deltaA: DeltaInput,
-                                deltaB: DeltaInput) extends ViewConfig {
+                                deltaB: DeltaInput,
+                                nBuckets: Int = 64) extends ViewConfig {
   val kind = "join"
 }
 

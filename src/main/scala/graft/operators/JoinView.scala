@@ -111,4 +111,153 @@ object JoinView {
       bs.appendBucketed(db, tables.b, Seq(key), nBuckets)
     } finally { da.unpersist(); db.unpersist() }
   }
+
+  // ---- persisted, directory form (batch-marker exactly-once) --------
+
+  /** Fold one delta batch into DIRECTORY-persisted state under `root`
+    * with exactly-once-per-`batchId` semantics — the metastore-free
+    * sibling of [[applyDeltaBucketed]], shared by the `maintainView`
+    * CLI action and the streaming sink. Returns false (and does
+    * nothing) when `batchId` is already committed.
+    *
+    * State layout: `_CONFIG` (kind|key|colsA|colsB|nBuckets
+    * layout+schema pin), `_APPLIED_<id>` batch markers (created
+    * LAST), and per-batch parquet appends
+    * `a/d<id>/__bucket=<k>/ b/d<id>/__bucket=<k>/ view/d<id>/…` —
+    * every side hash-bucketed on the join key
+    * (`pmod(xxhash64(key), nBuckets)`, pinned like the rollup
+    * sink's).
+    *
+    * Crash protocol: deltas stage as dot-prefixed dirs (invisible to
+    * Spark's listing), rename to `d<id>`, then the marker commits the
+    * batch. A replay that finds no marker deletes every dir of ITS
+    * batch id (rename-window garbage) and refolds; with the marker it
+    * is a no-op. Single-writer per view — the same discipline as the
+    * rollup sink's per-bucket markers, at batch granularity (a join
+    * fold appends THREE dirs, so per-piece markers can't license a
+    * consistent prefix).
+    *
+    * 100 TB shape: the bucket layout makes each fold read
+    * O(touched history), not O(history) — ΔA can only match B rows
+    * whose key hashes into ΔA's OWN buckets (same hash, pinned), so
+    * the B snapshot scan opens exactly the `__bucket=<k>` leaves of
+    * ΔA's touched buckets (and symmetrically A for ΔB); a 1000-key
+    * delta against years of history reads a sliver of it. Each
+    * delta's distinct buckets come from one ≤ nBuckets-row collect
+    * (the rollup sink's established scalar pattern). Deltas are
+    * delta-sized; nothing rewrites history; per-batch dirs keep
+    * appends O(delta). Ops note: dir count grows as
+    * nBuckets·batches per side — compact long-lived views
+    * out-of-band (read committed state, fold into a fresh root) on
+    * the GC cadence. */
+  def foldBatchDirs(root: String, batchId: Long, key: String,
+                    deltaA: DataFrame, deltaB: DataFrame,
+                    nBuckets: Int = 64): Boolean = {
+    import org.apache.hadoop.fs.Path
+    checkKeys(deltaA, deltaB, key)
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = deltaA.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(rootPath, s"_APPLIED_$batchId")))
+      return false // replay of a committed batch: exactly-once no-op
+    // layout + schema pin: key, both column sets AND the bucket count
+    // ride the pin — a renamed column, re-keyed config, or changed
+    // bucket function refuses instead of writing a state no later
+    // read can reconcile (a half-written re-hash would silently strand
+    // rows of the old layout, the rollup sink's documented hazard)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def cols(df: DataFrame) = df.columns.sorted.map(enc).mkString(",")
+    graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
+      s"join|${enc(key)}|${cols(deltaA)}|${cols(deltaB)}|$nBuckets")
+    // reap THIS batch's rename-window garbage from a prior crash —
+    // no marker means none of its dirs are part of the state yet
+    for (side <- Seq("a", "b", "view");
+         name <- Seq(s"d$batchId", s".staging$batchId"))
+      fs.delete(new Path(rootPath, s"$side/$name"), true)
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
+    // each delta feeds a bucket probe, a join AND its own append (and
+    // may carry a CDC netting window upstream) — cache the small
+    // side, never history
+    val da = deltaA.persist(); val db = deltaB.persist()
+    try {
+      // the deltas' distinct buckets: ≤ nBuckets values, safe to
+      // collect — they drive the snapshot-side leaf pruning
+      def touched(d: DataFrame): Set[Int] =
+        d.select(bucketOf.as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      def snapshot(side: String, like: DataFrame,
+                   buckets: Set[Int]): DataFrame =
+        committedLeafDirs(fs, rootPath, side, Some(buckets)) match {
+          case Seq() => like.limit(0)
+          case dirs  => spark.read.parquet(dirs.map(_.toString): _*)
+        }
+      // ΔA only matches B rows hashing into ΔA's buckets (and A↔ΔB
+      // symmetrically) — read exactly those leaves
+      val a = snapshot("a", deltaA, touched(db))
+      val b = snapshot("b", deltaB, touched(da))
+      // ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB (same coverage as applyDelta)
+      val dv = da.join(b.unionByName(db), key)
+        .unionByName(a.join(db, key))
+      // stage (hidden, bucket-partitioned), rename, marker LAST
+      def stage(side: String, df: DataFrame): Unit =
+        df.withColumn("__bucket", bucketOf)
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(new Path(rootPath, s"$side/.staging$batchId").toString)
+      stage("view", dv); stage("a", da); stage("b", db)
+    } finally { da.unpersist(); db.unpersist() }
+    for (side <- Seq("view", "a", "b")) {
+      val from = new Path(rootPath, s"$side/.staging$batchId")
+      val to = new Path(rootPath, s"$side/d$batchId")
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"join-view fold: rename failed: $to")
+    }
+    fs.create(new Path(rootPath, s"_APPLIED_$batchId"), true).close()
+    true
+  }
+
+  /** The maintained view (committed batches only) — None when no
+    * batch has ever committed. In-flight writers are invisible:
+    * reads list `d<id>` dirs against the `_APPLIED_<id>` markers. */
+  def readCommittedView(spark: SparkSession, root: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    committedLeafDirs(fs, rootPath, "view", None) match {
+      case Seq() => None
+      case dirs  => Some(spark.read.parquet(dirs.map(_.toString): _*))
+    }
+  }
+
+  /** `__bucket=<k>` leaf dirs of `side` under committed (`_APPLIED`-
+    * marked) `d<id>` batch dirs, restricted to `buckets` when given —
+    * the committed, bucket-pruned prefix of the state, immune to
+    * rename-window garbage. Leaves are read directly (no partition
+    * discovery), so the helper `__bucket` column never reaches a
+    * consumer. */
+  private def committedLeafDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                side: String, buckets: Option[Set[Int]])
+      : Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(root, side)
+    if (!fs.exists(dir)) return Nil
+    val batchDirs = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("d") && p.getName.length > 1 &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          fs.exists(new Path(root, s"_APPLIED_${p.getName.drop(1)}"))
+      }
+      .sortBy(_.getName)
+    batchDirs.flatMap { d =>
+      fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter { leaf =>
+          leaf.getName.startsWith("__bucket=") &&
+            buckets.forall(bs =>
+              leaf.getName.stripPrefix("__bucket=").toIntOption
+                .exists(bs.contains))
+        }
+    }
+  }
 }

@@ -60,6 +60,14 @@ object Multimodal {
       * (GPU inference, vectorized codecs). Default: per-item loop. */
     def featuresBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
       payloads.map(features(_, 0, dim))
+    /** Transcode frame 0 to exactly `w`×`h` and re-encode. A real
+      * codec decodes, area-averages, re-encodes
+      * ([[ImageIoDecoder.resizeEncode]]); this default is the
+      * deterministic stub stand-in (a length-scaled byte slice) so
+      * non-image payloads keep a total, fake-but-stable behavior. */
+    def resizeEncode(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload,
+        math.min(payload.length, math.max(1, w * h / 64)))
   }
 
   /** Deterministic stand-in for the absent codec libraries: dimensions
@@ -562,6 +570,55 @@ object Multimodal {
         case None      => super.grayGrid(payload, cols, rows)
       }
 
+    /** REAL transcode: decode → integer per-channel area-average into
+      * a `w`×`h` RGB raster → re-encode as PNG (lossless, ships with
+      * the JDK — the output stays decodable by this same ladder).
+      * Undecodable payloads keep the stub slice, mirroring every
+      * other rung of the fallback ladder. */
+    override def resizeEncode(payload: Array[Byte], w: Int,
+                              h: Int): Array[Byte] =
+      readImage(payload) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val iw = img.getWidth
+          val ih = img.getHeight
+          var y = 0
+          while (y < h) {
+            val y0 = (y.toLong * ih / h).toInt
+            val y1 = math.max(((y + 1).toLong * ih / h).toInt, y0 + 1)
+            var x = 0
+            while (x < w) {
+              val x0 = (x.toLong * iw / w).toInt
+              val x1 = math.max(((x + 1).toLong * iw / w).toInt, x0 + 1)
+              var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+              var yy = y0
+              while (yy < y1 && yy < ih) {
+                var xx = x0
+                while (xx < x1 && xx < iw) {
+                  val rgb = img.getRGB(xx, yy)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  n += 1
+                  xx += 1
+                }
+                yy += 1
+              }
+              val m = math.max(n, 1)
+              out.setRGB(x, y,
+                (((sr / m).toInt & 0xff) << 16) |
+                  (((sg / m).toInt & 0xff) << 8) | ((sb / m).toInt & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case None => super.resizeEncode(payload, w, h)
+      }
+
     /** cols×rows mean-luminance grid over the image's pixel blocks —
       * integer arithmetic throughout (deterministic across JVMs). */
     private def areaGray(img: java.awt.image.BufferedImage, cols: Int,
@@ -784,12 +841,17 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** "Resize": emit a transformed payload + new dims. The stub keeps a
-    * deterministic byte slice; a real impl swaps in codec output. The
-    * point is the pass-through binary schema and narrow-map shape. */
+  /** Resize: emit a transcoded payload + new dims through the decoder
+    * seam ([[MediaDecoder.resizeEncode]]) — REAL decode → area-average
+    * → PNG re-encode under the default [[ImageIoDecoder]]; the stub's
+    * deterministic byte slice for undecodable payloads. Narrow-map
+    * shape: payload bytes transform in place per partition, never
+    * shuffle. */
   def resize(df: DataFrame, idCol: String, mediaCol: String,
              targetW: Int, targetH: Int,
              decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"resize target must be >= 1x1, got ${targetW}x$targetH")
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("media", BinaryType, nullable = true),
@@ -801,9 +863,8 @@ object Multimodal {
       decoder.open()
       rows.filter(_.getAs[Array[Byte]](mediaIdx) != null).map { r =>
         val payload = r.getAs[Array[Byte]](mediaIdx)
-        val scaled = java.util.Arrays.copyOf(
-          payload, math.min(payload.length, math.max(1, targetW * targetH / 64)))
-        Row(r.get(idIdx), scaled, targetW, targetH)
+        Row(r.get(idIdx), decoder.resizeEncode(payload, targetW, targetH),
+          targetW, targetH)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -789,6 +789,62 @@ object EventStreams {
       }
       .start()
 
+  /** Exactly-once maintained JOIN view over ONE tagged delta bus —
+    * the streaming face of [[graft.operators.JoinView.foldBatchDirs]]
+    * (shared with the `maintainView` CLI action). Real CDC buses
+    * carry several tables down one stream; `sideCol` ("a"/"b") routes
+    * each row to its side and `aCols`/`bCols` project the side's
+    * schema out of the unified frame (unused columns of the other
+    * side ride as NULLs upstream, dropped here).
+    *
+    * Per micro-batch: the two sides fold through the delta algebra
+    * ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB against the directory-persisted
+    * snapshots — history is never re-joined against itself. Replay
+    * safety comes from the fold's own `_APPLIED_<batchId>` marker:
+    * a restarted stream re-offering a committed batch is a no-op, so
+    * the view is byte-stable across crash-replay like every sink in
+    * this file. Unknown side tags fail the batch LOUD — a silently
+    * dropped side is a view that quietly diverges. */
+  def streamingJoinView(events: DataFrame, sideCol: String,
+                        aCols: Seq[String], bCols: Seq[String],
+                        key: String, statePath: String,
+                        checkpointDir: String,
+                        /** Key-hash bucket count of the persisted
+                          * layout (pinned at first fold) — each
+                          * fold's snapshot reads prune to the
+                          * delta's touched buckets. */
+                        nBuckets: Int = 64,
+                        /** Per-batch quality gate — see
+                          * [[streamingUpsert]]'s `checks`. */
+                        checks: Seq[graft.operators.DataChecks.Check] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(aCols.contains(key) && bCols.contains(key),
+      s"streamingJoinView: both side projections must carry key '$key'")
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingJoinView($statePath) batch $batchId")
+        // the batch feeds a tag audit + two side projections — cache
+        // the (delta-sized) batch, not the snapshots
+        val cached = batch.toDF().persist()
+        try {
+          val badTag = cached.filter(!col(sideCol).isin("a", "b"))
+            .limit(1).count()
+          require(badTag == 0L,
+            s"streamingJoinView($statePath) batch $batchId: side tag " +
+              s"outside {a, b} — refusing to drop rows silently")
+          graft.operators.JoinView.foldBatchDirs(statePath, batchId, key,
+            cached.filter(col(sideCol) === "a").select(aCols.map(col): _*),
+            cached.filter(col(sideCol) === "b").select(bCols.map(col): _*),
+            nBuckets)
+          () // foreachBatch wants Unit; the fold's Boolean is marker state
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+
   /** One bucketed fold; returns the bucket ids actually swapped or
     * recovered (empty = the batch was fully applied already). */
   private[graft] def applyRollupBatchBucketed(batch: DataFrame,

@@ -82,4 +82,49 @@ class JoinViewSpec extends SparkSpec {
     Seq(tbls.a, tbls.b, tbls.view).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("directory fold: bucket-pruned layout — a one-key delta writes " +
+      "one bucket leaf; layout change refused; equals one-shot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jvdirs")
+      .toString + "/state"
+    val nB = 8
+    val a0 = (1L to 40L).map(k => (k, k * 10.0)).toDF("k", "price")
+    val b0 = (1L to 40L).map(k => (k, k + 0.5)).toDF("k", "qty")
+    JoinView.foldBatchDirs(root, 0L, "k", a0, b0, nB) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(side: String, d: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$side/d$d")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("__bucket=")).toSet
+    }
+    // 40 keys spread over several buckets in batch 0
+    leaves("a", 0L).size should be > 2
+    // batch 1: ONE key → its sides write exactly ONE bucket leaf each
+    val k1 = 7L
+    val expectBucket = a0.sparkSession.range(1).select(
+      pmod(xxhash64(lit(k1)), lit(nB)).cast("int")).head.getInt(0)
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((k1, 999.0)).toDF("k", "price"),
+      Seq((k1, 0.25)).toDF("k", "qty"), nB) shouldBe true
+    leaves("a", 1L) shouldBe Set(s"__bucket=$expectBucket")
+    leaves("b", 1L) shouldBe Set(s"__bucket=$expectBucket")
+    leaves("view", 1L) shouldBe Set(s"__bucket=$expectBucket")
+    // view equals the one-shot join over everything folded
+    val allA = a0.unionByName(Seq((k1, 999.0)).toDF("k", "price"))
+    val allB = b0.unionByName(Seq((k1, 0.25)).toDF("k", "qty"))
+    val got = JoinView.readCommittedView(spark, root).get
+      .orderBy("k", "price", "qty")
+    rows(got) shouldBe rows(allA.join(allB, "k")
+      .select("k", "price", "qty").orderBy("k", "price", "qty"))
+    // a changed bucket count is a different layout: refuse loud
+    val e = intercept[Exception] {
+      JoinView.foldBatchDirs(root, 2L, "k",
+        Seq((1L, 1.0)).toDF("k", "price"),
+        Seq((1L, 1.0)).toDF("k", "qty"), nB * 2)
+    }
+    e.getMessage.toLowerCase should include("layout")
+  }
 }

@@ -741,4 +741,41 @@ class MultimodalSpec extends SparkSpec {
     (10000L * 6000L) should be <= Multimodal.MaxDecodePixels
     dec.decode(pngHeaderOnly(10000, 6000)) shouldBe ((10000, 6000, 3, 1))
   }
+
+  test("ImageIoDecoder.resizeEncode: REAL transcode — decoded output " +
+      "has target dims and area-averaged pixels; stub slice fallback") {
+    import java.awt.image.BufferedImage.TYPE_INT_RGB
+    val dec = new Multimodal.ImageIoDecoder
+    dec.open()
+    // uniform color survives any resize EXACTLY (area mean of a
+    // constant), and the output is itself a decodable PNG
+    val c = (40 << 16) | (90 << 8) | 200
+    val uni = dec.resizeEncode(
+      encode("png", 32, 16, TYPE_INT_RGB)((_, _) => c), 8, 4)
+    val uimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(uni))
+    (uimg.getWidth, uimg.getHeight) shouldBe ((8, 4))
+    (0 until 4).foreach(y => (0 until 8).foreach(x =>
+      (uimg.getRGB(x, y) & 0xffffff) shouldBe c))
+    // half-black/half-white split on exact cell boundaries: left
+    // output columns pure black, right pure white
+    val split = dec.resizeEncode(
+      encode("png", 32, 16, TYPE_INT_RGB)(
+        (x, _) => if (x < 16) 0x000000 else 0xffffff), 8, 4)
+    val simg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(split))
+    (0 until 4).foreach { y =>
+      (simg.getRGB(0, y) & 0xffffff) shouldBe 0x000000
+      (simg.getRGB(7, y) & 0xffffff) shouldBe 0xffffff
+    }
+    // undecodable payloads keep the deterministic stub slice
+    val junk = ("q" * 300).getBytes("UTF-8")
+    dec.resizeEncode(junk, 8, 8) shouldBe
+      (new Multimodal.StubDecoder).resizeEncode(junk, 8, 8)
+    // the full operator runs the real path end-to-end
+    val df = Seq(1L -> encode("png", 32, 16, TYPE_INT_RGB)((_, _) => c))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resize(df, "doc_id", "media", 8, 4).collect()(0)
+    val oimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](1)))
+    (oimg.getWidth, oimg.getHeight) shouldBe ((8, 4))
+  }
 }
