@@ -229,6 +229,75 @@ object JoinView {
     }
   }
 
+  /** Compact a long-lived view's per-batch dirs into ONE committed
+    * batch under a FRESH root — the out-of-band maintenance the fold
+    * protocol's ops note points at (dir count grows as
+    * nBuckets·batches per side; a view folded every 5 minutes for a
+    * year is ~100k dirs/side, and listing cost creeps into every
+    * fold). The three sides are READ (committed prefix only — an
+    * abandoned crash's garbage does not survive compaction) and
+    * REWRITTEN as batch 0 of the fresh root; the view is copied, not
+    * re-joined, so compaction costs one scan + one write per side,
+    * never a join of history against itself.
+    *
+    * `nBuckets` may differ from the source layout — compaction is
+    * also the re-shard path (the in-place bucket-count change the pin
+    * refuses). The fresh root gets its own pin (same key + schema,
+    * new bucket count) and `_APPLIED_0`; swap roots between folds —
+    * the protocol is single-writer, so there is no concurrent-fold
+    * window to race.
+    *
+    * @return number of view rows compacted */
+  def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
+                     nBuckets: Int = 64): Long = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val rootPath = new Path(root)
+    val freshPath = new Path(freshRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"compactStateTo: no layout pin under $root — not a join-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 5 && parts(0) == "join",
+      s"compactStateTo: unrecognized layout pin '$pin' under $root")
+    val key = java.net.URLDecoder.decode(parts(1), "UTF-8")
+    require(!fs.exists(new Path(freshPath, "_CONFIG")) &&
+      !fs.exists(new Path(freshPath, "_APPLIED_0")),
+      s"compactStateTo: $freshRoot already holds a state — refusing " +
+        "to merge into it (compact to an empty root, then swap)")
+    require(fs.exists(new Path(rootPath, "a")),
+      s"compactStateTo: no committed state under $root")
+    // a side can be legitimately empty (e.g. a view whose keys never
+    // matched yet): committed batch dirs with zero bucket leaves —
+    // compact it to an empty d0, not a refusal
+    def committed(side: String): Option[DataFrame] =
+      committedLeafDirs(fs, rootPath, side, None) match {
+        case Seq() => None
+        case dirs  => Some(spark.read.parquet(dirs.map(_.toString): _*))
+      }
+    // fresh pin: the SOURCE pin's key + column fields verbatim (so a
+    // later fold checks against exactly what it would have at the old
+    // root), the (possibly new) bucket count
+    graft.sources.PartitionedStore.pinLayout(fs, freshPath, freshRoot,
+      s"join|${parts(1)}|${parts(2)}|${parts(3)}|$nBuckets")
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
+    def stage(side: String): Unit = committed(side) match {
+      case Some(df) =>
+        df.withColumn("__bucket", bucketOf)
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(new Path(freshPath, s"$side/.staging0").toString)
+        if (!fs.rename(new Path(freshPath, s"$side/.staging0"),
+          new Path(freshPath, s"$side/d0")))
+          throw new java.io.IOException(
+            s"compactStateTo: rename failed: $freshRoot/$side/d0")
+      case None => fs.mkdirs(new Path(freshPath, s"$side/d0")); ()
+    }
+    stage("a"); stage("b"); stage("view")
+    fs.create(new Path(freshPath, "_APPLIED_0"), true).close()
+    readCommittedView(spark, freshRoot).map(_.count()).getOrElse(0L)
+  }
+
   /** `__bucket=<k>` leaf dirs of `side` under committed (`_APPLIED`-
     * marked) `d<id>` batch dirs, restricted to `buckets` when given —
     * the committed, bucket-pruned prefix of the state, immune to

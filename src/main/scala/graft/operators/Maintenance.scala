@@ -581,6 +581,43 @@ object Maintenance {
         col("null_rate_delta"), col("distinct_delta"), col("bounds_changed"))
   }
 
+  /** ROW-level diff between two snapshots of the same table — the
+    * record-granular sibling of [[profileDrift]]'s column stats, and
+    * the versioning primitive a training-data pipeline audits corpus
+    * releases with ("what changed between v1 and v2"): one row per
+    * ADDED / REMOVED / CHANGED id, unchanged rows never emitted (the
+    * 100 TB contract — output is change-sized, not corpus-sized).
+    *
+    * Change detection hashes `contentCols` (md5 over a
+    * sentinel-joined, NULL-coalesced cast-to-string projection — the
+    * portable hash the sampling family already standardizes on, so an
+    * oracle reproduces it bit-for-bit). One hash-shuffle per side
+    * into a single full-outer join on the id; no window, no sort.
+    *
+    * @return (id, status ∈ added|removed|changed), `id` keeping the
+    *         input column name */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs content columns")
+    (Seq(idCol) ++ contentCols).foreach { c =>
+      require(before.columns.contains(c) && after.columns.contains(c),
+        s"snapshotDiff: column '$c' must exist in both snapshots")
+    }
+    // \u0001 joins, \u0002 stands in for NULL: without the sentinel,
+    // concat_ws would silently equate (NULL, "x") with ("x", NULL)
+    def sig(df: DataFrame, tag: String) = df.select(
+      col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(s"${tag}_sig"))
+    sig(before, "b").join(sig(after, "a"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("b_sig").isNull, "added")
+          .when(col("a_sig").isNull, "removed")
+          .when(col("b_sig") =!= col("a_sig"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Remove orphaned staging directories left by interrupted
     * staging+swap writes (`<table>__stage_<hex8>`,
     * `<path>__compact_<hex8>`): a crash between write and rename

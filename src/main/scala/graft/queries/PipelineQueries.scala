@@ -960,6 +960,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus release versioning: row-level diff between two snapshots
+    // (Maintenance.snapshotDiff) — one full-outer join on the id over
+    // md5 content signatures, output CHANGE-sized (unchanged rows
+    // never emitted). v2 adds the ids ≡1 (mod 5), drops ids ≡2
+    // (mod 5), and edits the text of ids ≡0 (mod 7). Hash-green: the
+    // oracle derives the statuses SEMANTICALLY (from the construction
+    // itself, no hashing) — an independent recomputation, not a
+    // signature replay.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val before = docs.filter(col("doc_id") % 5 =!= 1)
+      val after = docs.filter(col("doc_id") % 5 =!= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+      graft.operators.Maintenance.snapshotDiff(
+          before, after, "doc_id", Seq("text", "lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-stratum quotas: halve English, quarter German, 5% of the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> ((s, dir) =>
@@ -1728,6 +1748,20 @@ object PipelineQueries {
          |  CROSS JOIN maxw mw)
          |SELECT doc_id, source, cap_q, rnk FROM capped
          |WHERE rnk <= cap_q ORDER BY doc_id""".stripMargin,
+    // statuses derived from the snapshot construction itself — the
+    // oracle never touches the md5 signatures
+    "corpus_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 1),
+        |a AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 2)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'added'
+        |         WHEN a.doc_id IS NULL THEN 'removed'
+        |         WHEN COALESCE(b.doc_id, 0) % 7 = 0 THEN 'changed'
+        |    END AS status
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -744,6 +744,33 @@ object RelationalQueries {
       st.view.orderBy(col("o_orderkey"), col("l_linenumber"))
     }),
 
+    // The DIRECTORY-persisted fold protocol under the driver gate —
+    // what incremental_rollup_bucketed is to the rollup sink, this is
+    // to maintainView/streamingJoinView: state wiped per evaluation,
+    // three batches PER SIDE folded through JoinView.foldBatchDirs
+    // (bucket-pruned snapshot reads, hidden staging, _APPLIED markers),
+    // then the COMMITTED view read back must equal the one-shot join.
+    "incremental_join_view_bucketed" -> ((s, dir) => {
+      import graft.operators.JoinView
+      val root = "/tmp/graft_jview_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      (0 until 3).foreach { i =>
+        JoinView.foldBatchDirs(root, i.toLong, "o_orderkey",
+          ord.filter(col("o_orderkey") % 3 === i),
+          li.filter((col("o_orderkey") + col("l_linenumber")) % 3 === i),
+          nBuckets = 16)
+      }
+      JoinView.readCommittedView(s, root).get
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -773,6 +800,13 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     // one-shot join — the incremental fold must be invisible
     "incremental_join_view" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |       l.l_linenumber, l.l_quantity, l.l_extendedprice
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    // identical one-shot join — persisted bucket-dir folds must also
+    // be invisible
+    "incremental_join_view_bucketed" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
         |       l.l_linenumber, l.l_quantity, l.l_extendedprice
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

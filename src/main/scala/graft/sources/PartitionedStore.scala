@@ -298,8 +298,8 @@ object PartitionedStore {
   /** ONE stored-pin reader for the pin writer ([[pinLayout]]) and the
     * pin-driven readers ([[scd2KeyHistory]]) — a future encoding or
     * trim change must reach both or they drift. */
-  private def readPin(fs: org.apache.hadoop.fs.FileSystem,
-                      target: org.apache.hadoop.fs.Path): Option[String] = {
+  private[graft] def readPin(fs: org.apache.hadoop.fs.FileSystem,
+                             target: org.apache.hadoop.fs.Path): Option[String] = {
     import org.apache.hadoop.fs.Path
     val configFile = new Path(target, "_CONFIG")
     if (!fs.exists(configFile)) None

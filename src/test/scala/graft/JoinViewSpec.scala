@@ -127,4 +127,44 @@ class JoinViewSpec extends SparkSpec {
     }
     e.getMessage.toLowerCase should include("layout")
   }
+
+  test("compactStateTo: N batch dirs become one, view preserved, " +
+      "re-shard allowed, folds continue against the fresh root") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-jvc").toString
+    val root = s"$base/state"
+    val fresh = s"$base/compact"
+    val a = (1L to 30L).map(k => (k, k * 10.0))
+    val b = (1L to 30L).map(k => (k, k + 0.5))
+    (0 until 3).foreach { i =>
+      JoinView.foldBatchDirs(root, i.toLong, "k",
+        a.filter(_._1 % 3 == i).toDF("k", "price"),
+        b.filter(_._1 % 3 == i).toDF("k", "qty"), nBuckets = 8)
+    }
+    val before = rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k"))
+    // compact WITH a re-shard (8 -> 4 buckets — the in-place change
+    // the fold pin refuses is exactly what compaction is for)
+    JoinView.compactStateTo(spark, root, fresh, nBuckets = 4) shouldBe 30L
+    rows(JoinView.readCommittedView(spark, fresh).get
+      .orderBy("k")) shouldBe before
+    // one batch dir per side now
+    val fs = new org.apache.hadoop.fs.Path(fresh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("a", "b", "view").foreach { side =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$fresh/$side"))
+        .toSeq.map(_.getPath.getName).filter(_.startsWith("d")) shouldBe
+        Seq("d0")
+    }
+    // the fresh root keeps accepting folds (pin carried over, new nB)
+    JoinView.foldBatchDirs(fresh, 1L, "k",
+      Seq((99L, 1.0)).toDF("k", "price"),
+      Seq((99L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.readCommittedView(spark, fresh).get.count() shouldBe 31L
+    // refusing to merge into an occupied root
+    val e = intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, fresh, nBuckets = 4)
+    }
+    e.getMessage should include("already holds a state")
+  }
 }

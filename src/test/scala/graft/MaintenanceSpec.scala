@@ -410,4 +410,34 @@ class MaintenanceSpec extends SparkSpec {
       math.abs(est - exact).toDouble should be <= math.max(1.0, 0.05 * exact)
     }
   }
+
+  test("snapshotDiff: added/removed/changed only, NULL shifts detected, " +
+      "missing columns refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val before = Seq(
+      (1L, Option("a"), Option("x")), // unchanged
+      (2L, Option("b"), Option("y")), // changed (content edit)
+      (3L, Option("c"), Option("z")), // removed
+      (5L, Option("e"), None),        // NULL shift: (e, NULL) ->
+      (6L, None, None))               // all-NULL, unchanged
+      .toDF("id", "t", "l")
+    val after = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("B"), Option("y")),
+      (4L, Option("d"), Option("w")), // added
+      (5L, None, Option("e")),        // -> (NULL, e): MUST be changed
+      (6L, None, None))
+      .toDF("id", "t", "l")
+    val got = rows(Maintenance.snapshotDiff(before, after, "id",
+      Seq("t", "l")).orderBy("id"))
+    // the \u0002 NULL sentinel keeps (e, NULL) != (NULL, e) — a bare
+    // concat_ws would hash both to "e" and silently miss the change
+    got shouldBe Seq(Seq(2L, "changed"), Seq(3L, "removed"),
+      Seq(4L, "added"), Seq(5L, "changed"))
+    // output is change-sized: ids 1 and 6 never surface
+    intercept[IllegalArgumentException] {
+      Maintenance.snapshotDiff(before, after.drop("l"), "id", Seq("t", "l"))
+    }.getMessage should include("both snapshots")
+  }
 }
