@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * `isotonicCalibrate`'s maxBins). These helpers make the contract
   * LOUD instead of documented-only:
   *
-  *  - [[assertGridBounded]] probes the grid with a limit-bounded job
-  *    and refuses with an actionable message when it overflows;
+  *  - [[boundedGrid]] probes the grid with a limit-bounded job
+  *    and refuses with an actionable message when it overflows
+  *    (returning the grid persisted, so the probe's work feeds the
+  *    caller's window instead of being recomputed);
   *  - [[quantize]] is the opt-in fix the message points at — bucket
   *    the axis onto a bounded uniform grid upstream.
   */

@@ -1229,6 +1229,7 @@ class AppSpec extends SparkSpec {
     val (_, outR) = Main.execute(spark, sink, dir)
     outR.get should include(""""applied":false""")
     outR.get should include(""""buckets":0""")
+    // state after the insert-only folds equals the one-shot GROUP BY
     val state = spark.read.parquet(s"$dir/rstate/state").drop("bucket")
     val got = IncrementalAgg.finalizeState(state, Seq("g")).orderBy("g")
     val want = all.toDF("g", "v").groupBy("g")
@@ -1237,5 +1238,29 @@ class AppSpec extends SparkSpec {
       .orderBy("g")
     rows(got.select("g", "n", "total", "vmin", "vmax")) shouldBe
       rows(want.select("g", "n", "total", "vmin", "vmax"))
+    // batch 2 arrives as a CDC log: key 0's I loses to its U (seq),
+    // one other key's net D never reaches the monoid fold
+    Seq((0L, 1000.0, 1L, "I"), (0L, 2000.0, 2L, "U"),
+        (1L, 50.0, 1L, "I"), (1L, 50.0, 2L, "D"))
+      .toDF("g", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/d2")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "rollup", "statePath": "rstate", "batchId": 2,
+         |  "keys": ["g"], "valueColumn": "v", "nBuckets": 8,
+         |  "delta": {"input": "in/d2",
+         |            "cdc": {"keyColumns": ["g"], "seqColumn": "seq",
+         |                    "opColumn": "op"}}
+         |}}}""".stripMargin)
+    withClue(Main.execute(spark, sink, dir)._2) {
+      val st = spark.read.parquet(s"$dir/rstate/state").drop("bucket")
+      val fin = IncrementalAgg.finalizeState(st, Seq("g"))
+      // g=0 gained exactly the netted 2000 (not 1000, not both)
+      fin.filter(col("g") === 0L).head.getAs[Double]("total") shouldBe
+        (all.filter(_._1 == 0L).map(_._2).sum + 2000.0)
+      // g=1 unchanged: its net effect was a delete, never folded
+      fin.filter(col("g") === 1L).head.getAs[Double]("total") shouldBe
+        all.filter(_._1 == 1L).map(_._2).sum
+    }
   }
 }

@@ -166,5 +166,17 @@ class JoinViewSpec extends SparkSpec {
       JoinView.compactStateTo(spark, root, fresh, nBuckets = 4)
     }
     e.getMessage should include("already holds a state")
+    // a view whose keys never matched (empty view side) compacts to
+    // an empty-but-committed fresh state, and keeps accepting folds
+    val root2 = s"$base/state2"; val fresh2 = s"$base/compact2"
+    JoinView.foldBatchDirs(root2, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((2L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.compactStateTo(spark, root2, fresh2, nBuckets = 4) shouldBe 0L
+    JoinView.foldBatchDirs(fresh2, 1L, "k",
+      Seq((2L, 9.0)).toDF("k", "price"),
+      Seq((1L, 8.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    rows(JoinView.readCommittedView(spark, fresh2).get
+      .orderBy("k")) shouldBe Seq(Seq(1L, 1.0, 8.0), Seq(2L, 9.0, 2.0))
   }
 }
