@@ -73,6 +73,10 @@ object SparkEntry {
         " PQ recall floor)"),
       "embedding_ivf_pq" -> (ann + "SimilaritySpec (composed IVF+PQ" +
         " recall floor + true-cosine refine)"),
+      "embedding_whitening_stats" -> ("covariance eigendecomposition" +
+        " over double sums (fit is float-tolerant, not bit-exact; no" +
+        " SQL twin) — whitened-covariance ~I bound, PCA factor" +
+        " capture, and the Jacobi solver spec-pinned in WhiteningSpec"),
       "embedding_drift" -> ("PSI over k-means cell occupancies —" +
         " centroid training carries double-sum rounding; planted-shift" +
         " detection and near-zero-on-identical spec-pinned in DriftSpec"),

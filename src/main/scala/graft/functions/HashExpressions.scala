@@ -103,6 +103,30 @@ object HashImpls {
     bucket
   }
 
+  /** y = W · (x − mean): the centered linear map whitening/PCA apply
+    * per row. `w` is row-major k×d (k = output dim ≤ d); inputs whose
+    * length differs from `mean.length` yield null (ragged guard, the
+    * VectorAvg convention). */
+  def whitenVector(vec: ArrayData, mean: Array[Double],
+                   w: Array[Array[Double]]): ArrayData = {
+    val d = mean.length
+    if (vec.numElements() != d) return null
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) { centered(i) = vec.getDouble(i) - mean(i); i += 1 }
+    val out = new Array[Double](w.length)
+    var r = 0
+    while (r < w.length) {
+      val row = w(r)
+      var s = 0.0
+      i = 0
+      while (i < d) { s += row(i) * centered(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Ids of the `nProbe` centroids nearest (by cosine) to a vector,
     * most-similar first. */
   def nearestCentroids(vec: ArrayData, centroids: Array[Array[Double]],
@@ -451,6 +475,32 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "lsh_bucket"
 }
 
+/** Centered linear map y = W(x − mean) — the per-row apply of
+  * whitening / PCA projection ([[graft.operators.Whitening]]). Mean
+  * and matrix ride as codegen reference objects (the NearestCentroids
+  * pattern); a length-mismatched input vector yields NULL. */
+case class WhitenVector(child: Expression, mean: Array[Double],
+                        w: Array[Array[Double]])
+    extends UnaryExpression {
+  require(mean.nonEmpty && w.nonEmpty && w.forall(_.length == mean.length),
+    "whiten_vector: matrix columns must match mean length")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.whitenVector(input.asInstanceOf[ArrayData], mean, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mean", mean, "double[]")
+    val ref = ctx.addReferenceObj("w", w, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.HashImpls.whitenVector($c, $m, $ref);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): WhitenVector =
+    copy(child = newChild)
+  override def prettyName: String = "whiten_vector"
+}
+
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
                             nProbe: Int)
     extends UnaryExpression {
@@ -616,6 +666,10 @@ object HashFunctions {
   def nearestCentroids(vecDouble: Column, centroids: Array[Array[Double]],
                        nProbe: Int): Column =
     GraftBridge.column(NearestCentroids(expr(vecDouble), centroids, nProbe))
+
+  def whitenVector(vecDouble: Column, mean: Array[Double],
+                   w: Array[Array[Double]]): Column =
+    GraftBridge.column(WhitenVector(expr(vecDouble), mean, w))
 
   def tokenSplit(loweredText: Column): Column =
     GraftBridge.column(TokenSplit(expr(loweredText)))

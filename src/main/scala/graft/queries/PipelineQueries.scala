@@ -351,6 +351,28 @@ object PipelineQueries {
         .orderBy(col("cell").asc_nulls_first)
     }),
 
+    // Embedding whitening end-to-end: fit (ONE VectorMoments
+    // aggregation + driver Jacobi), ZCA-apply (codegen'd
+    // WhitenVector narrow map), then re-measure — the output is the
+    // identity-deviation diagnostic of the whitened corpus itself.
+    // Rows-only (eigendecomposition over double sums — no SQL twin);
+    // the ~I bound is spec-pinned in WhiteningSpec.
+    "embedding_whitening_stats" -> ((s, dir) => {
+      import graft.operators.Whitening
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val model = Whitening.fit(emb, "embedding", dim = 64)
+      val white = Whitening.whiten(emb, "embedding", model)
+      val m2 = Whitening.fit(white, "embedding", dim = 64)
+      // whitened covariance has eigenvalues ~1: report the extremes
+      s.range(1).select(
+        lit(emb.count()).as("n_vectors"),
+        lit(math.floor(m2.lambda.head * 1000) / 1000).as("lambda_max"),
+        lit(math.floor(m2.lambda.last * 1000) / 1000).as("lambda_min"),
+        lit(math.floor(model.lambda.head / model.lambda.last))
+          .as("condition_before"))
+    }),
+
     // IVF × PQ: centroid pruning, compressed ADC scan, exact refine —
     // the composed 100 TB ANN shape. Rows-only (cell + codebook
     // approximation); recall floor and true-cosine refine are
