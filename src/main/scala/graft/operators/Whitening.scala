@@ -125,6 +125,42 @@ object Whitening {
       asDoubleVec(col(vecCol)), model.mean,
       model.pcaMatrix(k, whitened, eps)))
 
+  /** Persist a fitted model as a (component, eigenvalue, mean_i,
+    * vector) parquet — the model artifact of a standing whitening map
+    * (fit once on the corpus, apply in every downstream job; the
+    * savePqCodebooks / LinearModel.saveWeightsQ discipline). One row
+    * per component, driver-sized. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    model.lambda.indices.map { k =>
+      (k, model.lambda(k), model.mean(k), model.u(k).toSeq)
+    }.toDF("component", "eigenvalue", "mean_i", "vector")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[saveModel]]; shape-validated loud. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("component").cast("int"), col("eigenvalue"),
+        col("mean_i"), col("vector"))
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no whitening model at $path")
+    val d = rows.length
+    require(rows.map(_.getInt(0)).toSeq == (0 until d),
+      s"whitening model at $path has gaps in its component ids")
+    val m = Model(
+      mean = rows.map(_.getDouble(2)),
+      lambda = rows.map(_.getDouble(1)),
+      u = rows.map(_.getSeq[Double](3).toArray))
+    require(m.u.forall(_.length == d),
+      s"whitening model at $path has ragged eigenvectors")
+    m
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
     * classical O(d³)-per-sweep rotation scheme (Golub & Van Loan §8.5,
     * public literature), deterministic: fixed (p,q) sweep order, fixed

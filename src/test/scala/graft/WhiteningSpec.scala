@@ -102,6 +102,28 @@ class WhiteningSpec extends SparkSpec {
     }.getMessage should include(">= 2 vectors")
   }
 
+  test("saveModel/loadModel roundtrip is exact; empty/ragged artifacts refused") {
+    val df = corpus(100)
+    val model = Whitening.fit(df, "vec", d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmodel")
+      .toString + "/model"
+    Whitening.saveModel(spark, model, dir)
+    val back = Whitening.loadModel(spark, dir)
+    back.mean.toSeq shouldBe model.mean.toSeq        // bit-exact roundtrip
+    back.lambda.toSeq shouldBe model.lambda.toSeq
+    back.u.map(_.toSeq).toSeq shouldBe model.u.map(_.toSeq).toSeq
+    // applying the loaded model is byte-identical to the fitted one
+    gather(Whitening.whiten(df, "vec", back)).map(_.toSeq) shouldBe
+      gather(Whitening.whiten(df, "vec", model)).map(_.toSeq)
+    // a sliced artifact (missing component) refuses loud
+    val sliced = dir + "_sliced"
+    spark.read.parquet(dir)
+      .filter(col("component") =!= 2).write.parquet(sliced)
+    intercept[IllegalArgumentException] {
+      Whitening.loadModel(spark, sliced)
+    }.getMessage should include("gaps")
+  }
+
   test("jacobiEigen: known symmetric eigensystems, A v = lambda v") {
     // block: [[2,1],[1,2]] (eigenvalues 3, 1) ⊕ [5]
     val a = Array(
