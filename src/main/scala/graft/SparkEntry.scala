@@ -73,6 +73,9 @@ object SparkEntry {
         " PQ recall floor)"),
       "embedding_ivf_pq" -> (ann + "SimilaritySpec (composed IVF+PQ" +
         " recall floor + true-cosine refine)"),
+      "embedding_ivf_whitened" -> (ann + "SimilaritySpec (recall of" +
+        " IVF over whitened-PCA-reduced vectors vs exact brute force" +
+        " on the ORIGINAL space)"),
       "embedding_whitening_stats" -> ("covariance eigendecomposition" +
         " over double sums (fit is float-tolerant, not bit-exact; no" +
         " SQL twin) — whitened-covariance ~I bound, PCA factor" +

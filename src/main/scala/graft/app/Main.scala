@@ -60,10 +60,12 @@ object Main {
           // behind the same config-in/JSON-out protocol; `applied` is
           // false on an exactly-once replay of a committed batchId
           val rep = ViewMaintenance.run(spark, config.view.get, dataDir)
+          val batchId = rep.batchId.map(n => s""""batch_id":$n,""").getOrElse("")
           val buckets = rep.buckets.map(n => s""","buckets":$n""").getOrElse("")
+          val rows = rep.rows.map(n => s""","rows":$n""").getOrElse("")
           (0, Some(statusJson("success",
-            s""""view":"${rep.kind}","batch_id":${rep.batchId},""" +
-              s""""applied":${rep.applied}$buckets""")))
+            s""""view":"${rep.kind}",$batchId""" +
+              s""""applied":${rep.applied}$buckets$rows""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")

@@ -107,6 +107,7 @@ object Pipeline {
       case d: DecontaminateFuzzy => Seq(d.evalPath)
       case m: Mix                => m.extra.map(_.input)
       case c: ClassifierFilter   => c.weightsPath.toSeq // retrained model
+      case w: Whiten             => Seq(w.modelPath) // refitted model
       case c: CapPerSource       => c.graphPrior.map(_.input).toSeq
       case _                     => Nil
     }
@@ -330,6 +331,21 @@ object Pipeline {
         }
         df.filter(LinearModel.meanLogit(scoreQ,
           TextFunctions.tokenCount(text)) >= c.minMeanLogit)
+      case w: Whiten =>
+        import graft.operators.Whitening
+        if (!df.columns.contains(w.column))
+          throw new UserException(
+            s"whiten: input has no column '${w.column}'")
+        val model = Whitening.loadModel(df.sparkSession,
+          resolve(w.modelPath, dataDir))
+        w.k match {
+          case Some(k) =>
+            if (k > model.lambda.length) throw new UserException(
+              s"whiten: k=$k exceeds the model's ${model.lambda.length} " +
+                "components")
+            Whitening.pcaProject(df, w.column, model, k, w.whitened, w.eps)
+          case None => Whitening.whiten(df, w.column, model, w.eps)
+        }
       case g: GopherFilter =>
         df.filter(TextFunctions.gopherKeep(text, g.minTokens, g.maxTokens,
           g.minDistinctRatio, g.maxTopBigramFrac, g.minStopwordRatio))

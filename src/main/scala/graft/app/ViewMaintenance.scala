@@ -28,9 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ViewMaintenance {
 
-  final case class Report(kind: String, batchId: Long, applied: Boolean,
+  final case class Report(kind: String, applied: Boolean,
+                          /** join/rollup: the folded batch id. */
+                          batchId: Option[Long] = None,
                           /** rollup: buckets swapped this call. */
-                          buckets: Option[Int])
+                          buckets: Option[Int] = None,
+                          /** compact: state rows carried over. */
+                          rows: Option[Long] = None)
 
   def run(spark: SparkSession, cfg: ViewConfig, dataDir: String): Report =
     cfg match {
@@ -39,14 +43,35 @@ object ViewMaintenance {
         val swapped = graft.streaming.EventStreams.applyRollupBatchBucketed(
           delta, resolve(r.statePath, dataDir), r.batchId, r.keys,
           r.valueColumn, r.nBuckets)
-        Report(r.kind, r.batchId, applied = swapped.nonEmpty,
+        Report(r.kind, applied = swapped.nonEmpty, Some(r.batchId),
           buckets = Some(swapped.size))
       case j: JoinViewConfig =>
         val applied = JoinView.foldBatchDirs(
           resolve(j.statePath, dataDir), j.batchId, j.key,
           readDelta(spark, j.deltaA, dataDir),
           readDelta(spark, j.deltaB, dataDir), j.nBuckets)
-        Report(j.kind, j.batchId, applied, buckets = None)
+        Report(j.kind, applied, Some(j.batchId))
+      case c: CompactViewConfig =>
+        // kind auto-detected from the state's own layout pin — one
+        // config shape for both view families; a path that is not a
+        // pinned view state refuses loud (no pin, no guess)
+        val root = resolve(c.statePath, dataDir)
+        val fresh = resolve(c.freshPath, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView compact: no layout pin under $root — not a " +
+              "view state"))
+        val rows =
+          if (pin.startsWith("join|"))
+            JoinView.compactStateTo(spark, root, fresh,
+              c.nBuckets.getOrElse(pin.split('|').last.toIntOption
+                .getOrElse(64)))
+          else
+            graft.streaming.EventStreams.compactRollupStateTo(
+              spark, root, fresh, c.nBuckets)
+        Report(c.kind, applied = true, rows = Some(rows))
     }
 
   /** The maintained join view as a DataFrame — committed batches only
@@ -63,8 +88,24 @@ object ViewMaintenance {
                         dataDir: String): DataFrame = {
     val path = resolve(d.input, dataDir)
     val raw = d.format match {
-      case "csv" => spark.read.option("header", "true").csv(path)
-      case _     => spark.read.parquet(path)
+      case "csv" =>
+        // CSV deltas fold with DECLARED types, never inferred or
+        // all-string (SURVEY §1): an untyped delta would feed
+        // lexicographic min/max into the rollup monoid and
+        // type-drifted xxhash64 keys into the join-view bucket
+        // layout. The parser enforces items[] for csv; this guard
+        // covers programmatic construction too.
+        if (d.items.isEmpty) throw new UserException(
+          s"View delta '${d.input}': format 'csv' requires declared " +
+            "items[] — CSV is untyped and the engine never infers")
+        val tc = TableConfig(tableId = d.input, dbName = d.input,
+          items = d.items)
+        // strict ingest: a value that fails its declared cast aborts
+        // the fold with "Column 'x', line N: …" — a maintained view
+        // has no quarantine sink, so bad data must never fold silently
+        graft.sources.CsvIngest.castAndProjectStrict(
+          graft.sources.CsvIngest.read(spark, path, tc), tc)
+      case _ => spark.read.parquet(path)
     }
     d.cdc match {
       case Some(c) =>

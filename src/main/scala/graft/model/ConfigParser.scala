@@ -77,9 +77,18 @@ object ConfigParser {
     * exit 1, never an opaque runner failure. */
   private def parseView(v: JsonNode): ViewConfig = {
     val statePath = req(v, "statePath").asText
-    val batchId = req(v, "batchId").asLong
-    if (batchId < 0) throw new UserException("view.batchId must be >= 0")
+    def batchId: Long = {
+      val id = req(v, "batchId").asLong
+      if (id < 0) throw new UserException("view.batchId must be >= 0")
+      id
+    }
     req(v, "kind").asText match {
+      case "compact" =>
+        val nBuckets = opt(v, "nBuckets").map(_.asInt)
+        if (nBuckets.exists(_ < 1))
+          throw new UserException("view.nBuckets must be >= 1")
+        CompactViewConfig(statePath,
+          freshPath = req(v, "freshPath").asText, nBuckets = nBuckets)
       case "join" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt).getOrElse(64)
         if (nBuckets < 1)
@@ -113,7 +122,25 @@ object ConfigParser {
         throw new UserException("cdc.keyColumns must list key columns")
       CdcSpec(keys, req(c, "seqColumn").asText, req(c, "opColumn").asText)
     }
-    DeltaInput(req(d, "input").asText, readFormat(d, "format"), cdc)
+    val input = req(d, "input").asText
+    val fmt = readFormat(d, "format")
+    val items = opt(d, "items").toSeq
+      .flatMap(_.elements.asScala.map(parseItem))
+    items.filterNot(c => TypeMapper.isAllowed(c.dataType)).foreach { c =>
+      throw new UserException(
+        s"Type '${c.dataType}' of column '${c.name}' is not supported")
+    }
+    // CSV arrives untyped and the engine never infers (SURVEY §1):
+    // an all-string delta would fold lexicographic min/max into a
+    // rollup monoid and type-drifted bucket hashes into a join-view
+    // layout — declare the schema or use parquet
+    if (fmt == "csv" && items.isEmpty)
+      throw new UserException(
+        s"View delta '$input': format 'csv' requires declared items[] " +
+          "(name/dbName/type per column) — CSV is untyped and the " +
+          "engine never infers; an all-string fold would corrupt the " +
+          "maintained state. Declare the schema or feed parquet")
+    DeltaInput(input, fmt, cdc, items)
   }
 
   /** `parameters.pipeline` block for the `pipeline` action. Shape and
@@ -222,6 +249,24 @@ object ConfigParser {
             "winsorize needs 0 <= loFrac <= hiFrac <= 1")
         Winsorize(req(n, "column").asText, lo, hi,
           opt(n, "groupBy").map(_.asText))
+      case "whiten" =>
+        val k = opt(n, "k").map { v =>
+          if (!v.isIntegralNumber || !v.canConvertToInt)
+            throw new UserException(
+              s"whiten 'k' must be an integer, got: $v")
+          v.asInt
+        }
+        if (k.exists(_ < 1))
+          throw new UserException("whiten 'k' must be >= 1")
+        val eps = dbl("eps", 1e-9)
+        if (eps <= 0)
+          throw new UserException("whiten 'eps' must be > 0")
+        Whiten(
+          modelPath = req(n, "modelPath").asText,
+          column = opt(n, "column").map(_.asText).getOrElse("embedding"),
+          k = k,
+          whitened = opt(n, "whitened").forall(_.asBoolean),
+          eps = eps)
       case "classifierFilter" =>
         val w = opt(n, "weightsQ").map { node =>
           if (!node.isArray)

@@ -106,6 +106,26 @@ object PipelineStep {
     val kind = "classifierFilter"
   }
 
+  /** Rewrite an embedding column (array of float/double) through a
+    * PERSISTED whitening model
+    * ([[graft.operators.Whitening.loadModel]]) — fit once out-of-band
+    * (`Whitening.fit` + `saveModel`), apply in every pipeline run:
+    * the classifierFilter `weightsPath` discipline, so the model
+    * file's content rides the checkpoint fingerprint via the
+    * secondary-input summary. `k` absent → ZCA whitening in place
+    * (same column name and length); `k` present → projection onto the
+    * top-k principal components (column length becomes k),
+    * variance-scaled when `whitened`. A codegen'd narrow map either
+    * way — no shuffle, no UDF. */
+  final case class Whiten(modelPath: String,
+                          column: String = "embedding",
+                          k: Option[Int] = None,
+                          whitened: Boolean = true,
+                          eps: Double = 1e-9)
+      extends PipelineStep {
+    val kind = "whiten"
+  }
+
   /** Rewrite the text column with
     * [[graft.functions.TextFunctions.redactPii]]. */
   case object PiiRedact extends PipelineStep { val kind = "piiRedact" }

@@ -17,7 +17,6 @@ package graft.model
 sealed trait ViewConfig {
   def kind: String
   def statePath: String
-  def batchId: Long
 }
 
 /** One delta feed: a parquet/csv dataset, optionally a CDC log that
@@ -26,9 +25,21 @@ sealed trait ViewConfig {
   * per key, net deletes drop out). The view algebras consume INSERT
   * deltas; netting is how a CDC feed meets that contract within a
   * batch (cross-batch updates/deletes stay out of scope, as the
-  * library docs pin). */
+  * library docs pin).
+  *
+  * `items` is the DECLARED column schema, REQUIRED for `format: "csv"`
+  * (parser-enforced) and ignored for parquet (which carries types).
+  * CSV arrives untyped; without a declaration every column would fold
+  * as STRING — lexicographic min/max in a rollup ("9" > "10"),
+  * type-drifted `xxhash64` bucket keys in a join view — so the engine
+  * refuses rather than infers, the same never-infer rule as the
+  * ingest path (SURVEY §1). The declared types run through the STRICT
+  * ingest cast ([[graft.sources.CsvIngest.castAndProjectStrict]]):
+  * a value that fails its declared cast aborts the fold with the
+  * per-column per-line load error, never a silent NULL. */
 final case class DeltaInput(input: String, format: String = "parquet",
-                            cdc: Option[CdcSpec] = None)
+                            cdc: Option[CdcSpec] = None,
+                            items: Seq[ColumnSpec] = Nil)
 
 final case class CdcSpec(keyColumns: Seq[String], seqColumn: String,
                          opColumn: String)
@@ -57,4 +68,23 @@ final case class RollupViewConfig(statePath: String, batchId: Long,
                                   delta: DeltaInput,
                                   nBuckets: Int = 16) extends ViewConfig {
   val kind = "rollup"
+}
+
+/** Out-of-band state compaction — the maintenance both fold protocols
+  * prescribe in their ops notes, reachable through the same CLI
+  * action. The view KIND is auto-detected from the state's own layout
+  * pin (`join|…` → [[graft.operators.JoinView.compactStateTo]];
+  * `nBuckets|keys|valueCol` → the rollup sibling): one config shape
+  * for both, and a path that is not a pinned view state refuses loud.
+  *
+  * `nBuckets = None` keeps the source layout's bucket count; a value
+  * re-shards — the in-place change the fold pins refuse is exactly
+  * what compaction is for. The fresh root must be empty; swap roots
+  * between folds (single-writer protocol, no concurrent-fold window)
+  * and continue with batch ids fresher than anything compacted —
+  * the fresh root's markers restart at 0. */
+final case class CompactViewConfig(statePath: String, freshPath: String,
+                                   nBuckets: Option[Int] = None)
+    extends ViewConfig {
+  val kind = "compact"
 }

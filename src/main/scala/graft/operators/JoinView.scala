@@ -161,15 +161,29 @@ object JoinView {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(rootPath, s"_APPLIED_$batchId")))
       return false // replay of a committed batch: exactly-once no-op
-    // layout + schema pin: key, both column sets AND the bucket count
-    // ride the pin — a renamed column, re-keyed config, or changed
-    // bucket function refuses instead of writing a state no later
-    // read can reconcile (a half-written re-hash would silently strand
-    // rows of the old layout, the rollup sink's documented hazard)
+    // layout + schema pin: key, both column sets WITH THEIR TYPES and
+    // the bucket count ride the pin — a renamed column, re-keyed
+    // config, changed bucket function, OR a type-drifting feed refuses
+    // instead of writing a state no later read can reconcile. Types
+    // matter because the bucket function is `xxhash64(key)` and
+    // xxhash64 is TYPE-sensitive: the same logical key as long vs
+    // string hashes into different buckets, so a drifted feed would
+    // append to the wrong `__bucket=` leaves and every later pruned
+    // snapshot read would silently miss its matches. Non-key column
+    // types ride too — the appended parquet batches must stay
+    // union-compatible across folds.
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    def cols(df: DataFrame) = df.columns.sorted.map(enc).mkString(",")
+    def cols(df: DataFrame) = df.schema.sortBy(_.name)
+      .map(f => enc(f.name) + ":" + enc(f.dataType.catalogString))
+      .mkString(",")
+    // legacy: the pre-r12 names-only pin of the same layout — migrate
+    // in place rather than strand healthy states (their types are
+    // unknowable from the old pin; enforcement starts at migration)
+    def legacyCols(df: DataFrame) = df.columns.sorted.map(enc).mkString(",")
     graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
-      s"join|${enc(key)}|${cols(deltaA)}|${cols(deltaB)}|$nBuckets")
+      s"join|${enc(key)}|${cols(deltaA)}|${cols(deltaB)}|$nBuckets",
+      legacy = Some(
+        s"join|${enc(key)}|${legacyCols(deltaA)}|${legacyCols(deltaB)}|$nBuckets"))
     // reap THIS batch's rename-window garbage from a prior crash —
     // no marker means none of its dirs are part of the state yet
     for (side <- Seq("a", "b", "view");
@@ -214,6 +228,53 @@ object JoinView {
     }
     fs.create(new Path(rootPath, s"_APPLIED_$batchId"), true).close()
     true
+  }
+
+  /** Reap ABANDONED batch garbage from a fold root — the GC cadence
+    * hook for the streaming sink and out-of-band ops, the join-view
+    * sibling of [[Maintenance.cleanTableOrphanStages]]. Two garbage
+    * classes accrete when a crashed writer's batch id never replays
+    * (a replay reaps its OWN id's garbage, but an id the scheduler
+    * abandons strands forever):
+    *
+    *  - hidden `.staging<id>` dirs (crash before the renames);
+    *  - unmarked `d<id>` dirs (crash in the rename window, before
+    *    the `_APPLIED_<id>` marker) — invisible to readers but real
+    *    storage.
+    *
+    * Safety: only AGED dirs go (default 24 h — an in-flight fold's
+    * fresh staging survives; the protocol is single-writer, so
+    * anything older than the gate cannot be in flight), and a
+    * marker-committed `d<id>` is live state, never touched.
+    *
+    * @return deleted paths */
+  def cleanOrphanBatchDirs(spark: SparkSession, root: String,
+                           olderThanMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val deleted = Seq.newBuilder[String]
+    for (side <- Seq("a", "b", "view")) {
+      val dir = new Path(rootPath, side)
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          val staged = name.startsWith(".staging") &&
+            name.stripPrefix(".staging").forall(_.isDigit) &&
+            name.length > ".staging".length
+          val unmarked = name.startsWith("d") && name.length > 1 &&
+            name.drop(1).forall(_.isDigit) &&
+            !fs.exists(new Path(rootPath, s"_APPLIED_${name.drop(1)}"))
+          if ((staged || unmarked) && st.getModificationTime <= cutoff) {
+            fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
+        }
+    }
+    deleted.result()
   }
 
   /** The maintained view (committed batches only) — None when no

@@ -589,10 +589,11 @@ object Maintenance {
     * 100 TB contract — output is change-sized, not corpus-sized).
     *
     * Change detection hashes `contentCols` (md5 over a
-    * sentinel-joined, NULL-coalesced cast-to-string projection — the
-    * portable hash the sampling family already standardizes on, so an
-    * oracle reproduces it bit-for-bit). One hash-shuffle per side
-    * into a single full-outer join on the id; no window, no sort.
+    * length-prefixed, NULL-marked cast-to-string encoding — injective,
+    * so no value content can alias two distinct column tuples; md5 is
+    * the portable hash the sampling family already standardizes on).
+    * One hash-shuffle per side into a single full-outer join on the
+    * id; no window, no sort.
     *
     * @return (id, status ∈ added|removed|changed), `id` keeping the
     *         input column name */
@@ -603,12 +604,20 @@ object Maintenance {
       require(before.columns.contains(c) && after.columns.contains(c),
         s"snapshotDiff: column '$c' must exist in both snapshots")
     }
-    // \u0001 joins, \u0002 stands in for NULL: without the sentinel,
-    // concat_ws would silently equate (NULL, "x") with ("x", NULL)
-    def sig(df: DataFrame, tag: String) = df.select(
-      col(idCol),
-      md5(concat_ws("\u0001", contentCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(s"${tag}_sig"))
+    // length-prefixed INJECTIVE encoding: each value rides as
+    // "<len>:<value>", NULL as "N" (unambiguous - lengths start with
+    // a digit). A sentinel-joined concat is not injective when a
+    // value may itself contain the sentinel: ("ab","c") vs ("a","bc")
+    // would hash equal and a real change read as unchanged (r11
+    // ADVICE); with the explicit length no embedded character can
+    // shift a field boundary, and no separator is needed at all.
+    def sig(df: DataFrame, tag: String) = {
+      val encoded = contentCols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+      }
+      df.select(col(idCol), md5(concat(encoded: _*)).as(s"${tag}_sig"))
+    }
     sig(before, "b").join(sig(after, "a"), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("b_sig").isNull, "added")

@@ -66,8 +66,10 @@ object Multimodal {
       * deterministic stub stand-in (a length-scaled byte slice) so
       * non-image payloads keep a total, fake-but-stable behavior. */
     def resizeEncode(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      // long arithmetic: w*h overflows Int near the raster cap
       java.util.Arrays.copyOf(payload,
-        math.min(payload.length, math.max(1, w * h / 64)))
+        math.min(payload.length.toLong, math.max(1L, w.toLong * h / 64))
+          .toInt)
   }
 
   /** Deterministic stand-in for the absent codec libraries: dimensions
@@ -576,7 +578,12 @@ object Multimodal {
       * Undecodable payloads keep the stub slice, mirroring every
       * other rung of the fallback ladder. */
     override def resizeEncode(payload: Array[Byte], w: Int,
-                              h: Int): Array[Byte] =
+                              h: Int): Array[Byte] = {
+      // output-side bomb guard, same class as the decode-side one: a
+      // huge TARGET raster OOMs executors regardless of input size
+      require(w >= 1 && h >= 1 && w.toLong * h <= Multimodal.MaxDecodePixels,
+        s"resizeEncode target ${w}x$h exceeds MaxDecodePixels " +
+          s"(${Multimodal.MaxDecodePixels})")
       readImage(payload) match {
         case Some(img) =>
           val out = new java.awt.image.BufferedImage(
@@ -618,6 +625,7 @@ object Multimodal {
           bos.toByteArray
         case None => super.resizeEncode(payload, w, h)
       }
+    }
 
     /** cols×rows mean-luminance grid over the image's pixel blocks —
       * integer arithmetic throughout (deterministic across JVMs). */
@@ -852,6 +860,13 @@ object Multimodal {
              decoder: MediaDecoder = new ImageIoDecoder): DataFrame = {
     require(targetW >= 1 && targetH >= 1,
       s"resize target must be >= 1x1, got ${targetW}x$targetH")
+    // the OUTPUT raster needs the same bomb guard as the decode side:
+    // a 50000x50000 target would allocate a multi-GB TYPE_INT_RGB
+    // buffer PER ROW on executors (and w*h can overflow Int)
+    require(targetW.toLong * targetH <= MaxDecodePixels,
+      s"resize target ${targetW}x$targetH exceeds MaxDecodePixels " +
+        s"($MaxDecodePixels) — the per-row output raster would not fit " +
+        "executor memory")
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("media", BinaryType, nullable = true),

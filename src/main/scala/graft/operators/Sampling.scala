@@ -200,8 +200,14 @@ object Sampling {
                            weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerSource >= 1, s"maxPerSource must be >= 1, got $maxPerSource")
+    // one row per key, ENFORCED: a prior with repeated keys would
+    // multiply corpus rows through the left join below — duplicated
+    // documents with distinct rnk values and silently inflated
+    // per-source output (r11 ADVICE). max() collapses dupes
+    // deterministically; the generous reading of a conflicted prior.
     val p = prior.select(col(priorKeyCol).as("__psrc"),
       col(weightCol).cast("long").as("__w"))
+      .groupBy("__psrc").agg(max(col("__w")).as("__w"))
     val mm = p.agg(max(col("__w")).as("mw")).collect()(0)
     require(!mm.isNullAt(0) && mm.getLong(0) > 0,
       "capPerSourceWeighted: prior has no positive weights — an " +

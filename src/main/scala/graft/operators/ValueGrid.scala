@@ -32,6 +32,24 @@ object ValueGrid {
     * explicitly — the point is that nobody crosses it silently. */
   val DefaultMaxGrid: Int = 1 << 20
 
+  /** Cache-lifetime bound for the persisted grids: [[boundedGrid]]'s
+    * consumers are lazy (the caller's window materializes after the
+    * call returns), so no operator can unpersist at a provably-safe
+    * point — but never unpersisting accumulates up-to-1M-row cache
+    * entries for the session lifetime (r11 ADVICE). A small FIFO pool
+    * bounds that: the newest `MaxCachedGrids` grids stay warm for
+    * their in-flight consumers; older ones are released and would
+    * simply RECOMPUTE if a straggler plan still referenced them —
+    * a perf fallback, never a correctness hazard. */
+  private val MaxCachedGrids = 8
+  private val cachedGrids = new java.util.ArrayDeque[DataFrame]
+
+  private def registerCached(df: DataFrame): Unit = synchronized {
+    cachedGrids.addLast(df)
+    while (cachedGrids.size > MaxCachedGrids)
+      cachedGrids.removeFirst().unpersist(blocking = false)
+  }
+
   /** LOUD cardinality probe: counts the grid only up to `maxGrid + 1`
     * rows (a `limit`-bounded job — never a full count of an unbounded
     * grid) and refuses when it overflows. `what` names the operator
@@ -46,7 +64,9 @@ object ValueGrid {
     * instead of re-aggregating. The cached grid is ≤ maxGrid rows
     * (≈ 1M at the default) — small against executor storage memory,
     * and evicted LRU like any cache. On overflow the persist is
-    * released before the refusal throws. */
+    * released before the refusal throws; in-bound grids enter the
+    * bounded FIFO pool ([[MaxCachedGrids]]) so repeated calls never
+    * accumulate cache entries for the session lifetime. */
   def boundedGrid(grid: DataFrame, what: String,
                   maxGrid: Int): DataFrame = {
     require(maxGrid >= 1, s"maxGrid must be >= 1, got $maxGrid")
@@ -61,6 +81,7 @@ object ValueGrid {
           "at scale; quantize the axis upstream (ValueGrid.quantize) " +
           "or raise maxGrid deliberately")
     }
+    registerCached(cached)
     cached
   }
 

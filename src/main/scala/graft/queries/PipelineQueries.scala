@@ -373,6 +373,41 @@ object PipelineQueries {
           .as("condition_before"))
     }),
 
+    // Whitened-PCA retrieval: the whitening operator composed into
+    // the ANN ladder — project the corpus onto the top 48 of 64
+    // principal components (a quarter fewer floats per vector; at
+    // 100 TB the reduction is paid once at index build and every
+    // probe reads proportionally fewer bytes — real embedding
+    // spectra decay, so production cuts go deeper) and run the same
+    // IVF probe in the reduced space. Rows-only (approximate); the
+    // recall floor vs exact brute force on the ORIGINAL space is
+    // spec-pinned in SimilaritySpec.
+    "embedding_ivf_whitened" -> ((s, dir) => {
+      import graft.operators.Whitening
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val model = Whitening.fit(emb, "embedding", dim = 64)
+      // UNSCALED projection (whitened = false): variance-scaling
+      // equalizes the noise directions and distorts cosine ranking —
+      // for retrieval the reduction keeps the dominant structure and
+      // drops the tail, nothing more
+      val red = Whitening.pcaProject(emb, "embedding", model, k = 48,
+          whitened = false)
+        // back to the corpus vector type: the IVF path is float-typed
+        // end to end (a real reduced index stores float32)
+        .withColumn("embedding", col("embedding").cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
+        // materialize the projection ONCE — a real index stores the
+        // reduced vectors; inline it would re-project inside every
+        // per-centroid distance of the probe
+        .localCheckpoint(true)
+      val queries = red.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(red, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // IVF × PQ: centroid pruning, compressed ADC scan, exact refine —
     // the composed 100 TB ANN shape. Rows-only (cell + codebook
     // approximation); recall floor and true-cosine refine are

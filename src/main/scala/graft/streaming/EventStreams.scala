@@ -830,7 +830,12 @@ object EventStreams {
         // the (delta-sized) batch, not the snapshots
         val cached = batch.toDF().persist()
         try {
-          val badTag = cached.filter(!col(sideCol).isin("a", "b"))
+          // null-safe: `isin` yields NULL for a NULL tag and `!NULL`
+          // is NULL, which a bare filter DROPS — the exact row class
+          // this audit exists to catch (a NULL-tagged row matches
+          // neither side projection and would vanish silently)
+          val badTag = cached.filter(
+            !coalesce(col(sideCol).isin("a", "b"), lit(false)))
             .limit(1).count()
           require(badTag == 0L,
             s"streamingJoinView($statePath) batch $batchId: side tag " +
@@ -839,6 +844,22 @@ object EventStreams {
             cached.filter(col(sideCol) === "a").select(aCols.map(col): _*),
             cached.filter(col(sideCol) === "b").select(bCols.map(col): _*),
             nBuckets)
+          // GC cadence (the rollup sinks' r6 pattern): abandoned batch
+          // ids — a crashed writer that never replays the same id —
+          // strand hidden .staging<id> / unmarked d<id> dirs forever;
+          // sweep aged ones every 64 batches. Failure never wedges
+          // ingest: reported, not rethrown.
+          if (batchId > 0 && batchId % 64 == 0)
+            try {
+              graft.operators.JoinView.cleanOrphanBatchDirs(
+                cached.sparkSession, statePath)
+              ()
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft] join-view orphan GC for '$statePath' " +
+                    s"skipped: ${e.getMessage}")
+            }
           () // foreachBatch wants Unit; the fold's Boolean is marker state
         } finally { cached.unpersist(); () }
       }
@@ -964,6 +985,79 @@ object EventStreams {
       }
       recovered.result() ++ pending
     } finally partial.unpersist()
+  }
+
+  /** Compact a long-lived bucketed rollup state into a FRESH root —
+    * the rollup sibling of [[graft.operators.JoinView.compactStateTo]]
+    * and the out-of-band maintenance the fold's ops posture points at:
+    * every batch leaves an `_APPLIED_<id>` marker file in each bucket
+    * it touched, so a view folded every 5 minutes for a year carries
+    * ~100k empty marker files per bucket and the replay check's
+    * listing cost creeps into every fold. The state rows are COPIED
+    * (one scan + one bucketed write — the monoid state is already
+    * merged, nothing re-aggregates) and the fresh root starts with a
+    * single `_APPLIED_0` marker per bucket.
+    *
+    * `nBuckets = None` keeps the source bucket count; a value
+    * RE-SHARDS — the in-place bucket-count change the layout pin
+    * refuses is exactly what compaction is for. The fresh root gets
+    * its own pin (same keys + value column fields verbatim, new
+    * count). Same contract as the join sibling: fresh root must be
+    * empty, swap roots between folds (single-writer — no concurrent
+    * fold to race), and continue with batch ids FRESHER than anything
+    * compacted (the markers restart, so a replay of a pre-compaction
+    * id would re-apply).
+    *
+    * @return number of state rows compacted */
+  def compactRollupStateTo(spark: org.apache.spark.sql.SparkSession,
+                           statePath: String,
+                           freshPath: String,
+                           nBuckets: Option[Int] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val freshRoot = new Path(freshPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, root).getOrElse(
+      throw new graft.model.UserException(
+        s"compactRollupStateTo: no layout pin under $statePath — not a " +
+          "rollup-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 3 && parts(0).toIntOption.exists(_ >= 1),
+      s"compactRollupStateTo: unrecognized layout pin '$pin' under " +
+        statePath)
+    val keys = parts(1).split(',').toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val nB = nBuckets.getOrElse(parts(0).toInt)
+    require(nB >= 1, s"nBuckets must be >= 1, got $nB")
+    val cur = new Path(root, "state")
+    require(fs.exists(cur),
+      s"compactRollupStateTo: no committed state under $statePath")
+    require(!fs.exists(new Path(freshRoot, "_CONFIG")) &&
+      !fs.exists(new Path(freshRoot, "state")),
+      s"compactRollupStateTo: $freshPath already holds a state — " +
+        "refusing to merge into it (compact to an empty root, then swap)")
+    // fresh pin: the SOURCE pin's key/value fields verbatim (a later
+    // fold checks against exactly what it would have at the old root),
+    // the (possibly new) bucket count
+    graft.sources.PartitionedStore.pinLayout(fs, freshRoot, freshPath,
+      s"$nB|${parts(1)}|${parts(2)}")
+    val state = spark.read.parquet(cur.toString).drop("bucket")
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nB))
+      .cast("int").as("bucket")
+    val stage = new Path(freshRoot,
+      s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    state.withColumn("bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage.toString)
+    // one marker per materialized bucket, created in the stage so the
+    // rename commits data + markers atomically per child
+    fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .foreach(b => fs.create(new Path(b, "_APPLIED_0"), true).close())
+    if (!fs.rename(stage, new Path(freshRoot, "state")))
+      throw new java.io.IOException(
+        s"compactRollupStateTo: rename failed: $freshPath/state")
+    spark.read.parquet(new Path(freshRoot, "state").toString).count()
   }
 
   /** One batch's fold, exposed for the replay-idempotence spec.

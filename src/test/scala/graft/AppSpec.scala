@@ -576,6 +576,48 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: whiten step rewrites the embedding column " +
+      "through a persisted model; bad config refused") {
+    import spark.implicits._
+    import graft.operators.Whitening
+    val dir = Files.createTempDirectory("graft-pipe-wh").toString
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map(i =>
+      (i, s"doc $i", Array.fill(8)(rnd.nextFloat())))
+      .toDF("doc_id", "text", "embedding")
+    docs.write.mode("overwrite").parquet(s"$dir/in/docs")
+    // fit out-of-band, persist — the standing-model discipline
+    val model = Whitening.fit(docs, "embedding", dim = 8)
+    Whitening.saveModel(spark, model, s"$dir/model")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/wh",
+        |  "steps": [{"type": "whiten", "modelPath": "model", "k": 4}]
+        |}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val got = spark.read.parquet(s"$dir/out/wh")
+    got.count() shouldBe 40L
+    // the column is the k-dim projection, exactly the library's map
+    val want = Whitening.pcaProject(docs, "embedding", model, k = 4,
+      whitened = true)
+    rows(got.select(col("doc_id"), col("embedding")).orderBy("doc_id")) shouldBe
+      rows(want.select(col("doc_id"), col("embedding")).orderBy("doc_id"))
+    // k above the model's components refused; missing modelPath refused
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "whiten", "modelPath": "model", "k": 99}]
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "whiten"}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: dedupFuzzy and madOutlierFilter steps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-er").toString
@@ -1262,5 +1304,224 @@ class AppSpec extends SparkSpec {
       fin.filter(col("g") === 1L).head.getAs[Double]("total") shouldBe
         all.filter(_._1 == 1L).map(_._2).sum
     }
+  }
+
+  // ---- typed CSV deltas (r11 verdict What's-wrong #1: schema-less
+  // CSV fed lexicographic min/max into the rollup monoid and
+  // type-drifted xxhash64 keys into the join-view bucket layout) ----
+
+  private def csvRollupConfig(dir: String, batchId: Int,
+                              itemsJson: String): Unit =
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "rollup", "statePath": "cstate", "batchId": $batchId,
+         |  "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+         |  "delta": {"input": "in/d$batchId.csv", "format": "csv"$itemsJson}
+         |}}}""".stripMargin)
+
+  private val rollupItems =
+    """, "items": [
+      |  {"name": "g", "dbName": "g", "type": "bigint"},
+      |  {"name": "v", "dbName": "v", "type": "double precision"}
+      |]""".stripMargin
+
+  test("maintainView rollup over a CSV delta: declared items[] type " +
+      "the fold — numeric min/max, not lexicographic; garbage aborts " +
+      "with the per-line load error") {
+    import graft.operators.IncrementalAgg
+    val dir = Files.createTempDirectory("graft-viewcsv").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // 9 vs 10: lexicographically "9" > "10" — the exact corruption a
+    // schema-less string fold would commit
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/d0.csv"),
+      "g,v\n1,9\n1,10\n2,700\n")
+    csvRollupConfig(dir, 0, rollupItems)
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val st = spark.read.parquet(s"$dir/cstate/state").drop("bucket")
+    val fin = IncrementalAgg.finalizeState(st, Seq("g")).orderBy("g")
+    rows(fin.select("g", "n", "total", "vmin", "vmax")) shouldBe Seq(
+      Seq(1L, 2L, 19.0, 9.0, 10.0), Seq(2L, 1L, 700.0, 700.0, 700.0))
+    // a value that fails its declared cast aborts the fold LOUD with
+    // the ingest path's per-column per-line error — never a silent
+    // NULL into the monoid
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/d1.csv"),
+      "g,v\n3,1.5\n3,abc\n")
+    csvRollupConfig(dir, 1, rollupItems)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the message carries the ingest path's per-column per-line text
+    val e = intercept[UserException] {
+      graft.app.ViewMaintenance.run(spark,
+        graft.model.ConfigParser.parseFile(s"$dir/config.json").view.get, dir)
+    }
+    e.getMessage should include("Column 'v', line 3")
+    // the failed fold committed nothing: batch 1 has no marker
+    spark.read.parquet(s"$dir/cstate/state")
+      .filter(col("g") === 3L).count() shouldBe 0L
+  }
+
+  test("maintainView compact: both view kinds compact through the " +
+      "config idiom (pin-dispatched), state preserved, folds continue " +
+      "against the fresh root") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val dir = Files.createTempDirectory("graft-viewcomp").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    // --- join view: two folds, compact with a re-shard, fold again
+    val allA = (1L to 20L).map(k => (k, k * 10.0))
+    val allB = (1L to 20L).map(k => (k, k + 0.5))
+    (0 until 2).foreach { i =>
+      allA.filter(_._1 % 2 == i).toDF("k", "price")
+        .write.mode("overwrite").parquet(s"$dir/in/a$i")
+      allB.filter(_._1 % 2 == i).toDF("k", "qty")
+        .write.mode("overwrite").parquet(s"$dir/in/b$i")
+      viewConfig(dir, i)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    val before = rows(graft.app.ViewMaintenance
+      .readJoinView(spark, "state", dir).orderBy("k"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "state",
+        |  "freshPath": "state_v2", "nBuckets": 4
+        |}}}""".stripMargin)
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    out.get should include(""""view":"compact"""")
+    out.get should include(""""rows":20""")
+    rows(graft.app.ViewMaintenance.readJoinView(spark, "state_v2", dir)
+      .orderBy("k")) shouldBe before
+    // folds continue against the fresh root (fresh batch ids)
+    Seq((99L, 1.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a9")
+    Seq((99L, 2.0)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b9")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "join", "statePath": "state_v2", "batchId": 9,
+        |  "key": "k", "nBuckets": 4,
+        |  "deltaA": {"input": "in/a9"}, "deltaB": {"input": "in/b9"}
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    graft.app.ViewMaintenance.readJoinView(spark, "state_v2", dir)
+      .count() shouldBe 21L
+    // --- rollup state: fold, compact (re-shard 8 → 4), fold again
+    val all = (1L to 60L).map(i => (i % 5, i.toDouble))
+    all.toDF("g", "v").write.mode("overwrite").parquet(s"$dir/in/r0")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "rollup", "statePath": "rstate", "batchId": 0,
+        |  "keys": ["g"], "valueColumn": "v", "nBuckets": 8,
+        |  "delta": {"input": "in/r0"}
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "rstate",
+        |  "freshPath": "rstate_v2", "nBuckets": 4
+        |}}}""".stripMargin)
+    val (codeR, outR) = Main.execute(spark, sink, dir)
+    withClue(outR) { codeR shouldBe 0 }
+    outR.get should include(""""rows":5""") // 5 group-key state rows
+    // 4-bucket layout, one _APPLIED_0 marker per materialized bucket
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/rstate_v2")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/rstate_v2/state")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("bucket="))
+    buckets should not be empty
+    buckets.foreach { b =>
+      fs.exists(new org.apache.hadoop.fs.Path(b, "_APPLIED_0")) shouldBe true
+    }
+    // fold a fresh batch against the compacted root; totals stay exact
+    Seq((0L, 1000.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/r9")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "rollup", "statePath": "rstate_v2", "batchId": 9,
+        |  "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+        |  "delta": {"input": "in/r9"}
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val fin = IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$dir/rstate_v2/state").drop("bucket"), Seq("g"))
+    fin.filter(col("g") === 0L).head.getAs[Double]("total") shouldBe
+      (all.filter(_._1 == 0L).map(_._2).sum + 1000.0)
+    // compacting into an occupied root refuses
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "rstate",
+        |  "freshPath": "rstate_v2"
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 should not be 0
+    // a non-view path (no pin) refuses with a user error, exit 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "in",
+        |  "freshPath": "nowhere"
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView: a CSV delta without declared items[] refuses at " +
+      "config parse (the engine never infers)") {
+    val dir = Files.createTempDirectory("graft-viewcsv2").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    csvRollupConfig(dir, 0, "")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    val e = intercept[UserException] {
+      graft.model.ConfigParser.parseFile(s"$dir/config.json")
+    }
+    e.getMessage should include("items[]")
+  }
+
+  test("maintainView join: a parquet-then-CSV feed folds correctly " +
+      "when the declared types match, and the layout pin refuses a " +
+      "type-drifting declaration") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewcsv3").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // batch 0: parquet, k is bigint
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a0")
+    Seq((1L, 5.0)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b0")
+    viewConfig(dir, 0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // batch 1: the B delta arrives as CSV declared bigint/double —
+    // same types, same xxhash64 buckets, folds cleanly
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b1.csv"),
+      "k,qty\n2,7.5\n")
+    def csvJoinConfig(batchId: Int, kType: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "join", "statePath": "state", "batchId": $batchId,
+           |  "key": "k",
+           |  "deltaA": {"input": "in/a$batchId"},
+           |  "deltaB": {"input": "in/b$batchId.csv", "format": "csv",
+           |    "items": [
+           |      {"name": "k", "dbName": "k", "type": "$kType"},
+           |      {"name": "qty", "dbName": "qty",
+           |       "type": "double precision"}
+           |    ]}
+           |}}}""".stripMargin)
+    spark.emptyDataFrame.select(lit(0L).as("k"), lit(0.0).as("price"))
+      .limit(0).write.mode("overwrite").parquet(s"$dir/in/a1")
+    csvJoinConfig(1, "bigint")
+    val (code1, out1) = Main.execute(spark, sink, dir)
+    withClue(out1) { code1 shouldBe 0 }
+    rows(graft.app.ViewMaintenance.readJoinView(spark, "state", dir)
+      .orderBy("k")) shouldBe Seq(Seq(1L, 10.0, 5.0), Seq(2L, 20.0, 7.5))
+    // batch 2: the same feed declared varchar — the key would hash
+    // into different buckets (xxhash64 is type-sensitive), so the
+    // typed layout pin refuses instead of silently mis-bucketing
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b2.csv"),
+      "k,qty\n1,9.0\n")
+    spark.emptyDataFrame.select(lit(0L).as("k"), lit(0.0).as("price"))
+      .limit(0).write.mode("overwrite").parquet(s"$dir/in/a2")
+    csvJoinConfig(2, "varchar")
+    Main.execute(spark, sink, dir)._1 should not be 0
   }
 }

@@ -217,14 +217,21 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
   test("maintainView action through the CLI protocol: fold then " +
       "exactly-once replay") {
     // join-view fold from CSV deltas (CSV keeps the fixture dependency-
-    // free in the child JVM); second invocation of the SAME batchId
-    // must exit 0 with applied:false — the scheduler-retry contract
+    // free in the child JVM) with DECLARED items[] — csv without a
+    // declared schema refuses at parse since r12; second invocation of
+    // the SAME batchId must exit 0 with applied:false — the
+    // scheduler-retry contract
+    def items(cols: (String, String)*) = cols.map { case (n, t) =>
+      s"""{"name": "$n", "dbName": "$n", "type": "$t"}"""
+    }.mkString("[", ", ", "]")
     def config(batchId: Int) =
       s"""{"action": "maintainView", "parameters": {"view": {
          |  "kind": "join", "statePath": "state", "batchId": $batchId,
          |  "key": "k",
-         |  "deltaA": {"input": "in/a", "format": "csv"},
-         |  "deltaB": {"input": "in/b", "format": "csv"}
+         |  "deltaA": {"input": "in/a", "format": "csv",
+         |    "items": ${items("k" -> "bigint", "price" -> "float8")}},
+         |  "deltaB": {"input": "in/b", "format": "csv",
+         |    "items": ${items("k" -> "bigint", "qty" -> "float8")}}
          |}}}""".stripMargin
     val dir = mkDataDir(config(0), None)
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/a"))
@@ -242,5 +249,16 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     val r2 = runCli(dir) // same batchId again
     withClue(s"stderr: ${r2.stderr}") { r2.code shouldBe 0 }
     r2.stdout should include(""""applied":false""")
+    // out-of-band compaction through the same CLI protocol: the view
+    // kind is auto-detected from the state's layout pin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "state",
+        |  "freshPath": "state_v2", "nBuckets": 4
+        |}}}""".stripMargin)
+    val r3 = runCli(dir)
+    withClue(s"stderr: ${r3.stderr}") { r3.code shouldBe 0 }
+    r3.stdout should include(""""view":"compact"""")
+    r3.stdout should include(""""rows":2""") // keys 1x(5,6) joined
   }
 }

@@ -179,4 +179,80 @@ class JoinViewSpec extends SparkSpec {
     rows(JoinView.readCommittedView(spark, fresh2).get
       .orderBy("k")) shouldBe Seq(Seq(1L, 1.0, 8.0), Seq(2L, 9.0, 2.0))
   }
+
+  test("cleanOrphanBatchDirs: aged abandoned staging and unmarked " +
+      "batch dirs are swept; fresh and committed dirs survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jvgc")
+      .toString + "/state"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // fake an abandoned batch 7: crashed before rename (staging) on
+    // one side, in the rename window (d without marker) on another
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "a/.staging7"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "view/d7"))
+    // a 24h gate sweeps nothing fresh
+    JoinView.cleanOrphanBatchDirs(spark, root) shouldBe empty
+    // gate at 0: both garbage dirs go, committed d0 and the pin stay
+    val swept = JoinView.cleanOrphanBatchDirs(spark, root, olderThanMs = 0L)
+    swept.map(p => p.substring(p.indexOf("state/") + 6)).sorted shouldBe
+      Seq("a/.staging7", "view/d7")
+    fs.exists(new org.apache.hadoop.fs.Path(root, "a/d0")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(root, "_CONFIG")) shouldBe true
+    rows(JoinView.readCommittedView(spark, root).get) shouldBe
+      Seq(Seq(1L, 1.0, 2.0))
+    // the swept state keeps folding
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((2L, 3.0)).toDF("k", "price"),
+      Seq((2L, 4.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.readCommittedView(spark, root).get.count() shouldBe 2L
+  }
+
+  test("directory fold: type drift refuses loud (xxhash64 buckets are " +
+      "type-sensitive); a pre-type names-only pin migrates in place") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jvtypes")
+      .toString + "/state"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    // same column NAMES, drifted key type (long → string): the same
+    // logical key would hash into a different bucket and every later
+    // pruned snapshot read would miss its matches — refuse loud
+    val e = intercept[Exception] {
+      JoinView.foldBatchDirs(root, 1L, "k",
+        Seq(("1", 1.0)).toDF("k", "price"),
+        Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4)
+    }
+    e.getMessage.toLowerCase should include("layout")
+    // drifted NON-key type also refuses: appended per-batch parquet
+    // must stay union-compatible across folds
+    val e2 = intercept[Exception] {
+      JoinView.foldBatchDirs(root, 1L, "k",
+        Seq((1L, "x")).toDF("k", "price"),
+        Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4)
+    }
+    e2.getMessage.toLowerCase should include("layout")
+    // a pre-r12 names-only pin denoting the SAME layout is accepted
+    // and migrated to the typed spelling — healthy states survive the
+    // pin-format upgrade without a re-shard
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cf = new org.apache.hadoop.fs.Path(root, "_CONFIG")
+    fs.delete(cf, false)
+    val out = fs.create(cf, true)
+    out.write("join|k|k,price|k,qty|4".getBytes("UTF-8")); out.close()
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((2L, 3.0)).toDF("k", "price"),
+      Seq((2L, 4.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val in = fs.open(cf)
+    val pinned = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    pinned should include(":bigint") // typed name:type fields now pinned
+    rows(JoinView.readCommittedView(spark, root).get.orderBy("k")) shouldBe
+      Seq(Seq(1L, 1.0, 2.0), Seq(2L, 3.0, 4.0))
+  }
 }

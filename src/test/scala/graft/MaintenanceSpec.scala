@@ -440,4 +440,24 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.snapshotDiff(before, after.drop("l"), "id", Seq("t", "l"))
     }.getMessage should include("both snapshots")
   }
+
+  test("snapshotDiff signature is injective: boundary-shifting values " +
+      "and NULL-vs-literal-marker are distinct (r11 ADVICE)") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option("ab"), Option("c")), // ("ab","c") vs ("a","bc"):
+      (2L, None, Option("x")),         // NULL vs the literal marker
+      (3L, Option("N"), Option("y")),  // unchanged control
+      (4L, Option("2:a"), Option("b"))) // value embedding the encoding
+      .toDF("id", "t", "l")
+    val after = Seq(
+      (1L, Option("a"), Option("bc")), // a separator-joined concat
+      (2L, Option("N"), Option("x")),  // would hash these pairs equal
+      (3L, Option("N"), Option("y")),
+      (4L, Option("2"), Option("a:b")))
+      .toDF("id", "t", "l")
+    rows(Maintenance.snapshotDiff(before, after, "id", Seq("t", "l"))
+      .orderBy("id")) shouldBe Seq(
+      Seq(1L, "changed"), Seq(2L, "changed"), Seq(4L, "changed"))
+  }
 }

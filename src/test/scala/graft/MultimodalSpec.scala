@@ -102,6 +102,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize refuses an output raster above MaxDecodePixels — the " +
+      "bomb guard applies to the TARGET side too (r11 ADVICE)") {
+    // 50000x50000 = 2.5G pixels: would allocate a multi-GB RGB buffer
+    // per row on executors (and w*h overflows Int)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resize(media, "doc_id", "media", 50000, 50000)
+    }
+    e.getMessage should include("MaxDecodePixels")
+    // the decoder-level seam is guarded independently of the operator
+    val e2 = intercept[IllegalArgumentException] {
+      new Multimodal.ImageIoDecoder().resizeEncode(Array[Byte](1, 2, 3),
+        50000, 50000)
+    }
+    e2.getMessage should include("MaxDecodePixels")
+    // a maximal in-bound target still passes the guard (8192x8192 =
+    // 64M pixels exactly)
+    Multimodal.resize(media, "doc_id", "media", 8192, 8192)
+      .schema.fieldNames should contain("media")
+  }
+
   test("decoder opens once per partition, not per row") {
     MultimodalSpec.opens.set(0)
     val df = media.repartition(2)

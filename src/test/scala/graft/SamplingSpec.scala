@@ -276,5 +276,17 @@ class SamplingSpec extends SparkSpec {
         Seq(col("q").desc), 8, Seq(("A", 0L)).toDF("s", "w"), "s", "w")
     }
     err.getMessage should include("positive weights")
+    // duplicate prior keys must NOT multiply corpus rows through the
+    // join (r11 ADVICE): the conflicted key collapses to max(w), the
+    // output stays duplicate-free and quota-exact
+    val dupPrior = Seq(("A", 1000L), ("B", 500L), ("B", 100L), ("C", 124L))
+      .toDF("s", "w")
+    val got2 = Sampling.capPerSourceWeighted(docs, "src", "doc_id",
+      Seq(col("q").desc), maxPerSource = 8, dupPrior, "s", "w")
+    got2.groupBy("doc_id").count().filter(col("count") > 1L)
+      .count() shouldBe 0L
+    got2.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("A" -> 8L, "B" -> 4L, "C" -> 1L, "D" -> 1L)
   }
 }

@@ -101,6 +101,39 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.8
   }
 
+  test("IVF over whitened-PCA-reduced vectors: recall >= 0.8 vs exact " +
+      "brute force on the ORIGINAL space (the embedding_ivf_whitened " +
+      "gate contract)") {
+    import graft.operators.Whitening
+    val c = corpus()
+    val exact = Similarity.bruteForceTopK(c,
+        c.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "vec_id", "embedding", k = 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Whitening.fit(c, "embedding", dim = 64)
+    // unscaled projection, like the gate query: variance-scaling the
+    // components would amplify the noise directions and wreck cosine.
+    // k = 48 of 64 — this fixture's noise is ISOTROPIC (flat
+    // spectrum), so every dropped dim genuinely moves the
+    // noise-determined neighbor ranking; real embedding spectra decay
+    // and tolerate deeper cuts
+    val red = Whitening.pcaProject(c, "embedding", model, k = 48,
+        whitened = false)
+      .withColumn("embedding", col("embedding").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    val q = red.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val approx = Similarity.ivfTopK(red, q, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 4)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
   test("PQ: ADC score equals cosine against the reconstruction, bit-for-bit-ish") {
     val c = corpus(n = 120)
     val books = Similarity.trainPqCodebooks(c, "vec_id", "embedding",

@@ -1632,5 +1632,21 @@ class StreamingSpec extends SparkSpec {
       val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
       msg should include("side tag")
     } finally q2.stop()
+
+    // NULL side tag: `isin` yields NULL and a bare `!isin` filter
+    // would DROP the row — the audit must be null-safe, so a
+    // NULL-tagged row fails the batch loud like any unknown tag
+    val input3 = MemoryStream[(String, Long, Double, Double)]
+    val df3 = input3.toDF().toDF("side", "k", "price", "qty")
+    val q3 = EventStreams.streamingJoinView(df3, "side",
+      aCols = Seq("k", "price"), bCols = Seq("k", "qty"),
+      key = "k", statePath = s"$base/view3",
+      checkpointDir = s"$base/ckpt3")
+    try {
+      input3.addData((null.asInstanceOf[String], 1L, 1.0, 1.0))
+      val e = intercept[Exception] { q3.processAllAvailable() }
+      val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.toString
+      msg should include("side tag")
+    } finally q3.stop()
   }
 }
