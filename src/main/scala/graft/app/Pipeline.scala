@@ -54,6 +54,19 @@ object Pipeline {
               () => apply(df, step, p, dataDir))
             case None => (apply(df, step, p, dataDir), false)
           }
+          // fitWhiten's product is the model ARTIFACT, not the frame:
+          // a checkpoint-reused step whose artifact was pruned must
+          // REFIT (same inputs → same model), never leave no model
+          step match {
+            case f: PipelineStep.FitWhiten if reused =>
+              val mp = new org.apache.hadoop.fs.Path(
+                resolve(f.modelPath, dataDir))
+              val mfs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+              if (!graft.sources.PartitionedStore.hasDataEntries(mfs, mp)) {
+                apply(df, f, p, dataDir); ()
+              }
+            case _ => ()
+          }
           if (p.collectStats) {
             // checkpointed steps count free via parquet footers; only
             // the in-memory path needs the persist
@@ -331,6 +344,15 @@ object Pipeline {
         }
         df.filter(LinearModel.meanLogit(scoreQ,
           TextFunctions.tokenCount(text)) >= c.minMeanLogit)
+      case f: FitWhiten =>
+        import graft.operators.Whitening
+        if (!df.columns.contains(f.column))
+          throw new UserException(
+            s"fitWhiten: input has no column '${f.column}'")
+        Whitening.saveModel(df.sparkSession,
+          Whitening.fit(df, f.column, f.dim),
+          resolve(f.modelPath, dataDir))
+        df // row-identity: the model artifact is the product
       case w: Whiten =>
         import graft.operators.Whitening
         if (!df.columns.contains(w.column))

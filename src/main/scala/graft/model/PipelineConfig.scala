@@ -106,6 +106,24 @@ object PipelineStep {
     val kind = "classifierFilter"
   }
 
+  /** FIT a whitening model on the current frame's embedding column
+    * and PERSIST it to `modelPath`
+    * ([[graft.operators.Whitening.fit]] + `saveModel`) — the fit half
+    * of the whiten lifecycle, so fit → apply is config-reachable end
+    * to end (fit once on the curated corpus, consume via [[Whiten]]
+    * in every downstream run). Row-identity: the model artifact is
+    * the product. `dim` is the declared vector length — explicit,
+    * never probed (the engine's never-infer rule). The fit is ONE
+    * fixed-size-state aggregation + a driver d≤1024 eigen solve.
+    * Checkpoint semantics: the step chains and reuses like any other,
+    * but a reused step whose artifact was pruned REFITS (same inputs
+    * → same model) instead of silently leaving no model. */
+  final case class FitWhiten(modelPath: String, dim: Int,
+                             column: String = "embedding")
+      extends PipelineStep {
+    val kind = "fitWhiten"
+  }
+
   /** Rewrite an embedding column (array of float/double) through a
     * PERSISTED whitening model
     * ([[graft.operators.Whitening.loadModel]]) — fit once out-of-band
