@@ -51,6 +51,13 @@ object ViewMaintenance {
           readDelta(spark, j.deltaA, dataDir),
           readDelta(spark, j.deltaB, dataDir), j.nBuckets)
         Report(j.kind, applied, Some(j.batchId))
+      case cr: CdcRollupViewConfig =>
+        val applied = graft.operators.CdcRollup.foldBatch(
+          resolve(cr.statePath, dataDir), cr.batchId,
+          readDelta(spark, cr.delta, dataDir), cr.keyColumns,
+          cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumn,
+          cr.nBaseBuckets, cr.nAggBuckets)
+        Report(cr.kind, applied, Some(cr.batchId))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
         // config shape for both view families; a path that is not a
@@ -68,7 +75,14 @@ object ViewMaintenance {
             JoinView.compactStateTo(spark, root, fresh,
               c.nBuckets.getOrElse(pin.split('|').last.toIntOption
                 .getOrElse(64)))
-          else
+          else if (pin.startsWith("cdcRollup|")) {
+            // nBuckets (when given) re-shards BOTH layers; absent, the
+            // source counts carry over
+            val parts = pin.split('|')
+            graft.operators.CdcRollup.compactStateTo(spark, root, fresh,
+              c.nBuckets.orElse(parts(5).toIntOption).getOrElse(64),
+              c.nBuckets.orElse(parts(6).toIntOption).getOrElse(16))
+          } else
             graft.streaming.EventStreams.compactRollupStateTo(
               spark, root, fresh, c.nBuckets)
         Report(c.kind, applied = true, rows = Some(rows))

@@ -109,6 +109,34 @@ object ConfigParser {
         RollupViewConfig(statePath, batchId, keys,
           valueColumn = req(v, "valueColumn").asText,
           delta = parseDelta(req(v, "delta")), nBuckets = nBuckets)
+      case "cdcRollup" =>
+        def list(f: String): Seq[String] =
+          opt(v, f).toSeq.flatMap(_.elements.asScala).map(_.asText)
+        val keyCols = list("keyColumns")
+        if (keyCols.isEmpty)
+          throw new UserException("view.keyColumns must list pk columns")
+        val keys = list("keys")
+        if (keys.isEmpty)
+          throw new UserException("view.keys must list group columns")
+        val (nBase, nAgg) = (
+          opt(v, "nBaseBuckets").map(_.asInt).getOrElse(64),
+          opt(v, "nAggBuckets").map(_.asInt).getOrElse(16))
+        if (nBase < 1 || nAgg < 1)
+          throw new UserException(
+            "view.nBaseBuckets/nAggBuckets must be >= 1")
+        val delta = parseDelta(req(v, "delta"))
+        // the delta IS the CDC log — netting upstream would drop the
+        // deletes the retraction fold exists to apply
+        if (delta.cdc.isDefined)
+          throw new UserException(
+            "cdcRollup deltas take seqColumn/opColumn directly; drop " +
+              "the 'cdc' block (netting would hide the deletes the " +
+              "fold must retract)")
+        CdcRollupViewConfig(statePath, batchId, keyCols,
+          seqColumn = req(v, "seqColumn").asText,
+          opColumn = req(v, "opColumn").asText,
+          keys = keys, valueColumn = req(v, "valueColumn").asText,
+          delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg)
       case other =>
         throw new UserException(s"View kind '$other' is not supported")
     }
@@ -249,6 +277,16 @@ object ConfigParser {
             "winsorize needs 0 <= loFrac <= hiFrac <= 1")
         Winsorize(req(n, "column").asText, lo, hi,
           opt(n, "groupBy").map(_.asText))
+      case "fitWhiten" =>
+        val d = int("dim", 0)
+        if (d < 1 || d > 1024)
+          throw new UserException(
+            "fitWhiten needs 'dim' in [1, 1024] (the declared vector " +
+              "length — the driver eigen solve is O(dim^3))")
+        FitWhiten(
+          modelPath = req(n, "modelPath").asText,
+          dim = d,
+          column = opt(n, "column").map(_.asText).getOrElse("embedding"))
       case "whiten" =>
         val k = opt(n, "k").map { v =>
           if (!v.isIntegralNumber || !v.canConvertToInt)

@@ -70,6 +70,26 @@ final case class RollupViewConfig(statePath: String, batchId: Long,
   val kind = "rollup"
 }
 
+/** Retraction-capable rollup over a CDC feed
+  * ([[graft.operators.CdcRollup]]): CROSS-BATCH updates and deletes
+  * fold exactly into per-group (n, total) state — the corner the
+  * insert-only `rollup` kind excludes by contract. The delta IS the
+  * CDC log (`seqColumn`/`opColumn` name its ordering and I/U/D ops),
+  * so a `cdc` netting block is refused here — the fold nets
+  * internally and must SEE the deletes the netting would drop.
+  * min/max are deliberately absent (not invertible under retraction);
+  * use `rollup` for append-only feeds that need them. */
+final case class CdcRollupViewConfig(statePath: String, batchId: Long,
+                                     keyColumns: Seq[String],
+                                     seqColumn: String, opColumn: String,
+                                     keys: Seq[String], valueColumn: String,
+                                     delta: DeltaInput,
+                                     nBaseBuckets: Int = 64,
+                                     nAggBuckets: Int = 16)
+    extends ViewConfig {
+  val kind = "cdcRollup"
+}
+
 /** Out-of-band state compaction — the maintenance both fold protocols
   * prescribe in their ops notes, reachable through the same CLI
   * action. The view KIND is auto-detected from the state's own layout

@@ -350,6 +350,32 @@ object Load {
       .drop("__rn", "__op_rank", opCol)
   }
 
+  /** [[cdcNetEffect]] KEEPING net deletes: every key's final event
+    * with a boolean `__cdc_delete` flag instead of dropping D rows —
+    * the form a cross-batch CDC consumer folds
+    * ([[CdcRollup.foldBatch]]), where a net delete must RETRACT
+    * persisted state, not vanish inside the batch. Same window, same
+    * deterministic tiebreak; `seqCol`/`opCol` dropped like
+    * [[cdcNetEffect]]. */
+  def cdcNetOps(changes: DataFrame, keyCols: Seq[String],
+                seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cdcNetOps needs key columns")
+    val opRank = when(col(opCol) === "D", 3)
+      .when(col(opCol) === "U", 2)
+      .when(col(opCol) === "I", 1)
+      .otherwise(raise_error(concat(
+        lit("cdcNetOps: unknown op '"), col(opCol),
+        lit("' (expected I/U/D)"))))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__op_rank").desc,
+        xxhash64(changes.columns.map(col): _*).desc)
+    changes.withColumn("__op_rank", opRank)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("__cdc_delete", col(opCol) === "D")
+      .drop("__rn", "__op_rank", opCol, seqCol)
+  }
+
   /** Apply a CDC log to an existing base table: rows of keys the log
     * never touched pass through; touched keys take the log's net
     * effect (so a net D removes the base row, a net I/U replaces or

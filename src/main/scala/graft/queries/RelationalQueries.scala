@@ -783,6 +783,51 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"), col("l_linenumber"))
     }),
 
+    // CDC rollup view: CROSS-BATCH updates and deletes fold through
+    // the retraction algebra ([[graft.operators.CdcRollup]]) — the
+    // corner the insert-only view kinds exclude by contract. Three
+    // CDC batches derived from orders (25% key slice): batch 0
+    // inserts k%3=0; batch 1 inserts k%3=1 and UPDATES the k%7=0
+    // subset of batch 0's keys into a NEW group (group-moving
+    // retraction); batch 2 inserts k%3=2 and DELETES k%5=0 keys of
+    // the earlier batches. The persisted (n, total) state after the
+    // folds must equal the one-shot GROUP BY over the FINAL images —
+    // which is exactly what the oracle computes, never seeing the
+    // folds. Gate artifact like its siblings: 3 folds per evaluation
+    // where production pays one.
+    "cdc_rollup_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcr_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 4 === 0)
+      def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          lit(seq.toLong).as("seq"), lit("I").as("op"))
+      val b0 = ins(0, 1)
+      val b1 = ins(1, 1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2, 1).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), "o_totalprice",
+          nBaseBuckets = 4, nAggBuckets = 2)
+      }
+      CdcRollup.readView(s, root).get
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -818,6 +863,21 @@ object RelationalQueries {
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     // identical one-shot join over the same 20% slice — persisted
     // bucket-dir folds must also be invisible
+    // the oracle derives the FINAL images semantically (update wins,
+    // deleted keys drop) and aggregates once — it never replays the
+    // folds or touches the persisted state
+    "cdc_rollup_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |final AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2))
+        |SELECT p AS o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "incremental_join_view_bucketed" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
         |       l.l_linenumber, l.l_quantity, l.l_extendedprice

@@ -618,6 +618,53 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: fitWhiten persists the model, fit -> whiten " +
+      "chains in one run, and a pruned artifact refits on a reused " +
+      "chain") {
+    import spark.implicits._
+    import graft.operators.Whitening
+    val dir = Files.createTempDirectory("graft-pipe-fw").toString
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 30L).map(i =>
+      (i, s"doc $i", Array.fill(6)(rnd.nextFloat())))
+      .toDF("doc_id", "text", "embedding")
+    docs.write.mode("overwrite").parquet(s"$dir/in/docs")
+    val cfg =
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/fw",
+        |  "checkpointDir": "ckpt",
+        |  "steps": [
+        |    {"type": "fitWhiten", "modelPath": "model", "dim": 6},
+        |    {"type": "whiten", "modelPath": "model"}
+        |  ]}}}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"), cfg)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    // the artifact round-trips through the library loader and the
+    // output is exactly the library's whitening under that model
+    val model = Whitening.loadModel(spark, s"$dir/model")
+    model.mean.length shouldBe 6
+    val want = Whitening.whiten(docs, "embedding", model)
+    rows(spark.read.parquet(s"$dir/out/fw")
+      .select(col("doc_id"), col("embedding")).orderBy("doc_id")) shouldBe
+      rows(want.select(col("doc_id"), col("embedding")).orderBy("doc_id"))
+    // pruned artifact + reused chain: the refit guard restores it
+    val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model")
+    val fs = modelPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(modelPath, true)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"), cfg)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    Whitening.loadModel(spark, s"$dir/model").mean.length shouldBe 6
+    // dim out of range refused at parse
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "fitWhiten", "modelPath": "m"}]}}}"""
+        .stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: dedupFuzzy and madOutlierFilter steps") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pipe-er").toString
@@ -1359,6 +1406,64 @@ class AppSpec extends SparkSpec {
     // the failed fold committed nothing: batch 1 has no marker
     spark.read.parquet(s"$dir/cstate/state")
       .filter(col("g") === 3L).count() shouldBe 0L
+  }
+
+  test("maintainView cdcRollup: cross-batch updates/deletes fold " +
+      "through the CLI action; a cdc netting block is refused; " +
+      "compact dispatches on the pin") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewcdc").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cdcConfig(batchId: Int, extra: String = ""): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "cdcRollup", "statePath": "cdcstate",
+           |  "batchId": $batchId,
+           |  "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+           |  "keys": ["grp"], "valueColumn": "v",
+           |  "nBaseBuckets": 4, "nAggBuckets": 2,
+           |  "delta": {"input": "in/c$batchId"$extra}
+           |}}}""".stripMargin)
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/c0")
+    cdcConfig(0)
+    val (c0, o0) = Main.execute(spark, sink, dir)
+    withClue(o0) { c0 shouldBe 0 }
+    o0.get should include(""""view":"cdcRollup"""")
+    o0.get should include(""""applied":true""")
+    // batch 1: update id=1 into group b, delete id=2 — cross-batch
+    Seq((1L, "b", 11.0, 2L, "U"), (2L, "b", 0.0, 2L, "D"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/c1")
+    cdcConfig(1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val view = CdcRollup.readView(spark, s"$dir/cdcstate").get
+    rows(view.select(col("grp"), col("n"),
+      col("total").cast("double")).orderBy("grp")) shouldBe
+      Seq(Seq("b", 1L, 11.0))
+    // replay: exactly-once no-op
+    cdcConfig(1)
+    val (_, oR) = Main.execute(spark, sink, dir)
+    oR.get should include(""""applied":false""")
+    // a cdc netting block on a cdcRollup delta refuses at parse
+    cdcConfig(2,
+      """, "cdc": {"keyColumns": ["id"], "seqColumn": "seq",
+        |          "opColumn": "op"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // compact dispatches on the cdcRollup pin and re-shards
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "cdcstate",
+        |  "freshPath": "cdcstate_v2", "nBuckets": 2
+        |}}}""".stripMargin)
+    val (cc, oc) = Main.execute(spark, sink, dir)
+    withClue(oc) { cc shouldBe 0 }
+    oc.get should include(""""rows":1""")
+    rows(CdcRollup.readView(spark, s"$dir/cdcstate_v2").get
+      .select(col("grp"), col("n"), col("total").cast("double"))) shouldBe
+      Seq(Seq("b", 1L, 11.0))
   }
 
   test("maintainView compact: both view kinds compact through the " +
