@@ -789,6 +789,40 @@ object EventStreams {
       }
       .start()
 
+  /** Exactly-once RETRACTION-capable rollup over a streaming CDC log —
+    * the streaming face of [[graft.operators.CdcRollup.foldBatch]]
+    * (shared with the `maintainView` CLI action's `cdcRollup` kind)
+    * and the 11th sink of this family. Each micro-batch is one CDC
+    * batch: netted within the batch, cross-batch updates/deletes
+    * retract the persisted (n, total) state exactly. Replay safety is
+    * the fold's own `_APPLIED_<batchId>` marker over COPY-ON-WRITE
+    * versioned buckets — a restarted stream re-offering a committed
+    * batch is a no-op, and a crashed batch's unmarked versions are
+    * invisible garbage its replay reaps. The fold reaps its own
+    * superseded versions, so no extra GC cadence is needed here
+    * (markers are the only accumulation; compact out-of-band). */
+  def streamingCdcRollup(events: DataFrame, pkCols: Seq[String],
+                         seqCol: String, opCol: String,
+                         groupCols: Seq[String], valueCol: String,
+                         statePath: String, checkpointDir: String,
+                         nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
+                         /** Per-batch quality gate — see
+                           * [[streamingUpsert]]'s `checks`. */
+                         checks: Seq[graft.operators.DataChecks.Check] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataChecks.assertPass(batch.toDF(), checks,
+          s"streamingCdcRollup($statePath) batch $batchId")
+        graft.operators.CdcRollup.foldBatch(statePath, batchId,
+          batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCol,
+          nBaseBuckets, nAggBuckets)
+        () // foreachBatch wants Unit; the Boolean is marker state
+      }
+      .start()
+
   /** Exactly-once maintained JOIN view over ONE tagged delta bus —
     * the streaming face of [[graft.operators.JoinView.foldBatchDirs]]
     * (shared with the `maintainView` CLI action). Real CDC buses

@@ -1566,6 +1566,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCdcRollup: cross-batch updates/deletes retract the " +
+      "persisted state per micro-batch; restart replay is a no-op") {
+    import graft.operators.CdcRollup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scdcr").toString
+    val statePath = s"$base/state"
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    val df = input.toDF().toDF("id", "grp", "v", "seq", "op")
+    def run() = EventStreams.streamingCdcRollup(df, Seq("id"), "seq",
+      "op", Seq("grp"), "v", statePath, s"$base/ckpt",
+      nBaseBuckets = 4, nAggBuckets = 2)
+    val q = run()
+    def view(): Map[String, (Long, Double)] =
+      CdcRollup.readView(spark, statePath).map(_.collect().map(r =>
+        r.getAs[String]("grp") -> ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("total").doubleValue()))).toMap)
+        .getOrElse(Map.empty)
+    try {
+      input.addData((1L, "a", 10.0, 1L, "I"), (2L, "a", 20.0, 1L, "I"))
+      q.processAllAvailable()
+      view() shouldBe Map("a" -> ((2L, 30.0)))
+      // next micro-batch: cross-batch group-moving update + delete
+      input.addData((1L, "b", 11.0, 2L, "U"), (2L, "a", 0.0, 2L, "D"))
+      q.processAllAvailable()
+      view() shouldBe Map("b" -> ((1L, 11.0)))
+    } finally q.stop()
+    // a replayed committed batch id through the SHARED fold: no-op
+    CdcRollup.foldBatch(statePath, 1L,
+      Seq((9L, "z", 99.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2) shouldBe false
+    view() shouldBe Map("b" -> ((1L, 11.0)))
+    // restart from the checkpoint: state unchanged, new data folds
+    val q2 = run()
+    try {
+      input.addData((3L, "b", 5.0, 1L, "I"))
+      q2.processAllAvailable()
+      view() shouldBe Map("b" -> ((2L, 16.0)))
+    } finally q2.stop()
+  }
+
   test("streamingJoinView: tagged bus folds per micro-batch; replay " +
       "byte-stable; unknown tag fails loud") {
     import graft.operators.JoinView
