@@ -63,9 +63,11 @@ object Main {
           val batchId = rep.batchId.map(n => s""""batch_id":$n,""").getOrElse("")
           val buckets = rep.buckets.map(n => s""","buckets":$n""").getOrElse("")
           val rows = rep.rows.map(n => s""","rows":$n""").getOrElse("")
+          val outPath = rep.output
+            .map(o => s""","output":${jsonStr(o)}""").getOrElse("")
           (0, Some(statusJson("success",
             s""""view":"${rep.kind}",$batchId""" +
-              s""""applied":${rep.applied}$buckets$rows""")))
+              s""""applied":${rep.applied}$buckets$rows$outPath""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")

@@ -33,8 +33,10 @@ object ViewMaintenance {
                           batchId: Option[Long] = None,
                           /** rollup: buckets swapped this call. */
                           buckets: Option[Int] = None,
-                          /** compact: state rows carried over. */
-                          rows: Option[Long] = None)
+                          /** compact/export: rows carried/written. */
+                          rows: Option[Long] = None,
+                          /** export: the dataset written. */
+                          output: Option[String] = None)
 
   def run(spark: SparkSession, cfg: ViewConfig, dataDir: String): Report =
     cfg match {
@@ -58,6 +60,44 @@ object ViewMaintenance {
           cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumn,
           cr.nBaseBuckets, cr.nAggBuckets)
         Report(cr.kind, applied, Some(cr.batchId))
+      case e: ExportViewConfig =>
+        val root = resolve(e.statePath, dataDir)
+        val out = resolve(e.output, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView export: no layout pin under $root — not a " +
+              "view state"))
+        val df =
+          if (pin.startsWith("join|"))
+            JoinView.readCommittedView(spark, root)
+              .getOrElse(throw new UserException(
+                s"maintainView export: no committed state under $root"))
+          else if (pin.startsWith("cdcRollup|")) {
+            val read = if (e.layer == "base") graft.operators.CdcRollup
+              .readBase(spark, root)
+            else graft.operators.CdcRollup.readView(spark, root)
+            read.getOrElse(throw new UserException(
+              s"maintainView export: no committed state under $root"))
+          } else {
+            // rollup pin: nBuckets|keys|valueCol — export the
+            // FINALIZED aggregates, the monoid state is an
+            // implementation detail
+            val parts = pin.split('|')
+            if (parts.length != 3) throw new UserException(
+              s"maintainView export: unrecognized layout pin '$pin'")
+            val keys = parts(1).split(',').toSeq
+              .map(java.net.URLDecoder.decode(_, "UTF-8"))
+            val statePq = new org.apache.hadoop.fs.Path(root, "state")
+            if (!fs.exists(statePq)) throw new UserException(
+              s"maintainView export: no committed state under $root")
+            graft.operators.IncrementalAgg.finalizeState(
+              spark.read.parquet(statePq.toString).drop("bucket"), keys)
+          }
+        df.write.mode("overwrite").parquet(out)
+        val n = spark.read.schema(df.schema).parquet(out).count()
+        Report(e.kind, applied = true, rows = Some(n), output = Some(out))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
         // config shape for both view families; a path that is not a

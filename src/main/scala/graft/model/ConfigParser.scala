@@ -83,6 +83,13 @@ object ConfigParser {
       id
     }
     req(v, "kind").asText match {
+      case "export" =>
+        val layer = opt(v, "layer").map(_.asText).getOrElse("view")
+        if (!Set("view", "base")(layer))
+          throw new UserException(
+            s"view.layer '$layer' is not supported (view | base)")
+        ExportViewConfig(statePath,
+          output = req(v, "output").asText, layer = layer)
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
         if (nBuckets.exists(_ < 1))

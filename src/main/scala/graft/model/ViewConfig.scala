@@ -90,6 +90,24 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
   val kind = "cdcRollup"
 }
 
+/** Export the maintained view to a consumable parquet dataset — the
+  * read face that completes the CLI lifecycle (fold → compact →
+  * export): without it the state is reachable only through library
+  * code. Pin-dispatched like `compact`: join states export the
+  * committed view, rollup states the FINALIZED aggregates
+  * ([[graft.operators.IncrementalAgg.finalizeState]] — the monoid
+  * state itself is an implementation detail), cdcRollup states the
+  * (group, n, total) view or — `layer: "base"` — the SCD1 current
+  * images. A plain overwrite parquet copy: idempotent, no markers
+  * needed. */
+final case class ExportViewConfig(statePath: String, output: String,
+                                  /** cdcRollup only: "view" (default)
+                                    * or "base". */
+                                  layer: String = "view")
+    extends ViewConfig {
+  val kind = "export"
+}
+
 /** Out-of-band state compaction — the maintenance both fold protocols
   * prescribe in their ops notes, reachable through the same CLI
   * action. The view KIND is auto-detected from the state's own layout

@@ -1408,6 +1408,69 @@ class AppSpec extends SparkSpec {
       .filter(col("g") === 3L).count() shouldBe 0L
   }
 
+  test("maintainView export: the read face of all three view kinds — " +
+      "pin-dispatched, rollup exports FINALIZED aggregates, cdcRollup " +
+      "exports view or base layer") {
+    import spark.implicits._
+    import graft.operators.{CdcRollup, IncrementalAgg}
+    val dir = Files.createTempDirectory("graft-viewexp").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def exportConfig(state: String, out: String, layer: String = ""): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "export", "statePath": "$state", "output": "$out"
+           |  ${if (layer.nonEmpty) s""", "layer": "$layer"""" else ""}
+           |}}}""".stripMargin)
+    // join view state
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/a0")
+    Seq((1L, 5.0), (2L, 6.0)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/b0")
+    viewConfig(dir, 0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    exportConfig("state", "out/jv")
+    val (cj, oj) = Main.execute(spark, sink, dir)
+    withClue(oj) { cj shouldBe 0 }
+    oj.get should include(""""view":"export"""")
+    oj.get should include(""""rows":2""")
+    rows(spark.read.parquet(s"$dir/out/jv").orderBy("k")) shouldBe
+      Seq(Seq(1L, 10.0, 5.0), Seq(2L, 20.0, 6.0))
+    // rollup state exports finalized aggregates, not the monoid state
+    Seq((0L, 2.0), (0L, 4.0), (1L, 9.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/r0")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "rollup", "statePath": "rstate", "batchId": 0,
+        |  "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+        |  "delta": {"input": "in/r0"}}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    exportConfig("rstate", "out/rv")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val rv = spark.read.parquet(s"$dir/out/rv")
+    rv.columns should contain allOf ("g", "n", "total", "vmin", "vmax")
+    rv.filter(col("g") === 0L).head.getAs[Double]("total") shouldBe 6.0
+    // cdcRollup: view layer and base layer
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "a", 20.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/c0")
+    CdcRollup.foldBatch(s"$dir/cstate", 0L,
+      spark.read.parquet(s"$dir/in/c0"), Seq("id"), "seq", "op",
+      Seq("grp"), "v", 4, 2) shouldBe true
+    exportConfig("cstate", "out/cv")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    rows(spark.read.parquet(s"$dir/out/cv")
+      .select(col("grp"), col("n"), col("total").cast("double"))) shouldBe
+      Seq(Seq("a", 2L, 30.0))
+    exportConfig("cstate", "out/cb", layer = "base")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    spark.read.parquet(s"$dir/out/cb").count() shouldBe 2L
+    // a non-view path refuses with exit 1; bad layer refuses at parse
+    exportConfig("in", "out/bad")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    exportConfig("cstate", "out/bad", layer = "nope")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("maintainView cdcRollup: cross-batch updates/deletes fold " +
       "through the CLI action; a cdc netting block is refused; " +
       "compact dispatches on the pin") {
