@@ -121,6 +121,7 @@ object Pipeline {
       case m: Mix                => m.extra.map(_.input)
       case c: ClassifierFilter   => c.weightsPath.toSeq // retrained model
       case w: Whiten             => Seq(w.modelPath) // refitted model
+      case b: BlocklistFilter    => Seq(b.input) // regenerated blocklist
       case c: CapPerSource       => c.graphPrior.map(_.input).toSeq
       case _                     => Nil
     }
@@ -344,6 +345,17 @@ object Pipeline {
         }
         df.filter(LinearModel.meanLogit(scoreQ,
           TextFunctions.tokenCount(text)) >= c.minMeanLogit)
+      case b: BlocklistFilter =>
+        if (!df.columns.contains(b.column))
+          throw new UserException(
+            s"blocklistFilter: input has no column '${b.column}'")
+        val bl = read(b.input, b.format)
+        if (!bl.columns.contains(b.valueColumn))
+          throw new UserException(
+            s"blocklistFilter: blocklist '${b.input}' has no column " +
+              s"'${b.valueColumn}'")
+        df.join(broadcast(bl.select(col(b.valueColumn).as(b.column))
+          .distinct()), Seq(b.column), "left_anti")
       case f: FitWhiten =>
         import graft.operators.Whitening
         if (!df.columns.contains(f.column))

@@ -284,6 +284,12 @@ object ConfigParser {
             "winsorize needs 0 <= loFrac <= hiFrac <= 1")
         Winsorize(req(n, "column").asText, lo, hi,
           opt(n, "groupBy").map(_.asText))
+      case "blocklistFilter" =>
+        BlocklistFilter(
+          input = req(n, "input").asText,
+          column = req(n, "column").asText,
+          valueColumn = req(n, "valueColumn").asText,
+          format = fmt(n, "format"))
       case "fitWhiten" =>
         val d = int("dim", 0)
         if (d < 1 || d > 1024)

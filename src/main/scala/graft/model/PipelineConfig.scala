@@ -106,6 +106,21 @@ object PipelineStep {
     val kind = "classifierFilter"
   }
 
+  /** Drop rows whose `column` value appears in an EXTERNAL blocklist
+    * dataset — the domain/source blocklist pass of crawl curation
+    * (C4/RefinedWeb-style URL filtering): ONE left-anti join against
+    * the blocklist's DISTINCT values, broadcast-hinted (a blocklist
+    * is dimension-sized against a 100 TB corpus). The blocklist
+    * file's content rides the checkpoint fingerprint like eval sets.
+    * NULL column values SURVIVE (a blocklist matches values; NULL is
+    * no value — gate NULLs with a check step if they must not pass). */
+  final case class BlocklistFilter(input: String, column: String,
+                                   valueColumn: String,
+                                   format: String = "parquet")
+      extends PipelineStep {
+    val kind = "blocklistFilter"
+  }
+
   /** FIT a whitening model on the current frame's embedding column
     * and PERSIST it to `modelPath`
     * ([[graft.operators.Whitening.fit]] + `saveModel`) — the fit half

@@ -1037,6 +1037,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain-blocklist pass (the C4/RefinedWeb URL-filter shape,
+    // `blocklistFilter` pipeline step): ONE broadcast left-anti join
+    // against the blocklist's distinct values — never a per-row
+    // membership UDF. The blocklist here derives deterministically
+    // from the corpus (portable md5 bucket of the source) so the
+    // oracle rebuilds it bit-for-bit.
+    "blocklist_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val bl = docs.select(col("source")).distinct()
+        .filter(graft.operators.Sampling.hashBucket(col("source"), 5) === 0)
+      docs.join(broadcast(bl), Seq("source"), "left_anti")
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+
     // Per-stratum quotas: halve English, quarter German, 5% of the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> ((s, dir) =>
@@ -1818,6 +1833,14 @@ object PipelineQueries {
         |    END AS status
         |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
         |WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "blocklist_filter" ->
+      """WITH bl AS (
+        |  SELECT DISTINCT source FROM documents
+        |  WHERE CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+        |        % 5 = 0)
+        |SELECT doc_id, source FROM documents
+        |ANTI JOIN bl USING (source)
         |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -618,6 +618,42 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("pipeline action: blocklistFilter drops listed values via an " +
+      "external table; NULLs survive; missing columns refused") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-bl").toString
+    Seq((1L, "keep me", Option("good.com")),
+        (2L, "drop me", Option("spam.com")),
+        (3L, "keep too", Option("fine.org")),
+        (4L, "null source", None))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/in/docs")
+    // blocklist with duplicates (must not multiply rows) + an entry
+    // matching nothing
+    Seq("spam.com", "spam.com", "unused.net").toDF("domain")
+      .write.mode("overwrite").parquet(s"$dir/in/bl")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bl",
+        |  "steps": [{"type": "blocklistFilter", "input": "in/bl",
+        |             "column": "source", "valueColumn": "domain"}]
+        |}}}""".stripMargin)
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val (code, out) = Main.execute(spark, sink, dir)
+    withClue(out) { code shouldBe 0 }
+    val got = spark.read.parquet(s"$dir/out/bl")
+    got.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(1L, 3L, 4L) // spam.com dropped, NULL survives, no dupes
+    // missing blocklist column refused with exit 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "pipeline", "parameters": {"pipeline": {
+        |  "input": "in/docs", "output": "out/bad",
+        |  "steps": [{"type": "blocklistFilter", "input": "in/bl",
+        |             "column": "source", "valueColumn": "nope"}]
+        |}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("pipeline action: fitWhiten persists the model, fit -> whiten " +
       "chains in one run, and a pruned artifact refits on a reused " +
       "chain") {

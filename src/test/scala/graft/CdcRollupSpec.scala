@@ -143,6 +143,41 @@ class CdcRollupSpec extends SparkSpec {
     CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
       Seq("grp"), "v", nBaseBuckets = 8, nAggBuckets = 2)
 
+  test("bucket isolation: a fold touches ONLY its delta's buckets — " +
+      "other buckets keep their version dirs byte-untouched; a stale " +
+      "staging dir of the replayed batch is reaped") {
+    val root = tmpRoot()
+    // ids chosen to hash into different base buckets (verified below)
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"),
+      (2L, "b", 2.0, 1L, "I"))) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def versions(layer: String): Map[String, Seq[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, layer)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName ->
+          fs.listStatus(b).toSeq.map(_.getPath.getName).sorted).toMap
+    val b0 = versions("base")
+    // fold a key hashing into a DIFFERENT bucket than id=1's
+    val bucketOf = (id: Long) => spark.range(1).select(
+      pmod(xxhash64(lit(id)), lit(4)).cast("int")).head.getInt(0)
+    val fresh = (3L to 40L).find(i => bucketOf(i) != bucketOf(1L)).get
+    // plant a stale hidden staging dir for batch 1 (a prior crash
+    // before any rename): the replay must reap it, not trip on it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "base/.staging1"))
+    fold(root, 1L, log((fresh, "c", 3.0, 1L, "I"))) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(root, "base/.staging1")) shouldBe
+      false
+    val b1 = versions("base")
+    // id=1's bucket: version list identical (no new version, no reap)
+    val untouched = s"bucket=${bucketOf(1L)}"
+    b1(untouched) shouldBe b0(untouched)
+    // the fresh key's bucket gained v1
+    b1(s"bucket=${bucketOf(fresh)}") should contain("v1")
+    view(root) shouldBe Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0)),
+      "c" -> ((1L, 3.0)))
+  }
+
   test("bucket versions stay bounded: superseded versions are reaped " +
       "after each fold (steady state ~1 version per bucket)") {
     val root = tmpRoot()
