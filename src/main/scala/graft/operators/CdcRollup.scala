@@ -76,6 +76,14 @@ object CdcRollup {
     }
     require(!(groupCols :+ valueCol).exists(c => c == seqCol || c == opCol),
       "cdcRollup: seq/op columns cannot double as group/value columns")
+    val reserved = Set("n", "total", "__bucket", "__dn", "__dt",
+      "__cdc_delete", "__b")
+    val clash = delta.columns.filterNot(c => c == seqCol || c == opCol)
+      .filter(reserved)
+    require(clash.isEmpty,
+      s"cdcRollup: payload columns ${clash.mkString(", ")} collide with " +
+        "the state/staging columns (n, total, __bucket, __dn, __dt, " +
+        "__cdc_delete) — rename upstream")
     val spark = delta.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -116,6 +124,13 @@ object CdcRollup {
         fs.create(new Path(rootPath, s"_APPLIED_$batchId"), true).close()
         return true
       }
+      // NULL pk components refuse LOUD: the pk joins below (semi/anti)
+      // never match NULL, so a NULL-keyed image could neither be
+      // updated nor deleted — every later upsert would append another
+      // copy the state can never reconcile. Delta-sized probe.
+      require(net.filter(pkCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"cdcRollup batch $batchId: NULL in a pk column — a NULL key " +
+          "can never be matched for update/delete; repair the feed")
       val touchedBase = net.select(baseBucket.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       val upserts = net.filter(!col("__cdc_delete")).drop("__cdc_delete")
@@ -145,17 +160,34 @@ object CdcRollup {
           // minus touched keys, plus the upsert images
           val newBase = prunedBase.join(keys, pkCols, "left_anti")
             .unionByName(upserts.select(prunedBase.columns.map(col): _*))
-          val emptyAgg = contrib.select((groupCols.map(col) :+
-            lit(0L).as("n") :+ lit(null).cast(dec).as("total")): _*)
-            .limit(0)
+          // independent lineage (createDataFrame, not a slice of
+          // contrib): the null-safe merge below uses dataset-qualified
+          // refs, and a shared-lineage empty frame would make that a
+          // self-join ambiguity
+          val emptyAgg = spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(
+              groupCols.map(c => delta.schema(c)) ++ Seq(
+                org.apache.spark.sql.types.StructField("n",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("total",
+                  org.apache.spark.sql.types.DecimalType(38, 6)))))
           val oldAgg = readLatest(spark, fs, rootPath, "agg",
             Some(touchedAgg)).getOrElse(emptyAgg)
-          val merged = oldAgg.join(contrib, groupCols, "full_outer")
-            .select((groupCols.map(col) :+
-              (coalesce(col("n"), lit(0L)) +
-                coalesce(col("__dn"), lit(0L))).as("n") :+
-              (coalesce(col("total"), lit(0).cast(dec)) +
-                coalesce(col("__dt"), lit(0).cast(dec))).cast(dec)
+          // NULL-SAFE group merge: a using-columns join would never
+          // match NULL group values (null != null), splitting a NULL
+          // group's state row from its contribution forever — <=> is
+          // the join a grouping semantics needs (GROUP BY treats NULLs
+          // as one group; so must the merge)
+          val mergeCond = groupCols
+            .map(c => oldAgg(c) <=> contrib(c)).reduce(_ && _)
+          val merged = oldAgg.join(contrib, mergeCond, "full_outer")
+            .select((groupCols.map(c =>
+              coalesce(oldAgg(c), contrib(c)).as(c)) :+
+              (coalesce(oldAgg("n"), lit(0L)) +
+                coalesce(contrib("__dn"), lit(0L))).as("n") :+
+              (coalesce(oldAgg("total"), lit(0).cast(dec)) +
+                coalesce(contrib("__dt"), lit(0).cast(dec))).cast(dec)
                 .as("total")): _*)
             .filter(col("n") > 0) // a fully-retracted group drops out
           stageAndCommit(fs, rootPath, batchId,

@@ -143,6 +143,45 @@ class CdcRollupSpec extends SparkSpec {
     CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
       Seq("grp"), "v", nBaseBuckets = 8, nAggBuckets = 2)
 
+  test("NULL group values merge as ONE group across folds (null-safe " +
+      "state merge); NULL pk components refuse loud; reserved payload " +
+      "names refuse") {
+    val root = tmpRoot()
+    def nlog(rows: (Long, Option[String], Double, Long, String)*) =
+      rows.toDF("id", "grp", "v", "seq", "op")
+    def nfold(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), "v", 4, 2)
+    // batch 0 inserts a NULL-group row; batch 1 adds another and
+    // updates the first — a join-based merge that treats null != null
+    // would split the NULL group into never-merging state rows
+    nfold(0L, nlog((1L, None, 10.0, 1L, "I"))) shouldBe true
+    nfold(1L, nlog((2L, None, 5.0, 1L, "I"),
+      (1L, None, 11.0, 2L, "U"))) shouldBe true
+    val got = CdcRollup.readView(spark, root).get.collect()
+    got.length shouldBe 1 // ONE NULL-group row, not two
+    got.head.isNullAt(0) shouldBe true
+    got.head.getAs[Long]("n") shouldBe 2L
+    got.head.getAs[java.math.BigDecimal]("total")
+      .doubleValue() shouldBe 16.0
+    // a NULL pk can never be matched for update/delete: refuse loud
+    val e = intercept[IllegalArgumentException] {
+      CdcRollup.foldBatch(root, 2L,
+        Seq((Option.empty[java.lang.Long], "a", 1.0, 1L, "I"))
+          .toDF("id", "grp", "v", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2)
+    }
+    e.getMessage should include("NULL in a pk column")
+    // payload columns colliding with state/staging names refuse
+    val e2 = intercept[IllegalArgumentException] {
+      CdcRollup.foldBatch(tmpRoot(), 0L,
+        Seq((1L, "a", 1.0, 7L, 1L, "I"))
+          .toDF("id", "grp", "v", "n", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2)
+    }
+    e2.getMessage should include("collide")
+  }
+
   test("bucket isolation: a fold touches ONLY its delta's buckets — " +
       "other buckets keep their version dirs byte-untouched; a stale " +
       "staging dir of the replayed batch is reaped") {
