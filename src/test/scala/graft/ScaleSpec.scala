@@ -408,4 +408,18 @@ class ScaleSpec extends SparkSpec {
     // map task pre-trims to the top-n before shuffling
     plan should include("windowgrouplimit")
   }
+
+  test("plan shape: blocklist filter broadcasts the blocklist — the " +
+      "corpus is never shuffled") {
+    val df = SparkEntry.queries("blocklist_filter")(spark,
+      "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes its stages
+    val plan = df.queryExecution.executedPlan.toString
+    // dimension-sized blocklist broadcasts; the 100 TB corpus side
+    // anti-joins map-side — a SortMergeJoin here would shuffle every
+    // corpus row on the blocklisted column
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    plan should not include "SortMergeJoin"
+  }
 }
