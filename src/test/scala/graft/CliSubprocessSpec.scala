@@ -260,5 +260,17 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     withClue(s"stderr: ${r3.stderr}") { r3.code shouldBe 0 }
     r3.stdout should include(""""view":"compact"""")
     r3.stdout should include(""""rows":2""") // keys 1x(5,6) joined
+    // export the compacted view through the same protocol — the full
+    // CLI lifecycle (fold -> compact -> export) in one forked JVM
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "export", "statePath": "state_v2",
+        |  "output": "out/view"
+        |}}}""".stripMargin)
+    val r4 = runCli(dir)
+    withClue(s"stderr: ${r4.stderr}") { r4.code shouldBe 0 }
+    r4.stdout should include(""""view":"export"""")
+    r4.stdout should include(""""rows":2""")
+    r4.stdout should include(""""output":""")
   }
 }
