@@ -65,9 +65,12 @@ object Main {
           val rows = rep.rows.map(n => s""","rows":$n""").getOrElse("")
           val outPath = rep.output
             .map(o => s""","output":${jsonStr(o)}""").getOrElse("")
+          // `status` kind: the introspection payload rides as a
+          // pre-rendered JSON object (pure listings + one count)
+          val detail = rep.detail.map(d => s""","state":$d""").getOrElse("")
           (0, Some(statusJson("success",
             s""""view":"${rep.kind}",$batchId""" +
-              s""""applied":${rep.applied}$buckets$rows$outPath""")))
+              s""""applied":${rep.applied}$buckets$rows$outPath$detail""")))
         case other =>
           // unknown action → UserException (RedshiftApplication.php:53-55)
           System.err.println(s"Action '$other' does not exist.")

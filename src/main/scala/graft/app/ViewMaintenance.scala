@@ -36,7 +36,9 @@ object ViewMaintenance {
                           /** compact/export: rows carried/written. */
                           rows: Option[Long] = None,
                           /** export: the dataset written. */
-                          output: Option[String] = None)
+                          output: Option[String] = None,
+                          /** status: pre-rendered JSON object. */
+                          detail: Option[String] = None)
 
   def run(spark: SparkSession, cfg: ViewConfig, dataDir: String): Report =
     cfg match {
@@ -57,7 +59,7 @@ object ViewMaintenance {
         val applied = graft.operators.CdcRollup.foldBatch(
           resolve(cr.statePath, dataDir), cr.batchId,
           readDelta(spark, cr.delta, dataDir), cr.keyColumns,
-          cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumn,
+          cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumns,
           cr.nBaseBuckets, cr.nAggBuckets)
         Report(cr.kind, applied, Some(cr.batchId))
       case e: ExportViewConfig =>
@@ -69,6 +71,15 @@ object ViewMaintenance {
           .getOrElse(throw new UserException(
             s"maintainView export: no layout pin under $root — not a " +
               "view state"))
+        // `layer` selects between a cdcRollup state's two layers; on
+        // any other family a non-default value would silently export
+        // the view while the user believes they asked for something
+        // else — refuse NAMED instead
+        if (e.layer != "view" && !pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            s"maintainView export: layer '${e.layer}' is only valid " +
+              s"for cdcRollup states; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
         val df =
           if (pin.startsWith("join|"))
             JoinView.readCommittedView(spark, root)
@@ -95,9 +106,20 @@ object ViewMaintenance {
             graft.operators.IncrementalAgg.finalizeState(
               spark.read.parquet(statePq.toString).drop("bucket"), keys)
           }
-        df.write.mode("overwrite").parquet(out)
-        val n = spark.read.schema(df.schema).parquet(out).count()
-        Report(e.kind, applied = true, rows = Some(n), output = Some(out))
+        // count the CACHED view once before the write — the same rows
+        // the write materializes, without a second full scan of the
+        // export (the write itself still fails loud on any IO error)
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          cached.write.mode("overwrite").parquet(out)
+          Report(e.kind, applied = true, rows = Some(n),
+            output = Some(out))
+        } finally { cached.unpersist(); () }
+      case st: StatusViewConfig =>
+        val root = resolve(st.statePath, dataDir)
+        Report(st.kind, applied = false,
+          detail = Some(statusJson(spark, root)))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
         // config shape for both view families; a path that is not a
@@ -138,6 +160,95 @@ object ViewMaintenance {
       throw new UserException(s"maintainView: no committed state under $root"))
   }
 
+  /** The `status` kind's JSON payload — pure listings plus ONE view
+    * count, family-dispatched on the state's own layout pin (the
+    * compact/export discipline). Reported per family: committed batch
+    * ids (count/max + watermark), per-layer dir counts, ORPHAN
+    * CANDIDATES (staging dirs + uncommitted batch/version dirs — what
+    * `cleanOrphanBatchDirs` would consider; reported, never deleted),
+    * and the view row count. Safe beside a live writer: committed
+    * state only. */
+  private def statusJson(spark: SparkSession, root: String): String = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new UserException(
+        s"maintainView status: no layout pin under $root — not a " +
+          "view state"))
+    val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+    def ls(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
+    def opt(n: String, v: Option[Long]): String =
+      v.map(x => s""""$n":$x""").getOrElse(s""""$n":null""")
+    val batches = s""""batches":{"committed":${markers.count},""" +
+      opt("max", markers.maxCommitted) + "," +
+      opt("watermark", markers.watermark) + "}"
+    val (family, layersJson, rows) =
+      if (pin.startsWith("join|")) {
+        val layers = Seq("a", "b", "view").map { side =>
+          val dirs = ls(new Path(rootPath, side)).filter(_.isDirectory)
+          val committed = dirs.count { st =>
+            val n = st.getPath.getName
+            n.startsWith("d") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit) &&
+              markers.committed(n.drop(1).toLong)
+          }
+          val orphans = dirs.length - committed
+          s""""$side":{"batch_dirs":$committed,"orphan_candidates":$orphans}"""
+        }.mkString(",")
+        ("join", layers,
+          JoinView.readCommittedView(spark, root)
+            .map(_.count()).getOrElse(0L))
+      } else if (pin.startsWith("cdcRollup|")) {
+        val layers = Seq("base", "agg").map { layer =>
+          val entries = ls(new Path(rootPath, layer))
+            .filter(_.isDirectory)
+          val bucketDirs = entries
+            .filter(_.getPath.getName.startsWith("bucket="))
+          val staging = entries
+            .count(_.getPath.getName.startsWith(".staging"))
+          var committed = 0; var orphans = staging
+          bucketDirs.foreach { b =>
+            fs.listStatus(b.getPath).foreach { v =>
+              val n = v.getPath.getName
+              val id = if (n.startsWith("v")) n.drop(1).toLongOption
+                       else None
+              id match {
+                case Some(i) if markers.committed(i) => committed += 1
+                case Some(_) => orphans += 1
+                case None => ()
+              }
+            }
+          }
+          s""""$layer":{"buckets":${bucketDirs.length},""" +
+            s""""committed_versions":$committed,""" +
+            s""""orphan_candidates":$orphans}"""
+        }.mkString(",")
+        ("cdcRollup", layers,
+          graft.operators.CdcRollup.readView(spark, root)
+            .map(_.count()).getOrElse(0L))
+      } else {
+        // rollup pin: nBuckets|keys|valueCol — per-bucket markers
+        // live INSIDE the state swap; the root carries _LAST_BATCH
+        val statePq = new Path(rootPath, "state")
+        val buckets = ls(statePq)
+          .count(_.getPath.getName.startsWith("bucket="))
+        val stranded = ls(rootPath).count(
+          _.getPath.getName.matches("state__stage_[0-9a-f]{8}"))
+        val last = graft.streaming.EventStreams.readLastBatch(fs, rootPath)
+        val layers = s""""state":{"buckets":$buckets,""" +
+          opt("last_batch", last) + "," +
+          s""""orphan_candidates":$stranded}"""
+        ("rollup", layers,
+          if (fs.exists(statePq))
+            spark.read.parquet(statePq.toString).count()
+          else 0L)
+      }
+    s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
+      s"""$batches,"layers":{$layersJson},"view_rows":$rows}"""
+  }
+
   private def readDelta(spark: SparkSession, d: DeltaInput,
                         dataDir: String): DataFrame = {
     val path = resolve(d.input, dataDir)
@@ -154,6 +265,14 @@ object ViewMaintenance {
             "items[] — CSV is untyped and the engine never infers")
         val tc = TableConfig(tableId = d.input, dbName = d.input,
           items = d.items)
+        // the P5 order check the main ingest path runs (Engine): CSV
+        // columns map to the declaration POSITIONALLY (header
+        // skipped), so a delta whose header order drifts from items[]
+        // would silently mis-map same-typed columns — two swapped
+        // bigint columns pass the strict cast and fold wrong values
+        // into persisted state. Validate the header, loud.
+        ConfigParser.checkColumns(
+          graft.sources.CsvIngest.headerColumns(spark, path), tc)
         // strict ingest: a value that fails its declared cast aborts
         // the fold with "Column 'x', line N: …" — a maintained view
         // has no quarantine sink, so bad data must never fold silently

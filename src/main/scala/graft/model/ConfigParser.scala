@@ -90,6 +90,8 @@ object ConfigParser {
             s"view.layer '$layer' is not supported (view | base)")
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer)
+      case "status" =>
+        StatusViewConfig(statePath)
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
         if (nBuckets.exists(_ < 1))
@@ -139,10 +141,26 @@ object ConfigParser {
             "cdcRollup deltas take seqColumn/opColumn directly; drop " +
               "the 'cdc' block (netting would hide the deletes the " +
               "fold must retract)")
+        // `valueColumns` lists every measure (one fold per delta, not
+        // one per measure); the legacy single-measure `valueColumn`
+        // stays accepted — both at once is ambiguous, refuse
+        val multi = list("valueColumns")
+        val single = opt(v, "valueColumn").map(_.asText)
+        if (multi.nonEmpty && single.nonEmpty)
+          throw new UserException(
+            "view.valueColumns and view.valueColumn are mutually " +
+              "exclusive — declare the measures once")
+        val valueCols = if (multi.nonEmpty) multi else single.toSeq
+        if (valueCols.isEmpty)
+          throw new UserException(
+            "view.valueColumns must list at least one measure column")
+        if (valueCols.distinct != valueCols)
+          throw new UserException(
+            "view.valueColumns lists a measure twice")
         CdcRollupViewConfig(statePath, batchId, keyCols,
           seqColumn = req(v, "seqColumn").asText,
           opColumn = req(v, "opColumn").asText,
-          keys = keys, valueColumn = req(v, "valueColumn").asText,
+          keys = keys, valueColumns = valueCols,
           delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg)
       case other =>
         throw new UserException(s"View kind '$other' is not supported")

@@ -72,17 +72,25 @@ final case class RollupViewConfig(statePath: String, batchId: Long,
 
 /** Retraction-capable rollup over a CDC feed
   * ([[graft.operators.CdcRollup]]): CROSS-BATCH updates and deletes
-  * fold exactly into per-group (n, total) state — the corner the
-  * insert-only `rollup` kind excludes by contract. The delta IS the
-  * CDC log (`seqColumn`/`opColumn` name its ordering and I/U/D ops),
-  * so a `cdc` netting block is refused here — the fold nets
-  * internally and must SEE the deletes the netting would drop.
+  * fold exactly into per-group (n, total...) state — the corner the
+  * insert-only `rollup` kind excludes by contract. `valueColumns`
+  * declares EVERY measure the view carries (config key
+  * `valueColumns`, or the legacy single-measure `valueColumn`): one
+  * CDC delta folds all of them in one pass — a state row is
+  * `(n, total_1 .. total_k)`, spelled `(n, total)` when k = 1 so
+  * pre-multi-measure states keep reading and folding unchanged. The
+  * delta IS the CDC log (`seqColumn`/`opColumn` name its ordering and
+  * I/U/D ops), so a `cdc` netting block is refused here — the fold
+  * nets internally and must SEE the deletes the netting would drop.
   * min/max are deliberately absent (not invertible under retraction);
-  * use `rollup` for append-only feeds that need them. */
+  * use `rollup` for append-only feeds that need them. Batch ids are
+  * MONOTONE (the fold refuses an id below the committed frontier —
+  * a lower id would write bucket versions no reader ever resolves). */
 final case class CdcRollupViewConfig(statePath: String, batchId: Long,
                                      keyColumns: Seq[String],
                                      seqColumn: String, opColumn: String,
-                                     keys: Seq[String], valueColumn: String,
+                                     keys: Seq[String],
+                                     valueColumns: Seq[String],
                                      delta: DeltaInput,
                                      nBaseBuckets: Int = 64,
                                      nAggBuckets: Int = 16)
@@ -97,15 +105,30 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
   * committed view, rollup states the FINALIZED aggregates
   * ([[graft.operators.IncrementalAgg.finalizeState]] — the monoid
   * state itself is an implementation detail), cdcRollup states the
-  * (group, n, total) view or — `layer: "base"` — the SCD1 current
-  * images. A plain overwrite parquet copy: idempotent, no markers
-  * needed. */
+  * (group, n, total...) view or — `layer: "base"` — the SCD1 current
+  * images. `layer` is REFUSED on non-cdcRollup states (a silently
+  * ignored layer would let the user believe they exported SCD1
+  * images when they got the view). A plain overwrite parquet copy:
+  * idempotent, no markers needed. */
 final case class ExportViewConfig(statePath: String, output: String,
                                   /** cdcRollup only: "view" (default)
                                     * or "base". */
                                   layer: String = "view")
     extends ViewConfig {
   val kind = "export"
+}
+
+/** Introspect a persisted view state WITHOUT folding anything — the
+  * ops face of the lifecycle ([[graft.operators.JoinView]] /
+  * [[graft.streaming.EventStreams]] rollup / [[graft.operators
+  * .CdcRollup]]), the reference's `getTablesInfo` idiom
+  * (RedshiftApplication.php:199-212) applied to view states: report
+  * the layout pin, committed batch ids (count/max + watermark),
+  * per-layer dir counts, orphan-candidate garbage, and the view row
+  * count. Pure listings plus ONE count — safe to run beside a live
+  * writer (committed state only). */
+final case class StatusViewConfig(statePath: String) extends ViewConfig {
+  val kind = "status"
 }
 
 /** Out-of-band state compaction — the maintenance both fold protocols

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Batch-marker bookkeeping shared by the directory-persisted view
+  * states ([[JoinView]], [[CdcRollup]]): one `_APPLIED_<id>` file per
+  * committed batch, plus an optional `_APPLIED_UPTO_<w>` WATERMARK
+  * that subsumes every id <= w.
+  *
+  * Why the watermark exists: per-batch markers accrete one (empty)
+  * file per fold forever — a view folded every 5 minutes for a year is
+  * ~100k marker files whose listing cost creeps into every fold and
+  * read. Compaction collapses them but costs a full state rewrite;
+  * folding the committed prefix into a single watermark file is the
+  * cheap path (pure marker I/O, no data moves).
+  *
+  * Soundness contract — the watermark turns "id <= w" into
+  * "committed", so before it is written every UNCOMMITTED artifact
+  * with id <= w must be swept (else the fold would legitimize crash
+  * garbage) and no id <= w may ever commit afterwards (else its fold
+  * would silently no-op). Each family's `foldMarkers` owns that sweep
+  * and states its monotonicity requirement; this object only owns the
+  * marker files themselves.
+  *
+  * Crash windows: the new watermark is written BEFORE subsumed
+  * markers are deleted, so readers that OR the two sources resolve
+  * identically at every intermediate state.
+  */
+private[graft] object BatchMarkers {
+
+  private val Upto = "_APPLIED_UPTO_"
+  private val Marker = "_APPLIED_"
+
+  /** One listing's worth of marker state. `mtimes` carries the
+    * per-id marker-file modification time for age-gated folds. */
+  final case class Markers(watermark: Option[Long], ids: Set[Long],
+                           mtimes: Map[Long, Long]) {
+    def committed(id: Long): Boolean = watermark.exists(id <= _) || ids(id)
+    def maxCommitted: Option[Long] = (watermark.toSeq ++ ids).maxOption
+    def count: Int = ids.size
+  }
+
+  /** ONE `listStatus` of the root — O(entries) instead of the
+    * O(versions x exists-call) probing a per-file check costs. */
+  def read(fs: FileSystem, root: Path): Markers = {
+    if (!fs.exists(root)) return Markers(None, Set.empty, Map.empty)
+    var wm = Option.empty[Long]
+    val ids = Set.newBuilder[Long]
+    val mtimes = Map.newBuilder[Long, Long]
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(Upto))
+        n.stripPrefix(Upto).toLongOption.foreach { w =>
+          if (wm.forall(_ < w)) wm = Some(w)
+        }
+      else if (n.startsWith(Marker))
+        n.stripPrefix(Marker).toLongOption.foreach { id =>
+          ids += id; mtimes += id -> st.getModificationTime
+        }
+    }
+    Markers(wm, ids.result(), mtimes.result())
+  }
+
+  /** Commit `_APPLIED_<id>` — the per-batch marker, created LAST by
+    * every fold protocol. */
+  def commit(fs: FileSystem, root: Path, id: Long): Unit =
+    fs.create(new Path(root, s"$Marker$id"), true).close()
+
+  /** Collapse the committed prefix <= `w` into `_APPLIED_UPTO_<w>`:
+    * watermark first (readers OR the sources, so every intermediate
+    * state resolves identically), then the subsumed per-id markers and
+    * any older watermark go. Caller must have swept uncommitted
+    * artifacts with id <= w BEFORE calling. */
+  def foldInto(fs: FileSystem, root: Path, markers: Markers,
+               w: Long): Unit = {
+    fs.create(new Path(root, s"$Upto$w"), true).close()
+    markers.ids.iterator.filter(_ <= w)
+      .foreach(id => fs.delete(new Path(root, s"$Marker$id"), false))
+    markers.watermark.filter(_ < w)
+      .foreach(old => fs.delete(new Path(root, s"$Upto$old"), false))
+  }
+}

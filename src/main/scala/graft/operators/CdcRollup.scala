@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental GROUP-BY view over a CDC feed with CROSS-BATCH updates
@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
   *    hash-bucketed on the PK. Per fold, only the delta's TOUCHED
   *    buckets are read (they hold the old images retraction needs —
   *    no extra lookup pass) and rewritten.
-  *  - `agg/` — per-group `(n, total)` state, hash-bucketed on the
-  *    group key. count/sum are INVERTIBLE, so retraction is exact
-  *    arithmetic: an update contributes (−1, −old) at the old group
-  *    and (+1, +new) at the new group (group-moving updates included),
+  *  - `agg/` — per-group `(n, total...)` state, hash-bucketed on the
+  *    group key. One CDC delta folds ALL declared measures at once:
+  *    `valueCols` of size k persists as `(n, total_1 .. total_k)`
+  *    (a single measure keeps the historical `total` name, so every
+  *    pre-multi-measure state stays readable and foldable in place).
+  *    count/sum are INVERTIBLE, so retraction is exact arithmetic: an
+  *    update contributes (−1, −old...) at the old group and
+  *    (+1, +new...) at the new group (group-moving updates included),
   *    a delete just the minus. min/max are deliberately NOT here —
   *    they are not invertible (retracting the current min forces a
   *    group re-scan); use the insert-only rollup for monotone feeds.
-  *    `total` accumulates as decimal(38,6): exact, order-independent,
-  *    and invertible — a double sum under retraction drifts
-  *    ((a+b)−b ≠ a in floating point).
+  *    Each total accumulates as decimal(38,6): exact,
+  *    order-independent, and invertible — a double sum under
+  *    retraction drifts ((a+b)−b ≠ a in floating point).
   *
   * Exactly-once via COPY-ON-WRITE versioned buckets: a fold never
   * mutates a committed file — it writes `bucket=<k>/v<batchId>` dirs
@@ -39,58 +43,102 @@ import org.apache.spark.sql.functions._
   * fold that touches the bucket), so steady state holds ~1 version per
   * bucket.
   *
+  * Batch ids are MONOTONE — a hard contract, enforced loud: readers
+  * take each bucket's highest committed version, so folding an id
+  * below the highest committed marker would write versions no reader
+  * ever resolves and the batch's effect would vanish behind a success
+  * result. A replay of a COMMITTED id stays a quiet no-op (the
+  * at-least-once scheduler idiom); an UNCOMMITTED id below the
+  * committed frontier refuses with the named error instead.
+  *
+  * Long-lived ops: per-batch markers fold into a single
+  * `_APPLIED_UPTO_<w>` watermark ([[foldMarkers]] — sound exactly
+  * because ids are monotone: nothing <= the committed frontier can
+  * ever commit later), and batch ids a crashed writer ABANDONS (a
+  * checkpoint wipe, CLI misuse — ids the scheduler never replays)
+  * strand staging dirs and unmarked versions that only
+  * [[cleanOrphanBatchDirs]] sweeps; the streaming sink runs both on
+  * its GC cadence.
+  *
   * 100 TB shape: per fold — one window over the delta (netting), two
   * bucket-pruned scans (old images, old agg rows of touched buckets),
-  * one delta-sized aggregation (contributions), and bucket-sized
-  * rewrites of ONLY the touched buckets. History outside the touched
-  * buckets is never read. The two `collect`s are ≤ nBuckets-row bucket
-  * probes (the established scalar pattern). Layout + schema + types
-  * ride the `_CONFIG` pin (xxhash64 bucketing is type-sensitive — a
-  * drifted feed refuses instead of mis-bucketing, the join-view
-  * discipline).
+  * one delta-sized aggregation (contributions, ALL measures in one
+  * pass), and bucket-sized rewrites of ONLY the touched buckets.
+  * History outside the touched buckets is never read. The two
+  * `collect`s are ≤ nBuckets-row bucket probes (the established
+  * scalar pattern). Marker state is listed ONCE per fold/read
+  * (O(buckets + markers), never O(versions) exists-probes). Layout +
+  * schema + types ride the `_CONFIG` pin (xxhash64 bucketing is
+  * type-sensitive — a drifted feed refuses instead of mis-bucketing,
+  * the join-view discipline).
   *
-  * Contracts: single-writer per root; deltas are I/U/D logs with a
-  * total per-key `seqCol` order; a D (or U) for a key with no current
-  * image contributes nothing (out-of-order feeds degrade to upsert
-  * semantics, documented not hidden); `n` can therefore never go
-  * negative and a group at n = 0 drops out of the view.
+  * Contracts: single-writer per root; batch ids monotone (enforced);
+  * deltas are I/U/D logs with a total per-key `seqCol` order; a D (or
+  * U) for a key with no current image contributes nothing
+  * (out-of-order feeds degrade to upsert semantics, documented not
+  * hidden); `n` can therefore never go negative and a group at n = 0
+  * drops out of the view. Payload columns may not collide with the
+  * state/staging namespace (`n`, the total names, `__`-prefixed).
   */
 object CdcRollup {
 
-  private val AggCols = Seq("n", "total")
+  /** Persisted agg-state column names for k measures. ONE measure
+    * keeps the pre-multi-measure spelling (`total`) so existing
+    * states read and fold unchanged. */
+  private[graft] def aggNames(k: Int): Seq[String] =
+    if (k == 1) Seq("total") else (1 to k).map(i => s"total_$i")
 
-  /** Fold one CDC batch. Returns false (no-op) when `batchId` is
-    * already committed. */
+  /** Fold one CDC batch — all `valueCols` measures in ONE pass over
+    * the delta. Returns false (no-op) when `batchId` is already
+    * committed (marker or watermark). */
   def foldBatch(root: String, batchId: Long, delta: DataFrame,
                 pkCols: Seq[String], seqCol: String, opCol: String,
-                groupCols: Seq[String], valueCol: String,
+                groupCols: Seq[String], valueCols: Seq[String],
                 nBaseBuckets: Int = 64, nAggBuckets: Int = 16): Boolean = {
     import org.apache.hadoop.fs.Path
     require(pkCols.nonEmpty, "cdcRollup needs pk columns")
     require(groupCols.nonEmpty, "cdcRollup needs group columns")
+    require(valueCols.nonEmpty, "cdcRollup needs at least one value column")
+    require(valueCols.distinct == valueCols,
+      s"cdcRollup: duplicate value columns: ${valueCols.mkString(", ")}")
     require(nBaseBuckets >= 1 && nAggBuckets >= 1,
       s"bucket counts must be >= 1, got $nBaseBuckets/$nAggBuckets")
-    (pkCols ++ groupCols ++ Seq(valueCol, seqCol, opCol)).foreach { c =>
+    (pkCols ++ groupCols ++ valueCols ++ Seq(seqCol, opCol)).foreach { c =>
       require(delta.columns.contains(c),
         s"cdcRollup: delta lacks declared column '$c'")
     }
-    require(!(groupCols :+ valueCol).exists(c => c == seqCol || c == opCol),
-      "cdcRollup: seq/op columns cannot double as group/value columns")
-    val reserved = Set("n", "total", "__bucket", "__dn", "__dt",
-      "__cdc_delete", "__b")
-    val clash = delta.columns.filterNot(c => c == seqCol || c == opCol)
-      .filter(reserved)
+    // seq/op are dropped before the state writes — a pk/group/value
+    // column spelled like one would vanish from the persisted image
+    // and fail later with an opaque resolution error; refuse NAMED
+    require(!(pkCols ++ groupCols ++ valueCols)
+        .exists(c => c == seqCol || c == opCol),
+      "cdcRollup: seq/op columns cannot double as pk/group/value columns")
+    val agg = aggNames(valueCols.size)
+    // payload = the persisted base image (everything but seq/op)
+    val payloadCols = delta.columns.filterNot(c => c == seqCol || c == opCol)
+    val clash = payloadCols
+      .filter(c => c == "n" || agg.contains(c) || c.startsWith("__"))
     require(clash.isEmpty,
       s"cdcRollup: payload columns ${clash.mkString(", ")} collide with " +
-        "the state/staging columns (n, total, __bucket, __dn, __dt, " +
-        "__cdc_delete) — rename upstream")
+        s"the state/staging namespace (n, ${agg.mkString(", ")}, " +
+        "__-prefixed) — rename upstream")
     val spark = delta.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new Path(rootPath, s"_APPLIED_$batchId")))
+    // ONE marker listing serves the replay check, the monotonicity
+    // guard AND every committed-version resolution below
+    val markers = BatchMarkers.read(fs, rootPath)
+    if (markers.committed(batchId))
       return false // exactly-once replay no-op
-    // payload = the persisted base image (everything but seq/op)
-    val payloadCols = delta.columns.filterNot(c => c == seqCol || c == opCol)
+    markers.maxCommitted.filter(batchId < _).foreach { frontier =>
+      throw new IllegalArgumentException(
+        s"cdcRollup batch $batchId: out of order — batch $frontier is " +
+          "already committed and readers take each bucket's highest " +
+          "committed version, so a lower id would fold into versions " +
+          "no reader ever resolves (the batch's effect would vanish " +
+          "behind a success result). Feed batch ids in increasing " +
+          "order; replaying a COMMITTED id is a quiet no-op")
+    }
     // typed layout pin (see JoinView: xxhash64 is type-sensitive)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val typed = delta.schema.filter(f => payloadCols.contains(f.name))
@@ -99,7 +147,8 @@ object CdcRollup {
       .mkString(",")
     graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
       s"cdcRollup|$typed|${pkCols.map(enc).mkString(",")}|" +
-        s"${groupCols.map(enc).mkString(",")}|${enc(valueCol)}|" +
+        s"${groupCols.map(enc).mkString(",")}|" +
+        s"${valueCols.map(enc).mkString(",")}|" +
         s"$nBaseBuckets|$nAggBuckets")
     // reap THIS batch's crash garbage (staged dirs + unmarked versions)
     for (layer <- Seq("base", "agg")) {
@@ -115,13 +164,14 @@ object CdcRollup {
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
       .cast("int")
     val dec = "decimal(38,6)"
+    val dts = valueCols.indices.map(i => s"__dt${i + 1}")
     // net the batch to one final event per key, deletes kept
     val net = Load.cdcNetOps(delta, pkCols, seqCol, opCol)
       .select((payloadCols.map(col) :+ col("__cdc_delete")): _*)
       .persist()
     try {
       if (net.isEmpty) { // empty delta: commit the marker, change nothing
-        fs.create(new Path(rootPath, s"_APPLIED_$batchId"), true).close()
+        BatchMarkers.commit(fs, rootPath, batchId)
         return true
       }
       // NULL pk components refuse LOUD: the pk joins below (semi/anti)
@@ -137,21 +187,26 @@ object CdcRollup {
       val keys = net.select(pkCols.map(col): _*).distinct()
       // old images live ONLY in the delta's touched base buckets
       val prunedBase = readLatest(spark, fs, rootPath, "base",
-        Some(touchedBase)).getOrElse(upserts.limit(0))
+        Some(touchedBase), markers).getOrElse(upserts.limit(0))
       val old = prunedBase.join(keys, pkCols, "left_semi").persist()
       try {
         // signed contributions: retraction at the OLD group, insertion
-        // at the NEW — group-moving updates come out exactly
+        // at the NEW — group-moving updates come out exactly; every
+        // measure rides the SAME delta pass (one fold per batch, not
+        // one per measure)
         val minus = old.select((groupCols.map(col) :+
-          lit(-1L).as("__dn") :+
-          (-col(valueCol).cast(dec)).as("__dt")): _*)
+          lit(-1L).as("__dn")) ++
+          valueCols.zip(dts).map { case (v, d) =>
+            (-col(v).cast(dec)).as(d) }: _*)
         val plus = upserts.select((groupCols.map(col) :+
-          lit(1L).as("__dn") :+
-          col(valueCol).cast(dec).as("__dt")): _*)
+          lit(1L).as("__dn")) ++
+          valueCols.zip(dts).map { case (v, d) =>
+            col(v).cast(dec).as(d) }: _*)
+        val sums = sum(col("__dn")).as("__dn") +:
+          dts.map(d => sum(col(d)).cast(dec).as(d))
         val contrib = minus.unionByName(plus)
           .groupBy(groupCols.map(col): _*)
-          .agg(sum(col("__dn")).as("__dn"),
-            sum(col("__dt")).cast(dec).as("__dt"))
+          .agg(sums.head, sums.tail: _*)
           .persist()
         try {
           val touchedAgg = contrib.select(aggBucket.as("__b")).distinct()
@@ -167,13 +222,13 @@ object CdcRollup {
           val emptyAgg = spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType(
-              groupCols.map(c => delta.schema(c)) ++ Seq(
-                org.apache.spark.sql.types.StructField("n",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("total",
-                  org.apache.spark.sql.types.DecimalType(38, 6)))))
+              groupCols.map(c => delta.schema(c)) ++
+                (org.apache.spark.sql.types.StructField("n",
+                  org.apache.spark.sql.types.LongType) +:
+                  agg.map(t => org.apache.spark.sql.types.StructField(t,
+                    org.apache.spark.sql.types.DecimalType(38, 6))))))
           val oldAgg = readLatest(spark, fs, rootPath, "agg",
-            Some(touchedAgg)).getOrElse(emptyAgg)
+            Some(touchedAgg), markers).getOrElse(emptyAgg)
           // NULL-SAFE group merge: a using-columns join would never
           // match NULL group values (null != null), splitting a NULL
           // group's state row from its contribution forever — <=> is
@@ -185,10 +240,11 @@ object CdcRollup {
             .select((groupCols.map(c =>
               coalesce(oldAgg(c), contrib(c)).as(c)) :+
               (coalesce(oldAgg("n"), lit(0L)) +
-                coalesce(contrib("__dn"), lit(0L))).as("n") :+
-              (coalesce(oldAgg("total"), lit(0).cast(dec)) +
-                coalesce(contrib("__dt"), lit(0).cast(dec))).cast(dec)
-                .as("total")): _*)
+                coalesce(contrib("__dn"), lit(0L))).as("n")) ++
+              agg.zip(dts).map { case (t, d) =>
+                (coalesce(oldAgg(t), lit(0).cast(dec)) +
+                  coalesce(contrib(d), lit(0).cast(dec))).cast(dec)
+                  .as(t) }: _*)
             .filter(col("n") > 0) // a fully-retracted group drops out
           stageAndCommit(fs, rootPath, batchId,
             Seq(("base", newBase, baseBucket, touchedBase),
@@ -199,13 +255,14 @@ object CdcRollup {
     true
   }
 
-  /** The maintained view: per-group (n, total) over the CURRENT
+  /** The maintained view: per-group (n, total...) over the CURRENT
     * images — committed state only; None before the first commit. */
   def readView(spark: SparkSession, root: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    readLatest(spark, fs, rootPath, "agg", None)
+    readLatest(spark, fs, rootPath, "agg", None,
+      BatchMarkers.read(fs, rootPath))
   }
 
   /** The maintained SCD1 base (current images) — the view's witness
@@ -214,7 +271,111 @@ object CdcRollup {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    readLatest(spark, fs, rootPath, "base", None)
+    readLatest(spark, fs, rootPath, "base", None,
+      BatchMarkers.read(fs, rootPath))
+  }
+
+  /** Reap ABANDONED batch garbage — the CDC sibling of
+    * [[JoinView.cleanOrphanBatchDirs]] and the streaming sink's GC
+    * cadence hook. A batch's replay reaps its OWN id's garbage, but an
+    * id the scheduler abandons (a checkpoint wipe, CLI misuse) strands
+    * forever:
+    *
+    *  - hidden `base|agg/.staging<id>` dirs (crash before the
+    *    promotes);
+    *  - uncommitted `bucket=<k>/v<id>` version dirs (crash in the
+    *    promote window, before the marker) — invisible to readers but
+    *    real storage.
+    *
+    * Safety: an id at or below the committed frontier can NEVER
+    * commit later (batch ids are monotone, enforced by the fold), so
+    * its garbage goes regardless of age; above the frontier only AGED
+    * dirs go (default 24 h — an in-flight fold's fresh staging
+    * survives; single-writer, so anything older cannot be in flight).
+    * Committed versions are live state, never touched.
+    *
+    * @return deleted paths */
+  def cleanOrphanBatchDirs(spark: SparkSession, root: String,
+                           olderThanMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Nil
+    val markers = BatchMarkers.read(fs, rootPath)
+    val frontier = markers.maxCommitted.getOrElse(Long.MinValue)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val deleted = Seq.newBuilder[String]
+    def dead(id: Long, mtime: Long): Boolean =
+      !markers.committed(id) && (id <= frontier || mtime <= cutoff)
+    for (layer <- Seq("base", "agg")) {
+      val dir = new Path(rootPath, layer)
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(".staging"))
+            name.stripPrefix(".staging").toLongOption.foreach { id =>
+              if (dead(id, st.getModificationTime)) {
+                fs.delete(st.getPath, true)
+                deleted += st.getPath.toString
+              }
+            }
+          else if (name.startsWith("bucket="))
+            fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+              .foreach { v =>
+                val vn = v.getPath.getName
+                if (vn.startsWith("v"))
+                  vn.drop(1).toLongOption.foreach { id =>
+                    if (dead(id, v.getModificationTime)) {
+                      fs.delete(v.getPath, true)
+                      deleted += v.getPath.toString
+                    }
+                  }
+              }
+        }
+    }
+    deleted.result()
+  }
+
+  /** Collapse the committed per-batch markers into ONE
+    * `_APPLIED_UPTO_<frontier>` watermark — year-long streams stay
+    * listable without the full state rewrite `compact` costs. Sound
+    * because batch ids are monotone (the fold refuses ids below the
+    * committed frontier, so nothing the watermark subsumes can ever
+    * commit later); a replay of a subsumed id resolves as committed
+    * and stays a quiet no-op. Uncommitted garbage at or below the
+    * frontier is swept FIRST — after the fold it would read as
+    * committed. @return the watermark written, None when nothing has
+    * committed yet */
+  def foldMarkers(spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return None
+    val markers = BatchMarkers.read(fs, rootPath)
+    markers.maxCommitted.map { frontier =>
+      for (layer <- Seq("base", "agg")) {
+        val dir = new Path(rootPath, layer)
+        if (fs.exists(dir)) fs.listStatus(dir).toSeq
+          .filter(_.isDirectory).foreach { st =>
+            val name = st.getPath.getName
+            if (name.startsWith(".staging"))
+              name.stripPrefix(".staging").toLongOption
+                .filter(id => id <= frontier && !markers.committed(id))
+                .foreach(_ => fs.delete(st.getPath, true))
+            else if (name.startsWith("bucket="))
+              fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+                .filter(_.getPath.getName.startsWith("v"))
+                .foreach { v =>
+                  v.getPath.getName.drop(1).toLongOption
+                    .filter(id => id <= frontier && !markers.committed(id))
+                    .foreach(_ => fs.delete(v.getPath, true))
+                }
+          }
+      }
+      BatchMarkers.foldInto(fs, rootPath, markers, frontier)
+      frontier
+    }
   }
 
   /** Compact a long-lived state into a FRESH root: the latest
@@ -223,7 +384,10 @@ object CdcRollup {
     * accumulated `_APPLIED_<id>` markers collapse to `_APPLIED_0`.
     * Also the re-shard path (new bucket counts). Same contract as the
     * join/rollup siblings: fresh root empty, swap between folds,
-    * continue with fresh batch ids. @return view rows carried over */
+    * continue with fresh batch ids. A PINNED-but-uncommitted fresh
+    * root (a prior compact's crash — the pin lands before the layers
+    * stage) is reset and retried, not refused. @return view rows
+    * carried over */
   def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
                      nBaseBuckets: Int = 64, nAggBuckets: Int = 16): Long = {
     import org.apache.hadoop.fs.Path
@@ -238,10 +402,27 @@ object CdcRollup {
     val parts = pin.split('|')
     require(parts.length == 7 && parts(0) == "cdcRollup",
       s"compactStateTo: unrecognized layout pin '$pin' under $root")
-    require(!fs.exists(new Path(freshPath, "_CONFIG")) &&
-      !fs.exists(new Path(freshPath, "_APPLIED_0")),
+    // "already holds a state" means a COMMITTED batch, not a pin: a
+    // crash between the fresh pin and the marker leaves a
+    // pinned-but-dataless root the retry must reclaim, not refuse on
+    require(BatchMarkers.read(fs, freshPath).maxCommitted.isEmpty,
       s"compactStateTo: $freshRoot already holds a state — refusing " +
         "to merge into it (compact to an empty root, then swap)")
+    graft.sources.PartitionedStore.readPin(fs, freshPath) match {
+      case Some(p) if p.startsWith("cdcRollup|") =>
+        // a prior compact's crash remnants — nothing committed, reset
+        for (l <- Seq("base", "agg"))
+          fs.delete(new Path(freshPath, l), true)
+        fs.delete(new Path(freshPath, "_CONFIG"), true)
+      case Some(p) => throw new IllegalStateException(
+        s"compactStateTo: $freshRoot carries a non-cdcRollup pin '$p' — " +
+          "refusing to overwrite a different state family")
+      case None =>
+        require(!graft.sources.PartitionedStore
+            .hasDataEntries(fs, freshPath),
+          s"compactStateTo: $freshRoot is not empty — refusing to " +
+            "merge into it (compact to an empty root, then swap)")
+    }
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     val pkCols = parts(2).split(',').toSeq.map(dec)
     val groupCols = parts(3).split(',').toSeq.map(dec)
@@ -252,14 +433,15 @@ object CdcRollup {
       .cast("int")
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
       .cast("int")
+    val srcMarkers = BatchMarkers.read(fs, rootPath)
     for ((layer, bucketOf) <- Seq("base" -> baseBucket, "agg" -> aggBucket))
-      readLatest(spark, fs, rootPath, layer, None).foreach { df =>
+      readLatest(spark, fs, rootPath, layer, None, srcMarkers).foreach { df =>
         df.withColumn("__bucket", bucketOf)
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(new Path(freshPath, s"$layer/.staging0").toString)
         promoteStaged(fs, freshPath, layer, 0L)
       }
-    fs.create(new Path(freshPath, "_APPLIED_0"), true).close()
+    BatchMarkers.commit(fs, freshPath, 0L)
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 
@@ -268,11 +450,14 @@ object CdcRollup {
   /** Latest COMMITTED version dir of each bucket of `layer`,
     * restricted to `buckets` when given; empty version dirs (a
     * touched bucket whose rows were all retracted) contribute
-    * nothing. None when nothing committed holds data. */
+    * nothing. Committedness resolves against the ONE marker listing
+    * the caller already holds. None when nothing committed holds
+    * data. */
   private def readLatest(spark: SparkSession,
                          fs: org.apache.hadoop.fs.FileSystem,
                          root: org.apache.hadoop.fs.Path, layer: String,
-                         buckets: Option[Set[Int]]): Option[DataFrame] = {
+                         buckets: Option[Set[Int]],
+                         markers: BatchMarkers.Markers): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(root, layer)
     if (!fs.exists(dir)) return None
@@ -286,7 +471,7 @@ object CdcRollup {
         fs.listStatus(b).toSeq.map(_.getPath)
           .filter(v => v.getName.startsWith("v") &&
             v.getName.drop(1).forall(_.isDigit) && v.getName.length > 1 &&
-            fs.exists(new Path(root, s"_APPLIED_${v.getName.drop(1)}")))
+            markers.committed(v.getName.drop(1).toLong))
           .sortBy(_.getName.drop(1).toLong).lastOption
       }
       .filter(v => graft.sources.PartitionedStore.hasDataEntries(fs, v))
@@ -301,8 +486,8 @@ object CdcRollup {
     * the marker LAST, then best-effort reap superseded versions. */
   private def stageAndCommit(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path, batchId: Long,
-                             layers: Seq[(String, DataFrame,
-                               org.apache.spark.sql.Column, Set[Int])])
+                             layers: Seq[(String, DataFrame, Column,
+                               Set[Int])])
       : Unit = {
     import org.apache.hadoop.fs.Path
     for ((layer, df, bucketOf, touched) <- layers) {
@@ -316,7 +501,7 @@ object CdcRollup {
         fs.mkdirs(new Path(root, s"$layer/bucket=$b/v$batchId")); ()
       }
     }
-    fs.create(new Path(root, s"_APPLIED_$batchId"), true).close()
+    BatchMarkers.commit(fs, root, batchId)
     // GC: every older version of a bucket this batch rewrote is
     // superseded. Best-effort — a crash here leaves extra committed
     // versions that stay invisible to readers (latest wins) and get

@@ -159,7 +159,12 @@ object JoinView {
     val spark = deltaA.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new Path(rootPath, s"_APPLIED_$batchId")))
+    // one marker listing serves the replay check and every committed-
+    // dir resolution below; ids at or below a folded watermark
+    // ([[foldMarkers]]) resolve as committed — replaying one is a
+    // quiet no-op, the same at-least-once idiom as a live marker
+    val markers = BatchMarkers.read(fs, rootPath)
+    if (markers.committed(batchId))
       return false // replay of a committed batch: exactly-once no-op
     // layout + schema pin: key, both column sets WITH THEIR TYPES and
     // the bucket count ride the pin — a renamed column, re-keyed
@@ -202,7 +207,7 @@ object JoinView {
           .collect().map(_.getInt(0)).toSet
       def snapshot(side: String, like: DataFrame,
                    buckets: Set[Int]): DataFrame =
-        committedLeafDirs(fs, rootPath, side, Some(buckets)) match {
+        committedLeafDirs(fs, rootPath, side, Some(buckets), markers) match {
           case Seq() => like.limit(0)
           case dirs  => spark.read.parquet(dirs.map(_.toString): _*)
         }
@@ -255,6 +260,7 @@ object JoinView {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return Nil
+    val markers = BatchMarkers.read(fs, rootPath)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val deleted = Seq.newBuilder[String]
     for (side <- Seq("a", "b", "view")) {
@@ -265,9 +271,11 @@ object JoinView {
           val staged = name.startsWith(".staging") &&
             name.stripPrefix(".staging").forall(_.isDigit) &&
             name.length > ".staging".length
+          // committedness resolves marker-or-watermark: a d<id> whose
+          // marker was folded into `_APPLIED_UPTO_` is live state
           val unmarked = name.startsWith("d") && name.length > 1 &&
             name.drop(1).forall(_.isDigit) &&
-            !fs.exists(new Path(rootPath, s"_APPLIED_${name.drop(1)}"))
+            !markers.committed(name.drop(1).toLong)
           if ((staged || unmarked) && st.getModificationTime <= cutoff) {
             fs.delete(st.getPath, true)
             deleted += st.getPath.toString
@@ -277,6 +285,53 @@ object JoinView {
     deleted.result()
   }
 
+  /** Collapse AGED committed per-batch markers into ONE
+    * `_APPLIED_UPTO_<w>` watermark — year-long streams stay listable
+    * without the full state rewrite `compact` costs. Requires the
+    * streaming sink's discipline: batch ids MONOTONE and single-writer
+    * (the sink's checkpoint guarantees both; CLI users folding ids out
+    * of order must not run this). After the fold an id <= w resolves
+    * as committed, so a fold of an ABANDONED id <= w becomes a quiet
+    * no-op — which is why only ids whose markers are older than
+    * `olderThanMs` (default 24 h, the same gate as
+    * [[cleanOrphanBatchDirs]]) are folded: anything still inside its
+    * replay window keeps its per-id marker. Uncommitted `d<id>` /
+    * `.staging<id>` dirs at or below w are swept FIRST — after the
+    * fold readers would treat them as committed state.
+    * @return the watermark written, None when nothing qualifies */
+  def foldMarkers(spark: SparkSession, root: String,
+                  olderThanMs: Long = 24L * 3600 * 1000): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return None
+    val markers = BatchMarkers.read(fs, rootPath)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val aged = markers.ids.filter(id => markers.mtimes(id) <= cutoff)
+    val w = (markers.watermark.toSeq ++ aged).maxOption
+    // fold when the frontier advances OR a prior fold's crash left
+    // subsumed per-id markers behind (foldInto is idempotent)
+    w.filter(v => markers.watermark.forall(_ < v) ||
+        markers.ids.exists(_ <= v)).map { frontier =>
+      for (side <- Seq("a", "b", "view")) {
+        val dir = new Path(rootPath, side)
+        if (fs.exists(dir)) fs.listStatus(dir).toSeq
+          .filter(_.isDirectory).foreach { st =>
+            val name = st.getPath.getName
+            val id: Option[Long] =
+              if (name.startsWith(".staging"))
+                name.stripPrefix(".staging").toLongOption
+              else if (name.startsWith("d")) name.drop(1).toLongOption
+              else None
+            id.filter(i => i <= frontier && !markers.committed(i))
+              .foreach(_ => fs.delete(st.getPath, true))
+          }
+      }
+      BatchMarkers.foldInto(fs, rootPath, markers, frontier)
+      frontier
+    }
+  }
+
   /** The maintained view (committed batches only) — None when no
     * batch has ever committed. In-flight writers are invisible:
     * reads list `d<id>` dirs against the `_APPLIED_<id>` markers. */
@@ -284,7 +339,8 @@ object JoinView {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    committedLeafDirs(fs, rootPath, "view", None) match {
+    committedLeafDirs(fs, rootPath, "view", None,
+      BatchMarkers.read(fs, rootPath)) match {
       case Seq() => None
       case dirs  => Some(spark.read.parquet(dirs.map(_.toString): _*))
     }
@@ -323,17 +379,35 @@ object JoinView {
     require(parts.length == 5 && parts(0) == "join",
       s"compactStateTo: unrecognized layout pin '$pin' under $root")
     val key = java.net.URLDecoder.decode(parts(1), "UTF-8")
-    require(!fs.exists(new Path(freshPath, "_CONFIG")) &&
-      !fs.exists(new Path(freshPath, "_APPLIED_0")),
+    // "already holds a state" means a COMMITTED batch, not a pin: a
+    // crash between the fresh pin and the marker leaves a
+    // pinned-but-dataless root the retry must reclaim, not refuse on
+    require(BatchMarkers.read(fs, freshPath).maxCommitted.isEmpty,
       s"compactStateTo: $freshRoot already holds a state — refusing " +
         "to merge into it (compact to an empty root, then swap)")
+    graft.sources.PartitionedStore.readPin(fs, freshPath) match {
+      case Some(p) if p.startsWith("join|") =>
+        // a prior compact's crash remnants — nothing committed, reset
+        for (side <- Seq("a", "b", "view"))
+          fs.delete(new Path(freshPath, side), true)
+        fs.delete(new Path(freshPath, "_CONFIG"), true)
+      case Some(p) => throw new IllegalStateException(
+        s"compactStateTo: $freshRoot carries a non-join pin '$p' — " +
+          "refusing to overwrite a different state family")
+      case None =>
+        require(!graft.sources.PartitionedStore
+            .hasDataEntries(fs, freshPath),
+          s"compactStateTo: $freshRoot is not empty — refusing to " +
+            "merge into it (compact to an empty root, then swap)")
+    }
     require(fs.exists(new Path(rootPath, "a")),
       s"compactStateTo: no committed state under $root")
+    val srcMarkers = BatchMarkers.read(fs, rootPath)
     // a side can be legitimately empty (e.g. a view whose keys never
     // matched yet): committed batch dirs with zero bucket leaves —
     // compact it to an empty d0, not a refusal
     def committed(side: String): Option[DataFrame] =
-      committedLeafDirs(fs, rootPath, side, None) match {
+      committedLeafDirs(fs, rootPath, side, None, srcMarkers) match {
         case Seq() => None
         case dirs  => Some(spark.read.parquet(dirs.map(_.toString): _*))
       }
@@ -359,15 +433,18 @@ object JoinView {
     readCommittedView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 
-  /** `__bucket=<k>` leaf dirs of `side` under committed (`_APPLIED`-
-    * marked) `d<id>` batch dirs, restricted to `buckets` when given —
-    * the committed, bucket-pruned prefix of the state, immune to
-    * rename-window garbage. Leaves are read directly (no partition
+  /** `__bucket=<k>` leaf dirs of `side` under committed (marker- or
+    * watermark-covered) `d<id>` batch dirs, restricted to `buckets`
+    * when given — the committed, bucket-pruned prefix of the state,
+    * immune to rename-window garbage. Committedness resolves against
+    * the ONE marker listing the caller already holds (O(batches), not
+    * O(batches) exists-probes). Leaves are read directly (no partition
     * discovery), so the helper `__bucket` column never reaches a
     * consumer. */
   private def committedLeafDirs(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path,
-                                side: String, buckets: Option[Set[Int]])
+                                side: String, buckets: Option[Set[Int]],
+                                markers: BatchMarkers.Markers)
       : Seq[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(root, side)
@@ -377,7 +454,7 @@ object JoinView {
       .filter { p =>
         p.getName.startsWith("d") && p.getName.length > 1 &&
           p.getName.drop(1).forall(_.isDigit) &&
-          fs.exists(new Path(root, s"_APPLIED_${p.getName.drop(1)}"))
+          markers.committed(p.getName.drop(1).toLong)
       }
       .sortBy(_.getName)
     batchDirs.flatMap { d =>

@@ -790,7 +790,9 @@ object RelationalQueries {
     // inserts k%3=0; batch 1 inserts k%3=1 and UPDATES the k%7=0
     // subset of batch 0's keys into a NEW group (group-moving
     // retraction); batch 2 inserts k%3=2 and DELETES k%5=0 keys of
-    // the earlier batches. The persisted (n, total) state after the
+    // the earlier batches. TWO measures (o_totalprice, o_custkey)
+    // ride ONE fold per delta — multi-measure (n, total_1, total_2)
+    // state, not one fold per measure. The persisted state after the
     // folds must equal the one-shot GROUP BY over the FINAL images —
     // which is exactly what the oracle computes, never seeing the
     // folds. Gate artifact like its siblings: 3 folds per evaluation
@@ -803,28 +805,32 @@ object RelationalQueries {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val k = col("o_orderkey")
       val ord = t(s, dir, "orders")
-        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("o_custkey"))
         .filter(k % 4 === 0)
       def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
         .select(k, col("o_orderpriority"), col("o_totalprice"),
-          lit(seq.toLong).as("seq"), lit("I").as("op"))
+          col("o_custkey"), lit(seq.toLong).as("seq"), lit("I").as("op"))
       val b0 = ins(0, 1)
       val b1 = ins(1, 1).unionByName(
         ord.filter(k % 3 === 0 && k % 7 === 0)
           .select(k, lit("X-UPD").as("o_orderpriority"),
-            col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op")))
+            col("o_totalprice"), col("o_custkey"),
+            lit(2L).as("seq"), lit("U").as("op")))
       val b2 = ins(2, 1).unionByName(
         ord.filter(k % 5 === 0 && k % 3 =!= 2)
           .select(k, col("o_orderpriority"), col("o_totalprice"),
-            lit(3L).as("seq"), lit("D").as("op")))
+            col("o_custkey"), lit(3L).as("seq"), lit("D").as("op")))
       Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
-          "seq", "op", Seq("o_orderpriority"), "o_totalprice",
+          "seq", "op", Seq("o_orderpriority"),
+          Seq("o_totalprice", "o_custkey"),
           nBaseBuckets = 4, nAggBuckets = 2)
       }
       CdcRollup.readView(s, root).get
         .select(col("o_orderpriority"), col("n"),
-          col("total").cast("double").as("total"))
+          col("total_1").cast("double").as("total_price"),
+          col("total_2").cast("double").as("total_cust"))
         .orderBy("o_orderpriority")
     }),
 
@@ -864,19 +870,21 @@ object RelationalQueries {
     // identical one-shot join over the same 20% slice — persisted
     // bucket-dir folds must also be invisible
     // the oracle derives the FINAL images semantically (update wins,
-    // deleted keys drop) and aggregates once — it never replays the
-    // folds or touches the persisted state
+    // deleted keys drop) and aggregates BOTH measures once — it never
+    // replays the folds or touches the persisted state
     "cdc_rollup_view" ->
       """WITH sliced AS (
-        |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v, o_custkey AS c
         |  FROM orders WHERE o_orderkey % 4 = 0),
         |final AS (
         |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
-        |              ELSE p END AS p, v
+        |              ELSE p END AS p, v, c
         |  FROM sliced
         |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2))
         |SELECT p AS o_orderpriority, COUNT(*) AS n,
-        |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+        |       CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS total_cust
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "incremental_join_view_bucketed" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

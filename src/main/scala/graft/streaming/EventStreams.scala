@@ -794,18 +794,30 @@ object EventStreams {
     * (shared with the `maintainView` CLI action's `cdcRollup` kind)
     * and the 11th sink of this family. Each micro-batch is one CDC
     * batch: netted within the batch, cross-batch updates/deletes
-    * retract the persisted (n, total) state exactly. Replay safety is
-    * the fold's own `_APPLIED_<batchId>` marker over COPY-ON-WRITE
+    * retract the persisted (n, total...) state exactly — EVERY
+    * `valueCols` measure in the same fold. Replay safety is the
+    * fold's own `_APPLIED_<batchId>` marker over COPY-ON-WRITE
     * versioned buckets — a restarted stream re-offering a committed
     * batch is a no-op, and a crashed batch's unmarked versions are
-    * invisible garbage its replay reaps. The fold reaps its own
-    * superseded versions, so no extra GC cadence is needed here
-    * (markers are the only accumulation; compact out-of-band). */
+    * invisible garbage its replay reaps.
+    *
+    * The fold reaps its own superseded versions, so steady state
+    * holds ~1 version per bucket — but two slower accumulations
+    * remain: batch ids a wiped checkpoint ABANDONS strand staging
+    * dirs and unmarked versions no replay ever reaps, and the
+    * per-batch `_APPLIED_<id>` markers grow one file per fold
+    * forever. Every `gcEveryBatches` batches the sink sweeps the
+    * former ([[graft.operators.CdcRollup.cleanOrphanBatchDirs]]) and
+    * folds the latter into the `_APPLIED_UPTO_` watermark
+    * ([[graft.operators.CdcRollup.foldMarkers]] — sound here because
+    * the checkpoint feeds monotone batch ids). Failure never wedges
+    * ingest: reported, not rethrown. */
   def streamingCdcRollup(events: DataFrame, pkCols: Seq[String],
                          seqCol: String, opCol: String,
-                         groupCols: Seq[String], valueCol: String,
+                         groupCols: Seq[String], valueCols: Seq[String],
                          statePath: String, checkpointDir: String,
                          nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
+                         gcEveryBatches: Int = 64,
                          /** Per-batch quality gate — see
                            * [[streamingUpsert]]'s `checks`. */
                          checks: Seq[graft.operators.DataChecks.Check] = Nil)
@@ -817,8 +829,22 @@ object EventStreams {
         graft.operators.DataChecks.assertPass(batch.toDF(), checks,
           s"streamingCdcRollup($statePath) batch $batchId")
         graft.operators.CdcRollup.foldBatch(statePath, batchId,
-          batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCol,
+          batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCols,
           nBaseBuckets, nAggBuckets)
+        if (gcEveryBatches > 0 && batchId > 0 &&
+            batchId % gcEveryBatches == 0)
+          try {
+            graft.operators.CdcRollup.cleanOrphanBatchDirs(
+              batch.sparkSession, statePath)
+            graft.operators.CdcRollup.foldMarkers(
+              batch.sparkSession, statePath)
+            ()
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] cdc-rollup GC for '$statePath' skipped: " +
+                  s"${e.getMessage}")
+          }
         () // foreachBatch wants Unit; the Boolean is marker state
       }
       .start()
@@ -881,11 +907,15 @@ object EventStreams {
           // GC cadence (the rollup sinks' r6 pattern): abandoned batch
           // ids — a crashed writer that never replays the same id —
           // strand hidden .staging<id> / unmarked d<id> dirs forever;
-          // sweep aged ones every 64 batches. Failure never wedges
+          // sweep aged ones every 64 batches, and fold aged committed
+          // markers into the `_APPLIED_UPTO_` watermark (sound here:
+          // the checkpoint feeds monotone ids). Failure never wedges
           // ingest: reported, not rethrown.
           if (batchId > 0 && batchId % 64 == 0)
             try {
               graft.operators.JoinView.cleanOrphanBatchDirs(
+                cached.sparkSession, statePath)
+              graft.operators.JoinView.foldMarkers(
                 cached.sparkSession, statePath)
               ()
             } catch {
@@ -915,6 +945,36 @@ object EventStreams {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(root, "state")
+    // Batch ids are MONOTONE — enforced loud, because the per-bucket
+    // `_APPLIED_<id>` markers are exactly-once evidence only until a
+    // LATER fold rewrites the bucket (the swap replaces the bucket dir,
+    // markers included). Replaying an older id after that would
+    // re-fold it into the state silently. The streaming checkpoint is
+    // monotone by construction; this guards the CLI/library entry
+    // points. `_LAST_BATCH` advances via temp+rename AFTER each
+    // commit, so a crash before the advance just re-allows the same
+    // id — whose surviving per-bucket markers still discriminate.
+    val lastBatch = readLastBatch(fs, root)
+    lastBatch.filter(batchId < _).foreach { last =>
+      throw new graft.model.UserException(
+        s"rollup state $statePath: batch $batchId is below the last " +
+          s"committed batch $last — a bucket rewritten by a later fold " +
+          "drops the older batch's per-bucket marker, so an old id " +
+          "cannot be replayed exactly-once; feed batch ids in " +
+          "increasing order")
+    }
+    def advanceLastBatch(): Unit =
+      if (lastBatch.forall(batchId > _)) {
+        val tmp = new Path(root,
+          s"_LAST_BATCH_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        val dst = new Path(root, "_LAST_BATCH")
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(
+            s"could not advance _LAST_BATCH at $root")
+      }
     // The bucket function is part of the PERSISTED layout: a changed
     // nBuckets (or key set/order) re-hashes keys into different
     // buckets, and a partial rewrite under the new function would
@@ -955,10 +1015,10 @@ object EventStreams {
       // the batch's distinct buckets: ≤ nBuckets values, safe to collect
       val touched = partial.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
-      if (touched.isEmpty) return Nil
+      if (touched.isEmpty) { advanceLastBatch(); return Nil }
       var pending = touched.filterNot(b =>
         fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
-      if (pending.isEmpty) return Nil
+      if (pending.isEmpty) { advanceLastBatch(); return Nil }
       // Stranded-stage triage for buckets missing from the state:
       //  - the stranded bucket carries THIS batch's marker → it is the
       //    replayed batch's own completed fold whose swap crashed;
@@ -991,7 +1051,7 @@ object EventStreams {
           case None => true // genuine first write of this bucket
         }
       }
-      if (pending.isEmpty) return recovered.result()
+      if (pending.isEmpty) { advanceLastBatch(); return recovered.result() }
       val pendingCols = pending.map(b => lit(b): Column)
       val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
       val havePrior = pending.exists(b =>
@@ -1017,8 +1077,26 @@ object EventStreams {
         graft.app.SwapGuard.swapChildren(fs, stage, cur,
           pending.map(b => s"bucket=$b"))
       }
+      advanceLastBatch()
       recovered.result() ++ pending
     } finally partial.unpersist()
+  }
+
+  /** Highest committed batch id of a bucketed rollup state — absent on
+    * pre-guard states (they stay foldable; the first new fold writes
+    * it). */
+  private[graft] def readLastBatch(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path)
+      : Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val f = new Path(root, "_LAST_BATCH")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.toLongOption
+    }
   }
 
   /** Compact a long-lived bucketed rollup state into a FRESH root —

@@ -1491,7 +1491,7 @@ class AppSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/in/c0")
     CdcRollup.foldBatch(s"$dir/cstate", 0L,
       spark.read.parquet(s"$dir/in/c0"), Seq("id"), "seq", "op",
-      Seq("grp"), "v", 4, 2) shouldBe true
+      Seq("grp"), Seq("v"), 4, 2) shouldBe true
     exportConfig("cstate", "out/cv")
     Main.execute(spark, sink, dir)._1 shouldBe 0
     rows(spark.read.parquet(s"$dir/out/cv")
@@ -1504,6 +1504,11 @@ class AppSpec extends SparkSpec {
     exportConfig("in", "out/bad")
     Main.execute(spark, sink, dir)._1 shouldBe 1
     exportConfig("cstate", "out/bad", layer = "nope")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // layer:"base" against a NON-cdcRollup state refuses loud — a
+    // silent view export would let the user believe they got SCD1
+    // images (r12 advice): join state here
+    exportConfig("state", "out/bad2", layer = "base")
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
@@ -1563,6 +1568,126 @@ class AppSpec extends SparkSpec {
     rows(CdcRollup.readView(spark, s"$dir/cdcstate_v2").get
       .select(col("grp"), col("n"), col("total").cast("double"))) shouldBe
       Seq(Seq("b", 1L, 11.0))
+  }
+
+  test("maintainView cdcRollup with valueColumns: TWO measures fold " +
+      "in one pass through the config idiom; valueColumn+valueColumns " +
+      "together refuse at parse; status reports the state") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewcdcm").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(batchId: Int, measures: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "cdcRollup", "statePath": "mstate",
+           |  "batchId": $batchId,
+           |  "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+           |  "keys": ["grp"], $measures,
+           |  "nBaseBuckets": 4, "nAggBuckets": 2,
+           |  "delta": {"input": "in/m$batchId"}
+           |}}}""".stripMargin)
+    Seq((1L, "a", 10.0, 2.0, 1L, "I"), (2L, "a", 20.0, 3.0, 1L, "I"))
+      .toDF("id", "grp", "v", "w", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/m0")
+    cfg(0, """"valueColumns": ["v", "w"]""")
+    val (c0, o0) = Main.execute(spark, sink, dir)
+    withClue(o0) { c0 shouldBe 0 }
+    // cross-batch group-moving update retracts BOTH measures
+    Seq((2L, "b", 25.0, 7.0, 2L, "U"))
+      .toDF("id", "grp", "v", "w", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/m1")
+    cfg(1, """"valueColumns": ["v", "w"]""")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    rows(CdcRollup.readView(spark, s"$dir/mstate")
+      .get.select(col("grp"), col("n"),
+        col("total_1").cast("double"), col("total_2").cast("double"))
+      .orderBy("grp")) shouldBe
+      Seq(Seq("a", 1L, 10.0, 2.0), Seq("b", 1L, 25.0, 7.0))
+    // both measure keys at once: ambiguous, refused at parse
+    cfg(2, """"valueColumn": "v", "valueColumns": ["v", "w"]""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // a measure listed twice: refused at parse
+    cfg(2, """"valueColumns": ["v", "v"]""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // status on the cdcRollup family: layers, batches, view rows
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "status", "statePath": "mstate"
+        |}}}""".stripMargin)
+    val (cs, os) = Main.execute(spark, sink, dir)
+    withClue(os) { cs shouldBe 0 }
+    os.get should include(""""family":"cdcRollup"""")
+    os.get should include(""""batches":{"committed":2,"max":1,"watermark":null}""")
+    os.get should include(""""view_rows":2""")
+    os.get should include(""""base":{"buckets":""")
+  }
+
+  test("maintainView rollup: a batch id below the committed frontier " +
+      "refuses loud (stale-id replay cannot be verified exactly-once " +
+      "once later folds rewrote the bucket); status reports the " +
+      "rollup family") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewmono").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(batchId: Int): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "rollup", "statePath": "rstate", "batchId": $batchId,
+           |  "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+           |  "delta": {"input": "in/d$batchId"}
+           |}}}""".stripMargin)
+    // batches 3 then 7 touch the SAME group key — batch 7's swap
+    // rewrites the bucket and drops batch 3's per-bucket marker, so a
+    // later replay of 3 would double-fold silently without the guard
+    for (b <- Seq(3, 7)) {
+      Seq((1L, b.toDouble)).toDF("g", "v")
+        .write.mode("overwrite").parquet(s"$dir/in/d$b")
+      cfg(b)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    cfg(3) // stale replay: refused, state untouched
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    val st = spark.read.parquet(s"$dir/rstate/state").drop("bucket")
+    graft.operators.IncrementalAgg.finalizeState(st, Seq("g"))
+      .head.getAs[Double]("total") shouldBe 10.0
+    // replay of the FRONTIER id stays the quiet per-bucket no-op
+    cfg(7)
+    val (c7, o7) = Main.execute(spark, sink, dir)
+    withClue(o7) { c7 shouldBe 0 }
+    o7.get should include(""""applied":false""")
+    // status on the rollup family: bucket count + last_batch
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "status", "statePath": "rstate"
+        |}}}""".stripMargin)
+    val (cs, os) = Main.execute(spark, sink, dir)
+    withClue(os) { cs shouldBe 0 }
+    os.get should include(""""family":"rollup"""")
+    os.get should include(""""last_batch":7""")
+    os.get should include(""""view_rows":1""")
+  }
+
+  test("maintainView CSV delta: a header whose column ORDER drifts " +
+      "from items[] refuses loud (positional mapping would silently " +
+      "mis-map same-typed columns)") {
+    val dir = Files.createTempDirectory("graft-viewhdr").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/d0.csv"))
+    // two bigint-castable columns SWAPPED vs the declaration: every
+    // value passes the strict cast — only the header check catches it
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/d0.csv/part.csv"),
+      "v,g\n10,1\n20,2\n")
+    csvRollupConfig(dir, 0, rollupItems)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // matching order folds clean
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/d0.csv/part.csv"),
+      "g,v\n1,10\n2,20\n")
+    csvRollupConfig(dir, 0, rollupItems)
+    val (c, o) = Main.execute(spark, sink, dir)
+    withClue(o) { c shouldBe 0 }
   }
 
   test("maintainView compact: both view kinds compact through the " +

@@ -19,7 +19,7 @@ class CdcRollupSpec extends SparkSpec {
 
   private def fold(root: String, id: Long, d: DataFrame): Boolean =
     CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
-      Seq("grp"), "v", nBaseBuckets = 4, nAggBuckets = 2)
+      Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2)
 
   private def view(root: String): Map[String, (Long, Double)] =
     CdcRollup.readView(spark, root).map(_.collect().map(r =>
@@ -118,7 +118,7 @@ class CdcRollupSpec extends SparkSpec {
     intercept[Exception] {
       CdcRollup.foldBatch(root, 2L,
         Seq((4L, "a", "x", 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
-        Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2)
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2)
     }.getMessage.toLowerCase should include("layout")
     // changed bucket count: refuse loud (re-shard via compact)
     intercept[Exception] {
@@ -130,7 +130,7 @@ class CdcRollupSpec extends SparkSpec {
     view(fresh) shouldBe view(root)
     // folds continue against the fresh root with its new layout
     CdcRollup.foldBatch(fresh, 1L, log((1L, "a", 0.0, 9L, "D")),
-      Seq("id"), "seq", "op", Seq("grp"), "v",
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"),
       nBaseBuckets = 2, nAggBuckets = 1) shouldBe true
     view(fresh) shouldBe Map("b" -> ((2L, 5.0)))
     // compacting into an occupied root refuses
@@ -141,7 +141,7 @@ class CdcRollupSpec extends SparkSpec {
 
   private def fold2(root: String, id: Long, d: DataFrame): Boolean =
     CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
-      Seq("grp"), "v", nBaseBuckets = 8, nAggBuckets = 2)
+      Seq("grp"), Seq("v"), nBaseBuckets = 8, nAggBuckets = 2)
 
   test("NULL group values merge as ONE group across folds (null-safe " +
       "state merge); NULL pk components refuse loud; reserved payload " +
@@ -151,7 +151,7 @@ class CdcRollupSpec extends SparkSpec {
       rows.toDF("id", "grp", "v", "seq", "op")
     def nfold(id: Long, d: DataFrame) =
       CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
-        Seq("grp"), "v", 4, 2)
+        Seq("grp"), Seq("v"), 4, 2)
     // batch 0 inserts a NULL-group row; batch 1 adds another and
     // updates the first — a join-based merge that treats null != null
     // would split the NULL group into never-merging state rows
@@ -169,7 +169,7 @@ class CdcRollupSpec extends SparkSpec {
       CdcRollup.foldBatch(root, 2L,
         Seq((Option.empty[java.lang.Long], "a", 1.0, 1L, "I"))
           .toDF("id", "grp", "v", "seq", "op"),
-        Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2)
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2)
     }
     e.getMessage should include("NULL in a pk column")
     // payload columns colliding with state/staging names refuse
@@ -177,7 +177,7 @@ class CdcRollupSpec extends SparkSpec {
       CdcRollup.foldBatch(tmpRoot(), 0L,
         Seq((1L, "a", 1.0, 7L, 1L, "I"))
           .toDF("id", "grp", "v", "n", "seq", "op"),
-        Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2)
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2)
     }
     e2.getMessage should include("collide")
   }
@@ -215,6 +215,163 @@ class CdcRollupSpec extends SparkSpec {
     b1(s"bucket=${bucketOf(fresh)}") should contain("v1")
     view(root) shouldBe Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0)),
       "c" -> ((1L, 3.0)))
+  }
+
+  test("multi-measure state: TWO measures fold in ONE pass — " +
+      "group-moving update and delete retract both exactly; state " +
+      "columns are (n, total_1, total_2)") {
+    val root = tmpRoot()
+    def mlog(rows: (Long, String, Double, Double, Long, String)*) =
+      rows.toDF("id", "grp", "v", "w", "seq", "op")
+    def mfold(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v", "w"), 4, 2)
+    def mview(): Map[String, (Long, Double, Double)] =
+      CdcRollup.readView(spark, root).map(_.collect().map(r =>
+        r.getAs[String]("grp") -> ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("total_1").doubleValue(),
+          r.getAs[java.math.BigDecimal]("total_2").doubleValue()))).toMap)
+        .getOrElse(Map.empty)
+    mfold(0L, mlog((1L, "a", 10.0, 1.0, 1L, "I"),
+      (2L, "a", 20.0, 2.0, 1L, "I"),
+      (3L, "b", 30.0, 0.5, 1L, "I"))) shouldBe true
+    mview() shouldBe Map("a" -> ((2L, 30.0, 3.0)), "b" -> ((1L, 30.0, 0.5)))
+    // group-moving update retracts BOTH measures at the old group and
+    // inserts both at the new; adversarial double for the second
+    // measure (decimal state stays exact under retraction)
+    mfold(1L, mlog((2L, "b", 25.0, 1e15, 2L, "U"))) shouldBe true
+    mview() shouldBe Map("a" -> ((1L, 10.0, 1.0)),
+      "b" -> ((2L, 55.0, 1e15 + 0.5)))
+    mfold(2L, mlog((2L, "b", 0.0, 0.0, 3L, "D"))) shouldBe true
+    mview() shouldBe Map("a" -> ((1L, 10.0, 1.0)), "b" -> ((1L, 30.0, 0.5)))
+    // declaring a different measure set against the pinned state
+    // refuses loud (the layout pin carries valueCols)
+    intercept[Exception] {
+      CdcRollup.foldBatch(root, 3L,
+        mlog((9L, "c", 1.0, 1.0, 1L, "I")).withColumnRenamed("w", "w2"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v", "w2"), 4, 2)
+    }.getMessage.toLowerCase should include("layout")
+    // duplicate measures refuse
+    intercept[IllegalArgumentException] {
+      CdcRollup.foldBatch(tmpRoot(), 0L, mlog((1L, "a", 1.0, 1.0, 1L, "I")),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v", "v"), 4, 2)
+    }.getMessage should include("duplicate")
+  }
+
+  test("batch ids are monotone: an UNCOMMITTED id below the committed " +
+      "frontier refuses loud (its versions would be invisible); a " +
+      "COMMITTED id stays a quiet no-op") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    fold(root, 5L, log((2L, "a", 2.0, 1L, "I"))) shouldBe true
+    // id 3 never committed and the frontier is 5: loud refusal, state
+    // untouched — a silent success would vanish the batch's effect
+    val e = intercept[IllegalArgumentException] {
+      fold(root, 3L, log((3L, "a", 3.0, 1L, "I")))
+    }
+    e.getMessage should include("out of order")
+    view(root) shouldBe Map("a" -> ((2L, 3.0)))
+    // replay of committed id 0: quiet no-op, the scheduler idiom
+    fold(root, 0L, log((9L, "z", 9.0, 1L, "I"))) shouldBe false
+    view(root) shouldBe Map("a" -> ((2L, 3.0)))
+  }
+
+  test("cleanOrphanBatchDirs: abandoned staging and uncommitted " +
+      "versions below the frontier go regardless of age; fresh " +
+      "in-flight staging above the frontier survives; committed " +
+      "state is untouched and reads byte-identically") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"),
+      (2L, "b", 2.0, 1L, "I"))) shouldBe true
+    fold(root, 4L, log((3L, "b", 3.0, 1L, "I"))) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    // abandoned id 2 (below frontier 4): staging + an unmarked version
+    fs.mkdirs(p("base/.staging2"))
+    val bucket = fs.listStatus(p("agg")).head.getPath
+    Seq(("zz", 7L)).toDF("grp", "n").write
+      .parquet(new org.apache.hadoop.fs.Path(bucket, "v2").toString)
+    // in-flight id 9 (above frontier, fresh): must survive the sweep
+    fs.mkdirs(p("base/.staging9"))
+    val before = view(root)
+    val swept = CdcRollup.cleanOrphanBatchDirs(spark, root)
+    swept.exists(_.endsWith("base/.staging2")) shouldBe true
+    swept.exists(_.endsWith("/v2")) shouldBe true
+    swept.exists(_.endsWith("base/.staging9")) shouldBe false
+    fs.exists(p("base/.staging9")) shouldBe true
+    // aged in-flight staging above the frontier goes too
+    CdcRollup.cleanOrphanBatchDirs(spark, root, olderThanMs = 0L)
+      .exists(_.endsWith("base/.staging9")) shouldBe true
+    view(root) shouldBe before
+  }
+
+  test("foldMarkers: per-batch markers collapse into _APPLIED_UPTO_; " +
+      "replay of a subsumed id is a no-op, readers resolve versions " +
+      "identically, uncommitted garbage below the frontier is swept, " +
+      "and later folds continue") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((2L, "b", 2.0, 1L, "I"))) shouldBe true
+    fold(root, 2L, log((1L, "a", 1.5, 2L, "U"))) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // plant crash garbage of an abandoned id below the frontier: the
+    // fold must sweep it BEFORE the watermark exists, else the
+    // watermark would legitimize it as committed state
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(root, "agg"))
+      .head.getPath
+    Seq(("zz", 7L)).toDF("grp", "n").write
+      .parquet(new org.apache.hadoop.fs.Path(bucket, "v1").toString)
+    val before = view(root)
+    CdcRollup.foldMarkers(spark, root) shouldBe Some(2L)
+    def rootNames() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
+    rootNames() should contain("_APPLIED_UPTO_2")
+    rootNames().filter(_.matches("_APPLIED_\\d+")) shouldBe empty
+    // readers resolve identically through the watermark
+    view(root) shouldBe before
+    // replay of a subsumed id: quiet no-op, nothing re-folds
+    fold(root, 1L, log((9L, "z", 9.0, 1L, "I"))) shouldBe false
+    view(root) shouldBe before
+    // and the stream continues: a fresh id folds normally, then a
+    // second marker fold advances the watermark
+    fold(root, 3L, log((3L, "c", 3.0, 1L, "I"))) shouldBe true
+    view(root) shouldBe (before + ("c" -> ((1L, 3.0))))
+    CdcRollup.foldMarkers(spark, root) shouldBe Some(3L)
+    rootNames() should contain("_APPLIED_UPTO_3")
+    rootNames() should not contain "_APPLIED_UPTO_2"
+    view(root) shouldBe (before + ("c" -> ((1L, 3.0))))
+  }
+
+  test("compactStateTo retry after a crash that pinned the fresh root " +
+      "but committed nothing: reclaimed, not refused") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"),
+      (2L, "b", 2.0, 1L, "I"))) shouldBe true
+    val fresh = root + "_v2"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the crash window: pin written, layers half-staged, no
+    // marker — exactly what a kill between pinLayout and _APPLIED_0
+    // leaves behind
+    graft.sources.PartitionedStore.pinLayout(fs,
+      new org.apache.hadoop.fs.Path(fresh), fresh,
+      "cdcRollup|stale|stale|stale|stale|9|9")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fresh, "base/bucket=0/v0"))
+    CdcRollup.compactStateTo(spark, root, fresh,
+      nBaseBuckets = 2, nAggBuckets = 1) shouldBe 2L
+    view(fresh) shouldBe view(root)
+    // a COMMITTED fresh root still refuses
+    intercept[IllegalArgumentException] {
+      CdcRollup.compactStateTo(spark, root, fresh, 2, 1)
+    }.getMessage should include("already holds a state")
+    // a non-empty, non-view directory refuses rather than wiping it
+    val occupied = tmpRoot()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(occupied, "somedata"))
+    intercept[IllegalArgumentException] {
+      CdcRollup.compactStateTo(spark, root, occupied, 2, 1)
+    }.getMessage should include("not empty")
   }
 
   test("bucket versions stay bounded: superseded versions are reaped " +

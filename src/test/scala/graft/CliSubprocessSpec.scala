@@ -272,5 +272,24 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     r4.stdout should include(""""view":"export"""")
     r4.stdout should include(""""rows":2""")
     r4.stdout should include(""""output":""")
+    // status: the ops face — pin, committed batches, per-layer dir
+    // counts, view rows; pure listings + one count, fold-free
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "status", "statePath": "state_v2"
+        |}}}""".stripMargin)
+    val r5 = runCli(dir)
+    withClue(s"stderr: ${r5.stderr}") { r5.code shouldBe 0 }
+    r5.stdout should include(""""view":"status"""")
+    r5.stdout should include(""""family":"join"""")
+    r5.stdout should include(""""batches":{"committed":1,"max":0,"watermark":null}""")
+    r5.stdout should include(""""view":{"batch_dirs":1,"orphan_candidates":0}""")
+    r5.stdout should include(""""view_rows":2""")
+    // status of a non-view path: user error, exit 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "status", "statePath": "in"
+        |}}}""".stripMargin)
+    runCli(dir).code shouldBe 1
   }
 }

@@ -211,6 +211,83 @@ class JoinViewSpec extends SparkSpec {
     JoinView.readCommittedView(spark, root).get.count() shouldBe 2L
   }
 
+  test("foldMarkers: aged committed markers collapse into " +
+      "_APPLIED_UPTO_; readers resolve the same view, replay of a " +
+      "subsumed id is a no-op, uncommitted dirs below the watermark " +
+      "are swept, later folds continue") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jvfm")
+      .toString + "/state"
+    (0 until 3).foreach { i =>
+      JoinView.foldBatchDirs(root, i.toLong, "k",
+        Seq((i.toLong, 1.0)).toDF("k", "price"),
+        Seq((i.toLong, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k"))
+    // crash garbage of abandoned id 1 (below the frontier): after the
+    // fold it would read as committed — must be swept first
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_APPLIED_1"), false)
+    // fresh markers (24h gate): nothing folds yet
+    JoinView.foldMarkers(spark, root) shouldBe None
+    // gate at 0: markers 0 and 2 fold to _APPLIED_UPTO_2, the
+    // abandoned d1 dirs go with them
+    JoinView.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(2L)
+    def rootNames() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
+    rootNames() should contain("_APPLIED_UPTO_2")
+    rootNames().filter(_.matches("_APPLIED_\\d+")) shouldBe empty
+    fs.exists(new org.apache.hadoop.fs.Path(root, "view/d1")) shouldBe false
+    rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k")) shouldBe before.filterNot(_.head == 1L)
+    // replay of a subsumed id: quiet no-op — in particular it must NOT
+    // run the reap-at-entry path that deletes the id's live dirs
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((9L, 9.0)).toDF("k", "price"),
+      Seq((9L, 9.0)).toDF("k", "qty"), nBuckets = 4) shouldBe false
+    rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k")) shouldBe before.filterNot(_.head == 1L)
+    // the stream continues past the watermark
+    JoinView.foldBatchDirs(root, 3L, "k",
+      Seq((3L, 1.0)).toDF("k", "price"),
+      Seq((3L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.readCommittedView(spark, root).get.count() shouldBe 3L
+    // a second fold advances and replaces the old watermark
+    JoinView.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(3L)
+    rootNames() should contain("_APPLIED_UPTO_3")
+    rootNames() should not contain "_APPLIED_UPTO_2"
+    JoinView.readCommittedView(spark, root).get.count() shouldBe 3L
+  }
+
+  test("compactStateTo retry after a crash that pinned the fresh root " +
+      "but committed nothing: reclaimed, not refused; a non-empty " +
+      "foreign dir refuses") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-jvcr")
+      .toString
+    val root = s"$base/state"; val fresh = s"$base/fresh"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the crash window: pin written, a side half-staged, no marker
+    graft.sources.PartitionedStore.pinLayout(fs,
+      new org.apache.hadoop.fs.Path(fresh), fresh, "join|stale|s|s|9")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fresh, "a/d0"))
+    JoinView.compactStateTo(spark, root, fresh, nBuckets = 4) shouldBe 1L
+    rows(JoinView.readCommittedView(spark, fresh).get) shouldBe
+      Seq(Seq(1L, 1.0, 2.0))
+    // a non-view, non-empty target refuses rather than being wiped
+    val occupied = s"$base/occupied"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(occupied, "somedata"))
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, occupied, nBuckets = 4)
+    }.getMessage should include("not empty")
+  }
+
   test("directory fold: type drift refuses loud (xxhash64 buckets are " +
       "type-sensitive); a pre-type names-only pin migrates in place") {
     import spark.implicits._

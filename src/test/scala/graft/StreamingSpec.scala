@@ -1575,7 +1575,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Double, Long, String)]
     val df = input.toDF().toDF("id", "grp", "v", "seq", "op")
     def run() = EventStreams.streamingCdcRollup(df, Seq("id"), "seq",
-      "op", Seq("grp"), "v", statePath, s"$base/ckpt",
+      "op", Seq("grp"), Seq("v"), statePath, s"$base/ckpt",
       nBaseBuckets = 4, nAggBuckets = 2)
     val q = run()
     def view(): Map[String, (Long, Double)] =
@@ -1595,7 +1595,7 @@ class StreamingSpec extends SparkSpec {
     // a replayed committed batch id through the SHARED fold: no-op
     CdcRollup.foldBatch(statePath, 1L,
       Seq((9L, "z", 99.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
-      Seq("id"), "seq", "op", Seq("grp"), "v", 4, 2) shouldBe false
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2) shouldBe false
     view() shouldBe Map("b" -> ((1L, 11.0)))
     // restart from the checkpoint: state unchanged, new data folds
     val q2 = run()
