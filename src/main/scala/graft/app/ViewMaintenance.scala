@@ -120,6 +120,42 @@ object ViewMaintenance {
         val root = resolve(st.statePath, dataDir)
         Report(st.kind, applied = false,
           detail = Some(statusJson(spark, root)))
+      case g: GcViewConfig =>
+        val root = resolve(g.statePath, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView gc: no layout pin under $root — not a " +
+              "view state"))
+        val ms = g.olderThanHours.map(_ * 3600L * 1000)
+          .getOrElse(24L * 3600 * 1000)
+        val (deleted, watermark) =
+          if (pin.startsWith("join|"))
+            (JoinView.cleanOrphanBatchDirs(spark, root, ms),
+              if (g.foldMarkers) JoinView.foldMarkers(spark, root, ms)
+              else None)
+          else if (pin.startsWith("cdcRollup|"))
+            (graft.operators.CdcRollup.cleanOrphanBatchDirs(spark, root, ms),
+              if (g.foldMarkers)
+                graft.operators.CdcRollup.foldMarkers(spark, root)
+              else None)
+          else {
+            // rollup: stranded state__stage_* shells are the only
+            // abandoned-batch garbage; per-bucket markers never
+            // accrete (the swap replaces them), so there is nothing
+            // to fold — refuse the flag rather than ignore it
+            if (g.foldMarkers) throw new UserException(
+              "maintainView gc: foldMarkers does not apply to rollup " +
+                "states — their per-bucket markers are part of the " +
+                "swap protocol and never accrete")
+            (graft.operators.Maintenance.cleanTableOrphanStages(
+              spark, s"$root/state", ms), None)
+          }
+        Report(g.kind, applied = deleted.nonEmpty || watermark.nonEmpty,
+          rows = Some(deleted.size.toLong),
+          detail = Some(s"""{"deleted":${deleted.size},"watermark":""" +
+            s"""${watermark.map(_.toString).getOrElse("null")}}"""))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
         // config shape for both view families; a path that is not a

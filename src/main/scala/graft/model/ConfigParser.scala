@@ -92,6 +92,12 @@ object ConfigParser {
           output = req(v, "output").asText, layer = layer)
       case "status" =>
         StatusViewConfig(statePath)
+      case "gc" =>
+        val hours = opt(v, "olderThanHours").map(_.asInt)
+        if (hours.exists(_ < 0))
+          throw new UserException("view.olderThanHours must be >= 0")
+        GcViewConfig(statePath, olderThanHours = hours,
+          foldMarkers = opt(v, "foldMarkers").exists(_.asBoolean))
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
         if (nBuckets.exists(_ < 1))

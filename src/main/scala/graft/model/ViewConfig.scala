@@ -131,6 +131,32 @@ final case class StatusViewConfig(statePath: String) extends ViewConfig {
   val kind = "status"
 }
 
+/** Sweep a view state's ABANDONED-batch garbage through the CLI — the
+  * write face of `status`'s orphan-candidates report and the same
+  * sweep the streaming sinks run on their GC cadence, reachable for
+  * CLI-driven views (whose schedulers are exactly where abandoned
+  * batch ids come from). Pin-dispatched: join →
+  * [[graft.operators.JoinView.cleanOrphanBatchDirs]], cdcRollup →
+  * [[graft.operators.CdcRollup.cleanOrphanBatchDirs]], rollup →
+  * [[graft.operators.Maintenance.cleanTableOrphanStages]] over the
+  * state table. `olderThanHours` tightens/loosens the age gate
+  * (default 24 h — an in-flight writer's fresh staging survives).
+  *
+  * `foldMarkers: true` additionally collapses committed per-batch
+  * markers into the `_APPLIED_UPTO_` watermark (join/cdcRollup only —
+  * rollup's per-bucket markers are part of the swap protocol and
+  * never accrete). Opt-in because the fold turns a subsumed id's
+  * replay into a quiet no-op: always sound for cdcRollup (monotone
+  * ids are enforced by the fold), sound for join ONLY under the
+  * monotone single-writer discipline the streaming sink guarantees —
+  * a CLI user folding ids out of order must leave it off. */
+final case class GcViewConfig(statePath: String,
+                              olderThanHours: Option[Int] = None,
+                              foldMarkers: Boolean = false)
+    extends ViewConfig {
+  val kind = "gc"
+}
+
 /** Out-of-band state compaction — the maintenance both fold protocols
   * prescribe in their ops notes, reachable through the same CLI
   * action. The view KIND is auto-detected from the state's own layout

@@ -79,6 +79,11 @@ import org.apache.spark.sql.functions._
   * hidden); `n` can therefore never go negative and a group at n = 0
   * drops out of the view. Payload columns may not collide with the
   * state/staging namespace (`n`, the total names, `__`-prefixed).
+  * NULL measure values contribute nothing to their total (SUM
+  * semantics) while `n` counts ROWS — for a per-measure average over
+  * a NULLable feed, add a 0/1 indicator column upstream as another
+  * measure (`when(col(v).isNotNull, 1).otherwise(0)`): its total IS
+  * the non-NULL count, folded by the same invertible arithmetic.
   */
 object CdcRollup {
 
@@ -308,6 +313,12 @@ object CdcRollup {
     val deleted = Seq.newBuilder[String]
     def dead(id: Long, mtime: Long): Boolean =
       !markers.committed(id) && (id <= frontier || mtime <= cutoff)
+    // a staging shell is garbage as soon as its id can never promote
+    // again: committed (the promote already ran and a replay no-ops
+    // first) or at/below the frontier (monotone refusal); above the
+    // frontier and uncommitted it may be the in-flight fold — age gate
+    def deadStaging(id: Long, mtime: Long): Boolean =
+      markers.committed(id) || id <= frontier || mtime <= cutoff
     for (layer <- Seq("base", "agg")) {
       val dir = new Path(rootPath, layer)
       if (fs.exists(dir)) fs.listStatus(dir).toSeq
@@ -315,7 +326,7 @@ object CdcRollup {
           val name = st.getPath.getName
           if (name.startsWith(".staging"))
             name.stripPrefix(".staging").toLongOption.foreach { id =>
-              if (dead(id, st.getModificationTime)) {
+              if (deadStaging(id, st.getModificationTime)) {
                 fs.delete(st.getPath, true)
                 deleted += st.getPath.toString
               }

@@ -1623,6 +1623,69 @@ class AppSpec extends SparkSpec {
     os.get should include(""""base":{"buckets":""")
   }
 
+  test("maintainView gc: sweeps abandoned staging/unmarked versions " +
+      "and (opt-in) folds markers into the watermark; status reflects " +
+      "it; foldMarkers on a rollup state refuses") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewgc").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val root = s"$dir/gstate"
+    (0 until 2).foreach { i =>
+      CdcRollup.foldBatch(root, i.toLong,
+        Seq((i.toLong + 1, "a", 10.0, 1L, "I"))
+          .toDF("id", "grp", "v", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2) shouldBe true
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a fresh staging above the frontier — could be in-flight, so the
+    // default 24h gate must leave it; a 0h gate declares it abandoned
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "base/.staging5"))
+    def viewRows() = rows(CdcRollup.readView(spark, root).get
+      .select(col("grp"), col("n"), col("total").cast("double")))
+    val before = viewRows()
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    // status sees the orphan candidate
+    cfg("""{"kind": "status", "statePath": "gstate"}""")
+    val (_, os) = Main.execute(spark, sink, dir)
+    os.get should include(""""orphan_candidates":1""")
+    // gc with the default 24h gate sweeps nothing fresh...
+    cfg("""{"kind": "gc", "statePath": "gstate"}""")
+    val (c1, o1) = Main.execute(spark, sink, dir)
+    withClue(o1) { c1 shouldBe 0 }
+    o1.get should include(""""deleted":0""")
+    // ...at 0 hours it goes, and foldMarkers collapses the markers
+    cfg("""{"kind": "gc", "statePath": "gstate",
+          | "olderThanHours": 0, "foldMarkers": true}""".stripMargin)
+    val (c2, o2) = Main.execute(spark, sink, dir)
+    withClue(o2) { c2 shouldBe 0 }
+    o2.get should include(""""deleted":1""")
+    o2.get should include(""""watermark":1""")
+    viewRows() shouldBe before
+    cfg("""{"kind": "status", "statePath": "gstate"}""")
+    val (_, os2) = Main.execute(spark, sink, dir)
+    os2.get should include(""""batches":{"committed":0,"max":1,"watermark":1}""")
+    os2.get shouldNot include(""""orphan_candidates":1""")
+    // rollup states refuse the foldMarkers flag (nothing accretes)
+    Seq((1L, 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/r0")
+    cfg("""{"kind": "rollup", "statePath": "rst", "batchId": 0,
+          | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+          | "delta": {"input": "in/r0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "gc", "statePath": "rst", "foldMarkers": true}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "gc", "statePath": "rst", "olderThanHours": 0}""")
+    val (c3, o3) = Main.execute(spark, sink, dir)
+    withClue(o3) { c3 shouldBe 0 }
+    // negative gate refuses at parse
+    cfg("""{"kind": "gc", "statePath": "rst", "olderThanHours": -1}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("maintainView rollup: a batch id below the committed frontier " +
       "refuses loud (stale-id replay cannot be verified exactly-once " +
       "once later folds rewrote the bucket); status reports the " +
