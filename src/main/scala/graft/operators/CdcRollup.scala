@@ -280,6 +280,60 @@ object CdcRollup {
       BatchMarkers.read(fs, rootPath))
   }
 
+  /** Bucket-pruned POINT LOOKUP into the SCD1 base — the serving
+    * path: reads ONLY the bucket dirs the requested keys hash into
+    * (O(touched buckets) IO, never a base scan), then semi-joins the
+    * keys. `keys` must carry exactly the pinned pk columns WITH the
+    * pinned types — xxhash64 is type-sensitive, so a drifted lookup
+    * frame would probe the wrong buckets and silently miss every
+    * match; it refuses instead. NULL key components refuse for the
+    * same reason the fold refuses them (never matchable). The touched-
+    * bucket probe collects ≤ nBaseBuckets rows regardless of how many
+    * keys are asked. None before the first commit. */
+  def lookupBase(spark: SparkSession, root: String,
+                 keys: DataFrame): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"lookupBase: no layout pin under $root — not a cdcRollup state"))
+    val parts = pin.split('|')
+    require(parts.length == 7 && parts(0) == "cdcRollup",
+      s"lookupBase: unrecognized layout pin '$pin' under $root")
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
+      case Array(n, t) => dec(n) -> dec(t)
+    }.toMap
+    val pkCols = parts(2).split(',').toSeq.map(dec)
+    val nBaseBuckets = parts(5).toInt
+    require(keys.columns.sorted.toSeq == pkCols.sorted,
+      s"lookupBase: the key frame must carry exactly the pinned pk " +
+        s"columns (${pkCols.mkString(", ")}), got " +
+        s"(${keys.columns.mkString(", ")}) — project upstream")
+    pkCols.foreach { c =>
+      val got = keys.schema(c).dataType.catalogString
+      require(typed.get(c).contains(got),
+        s"lookupBase: key column '$c' is $got but the state pinned " +
+          s"${typed.getOrElse(c, "?")} — xxhash64 bucketing is " +
+          "type-sensitive, a drifted lookup would probe the wrong " +
+          "buckets and miss silently; cast to the pinned type")
+    }
+    val probe = keys.distinct().persist()
+    try {
+      require(probe.filter(pkCols.map(col(_).isNull).reduce(_ || _))
+          .isEmpty,
+        "lookupBase: NULL in a pk column — a NULL key can never match")
+      val bucketOf = pmod(xxhash64(pkCols.map(col): _*),
+        lit(nBaseBuckets)).cast("int")
+      val touched = probe.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      readLatest(spark, fs, rootPath, "base", Some(touched),
+        BatchMarkers.read(fs, rootPath))
+        .map(_.join(probe, pkCols, "left_semi"))
+    } finally { probe.unpersist(); () }
+  }
+
   /** Reap ABANDONED batch garbage — the CDC sibling of
     * [[JoinView.cleanOrphanBatchDirs]] and the streaming sink's GC
     * cadence hook. A batch's replay reaps its OWN id's garbage, but an

@@ -332,6 +332,63 @@ object JoinView {
     }
   }
 
+  /** Bucket-pruned POINT LOOKUP into the maintained view — the
+    * serving path: reads ONLY the `__bucket=` leaves the requested
+    * keys hash into across the committed batch dirs (O(touched
+    * buckets) IO, never a view scan), then semi-joins the keys.
+    * `keys` must carry exactly the pinned join key WITH its pinned
+    * type — xxhash64 is type-sensitive, so a drifted lookup frame
+    * would probe the wrong buckets and silently miss every match; it
+    * refuses instead. NULL keys refuse (never matchable — an inner
+    * join never emitted them). None before the first commit. */
+  def lookupView(spark: SparkSession, root: String,
+                 keys: DataFrame): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"lookupView: no layout pin under $root — not a join-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 5 && parts(0) == "join",
+      s"lookupView: unrecognized layout pin '$pin' under $root")
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val key = dec(parts(1))
+    val nBuckets = parts(4).toInt
+    require(keys.columns.toSeq == Seq(key),
+      s"lookupView: the key frame must carry exactly the pinned join " +
+        s"key '$key', got (${keys.columns.mkString(", ")}) — project " +
+        "upstream")
+    // the A-side typed pin carries the key's type (name:type pairs,
+    // sorted); a names-only legacy pin (no ':') cannot enforce — the
+    // same grandfathering as the fold's pin migration
+    parts(2).split(',').toSeq.map(_.split(':')).collectFirst {
+      case Array(n, t) if dec(n) == key => dec(t)
+    }.foreach { pinned =>
+      val got = keys.schema(key).dataType.catalogString
+      require(got == pinned,
+        s"lookupView: key '$key' is $got but the state pinned " +
+          s"$pinned — xxhash64 bucketing is type-sensitive, a drifted " +
+          "lookup would probe the wrong buckets and miss silently; " +
+          "cast to the pinned type")
+    }
+    val probe = keys.distinct().persist()
+    try {
+      require(probe.filter(col(key).isNull).isEmpty,
+        "lookupView: NULL join key — an inner-join view never holds it")
+      val touched = probe
+        .select(pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
+          .as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      committedLeafDirs(fs, rootPath, "view", Some(touched),
+        BatchMarkers.read(fs, rootPath)) match {
+        case Seq() => None
+        case dirs => Some(spark.read.parquet(dirs.map(_.toString): _*)
+          .join(probe, Seq(key), "left_semi"))
+      }
+    } finally { probe.unpersist(); () }
+  }
+
   /** The maintained view (committed batches only) — None when no
     * batch has ever committed. In-flight writers are invisible:
     * reads list `d<id>` dirs against the `_APPLIED_<id>` markers. */

@@ -834,6 +834,51 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Retraction-capable COUNT DISTINCT by COMPOSITION: CdcRollup with
+    // the distinct-counted column IN the group key — the view holds
+    // one (priority, customer) row per live combination (n > 0), so
+    // distinct customers per priority is a COUNT of view rows and
+    // order volume is SUM(n). Exact distinct under cross-batch updates
+    // and deletes without new operator machinery: a customer whose
+    // last order moves away or is deleted drops out because its
+    // (p, cust) group retracts to n = 0. Smaller slice (6.25%) + 2/2
+    // buckets than the cdc_rollup_view gate — same 3-fold artifact
+    // cost note.
+    "cdc_distinct_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcd_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_custkey"),
+          col("o_totalprice"))
+        .filter(k % 16 === 0)
+      def ev(d: org.apache.spark.sql.DataFrame, seq: Int, op: String) =
+        d.select(k, col("o_orderpriority"), col("o_custkey"),
+          col("o_totalprice"), lit(seq.toLong).as("seq"),
+          lit(op).as("op"))
+      val b0 = ev(ord.filter(k % 32 === 0), 1, "I")
+      // batch 1 inserts the other half and MOVES some of batch 0's
+      // orders to a shifted customer id (group-moving update on the
+      // distinct-counted column)
+      val b1 = ev(ord.filter(k % 32 === 16), 1, "I").unionByName(
+        ev(ord.filter(k % 32 === 0 && k % 5 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L), 2, "U"))
+      val b2 = ev(ord.filter(k % 3 === 0), 3, "D")
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority", "o_custkey"),
+          Seq("o_totalprice"), nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readView(s, root).get
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("distinct_custs"),
+          sum(col("n")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -885,6 +930,21 @@ object RelationalQueries {
         |SELECT p AS o_orderpriority, COUNT(*) AS n,
         |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
         |       CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS total_cust
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // final images: k%8 slice, custkey CASE-shifted for k%2=0 ∧ k%5=0,
+    // k%3=0 deleted — distinct customers and order volume per
+    // priority, never replaying the folds
+    "cdc_distinct_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p, o_custkey AS c
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |final AS (
+        |  SELECT p, CASE WHEN k % 32 = 0 AND k % 5 = 0 THEN c + 1000000
+        |                 ELSE c END AS c
+        |  FROM sliced WHERE k % 3 <> 0)
+        |SELECT p AS o_orderpriority,
+        |       COUNT(DISTINCT c) AS distinct_custs,
+        |       COUNT(*) AS n_orders
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "incremental_join_view_bucketed" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

@@ -1144,10 +1144,31 @@ object EventStreams {
     val cur = new Path(root, "state")
     require(fs.exists(cur),
       s"compactRollupStateTo: no committed state under $statePath")
-    require(!fs.exists(new Path(freshRoot, "_CONFIG")) &&
-      !fs.exists(new Path(freshRoot, "state")),
+    // "already holds a state" means a COMMITTED state dir (the final
+    // rename is the commit), not a pin: a crash between the fresh pin
+    // and the rename leaves a pinned root with only a stranded stage —
+    // the retry must reclaim it, not refuse on _CONFIG (the same
+    // crash-retry discipline as the join/cdc compact siblings)
+    require(!fs.exists(new Path(freshRoot, "state")),
       s"compactRollupStateTo: $freshPath already holds a state — " +
         "refusing to merge into it (compact to an empty root, then swap)")
+    graft.sources.PartitionedStore.readPin(fs, freshRoot) match {
+      case Some(p) if p.split('|').length == 3 &&
+          p.split('|')(0).toIntOption.exists(_ >= 1) =>
+        // a prior compact's crash remnants — nothing committed, reset
+        fs.listStatus(freshRoot).toSeq.map(_.getPath)
+          .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+          .foreach(st => fs.delete(st, true))
+        fs.delete(new Path(freshRoot, "_CONFIG"), true)
+      case Some(p) => throw new graft.model.UserException(
+        s"compactRollupStateTo: $freshPath carries a non-rollup pin " +
+          s"'$p' — refusing to overwrite a different state family")
+      case None =>
+        require(!graft.sources.PartitionedStore
+            .hasDataEntries(fs, freshRoot),
+          s"compactRollupStateTo: $freshPath is not empty — refusing " +
+            "to merge into it (compact to an empty root, then swap)")
+    }
     // fresh pin: the SOURCE pin's key/value fields verbatim (a later
     // fold checks against exactly what it would have at the old root),
     // the (possibly new) bucket count

@@ -1854,6 +1854,24 @@ class AppSpec extends SparkSpec {
         |  "freshPath": "nowhere"
         |}}}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // crash-retry: a PINNED fresh root holding only a stranded stage
+    // (a kill between the fresh pin and the commit rename) is
+    // reclaimed by the retry, not refused on _CONFIG
+    graft.sources.PartitionedStore.pinLayout(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/rstate_v3"),
+      s"$dir/rstate_v3", "8|g|v")
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$dir/rstate_v3/state__stage_0000abcd"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "compact", "statePath": "rstate",
+        |  "freshPath": "rstate_v3"
+        |}}}""".stripMargin)
+    val (codeRetry, outRetry) = Main.execute(spark, sink, dir)
+    withClue(outRetry) { codeRetry shouldBe 0 }
+    outRetry.get should include(""""rows":5""")
+    new java.io.File(s"$dir/rstate_v3").list()
+      .count(_.startsWith("state__stage_")) shouldBe 0
   }
 
   test("maintainView: a CSV delta without declared items[] refuses at " +

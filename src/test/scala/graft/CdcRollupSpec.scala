@@ -374,6 +374,47 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("not empty")
   }
 
+  test("lookupBase: bucket-pruned point lookup — equals the full-base " +
+      "filter, reads ONLY the keys' bucket files, refuses type drift " +
+      "and NULL keys") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L to 40L).map(i =>
+      (i, s"g${i % 3}", i.toDouble, 1L, "I")): _*)) shouldBe true
+    fold(root, 1L, log((3L, "gX", 3.5, 2L, "U"))) shouldBe true
+    val keys = Seq(3L, 17L).toDF("id")
+    val got = CdcRollup.lookupBase(spark, root, keys).get
+    rows(got.select("id", "grp", "v").orderBy("id")) shouldBe
+      Seq(Seq(3L, "gX", 3.5), Seq(17L, "g2", 17.0))
+    // IO pruning: every file the lookup plan reads lives under the
+    // two keys' OWN bucket dirs — the other buckets never open
+    val bucketOf = (id: Long) => spark.range(1).select(
+      pmod(xxhash64(lit(id)), lit(4)).cast("int")).head.getInt(0)
+    val allowed = Set(3L, 17L).map(bucketOf).map(b => s"/bucket=$b/")
+    val baseFiles = got.inputFiles.filter(_.contains("/base/"))
+    baseFiles should not be empty
+    baseFiles.foreach { f =>
+      withClue(f) { allowed.exists(f.contains) shouldBe true }
+    }
+    // a key frame missing a pk column / carrying extras refuses
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupBase(spark, root, Seq((3L, "x")).toDF("id", "zz"))
+    }.getMessage should include("exactly the pinned pk columns")
+    // type drift refuses (int key vs pinned bigint — xxhash64 would
+    // probe the wrong bucket and miss silently)
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupBase(spark, root,
+        Seq(3).toDF("id").select(col("id").cast("int")))
+    }.getMessage should include("type-sensitive")
+    // NULL keys refuse
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupBase(spark, root,
+        Seq(Option.empty[java.lang.Long]).toDF("id"))
+    }.getMessage should include("NULL")
+    // keys that hit no image: empty result, not an error
+    CdcRollup.lookupBase(spark, root, Seq(9999L).toDF("id"))
+      .map(_.count()).getOrElse(0L) shouldBe 0L
+  }
+
   test("bucket versions stay bounded: superseded versions are reaped " +
       "after each fold (steady state ~1 version per bucket)") {
     val root = tmpRoot()

@@ -261,6 +261,49 @@ class JoinViewSpec extends SparkSpec {
     JoinView.readCommittedView(spark, root).get.count() shouldBe 3L
   }
 
+  test("lookupView: bucket-pruned point lookup — equals the full-view " +
+      "filter, reads ONLY the keys' bucket leaves, refuses type drift " +
+      "and NULL keys") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-jvlk")
+      .toString + "/state"
+    (0 until 2).foreach { i =>
+      JoinView.foldBatchDirs(root, i.toLong, "k",
+        (1L to 30L).filter(_ % 2 == i).map(x => (x, x * 10.0))
+          .toDF("k", "price"),
+        (1L to 30L).filter(_ % 2 == i).map(x => (x, x + 0.5))
+          .toDF("k", "qty"), nBuckets = 8) shouldBe true
+    }
+    val got = JoinView.lookupView(spark, root, Seq(3L, 8L).toDF("k")).get
+    rows(got.orderBy("k")) shouldBe Seq(
+      Seq(3L, 30.0, 3.5), Seq(8L, 80.0, 8.5))
+    // IO pruning: every view file the lookup reads lives under the
+    // two keys' OWN bucket leaves
+    val bucketOf = (id: Long) => spark.range(1).select(
+      pmod(xxhash64(lit(id)), lit(8)).cast("int")).head.getInt(0)
+    val allowed = Set(3L, 8L).map(bucketOf).map(b => s"/__bucket=$b/")
+    val viewFiles = got.inputFiles.filter(_.contains("/view/"))
+    viewFiles should not be empty
+    viewFiles.foreach { f =>
+      withClue(f) { allowed.exists(f.contains) shouldBe true }
+    }
+    // wrong columns / drifted key type / NULL keys refuse
+    intercept[IllegalArgumentException] {
+      JoinView.lookupView(spark, root, Seq((3L, 1)).toDF("k", "x"))
+    }.getMessage should include("exactly the pinned join key")
+    intercept[IllegalArgumentException] {
+      JoinView.lookupView(spark, root,
+        Seq(3).toDF("k").select(col("k").cast("int")))
+    }.getMessage should include("type-sensitive")
+    intercept[IllegalArgumentException] {
+      JoinView.lookupView(spark, root,
+        Seq(Option.empty[java.lang.Long]).toDF("k"))
+    }.getMessage should include("NULL")
+    // a key the view never held: empty, not an error
+    JoinView.lookupView(spark, root, Seq(999L).toDF("k"))
+      .map(_.count()).getOrElse(0L) shouldBe 0L
+  }
+
   test("compactStateTo retry after a crash that pinned the fresh root " +
       "but committed nothing: reclaimed, not refused; a non-empty " +
       "foreign dir refuses") {

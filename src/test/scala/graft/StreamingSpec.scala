@@ -1606,6 +1606,39 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streamingCdcRollup GC cadence: markers fold into the " +
+      "watermark as the stream runs; the view stays correct and " +
+      "later batches keep folding") {
+    import graft.operators.CdcRollup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scdcg").toString
+    val statePath = s"$base/state"
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    val df = input.toDF().toDF("id", "grp", "v", "seq", "op")
+    val q = EventStreams.streamingCdcRollup(df, Seq("id"), "seq",
+      "op", Seq("grp"), Seq("v"), statePath, s"$base/ckpt",
+      nBaseBuckets = 4, nAggBuckets = 2, gcEveryBatches = 1)
+    try {
+      input.addData((1L, "a", 1.0, 1L, "I"))
+      q.processAllAvailable()
+      input.addData((2L, "a", 2.0, 1L, "I"))
+      q.processAllAvailable() // batch 1 folds, then the GC tick fires
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+        .map(_.getPath.getName).toSet
+      names should contain("_APPLIED_UPTO_1")
+      names.filter(_.matches("_APPLIED_\\d+")) shouldBe empty
+      input.addData((1L, "a", 1.5, 2L, "U")) // fold past the watermark
+      q.processAllAvailable()
+      val got = CdcRollup.readView(spark, statePath).get.collect()
+      got.length shouldBe 1
+      got.head.getAs[Long]("n") shouldBe 2L
+      got.head.getAs[java.math.BigDecimal]("total")
+        .doubleValue() shouldBe 3.5
+    } finally q.stop()
+  }
+
   test("streamingJoinView: tagged bus folds per micro-batch; replay " +
       "byte-stable; unknown tag fails loud") {
     import graft.operators.JoinView

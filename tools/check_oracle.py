@@ -18,10 +18,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     failures = 0
+    seen = set()
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        seen.add(name)
         got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows")
@@ -31,6 +33,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         status = "OK " if ok else "FAIL"
         print(f"[{status}] {name}: {msg}")
         failures += 0 if ok else 1
+    # a declared oracle with NO result dir means the Spark query
+    # CRASHED in Verify — the driver counts that as a failure, so the
+    # local stand-in must too (a silent skip once hid exactly this)
+    for name in sorted(set(oracles) - seen):
+        print(f"[FAIL] {name}: declared oracle but no Spark result "
+              "written — the query crashed in Verify")
+        failures += 1
     return 1 if failures else 0
 
 def compare(got, want):
