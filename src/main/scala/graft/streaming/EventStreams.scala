@@ -951,9 +951,11 @@ object EventStreams {
     // markers included). Replaying an older id after that would
     // re-fold it into the state silently. The streaming checkpoint is
     // monotone by construction; this guards the CLI/library entry
-    // points. `_LAST_BATCH` advances via temp+rename AFTER each
-    // commit, so a crash before the advance just re-allows the same
-    // id — whose surviving per-bucket markers still discriminate.
+    // points. `_LAST_BATCH` advances via temp+rename BEFORE the swap:
+    // a crash in either order re-allows the SAME id (the refusal is
+    // strictly <, and per-bucket markers discriminate the replay),
+    // but advancing first also closes the window where a crash after
+    // the swap would briefly re-allow OLDER ids.
     val lastBatch = readLastBatch(fs, root)
     lastBatch.filter(batchId < _).foreach { last =>
       throw new graft.model.UserException(
@@ -1072,12 +1074,12 @@ object EventStreams {
       pending.foreach(b =>
         fs.create(new Path(stage, s"bucket=$b/_APPLIED_$batchId"), true)
           .close())
+      advanceLastBatch()
       graft.app.SwapGuard(s"bucketed rollup swap failed after retries " +
           s"(staged buckets preserved at $stage)") {
         graft.app.SwapGuard.swapChildren(fs, stage, cur,
           pending.map(b => s"bucket=$b"))
       }
-      advanceLastBatch()
       recovered.result() ++ pending
     } finally partial.unpersist()
   }

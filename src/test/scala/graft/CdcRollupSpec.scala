@@ -342,6 +342,11 @@ class CdcRollupSpec extends SparkSpec {
     rootNames() should contain("_APPLIED_UPTO_3")
     rootNames() should not contain "_APPLIED_UPTO_2"
     view(root) shouldBe (before + ("c" -> ((1L, 3.0))))
+    // a fully-watermarked root (zero per-id markers) compacts like
+    // any other: versions resolve through the watermark
+    val fresh = root + "_c"
+    CdcRollup.compactStateTo(spark, root, fresh, 2, 1) shouldBe 3L
+    view(fresh) shouldBe view(root)
   }
 
   test("compactStateTo retry after a crash that pinned the fresh root " +
