@@ -420,6 +420,69 @@ class CdcRollupSpec extends SparkSpec {
       .map(_.count()).getOrElse(0L) shouldBe 0L
   }
 
+  test("randomized differential: random multi-measure CDC logs with " +
+      "NULL groups/values, split across batches, fold to the one-shot " +
+      "GROUP BY over the final images (seeded, 3 trials)") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 3).foreach { trial =>
+      val root = tmpRoot()
+      // per key: an I at seq 1, then 0-3 U/D events at later seqs —
+      // includes re-insert-after-delete (upsert semantics) and NULL
+      // group / NULL measure values
+      case class Ev(id: Long, grp: Option[String], v: Option[Double],
+                    w: Option[Double], seq: Long, op: String)
+      val events = (1 to 14).flatMap { id =>
+        val n = 1 + rnd.nextInt(4)
+        (1 to n).map { s =>
+          Ev(id.toLong,
+            if (rnd.nextInt(5) == 0) None else Some(s"g${rnd.nextInt(3)}"),
+            if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(1000) / 10.0),
+            Some(rnd.nextInt(100) / 4.0),
+            s.toLong,
+            if (s == 1) "I" else if (rnd.nextBoolean()) "U" else "D")
+        }
+      }
+      // batches respect the CDC stream order (later seqs in later
+      // batches); the first carries TWO seqs so within-batch netting
+      // is exercised alongside cross-batch retraction
+      val parts = Seq(events.filter(_.seq <= 2),
+        events.filter(_.seq == 3), events.filter(_.seq == 4))
+      parts.zipWithIndex.foreach { case (evs, i) =>
+        val df = evs.map(e => (e.id, e.grp, e.v, e.w, e.seq, e.op))
+          .toDF("id", "grp", "v", "w", "seq", "op")
+        CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
+          Seq("grp"), Seq("v", "w"), 4, 2) shouldBe true
+      }
+      // expected: last event per key decides; D = no image; sums skip
+      // NULL measure values (an all-NULL group still totals 0, not
+      // NULL — the state accumulator starts at 0)
+      val finals = events.groupBy(_.id).values
+        .map(_.maxBy(_.seq)).filter(_.op != "D").toSeq
+      val expected = finals.groupBy(_.grp).map { case (g, evs) =>
+        g -> ((evs.size.toLong,
+          evs.flatMap(_.v).sum,
+          evs.flatMap(_.w).sum))
+      }
+      val got = CdcRollup.readView(spark, root).get.collect().map { r =>
+        val g = if (r.isNullAt(0)) None else Some(r.getAs[String]("grp"))
+        g -> ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("total_1").doubleValue(),
+          r.getAs[java.math.BigDecimal]("total_2").doubleValue()))
+      }.toMap
+      withClue(s"trial $trial: ") {
+        got.keySet shouldBe expected.keySet
+        expected.foreach { case (g, (n, sv, sw)) =>
+          val (gn, gv, gw) = got(g)
+          withClue(s"group $g: ") {
+            gn shouldBe n
+            gv shouldBe (sv +- 1e-9)
+            gw shouldBe (sw +- 1e-9)
+          }
+        }
+      }
+    }
+  }
+
   test("bucket versions stay bounded: superseded versions are reaped " +
       "after each fold (steady state ~1 version per bucket)") {
     val root = tmpRoot()
