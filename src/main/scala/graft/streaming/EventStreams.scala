@@ -967,6 +967,11 @@ object EventStreams {
     }
     def advanceLastBatch(): Unit =
       if (lastBatch.forall(batchId > _)) {
+        // reap stranded temp files from prior crashed advances (the
+        // pinLayout _CONFIG_tmp_ discipline)
+        fs.listStatus(root).toSeq
+          .filter(_.getPath.getName.startsWith("_LAST_BATCH_tmp_"))
+          .foreach(st => fs.delete(st.getPath, false))
         val tmp = new Path(root,
           s"_LAST_BATCH_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
         val out = fs.create(tmp, true)
