@@ -1684,6 +1684,23 @@ class AppSpec extends SparkSpec {
     // negative gate refuses at parse
     cfg("""{"kind": "gc", "statePath": "rst", "olderThanHours": -1}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // join family: gc sweeps an aged abandoned batch dir and (opt-in)
+    // folds the markers; the view reads identically through the
+    // watermark
+    import graft.operators.JoinView
+    val jroot = s"$dir/jstate"
+    JoinView.foldBatchDirs(jroot, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    fs.mkdirs(new org.apache.hadoop.fs.Path(jroot, "view/d7"))
+    cfg("""{"kind": "gc", "statePath": "jstate",
+          | "olderThanHours": 0, "foldMarkers": true}""".stripMargin)
+    val (cj, oj) = Main.execute(spark, sink, dir)
+    withClue(oj) { cj shouldBe 0 }
+    oj.get should include(""""deleted":1""")
+    oj.get should include(""""watermark":0""")
+    rows(JoinView.readCommittedView(spark, jroot).get) shouldBe
+      Seq(Seq(1L, 1.0, 2.0))
   }
 
   test("maintainView rollup: a batch id below the committed frontier " +

@@ -331,6 +331,34 @@ class JoinViewSpec extends SparkSpec {
     }.getMessage should include("not empty")
   }
 
+  test("randomized differential: random two-sided insert deltas split " +
+      "across batches fold to the one-shot join (seeded, 3 trials, " +
+      "duplicate keys included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    (0 until 3).foreach { trial =>
+      val root = java.nio.file.Files.createTempDirectory("graft-jvrd")
+        .toString + "/state"
+      // duplicate keys on both sides exercise the multiplicity math
+      val aAll = Seq.fill(25)((rnd.nextInt(12).toLong, rnd.nextInt(100)))
+        .map { case (k, v) => (k, v.toDouble) }
+      val bAll = Seq.fill(25)((rnd.nextInt(12).toLong, rnd.nextInt(100)))
+        .map { case (k, v) => (k, v / 4.0) }
+      val aSplit = aAll.map(r => (rnd.nextInt(3), r))
+      val bSplit = bAll.map(r => (rnd.nextInt(3), r))
+      (0 until 3).foreach { i =>
+        JoinView.foldBatchDirs(root, i.toLong, "k",
+          aSplit.collect { case (b, r) if b == i => r }.toDF("k", "price"),
+          bSplit.collect { case (b, r) if b == i => r }.toDF("k", "qty"),
+          nBuckets = 4) shouldBe true
+      }
+      def c(df: DataFrame) = rows(df.orderBy("k", "price", "qty"))
+      val got = c(JoinView.readCommittedView(spark, root).get)
+      val want = c(aAll.toDF("k", "price").join(bAll.toDF("k", "qty"), "k"))
+      withClue(s"trial $trial: ") { got shouldBe want }
+    }
+  }
+
   test("directory fold: type drift refuses loud (xxhash64 buckets are " +
       "type-sensitive); a pre-type names-only pin migrates in place") {
     import spark.implicits._
