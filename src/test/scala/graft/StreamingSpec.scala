@@ -1260,6 +1260,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized differential: random insert batches through the " +
+      "bucketed rollup fold equal the one-shot GROUP BY (seeded, 3 " +
+      "trials, skewed keys)") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1313L)
+    (0 until 3).foreach { trial =>
+      val root = java.nio.file.Files.createTempDirectory("graft-brrd")
+        .toString + "/rollup"
+      // zipf-ish skew: key 0 dominates, some keys appear once
+      val all = Seq.fill(60)((math.min(rnd.nextInt(12), rnd.nextInt(12)).toLong,
+        rnd.nextInt(400) / 8.0))
+      val split = all.map(r => (rnd.nextInt(4), r))
+      (0 until 4).foreach { i =>
+        EventStreams.applyRollupBatchBucketed(
+          split.collect { case (b, r) if b == i => r }.toDF("k", "v"),
+          root, i.toLong, Seq("k"), "v", nBuckets = 4)
+      }
+      val got = IncrementalAgg.finalizeState(
+        spark.read.parquet(s"$root/state").drop("bucket"), Seq("k"))
+        .orderBy("k")
+      val want = IncrementalAgg.finalizeState(
+        IncrementalAgg.partialState(all.toDF("k", "v"), Seq("k"), "v"),
+        Seq("k")).orderBy("k")
+      withClue(s"trial $trial: ") { rows(got) shouldBe rows(want) }
+      // and the frontier guard took: a stale id now refuses
+      intercept[graft.model.UserException] {
+        EventStreams.applyRollupBatchBucketed(
+          Seq((0L, 1.0)).toDF("k", "v"), root, 1L, Seq("k"), "v", 4)
+      }.getMessage should include("increasing order")
+    }
+  }
+
   test("bucketed rollup: only touched buckets rewrite; replay folds only unlanded buckets") {
     import graft.operators.IncrementalAgg
     import org.apache.spark.sql.functions.col
