@@ -60,7 +60,7 @@ object ViewMaintenance {
           resolve(cr.statePath, dataDir), cr.batchId,
           readDelta(spark, cr.delta, dataDir), cr.keyColumns,
           cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumns,
-          cr.nBaseBuckets, cr.nAggBuckets)
+          cr.nBaseBuckets, cr.nAggBuckets, cr.minMaxColumns)
         Report(cr.kind, applied, Some(cr.batchId))
       case e: ExportViewConfig =>
         val root = resolve(e.statePath, dataDir)
@@ -119,7 +119,9 @@ object ViewMaintenance {
       case st: StatusViewConfig =>
         val root = resolve(st.statePath, dataDir)
         Report(st.kind, applied = false,
-          detail = Some(statusJson(spark, root)))
+          detail = Some(statusJson(spark, root, st.countRows)))
+      case lk: LookupViewConfig =>
+        runLookup(spark, lk, dataDir)
       case g: GcViewConfig =>
         val root = resolve(g.statePath, dataDir)
         val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -138,7 +140,7 @@ object ViewMaintenance {
           else if (pin.startsWith("cdcRollup|"))
             (graft.operators.CdcRollup.cleanOrphanBatchDirs(spark, root, ms),
               if (g.foldMarkers)
-                graft.operators.CdcRollup.foldMarkers(spark, root)
+                graft.operators.CdcRollup.foldMarkers(spark, root, ms)
               else None)
           else {
             // rollup: stranded state__stage_* shells are the only
@@ -168,23 +170,113 @@ object ViewMaintenance {
           .getOrElse(throw new UserException(
             s"maintainView compact: no layout pin under $root — not a " +
               "view state"))
+        // the non-cdc families carry ONE layout; a silently ignored
+        // nAggBuckets would let the user believe the agg layer
+        // re-sharded — refuse NAMED (the export `layer` discipline)
+        if (c.nAggBuckets.isDefined && !pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            "maintainView compact: nAggBuckets is only valid for " +
+              s"cdcRollup states; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' — use nBuckets")
         val rows =
           if (pin.startsWith("join|"))
             JoinView.compactStateTo(spark, root, fresh,
               c.nBuckets.getOrElse(pin.split('|').last.toIntOption
                 .getOrElse(64)))
           else if (pin.startsWith("cdcRollup|")) {
-            // nBuckets (when given) re-shards BOTH layers; absent, the
-            // source counts carry over
+            // nBuckets (when given) re-shards BOTH layers; nAggBuckets
+            // overrides the agg/grp side alone — the knob that keeps
+            // the deliberate base/agg asymmetry (keys >> groups)
+            // reshardable; absent, the source counts carry over
             val parts = pin.split('|')
             graft.operators.CdcRollup.compactStateTo(spark, root, fresh,
               c.nBuckets.orElse(parts(5).toIntOption).getOrElse(64),
-              c.nBuckets.orElse(parts(6).toIntOption).getOrElse(16))
+              c.nAggBuckets.orElse(c.nBuckets)
+                .orElse(parts(6).toIntOption).getOrElse(16))
           } else
             graft.streaming.EventStreams.compactRollupStateTo(
               spark, root, fresh, c.nBuckets)
         Report(c.kind, applied = true, rows = Some(rows))
     }
+
+  /** The `lookup` kind — pin-dispatched bucket-pruned point lookup,
+    * the CLI face of the serving paths ([[JoinView.lookupView]],
+    * [[graft.operators.CdcRollup.lookupBase]]/`lookupView`,
+    * [[graft.streaming.EventStreams.lookupRollupState]]). Key
+    * literals arrive as strings and are CAST to the state's OWN
+    * column types before probing — xxhash64 bucketing is
+    * type-sensitive, and an uncast literal would hash into the wrong
+    * buckets (the library paths refuse on the typed pin; the cast is
+    * what makes CLI literals meet it). Matching rows ride the status
+    * JSON; `maxRows` refuses oversized results (export is the bulk
+    * face). */
+  private def runLookup(spark: SparkSession, lk: LookupViewConfig,
+                        dataDir: String): Report = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val root = resolve(lk.statePath, dataDir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new UserException(
+        s"maintainView lookup: no layout pin under $root — not a " +
+          "view state"))
+    if (lk.layer.isDefined && !pin.startsWith("cdcRollup|"))
+      throw new UserException(
+        s"maintainView lookup: layer '${lk.layer.get}' is only valid " +
+          s"for cdcRollup states; the state under $root is " +
+          s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
+    def noState = throw new UserException(
+      s"maintainView lookup: no committed state under $root")
+    def typedKeys(schema: StructType): DataFrame = {
+      val cols = lk.keys.head.keys.toSeq.sorted
+      val missing = cols.filterNot(c => schema.fieldNames.contains(c))
+      if (missing.nonEmpty) throw new UserException(
+        s"maintainView lookup: key column(s) ${missing.mkString(", ")} " +
+          s"not in the state (has: " +
+          s"${schema.fieldNames.sorted.mkString(", ")})")
+      val raw = spark.createDataFrame(
+        java.util.Arrays.asList(lk.keys.map(m =>
+          org.apache.spark.sql.Row.fromSeq(cols.map(m(_)))): _*),
+        StructType(cols.map(c => StructField(c, StringType))))
+      raw.select(cols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+    }
+    val (layerName, result) =
+      if (pin.startsWith("join|")) {
+        val view = JoinView.readCommittedView(spark, root)
+          .getOrElse(noState)
+        ("view", JoinView.lookupView(spark, root, typedKeys(view.schema)))
+      } else if (pin.startsWith("cdcRollup|")) {
+        if (lk.layer.getOrElse("base") == "base") {
+          val base = graft.operators.CdcRollup.readBase(spark, root)
+            .getOrElse(noState)
+          ("base", graft.operators.CdcRollup.lookupBase(spark, root,
+            typedKeys(base.schema)))
+        } else {
+          val view = graft.operators.CdcRollup.readView(spark, root)
+            .getOrElse(noState)
+          ("view", graft.operators.CdcRollup.lookupView(spark, root,
+            typedKeys(view.schema)))
+        }
+      } else {
+        // rollup pin: nBuckets|keys|valueCol — key types come from the
+        // state's own parquet schema (the pin is names-only)
+        val statePq = new org.apache.hadoop.fs.Path(root, "state")
+        if (!fs.exists(statePq)) noState
+        val stateSchema = spark.read.parquet(statePq.toString).schema
+        ("view", graft.streaming.EventStreams.lookupRollupState(
+          spark, root, typedKeys(stateSchema)))
+      }
+    val json = result.map(_.toJSON.take(lk.maxRows + 1))
+      .getOrElse(Array.empty[String])
+    if (json.length > lk.maxRows) throw new UserException(
+      s"maintainView lookup: more than ${lk.maxRows} matching rows — " +
+        "a lookup is the point-read face; raise maxRows or export " +
+        "the state instead")
+    Report(lk.kind, applied = false, rows = Some(json.length.toLong),
+      detail = Some(
+        s"""{"layer":"$layerName","matches":[${json.mkString(",")}]}"""))
+  }
 
   /** The maintained join view as a DataFrame — committed batches only
     * ([[JoinView.readCommittedView]]); an empty state is a user-facing
@@ -196,15 +288,18 @@ object ViewMaintenance {
       throw new UserException(s"maintainView: no committed state under $root"))
   }
 
-  /** The `status` kind's JSON payload — pure listings plus ONE view
-    * count, family-dispatched on the state's own layout pin (the
-    * compact/export discipline). Reported per family: committed batch
-    * ids (count/max + watermark), per-layer dir counts, ORPHAN
+  /** The `status` kind's JSON payload — pure listings plus (at most)
+    * ONE view count, family-dispatched on the state's own layout pin
+    * (the compact/export discipline). Reported per family: committed
+    * batch ids (count/max + watermark), per-layer dir counts, ORPHAN
     * CANDIDATES (staging dirs + uncommitted batch/version dirs — what
     * `cleanOrphanBatchDirs` would consider; reported, never deleted),
-    * and the view row count. Safe beside a live writer: committed
-    * state only. */
-  private def statusJson(spark: SparkSession, root: String): String = {
+    * and the view row count — UNLESS `countRows` is off: on a huge
+    * view that one count is a full state scan, and a marker/orphan
+    * health probe shouldn't pay it (`view_rows` reports null, and no
+    * Spark job runs at all — pure listings). */
+  private def statusJson(spark: SparkSession, root: String,
+                         countRows: Boolean = true): String = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -234,10 +329,14 @@ object ViewMaintenance {
           s""""$side":{"batch_dirs":$committed,"orphan_candidates":$orphans}"""
         }.mkString(",")
         ("join", layers,
-          JoinView.readCommittedView(spark, root)
-            .map(_.count()).getOrElse(0L))
+          if (!countRows) None
+          else Some(JoinView.readCommittedView(spark, root)
+            .map(_.count()).getOrElse(0L)))
       } else if (pin.startsWith("cdcRollup|")) {
-        val layers = Seq("base", "agg").map { layer =>
+        // `grp` exists only on minMax states — report it when present
+        val cdcLayers = Seq("base", "agg") ++
+          (if (fs.exists(new Path(rootPath, "grp"))) Seq("grp") else Nil)
+        val layers = cdcLayers.map { layer =>
           val entries = ls(new Path(rootPath, layer))
             .filter(_.isDirectory)
           val bucketDirs = entries
@@ -262,8 +361,9 @@ object ViewMaintenance {
             s""""orphan_candidates":$orphans}"""
         }.mkString(",")
         ("cdcRollup", layers,
-          graft.operators.CdcRollup.readView(spark, root)
-            .map(_.count()).getOrElse(0L))
+          if (!countRows) None
+          else Some(graft.operators.CdcRollup.readView(spark, root)
+            .map(_.count()).getOrElse(0L)))
       } else {
         // rollup pin: nBuckets|keys|valueCol — per-bucket markers
         // live INSIDE the state swap; the root carries _LAST_BATCH
@@ -277,12 +377,14 @@ object ViewMaintenance {
           opt("last_batch", last) + "," +
           s""""orphan_candidates":$stranded}"""
         ("rollup", layers,
-          if (fs.exists(statePq))
+          if (!countRows) None
+          else Some(if (fs.exists(statePq))
             spark.read.parquet(statePq.toString).count()
-          else 0L)
+          else 0L))
       }
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
-      s"""$batches,"layers":{$layersJson},"view_rows":$rows}"""
+      s"""$batches,"layers":{$layersJson},""" +
+      opt("view_rows", rows) + "}"
   }
 
   private def readDelta(spark: SparkSession, d: DeltaInput,

@@ -91,7 +91,46 @@ object ConfigParser {
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer)
       case "status" =>
-        StatusViewConfig(statePath)
+        StatusViewConfig(statePath,
+          countRows = opt(v, "countRows").forall(_.asBoolean))
+      case "lookup" =>
+        val layer = opt(v, "layer").map(_.asText)
+        layer.filterNot(Set("view", "base")).foreach { l =>
+          throw new UserException(
+            s"view.layer '$l' is not supported (view | base)")
+        }
+        val maxRows = opt(v, "maxRows").map(_.asInt).getOrElse(1000)
+        if (maxRows < 1)
+          throw new UserException("view.maxRows must be >= 1")
+        val keysNode = opt(v, "keys").getOrElse(
+          throw new UserException("view.keys must list key objects"))
+        val keyRows = keysNode.elements.asScala.toSeq.map { row =>
+          if (!row.isObject)
+            throw new UserException(
+              "view.keys entries must be objects of column -> value")
+          val fields = row.properties.asScala.toSeq.map { e =>
+            val value = e.getValue
+            if (value.isNull || value.isContainerNode)
+              throw new UserException(
+                s"view.keys: column '${e.getKey}' must carry a scalar " +
+                  "value (NULL keys are never matchable on the pk/join " +
+                  "paths; quote group-key NULLs are not expressible " +
+                  "through the CLI)")
+            e.getKey -> value.asText
+          }
+          if (fields.map(_._1).distinct.size != fields.size)
+            throw new UserException(
+              "view.keys: an entry names a column twice")
+          fields.toMap
+        }
+        if (keyRows.isEmpty)
+          throw new UserException("view.keys must list key objects")
+        val cols = keyRows.head.keySet
+        if (keyRows.exists(_.keySet != cols))
+          throw new UserException(
+            "view.keys entries must all carry the same columns")
+        LookupViewConfig(statePath, keyRows, layer = layer,
+          maxRows = maxRows)
       case "gc" =>
         val hours = opt(v, "olderThanHours").map(_.asInt)
         if (hours.exists(_ < 0))
@@ -100,10 +139,12 @@ object ConfigParser {
           foldMarkers = opt(v, "foldMarkers").exists(_.asBoolean))
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
-        if (nBuckets.exists(_ < 1))
+        val nAggBuckets = opt(v, "nAggBuckets").map(_.asInt)
+        if (nBuckets.exists(_ < 1) || nAggBuckets.exists(_ < 1))
           throw new UserException("view.nBuckets must be >= 1")
         CompactViewConfig(statePath,
-          freshPath = req(v, "freshPath").asText, nBuckets = nBuckets)
+          freshPath = req(v, "freshPath").asText, nBuckets = nBuckets,
+          nAggBuckets = nAggBuckets)
       case "join" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt).getOrElse(64)
         if (nBuckets < 1)
@@ -163,11 +204,16 @@ object ConfigParser {
         if (valueCols.distinct != valueCols)
           throw new UserException(
             "view.valueColumns lists a measure twice")
+        val minMax = list("minMaxColumns")
+        if (minMax.distinct != minMax)
+          throw new UserException(
+            "view.minMaxColumns lists a column twice")
         CdcRollupViewConfig(statePath, batchId, keyCols,
           seqColumn = req(v, "seqColumn").asText,
           opColumn = req(v, "opColumn").asText,
           keys = keys, valueColumns = valueCols,
-          delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg)
+          delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg,
+          minMaxColumns = minMax)
       case other =>
         throw new UserException(s"View kind '$other' is not supported")
     }

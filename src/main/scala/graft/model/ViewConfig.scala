@@ -82,10 +82,16 @@ final case class RollupViewConfig(statePath: String, batchId: Long,
   * delta IS the CDC log (`seqColumn`/`opColumn` name its ordering and
   * I/U/D ops), so a `cdc` netting block is refused here — the fold
   * nets internally and must SEE the deletes the netting would drop.
-  * min/max are deliberately absent (not invertible under retraction);
-  * use `rollup` for append-only feeds that need them. Batch ids are
-  * MONOTONE (the fold refuses an id below the committed frontier —
-  * a lower id would write bucket versions no reader ever resolves). */
+  * `minMaxColumns` adds exact per-group MIN/MAX of the named columns:
+  * not invertible under retraction, so the fold recomputes them for
+  * the delta's touched groups from a group-bucketed image layer the
+  * state maintains alongside (bucket-pruned, touched-group-sized —
+  * [[graft.operators.CdcRollup]] object doc). The set is pinned at
+  * first fold; adding min/max to an existing sums-only state refuses
+  * (its image layer was never maintained — compact into a fresh
+  * min/max state instead). Batch ids are MONOTONE (the fold refuses
+  * an id below the committed frontier — a lower id would write
+  * bucket versions no reader ever resolves). */
 final case class CdcRollupViewConfig(statePath: String, batchId: Long,
                                      keyColumns: Seq[String],
                                      seqColumn: String, opColumn: String,
@@ -93,7 +99,8 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
                                      valueColumns: Seq[String],
                                      delta: DeltaInput,
                                      nBaseBuckets: Int = 64,
-                                     nAggBuckets: Int = 16)
+                                     nAggBuckets: Int = 16,
+                                     minMaxColumns: Seq[String] = Nil)
     extends ViewConfig {
   val kind = "cdcRollup"
 }
@@ -126,9 +133,38 @@ final case class ExportViewConfig(statePath: String, output: String,
   * the layout pin, committed batch ids (count/max + watermark),
   * per-layer dir counts, orphan-candidate garbage, and the view row
   * count. Pure listings plus ONE count — safe to run beside a live
-  * writer (committed state only). */
-final case class StatusViewConfig(statePath: String) extends ViewConfig {
+  * writer (committed state only). `countRows: false` drops that one
+  * count too: on a huge view the count is a full state scan, and an
+  * ops probe that only wants marker/orphan health shouldn't pay it
+  * (`view_rows` reports null). */
+final case class StatusViewConfig(statePath: String,
+                                  countRows: Boolean = true)
+    extends ViewConfig {
   val kind = "status"
+}
+
+/** Bucket-pruned POINT LOOKUP into a persisted view state — the CLI
+  * face of the serving paths ([[graft.operators.JoinView.lookupView]],
+  * [[graft.operators.CdcRollup.lookupBase]]/`lookupView`, and the
+  * rollup state's partition-pruned probe): keys in as config
+  * literals, matching rows out as JSON in the status payload. Without
+  * it the serving path exists only for library callers — the
+  * reference's action protocol (run.php:29-32) has no library-only
+  * surface. Pin-dispatched: join states probe the view by join key;
+  * cdcRollup states probe the SCD1 base by pk (`layer: "base"`, the
+  * default) or the agg view by group key (`layer: "view"`); rollup
+  * states probe the finalized aggregates by group key. Key literals
+  * are CAST to the state's pinned/stored types before hashing
+  * (xxhash64 bucketing is type-sensitive — an uncast literal would
+  * probe the wrong buckets). Reads are O(touched buckets), never a
+  * state scan. `maxRows` (default 1000) REFUSES oversized results —
+  * a lookup is the point-read face; `export` is the bulk face. */
+final case class LookupViewConfig(statePath: String,
+                                  keys: Seq[Map[String, String]],
+                                  layer: Option[String] = None,
+                                  maxRows: Int = 1000)
+    extends ViewConfig {
+  val kind = "lookup"
 }
 
 /** Sweep a view state's ABANDONED-batch garbage through the CLI — the
@@ -142,14 +178,16 @@ final case class StatusViewConfig(statePath: String) extends ViewConfig {
   * state table. `olderThanHours` tightens/loosens the age gate
   * (default 24 h — an in-flight writer's fresh staging survives).
   *
-  * `foldMarkers: true` additionally collapses committed per-batch
-  * markers into the `_APPLIED_UPTO_` watermark (join/cdcRollup only —
-  * rollup's per-bucket markers are part of the swap protocol and
-  * never accrete). Opt-in because the fold turns a subsumed id's
-  * replay into a quiet no-op: always sound for cdcRollup (monotone
-  * ids are enforced by the fold), sound for join ONLY under the
-  * monotone single-writer discipline the streaming sink guarantees —
-  * a CLI user folding ids out of order must leave it off. */
+  * `foldMarkers: true` additionally collapses AGED committed
+  * per-batch markers into the `_APPLIED_UPTO_` watermark
+  * (join/cdcRollup only — rollup's per-bucket markers are part of the
+  * swap protocol and never accrete). Both families age-gate the fold
+  * by `olderThanHours`: an id inside its replay window keeps its
+  * per-id marker, so a replay there stays a quiet no-op and a
+  * never-delivered out-of-order id still refuses loud (cdcRollup's
+  * monotone guard; join's watermark refusal) instead of vanishing
+  * under the watermark. Opt-in; a join-state CLI user folding ids
+  * out of order must leave it off. */
 final case class GcViewConfig(statePath: String,
                               olderThanHours: Option[Int] = None,
                               foldMarkers: Boolean = false)
@@ -166,12 +204,19 @@ final case class GcViewConfig(statePath: String,
   *
   * `nBuckets = None` keeps the source layout's bucket count; a value
   * re-shards — the in-place change the fold pins refuse is exactly
-  * what compaction is for. The fresh root must be empty; swap roots
-  * between folds (single-writer protocol, no concurrent-fold window)
-  * and continue with batch ids fresher than anything compacted —
-  * the fresh root's markers restart at 0. */
+  * what compaction is for. On cdcRollup states `nBuckets` re-shards
+  * BOTH layers; `nAggBuckets` overrides the agg/grp layers alone,
+  * preserving the deliberate base/agg asymmetry (keys ≫ groups) under
+  * a re-shard — it is refused on the other families, which have one
+  * layout. The fresh root must be empty; swap roots between folds
+  * (single-writer protocol, no concurrent-fold window) and continue
+  * with batch ids fresher than anything compacted — the fresh root
+  * seeds the SOURCE's committed frontier (watermark or `_LAST_BATCH`
+  * + per-bucket marker), so pre-compaction ids stay refused/no-op'd
+  * exactly as at the old root. */
 final case class CompactViewConfig(statePath: String, freshPath: String,
-                                   nBuckets: Option[Int] = None)
+                                   nBuckets: Option[Int] = None,
+                                   nAggBuckets: Option[Int] = None)
     extends ViewConfig {
   val kind = "compact"
 }

@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions._
   *    count/sum are INVERTIBLE, so retraction is exact arithmetic: an
   *    update contributes (−1, −old...) at the old group and
   *    (+1, +new...) at the new group (group-moving updates included),
-  *    a delete just the minus. min/max are deliberately NOT here —
-  *    they are not invertible (retracting the current min forces a
-  *    group re-scan); use the insert-only rollup for monotone feeds.
+  *    a delete just the minus.
   *    Each total accumulates as decimal(38,6): exact,
   *    order-independent, and invertible — a double sum under
   *    retraction drifts ((a+b)−b ≠ a in floating point).
+  *  - `grp/` — present ONLY when `minMaxCols` is declared: the
+  *    current images projected to (group, pk, minMax) columns,
+  *    hash-bucketed on the GROUP key with the agg layer's bucket
+  *    function. min/max are NOT invertible (retracting the current
+  *    min forces a group re-scan), so the fold RECOMPUTES them for
+  *    exactly the delta's touched groups — and a group's member rows
+  *    scatter across ALL pk-hashed base buckets, which is why the
+  *    recompute cannot read the base's touched buckets: the grp
+  *    layer exists so every row of a touched group lives in a bucket
+  *    the fold already touches (same group hash as agg). Per fold
+  *    that recompute is bucket-pruned and touched-group-sized, never
+  *    a base scan; the agg state gains `min_i`/`max_i` columns in
+  *    the measures' own types (a touched group whose surviving
+  *    values are all NULL stores NULL — SQL MIN/MAX semantics).
   *
   * Exactly-once via COPY-ON-WRITE versioned buckets: a fold never
   * mutates a committed file — it writes `bucket=<k>/v<batchId>` dirs
@@ -87,45 +99,68 @@ import org.apache.spark.sql.functions._
   */
 object CdcRollup {
 
+  /** Every persisted layer a state MAY hold — `grp` exists only on
+    * min/max states; loops over this are `fs.exists`-guarded, so a
+    * sums-only state just skips it. */
+  private val layerNames = Seq("base", "agg", "grp")
+
   /** Persisted agg-state column names for k measures. ONE measure
     * keeps the pre-multi-measure spelling (`total`) so existing
     * states read and fold unchanged. */
   private[graft] def aggNames(k: Int): Seq[String] =
     if (k == 1) Seq("total") else (1 to k).map(i => s"total_$i")
 
+  /** Persisted min/max state column names for m minMax columns —
+    * positional like the totals. */
+  private[graft] def minNames(m: Int): Seq[String] =
+    (1 to m).map(i => s"min_$i")
+  private[graft] def maxNames(m: Int): Seq[String] =
+    (1 to m).map(i => s"max_$i")
+
   /** Fold one CDC batch — all `valueCols` measures in ONE pass over
-    * the delta. Returns false (no-op) when `batchId` is already
-    * committed (marker or watermark). */
+    * the delta, plus exact per-group MIN/MAX of each `minMaxCols`
+    * column (recomputed for the delta's touched groups from the
+    * group-bucketed `grp` layer — see the object doc; empty = the
+    * historical sums-only state, pin-compatible with every
+    * pre-min/max state). Returns false (no-op) when `batchId` is
+    * already committed (marker or watermark). */
   def foldBatch(root: String, batchId: Long, delta: DataFrame,
                 pkCols: Seq[String], seqCol: String, opCol: String,
                 groupCols: Seq[String], valueCols: Seq[String],
-                nBaseBuckets: Int = 64, nAggBuckets: Int = 16): Boolean = {
+                nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
+                minMaxCols: Seq[String] = Nil): Boolean = {
     import org.apache.hadoop.fs.Path
     require(pkCols.nonEmpty, "cdcRollup needs pk columns")
     require(groupCols.nonEmpty, "cdcRollup needs group columns")
     require(valueCols.nonEmpty, "cdcRollup needs at least one value column")
     require(valueCols.distinct == valueCols,
       s"cdcRollup: duplicate value columns: ${valueCols.mkString(", ")}")
+    require(minMaxCols.distinct == minMaxCols,
+      s"cdcRollup: duplicate minMax columns: ${minMaxCols.mkString(", ")}")
     require(nBaseBuckets >= 1 && nAggBuckets >= 1,
       s"bucket counts must be >= 1, got $nBaseBuckets/$nAggBuckets")
-    (pkCols ++ groupCols ++ valueCols ++ Seq(seqCol, opCol)).foreach { c =>
-      require(delta.columns.contains(c),
-        s"cdcRollup: delta lacks declared column '$c'")
-    }
+    (pkCols ++ groupCols ++ valueCols ++ minMaxCols ++ Seq(seqCol, opCol))
+      .foreach { c =>
+        require(delta.columns.contains(c),
+          s"cdcRollup: delta lacks declared column '$c'")
+      }
     // seq/op are dropped before the state writes — a pk/group/value
     // column spelled like one would vanish from the persisted image
     // and fail later with an opaque resolution error; refuse NAMED
-    require(!(pkCols ++ groupCols ++ valueCols)
+    require(!(pkCols ++ groupCols ++ valueCols ++ minMaxCols)
         .exists(c => c == seqCol || c == opCol),
       "cdcRollup: seq/op columns cannot double as pk/group/value columns")
     val agg = aggNames(valueCols.size)
+    val mins = minNames(minMaxCols.size)
+    val maxs = maxNames(minMaxCols.size)
     // payload = the persisted base image (everything but seq/op)
     val payloadCols = delta.columns.filterNot(c => c == seqCol || c == opCol)
+    val stateNames = Set("n") ++ agg ++ mins ++ maxs
     val clash = payloadCols
-      .filter(c => c == "n" || agg.contains(c) || c.startsWith("__"))
+      .filter(c => stateNames(c) || c.startsWith("__"))
     require(clash.isEmpty,
       s"cdcRollup: payload columns ${clash.mkString(", ")} collide with " +
-        s"the state/staging namespace (n, ${agg.mkString(", ")}, " +
+        s"the state/staging namespace (${stateNames.mkString(", ")}, " +
         "__-prefixed) — rename upstream")
     val spark = delta.sparkSession
     val rootPath = new Path(root)
@@ -144,19 +179,28 @@ object CdcRollup {
           "behind a success result). Feed batch ids in increasing " +
           "order; replaying a COMMITTED id is a quiet no-op")
     }
-    // typed layout pin (see JoinView: xxhash64 is type-sensitive)
+    // typed layout pin (see JoinView: xxhash64 is type-sensitive).
+    // minMaxCols APPEND as an 8th field so every sums-only state —
+    // past or future — keeps the historical 7-field pin byte-for-byte
+    // (stays readable and foldable in place); a min/max state pins the
+    // extra field, and folding an existing sums-only state WITH
+    // minMaxCols refuses on the pin mismatch (its grp layer was never
+    // maintained — re-shard via compact into a fresh min/max state
+    // instead of silently serving min/max from nothing)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val typed = delta.schema.filter(f => payloadCols.contains(f.name))
       .sortBy(_.name)
       .map(f => enc(f.name) + ":" + enc(f.dataType.catalogString))
       .mkString(",")
+    val mmField =
+      if (minMaxCols.isEmpty) "" else s"|${minMaxCols.map(enc).mkString(",")}"
     graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
       s"cdcRollup|$typed|${pkCols.map(enc).mkString(",")}|" +
         s"${groupCols.map(enc).mkString(",")}|" +
         s"${valueCols.map(enc).mkString(",")}|" +
-        s"$nBaseBuckets|$nAggBuckets")
+        s"$nBaseBuckets|$nAggBuckets$mmField")
     // reap THIS batch's crash garbage (staged dirs + unmarked versions)
-    for (layer <- Seq("base", "agg")) {
+    for (layer <- layerNames) {
       fs.delete(new Path(rootPath, s"$layer/.staging$batchId"), true)
       val layerDir = new Path(rootPath, layer)
       if (fs.exists(layerDir))
@@ -224,21 +268,27 @@ object CdcRollup {
           // contrib): the null-safe merge below uses dataset-qualified
           // refs, and a shared-lineage empty frame would make that a
           // self-join ambiguity
+          import org.apache.spark.sql.types.{StructField, StructType}
           val emptyAgg = spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType(
+            StructType(
               groupCols.map(c => delta.schema(c)) ++
-                (org.apache.spark.sql.types.StructField("n",
-                  org.apache.spark.sql.types.LongType) +:
-                  agg.map(t => org.apache.spark.sql.types.StructField(t,
-                    org.apache.spark.sql.types.DecimalType(38, 6))))))
+                (StructField("n", org.apache.spark.sql.types.LongType) +:
+                  agg.map(t => StructField(t,
+                    org.apache.spark.sql.types.DecimalType(38, 6)))) ++
+                minMaxCols.zipWithIndex.flatMap { case (v, i) =>
+                  val dt = delta.schema(v).dataType
+                  Seq(StructField(mins(i), dt), StructField(maxs(i), dt))
+                }))
           val oldAgg = readLatest(spark, fs, rootPath, "agg",
             Some(touchedAgg), markers).getOrElse(emptyAgg)
           // NULL-SAFE group merge: a using-columns join would never
           // match NULL group values (null != null), splitting a NULL
           // group's state row from its contribution forever — <=> is
           // the join a grouping semantics needs (GROUP BY treats NULLs
-          // as one group; so must the merge)
+          // as one group; so must the merge). min/max pass through
+          // from the old state here; the recompute below overrides
+          // them for exactly the touched groups.
           val mergeCond = groupCols
             .map(c => oldAgg(c) <=> contrib(c)).reduce(_ && _)
           val merged = oldAgg.join(contrib, mergeCond, "full_outer")
@@ -249,11 +299,61 @@ object CdcRollup {
               agg.zip(dts).map { case (t, d) =>
                 (coalesce(oldAgg(t), lit(0).cast(dec)) +
                   coalesce(contrib(d), lit(0).cast(dec))).cast(dec)
-                  .as(t) }: _*)
-            .filter(col("n") > 0) // a fully-retracted group drops out
+                  .as(t) } ++
+              (mins ++ maxs).map(c => oldAgg(c).as(c)): _*)
+          val (withMinMax, grpLayer) =
+            if (minMaxCols.isEmpty) (merged, Nil)
+            else {
+              // grp layer upkeep: current images projected to
+              // (group, pk, minMax) columns, bucketed by the AGG
+              // bucket function — so every row of a touched group
+              // lives in a bucket this fold already touches, and the
+              // min/max recompute below is bucket-pruned by
+              // construction (the base's pk buckets could never give
+              // that: a group's members scatter across all of them)
+              val grpCols = (groupCols ++ pkCols ++ minMaxCols).distinct
+              val emptyGrp = spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+                StructType(grpCols.map(c => delta.schema(c))))
+              val oldGrp = readLatest(spark, fs, rootPath, "grp",
+                Some(touchedAgg), markers).getOrElse(emptyGrp)
+              val newGrp = oldGrp.join(keys, pkCols, "left_anti")
+                .unionByName(upserts.select(grpCols.map(col): _*))
+              // exact per-group MIN/MAX over the SURVIVING images of
+              // the delta's touched groups — touched-group-sized work
+              // (untouched groups sharing a bucket are semi-filtered
+              // out; their stored values pass through `merged`)
+              val touchedGroups = newGrp.join(contrib,
+                groupCols.map(c => newGrp(c) <=> contrib(c))
+                  .reduce(_ && _), "left_semi")
+              val mmAggs = minMaxCols.zipWithIndex.flatMap {
+                case (v, i) =>
+                  Seq(min(col(v)).as(s"__mm_${mins(i)}"),
+                    max(col(v)).as(s"__mm_${maxs(i)}"))
+              } :+ count(lit(1)).as("__mm_rows")
+              val recomputed = touchedGroups
+                .groupBy(groupCols.map(col): _*)
+                .agg(mmAggs.head, mmAggs.tail: _*)
+              // presence discriminator, NOT coalesce: a recomputed
+              // group's value wins EVEN WHEN NULL (all surviving
+              // values NULL is a real MIN/MAX result)
+              val cond = groupCols
+                .map(c => merged(c) <=> recomputed(c)).reduce(_ && _)
+              val joined = merged.join(recomputed, cond, "left_outer")
+                .select((groupCols.map(c => merged(c).as(c)) :+
+                  merged("n").as("n")) ++
+                  agg.map(t => merged(t).as(t)) ++
+                  (mins ++ maxs).map { c =>
+                    when(recomputed("__mm_rows").isNotNull,
+                      recomputed(s"__mm_$c")).otherwise(merged(c)).as(c)
+                  }: _*)
+              (joined, Seq(("grp", newGrp, aggBucket, touchedAgg)))
+            }
           stageAndCommit(fs, rootPath, batchId,
             Seq(("base", newBase, baseBucket, touchedBase),
-              ("agg", merged, aggBucket, touchedAgg)))
+              // a fully-retracted group drops out of the view
+              ("agg", withMinMax.filter(col("n") > 0), aggBucket,
+                touchedAgg)) ++ grpLayer)
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
     } finally { net.unpersist(); () }
@@ -299,7 +399,10 @@ object CdcRollup {
       .getOrElse(throw new IllegalStateException(
         s"lookupBase: no layout pin under $root — not a cdcRollup state"))
     val parts = pin.split('|')
-    require(parts.length == 7 && parts(0) == "cdcRollup",
+    // 7 fields = sums-only, 8 = the appended minMax field (layouts
+    // share positions 0..6)
+    require((parts.length == 7 || parts.length == 8) &&
+        parts(0) == "cdcRollup",
       s"lookupBase: unrecognized layout pin '$pin' under $root")
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
@@ -331,6 +434,61 @@ object CdcRollup {
       readLatest(spark, fs, rootPath, "base", Some(touched),
         BatchMarkers.read(fs, rootPath))
         .map(_.join(probe, pkCols, "left_semi"))
+    } finally { probe.unpersist(); () }
+  }
+
+  /** Bucket-pruned POINT LOOKUP into the VIEW (agg) layer — the
+    * group-keyed sibling of [[lookupBase]]: reads ONLY the agg bucket
+    * dirs the requested GROUP keys hash into, then null-safe
+    * semi-joins the keys (NULL group values are a real group — GROUP
+    * BY folds them into one, and the state row for it must be
+    * servable; using-columns semi-join would never match them).
+    * `keys` must carry exactly the pinned group columns WITH the
+    * pinned types (xxhash64 bucketing, the lookupBase discipline).
+    * None before the first commit. */
+  def lookupView(spark: SparkSession, root: String,
+                 keys: DataFrame): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"lookupView: no layout pin under $root — not a cdcRollup state"))
+    val parts = pin.split('|')
+    require((parts.length == 7 || parts.length == 8) &&
+        parts(0) == "cdcRollup",
+      s"lookupView: unrecognized layout pin '$pin' under $root")
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
+      case Array(n, t) => dec(n) -> dec(t)
+    }.toMap
+    val groupCols = parts(3).split(',').toSeq.map(dec)
+    val nAggBuckets = parts(6).toInt
+    require(keys.columns.sorted.toSeq == groupCols.sorted,
+      s"lookupView: the key frame must carry exactly the pinned group " +
+        s"columns (${groupCols.mkString(", ")}), got " +
+        s"(${keys.columns.mkString(", ")}) — project upstream")
+    groupCols.foreach { c =>
+      val got = keys.schema(c).dataType.catalogString
+      require(typed.get(c).contains(got),
+        s"lookupView: group column '$c' is $got but the state pinned " +
+          s"${typed.getOrElse(c, "?")} — xxhash64 bucketing is " +
+          "type-sensitive, a drifted lookup would probe the wrong " +
+          "buckets and miss silently; cast to the pinned type")
+    }
+    val probe = keys.distinct().persist()
+    try {
+      val bucketOf = pmod(xxhash64(groupCols.map(col): _*),
+        lit(nAggBuckets)).cast("int")
+      val touched = probe.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      readLatest(spark, fs, rootPath, "agg", Some(touched),
+        BatchMarkers.read(fs, rootPath))
+        .map { agg =>
+          val cond = groupCols.map(c => agg(c) <=> probe(c))
+            .reduce(_ && _)
+          agg.join(probe, cond, "left_semi")
+        }
     } finally { probe.unpersist(); () }
   }
 
@@ -373,7 +531,7 @@ object CdcRollup {
     // frontier and uncommitted it may be the in-flight fold — age gate
     def deadStaging(id: Long, mtime: Long): Boolean =
       markers.committed(id) || id <= frontier || mtime <= cutoff
-    for (layer <- Seq("base", "agg")) {
+    for (layer <- layerNames) {
       val dir = new Path(rootPath, layer)
       if (fs.exists(dir)) fs.listStatus(dir).toSeq
         .filter(_.isDirectory).foreach { st =>
@@ -402,24 +560,43 @@ object CdcRollup {
     deleted.result()
   }
 
-  /** Collapse the committed per-batch markers into ONE
-    * `_APPLIED_UPTO_<frontier>` watermark — year-long streams stay
-    * listable without the full state rewrite `compact` costs. Sound
-    * because batch ids are monotone (the fold refuses ids below the
-    * committed frontier, so nothing the watermark subsumes can ever
-    * commit later); a replay of a subsumed id resolves as committed
-    * and stays a quiet no-op. Uncommitted garbage at or below the
-    * frontier is swept FIRST — after the fold it would read as
-    * committed. @return the watermark written, None when nothing has
-    * committed yet */
-  def foldMarkers(spark: SparkSession, root: String): Option[Long] = {
+  /** Collapse AGED committed per-batch markers into ONE
+    * `_APPLIED_UPTO_<w>` watermark — year-long streams stay listable
+    * without the full state rewrite `compact` costs. Sound for
+    * SUBSUMED ids because batch ids are monotone (the fold refuses
+    * ids below the committed frontier, so nothing the watermark
+    * subsumes can ever commit later); a replay of a subsumed id
+    * resolves as committed and stays a quiet no-op.
+    *
+    * Why the AGE gate (default 24 h, the [[JoinView.foldMarkers]]
+    * discipline): the watermark turns "id <= w" into "committed", so
+    * it also swallows a NEVER-delivered gap id <= w — the fold's
+    * replay short-circuit would answer false before the loud
+    * monotonicity guard ever saw it, the exact silent-vanish class
+    * that guard exists to refuse. Folding only markers older than
+    * `olderThanMs` keeps every id inside its replay window on a
+    * per-id marker, so an out-of-order submission there still refuses
+    * loud; a gap OLDER than the window is abandoned by the
+    * single-writer contract (nothing in flight survives 24 h) and
+    * subsuming it is the documented cost of a listable state.
+    * Uncommitted garbage at or below the new watermark is swept FIRST
+    * — after the fold it would read as committed.
+    * @return the watermark written, None when nothing qualifies */
+  def foldMarkers(spark: SparkSession, root: String,
+                  olderThanMs: Long = 24L * 3600 * 1000): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return None
     val markers = BatchMarkers.read(fs, rootPath)
-    markers.maxCommitted.map { frontier =>
-      for (layer <- Seq("base", "agg")) {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val aged = markers.ids.filter(id => markers.mtimes(id) <= cutoff)
+    val w = (markers.watermark.toSeq ++ aged).maxOption
+    // fold when the frontier advances OR a prior fold's crash left
+    // subsumed per-id markers behind (foldInto is idempotent)
+    w.filter(v => markers.watermark.forall(_ < v) ||
+        markers.ids.exists(_ <= v)).map { frontier =>
+      for (layer <- layerNames) {
         val dir = new Path(rootPath, layer)
         if (fs.exists(dir)) fs.listStatus(dir).toSeq
           .filter(_.isDirectory).foreach { st =>
@@ -445,14 +622,20 @@ object CdcRollup {
 
   /** Compact a long-lived state into a FRESH root: the latest
     * committed version of every bucket becomes `v0` of the fresh root
-    * (one scan + one write per layer, no re-aggregation) and the
-    * accumulated `_APPLIED_<id>` markers collapse to `_APPLIED_0`.
-    * Also the re-shard path (new bucket counts). Same contract as the
-    * join/rollup siblings: fresh root empty, swap between folds,
-    * continue with fresh batch ids. A PINNED-but-uncommitted fresh
-    * root (a prior compact's crash — the pin lands before the layers
-    * stage) is reset and retried, not refused. @return view rows
-    * carried over */
+    * (one scan + one write per layer — `grp` rides along on min/max
+    * states — no re-aggregation) and the accumulated markers collapse
+    * to ONE `_APPLIED_UPTO_<frontier>` watermark carrying the
+    * SOURCE's committed frontier. Seeding the frontier (not
+    * `_APPLIED_0`) is what keeps the replay protocol intact across
+    * the swap: a replay of any pre-compaction id resolves as
+    * committed (quiet no-op, exactly as at the old root) and the
+    * monotone guard keeps refusing fresh ids below the frontier —
+    * with a zeroed marker both would have silently RE-APPLIED.
+    * Continue with batch ids above the frontier. Also the re-shard
+    * path (new bucket counts). A PINNED-but-uncommitted fresh root (a
+    * prior compact's crash — the pin lands before the layers stage)
+    * is reset and retried, not refused. @return view rows carried
+    * over */
   def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
                      nBaseBuckets: Int = 64, nAggBuckets: Int = 16): Long = {
     import org.apache.hadoop.fs.Path
@@ -465,7 +648,8 @@ object CdcRollup {
       .getOrElse(throw new IllegalStateException(
         s"compactStateTo: no layout pin under $root — not a cdcRollup state"))
     val parts = pin.split('|')
-    require(parts.length == 7 && parts(0) == "cdcRollup",
+    require((parts.length == 7 || parts.length == 8) &&
+        parts(0) == "cdcRollup",
       s"compactStateTo: unrecognized layout pin '$pin' under $root")
     // "already holds a state" means a COMMITTED batch, not a pin: a
     // crash between the fresh pin and the marker leaves a
@@ -476,7 +660,7 @@ object CdcRollup {
     graft.sources.PartitionedStore.readPin(fs, freshPath) match {
       case Some(p) if p.startsWith("cdcRollup|") =>
         // a prior compact's crash remnants — nothing committed, reset
-        for (l <- Seq("base", "agg"))
+        for (l <- layerNames)
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
       case Some(p) => throw new IllegalStateException(
@@ -491,22 +675,30 @@ object CdcRollup {
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     val pkCols = parts(2).split(',').toSeq.map(dec)
     val groupCols = parts(3).split(',').toSeq.map(dec)
+    // fresh pin: the source's fields verbatim (incl. the minMax field
+    // when present), the (possibly new) bucket counts
     graft.sources.PartitionedStore.pinLayout(fs, freshPath, freshRoot,
-      s"cdcRollup|${parts(1)}|${parts(2)}|${parts(3)}|${parts(4)}|" +
-        s"$nBaseBuckets|$nAggBuckets")
+      (Seq("cdcRollup", parts(1), parts(2), parts(3), parts(4),
+        nBaseBuckets.toString, nAggBuckets.toString) ++
+        parts.drop(7)).mkString("|"))
     val baseBucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBaseBuckets))
       .cast("int")
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
       .cast("int")
     val srcMarkers = BatchMarkers.read(fs, rootPath)
-    for ((layer, bucketOf) <- Seq("base" -> baseBucket, "agg" -> aggBucket))
+    for ((layer, bucketOf) <- Seq("base" -> baseBucket,
+        "agg" -> aggBucket, "grp" -> aggBucket))
       readLatest(spark, fs, rootPath, layer, None, srcMarkers).foreach { df =>
         df.withColumn("__bucket", bucketOf)
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(new Path(freshPath, s"$layer/.staging0").toString)
         promoteStaged(fs, freshPath, layer, 0L)
       }
-    BatchMarkers.commit(fs, freshPath, 0L)
+    // the v0 data dirs resolve committed through the watermark
+    // (0 <= frontier); a source with nothing committed seeds 0
+    BatchMarkers.foldInto(fs, freshPath,
+      BatchMarkers.read(fs, freshPath),
+      srcMarkers.maxCommitted.getOrElse(0L))
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 

@@ -160,12 +160,27 @@ object JoinView {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     // one marker listing serves the replay check and every committed-
-    // dir resolution below; ids at or below a folded watermark
-    // ([[foldMarkers]]) resolve as committed — replaying one is a
-    // quiet no-op, the same at-least-once idiom as a live marker
+    // dir resolution below. A LIVE per-id marker is a quiet no-op —
+    // the at-least-once scheduler idiom. An id at or below a folded
+    // watermark ([[foldMarkers]]) with NO live marker REFUSES instead:
+    // join ids are not monotone by contract, so the watermark cannot
+    // distinguish a committed replay from a never-delivered id — and
+    // genuine replays arrive inside their replay window, where the
+    // age-gated fold has kept the per-id marker. Quietly answering
+    // false here would vanish a never-delivered batch behind a
+    // success result (the CdcRollup monotone-guard failure class).
     val markers = BatchMarkers.read(fs, rootPath)
-    if (markers.committed(batchId))
+    if (markers.ids(batchId))
       return false // replay of a committed batch: exactly-once no-op
+    markers.watermark.filter(batchId <= _).foreach { w =>
+      throw new IllegalArgumentException(
+        s"join-view batch $batchId: at or below the folded watermark " +
+          s"$w with no live marker — the fold cannot tell a committed " +
+          "replay from a never-delivered id here. A genuine replay " +
+          "would still hold its per-id marker (foldMarkers only folds " +
+          "markers older than the replay window); feed a fresh batch " +
+          "id instead")
+    }
     // layout + schema pin: key, both column sets WITH THEIR TYPES and
     // the bucket count ride the pin — a renamed column, re-keyed
     // config, changed bucket function, OR a type-drifting feed refuses
@@ -417,9 +432,13 @@ object JoinView {
     * `nBuckets` may differ from the source layout — compaction is
     * also the re-shard path (the in-place bucket-count change the pin
     * refuses). The fresh root gets its own pin (same key + schema,
-    * new bucket count) and `_APPLIED_0`; swap roots between folds —
-    * the protocol is single-writer, so there is no concurrent-fold
-    * window to race.
+    * new bucket count) and ONE `_APPLIED_UPTO_<frontier>` watermark
+    * carrying the SOURCE's committed frontier — so a replay of any
+    * pre-compaction id refuses loud at the fresh root (the
+    * watermark-refusal in [[foldBatchDirs]]) instead of silently
+    * re-applying against restarted markers; continue with batch ids
+    * above the frontier. Swap roots between folds — the protocol is
+    * single-writer, so there is no concurrent-fold window to race.
     *
     * @return number of view rows compacted */
   def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
@@ -486,7 +505,11 @@ object JoinView {
       case None => fs.mkdirs(new Path(freshPath, s"$side/d0")); ()
     }
     stage("a"); stage("b"); stage("view")
-    fs.create(new Path(freshPath, "_APPLIED_0"), true).close()
+    // the d0 dirs resolve committed through the watermark
+    // (0 <= frontier); a source with nothing committed seeds 0
+    BatchMarkers.foldInto(fs, freshPath,
+      BatchMarkers.read(fs, freshPath),
+      srcMarkers.maxCommitted.getOrElse(0L))
     readCommittedView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 

@@ -879,6 +879,97 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC rollup view with exact per-group MIN/MAX under retraction:
+    // same three-batch I/U/D shape as cdc_rollup_view (group-moving
+    // updates, deletes), but the fold also maintains min_1/max_1
+    // (o_totalprice) and min_2/max_2 (o_custkey) — min/max are not
+    // invertible, so the fold recomputes them for exactly the touched
+    // groups from the group-bucketed `grp` image layer
+    // ([[graft.operators.CdcRollup]] object doc). The k%5 deletes and
+    // the group-moving X-UPD updates remove group extrema wholesale,
+    // so any stale-extremum bug hashes red against the oracle's
+    // MIN/MAX over the final images. Same 3-fold gate-artifact cost
+    // class as its cdc siblings.
+    "cdc_minmax_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcmm_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("o_custkey"))
+        .filter(k % 8 === 0)
+      def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("o_custkey"), lit(seq.toLong).as("seq"), lit("I").as("op"))
+      val b0 = ins(0, 1)
+      val b1 = ins(1, 1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_totalprice"), col("o_custkey"),
+            lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2, 1).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            col("o_custkey"), lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 4, nAggBuckets = 2,
+          minMaxCols = Seq("o_totalprice", "o_custkey"))
+      }
+      CdcRollup.readView(s, root).get
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total_price"),
+          col("min_1").cast("double").as("min_price"),
+          col("max_1").cast("double").as("max_price"),
+          col("min_2").as("min_cust"), col("max_2").as("max_cust"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // The SERVING path, gate-verified: fold two CDC batches (insert
+    // then update+delete), then POINT-LOOK-UP a fixed key slice
+    // through [[graft.operators.CdcRollup.lookupBase]] — the
+    // bucket-pruned read the `lookup` CLI kind fronts. The oracle
+    // derives the same final images and filters to the same keys; a
+    // lookup that probed the wrong buckets (or served stale images)
+    // hashes red. Smaller artifact than its fold siblings: 2 folds,
+    // 2/2 buckets, k%16 slice.
+    "cdc_lookup_serving" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcl_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("o_custkey"))
+        .filter(k % 16 === 0)
+      def ev(d: org.apache.spark.sql.DataFrame, seq: Int, op: String) =
+        d.select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("o_custkey"), lit(seq.toLong).as("seq"), lit(op).as("op"))
+      val b0 = ev(ord, 1, "I")
+      val b1 = ev(ord.filter(k % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10000.0),
+          2, "U")
+        .unionByName(ev(ord.filter(k % 5 === 0 && k % 7 =!= 0), 3, "D"))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      // the probe: every 64th key of the slice — typed to the pinned
+      // bigint, exactly the serving-path contract
+      val probe = t(s, dir, "orders").select(k).filter(k % 64 === 0)
+      CdcRollup.lookupBase(s, root, probe).get
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -931,9 +1022,46 @@ object RelationalQueries {
         |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
         |       CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS total_cust
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
-    // final images: k%8 slice, custkey CASE-shifted for k%2=0 ∧ k%5=0,
-    // k%3=0 deleted — distinct customers and order volume per
+    // final images: k%16 slice, custkey CASE-shifted for k%32=0 ∧
+    // k%5=0, k%3=0 deleted — distinct customers and order volume per
     // priority, never replaying the folds
+    // final images as in cdc_rollup_view (k%8 slice here), MIN/MAX
+    // computed one-shot — a stale extremum surviving a delete or a
+    // group-moving update in the fold hashes red
+    "cdc_minmax_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v, o_custkey AS c
+        |  FROM orders WHERE o_orderkey % 8 = 0),
+        |final AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, v, c
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2))
+        |SELECT p AS o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+        |       CAST(MIN(v) AS DOUBLE) AS min_price,
+        |       CAST(MAX(v) AS DOUBLE) AS max_price,
+        |       MIN(c) AS min_cust, MAX(c) AS max_cust
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same final images the folds produce (k%16 slice, k%7
+    // updated +10000, k%5 deleted unless updated), filtered to the
+    // looked-up key set — the lookup itself must be invisible
+    "cdc_lookup_serving" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority, o_totalprice,
+        |         o_custkey
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |final AS (
+        |  SELECT k, o_orderpriority,
+        |         CASE WHEN k % 7 = 0 THEN o_totalprice + 10000.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_custkey
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 7 <> 0))
+        |SELECT k AS o_orderkey, o_orderpriority, o_totalprice,
+        |       o_custkey
+        |FROM final WHERE k % 64 = 0 ORDER BY 1""".stripMargin,
     "cdc_distinct_view" ->
       """WITH sliced AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p, o_custkey AS c

@@ -808,10 +808,12 @@ object EventStreams {
     * per-batch `_APPLIED_<id>` markers grow one file per fold
     * forever. Every `gcEveryBatches` batches the sink sweeps the
     * former ([[graft.operators.CdcRollup.cleanOrphanBatchDirs]]) and
-    * folds the latter into the `_APPLIED_UPTO_` watermark
-    * ([[graft.operators.CdcRollup.foldMarkers]] — sound here because
-    * the checkpoint feeds monotone batch ids). Failure never wedges
-    * ingest: reported, not rethrown. */
+    * folds the AGED part of the latter into the `_APPLIED_UPTO_`
+    * watermark ([[graft.operators.CdcRollup.foldMarkers]] with the
+    * `gcOlderThanMs` age gate — ids inside their replay window keep
+    * per-id markers, so the monotone guard stays loud for
+    * out-of-order gap ids; the checkpoint itself feeds monotone
+    * ids). Failure never wedges ingest: reported, not rethrown. */
   def streamingCdcRollup(events: DataFrame, pkCols: Seq[String],
                          seqCol: String, opCol: String,
                          groupCols: Seq[String], valueCols: Seq[String],
@@ -820,7 +822,13 @@ object EventStreams {
                          gcEveryBatches: Int = 64,
                          /** Per-batch quality gate — see
                            * [[streamingUpsert]]'s `checks`. */
-                         checks: Seq[graft.operators.DataChecks.Check] = Nil)
+                         checks: Seq[graft.operators.DataChecks.Check] = Nil,
+                         /** GC age gate for marker folds + orphan
+                           * sweeps (default 24 h). */
+                         gcOlderThanMs: Long = 24L * 3600 * 1000,
+                         /** Exact MIN/MAX measure columns — see
+                           * [[graft.operators.CdcRollup.foldBatch]]. */
+                         minMaxCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -830,14 +838,14 @@ object EventStreams {
           s"streamingCdcRollup($statePath) batch $batchId")
         graft.operators.CdcRollup.foldBatch(statePath, batchId,
           batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCols,
-          nBaseBuckets, nAggBuckets)
+          nBaseBuckets, nAggBuckets, minMaxCols)
         if (gcEveryBatches > 0 && batchId > 0 &&
             batchId % gcEveryBatches == 0)
           try {
             graft.operators.CdcRollup.cleanOrphanBatchDirs(
-              batch.sparkSession, statePath)
+              batch.sparkSession, statePath, gcOlderThanMs)
             graft.operators.CdcRollup.foldMarkers(
-              batch.sparkSession, statePath)
+              batch.sparkSession, statePath, gcOlderThanMs)
             ()
           } catch {
             case scala.util.control.NonFatal(e) =>
@@ -876,7 +884,10 @@ object EventStreams {
                         nBuckets: Int = 64,
                         /** Per-batch quality gate — see
                           * [[streamingUpsert]]'s `checks`. */
-                        checks: Seq[graft.operators.DataChecks.Check] = Nil)
+                        checks: Seq[graft.operators.DataChecks.Check] = Nil,
+                        /** GC age gate for marker folds + orphan
+                          * sweeps (default 24 h). */
+                        gcOlderThanMs: Long = 24L * 3600 * 1000)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(aCols.contains(key) && bCols.contains(key),
       s"streamingJoinView: both side projections must carry key '$key'")
@@ -914,9 +925,9 @@ object EventStreams {
           if (batchId > 0 && batchId % 64 == 0)
             try {
               graft.operators.JoinView.cleanOrphanBatchDirs(
-                cached.sparkSession, statePath)
+                cached.sparkSession, statePath, gcOlderThanMs)
               graft.operators.JoinView.foldMarkers(
-                cached.sparkSession, statePath)
+                cached.sparkSession, statePath, gcOlderThanMs)
               ()
             } catch {
               case scala.util.control.NonFatal(e) =>
@@ -1106,6 +1117,66 @@ object EventStreams {
     }
   }
 
+  /** Bucket-pruned POINT LOOKUP into a bucketed rollup state — the
+    * rollup sibling of [[graft.operators.CdcRollup.lookupView]] and
+    * the serving path behind the `lookup` CLI kind: reads ONLY the
+    * `bucket=` partitions the requested group keys hash into
+    * (partition-pruned scan), finalizes the monoid state of those
+    * buckets, and null-safe semi-joins the keys (NULL group values
+    * are a real group — GROUP BY folds them into one, and its state
+    * row must be servable). The probe must carry exactly the pinned
+    * key columns WITH the state's stored types — xxhash64 is
+    * type-sensitive, so a drifted probe would prune the wrong
+    * partitions and miss silently; it refuses instead. None before
+    * the first fold. */
+  def lookupRollupState(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String,
+                        keys: DataFrame): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, root).getOrElse(
+      throw new graft.model.UserException(
+        s"lookupRollupState: no layout pin under $statePath — not a " +
+          "rollup-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 3 && parts(0).toIntOption.exists(_ >= 1),
+      s"lookupRollupState: unrecognized layout pin '$pin' under " +
+        statePath)
+    val keyCols = parts(1).split(',').toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val nBuckets = parts(0).toInt
+    require(keys.columns.sorted.toSeq == keyCols.sorted,
+      s"lookupRollupState: the key frame must carry exactly the " +
+        s"pinned key columns (${keyCols.mkString(", ")}), got " +
+        s"(${keys.columns.mkString(", ")}) — project upstream")
+    val cur = new Path(root, "state")
+    if (!fs.exists(cur)) return None
+    val state = spark.read.parquet(cur.toString)
+    keyCols.foreach { c =>
+      val got = keys.schema(c).dataType.catalogString
+      val want = state.schema(c).dataType.catalogString
+      require(got == want,
+        s"lookupRollupState: key column '$c' is $got but the state " +
+          s"stores $want — xxhash64 bucketing is type-sensitive, a " +
+          "drifted probe would prune the wrong partitions and miss " +
+          "silently; cast to the stored type")
+    }
+    val probe = keys.distinct().persist()
+    try {
+      val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+        .cast("int")
+      val touched = probe.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val pruned = state
+        .filter(col("bucket").isin(touched.map(b => lit(b): Column): _*))
+      val fin = graft.operators.IncrementalAgg
+        .finalizeState(pruned.drop("bucket"), keyCols)
+      val cond = keyCols.map(c => fin(c) <=> probe(c)).reduce(_ && _)
+      Some(fin.join(probe, cond, "left_semi"))
+    } finally { probe.unpersist(); () }
+  }
+
   /** Compact a long-lived bucketed rollup state into a FRESH root —
     * the rollup sibling of [[graft.operators.JoinView.compactStateTo]]
     * and the out-of-band maintenance the fold's ops posture points at:
@@ -1115,7 +1186,7 @@ object EventStreams {
     * listing cost creeps into every fold. The state rows are COPIED
     * (one scan + one bucketed write — the monoid state is already
     * merged, nothing re-aggregates) and the fresh root starts with a
-    * single `_APPLIED_0` marker per bucket.
+    * single `_APPLIED_<frontier>` marker per bucket.
     *
     * `nBuckets = None` keeps the source bucket count; a value
     * RE-SHARDS — the in-place bucket-count change the layout pin
@@ -1124,8 +1195,14 @@ object EventStreams {
     * count). Same contract as the join sibling: fresh root must be
     * empty, swap roots between folds (single-writer — no concurrent
     * fold to race), and continue with batch ids FRESHER than anything
-    * compacted (the markers restart, so a replay of a pre-compaction
-    * id would re-apply).
+    * compacted. The source's `_LAST_BATCH` frontier carries into the
+    * fresh root and the fresh buckets seed `_APPLIED_<frontier>` (not
+    * `_APPLIED_0`) — so after the swap a replay of the frontier id
+    * no-ops against its marker and anything older refuses loud at the
+    * monotone guard, exactly as at the old root; with zeroed markers
+    * and no frontier, any pre-compaction replay would silently
+    * re-apply. A pre-guard source (no `_LAST_BATCH`) keeps the
+    * legacy zero seeding.
     *
     * @return number of state rows compacted */
   def compactRollupStateTo(spark: org.apache.spark.sql.SparkSession,
@@ -1163,8 +1240,12 @@ object EventStreams {
       case Some(p) if p.split('|').length == 3 &&
           p.split('|')(0).toIntOption.exists(_ >= 1) =>
         // a prior compact's crash remnants — nothing committed, reset
+        // (incl. a stray _LAST_BATCH: the frontier writes BEFORE the
+        // state rename, so a crash in between strands one here)
         fs.listStatus(freshRoot).toSeq.map(_.getPath)
-          .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+          .filter(st => st.getName.matches("state__stage_[0-9a-f]{8}") ||
+            st.getName == "_LAST_BATCH" ||
+            st.getName.startsWith("_LAST_BATCH_tmp_"))
           .foreach(st => fs.delete(st, true))
         fs.delete(new Path(freshRoot, "_CONFIG"), true)
       case Some(p) => throw new graft.model.UserException(
@@ -1189,11 +1270,22 @@ object EventStreams {
     state.withColumn("bucket", bucketOf)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(stage.toString)
-    // one marker per materialized bucket, created in the stage so the
-    // rename commits data + markers atomically per child
+    // one marker per materialized bucket AT THE SOURCE FRONTIER,
+    // created in the stage so the rename commits data + markers
+    // atomically per child — a replay of the frontier id after the
+    // swap finds its marker and no-ops instead of re-applying
+    val srcLast = readLastBatch(fs, root)
+    val seedId = srcLast.getOrElse(0L)
     fs.listStatus(stage).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("bucket="))
-      .foreach(b => fs.create(new Path(b, "_APPLIED_0"), true).close())
+      .foreach(b =>
+        fs.create(new Path(b, s"_APPLIED_$seedId"), true).close())
+    // the frontier file lands before the state rename (the commit
+    // point) — the crash-reset branch above reclaims a stranded one
+    srcLast.foreach { last =>
+      val out = fs.create(new Path(freshRoot, "_LAST_BATCH"), true)
+      try out.write(last.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (!fs.rename(stage, new Path(freshRoot, "state")))
       throw new java.io.IOException(
         s"compactRollupStateTo: rename failed: $freshPath/state")

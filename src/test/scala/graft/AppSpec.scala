@@ -1703,6 +1703,171 @@ class AppSpec extends SparkSpec {
       Seq(Seq(1L, 1.0, 2.0))
   }
 
+  test("maintainView status countRows:false: view_rows reports null " +
+      "and NO Spark job runs — pure listings for huge-view health " +
+      "probes") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewstnc").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    CdcRollup.foldBatch(s"$dir/nstate", 0L,
+      Seq((1L, "a", 10.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    // count ONLY this thread's jobs: the job group is thread-local, so
+    // the status call carries group A and the FIFO marker job group B,
+    // while any concurrently-running suite's jobs carry neither
+    val groupA = s"graft-status-nc-${System.nanoTime()}"
+    val groupB = s"$groupA-marker"
+    val statusJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == groupA) { statusJobs.incrementAndGet(); () }
+        else if (g == groupB) { markerJobs.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(groupA, "status countRows probe")
+      cfg("""{"kind": "status", "statePath": "nstate",
+            | "countRows": false}""".stripMargin)
+      val (c, o) = Main.execute(spark, sink, dir)
+      withClue(o) { c shouldBe 0 }
+      o.get should include(""""view_rows":null""")
+      o.get should include(""""family":"cdcRollup"""")
+      // the listener bus is FIFO: run a marker job and wait for ITS
+      // start event — any job the status had launched would have
+      // arrived before it (the marker may itself be several AQE jobs;
+      // only its FIRST matters)
+      spark.sparkContext.setJobGroup(groupB, "FIFO flush marker")
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis() + 20000
+      while (markerJobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      markerJobs.get() should be >= 1
+      statusJobs.get() shouldBe 0 // the status launched NO job
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    // default stays counted
+    cfg("""{"kind": "status", "statePath": "nstate"}""")
+    Main.execute(spark, sink, dir)._2.get should include(""""view_rows":1""")
+  }
+
+  test("maintainView compact nAggBuckets: re-shards the cdc agg/grp " +
+      "layers independently of the base (the 64/16 asymmetry survives " +
+      "a re-shard); refused on single-layout families") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewnagg").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    CdcRollup.foldBatch(s"$dir/cstate", 0L,
+      (1L to 20L).map(i => (i, s"g${i % 3}", i.toDouble, 1L, "I"))
+        .toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 4) shouldBe true
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    cfg("""{"kind": "compact", "statePath": "cstate",
+          | "freshPath": "cstate_v2", "nBuckets": 8,
+          | "nAggBuckets": 2}""".stripMargin)
+    val (c, o) = Main.execute(spark, sink, dir)
+    withClue(o) { c shouldBe 0 }
+    // the fresh pin carries the per-layer counts — the layout contract
+    // every later fold enforces
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/cstate_v2")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/cstate_v2")).get
+    val parts = pin.split('|')
+    parts(5) shouldBe "8"
+    parts(6) shouldBe "2"
+    // and a fold with the matching asymmetric counts proceeds
+    CdcRollup.foldBatch(s"$dir/cstate_v2", 1L,
+      Seq((21L, "g0", 1.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 8, 2) shouldBe true
+    // nAggBuckets on a join state: refused NAMED
+    import graft.operators.JoinView
+    JoinView.foldBatchDirs(s"$dir/jstate", 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    cfg("""{"kind": "compact", "statePath": "jstate",
+          | "freshPath": "jstate_v2", "nAggBuckets": 2}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView cdcRollup minMaxColumns: the CLI fold maintains " +
+      "exact per-group MIN/MAX; the lookup kind parser refuses " +
+      "malformed key sets") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewmm").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(batchId: Int, input: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "cdcRollup", "statePath": "mmstate",
+         |  "batchId": $batchId,
+         |  "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+         |  "keys": ["grp"], "valueColumns": ["v"],
+         |  "minMaxColumns": ["v"],
+         |  "nBaseBuckets": 2, "nAggBuckets": 2,
+         |  "delta": {"input": "$input"}
+         |}}}""".stripMargin)
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "a", 30.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/d0")
+    cfg(0, "in/d0")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // delete the max holder: min/max recompute from the survivor
+    Seq((2L, "a", 0.0, 2L, "D")).toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/d1")
+    cfg(1, "in/d1")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    rows(CdcRollup.readView(spark, s"$dir/mmstate").get
+      .select(col("grp"), col("n"), col("total").cast("double"),
+        col("min_1"), col("max_1"))) shouldBe
+      Seq(Seq("a", 1L, 10.0, 10.0, 10.0))
+    // lookup parser refusals: mismatched key columns across entries,
+    // NULL values, non-object entries, empty list
+    def lkp(keys: String): Int = {
+      Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+        s"""{"action": "maintainView", "parameters": {"view": {
+           |  "kind": "lookup", "statePath": "mmstate",
+           |  "keys": $keys}}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1
+    }
+    lkp("""[{"id": 1}, {"grp": "a"}]""") shouldBe 1
+    lkp("""[{"id": null}]""") shouldBe 1
+    lkp("""[1]""") shouldBe 1
+    lkp("""[]""") shouldBe 1
+    // a well-formed base lookup serves the surviving image
+    lkp("""[{"id": 1}]""") shouldBe 0
+    // maxRows < 1 refuses at parse; an over-limit RESULT refuses loud
+    // at run (a lookup is the point-read face, export is the bulk one)
+    Seq((3L, "a", 5.0, 3L, "I")).toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/d2")
+    cfg(2, "in/d2")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "lookup", "statePath": "mmstate", "maxRows": 0,
+        |  "keys": [{"id": 1}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "lookup", "statePath": "mmstate", "maxRows": 1,
+        |  "keys": [{"id": 1}, {"id": 3}]}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("maintainView rollup: a batch id below the committed frontier " +
       "refuses loud (stale-id replay cannot be verified exactly-once " +
       "once later folds rewrote the bucket); status reports the " +

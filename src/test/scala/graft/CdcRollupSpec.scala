@@ -128,10 +128,17 @@ class CdcRollupSpec extends SparkSpec {
     CdcRollup.compactStateTo(spark, root, fresh,
       nBaseBuckets = 2, nAggBuckets = 1) shouldBe 2L
     view(fresh) shouldBe view(root)
-    // folds continue against the fresh root with its new layout
-    CdcRollup.foldBatch(fresh, 1L, log((1L, "a", 0.0, 9L, "D")),
-      Seq("id"), "seq", "op", Seq("grp"), Seq("v"),
-      nBaseBuckets = 2, nAggBuckets = 1) shouldBe true
+    // the fresh root SEEDS the source's committed frontier (1): a
+    // replay of any pre-compaction id resolves committed and no-ops —
+    // with a zeroed marker it would have silently RE-APPLIED
+    def freshFold(id: Long, d: DataFrame): Boolean =
+      CdcRollup.foldBatch(fresh, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 2, nAggBuckets = 1)
+    freshFold(1L, log((9L, "z", 9.0, 1L, "I"))) shouldBe false
+    freshFold(0L, log((9L, "z", 9.0, 1L, "I"))) shouldBe false
+    view(fresh) shouldBe view(root)
+    // folds continue ABOVE the frontier with the new layout
+    freshFold(2L, log((1L, "a", 0.0, 9L, "D"))) shouldBe true
     view(fresh) shouldBe Map("b" -> ((2L, 5.0)))
     // compacting into an occupied root refuses
     intercept[IllegalArgumentException] {
@@ -258,6 +265,175 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("duplicate")
   }
 
+  /** (id, grp, v, m(optional), seq, op) frame for the minMax tests:
+    * v is measure AND minMax column, m is minMax-only with NULLs. */
+  private def mmlog(rows: (Long, String, Double, Option[Double], Long,
+      String)*): DataFrame =
+    rows.toDF("id", "grp", "v", "m", "seq", "op")
+
+  private def mmfold(root: String, id: Long, d: DataFrame): Boolean =
+    CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+      Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+      minMaxCols = Seq("v", "m"))
+
+  private def mmview(root: String)
+      : Map[String, (Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])] =
+    CdcRollup.readView(spark, root).map(_.collect().map { r =>
+      def d(c: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getAs[Double](c))
+      r.getAs[String]("grp") -> ((r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("total").doubleValue(),
+        d("min_1"), d("max_1"), d("min_2"), d("max_2")))
+    }.toMap).getOrElse(Map.empty)
+
+  test("minMax state: exact per-group MIN/MAX under retraction — " +
+      "deleting an extremum recomputes from survivors, group-moving " +
+      "updates recompute BOTH groups, an all-NULL surviving column " +
+      "stores NULL (presence beats coalesce), untouched groups keep " +
+      "their stored values byte-untouched") {
+    val root = tmpRoot()
+    mmfold(root, 0L, mmlog(
+      (1L, "a", 10.0, Some(5.0), 1L, "I"),
+      (2L, "a", 20.0, Some(1.0), 1L, "I"),
+      (3L, "a", 30.0, None, 1L, "I"),
+      (4L, "b", 40.0, Some(9.0), 1L, "I"),
+      (5L, "c", 7.0, Some(2.0), 1L, "I"))) shouldBe true
+    mmview(root) shouldBe Map(
+      "a" -> ((3L, 60.0, Some(10.0), Some(30.0), Some(1.0), Some(5.0))),
+      "b" -> ((1L, 40.0, Some(40.0), Some(40.0), Some(9.0), Some(9.0))),
+      "c" -> ((1L, 7.0, Some(7.0), Some(7.0), Some(2.0), Some(2.0))))
+    // batch 1: DELETE the m-extremum holder (id 2, m=1.0) and MOVE
+    // id 3 into group b — both groups' min/max must recompute from
+    // the surviving images, not from any invertible shortcut
+    mmfold(root, 1L, mmlog(
+      (2L, "a", 0.0, None, 2L, "D"),
+      (3L, "b", 35.0, None, 2L, "U"))) shouldBe true
+    mmview(root) shouldBe Map(
+      "a" -> ((1L, 10.0, Some(10.0), Some(10.0), Some(5.0), Some(5.0))),
+      "b" -> ((2L, 75.0, Some(35.0), Some(40.0), Some(9.0), Some(9.0))),
+      "c" -> ((1L, 7.0, Some(7.0), Some(7.0), Some(2.0), Some(2.0))))
+    // batch 2: empty group a entirely; NULL out b's last non-NULL m —
+    // the recomputed MIN/MAX of an all-NULL column is NULL, and a
+    // coalesce against the old state would wrongly resurrect 9.0
+    mmfold(root, 2L, mmlog(
+      (1L, "a", 0.0, None, 3L, "D"),
+      (4L, "b", 40.0, None, 3L, "U"))) shouldBe true
+    mmview(root) shouldBe Map(
+      "b" -> ((2L, 75.0, Some(35.0), Some(40.0), None, None)),
+      "c" -> ((1L, 7.0, Some(7.0), Some(7.0), Some(2.0), Some(2.0))))
+    // the replay discipline holds with the grp layer in the commit
+    mmfold(root, 2L, mmlog((9L, "z", 9.0, None, 1L, "I"))) shouldBe false
+    mmview(root).keySet shouldBe Set("b", "c")
+  }
+
+  test("minMax columns keep their OWN types: string and date MIN/MAX " +
+      "recompute exactly under retraction (no numeric cast sneaks in)") {
+    val root = tmpRoot()
+    def dlog(rows: (Long, String, Double, String, java.sql.Date, Long,
+        String)*) = rows.toDF("id", "grp", "v", "s", "d", "seq", "op")
+    def dfold(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 4, 2, minMaxCols = Seq("s", "d"))
+    val d1 = java.sql.Date.valueOf("2020-01-01")
+    val d2 = java.sql.Date.valueOf("2021-06-15")
+    val d3 = java.sql.Date.valueOf("2019-12-31")
+    dfold(0L, dlog(
+      (1L, "a", 1.0, "banana", d1, 1L, "I"),
+      (2L, "a", 2.0, "apple", d2, 1L, "I"),
+      (3L, "a", 3.0, "cherry", d3, 1L, "I"))) shouldBe true
+    val v0 = CdcRollup.readView(spark, root).get.collect().head
+    v0.getAs[String]("min_1") shouldBe "apple"
+    v0.getAs[String]("max_1") shouldBe "cherry"
+    v0.getAs[java.sql.Date]("min_2") shouldBe d3
+    v0.getAs[java.sql.Date]("max_2") shouldBe d2
+    // delete BOTH extremum holders in one batch: the string max and
+    // the date min go; survivors decide
+    dfold(1L, dlog(
+      (3L, "a", 0.0, "x", d3, 2L, "D"))) shouldBe true
+    val v1 = CdcRollup.readView(spark, root).get.collect().head
+    v1.getAs[String]("max_1") shouldBe "banana"
+    v1.getAs[java.sql.Date]("min_2") shouldBe d1
+    v1.getAs[Long]("n") shouldBe 2L
+  }
+
+  test("minMax pin migration: a sums-only state refuses a minMax fold " +
+      "(grp layer was never maintained) and vice versa; compact " +
+      "carries the grp layer so recompute keeps working at the fresh " +
+      "root; lookupBase/readBase ignore the extra layer") {
+    // sums-only state + minMaxCols → pin mismatch, loud
+    val plain = tmpRoot()
+    fold(plain, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    intercept[Exception] {
+      mmfold(plain, 1L, mmlog((2L, "a", 2.0, Some(1.0), 2L, "I")))
+    }.getMessage.toLowerCase should include("layout")
+    // minMax state + sums-only fold → pin mismatch, loud
+    val mm = tmpRoot()
+    mmfold(mm, 0L, mmlog(
+      (1L, "a", 10.0, Some(5.0), 1L, "I"),
+      (2L, "a", 20.0, Some(1.0), 1L, "I"),
+      (3L, "b", 30.0, Some(7.0), 1L, "I"))) shouldBe true
+    intercept[Exception] {
+      CdcRollup.foldBatch(mm, 1L,
+        mmlog((4L, "a", 4.0, None, 1L, "I")).drop("m"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2)
+    }.getMessage.toLowerCase should include("layout")
+    // compact (re-shard) carries base+agg+grp; min/max keep
+    // recomputing at the fresh root — an extremum delete AFTER the
+    // compact can only come out right if the grp layer survived
+    val fresh = mm + "_v2"
+    CdcRollup.compactStateTo(spark, mm, fresh,
+      nBaseBuckets = 2, nAggBuckets = 1) shouldBe 2L
+    mmview(fresh) shouldBe mmview(mm)
+    CdcRollup.foldBatch(fresh, 1L,
+      mmlog((2L, "a", 0.0, None, 2L, "D")),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"),
+      nBaseBuckets = 2, nAggBuckets = 1,
+      minMaxCols = Seq("v", "m")) shouldBe true
+    mmview(fresh)("a") shouldBe
+      ((1L, 10.0, Some(10.0), Some(10.0), Some(5.0), Some(5.0)))
+    // the base serving path is oblivious to the extra layer
+    rows(CdcRollup.lookupBase(spark, fresh, Seq(1L).toDF("id")).get
+      .select("id", "grp", "v")) shouldBe Seq(Seq(1L, "a", 10.0))
+  }
+
+  test("lookupView: bucket-pruned GROUP lookup into the agg layer — " +
+      "equals the view filter, serves the NULL group (null-safe " +
+      "semi), reads only the touched agg buckets, refuses drift") {
+    val root = tmpRoot()
+    def nlog(rows: (Long, Option[String], Double, Long, String)*) =
+      rows.toDF("id", "grp", "v", "seq", "op")
+    CdcRollup.foldBatch(root, 0L, nlog(
+      (1L, Some("a"), 1.0, 1L, "I"), (2L, Some("b"), 2.0, 1L, "I"),
+      (3L, None, 3.0, 1L, "I"), (4L, Some("a"), 4.0, 1L, "I")),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2) shouldBe true
+    val got = CdcRollup.lookupView(spark, root,
+      Seq(Some("a"), Option.empty[String]).toDF("grp")).get
+    got.collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+        ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("total").doubleValue()))
+    }.toMap shouldBe Map(
+      Some("a") -> ((2L, 5.0)), None -> ((1L, 3.0)))
+    // IO pruning: only agg bucket dirs of the probed groups open
+    got.inputFiles should not be empty
+    got.inputFiles.foreach { f =>
+      withClue(f) { f.contains("/agg/") shouldBe true }
+    }
+    // group column set / type drift refuse
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupView(spark, root, Seq(1L).toDF("id"))
+    }.getMessage should include("exactly the pinned group columns")
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupView(spark, root,
+        Seq(1).toDF("grp").select(col("grp").cast("int")))
+    }.getMessage should include("type-sensitive")
+    // groups that hit no state row: empty, not an error
+    CdcRollup.lookupView(spark, root, Seq("zz").toDF("grp")).get
+      .count() shouldBe 0L
+  }
+
   test("batch ids are monotone: an UNCOMMITTED id below the committed " +
       "frontier refuses loud (its versions would be invisible); a " +
       "COMMITTED id stays a quiet no-op") {
@@ -307,38 +483,48 @@ class CdcRollupSpec extends SparkSpec {
   }
 
   test("foldMarkers: per-batch markers collapse into _APPLIED_UPTO_; " +
-      "replay of a subsumed id is a no-op, readers resolve versions " +
-      "identically, uncommitted garbage below the frontier is swept, " +
-      "and later folds continue") {
+      "UNCOMMITTED gap garbage below the frontier is swept BEFORE the " +
+      "watermark exists, readers resolve versions identically, a " +
+      "subsumed id no-ops, and later folds continue") {
     val root = tmpRoot()
+    // ids 0 and 2 with a GAP at 1 — the uncommitted-garbage sweep must
+    // fire on a version dir of the gap id, which the watermark would
+    // otherwise legitimize as committed state
     fold(root, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
-    fold(root, 1L, log((2L, "b", 2.0, 1L, "I"))) shouldBe true
-    fold(root, 2L, log((1L, "a", 1.5, 2L, "U"))) shouldBe true
+    fold(root, 2L, log((2L, "b", 2.0, 1L, "I"),
+      (1L, "a", 1.5, 2L, "U"))) shouldBe true
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // plant crash garbage of an abandoned id below the frontier: the
-    // fold must sweep it BEFORE the watermark exists, else the
-    // watermark would legitimize it as committed state
+    // plant crash garbage of the abandoned gap id 1 (below frontier 2,
+    // NO marker): exactly what foldMarkers claims to sweep
     val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(root, "agg"))
       .head.getPath
-    Seq(("zz", 7L)).toDF("grp", "n").write
-      .parquet(new org.apache.hadoop.fs.Path(bucket, "v1").toString)
+    val garbage = new org.apache.hadoop.fs.Path(bucket, "v1")
+    Seq(("zz", 7L)).toDF("grp", "n").write.parquet(garbage.toString)
     val before = view(root)
-    CdcRollup.foldMarkers(spark, root) shouldBe Some(2L)
+    // fresh markers + the default 24h age gate: NOTHING folds — ids
+    // inside their replay window keep per-id markers (the gate that
+    // keeps out-of-order submissions loud, see the monotone spec)
+    CdcRollup.foldMarkers(spark, root) shouldBe None
     def rootNames() = fs.listStatus(
       new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName).toSet
+    rootNames().filter(_.matches("_APPLIED_\\d+")).size shouldBe 2
+    // gate at 0: everything is aged — markers fold, gap garbage goes
+    CdcRollup.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(2L)
+    fs.exists(garbage) shouldBe false
     rootNames() should contain("_APPLIED_UPTO_2")
     rootNames().filter(_.matches("_APPLIED_\\d+")) shouldBe empty
     // readers resolve identically through the watermark
     view(root) shouldBe before
-    // replay of a subsumed id: quiet no-op, nothing re-folds
+    // an id at/below the watermark resolves committed: quiet no-op
+    // (the documented cost of subsuming an ABANDONED aged gap)
     fold(root, 1L, log((9L, "z", 9.0, 1L, "I"))) shouldBe false
     view(root) shouldBe before
     // and the stream continues: a fresh id folds normally, then a
     // second marker fold advances the watermark
     fold(root, 3L, log((3L, "c", 3.0, 1L, "I"))) shouldBe true
     view(root) shouldBe (before + ("c" -> ((1L, 3.0))))
-    CdcRollup.foldMarkers(spark, root) shouldBe Some(3L)
+    CdcRollup.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(3L)
     rootNames() should contain("_APPLIED_UPTO_3")
     rootNames() should not contain "_APPLIED_UPTO_2"
     view(root) shouldBe (before + ("c" -> ((1L, 3.0))))
@@ -347,6 +533,24 @@ class CdcRollupSpec extends SparkSpec {
     val fresh = root + "_c"
     CdcRollup.compactStateTo(spark, root, fresh, 2, 1) shouldBe 3L
     view(fresh) shouldBe view(root)
+  }
+
+  test("foldMarkers age gate keeps the monotone guard loud: with " +
+      "fresh per-id markers an out-of-order never-delivered id " +
+      "refuses instead of vanishing under a premature watermark") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    fold(root, 5L, log((2L, "a", 2.0, 1L, "I"))) shouldBe true
+    // the GC cadence runs foldMarkers on every tick (the streaming
+    // sink); with the age gate it must NOT watermark fresh ids
+    CdcRollup.foldMarkers(spark, root) shouldBe None
+    // so the never-delivered gap id 3 still hits the loud monotone
+    // refusal — the silent-vanish class the gate exists to prevent
+    val e = intercept[IllegalArgumentException] {
+      fold(root, 3L, log((3L, "a", 3.0, 1L, "I")))
+    }
+    e.getMessage should include("out of order")
+    view(root) shouldBe Map("a" -> ((2L, 3.0)))
   }
 
   test("compactStateTo retry after a crash that pinned the fresh root " +
@@ -420,9 +624,11 @@ class CdcRollupSpec extends SparkSpec {
       .map(_.count()).getOrElse(0L) shouldBe 0L
   }
 
-  test("randomized differential: random multi-measure CDC logs with " +
-      "NULL groups/values, split across batches, fold to the one-shot " +
-      "GROUP BY over the final images (seeded, 3 trials)") {
+  test("randomized differential: random multi-measure + minMax CDC " +
+      "logs with NULL groups/values, ADVERSARIALLY split across " +
+      "batches (random cut points — uneven, single-event and empty " +
+      "batches), fold to the one-shot GROUP BY over the final images " +
+      "(seeded, 3 trials)") {
     val rnd = new scala.util.Random(20260815L)
     (0 until 3).foreach { trial =>
       val root = tmpRoot()
@@ -442,41 +648,64 @@ class CdcRollupSpec extends SparkSpec {
             if (s == 1) "I" else if (rnd.nextBoolean()) "U" else "D")
         }
       }
-      // batches respect the CDC stream order (later seqs in later
-      // batches); the first carries TWO seqs so within-batch netting
-      // is exercised alongside cross-batch retraction
-      val parts = Seq(events.filter(_.seq <= 2),
-        events.filter(_.seq == 3), events.filter(_.seq == 4))
+      // ADVERSARIAL batch partition: sort by seq (each key's events
+      // are seq-ascending in the sorted stream, so ANY contiguous cut
+      // respects the per-key order contract) and slice at random cut
+      // points — repetition allowed, so batches may be empty, a
+      // single event, or lopsided; seq boundaries are NOT respected,
+      // so one seq level can straddle two batches
+      val stream = events.sortBy(e => (e.seq, e.id))
+      val nCuts = 2 + rnd.nextInt(4)
+      val cuts = (0 +: Seq.fill(nCuts)(rnd.nextInt(stream.length + 1))
+        :+ stream.length).sorted
+      // repeated cut points yield EMPTY batches — those must commit
+      // their marker and change nothing
+      val parts = cuts.zip(cuts.tail).map { case (a, b) =>
+        stream.slice(a, b) }
       parts.zipWithIndex.foreach { case (evs, i) =>
         val df = evs.map(e => (e.id, e.grp, e.v, e.w, e.seq, e.op))
           .toDF("id", "grp", "v", "w", "seq", "op")
         CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
-          Seq("grp"), Seq("v", "w"), 4, 2) shouldBe true
+          Seq("grp"), Seq("v", "w"), 4, 2,
+          minMaxCols = Seq("v", "w")) shouldBe true
       }
       // expected: last event per key decides; D = no image; sums skip
       // NULL measure values (an all-NULL group still totals 0, not
-      // NULL — the state accumulator starts at 0)
+      // NULL — the state accumulator starts at 0); MIN/MAX over the
+      // surviving images' values, NULL when all are NULL
       val finals = events.groupBy(_.id).values
         .map(_.maxBy(_.seq)).filter(_.op != "D").toSeq
       val expected = finals.groupBy(_.grp).map { case (g, evs) =>
         g -> ((evs.size.toLong,
           evs.flatMap(_.v).sum,
-          evs.flatMap(_.w).sum))
+          evs.flatMap(_.w).sum,
+          evs.flatMap(_.v).minOption,
+          evs.flatMap(_.v).maxOption,
+          evs.flatMap(_.w).minOption,
+          evs.flatMap(_.w).maxOption))
       }
       val got = CdcRollup.readView(spark, root).get.collect().map { r =>
         val g = if (r.isNullAt(0)) None else Some(r.getAs[String]("grp"))
+        def d(c: String): Option[Double] =
+          if (r.isNullAt(r.fieldIndex(c))) None
+          else Some(r.getAs[Double](c))
         g -> ((r.getAs[Long]("n"),
           r.getAs[java.math.BigDecimal]("total_1").doubleValue(),
-          r.getAs[java.math.BigDecimal]("total_2").doubleValue()))
+          r.getAs[java.math.BigDecimal]("total_2").doubleValue(),
+          d("min_1"), d("max_1"), d("min_2"), d("max_2")))
       }.toMap
-      withClue(s"trial $trial: ") {
+      withClue(s"trial $trial (cuts $cuts): ") {
         got.keySet shouldBe expected.keySet
-        expected.foreach { case (g, (n, sv, sw)) =>
-          val (gn, gv, gw) = got(g)
+        expected.foreach { case (g, (n, sv, sw, nv, xv, nw, xw)) =>
+          val (gn, gv, gw, gnv, gxv, gnw, gxw) = got(g)
           withClue(s"group $g: ") {
             gn shouldBe n
             gv shouldBe (sv +- 1e-9)
             gw shouldBe (sw +- 1e-9)
+            gnv shouldBe nv
+            gxv shouldBe xv
+            gnw shouldBe nw
+            gxw shouldBe xw
           }
         }
       }

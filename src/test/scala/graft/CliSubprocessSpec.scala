@@ -282,7 +282,9 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     withClue(s"stderr: ${r5.stderr}") { r5.code shouldBe 0 }
     r5.stdout should include(""""view":"status"""")
     r5.stdout should include(""""family":"join"""")
-    r5.stdout should include(""""batches":{"committed":1,"max":0,"watermark":null}""")
+    // the compacted root carries the SOURCE frontier as a watermark
+    // (not a restarted _APPLIED_0) — pre-compaction ids stay refused
+    r5.stdout should include(""""batches":{"committed":0,"max":0,"watermark":0}""")
     r5.stdout should include(""""view":{"batch_dirs":1,"orphan_candidates":0}""")
     r5.stdout should include(""""view_rows":2""")
     // status of a non-view path: user error, exit 1
@@ -290,6 +292,93 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
       """{"action": "maintainView", "parameters": {"view": {
         |  "kind": "status", "statePath": "in"
         |}}}""".stripMargin)
+    runCli(dir).code shouldBe 1
+  }
+
+  test("maintainView lookup through the CLI protocol: pin-dispatched " +
+      "point lookups for ALL THREE state families — key literals cast " +
+      "to the state's types, matching rows as JSON in the status " +
+      "payload") {
+    def items(cols: (String, String)*) = cols.map { case (n, t) =>
+      s"""{"name": "$n", "dbName": "$n", "type": "$t"}"""
+    }.mkString("[", ", ", "]")
+    val dir = mkDataDir("{}", None)
+    def cfg(view: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $view}}""")
+    def csv(name: String, content: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/$name"))
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in/$name/part.csv"), content)
+    }
+    // --- build one state per family through the CLI itself
+    csv("a", "k,price\n1,10\n2,20\n")
+    csv("b", "k,qty\n1,5\n1,6\n3,7\n")
+    cfg(s"""{"kind": "join", "statePath": "jst", "batchId": 0,
+           |  "key": "k",
+           |  "deltaA": {"input": "in/a", "format": "csv",
+           |    "items": ${items("k" -> "bigint", "price" -> "float8")}},
+           |  "deltaB": {"input": "in/b", "format": "csv",
+           |    "items": ${items("k" -> "bigint", "qty" -> "float8")}}
+           |}""".stripMargin)
+    runCli(dir).code shouldBe 0
+    csv("r", "g,v\n1,10\n1,30\n2,5\n")
+    cfg(s"""{"kind": "rollup", "statePath": "rst", "batchId": 0,
+           |  "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+           |  "delta": {"input": "in/r", "format": "csv",
+           |    "items": ${items("g" -> "bigint", "v" -> "float8")}}
+           |}""".stripMargin)
+    runCli(dir).code shouldBe 0
+    csv("c", "id,grp,v,seq,op\n1,x,10,1,I\n2,x,20,1,I\n3,y,30,1,I\n")
+    cfg(s"""{"kind": "cdcRollup", "statePath": "cst", "batchId": 0,
+           |  "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+           |  "keys": ["grp"], "valueColumns": ["v"],
+           |  "nBaseBuckets": 2, "nAggBuckets": 2,
+           |  "delta": {"input": "in/c", "format": "csv",
+           |    "items": ${items("id" -> "bigint", "grp" -> "nvarchar",
+                "v" -> "float8", "seq" -> "bigint", "op" -> "nvarchar")}}
+           |}""".stripMargin)
+    runCli(dir).code shouldBe 0
+    // --- join view: key 1 has TWO view rows (qty 5 and 6)
+    cfg("""{"kind": "lookup", "statePath": "jst",
+          |  "keys": [{"k": 1}]}""".stripMargin)
+    val j = runCli(dir)
+    withClue(s"stderr: ${j.stderr}") { j.code shouldBe 0 }
+    j.stdout should include(""""view":"lookup"""")
+    j.stdout should include(""""rows":2""")
+    j.stdout should include(""""layer":"view"""")
+    j.stdout should include(""""qty":5.0""")
+    j.stdout should include(""""qty":6.0""")
+    // --- rollup: finalized aggregate of group 1 only
+    cfg("""{"kind": "lookup", "statePath": "rst",
+          |  "keys": [{"g": 1}]}""".stripMargin)
+    val r = runCli(dir)
+    withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    r.stdout should include(""""rows":1""")
+    r.stdout should include(""""g":1""")
+    r.stdout should include(""""total":40.0""")
+    r.stdout shouldNot include(""""g":2""")
+    // --- cdcRollup: base (pk) lookup is the default layer...
+    cfg("""{"kind": "lookup", "statePath": "cst",
+          |  "keys": [{"id": 2}, {"id": 3}]}""".stripMargin)
+    val cb = runCli(dir)
+    withClue(s"stderr: ${cb.stderr}") { cb.code shouldBe 0 }
+    cb.stdout should include(""""layer":"base"""")
+    cb.stdout should include(""""rows":2""")
+    cb.stdout should include(""""id":2""")
+    cb.stdout should include(""""id":3""")
+    cb.stdout shouldNot include(""""id":1""")
+    // ...and layer "view" serves the agg state by GROUP key
+    cfg("""{"kind": "lookup", "statePath": "cst", "layer": "view",
+          |  "keys": [{"grp": "x"}]}""".stripMargin)
+    val cv = runCli(dir)
+    withClue(s"stderr: ${cv.stderr}") { cv.code shouldBe 0 }
+    cv.stdout should include(""""layer":"view"""")
+    cv.stdout should include(""""rows":1""")
+    cv.stdout should include(""""n":2""")
+    // layer on a non-cdc family: user error, exit 1
+    cfg("""{"kind": "lookup", "statePath": "jst", "layer": "base",
+          |  "keys": [{"k": 1}]}""".stripMargin)
     runCli(dir).code shouldBe 1
   }
 }

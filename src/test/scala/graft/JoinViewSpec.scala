@@ -156,8 +156,18 @@ class JoinViewSpec extends SparkSpec {
         .toSeq.map(_.getPath.getName).filter(_.startsWith("d")) shouldBe
         Seq("d0")
     }
-    // the fresh root keeps accepting folds (pin carried over, new nB)
-    JoinView.foldBatchDirs(fresh, 1L, "k",
+    // the fresh root SEEDS the source's committed frontier (2) as a
+    // watermark: a pre-compaction id refuses loud instead of
+    // re-applying against restarted markers...
+    intercept[IllegalArgumentException] {
+      JoinView.foldBatchDirs(fresh, 1L, "k",
+        Seq((99L, 1.0)).toDF("k", "price"),
+        Seq((99L, 2.0)).toDF("k", "qty"), nBuckets = 4)
+    }.getMessage should include("folded watermark")
+    rows(JoinView.readCommittedView(spark, fresh).get
+      .orderBy("k")) shouldBe before
+    // ...and folds continue ABOVE the frontier (pin carried, new nB)
+    JoinView.foldBatchDirs(fresh, 3L, "k",
       Seq((99L, 1.0)).toDF("k", "price"),
       Seq((99L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
     JoinView.readCommittedView(spark, fresh).get.count() shouldBe 31L
@@ -230,8 +240,15 @@ class JoinViewSpec extends SparkSpec {
     // crash garbage of abandoned id 1 (below the frontier): after the
     // fold it would read as committed — must be swept first
     fs.delete(new org.apache.hadoop.fs.Path(root, "_APPLIED_1"), false)
-    // fresh markers (24h gate): nothing folds yet
+    // fresh markers (24h gate): nothing folds yet — which is exactly
+    // why the checkpointed streaming sink never meets the watermark
+    // refusal below: a restart replays only its NEWEST id, whose
+    // marker is inside the replay window, so the replay stays a
+    // quiet per-id-marker no-op
     JoinView.foldMarkers(spark, root) shouldBe None
+    JoinView.foldBatchDirs(root, 2L, "k",
+      Seq((9L, 9.0)).toDF("k", "price"),
+      Seq((9L, 9.0)).toDF("k", "qty"), nBuckets = 4) shouldBe false
     // gate at 0: markers 0 and 2 fold to _APPLIED_UPTO_2, the
     // abandoned d1 dirs go with them
     JoinView.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(2L)
@@ -242,11 +259,18 @@ class JoinViewSpec extends SparkSpec {
     fs.exists(new org.apache.hadoop.fs.Path(root, "view/d1")) shouldBe false
     rows(JoinView.readCommittedView(spark, root).get
       .orderBy("k")) shouldBe before.filterNot(_.head == 1L)
-    // replay of a subsumed id: quiet no-op — in particular it must NOT
-    // run the reap-at-entry path that deletes the id's live dirs
-    JoinView.foldBatchDirs(root, 0L, "k",
-      Seq((9L, 9.0)).toDF("k", "price"),
-      Seq((9L, 9.0)).toDF("k", "qty"), nBuckets = 4) shouldBe false
+    // an id at/below the watermark with no live marker REFUSES loud:
+    // join ids are not monotone by contract, so the watermark cannot
+    // tell a committed replay from a never-delivered id — a quiet
+    // false would vanish the latter behind a success result. In
+    // particular the refusal must NOT run the reap-at-entry path
+    // that would delete the id's LIVE d0 dirs.
+    intercept[IllegalArgumentException] {
+      JoinView.foldBatchDirs(root, 0L, "k",
+        Seq((9L, 9.0)).toDF("k", "price"),
+        Seq((9L, 9.0)).toDF("k", "qty"), nBuckets = 4)
+    }.getMessage should include("folded watermark")
+    fs.exists(new org.apache.hadoop.fs.Path(root, "view/d0")) shouldBe true
     rows(JoinView.readCommittedView(spark, root).get
       .orderBy("k")) shouldBe before.filterNot(_.head == 1L)
     // the stream continues past the watermark

@@ -1369,6 +1369,61 @@ class StreamingSpec extends SparkSpec {
     cfg.getMessage should include("layout")
   }
 
+  test("compactRollupStateTo carries the monotone frontier: fresh " +
+      "buckets seed _APPLIED_<last> and _LAST_BATCH copies over, so a " +
+      "pre-compaction replay no-ops or refuses exactly as at the old " +
+      "root; a crash-stranded _LAST_BATCH is reclaimed on retry") {
+    import graft.operators.IncrementalAgg
+    val base = java.nio.file.Files.createTempDirectory("graft-rcomp").toString
+    val statePath = s"$base/rollup"
+    val fresh = s"$base/rollup_v2"
+    // batches 3 then 7 — the guard state to preserve is last=7
+    for (b <- Seq(3, 7))
+      EventStreams.applyRollupBatchBucketed(
+        Seq(("k1", b.toDouble), ("k2", 1.0)).toDF("k", "v"),
+        statePath, b.toLong, Seq("k"), "v", 4) should not be empty
+    EventStreams.compactRollupStateTo(spark, statePath, fresh) shouldBe 2L
+    val fs = new org.apache.hadoop.fs.Path(fresh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // per-bucket markers seed the SOURCE frontier, not _APPLIED_0
+    val buckets = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$fresh/state")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("bucket="))
+    buckets should not be empty
+    buckets.foreach { b =>
+      fs.exists(new org.apache.hadoop.fs.Path(b, "_APPLIED_7")) shouldBe true
+    }
+    // replay of the frontier id: quiet per-bucket no-op, NOT a refold
+    EventStreams.applyRollupBatchBucketed(
+      Seq(("k1", 999.0)).toDF("k", "v"), fresh, 7L,
+      Seq("k"), "v", 4) shouldBe empty
+    // an OLDER pre-compaction id refuses loud at the carried frontier
+    intercept[graft.model.UserException] {
+      EventStreams.applyRollupBatchBucketed(
+        Seq(("k1", 999.0)).toDF("k", "v"), fresh, 3L, Seq("k"), "v", 4)
+    }.getMessage should include("below the last committed batch")
+    // fresher ids continue, totals exact
+    EventStreams.applyRollupBatchBucketed(
+      Seq(("k1", 100.0)).toDF("k", "v"), fresh, 8L,
+      Seq("k"), "v", 4) should have size 1
+    IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$fresh/state").drop("bucket"), Seq("k"))
+      .filter(org.apache.spark.sql.functions.col("k") === "k1")
+      .head.getAs[Double]("total") shouldBe 110.0
+    // crash window: a stranded _LAST_BATCH (written before the state
+    // rename) must be reclaimed by the retry, not poison it
+    val fresh2 = s"$base/rollup_v3"
+    val f2 = new org.apache.hadoop.fs.Path(fresh2)
+    fs.mkdirs(f2)
+    graft.sources.PartitionedStore.pinLayout(fs, f2, fresh2,
+      "4|stale|stale")
+    val out = fs.create(new org.apache.hadoop.fs.Path(f2, "_LAST_BATCH"),
+      true)
+    out.write("99".getBytes("UTF-8")); out.close()
+    EventStreams.compactRollupStateTo(spark, statePath, fresh2) shouldBe 2L
+    EventStreams.readLastBatch(fs, f2) shouldBe Some(7L)
+  }
+
   test("streamingIngestDedup fails loud on orphaned index files (catalog-less restart)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-srestart").toString
@@ -1639,18 +1694,23 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("streamingCdcRollup GC cadence: markers fold into the " +
-      "watermark as the stream runs; the view stays correct and " +
-      "later batches keep folding") {
+  test("streamingCdcRollup GC cadence: AGED markers fold into the " +
+      "watermark as the stream runs (the default 24h gate folds " +
+      "nothing fresh — replay-window ids keep per-id markers); the " +
+      "view stays correct and later batches keep folding") {
     import graft.operators.CdcRollup
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-scdcg").toString
     val statePath = s"$base/state"
     val input = MemoryStream[(Long, String, Double, Long, String)]
     val df = input.toDF().toDF("id", "grp", "v", "seq", "op")
+    // gcOlderThanMs = 0 so the test can watch a fold happen at all;
+    // the production default (24 h) is pinned by the CdcRollupSpec
+    // age-gate spec — fresh ids keep their markers there
     val q = EventStreams.streamingCdcRollup(df, Seq("id"), "seq",
       "op", Seq("grp"), Seq("v"), statePath, s"$base/ckpt",
-      nBaseBuckets = 4, nAggBuckets = 2, gcEveryBatches = 1)
+      nBaseBuckets = 4, nAggBuckets = 2, gcEveryBatches = 1,
+      gcOlderThanMs = 0L)
     try {
       input.addData((1L, "a", 1.0, 1L, "I"))
       q.processAllAvailable()
