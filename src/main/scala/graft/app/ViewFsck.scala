@@ -1,0 +1,281 @@
+package graft.app
+
+import graft.model.UserException
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The `fsck` maintainView kind: a DEEP state-integrity check over a
+  * persisted view state — the diagnosis face `status` (a health
+  * summary) and `gc` (a sweep) both lean on but neither provides.
+  * Pure listings, ZERO Spark jobs: safe to run beside a live writer
+  * at any state size.
+  *
+  * Severity model:
+  *
+  *  - **error** — the state LIES about itself or could serve wrong
+  *    data: a bucket dir outside the pinned bucket count (a re-shard
+  *    or copy that drifted from the pin — xxhash64 probes would miss
+  *    its rows silently), a `grp` layer contradicting the pin's
+  *    minMax field, a retention floor above the committed frontier,
+  *    per-bucket rollup evidence newer than the `_LAST_BATCH`
+  *    frontier (the monotone guard would wave through a replay of an
+  *    id the state already folded). fsck reports `ok: false`.
+  *  - **warning** — harmless crash remnants the protocols already
+  *    tolerate and `gc` sweeps: stranded staging shells, uncommitted
+  *    versions below the frontier, subsumed per-id markers, duplicate
+  *    watermark/floor files (readers take the max), superseded
+  *    versions lingering on a non-retained state (the best-effort
+  *    reap missed them).
+  *
+  * fsck NEVER mutates the state — it is the read-only audit; `gc` is
+  * the write face for everything fsck only reports.
+  */
+object ViewFsck {
+
+  /** One finding. */
+  private final case class Issue(error: Boolean, what: String)
+
+  /** The fsck JSON payload for the state under `root` — family is
+    * pin-dispatched like every other kind; a pinless path refuses. */
+  def fsckJson(spark: SparkSession, root: String): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new UserException(
+        s"maintainView fsck: no layout pin under $root — not a view state"))
+    val issues = Seq.newBuilder[Issue]
+    var checks = 0
+    def check(errorWhen: Boolean, error: Boolean, what: String): Unit = {
+      checks += 1
+      if (errorWhen) issues += Issue(error, what)
+    }
+    def ls(p: Path) = if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
+
+    val family =
+      if (pin.startsWith("join|")) {
+        fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
+        // layers hold d<id> batch dirs; anything else is a stray
+        val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+        for (layer <- Seq("a", "b", "view")) {
+          val dirs = ls(new Path(rootPath, layer)).filter(_.isDirectory)
+          dirs.foreach { st =>
+            val n = st.getPath.getName
+            val id = if (n.startsWith("d") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong)
+            else None
+            check(id.isEmpty, error = false,
+              s"join/$layer: unrecognized entry '$n' (not a d<id> " +
+                "batch dir) — not served, not swept; remove by hand")
+            id.foreach { i =>
+              check(!markers.committed(i) &&
+                  markers.watermark.exists(i <= _), error = false,
+                s"join/$layer/d$i: uncommitted batch dir below the " +
+                  "watermark — abandoned garbage, gc sweeps it")
+            }
+          }
+        }
+        "join"
+      } else if (pin.startsWith("cdcRollup|")) {
+        fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
+        val parts = pin.split('|')
+        check(!((parts.length == 7 || parts.length == 8) &&
+            parts(5).toIntOption.exists(_ >= 1) &&
+            parts(6).toIntOption.exists(_ >= 1)), error = true,
+          s"cdcRollup: malformed layout pin '$pin' — folds and " +
+            "lookups will refuse; restore _CONFIG from the writer's " +
+            "declaration")
+        val nBase = parts.lift(5).flatMap(_.toIntOption).getOrElse(1)
+        val nAgg = parts.lift(6).flatMap(_.toIntOption).getOrElse(1)
+        val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+        val frontier = markers.maxCommitted
+        // grp layer must exist exactly when the pin declares minMax
+        // (and something has committed — a pre-first-fold state holds
+        // no layers at all)
+        val hasGrp = fs.exists(new Path(rootPath, "grp"))
+        check(hasGrp && parts.length == 7, error = true,
+          "cdcRollup: a grp layer exists but the pin declares no " +
+            "minMax columns — min/max folds would silently serve " +
+            "from a layer no fold maintains")
+        check(!hasGrp && parts.length == 8 && frontier.isDefined,
+          error = true,
+          "cdcRollup: the pin declares minMax columns but the grp " +
+            "image layer is missing — the next min/max recompute " +
+            "would read nothing and store NULL extrema")
+        for ((layer, n) <- Seq("base" -> nBase, "agg" -> nAgg,
+            "grp" -> nAgg)) {
+          ls(new Path(rootPath, layer)).filter(_.isDirectory)
+            .foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("bucket=")) {
+                val b = name.stripPrefix("bucket=").toIntOption
+                check(b.isEmpty || b.exists(x => x < 0 || x >= n),
+                  error = true,
+                  s"cdcRollup/$layer/$name: bucket id outside the " +
+                    s"pinned count $n — rows in it are INVISIBLE to " +
+                    "every bucket-pruned probe (a copy or re-shard " +
+                    "drifted from the pin); compact into a fresh root")
+                val versions = fs.listStatus(st.getPath).toSeq
+                  .filter(_.isDirectory)
+                  .flatMap { v =>
+                    val vn = v.getPath.getName
+                    if (vn.startsWith("v") && vn.length > 1 &&
+                      vn.drop(1).forall(_.isDigit))
+                      Some(vn.drop(1).toLong)
+                    else {
+                      check(errorWhen = true, error = false,
+                        s"cdcRollup/$layer/$name/$vn: unrecognized " +
+                          "entry (not a v<id> version dir)")
+                      None
+                    }
+                  }
+                versions.foreach { id =>
+                  check(!markers.committed(id) &&
+                      frontier.exists(id <= _), error = false,
+                    s"cdcRollup/$layer/$name/v$id: uncommitted " +
+                      "version below the frontier — abandoned " +
+                      "garbage, gc sweeps it")
+                }
+                val committed = versions.filter(markers.committed)
+                check(versions.nonEmpty && committed.isEmpty,
+                  error = false,
+                  s"cdcRollup/$layer/$name: no committed version at " +
+                    "all — every entry is crash garbage, gc sweeps " +
+                    "the bucket empty")
+                check(committed.size > 1 &&
+                    graft.operators.CdcRollup
+                      .asofFloor(spark, root).isEmpty, error = false,
+                  s"cdcRollup/$layer/$name: ${committed.size} " +
+                    "committed versions on a non-retained state — a " +
+                    "crashed best-effort reap left supersedees; the " +
+                    "next fold touching the bucket (or compact) " +
+                    "clears them")
+              } else if (name.startsWith(".staging")) {
+                val id = name.stripPrefix(".staging").toLongOption
+                check(id.exists(i => markers.committed(i) ||
+                    frontier.exists(i <= _)), error = false,
+                  s"cdcRollup/$layer/$name: staging shell that can " +
+                    "never promote (committed or below the frontier) " +
+                    "— gc sweeps it")
+              } else
+                check(errorWhen = true, error = false,
+                  s"cdcRollup/$layer/$name: unrecognized entry")
+            }
+        }
+        // retention invariants: at most one floor; floor <= frontier
+        val floors = ls(rootPath).map(_.getPath.getName)
+          .filter(_.startsWith("_ASOF_FLOOR_"))
+          .flatMap(_.stripPrefix("_ASOF_FLOOR_").toLongOption)
+        check(floors.size > 1, error = false,
+          s"cdcRollup: ${floors.size} retention floor files — a " +
+            "crashed floor advance; readers take the max, the next " +
+            "reap clears the rest")
+        floors.maxOption.foreach { f =>
+          check(f > frontier.getOrElse(-1L), error = true,
+            s"cdcRollup: retention floor $f is above the committed " +
+              s"frontier ${frontier.getOrElse(-1L)} — as-of reads " +
+              "would refuse snapshots that were never reaped (a " +
+              "floor file copied from another state?)")
+        }
+        "cdcRollup"
+      } else {
+        // rollup pin: nBuckets|keys|valueCol
+        val parts = pin.split('|')
+        check(parts.length != 3 ||
+            !parts(0).toIntOption.exists(_ >= 1), error = true,
+          s"rollup: malformed layout pin '$pin'")
+        val n = parts.headOption.flatMap(_.toIntOption).getOrElse(1)
+        val last = graft.streaming.EventStreams.readLastBatch(fs, rootPath)
+        val lastFile = fs.exists(new Path(rootPath, "_LAST_BATCH"))
+        check(lastFile && last.isEmpty, error = true,
+          "rollup: _LAST_BATCH exists but does not parse — the " +
+            "monotone guard is blind; restore it to the highest " +
+            "folded batch id")
+        ls(rootPath).foreach { st =>
+          val name = st.getPath.getName
+          check(name.matches("state__stage_[0-9a-f]{8}"), error = false,
+            s"rollup/$name: staging shell (in-flight if fresh) — gc " +
+              "sweeps it once aged")
+          check(name.startsWith("_LAST_BATCH_tmp_"), error = false,
+            s"rollup/$name: stranded frontier temp — the next fold " +
+              "reaps it")
+        }
+        var applied = 0
+        ls(new Path(rootPath, "state")).filter(_.isDirectory)
+          .foreach { b =>
+            val name = b.getPath.getName
+            if (name.startsWith("bucket=")) {
+              val id = name.stripPrefix("bucket=").toIntOption
+              check(id.isEmpty || id.exists(x => x < 0 || x >= n),
+                error = true,
+                s"rollup/state/$name: bucket id outside the pinned " +
+                  s"count $n — invisible to bucket-pruned probes; " +
+                  "compact into a fresh root")
+              val ms = fs.listStatus(b.getPath).toSeq
+                .map(_.getPath.getName)
+                .filter(_.startsWith("_APPLIED_"))
+                .flatMap(_.stripPrefix("_APPLIED_").toLongOption)
+              applied += ms.size
+              check(ms.size > 1, error = false,
+                s"rollup/state/$name: ${ms.size} _APPLIED markers — " +
+                  "the swap replaces them wholesale, so extras are a " +
+                  "crashed-swap remnant (harmless; replaced on the " +
+                  "next touch)")
+              ms.foreach { id =>
+                check(last.exists(id > _), error = true,
+                  s"rollup/state/$name/_APPLIED_$id: evidence NEWER " +
+                    "than the _LAST_BATCH frontier " +
+                    s"${last.getOrElse(-1L)} — the monotone guard " +
+                    "would re-admit ids this state already folded; " +
+                    s"restore _LAST_BATCH to >= $id")
+              }
+            }
+          }
+        check(applied > 0 && !lastFile, error = false,
+          "rollup: per-bucket evidence exists but no _LAST_BATCH " +
+            "frontier (a pre-frontier state) — the next fold seeds " +
+            "it; until then an out-of-order id is only caught by " +
+            "per-bucket markers")
+        "rollup"
+      }
+    val all = issues.result()
+    val errors = all.filter(_.error).map(_.what)
+    val warnings = all.filterNot(_.error).map(_.what)
+    def arr(xs: Seq[String]) =
+      xs.map(graft.JsonUtil.str).mkString("[", ",", "]")
+    s"""{"family":"$family","ok":${errors.isEmpty},""" +
+      s""""checks":$checks,"errors":${arr(errors)},""" +
+      s""""warnings":${arr(warnings)}}"""
+  }
+
+  /** Marker-file hygiene shared by the join/cdcRollup families:
+    * duplicate watermarks and subsumed per-id markers are crash
+    * remnants of `foldInto` (readers take the max / OR the sources,
+    * so both are harmless — the next fold clears them). */
+  private def fsckMarkers(fs: FileSystem, root: Path,
+                          issues: scala.collection.mutable.Builder[
+                            Issue, Seq[Issue]],
+                          counted: () => Unit): Unit = {
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val uptos = names.filter(_.startsWith("_APPLIED_UPTO_"))
+      .flatMap(_.stripPrefix("_APPLIED_UPTO_").toLongOption)
+    counted()
+    if (uptos.size > 1)
+      issues += Issue(error = false,
+        s"${uptos.size} _APPLIED_UPTO_ watermark files — a crashed " +
+          "foldInto; readers take the max, the next fold clears the " +
+          "older ones")
+    val w = uptos.maxOption
+    val subsumed = names.filter(n => n.startsWith("_APPLIED_") &&
+        !n.startsWith("_APPLIED_UPTO_"))
+      .flatMap(_.stripPrefix("_APPLIED_").toLongOption)
+      .filter(id => w.exists(id <= _))
+    counted()
+    if (subsumed.nonEmpty)
+      issues += Issue(error = false,
+        s"${subsumed.size} per-id marker(s) at or below the " +
+          s"watermark ${w.getOrElse(-1L)} — a crashed foldInto left " +
+          "them; harmless (the watermark already covers them), the " +
+          "next fold clears them")
+  }
+}

@@ -80,17 +80,31 @@ object ViewMaintenance {
             s"maintainView export: layer '${e.layer}' is only valid " +
               s"for cdcRollup states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
+        // asOf = snapshot export (cdcRollup retention mode): the bulk
+        // face of reproducibility — "write out the view exactly as
+        // batch N saw it". Silently exporting the CURRENT state of a
+        // family with no history would be the worst failure shape
+        // here; refuse NAMED (the layer-key discipline).
+        e.asOf.foreach(checkAsof(spark, "export", pin, root, _))
         val df =
           if (pin.startsWith("join|"))
             JoinView.readCommittedView(spark, root)
               .getOrElse(throw new UserException(
                 s"maintainView export: no committed state under $root"))
           else if (pin.startsWith("cdcRollup|")) {
-            val read = if (e.layer == "base") graft.operators.CdcRollup
-              .readBase(spark, root)
-            else graft.operators.CdcRollup.readView(spark, root)
+            val read = (e.layer, e.asOf) match {
+              case ("base", Some(a)) =>
+                graft.operators.CdcRollup.readBaseAsOf(spark, root, a)
+              case ("base", None) =>
+                graft.operators.CdcRollup.readBase(spark, root)
+              case (_, Some(a)) =>
+                graft.operators.CdcRollup.readViewAsOf(spark, root, a)
+              case _ =>
+                graft.operators.CdcRollup.readView(spark, root)
+            }
             read.getOrElse(throw new UserException(
-              s"maintainView export: no committed state under $root"))
+              s"maintainView export: no committed state under $root" +
+                e.asOf.map(a => s" as of batch $a").getOrElse("")))
           } else {
             // rollup pin: nBuckets|keys|valueCol — export the
             // FINALIZED aggregates, the monoid state is an
@@ -120,6 +134,30 @@ object ViewMaintenance {
         val root = resolve(st.statePath, dataDir)
         Report(st.kind, applied = false,
           detail = Some(statusJson(spark, root, st.countRows)))
+      case f: FsckViewConfig =>
+        val root = resolve(f.statePath, dataDir)
+        Report(f.kind, applied = false,
+          detail = Some(ViewFsck.fsckJson(spark, root)))
+      case rt: RetainViewConfig =>
+        val root = resolve(rt.statePath, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView retain: no layout pin under $root — not a " +
+              "view state (retention must be enabled on an EXISTING " +
+              "cdcRollup state; fold batch 0 first)"))
+        if (!pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            "maintainView retain: as-of retention applies to " +
+              s"cdcRollup states only; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' (the other families " +
+              "keep no version history)")
+        val already =
+          graft.operators.CdcRollup.asofFloor(spark, root).isDefined
+        val floor = graft.operators.CdcRollup.enableRetention(spark, root)
+        Report(rt.kind, applied = !already,
+          detail = Some(s"""{"asof_floor":$floor}"""))
       case lk: LookupViewConfig =>
         runLookup(spark, lk, dataDir)
       case g: GcViewConfig =>
@@ -132,6 +170,21 @@ object ViewMaintenance {
               "view state"))
         val ms = g.olderThanHours.map(_ * 3600L * 1000)
           .getOrElse(24L * 3600 * 1000)
+        // retainHours = reap retained as-of history (floor-advancing)
+        // — cdcRollup retention mode only; on any other target the
+        // user believes history is being bounded when none accretes,
+        // so refuse NAMED (the foldMarkers discipline below)
+        if (g.retainHours.isDefined) {
+          if (!pin.startsWith("cdcRollup|")) throw new UserException(
+            "maintainView gc: retainHours applies to cdcRollup " +
+              s"states in retention mode; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' — drop the key")
+          if (graft.operators.CdcRollup.asofFloor(spark, root).isEmpty)
+            throw new UserException(
+              s"maintainView gc: the state under $root is not in " +
+                "retention mode — no snapshot history accretes; drop " +
+                "retainHours or run the 'retain' kind first")
+        }
         val (deleted, watermark) =
           if (pin.startsWith("join|"))
             (JoinView.cleanOrphanBatchDirs(spark, root, ms),
@@ -154,10 +207,19 @@ object ViewMaintenance {
             (graft.operators.Maintenance.cleanTableOrphanStages(
               spark, s"$root/state", ms), None)
           }
-        Report(g.kind, applied = deleted.nonEmpty || watermark.nonEmpty,
-          rows = Some(deleted.size.toLong),
+        val retained = g.retainHours.map { h =>
+          graft.operators.CdcRollup.reapRetainedVersions(
+            spark, root, h * 3600L * 1000)
+        }
+        val reaped = retained.map(_._1.size).getOrElse(0)
+        Report(g.kind,
+          applied = deleted.nonEmpty || watermark.nonEmpty || reaped > 0,
+          rows = Some((deleted.size + reaped).toLong),
           detail = Some(s"""{"deleted":${deleted.size},"watermark":""" +
-            s"""${watermark.map(_.toString).getOrElse("null")}}"""))
+            watermark.map(_.toString).getOrElse("null") +
+            retained.map { case (d, f) =>
+              s""","retain_deleted":${d.size},"asof_floor":$f"""
+            }.getOrElse("") + "}"))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
         // config shape for both view families; a path that is not a
@@ -199,6 +261,31 @@ object ViewMaintenance {
         Report(c.kind, applied = true, rows = Some(rows))
     }
 
+  /** CLI-face validation of an as-of request — the same honesty rule
+    * [[graft.operators.CdcRollup]]'s `requireServable` enforces, but
+    * as a [[UserException]] (exit 1): a bad asOf key is config
+    * misuse, not an application error. Refuses non-cdcRollup
+    * families (no version history), non-retained states, and ids
+    * below the retention floor. */
+  private def checkAsof(spark: SparkSession, what: String, pin: String,
+                        root: String, asOf: Long): Unit = {
+    if (!pin.startsWith("cdcRollup|"))
+      throw new UserException(
+        s"maintainView $what: asOf is only valid for cdcRollup " +
+          s"states in retention mode; the state under $root is " +
+          s"'${pin.takeWhile(_ != '|')}' — drop the asOf key")
+    val floor = graft.operators.CdcRollup.asofFloor(spark, root)
+      .getOrElse(throw new UserException(
+        s"maintainView $what: the state under $root is not in " +
+          "retention mode — no snapshot history exists; run the " +
+          "'retain' kind BEFORE the folds whose snapshots you need"))
+    if (asOf < floor)
+      throw new UserException(
+        s"maintainView $what: asOf $asOf is below the retention " +
+          s"floor $floor — that snapshot's versions were reaped; " +
+          "widen gc retainHours")
+  }
+
   /** The `lookup` kind — pin-dispatched bucket-pruned point lookup,
     * the CLI face of the serving paths ([[JoinView.lookupView]],
     * [[graft.operators.CdcRollup.lookupBase]]/`lookupView`,
@@ -226,6 +313,7 @@ object ViewMaintenance {
         s"maintainView lookup: layer '${lk.layer.get}' is only valid " +
           s"for cdcRollup states; the state under $root is " +
           s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
+    lk.asOf.foreach(checkAsof(spark, "lookup", pin, root, _))
     def noState = throw new UserException(
       s"maintainView lookup: no committed state under $root")
     def typedKeys(schema: StructType): DataFrame = {
@@ -247,16 +335,19 @@ object ViewMaintenance {
           .getOrElse(noState)
         ("view", JoinView.lookupView(spark, root, typedKeys(view.schema)))
       } else if (pin.startsWith("cdcRollup|")) {
+        // key TYPES come from the current state's schema — identical
+        // at every retained snapshot (the pin refuses type drift), so
+        // an as-of probe types its keys the same way
         if (lk.layer.getOrElse("base") == "base") {
           val base = graft.operators.CdcRollup.readBase(spark, root)
             .getOrElse(noState)
           ("base", graft.operators.CdcRollup.lookupBase(spark, root,
-            typedKeys(base.schema)))
+            typedKeys(base.schema), lk.asOf))
         } else {
           val view = graft.operators.CdcRollup.readView(spark, root)
             .getOrElse(noState)
           ("view", graft.operators.CdcRollup.lookupView(spark, root,
-            typedKeys(view.schema)))
+            typedKeys(view.schema), lk.asOf))
         }
       } else {
         // rollup pin: nBuckets|keys|valueCol — key types come from the
@@ -382,8 +473,14 @@ object ViewMaintenance {
             spark.read.parquet(statePq.toString).count()
           else 0L))
       }
+    // retention floor (cdcRollup only): null = not in retention mode
+    val floorJson =
+      if (pin.startsWith("cdcRollup|"))
+        opt("asof_floor",
+          graft.operators.CdcRollup.asofFloor(spark, root)) + ","
+      else ""
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
-      s"""$batches,"layers":{$layersJson},""" +
+      s"""$batches,"layers":{$layersJson},$floorJson""" +
       opt("view_rows", rows) + "}"
   }
 

@@ -89,7 +89,12 @@ object ConfigParser {
           throw new UserException(
             s"view.layer '$layer' is not supported (view | base)")
         ExportViewConfig(statePath,
-          output = req(v, "output").asText, layer = layer)
+          output = req(v, "output").asText, layer = layer,
+          asOf = parseAsOf(v))
+      case "retain" =>
+        RetainViewConfig(statePath)
+      case "fsck" =>
+        FsckViewConfig(statePath)
       case "status" =>
         StatusViewConfig(statePath,
           countRows = opt(v, "countRows").forall(_.asBoolean))
@@ -130,13 +135,17 @@ object ConfigParser {
           throw new UserException(
             "view.keys entries must all carry the same columns")
         LookupViewConfig(statePath, keyRows, layer = layer,
-          maxRows = maxRows)
+          maxRows = maxRows, asOf = parseAsOf(v))
       case "gc" =>
         val hours = opt(v, "olderThanHours").map(_.asInt)
         if (hours.exists(_ < 0))
           throw new UserException("view.olderThanHours must be >= 0")
+        val retain = opt(v, "retainHours").map(_.asInt)
+        if (retain.exists(_ < 0))
+          throw new UserException("view.retainHours must be >= 0")
         GcViewConfig(statePath, olderThanHours = hours,
-          foldMarkers = opt(v, "foldMarkers").exists(_.asBoolean))
+          foldMarkers = opt(v, "foldMarkers").exists(_.asBoolean),
+          retainHours = retain)
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
         val nAggBuckets = opt(v, "nAggBuckets").map(_.asInt)
@@ -217,6 +226,15 @@ object ConfigParser {
       case other =>
         throw new UserException(s"View kind '$other' is not supported")
     }
+  }
+
+  /** Optional `view.asOf` snapshot id (lookup/export) — non-negative
+    * like batchId (the snapshot axis IS the batch-id axis). */
+  private def parseAsOf(v: JsonNode): Option[Long] = {
+    val asOf = opt(v, "asOf").map(_.asLong)
+    if (asOf.exists(_ < 0))
+      throw new UserException("view.asOf must be >= 0")
+    asOf
   }
 
   private def parseDelta(d: JsonNode): DeltaInput = {

@@ -120,9 +120,31 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
 final case class ExportViewConfig(statePath: String, output: String,
                                   /** cdcRollup only: "view" (default)
                                     * or "base". */
-                                  layer: String = "view")
+                                  layer: String = "view",
+                                  /** cdcRollup retention mode only:
+                                    * export the state AS OF this
+                                    * batch id — the reproducibility
+                                    * face ([[graft.operators.CdcRollup
+                                    * .readViewAsOf]]); refused on
+                                    * other families and below the
+                                    * retention floor. */
+                                  asOf: Option[Long] = None)
     extends ViewConfig {
   val kind = "export"
+}
+
+/** Switch a cdcRollup state into AS-OF RETENTION mode
+  * ([[graft.operators.CdcRollup.enableRetention]]): folds keep
+  * superseded copy-on-write bucket versions as snapshot history, so
+  * `lookup`/`export` with `asOf` can re-serve the exact view any
+  * earlier batch saw — record the batch id a training run consumed,
+  * re-read as-of it while the retention window holds. The floor
+  * reported is the lowest servable batch id (the frontier at enable
+  * time — history before it was reaped eagerly). Idempotent; refused
+  * on the other families (their states hold no version history).
+  * Pair with `gc` + `retainHours` to bound the accreted history. */
+final case class RetainViewConfig(statePath: String) extends ViewConfig {
+  val kind = "retain"
 }
 
 /** Introspect a persisted view state WITHOUT folding anything — the
@@ -162,9 +184,30 @@ final case class StatusViewConfig(statePath: String,
 final case class LookupViewConfig(statePath: String,
                                   keys: Seq[Map[String, String]],
                                   layer: Option[String] = None,
-                                  maxRows: Int = 1000)
+                                  maxRows: Int = 1000,
+                                  /** cdcRollup retention mode only:
+                                    * serve the state AS OF this batch
+                                    * id (still bucket-pruned); refused
+                                    * on other families and below the
+                                    * retention floor. */
+                                  asOf: Option[Long] = None)
     extends ViewConfig {
   val kind = "lookup"
+}
+
+/** DEEP state-integrity audit ([[graft.app.ViewFsck]]) — the
+  * diagnosis face of the lifecycle: pure listings, zero Spark jobs,
+  * never mutates. Reports `ok: false` with named ERRORS when the
+  * state could serve wrong data (bucket dirs outside the pinned
+  * count, a grp layer contradicting the pin, a retention floor above
+  * the frontier, rollup evidence newer than `_LAST_BATCH`), and
+  * WARNINGS for the harmless crash remnants `gc` sweeps (stranded
+  * staging, uncommitted versions below the frontier, duplicate
+  * watermark/floor files, subsumed markers). `status` is the health
+  * summary; `fsck` is the audit you run when something looks off —
+  * or on a cadence, because every finding names its remediation. */
+final case class FsckViewConfig(statePath: String) extends ViewConfig {
+  val kind = "fsck"
 }
 
 /** Sweep a view state's ABANDONED-batch garbage through the CLI — the
@@ -190,7 +233,16 @@ final case class LookupViewConfig(statePath: String,
   * out of order must leave it off. */
 final case class GcViewConfig(statePath: String,
                               olderThanHours: Option[Int] = None,
-                              foldMarkers: Boolean = false)
+                              foldMarkers: Boolean = false,
+                              /** cdcRollup retention mode only: also
+                                    * reap snapshot history whose whole
+                                    * servable range predates this
+                                    * window, ADVANCING the as-of floor
+                                    * past it ([[graft.operators
+                                    * .CdcRollup.reapRetainedVersions]]);
+                                    * refused when the state is not in
+                                    * retention mode (nothing accretes). */
+                              retainHours: Option[Int] = None)
     extends ViewConfig {
   val kind = "gc"
 }

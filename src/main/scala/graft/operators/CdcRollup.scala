@@ -63,6 +63,20 @@ import org.apache.spark.sql.functions._
   * at-least-once scheduler idiom); an UNCOMMITTED id below the
   * committed frontier refuses with the named error instead.
   *
+  * AS-OF SNAPSHOT READS (opt-in): the COW versions double as a
+  * snapshot history. [[enableRetention]] writes an `_ASOF_FLOOR_<f>`
+  * file; from then on folds keep superseded versions instead of
+  * reaping them, and [[readViewAsOf]]/[[readBaseAsOf]]/the `asOf`
+  * lookups resolve each bucket to its highest committed version
+  * <= the asked batch id — the exact state any earlier batch saw,
+  * still bucket-pruned. The floor is the honesty bound: reads below
+  * it refuse loud ([[requireServable]] — those versions are gone),
+  * and [[reapRetainedVersions]] advances it past everything it
+  * deletes (floor written BEFORE the deletes — every crash window is
+  * conservative). This is what makes a training run reproducible
+  * against a live view: record the batch id consumed, re-read as-of
+  * it while the retention window holds.
+  *
   * Long-lived ops: per-batch markers fold into a single
   * `_APPLIED_UPTO_<w>` watermark ([[foldMarkers]] — sound exactly
   * because ids are monotone: nothing <= the committed frontier can
@@ -103,6 +117,13 @@ object CdcRollup {
     * min/max states; loops over this are `fs.exists`-guarded, so a
     * sums-only state just skips it. */
   private val layerNames = Seq("base", "agg", "grp")
+
+  /** Root-level retention floor file prefix — presence switches the
+    * state into AS-OF RETENTION mode (see [[enableRetention]]); the
+    * id is the lowest batch id whose snapshot is still fully
+    * servable. Protocol mirrors the watermark: new floor written
+    * first, older floor files removed after, readers take the max. */
+  private val AsofFloor = "_ASOF_FLOOR_"
 
   /** Persisted agg-state column names for k measures. ONE measure
     * keeps the pre-multi-measure spelling (`total`) so existing
@@ -353,7 +374,11 @@ object CdcRollup {
             Seq(("base", newBase, baseBucket, touchedBase),
               // a fully-retracted group drops out of the view
               ("agg", withMinMax.filter(col("n") > 0), aggBucket,
-                touchedAgg)) ++ grpLayer)
+                touchedAgg)) ++ grpLayer,
+            // retention mode: superseded versions ARE the snapshot
+            // history — the fold keeps them; reapRetainedVersions owns
+            // their (floor-advancing) deletion
+            retain = readAsofFloor(fs, rootPath).isDefined)
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
     } finally { net.unpersist(); () }
@@ -380,6 +405,177 @@ object CdcRollup {
       BatchMarkers.read(fs, rootPath))
   }
 
+  // ---- as-of snapshot reads ---------------------------------------
+
+  /** Switch a state into AS-OF RETENTION mode: from now on folds KEEP
+    * superseded bucket versions (the copy-on-write history that is
+    * normally reaped eagerly), so [[readViewAsOf]]/[[readBaseAsOf]]
+    * can re-serve the exact view any earlier batch saw — the
+    * reproducibility story a training pipeline needs ("read the view
+    * as of the batch my run consumed"). The floor written is the
+    * CURRENT committed frontier: snapshots below it were already
+    * reaped by the eager-GC folds and stay unservable; everything at
+    * or above it is retained until [[reapRetainedVersions]] advances
+    * the floor. Idempotent — re-enabling keeps the existing floor
+    * (never lowers it: a lowered floor would promise snapshots whose
+    * versions are gone). Storage note: history accretes one version
+    * per touched bucket per fold until reaped; run
+    * `reapRetainedVersions` on the GC cadence with the retention
+    * window the consumers need. @return the floor in force */
+  def enableRetention(spark: SparkSession, root: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    readAsofFloor(fs, rootPath).getOrElse {
+      val floor = BatchMarkers.read(fs, rootPath).maxCommitted
+        .getOrElse(-1L)
+      fs.mkdirs(rootPath)
+      fs.create(new Path(rootPath, s"$AsofFloor$floor"), true).close()
+      floor
+    }
+  }
+
+  /** The retention floor in force, None when the state is not in
+    * retention mode. Readers take the max floor file — the floor
+    * protocol writes the new floor BEFORE deleting the old one, so
+    * every crash window resolves to a sound (possibly conservative)
+    * floor. */
+  def asofFloor(spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    readAsofFloor(fs, rootPath)
+  }
+
+  private def readAsofFloor(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(AsofFloor))
+      .flatMap(_.stripPrefix(AsofFloor).toLongOption)
+      .maxOption
+  }
+
+  /** Refuse an as-of read the retained history cannot honestly serve:
+    * no floor file = retention never enabled (folds reaped history
+    * eagerly — nothing to serve); below the floor = the snapshot's
+    * versions were reaped by [[reapRetainedVersions]]. Loud, never a
+    * silently-wrong partial snapshot. */
+  private def requireServable(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              asOf: Long): Unit = {
+    val floor = readAsofFloor(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"as-of read under $root: the state is not in retention mode — " +
+          "folds reap superseded versions eagerly, so no snapshot " +
+          "history exists; enable it (enableRetention / CLI kind " +
+          "'retain') BEFORE the folds whose snapshots you need"))
+    require(asOf >= floor,
+      s"as-of read at batch $asOf under $root: retained history " +
+        s"starts at floor $floor — earlier snapshots were reaped; " +
+        "widen the retention window on the GC cadence")
+  }
+
+  /** The view AS OF `asOf`: per bucket, the highest committed version
+    * with id <= asOf — exactly the state a reader saw right after
+    * batch `asOf` folded (an id above the frontier serves the current
+    * state; ids between two folds serve the earlier one — the batch
+    * id IS the snapshot axis). Requires retention mode and
+    * asOf >= floor ([[requireServable]]); None when nothing committed
+    * at or below `asOf` holds data. */
+  def readViewAsOf(spark: SparkSession, root: String,
+                   asOf: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireServable(fs, rootPath, asOf)
+    readLatest(spark, fs, rootPath, "agg", None,
+      BatchMarkers.read(fs, rootPath), Some(asOf))
+  }
+
+  /** The SCD1 base AS OF `asOf` — the [[readViewAsOf]] sibling over
+    * the current-image layer: the keyed snapshot of the CDC feed as
+    * it stood after that batch. */
+  def readBaseAsOf(spark: SparkSession, root: String,
+                   asOf: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireServable(fs, rootPath, asOf)
+    readLatest(spark, fs, rootPath, "base", None,
+      BatchMarkers.read(fs, rootPath), Some(asOf))
+  }
+
+  /** Reap retained history older than the retention window and
+    * ADVANCE THE FLOOR past everything reaped — the GC face of
+    * retention mode. A version v_i is superseded the moment a later
+    * committed version v_j lands in its bucket; it stays servable
+    * (as-of ids in [v_i, v_j)) until v_j itself is OLDER than the
+    * window — gating on the SUPERSEDING version's age is what makes
+    * "retain X hours of snapshots" true: only ranges whose entire
+    * lifetime predates the window go. Crash-safe in the conservative
+    * direction: the new floor is written BEFORE any version is
+    * deleted (a crash between leaves the floor high with extra
+    * versions — refusing a servable snapshot, never serving a broken
+    * one). The latest committed version of every bucket is never
+    * touched. @return (deleted version paths, the floor now in force) */
+  def reapRetainedVersions(spark: SparkSession, root: String,
+                           retainMs: Long): (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val floor = readAsofFloor(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"reapRetainedVersions under $root: the state is not in " +
+          "retention mode — nothing accretes, nothing to reap " +
+          "(cleanOrphanBatchDirs owns crash garbage)"))
+    val markers = BatchMarkers.read(fs, rootPath)
+    val cutoff = System.currentTimeMillis() - retainMs
+    // (path to delete, the superseding id the floor must clear)
+    val doomed = Seq.newBuilder[(Path, Long)]
+    for (layer <- layerNames) {
+      val dir = new Path(rootPath, layer)
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("bucket="))
+        .foreach { b =>
+          val chain = fs.listStatus(b.getPath).toSeq
+            .filter { v =>
+              val n = v.getPath.getName
+              n.startsWith("v") && n.length > 1 &&
+                n.drop(1).forall(_.isDigit) &&
+                markers.committed(n.drop(1).toLong)
+            }
+            .sortBy(_.getPath.getName.drop(1).toLong)
+          chain.sliding(2).foreach {
+            case Seq(vi, vj) if vj.getModificationTime <= cutoff =>
+              doomed += ((vi.getPath,
+                vj.getPath.getName.drop(1).toLong))
+            case _ => ()
+          }
+        }
+    }
+    val hits = doomed.result()
+    if (hits.isEmpty) return (Nil, floor)
+    val newFloor = math.max(floor, hits.map(_._2).max)
+    if (newFloor > floor) {
+      fs.create(new Path(rootPath, s"$AsofFloor$newFloor"), true).close()
+    }
+    val deleted = hits.map { case (p, _) => fs.delete(p, true); p.toString }
+    // old floor files go LAST (readers take the max either way)
+    readAsofFloorAll(fs, rootPath).filter(_ < newFloor).foreach { old =>
+      fs.delete(new Path(rootPath, s"$AsofFloor$old"), false)
+    }
+    (deleted, newFloor)
+  }
+
+  private def readAsofFloorAll(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path)
+      : Seq[Long] =
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(AsofFloor))
+      .flatMap(_.stripPrefix(AsofFloor).toLongOption)
+
   /** Bucket-pruned POINT LOOKUP into the SCD1 base — the serving
     * path: reads ONLY the bucket dirs the requested keys hash into
     * (O(touched buckets) IO, never a base scan), then semi-joins the
@@ -389,9 +585,12 @@ object CdcRollup {
     * match; it refuses instead. NULL key components refuse for the
     * same reason the fold refuses them (never matchable). The touched-
     * bucket probe collects ≤ nBaseBuckets rows regardless of how many
-    * keys are asked. None before the first commit. */
+    * keys are asked. `asOf` serves the images as of that batch
+    * (retention mode required — [[readBaseAsOf]] semantics, still
+    * bucket-pruned). None before the first commit. */
   def lookupBase(spark: SparkSession, root: String,
-                 keys: DataFrame): Option[DataFrame] = {
+                 keys: DataFrame,
+                 asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -427,12 +626,13 @@ object CdcRollup {
       require(probe.filter(pkCols.map(col(_).isNull).reduce(_ || _))
           .isEmpty,
         "lookupBase: NULL in a pk column — a NULL key can never match")
+      asOf.foreach(requireServable(fs, rootPath, _))
       val bucketOf = pmod(xxhash64(pkCols.map(col): _*),
         lit(nBaseBuckets)).cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       readLatest(spark, fs, rootPath, "base", Some(touched),
-        BatchMarkers.read(fs, rootPath))
+        BatchMarkers.read(fs, rootPath), asOf)
         .map(_.join(probe, pkCols, "left_semi"))
     } finally { probe.unpersist(); () }
   }
@@ -445,9 +645,11 @@ object CdcRollup {
     * servable; using-columns semi-join would never match them).
     * `keys` must carry exactly the pinned group columns WITH the
     * pinned types (xxhash64 bucketing, the lookupBase discipline).
-    * None before the first commit. */
+    * `asOf` serves the group state as of that batch (retention mode
+    * required). None before the first commit. */
   def lookupView(spark: SparkSession, root: String,
-                 keys: DataFrame): Option[DataFrame] = {
+                 keys: DataFrame,
+                 asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -478,12 +680,13 @@ object CdcRollup {
     }
     val probe = keys.distinct().persist()
     try {
+      asOf.foreach(requireServable(fs, rootPath, _))
       val bucketOf = pmod(xxhash64(groupCols.map(col): _*),
         lit(nAggBuckets)).cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       readLatest(spark, fs, rootPath, "agg", Some(touched),
-        BatchMarkers.read(fs, rootPath))
+        BatchMarkers.read(fs, rootPath), asOf)
         .map { agg =>
           val cond = groupCols.map(c => agg(c) <=> probe(c))
             .reduce(_ && _)
@@ -660,9 +863,13 @@ object CdcRollup {
     graft.sources.PartitionedStore.readPin(fs, freshPath) match {
       case Some(p) if p.startsWith("cdcRollup|") =>
         // a prior compact's crash remnants — nothing committed, reset
+        // (incl. any stray retention floor: the retry re-seeds it)
         for (l <- layerNames)
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
+        readAsofFloorAll(fs, freshPath).foreach { f =>
+          fs.delete(new Path(freshPath, s"$AsofFloor$f"), false)
+        }
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-cdcRollup pin '$p' — " +
           "refusing to overwrite a different state family")
@@ -699,22 +906,32 @@ object CdcRollup {
     BatchMarkers.foldInto(fs, freshPath,
       BatchMarkers.read(fs, freshPath),
       srcMarkers.maxCommitted.getOrElse(0L))
+    // retention mode survives the swap but the history does NOT
+    // (compaction collapses every bucket to one v0 image) — the
+    // fresh floor is the frontier: pre-compaction snapshots refuse
+    // loud, post-compaction folds accrete history again
+    if (readAsofFloor(fs, rootPath).isDefined) {
+      val f = srcMarkers.maxCommitted.getOrElse(0L)
+      fs.create(new Path(freshPath, s"$AsofFloor$f"), true).close()
+    }
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 
   // ---- layout plumbing ------------------------------------------------
 
-  /** Latest COMMITTED version dir of each bucket of `layer`,
-    * restricted to `buckets` when given; empty version dirs (a
-    * touched bucket whose rows were all retracted) contribute
-    * nothing. Committedness resolves against the ONE marker listing
-    * the caller already holds. None when nothing committed holds
-    * data. */
+  /** Latest COMMITTED version dir of each bucket of `layer` —
+    * restricted to `buckets` when given, and to versions with id <=
+    * `asOf` when given (the snapshot-read resolution: the bucket's
+    * state AS OF that batch). Empty version dirs (a touched bucket
+    * whose rows were all retracted) contribute nothing. Committedness
+    * resolves against the ONE marker listing the caller already
+    * holds. None when nothing committed holds data. */
   private def readLatest(spark: SparkSession,
                          fs: org.apache.hadoop.fs.FileSystem,
                          root: org.apache.hadoop.fs.Path, layer: String,
                          buckets: Option[Set[Int]],
-                         markers: BatchMarkers.Markers): Option[DataFrame] = {
+                         markers: BatchMarkers.Markers,
+                         asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(root, layer)
     if (!fs.exists(dir)) return None
@@ -728,7 +945,8 @@ object CdcRollup {
         fs.listStatus(b).toSeq.map(_.getPath)
           .filter(v => v.getName.startsWith("v") &&
             v.getName.drop(1).forall(_.isDigit) && v.getName.length > 1 &&
-            markers.committed(v.getName.drop(1).toLong))
+            markers.committed(v.getName.drop(1).toLong) &&
+            asOf.forall(v.getName.drop(1).toLong <= _))
           .sortBy(_.getName.drop(1).toLong).lastOption
       }
       .filter(v => graft.sources.PartitionedStore.hasDataEntries(fs, v))
@@ -740,11 +958,15 @@ object CdcRollup {
     * partitioned by bucket), promote the children to
     * `bucket=<k>/v<batchId>`, cover retracted-to-empty buckets with an
     * empty version (the old version must stop being latest), commit
-    * the marker LAST, then best-effort reap superseded versions. */
+    * the marker LAST, then best-effort reap superseded versions —
+    * UNLESS `retain` (as-of retention mode), where superseded
+    * versions are the snapshot history and only
+    * [[reapRetainedVersions]] may delete them (floor-advancing). */
   private def stageAndCommit(fs: org.apache.hadoop.fs.FileSystem,
                              root: org.apache.hadoop.fs.Path, batchId: Long,
                              layers: Seq[(String, DataFrame, Column,
-                               Set[Int])])
+                               Set[Int])],
+                             retain: Boolean = false)
       : Unit = {
     import org.apache.hadoop.fs.Path
     for ((layer, df, bucketOf, touched) <- layers) {
@@ -759,6 +981,7 @@ object CdcRollup {
       }
     }
     BatchMarkers.commit(fs, root, batchId)
+    if (retain) return
     // GC: every older version of a bucket this batch rewrote is
     // superseded. Best-effort — a crash here leaves extra committed
     // versions that stay invisible to readers (latest wins) and get

@@ -970,6 +970,101 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // AS-OF SNAPSHOT READ, gate-verified: retention mode on, three
+    // CDC folds (insert / group-moving update / delete), then read
+    // the view AS OF batch 1 — the state BEFORE batch 2's deletes,
+    // re-served from the retained copy-on-write versions
+    // ([[graft.operators.CdcRollup.readViewAsOf]]). The oracle
+    // derives the final images of batches 0-1 ONLY and aggregates
+    // one-shot; a snapshot read that leaked batch 2's versions (or
+    // resurrected pre-update images) hashes red. Same 3-fold
+    // gate-artifact cost class as its cdc siblings.
+    "cdc_asof_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdca_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableRetention(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      def ins(m: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val b0 = ins(0)
+      val b1 = ins(1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readViewAsOf(s, root, 1L).get
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Retraction-exact VARIANCE by COMPOSITION: the invertible-sums
+    // algebra carries (n, Σv, Σv²) when the square rides as a second
+    // measure computed upstream — so per-group AVG and sample
+    // VARIANCE come out exactly under cross-batch updates and
+    // deletes, no new operator machinery (the cdc_distinct_view
+    // composition discipline). The oracle computes the same moments
+    // one-shot over the final images with the SAME expression shape
+    // (identical IEEE order both engines, the corr-gate discipline).
+    "cdc_var_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcv_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          (col("o_totalprice") * col("o_totalprice")).as("v2"))
+        .filter(k % 16 === 0)
+      def ins(m: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          col("v2"), lit(1L).as("seq"), lit("I").as("op"))
+      val b0 = ins(0)
+      val b1 = ins(1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_totalprice"), col("v2"),
+            lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            col("v2"), lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"),
+          Seq("o_totalprice", "v2"), nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      val s1 = col("total_1").cast("double")
+      val s2 = col("total_2").cast("double")
+      // stddev, not raw variance: the two engines round the v*v →
+      // decimal(38,6) cast's ties differently (HALF_UP vs HALF_EVEN),
+      // leaving ~1e-6-scale absolute noise in Σv² that survives any
+      // decimal-place rounding of a ~1e10 variance; sqrt compresses
+      // it to ~1e-11 absolute, where round 6 is bit-stable
+      CdcRollup.readView(s, root).get
+        .select(col("o_orderpriority"), col("n"),
+          round(s1 / col("n"), 9).as("avg_price"),
+          round(sqrt((s2 - s1 * s1 / col("n")) / (col("n") - 1)), 6)
+            .as("std_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // LOCF forward fill — the gap-filling step of event-stream
     // feature prep: a sparse column (every 3rd event observes a value)
     // carries forward per user. ONE user-key shuffle; the running
@@ -1062,6 +1157,45 @@ object RelationalQueries {
         |SELECT k AS o_orderkey, o_orderpriority, o_totalprice,
         |       o_custkey
         |FROM final WHERE k % 64 = 0 ORDER BY 1""".stripMargin,
+    // the snapshot axis: final images of batches 0-1 ONLY (k%16
+    // slice, k%3∈{0,1} inserted, k%3=0 ∧ k%7=0 CASE-shifted) — batch
+    // 2's inserts and deletes must be invisible to the as-of read
+    "cdc_asof_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |asof1 AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced WHERE k % 3 IN (0, 1))
+        |SELECT p AS o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS total_price
+        |FROM asof1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same moments (n, Σv, Σv²) over the final images, stddev
+    // assembled with the SAME double expression order as the Spark
+    // side (sqrt compresses the engines' decimal-tie noise in Σv²
+    // below round 6 — see the Spark-side comment)
+    "cdc_var_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |final AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2)),
+        |moments AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM final GROUP BY 1)
+        |SELECT p AS o_orderpriority, n,
+        |       ROUND(s1 / n, 9) AS avg_price,
+        |       ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_price
+        |FROM moments ORDER BY 1""".stripMargin,
     "cdc_distinct_view" ->
       """WITH sliced AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p, o_custkey AS c

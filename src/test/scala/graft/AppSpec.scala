@@ -1703,6 +1703,203 @@ class AppSpec extends SparkSpec {
       Seq(Seq(1L, 1.0, 2.0))
   }
 
+  test("maintainView retention lifecycle: retain → folds accrete " +
+      "history → asOf lookup/export serve the old snapshot → gc " +
+      "retainHours advances the floor → below-floor refuses; asOf / " +
+      "retainHours / retain refuse on non-retained or wrong families") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewasof").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    val root = s"$dir/astate"
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    // retain on a path with no state refuses (exit 1, named)
+    cfg("""{"kind": "retain", "statePath": "astate"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // batch 0 through the CLI, then retain, then batch 1 (an update)
+    def foldCfg(id: Int): Unit =
+      cfg(s"""{"kind": "cdcRollup", "statePath": "astate",
+             | "batchId": $id,
+             | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+             | "keys": ["grp"], "valueColumn": "v",
+             | "nBaseBuckets": 2, "nAggBuckets": 2,
+             | "delta": {"input": "in/a$id"}}""".stripMargin)
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/a0")
+    foldCfg(0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "retain", "statePath": "astate"}""")
+    val (cr, or) = Main.execute(spark, sink, dir)
+    withClue(or) { cr shouldBe 0 }
+    or.get should include(""""applied":true""")
+    or.get should include(""""asof_floor":0""")
+    // idempotent: second retain reports the same floor, applied:false
+    val (cr2, or2) = Main.execute(spark, sink, dir)
+    withClue(or2) { cr2 shouldBe 0 }
+    or2.get should include(""""applied":false""")
+    or2.get should include(""""asof_floor":0""")
+    Seq((1L, "a", 99.0, 2L, "U"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/a1")
+    foldCfg(1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // asOf lookup serves the PRE-update image; current the new one
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "1"}], "asOf": 0}""".stripMargin)
+    val (cl, ol) = Main.execute(spark, sink, dir)
+    withClue(ol) { cl shouldBe 0 }
+    ol.get should include(""""v":10.0""")
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "1"}]}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""v":99.0""")
+    // asOf export writes the snapshot the training run saw
+    cfg("""{"kind": "export", "statePath": "astate", "layer": "base",
+          | "output": "snap0", "asOf": 0}""".stripMargin)
+    val (ce, oe) = Main.execute(spark, sink, dir)
+    withClue(oe) { ce shouldBe 0 }
+    rows(spark.read.parquet(s"$dir/snap0")
+      .select(col("id"), col("v")).orderBy("id")) shouldBe
+      Seq(Seq(1L, 10.0), Seq(2L, 20.0))
+    // status reports the floor
+    cfg("""{"kind": "status", "statePath": "astate"}""")
+    Main.execute(spark, sink, dir)._2.get should
+      include(""""asof_floor":0""")
+    // gc retainHours 0 reaps the superseded history, floor → 1
+    cfg("""{"kind": "gc", "statePath": "astate", "retainHours": 0}""")
+    val (cg, og) = Main.execute(spark, sink, dir)
+    withClue(og) { cg shouldBe 0 }
+    og.get should include(""""asof_floor":1""")
+    og.get should include(""""retain_deleted":""")
+    // batch 0's snapshot is gone: asOf 0 now refuses loud (exit 1)
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "1"}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // asOf 1 still serves, and equals the current state
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "1"}], "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""v":99.0""")
+    // refusals: asOf on a non-retained cdc state; retainHours same;
+    // retain / asOf on a non-cdc family
+    val plain = s"$dir/pstate"
+    CdcRollup.foldBatch(plain, 0L,
+      Seq((1L, "a", 1.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
+    cfg("""{"kind": "lookup", "statePath": "pstate",
+          | "keys": [{"id": "1"}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "gc", "statePath": "pstate", "retainHours": 0}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    import graft.operators.JoinView
+    JoinView.foldBatchDirs(s"$dir/jst", 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 2) shouldBe true
+    cfg("""{"kind": "retain", "statePath": "jst"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "export", "statePath": "jst",
+          | "output": "jsnap", "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // negative asOf refuses at parse
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "1"}], "asOf": -1}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView fsck: clean states audit ok; planted corruption " +
+      "surfaces as named errors, crash remnants as warnings; a " +
+      "pinless path refuses") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewfsck").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(state: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": {
+         |  "kind": "fsck", "statePath": "$state"}}}""".stripMargin)
+    // --- cdcRollup family ---
+    val root = s"$dir/cstate"
+    (0 until 2).foreach { i =>
+      CdcRollup.foldBatch(root, i.toLong,
+        Seq((i.toLong + 1, "a", 10.0, 1L, "I"))
+          .toDF("id", "grp", "v", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
+    }
+    cfg("cstate")
+    val (c0, o0) = Main.execute(spark, sink, dir)
+    withClue(o0) { c0 shouldBe 0 }
+    o0.get should include(""""family":"cdcRollup"""")
+    o0.get should include(""""ok":true""")
+    o0.get should include(""""errors":[]""")
+    // plant: an out-of-range bucket dir (error), a grp layer on a
+    // sums-only pin (error), a never-promotable staging shell
+    // (warning), a floor above the frontier (error)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "agg/bucket=99/v0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "grp/bucket=0/v0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "base/.staging0"))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_ASOF_FLOOR_9"),
+      true).close()
+    val (c1, o1) = Main.execute(spark, sink, dir)
+    withClue(o1) { c1 shouldBe 0 } // fsck reports, never exits nonzero
+    o1.get should include(""""ok":false""")
+    o1.get should include("bucket id outside the pinned count")
+    o1.get should include("grp layer exists but the pin declares no")
+    o1.get should include("staging shell that can never promote")
+    o1.get should include("floor 9 is above the committed frontier")
+    // --- rollup family: evidence newer than the frontier is the
+    // corruption the monotone guard cannot see ---
+    Seq((1L, 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/f0")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/config.json"),
+      """{"action": "maintainView", "parameters": {"view": {
+        |  "kind": "rollup", "statePath": "rstate", "batchId": 0,
+        |  "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+        |  "delta": {"input": "in/f0"}}}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("rstate")
+    val (c2, o2) = Main.execute(spark, sink, dir)
+    withClue(o2) { c2 shouldBe 0 }
+    o2.get should include(""""family":"rollup"""")
+    o2.get should include(""""ok":true""")
+    val rroot = s"$dir/rstate"
+    val bucket = fs.listStatus(
+      new org.apache.hadoop.fs.Path(rroot, "state")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("bucket=")).head
+    fs.create(new org.apache.hadoop.fs.Path(bucket, "_APPLIED_9"),
+      true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(rroot,
+      "state__stage_deadbeef"))
+    val (_, o3) = Main.execute(spark, sink, dir)
+    o3.get should include(""""ok":false""")
+    o3.get should include("evidence NEWER than the _LAST_BATCH")
+    o3.get should include("staging shell")
+    // --- join family: subsumed markers + stray entries are warnings,
+    // never errors ---
+    import graft.operators.JoinView
+    val jroot = s"$dir/jstate"
+    JoinView.foldBatchDirs(jroot, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 2) shouldBe true
+    JoinView.foldMarkers(spark, jroot, olderThanMs = 0L) shouldBe Some(0L)
+    // a crashed foldInto leaves the subsumed per-id marker behind
+    fs.create(new org.apache.hadoop.fs.Path(jroot, "_APPLIED_0"),
+      true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(jroot, "view/stray"))
+    cfg("jstate")
+    val (c4, o4) = Main.execute(spark, sink, dir)
+    withClue(o4) { c4 shouldBe 0 }
+    o4.get should include(""""family":"join"""")
+    o4.get should include(""""ok":true""") // warnings only
+    o4.get should include("at or below the watermark")
+    o4.get should include("unrecognized entry 'stray'")
+    // a pinless path refuses loud
+    cfg("nowhere")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
   test("maintainView status countRows:false: view_rows reports null " +
       "and NO Spark job runs — pure listings for huge-view health " +
       "probes") {

@@ -732,4 +732,151 @@ class CdcRollupSpec extends SparkSpec {
         }
     }
   }
+
+  // ---- as-of snapshot reads -----------------------------------------
+
+  private def viewAsOf(root: String, a: Long): Map[String, (Long, Double)] =
+    CdcRollup.readViewAsOf(spark, root, a).map(_.collect().map(r =>
+      r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("total").doubleValue()))).toMap)
+      .getOrElse(Map.empty)
+
+  test("as-of reads serve the exact view every earlier batch saw, " +
+      "including a fully-retracted group; above the frontier = current") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    fold(root, 0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "a", 20.0, 1L, "I"),
+      (3L, "b", 30.0, 1L, "I"))) shouldBe true
+    // batch 1 moves id=2 a→b; batch 2 deletes group a entirely
+    fold(root, 1L, log((2L, "b", 25.0, 2L, "U"))) shouldBe true
+    fold(root, 2L, log((1L, "a", 0.0, 3L, "D"))) shouldBe true
+    viewAsOf(root, 0L) shouldBe
+      Map("a" -> ((2L, 30.0)), "b" -> ((1L, 30.0)))
+    viewAsOf(root, 1L) shouldBe
+      Map("a" -> ((1L, 10.0)), "b" -> ((2L, 55.0)))
+    // batch 2 retracted group a to n=0 — the snapshot right after it
+    // must NOT resurrect the group (the empty-cover version resolves)
+    viewAsOf(root, 2L) shouldBe Map("b" -> ((2L, 55.0)))
+    viewAsOf(root, 2L) shouldBe view(root)
+    // an id above the frontier is the current state (nothing newer
+    // folded yet) — the axis is total, not exact-match
+    viewAsOf(root, 99L) shouldBe view(root)
+    // base snapshots ride the same protocol
+    val b0 = CdcRollup.readBaseAsOf(spark, root, 0L).get
+      .select("id", "grp", "v").orderBy("id")
+    rows(b0) shouldBe Seq(
+      Seq(1L, "a", 10.0), Seq(2L, "a", 20.0), Seq(3L, "b", 30.0))
+    val b2 = CdcRollup.readBaseAsOf(spark, root, 2L).get
+      .select("id", "grp", "v").orderBy("id")
+    rows(b2) shouldBe Seq(Seq(2L, "b", 25.0), Seq(3L, "b", 30.0))
+  }
+
+  test("as-of refuses loud on a non-retained state and below the " +
+      "floor; enabling after folds floors at the frontier") {
+    val root = tmpRoot()
+    fold(root, 0L, log((1L, "a", 10.0, 1L, "I"))) shouldBe true
+    // never retained: the history was reaped eagerly — refuse
+    val e1 = intercept[IllegalStateException] {
+      CdcRollup.readViewAsOf(spark, root, 0L)
+    }
+    e1.getMessage should include("not in retention mode")
+    fold(root, 1L, log((1L, "a", 11.0, 2L, "U"))) shouldBe true
+    // enable AFTER two folds: floor = committed frontier (1) — batch
+    // 0's snapshot is gone (eager reap) and must refuse, not serve
+    // a silently-wrong image
+    CdcRollup.enableRetention(spark, root) shouldBe 1L
+    val e2 = intercept[IllegalArgumentException] {
+      CdcRollup.readViewAsOf(spark, root, 0L)
+    }
+    e2.getMessage should include("floor")
+    viewAsOf(root, 1L) shouldBe Map("a" -> ((1L, 11.0)))
+    // re-enabling is idempotent and never lowers the floor
+    CdcRollup.enableRetention(spark, root) shouldBe 1L
+    fold(root, 2L, log((1L, "a", 12.0, 3L, "U"))) shouldBe true
+    viewAsOf(root, 1L) shouldBe Map("a" -> ((1L, 11.0)))
+    viewAsOf(root, 2L) shouldBe Map("a" -> ((1L, 12.0)))
+  }
+
+  test("retention reap deletes only ranges whose whole lifetime " +
+      "predates the window, advances the floor past them, and never " +
+      "touches a bucket's latest version") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root)
+    (0 until 4).foreach { i =>
+      fold(root, i.toLong,
+        log((1L, "a", (i + 1).toDouble, 1L, "U"))) shouldBe true
+    }
+    // history accretes in retention mode: the rewritten bucket holds
+    // all four versions (the eager reap is off)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val aggBuckets = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "agg")).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+    aggBuckets.map(b => fs.listStatus(b).length).max shouldBe 4
+    // a fresh window reaps nothing (every superseding version is new)
+    val (none, f0) = CdcRollup.reapRetainedVersions(spark, root,
+      24L * 3600 * 1000)
+    none shouldBe empty
+    f0 shouldBe -1L
+    // window 0: every superseded version goes; floor lands on the
+    // newest superseding id (3)
+    val (gone, floor) = CdcRollup.reapRetainedVersions(spark, root, 0L)
+    gone should not be empty
+    floor shouldBe 3L
+    CdcRollup.asofFloor(spark, root) shouldBe Some(3L)
+    // below the new floor refuses; at it serves; latest survived
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewAsOf(spark, root, 2L)
+    }.getMessage should include("floor")
+    viewAsOf(root, 3L) shouldBe Map("a" -> ((1L, 4.0)))
+    view(root) shouldBe Map("a" -> ((1L, 4.0)))
+    // steady state restored: one version per touched bucket again
+    aggBuckets.foreach { b =>
+      fs.listStatus(b).length should be <= 1
+    }
+    // reaping again is a no-op at the same floor
+    CdcRollup.reapRetainedVersions(spark, root, 0L) shouldBe
+      ((Nil, 3L))
+  }
+
+  test("as-of point lookups are bucket-pruned and serve the old image; " +
+      "compact carries retention mode but floors at the frontier") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root)
+    fold(root, 0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((1L, "a", 99.0, 2L, "U"))) shouldBe true
+    val probe = Seq(1L).toDF("id")
+    // as-of 0 serves the PRE-update image; current serves the new one
+    val oldImg = CdcRollup.lookupBase(spark, root, probe, Some(0L)).get
+    rows(oldImg.select("id", "grp", "v")) shouldBe Seq(Seq(1L, "a", 10.0))
+    val newImg = CdcRollup.lookupBase(spark, root, probe).get
+    rows(newImg.select("id", "grp", "v")) shouldBe Seq(Seq(1L, "a", 99.0))
+    // the as-of path stays bucket-pruned: only key 1's bucket is read
+    val nBase = 4
+    val expectBucket = oldImg.sparkSession.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(nBase)).cast("int"))
+      .head().getInt(0)
+    val pruned = CdcRollup.lookupBase(spark, root, probe, Some(0L)).get
+    pruned.inputFiles.foreach { f =>
+      f should include(s"bucket=$expectBucket")
+    }
+    // group-keyed as-of lookup
+    val gprobe = Seq("a").toDF("grp")
+    val v0 = CdcRollup.lookupView(spark, root, gprobe, Some(0L)).get
+    v0.select("n").head().getLong(0) shouldBe 1L
+    v0.select(col("total").cast("double")).head().getDouble(0) shouldBe 10.0
+    // compact: retention survives, history does not — the fresh floor
+    // is the frontier and pre-compaction snapshots refuse loud
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh) shouldBe 2L
+    CdcRollup.asofFloor(spark, fresh) shouldBe Some(1L)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewAsOf(spark, fresh, 0L)
+    }.getMessage should include("floor")
+    viewAsOf(fresh, 1L) shouldBe view(root)
+  }
 }

@@ -381,4 +381,74 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
           |  "keys": [{"k": 1}]}""".stripMargin)
     runCli(dir).code shouldBe 1
   }
+
+  test("maintainView retention + fsck through the CLI protocol: " +
+      "retain → asOf lookup serves history → gc retainHours advances " +
+      "the floor (then below-floor exits 1) → fsck audits clean and " +
+      "reports planted corruption") {
+    def items(cols: (String, String)*) = cols.map { case (n, t) =>
+      s"""{"name": "$n", "dbName": "$n", "type": "$t"}"""
+    }.mkString("[", ", ", "]")
+    val dir = mkDataDir("{}", None)
+    def cfg(view: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $view}}""")
+    def csv(name: String, content: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/$name"))
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in/$name/part.csv"), content)
+    }
+    def fold(id: Int): Unit = {
+      cfg(s"""{"kind": "cdcRollup", "statePath": "cst", "batchId": $id,
+             |  "keyColumns": ["id"], "seqColumn": "seq",
+             |  "opColumn": "op", "keys": ["grp"], "valueColumns": ["v"],
+             |  "nBaseBuckets": 2, "nAggBuckets": 2,
+             |  "delta": {"input": "in/c$id", "format": "csv",
+             |    "items": ${items("id" -> "bigint", "grp" -> "nvarchar",
+                  "v" -> "float8", "seq" -> "bigint",
+                  "op" -> "nvarchar")}}
+             |}""".stripMargin)
+      runCli(dir).code shouldBe 0
+    }
+    csv("c0", "id,grp,v,seq,op\n1,x,10,1,I\n2,y,20,1,I\n")
+    fold(0)
+    cfg("""{"kind": "retain", "statePath": "cst"}""")
+    val rt = runCli(dir)
+    withClue(s"stderr: ${rt.stderr}") { rt.code shouldBe 0 }
+    rt.stdout should include(""""asof_floor":0""")
+    csv("c1", "id,grp,v,seq,op\n1,x,99,2,U\n")
+    fold(1)
+    // the snapshot the "training run" saw at batch 0, via the CLI
+    cfg("""{"kind": "lookup", "statePath": "cst",
+          |  "keys": [{"id": 1}], "asOf": 0}""".stripMargin)
+    val lk = runCli(dir)
+    withClue(s"stderr: ${lk.stderr}") { lk.code shouldBe 0 }
+    lk.stdout should include(""""v":10.0""")
+    // fsck on the healthy retained state: ok, zero errors
+    cfg("""{"kind": "fsck", "statePath": "cst"}""")
+    val f0 = runCli(dir)
+    withClue(s"stderr: ${f0.stderr}") { f0.code shouldBe 0 }
+    f0.stdout should include(""""ok":true""")
+    f0.stdout should include(""""errors":[]""")
+    // gc retainHours 0: history reaped, floor advances to 1
+    cfg("""{"kind": "gc", "statePath": "cst", "retainHours": 0}""")
+    val gc = runCli(dir)
+    withClue(s"stderr: ${gc.stderr}") { gc.code shouldBe 0 }
+    gc.stdout should include(""""asof_floor":1""")
+    // below the floor: user error, exit 1, named message
+    cfg("""{"kind": "lookup", "statePath": "cst",
+          |  "keys": [{"id": 1}], "asOf": 0}""".stripMargin)
+    val below = runCli(dir)
+    below.code shouldBe 1
+    below.stderr should include("retention floor")
+    // planted corruption surfaces as a named fsck error (exit stays
+    // 0 — fsck is the audit, not a gate)
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/cst/agg/bucket=77/v0"))
+    cfg("""{"kind": "fsck", "statePath": "cst"}""")
+    val f1 = runCli(dir)
+    withClue(s"stderr: ${f1.stderr}") { f1.code shouldBe 0 }
+    f1.stdout should include(""""ok":false""")
+    f1.stdout should include("bucket id outside the pinned count")
+  }
 }
