@@ -56,6 +56,19 @@ object ViewFsck {
         fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
         // layers hold d<id> batch dirs; anything else is a stray
         val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+        // compaction floor hygiene (same rules as the cdc floor)
+        val jFloors = graft.operators.BatchMarkers
+          .readFloorAll(fs, rootPath)
+        check(jFloors.size > 1, error = false,
+          s"join: ${jFloors.size} compaction floor files — a crashed " +
+            "floor advance; readers take the max")
+        jFloors.maxOption.foreach { f =>
+          check(f > markers.maxCommitted.getOrElse(-1L), error = true,
+            s"join: compaction floor $f is above the committed " +
+              s"frontier ${markers.maxCommitted.getOrElse(-1L)} — " +
+              "as-of reads would refuse prefixes that were never " +
+              "collapsed (a floor file copied from another state?)")
+        }
         for (layer <- Seq("a", "b", "view")) {
           val dirs = ls(new Path(rootPath, layer)).filter(_.isDirectory)
           dirs.foreach { st =>
@@ -162,9 +175,8 @@ object ViewFsck {
             }
         }
         // retention invariants: at most one floor; floor <= frontier
-        val floors = ls(rootPath).map(_.getPath.getName)
-          .filter(_.startsWith("_ASOF_FLOOR_"))
-          .flatMap(_.stripPrefix("_ASOF_FLOOR_").toLongOption)
+        val floors = graft.operators.BatchMarkers
+          .readFloorAll(fs, rootPath)
         check(floors.size > 1, error = false,
           s"cdcRollup: ${floors.size} retention floor files — a " +
             "crashed floor advance; readers take the max, the next " +

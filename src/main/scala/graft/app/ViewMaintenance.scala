@@ -88,9 +88,11 @@ object ViewMaintenance {
         e.asOf.foreach(checkAsof(spark, "export", pin, root, _))
         val df =
           if (pin.startsWith("join|"))
-            JoinView.readCommittedView(spark, root)
+            e.asOf.map(JoinView.readViewAsOf(spark, root, _))
+              .getOrElse(JoinView.readCommittedView(spark, root))
               .getOrElse(throw new UserException(
-                s"maintainView export: no committed state under $root"))
+                s"maintainView export: no committed state under $root" +
+                  e.asOf.map(a => s" as of batch $a").getOrElse("")))
           else if (pin.startsWith("cdcRollup|")) {
             val read = (e.layer, e.asOf) match {
               case ("base", Some(a)) =>
@@ -134,6 +136,33 @@ object ViewMaintenance {
         val root = resolve(st.statePath, dataDir)
         Report(st.kind, applied = false,
           detail = Some(statusJson(spark, root, st.countRows)))
+      case d: DiffViewConfig =>
+        val root = resolve(d.statePath, dataDir)
+        val out = resolve(d.output, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView diff: no layout pin under $root — not a " +
+              "view state"))
+        // diff is the cdcRollup change set (per-group state deltas);
+        // join views have no group state to diff — refuse NAMED
+        if (!pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            "maintainView diff: the change set is defined on " +
+              s"cdcRollup states; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}'")
+        // the same CLI-face honesty checks as asOf lookup/export
+        checkAsof(spark, "diff", pin, root, d.fromBatch)
+        val df = graft.operators.CdcRollup.diffView(
+          spark, root, d.fromBatch, d.toBatch)
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          cached.write.mode("overwrite").parquet(out)
+          Report(d.kind, applied = true, rows = Some(n),
+            output = Some(out))
+        } finally { cached.unpersist(); () }
       case f: FsckViewConfig =>
         val root = resolve(f.statePath, dataDir)
         Report(f.kind, applied = false,
@@ -261,29 +290,44 @@ object ViewMaintenance {
         Report(c.kind, applied = true, rows = Some(rows))
     }
 
-  /** CLI-face validation of an as-of request — the same honesty rule
-    * [[graft.operators.CdcRollup]]'s `requireServable` enforces, but
-    * as a [[UserException]] (exit 1): a bad asOf key is config
-    * misuse, not an application error. Refuses non-cdcRollup
-    * families (no version history), non-retained states, and ids
-    * below the retention floor. */
+  /** CLI-face validation of an as-of request — the same honesty
+    * rules the library paths enforce, but as a [[UserException]]
+    * (exit 1): a bad asOf key is config misuse, not an application
+    * error. Family semantics differ: join states serve any committed
+    * prefix for free (append-only batch dirs) and only a compaction
+    * floor gates them; cdcRollup states must be in retention mode
+    * (their folds reap history eagerly otherwise) AND above their
+    * reap floor; rollup states keep no history at all. */
   private def checkAsof(spark: SparkSession, what: String, pin: String,
                         root: String, asOf: Long): Unit = {
-    if (!pin.startsWith("cdcRollup|"))
+    if (pin.startsWith("join|")) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.operators.BatchMarkers.readFloor(fs, rootPath)
+        .filter(asOf < _).foreach { floor =>
+          throw new UserException(
+            s"maintainView $what: asOf $asOf is below this root's " +
+              s"compaction floor $floor — compaction merged earlier " +
+              "history into one batch dir; read older snapshots from " +
+              "the pre-compaction root")
+        }
+    } else if (pin.startsWith("cdcRollup|")) {
+      val floor = graft.operators.CdcRollup.asofFloor(spark, root)
+        .getOrElse(throw new UserException(
+          s"maintainView $what: the state under $root is not in " +
+            "retention mode — no snapshot history exists; run the " +
+            "'retain' kind BEFORE the folds whose snapshots you need"))
+      if (asOf < floor)
+        throw new UserException(
+          s"maintainView $what: asOf $asOf is below the retention " +
+            s"floor $floor — that snapshot's versions were reaped; " +
+            "widen gc retainHours")
+    } else
       throw new UserException(
-        s"maintainView $what: asOf is only valid for cdcRollup " +
-          s"states in retention mode; the state under $root is " +
-          s"'${pin.takeWhile(_ != '|')}' — drop the asOf key")
-    val floor = graft.operators.CdcRollup.asofFloor(spark, root)
-      .getOrElse(throw new UserException(
-        s"maintainView $what: the state under $root is not in " +
-          "retention mode — no snapshot history exists; run the " +
-          "'retain' kind BEFORE the folds whose snapshots you need"))
-    if (asOf < floor)
-      throw new UserException(
-        s"maintainView $what: asOf $asOf is below the retention " +
-          s"floor $floor — that snapshot's versions were reaped; " +
-          "widen gc retainHours")
+        s"maintainView $what: the as-of snapshot axis only exists on " +
+          "join and cdcRollup states; the state under " +
+          s"$root is '${pin.takeWhile(_ != '|')}' (rollup states " +
+          "keep no history)")
   }
 
   /** The `lookup` kind — pin-dispatched bucket-pruned point lookup,
@@ -333,7 +377,8 @@ object ViewMaintenance {
       if (pin.startsWith("join|")) {
         val view = JoinView.readCommittedView(spark, root)
           .getOrElse(noState)
-        ("view", JoinView.lookupView(spark, root, typedKeys(view.schema)))
+        ("view", JoinView.lookupView(spark, root,
+          typedKeys(view.schema), lk.asOf))
       } else if (pin.startsWith("cdcRollup|")) {
         // key TYPES come from the current state's schema — identical
         // at every retained snapshot (the pin refuses type drift), so
@@ -473,11 +518,13 @@ object ViewMaintenance {
             spark.read.parquet(statePq.toString).count()
           else 0L))
       }
-    // retention floor (cdcRollup only): null = not in retention mode
+    // as-of floor: cdcRollup = retention mode (null = off); join =
+    // compaction collapse point (null = never compacted, everything
+    // servable); absent on rollup (no history at all)
     val floorJson =
-      if (pin.startsWith("cdcRollup|"))
-        opt("asof_floor",
-          graft.operators.CdcRollup.asofFloor(spark, root)) + ","
+      if (pin.startsWith("cdcRollup|") || pin.startsWith("join|"))
+        opt("asof_floor", graft.operators.BatchMarkers.readFloor(
+          fs, rootPath)) + ","
       else ""
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
       s"""$batches,"layers":{$layersJson},$floorJson""" +

@@ -95,6 +95,16 @@ object ConfigParser {
         RetainViewConfig(statePath)
       case "fsck" =>
         FsckViewConfig(statePath)
+      case "diff" =>
+        val from = req(v, "fromBatch").asLong
+        val to = req(v, "toBatch").asLong
+        if (from < 0 || to < 0)
+          throw new UserException("view.fromBatch/toBatch must be >= 0")
+        if (from > to)
+          throw new UserException(
+            "view.fromBatch must be <= view.toBatch")
+        DiffViewConfig(statePath, output = req(v, "output").asText,
+          fromBatch = from, toBatch = to)
       case "status" =>
         StatusViewConfig(statePath,
           countRows = opt(v, "countRows").forall(_.asBoolean))

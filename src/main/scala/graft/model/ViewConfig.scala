@@ -121,13 +121,15 @@ final case class ExportViewConfig(statePath: String, output: String,
                                   /** cdcRollup only: "view" (default)
                                     * or "base". */
                                   layer: String = "view",
-                                  /** cdcRollup retention mode only:
-                                    * export the state AS OF this
-                                    * batch id — the reproducibility
-                                    * face ([[graft.operators.CdcRollup
-                                    * .readViewAsOf]]); refused on
-                                    * other families and below the
-                                    * retention floor. */
+                                  /** Export the state AS OF this batch
+                                    * id — the reproducibility face.
+                                    * join states serve any committed
+                                    * prefix (append-only dirs; only a
+                                    * compaction floor gates);
+                                    * cdcRollup states need retention
+                                    * mode and an id at or above the
+                                    * reap floor; refused on rollup
+                                    * states (no history). */
                                   asOf: Option[Long] = None)
     extends ViewConfig {
   val kind = "export"
@@ -185,14 +187,30 @@ final case class LookupViewConfig(statePath: String,
                                   keys: Seq[Map[String, String]],
                                   layer: Option[String] = None,
                                   maxRows: Int = 1000,
-                                  /** cdcRollup retention mode only:
-                                    * serve the state AS OF this batch
-                                    * id (still bucket-pruned); refused
-                                    * on other families and below the
-                                    * retention floor. */
+                                  /** Serve the state AS OF this batch
+                                    * id (still bucket-pruned). join:
+                                    * any committed prefix, gated only
+                                    * by a compaction floor; cdcRollup:
+                                    * retention mode + at/above the
+                                    * reap floor; refused on rollup
+                                    * states (no history). */
                                   asOf: Option[Long] = None)
     extends ViewConfig {
   val kind = "lookup"
+}
+
+/** CHANGE-SET export between two retained snapshots of a cdcRollup
+  * state ([[graft.operators.CdcRollup.diffView]]): per-group state at
+  * `fromBatch` vs `toBatch`, groups that differ only, labeled
+  * added/removed/changed, written as parquet to `output`. The version
+  * chain prunes BOTH snapshot reads to exactly the buckets that
+  * changed in `(from, to]` — O(changed buckets), never two state
+  * scans. Requires retention mode with `fromBatch` at or above the
+  * floor; refused on the other families (no version history). */
+final case class DiffViewConfig(statePath: String, output: String,
+                                fromBatch: Long, toBatch: Long)
+    extends ViewConfig {
+  val kind = "diff"
 }
 
 /** DEEP state-integrity audit ([[graft.app.ViewFsck]]) — the

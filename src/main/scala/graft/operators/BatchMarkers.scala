@@ -66,6 +66,41 @@ private[graft] object BatchMarkers {
   def commit(fs: FileSystem, root: Path, id: Long): Unit =
     fs.create(new Path(root, s"$Marker$id"), true).close()
 
+  // ---- as-of floor files --------------------------------------------
+  // `_ASOF_FLOOR_<f>` = the lowest batch id whose SNAPSHOT is still
+  // fully servable from this root. Families differ in who writes it
+  // (CdcRollup: retention mode + reap; JoinView: compaction, whose
+  // collapsed d0 would otherwise serve the frontier state as ANY
+  // earlier snapshot) but share the protocol: readers take the max,
+  // writers create the new floor BEFORE removing the old one, so
+  // every crash window errs conservative (refusing a servable
+  // snapshot, never serving a broken one).
+
+  private val Floor = "_ASOF_FLOOR_"
+
+  /** The floor in force — None when no floor file exists. */
+  def readFloor(fs: FileSystem, root: Path): Option[Long] =
+    readFloorAll(fs, root).maxOption
+
+  /** Every floor file present (crash remnants included). */
+  def readFloorAll(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(Floor))
+      .flatMap(_.stripPrefix(Floor).toLongOption)
+
+  /** Write `f` as the floor (new first), then clear lower floors. */
+  def writeFloor(fs: FileSystem, root: Path, f: Long): Unit = {
+    fs.create(new Path(root, s"$Floor$f"), true).close()
+    readFloorAll(fs, root).filter(_ < f)
+      .foreach(old => fs.delete(new Path(root, s"$Floor$old"), false))
+  }
+
+  /** Remove every floor file — the compact crash-reset path. */
+  def clearFloors(fs: FileSystem, root: Path): Unit =
+    readFloorAll(fs, root)
+      .foreach(f => fs.delete(new Path(root, s"$Floor$f"), false))
+
   /** Collapse the committed prefix <= `w` into `_APPLIED_UPTO_<w>`:
     * watermark first (readers OR the sources, so every intermediate
     * state resolves identically), then the subsumed per-id markers and

@@ -118,12 +118,10 @@ object CdcRollup {
     * sums-only state just skips it. */
   private val layerNames = Seq("base", "agg", "grp")
 
-  /** Root-level retention floor file prefix — presence switches the
-    * state into AS-OF RETENTION mode (see [[enableRetention]]); the
-    * id is the lowest batch id whose snapshot is still fully
-    * servable. Protocol mirrors the watermark: new floor written
-    * first, older floor files removed after, readers take the max. */
-  private val AsofFloor = "_ASOF_FLOOR_"
+  // The `_ASOF_FLOOR_` retention-floor protocol lives in
+  // [[BatchMarkers]] (shared with JoinView's compaction floor);
+  // presence of a floor file is what switches THIS family into as-of
+  // retention mode (see [[enableRetention]]).
 
   /** Persisted agg-state column names for k measures. ONE measure
     * keeps the pre-multi-measure spelling (`total`) so existing
@@ -430,7 +428,7 @@ object CdcRollup {
       val floor = BatchMarkers.read(fs, rootPath).maxCommitted
         .getOrElse(-1L)
       fs.mkdirs(rootPath)
-      fs.create(new Path(rootPath, s"$AsofFloor$floor"), true).close()
+      BatchMarkers.writeFloor(fs, rootPath, floor)
       floor
     }
   }
@@ -448,13 +446,8 @@ object CdcRollup {
   }
 
   private def readAsofFloor(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Option[Long] = {
-    if (!fs.exists(root)) return None
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(AsofFloor))
-      .flatMap(_.stripPrefix(AsofFloor).toLongOption)
-      .maxOption
-  }
+                            root: org.apache.hadoop.fs.Path): Option[Long] =
+    BatchMarkers.readFloor(fs, root)
 
   /** Refuse an as-of read the retained history cannot honestly serve:
     * no floor file = retention never enabled (folds reaped history
@@ -504,6 +497,107 @@ object CdcRollup {
     requireServable(fs, rootPath, asOf)
     readLatest(spark, fs, rootPath, "base", None,
       BatchMarkers.read(fs, rootPath), Some(asOf))
+  }
+
+  /** The CHANGE SET between two snapshots — per-group state at
+    * `fromId` vs at `toId`, restricted to groups that actually
+    * differ, labeled `added` / `removed` / `changed`. The CDC-view
+    * answer to "what moved since the run I shipped?"
+    *
+    * 100 TB shape: the version chain itself says which buckets
+    * changed — exactly those holding a committed version in
+    * `(fromId, toId]` — so BOTH snapshot reads prune to the changed
+    * buckets and the diff costs O(changed buckets), never two state
+    * scans. Groups in untouched buckets are byte-identical by
+    * construction; groups in touched buckets that merely rode along
+    * are compared and dropped (null-safe on every state column, so a
+    * NULL group and NULL min/max extrema diff correctly).
+    *
+    * Output: group columns, every state column twice (`<col>_from`,
+    * `<col>_to`, NULL on the absent side), and `change`. Requires
+    * retention mode with `fromId >= floor` ([[requireServable]]);
+    * `toId` above the frontier reads the current state (the as-of
+    * axis is total). */
+  def diffView(spark: SparkSession, root: String,
+               fromId: Long, toId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(fromId <= toId,
+      s"diffView: fromId $fromId must be <= toId $toId")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireServable(fs, rootPath, fromId)
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"diffView: no layout pin under $root — not a cdcRollup state"))
+    val parts = pin.split('|')
+    require((parts.length == 7 || parts.length == 8) &&
+        parts(0) == "cdcRollup",
+      s"diffView: unrecognized layout pin '$pin' under $root")
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val groupCols = parts(3).split(',').toSeq.map(dec)
+    val k = parts(4).split(',').length
+    val m = if (parts.length == 8) parts(7).split(',').length else 0
+    val stateCols = Seq("n") ++ aggNames(k) ++ minNames(m) ++ maxNames(m)
+    val markers = BatchMarkers.read(fs, rootPath)
+    // changed buckets: any committed version landed in (fromId, toId]
+    val aggDir = new Path(rootPath, "agg")
+    val changed =
+      if (!fs.exists(aggDir)) Set.empty[Int]
+      else fs.listStatus(aggDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .filter { b =>
+          fs.listStatus(b).exists { v =>
+            val n = v.getPath.getName
+            n.startsWith("v") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit) && {
+                val id = n.drop(1).toLong
+                markers.committed(id) && id > fromId && id <= toId
+              }
+          }
+        }
+        .flatMap(_.getName.stripPrefix("bucket=").toIntOption).toSet
+    // the empty diff keeps the full output schema (group types from
+    // the pin's typed field)
+    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
+      case Array(n, t) => dec(n) -> dec(t)
+    }.toMap
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val mmNames =
+      if (m == 0) Nil else parts(7).split(',').toSeq.map(dec)
+    def mmType(v: String) = org.apache.spark.sql.types.DataType
+      .fromDDL(typed.getOrElse(v, "string"))
+    def emptyState = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(
+        groupCols.map(c => StructField(c,
+          org.apache.spark.sql.types.DataType.fromDDL(
+            typed.getOrElse(c, "string")))) ++
+          (StructField("n", org.apache.spark.sql.types.LongType) +:
+            aggNames(k).map(t => StructField(t,
+              org.apache.spark.sql.types.DecimalType(38, 6)))) ++
+          mmNames.zipWithIndex.flatMap { case (v, i) =>
+            Seq(StructField(minNames(m)(i), mmType(v)),
+              StructField(maxNames(m)(i), mmType(v)))
+          }))
+    val from = readLatest(spark, fs, rootPath, "agg", Some(changed),
+      markers, Some(fromId)).getOrElse(emptyState)
+    val to = readLatest(spark, fs, rootPath, "agg", Some(changed),
+      markers, Some(toId)).getOrElse(emptyState)
+    val cond = groupCols.map(c => from(c) <=> to(c)).reduce(_ && _)
+    val joined = from.join(to, cond, "full_outer")
+    // presence flags ride `n` (never NULL on a live state row)
+    val inFrom = from("n").isNotNull
+    val inTo = to("n").isNotNull
+    val differs = stateCols.map(c => !(from(c) <=> to(c)))
+      .reduce(_ || _)
+    joined
+      .where((inFrom =!= inTo) || differs)
+      .select((groupCols.map(c => coalesce(from(c), to(c)).as(c)) ++
+        stateCols.map(c => from(c).as(s"${c}_from")) ++
+        stateCols.map(c => to(c).as(s"${c}_to")) :+
+        when(inFrom && !inTo, lit("removed"))
+          .when(!inFrom && inTo, lit("added"))
+          .otherwise(lit("changed")).as("change")): _*)
   }
 
   /** Reap retained history older than the retention window and
@@ -558,23 +652,13 @@ object CdcRollup {
     val hits = doomed.result()
     if (hits.isEmpty) return (Nil, floor)
     val newFloor = math.max(floor, hits.map(_._2).max)
-    if (newFloor > floor) {
-      fs.create(new Path(rootPath, s"$AsofFloor$newFloor"), true).close()
-    }
+    // floor FIRST (writeFloor also clears superseded floor files),
+    // deletions after — every crash window errs conservative
+    if (newFloor > floor)
+      BatchMarkers.writeFloor(fs, rootPath, newFloor)
     val deleted = hits.map { case (p, _) => fs.delete(p, true); p.toString }
-    // old floor files go LAST (readers take the max either way)
-    readAsofFloorAll(fs, rootPath).filter(_ < newFloor).foreach { old =>
-      fs.delete(new Path(rootPath, s"$AsofFloor$old"), false)
-    }
     (deleted, newFloor)
   }
-
-  private def readAsofFloorAll(fs: org.apache.hadoop.fs.FileSystem,
-                               root: org.apache.hadoop.fs.Path)
-      : Seq[Long] =
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(AsofFloor))
-      .flatMap(_.stripPrefix(AsofFloor).toLongOption)
 
   /** Bucket-pruned POINT LOOKUP into the SCD1 base — the serving
     * path: reads ONLY the bucket dirs the requested keys hash into
@@ -867,9 +951,7 @@ object CdcRollup {
         for (l <- layerNames)
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
-        readAsofFloorAll(fs, freshPath).foreach { f =>
-          fs.delete(new Path(freshPath, s"$AsofFloor$f"), false)
-        }
+        BatchMarkers.clearFloors(fs, freshPath)
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-cdcRollup pin '$p' — " +
           "refusing to overwrite a different state family")
@@ -910,10 +992,9 @@ object CdcRollup {
     // (compaction collapses every bucket to one v0 image) — the
     // fresh floor is the frontier: pre-compaction snapshots refuse
     // loud, post-compaction folds accrete history again
-    if (readAsofFloor(fs, rootPath).isDefined) {
-      val f = srcMarkers.maxCommitted.getOrElse(0L)
-      fs.create(new Path(freshPath, s"$AsofFloor$f"), true).close()
-    }
+    if (readAsofFloor(fs, rootPath).isDefined)
+      BatchMarkers.writeFloor(fs, freshPath,
+        srcMarkers.maxCommitted.getOrElse(0L))
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 

@@ -357,7 +357,8 @@ object JoinView {
     * refuses instead. NULL keys refuse (never matchable — an inner
     * join never emitted them). None before the first commit. */
   def lookupView(spark: SparkSession, root: String,
-                 keys: DataFrame): Option[DataFrame] = {
+                 keys: DataFrame,
+                 asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -391,18 +392,57 @@ object JoinView {
     try {
       require(probe.filter(col(key).isNull).isEmpty,
         "lookupView: NULL join key — an inner-join view never holds it")
+      asOf.foreach(requireAsofServable(fs, rootPath, _))
       val touched = probe
         .select(pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
           .as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
       committedLeafDirs(fs, rootPath, "view", Some(touched),
-        BatchMarkers.read(fs, rootPath)) match {
+        BatchMarkers.read(fs, rootPath), asOf) match {
         case Seq() => None
         case dirs => Some(spark.read.parquet(dirs.map(_.toString): _*)
           .join(probe, Seq(key), "left_semi"))
       }
     } finally { probe.unpersist(); () }
   }
+
+  /** The view AS OF `asOf` — FREE on this family: batch dirs are
+    * append-only and never rewritten, so the snapshot any batch saw
+    * is simply the union of committed `d<id>` dirs with id <= asOf
+    * (no retention mode to enable — history IS the state until
+    * compaction). The only collapse point is [[compactStateTo]]: the
+    * fresh root's single d0 holds the ENTIRE pre-compaction history
+    * merged, so it writes an `_ASOF_FLOOR_<frontier>` and reads below
+    * it refuse loud — d0 would otherwise serve the frontier state as
+    * any earlier snapshot. None when nothing committed at or below
+    * `asOf`. */
+  def readViewAsOf(spark: SparkSession, root: String,
+                   asOf: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAsofServable(fs, rootPath, asOf)
+    committedLeafDirs(fs, rootPath, "view", None,
+      BatchMarkers.read(fs, rootPath), Some(asOf)) match {
+      case Seq() => None
+      case dirs  => Some(spark.read.parquet(dirs.map(_.toString): _*))
+    }
+  }
+
+  /** Refuse an as-of read below the compaction floor: the compacted
+    * d0 merges all pre-frontier history, so serving it as an earlier
+    * snapshot would be silently wrong. A root that was never
+    * compacted has no floor — every committed prefix is servable. */
+  private def requireAsofServable(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  asOf: Long): Unit =
+    BatchMarkers.readFloor(fs, root).foreach { floor =>
+      require(asOf >= floor,
+        s"as-of read at batch $asOf under $root: compaction collapsed " +
+          s"history below its frontier $floor into one batch dir — " +
+          "earlier snapshots are unrecoverable there; read them from " +
+          "the pre-compaction root before swapping")
+    }
 
   /** The maintained view (committed batches only) — None when no
     * batch has ever committed. In-flight writers are invisible:
@@ -464,9 +504,11 @@ object JoinView {
     graft.sources.PartitionedStore.readPin(fs, freshPath) match {
       case Some(p) if p.startsWith("join|") =>
         // a prior compact's crash remnants — nothing committed, reset
+        // (incl. any stray as-of floor: the retry re-seeds it)
         for (side <- Seq("a", "b", "view"))
           fs.delete(new Path(freshPath, side), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
+        BatchMarkers.clearFloors(fs, freshPath)
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-join pin '$p' — " +
           "refusing to overwrite a different state family")
@@ -510,6 +552,10 @@ object JoinView {
     BatchMarkers.foldInto(fs, freshPath,
       BatchMarkers.read(fs, freshPath),
       srcMarkers.maxCommitted.getOrElse(0L))
+    // the collapsed d0 merges ALL pre-frontier history — floor the
+    // as-of axis there so it is never served as an earlier snapshot
+    BatchMarkers.writeFloor(fs, freshPath,
+      srcMarkers.maxCommitted.getOrElse(0L))
     readCommittedView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 
@@ -524,7 +570,8 @@ object JoinView {
   private def committedLeafDirs(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path,
                                 side: String, buckets: Option[Set[Int]],
-                                markers: BatchMarkers.Markers)
+                                markers: BatchMarkers.Markers,
+                                asOf: Option[Long] = None)
       : Seq[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(root, side)
@@ -534,7 +581,8 @@ object JoinView {
       .filter { p =>
         p.getName.startsWith("d") && p.getName.length > 1 &&
           p.getName.drop(1).forall(_.isDigit) &&
-          markers.committed(p.getName.drop(1).toLong)
+          markers.committed(p.getName.drop(1).toLong) &&
+          asOf.forall(p.getName.drop(1).toLong <= _)
       }
       .sortBy(_.getName)
     batchDirs.flatMap { d =>

@@ -1013,6 +1013,51 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // The CHANGE SET between two retained snapshots
+    // ([[graft.operators.CdcRollup.diffView]]): same 3-batch shape as
+    // cdc_asof_view, diffed batch 0 → batch 2 — every original
+    // priority changes membership (inserts + deletes) and the
+    // group-moving update ADDS the X-UPD group. The version chain
+    // prunes both snapshot reads to the changed buckets; the oracle
+    // derives both images semantically and full-outer-joins them,
+    // never touching the folds. A diff that leaked an unchanged
+    // group, mislabeled a side, or served a stale snapshot hashes red.
+    "cdc_diff_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcdf_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableRetention(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      def ins(m: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val b0 = ins(0)
+      val b1 = ins(1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.diffView(s, root, 0L, 2L)
+        .select(col("o_orderpriority"),
+          col("n_from"), col("total_from").cast("double").as("total_from"),
+          col("n_to"), col("total_to").cast("double").as("total_to"),
+          col("change"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Retraction-exact VARIANCE by COMPOSITION: the invertible-sums
     // algebra carries (n, Σv, Σv²) when the square rides as a second
     // measure computed upstream — so per-group AVG and sample
@@ -1173,6 +1218,37 @@ object RelationalQueries {
         |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
         |         AS total_price
         |FROM asof1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both snapshots derived semantically (batch-0 images vs final
+    // images), full-outer-joined, identical groups dropped — the
+    // CHANGE CASE mirrors diffView's added/removed/changed labels
+    "cdc_diff_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |s0 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM sliced WHERE k % 3 = 0 GROUP BY 1),
+        |f AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2)),
+        |s2 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM f GROUP BY 1)
+        |SELECT COALESCE(s0.p, s2.p) AS o_orderpriority,
+        |       s0.n AS n_from, s0.t AS total_from,
+        |       s2.n AS n_to, s2.t AS total_to,
+        |       CASE WHEN s2.p IS NULL THEN 'removed'
+        |            WHEN s0.p IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM s0 FULL OUTER JOIN s2 ON s0.p = s2.p
+        |WHERE s0.p IS NULL OR s2.p IS NULL
+        |   OR s0.n <> s2.n OR s0.t <> s2.t
+        |ORDER BY 1""".stripMargin,
     // the same moments (n, Σv, Σv²) over the final images, stddev
     // assembled with the SAME double expression order as the Spark
     // side (sqrt compresses the engines' decimal-tie noise in Σv²

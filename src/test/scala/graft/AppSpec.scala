@@ -1767,6 +1767,20 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "status", "statePath": "astate"}""")
     Main.execute(spark, sink, dir)._2.get should
       include(""""asof_floor":0""")
+    // the diff kind: exactly the one changed group, labeled, written
+    cfg("""{"kind": "diff", "statePath": "astate", "output": "d01",
+          | "fromBatch": 0, "toBatch": 1}""".stripMargin)
+    val (cd, od) = Main.execute(spark, sink, dir)
+    withClue(od) { cd shouldBe 0 }
+    od.get should include(""""rows":1""")
+    val drow = spark.read.parquet(s"$dir/d01").collect()
+    drow.length shouldBe 1
+    drow.head.getAs[String]("grp") shouldBe "a"
+    drow.head.getAs[String]("change") shouldBe "changed"
+    // inverted span refuses at parse
+    cfg("""{"kind": "diff", "statePath": "astate", "output": "dx",
+          | "fromBatch": 2, "toBatch": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
     // gc retainHours 0 reaps the superseded history, floor → 1
     cfg("""{"kind": "gc", "statePath": "astate", "retainHours": 0}""")
     val (cg, og) = Main.execute(spark, sink, dir)
@@ -1792,14 +1806,50 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
     cfg("""{"kind": "gc", "statePath": "pstate", "retainHours": 0}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "diff", "statePath": "pstate", "output": "dp",
+          | "fromBatch": 0, "toBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
     import graft.operators.JoinView
     JoinView.foldBatchDirs(s"$dir/jst", 0L, "k",
       Seq((1L, 1.0)).toDF("k", "price"),
       Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 2) shouldBe true
     cfg("""{"kind": "retain", "statePath": "jst"}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // join states serve asOf for FREE (append-only batch dirs): the
+    // snapshot right after batch 0 is batch 0's view
+    JoinView.foldBatchDirs(s"$dir/jst", 1L, "k",
+      Seq((2L, 3.0)).toDF("k", "price"),
+      Seq((2L, 4.0)).toDF("k", "qty"), nBuckets = 2) shouldBe true
     cfg("""{"kind": "export", "statePath": "jst",
           | "output": "jsnap", "asOf": 0}""".stripMargin)
+    val (cj, oj) = Main.execute(spark, sink, dir)
+    withClue(oj) { cj shouldBe 0 }
+    rows(spark.read.parquet(s"$dir/jsnap")) shouldBe
+      Seq(Seq(1L, 1.0, 2.0))
+    // join lookup asOf: key 2 is invisible at batch 0, served at 1
+    cfg("""{"kind": "lookup", "statePath": "jst",
+          | "keys": [{"k": 2}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""rows":0""")
+    cfg("""{"kind": "lookup", "statePath": "jst",
+          | "keys": [{"k": 2}], "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""rows":1""")
+    // after compact, snapshots below the collapsed frontier refuse
+    // (exit 1, the compaction-floor message)
+    cfg("""{"kind": "compact", "statePath": "jst",
+          | "freshPath": "jst2"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "lookup", "statePath": "jst2",
+          | "keys": [{"k": 2}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "lookup", "statePath": "jst2",
+          | "keys": [{"k": 2}], "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""rows":1""")
+    cfg("""{"kind": "status", "statePath": "jst2"}""")
+    Main.execute(spark, sink, dir)._2.get should
+      include(""""asof_floor":1""")
+    // diff stays a cdcRollup concept: join states refuse it named
+    cfg("""{"kind": "diff", "statePath": "jst", "output": "jd",
+          | "fromBatch": 0, "toBatch": 1}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
     // negative asOf refuses at parse
     cfg("""{"kind": "lookup", "statePath": "astate",

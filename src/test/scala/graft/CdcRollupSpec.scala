@@ -842,6 +842,98 @@ class CdcRollupSpec extends SparkSpec {
       ((Nil, 3L))
   }
 
+  test("diffView labels added/removed/changed between two snapshots, " +
+      "drops identical groups, and prunes BOTH reads to the buckets " +
+      "the version chain says changed") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root)
+    // find two groups hashing to DIFFERENT agg buckets (nAgg = 2) so
+    // the pruning assertion below has an untouched bucket to prove on
+    val cands = ('a' to 'z').map(_.toString)
+    def bucketOf(g: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(g)), lit(2)).cast("int")).head().getInt(0)
+    val g0 = cands.head
+    val g1 = cands.find(bucketOf(_) != bucketOf(g0)).get
+    // batch 0: both groups; batches 1-2 touch ONLY g0's world:
+    // id=1 value update (changed), id=4 insert into a NEW group g2
+    // (added, same bucket as g0 or not — label still right), id=2
+    // delete (g0 loses a member but survives)
+    val g2 = cands.find(c => c != g0 && bucketOf(c) == bucketOf(g0)).get
+    fold(root, 0L, log(
+      (1L, g0, 10.0, 1L, "I"), (2L, g0, 20.0, 1L, "I"),
+      (3L, g1, 30.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log(
+      (1L, g0, 15.0, 2L, "U"), (4L, g2, 40.0, 2L, "I"))) shouldBe true
+    fold(root, 2L, log((2L, g0, 0.0, 3L, "D"))) shouldBe true
+    val diff = CdcRollup.diffView(spark, root, 0L, 2L)
+    val got = diff.collect().map { r =>
+      r.getAs[String]("grp") -> ((r.getAs[String]("change"),
+        Option(r.getAs[java.lang.Long]("n_from")).map(_.toLong),
+        Option(r.getAs[java.math.BigDecimal]("total_from"))
+          .map(_.doubleValue()),
+        Option(r.getAs[java.lang.Long]("n_to")).map(_.toLong),
+        Option(r.getAs[java.math.BigDecimal]("total_to"))
+          .map(_.doubleValue())))
+    }.toMap
+    got shouldBe Map(
+      g0 -> (("changed", Some(2L), Some(30.0), Some(1L), Some(15.0))),
+      g2 -> (("added", None, None, Some(1L), Some(40.0))))
+    // g1 untouched: dropped — and NEVER READ: every input file of
+    // the diff plan lives in g0/g2's bucket
+    diff.inputFiles should not be empty
+    diff.inputFiles.foreach { f =>
+      f should include(s"bucket=${bucketOf(g0)}")
+    }
+    // a group REMOVED between the snapshots
+    fold(root, 3L, log((1L, g0, 0.0, 4L, "D"))) shouldBe true
+    val rm = CdcRollup.diffView(spark, root, 2L, 3L).collect()
+    rm.map(_.getAs[String]("grp")).toSeq shouldBe Seq(g0)
+    rm.head.getAs[String]("change") shouldBe "removed"
+    // self-diff and a span with no folds are empty
+    CdcRollup.diffView(spark, root, 3L, 3L).count() shouldBe 0L
+    CdcRollup.diffView(spark, root, 3L, 99L).count() shouldBe 0L
+    // refusals: inverted span; below the floor after a reap
+    intercept[IllegalArgumentException] {
+      CdcRollup.diffView(spark, root, 2L, 1L)
+    }.getMessage should include("fromId")
+    CdcRollup.reapRetainedVersions(spark, root, 0L)._2 shouldBe 3L
+    intercept[IllegalArgumentException] {
+      CdcRollup.diffView(spark, root, 0L, 3L)
+    }.getMessage should include("floor")
+    // non-retained state refuses
+    val plain = tmpRoot()
+    fold(plain, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    intercept[IllegalStateException] {
+      CdcRollup.diffView(spark, plain, 0L, 0L)
+    }.getMessage should include("retention")
+  }
+
+  test("diffView on a minMax state: an extremum-only change (same " +
+      "sums) still surfaces, with typed min/max columns on both sides") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root)
+    def mm(rows: (Long, String, Double, Double, Long, String)*) =
+      rows.toDF("id", "grp", "v", "m", "seq", "op")
+    def mfold(id: Long, d: org.apache.spark.sql.DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 2, nAggBuckets = 2,
+        minMaxCols = Seq("m"))
+    mfold(0L, mm((1L, "a", 10.0, 5.0, 1L, "I"),
+      (2L, "a", 10.0, 9.0, 1L, "I"))) shouldBe true
+    // batch 1: same VALUE (sums identical) but the max-holder's m
+    // drops — only min/max change
+    mfold(1L, mm((2L, "a", 10.0, 1.0, 2L, "U"))) shouldBe true
+    val d = CdcRollup.diffView(spark, root, 0L, 1L).collect()
+    d.length shouldBe 1
+    val r = d.head
+    r.getAs[String]("change") shouldBe "changed"
+    r.getAs[Long]("n_from") shouldBe r.getAs[Long]("n_to")
+    r.getAs[Double]("max_1_from") shouldBe 9.0
+    r.getAs[Double]("max_1_to") shouldBe 5.0
+    r.getAs[Double]("min_1_from") shouldBe 5.0
+    r.getAs[Double]("min_1_to") shouldBe 1.0
+  }
+
   test("as-of point lookups are bucket-pruned and serve the old image; " +
       "compact carries retention mode but floors at the frontier") {
     val root = tmpRoot()

@@ -427,4 +427,43 @@ class JoinViewSpec extends SparkSpec {
     rows(JoinView.readCommittedView(spark, root).get.orderBy("k")) shouldBe
       Seq(Seq(1L, 1.0, 2.0), Seq(2L, 3.0, 4.0))
   }
+
+  test("as-of reads are free on the append-only layout: every " +
+      "committed prefix serves exactly; compaction floors the axis " +
+      "at its frontier") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jvasof").toString + "/state"
+    def fold(id: Long, ks: Range): Boolean =
+      JoinView.foldBatchDirs(root, id, "k",
+        ks.map(i => (i.toLong, s"a$i")).toDF("k", "a_val"),
+        ks.map(i => (i.toLong, i * 10.0)).toDF("k", "b_val"),
+        nBuckets = 4)
+    fold(0L, 1 to 2) shouldBe true
+    fold(1L, 3 to 3) shouldBe true
+    fold(2L, 4 to 5) shouldBe true
+    def keysAsOf(a: Long): Seq[Long] =
+      JoinView.readViewAsOf(spark, root, a)
+        .map(_.select("k").collect().map(_.getLong(0)).toSeq.sorted)
+        .getOrElse(Nil)
+    keysAsOf(0L) shouldBe Seq(1L, 2L)
+    keysAsOf(1L) shouldBe Seq(1L, 2L, 3L)
+    keysAsOf(2L) shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    // above the frontier = current; no floor exists pre-compaction,
+    // so even the empty prefix serves (as None)
+    keysAsOf(99L) shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    // as-of lookup: key 4 invisible at batch 1, served at 2
+    val probe = Seq(4L).toDF("k")
+    JoinView.lookupView(spark, root, probe, Some(1L)).get
+      .count() shouldBe 0L
+    JoinView.lookupView(spark, root, probe, Some(2L)).get
+      .count() shouldBe 1L
+    // compact: the collapsed d0 must never serve as an earlier
+    // snapshot — floor = frontier, below refuses loud
+    val fresh = root + "_v2"
+    JoinView.compactStateTo(spark, root, fresh, nBuckets = 4) shouldBe 5L
+    intercept[IllegalArgumentException] {
+      JoinView.readViewAsOf(spark, fresh, 1L)
+    }.getMessage should include("compaction")
+    JoinView.readViewAsOf(spark, fresh, 2L).get.count() shouldBe 5L
+  }
 }
