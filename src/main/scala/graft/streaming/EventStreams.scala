@@ -828,7 +828,18 @@ object EventStreams {
                          gcOlderThanMs: Long = 24L * 3600 * 1000,
                          /** Exact MIN/MAX measure columns — see
                            * [[graft.operators.CdcRollup.foldBatch]]. */
-                         minMaxCols: Seq[String] = Nil)
+                         minMaxCols: Seq[String] = Nil,
+                         /** As-of snapshot retention window: Some(ms)
+                           * enables retention mode BEFORE the first
+                           * fold (so every batch's snapshot is
+                           * servable from the start — enabling later
+                           * floors at the then-frontier) and reaps
+                           * history older than the window on the GC
+                           * cadence, floor-advancing
+                           * ([[graft.operators.CdcRollup
+                           * .reapRetainedVersions]]). None (default) =
+                           * eager reaping, no history. */
+                         retainMs: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -836,6 +847,10 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.DataChecks.assertPass(batch.toDF(), checks,
           s"streamingCdcRollup($statePath) batch $batchId")
+        // idempotent: a no-op once the floor file exists, so restart
+        // replay cannot move the floor
+        retainMs.foreach(_ => graft.operators.CdcRollup
+          .enableRetention(batch.sparkSession, statePath))
         graft.operators.CdcRollup.foldBatch(statePath, batchId,
           batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCols,
           nBaseBuckets, nAggBuckets, minMaxCols)
@@ -846,6 +861,8 @@ object EventStreams {
               batch.sparkSession, statePath, gcOlderThanMs)
             graft.operators.CdcRollup.foldMarkers(
               batch.sparkSession, statePath, gcOlderThanMs)
+            retainMs.foreach(ms => graft.operators.CdcRollup
+              .reapRetainedVersions(batch.sparkSession, statePath, ms))
             ()
           } catch {
             case scala.util.control.NonFatal(e) =>

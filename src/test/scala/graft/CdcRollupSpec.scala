@@ -624,6 +624,97 @@ class CdcRollupSpec extends SparkSpec {
       .map(_.count()).getOrElse(0L) shouldBe 0L
   }
 
+  test("randomized as-of/diff differential: at EVERY batch of a " +
+      "random adversarially-cut CDC log, readViewAsOf equals the " +
+      "one-shot GROUP BY over that prefix's final images, and " +
+      "diffView between random batch pairs equals the model diff " +
+      "(seeded, 3 trials)") {
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 3).foreach { trial =>
+      val root = tmpRoot()
+      CdcRollup.enableRetention(spark, root)
+      case class Ev(id: Long, grp: Option[String], v: Option[Double],
+                    seq: Long, op: String)
+      val events = (1 to 12).flatMap { id =>
+        val n = 1 + rnd.nextInt(4)
+        (1 to n).map { s =>
+          Ev(id.toLong,
+            if (rnd.nextInt(5) == 0) None else Some(s"g${rnd.nextInt(3)}"),
+            if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(1000) / 10.0),
+            s.toLong,
+            if (s == 1) "I" else if (rnd.nextBoolean()) "U" else "D")
+        }
+      }
+      val stream = events.sortBy(e => (e.seq, e.id))
+      val nCuts = 2 + rnd.nextInt(4)
+      val cuts = (0 +: Seq.fill(nCuts)(rnd.nextInt(stream.length + 1))
+        :+ stream.length).sorted
+      val parts = cuts.zip(cuts.tail).map { case (a, b) =>
+        stream.slice(a, b) }
+      parts.zipWithIndex.foreach { case (evs, i) =>
+        val df = evs.map(e => (e.id, e.grp, e.v, e.seq, e.op))
+          .toDF("id", "grp", "v", "seq", "op")
+        CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
+          Seq("grp"), Seq("v"), 4, 2) shouldBe true
+      }
+      // the independent model: state after batches 0..i = final
+      // images of the stream PREFIX those batches carried
+      def model(i: Int): Map[Option[String], (Long, Double)] =
+        stream.take(cuts(i + 1)).groupBy(_.id).values
+          .map(_.maxBy(_.seq)).filter(_.op != "D").toSeq
+          .groupBy(_.grp).map { case (g, evs) =>
+            g -> ((evs.size.toLong, evs.flatMap(_.v).sum))
+          }
+      def asOf(i: Int): Map[Option[String], (Long, Double)] =
+        CdcRollup.readViewAsOf(spark, root, i.toLong)
+          .map(_.collect().map { r =>
+            val g = if (r.isNullAt(0)) None
+                    else Some(r.getAs[String]("grp"))
+            g -> ((r.getAs[Long]("n"),
+              r.getAs[java.math.BigDecimal]("total").doubleValue()))
+          }.toMap).getOrElse(Map.empty)
+      parts.indices.foreach { i =>
+        val (got, want) = (asOf(i), model(i))
+        withClue(s"trial $trial asOf $i (cuts $cuts): ") {
+          got.keySet shouldBe want.keySet
+          want.foreach { case (g, (n, t)) =>
+            got(g)._1 shouldBe n
+            got(g)._2 shouldBe (t +- 1e-9)
+          }
+        }
+      }
+      // diff between random pairs ≡ the model diff
+      (0 until 3).foreach { _ =>
+        val i = rnd.nextInt(parts.length)
+        val j = i + rnd.nextInt(parts.length - i)
+        val (mi, mj) = (model(i), model(j))
+        val want = (mi.keySet ++ mj.keySet).flatMap { g =>
+          (mi.get(g), mj.get(g)) match {
+            // the model's double sums can drift at 1e-15 under
+            // reordering where the state's decimals are exact —
+            // compare (n, total) with a float tolerance (real
+            // changes move in >= 0.1 steps here)
+            case (Some(a), Some(b))
+                if a._1 == b._1 && math.abs(a._2 - b._2) < 1e-9 => None
+            case (Some(_), Some(_)) => Some(g -> "changed")
+            case (Some(_), None)    => Some(g -> "removed")
+            case (None, Some(_))    => Some(g -> "added")
+            case _                  => None
+          }
+        }.toMap
+        val got = CdcRollup.diffView(spark, root, i.toLong, j.toLong)
+          .collect().map { r =>
+            val g = if (r.isNullAt(0)) None
+                    else Some(r.getAs[String]("grp"))
+            g -> r.getAs[String]("change")
+          }.toMap
+        withClue(s"trial $trial diff($i,$j) (cuts $cuts): ") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
   test("randomized differential: random multi-measure + minMax CDC " +
       "logs with NULL groups/values, ADVERSARIALLY split across " +
       "batches (random cut points — uneven, single-event and empty " +

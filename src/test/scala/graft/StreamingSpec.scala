@@ -1732,6 +1732,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCdcRollup with retainMs: every micro-batch's " +
+      "snapshot stays servable as the stream runs; restart replay " +
+      "never moves the floor; a zero window reaps on the GC tick " +
+      "and advances the floor honestly") {
+    import graft.operators.CdcRollup
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scdca").toString
+    val statePath = s"$base/state"
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    val df = input.toDF().toDF("id", "grp", "v", "seq", "op")
+    def run(retain: Long, gcEvery: Int = 64) =
+      EventStreams.streamingCdcRollup(df, Seq("id"), "seq",
+        "op", Seq("grp"), Seq("v"), statePath, s"$base/ckpt",
+        nBaseBuckets = 4, nAggBuckets = 2, gcEveryBatches = gcEvery,
+        gcOlderThanMs = 0L, retainMs = Some(retain))
+    def asOf(a: Long): Map[String, (Long, Double)] =
+      CdcRollup.readViewAsOf(spark, statePath, a)
+        .map(_.collect().map(r =>
+          r.getAs[String]("grp") -> ((r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("total").doubleValue())))
+          .toMap).getOrElse(Map.empty)
+    val q = run(retain = 24L * 3600 * 1000)
+    try {
+      input.addData((1L, "a", 10.0, 1L, "I"))
+      q.processAllAvailable()
+      input.addData((1L, "a", 25.0, 2L, "U"), (2L, "b", 5.0, 2L, "I"))
+      q.processAllAvailable()
+      // the sink enabled retention BEFORE batch 0: floor -1, both
+      // micro-batch snapshots servable
+      CdcRollup.asofFloor(spark, statePath) shouldBe Some(-1L)
+      asOf(0L) shouldBe Map("a" -> ((1L, 10.0)))
+      asOf(1L) shouldBe Map("a" -> ((1L, 25.0)), "b" -> ((1L, 5.0)))
+    } finally q.stop()
+    // restart from the checkpoint: enableRetention is idempotent —
+    // the floor stays put and history keeps accreting
+    val q2 = run(retain = 0L, gcEvery = 1)
+    try {
+      input.addData((2L, "b", 7.0, 3L, "U"))
+      q2.processAllAvailable() // batch 2 folds; GC tick reaps at 0ms
+      CdcRollup.asofFloor(spark, statePath).get should be >= 1L
+      asOf(2L) shouldBe Map("a" -> ((1L, 25.0)), "b" -> ((1L, 7.0)))
+      // the reaped snapshot refuses loud instead of serving wrong
+      intercept[IllegalArgumentException] { asOf(0L) }
+        .getMessage should include("floor")
+    } finally q2.stop()
+  }
+
   test("streamingJoinView: tagged bus folds per micro-batch; replay " +
       "byte-stable; unknown tag fails loud") {
     import graft.operators.JoinView
