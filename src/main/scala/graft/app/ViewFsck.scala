@@ -90,32 +90,53 @@ object ViewFsck {
         "join"
       } else if (pin.startsWith("cdcRollup|")) {
         fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
-        val parts = pin.split('|')
-        check(!((parts.length == 7 || parts.length == 8) &&
-            parts(5).toIntOption.exists(_ >= 1) &&
-            parts(6).toIntOption.exists(_ >= 1)), error = true,
+        val layoutOpt =
+          try Some(graft.operators.CdcRollup.parseLayout(pin, root))
+          catch { case _: IllegalArgumentException => None }
+        check(layoutOpt.isEmpty, error = true,
           s"cdcRollup: malformed layout pin '$pin' — folds and " +
             "lookups will refuse; restore _CONFIG from the writer's " +
             "declaration")
-        val nBase = parts.lift(5).flatMap(_.toIntOption).getOrElse(1)
-        val nAgg = parts.lift(6).flatMap(_.toIntOption).getOrElse(1)
+        val nBase = layoutOpt.map(_.nBaseBuckets).getOrElse(1)
+        val nAgg = layoutOpt.map(_.nAggBuckets).getOrElse(1)
+        val declaredAux = layoutOpt.toSeq.flatMap(_.auxViews)
+          .map(_._1).toSet
         val markers = graft.operators.BatchMarkers.read(fs, rootPath)
         val frontier = markers.maxCommitted
         // grp layer must exist exactly when the pin declares minMax
         // (and something has committed — a pre-first-fold state holds
         // no layers at all)
         val hasGrp = fs.exists(new Path(rootPath, "grp"))
-        check(hasGrp && parts.length == 7, error = true,
+        check(hasGrp && layoutOpt.exists(_.minMaxCols.isEmpty),
+          error = true,
           "cdcRollup: a grp layer exists but the pin declares no " +
             "minMax columns — min/max folds would silently serve " +
             "from a layer no fold maintains")
-        check(!hasGrp && parts.length == 8 && frontier.isDefined,
+        check(!hasGrp && layoutOpt.exists(_.minMaxCols.nonEmpty) &&
+            frontier.isDefined,
           error = true,
           "cdcRollup: the pin declares minMax columns but the grp " +
             "image layer is missing — the next min/max recompute " +
             "would read nothing and store NULL extrema")
+        // aux layers must match the pin's declaration both ways
+        val presentAux = ls(rootPath).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("aux_"))
+          .map(_.stripPrefix("aux_")).toSet
+        (presentAux -- declaredAux).toSeq.sorted.foreach { n =>
+          check(errorWhen = true, error = true,
+            s"cdcRollup: aux layer 'aux_$n' exists but the pin " +
+              "declares no such view — no fold maintains it, so it " +
+              "serves STALE data; remove it or re-pin via compact")
+        }
+        (declaredAux -- presentAux).toSeq.sorted.foreach { n =>
+          check(frontier.isDefined, error = true,
+            s"cdcRollup: the pin declares aux view '$n' but layer " +
+              s"'aux_$n' is missing — reads would come up silently " +
+              "empty")
+        }
         for ((layer, n) <- Seq("base" -> nBase, "agg" -> nAgg,
-            "grp" -> nAgg)) {
+            "grp" -> nAgg) ++
+            presentAux.toSeq.sorted.map(n => s"aux_$n" -> nAgg)) {
           ls(new Path(rootPath, layer)).filter(_.isDirectory)
             .foreach { st =>
               val name = st.getPath.getName

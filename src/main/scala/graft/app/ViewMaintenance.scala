@@ -60,7 +60,8 @@ object ViewMaintenance {
           resolve(cr.statePath, dataDir), cr.batchId,
           readDelta(spark, cr.delta, dataDir), cr.keyColumns,
           cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumns,
-          cr.nBaseBuckets, cr.nAggBuckets, cr.minMaxColumns)
+          cr.nBaseBuckets, cr.nAggBuckets, cr.minMaxColumns,
+          cr.auxViews)
         Report(cr.kind, applied, Some(cr.batchId))
       case e: ExportViewConfig =>
         val root = resolve(e.statePath, dataDir)
@@ -94,11 +95,27 @@ object ViewMaintenance {
                 s"maintainView export: no committed state under $root" +
                   e.asOf.map(a => s" as of batch $a").getOrElse("")))
           else if (pin.startsWith("cdcRollup|")) {
+            // an undeclared aux name is config misuse (exit 1), not
+            // an application error — rewrap the library refusal
+            def aux(name: String)(f: => Option[DataFrame]) =
+              try f catch {
+                case ex: IllegalArgumentException =>
+                  throw new UserException(
+                    s"maintainView export: ${ex.getMessage}")
+              }
             val read = (e.layer, e.asOf) match {
               case ("base", Some(a)) =>
                 graft.operators.CdcRollup.readBaseAsOf(spark, root, a)
               case ("base", None) =>
                 graft.operators.CdcRollup.readBase(spark, root)
+              case (l, Some(a)) if l.startsWith("aux:") =>
+                val n = l.stripPrefix("aux:")
+                aux(n)(graft.operators.CdcRollup
+                  .readAuxViewAsOf(spark, root, n, a))
+              case (l, None) if l.startsWith("aux:") =>
+                val n = l.stripPrefix("aux:")
+                aux(n)(graft.operators.CdcRollup
+                  .readAuxView(spark, root, n))
               case (_, Some(a)) =>
                 graft.operators.CdcRollup.readViewAsOf(spark, root, a)
               case _ =>
@@ -383,16 +400,29 @@ object ViewMaintenance {
         // key TYPES come from the current state's schema — identical
         // at every retained snapshot (the pin refuses type drift), so
         // an as-of probe types its keys the same way
-        if (lk.layer.getOrElse("base") == "base") {
-          val base = graft.operators.CdcRollup.readBase(spark, root)
-            .getOrElse(noState)
-          ("base", graft.operators.CdcRollup.lookupBase(spark, root,
-            typedKeys(base.schema), lk.asOf))
-        } else {
-          val view = graft.operators.CdcRollup.readView(spark, root)
-            .getOrElse(noState)
-          ("view", graft.operators.CdcRollup.lookupView(spark, root,
-            typedKeys(view.schema), lk.asOf))
+        lk.layer.getOrElse("base") match {
+          case "base" =>
+            val base = graft.operators.CdcRollup.readBase(spark, root)
+              .getOrElse(noState)
+            ("base", graft.operators.CdcRollup.lookupBase(spark, root,
+              typedKeys(base.schema), lk.asOf))
+          case l if l.startsWith("aux:") =>
+            val name = l.stripPrefix("aux:")
+            // undeclared name = config misuse, exit 1
+            val aux = try graft.operators.CdcRollup
+              .readAuxView(spark, root, name)
+            catch {
+              case ex: IllegalArgumentException =>
+                throw new UserException(
+                  s"maintainView lookup: ${ex.getMessage}")
+            }
+            (l, graft.operators.CdcRollup.lookupAuxView(spark, root,
+              name, typedKeys(aux.getOrElse(noState).schema), lk.asOf))
+          case _ =>
+            val view = graft.operators.CdcRollup.readView(spark, root)
+              .getOrElse(noState)
+            ("view", graft.operators.CdcRollup.lookupView(spark, root,
+              typedKeys(view.schema), lk.asOf))
         }
       } else {
         // rollup pin: nBuckets|keys|valueCol — key types come from the
@@ -469,9 +499,12 @@ object ViewMaintenance {
           else Some(JoinView.readCommittedView(spark, root)
             .map(_.count()).getOrElse(0L)))
       } else if (pin.startsWith("cdcRollup|")) {
-        // `grp` exists only on minMax states — report it when present
+        // `grp` exists only on minMax states, `aux_<name>` layers
+        // only on multi-view states — report what is present
         val cdcLayers = Seq("base", "agg") ++
-          (if (fs.exists(new Path(rootPath, "grp"))) Seq("grp") else Nil)
+          (if (fs.exists(new Path(rootPath, "grp"))) Seq("grp") else Nil) ++
+          ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith("aux_")).sorted
         val layers = cdcLayers.map { layer =>
           val entries = ls(new Path(rootPath, layer))
             .filter(_.isDirectory)

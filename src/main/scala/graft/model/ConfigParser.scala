@@ -85,9 +85,10 @@ object ConfigParser {
     req(v, "kind").asText match {
       case "export" =>
         val layer = opt(v, "layer").map(_.asText).getOrElse("view")
-        if (!Set("view", "base")(layer))
+        if (!Set("view", "base")(layer) && !layer.startsWith("aux:"))
           throw new UserException(
-            s"view.layer '$layer' is not supported (view | base)")
+            s"view.layer '$layer' is not supported " +
+              "(view | base | aux:<name>)")
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer,
           asOf = parseAsOf(v))
@@ -110,9 +111,10 @@ object ConfigParser {
           countRows = opt(v, "countRows").forall(_.asBoolean))
       case "lookup" =>
         val layer = opt(v, "layer").map(_.asText)
-        layer.filterNot(Set("view", "base")).foreach { l =>
+        layer.filterNot(l => Set("view", "base")(l) ||
+            l.startsWith("aux:")).foreach { l =>
           throw new UserException(
-            s"view.layer '$l' is not supported (view | base)")
+            s"view.layer '$l' is not supported (view | base | aux:<name>)")
         }
         val maxRows = opt(v, "maxRows").map(_.asInt).getOrElse(1000)
         if (maxRows < 1)
@@ -227,12 +229,26 @@ object ConfigParser {
         if (minMax.distinct != minMax)
           throw new UserException(
             "view.minMaxColumns lists a column twice")
+        // auxViews: {name: [group cols]} — insertion order kept (it
+        // rides the layout pin, so the spelling must be stable)
+        val aux = opt(v, "auxViews").toSeq.flatMap { node =>
+          if (!node.isObject)
+            throw new UserException(
+              "view.auxViews must be an object of name -> [columns]")
+          node.properties.asScala.toSeq.map { e =>
+            val cols = e.getValue.elements.asScala.toSeq.map(_.asText)
+            if (cols.isEmpty)
+              throw new UserException(
+                s"view.auxViews.'${e.getKey}' must list group columns")
+            e.getKey -> cols
+          }
+        }
         CdcRollupViewConfig(statePath, batchId, keyCols,
           seqColumn = req(v, "seqColumn").asText,
           opColumn = req(v, "opColumn").asText,
           keys = keys, valueColumns = valueCols,
           delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg,
-          minMaxColumns = minMax)
+          minMaxColumns = minMax, auxViews = aux)
       case other =>
         throw new UserException(s"View kind '$other' is not supported")
     }

@@ -100,7 +100,21 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
                                      delta: DeltaInput,
                                      nBaseBuckets: Int = 64,
                                      nAggBuckets: Int = 16,
-                                     minMaxColumns: Seq[String] = Nil)
+                                     minMaxColumns: Seq[String] = Nil,
+                                     /** Extra rollup views over the
+                                       * SAME base, each with its own
+                                       * group columns (config:
+                                       * `auxViews: {name: [cols]}`) —
+                                       * N dashboards over one feed pay
+                                       * ONE netting pass, ONE base
+                                       * rewrite and ONE atomic marker
+                                       * instead of N separate states.
+                                       * Sums-only; read via export
+                                       * `layer: "aux:<name>"`. Pinned
+                                       * at first fold like every
+                                       * layout choice. */
+                                     auxViews: Seq[(String, Seq[String])]
+                                       = Nil)
     extends ViewConfig {
   val kind = "cdcRollup"
 }

@@ -113,10 +113,24 @@ import org.apache.spark.sql.functions._
   */
 object CdcRollup {
 
-  /** Every persisted layer a state MAY hold — `grp` exists only on
-    * min/max states; loops over this are `fs.exists`-guarded, so a
-    * sums-only state just skips it. */
+  /** The fixed persisted layers a state MAY hold — `grp` exists only
+    * on min/max states; loops over this are `fs.exists`-guarded, so a
+    * sums-only state just skips it. Aux-view layers (`aux_<name>`)
+    * are dynamic; maintenance paths discover them via
+    * [[presentLayers]]. */
   private val layerNames = Seq("base", "agg", "grp")
+
+  /** Every layer dir actually present under `root` — the fixed three
+    * plus any `aux_<name>` layers. Maintenance (GC, marker folds,
+    * compaction) iterates THIS, so aux layers get the same hygiene
+    * as the fixed ones without the caller knowing the view set. */
+  private def presentLayers(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path)
+      : Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => layerNames.contains(n) || n.startsWith("aux_"))
 
   // The `_ASOF_FLOOR_` retention-floor protocol lives in
   // [[BatchMarkers]] (shared with JoinView's compaction floor);
@@ -136,6 +150,55 @@ object CdcRollup {
   private[graft] def maxNames(m: Int): Seq[String] =
     (1 to m).map(i => s"max_$i")
 
+  /** The parsed `_CONFIG` pin. Field layout: 7 positional fields
+    * (family, typed schema, pk, group, values, nBase, nAgg) plus
+    * APPENDED optional fields distinguished by SHAPE, not position —
+    * the `aux:`-prefixed field carries the aux views, any other
+    * extra field is the minMax column list. That shape-dispatch is
+    * what lets every older state (7-field sums-only, 8-field minMax)
+    * keep its pin byte-for-byte while newer states append. */
+  private[graft] final case class Layout(typed: Map[String, String],
+                                         pkCols: Seq[String],
+                                         groupCols: Seq[String],
+                                         valueCols: Seq[String],
+                                         nBaseBuckets: Int,
+                                         nAggBuckets: Int,
+                                         minMaxCols: Seq[String],
+                                         auxViews: Seq[(String,
+                                           Seq[String])])
+
+  private[graft] def parseLayout(pin: String, root: String): Layout = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val parts = pin.split('|')
+    require(parts.length >= 7 && parts.length <= 9 &&
+        parts(0) == "cdcRollup" &&
+        parts(5).toIntOption.exists(_ >= 1) &&
+        parts(6).toIntOption.exists(_ >= 1),
+      s"cdcRollup: unrecognized layout pin '$pin' under $root")
+    val extras = parts.drop(7)
+    val (auxFields, mmFields) = extras.partition(_.startsWith("aux:"))
+    require(auxFields.length <= 1 && mmFields.length <= 1,
+      s"cdcRollup: unrecognized layout pin '$pin' under $root")
+    val aux = auxFields.headOption.toSeq
+      .flatMap(_.stripPrefix("aux:").split(';').toSeq)
+      .map { v =>
+        val Array(n, cs) = v.split('=')
+        dec(n) -> cs.split(',').toSeq.map(dec)
+      }
+    Layout(
+      typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
+        case Array(n, t) => dec(n) -> dec(t)
+      }.toMap,
+      pkCols = parts(2).split(',').toSeq.map(dec),
+      groupCols = parts(3).split(',').toSeq.map(dec),
+      valueCols = parts(4).split(',').toSeq.map(dec),
+      nBaseBuckets = parts(5).toInt,
+      nAggBuckets = parts(6).toInt,
+      minMaxCols = mmFields.headOption.toSeq
+        .flatMap(_.split(',').toSeq).map(dec),
+      auxViews = aux)
+  }
+
   /** Fold one CDC batch — all `valueCols` measures in ONE pass over
     * the delta, plus exact per-group MIN/MAX of each `minMaxCols`
     * column (recomputed for the delta's touched groups from the
@@ -147,7 +210,8 @@ object CdcRollup {
                 pkCols: Seq[String], seqCol: String, opCol: String,
                 groupCols: Seq[String], valueCols: Seq[String],
                 nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
-                minMaxCols: Seq[String] = Nil): Boolean = {
+                minMaxCols: Seq[String] = Nil,
+                auxViews: Seq[(String, Seq[String])] = Nil): Boolean = {
     import org.apache.hadoop.fs.Path
     require(pkCols.nonEmpty, "cdcRollup needs pk columns")
     require(groupCols.nonEmpty, "cdcRollup needs group columns")
@@ -158,7 +222,24 @@ object CdcRollup {
       s"cdcRollup: duplicate minMax columns: ${minMaxCols.mkString(", ")}")
     require(nBaseBuckets >= 1 && nAggBuckets >= 1,
       s"bucket counts must be >= 1, got $nBaseBuckets/$nAggBuckets")
-    (pkCols ++ groupCols ++ valueCols ++ minMaxCols ++ Seq(seqCol, opCol))
+    // aux views: extra rollups over the SAME base, each with its own
+    // group key — names become layer dirs (`aux_<name>`), so they
+    // must be path-safe; sums-only by contract (the grp image layer
+    // serves the MAIN view's min/max recompute only)
+    require(auxViews.map(_._1).distinct.size == auxViews.size,
+      s"cdcRollup: duplicate aux view names")
+    auxViews.foreach { case (name, cols) =>
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+          c == '_' || c == '-'),
+        s"cdcRollup: aux view name '$name' must be [A-Za-z0-9_-]+ " +
+          "(it becomes a state directory name)")
+      require(cols.nonEmpty,
+        s"cdcRollup: aux view '$name' needs group columns")
+      require(cols.distinct == cols,
+        s"cdcRollup: aux view '$name' lists a group column twice")
+    }
+    (pkCols ++ groupCols ++ valueCols ++ minMaxCols ++
+      auxViews.flatMap(_._2) ++ Seq(seqCol, opCol))
       .foreach { c =>
         require(delta.columns.contains(c),
           s"cdcRollup: delta lacks declared column '$c'")
@@ -166,7 +247,8 @@ object CdcRollup {
     // seq/op are dropped before the state writes — a pk/group/value
     // column spelled like one would vanish from the persisted image
     // and fail later with an opaque resolution error; refuse NAMED
-    require(!(pkCols ++ groupCols ++ valueCols ++ minMaxCols)
+    require(!(pkCols ++ groupCols ++ valueCols ++ minMaxCols ++
+        auxViews.flatMap(_._2))
         .exists(c => c == seqCol || c == opCol),
       "cdcRollup: seq/op columns cannot double as pk/group/value columns")
     val agg = aggNames(valueCols.size)
@@ -213,13 +295,22 @@ object CdcRollup {
       .mkString(",")
     val mmField =
       if (minMaxCols.isEmpty) "" else s"|${minMaxCols.map(enc).mkString(",")}"
+    // aux field appends LAST with an `aux:` shape marker — see
+    // [[Layout]]: older states keep their pin bytes, and a changed
+    // aux set refuses on the mismatch (an aux layer that was never
+    // maintained must not silently serve)
+    val auxField =
+      if (auxViews.isEmpty) ""
+      else "|aux:" + auxViews.map { case (n, cs) =>
+        enc(n) + "=" + cs.map(enc).mkString(",")
+      }.mkString(";")
     graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
       s"cdcRollup|$typed|${pkCols.map(enc).mkString(",")}|" +
         s"${groupCols.map(enc).mkString(",")}|" +
         s"${valueCols.map(enc).mkString(",")}|" +
-        s"$nBaseBuckets|$nAggBuckets$mmField")
+        s"$nBaseBuckets|$nAggBuckets$mmField$auxField")
     // reap THIS batch's crash garbage (staged dirs + unmarked versions)
-    for (layer <- layerNames) {
+    for (layer <- layerNames ++ auxViews.map("aux_" + _._1)) {
       fs.delete(new Path(rootPath, s"$layer/.staging$batchId"), true)
       val layerDir = new Path(rootPath, layer)
       if (fs.exists(layerDir))
@@ -368,15 +459,66 @@ object CdcRollup {
                   }: _*)
               (joined, Seq(("grp", newGrp, aggBucket, touchedAgg)))
             }
-          stageAndCommit(fs, rootPath, batchId,
-            Seq(("base", newBase, baseBucket, touchedBase),
-              // a fully-retracted group drops out of the view
-              ("agg", withMinMax.filter(col("n") > 0), aggBucket,
-                touchedAgg)) ++ grpLayer,
-            // retention mode: superseded versions ARE the snapshot
-            // history — the fold keeps them; reapRetainedVersions owns
-            // their (floor-advancing) deletion
-            retain = readAsofFloor(fs, rootPath).isDefined)
+          // AUX VIEWS: the same retraction algebra RE-GROUPED per
+          // view — this is the point of sharing one state: N rollups
+          // over one feed pay ONE netting pass, ONE base rewrite and
+          // ONE atomic marker instead of N of each (the base layer is
+          // the big thing at scale; the per-view cost here is one
+          // delta-sized aggregation + touched-bucket rewrites of its
+          // own slim agg layer). Sums-only by contract (min/max needs
+          // the grp image layer, maintained for the main view alone).
+          val auxLayers = auxViews.map { case (name, cols) =>
+            val bucketOf = pmod(xxhash64(cols.map(col): _*),
+              lit(nAggBuckets)).cast("int")
+            val aMinus = old.select((cols.map(col) :+
+              lit(-1L).as("__dn")) ++
+              valueCols.zip(dts).map { case (v, d) =>
+                (-col(v).cast(dec)).as(d) }: _*)
+            val aPlus = upserts.select((cols.map(col) :+
+              lit(1L).as("__dn")) ++
+              valueCols.zip(dts).map { case (v, d) =>
+                col(v).cast(dec).as(d) }: _*)
+            val aContrib = aMinus.unionByName(aPlus)
+              .groupBy(cols.map(col): _*)
+              .agg(sums.head, sums.tail: _*)
+              .persist()
+            val touchedA = aContrib.select(bucketOf.as("__b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            import org.apache.spark.sql.types.{StructField, StructType}
+            val emptyA = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              StructType(cols.map(c => delta.schema(c)) ++
+                (StructField("n", org.apache.spark.sql.types.LongType) +:
+                  agg.map(t => StructField(t,
+                    org.apache.spark.sql.types.DecimalType(38, 6))))))
+            val oldA = readLatest(spark, fs, rootPath, s"aux_$name",
+              Some(touchedA), markers).getOrElse(emptyA)
+            val condA = cols.map(c => oldA(c) <=> aContrib(c))
+              .reduce(_ && _)
+            val mergedA = oldA.join(aContrib, condA, "full_outer")
+              .select((cols.map(c =>
+                coalesce(oldA(c), aContrib(c)).as(c)) :+
+                (coalesce(oldA("n"), lit(0L)) +
+                  coalesce(aContrib("__dn"), lit(0L))).as("n")) ++
+                agg.zip(dts).map { case (t, d) =>
+                  (coalesce(oldA(t), lit(0).cast(dec)) +
+                    coalesce(aContrib(d), lit(0).cast(dec))).cast(dec)
+                    .as(t) }: _*)
+            (aContrib,
+              (s"aux_$name", mergedA.filter(col("n") > 0), bucketOf,
+                touchedA))
+          }
+          try {
+            stageAndCommit(fs, rootPath, batchId,
+              Seq(("base", newBase, baseBucket, touchedBase),
+                // a fully-retracted group drops out of the view
+                ("agg", withMinMax.filter(col("n") > 0), aggBucket,
+                  touchedAgg)) ++ grpLayer ++ auxLayers.map(_._2),
+              // retention mode: superseded versions ARE the snapshot
+              // history — the fold keeps them; reapRetainedVersions
+              // owns their (floor-advancing) deletion
+              retain = readAsofFloor(fs, rootPath).isDefined)
+          } finally { auxLayers.foreach(_._1.unpersist()); () }
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
     } finally { net.unpersist(); () }
@@ -401,6 +543,97 @@ object CdcRollup {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     readLatest(spark, fs, rootPath, "base", None,
       BatchMarkers.read(fs, rootPath))
+  }
+
+  /** An AUX VIEW by name — the extra rollups `auxViews` maintains
+    * over the shared base (per-group `(n, total...)`, sums-only).
+    * Refuses a name the pin never declared (an undeclared layer
+    * would read as silently empty). None before the first commit. */
+  def readAuxView(spark: SparkSession, root: String,
+                  name: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAuxDeclared(fs, rootPath, root, name)
+    readLatest(spark, fs, rootPath, s"aux_$name", None,
+      BatchMarkers.read(fs, rootPath))
+  }
+
+  /** [[readAuxView]] as of a batch — retention-mode semantics
+    * identical to [[readViewAsOf]] (aux layers version with the same
+    * COW protocol and the same floor). */
+  def readAuxViewAsOf(spark: SparkSession, root: String, name: String,
+                      asOf: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireAuxDeclared(fs, rootPath, root, name)
+    requireServable(fs, rootPath, asOf)
+    readLatest(spark, fs, rootPath, s"aux_$name", None,
+      BatchMarkers.read(fs, rootPath), Some(asOf))
+  }
+
+  private def requireAuxDeclared(fs: org.apache.hadoop.fs.FileSystem,
+                                 rootPath: org.apache.hadoop.fs.Path,
+                                 root: String, name: String): Unit = {
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"readAuxView: no layout pin under $root — not a cdcRollup state"))
+    val layout = parseLayout(pin, root)
+    require(layout.auxViews.exists(_._1 == name),
+      s"readAuxView: no aux view '$name' declared under $root (has: " +
+        s"${layout.auxViews.map(_._1).mkString(", ")}) — an " +
+        "undeclared layer would read as silently empty")
+  }
+
+  /** Bucket-pruned POINT LOOKUP into an aux view — [[lookupView]]
+    * semantics on the `aux_<name>` layer: keys carry exactly that
+    * view's pinned group columns with the pinned types, NULL group
+    * values probe null-safely, `asOf` serves the retained snapshot.
+    * Refuses an undeclared name. */
+  def lookupAuxView(spark: SparkSession, root: String, name: String,
+                    keys: DataFrame,
+                    asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"lookupAuxView: no layout pin under $root — not a cdcRollup " +
+          "state"))
+    val layout = parseLayout(pin, root)
+    val cols = layout.auxViews.collectFirst {
+      case (n, cs) if n == name => cs
+    }.getOrElse(throw new IllegalArgumentException(
+      s"lookupAuxView: no aux view '$name' declared under $root (has: " +
+        s"${layout.auxViews.map(_._1).mkString(", ")}) — an " +
+        "undeclared layer would read as silently empty"))
+    require(keys.columns.sorted.toSeq == cols.sorted,
+      s"lookupAuxView: the key frame must carry exactly aux view " +
+        s"'$name''s group columns (${cols.mkString(", ")}), got " +
+        s"(${keys.columns.mkString(", ")}) — project upstream")
+    cols.foreach { c =>
+      val got = keys.schema(c).dataType.catalogString
+      require(layout.typed.get(c).contains(got),
+        s"lookupAuxView: group column '$c' is $got but the state " +
+          s"pinned ${layout.typed.getOrElse(c, "?")} — xxhash64 " +
+          "bucketing is type-sensitive, a drifted lookup would probe " +
+          "the wrong buckets and miss silently; cast to the pinned type")
+    }
+    val probe = keys.distinct().persist()
+    try {
+      asOf.foreach(requireServable(fs, rootPath, _))
+      val bucketOf = pmod(xxhash64(cols.map(col): _*),
+        lit(layout.nAggBuckets)).cast("int")
+      val touched = probe.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      readLatest(spark, fs, rootPath, s"aux_$name", Some(touched),
+        BatchMarkers.read(fs, rootPath), asOf)
+        .map { agg =>
+          val cond = cols.map(c => agg(c) <=> probe(c)).reduce(_ && _)
+          agg.join(probe, cond, "left_semi")
+        }
+    } finally { probe.unpersist(); () }
   }
 
   // ---- as-of snapshot reads ---------------------------------------
@@ -529,14 +762,10 @@ object CdcRollup {
     val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
       .getOrElse(throw new IllegalStateException(
         s"diffView: no layout pin under $root — not a cdcRollup state"))
-    val parts = pin.split('|')
-    require((parts.length == 7 || parts.length == 8) &&
-        parts(0) == "cdcRollup",
-      s"diffView: unrecognized layout pin '$pin' under $root")
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val groupCols = parts(3).split(',').toSeq.map(dec)
-    val k = parts(4).split(',').length
-    val m = if (parts.length == 8) parts(7).split(',').length else 0
+    val layout = parseLayout(pin, root)
+    val groupCols = layout.groupCols
+    val k = layout.valueCols.length
+    val m = layout.minMaxCols.length
     val stateCols = Seq("n") ++ aggNames(k) ++ minNames(m) ++ maxNames(m)
     val markers = BatchMarkers.read(fs, rootPath)
     // changed buckets: any committed version landed in (fromId, toId]
@@ -558,12 +787,9 @@ object CdcRollup {
         .flatMap(_.getName.stripPrefix("bucket=").toIntOption).toSet
     // the empty diff keeps the full output schema (group types from
     // the pin's typed field)
-    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
-      case Array(n, t) => dec(n) -> dec(t)
-    }.toMap
+    val typed = layout.typed
     import org.apache.spark.sql.types.{StructField, StructType}
-    val mmNames =
-      if (m == 0) Nil else parts(7).split(',').toSeq.map(dec)
+    val mmNames = layout.minMaxCols
     def mmType(v: String) = org.apache.spark.sql.types.DataType
       .fromDDL(typed.getOrElse(v, "string"))
     def emptyState = spark.createDataFrame(
@@ -627,7 +853,7 @@ object CdcRollup {
     val cutoff = System.currentTimeMillis() - retainMs
     // (path to delete, the superseding id the floor must clear)
     val doomed = Seq.newBuilder[(Path, Long)]
-    for (layer <- layerNames) {
+    for (layer <- presentLayers(fs, rootPath)) {
       val dir = new Path(rootPath, layer)
       if (fs.exists(dir)) fs.listStatus(dir).toSeq
         .filter(st => st.isDirectory &&
@@ -681,18 +907,10 @@ object CdcRollup {
     val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
       .getOrElse(throw new IllegalStateException(
         s"lookupBase: no layout pin under $root — not a cdcRollup state"))
-    val parts = pin.split('|')
-    // 7 fields = sums-only, 8 = the appended minMax field (layouts
-    // share positions 0..6)
-    require((parts.length == 7 || parts.length == 8) &&
-        parts(0) == "cdcRollup",
-      s"lookupBase: unrecognized layout pin '$pin' under $root")
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
-      case Array(n, t) => dec(n) -> dec(t)
-    }.toMap
-    val pkCols = parts(2).split(',').toSeq.map(dec)
-    val nBaseBuckets = parts(5).toInt
+    val layout = parseLayout(pin, root)
+    val typed = layout.typed
+    val pkCols = layout.pkCols
+    val nBaseBuckets = layout.nBaseBuckets
     require(keys.columns.sorted.toSeq == pkCols.sorted,
       s"lookupBase: the key frame must carry exactly the pinned pk " +
         s"columns (${pkCols.mkString(", ")}), got " +
@@ -740,16 +958,10 @@ object CdcRollup {
     val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
       .getOrElse(throw new IllegalStateException(
         s"lookupView: no layout pin under $root — not a cdcRollup state"))
-    val parts = pin.split('|')
-    require((parts.length == 7 || parts.length == 8) &&
-        parts(0) == "cdcRollup",
-      s"lookupView: unrecognized layout pin '$pin' under $root")
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
-      case Array(n, t) => dec(n) -> dec(t)
-    }.toMap
-    val groupCols = parts(3).split(',').toSeq.map(dec)
-    val nAggBuckets = parts(6).toInt
+    val layout = parseLayout(pin, root)
+    val typed = layout.typed
+    val groupCols = layout.groupCols
+    val nAggBuckets = layout.nAggBuckets
     require(keys.columns.sorted.toSeq == groupCols.sorted,
       s"lookupView: the key frame must carry exactly the pinned group " +
         s"columns (${groupCols.mkString(", ")}), got " +
@@ -818,7 +1030,7 @@ object CdcRollup {
     // frontier and uncommitted it may be the in-flight fold — age gate
     def deadStaging(id: Long, mtime: Long): Boolean =
       markers.committed(id) || id <= frontier || mtime <= cutoff
-    for (layer <- layerNames) {
+    for (layer <- presentLayers(fs, rootPath)) {
       val dir = new Path(rootPath, layer)
       if (fs.exists(dir)) fs.listStatus(dir).toSeq
         .filter(_.isDirectory).foreach { st =>
@@ -883,7 +1095,7 @@ object CdcRollup {
     // subsumed per-id markers behind (foldInto is idempotent)
     w.filter(v => markers.watermark.forall(_ < v) ||
         markers.ids.exists(_ <= v)).map { frontier =>
-      for (layer <- layerNames) {
+      for (layer <- presentLayers(fs, rootPath)) {
         val dir = new Path(rootPath, layer)
         if (fs.exists(dir)) fs.listStatus(dir).toSeq
           .filter(_.isDirectory).foreach { st =>
@@ -935,9 +1147,7 @@ object CdcRollup {
       .getOrElse(throw new IllegalStateException(
         s"compactStateTo: no layout pin under $root — not a cdcRollup state"))
     val parts = pin.split('|')
-    require((parts.length == 7 || parts.length == 8) &&
-        parts(0) == "cdcRollup",
-      s"compactStateTo: unrecognized layout pin '$pin' under $root")
+    val layout = parseLayout(pin, root)
     // "already holds a state" means a COMMITTED batch, not a pin: a
     // crash between the fresh pin and the marker leaves a
     // pinned-but-dataless root the retry must reclaim, not refuse on
@@ -948,7 +1158,7 @@ object CdcRollup {
       case Some(p) if p.startsWith("cdcRollup|") =>
         // a prior compact's crash remnants — nothing committed, reset
         // (incl. any stray retention floor: the retry re-seeds it)
-        for (l <- layerNames)
+        for (l <- presentLayers(fs, freshPath))
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
         BatchMarkers.clearFloors(fs, freshPath)
@@ -961,11 +1171,10 @@ object CdcRollup {
           s"compactStateTo: $freshRoot is not empty — refusing to " +
             "merge into it (compact to an empty root, then swap)")
     }
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val pkCols = parts(2).split(',').toSeq.map(dec)
-    val groupCols = parts(3).split(',').toSeq.map(dec)
-    // fresh pin: the source's fields verbatim (incl. the minMax field
-    // when present), the (possibly new) bucket counts
+    val pkCols = layout.pkCols
+    val groupCols = layout.groupCols
+    // fresh pin: the source's fields verbatim (incl. the minMax and
+    // aux fields when present), the (possibly new) bucket counts
     graft.sources.PartitionedStore.pinLayout(fs, freshPath, freshRoot,
       (Seq("cdcRollup", parts(1), parts(2), parts(3), parts(4),
         nBaseBuckets.toString, nAggBuckets.toString) ++
@@ -975,8 +1184,14 @@ object CdcRollup {
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
       .cast("int")
     val srcMarkers = BatchMarkers.read(fs, rootPath)
+    // aux layers re-shard with the agg bucket count on THEIR OWN
+    // group columns (each aux view hashes its own key set)
+    val auxBuckets = layout.auxViews.map { case (name, cols) =>
+      s"aux_$name" -> pmod(xxhash64(cols.map(col): _*),
+        lit(nAggBuckets)).cast("int")
+    }
     for ((layer, bucketOf) <- Seq("base" -> baseBucket,
-        "agg" -> aggBucket, "grp" -> aggBucket))
+        "agg" -> aggBucket, "grp" -> aggBucket) ++ auxBuckets)
       readLatest(spark, fs, rootPath, layer, None, srcMarkers).foreach { df =>
         df.withColumn("__bucket", bucketOf)
           .write.mode("overwrite").partitionBy("__bucket")

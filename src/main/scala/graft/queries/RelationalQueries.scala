@@ -1013,6 +1013,57 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // MULTI-VIEW maintenance over ONE shared base
+    // ([[graft.operators.CdcRollup]] aux views): the same 3-batch
+    // I/U/D shape folds TWO rollups — by priority (the main view) and
+    // by order status (an aux view) — in ONE pass per delta: one
+    // netting, one base rewrite, one atomic marker for both. The
+    // result unions both views tagged by dimension; the oracle is the
+    // UNION ALL of two one-shot GROUP BYs over the final images. An
+    // aux fold that leaked a retraction on either dimension (the
+    // X-UPD move changes the priority grouping but NOT the status
+    // grouping; the deletes change both) hashes red.
+    "cdc_cube_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdccb_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .filter(k % 16 === 0)
+      def ins(m: Int) = ord.filter(k % 3 === m)
+        .select(k, col("o_orderpriority"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op"))
+      val b0 = ins(0)
+      val b1 = ins(1).unionByName(
+        ord.filter(k % 3 === 0 && k % 7 === 0)
+          .select(k, lit("X-UPD").as("o_orderpriority"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(2L).as("seq"), lit("U").as("op")))
+      val b2 = ins(2).unionByName(
+        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+          .select(k, col("o_orderpriority"), col("o_orderstatus"),
+            col("o_totalprice"), lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2,
+          auxViews = Seq("by_status" -> Seq("o_orderstatus")))
+      }
+      val main = CdcRollup.readView(s, root).get
+        .select(lit("priority").as("dim"),
+          col("o_orderpriority").as("key"), col("n"),
+          col("total").cast("double").as("total_price"))
+      val aux = CdcRollup.readAuxView(s, root, "by_status").get
+        .select(lit("status").as("dim"),
+          col("o_orderstatus").as("key"), col("n"),
+          col("total").cast("double").as("total_price"))
+      main.unionByName(aux).orderBy("dim", "key")
+    }),
+
     // The CHANGE SET between two retained snapshots
     // ([[graft.operators.CdcRollup.diffView]]): same 3-batch shape as
     // cdc_asof_view, diffed batch 0 → batch 2 — every original
@@ -1218,6 +1269,30 @@ object RelationalQueries {
         |       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
         |         AS total_price
         |FROM asof1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both one-shot GROUP BYs over the same final images, tagged and
+    // union-all'd — the two maintained views must be simultaneously
+    // invisible
+    "cdc_cube_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_orderstatus AS st, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |final AS (
+        |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
+        |              ELSE p END AS p, st, v
+        |  FROM sliced
+        |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2))
+        |SELECT dim, key, n, total_price FROM (
+        |  SELECT 'priority' AS dim, p AS key, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+        |           AS total_price
+        |  FROM final GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'status' AS dim, st AS key, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+        |           AS total_price
+        |  FROM final GROUP BY 2)
+        |ORDER BY 1, 2""".stripMargin,
     // both snapshots derived semantically (batch-0 images vs final
     // images), full-outer-joined, identical groups dropped — the
     // CHANGE CASE mirrors diffView's added/removed/changed labels

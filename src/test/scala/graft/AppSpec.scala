@@ -1857,6 +1857,75 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
+  test("maintainView cdcRollup auxViews: two rollups over one base " +
+      "fold through the CLI in one pass; export serves each by " +
+      "layer; undeclared aux layer refuses; status and fsck see the " +
+      "aux layers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewaux").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    def foldCfg(id: Int): Unit =
+      cfg(s"""{"kind": "cdcRollup", "statePath": "xstate",
+             | "batchId": $id,
+             | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+             | "keys": ["grp"], "valueColumn": "v",
+             | "nBaseBuckets": 2, "nAggBuckets": 2,
+             | "auxViews": {"by_g2": ["grp2"]},
+             | "delta": {"input": "in/x$id"}}""".stripMargin)
+    Seq((1L, "a", "x", 10.0, 1L, "I"), (2L, "b", "y", 20.0, 1L, "I"))
+      .toDF("id", "grp", "grp2", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/x0")
+    foldCfg(0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // batch 1: move id=2's grp2 y→x (retraction on the AUX dimension
+    // only — grp unchanged)
+    Seq((2L, "b", "x", 20.0, 2L, "U"))
+      .toDF("id", "grp", "grp2", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/x1")
+    foldCfg(1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // export the aux view by layer
+    cfg("""{"kind": "export", "statePath": "xstate",
+          | "layer": "aux:by_g2", "output": "xaux"}""".stripMargin)
+    val (ce, oe) = Main.execute(spark, sink, dir)
+    withClue(oe) { ce shouldBe 0 }
+    rows(spark.read.parquet(s"$dir/xaux")
+      .select(col("grp2"), col("n"), col("total").cast("double"))
+      .orderBy("grp2")) shouldBe Seq(Seq("x", 2L, 30.0))
+    // an undeclared aux layer: config misuse, exit 1
+    cfg("""{"kind": "export", "statePath": "xstate",
+          | "layer": "aux:nope", "output": "xno"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // status reports the aux layer; fsck audits it clean
+    cfg("""{"kind": "status", "statePath": "xstate"}""")
+    Main.execute(spark, sink, dir)._2.get should
+      include(""""aux_by_g2":{"buckets":""")
+    // point lookup on the aux layer through the CLI
+    cfg("""{"kind": "lookup", "statePath": "xstate",
+          | "layer": "aux:by_g2", "keys": [{"grp2": "x"}]}""".stripMargin)
+    val (cl, ol) = Main.execute(spark, sink, dir)
+    withClue(ol) { cl shouldBe 0 }
+    ol.get should include(""""n":2""")
+    cfg("""{"kind": "lookup", "statePath": "xstate",
+          | "layer": "aux:nope", "keys": [{"grp2": "x"}]}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "fsck", "statePath": "xstate"}""")
+    val (_, of) = Main.execute(spark, sink, dir)
+    of.get should include(""""ok":true""")
+    // an aux layer the pin never declared is an fsck ERROR (stale
+    // data no fold maintains)
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/xstate")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/xstate",
+      "aux_ghost/bucket=0/v0"))
+    val (_, of2) = Main.execute(spark, sink, dir)
+    of2.get should include(""""ok":false""")
+    of2.get should include("aux layer 'aux_ghost' exists but the pin")
+  }
+
   test("maintainView fsck: clean states audit ok; planted corruption " +
       "surfaces as named errors, crash remnants as warnings; a " +
       "pinless path refuses") {

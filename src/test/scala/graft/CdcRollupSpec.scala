@@ -633,13 +633,14 @@ class CdcRollupSpec extends SparkSpec {
     (0 until 3).foreach { trial =>
       val root = tmpRoot()
       CdcRollup.enableRetention(spark, root)
-      case class Ev(id: Long, grp: Option[String], v: Option[Double],
-                    seq: Long, op: String)
+      case class Ev(id: Long, grp: Option[String], g2: Option[String],
+                    v: Option[Double], seq: Long, op: String)
       val events = (1 to 12).flatMap { id =>
         val n = 1 + rnd.nextInt(4)
         (1 to n).map { s =>
           Ev(id.toLong,
             if (rnd.nextInt(5) == 0) None else Some(s"g${rnd.nextInt(3)}"),
+            if (rnd.nextInt(5) == 0) None else Some(s"h${rnd.nextInt(2)}"),
             if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(1000) / 10.0),
             s.toLong,
             if (s == 1) "I" else if (rnd.nextBoolean()) "U" else "D")
@@ -652,10 +653,11 @@ class CdcRollupSpec extends SparkSpec {
       val parts = cuts.zip(cuts.tail).map { case (a, b) =>
         stream.slice(a, b) }
       parts.zipWithIndex.foreach { case (evs, i) =>
-        val df = evs.map(e => (e.id, e.grp, e.v, e.seq, e.op))
-          .toDF("id", "grp", "v", "seq", "op")
+        val df = evs.map(e => (e.id, e.grp, e.g2, e.v, e.seq, e.op))
+          .toDF("id", "grp", "g2", "v", "seq", "op")
         CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
-          Seq("grp"), Seq("v"), 4, 2) shouldBe true
+          Seq("grp"), Seq("v"), 4, 2,
+          auxViews = Seq("byg2" -> Seq("g2"))) shouldBe true
       }
       // the independent model: state after batches 0..i = final
       // images of the stream PREFIX those batches carried
@@ -673,6 +675,22 @@ class CdcRollupSpec extends SparkSpec {
             g -> ((r.getAs[Long]("n"),
               r.getAs[java.math.BigDecimal]("total").doubleValue()))
           }.toMap).getOrElse(Map.empty)
+      // the aux view rides the SAME folds and the SAME as-of axis:
+      // model it by regrouping the same prefix finals on g2
+      def modelAux(i: Int): Map[Option[String], (Long, Double)] =
+        stream.take(cuts(i + 1)).groupBy(_.id).values
+          .map(_.maxBy(_.seq)).filter(_.op != "D").toSeq
+          .groupBy(_.g2).map { case (g, evs) =>
+            g -> ((evs.size.toLong, evs.flatMap(_.v).sum))
+          }
+      def auxAsOf(i: Int): Map[Option[String], (Long, Double)] =
+        CdcRollup.readAuxViewAsOf(spark, root, "byg2", i.toLong)
+          .map(_.collect().map { r =>
+            val g = if (r.isNullAt(0)) None
+                    else Some(r.getAs[String]("g2"))
+            g -> ((r.getAs[Long]("n"),
+              r.getAs[java.math.BigDecimal]("total").doubleValue()))
+          }.toMap).getOrElse(Map.empty)
       parts.indices.foreach { i =>
         val (got, want) = (asOf(i), model(i))
         withClue(s"trial $trial asOf $i (cuts $cuts): ") {
@@ -680,6 +698,14 @@ class CdcRollupSpec extends SparkSpec {
           want.foreach { case (g, (n, t)) =>
             got(g)._1 shouldBe n
             got(g)._2 shouldBe (t +- 1e-9)
+          }
+        }
+        val (agot, awant) = (auxAsOf(i), modelAux(i))
+        withClue(s"trial $trial aux asOf $i (cuts $cuts): ") {
+          agot.keySet shouldBe awant.keySet
+          awant.foreach { case (g, (n, t)) =>
+            agot(g)._1 shouldBe n
+            agot(g)._2 shouldBe (t +- 1e-9)
           }
         }
       }
@@ -931,6 +957,86 @@ class CdcRollupSpec extends SparkSpec {
     // reaping again is a no-op at the same floor
     CdcRollup.reapRetainedVersions(spark, root, 0L) shouldBe
       ((Nil, 3L))
+  }
+
+  test("aux views: N rollups over ONE shared base fold in one pass " +
+      "and match their one-shot GROUP BYs; replay is a no-op; a " +
+      "changed aux set refuses on the pin; compact and GC carry the " +
+      "aux layers") {
+    val root = tmpRoot()
+    def alog(rows: (Long, String, String, Double, Long, String)*) =
+      rows.toDF("id", "grp", "grp2", "v", "seq", "op")
+    val aux = Seq("by_g2" -> Seq("grp2"), "by_both" -> Seq("grp", "grp2"))
+    def afold(id: Long, d: org.apache.spark.sql.DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+        auxViews = aux)
+    afold(0L, alog(
+      (1L, "a", "x", 10.0, 1L, "I"), (2L, "a", "y", 20.0, 1L, "I"),
+      (3L, "b", "x", 30.0, 1L, "I"))) shouldBe true
+    // batch 1: group-moving update on BOTH dimensions + a delete
+    afold(1L, alog(
+      (2L, "b", "x", 25.0, 2L, "U"),
+      (3L, "b", "x", 0.0, 2L, "D"))) shouldBe true
+    def viewOf(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.collect().map { r =>
+        cols.map(r.getAs[String]) ->
+          ((r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("total").doubleValue()))
+      }.toMap
+    // main view unchanged semantics
+    view(root) shouldBe Map("a" -> ((1L, 10.0)), "b" -> ((1L, 25.0)))
+    // aux views equal their one-shot GROUP BYs over the final images
+    // (images: 1=(a,x,10), 2=(b,x,25))
+    viewOf(CdcRollup.readAuxView(spark, root, "by_g2").get,
+      Seq("grp2")) shouldBe
+      Map(Seq("x") -> ((2L, 35.0)))
+    viewOf(CdcRollup.readAuxView(spark, root, "by_both").get,
+      Seq("grp", "grp2")) shouldBe
+      Map(Seq("a", "x") -> ((1L, 10.0)), Seq("b", "x") -> ((1L, 25.0)))
+    // replay of a committed id: quiet no-op, aux untouched
+    afold(1L, alog((9L, "z", "z", 99.0, 1L, "I"))) shouldBe false
+    viewOf(CdcRollup.readAuxView(spark, root, "by_g2").get,
+      Seq("grp2")) shouldBe Map(Seq("x") -> ((2L, 35.0)))
+    // an undeclared aux name refuses (it would read silently empty)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readAuxView(spark, root, "nope")
+    }.getMessage should include("no aux view")
+    // a CHANGED aux set refuses on the pin — those layers were never
+    // maintained together
+    intercept[graft.model.UserException] {
+      CdcRollup.foldBatch(root, 2L,
+        alog((4L, "c", "z", 1.0, 1L, "I")), Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 4, 2,
+        auxViews = Seq("by_g2" -> Seq("grp2")))
+    }.getMessage should include("pinned")
+    // GC sweeps aux-layer crash garbage like every other layer
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root,
+      "aux_by_g2/.staging0"))
+    CdcRollup.cleanOrphanBatchDirs(spark, root, olderThanMs = 0L)
+      .exists(_.contains("aux_by_g2")) shouldBe true
+    // bucket-pruned point lookup on the aux layer (typed keys, the
+    // lookupView discipline); an undeclared name refuses
+    val aprobe = Seq("x").toDF("grp2")
+    val hit = CdcRollup.lookupAuxView(spark, root, "by_g2", aprobe).get
+    hit.select("n").head().getLong(0) shouldBe 2L
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupAuxView(spark, root, "nope", aprobe)
+    }.getMessage should include("no aux view")
+    // compact carries the aux layers (re-sharded on their own keys)
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh, 2, 2) shouldBe 2L
+    viewOf(CdcRollup.readAuxView(spark, fresh, "by_both").get,
+      Seq("grp", "grp2")) shouldBe
+      Map(Seq("a", "x") -> ((1L, 10.0)), Seq("b", "x") -> ((1L, 25.0)))
+    // and the fresh pin still refuses the changed aux set
+    intercept[graft.model.UserException] {
+      CdcRollup.foldBatch(fresh, 2L,
+        alog((4L, "c", "z", 1.0, 1L, "I")), Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 2, 2)
+    }.getMessage should include("pinned")
   }
 
   test("diffView labels added/removed/changed between two snapshots, " +
