@@ -1198,6 +1198,15 @@ object CdcRollup {
           .parquet(new Path(freshPath, s"$layer/.staging0").toString)
         promoteStaged(fs, freshPath, layer, 0L)
       }
+    // a declared layer whose source held NO committed data (every row
+    // retracted) still gets its dir: the pin promises the layer, and
+    // fsck treats a promised-but-missing layer as a silently-empty
+    // ERROR — an empty dir is the honest spelling of an empty view
+    for (l <- layout.auxViews.map("aux_" + _._1) ++
+        (if (layout.minMaxCols.nonEmpty) Seq("grp") else Nil))
+      if (!fs.exists(new Path(freshPath, l))) {
+        fs.mkdirs(new Path(freshPath, l)); ()
+      }
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
     BatchMarkers.foldInto(fs, freshPath,

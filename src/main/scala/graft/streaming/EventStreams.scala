@@ -839,7 +839,11 @@ object EventStreams {
                            * ([[graft.operators.CdcRollup
                            * .reapRetainedVersions]]). None (default) =
                            * eager reaping, no history. */
-                         retainMs: Option[Long] = None)
+                         retainMs: Option[Long] = None,
+                         /** Extra rollup views over the same base —
+                           * see [[graft.operators.CdcRollup
+                           * .foldBatch]] `auxViews`. */
+                         auxViews: Seq[(String, Seq[String])] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -853,7 +857,7 @@ object EventStreams {
           .enableRetention(batch.sparkSession, statePath))
         graft.operators.CdcRollup.foldBatch(statePath, batchId,
           batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCols,
-          nBaseBuckets, nAggBuckets, minMaxCols)
+          nBaseBuckets, nAggBuckets, minMaxCols, auxViews)
         if (gcEveryBatches > 0 && batchId > 0 &&
             batchId % gcEveryBatches == 0)
           try {

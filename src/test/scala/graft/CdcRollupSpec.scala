@@ -1039,6 +1039,37 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("pinned")
   }
 
+  test("compact keeps a declared layer whose every row retracted: the " +
+      "fresh root still carries the (empty) grp and aux dirs — the pin " +
+      "promises them — and folding onward from empty works") {
+    val root = tmpRoot()
+    def alog(rows: (Long, String, String, Double, Long, String)*) =
+      rows.toDF("id", "grp", "grp2", "v", "seq", "op")
+    def afold(r: String, id: Long, d: org.apache.spark.sql.DataFrame) =
+      CdcRollup.foldBatch(r, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 2, 2, minMaxCols = Seq("v"),
+        auxViews = Seq("byg2" -> Seq("grp2")))
+    afold(root, 0L, alog((1L, "a", "x", 10.0, 1L, "I"))) shouldBe true
+    afold(root, 1L, alog((1L, "a", "x", 0.0, 2L, "D"))) shouldBe true
+    CdcRollup.readView(spark, root) shouldBe None
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh, 2, 2) shouldBe 0L
+    val fs = new org.apache.hadoop.fs.Path(fresh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(fresh, "grp")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(fresh,
+      "aux_byg2")) shouldBe true
+    CdcRollup.readAuxView(spark, fresh, "byg2") shouldBe None
+    // life goes on: a fresh fold above the frontier repopulates all
+    // layers, min/max and aux included
+    afold(fresh, 2L, alog((2L, "b", "y", 5.0, 1L, "I"))) shouldBe true
+    val v = CdcRollup.readView(spark, fresh).get.collect()
+    v.length shouldBe 1
+    v.head.getAs[Double]("max_1") shouldBe 5.0
+    CdcRollup.readAuxView(spark, fresh, "byg2").get
+      .select("n").head().getLong(0) shouldBe 1L
+  }
+
   test("diffView labels added/removed/changed between two snapshots, " +
       "drops identical groups, and prunes BOTH reads to the buckets " +
       "the version chain says changed") {
