@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   *    Each total accumulates as decimal(38,6): exact,
   *    order-independent, and invertible — a double sum under
   *    retraction drifts ((a+b)−b ≠ a in floating point).
+  *  - `aux_<name>/` — one per declared aux view ([[foldBatch]]
+  *    `auxViews`): an extra per-group `(n, total...)` rollup over the
+  *    SAME base, bucketed on ITS OWN group columns. N dashboards over
+  *    one feed pay ONE netting pass, ONE base rewrite and ONE atomic
+  *    marker instead of N separate states; each fold re-groups the
+  *    same signed contributions per view. Sums-only by contract.
   *  - `grp/` — present ONLY when `minMaxCols` is declared: the
   *    current images projected to (group, pk, minMax) columns,
   *    hash-bucketed on the GROUP key with the agg layer's bucket
