@@ -87,13 +87,43 @@ object ViewMaintenance {
         // family with no history would be the worst failure shape
         // here; refuse NAMED (the layer-key discipline).
         e.asOf.foreach(checkAsof(spark, "export", pin, root, _))
+        // sinceBatch = the incremental consumer pull — join only
+        // (the other families' layers are states, not append logs)
+        if (e.sinceBatch.isDefined && !pin.startsWith("join|"))
+          throw new UserException(
+            "maintainView export: sinceBatch is the incremental pull " +
+              "over a join view's append-only batch dirs; the state " +
+              s"under $root is '${pin.takeWhile(_ != '|')}' — use " +
+              "asOf/diff for snapshot reads there")
         val df =
           if (pin.startsWith("join|"))
-            e.asOf.map(JoinView.readViewAsOf(spark, root, _))
-              .getOrElse(JoinView.readCommittedView(spark, root))
-              .getOrElse(throw new UserException(
-                s"maintainView export: no committed state under $root" +
-                  e.asOf.map(a => s" as of batch $a").getOrElse("")))
+            (e.asOf, e.sinceBatch) match {
+              case (_, Some(since)) =>
+                try JoinView.readViewDelta(spark, root, since)
+                  .getOrElse(
+                    // an empty range is a VALID pull (nothing new) —
+                    // export an empty frame with the view's schema
+                    JoinView.readCommittedView(spark, root)
+                      .getOrElse(throw new UserException(
+                        s"maintainView export: no committed state " +
+                          s"under $root")).limit(0))
+                catch {
+                  case ex: IllegalArgumentException
+                      if ex.getMessage.contains("compaction floor") =>
+                    throw new UserException(
+                      s"maintainView export: ${ex.getMessage}")
+                }
+              case (Some(a), _) =>
+                JoinView.readViewAsOf(spark, root, a)
+                  .getOrElse(throw new UserException(
+                    s"maintainView export: no committed state under " +
+                      s"$root as of batch $a"))
+              case _ =>
+                JoinView.readCommittedView(spark, root)
+                  .getOrElse(throw new UserException(
+                    s"maintainView export: no committed state under " +
+                      s"$root"))
+            }
           else if (pin.startsWith("cdcRollup|")) {
             // an undeclared aux name is config misuse (exit 1), not
             // an application error — rewrap the library refusal
@@ -171,8 +201,17 @@ object ViewMaintenance {
               s"'${pin.takeWhile(_ != '|')}'")
         // the same CLI-face honesty checks as asOf lookup/export
         checkAsof(spark, "diff", pin, root, d.fromBatch)
-        val df = graft.operators.CdcRollup.diffView(
-          spark, root, d.fromBatch, d.toBatch)
+        val auxName = Some(d.layer).filter(_.startsWith("aux:"))
+          .map(_.stripPrefix("aux:"))
+        val df = try graft.operators.CdcRollup.diffView(
+          spark, root, d.fromBatch, d.toBatch, auxName)
+        catch {
+          // an undeclared aux name is config misuse, exit 1
+          case ex: IllegalArgumentException
+              if auxName.isDefined &&
+                ex.getMessage.contains("no aux view") =>
+            throw new UserException(s"maintainView diff: ${ex.getMessage}")
+        }
         val cached = df.persist()
         try {
           val n = cached.count()

@@ -89,9 +89,16 @@ object ConfigParser {
           throw new UserException(
             s"view.layer '$layer' is not supported " +
               "(view | base | aux:<name>)")
+        val since = opt(v, "sinceBatch").map(_.asLong)
+        if (since.exists(_ < 0))
+          throw new UserException("view.sinceBatch must be >= 0")
+        if (since.isDefined && opt(v, "asOf").isDefined)
+          throw new UserException(
+            "view.sinceBatch and view.asOf are mutually exclusive — " +
+              "a snapshot and an incremental range are different reads")
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer,
-          asOf = parseAsOf(v))
+          asOf = parseAsOf(v), sinceBatch = since)
       case "retain" =>
         RetainViewConfig(statePath)
       case "fsck" =>
@@ -104,8 +111,12 @@ object ConfigParser {
         if (from > to)
           throw new UserException(
             "view.fromBatch must be <= view.toBatch")
+        val layer = opt(v, "layer").map(_.asText).getOrElse("view")
+        if (layer != "view" && !layer.startsWith("aux:"))
+          throw new UserException(
+            s"view.layer '$layer' is not supported (view | aux:<name>)")
         DiffViewConfig(statePath, output = req(v, "output").asText,
-          fromBatch = from, toBatch = to)
+          fromBatch = from, toBatch = to, layer = layer)
       case "status" =>
         StatusViewConfig(statePath,
           countRows = opt(v, "countRows").forall(_.asBoolean))

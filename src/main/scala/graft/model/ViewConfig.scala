@@ -144,7 +144,17 @@ final case class ExportViewConfig(statePath: String, output: String,
                                     * mode and an id at or above the
                                     * reap floor; refused on rollup
                                     * states (no history). */
-                                  asOf: Option[Long] = None)
+                                  asOf: Option[Long] = None,
+                                  /** join states only: export ONLY
+                                    * the view rows APPENDED after
+                                    * this batch id — the incremental
+                                    * consumer pull
+                                    * ([[graft.operators.JoinView
+                                    * .readViewDelta]]); record the
+                                    * frontier pulled to, pass it back
+                                    * next time. Mutually exclusive
+                                    * with `asOf`. */
+                                  sinceBatch: Option[Long] = None)
     extends ViewConfig {
   val kind = "export"
 }
@@ -222,7 +232,11 @@ final case class LookupViewConfig(statePath: String,
   * scans. Requires retention mode with `fromBatch` at or above the
   * floor; refused on the other families (no version history). */
 final case class DiffViewConfig(statePath: String, output: String,
-                                fromBatch: Long, toBatch: Long)
+                                fromBatch: Long, toBatch: Long,
+                                /** "view" (default) diffs the main
+                                  * view; "aux:<name>" diffs that aux
+                                  * view on its own group key. */
+                                layer: String = "view")
     extends ViewConfig {
   val kind = "diff"
 }

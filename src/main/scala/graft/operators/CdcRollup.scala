@@ -758,7 +758,11 @@ object CdcRollup {
     * `toId` above the frontier reads the current state (the as-of
     * axis is total). */
   def diffView(spark: SparkSession, root: String,
-               fromId: Long, toId: Long): DataFrame = {
+               fromId: Long, toId: Long,
+               /** Some(name) diffs that AUX view instead of the main
+                 * one — same change-set semantics on its own group
+                 * key and its own (slim) layer's version chain. */
+               auxView: Option[String] = None): DataFrame = {
     import org.apache.hadoop.fs.Path
     require(fromId <= toId,
       s"diffView: fromId $fromId must be <= toId $toId")
@@ -769,13 +773,22 @@ object CdcRollup {
       .getOrElse(throw new IllegalStateException(
         s"diffView: no layout pin under $root — not a cdcRollup state"))
     val layout = parseLayout(pin, root)
-    val groupCols = layout.groupCols
+    val groupCols = auxView match {
+      case None => layout.groupCols
+      case Some(name) => layout.auxViews.collectFirst {
+        case (n, cs) if n == name => cs
+      }.getOrElse(throw new IllegalArgumentException(
+        s"diffView: no aux view '$name' declared under $root (has: " +
+          s"${layout.auxViews.map(_._1).mkString(", ")})"))
+    }
+    val layer = auxView.map("aux_" + _).getOrElse("agg")
     val k = layout.valueCols.length
-    val m = layout.minMaxCols.length
+    // aux views are sums-only; min/max state exists on the main view
+    val m = if (auxView.isEmpty) layout.minMaxCols.length else 0
     val stateCols = Seq("n") ++ aggNames(k) ++ minNames(m) ++ maxNames(m)
     val markers = BatchMarkers.read(fs, rootPath)
     // changed buckets: any committed version landed in (fromId, toId]
-    val aggDir = new Path(rootPath, "agg")
+    val aggDir = new Path(rootPath, layer)
     val changed =
       if (!fs.exists(aggDir)) Set.empty[Int]
       else fs.listStatus(aggDir).toSeq.map(_.getPath)
@@ -795,7 +808,7 @@ object CdcRollup {
     // the pin's typed field)
     val typed = layout.typed
     import org.apache.spark.sql.types.{StructField, StructType}
-    val mmNames = layout.minMaxCols
+    val mmNames = if (auxView.isEmpty) layout.minMaxCols else Nil
     def mmType(v: String) = org.apache.spark.sql.types.DataType
       .fromDDL(typed.getOrElse(v, "string"))
     def emptyState = spark.createDataFrame(
@@ -811,9 +824,9 @@ object CdcRollup {
             Seq(StructField(minNames(m)(i), mmType(v)),
               StructField(maxNames(m)(i), mmType(v)))
           }))
-    val from = readLatest(spark, fs, rootPath, "agg", Some(changed),
+    val from = readLatest(spark, fs, rootPath, layer, Some(changed),
       markers, Some(fromId)).getOrElse(emptyState)
-    val to = readLatest(spark, fs, rootPath, "agg", Some(changed),
+    val to = readLatest(spark, fs, rootPath, layer, Some(changed),
       markers, Some(toId)).getOrElse(emptyState)
     val cond = groupCols.map(c => from(c) <=> to(c)).reduce(_ && _)
     val joined = from.join(to, cond, "full_outer")

@@ -429,6 +429,43 @@ object JoinView {
     }
   }
 
+  /** The view rows APPENDED in batches `(afterId, toId]` — the
+    * incremental-consumer pull: the fold protocol only ever APPENDS
+    * view rows per batch dir, so "what's new since the batch I last
+    * consumed" is exactly the union of committed `d<id>` dirs in the
+    * range, zero recompute and zero re-read of history. `toId` None =
+    * everything committed after `afterId`. Consumers record the
+    * frontier they pulled to and pass it back as `afterId` — replay
+    * of the same range is byte-stable (the dirs are immutable).
+    *
+    * Compaction is the one collapse point ([[readViewAsOf]] doc): the
+    * merged d0 is not "appended in a range", so `afterId` below the
+    * compaction floor refuses loud — pull the backlog from the
+    * pre-compaction root before swapping. None when no committed dir
+    * lands in the range. */
+  def readViewDelta(spark: SparkSession, root: String, afterId: Long,
+                    toId: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    toId.foreach(t => require(afterId <= t,
+      s"readViewDelta: afterId $afterId must be <= toId $t"))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    BatchMarkers.readFloor(fs, rootPath).foreach { floor =>
+      require(afterId >= floor,
+        s"readViewDelta: afterId $afterId is below this root's " +
+          s"compaction floor $floor — the collapsed batch dir merges " +
+          "all pre-frontier history and cannot be served as an " +
+          "incremental range; pull the backlog from the " +
+          "pre-compaction root")
+    }
+    val markers = BatchMarkers.read(fs, rootPath)
+    val dirs = committedLeafDirs(fs, rootPath, "view", None, markers,
+      toId.orElse(markers.maxCommitted))
+      .filter(_.getParent.getName.drop(1).toLong > afterId)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
   /** Refuse an as-of read below the compaction floor: the compacted
     * d0 merges all pre-frontier history, so serving it as an earlier
     * snapshot would be silently wrong. A root that was never

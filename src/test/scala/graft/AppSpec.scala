@@ -1851,6 +1851,31 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "diff", "statePath": "jst", "output": "jd",
           | "fromBatch": 0, "toBatch": 1}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the incremental pull: only the rows batch 1 appended
+    cfg("""{"kind": "export", "statePath": "jst",
+          | "output": "jinc", "sinceBatch": 0}""".stripMargin)
+    val (ci, oi) = Main.execute(spark, sink, dir)
+    withClue(oi) { ci shouldBe 0 }
+    rows(spark.read.parquet(s"$dir/jinc")) shouldBe
+      Seq(Seq(2L, 3.0, 4.0))
+    // an empty range is a VALID pull: zero rows, exit 0
+    cfg("""{"kind": "export", "statePath": "jst",
+          | "output": "jinc2", "sinceBatch": 1}""".stripMargin)
+    val (ci2, oi2) = Main.execute(spark, sink, dir)
+    withClue(oi2) { ci2 shouldBe 0 }
+    oi2.get should include(""""rows":0""")
+    // a backlog pull below the compaction floor refuses (exit 1)...
+    cfg("""{"kind": "export", "statePath": "jst2",
+          | "output": "jinc3", "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...asOf+sinceBatch together refuse at parse, and sinceBatch on
+    // a non-join family refuses named
+    cfg("""{"kind": "export", "statePath": "jst", "output": "jx",
+          | "sinceBatch": 0, "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "export", "statePath": "astate", "output": "jy",
+          | "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
     // negative asOf refuses at parse
     cfg("""{"kind": "lookup", "statePath": "astate",
           | "keys": [{"id": "1"}], "asOf": -1}""".stripMargin)
@@ -1879,6 +1904,9 @@ class AppSpec extends SparkSpec {
       .toDF("id", "grp", "grp2", "v", "seq", "op")
       .write.mode("overwrite").parquet(s"$dir/in/x0")
     foldCfg(0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // retention on (after batch 0) so the aux diff below can serve
+    cfg("""{"kind": "retain", "statePath": "xstate"}""")
     Main.execute(spark, sink, dir)._1 shouldBe 0
     // batch 1: move id=2's grp2 y→x (retraction on the AUX dimension
     // only — grp unchanged)
@@ -1911,6 +1939,28 @@ class AppSpec extends SparkSpec {
     ol.get should include(""""n":2""")
     cfg("""{"kind": "lookup", "statePath": "xstate",
           | "layer": "aux:nope", "keys": [{"grp2": "x"}]}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the aux DIFF: grp2 y→x between batches 0 and 1 — x changed
+    // (1,10)→(2,30), y removed; main-view diff is empty (grp
+    // unchanged), proving the layers diff independently
+    cfg("""{"kind": "diff", "statePath": "xstate", "output": "xd",
+          | "layer": "aux:by_g2", "fromBatch": 0,
+          | "toBatch": 1}""".stripMargin)
+    val (cdx, odx) = Main.execute(spark, sink, dir)
+    withClue(odx) { cdx shouldBe 0 }
+    val xd = spark.read.parquet(s"$dir/xd").collect()
+      .map(r => r.getAs[String]("grp2") -> r.getAs[String]("change"))
+      .toMap
+    xd shouldBe Map("x" -> "changed", "y" -> "removed")
+    cfg("""{"kind": "diff", "statePath": "xstate", "output": "xdm",
+          | "fromBatch": 0, "toBatch": 1}""".stripMargin)
+    val (cdm, odm) = Main.execute(spark, sink, dir)
+    withClue(odm) { cdm shouldBe 0 }
+    odm.get should include(""""rows":0""")
+    // an undeclared aux diff layer: config misuse, exit 1
+    cfg("""{"kind": "diff", "statePath": "xstate", "output": "xdn",
+          | "layer": "aux:nope", "fromBatch": 0,
+          | "toBatch": 1}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
     cfg("""{"kind": "fsck", "statePath": "xstate"}""")
     val (_, of) = Main.execute(spark, sink, dir)

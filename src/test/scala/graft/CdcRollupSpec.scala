@@ -737,6 +737,28 @@ class CdcRollupSpec extends SparkSpec {
         withClue(s"trial $trial diff($i,$j) (cuts $cuts): ") {
           got shouldBe want
         }
+        // the aux view diffs against ITS model regrouping
+        val (ai, aj) = (modelAux(i), modelAux(j))
+        val awant = (ai.keySet ++ aj.keySet).flatMap { g =>
+          (ai.get(g), aj.get(g)) match {
+            case (Some(a), Some(b))
+                if a._1 == b._1 && math.abs(a._2 - b._2) < 1e-9 => None
+            case (Some(_), Some(_)) => Some(g -> "changed")
+            case (Some(_), None)    => Some(g -> "removed")
+            case (None, Some(_))    => Some(g -> "added")
+            case _                  => None
+          }
+        }.toMap
+        val agot = CdcRollup.diffView(spark, root, i.toLong, j.toLong,
+          auxView = Some("byg2"))
+          .collect().map { r =>
+            val g = if (r.isNullAt(0)) None
+                    else Some(r.getAs[String]("g2"))
+            g -> r.getAs[String]("change")
+          }.toMap
+        withClue(s"trial $trial aux diff($i,$j) (cuts $cuts): ") {
+          agot shouldBe awant
+        }
       }
     }
   }

@@ -451,4 +451,57 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     f1.stdout should include(""""ok":false""")
     f1.stdout should include("bucket id outside the pinned count")
   }
+
+  test("maintainView aux views through the CLI protocol: fold with " +
+      "auxViews, point-look-up and diff the aux layer in a forked JVM") {
+    def items(cols: (String, String)*) = cols.map { case (n, t) =>
+      s"""{"name": "$n", "dbName": "$n", "type": "$t"}"""
+    }.mkString("[", ", ", "]")
+    val dir = mkDataDir("{}", None)
+    def cfg(view: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $view}}""")
+    def csv(name: String, content: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/$name"))
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in/$name/part.csv"), content)
+    }
+    def fold(id: Int): Unit = {
+      cfg(s"""{"kind": "cdcRollup", "statePath": "ast", "batchId": $id,
+             |  "keyColumns": ["id"], "seqColumn": "seq",
+             |  "opColumn": "op", "keys": ["grp"], "valueColumns": ["v"],
+             |  "nBaseBuckets": 2, "nAggBuckets": 2,
+             |  "auxViews": {"byg2": ["g2"]},
+             |  "delta": {"input": "in/a$id", "format": "csv",
+             |    "items": ${items("id" -> "bigint", "grp" -> "nvarchar",
+                  "g2" -> "nvarchar", "v" -> "float8",
+                  "seq" -> "bigint", "op" -> "nvarchar")}}
+             |}""".stripMargin)
+      val r = runCli(dir)
+      withClue(s"stderr: ${r.stderr}") { r.code shouldBe 0 }
+    }
+    csv("a0", "id,grp,g2,v,seq,op\n1,p,x,10,1,I\n2,q,y,20,1,I\n")
+    fold(0)
+    cfg("""{"kind": "retain", "statePath": "ast"}""")
+    runCli(dir).code shouldBe 0
+    csv("a1", "id,grp,g2,v,seq,op\n2,q,x,20,2,U\n")
+    fold(1)
+    // the aux layer serves by its own group key
+    cfg("""{"kind": "lookup", "statePath": "ast", "layer": "aux:byg2",
+          |  "keys": [{"g2": "x"}]}""".stripMargin)
+    val lk = runCli(dir)
+    withClue(s"stderr: ${lk.stderr}") { lk.code shouldBe 0 }
+    lk.stdout should include(""""n":2""")
+    lk.stdout should include(""""total":30.0""")
+    // and diffs on its own axis (main diff empty — grp untouched)
+    cfg("""{"kind": "diff", "statePath": "ast", "output": "ad",
+          |  "layer": "aux:byg2", "fromBatch": 0,
+          |  "toBatch": 1}""".stripMargin)
+    val df = runCli(dir)
+    withClue(s"stderr: ${df.stderr}") { df.code shouldBe 0 }
+    df.stdout should include(""""rows":2""")
+    cfg("""{"kind": "diff", "statePath": "ast", "output": "adm",
+          |  "fromBatch": 0, "toBatch": 1}""".stripMargin)
+    runCli(dir).stdout should include(""""rows":0""")
+  }
 }

@@ -465,5 +465,28 @@ class JoinViewSpec extends SparkSpec {
       JoinView.readViewAsOf(spark, fresh, 1L)
     }.getMessage should include("compaction")
     JoinView.readViewAsOf(spark, fresh, 2L).get.count() shouldBe 5L
+    // --- readViewDelta: the incremental consumer pull -------------
+    def deltaKeys(after: Long, to: Option[Long]): Seq[Long] =
+      JoinView.readViewDelta(spark, root, after, to)
+        .map(_.select("k").collect().map(_.getLong(0)).toSeq.sorted)
+        .getOrElse(Nil)
+    deltaKeys(0L, None) shouldBe Seq(3L, 4L, 5L)
+    deltaKeys(0L, Some(1L)) shouldBe Seq(3L)
+    deltaKeys(2L, None) shouldBe Nil // nothing new past the frontier
+    // pulling the same range again is byte-stable (immutable dirs)
+    deltaKeys(0L, Some(1L)) shouldBe Seq(3L)
+    // compaction floors the range: the merged d0 is not "appended in
+    // a range", so a backlog pull below the floor refuses loud...
+    intercept[IllegalArgumentException] {
+      JoinView.readViewDelta(spark, fresh, 1L)
+    }.getMessage should include("compaction floor")
+    // ...while pulls FROM the collapse point onward work: nothing
+    // yet, then exactly the post-compaction fold's rows
+    JoinView.readViewDelta(spark, fresh, 2L) shouldBe None
+    JoinView.foldBatchDirs(fresh, 3L, "k",
+      Seq((9L, "a9")).toDF("k", "a_val"),
+      Seq((9L, 90.0)).toDF("k", "b_val"), nBuckets = 4) shouldBe true
+    JoinView.readViewDelta(spark, fresh, 2L).get
+      .select("k").collect().map(_.getLong(0)).toSeq shouldBe Seq(9L)
   }
 }
