@@ -188,8 +188,14 @@ object CdcRollup {
     val aux = auxFields.headOption.toSeq
       .flatMap(_.stripPrefix("aux:").split(';').toSeq)
       .map { v =>
-        val Array(n, cs) = v.split('=')
-        dec(n) -> cs.split(',').toSeq.map(dec)
+        // validate the split: a malformed aux entry must refuse with
+        // the same IllegalArgumentException as the rest of the parse,
+        // not a MatchError — fsck catches IAE to report "malformed
+        // layout pin" instead of crashing on the state it audits
+        val kv = v.split('=')
+        require(kv.length == 2 && kv(0).nonEmpty && kv(1).nonEmpty,
+          s"cdcRollup: unrecognized layout pin '$pin' under $root")
+        dec(kv(0)) -> kv(1).split(',').toSeq.map(dec)
       }
     Layout(
       typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
@@ -336,6 +342,15 @@ object CdcRollup {
       .persist()
     try {
       if (net.isEmpty) { // empty delta: commit the marker, change nothing
+        // ... except materialize the DECLARED layer dirs (grp when
+        // minMax is pinned, one aux_<name> per aux view) exactly like
+        // compactStateTo does: a stream whose FIRST micro-batch is
+        // empty — a common startup shape — must not leave a committed
+        // state that fsck flags as "declared layer missing". mkdirs
+        // is idempotent, so later empty batches are no-ops here.
+        if (minMaxCols.nonEmpty) fs.mkdirs(new Path(rootPath, "grp"))
+        auxViews.foreach { case (n, _) =>
+          fs.mkdirs(new Path(rootPath, s"aux_$n")) }
         BatchMarkers.commit(fs, rootPath, batchId)
         return true
       }

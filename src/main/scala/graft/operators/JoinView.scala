@@ -584,14 +584,20 @@ object JoinView {
       case None => fs.mkdirs(new Path(freshPath, s"$side/d0")); ()
     }
     stage("a"); stage("b"); stage("view")
+    // the collapsed d0 merges ALL pre-frontier history — floor the
+    // as-of axis there so it is never served as an earlier snapshot.
+    // Floor BEFORE the committing foldInto: a floor on a
+    // still-uncommitted root is harmless (nothing reads it — the
+    // retry's crash-reset branch clearFloors it), whereas the reverse
+    // order leaves a crash window where the root reads committed but
+    // unfloored, and as-of/delta reads would silently serve the
+    // collapsed d0 as any earlier snapshot.
+    BatchMarkers.writeFloor(fs, freshPath,
+      srcMarkers.maxCommitted.getOrElse(0L))
     // the d0 dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
     BatchMarkers.foldInto(fs, freshPath,
       BatchMarkers.read(fs, freshPath),
-      srcMarkers.maxCommitted.getOrElse(0L))
-    // the collapsed d0 merges ALL pre-frontier history — floor the
-    // as-of axis there so it is never served as an earlier snapshot
-    BatchMarkers.writeFloor(fs, freshPath,
       srcMarkers.maxCommitted.getOrElse(0L))
     readCommittedView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }

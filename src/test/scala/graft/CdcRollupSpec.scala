@@ -1061,6 +1061,53 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("pinned")
   }
 
+  test("empty FIRST batch materializes the declared grp/aux layer " +
+      "dirs (a stream's empty startup micro-batch must not fsck as " +
+      "corrupt); a malformed aux pin field refuses as the named parse " +
+      "error, never a MatchError") {
+    val root = tmpRoot()
+    val empty = Seq.empty[(Long, String, String, Double, Long, String)]
+      .toDF("id", "grp", "grp2", "v", "seq", "op")
+    CdcRollup.foldBatch(root, 0L, empty, Seq("id"), "seq", "op",
+      Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+      minMaxCols = Seq("v"),
+      auxViews = Seq("by_g2" -> Seq("grp2"))) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(root, "grp")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(root,
+      "aux_by_g2")) shouldBe true
+    // the committed-but-empty state audits CLEAN: before the fix the
+    // declared-layer checks fired ok:false on a healthy startup shape
+    val audit = graft.app.ViewFsck.fsckJson(spark, root)
+    audit should include(""""ok":true""")
+    audit should include(""""errors":[]""")
+    // and the state keeps working: a real fold lands on the dirs
+    CdcRollup.foldBatch(root, 1L,
+      Seq((1L, "a", "x", 10.0, 1L, "I"))
+        .toDF("id", "grp", "grp2", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 4, 2,
+      minMaxCols = Seq("v"),
+      auxViews = Seq("by_g2" -> Seq("grp2"))) shouldBe true
+    view(root) shouldBe Map("a" -> ((1L, 10.0)))
+    // malformed aux field in a pin: IllegalArgumentException (the
+    // named refusal fsck catches and reports), never a MatchError
+    for (bad <- Seq("aux:noequals", "aux:a=", "aux:=v"))
+      intercept[IllegalArgumentException] {
+        CdcRollup.parseLayout(
+          s"cdcRollup|id:bigint|id|grp|v|2|2|$bad", "someroot")
+      }.getMessage should include("unrecognized layout pin")
+    // fsck on a state carrying a malformed aux pin REPORTS instead of
+    // crashing — it is exactly the tool meant to diagnose this
+    val badRoot = tmpRoot()
+    graft.sources.PartitionedStore.pinLayout(fs,
+      new org.apache.hadoop.fs.Path(badRoot), badRoot,
+      "cdcRollup|id:bigint|id|grp|v|2|2|aux:noequals")
+    val badAudit = graft.app.ViewFsck.fsckJson(spark, badRoot)
+    badAudit should include(""""ok":false""")
+    badAudit should include("malformed layout pin")
+  }
+
   test("compact keeps a declared layer whose every row retracted: the " +
       "fresh root still carries the (empty) grp and aux dirs — the pin " +
       "promises them — and folding onward from empty works") {

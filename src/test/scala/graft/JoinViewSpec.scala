@@ -355,6 +355,56 @@ class JoinViewSpec extends SparkSpec {
     }.getMessage should include("not empty")
   }
 
+  test("compactStateTo writes the as-of floor BEFORE the committing " +
+      "watermark fold: the crash window (pin + staged sides + floor, " +
+      "no watermark) serves NOTHING and the retry reclaims it, " +
+      "re-seeding the floor from the source") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-jvfw")
+      .toString
+    val root = s"$base/state"; val fresh = s"$base/fresh"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((2L, 3.0)).toDF("k", "price"),
+      Seq((2L, 4.0)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val freshPath = new org.apache.hadoop.fs.Path(fresh)
+    // the post-fix crash window: pin written, sides staged, floor
+    // written, foldInto (the committing watermark) never ran. Under
+    // the OLD ordering the window instead left a committed-looking
+    // root with NO floor, and as-of/delta reads silently served the
+    // collapsed d0 as any earlier snapshot.
+    graft.sources.PartitionedStore.pinLayout(fs, freshPath, fresh,
+      "join|stale|s|s|9")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fresh, "view/d0"))
+    graft.operators.BatchMarkers.writeFloor(fs, freshPath, 5L)
+    // conservative: nothing committed, so nothing serves...
+    JoinView.readCommittedView(spark, fresh) shouldBe None
+    JoinView.readViewAsOf(spark, fresh, 7L) shouldBe None
+    // ...and an as-of below the stray floor refuses rather than lies
+    intercept[IllegalArgumentException] {
+      JoinView.readViewAsOf(spark, fresh, 3L)
+    }.getMessage should include("compaction collapsed")
+    // the retry reclaims the window: stray floor cleared, state
+    // compacted, floor re-seeded at the SOURCE frontier (1, not 5)
+    JoinView.compactStateTo(spark, root, fresh, nBuckets = 4) shouldBe 2L
+    graft.operators.BatchMarkers.readFloor(fs, freshPath) shouldBe
+      Some(1L)
+    rows(JoinView.readCommittedView(spark, fresh).get
+      .orderBy("k")) shouldBe
+      Seq(Seq(1L, 1.0, 2.0), Seq(2L, 3.0, 4.0))
+    // and the floored root refuses pre-frontier as-of/delta reads
+    intercept[IllegalArgumentException] {
+      JoinView.readViewAsOf(spark, fresh, 0L)
+    }.getMessage should include("compaction collapsed")
+    intercept[IllegalArgumentException] {
+      JoinView.readViewDelta(spark, fresh, afterId = 0L)
+    }.getMessage should include("compaction floor")
+  }
+
   test("randomized differential: random two-sided insert deltas split " +
       "across batches fold to the one-shot join (seeded, 3 trials, " +
       "duplicate keys included)") {
