@@ -134,9 +134,30 @@ object ViewFsck {
               s"'aux_$n' is missing — reads would come up silently " +
               "empty")
         }
+        // grp_aux image layers must match the pin's per-aux minMax
+        // declaration both ways (the grp-layer rules, per aux)
+        val declaredGrpAux = layoutOpt.toSeq
+          .flatMap(_.auxMinMax.keys).toSet
+        val presentGrpAux = ls(rootPath).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("grp_aux_"))
+          .map(_.stripPrefix("grp_aux_")).toSet
+        (presentGrpAux -- declaredGrpAux).toSeq.sorted.foreach { n =>
+          check(errorWhen = true, error = true,
+            s"cdcRollup: image layer 'grp_aux_$n' exists but the pin " +
+              s"declares no minMax columns for aux view '$n' — no " +
+              "fold maintains it; remove it or re-pin via compact")
+        }
+        (declaredGrpAux -- presentGrpAux).toSeq.sorted.foreach { n =>
+          check(frontier.isDefined, error = true,
+            s"cdcRollup: the pin declares minMax columns for aux " +
+              s"view '$n' but image layer 'grp_aux_$n' is missing — " +
+              "the next min/max recompute would read nothing and " +
+              "store NULL extrema")
+        }
         for ((layer, n) <- Seq("base" -> nBase, "agg" -> nAgg,
             "grp" -> nAgg) ++
-            presentAux.toSeq.sorted.map(n => s"aux_$n" -> nAgg)) {
+            presentAux.toSeq.sorted.map(n => s"aux_$n" -> nAgg) ++
+            presentGrpAux.toSeq.sorted.map(n => s"grp_aux_$n" -> nAgg)) {
           ls(new Path(rootPath, layer)).filter(_.isDirectory)
             .foreach { st =>
               val name = st.getPath.getName

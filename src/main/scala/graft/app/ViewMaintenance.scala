@@ -61,7 +61,7 @@ object ViewMaintenance {
           readDelta(spark, cr.delta, dataDir), cr.keyColumns,
           cr.seqColumn, cr.opColumn, cr.keys, cr.valueColumns,
           cr.nBaseBuckets, cr.nAggBuckets, cr.minMaxColumns,
-          cr.auxViews)
+          cr.auxViews, cr.auxMinMaxColumns)
         Report(cr.kind, applied, Some(cr.batchId))
       case e: ExportViewConfig =>
         val root = resolve(e.statePath, dataDir)
@@ -87,14 +87,19 @@ object ViewMaintenance {
         // family with no history would be the worst failure shape
         // here; refuse NAMED (the layer-key discipline).
         e.asOf.foreach(checkAsof(spark, "export", pin, root, _))
-        // sinceBatch = the incremental consumer pull — join only
-        // (the other families' layers are states, not append logs)
-        if (e.sinceBatch.isDefined && !pin.startsWith("join|"))
+        // sinceBatch = the incremental consumer pull. Join views pull
+        // the APPENDED rows (their batch dirs are an append log);
+        // cdcRollup states pull the per-group CHANGE SET derived from
+        // the retained version chain. Plain rollup states keep no
+        // history — refuse NAMED.
+        if (e.sinceBatch.isDefined && !pin.startsWith("join|") &&
+            !pin.startsWith("cdcRollup|"))
           throw new UserException(
             "maintainView export: sinceBatch is the incremental pull " +
-              "over a join view's append-only batch dirs; the state " +
-              s"under $root is '${pin.takeWhile(_ != '|')}' — use " +
-              "asOf/diff for snapshot reads there")
+              "over a join view's append-only batch dirs or a " +
+              "cdcRollup state's retained version chain; the state " +
+              s"under $root is '${pin.takeWhile(_ != '|')}' — rollup " +
+              "states keep no history")
         val df =
           if (pin.startsWith("join|"))
             (e.asOf, e.sinceBatch) match {
@@ -133,7 +138,30 @@ object ViewMaintenance {
                   throw new UserException(
                     s"maintainView export: ${ex.getMessage}")
               }
+            e.sinceBatch.foreach { since =>
+              // the pull cadence must fit the retention window: the
+              // same honesty checks as asOf (retention on + floor),
+              // as config misuse (exit 1)
+              checkAsof(spark, "export", pin, root, since,
+                keyName = "sinceBatch")
+              if (e.layer == "base") throw new UserException(
+                "maintainView export: sinceBatch pulls the per-group " +
+                  "change set; the base layer holds keyed images, " +
+                  "not group state — use asOf for base snapshots")
+            }
             val read = (e.layer, e.asOf) match {
+              case (l, None) if e.sinceBatch.isDefined =>
+                val auxName = Some(l).filter(_.startsWith("aux:"))
+                  .map(_.stripPrefix("aux:"))
+                // "ahead of the frontier" / undeclared aux are config
+                // misuse — rewrap the library refusals
+                try Some(graft.operators.CdcRollup.readViewSince(
+                  spark, root, e.sinceBatch.get, auxName))
+                catch {
+                  case ex: IllegalArgumentException =>
+                    throw new UserException(
+                      s"maintainView export: ${ex.getMessage}")
+                }
               case ("base", Some(a)) =>
                 graft.operators.CdcRollup.readBaseAsOf(spark, root, a)
               case ("base", None) =>
@@ -172,12 +200,19 @@ object ViewMaintenance {
         // count the CACHED view once before the write — the same rows
         // the write materializes, without a second full scan of the
         // export (the write itself still fails loud on any IO error)
+        // on a sinceBatch pull, report the frontier the consumer just
+        // pulled TO (as batch_id) — the value they record and pass
+        // back as the next pull's sinceBatch
+        val pulledTo =
+          if (e.sinceBatch.isDefined)
+            graft.operators.BatchMarkers.read(fs, rootPath).maxCommitted
+          else None
         val cached = df.persist()
         try {
           val n = cached.count()
           cached.write.mode("overwrite").parquet(out)
-          Report(e.kind, applied = true, rows = Some(n),
-            output = Some(out))
+          Report(e.kind, applied = true, batchId = pulledTo,
+            rows = Some(n), output = Some(out))
         } finally { cached.unpersist(); () }
       case st: StatusViewConfig =>
         val root = resolve(st.statePath, dataDir)
@@ -355,17 +390,22 @@ object ViewMaintenance {
     * (their folds reap history eagerly otherwise) AND above their
     * reap floor; rollup states keep no history at all. */
   private def checkAsof(spark: SparkSession, what: String, pin: String,
-                        root: String, asOf: Long): Unit = {
+                        root: String, asOf: Long,
+                        /** the config key being validated — "asOf",
+                          * or "sinceBatch" for the incremental pull
+                          * (same history rules, right name in the
+                          * refusal). */
+                        keyName: String = "asOf"): Unit = {
     if (pin.startsWith("join|")) {
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
       graft.operators.BatchMarkers.readFloor(fs, rootPath)
         .filter(asOf < _).foreach { floor =>
           throw new UserException(
-            s"maintainView $what: asOf $asOf is below this root's " +
-              s"compaction floor $floor — compaction merged earlier " +
-              "history into one batch dir; read older snapshots from " +
-              "the pre-compaction root")
+            s"maintainView $what: $keyName $asOf is below this " +
+              s"root's compaction floor $floor — compaction merged " +
+              "earlier history into one batch dir; read older " +
+              "snapshots from the pre-compaction root")
         }
     } else if (pin.startsWith("cdcRollup|")) {
       val floor = graft.operators.CdcRollup.asofFloor(spark, root)
@@ -375,9 +415,9 @@ object ViewMaintenance {
             "'retain' kind BEFORE the folds whose snapshots you need"))
       if (asOf < floor)
         throw new UserException(
-          s"maintainView $what: asOf $asOf is below the retention " +
-            s"floor $floor — that snapshot's versions were reaped; " +
-            "widen gc retainHours")
+          s"maintainView $what: $keyName $asOf is below the " +
+            s"retention floor $floor — that snapshot's versions were " +
+            "reaped; widen gc retainHours")
     } else
       throw new UserException(
         s"maintainView $what: the as-of snapshot axis only exists on " +

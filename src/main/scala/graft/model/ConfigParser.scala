@@ -254,12 +254,33 @@ object ConfigParser {
             e.getKey -> cols
           }
         }
+        // auxMinMaxColumns: {name: [cols]} — per-aux exact MIN/MAX;
+        // names must be declared aux views (checked here so config
+        // misuse exits 1 instead of surfacing as a library refusal)
+        val auxMm = opt(v, "auxMinMaxColumns").toSeq.flatMap { node =>
+          if (!node.isObject)
+            throw new UserException(
+              "view.auxMinMaxColumns must be an object of " +
+                "name -> [columns]")
+          node.properties.asScala.toSeq.map { e =>
+            val cols = e.getValue.elements.asScala.toSeq.map(_.asText)
+            if (cols.isEmpty)
+              throw new UserException(
+                s"view.auxMinMaxColumns.'${e.getKey}' must list columns")
+            if (!aux.exists(_._1 == e.getKey))
+              throw new UserException(
+                s"view.auxMinMaxColumns names '${e.getKey}' which is " +
+                  "not declared in view.auxViews")
+            e.getKey -> cols
+          }
+        }.toMap
         CdcRollupViewConfig(statePath, batchId, keyCols,
           seqColumn = req(v, "seqColumn").asText,
           opColumn = req(v, "opColumn").asText,
           keys = keys, valueColumns = valueCols,
           delta = delta, nBaseBuckets = nBase, nAggBuckets = nAgg,
-          minMaxColumns = minMax, auxViews = aux)
+          minMaxColumns = minMax, auxViews = aux,
+          auxMinMaxColumns = auxMm)
       case other =>
         throw new UserException(s"View kind '$other' is not supported")
     }

@@ -114,7 +114,17 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
                                        * at first fold like every
                                        * layout choice. */
                                      auxViews: Seq[(String, Seq[String])]
-                                       = Nil)
+                                       = Nil,
+                                     /** Per-aux exact MIN/MAX columns
+                                       * (config: `auxMinMaxColumns:
+                                       * {name: [cols]}`) — names must
+                                       * be declared in `auxViews`;
+                                       * that view gains min/max
+                                       * served from its own slim
+                                       * image layer. */
+                                     auxMinMaxColumns:
+                                       Map[String, Seq[String]]
+                                       = Map.empty)
     extends ViewConfig {
   val kind = "cdcRollup"
 }

@@ -33,7 +33,18 @@ import org.apache.spark.sql.functions._
   *    SAME base, bucketed on ITS OWN group columns. N dashboards over
   *    one feed pay ONE netting pass, ONE base rewrite and ONE atomic
   *    marker instead of N separate states; each fold re-groups the
-  *    same signed contributions per view. Sums-only by contract.
+  *    same signed contributions per view. Sums-only by default; an
+  *    aux named in `auxMinMaxCols` gains exact `min_i`/`max_i`
+  *    columns served from its OWN image layer (next bullet's
+  *    machinery, per aux).
+  *  - `grp_aux_<name>/` — present per aux view declared in
+  *    `auxMinMaxCols`: the current images projected to (auxGroup,
+  *    pk, auxMinMax) columns, bucketed by the AUX view's group key —
+  *    the aux-local sibling of `grp/` below, because an aux group's
+  *    member rows scatter across both the base's pk buckets AND the
+  *    main grp layer's group buckets; only a projection bucketed on
+  *    the aux's own key makes its touched-group recompute
+  *    bucket-pruned.
   *  - `grp/` — present ONLY when `minMaxCols` is declared: the
   *    current images projected to (group, pk, minMax) columns,
   *    hash-bucketed on the GROUP key with the agg layer's bucket
@@ -136,7 +147,8 @@ object CdcRollup {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => layerNames.contains(n) || n.startsWith("aux_"))
+      .filter(n => layerNames.contains(n) || n.startsWith("aux_") ||
+        n.startsWith("grp_aux_"))
 
   // The `_ASOF_FLOOR_` retention-floor protocol lives in
   // [[BatchMarkers]] (shared with JoinView's compaction floor);
@@ -171,7 +183,19 @@ object CdcRollup {
                                          nAggBuckets: Int,
                                          minMaxCols: Seq[String],
                                          auxViews: Seq[(String,
-                                           Seq[String])])
+                                           Seq[String])],
+                                         /** per-aux MIN/MAX columns
+                                           * (aux name -> cols); an aux
+                                           * absent here is sums-only.
+                                           * Rides the aux pin entry as
+                                           * `name=cols~mmCols` — the
+                                           * `~` never survives
+                                           * URL-encoding, so the shape
+                                           * dispatch is unambiguous
+                                           * and sums-only entries keep
+                                           * their bytes. */
+                                         auxMinMax: Map[String,
+                                           Seq[String]])
 
   private[graft] def parseLayout(pin: String, root: String): Layout = {
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -185,7 +209,7 @@ object CdcRollup {
     val (auxFields, mmFields) = extras.partition(_.startsWith("aux:"))
     require(auxFields.length <= 1 && mmFields.length <= 1,
       s"cdcRollup: unrecognized layout pin '$pin' under $root")
-    val aux = auxFields.headOption.toSeq
+    val auxParsed = auxFields.headOption.toSeq
       .flatMap(_.stripPrefix("aux:").split(';').toSeq)
       .map { v =>
         // validate the split: a malformed aux entry must refuse with
@@ -195,7 +219,14 @@ object CdcRollup {
         val kv = v.split('=')
         require(kv.length == 2 && kv(0).nonEmpty && kv(1).nonEmpty,
           s"cdcRollup: unrecognized layout pin '$pin' under $root")
-        dec(kv(0)) -> kv(1).split(',').toSeq.map(dec)
+        // value shape: `cols` (sums-only) or `cols~mmCols` (per-aux
+        // min/max) — `~` is %7E after URL-encoding, so a literal one
+        // is always the separator
+        val cm = kv(1).split('~')
+        require(cm.length <= 2 && cm.forall(_.nonEmpty),
+          s"cdcRollup: unrecognized layout pin '$pin' under $root")
+        (dec(kv(0)), cm(0).split(',').toSeq.map(dec),
+          cm.lift(1).toSeq.flatMap(_.split(',').toSeq.map(dec)))
       }
     Layout(
       typed = parts(1).split(',').toSeq.map(_.split(':')).collect {
@@ -208,7 +239,10 @@ object CdcRollup {
       nAggBuckets = parts(6).toInt,
       minMaxCols = mmFields.headOption.toSeq
         .flatMap(_.split(',').toSeq).map(dec),
-      auxViews = aux)
+      auxViews = auxParsed.map { case (n, cs, _) => n -> cs },
+      auxMinMax = auxParsed.collect {
+        case (n, _, mm) if mm.nonEmpty => n -> mm
+      }.toMap)
   }
 
   /** Fold one CDC batch — all `valueCols` measures in ONE pass over
@@ -223,7 +257,16 @@ object CdcRollup {
                 groupCols: Seq[String], valueCols: Seq[String],
                 nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
                 minMaxCols: Seq[String] = Nil,
-                auxViews: Seq[(String, Seq[String])] = Nil): Boolean = {
+                auxViews: Seq[(String, Seq[String])] = Nil,
+                /** per-aux exact MIN/MAX columns (aux name -> cols):
+                  * that aux view gains `min_i`/`max_i` columns
+                  * maintained by the same touched-group recompute as
+                  * the main view's, against its OWN slim
+                  * `grp_aux_<name>` image layer (bucketed by the
+                  * aux's group key). Keys must name declared
+                  * `auxViews`; pinned like every layout choice. */
+                auxMinMaxCols: Map[String, Seq[String]] =
+                  Map.empty): Boolean = {
     import org.apache.hadoop.fs.Path
     require(pkCols.nonEmpty, "cdcRollup needs pk columns")
     require(groupCols.nonEmpty, "cdcRollup needs group columns")
@@ -236,8 +279,9 @@ object CdcRollup {
       s"bucket counts must be >= 1, got $nBaseBuckets/$nAggBuckets")
     // aux views: extra rollups over the SAME base, each with its own
     // group key — names become layer dirs (`aux_<name>`), so they
-    // must be path-safe; sums-only by contract (the grp image layer
-    // serves the MAIN view's min/max recompute only)
+    // must be path-safe; sums-only unless the view is named in
+    // `auxMinMaxCols` (then it gets its own `grp_aux_<name>` image
+    // layer and the main view's touched-group recompute)
     require(auxViews.map(_._1).distinct.size == auxViews.size,
       s"cdcRollup: duplicate aux view names")
     auxViews.foreach { case (name, cols) =>
@@ -250,8 +294,18 @@ object CdcRollup {
       require(cols.distinct == cols,
         s"cdcRollup: aux view '$name' lists a group column twice")
     }
+    auxMinMaxCols.foreach { case (name, cols) =>
+      require(auxViews.exists(_._1 == name),
+        s"cdcRollup: auxMinMaxCols names aux view '$name' which is " +
+          "not declared in auxViews")
+      require(cols.nonEmpty,
+        s"cdcRollup: auxMinMaxCols for '$name' must list columns")
+      require(cols.distinct == cols,
+        s"cdcRollup: auxMinMaxCols for '$name' lists a column twice")
+    }
     (pkCols ++ groupCols ++ valueCols ++ minMaxCols ++
-      auxViews.flatMap(_._2) ++ Seq(seqCol, opCol))
+      auxViews.flatMap(_._2) ++ auxMinMaxCols.values.flatten ++
+      Seq(seqCol, opCol))
       .foreach { c =>
         require(delta.columns.contains(c),
           s"cdcRollup: delta lacks declared column '$c'")
@@ -260,7 +314,7 @@ object CdcRollup {
     // column spelled like one would vanish from the persisted image
     // and fail later with an opaque resolution error; refuse NAMED
     require(!(pkCols ++ groupCols ++ valueCols ++ minMaxCols ++
-        auxViews.flatMap(_._2))
+        auxViews.flatMap(_._2) ++ auxMinMaxCols.values.flatten)
         .exists(c => c == seqCol || c == opCol),
       "cdcRollup: seq/op columns cannot double as pk/group/value columns")
     val agg = aggNames(valueCols.size)
@@ -268,7 +322,12 @@ object CdcRollup {
     val maxs = maxNames(minMaxCols.size)
     // payload = the persisted base image (everything but seq/op)
     val payloadCols = delta.columns.filterNot(c => c == seqCol || c == opCol)
-    val stateNames = Set("n") ++ agg ++ mins ++ maxs
+    // the state namespace covers the WIDEST min/max column set any
+    // layer persists (main or aux)
+    val mmWidest = (minMaxCols.size +:
+      auxMinMaxCols.values.map(_.size).toSeq).max
+    val stateNames = Set("n") ++ agg ++
+      minNames(mmWidest) ++ maxNames(mmWidest)
     val clash = payloadCols
       .filter(c => stateNames(c) || c.startsWith("__"))
     require(clash.isEmpty,
@@ -314,7 +373,14 @@ object CdcRollup {
     val auxField =
       if (auxViews.isEmpty) ""
       else "|aux:" + auxViews.map { case (n, cs) =>
-        enc(n) + "=" + cs.map(enc).mkString(",")
+        // `~mmCols` appends ONLY when declared — sums-only aux
+        // entries keep their historical bytes, and adding/removing an
+        // aux's min/max set refuses on the pin mismatch like every
+        // other layout change (its grp_aux layer was never
+        // maintained; re-shard via compact)
+        enc(n) + "=" + cs.map(enc).mkString(",") +
+          auxMinMaxCols.get(n).map("~" + _.map(enc).mkString(","))
+            .getOrElse("")
       }.mkString(";")
     graft.sources.PartitionedStore.pinLayout(fs, rootPath, root,
       s"cdcRollup|$typed|${pkCols.map(enc).mkString(",")}|" +
@@ -322,7 +388,8 @@ object CdcRollup {
         s"${valueCols.map(enc).mkString(",")}|" +
         s"$nBaseBuckets|$nAggBuckets$mmField$auxField")
     // reap THIS batch's crash garbage (staged dirs + unmarked versions)
-    for (layer <- layerNames ++ auxViews.map("aux_" + _._1)) {
+    for (layer <- layerNames ++ auxViews.map("aux_" + _._1) ++
+        auxMinMaxCols.keys.map("grp_aux_" + _)) {
       fs.delete(new Path(rootPath, s"$layer/.staging$batchId"), true)
       val layerDir = new Path(rootPath, layer)
       if (fs.exists(layerDir))
@@ -351,6 +418,8 @@ object CdcRollup {
         if (minMaxCols.nonEmpty) fs.mkdirs(new Path(rootPath, "grp"))
         auxViews.foreach { case (n, _) =>
           fs.mkdirs(new Path(rootPath, s"aux_$n")) }
+        auxMinMaxCols.keys.foreach { n =>
+          fs.mkdirs(new Path(rootPath, s"grp_aux_$n")) }
         BatchMarkers.commit(fs, rootPath, batchId)
         return true
       }
@@ -486,11 +555,19 @@ object CdcRollup {
           // ONE atomic marker instead of N of each (the base layer is
           // the big thing at scale; the per-view cost here is one
           // delta-sized aggregation + touched-bucket rewrites of its
-          // own slim agg layer). Sums-only by contract (min/max needs
-          // the grp image layer, maintained for the main view alone).
+          // own slim agg layer). Sums-only by default; an aux named
+          // in `auxMinMaxCols` additionally carries exact MIN/MAX
+          // maintained against its OWN slim `grp_aux_<name>` image
+          // layer — the main view's touched-group recompute verbatim,
+          // bucketed by the AUX group key (the main `grp` layer could
+          // never serve it: an aux group's members scatter across the
+          // main layer's group-hashed buckets).
           val auxLayers = auxViews.map { case (name, cols) =>
             val bucketOf = pmod(xxhash64(cols.map(col): _*),
               lit(nAggBuckets)).cast("int")
+            val aMm = auxMinMaxCols.getOrElse(name, Nil)
+            val aMins = minNames(aMm.size)
+            val aMaxs = maxNames(aMm.size)
             val aMinus = old.select((cols.map(col) :+
               lit(-1L).as("__dn")) ++
               valueCols.zip(dts).map { case (v, d) =>
@@ -511,7 +588,12 @@ object CdcRollup {
               StructType(cols.map(c => delta.schema(c)) ++
                 (StructField("n", org.apache.spark.sql.types.LongType) +:
                   agg.map(t => StructField(t,
-                    org.apache.spark.sql.types.DecimalType(38, 6))))))
+                    org.apache.spark.sql.types.DecimalType(38, 6)))) ++
+                aMm.zipWithIndex.flatMap { case (v, i) =>
+                  val dt = delta.schema(v).dataType
+                  Seq(StructField(aMins(i), dt),
+                    StructField(aMaxs(i), dt))
+                }))
             val oldA = readLatest(spark, fs, rootPath, s"aux_$name",
               Some(touchedA), markers).getOrElse(emptyA)
             val condA = cols.map(c => oldA(c) <=> aContrib(c))
@@ -524,17 +606,62 @@ object CdcRollup {
                 agg.zip(dts).map { case (t, d) =>
                   (coalesce(oldA(t), lit(0).cast(dec)) +
                     coalesce(aContrib(d), lit(0).cast(dec))).cast(dec)
-                    .as(t) }: _*)
+                    .as(t) } ++
+                // min/max pass through; the recompute below overrides
+                // them for exactly the touched groups
+                (aMins ++ aMaxs).map(c => oldA(c).as(c)): _*)
+            val (finalA, grpA) =
+              if (aMm.isEmpty) (mergedA, Nil)
+              else {
+                val grpColsA = (cols ++ pkCols ++ aMm).distinct
+                val emptyGrpA = spark.createDataFrame(
+                  java.util.Collections
+                    .emptyList[org.apache.spark.sql.Row](),
+                  StructType(grpColsA.map(c => delta.schema(c))))
+                val oldGrpA = readLatest(spark, fs, rootPath,
+                  s"grp_aux_$name", Some(touchedA), markers)
+                  .getOrElse(emptyGrpA)
+                val newGrpA = oldGrpA.join(keys, pkCols, "left_anti")
+                  .unionByName(upserts.select(grpColsA.map(col): _*))
+                val touchedGroupsA = newGrpA.join(aContrib,
+                  cols.map(c => newGrpA(c) <=> aContrib(c))
+                    .reduce(_ && _), "left_semi")
+                val mmAggsA = aMm.zipWithIndex.flatMap { case (v, i) =>
+                  Seq(min(col(v)).as(s"__mm_${aMins(i)}"),
+                    max(col(v)).as(s"__mm_${aMaxs(i)}"))
+                } :+ count(lit(1)).as("__mm_rows")
+                val recomputedA = touchedGroupsA
+                  .groupBy(cols.map(col): _*)
+                  .agg(mmAggsA.head, mmAggsA.tail: _*)
+                // presence discriminator, NOT coalesce (the main
+                // view's rule): a recomputed group's value wins EVEN
+                // WHEN NULL
+                val condMm = cols
+                  .map(c => mergedA(c) <=> recomputedA(c))
+                  .reduce(_ && _)
+                val joinedA = mergedA
+                  .join(recomputedA, condMm, "left_outer")
+                  .select((cols.map(c => mergedA(c).as(c)) :+
+                    mergedA("n").as("n")) ++
+                    agg.map(t => mergedA(t).as(t)) ++
+                    (aMins ++ aMaxs).map { c =>
+                      when(recomputedA("__mm_rows").isNotNull,
+                        recomputedA(s"__mm_$c")).otherwise(mergedA(c))
+                        .as(c)
+                    }: _*)
+                (joinedA,
+                  Seq((s"grp_aux_$name", newGrpA, bucketOf, touchedA)))
+              }
             (aContrib,
-              (s"aux_$name", mergedA.filter(col("n") > 0), bucketOf,
-                touchedA))
+              Seq((s"aux_$name", finalA.filter(col("n") > 0), bucketOf,
+                touchedA)) ++ grpA)
           }
           try {
             stageAndCommit(fs, rootPath, batchId,
               Seq(("base", newBase, baseBucket, touchedBase),
                 // a fully-retracted group drops out of the view
                 ("agg", withMinMax.filter(col("n") > 0), aggBucket,
-                  touchedAgg)) ++ grpLayer ++ auxLayers.map(_._2),
+                  touchedAgg)) ++ grpLayer ++ auxLayers.flatMap(_._2),
               // retention mode: superseded versions ARE the snapshot
               // history — the fold keeps them; reapRetainedVersions
               // owns their (floor-advancing) deletion
@@ -567,7 +694,8 @@ object CdcRollup {
   }
 
   /** An AUX VIEW by name — the extra rollups `auxViews` maintains
-    * over the shared base (per-group `(n, total...)`, sums-only).
+    * over the shared base (per-group `(n, total...)`, plus
+    * `min_i`/`max_i` when the aux is declared in `auxMinMaxCols`).
     * Refuses a name the pin never declared (an undeclared layer
     * would read as silently empty). None before the first commit. */
   def readAuxView(spark: SparkSession, root: String,
@@ -798,8 +926,13 @@ object CdcRollup {
     }
     val layer = auxView.map("aux_" + _).getOrElse("agg")
     val k = layout.valueCols.length
-    // aux views are sums-only; min/max state exists on the main view
-    val m = if (auxView.isEmpty) layout.minMaxCols.length else 0
+    // min/max state: the pin's own set for the main view, the per-aux
+    // declaration (if any) for an aux view
+    val mmDecl = auxView match {
+      case None       => layout.minMaxCols
+      case Some(name) => layout.auxMinMax.getOrElse(name, Nil)
+    }
+    val m = mmDecl.length
     val stateCols = Seq("n") ++ aggNames(k) ++ minNames(m) ++ maxNames(m)
     val markers = BatchMarkers.read(fs, rootPath)
     // changed buckets: any committed version landed in (fromId, toId]
@@ -823,7 +956,7 @@ object CdcRollup {
     // the pin's typed field)
     val typed = layout.typed
     import org.apache.spark.sql.types.{StructField, StructType}
-    val mmNames = if (auxView.isEmpty) layout.minMaxCols else Nil
+    val mmNames = mmDecl
     def mmType(v: String) = org.apache.spark.sql.types.DataType
       .fromDDL(typed.getOrElse(v, "string"))
     def emptyState = spark.createDataFrame(
@@ -858,6 +991,61 @@ object CdcRollup {
         when(inFrom && !inTo, lit("removed"))
           .when(!inFrom && inTo, lit("added"))
           .otherwise(lit("changed")).as("change")): _*)
+  }
+
+  /** The incremental CONSUMER PULL — the change set since the
+    * consumer's last pulled frontier, the CDC-family symmetric of
+    * [[JoinView.readViewDelta]]: "give me what moved since batch
+    * `afterId`" without the consumer having to know about retention
+    * floors, the current frontier, or [[diffView]]'s two-sided API.
+    * Consumers record the frontier they pulled to (returned by
+    * [[committedFrontier]], and surfaced in the CLI export report)
+    * and pass it back as `afterId` on the next pull.
+    *
+    * Semantics: exactly `diffView(afterId, frontier)` — per-group
+    * `added`/`removed`/`changed` rows with `_from`/`_to` state
+    * columns — because a STATE family's delta is a change set, not an
+    * append log (the same group may move many times between pulls;
+    * the consumer wants the net move). Requires retention mode with
+    * `afterId >= floor` (the pull cadence must fit inside the
+    * retention window — widen gc retainHours if pulls are rarer than
+    * reaps); `afterId` equal to the frontier is a VALID empty pull;
+    * `afterId` AHEAD of the frontier refuses loud — a consumer
+    * frontier this state never produced means a wrong root or a
+    * reset state, and serving an empty pull would silently drop the
+    * consumer's backlog forever. Re-pulls of the same range are
+    * stable while the floor stays below `afterId` (retained version
+    * dirs are immutable).
+    *
+    * 100 TB shape: inherited from [[diffView]] — both snapshot reads
+    * prune to the buckets holding a committed version in
+    * `(afterId, frontier]`, so a pull costs O(changed buckets), never
+    * a state scan, and an idle state costs nothing. */
+  def readViewSince(spark: SparkSession, root: String, afterId: Long,
+                    /** Some(name) pulls that AUX view's change set
+                      * on its own group key. */
+                    auxView: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val frontier = BatchMarkers.read(fs, rootPath).maxCommitted
+      .getOrElse(throw new IllegalStateException(
+        s"readViewSince: no committed state under $root"))
+    require(afterId <= frontier,
+      s"readViewSince: afterId $afterId is AHEAD of the committed " +
+        s"frontier $frontier under $root — a frontier this state " +
+        "never produced (wrong root, or a reset state); re-baseline " +
+        "the consumer with a full export")
+    diffView(spark, root, afterId, frontier, auxView)
+  }
+
+  /** The committed frontier — the batch id a consumer should record
+    * after a [[readViewSince]] pull (None when nothing committed). */
+  def committedFrontier(spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    BatchMarkers.read(fs, rootPath).maxCommitted
   }
 
   /** Reap retained history older than the retention window and
@@ -1218,11 +1406,16 @@ object CdcRollup {
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
       .cast("int")
     val srcMarkers = BatchMarkers.read(fs, rootPath)
-    // aux layers re-shard with the agg bucket count on THEIR OWN
-    // group columns (each aux view hashes its own key set)
-    val auxBuckets = layout.auxViews.map { case (name, cols) =>
-      s"aux_$name" -> pmod(xxhash64(cols.map(col): _*),
+    // aux layers (and their grp_aux image layers, when the aux has
+    // min/max) re-shard with the agg bucket count on THEIR OWN group
+    // columns (each aux view hashes its own key set)
+    val auxBuckets = layout.auxViews.flatMap { case (name, cols) =>
+      val bucketOf = pmod(xxhash64(cols.map(col): _*),
         lit(nAggBuckets)).cast("int")
+      Seq(s"aux_$name" -> bucketOf) ++
+        (if (layout.auxMinMax.contains(name))
+          Seq(s"grp_aux_$name" -> bucketOf)
+        else Nil)
     }
     for ((layer, bucketOf) <- Seq("base" -> baseBucket,
         "agg" -> aggBucket, "grp" -> aggBucket) ++ auxBuckets)
@@ -1237,22 +1430,29 @@ object CdcRollup {
     // fsck treats a promised-but-missing layer as a silently-empty
     // ERROR — an empty dir is the honest spelling of an empty view
     for (l <- layout.auxViews.map("aux_" + _._1) ++
+        layout.auxMinMax.keys.map("grp_aux_" + _) ++
         (if (layout.minMaxCols.nonEmpty) Seq("grp") else Nil))
       if (!fs.exists(new Path(freshPath, l))) {
         fs.mkdirs(new Path(freshPath, l)); ()
       }
+    // retention mode survives the swap but the history does NOT
+    // (compaction collapses every bucket to one v0 image) — the
+    // fresh floor is the frontier: pre-compaction snapshots refuse
+    // loud, post-compaction folds accrete history again. Floor
+    // BEFORE the committing foldInto (the JoinView.compactStateTo
+    // ordering): a floor on an uncommitted root is harmless (the
+    // retry's crash-reset clears it), while the reverse order's
+    // crash window would leave a committed root with retention
+    // silently OFF — conservative (requireServable refuses) but a
+    // dropped property.
+    if (readAsofFloor(fs, rootPath).isDefined)
+      BatchMarkers.writeFloor(fs, freshPath,
+        srcMarkers.maxCommitted.getOrElse(0L))
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
     BatchMarkers.foldInto(fs, freshPath,
       BatchMarkers.read(fs, freshPath),
       srcMarkers.maxCommitted.getOrElse(0L))
-    // retention mode survives the swap but the history does NOT
-    // (compaction collapses every bucket to one v0 image) — the
-    // fresh floor is the frontier: pre-compaction snapshots refuse
-    // loud, post-compaction folds accrete history again
-    if (readAsofFloor(fs, rootPath).isDefined)
-      BatchMarkers.writeFloor(fs, freshPath,
-        srcMarkers.maxCommitted.getOrElse(0L))
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 

@@ -807,7 +807,7 @@ object RelationalQueries {
       val ord = t(s, dir, "orders")
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           col("o_custkey"))
-        .filter(k % 4 === 0)
+        .filter(k % 8 === 0)
       def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           col("o_custkey"), lit(seq.toLong).as("seq"), lit("I").as("op"))
@@ -825,7 +825,7 @@ object RelationalQueries {
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority"),
           Seq("o_totalprice", "o_custkey"),
-          nBaseBuckets = 4, nAggBuckets = 2)
+          nBaseBuckets = 2, nAggBuckets = 2)
       }
       CdcRollup.readView(s, root).get
         .select(col("o_orderpriority"), col("n"),
@@ -900,7 +900,7 @@ object RelationalQueries {
       val ord = t(s, dir, "orders")
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           col("o_custkey"))
-        .filter(k % 8 === 0)
+        .filter(k % 16 === 0)
       def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           col("o_custkey"), lit(seq.toLong).as("seq"), lit("I").as("op"))
@@ -917,7 +917,7 @@ object RelationalQueries {
       Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
-          nBaseBuckets = 4, nAggBuckets = 2,
+          nBaseBuckets = 2, nAggBuckets = 2,
           minMaxCols = Seq("o_totalprice", "o_custkey"))
       }
       CdcRollup.readView(s, root).get
@@ -1022,7 +1022,10 @@ object RelationalQueries {
     // UNION ALL of two one-shot GROUP BYs over the final images. An
     // aux fold that leaked a retraction on either dimension (the
     // X-UPD move changes the priority grouping but NOT the status
-    // grouping; the deletes change both) hashes red.
+    // grouping; the deletes change both) hashes red. The aux
+    // dimension additionally carries PER-AUX exact MIN/MAX
+    // (`auxMinMaxCols`) recomputed from its own grp_aux image layer
+    // — a stale extremum after the deletes hashes red too.
     "cdc_cube_view" -> ((s, dir) => {
       import graft.operators.CdcRollup
       val root = "/tmp/graft_cdccb_" + dir.replaceAll("[^0-9.]", "")
@@ -1051,16 +1054,24 @@ object RelationalQueries {
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
           nBaseBuckets = 2, nAggBuckets = 2,
-          auxViews = Seq("by_status" -> Seq("o_orderstatus")))
+          auxViews = Seq("by_status" -> Seq("o_orderstatus")),
+          // the aux dimension carries its OWN exact MIN/MAX, served
+          // from its grp_aux image layer — an extremum surviving the
+          // k%5 deletes or the group-moving update stale hashes red
+          auxMinMaxCols = Map("by_status" -> Seq("o_totalprice")))
       }
       val main = CdcRollup.readView(s, root).get
         .select(lit("priority").as("dim"),
           col("o_orderpriority").as("key"), col("n"),
-          col("total").cast("double").as("total_price"))
+          col("total").cast("double").as("total_price"),
+          lit(null).cast("double").as("min_price"),
+          lit(null).cast("double").as("max_price"))
       val aux = CdcRollup.readAuxView(s, root, "by_status").get
         .select(lit("status").as("dim"),
           col("o_orderstatus").as("key"), col("n"),
-          col("total").cast("double").as("total_price"))
+          col("total").cast("double").as("total_price"),
+          col("min_1").cast("double").as("min_price"),
+          col("max_1").cast("double").as("max_price"))
       main.unionByName(aux).orderBy("dim", "key")
     }),
 
@@ -1102,6 +1113,49 @@ object RelationalQueries {
           nBaseBuckets = 2, nAggBuckets = 2)
       }
       CdcRollup.diffView(s, root, 0L, 2L)
+        .select(col("o_orderpriority"),
+          col("n_from"), col("total_from").cast("double").as("total_from"),
+          col("n_to"), col("total_to").cast("double").as("total_to"),
+          col("change"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // The incremental CONSUMER PULL
+    // ([[graft.operators.CdcRollup.readViewSince]]): the CDC-family
+    // symmetric of the join view's readViewDelta — "what moved since
+    // batch 0?" resolved against the state's OWN committed frontier
+    // (the consumer never names the to-side). Slim artifact (2 folds,
+    // 2/2 buckets, k%16 slice): batch 0 inserts the slice, batch 1
+    // moves every k%7 key to a new group and deletes every k%5 key
+    // (delete wins the k%35 overlap on seq). The oracle derives the
+    // two images semantically and full-outer-joins them; a pull that
+    // resolved the wrong frontier, leaked an unchanged group, or
+    // mislabeled a side hashes red.
+    "cdc_since_view" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcsb_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableRetention(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op"))
+      val b1 = ord.filter(k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readViewSince(s, root, 0L)
         .select(col("o_orderpriority"),
           col("n_from"), col("total_from").cast("double").as("total_from"),
           col("n_to"), col("total_to").cast("double").as("total_to"),
@@ -1203,7 +1257,7 @@ object RelationalQueries {
       """WITH sliced AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p,
         |         o_totalprice AS v, o_custkey AS c
-        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |  FROM orders WHERE o_orderkey % 8 = 0),
         |final AS (
         |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
         |              ELSE p END AS p, v, c
@@ -1216,14 +1270,14 @@ object RelationalQueries {
     // final images: k%16 slice, custkey CASE-shifted for k%32=0 ∧
     // k%5=0, k%3=0 deleted — distinct customers and order volume per
     // priority, never replaying the folds
-    // final images as in cdc_rollup_view (k%8 slice here), MIN/MAX
+    // final images as in cdc_rollup_view (k%16 slice here), MIN/MAX
     // computed one-shot — a stale extremum surviving a delete or a
     // group-moving update in the fold hashes red
     "cdc_minmax_view" ->
       """WITH sliced AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p,
         |         o_totalprice AS v, o_custkey AS c
-        |  FROM orders WHERE o_orderkey % 8 = 0),
+        |  FROM orders WHERE o_orderkey % 16 = 0),
         |final AS (
         |  SELECT CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 'X-UPD'
         |              ELSE p END AS p, v, c
@@ -1282,15 +1336,19 @@ object RelationalQueries {
         |              ELSE p END AS p, st, v
         |  FROM sliced
         |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2))
-        |SELECT dim, key, n, total_price FROM (
+        |SELECT dim, key, n, total_price, min_price, max_price FROM (
         |  SELECT 'priority' AS dim, p AS key, COUNT(*) AS n,
         |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
-        |           AS total_price
+        |           AS total_price,
+        |         CAST(NULL AS DOUBLE) AS min_price,
+        |         CAST(NULL AS DOUBLE) AS max_price
         |  FROM final GROUP BY 2
         |  UNION ALL
         |  SELECT 'status' AS dim, st AS key, COUNT(*) AS n,
         |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
-        |           AS total_price
+        |           AS total_price,
+        |         CAST(MIN(v) AS DOUBLE) AS min_price,
+        |         CAST(MAX(v) AS DOUBLE) AS max_price
         |  FROM final GROUP BY 2)
         |ORDER BY 1, 2""".stripMargin,
     // both snapshots derived semantically (batch-0 images vs final
@@ -1310,6 +1368,36 @@ object RelationalQueries {
         |              ELSE p END AS p, v
         |  FROM sliced
         |  WHERE NOT (k % 5 = 0 AND k % 3 <> 2)),
+        |s2 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM f GROUP BY 1)
+        |SELECT COALESCE(s0.p, s2.p) AS o_orderpriority,
+        |       s0.n AS n_from, s0.t AS total_from,
+        |       s2.n AS n_to, s2.t AS total_to,
+        |       CASE WHEN s2.p IS NULL THEN 'removed'
+        |            WHEN s0.p IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM s0 FULL OUTER JOIN s2 ON s0.p = s2.p
+        |WHERE s0.p IS NULL OR s2.p IS NULL
+        |   OR s0.n <> s2.n OR s0.t <> s2.t
+        |ORDER BY 1""".stripMargin,
+    // the consumer pull = batch-0 image vs FINAL image (k%7 keys
+    // moved to X-UPD, k%5 keys deleted — delete wins the overlap),
+    // identical groups dropped, added/removed/changed labels as in
+    // cdc_diff_view
+    "cdc_since_view" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |s0 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM sliced GROUP BY 1),
+        |f AS (
+        |  SELECT CASE WHEN k % 7 = 0 THEN 'X-UPD' ELSE p END AS p, v
+        |  FROM sliced WHERE k % 5 <> 0),
         |s2 AS (
         |  SELECT p, COUNT(*) AS n,
         |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t

@@ -843,7 +843,12 @@ object EventStreams {
                          /** Extra rollup views over the same base —
                            * see [[graft.operators.CdcRollup
                            * .foldBatch]] `auxViews`. */
-                         auxViews: Seq[(String, Seq[String])] = Nil)
+                         auxViews: Seq[(String, Seq[String])] = Nil,
+                         /** Per-aux exact MIN/MAX columns — see
+                           * [[graft.operators.CdcRollup.foldBatch]]
+                           * `auxMinMaxCols`. */
+                         auxMinMaxCols: Map[String, Seq[String]] =
+                           Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -857,7 +862,8 @@ object EventStreams {
           .enableRetention(batch.sparkSession, statePath))
         graft.operators.CdcRollup.foldBatch(statePath, batchId,
           batch.toDF(), pkCols, seqCol, opCol, groupCols, valueCols,
-          nBaseBuckets, nAggBuckets, minMaxCols, auxViews)
+          nBaseBuckets, nAggBuckets, minMaxCols, auxViews,
+          auxMinMaxCols)
         if (gcEveryBatches > 0 && batchId > 0 &&
             batchId % gcEveryBatches == 0)
           try {

@@ -1781,6 +1781,33 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "diff", "statePath": "astate", "output": "dx",
           | "fromBatch": 2, "toBatch": 1}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the incremental consumer pull on a CDC state: sinceBatch 0 =
+    // the change set 0 → frontier; the report carries the pulled-to
+    // frontier as batch_id (the consumer's next sinceBatch)
+    cfg("""{"kind": "export", "statePath": "astate", "output": "p01",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cp, op) = Main.execute(spark, sink, dir)
+    withClue(op) { cp shouldBe 0 }
+    op.get should include(""""rows":1""")
+    op.get should include(""""batch_id":1""")
+    val prow = spark.read.parquet(s"$dir/p01").collect()
+    prow.length shouldBe 1
+    prow.head.getAs[String]("grp") shouldBe "a"
+    prow.head.getAs[String]("change") shouldBe "changed"
+    // a consumer current at the frontier: a VALID empty pull (exit 0)
+    cfg("""{"kind": "export", "statePath": "astate", "output": "p11",
+          | "sinceBatch": 1}""".stripMargin)
+    val (cp2, op2) = Main.execute(spark, sink, dir)
+    withClue(op2) { cp2 shouldBe 0 }
+    op2.get should include(""""rows":0""")
+    // ahead of the frontier (a frontier this state never produced)
+    // and the base layer (keyed images, not group state) refuse named
+    cfg("""{"kind": "export", "statePath": "astate", "output": "px",
+          | "sinceBatch": 9}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "export", "statePath": "astate", "output": "py",
+          | "layer": "base", "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
     // gc retainHours 0 reaps the superseded history, floor → 1
     cfg("""{"kind": "gc", "statePath": "astate", "retainHours": 0}""")
     val (cg, og) = Main.execute(spark, sink, dir)
@@ -1868,12 +1895,23 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "export", "statePath": "jst2",
           | "output": "jinc3", "sinceBatch": 0}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
-    // ...asOf+sinceBatch together refuse at parse, and sinceBatch on
-    // a non-join family refuses named
+    // ...asOf+sinceBatch together refuse at parse; a CDC pull below
+    // the retention floor refuses (the reap above advanced it to 1 —
+    // the pull cadence must fit inside the retention window); and a
+    // plain rollup family refuses named (no history axis at all)
     cfg("""{"kind": "export", "statePath": "jst", "output": "jx",
           | "sinceBatch": 0, "asOf": 1}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
     cfg("""{"kind": "export", "statePath": "astate", "output": "jy",
+          | "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Seq((1L, 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/r0")
+    cfg("""{"kind": "rollup", "statePath": "rst", "batchId": 0,
+          | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+          | "delta": {"input": "in/r0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "rst", "output": "jz",
           | "sinceBatch": 0}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
     // negative asOf refuses at parse
@@ -1883,9 +1921,10 @@ class AppSpec extends SparkSpec {
   }
 
   test("maintainView cdcRollup auxViews: two rollups over one base " +
-      "fold through the CLI in one pass; export serves each by " +
-      "layer; undeclared aux layer refuses; status and fsck see the " +
-      "aux layers") {
+      "fold through the CLI in one pass (the aux with its own " +
+      "MIN/MAX); export serves each by layer; undeclared aux layer " +
+      "or auxMinMaxColumns refuse; status and fsck see the aux " +
+      "layers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-viewaux").toString
     val sink = new ParquetSink(spark, s"$dir/out/tables")
@@ -1899,6 +1938,7 @@ class AppSpec extends SparkSpec {
              | "keys": ["grp"], "valueColumn": "v",
              | "nBaseBuckets": 2, "nAggBuckets": 2,
              | "auxViews": {"by_g2": ["grp2"]},
+             | "auxMinMaxColumns": {"by_g2": ["v"]},
              | "delta": {"input": "in/x$id"}}""".stripMargin)
     Seq((1L, "a", "x", 10.0, 1L, "I"), (2L, "b", "y", 20.0, 1L, "I"))
       .toDF("id", "grp", "grp2", "v", "seq", "op")
@@ -1921,8 +1961,19 @@ class AppSpec extends SparkSpec {
     val (ce, oe) = Main.execute(spark, sink, dir)
     withClue(oe) { ce shouldBe 0 }
     rows(spark.read.parquet(s"$dir/xaux")
-      .select(col("grp2"), col("n"), col("total").cast("double"))
-      .orderBy("grp2")) shouldBe Seq(Seq("x", 2L, 30.0))
+      .select(col("grp2"), col("n"), col("total").cast("double"),
+        col("min_1"), col("max_1"))
+      .orderBy("grp2")) shouldBe Seq(Seq("x", 2L, 30.0, 10.0, 20.0))
+    // auxMinMaxColumns naming an undeclared aux: config misuse,
+    // exit 1 at parse
+    cfg("""{"kind": "cdcRollup", "statePath": "xstate", "batchId": 2,
+          | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+          | "keys": ["grp"], "valueColumn": "v",
+          | "nBaseBuckets": 2, "nAggBuckets": 2,
+          | "auxViews": {"by_g2": ["grp2"]},
+          | "auxMinMaxColumns": {"nope": ["v"]},
+          | "delta": {"input": "in/x1"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
     // an undeclared aux layer: config misuse, exit 1
     cfg("""{"kind": "export", "statePath": "xstate",
           | "layer": "aux:nope", "output": "xno"}""".stripMargin)

@@ -767,6 +767,7 @@ class CdcRollupSpec extends SparkSpec {
       "logs with NULL groups/values, ADVERSARIALLY split across " +
       "batches (random cut points — uneven, single-event and empty " +
       "batches), fold to the one-shot GROUP BY over the final images " +
+      "— and a minMax AUX view folds to ITS one-shot GROUP BY " +
       "(seeded, 3 trials)") {
     val rnd = new scala.util.Random(20260815L)
     (0 until 3).foreach { trial =>
@@ -774,13 +775,15 @@ class CdcRollupSpec extends SparkSpec {
       // per key: an I at seq 1, then 0-3 U/D events at later seqs —
       // includes re-insert-after-delete (upsert semantics) and NULL
       // group / NULL measure values
-      case class Ev(id: Long, grp: Option[String], v: Option[Double],
-                    w: Option[Double], seq: Long, op: String)
+      case class Ev(id: Long, grp: Option[String], g2: Option[String],
+                    v: Option[Double], w: Option[Double], seq: Long,
+                    op: String)
       val events = (1 to 14).flatMap { id =>
         val n = 1 + rnd.nextInt(4)
         (1 to n).map { s =>
           Ev(id.toLong,
             if (rnd.nextInt(5) == 0) None else Some(s"g${rnd.nextInt(3)}"),
+            if (rnd.nextInt(5) == 0) None else Some(s"h${rnd.nextInt(2)}"),
             if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(1000) / 10.0),
             Some(rnd.nextInt(100) / 4.0),
             s.toLong,
@@ -802,11 +805,13 @@ class CdcRollupSpec extends SparkSpec {
       val parts = cuts.zip(cuts.tail).map { case (a, b) =>
         stream.slice(a, b) }
       parts.zipWithIndex.foreach { case (evs, i) =>
-        val df = evs.map(e => (e.id, e.grp, e.v, e.w, e.seq, e.op))
-          .toDF("id", "grp", "v", "w", "seq", "op")
+        val df = evs.map(e => (e.id, e.grp, e.g2, e.v, e.w, e.seq, e.op))
+          .toDF("id", "grp", "g2", "v", "w", "seq", "op")
         CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
           Seq("grp"), Seq("v", "w"), 4, 2,
-          minMaxCols = Seq("v", "w")) shouldBe true
+          minMaxCols = Seq("v", "w"),
+          auxViews = Seq("byg2" -> Seq("g2")),
+          auxMinMaxCols = Map("byg2" -> Seq("v"))) shouldBe true
       }
       // expected: last event per key decides; D = no image; sums skip
       // NULL measure values (an all-NULL group still totals 0, not
@@ -845,6 +850,37 @@ class CdcRollupSpec extends SparkSpec {
             gxv shouldBe xv
             gnw shouldBe nw
             gxw shouldBe xw
+          }
+        }
+      }
+      // the minMax AUX view equals ITS one-shot GROUP BY over the
+      // same final images — group-moving updates move extrema across
+      // BOTH dimensions independently
+      val expectedAux = finals.groupBy(_.g2).map { case (g, evs) =>
+        g -> ((evs.size.toLong,
+          evs.flatMap(_.v).sum,
+          evs.flatMap(_.v).minOption,
+          evs.flatMap(_.v).maxOption))
+      }
+      val gotAux = CdcRollup.readAuxView(spark, root, "byg2").get
+        .collect().map { r =>
+          val g = if (r.isNullAt(0)) None else Some(r.getAs[String]("g2"))
+          def d(c: String): Option[Double] =
+            if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getAs[Double](c))
+          g -> ((r.getAs[Long]("n"),
+            r.getAs[java.math.BigDecimal]("total_1").doubleValue(),
+            d("min_1"), d("max_1")))
+        }.toMap
+      withClue(s"trial $trial aux (cuts $cuts): ") {
+        gotAux.keySet shouldBe expectedAux.keySet
+        expectedAux.foreach { case (g, (n, sv, nv, xv)) =>
+          val (gn, gv, gnv, gxv) = gotAux(g)
+          withClue(s"aux group $g: ") {
+            gn shouldBe n
+            gv shouldBe (sv +- 1e-9)
+            gnv shouldBe nv
+            gxv shouldBe xv
           }
         }
       }
@@ -936,6 +972,71 @@ class CdcRollupSpec extends SparkSpec {
     fold(root, 2L, log((1L, "a", 12.0, 3L, "U"))) shouldBe true
     viewAsOf(root, 1L) shouldBe Map("a" -> ((1L, 11.0)))
     viewAsOf(root, 2L) shouldBe Map("a" -> ((1L, 12.0)))
+  }
+
+  test("readViewSince: the consumer pull equals diffView(afterId, " +
+      "frontier); empty pull at the frontier; ahead-of-frontier and " +
+      "below-floor refuse loud; aux pulls ride the same face") {
+    val root = tmpRoot()
+    def alog(rows: (Long, String, String, Double, Long, String)*) =
+      rows.toDF("id", "grp", "grp2", "v", "seq", "op")
+    def afold(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+        auxViews = Seq("by_g2" -> Seq("grp2")))
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    afold(0L, alog(
+      (1L, "a", "x", 10.0, 1L, "I"), (2L, "a", "y", 20.0, 1L, "I"),
+      (3L, "b", "x", 30.0, 1L, "I"))) shouldBe true
+    afold(1L, alog((2L, "b", "x", 25.0, 2L, "U"))) shouldBe true
+    afold(2L, alog((1L, "a", "x", 0.0, 3L, "D"))) shouldBe true
+    CdcRollup.committedFrontier(spark, root) shouldBe Some(2L)
+    def asMap(df: DataFrame) = df.collect().map { r =>
+      r.getAs[String]("grp") ->
+        ((Option(r.getAs[java.lang.Long]("n_from")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("n_to")).map(_.toLong),
+          r.getAs[String]("change")))
+    }.toMap
+    // pull since batch 0: a moved to n=1 then deleted → removed;
+    // b gained id 2 → changed. Equals diffView(0, frontier).
+    val pull = CdcRollup.readViewSince(spark, root, 0L)
+    asMap(pull) shouldBe Map(
+      "a" -> ((Some(2L), None, "removed")),
+      "b" -> ((Some(1L), Some(2L), "changed")))
+    rows(pull.orderBy("grp")) shouldBe
+      rows(CdcRollup.diffView(spark, root, 0L, 2L).orderBy("grp"))
+    // the pull is stable on replay (retained versions are immutable)
+    asMap(CdcRollup.readViewSince(spark, root, 0L)) shouldBe asMap(pull)
+    // a consumer current at the frontier pulls an EMPTY change set
+    // with the full diff schema
+    val empty = CdcRollup.readViewSince(spark, root, 2L)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe pull.columns.toSeq
+    // ahead of the frontier: a frontier this state never produced
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewSince(spark, root, 3L)
+    }.getMessage should include("AHEAD of the committed frontier")
+    // aux pulls: by_g2 — y removed (id 2 left), x changed
+    asMap(CdcRollup.readViewSince(spark, root, 0L, Some("by_g2"))
+      .withColumnRenamed("grp2", "grp")) shouldBe Map(
+      "y" -> ((Some(1L), None, "removed")),
+      "x" -> ((Some(2L), Some(2L), "changed")))
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewSince(spark, root, 0L, Some("nope"))
+    }.getMessage should include("no aux view")
+    // below the floor: reap to floor 1, then a since-0 pull refuses —
+    // the pull cadence must fit inside the retention window
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.BatchMarkers.clearFloors(fs, new Path(root))
+    graft.operators.BatchMarkers.writeFloor(fs, new Path(root), 1L)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewSince(spark, root, 0L)
+    }.getMessage should include("floor")
+    // ...while a since-1 pull still serves
+    asMap(CdcRollup.readViewSince(spark, root, 1L)) shouldBe Map(
+      "a" -> ((Some(1L), None, "removed")))
   }
 
   test("retention reap deletes only ranges whose whole lifetime " +
@@ -1106,6 +1207,96 @@ class CdcRollupSpec extends SparkSpec {
     val badAudit = graft.app.ViewFsck.fsckJson(spark, badRoot)
     badAudit should include(""""ok":false""")
     badAudit should include("malformed layout pin")
+  }
+
+  test("per-aux MIN/MAX: an aux view declared in auxMinMaxCols " +
+      "carries exact extrema under group-moving updates and extremum " +
+      "deletes (its own grp_aux image layer); sums-only siblings keep " +
+      "their bytes; changed aux minMax set refuses on the pin; " +
+      "compact + diff + fsck carry the layer") {
+    val root = tmpRoot()
+    def alog(rows: (Long, String, String, Double, Long, String)*) =
+      rows.toDF("id", "grp", "grp2", "v", "seq", "op")
+    val aux = Seq("by_g2" -> Seq("grp2"), "plain" -> Seq("grp", "grp2"))
+    val auxMm = Map("by_g2" -> Seq("v"))
+    def afold(root: String, id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(root, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+        auxViews = aux, auxMinMaxCols = auxMm)
+    CdcRollup.enableRetention(spark, root)
+    afold(root, 0L, alog(
+      (1L, "a", "x", 10.0, 1L, "I"), (2L, "a", "y", 20.0, 1L, "I"),
+      (3L, "b", "x", 30.0, 1L, "I"), (4L, "b", "x", 5.0, 1L, "I")))
+      .shouldBe(true)
+    // batch 1: delete x's MAX (id 3, v=30) and MOVE id 2 y→x with a
+    // new extremum value 40 — the recompute must drop 30, adopt 40
+    afold(root, 1L, alog(
+      (3L, "b", "x", 0.0, 2L, "D"),
+      (2L, "b", "x", 40.0, 2L, "U"))) shouldBe true
+    def mmOf(df: DataFrame) = df.collect().map { r =>
+      r.getAs[String]("grp2") ->
+        ((r.getAs[Long]("n"),
+          Option(r.getAs[java.lang.Double]("min_1")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("max_1")).map(_.toDouble)))
+    }.toMap
+    // one-shot truth over the final images {1=(a,x,10), 2=(b,x,40),
+    // 4=(b,x,5)}: x → n=3, min 5, max 40; y retracted out
+    mmOf(CdcRollup.readAuxView(spark, root, "by_g2").get) shouldBe
+      Map("x" -> ((3L, Some(5.0), Some(40.0))))
+    // the sums-only sibling has NO min/max columns
+    CdcRollup.readAuxView(spark, root, "plain").get.columns
+      .count(_.startsWith("min")) shouldBe 0
+    // the image layer exists, bucketed by the AUX key
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(root,
+      "grp_aux_by_g2")) shouldBe true
+    // fsck audits the state clean (declared ↔ present, both ways)
+    val audit = graft.app.ViewFsck.fsckJson(spark, root)
+    audit should include(""""ok":true""")
+    // a planted undeclared grp_aux layer is an ERROR
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "grp_aux_plain"))
+    graft.app.ViewFsck.fsckJson(spark, root) should
+      include("declares no minMax columns for aux view 'plain'")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "grp_aux_plain"),
+      true)
+    // CHANGED aux minMax set refuses on the pin — the grp_aux layer
+    // for the new set was never maintained
+    intercept[graft.model.UserException] {
+      CdcRollup.foldBatch(root, 2L,
+        alog((9L, "z", "z", 9.0, 1L, "I")), Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 4, 2, auxViews = aux,
+        auxMinMaxCols = Map("plain" -> Seq("v")))
+    }.getMessage should include("pinned")
+    // ...and so does dropping it from a state that pinned it
+    intercept[graft.model.UserException] {
+      CdcRollup.foldBatch(root, 2L,
+        alog((9L, "z", "z", 9.0, 1L, "I")), Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 4, 2, auxViews = aux)
+    }.getMessage should include("pinned")
+    // diffView on the minMax aux: extremum columns ride the change
+    // set (batch 0 → frontier: x's max moved 30 → 40)
+    val d = CdcRollup.diffView(spark, root, 0L, 1L, Some("by_g2"))
+      .filter(col("grp2") === "x").head()
+    d.getAs[Double]("max_1_from") shouldBe 30.0
+    d.getAs[Double]("max_1_to") shouldBe 40.0
+    // compact carries aux + grp_aux (re-sharded on the aux key) and
+    // the fresh state keeps folding with exact extrema
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh, 2, 1) shouldBe 2L
+    fs.exists(new org.apache.hadoop.fs.Path(fresh,
+      "grp_aux_by_g2")) shouldBe true
+    mmOf(CdcRollup.readAuxView(spark, fresh, "by_g2").get) shouldBe
+      Map("x" -> ((3L, Some(5.0), Some(40.0))))
+    def freshFold(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(fresh, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), 2, 1, auxViews = aux,
+        auxMinMaxCols = auxMm)
+    // delete the min (id 4, v=5): exact recompute from the carried
+    // image layer, not a stale stored extremum
+    freshFold(2L, alog((4L, "b", "x", 0.0, 3L, "D"))) shouldBe true
+    mmOf(CdcRollup.readAuxView(spark, fresh, "by_g2").get) shouldBe
+      Map("x" -> ((2L, Some(10.0), Some(40.0))))
   }
 
   test("compact keeps a declared layer whose every row retracted: the " +
