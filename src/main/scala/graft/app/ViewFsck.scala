@@ -28,12 +28,17 @@ import org.apache.spark.sql.SparkSession
   *    reap missed them).
   *
   * fsck NEVER mutates the state — it is the read-only audit; `gc` is
-  * the write face for everything fsck only reports.
+  * the write face for everything fsck only reports. Every
+  * error-severity finding carries a `fix` runbook hint — the manual
+  * step that repairs it (errors are by definition outside what `gc`
+  * may safely sweep, so the remediation is a human decision; the
+  * hint makes it an informed one).
   */
 object ViewFsck {
 
-  /** One finding. */
-  private final case class Issue(error: Boolean, what: String)
+  /** One finding; `fix` is the runbook hint (required on errors). */
+  private final case class Issue(error: Boolean, what: String,
+                                 fix: String = "")
 
   /** The fsck JSON payload for the state under `root` — family is
     * pin-dispatched like every other kind; a pinless path refuses. */
@@ -45,9 +50,13 @@ object ViewFsck {
         s"maintainView fsck: no layout pin under $root — not a view state"))
     val issues = Seq.newBuilder[Issue]
     var checks = 0
-    def check(errorWhen: Boolean, error: Boolean, what: String): Unit = {
+    def check(errorWhen: Boolean, error: Boolean, what: String,
+              fix: String = ""): Unit = {
       checks += 1
-      if (errorWhen) issues += Issue(error, what)
+      // every error must ship its runbook hint — a contract on this
+      // file's own call sites, not on user input
+      if (error) assert(fix.nonEmpty, s"fsck error without a fix: $what")
+      if (errorWhen) issues += Issue(error, what, fix)
     }
     def ls(p: Path) = if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
 
@@ -67,7 +76,10 @@ object ViewFsck {
             s"join: compaction floor $f is above the committed " +
               s"frontier ${markers.maxCommitted.getOrElse(-1L)} — " +
               "as-of reads would refuse prefixes that were never " +
-              "collapsed (a floor file copied from another state?)")
+              "collapsed (a floor file copied from another state?)",
+            fix = "verify this root was never compacted (every d<id> " +
+              "dir present and committed); if so, delete the " +
+              s"_ASOF_FLOOR_$f file — it cannot belong to this state")
         }
         for (layer <- Seq("a", "b", "view")) {
           val dirs = ls(new Path(rootPath, layer)).filter(_.isDirectory)
@@ -95,8 +107,11 @@ object ViewFsck {
           catch { case _: IllegalArgumentException => None }
         check(layoutOpt.isEmpty, error = true,
           s"cdcRollup: malformed layout pin '$pin' — folds and " +
-            "lookups will refuse; restore _CONFIG from the writer's " +
-            "declaration")
+            "lookups will refuse",
+          fix = "restore the _CONFIG pin from the writer's declared " +
+            "layout (pk/group/value columns, bucket counts, minMax, " +
+            "aux views) — the writer's fold call or view config is " +
+            "the source of truth; do NOT guess bucket counts")
         val nBase = layoutOpt.map(_.nBaseBuckets).getOrElse(1)
         val nAgg = layoutOpt.map(_.nAggBuckets).getOrElse(1)
         val declaredAux = layoutOpt.toSeq.flatMap(_.auxViews)
@@ -111,13 +126,20 @@ object ViewFsck {
           error = true,
           "cdcRollup: a grp layer exists but the pin declares no " +
             "minMax columns — min/max folds would silently serve " +
-            "from a layer no fold maintains")
+            "from a layer no fold maintains",
+          fix = "if the state never had minMax columns, delete the " +
+            "grp/ dir (stray copy); if minMax was dropped from the " +
+            "pin by hand, restore the pin instead — never serve " +
+            "min/max from an unmaintained layer")
         check(!hasGrp && layoutOpt.exists(_.minMaxCols.nonEmpty) &&
             frontier.isDefined,
           error = true,
           "cdcRollup: the pin declares minMax columns but the grp " +
             "image layer is missing — the next min/max recompute " +
-            "would read nothing and store NULL extrema")
+            "would read nothing and store NULL extrema",
+          fix = "compact into a fresh root (compactStateTo rebuilds " +
+            "grp/ from the base images); do not fold more batches " +
+            "until then — their extrema would persist wrong")
         // aux layers must match the pin's declaration both ways
         val presentAux = ls(rootPath).filter(_.isDirectory)
           .map(_.getPath.getName).filter(_.startsWith("aux_"))
@@ -126,13 +148,21 @@ object ViewFsck {
           check(errorWhen = true, error = true,
             s"cdcRollup: aux layer 'aux_$n' exists but the pin " +
               "declares no such view — no fold maintains it, so it " +
-              "serves STALE data; remove it or re-pin via compact")
+              "serves STALE data",
+            fix = s"delete the aux_$n/ dir if the view was retired; " +
+              "to keep it maintained, re-declare it in every fold's " +
+              "auxViews and re-pin via compact into a fresh root")
         }
         (declaredAux -- presentAux).toSeq.sorted.foreach { n =>
           check(frontier.isDefined, error = true,
             s"cdcRollup: the pin declares aux view '$n' but layer " +
               s"'aux_$n' is missing — reads would come up silently " +
-              "empty")
+              "empty",
+            fix = "compact into a fresh root (compactStateTo " +
+              "recreates every declared layer dir); if the layer was " +
+              "deleted by hand with data, the aux view must be " +
+              "rebuilt — re-fold from the earliest retained batch " +
+              "or drop the view from the pin via compact")
         }
         // grp_aux image layers must match the pin's per-aux minMax
         // declaration both ways (the grp-layer rules, per aux)
@@ -145,14 +175,20 @@ object ViewFsck {
           check(errorWhen = true, error = true,
             s"cdcRollup: image layer 'grp_aux_$n' exists but the pin " +
               s"declares no minMax columns for aux view '$n' — no " +
-              "fold maintains it; remove it or re-pin via compact")
+              "fold maintains it",
+            fix = s"delete the grp_aux_$n/ dir if the aux's minMax " +
+              "was retired; to keep exact extrema, declare the aux " +
+              "in auxMinMaxCols and re-pin via compact")
         }
         (declaredGrpAux -- presentGrpAux).toSeq.sorted.foreach { n =>
           check(frontier.isDefined, error = true,
             s"cdcRollup: the pin declares minMax columns for aux " +
               s"view '$n' but image layer 'grp_aux_$n' is missing — " +
               "the next min/max recompute would read nothing and " +
-              "store NULL extrema")
+              "store NULL extrema",
+            fix = "compact into a fresh root (compactStateTo " +
+              "rebuilds grp_aux layers from the base images); do " +
+              "not fold more batches until then")
         }
         for ((layer, n) <- Seq("base" -> nBase, "agg" -> nAgg,
             "grp" -> nAgg) ++
@@ -168,7 +204,12 @@ object ViewFsck {
                   s"cdcRollup/$layer/$name: bucket id outside the " +
                     s"pinned count $n — rows in it are INVISIBLE to " +
                     "every bucket-pruned probe (a copy or re-shard " +
-                    "drifted from the pin); compact into a fresh root")
+                    "drifted from the pin)",
+                  fix = "compact into a fresh root with the bucket " +
+                    "count you intend (compactStateTo re-buckets " +
+                    "every row); if this root was hand-assembled " +
+                    "from two states, stop — their histories cannot " +
+                    "be merged by file copy")
                 val versions = fs.listStatus(st.getPath).toSeq
                   .filter(_.isDirectory)
                   .flatMap { v =>
@@ -228,7 +269,11 @@ object ViewFsck {
             s"cdcRollup: retention floor $f is above the committed " +
               s"frontier ${frontier.getOrElse(-1L)} — as-of reads " +
               "would refuse snapshots that were never reaped (a " +
-              "floor file copied from another state?)")
+              "floor file copied from another state?)",
+            fix = "verify no reap ever ran here (every bucket still " +
+              "holds its full version chain); if so, delete the " +
+              s"_ASOF_FLOOR_$f file and re-run 'retain' to seed the " +
+              "correct floor")
         }
         "cdcRollup"
       } else {
@@ -236,14 +281,20 @@ object ViewFsck {
         val parts = pin.split('|')
         check(parts.length != 3 ||
             !parts(0).toIntOption.exists(_ >= 1), error = true,
-          s"rollup: malformed layout pin '$pin'")
+          s"rollup: malformed layout pin '$pin'",
+          fix = "restore the _CONFIG pin from the writer's declared " +
+            "layout (nBuckets|keys|valueColumn) — the sink/fold " +
+            "config is the source of truth")
         val n = parts.headOption.flatMap(_.toIntOption).getOrElse(1)
         val last = graft.streaming.EventStreams.readLastBatch(fs, rootPath)
         val lastFile = fs.exists(new Path(rootPath, "_LAST_BATCH"))
         check(lastFile && last.isEmpty, error = true,
           "rollup: _LAST_BATCH exists but does not parse — the " +
-            "monotone guard is blind; restore it to the highest " +
-            "folded batch id")
+            "monotone guard is blind",
+          fix = "restore _LAST_BATCH to the highest folded batch id " +
+            "(= the max _APPLIED_<id> across state/bucket dirs); " +
+            "overstating is safe (skips replays), understating " +
+            "re-admits folded ids")
         ls(rootPath).foreach { st =>
           val name = st.getPath.getName
           check(name.matches("state__stage_[0-9a-f]{8}"), error = false,
@@ -262,8 +313,10 @@ object ViewFsck {
               check(id.isEmpty || id.exists(x => x < 0 || x >= n),
                 error = true,
                 s"rollup/state/$name: bucket id outside the pinned " +
-                  s"count $n — invisible to bucket-pruned probes; " +
-                  "compact into a fresh root")
+                  s"count $n — invisible to bucket-pruned probes",
+                fix = "compact into a fresh root with the intended " +
+                  "bucket count (compactRollupStateTo re-buckets " +
+                  "every row)")
               val ms = fs.listStatus(b.getPath).toSeq
                 .map(_.getPath.getName)
                 .filter(_.startsWith("_APPLIED_"))
@@ -279,8 +332,11 @@ object ViewFsck {
                   s"rollup/state/$name/_APPLIED_$id: evidence NEWER " +
                     "than the _LAST_BATCH frontier " +
                     s"${last.getOrElse(-1L)} — the monotone guard " +
-                    "would re-admit ids this state already folded; " +
-                    s"restore _LAST_BATCH to >= $id")
+                    "would re-admit ids this state already folded",
+                  fix = s"restore _LAST_BATCH to >= $id (the highest " +
+                    "_APPLIED_<id> across buckets); a frontier file " +
+                    "older than the evidence means it was restored " +
+                    "from a stale copy")
               }
             }
           }
@@ -292,12 +348,18 @@ object ViewFsck {
         "rollup"
       }
     val all = issues.result()
-    val errors = all.filter(_.error).map(_.what)
+    val errors = all.filter(_.error)
     val warnings = all.filterNot(_.error).map(_.what)
     def arr(xs: Seq[String]) =
       xs.map(graft.JsonUtil.str).mkString("[", ",", "]")
+    // errors are objects carrying their runbook hint; warnings stay
+    // plain strings (gc already owns their remediation)
+    val errArr = errors.map { i =>
+      s"""{"what":${graft.JsonUtil.str(i.what)},""" +
+        s""""fix":${graft.JsonUtil.str(i.fix)}}"""
+    }.mkString("[", ",", "]")
     s"""{"family":"$family","ok":${errors.isEmpty},""" +
-      s""""checks":$checks,"errors":${arr(errors)},""" +
+      s""""checks":$checks,"errors":$errArr,""" +
       s""""warnings":${arr(warnings)}}"""
   }
 

@@ -801,7 +801,18 @@ object CdcRollup {
     * versions are gone). Storage note: history accretes one version
     * per touched bucket per fold until reaped; run
     * `reapRetainedVersions` on the GC cadence with the retention
-    * window the consumers need. @return the floor in force */
+    * window the consumers need.
+    *
+    * FLOOR GRANULARITY: the floor is GLOBAL while version chains are
+    * per-bucket, so one reap in the HOTTEST bucket advances the floor
+    * for the whole state — an as-of read that only touches cold
+    * buckets (whose chains still reach further back) refuses anyway.
+    * That is the conservative direction (refuse, never a
+    * silently-partial snapshot), but it means the state's usable
+    * history is bounded by the hottest bucket's churn through the
+    * reap window, not by what is physically retained: size gc
+    * `retainHours` to the LONGEST pull/as-of cadence any consumer
+    * runs, with headroom. @return the floor in force */
   def enableRetention(spark: SparkSession, root: String): Long = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
@@ -1060,7 +1071,11 @@ object CdcRollup {
     * deleted (a crash between leaves the floor high with extra
     * versions — refusing a servable snapshot, never serving a broken
     * one). The latest committed version of every bucket is never
-    * touched. @return (deleted version paths, the floor now in force) */
+    * touched. The advanced floor is the MAX superseding id across
+    * every reaped bucket (the floor is global, chains are per-bucket
+    * — see [[enableRetention]]'s granularity note): one hot bucket's
+    * churn bounds the whole state's servable history.
+    * @return (deleted version paths, the floor now in force) */
   def reapRetainedVersions(spark: SparkSession, root: String,
                            retainMs: Long): (Seq[String], Long) = {
     import org.apache.hadoop.fs.Path

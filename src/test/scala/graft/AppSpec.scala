@@ -2069,6 +2069,19 @@ class AppSpec extends SparkSpec {
     o1.get should include("grp layer exists but the pin declares no")
     o1.get should include("staging shell that can never promote")
     o1.get should include("floor 9 is above the committed frontier")
+    // every error-severity finding carries its runbook hint
+    o1.get should include(""""fix":"compact into a fresh root""")
+    o1.get should include(""""fix":"if the state never had minMax""")
+    o1.get should include(""""fix":"verify no reap ever ran here""")
+    // warnings stay plain strings (gc owns their remediation)
+    val errsJson = o1.get.substring(o1.get.indexOf("\"errors\":"))
+    withClue(errsJson) {
+      // count fix hints == count error objects
+      val nErr = """\{"what":""".r.findAllIn(o1.get).length
+      val nFix = """"fix":""".r.findAllIn(o1.get).length
+      nErr should be > 0
+      nFix shouldBe nErr
+    }
     // --- rollup family: evidence newer than the frontier is the
     // corruption the monotone guard cannot see ---
     Seq((1L, 1.0)).toDF("g", "v")
@@ -2096,6 +2109,7 @@ class AppSpec extends SparkSpec {
     o3.get should include(""""ok":false""")
     o3.get should include("evidence NEWER than the _LAST_BATCH")
     o3.get should include("staging shell")
+    o3.get should include(""""fix":"restore _LAST_BATCH to >= 9""")
     // --- join family: subsumed markers + stray entries are warnings,
     // never errors ---
     import graft.operators.JoinView
