@@ -264,6 +264,22 @@ object ViewFsck {
           s"cdcRollup: ${floors.size} retention floor files — a " +
             "crashed floor advance; readers take the max, the next " +
             "reap clears the rest")
+        // the retention seed (where history hard-starts) can never
+        // exceed the advanced floor — a seed above it would promise
+        // bucket-pruned lookups chains the eager pre-retention reaps
+        // already destroyed
+        graft.operators.BatchMarkers.readSeed(fs, rootPath)
+          .foreach { seed =>
+            check(floors.maxOption.exists(seed > _), error = true,
+              s"cdcRollup: retention seed $seed is above the floor " +
+                s"${floors.maxOption.getOrElse(-1L)} — the seed is " +
+                "written at enable time and never advances, so it " +
+                "cannot legitimately exceed the floor (a seed file " +
+                "copied from another state?)",
+              fix = "verify which state this seed belongs to; if it " +
+                "is foreign, delete the _ASOF_SEED_ file — lookups " +
+                "then fall back to the (conservative) global floor")
+          }
         floors.maxOption.foreach { f =>
           check(f > frontier.getOrElse(-1L), error = true,
             s"cdcRollup: retention floor $f is above the committed " +

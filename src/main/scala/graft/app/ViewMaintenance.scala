@@ -395,7 +395,13 @@ object ViewMaintenance {
                           * or "sinceBatch" for the incremental pull
                           * (same history rules, right name in the
                           * refusal). */
-                        keyName: String = "asOf"): Unit = {
+                        keyName: String = "asOf",
+                        /** false = check retention-mode PRESENCE
+                          * only; the cdc `lookup` kind gates depth
+                          * per-bucket in the library (a cold key may
+                          * serve below the global floor), so the CLI
+                          * must not pre-refuse on it. */
+                        globalFloorGate: Boolean = true): Unit = {
     if (pin.startsWith("join|")) {
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -413,7 +419,7 @@ object ViewMaintenance {
           s"maintainView $what: the state under $root is not in " +
             "retention mode — no snapshot history exists; run the " +
             "'retain' kind BEFORE the folds whose snapshots you need"))
-      if (asOf < floor)
+      if (globalFloorGate && asOf < floor)
         throw new UserException(
           s"maintainView $what: $keyName $asOf is below the " +
             s"retention floor $floor — that snapshot's versions were " +
@@ -453,7 +459,18 @@ object ViewMaintenance {
         s"maintainView lookup: layer '${lk.layer.get}' is only valid " +
           s"for cdcRollup states; the state under $root is " +
           s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
-    lk.asOf.foreach(checkAsof(spark, "lookup", pin, root, _))
+    lk.asOf.foreach(checkAsof(spark, "lookup", pin, root, _,
+      globalFloorGate = !pin.startsWith("cdcRollup|")))
+    // the cdc lookups gate depth PER-BUCKET in the library (a cold
+    // key's history outlives hot-bucket churn); their refusals are
+    // config misuse at this face — rewrap to exit 1
+    def gated[A](f: => A): A =
+      try f catch {
+        case ex: IllegalArgumentException
+            if lk.asOf.isDefined && (ex.getMessage.contains("floor") ||
+              ex.getMessage.contains("retained chain")) =>
+          throw new UserException(s"maintainView lookup: ${ex.getMessage}")
+      }
     def noState = throw new UserException(
       s"maintainView lookup: no committed state under $root")
     def typedKeys(schema: StructType): DataFrame = {
@@ -483,8 +500,8 @@ object ViewMaintenance {
           case "base" =>
             val base = graft.operators.CdcRollup.readBase(spark, root)
               .getOrElse(noState)
-            ("base", graft.operators.CdcRollup.lookupBase(spark, root,
-              typedKeys(base.schema), lk.asOf))
+            ("base", gated(graft.operators.CdcRollup.lookupBase(spark,
+              root, typedKeys(base.schema), lk.asOf)))
           case l if l.startsWith("aux:") =>
             val name = l.stripPrefix("aux:")
             // undeclared name = config misuse, exit 1
@@ -495,13 +512,14 @@ object ViewMaintenance {
                 throw new UserException(
                   s"maintainView lookup: ${ex.getMessage}")
             }
-            (l, graft.operators.CdcRollup.lookupAuxView(spark, root,
-              name, typedKeys(aux.getOrElse(noState).schema), lk.asOf))
+            (l, gated(graft.operators.CdcRollup.lookupAuxView(spark,
+              root, name, typedKeys(aux.getOrElse(noState).schema),
+              lk.asOf)))
           case _ =>
             val view = graft.operators.CdcRollup.readView(spark, root)
               .getOrElse(noState)
-            ("view", graft.operators.CdcRollup.lookupView(spark, root,
-              typedKeys(view.schema), lk.asOf))
+            ("view", gated(graft.operators.CdcRollup.lookupView(spark,
+              root, typedKeys(view.schema), lk.asOf)))
         }
       } else {
         // rollup pin: nBuckets|keys|valueCol — key types come from the

@@ -101,6 +101,39 @@ private[graft] object BatchMarkers {
     readFloorAll(fs, root)
       .foreach(f => fs.delete(new Path(root, s"$Floor$f"), false))
 
+  // The retention SEED — the floor in force when retention was
+  // ENABLED, never advanced afterwards: history below it was reaped
+  // eagerly by pre-retention folds for EVERY bucket, so it is the
+  // hard lower bound under any floor granularity. Written once by
+  // enableRetention/compact; bucket-pruned readers combine it with
+  // per-bucket floors (floor files inside bucket dirs, same
+  // _ASOF_FLOOR_ protocol) to serve deeper history than the global
+  // (max-advanced) floor allows.
+
+  private val Seed = "_ASOF_SEED_"
+
+  /** The retention seed — None on states retained before seeds
+    * existed (readers then fall back to the global floor). */
+  def readSeed(fs: FileSystem, root: Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(Seed))
+      .flatMap(_.stripPrefix(Seed).toLongOption).maxOption
+
+  /** Write the seed once; an existing seed wins (it is a historical
+    * fact, not a level to advance). */
+  def writeSeed(fs: FileSystem, root: Path, f: Long): Unit =
+    if (readSeed(fs, root).isEmpty) {
+      fs.create(new Path(root, s"$Seed$f"), true).close(); ()
+    }
+
+  /** Remove every seed file — the compact crash-reset path. */
+  def clearSeeds(fs: FileSystem, root: Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(Seed))
+        .foreach(n => fs.delete(new Path(root, n), false))
+
   /** Collapse the committed prefix <= `w` into `_APPLIED_UPTO_<w>`:
     * watermark first (readers OR the sources, so every intermediate
     * state resolves identically), then the subsumed per-id markers and

@@ -771,11 +771,14 @@ object CdcRollup {
     }
     val probe = keys.distinct().persist()
     try {
-      asOf.foreach(requireServable(fs, rootPath, _))
       val bucketOf = pmod(xxhash64(cols.map(col): _*),
         lit(layout.nAggBuckets)).cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // per-bucket gate: a cold key's history outlives hot-bucket
+      // churn ([[requireServableBuckets]])
+      asOf.foreach(requireServableBuckets(fs, rootPath, _,
+        s"aux_$name", touched))
       readLatest(spark, fs, rootPath, s"aux_$name", Some(touched),
         BatchMarkers.read(fs, rootPath), asOf)
         .map { agg =>
@@ -803,16 +806,19 @@ object CdcRollup {
     * `reapRetainedVersions` on the GC cadence with the retention
     * window the consumers need.
     *
-    * FLOOR GRANULARITY: the floor is GLOBAL while version chains are
-    * per-bucket, so one reap in the HOTTEST bucket advances the floor
-    * for the whole state — an as-of read that only touches cold
-    * buckets (whose chains still reach further back) refuses anyway.
-    * That is the conservative direction (refuse, never a
-    * silently-partial snapshot), but it means the state's usable
-    * history is bounded by the hottest bucket's churn through the
-    * reap window, not by what is physically retained: size gc
-    * `retainHours` to the LONGEST pull/as-of cadence any consumer
-    * runs, with headroom. @return the floor in force */
+    * FLOOR GRANULARITY: the GLOBAL floor (advanced by reaps to the
+    * max superseding id across all buckets) gates every RANGE read —
+    * full as-of snapshots, [[diffView]], [[readViewSince]] — because
+    * a version reaped inside a range leaves no surviving evidence
+    * the changed-bucket listing could see. POINT LOOKUPS
+    * (`lookupBase`/`lookupView`/`lookupAuxView` with `asOf`) gate on
+    * the PER-BUCKET floors the reap also writes (plus the
+    * enable-time seed), so a cold key's history outlives the hot
+    * buckets' churn: a bucket's resolution depends on its own chain
+    * alone ([[requireServableBuckets]]). Net: size gc `retainHours`
+    * to the LONGEST range-read cadence any consumer runs; lookup
+    * consumers of cold keys get whatever their bucket physically
+    * retains. @return the floor in force */
   def enableRetention(spark: SparkSession, root: String): Long = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
@@ -821,6 +827,12 @@ object CdcRollup {
       val floor = BatchMarkers.read(fs, rootPath).maxCommitted
         .getOrElse(-1L)
       fs.mkdirs(rootPath)
+      // seed BEFORE floor: the seed records where history hard-starts
+      // (pre-retention folds reaped below it for every bucket) and is
+      // what lets bucket-pruned lookups outlive later global-floor
+      // advances; a crash between leaves a floorless root that just
+      // re-enables
+      BatchMarkers.writeSeed(fs, rootPath, floor)
       BatchMarkers.writeFloor(fs, rootPath, floor)
       floor
     }
@@ -859,6 +871,53 @@ object CdcRollup {
     require(asOf >= floor,
       s"as-of read at batch $asOf under $root: retained history " +
         s"starts at floor $floor — earlier snapshots were reaped; " +
+        "widen the retention window on the GC cadence")
+  }
+
+  /** The BUCKET-PRUNED servability gate — point lookups only. A
+    * bucket's as-of resolution depends on ITS OWN version chain
+    * alone, so a lookup touching buckets S is sound at `asOf` iff
+    * `asOf >= max(seed, floor(b) for b in S)`: every reaped version
+    * in those buckets was superseded at or below that bound, so the
+    * resolution each bucket serves is exactly what an unreaped chain
+    * would serve. This is what lets a cold key's history outlive the
+    * hot buckets' churn (the global floor is the MAX across all
+    * buckets).
+    *
+    * NOT sound for range reads (diffView/readViewSince): a version
+    * reaped INSIDE the range leaves no surviving version in it, so
+    * the changed-bucket listing cannot see that the bucket moved —
+    * only the global floor (which that reap advanced) witnesses it.
+    * Those paths keep [[requireServable]].
+    *
+    * Legacy retained states (no seed file) fall back to the global
+    * floor — the pre-seed behavior, conservative. */
+  private def requireServableBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, asOf: Long,
+      layer: String, buckets: Set[Int]): Unit = {
+    val floor = readAsofFloor(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"as-of read under $root: the state is not in retention mode — " +
+          "folds reap superseded versions eagerly, so no snapshot " +
+          "history exists; enable it (enableRetention / CLI kind " +
+          "'retain') BEFORE the folds whose snapshots you need"))
+    if (asOf >= floor) return
+    val seed = BatchMarkers.readSeed(fs, root).getOrElse(
+      // retained before seeds existed: only the global floor is known
+      throw new IllegalArgumentException(
+        s"as-of read at batch $asOf under $root: retained history " +
+          s"starts at floor $floor — earlier snapshots were reaped; " +
+          "widen the retention window on the GC cadence"))
+    val bound = (seed +: buckets.toSeq.map { b =>
+      BatchMarkers.readFloor(fs,
+        new org.apache.hadoop.fs.Path(root, s"$layer/bucket=$b"))
+        .getOrElse(seed)
+    }).max
+    require(asOf >= bound,
+      s"as-of lookup at batch $asOf under $root: a touched bucket's " +
+        s"retained chain starts at $bound (seed $seed, global floor " +
+        s"$floor) — that bucket's earlier versions were reaped; " +
         "widen the retention window on the GC cadence")
   }
 
@@ -1071,11 +1130,12 @@ object CdcRollup {
     * deleted (a crash between leaves the floor high with extra
     * versions — refusing a servable snapshot, never serving a broken
     * one). The latest committed version of every bucket is never
-    * touched. The advanced floor is the MAX superseding id across
-    * every reaped bucket (the floor is global, chains are per-bucket
-    * — see [[enableRetention]]'s granularity note): one hot bucket's
-    * churn bounds the whole state's servable history.
-    * @return (deleted version paths, the floor now in force) */
+    * touched. The advanced GLOBAL floor is the MAX superseding id
+    * across every reaped bucket and gates range reads; each reaped
+    * bucket also gets a PER-BUCKET floor (its own max superseding
+    * id) that gates point lookups — see [[enableRetention]]'s
+    * granularity note and [[requireServableBuckets]].
+    * @return (deleted version paths, the global floor now in force) */
   def reapRetainedVersions(spark: SparkSession, root: String,
                            retainMs: Long): (Seq[String], Long) = {
     import org.apache.hadoop.fs.Path
@@ -1119,6 +1179,15 @@ object CdcRollup {
     // deletions after — every crash window errs conservative
     if (newFloor > floor)
       BatchMarkers.writeFloor(fs, rootPath, newFloor)
+    // then PER-BUCKET floors (the same _ASOF_FLOOR_ protocol, inside
+    // each reaped bucket dir): each records the max superseding id
+    // reaped in THAT bucket, so point lookups pruned to cold buckets
+    // can keep serving history the hot buckets' churn already pushed
+    // the global floor past ([[requireServableBuckets]]). Still
+    // before any delete — every crash window errs conservative.
+    hits.groupBy(_._1.getParent).foreach { case (bucketDir, pairs) =>
+      BatchMarkers.writeFloor(fs, bucketDir, pairs.map(_._2).max)
+    }
     val deleted = hits.map { case (p, _) => fs.delete(p, true); p.toString }
     (deleted, newFloor)
   }
@@ -1165,11 +1234,14 @@ object CdcRollup {
       require(probe.filter(pkCols.map(col(_).isNull).reduce(_ || _))
           .isEmpty,
         "lookupBase: NULL in a pk column — a NULL key can never match")
-      asOf.foreach(requireServable(fs, rootPath, _))
       val bucketOf = pmod(xxhash64(pkCols.map(col): _*),
         lit(nBaseBuckets)).cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // per-bucket gate: a cold key's history outlives hot-bucket
+      // churn ([[requireServableBuckets]])
+      asOf.foreach(requireServableBuckets(fs, rootPath, _, "base",
+        touched))
       readLatest(spark, fs, rootPath, "base", Some(touched),
         BatchMarkers.read(fs, rootPath), asOf)
         .map(_.join(probe, pkCols, "left_semi"))
@@ -1213,11 +1285,14 @@ object CdcRollup {
     }
     val probe = keys.distinct().persist()
     try {
-      asOf.foreach(requireServable(fs, rootPath, _))
       val bucketOf = pmod(xxhash64(groupCols.map(col): _*),
         lit(nAggBuckets)).cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // per-bucket gate: a cold key's history outlives hot-bucket
+      // churn ([[requireServableBuckets]])
+      asOf.foreach(requireServableBuckets(fs, rootPath, _, "agg",
+        touched))
       readLatest(spark, fs, rootPath, "agg", Some(touched),
         BatchMarkers.read(fs, rootPath), asOf)
         .map { agg =>
@@ -1399,6 +1474,7 @@ object CdcRollup {
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
         BatchMarkers.clearFloors(fs, freshPath)
+        BatchMarkers.clearSeeds(fs, freshPath)
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-cdcRollup pin '$p' — " +
           "refusing to overwrite a different state family")
@@ -1460,9 +1536,14 @@ object CdcRollup {
     // crash window would leave a committed root with retention
     // silently OFF — conservative (requireServable refuses) but a
     // dropped property.
-    if (readAsofFloor(fs, rootPath).isDefined)
+    if (readAsofFloor(fs, rootPath).isDefined) {
+      // seed = floor = frontier: the collapse destroyed every chain,
+      // so per-bucket lookups may not reach below it either
+      BatchMarkers.writeSeed(fs, freshPath,
+        srcMarkers.maxCommitted.getOrElse(0L))
       BatchMarkers.writeFloor(fs, freshPath,
         srcMarkers.maxCommitted.getOrElse(0L))
+    }
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
     BatchMarkers.foldInto(fs, freshPath,

@@ -1814,10 +1814,19 @@ class AppSpec extends SparkSpec {
     withClue(og) { cg shouldBe 0 }
     og.get should include(""""asof_floor":1""")
     og.get should include(""""retain_deleted":""")
-    // batch 0's snapshot is gone: asOf 0 now refuses loud (exit 1)
+    // batch 0's snapshot is gone FOR THE REAPED BUCKET: asOf 0 on the
+    // churned key refuses loud (exit 1, the per-bucket gate)
     cfg("""{"kind": "lookup", "statePath": "astate",
           | "keys": [{"id": "1"}], "asOf": 0}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...but the COLD key's bucket kept its chain: its asOf-0 lookup
+    // serves BELOW the global floor (per-bucket floors — the CLI must
+    // not pre-refuse on the global one)
+    cfg("""{"kind": "lookup", "statePath": "astate",
+          | "keys": [{"id": "2"}], "asOf": 0}""".stripMargin)
+    val (cc, oc) = Main.execute(spark, sink, dir)
+    withClue(oc) { cc shouldBe 0 }
+    oc.get should include(""""v":20.0""")
     // asOf 1 still serves, and equals the current state
     cfg("""{"kind": "lookup", "statePath": "astate",
           | "keys": [{"id": "1"}], "asOf": 1}""".stripMargin)

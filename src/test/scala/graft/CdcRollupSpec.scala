@@ -1039,6 +1039,88 @@ class CdcRollupSpec extends SparkSpec {
       "a" -> ((Some(1L), None, "removed")))
   }
 
+  test("per-bucket retention floors: a cold key's as-of LOOKUP " +
+      "outlives hot-bucket churn; range reads stay gated by the " +
+      "global floor; a reaped bucket's lookup refuses per-bucket; " +
+      "legacy (seedless) states fall back to the global floor; fsck " +
+      "flags a seed above the floor") {
+    val root = tmpRoot()
+    // two groups in DIFFERENT agg buckets (nAgg=2) and two pks in
+    // different base buckets (nBase=4) — chosen by the same hash the
+    // state pins
+    def gBucket(g: String) = spark.range(1).select(
+      pmod(xxhash64(lit(g)), lit(2)).cast("int")).head().getInt(0)
+    def kBucket(k: Long) = spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(4)).cast("int")).head().getInt(0)
+    val cands = (0 until 20).map(i => s"g$i")
+    val hot = cands.find(g => gBucket(g) == 0).get
+    val cold = cands.find(g => gBucket(g) == 1).get
+    val hotId = 1L
+    val coldId = (2L to 20L).find(k => kBucket(k) != kBucket(hotId)).get
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    fold(root, 0L, log(
+      (hotId, hot, 10.0, 1L, "I"), (coldId, cold, 20.0, 1L, "I")))
+      .shouldBe(true)
+    // batches 1-2 churn ONLY the hot group/pk
+    fold(root, 1L, log((hotId, hot, 11.0, 2L, "U"))) shouldBe true
+    fold(root, 2L, log((hotId, hot, 12.0, 3L, "U"))) shouldBe true
+    // reap everything superseded: the hot buckets' old versions go,
+    // the GLOBAL floor advances to 2 — but the cold buckets' chains
+    // are untouched (their latest version is never reaped)
+    val (deleted, floor) = CdcRollup.reapRetainedVersions(spark, root, 0L)
+    floor shouldBe 2L
+    deleted should not be empty
+    // range reads below the global floor refuse (a reaped version
+    // inside a range is invisible to changed-bucket listings — only
+    // the global floor witnesses it)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewAsOf(spark, root, 0L)
+    }.getMessage should include("floor")
+    intercept[IllegalArgumentException] {
+      CdcRollup.diffView(spark, root, 0L, 2L)
+    }.getMessage should include("floor")
+    // ...but the COLD group's bucket kept its chain: the point lookup
+    // serves the batch-0 image below the global floor
+    import spark.implicits._
+    val hit = CdcRollup.lookupView(spark, root, Seq(cold).toDF("grp"),
+      asOf = Some(0L)).get
+    hit.select("total").head().getDecimal(0).doubleValue() shouldBe 20.0
+    CdcRollup.lookupBase(spark, root, Seq(coldId).toDF("id"),
+      asOf = Some(0L)).get.select("v").head().getDouble(0) shouldBe 20.0
+    // the HOT group's bucket was reaped: per-bucket refusal, named
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupView(spark, root, Seq(hot).toDF("grp"),
+        asOf = Some(0L))
+    }.getMessage should include("retained chain starts at")
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupBase(spark, root, Seq(hotId).toDF("id"),
+        asOf = Some(0L))
+    }.getMessage should include("retained chain starts at")
+    // at/above the global floor everything serves as before
+    CdcRollup.lookupView(spark, root, Seq(hot).toDF("grp"),
+      asOf = Some(2L)).get.count() shouldBe 1L
+    // fsck: a planted seed ABOVE the floor is a named error
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(root, "_ASOF_SEED_99"),
+      true).close()
+    val audit = graft.app.ViewFsck.fsckJson(spark, root)
+    audit should include(""""ok":false""")
+    audit should include("seed 99 is above the floor")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_ASOF_SEED_99"),
+      false)
+    // legacy states (retained before seeds existed): no seed file →
+    // the cold lookup falls back to the conservative global floor
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_ASOF_SEED_"))
+      .foreach(p => fs.delete(p, false))
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupView(spark, root, Seq(cold).toDF("grp"),
+        asOf = Some(0L))
+    }.getMessage should include("floor")
+  }
+
   test("retention reap deletes only ranges whose whole lifetime " +
       "predates the window, advances the floor past them, and never " +
       "touches a bucket's latest version") {
@@ -1073,9 +1155,12 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("floor")
     viewAsOf(root, 3L) shouldBe Map("a" -> ((1L, 4.0)))
     view(root) shouldBe Map("a" -> ((1L, 4.0)))
-    // steady state restored: one version per touched bucket again
+    // steady state restored: one VERSION per touched bucket again
+    // (the reaped bucket also keeps its per-bucket _ASOF_FLOOR_ file
+    // — the point-lookup depth gate)
     aggBuckets.foreach { b =>
-      fs.listStatus(b).length should be <= 1
+      fs.listStatus(b).count(_.getPath.getName
+        .startsWith("v")) should be <= 1
     }
     // reaping again is a no-op at the same floor
     CdcRollup.reapRetainedVersions(spark, root, 0L) shouldBe

@@ -435,12 +435,20 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
     val gc = runCli(dir)
     withClue(s"stderr: ${gc.stderr}") { gc.code shouldBe 0 }
     gc.stdout should include(""""asof_floor":1""")
-    // below the floor: user error, exit 1, named message
+    // the churned key's bucket was reaped: user error, exit 1, the
+    // per-bucket gate's named message
     cfg("""{"kind": "lookup", "statePath": "cst",
           |  "keys": [{"id": 1}], "asOf": 0}""".stripMargin)
     val below = runCli(dir)
     below.code shouldBe 1
-    below.stderr should include("retention floor")
+    below.stderr should include("retained chain starts at")
+    // the cold key's bucket kept its chain: its asOf-0 lookup serves
+    // BELOW the global floor (per-bucket retention floors)
+    cfg("""{"kind": "lookup", "statePath": "cst",
+          |  "keys": [{"id": 2}], "asOf": 0}""".stripMargin)
+    val coldLk = runCli(dir)
+    withClue(s"stderr: ${coldLk.stderr}") { coldLk.code shouldBe 0 }
+    coldLk.stdout should include(""""v":20.0""")
     // planted corruption surfaces as a named fsck error (exit stays
     // 0 — fsck is the audit, not a gate)
     Files.createDirectories(
