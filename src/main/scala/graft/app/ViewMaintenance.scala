@@ -144,19 +144,22 @@ object ViewMaintenance {
               // as config misuse (exit 1)
               checkAsof(spark, "export", pin, root, since,
                 keyName = "sinceBatch")
-              if (e.layer == "base") throw new UserException(
-                "maintainView export: sinceBatch pulls the per-group " +
-                  "change set; the base layer holds keyed images, " +
-                  "not group state — use asOf for base snapshots")
             }
             val read = (e.layer, e.asOf) match {
               case (l, None) if e.sinceBatch.isDefined =>
-                val auxName = Some(l).filter(_.startsWith("aux:"))
-                  .map(_.stripPrefix("aux:"))
+                // view/aux layers pull the per-GROUP change set;
+                // the base layer pulls the per-KEY image changes —
+                // the CDC-out feed a downstream mirror consumes.
                 // "ahead of the frontier" / undeclared aux are config
                 // misuse — rewrap the library refusals
-                try Some(graft.operators.CdcRollup.readViewSince(
-                  spark, root, e.sinceBatch.get, auxName))
+                val auxName = Some(l).filter(_.startsWith("aux:"))
+                  .map(_.stripPrefix("aux:"))
+                try Some(
+                  if (l == "base")
+                    graft.operators.CdcRollup.readBaseSince(
+                      spark, root, e.sinceBatch.get)
+                  else graft.operators.CdcRollup.readViewSince(
+                    spark, root, e.sinceBatch.get, auxName))
                 catch {
                   case ex: IllegalArgumentException =>
                     throw new UserException(
@@ -238,8 +241,13 @@ object ViewMaintenance {
         checkAsof(spark, "diff", pin, root, d.fromBatch)
         val auxName = Some(d.layer).filter(_.startsWith("aux:"))
           .map(_.stripPrefix("aux:"))
-        val df = try graft.operators.CdcRollup.diffView(
-          spark, root, d.fromBatch, d.toBatch, auxName)
+        val df = try {
+          if (d.layer == "base")
+            graft.operators.CdcRollup.diffBase(
+              spark, root, d.fromBatch, d.toBatch)
+          else graft.operators.CdcRollup.diffView(
+            spark, root, d.fromBatch, d.toBatch, auxName)
+        }
         catch {
           // an undeclared aux name is config misuse, exit 1
           case ex: IllegalArgumentException

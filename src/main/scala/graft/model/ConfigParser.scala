@@ -112,9 +112,10 @@ object ConfigParser {
           throw new UserException(
             "view.fromBatch must be <= view.toBatch")
         val layer = opt(v, "layer").map(_.asText).getOrElse("view")
-        if (layer != "view" && !layer.startsWith("aux:"))
+        if (!Set("view", "base")(layer) && !layer.startsWith("aux:"))
           throw new UserException(
-            s"view.layer '$layer' is not supported (view | aux:<name>)")
+            s"view.layer '$layer' is not supported " +
+              "(view | base | aux:<name>)")
         DiffViewConfig(statePath, output = req(v, "output").asText,
           fromBatch = from, toBatch = to, layer = layer)
       case "status" =>

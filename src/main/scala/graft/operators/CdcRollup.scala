@@ -1005,23 +1005,8 @@ object CdcRollup {
     val m = mmDecl.length
     val stateCols = Seq("n") ++ aggNames(k) ++ minNames(m) ++ maxNames(m)
     val markers = BatchMarkers.read(fs, rootPath)
-    // changed buckets: any committed version landed in (fromId, toId]
-    val aggDir = new Path(rootPath, layer)
-    val changed =
-      if (!fs.exists(aggDir)) Set.empty[Int]
-      else fs.listStatus(aggDir).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .filter { b =>
-          fs.listStatus(b).exists { v =>
-            val n = v.getPath.getName
-            n.startsWith("v") && n.length > 1 &&
-              n.drop(1).forall(_.isDigit) && {
-                val id = n.drop(1).toLong
-                markers.committed(id) && id > fromId && id <= toId
-              }
-          }
-        }
-        .flatMap(_.getName.stripPrefix("bucket=").toIntOption).toSet
+    val changed = changedBuckets(fs, rootPath, layer, markers,
+      fromId, toId)
     // the empty diff keeps the full output schema (group types from
     // the pin's typed field)
     val typed = layout.typed
@@ -1061,6 +1046,114 @@ object CdcRollup {
         when(inFrom && !inTo, lit("removed"))
           .when(!inFrom && inTo, lit("added"))
           .otherwise(lit("changed")).as("change")): _*)
+  }
+
+  /** Buckets of `layer` holding any committed version in
+    * `(fromId, toId]` — the change-set pruning both [[diffView]] and
+    * [[diffBase]] rest on: a bucket with no version in the range is
+    * byte-identical at both snapshots by construction. */
+  private def changedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                             rootPath: org.apache.hadoop.fs.Path,
+                             layer: String,
+                             markers: BatchMarkers.Markers,
+                             fromId: Long, toId: Long): Set[Int] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(rootPath, layer)
+    if (!fs.exists(dir)) Set.empty[Int]
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .filter { b =>
+        fs.listStatus(b).exists { v =>
+          val n = v.getPath.getName
+          n.startsWith("v") && n.length > 1 &&
+            n.drop(1).forall(_.isDigit) && {
+              val id = n.drop(1).toLong
+              markers.committed(id) && id > fromId && id <= toId
+            }
+        }
+      }
+      .flatMap(_.getName.stripPrefix("bucket=").toIntOption).toSet
+  }
+
+  /** The per-KEY change set between two snapshots of the SCD1 base —
+    * the row-level symmetric of [[diffView]]: which keyed images were
+    * `added` / `removed` / `changed` between batch `fromId` and
+    * `toId`. This is the CDC-out face: a downstream system mirroring
+    * the base table consumes exactly these rows.
+    *
+    * Output: pk columns, every non-pk payload column twice
+    * (`<col>_from` / `<col>_to`, NULL on the absent side), and
+    * `change`. Same retention rules and changed-bucket pruning as
+    * [[diffView]] (the base layer's own version chain); cost is
+    * O(changed base buckets), never two base scans. */
+  def diffBase(spark: SparkSession, root: String,
+               fromId: Long, toId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(fromId <= toId,
+      s"diffBase: fromId $fromId must be <= toId $toId")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    requireServable(fs, rootPath, fromId)
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"diffBase: no layout pin under $root — not a cdcRollup state"))
+    val layout = parseLayout(pin, root)
+    val pkCols = layout.pkCols
+    // payload columns in the pin's (sorted) spelling — deterministic
+    // output order regardless of parquet file layout
+    val payload = layout.typed.keys.toSeq.sorted
+    val stateCols = payload.filterNot(pkCols.contains)
+    val markers = BatchMarkers.read(fs, rootPath)
+    val changed = changedBuckets(fs, rootPath, "base", markers,
+      fromId, toId)
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def emptyState = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(payload.map(c => StructField(c,
+        org.apache.spark.sql.types.DataType.fromDDL(
+          layout.typed.getOrElse(c, "string"))))))
+    def side(id: Long) =
+      readLatest(spark, fs, rootPath, "base", Some(changed),
+        markers, Some(id)).getOrElse(emptyState)
+        .select(payload.map(col): _*)
+    val from = side(fromId)
+    val to = side(toId)
+    val cond = pkCols.map(c => from(c) <=> to(c)).reduce(_ && _)
+    val joined = from.join(to, cond, "full_outer")
+    // pk components are never NULL on a live image (folds refuse
+    // NULL pks) — presence rides the first pk column
+    val inFrom = from(pkCols.head).isNotNull
+    val inTo = to(pkCols.head).isNotNull
+    val differs = stateCols.map(c => !(from(c) <=> to(c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .where((inFrom =!= inTo) || differs)
+      .select((pkCols.map(c => coalesce(from(c), to(c)).as(c)) ++
+        stateCols.map(c => from(c).as(s"${c}_from")) ++
+        stateCols.map(c => to(c).as(s"${c}_to")) :+
+        when(inFrom && !inTo, lit("removed"))
+          .when(!inFrom && inTo, lit("added"))
+          .otherwise(lit("changed")).as("change")): _*)
+  }
+
+  /** [[readViewSince]]'s base-layer sibling: the per-key image
+    * changes since the consumer's last pulled frontier — the
+    * incremental CDC-out pull a downstream mirror consumes. Same
+    * frontier resolution, refusals, and retention rules. */
+  def readBaseSince(spark: SparkSession, root: String,
+                    afterId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val frontier = BatchMarkers.read(fs, rootPath).maxCommitted
+      .getOrElse(throw new IllegalStateException(
+        s"readBaseSince: no committed state under $root"))
+    require(afterId <= frontier,
+      s"readBaseSince: afterId $afterId is AHEAD of the committed " +
+        s"frontier $frontier under $root — a frontier this state " +
+        "never produced (wrong root, or a reset state); re-baseline " +
+        "the consumer with a full export")
+    diffBase(spark, root, afterId, frontier)
   }
 
   /** The incremental CONSUMER PULL — the change set since the

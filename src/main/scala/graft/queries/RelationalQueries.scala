@@ -1168,6 +1168,47 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // The per-KEY image change set — the CDC-OUT face
+    // ([[graft.operators.CdcRollup.readBaseSince]]): which keyed
+    // images were added/removed/changed since the consumer's last
+    // pulled frontier, with both payloads — exactly the rows a
+    // downstream mirror of the SCD1 base applies. Same slim 2-fold
+    // artifact shape as cdc_since_view; the oracle full-outer-joins
+    // the two semantically-derived image sets per key. A pull that
+    // leaked an unchanged key riding a touched bucket, mislabeled a
+    // side, or served stale payloads hashes red.
+    "cdc_base_since" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcbs_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableRetention(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op"))
+      val b1 = ord.filter(k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readBaseSince(s, root, 0L)
+        .select(col("o_orderkey"),
+          col("o_orderpriority_from"), col("o_orderpriority_to"),
+          col("o_totalprice_from"), col("o_totalprice_to"),
+          col("change"))
+        .orderBy("o_orderkey")
+    }),
+
     // Retraction-exact VARIANCE by COMPOSITION: the invertible-sums
     // algebra carries (n, Σv, Σv²) when the square rides as a second
     // measure computed upstream — so per-group AVG and sample
@@ -1386,6 +1427,29 @@ object RelationalQueries {
         |FROM s0 FULL OUTER JOIN s2 ON s0.p = s2.p
         |WHERE s0.p IS NULL OR s2.p IS NULL
         |   OR s0.n <> s2.n OR s0.t <> s2.t
+        |ORDER BY 1""".stripMargin,
+    // per-key: batch-0 images vs final images, full-outer-joined on
+    // the key, identical rows dropped — k%5 removed, surviving k%7
+    // changed (priority moved to X-UPD), nothing added
+    "cdc_base_since" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |f AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN 'X-UPD' ELSE p END AS p, v
+        |  FROM sliced WHERE k % 5 <> 0)
+        |SELECT COALESCE(sliced.k, f.k) AS o_orderkey,
+        |       sliced.p AS o_orderpriority_from,
+        |       f.p AS o_orderpriority_to,
+        |       sliced.v AS o_totalprice_from,
+        |       f.v AS o_totalprice_to,
+        |       CASE WHEN f.k IS NULL THEN 'removed'
+        |            WHEN sliced.k IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM sliced FULL OUTER JOIN f ON sliced.k = f.k
+        |WHERE f.k IS NULL OR sliced.k IS NULL
+        |   OR sliced.p <> f.p OR sliced.v <> f.v
         |ORDER BY 1""".stripMargin,
     // the consumer pull = batch-0 image vs FINAL image (k%7 keys
     // moved to X-UPD, k%5 keys deleted — delete wins the overlap),

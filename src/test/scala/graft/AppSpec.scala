@@ -1801,13 +1801,30 @@ class AppSpec extends SparkSpec {
     withClue(op2) { cp2 shouldBe 0 }
     op2.get should include(""""rows":0""")
     // ahead of the frontier (a frontier this state never produced)
-    // and the base layer (keyed images, not group state) refuse named
+    // refuses named
     cfg("""{"kind": "export", "statePath": "astate", "output": "px",
           | "sinceBatch": 9}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the BASE layer's pull: per-KEY image changes (the CDC-out feed
+    // a downstream mirror consumes) — id 1's update, _from/_to
     cfg("""{"kind": "export", "statePath": "astate", "output": "py",
           | "layer": "base", "sinceBatch": 0}""".stripMargin)
-    Main.execute(spark, sink, dir)._1 shouldBe 1
+    val (cb, ob) = Main.execute(spark, sink, dir)
+    withClue(ob) { cb shouldBe 0 }
+    ob.get should include(""""rows":1""")
+    val brow = spark.read.parquet(s"$dir/py").collect()
+    brow.length shouldBe 1
+    brow.head.getAs[Long]("id") shouldBe 1L
+    brow.head.getAs[Double]("v_from") shouldBe 10.0
+    brow.head.getAs[Double]("v_to") shouldBe 99.0
+    brow.head.getAs[String]("change") shouldBe "changed"
+    // the diff kind serves the base layer too
+    cfg("""{"kind": "diff", "statePath": "astate", "output": "pz",
+          | "layer": "base", "fromBatch": 0,
+          | "toBatch": 1}""".stripMargin)
+    val (cbd, obd) = Main.execute(spark, sink, dir)
+    withClue(obd) { cbd shouldBe 0 }
+    obd.get should include(""""rows":1""")
     // gc retainHours 0 reaps the superseded history, floor → 1
     cfg("""{"kind": "gc", "statePath": "astate", "retainHours": 0}""")
     val (cg, og) = Main.execute(spark, sink, dir)

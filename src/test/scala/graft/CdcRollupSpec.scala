@@ -1039,6 +1039,49 @@ class CdcRollupSpec extends SparkSpec {
       "a" -> ((Some(1L), None, "removed")))
   }
 
+  test("diffBase/readBaseSince: the per-KEY image change set between " +
+      "snapshots — added/removed/changed rows with _from/_to payloads; " +
+      "unchanged keys riding a touched bucket are dropped; the base " +
+      "pull shares the since-face rules") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    fold(root, 0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "a", 20.0, 1L, "I"),
+      (3L, "b", 30.0, 1L, "I"))) shouldBe true
+    // batch 1: update id 2 (group move + value), delete id 3,
+    // insert id 4
+    fold(root, 1L, log(
+      (2L, "b", 25.0, 2L, "U"),
+      (3L, "b", 0.0, 2L, "D"),
+      (4L, "c", 40.0, 2L, "I"))) shouldBe true
+    def m(df: DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("id") -> ((
+        Option(r.getAs[String]("grp_from")),
+        Option(r.getAs[String]("grp_to")),
+        r.getAs[String]("change")))
+    }.toMap
+    val d = CdcRollup.diffBase(spark, root, 0L, 1L)
+    m(d) shouldBe Map(
+      2L -> ((Some("a"), Some("b"), "changed")),
+      3L -> ((Some("b"), None, "removed")),
+      4L -> ((None, Some("c"), "added")))
+    // id 1 shares buckets with churned keys but did not change — it
+    // must NOT leak into the change set
+    d.filter(col("id") === 1L).count() shouldBe 0L
+    // the _from/_to payload carries the value movement too
+    val r2 = d.filter(col("id") === 2L).head()
+    r2.getAs[Double]("v_from") shouldBe 20.0
+    r2.getAs[Double]("v_to") shouldBe 25.0
+    // consumer pull face: equals the diff to the frontier; empty at
+    // the frontier; ahead refuses
+    rows(CdcRollup.readBaseSince(spark, root, 0L).orderBy("id")) shouldBe
+      rows(d.orderBy("id"))
+    CdcRollup.readBaseSince(spark, root, 1L).count() shouldBe 0L
+    intercept[IllegalArgumentException] {
+      CdcRollup.readBaseSince(spark, root, 9L)
+    }.getMessage should include("AHEAD of the committed frontier")
+  }
+
   test("per-bucket retention floors: a cold key's as-of LOOKUP " +
       "outlives hot-bucket churn; range reads stay gated by the " +
       "global floor; a reaped bucket's lookup refuses per-bucket; " +
