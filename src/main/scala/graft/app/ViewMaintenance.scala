@@ -609,7 +609,8 @@ object ViewMaintenance {
         val cdcLayers = Seq("base", "agg") ++
           (if (fs.exists(new Path(rootPath, "grp"))) Seq("grp") else Nil) ++
           ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
-            .filter(_.startsWith("aux_")).sorted
+            .filter(n => n.startsWith("aux_") ||
+              n.startsWith("grp_aux_")).sorted
         val layers = cdcLayers.map { layer =>
           val entries = ls(new Path(rootPath, layer))
             .filter(_.isDirectory)
@@ -662,7 +663,15 @@ object ViewMaintenance {
     val floorJson =
       if (pin.startsWith("cdcRollup|") || pin.startsWith("join|"))
         opt("asof_floor", graft.operators.BatchMarkers.readFloor(
-          fs, rootPath)) + ","
+          fs, rootPath)) + "," +
+          // the retention seed (cdc only): where history hard-starts
+          // for EVERY bucket; point lookups may serve back to it on
+          // buckets the reaps never touched (null = pre-seed state
+          // or join family)
+          (if (pin.startsWith("cdcRollup|"))
+            opt("asof_seed", graft.operators.BatchMarkers.readSeed(
+              fs, rootPath)) + ","
+          else "")
       else ""
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
       s"""$batches,"layers":{$layersJson},$floorJson""" +

@@ -1763,10 +1763,12 @@ class AppSpec extends SparkSpec {
     rows(spark.read.parquet(s"$dir/snap0")
       .select(col("id"), col("v")).orderBy("id")) shouldBe
       Seq(Seq(1L, 10.0), Seq(2L, 20.0))
-    // status reports the floor
+    // status reports the floor AND the retention seed (where history
+    // hard-starts for every bucket)
     cfg("""{"kind": "status", "statePath": "astate"}""")
-    Main.execute(spark, sink, dir)._2.get should
-      include(""""asof_floor":0""")
+    val stRet = Main.execute(spark, sink, dir)._2.get
+    stRet should include(""""asof_floor":0""")
+    stRet should include(""""asof_seed":0""")
     // the diff kind: exactly the one changed group, labeled, written
     cfg("""{"kind": "diff", "statePath": "astate", "output": "d01",
           | "fromBatch": 0, "toBatch": 1}""".stripMargin)
@@ -2004,10 +2006,12 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "export", "statePath": "xstate",
           | "layer": "aux:nope", "output": "xno"}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
-    // status reports the aux layer; fsck audits it clean
+    // status reports the aux layer AND its grp_aux image layer;
+    // fsck audits it clean
     cfg("""{"kind": "status", "statePath": "xstate"}""")
-    Main.execute(spark, sink, dir)._2.get should
-      include(""""aux_by_g2":{"buckets":""")
+    val stOut = Main.execute(spark, sink, dir)._2.get
+    stOut should include(""""aux_by_g2":{"buckets":""")
+    stOut should include(""""grp_aux_by_g2":{"buckets":""")
     // point lookup on the aux layer through the CLI
     cfg("""{"kind": "lookup", "statePath": "xstate",
           | "layer": "aux:by_g2", "keys": [{"grp2": "x"}]}""".stripMargin)
