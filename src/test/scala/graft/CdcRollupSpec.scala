@@ -1072,6 +1072,19 @@ class CdcRollupSpec extends SparkSpec {
     val r2 = d.filter(col("id") === 2L).head()
     r2.getAs[Double]("v_from") shouldBe 20.0
     r2.getAs[Double]("v_to") shouldBe 25.0
+    // 100 TB pin: the diff reads ONLY base buckets batch 1 touched
+    // (a committed version in (0, 1]) — never the whole base layer
+    val touched = Seq(2L, 3L, 4L).map { k =>
+      spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(4)).cast("int")).head().getInt(0)
+    }.toSet
+    val baseFiles = d.inputFiles.filter(_.contains("/base/"))
+    baseFiles should not be empty
+    baseFiles.foreach { f =>
+      withClue(f) {
+        touched.exists(b => f.contains(s"/bucket=$b/")) shouldBe true
+      }
+    }
     // consumer pull face: equals the diff to the frontier; empty at
     // the frontier; ahead refuses
     rows(CdcRollup.readBaseSince(spark, root, 0L).orderBy("id")) shouldBe
