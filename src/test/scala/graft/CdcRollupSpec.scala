@@ -759,6 +759,29 @@ class CdcRollupSpec extends SparkSpec {
         withClue(s"trial $trial aux diff($i,$j) (cuts $cuts): ") {
           agot shouldBe awant
         }
+        // the BASE layer diffs per KEY against the model images
+        // (image equality is exact here — raw doubles, no summation)
+        def modelBase(x: Int): Map[Long,
+            (Option[String], Option[String], Option[Double])] =
+          stream.take(cuts(x + 1)).groupBy(_.id).values
+            .map(_.maxBy(_.seq)).filter(_.op != "D")
+            .map(e => e.id -> ((e.grp, e.g2, e.v))).toMap
+        val (bi, bj) = (modelBase(i), modelBase(j))
+        val bwant = (bi.keySet ++ bj.keySet).flatMap { id =>
+          (bi.get(id), bj.get(id)) match {
+            case (Some(a), Some(b)) if a == b => None
+            case (Some(_), Some(_)) => Some(id -> "changed")
+            case (Some(_), None)    => Some(id -> "removed")
+            case (None, Some(_))    => Some(id -> "added")
+            case _                  => None
+          }
+        }.toMap
+        val bgot = CdcRollup.diffBase(spark, root, i.toLong, j.toLong)
+          .collect().map(r =>
+            r.getAs[Long]("id") -> r.getAs[String]("change")).toMap
+        withClue(s"trial $trial base diff($i,$j) (cuts $cuts): ") {
+          bgot shouldBe bwant
+        }
       }
     }
   }
