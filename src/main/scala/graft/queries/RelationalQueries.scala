@@ -860,14 +860,17 @@ object RelationalQueries {
           col("o_totalprice"), lit(seq.toLong).as("seq"),
           lit(op).as("op"))
       val b0 = ev(ord.filter(k % 32 === 0), 1, "I")
-      // batch 1 inserts the other half and MOVES some of batch 0's
+      // batch 1 inserts the other half, MOVES some of batch 0's
       // orders to a shifted customer id (group-moving update on the
-      // distinct-counted column)
+      // distinct-counted column) and deletes every k%3 key at a later
+      // seq — the delete beats the shift on the overlap exactly as it
+      // did when the deletes rode a third batch (oracle unchanged;
+      // one fold less of artifact I/O)
       val b1 = ev(ord.filter(k % 32 === 16), 1, "I").unionByName(
         ev(ord.filter(k % 32 === 0 && k % 5 === 0)
           .withColumn("o_custkey", col("o_custkey") + 1000000L), 2, "U"))
-      val b2 = ev(ord.filter(k % 3 === 0), 3, "D")
-      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        .unionByName(ev(ord.filter(k % 3 === 0), 3, "D"))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority", "o_custkey"),
           Seq("o_totalprice"), nBaseBuckets = 2, nAggBuckets = 2)
@@ -901,20 +904,21 @@ object RelationalQueries {
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           col("o_custkey"))
         .filter(k % 16 === 0)
-      def ins(m: Int, seq: Int) = ord.filter(k % 3 === m)
-        .select(k, col("o_orderpriority"), col("o_totalprice"),
-          col("o_custkey"), lit(seq.toLong).as("seq"), lit("I").as("op"))
-      val b0 = ins(0, 1)
-      val b1 = ins(1, 1).unionByName(
-        ord.filter(k % 3 === 0 && k % 7 === 0)
-          .select(k, lit("X-UPD").as("o_orderpriority"),
-            col("o_totalprice"), col("o_custkey"),
-            lit(2L).as("seq"), lit("U").as("op")))
-      val b2 = ins(2, 1).unionByName(
-        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+      // 2 folds (the cdc_cube_view reshape): identical final images,
+      // oracle byte-identical, one fold less of the 3-layer
+      // artifact's I/O; batch 1 still retracts batch-0 extrema
+      // cross-batch (deletes + group-moving updates)
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), col("o_custkey"),
+        lit(1L).as("seq"), lit("I").as("op"))
+      val b1 = ord.filter(k % 3 === 0 && k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), col("o_custkey"),
+          lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0 && k % 3 =!= 2)
           .select(k, col("o_orderpriority"), col("o_totalprice"),
             col("o_custkey"), lit(3L).as("seq"), lit("D").as("op")))
-      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
           nBaseBuckets = 2, nAggBuckets = 2,
@@ -1228,20 +1232,20 @@ object RelationalQueries {
         .select(k, col("o_orderpriority"), col("o_totalprice"),
           (col("o_totalprice") * col("o_totalprice")).as("v2"))
         .filter(k % 16 === 0)
-      def ins(m: Int) = ord.filter(k % 3 === m)
-        .select(k, col("o_orderpriority"), col("o_totalprice"),
-          col("v2"), lit(1L).as("seq"), lit("I").as("op"))
-      val b0 = ins(0)
-      val b1 = ins(1).unionByName(
-        ord.filter(k % 3 === 0 && k % 7 === 0)
-          .select(k, lit("X-UPD").as("o_orderpriority"),
-            col("o_totalprice"), col("v2"),
-            lit(2L).as("seq"), lit("U").as("op")))
-      val b2 = ins(2).unionByName(
-        ord.filter(k % 5 === 0 && k % 3 =!= 2)
+      // 2 folds (the cdc_cube_view reshape): the same update and
+      // delete sets in one retraction batch net to identical final
+      // images — oracle byte-identical, one fold less of artifact I/O
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), col("v2"),
+        lit(1L).as("seq"), lit("I").as("op"))
+      val b1 = ord.filter(k % 3 === 0 && k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), col("v2"),
+          lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0 && k % 3 =!= 2)
           .select(k, col("o_orderpriority"), col("o_totalprice"),
             col("v2"), lit(3L).as("seq"), lit("D").as("op")))
-      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
         CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
           "seq", "op", Seq("o_orderpriority"),
           Seq("o_totalprice", "v2"), nBaseBuckets = 2, nAggBuckets = 2)
