@@ -2006,6 +2006,18 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "export", "statePath": "xstate",
           | "layer": "aux:nope", "output": "xno"}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // the AUX layer's consumer pull: change set 0 → frontier on the
+    // aux group key (y removed, x changed), pulled-to id reported
+    cfg("""{"kind": "export", "statePath": "xstate",
+          | "layer": "aux:by_g2", "output": "xas",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cas, oas) = Main.execute(spark, sink, dir)
+    withClue(oas) { cas shouldBe 0 }
+    oas.get should include(""""rows":2""")
+    oas.get should include(""""batch_id":1""")
+    spark.read.parquet(s"$dir/xas").collect()
+      .map(r => r.getAs[String]("grp2") -> r.getAs[String]("change"))
+      .toMap shouldBe Map("x" -> "changed", "y" -> "removed")
     // status reports the aux layer AND its grp_aux image layer;
     // fsck audits it clean
     cfg("""{"kind": "status", "statePath": "xstate"}""")
