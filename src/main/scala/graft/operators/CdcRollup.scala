@@ -90,9 +90,14 @@ import org.apache.spark.sql.functions._
   * it refuse loud ([[requireServable]] — those versions are gone),
   * and [[reapRetainedVersions]] advances it past everything it
   * deletes (floor written BEFORE the deletes — every crash window is
-  * conservative). This is what makes a training run reproducible
-  * against a live view: record the batch id consumed, re-read as-of
-  * it while the retention window holds.
+  * conservative). The floor is two-grained: the GLOBAL floor gates
+  * range reads (full as-of, [[diffView]]/[[diffBase]], the
+  * `sinceBatch` pulls), while point lookups gate on PER-BUCKET
+  * floors plus the enable-time seed ([[requireServableBuckets]]) —
+  * a cold key's history outlives the hot buckets' churn. This is
+  * what makes a training run reproducible against a live view:
+  * record the batch id consumed, re-read as-of it while the
+  * retention window holds.
   *
   * Long-lived ops: per-batch markers fold into a single
   * `_APPLIED_UPTO_<w>` watermark ([[foldMarkers]] — sound exactly
