@@ -270,6 +270,23 @@ object ViewFsck {
         // already destroyed
         graft.operators.BatchMarkers.readSeed(fs, rootPath)
           .foreach { seed =>
+            // a seed WITHOUT a floor is retention half-enabled — the
+            // residue of a legacy enableRetention crash (seed written
+            // first): folds run UNRETAINED and keep eagerly reaping
+            // history, yet a later 'retain' keeps this stale seed
+            // ("an existing seed wins") and would then approve
+            // bucket-pruned as-of lookups on version chains those
+            // un-retained folds already destroyed — silently wrong
+            // results, the one crash direction the contract forbids
+            check(floors.isEmpty, error = true,
+              s"cdcRollup: retention seed $seed exists but no " +
+                "retention floor — retention is HALF-ENABLED (an " +
+                "enableRetention crash): folds keep reaping history, " +
+                "and a later 'retain' would inherit this stale seed " +
+                "and approve as-of lookups on destroyed chains",
+              fix = "delete the _ASOF_SEED_ file, then re-run " +
+                "'retain' if retention is wanted — a re-enable must " +
+                "never inherit a seed older than its floor")
             check(floors.maxOption.exists(seed > _), error = true,
               s"cdcRollup: retention seed $seed is above the floor " +
                 s"${floors.maxOption.getOrElse(-1L)} — the seed is " +
@@ -290,6 +307,73 @@ object ViewFsck {
               "holds its full version chain); if so, delete the " +
               s"_ASOF_FLOOR_$f file and re-run 'retain' to seed the " +
               "correct floor")
+        }
+        // change-log hygiene: bound files, coverage gaps, stranded
+        // entries
+        val logBounds = graft.operators.BatchMarkers
+          .readLogFromAll(fs, rootPath)
+        val logBound = logBounds.maxOption
+        val logDirP = new Path(rootPath, "log")
+        check(logBounds.size > 1, error = false,
+          s"cdcRollup: ${logBounds.size} _LOG_FROM_ files — a " +
+            "crashed bound advance; readers take the max, the next " +
+            "log reap clears the rest")
+        check(fs.exists(logDirP) && logBound.isEmpty, error = false,
+          "cdcRollup: a log/ layer exists but no _LOG_FROM_ bound — " +
+            "change-log mode is off (a hand-removed bound?); pulls " +
+            "refuse loud and the dirs are stale; re-run 'changelog' " +
+            "to resume from the current frontier")
+        logBound.foreach { lf =>
+          check(lf > frontier.getOrElse(-1L), error = true,
+            s"cdcRollup: change-log bound $lf is above the committed " +
+              s"frontier ${frontier.getOrElse(-1L)} — pulls would " +
+              "refuse ranges the log actually covers (a _LOG_FROM_ " +
+              "file copied from another state?)",
+            fix = "verify which state this bound belongs to; if " +
+              "foreign, delete the _LOG_FROM_ file and re-run " +
+              "'changelog' to re-seed it at the frontier")
+          // every LISTABLE committed fold above the bound must have
+          // its log dir — a missing one is a coverage GAP a pull
+          // would silently lose (the one wrong-data shape this layer
+          // can take)
+          val present =
+            (if (fs.exists(logDirP))
+              fs.listStatus(logDirP).toSeq.map(_.getPath.getName)
+                .filter(n => n.startsWith("b") && n.length > 1 &&
+                  n.drop(1).forall(_.isDigit))
+                .map(_.drop(1).toLong)
+            else Nil).toSet
+          markers.ids.filter(_ > lf).toSeq.sorted.foreach { id =>
+            check(!present(id), error = true,
+              s"cdcRollup: batch $id committed after the change-log " +
+                s"bound $lf but log/b$id is missing — a pull " +
+                "spanning it would silently lose that fold's changes",
+              fix = "delete the _LOG_FROM_ file and re-run " +
+                "'changelog' (re-seeding the bound at the frontier, " +
+                "past the gap), then re-baseline consumers with a " +
+                "full base export — never serve a gapped pull")
+          }
+          if (fs.exists(logDirP))
+            fs.listStatus(logDirP).toSeq.filter(_.isDirectory)
+              .foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith(".staging")) {
+                  val id = n.stripPrefix(".staging").toLongOption
+                  check(id.exists(i => markers.committed(i) ||
+                      frontier.exists(i <= _)), error = false,
+                    s"cdcRollup/log/$n: staging shell that can " +
+                      "never promote — gc sweeps it")
+                } else if (n.startsWith("b") && n.length > 1 &&
+                    n.drop(1).forall(_.isDigit)) {
+                  val id = n.drop(1).toLong
+                  check(!markers.committed(id) &&
+                      frontier.exists(id <= _), error = false,
+                    s"cdcRollup/log/$n: uncommitted log dir below " +
+                      "the frontier — abandoned garbage, gc sweeps it")
+                } else
+                  check(errorWhen = true, error = false,
+                    s"cdcRollup/log/$n: unrecognized entry")
+              }
         }
         "cdcRollup"
       } else {

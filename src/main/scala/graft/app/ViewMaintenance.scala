@@ -81,6 +81,26 @@ object ViewMaintenance {
             s"maintainView export: layer '${e.layer}' is only valid " +
               s"for cdcRollup states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
+        // on a cdcRollup state the layer key is a dispatch: an
+        // unknown value (a typo like 'agg' or 'grp', or 'aux:' with
+        // no name) must refuse as config misuse, never silently fall
+        // through to the MAIN view — the parser validates this shape
+        // too, but this face also serves programmatic configs
+        if (pin.startsWith("cdcRollup|") && e.layer != "view" &&
+            e.layer != "base" && e.layer != "log" &&
+            !(e.layer.startsWith("aux:") && e.layer.length > 4))
+          throw new UserException(
+            s"maintainView export: unknown layer '${e.layer}' for a " +
+              "cdcRollup state (view | base | log | aux:<name>) — " +
+              "refusing rather than silently serving the main view")
+        // the log pull is the incremental face only (the parser
+        // enforces this too; this face also serves programmatic
+        // configs)
+        if (e.layer == "log" && e.sinceBatch.isEmpty)
+          throw new UserException(
+            "maintainView export: layer 'log' is the change-log " +
+              "consumer pull — it requires sinceBatch (use layer " +
+              "'base' for a full image export)")
         // asOf = snapshot export (cdcRollup retention mode): the bulk
         // face of reproducibility — "write out the view exactly as
         // batch N saw it". Silently exporting the CURRENT state of a
@@ -100,34 +120,59 @@ object ViewMaintenance {
               "cdcRollup state's retained version chain; the state " +
               s"under $root is '${pin.takeWhile(_ != '|')}' — rollup " +
               "states keep no history")
-        val df =
+        // a sinceBatch pull resolves the committed frontier ONCE and
+        // pins both the pulled range and the reported batch_id to it
+        // — reading the frontier after the pull would let a
+        // concurrently committing fold push the report AHEAD of the
+        // range actually pulled, and a consumer recording that value
+        // as its next sinceBatch would skip the fold's changes
+        // forever. `pulledTo` is that single resolution.
+        val (df, pulledTo): (DataFrame, Option[Long]) =
           if (pin.startsWith("join|"))
             (e.asOf, e.sinceBatch) match {
               case (_, Some(since)) =>
-                try JoinView.readViewDelta(spark, root, since)
-                  .getOrElse(
-                    // an empty range is a VALID pull (nothing new) —
-                    // export an empty frame with the view's schema
-                    JoinView.readCommittedView(spark, root)
-                      .getOrElse(throw new UserException(
-                        s"maintainView export: no committed state " +
-                          s"under $root")).limit(0))
-                catch {
-                  case ex: IllegalArgumentException
-                      if ex.getMessage.contains("compaction floor") =>
-                    throw new UserException(
-                      s"maintainView export: ${ex.getMessage}")
-                }
-              case (Some(a), _) =>
-                JoinView.readViewAsOf(spark, root, a)
-                  .getOrElse(throw new UserException(
-                    s"maintainView export: no committed state under " +
-                      s"$root as of batch $a"))
-              case _ =>
-                JoinView.readCommittedView(spark, root)
+                val frontier = graft.operators.BatchMarkers
+                  .read(fs, rootPath).maxCommitted
                   .getOrElse(throw new UserException(
                     s"maintainView export: no committed state under " +
                       s"$root"))
+                // ahead of the frontier refuses NAMED (the cdc-pull
+                // discipline): a frontier this state never produced
+                // means a wrong root or a reset state, and a silent
+                // empty pull would drop the consumer's backlog forever
+                if (since > frontier) throw new UserException(
+                  s"maintainView export: sinceBatch $since is AHEAD " +
+                    s"of the committed frontier $frontier under " +
+                    s"$root — a frontier this state never produced " +
+                    "(wrong root, or a reset state); re-baseline the " +
+                    "consumer with a full export")
+                val d =
+                  try JoinView.readViewDelta(spark, root, since,
+                      Some(frontier))
+                    .getOrElse(
+                      // an empty range is a VALID pull (nothing new) —
+                      // export an empty frame with the view's schema
+                      JoinView.readCommittedView(spark, root)
+                        .getOrElse(throw new UserException(
+                          s"maintainView export: no committed state " +
+                            s"under $root")).limit(0))
+                  catch {
+                    case ex: IllegalArgumentException
+                        if ex.getMessage.contains("compaction floor") =>
+                      throw new UserException(
+                        s"maintainView export: ${ex.getMessage}")
+                  }
+                (d, Some(frontier))
+              case (Some(a), _) =>
+                (JoinView.readViewAsOf(spark, root, a)
+                  .getOrElse(throw new UserException(
+                    s"maintainView export: no committed state under " +
+                      s"$root as of batch $a")), None)
+              case _ =>
+                (JoinView.readCommittedView(spark, root)
+                  .getOrElse(throw new UserException(
+                    s"maintainView export: no committed state under " +
+                      s"$root")), None)
             }
           else if (pin.startsWith("cdcRollup|")) {
             // an undeclared aux name is config misuse (exit 1), not
@@ -138,53 +183,75 @@ object ViewMaintenance {
                   throw new UserException(
                     s"maintainView export: ${ex.getMessage}")
               }
-            e.sinceBatch.foreach { since =>
+            if (e.layer != "log") e.sinceBatch.foreach { since =>
               // the pull cadence must fit the retention window: the
               // same honesty checks as asOf (retention on + floor),
-              // as config misuse (exit 1)
+              // as config misuse (exit 1). A LOG pull is exempt —
+              // that is its whole point: the append-only log serves
+              // forward-only consumers with retention OFF (its own
+              // _LOG_FROM_ bound is checked in the library, rewrapped
+              // below)
               checkAsof(spark, "export", pin, root, since,
                 keyName = "sinceBatch")
             }
-            val read = (e.layer, e.asOf) match {
-              case (l, None) if e.sinceBatch.isDefined =>
-                // view/aux layers pull the per-GROUP change set;
-                // the base layer pulls the per-KEY image changes —
-                // the CDC-out feed a downstream mirror consumes.
-                // "ahead of the frontier" / undeclared aux are config
-                // misuse — rewrap the library refusals
-                val auxName = Some(l).filter(_.startsWith("aux:"))
-                  .map(_.stripPrefix("aux:"))
-                try Some(
-                  if (l == "base")
-                    graft.operators.CdcRollup.readBaseSince(
-                      spark, root, e.sinceBatch.get)
-                  else graft.operators.CdcRollup.readViewSince(
-                    spark, root, e.sinceBatch.get, auxName))
-                catch {
-                  case ex: IllegalArgumentException =>
-                    throw new UserException(
-                      s"maintainView export: ${ex.getMessage}")
-                }
-              case ("base", Some(a)) =>
-                graft.operators.CdcRollup.readBaseAsOf(spark, root, a)
-              case ("base", None) =>
-                graft.operators.CdcRollup.readBase(spark, root)
-              case (l, Some(a)) if l.startsWith("aux:") =>
-                val n = l.stripPrefix("aux:")
-                aux(n)(graft.operators.CdcRollup
-                  .readAuxViewAsOf(spark, root, n, a))
-              case (l, None) if l.startsWith("aux:") =>
-                val n = l.stripPrefix("aux:")
-                aux(n)(graft.operators.CdcRollup
-                  .readAuxView(spark, root, n))
-              case (_, Some(a)) =>
-                graft.operators.CdcRollup.readViewAsOf(spark, root, a)
-              case _ =>
-                graft.operators.CdcRollup.readView(spark, root)
-            }
-            read.getOrElse(throw new UserException(
+            val (read, pulled): (Option[DataFrame], Option[Long]) =
+              (e.layer, e.asOf) match {
+                case (l, None) if e.sinceBatch.isDefined =>
+                  // view/aux layers pull the per-GROUP change set;
+                  // the base layer pulls the per-KEY image changes —
+                  // the CDC-out feed a downstream mirror consumes.
+                  // "ahead of the frontier" / undeclared aux are
+                  // config misuse — rewrap the library refusals. The
+                  // Pinned variants return the ONE frontier the pull
+                  // resolved against — the value reported back
+                  val auxName = Some(l).filter(_.startsWith("aux:"))
+                    .map(_.stripPrefix("aux:"))
+                  try {
+                    val (d, frontier) =
+                      if (l == "log")
+                        graft.operators.CdcRollup.readBaseLogPinned(
+                          spark, root, e.sinceBatch.get)
+                      else if (l == "base")
+                        graft.operators.CdcRollup.readBaseSincePinned(
+                          spark, root, e.sinceBatch.get)
+                      else graft.operators.CdcRollup.readViewSincePinned(
+                        spark, root, e.sinceBatch.get, auxName)
+                    (Some(d), Some(frontier))
+                  } catch {
+                    case ex: IllegalArgumentException =>
+                      throw new UserException(
+                        s"maintainView export: ${ex.getMessage}")
+                    // "not in change-log mode" is config misuse at
+                    // this face, not an application error
+                    case ex: IllegalStateException
+                        if l == "log" &&
+                          ex.getMessage.contains("change-log mode") =>
+                      throw new UserException(
+                        s"maintainView export: ${ex.getMessage}")
+                  }
+                case ("base", Some(a)) =>
+                  (graft.operators.CdcRollup.readBaseAsOf(spark, root, a),
+                    None)
+                case ("base", None) =>
+                  (graft.operators.CdcRollup.readBase(spark, root), None)
+                case (l, Some(a)) if l.startsWith("aux:") =>
+                  val n = l.stripPrefix("aux:")
+                  (aux(n)(graft.operators.CdcRollup
+                    .readAuxViewAsOf(spark, root, n, a)), None)
+                case (l, None) if l.startsWith("aux:") =>
+                  val n = l.stripPrefix("aux:")
+                  (aux(n)(graft.operators.CdcRollup
+                    .readAuxView(spark, root, n)), None)
+                case (_, Some(a)) =>
+                  (graft.operators.CdcRollup.readViewAsOf(spark, root, a),
+                    None)
+                case _ =>
+                  (graft.operators.CdcRollup.readView(spark, root), None)
+              }
+            (read.getOrElse(throw new UserException(
               s"maintainView export: no committed state under $root" +
-                e.asOf.map(a => s" as of batch $a").getOrElse("")))
+                e.asOf.map(a => s" as of batch $a").getOrElse(""))),
+              pulled)
           } else {
             // rollup pin: nBuckets|keys|valueCol — export the
             // FINALIZED aggregates, the monoid state is an
@@ -197,19 +264,16 @@ object ViewMaintenance {
             val statePq = new org.apache.hadoop.fs.Path(root, "state")
             if (!fs.exists(statePq)) throw new UserException(
               s"maintainView export: no committed state under $root")
-            graft.operators.IncrementalAgg.finalizeState(
-              spark.read.parquet(statePq.toString).drop("bucket"), keys)
+            (graft.operators.IncrementalAgg.finalizeState(
+              spark.read.parquet(statePq.toString).drop("bucket"), keys),
+              None)
           }
         // count the CACHED view once before the write — the same rows
         // the write materializes, without a second full scan of the
-        // export (the write itself still fails loud on any IO error)
-        // on a sinceBatch pull, report the frontier the consumer just
-        // pulled TO (as batch_id) — the value they record and pass
-        // back as the next pull's sinceBatch
-        val pulledTo =
-          if (e.sinceBatch.isDefined)
-            graft.operators.BatchMarkers.read(fs, rootPath).maxCommitted
-          else None
+        // export (the write itself still fails loud on any IO error).
+        // `pulledTo` (a sinceBatch pull's resolved frontier) rides the
+        // report as batch_id — the value the consumer records and
+        // passes back as the next pull's sinceBatch
         val cached = df.persist()
         try {
           val n = cached.count()
@@ -237,6 +301,16 @@ object ViewMaintenance {
             "maintainView diff: the change set is defined on " +
               s"cdcRollup states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}'")
+        // unknown layer values refuse as config misuse, never fall
+        // through to the main view (the export-face discipline; the
+        // parser validates too, this face also serves programmatic
+        // configs)
+        if (d.layer != "view" && d.layer != "base" &&
+            !(d.layer.startsWith("aux:") && d.layer.length > 4))
+          throw new UserException(
+            s"maintainView diff: unknown layer '${d.layer}' for a " +
+              "cdcRollup state (view | base | aux:<name>) — refusing " +
+              "rather than silently diffing the main view")
         // the same CLI-face honesty checks as asOf lookup/export
         checkAsof(spark, "diff", pin, root, d.fromBatch)
         val auxName = Some(d.layer).filter(_.startsWith("aux:"))
@@ -286,6 +360,25 @@ object ViewMaintenance {
         val floor = graft.operators.CdcRollup.enableRetention(spark, root)
         Report(rt.kind, applied = !already,
           detail = Some(s"""{"asof_floor":$floor}"""))
+      case cl: ChangeLogViewConfig =>
+        val root = resolve(cl.statePath, dataDir)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+          .getOrElse(throw new UserException(
+            s"maintainView changelog: no layout pin under $root — " +
+              "not a view state (change-log mode must be enabled on " +
+              "an EXISTING cdcRollup state; fold batch 0 first)"))
+        if (!pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            "maintainView changelog: the fold-time change log " +
+              s"applies to cdcRollup states only; the state under " +
+              s"$root is '${pin.takeWhile(_ != '|')}'")
+        val already = graft.operators.CdcRollup
+          .changeLogFrom(spark, root).isDefined
+        val from = graft.operators.CdcRollup.enableChangeLog(spark, root)
+        Report(cl.kind, applied = !already,
+          detail = Some(s"""{"log_from":$from}"""))
       case lk: LookupViewConfig =>
         runLookup(spark, lk, dataDir)
       case g: GcViewConfig =>
@@ -313,6 +406,19 @@ object ViewMaintenance {
                 "retention mode — no snapshot history accretes; drop " +
                 "retainHours or run the 'retain' kind first")
         }
+        // logRetainHours = reap change-log history (bound-advancing)
+        // — change-log mode only, the retainHours discipline
+        if (g.logRetainHours.isDefined) {
+          if (!pin.startsWith("cdcRollup|")) throw new UserException(
+            "maintainView gc: logRetainHours applies to cdcRollup " +
+              s"states in change-log mode; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' — drop the key")
+          if (graft.operators.CdcRollup.changeLogFrom(spark, root).isEmpty)
+            throw new UserException(
+              s"maintainView gc: the state under $root is not in " +
+                "change-log mode — no log accretes; drop " +
+                "logRetainHours or run the 'changelog' kind first")
+        }
         val (deleted, watermark) =
           if (pin.startsWith("join|"))
             (JoinView.cleanOrphanBatchDirs(spark, root, ms),
@@ -339,7 +445,12 @@ object ViewMaintenance {
           graft.operators.CdcRollup.reapRetainedVersions(
             spark, root, h * 3600L * 1000)
         }
-        val reaped = retained.map(_._1.size).getOrElse(0)
+        val logReaped = g.logRetainHours.map { h =>
+          graft.operators.CdcRollup.reapChangeLog(
+            spark, root, h * 3600L * 1000)
+        }
+        val reaped = retained.map(_._1.size).getOrElse(0) +
+          logReaped.map(_._1.size).getOrElse(0)
         Report(g.kind,
           applied = deleted.nonEmpty || watermark.nonEmpty || reaped > 0,
           rows = Some((deleted.size + reaped).toLong),
@@ -347,6 +458,9 @@ object ViewMaintenance {
             watermark.map(_.toString).getOrElse("null") +
             retained.map { case (d, f) =>
               s""","retain_deleted":${d.size},"asof_floor":$f"""
+            }.getOrElse("") +
+            logReaped.map { case (d, f) =>
+              s""","log_deleted":${d.size},"log_from":$f"""
             }.getOrElse("") + "}"))
       case c: CompactViewConfig =>
         // kind auto-detected from the state's own layout pin — one
@@ -467,6 +581,15 @@ object ViewMaintenance {
         s"maintainView lookup: layer '${lk.layer.get}' is only valid " +
           s"for cdcRollup states; the state under $root is " +
           s"'${pin.takeWhile(_ != '|')}' — drop the layer key")
+    // unknown layer values refuse as config misuse, never fall
+    // through to the main view (the export-face discipline)
+    lk.layer.filter(l => l != "view" && l != "base" &&
+        !(l.startsWith("aux:") && l.length > 4)).foreach { l =>
+      throw new UserException(
+        s"maintainView lookup: unknown layer '$l' for a cdcRollup " +
+          "state (view | base | aux:<name>) — refusing rather than " +
+          "silently probing the main view")
+    }
     lk.asOf.foreach(checkAsof(spark, "lookup", pin, root, _,
       globalFloorGate = !pin.startsWith("cdcRollup|")))
     // the cdc lookups gate depth PER-BUCKET in the library (a cold
@@ -611,6 +734,27 @@ object ViewMaintenance {
           ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
             .filter(n => n.startsWith("aux_") ||
               n.startsWith("grp_aux_")).sorted
+        // the change log reports its own shape (append-only b<id>
+        // dirs, no buckets): committed dirs vs orphan candidates
+        val logJson =
+          if (!fs.exists(new Path(rootPath, "log"))) ""
+          else {
+            val entries = ls(new Path(rootPath, "log"))
+              .filter(_.isDirectory)
+            var committed = 0
+            var orphans = 0
+            entries.foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(".staging")) orphans += 1
+              else if (n.startsWith("b"))
+                n.drop(1).toLongOption match {
+                  case Some(i) if markers.committed(i) => committed += 1
+                  case _ => orphans += 1
+                }
+            }
+            s""""log":{"batch_dirs":$committed,""" +
+              s""""orphan_candidates":$orphans},"""
+          }
         val layers = cdcLayers.map { layer =>
           val entries = ls(new Path(rootPath, layer))
             .filter(_.isDirectory)
@@ -635,7 +779,7 @@ object ViewMaintenance {
             s""""committed_versions":$committed,""" +
             s""""orphan_candidates":$orphans}"""
         }.mkString(",")
-        ("cdcRollup", layers,
+        ("cdcRollup", logJson + layers,
           if (!countRows) None
           else Some(graft.operators.CdcRollup.readView(spark, root)
             .map(_.count()).getOrElse(0L)))
@@ -670,7 +814,10 @@ object ViewMaintenance {
           // or join family)
           (if (pin.startsWith("cdcRollup|"))
             opt("asof_seed", graft.operators.BatchMarkers.readSeed(
-              fs, rootPath)) + ","
+              fs, rootPath)) + "," +
+              // the change-log coverage bound (null = mode off)
+              opt("log_from", graft.operators.BatchMarkers.readLogFrom(
+                fs, rootPath)) + ","
           else "")
       else ""
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +

@@ -85,10 +85,11 @@ object ConfigParser {
     req(v, "kind").asText match {
       case "export" =>
         val layer = opt(v, "layer").map(_.asText).getOrElse("view")
-        if (!Set("view", "base")(layer) && !layer.startsWith("aux:"))
+        if (!Set("view", "base", "log")(layer) &&
+            !(layer.startsWith("aux:") && layer.length > 4))
           throw new UserException(
             s"view.layer '$layer' is not supported " +
-              "(view | base | aux:<name>)")
+              "(view | base | log | aux:<name>)")
         val since = opt(v, "sinceBatch").map(_.asLong)
         if (since.exists(_ < 0))
           throw new UserException("view.sinceBatch must be >= 0")
@@ -96,11 +97,18 @@ object ConfigParser {
           throw new UserException(
             "view.sinceBatch and view.asOf are mutually exclusive — " +
               "a snapshot and an incremental range are different reads")
+        if (layer == "log" && since.isEmpty)
+          throw new UserException(
+            "view.layer 'log' is the change-log consumer pull — it " +
+              "requires sinceBatch (use layer 'base' for a full " +
+              "image export)")
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer,
           asOf = parseAsOf(v), sinceBatch = since)
       case "retain" =>
         RetainViewConfig(statePath)
+      case "changelog" =>
+        ChangeLogViewConfig(statePath)
       case "fsck" =>
         FsckViewConfig(statePath)
       case "diff" =>
@@ -112,7 +120,8 @@ object ConfigParser {
           throw new UserException(
             "view.fromBatch must be <= view.toBatch")
         val layer = opt(v, "layer").map(_.asText).getOrElse("view")
-        if (!Set("view", "base")(layer) && !layer.startsWith("aux:"))
+        if (!Set("view", "base")(layer) &&
+            !(layer.startsWith("aux:") && layer.length > 4))
           throw new UserException(
             s"view.layer '$layer' is not supported " +
               "(view | base | aux:<name>)")
@@ -124,7 +133,7 @@ object ConfigParser {
       case "lookup" =>
         val layer = opt(v, "layer").map(_.asText)
         layer.filterNot(l => Set("view", "base")(l) ||
-            l.startsWith("aux:")).foreach { l =>
+            (l.startsWith("aux:") && l.length > 4)).foreach { l =>
           throw new UserException(
             s"view.layer '$l' is not supported (view | base | aux:<name>)")
         }
@@ -167,9 +176,12 @@ object ConfigParser {
         val retain = opt(v, "retainHours").map(_.asInt)
         if (retain.exists(_ < 0))
           throw new UserException("view.retainHours must be >= 0")
+        val logRetain = opt(v, "logRetainHours").map(_.asInt)
+        if (logRetain.exists(_ < 0))
+          throw new UserException("view.logRetainHours must be >= 0")
         GcViewConfig(statePath, olderThanHours = hours,
           foldMarkers = opt(v, "foldMarkers").exists(_.asBoolean),
-          retainHours = retain)
+          retainHours = retain, logRetainHours = logRetain)
       case "compact" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt)
         val nAggBuckets = opt(v, "nAggBuckets").map(_.asInt)

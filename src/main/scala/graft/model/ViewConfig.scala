@@ -298,9 +298,31 @@ final case class GcViewConfig(statePath: String,
                                     * .CdcRollup.reapRetainedVersions]]);
                                     * refused when the state is not in
                                     * retention mode (nothing accretes). */
-                              retainHours: Option[Int] = None)
+                              retainHours: Option[Int] = None,
+                              /** cdcRollup change-log mode only: reap
+                                    * log dirs older than this window,
+                                    * ADVANCING the `_LOG_FROM_` bound
+                                    * past them ([[graft.operators
+                                    * .CdcRollup.reapChangeLog]]);
+                                    * refused when the state is not in
+                                    * change-log mode. */
+                              logRetainHours: Option[Int] = None)
     extends ViewConfig {
   val kind = "gc"
+}
+
+/** Switch a cdcRollup state into fold-time CHANGE-LOG mode
+  * ([[graft.operators.CdcRollup.enableChangeLog]]): every later fold
+  * also emits its net per-key image changes into an append-only
+  * `log/b<batchId>` dir, so a FORWARD-ONLY mirror pulls its backlog
+  * via `export` with `layer: "log"` + `sinceBatch` — no retention
+  * mode, no COW history, no floor to out-run. The `log_from` reported
+  * is the coverage bound (the committed frontier at enable time):
+  * pulls below it refuse. Idempotent; refused on the other families.
+  * Pair with `gc` + `logRetainHours` to bound the accreted log. */
+final case class ChangeLogViewConfig(statePath: String)
+    extends ViewConfig {
+  val kind = "changelog"
 }
 
 /** Out-of-band state compaction — the maintenance both fold protocols

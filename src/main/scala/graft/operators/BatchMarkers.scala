@@ -134,6 +134,48 @@ private[graft] object BatchMarkers {
         .filter(_.startsWith(Seed))
         .foreach(n => fs.delete(new Path(root, n), false))
 
+  // ---- change-log floor files ---------------------------------------
+  // `_LOG_FROM_<f>` = change-log mode marker AND its honesty bound:
+  // the fold-time CDC change log ([[CdcRollup.enableChangeLog]]) only
+  // covers folds AFTER `f` (the committed frontier at enable time, or
+  // the max id a log reap deleted). Same crash discipline as the
+  // as-of floor: readers take the max, writers create the new bound
+  // BEFORE removing the old one — every crash window errs
+  // conservative (refusing a servable pull, never serving a gapped
+  // one).
+
+  private val LogFrom = "_LOG_FROM_"
+
+  /** The change-log coverage bound — None when the state is not in
+    * change-log mode. */
+  def readLogFrom(fs: FileSystem, root: Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(LogFrom))
+      .flatMap(_.stripPrefix(LogFrom).toLongOption).maxOption
+
+  /** Write `f` as the log bound (new first), then clear lower ones. */
+  def writeLogFrom(fs: FileSystem, root: Path, f: Long): Unit = {
+    fs.create(new Path(root, s"$LogFrom$f"), true).close()
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(LogFrom))
+        .flatMap(_.stripPrefix(LogFrom).toLongOption).filter(_ < f)
+        .foreach(old => fs.delete(new Path(root, s"$LogFrom$old"), false))
+  }
+
+  /** Every log-bound file present (crash remnants included). */
+  def readLogFromAll(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(LogFrom))
+      .flatMap(_.stripPrefix(LogFrom).toLongOption)
+
+  /** Remove every log-bound file — the compact crash-reset path. */
+  def clearLogFrom(fs: FileSystem, root: Path): Unit =
+    readLogFromAll(fs, root)
+      .foreach(f => fs.delete(new Path(root, s"$LogFrom$f"), false))
+
   /** Collapse the committed prefix <= `w` into `_APPLIED_UPTO_<w>`:
     * watermark first (readers OR the sources, so every intermediate
     * state resolves identically), then the subsumed per-id markers and

@@ -60,6 +60,15 @@ import org.apache.spark.sql.functions._
   *    the measures' own types (a touched group whose surviving
   *    values are all NULL stores NULL — SQL MIN/MAX semantics).
   *
+  *  - `log/` — present only in CHANGE-LOG mode ([[enableChangeLog]]):
+  *    one append-only `b<batchId>` dir per fold holding that fold's
+  *    net per-key image changes (`_from`/`_to` payloads,
+  *    added/removed/changed labels, no-op updates dropped), committed
+  *    by the SAME batch marker as the state. Serves [[readBaseLog]] —
+  *    the forward-only mirror pull that needs NO retention history
+  *    (the zero-retention sibling of [[readBaseSince]]); bounded by
+  *    `_LOG_FROM_` + [[reapChangeLog]].
+  *
   * Exactly-once via COPY-ON-WRITE versioned buckets: a fold never
   * mutates a committed file — it writes `bucket=<k>/v<batchId>` dirs
   * (staged hidden, renamed in), then creates `_APPLIED_<batchId>`
@@ -226,8 +235,9 @@ object CdcRollup {
           s"cdcRollup: unrecognized layout pin '$pin' under $root")
         // value shape: `cols` (sums-only) or `cols~mmCols` (per-aux
         // min/max) — `~` is %7E after URL-encoding, so a literal one
-        // is always the separator
-        val cm = kv(1).split('~')
+        // is always the separator. limit -1 keeps a TRAILING empty
+        // token ("cols~" must refuse, not silently parse sums-only)
+        val cm = kv(1).split("~", -1)
         require(cm.length <= 2 && cm.forall(_.nonEmpty),
           s"cdcRollup: unrecognized layout pin '$pin' under $root")
         (dec(kv(0)), cm(0).split(',').toSeq.map(dec),
@@ -402,6 +412,28 @@ object CdcRollup {
           .filter(_.getName.startsWith("bucket="))
           .foreach(b => fs.delete(new Path(b, s"v$batchId"), true))
     }
+    // ... and the change-log's (an uncommitted b<id> from the crashed
+    // attempt must go before the refold stages its replacement)
+    fs.delete(new Path(rootPath, s"log/.staging$batchId"), true)
+    fs.delete(new Path(rootPath, s"log/b$batchId"), true)
+    // change-log mode: every fold ALSO emits its net per-key image
+    // changes into the append-only log/ layer (see [[enableChangeLog]])
+    val logOn = BatchMarkers.readLogFrom(fs, rootPath).isDefined
+    if (logOn) {
+      // the log persists <col>_from/<col>_to/change columns — an
+      // output-name collision (a pk named like a state col's suffixed
+      // spelling, a payload column named 'change') would write a
+      // duplicate-name schema; refuse NAMED
+      val sc = payloadCols.filterNot(pkCols.contains)
+      val outNames = pkCols ++ sc.map(_ + "_from") ++
+        sc.map(_ + "_to") ++ Seq("change")
+      val dup = outNames.groupBy(identity)
+        .collect { case (n, xs) if xs.size > 1 => n }
+      require(dup.isEmpty,
+        s"cdcRollup change log: output column collision on " +
+          s"${dup.mkString(", ")} — the log writes <col>_from/" +
+          "<col>_to plus 'change'; rename upstream")
+    }
     val baseBucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBaseBuckets))
       .cast("int")
     val aggBucket = pmod(xxhash64(groupCols.map(col): _*), lit(nAggBuckets))
@@ -425,6 +457,10 @@ object CdcRollup {
           fs.mkdirs(new Path(rootPath, s"aux_$n")) }
         auxMinMaxCols.keys.foreach { n =>
           fs.mkdirs(new Path(rootPath, s"grp_aux_$n")) }
+        // an empty fold's change log is an empty (dataless) b<id> dir
+        // — present so a committed id > logFrom with NO log dir stays
+        // an fsck-able GAP signal, never an ambiguous shape
+        if (logOn) fs.mkdirs(new Path(rootPath, s"log/b$batchId"))
         BatchMarkers.commit(fs, rootPath, batchId)
         return true
       }
@@ -661,6 +697,47 @@ object CdcRollup {
               Seq((s"aux_$name", finalA.filter(col("n") > 0), bucketOf,
                 touchedA)) ++ grpA)
           }
+          // fold-time CDC change log: the net per-key image change
+          // this fold applies — old image (_from) vs upsert image
+          // (_to), labeled added/removed/changed, NO-OP updates
+          // dropped (an update writing the identical image changes
+          // nothing a mirror must apply — and dropping them keeps
+          // the log's per-key composition exactly equal to a
+          // two-snapshot diff). Column-RENAMED sides full-outer on
+          // the pk (renaming before the join is the self-join-
+          // ambiguity-proof spelling: `old` can share lineage with
+          // `upserts` through the empty-state fallback). Delta-sized
+          // work: both sides are this fold's keys only.
+          val changeLog =
+            if (!logOn) None
+            else {
+              val stateCols = payloadCols.filterNot(pkCols.contains)
+              val lf = old.select(payloadCols.toSeq.map(c =>
+                col(c).as(s"__lf_$c")): _*)
+              val lt = upserts.select(payloadCols.toSeq.map(c =>
+                col(c).as(s"__lt_$c")): _*)
+              val cond = pkCols.map(c =>
+                lf(s"__lf_$c") === lt(s"__lt_$c")).reduce(_ && _)
+              val j = lf.join(lt, cond, "full_outer")
+              // pk components are never NULL on an image (refused
+              // above) — presence rides the first pk column
+              val inFrom = col(s"__lf_${pkCols.head}").isNotNull
+              val inTo = col(s"__lt_${pkCols.head}").isNotNull
+              val same = stateCols.toSeq.map(c =>
+                col(s"__lf_$c") <=> col(s"__lt_$c"))
+                .reduceOption(_ && _).getOrElse(lit(true))
+              Some(j.where(!(inFrom && inTo && same))
+                .select((pkCols.map(c => coalesce(col(s"__lf_$c"),
+                    col(s"__lt_$c")).as(c)) ++
+                  stateCols.toSeq.map(c =>
+                    col(s"__lf_$c").as(s"${c}_from")) ++
+                  stateCols.toSeq.map(c =>
+                    col(s"__lt_$c").as(s"${c}_to")) ++
+                  Seq(when(inFrom && !inTo, lit("removed"))
+                    .when(!inFrom && inTo, lit("added"))
+                    .otherwise(lit("changed")).as("change"),
+                    lit(batchId).as("__batch_id"))): _*))
+            }
           try {
             stageAndCommit(fs, rootPath, batchId,
               Seq(("base", newBase, baseBucket, touchedBase),
@@ -670,7 +747,8 @@ object CdcRollup {
               // retention mode: superseded versions ARE the snapshot
               // history — the fold keeps them; reapRetainedVersions
               // owns their (floor-advancing) deletion
-              retain = readAsofFloor(fs, rootPath).isDefined)
+              retain = readAsofFloor(fs, rootPath).isDefined,
+              changeLog = changeLog)
           } finally { auxLayers.foreach(_._1.unpersist()); () }
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
@@ -832,13 +910,24 @@ object CdcRollup {
       val floor = BatchMarkers.read(fs, rootPath).maxCommitted
         .getOrElse(-1L)
       fs.mkdirs(rootPath)
-      // seed BEFORE floor: the seed records where history hard-starts
-      // (pre-retention folds reaped below it for every bucket) and is
-      // what lets bucket-pruned lookups outlive later global-floor
-      // advances; a crash between leaves a floorless root that just
-      // re-enables
-      BatchMarkers.writeSeed(fs, rootPath, floor)
+      // a FLOORLESS root's pre-existing seed is crash garbage (the
+      // legacy seed-first enable order): every fold since that crash
+      // ran UNRETAINED and eagerly reaped history, so the chains the
+      // stale seed promises are gone — clear it rather than let "an
+      // existing seed wins" carry it into this enable
+      BatchMarkers.clearSeeds(fs, rootPath)
+      // FLOOR before seed: the floor is what switches folds into
+      // retention mode, so a crash between the two writes leaves
+      // floor-without-seed — retention ON with lookups falling back
+      // to the (conservative) global floor. The reverse order's crash
+      // residue is a seed with retention still OFF: folds keep
+      // eagerly reaping, and because an existing seed wins on
+      // re-enable, the stale (lower) seed would approve bucket-pruned
+      // lookups on history those un-retained folds already destroyed
+      // — silently wrong as-of results, the one direction the crash
+      // contract forbids.
       BatchMarkers.writeFloor(fs, rootPath, floor)
+      BatchMarkers.writeSeed(fs, rootPath, floor)
       floor
     }
   }
@@ -1146,7 +1235,18 @@ object CdcRollup {
     * incremental CDC-out pull a downstream mirror consumes. Same
     * frontier resolution, refusals, and retention rules. */
   def readBaseSince(spark: SparkSession, root: String,
-                    afterId: Long): DataFrame = {
+                    afterId: Long): DataFrame =
+    readBaseSincePinned(spark, root, afterId)._1
+
+  /** [[readBaseSince]] returning the frontier it pulled to — the
+    * value the consumer must record as the next pull's `afterId`.
+    * The frontier is resolved ONCE and the diff is pinned to it, so
+    * a fold committing concurrently can never slip between "what was
+    * pulled" and "what was reported": reporting a frontier ahead of
+    * the pulled range would make the consumer skip that fold's
+    * changes forever. */
+  def readBaseSincePinned(spark: SparkSession, root: String,
+                          afterId: Long): (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1158,7 +1258,7 @@ object CdcRollup {
         s"frontier $frontier under $root — a frontier this state " +
         "never produced (wrong root, or a reset state); re-baseline " +
         "the consumer with a full export")
-    diffBase(spark, root, afterId, frontier)
+    (diffBase(spark, root, afterId, frontier), frontier)
   }
 
   /** The incremental CONSUMER PULL — the change set since the
@@ -1192,7 +1292,19 @@ object CdcRollup {
   def readViewSince(spark: SparkSession, root: String, afterId: Long,
                     /** Some(name) pulls that AUX view's change set
                       * on its own group key. */
-                    auxView: Option[String] = None): DataFrame = {
+                    auxView: Option[String] = None): DataFrame =
+    readViewSincePinned(spark, root, afterId, auxView)._1
+
+  /** [[readViewSince]] returning the frontier it pulled to — the
+    * [[readBaseSincePinned]] discipline: ONE frontier resolution pins
+    * both the diff range and the reported value, so a concurrently
+    * committing fold can never make the report run ahead of the pull
+    * (a consumer recording an ahead frontier would permanently skip
+    * that fold's changes). */
+  def readViewSincePinned(spark: SparkSession, root: String,
+                          afterId: Long,
+                          auxView: Option[String] = None)
+      : (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1204,7 +1316,7 @@ object CdcRollup {
         s"frontier $frontier under $root — a frontier this state " +
         "never produced (wrong root, or a reset state); re-baseline " +
         "the consumer with a full export")
-    diffView(spark, root, afterId, frontier, auxView)
+    (diffView(spark, root, afterId, frontier, auxView), frontier)
   }
 
   /** The committed frontier — the batch id a consumer should record
@@ -1214,6 +1326,221 @@ object CdcRollup {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     BatchMarkers.read(fs, rootPath).maxCommitted
+  }
+
+  // ---- fold-time CDC change log -------------------------------------
+
+  /** Switch a state into CHANGE-LOG mode: from now on every fold ALSO
+    * emits its net per-key image changes (old image `_from` vs new
+    * image `_to`, labeled `added`/`removed`/`changed`, no-op updates
+    * dropped) into an append-only `log/b<batchId>` dir, committed by
+    * the SAME batch marker as the state it describes. This is the
+    * FORWARD-ONLY consumer face: [[readBaseLog]] serves the
+    * [[readBaseSince]] change set from the log alone — no COW
+    * retention history, no floor to out-run, so a mirror that only
+    * ever pulls forward needs neither `enableRetention` nor a
+    * `retainHours` sized to its cadence ([[readBaseSince]] documents
+    * that coupling; this is its zero-retention escape hatch).
+    *
+    * The `_LOG_FROM_<f>` file is both the mode switch and the honesty
+    * bound: the log only covers folds AFTER `f` (the committed
+    * frontier at enable time), and [[reapChangeLog]] advances it past
+    * everything it deletes. Pulls below it refuse loud.
+    *
+    * 100 TB shape: the fold's extra cost is ONE delta-sized write
+    * (this fold's keys only — the fold already holds both images);
+    * pulls read ONLY the committed log dirs in range — O(changes in
+    * range), never a state scan. Idempotent; an enable on a floorless
+    * crash residue simply resumes. @return the log-from bound in
+    * force */
+  def enableChangeLog(spark: SparkSession, root: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    BatchMarkers.readLogFrom(fs, rootPath).getOrElse {
+      val from = BatchMarkers.read(fs, rootPath).maxCommitted
+        .getOrElse(-1L)
+      fs.mkdirs(rootPath)
+      BatchMarkers.writeLogFrom(fs, rootPath, from)
+      from
+    }
+  }
+
+  /** The change-log coverage bound in force — None when the state is
+    * not in change-log mode. */
+  def changeLogFrom(spark: SparkSession, root: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    BatchMarkers.readLogFrom(fs, rootPath)
+  }
+
+  /** The per-key image change set since `afterId`, served from the
+    * APPEND-ONLY change log — [[readBaseSince]] semantics (same
+    * output schema, same labels, same net-move-per-key rows) without
+    * retention mode: the forward-only mirror pull. */
+  def readBaseLog(spark: SparkSession, root: String,
+                  afterId: Long): DataFrame =
+    readBaseLogPinned(spark, root, afterId)._1
+
+  /** [[readBaseLog]] returning the frontier it pulled to — the
+    * [[readBaseSincePinned]] discipline (ONE frontier resolution pins
+    * both the range and the report).
+    *
+    * Semantics: the committed `log/b<id>` dirs with
+    * `afterId < id <= frontier`, NETTED per key — a key may move many
+    * times across the folds in range, and the consumer wants the net
+    * move, so the pull composes first `_from` side with last `_to`
+    * side and drops self-cancelling moves (add-then-remove,
+    * change-then-revert). The result is row-for-row equal to
+    * `diffBase(afterId, frontier)` on a retained twin. Re-pulls of
+    * the same range are byte-stable (committed log dirs are
+    * immutable). Refusals: not in change-log mode
+    * (IllegalStateException); `afterId` below the `_LOG_FROM_` bound
+    * (those folds were never logged, or their dirs were reaped);
+    * `afterId` ahead of the frontier (the [[readBaseSince]] loud-
+    * refusal contract — a silent empty pull would drop the backlog).
+    *
+    * 100 TB shape: reads only the log dirs in range (each
+    * delta-sized), then ONE shuffle on the pk over those rows —
+    * O(changes in range), independent of state size; an idle state
+    * costs nothing. */
+  def readBaseLogPinned(spark: SparkSession, root: String,
+                        afterId: Long): (DataFrame, Long) = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logFrom = BatchMarkers.readLogFrom(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"readBaseLog under $root: the state is not in change-log " +
+          "mode — folds emit no change log; enable it " +
+          "(enableChangeLog / CLI kind 'changelog') BEFORE the folds " +
+          "whose changes you need"))
+    val markers = BatchMarkers.read(fs, rootPath)
+    val frontier = markers.maxCommitted.getOrElse(
+      throw new IllegalStateException(
+        s"readBaseLog: no committed state under $root"))
+    require(afterId >= logFrom,
+      s"readBaseLog: afterId $afterId is below the change-log start " +
+        s"$logFrom under $root — folds at or before it were never " +
+        "logged (mode enabled later) or their log dirs were reaped; " +
+        "re-baseline the consumer with a full export")
+    require(afterId <= frontier,
+      s"readBaseLog: afterId $afterId is AHEAD of the committed " +
+        s"frontier $frontier under $root — a frontier this state " +
+        "never produced (wrong root, or a reset state); re-baseline " +
+        "the consumer with a full export")
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"readBaseLog: no layout pin under $root — not a cdcRollup " +
+          "state"))
+    val layout = parseLayout(pin, root)
+    val pkCols = layout.pkCols
+    // the pin's (sorted) payload spelling — deterministic output
+    // order, the diffBase discipline
+    val payload = layout.typed.keys.toSeq.sorted
+    val stateCols = payload.filterNot(pkCols.contains)
+    val logDir = new Path(rootPath, "log")
+    val dirs =
+      if (!fs.exists(logDir)) Nil
+      else fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("b") && n.length > 1 &&
+            n.drop(1).forall(_.isDigit) && {
+              val id = n.drop(1).toLong
+              markers.committed(id) && id > afterId && id <= frontier
+            }
+        }
+        .filter(p =>
+          graft.sources.PartitionedStore.hasDataEntries(fs, p))
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    def typeOf(c: String) = org.apache.spark.sql.types.DataType
+      .fromDDL(layout.typed.getOrElse(c, "string"))
+    val rawSchema = StructType(
+      pkCols.map(c => StructField(c, typeOf(c))) ++
+        stateCols.map(c => StructField(s"${c}_from", typeOf(c))) ++
+        stateCols.map(c => StructField(s"${c}_to", typeOf(c))) ++
+        Seq(StructField("change", StringType),
+          StructField("__batch_id", LongType)))
+    val raw =
+      if (dirs.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        rawSchema)
+      else spark.read.parquet(dirs.map(_.toString): _*)
+    // NET the range per key: first row's _from side composed with
+    // last row's _to side (batch ids order the chain; one log row per
+    // key per fold, so min_by/max_by are tie-free). Presence rides
+    // the per-fold labels: the first row 'added' = no image at the
+    // range start; the last row 'removed' = none at the end.
+    val fromStruct = struct((stateCols.map(c => col(s"${c}_from")) :+
+      col("change").as("__chg")): _*)
+    val toStruct = struct((stateCols.map(c => col(s"${c}_to")) :+
+      col("change").as("__chg")): _*)
+    val netted = raw.groupBy(pkCols.map(col): _*)
+      .agg(min_by(fromStruct, col("__batch_id")).as("__f"),
+        max_by(toStruct, col("__batch_id")).as("__t"))
+    val inFrom = col("__f").getField("__chg") =!= lit("added")
+    val inTo = col("__t").getField("__chg") =!= lit("removed")
+    // self-cancelling moves drop: add-then-remove (neither side),
+    // change-then-revert / remove-then-readd-identical (images equal)
+    val same = stateCols.map(c =>
+      col("__f").getField(s"${c}_from") <=>
+        col("__t").getField(s"${c}_to"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val out = netted
+      .where((inFrom || inTo) && !(inFrom && inTo && same))
+      .select((pkCols.map(col) ++
+        stateCols.map(c =>
+          col("__f").getField(s"${c}_from").as(s"${c}_from")) ++
+        stateCols.map(c =>
+          col("__t").getField(s"${c}_to").as(s"${c}_to")) :+
+        when(inFrom && !inTo, lit("removed"))
+          .when(!inFrom && inTo, lit("added"))
+          .otherwise(lit("changed")).as("change")): _*)
+    (out, frontier)
+  }
+
+  /** Reap change-log dirs older than the retention window and ADVANCE
+    * `_LOG_FROM_` past everything reaped — the GC face of change-log
+    * mode (an append-only log otherwise grows forever). Crash-safe in
+    * the conservative direction: the new bound is written BEFORE any
+    * dir is deleted (a crash between refuses servable pulls, never
+    * serves a gapped one). Dirs at or below the CURRENT bound are
+    * unreachable (pulls refuse below it) and go regardless of age.
+    * @return (deleted dir paths, the bound now in force) */
+  def reapChangeLog(spark: SparkSession, root: String,
+                    retainMs: Long): (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logFrom = BatchMarkers.readLogFrom(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"reapChangeLog under $root: the state is not in change-log " +
+          "mode — no log accretes, nothing to reap"))
+    val markers = BatchMarkers.read(fs, rootPath)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val logDir = new Path(rootPath, "log")
+    if (!fs.exists(logDir)) return (Nil, logFrom)
+    val entries = fs.listStatus(logDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
+      .flatMap { st =>
+        st.getPath.getName.drop(1).toLongOption.map((st, _))
+      }
+      .filter { case (_, id) => markers.committed(id) }
+    val aged = entries.filter { case (st, id) =>
+      id > logFrom && st.getModificationTime <= cutoff }
+    val dead = entries.filter { case (_, id) => id <= logFrom }
+    if (aged.isEmpty && dead.isEmpty) return (Nil, logFrom)
+    val newFrom = (logFrom +: aged.map(_._2)).max
+    // bound FIRST, deletions after — every crash window errs
+    // conservative (the reapRetainedVersions discipline)
+    if (newFrom > logFrom)
+      BatchMarkers.writeLogFrom(fs, rootPath, newFrom)
+    val deleted = (aged ++ dead).map { case (st, _) =>
+      fs.delete(st.getPath, true); st.getPath.toString }
+    (deleted, newFrom)
   }
 
   /** Reap retained history older than the retention window and
@@ -1466,6 +1793,25 @@ object CdcRollup {
               }
         }
     }
+    // the change log strands the same two shapes (staging shells and
+    // uncommitted b<id> dirs) under its own layout
+    val logDir = new Path(rootPath, "log")
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).toSeq.filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val id =
+          if (name.startsWith(".staging"))
+            name.stripPrefix(".staging").toLongOption
+              .filter(i => deadStaging(i, st.getModificationTime))
+          else if (name.startsWith("b"))
+            name.drop(1).toLongOption
+              .filter(i => dead(i, st.getModificationTime))
+          else None
+        id.foreach { _ =>
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
     deleted.result()
   }
 
@@ -1524,6 +1870,20 @@ object CdcRollup {
                 }
           }
       }
+      // uncommitted change-log dirs at or below the watermark would
+      // read as committed after the fold — sweep them first too
+      val logDir = new Path(rootPath, "log")
+      if (fs.exists(logDir)) fs.listStatus(logDir).toSeq
+        .filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          val id =
+            if (name.startsWith(".staging"))
+              name.stripPrefix(".staging").toLongOption
+            else if (name.startsWith("b")) name.drop(1).toLongOption
+            else None
+          id.filter(i => i <= frontier && !markers.committed(i))
+            .foreach(_ => fs.delete(st.getPath, true))
+        }
       BatchMarkers.foldInto(fs, rootPath, markers, frontier)
       frontier
     }
@@ -1571,8 +1931,10 @@ object CdcRollup {
         for (l <- presentLayers(fs, freshPath))
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
+        fs.delete(new Path(freshPath, "log"), true)
         BatchMarkers.clearFloors(fs, freshPath)
         BatchMarkers.clearSeeds(fs, freshPath)
+        BatchMarkers.clearLogFrom(fs, freshPath)
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-cdcRollup pin '$p' — " +
           "refusing to overwrite a different state family")
@@ -1642,6 +2004,33 @@ object CdcRollup {
       BatchMarkers.writeFloor(fs, freshPath,
         srcMarkers.maxCommitted.getOrElse(0L))
     }
+    // CHANGE-LOG mode survives the swap WITH its history: unlike the
+    // COW version chains (collapsed to one v0 image), the log dirs
+    // are self-contained per-batch change sets — copying the
+    // committed in-coverage ones over keeps every forward-only
+    // consumer's pull servable across the compaction (their ids stay
+    // committed through the seeded watermark). The bound carries
+    // verbatim.
+    BatchMarkers.readLogFrom(fs, rootPath).foreach { logFrom =>
+      val srcLog = new Path(rootPath, "log")
+      fs.mkdirs(new Path(freshPath, "log"))
+      if (fs.exists(srcLog))
+        fs.listStatus(srcLog).toSeq.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("b") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit) && {
+                val id = n.drop(1).toLong
+                id > logFrom && srcMarkers.committed(id)
+              }
+          }
+          .foreach { p =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+              new Path(freshPath, s"log/${p.getName}"), false,
+              spark.sessionState.newHadoopConf())
+          }
+      BatchMarkers.writeLogFrom(fs, freshPath, logFrom)
+    }
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
     BatchMarkers.foldInto(fs, freshPath,
@@ -1699,7 +2088,13 @@ object CdcRollup {
                              root: org.apache.hadoop.fs.Path, batchId: Long,
                              layers: Seq[(String, DataFrame, Column,
                                Set[Int])],
-                             retain: Boolean = false)
+                             retain: Boolean = false,
+                             /** change-log mode: this fold's net
+                               * per-key change rows, staged and
+                               * renamed into `log/b<batchId>` before
+                               * the marker — committed atomically
+                               * with the state it describes. */
+                             changeLog: Option[DataFrame] = None)
       : Unit = {
     import org.apache.hadoop.fs.Path
     for ((layer, df, bucketOf, touched) <- layers) {
@@ -1712,6 +2107,13 @@ object CdcRollup {
       (touched -- written).foreach { b =>
         fs.mkdirs(new Path(root, s"$layer/bucket=$b/v$batchId")); ()
       }
+    }
+    changeLog.foreach { logDf =>
+      val staging = new Path(root, s"log/.staging$batchId")
+      logDf.write.mode("overwrite").parquet(staging.toString)
+      val home = new Path(root, s"log/b$batchId")
+      if (!fs.rename(staging, home))
+        throw new java.io.IOException(s"cdcRollup: rename failed: $home")
     }
     BatchMarkers.commit(fs, root, batchId)
     if (retain) return

@@ -1213,6 +1213,59 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The FORWARD-ONLY consumer pull served from the fold-time change
+    // log ([[graft.operators.CdcRollup.readBaseLog]]): retention
+    // stays OFF for the whole artifact — the append-only log/ layer
+    // alone serves the per-key net change set, COMPOSED across three
+    // folds (a key moved twice nets to one change; a key deleted then
+    // re-inserted identical nets to nothing; delete wins the in-batch
+    // overlap on seq). Oracle = batch-0 images vs final images, the
+    // readBaseSince shape — a pull that double-counted a multi-fold
+    // move, leaked a self-cancelling one, or lost a fold's log dir
+    // hashes red.
+    "cdc_changelog_pull" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdclg_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableChangeLog(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op"))
+      // fold 1: k%7 keys move to X-UPD; k%5 keys delete (delete wins
+      // the k%35 overlap on seq)
+      val b1 = ord.filter(k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      // fold 2: the surviving k%7 keys move AGAIN (X-UPD -> Y-UPD,
+      // nets to ONE change vs batch 0); the deleted k%5-and-k%3 keys
+      // re-insert IDENTICAL images (delete + re-add nets to nothing)
+      val b2 = ord.filter(k % 7 === 0 && k % 5 =!= 0)
+        .select(k, lit("Y-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(4L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0 && k % 3 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(5L).as("seq"), lit("I").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readBaseLog(s, root, 0L)
+        .select(col("o_orderkey"),
+          col("o_orderpriority_from"), col("o_orderpriority_to"),
+          col("o_totalprice_from"), col("o_totalprice_to"),
+          col("change"))
+        .orderBy("o_orderkey")
+    }),
+
     // Retraction-exact VARIANCE by COMPOSITION: the invertible-sums
     // algebra carries (n, Σv, Σv²) when the square rides as a second
     // measure computed upstream — so per-group AVG and sample
@@ -1443,6 +1496,31 @@ object RelationalQueries {
         |f AS (
         |  SELECT k, CASE WHEN k % 7 = 0 THEN 'X-UPD' ELSE p END AS p, v
         |  FROM sliced WHERE k % 5 <> 0)
+        |SELECT COALESCE(sliced.k, f.k) AS o_orderkey,
+        |       sliced.p AS o_orderpriority_from,
+        |       f.p AS o_orderpriority_to,
+        |       sliced.v AS o_totalprice_from,
+        |       f.v AS o_totalprice_to,
+        |       CASE WHEN f.k IS NULL THEN 'removed'
+        |            WHEN sliced.k IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM sliced FULL OUTER JOIN f ON sliced.k = f.k
+        |WHERE f.k IS NULL OR sliced.k IS NULL
+        |   OR sliced.p <> f.p OR sliced.v <> f.v
+        |ORDER BY 1""".stripMargin,
+    // batch-0 images vs FINAL images (the three-fold composition:
+    // surviving k%7 keys end at Y-UPD, k%5-and-not-k%3 keys are gone,
+    // k%5-and-k%3 keys net back to their original images and drop)
+    "cdc_changelog_pull" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |f AS (
+        |  SELECT k,
+        |         CASE WHEN k % 7 = 0 AND k % 5 <> 0 THEN 'Y-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced WHERE NOT (k % 5 = 0 AND k % 3 <> 0))
         |SELECT COALESCE(sliced.k, f.k) AS o_orderkey,
         |       sliced.p AS o_orderpriority_from,
         |       f.p AS o_orderpriority_to,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.app.{Engine, Main, ParquetSink, Retry}
+import graft.app.{Engine, Main, ParquetSink, Retry, ViewMaintenance}
 import graft.model.UserException
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
@@ -1807,6 +1807,25 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "export", "statePath": "astate", "output": "px",
           | "sinceBatch": 9}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // unknown layer values refuse as config misuse even when the
+    // config is constructed programmatically (the JSON parser refuses
+    // them too) — a typo like 'agg' must never silently serve the
+    // main view
+    intercept[graft.model.UserException] {
+      ViewMaintenance.run(spark, graft.model.ExportViewConfig(
+        "astate", output = "zz", layer = "agg",
+        sinceBatch = Some(0L)), dir)
+    }.getMessage should include("unknown layer")
+    intercept[graft.model.UserException] {
+      ViewMaintenance.run(spark, graft.model.DiffViewConfig(
+        "astate", output = "zz", fromBatch = 0L, toBatch = 1L,
+        layer = "aux:"), dir)
+    }.getMessage should include("unknown layer")
+    intercept[graft.model.UserException] {
+      ViewMaintenance.run(spark, graft.model.LookupViewConfig(
+        "astate", keys = Seq(Map("id" -> "1")), layer = Some("grp")),
+        dir)
+    }.getMessage should include("unknown layer")
     // the BASE layer's pull: per-KEY image changes (the CDC-out feed
     // a downstream mirror consumes) — id 1's update, _from/_to
     cfg("""{"kind": "export", "statePath": "astate", "output": "py",
@@ -1919,6 +1938,14 @@ class AppSpec extends SparkSpec {
     val (ci2, oi2) = Main.execute(spark, sink, dir)
     withClue(oi2) { ci2 shouldBe 0 }
     oi2.get should include(""""rows":0""")
+    // ahead of the committed frontier refuses NAMED on join pulls
+    // too (the cdc discipline): a silent empty pull would drop the
+    // consumer's backlog forever
+    cfg("""{"kind": "export", "statePath": "jst",
+          | "output": "jinc4", "sinceBatch": 9}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // (the refusal names the frontier — pinned programmatically below
+    // via the UserException message on the cdc state)
     // a backlog pull below the compaction floor refuses (exit 1)...
     cfg("""{"kind": "export", "statePath": "jst2",
           | "output": "jinc3", "sinceBatch": 0}""".stripMargin)
@@ -2124,6 +2151,22 @@ class AppSpec extends SparkSpec {
       nErr should be > 0
       nFix shouldBe nErr
     }
+    // retention HALF-ENABLED: a seed with NO floor (the legacy
+    // enableRetention crash residue — seed written first) is an
+    // ERROR: folds keep reaping history while a later 'retain' would
+    // inherit the stale seed and approve lookups on destroyed chains
+    val hroot = s"$dir/hstate"
+    CdcRollup.foldBatch(hroot, 0L,
+      Seq((1L, "a", 1.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
+    graft.operators.BatchMarkers.writeSeed(fs,
+      new org.apache.hadoop.fs.Path(hroot), 0L)
+    cfg("hstate")
+    val (ch, oh) = Main.execute(spark, sink, dir)
+    withClue(oh) { ch shouldBe 0 }
+    oh.get should include(""""ok":false""")
+    oh.get should include("HALF-ENABLED")
+    oh.get should include(""""fix":"delete the _ASOF_SEED_ file""")
     // --- rollup family: evidence newer than the frontier is the
     // corruption the monotone guard cannot see ---
     Seq((1L, 1.0)).toDF("g", "v")
@@ -2588,5 +2631,116 @@ class AppSpec extends SparkSpec {
       .limit(0).write.mode("overwrite").parquet(s"$dir/in/a2")
     csvJoinConfig(2, "varchar")
     Main.execute(spark, sink, dir)._1 should not be 0
+  }
+
+  test("maintainView change-log lifecycle: changelog enables fold-time " +
+      "emission → export layer log + sinceBatch pulls forward-only " +
+      "with retention OFF → gc logRetainHours advances the bound; " +
+      "misuse refuses named; fsck flags a coverage gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewlog").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    // changelog on a missing state refuses (exit 1, named)
+    cfg("""{"kind": "changelog", "statePath": "lstate"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    def foldCfg(id: Int): Unit =
+      cfg(s"""{"kind": "cdcRollup", "statePath": "lstate",
+             | "batchId": $id,
+             | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+             | "keys": ["grp"], "valueColumn": "v",
+             | "nBaseBuckets": 2, "nAggBuckets": 2,
+             | "delta": {"input": "in/l$id"}}""".stripMargin)
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/l0")
+    foldCfg(0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "changelog", "statePath": "lstate"}""")
+    val (cc, oc) = Main.execute(spark, sink, dir)
+    withClue(oc) { cc shouldBe 0 }
+    oc.get should include(""""applied":true""")
+    oc.get should include(""""log_from":0""")
+    // idempotent re-enable keeps the bound
+    val (cc2, oc2) = Main.execute(spark, sink, dir)
+    withClue(oc2) { cc2 shouldBe 0 }
+    oc2.get should include(""""applied":false""")
+    Seq((1L, "b", 99.0, 2L, "U"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/l1")
+    foldCfg(1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // the forward-only pull — retention is OFF on this state; the
+    // report carries the pulled-to frontier as batch_id
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "lp0",
+          | "layer": "log", "sinceBatch": 0}""".stripMargin)
+    val (cp, op) = Main.execute(spark, sink, dir)
+    withClue(op) { cp shouldBe 0 }
+    op.get should include(""""rows":1""")
+    op.get should include(""""batch_id":1""")
+    val row = spark.read.parquet(s"$dir/lp0").collect()
+    row.length shouldBe 1
+    row.head.getAs[Long]("id") shouldBe 1L
+    row.head.getAs[String]("grp_from") shouldBe "a"
+    row.head.getAs[String]("grp_to") shouldBe "b"
+    row.head.getAs[String]("change") shouldBe "changed"
+    // status reports the bound and the log layer's shape
+    cfg("""{"kind": "status", "statePath": "lstate"}""")
+    val st = Main.execute(spark, sink, dir)._2.get
+    st should include(""""log_from":0""")
+    st should include(""""log":{"batch_dirs":1""")
+    // fsck: clean, then a hand-deleted log dir is a GAP error
+    cfg("""{"kind": "fsck", "statePath": "lstate"}""")
+    val of0 = Main.execute(spark, sink, dir)._2.get
+    of0 should include(""""ok":true""")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/lstate")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lstate/log/b1"),
+      true)
+    val of1 = Main.execute(spark, sink, dir)._2.get
+    of1 should include(""""ok":false""")
+    of1 should include("log/b1 is missing")
+    of1 should include(""""fix":"delete the _LOG_FROM_ file""")
+    // restore the dir via a fresh pull artifact? no — refold is
+    // refused (committed); rebuild by re-baselining: here we just
+    // re-create the empty dir to keep the rest of the test clean
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/lstate/log/b1"))
+    // gc logRetainHours 0 reaps the log and advances the bound
+    cfg("""{"kind": "gc", "statePath": "lstate", "logRetainHours": 0}""")
+    val (cg, og) = Main.execute(spark, sink, dir)
+    withClue(og) { cg shouldBe 0 }
+    og.get should include(""""log_deleted":1""")
+    og.get should include(""""log_from":1""")
+    // the reaped range refuses; a pull from the new bound serves empty
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "lpx",
+          | "layer": "log", "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "lp1",
+          | "layer": "log", "sinceBatch": 1}""".stripMargin)
+    val (ce, oe) = Main.execute(spark, sink, dir)
+    withClue(oe) { ce shouldBe 0 }
+    oe.get should include(""""rows":0""")
+    oe.get should include(""""batch_id":1""")
+    // misuse: layer log without sinceBatch refuses at parse; a log
+    // pull on a state not in change-log mode refuses; logRetainHours
+    // off-mode refuses
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "ly",
+          | "layer": "log"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    Seq((1L, "a", 10.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/m0")
+    cfg(s"""{"kind": "cdcRollup", "statePath": "mstate", "batchId": 0,
+           | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+           | "keys": ["grp"], "valueColumn": "v",
+           | "nBaseBuckets": 2, "nAggBuckets": 2,
+           | "delta": {"input": "in/m0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "mstate", "output": "my",
+          | "layer": "log", "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "gc", "statePath": "mstate", "logRetainHours": 1}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 }

@@ -1623,4 +1623,220 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("floor")
     viewAsOf(fresh, 1L) shouldBe view(root)
   }
+
+  // ---- retention enable crash windows & pinned consumer pulls ------
+
+  test("enableRetention: the floor lands BEFORE the seed, a stale " +
+      "floorless seed is cleared on enable, and the floor-only crash " +
+      "residue errs conservative (retention ON)") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fold(root, 0L, log((1L, "a", 10.0, 1L, "I"))) shouldBe true
+    // legacy crash residue: a seed with NO floor (the old seed-first
+    // enable order). Retention is OFF, so these folds reap eagerly...
+    graft.operators.BatchMarkers.writeSeed(fs, rootPath, 0L)
+    fold(root, 1L, log((1L, "a", 11.0, 2L, "U"))) shouldBe true
+    fold(root, 2L, log((1L, "a", 12.0, 3L, "U"))) shouldBe true
+    // ...so the stale seed must NOT survive the enable: kept, it
+    // would approve bucket-pruned as-of lookups at >= 0 on chains
+    // those un-retained folds already destroyed
+    CdcRollup.enableRetention(spark, root) shouldBe 2L
+    graft.operators.BatchMarkers.readSeed(fs, rootPath) shouldBe Some(2L)
+    val probe = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      CdcRollup.lookupBase(spark, root, probe, asOf = Some(0L))
+    }.getMessage should include("retained chain starts at 2")
+    // the NEW order's crash window (floor written, seed not yet):
+    // retention is already ON — the next fold KEEPS history, and
+    // below-floor reads refuse on the conservative global floor
+    val root2 = tmpRoot()
+    val p2 = new Path(root2)
+    fold(root2, 0L, log((1L, "a", 1.0, 1L, "I"))) shouldBe true
+    graft.operators.BatchMarkers.writeFloor(fs, p2, 0L)
+    fold(root2, 1L, log((1L, "a", 2.0, 2L, "U"))) shouldBe true
+    CdcRollup.readViewAsOf(spark, root2, 0L).get
+      .select(col("total").cast("double")).head().getDouble(0) shouldBe 1.0
+    // re-running the enable completes idempotently on the floor
+    CdcRollup.enableRetention(spark, root2) shouldBe 0L
+  }
+
+  test("readViewSincePinned/readBaseSincePinned return the ONE " +
+      "frontier the pull resolved against — the range and the " +
+      "reported value can never diverge") {
+    val root = tmpRoot()
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    fold(root, 0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((1L, "a", 11.0, 2L, "U"))) shouldBe true
+    val (d, f) = CdcRollup.readViewSincePinned(spark, root, 0L)
+    f shouldBe 1L
+    rows(d.orderBy("grp")) shouldBe
+      rows(CdcRollup.diffView(spark, root, 0L, 1L).orderBy("grp"))
+    val (db, fb) = CdcRollup.readBaseSincePinned(spark, root, 0L)
+    fb shouldBe 1L
+    rows(db.orderBy("id")) shouldBe
+      rows(CdcRollup.diffBase(spark, root, 0L, 1L).orderBy("id"))
+    // the unpinned faces stay byte-compatible delegates
+    rows(CdcRollup.readViewSince(spark, root, 0L).orderBy("grp")) shouldBe
+      rows(d.orderBy("grp"))
+  }
+
+  test("parseLayout: a trailing '~' in an aux pin entry refuses — a " +
+      "malformed pin must never silently parse as sums-only") {
+    intercept[IllegalArgumentException] {
+      CdcRollup.parseLayout(
+        "cdcRollup|id:bigint,grp:string,v:double|id|grp|v|4|2|aux:a=grp~",
+        "/x")
+    }.getMessage should include("unrecognized layout pin")
+    // the two well-formed shapes still parse
+    CdcRollup.parseLayout(
+      "cdcRollup|id:bigint,grp:string,v:double|id|grp|v|4|2|aux:a=grp~v",
+      "/x").auxMinMax shouldBe Map("a" -> Seq("v"))
+    CdcRollup.parseLayout(
+      "cdcRollup|id:bigint,grp:string,v:double|id|grp|v|4|2|aux:a=grp",
+      "/x").auxMinMax shouldBe Map.empty
+  }
+
+  // ---- fold-time CDC change log -------------------------------------
+
+  test("change log: forward-only pulls equal readBaseSince with " +
+      "retention OFF — multi-fold moves net to one change, self-" +
+      "cancelling moves drop, no-op updates never log, re-pulls are " +
+      "byte-stable") {
+    val root = tmpRoot()
+    CdcRollup.enableChangeLog(spark, root) shouldBe -1L
+    // a retained twin provides the equality oracle (diffBase over COW
+    // history vs the log-only pull)
+    val twin = tmpRoot()
+    CdcRollup.enableRetention(spark, twin) shouldBe -1L
+    def foldBoth(id: Long, d: DataFrame): Unit = {
+      fold(root, id, d) shouldBe true
+      fold(twin, id, d) shouldBe true
+    }
+    foldBoth(0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "a", 20.0, 1L, "I"),
+      (3L, "b", 30.0, 1L, "I"), (4L, "c", 40.0, 1L, "I")))
+    // fold 1: id1 moves (will move again), id2 deleted (will re-add
+    // identical), id3 NO-OP update (must not log), id5 added (will be
+    // removed), id4 value change (will revert)
+    foldBoth(1L, log(
+      (1L, "b", 11.0, 2L, "U"), (2L, "a", 0.0, 2L, "D"),
+      (3L, "b", 30.0, 2L, "U"), (5L, "d", 50.0, 2L, "I"),
+      (4L, "c", 41.0, 2L, "U")))
+    // fold 2: id1 moves again, id2 re-added IDENTICAL, id5 removed,
+    // id4 reverts — only id1 survives the net
+    foldBoth(2L, log(
+      (1L, "d", 12.0, 3L, "U"), (2L, "a", 20.0, 3L, "I"),
+      (5L, "d", 0.0, 3L, "D"), (4L, "c", 40.0, 3L, "U")))
+    val (pull, frontier) = CdcRollup.readBaseLogPinned(spark, root, 0L)
+    frontier shouldBe 2L
+    rows(pull.orderBy("id")) shouldBe
+      rows(CdcRollup.readBaseSince(spark, twin, 0L).orderBy("id"))
+    val m = pull.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[String]("grp_from"), r.getAs[String]("grp_to"),
+        r.getAs[String]("change")))).toMap
+    m shouldBe Map(1L -> (("a", "d", "changed")))
+    // a partial range nets only its own folds — equals the twin diff
+    rows(CdcRollup.readBaseLog(spark, root, 1L).orderBy("id")) shouldBe
+      rows(CdcRollup.diffBase(spark, twin, 1L, 2L).orderBy("id"))
+    // re-pull byte-stable; empty pull at the frontier keeps the schema
+    rows(CdcRollup.readBaseLog(spark, root, 0L).orderBy("id")) shouldBe
+      rows(pull.orderBy("id"))
+    val empty = CdcRollup.readBaseLog(spark, root, 2L)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe pull.columns.toSeq
+    // an EMPTY fold still materializes its (dataless) log dir — the
+    // gap signal stays unambiguous — and pulls stay empty
+    fold(root, 3L, log()) shouldBe true
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(root, "log/b3")) shouldBe true
+    CdcRollup.readBaseLog(spark, root, 2L).count() shouldBe 0L
+    // refusals: ahead of the frontier; not in change-log mode; below
+    // the coverage bound (enabled after a fold)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readBaseLog(spark, root, 9L)
+    }.getMessage should include("AHEAD of the committed frontier")
+    intercept[IllegalStateException] {
+      CdcRollup.readBaseLog(spark, twin, 0L)
+    }.getMessage should include("not in change-log mode")
+    val late = tmpRoot()
+    fold(late, 0L, log((9L, "a", 1.0, 1L, "I"))) shouldBe true
+    CdcRollup.enableChangeLog(spark, late) shouldBe 0L
+    intercept[IllegalArgumentException] {
+      CdcRollup.readBaseLog(spark, late, -1L)
+    }.getMessage should include("below the change-log start")
+  }
+
+  test("change log: replay no-ops, crash garbage stays invisible and " +
+      "gets reaped, foldMarkers keeps pulls resolving, compact " +
+      "carries the log with retention OFF, and reapChangeLog " +
+      "advances the bound before deleting") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    CdcRollup.enableChangeLog(spark, root) shouldBe -1L
+    fold(root, 0L, log((1L, "a", 10.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((1L, "b", 11.0, 2L, "U"))) shouldBe true
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // replay of a committed id: quiet no-op, the log is untouched
+    val before = fs.listStatus(new Path(root, "log"))
+      .map(_.getPath.getName).toSet
+    fold(root, 1L, log((1L, "z", 99.0, 9L, "U"))) shouldBe false
+    fs.listStatus(new Path(root, "log"))
+      .map(_.getPath.getName).toSet shouldBe before
+    // an UNCOMMITTED planted log dir (real data) is invisible to pulls
+    import spark.implicits._
+    Seq((1L, "x", "y", 0.0, 9.9, "changed", 2L))
+      .toDF("id", "grp_from", "grp_to", "v_from", "v_to",
+        "change", "__batch_id")
+      .write.parquet(s"$root/log/b2")
+    fs.mkdirs(new Path(root, "log/.staging2"))
+    val p01 = CdcRollup.readBaseLog(spark, root, 0L).collect()
+    p01.length shouldBe 1
+    p01.head.getAs[String]("grp_to") shouldBe "b"
+    // the refold of that id reaps the planted garbage FIRST
+    fold(root, 2L, log((1L, "c", 12.0, 3L, "U"))) shouldBe true
+    val p12 = CdcRollup.readBaseLog(spark, root, 1L).collect()
+    p12.length shouldBe 1
+    p12.head.getAs[String]("grp_from") shouldBe "b"
+    p12.head.getAs[String]("grp_to") shouldBe "c"
+    // abandoned-garbage gc: plant an uncommitted dir + staging shell
+    Seq((1L, "x", "y", 0.0, 9.9, "changed", 9L))
+      .toDF("id", "grp_from", "grp_to", "v_from", "v_to",
+        "change", "__batch_id")
+      .write.parquet(s"$root/log/b9")
+    fs.mkdirs(new Path(root, "log/.staging9"))
+    val swept = CdcRollup.cleanOrphanBatchDirs(spark, root,
+      olderThanMs = 0L)
+    swept.exists(_.endsWith("log/b9")) shouldBe true
+    swept.exists(_.endsWith("log/.staging9")) shouldBe true
+    // marker folding: pulls keep resolving through the watermark
+    CdcRollup.foldMarkers(spark, root, olderThanMs = 0L) shouldBe Some(2L)
+    val net02 = CdcRollup.readBaseLog(spark, root, 0L).collect()
+    net02.length shouldBe 1
+    net02.head.getAs[String]("grp_from") shouldBe "a"
+    net02.head.getAs[String]("grp_to") shouldBe "c"
+    // compact (retention OFF) carries the log and the bound — the
+    // forward-only consumer's pull survives the swap byte-for-byte
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh) shouldBe 1L
+    CdcRollup.changeLogFrom(spark, fresh) shouldBe Some(-1L)
+    rows(CdcRollup.readBaseLog(spark, fresh, 0L).orderBy("id")) shouldBe
+      rows(CdcRollup.readBaseLog(spark, root, 0L).orderBy("id"))
+    // reap: the bound advances past everything deleted; the reaped
+    // range refuses, the bound itself still serves (empty)
+    val (deleted, newFrom) = CdcRollup.reapChangeLog(spark, root, 0L)
+    newFrom shouldBe 2L
+    deleted should not be empty
+    intercept[IllegalArgumentException] {
+      CdcRollup.readBaseLog(spark, root, 0L)
+    }.getMessage should include("below the change-log start")
+    CdcRollup.readBaseLog(spark, root, 2L).count() shouldBe 0L
+    intercept[IllegalStateException] {
+      CdcRollup.reapChangeLog(spark, tmpRoot(), 0L)
+    }.getMessage should include("not in change-log mode")
+  }
 }
