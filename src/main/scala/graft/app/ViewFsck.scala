@@ -445,6 +445,77 @@ object ViewFsck {
             "frontier (a pre-frontier state) — the next fold seeds " +
             "it; until then an out-of-order id is only caught by " +
             "per-bucket markers")
+        // retention mode: root markers + COW history hygiene (the
+        // cdcRollup rules, rollup-flavored)
+        fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
+        val rMarkers = graft.operators.BatchMarkers.read(fs, rootPath)
+        val rFloors = graft.operators.BatchMarkers
+          .readFloorAll(fs, rootPath)
+        check(rFloors.size > 1, error = false,
+          s"rollup: ${rFloors.size} retention floor files — a " +
+            "crashed floor advance; readers take the max, the next " +
+            "reap clears the rest")
+        rFloors.maxOption.foreach { f =>
+          check(f > last.getOrElse(-1L), error = true,
+            s"rollup: retention floor $f is above the _LAST_BATCH " +
+              s"frontier ${last.getOrElse(-1L)} — as-of reads would " +
+              "refuse snapshots that were never reaped (a floor file " +
+              "copied from another state?)",
+            fix = "verify no reap ever ran here (every history " +
+              "bucket still holds its full chain); if so, delete the " +
+              s"_ASOF_FLOOR_$f file and re-run 'retain' to seed the " +
+              "correct floor")
+        }
+        val histDir = new Path(rootPath, "history")
+        check(fs.exists(histDir) && rFloors.isEmpty, error = false,
+          "rollup: a history/ layer exists but no retention floor — " +
+            "retention mode is off (a hand-removed floor?); as-of " +
+            "reads refuse loud and the versions are stale; re-run " +
+            "'retain' to resume from the current state")
+        if (fs.exists(histDir))
+          fs.listStatus(histDir).toSeq.filter(_.isDirectory)
+            .foreach { st =>
+              val name = st.getPath.getName
+              if (name.startsWith("bucket=")) {
+                val b = name.stripPrefix("bucket=").toIntOption
+                check(b.isEmpty || b.exists(x => x < 0 || x >= n),
+                  error = true,
+                  s"rollup/history/$name: bucket id outside the " +
+                    s"pinned count $n — invisible to bucket-pruned " +
+                    "as-of probes (a copy or re-shard drifted from " +
+                    "the pin)",
+                  fix = "compact into a fresh root with the intended " +
+                    "bucket count (compactRollupStateTo re-buckets " +
+                    "every row; retention re-seeds at the frontier)")
+                fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+                  .foreach { v =>
+                    val vn = v.getPath.getName
+                    val id = if (vn.startsWith("v") && vn.length > 1 &&
+                        vn.drop(1).forall(_.isDigit))
+                      Some(vn.drop(1).toLong)
+                    else None
+                    check(id.isEmpty, error = false,
+                      s"rollup/history/$name/$vn: unrecognized entry " +
+                        "(not a v<id> version dir)")
+                    id.foreach { i =>
+                      check(!rMarkers.committed(i) &&
+                          last.exists(i < _), error = false,
+                        s"rollup/history/$name/v$i: uncommitted " +
+                          "version below the frontier — abandoned " +
+                          "garbage, gc sweeps it")
+                    }
+                  }
+              } else if (name.startsWith(".staging")) {
+                val id = name.stripPrefix(".staging").toLongOption
+                check(id.exists(i => rMarkers.committed(i) ||
+                    last.exists(i < _)), error = false,
+                  s"rollup/history/$name: staging shell that can " +
+                    "never promote (committed or below the frontier) " +
+                    "— gc sweeps it")
+              } else
+                check(errorWhen = true, error = false,
+                  s"rollup/history/$name: unrecognized entry")
+            }
         "rollup"
       }
     val all = issues.result()

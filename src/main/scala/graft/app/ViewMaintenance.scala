@@ -262,11 +262,22 @@ object ViewMaintenance {
             val keys = parts(1).split(',').toSeq
               .map(java.net.URLDecoder.decode(_, "UTF-8"))
             val statePq = new org.apache.hadoop.fs.Path(root, "state")
-            if (!fs.exists(statePq)) throw new UserException(
-              s"maintainView export: no committed state under $root")
-            (graft.operators.IncrementalAgg.finalizeState(
-              spark.read.parquet(statePq.toString).drop("bucket"), keys),
-              None)
+            e.asOf match {
+              case Some(a) =>
+                // the retention-mode + floor gates already ran in
+                // checkAsof above (as config misuse)
+                (graft.streaming.EventStreams
+                  .readRollupViewAsOf(spark, root, a)
+                  .getOrElse(throw new UserException(
+                    s"maintainView export: no committed state under " +
+                      s"$root as of batch $a")), None)
+              case None =>
+                if (!fs.exists(statePq)) throw new UserException(
+                  s"maintainView export: no committed state under $root")
+                (graft.operators.IncrementalAgg.finalizeState(
+                  spark.read.parquet(statePq.toString).drop("bucket"),
+                  keys), None)
+            }
           }
         // count the CACHED view once before the write — the same rows
         // the write materializes, without a second full scan of the
@@ -340,6 +351,10 @@ object ViewMaintenance {
         val root = resolve(f.statePath, dataDir)
         Report(f.kind, applied = false,
           detail = Some(ViewFsck.fsckJson(spark, root)))
+      case rp: RepairViewConfig =>
+        val root = resolve(rp.statePath, dataDir)
+        Report(rp.kind, applied = rp.apply,
+          detail = Some(ViewRepair.repairJson(spark, root, rp.apply)))
       case rt: RetainViewConfig =>
         val root = resolve(rt.statePath, dataDir)
         val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -349,17 +364,35 @@ object ViewMaintenance {
             s"maintainView retain: no layout pin under $root — not a " +
               "view state (retention must be enabled on an EXISTING " +
               "cdcRollup state; fold batch 0 first)"))
-        if (!pin.startsWith("cdcRollup|"))
+        if (pin.startsWith("join|"))
           throw new UserException(
-            "maintainView retain: as-of retention applies to " +
-              s"cdcRollup states only; the state under $root is " +
-              s"'${pin.takeWhile(_ != '|')}' (the other families " +
-              "keep no version history)")
-        val already =
-          graft.operators.CdcRollup.asofFloor(spark, root).isDefined
-        val floor = graft.operators.CdcRollup.enableRetention(spark, root)
-        Report(rt.kind, applied = !already,
-          detail = Some(s"""{"asof_floor":$floor}"""))
+            "maintainView retain: join views serve any committed " +
+              "prefix for free (append-only batch dirs) — there is " +
+              "no retention mode to enable; drop the kind")
+        if (pin.startsWith("cdcRollup|")) {
+          val already =
+            graft.operators.CdcRollup.asofFloor(spark, root).isDefined
+          val floor = graft.operators.CdcRollup.enableRetention(spark, root)
+          Report(rt.kind, applied = !already,
+            detail = Some(s"""{"asof_floor":$floor}"""))
+        } else {
+          // plain bucketed rollup: COW history via
+          // [[graft.streaming.EventStreams.enableRollupRetention]] —
+          // the pre-guard refusal (state rows, no _LAST_BATCH) is
+          // config misuse at this face
+          val already = graft.streaming.EventStreams
+            .rollupAsofFloor(spark, root).isDefined
+          val floor =
+            try graft.streaming.EventStreams
+              .enableRollupRetention(spark, root)
+            catch {
+              case ex: IllegalArgumentException =>
+                throw new UserException(
+                  s"maintainView retain: ${ex.getMessage}")
+            }
+          Report(rt.kind, applied = !already,
+            detail = Some(s"""{"asof_floor":$floor}"""))
+        }
       case cl: ChangeLogViewConfig =>
         val root = resolve(cl.statePath, dataDir)
         val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -396,11 +429,16 @@ object ViewMaintenance {
         // user believes history is being bounded when none accretes,
         // so refuse NAMED (the foldMarkers discipline below)
         if (g.retainHours.isDefined) {
-          if (!pin.startsWith("cdcRollup|")) throw new UserException(
-            "maintainView gc: retainHours applies to cdcRollup " +
-              s"states in retention mode; the state under $root is " +
-              s"'${pin.takeWhile(_ != '|')}' — drop the key")
-          if (graft.operators.CdcRollup.asofFloor(spark, root).isEmpty)
+          if (pin.startsWith("join|")) throw new UserException(
+            "maintainView gc: retainHours applies to cdcRollup and " +
+              s"rollup states in retention mode; the state under " +
+              s"$root is 'join' — drop the key")
+          val inRetention =
+            if (pin.startsWith("cdcRollup|"))
+              graft.operators.CdcRollup.asofFloor(spark, root).isDefined
+            else graft.streaming.EventStreams
+              .rollupAsofFloor(spark, root).isDefined
+          if (!inRetention)
             throw new UserException(
               s"maintainView gc: the state under $root is not in " +
                 "retention mode — no snapshot history accretes; drop " +
@@ -430,19 +468,33 @@ object ViewMaintenance {
                 graft.operators.CdcRollup.foldMarkers(spark, root, ms)
               else None)
           else {
-            // rollup: stranded state__stage_* shells are the only
-            // abandoned-batch garbage; per-bucket markers never
-            // accrete (the swap replaces them), so there is nothing
-            // to fold — refuse the flag rather than ignore it
-            if (g.foldMarkers) throw new UserException(
-              "maintainView gc: foldMarkers does not apply to rollup " +
-                "states — their per-bucket markers are part of the " +
-                "swap protocol and never accrete")
+            // rollup: stranded state__stage_* shells plus (in
+            // retention mode) abandoned history staging/version dirs;
+            // per-bucket swap markers never accrete, but the ROOT
+            // history markers do once retention is on — foldMarkers
+            // folds those, and keeps refusing on a non-retained
+            // state (nothing accretes there)
+            val retained0 = graft.streaming.EventStreams
+              .rollupAsofFloor(spark, root).isDefined
+            if (g.foldMarkers && !retained0) throw new UserException(
+              "maintainView gc: foldMarkers does not apply to a " +
+                "non-retained rollup state — its per-bucket markers " +
+                "are part of the swap protocol and never accrete; " +
+                "root markers only accrete in retention mode")
             (graft.operators.Maintenance.cleanTableOrphanStages(
-              spark, s"$root/state", ms), None)
+              spark, s"$root/state", ms) ++
+              graft.streaming.EventStreams.cleanRollupHistoryOrphans(
+                spark, root, ms),
+              if (g.foldMarkers)
+                graft.streaming.EventStreams.foldRollupMarkers(
+                  spark, root, ms)
+              else None)
           }
         val retained = g.retainHours.map { h =>
-          graft.operators.CdcRollup.reapRetainedVersions(
+          if (pin.startsWith("cdcRollup|"))
+            graft.operators.CdcRollup.reapRetainedVersions(
+              spark, root, h * 3600L * 1000)
+          else graft.streaming.EventStreams.reapRollupHistory(
             spark, root, h * 3600L * 1000)
         }
         val logReaped = g.logRetainHours.map { h =>
@@ -546,12 +598,21 @@ object ViewMaintenance {
           s"maintainView $what: $keyName $asOf is below the " +
             s"retention floor $floor — that snapshot's versions were " +
             "reaped; widen gc retainHours")
-    } else
-      throw new UserException(
-        s"maintainView $what: the as-of snapshot axis only exists on " +
-          "join and cdcRollup states; the state under " +
-          s"$root is '${pin.takeWhile(_ != '|')}' (rollup states " +
-          "keep no history)")
+    } else {
+      // plain bucketed rollup: history exists only in retention mode
+      // (the cdcRollup rules, rollup-flavored — COW history versions
+      // accrete per fold once 'retain' ran)
+      val floor = graft.streaming.EventStreams.rollupAsofFloor(spark, root)
+        .getOrElse(throw new UserException(
+          s"maintainView $what: the state under $root is not in " +
+            "retention mode — no snapshot history exists; run the " +
+            "'retain' kind BEFORE the folds whose snapshots you need"))
+      if (asOf < floor)
+        throw new UserException(
+          s"maintainView $what: $keyName $asOf is below the " +
+            s"retention floor $floor — that snapshot's versions were " +
+            "never retained or were reaped; widen gc retainHours")
+    }
   }
 
   /** The `lookup` kind — pin-dispatched bucket-pruned point lookup,
@@ -659,7 +720,7 @@ object ViewMaintenance {
         if (!fs.exists(statePq)) noState
         val stateSchema = spark.read.parquet(statePq.toString).schema
         ("view", graft.streaming.EventStreams.lookupRollupState(
-          spark, root, typedKeys(stateSchema)))
+          spark, root, typedKeys(stateSchema), lk.asOf))
       }
     val json = result.map(_.toJSON.take(lk.maxRows + 1))
       .getOrElse(Array.empty[String])
@@ -792,9 +853,36 @@ object ViewMaintenance {
         val stranded = ls(rootPath).count(
           _.getPath.getName.matches("state__stage_[0-9a-f]{8}"))
         val last = graft.streaming.EventStreams.readLastBatch(fs, rootPath)
+        // retention mode: report the history layer's shape too
+        // (committed versions vs orphan candidates, the cdc spelling)
+        val histDir = new Path(rootPath, "history")
+        val histJson =
+          if (!fs.exists(histDir)) ""
+          else {
+            val bucketDirs = ls(histDir).filter(_.isDirectory)
+              .filter(_.getPath.getName.startsWith("bucket="))
+            val staging = ls(histDir)
+              .count(_.getPath.getName.startsWith(".staging"))
+            var committed = 0; var orphans = staging
+            bucketDirs.foreach { b =>
+              fs.listStatus(b.getPath).foreach { v =>
+                val n = v.getPath.getName
+                val id = if (n.startsWith("v")) n.drop(1).toLongOption
+                         else None
+                id match {
+                  case Some(i) if markers.committed(i) => committed += 1
+                  case Some(_) => orphans += 1
+                  case None => ()
+                }
+              }
+            }
+            s""","history":{"buckets":${bucketDirs.length},""" +
+              s""""committed_versions":$committed,""" +
+              s""""orphan_candidates":$orphans}"""
+          }
         val layers = s""""state":{"buckets":$buckets,""" +
           opt("last_batch", last) + "," +
-          s""""orphan_candidates":$stranded}"""
+          s""""orphan_candidates":$stranded}""" + histJson
         ("rollup", layers,
           if (!countRows) None
           else Some(if (fs.exists(statePq))
@@ -805,7 +893,7 @@ object ViewMaintenance {
     // compaction collapse point (null = never compacted, everything
     // servable); absent on rollup (no history at all)
     val floorJson =
-      if (pin.startsWith("cdcRollup|") || pin.startsWith("join|"))
+        // rollup: retention mode (null = off) — same axis as cdc
         opt("asof_floor", graft.operators.BatchMarkers.readFloor(
           fs, rootPath)) + "," +
           // the retention seed (cdc only): where history hard-starts
@@ -819,7 +907,6 @@ object ViewMaintenance {
               opt("log_from", graft.operators.BatchMarkers.readLogFrom(
                 fs, rootPath)) + ","
           else "")
-      else ""
     s"""{"family":"$family","pin":${graft.JsonUtil.str(pin)},""" +
       s"""$batches,"layers":{$layersJson},$floorJson""" +
       opt("view_rows", rows) + "}"

@@ -111,6 +111,9 @@ object ConfigParser {
         ChangeLogViewConfig(statePath)
       case "fsck" =>
         FsckViewConfig(statePath)
+      case "repair" =>
+        RepairViewConfig(statePath,
+          apply = opt(v, "apply").exists(_.asBoolean))
       case "diff" =>
         val from = req(v, "fromBatch").asLong
         val to = req(v, "toBatch").asLong

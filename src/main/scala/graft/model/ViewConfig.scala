@@ -325,6 +325,20 @@ final case class ChangeLogViewConfig(statePath: String)
   val kind = "changelog"
 }
 
+/** Execute the SAFE subset of fsck's runbook hints
+  * ([[graft.app.ViewRepair]]): rebuild a missing derived cdcRollup
+  * layer from the base images, restore a rollup `_LAST_BATCH`
+  * frontier from its per-bucket marker evidence, sweep abandoned
+  * rename-window garbage. DRY-RUN by default — `apply: true` is the
+  * mutating face; the unsafe class (pin drift, foreign marker files,
+  * log coverage gaps) is never touched and the post-repair fsck rides
+  * the report naming what remains manual. */
+final case class RepairViewConfig(statePath: String,
+                                  apply: Boolean = false)
+    extends ViewConfig {
+  val kind = "repair"
+}
+
 /** Out-of-band state compaction — the maintenance both fold protocols
   * prescribe in their ops notes, reachable through the same CLI
   * action. The view KIND is auto-detected from the state's own layout

@@ -2039,6 +2039,133 @@ object CdcRollup {
     readView(spark, freshRoot).map(_.count()).getOrElse(0L)
   }
 
+  /** REBUILD a derived layer from the SCD1 base — the `repair` face:
+    * `agg`, `grp`, `aux_<name>` and `grp_aux_<name>` are all exact
+    * functions of the CURRENT images (the maintained-view invariant
+    * the gate oracles pin: agg = GROUP BY over the images, grp =
+    * their projection), so a MISSING layer dir — hand-deleted, or a
+    * pre-empty-batch-fix startup shape — is reconstructible without
+    * refolding history: recompute from the base and write the content
+    * as version `v<frontier>` of each bucket (the frontier is already
+    * committed, so the rebuilt layer is servable the moment the
+    * renames land; no new marker is written — a subsumed duplicate
+    * would only add fsck noise).
+    *
+    * Honesty on RETAINED states: the rebuilt layer's history below
+    * the frontier is gone (that is why repair ran), so the rebuild
+    * writes per-bucket floors at the frontier on every rebuilt bucket
+    * AND advances the global floor to the frontier — below-frontier
+    * reads refuse loud instead of silently serving an empty layer.
+    * Conservative for the intact layers (their earlier snapshots
+    * refuse too), never wrong.
+    *
+    * Refuses: the base layer itself (the source of truth cannot be
+    * derived), an undeclared layer name, and a layer whose dir still
+    * holds entries (a present layer is live state — re-shards belong
+    * to compact). @return rows written */
+  def rebuildDerivedLayer(spark: SparkSession, root: String,
+                          layer: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"rebuildDerivedLayer: no layout pin under $root — not a " +
+          "cdcRollup state"))
+    val layout = parseLayout(pin, root)
+    val markers = BatchMarkers.read(fs, rootPath)
+    val frontier = markers.maxCommitted.getOrElse(
+      throw new IllegalStateException(
+        s"rebuildDerivedLayer: nothing committed under $root — " +
+          "nothing to rebuild from"))
+    require(layer != "base",
+      "rebuildDerivedLayer: the base layer is the source of truth — " +
+        "it cannot be derived; restore it from the feed or a " +
+        "snapshot export")
+    val (groupCols, mm, isProjection) = layer match {
+      case "agg" => (layout.groupCols, layout.minMaxCols, false)
+      case "grp" =>
+        require(layout.minMaxCols.nonEmpty,
+          s"rebuildDerivedLayer: the pin under $root declares no " +
+            "minMax columns — there is no grp layer to rebuild")
+        (layout.groupCols, layout.minMaxCols, true)
+      case l if l.startsWith("aux_") && !l.startsWith("grp_aux_") =>
+        val n = l.stripPrefix("aux_")
+        val cols = layout.auxViews.collectFirst {
+          case (an, cs) if an == n => cs
+        }.getOrElse(throw new IllegalArgumentException(
+          s"rebuildDerivedLayer: no aux view '$n' declared under $root"))
+        (cols, layout.auxMinMax.getOrElse(n, Nil), false)
+      case l if l.startsWith("grp_aux_") =>
+        val n = l.stripPrefix("grp_aux_")
+        require(layout.auxMinMax.contains(n),
+          s"rebuildDerivedLayer: the pin under $root declares no " +
+            s"minMax columns for aux view '$n' — there is no " +
+            s"grp_aux_$n layer to rebuild")
+        (layout.auxViews.collectFirst {
+          case (an, cs) if an == n => cs
+        }.get, layout.auxMinMax(n), true)
+      case other => throw new IllegalArgumentException(
+        s"rebuildDerivedLayer: unknown layer '$other' " +
+          "(agg | grp | aux_<name> | grp_aux_<name>)")
+    }
+    val layerDir = new Path(rootPath, layer)
+    require(!fs.exists(layerDir) || fs.listStatus(layerDir).isEmpty,
+      s"rebuildDerivedLayer: layer '$layer' under $root holds " +
+        "entries — a present layer is live state and repair only " +
+        "rebuilds MISSING ones; re-shard via compact instead")
+    val baseOpt = readLatest(spark, fs, rootPath, "base", None, markers)
+    fs.mkdirs(layerDir)
+    val retained = readAsofFloor(fs, rootPath).isDefined
+    val written = baseOpt match {
+      case None => 0L
+      case Some(base) =>
+        val dec = "decimal(38,6)"
+        val df =
+          if (isProjection)
+            base.select((groupCols ++ layout.pkCols ++ mm)
+              .distinct.map(col): _*)
+          else {
+            val aggN = aggNames(layout.valueCols.size)
+            val mins = minNames(mm.size)
+            val maxs = maxNames(mm.size)
+            // n counts IMAGES; an all-NULL measure group stores 0
+            // (the fold's coalesce arithmetic), NULL min/max extrema
+            // (SQL semantics) — exactly the folded state's bytes
+            val sums = count(lit(1)).as("n") +:
+              (layout.valueCols.zip(aggN).map { case (v, t) =>
+                coalesce(sum(col(v).cast(dec)), lit(0).cast(dec))
+                  .cast(dec).as(t)
+              } ++ mm.zipWithIndex.flatMap { case (v, i) =>
+                Seq(min(col(v)).as(mins(i)), max(col(v)).as(maxs(i)))
+              })
+            base.groupBy(groupCols.map(col): _*)
+              .agg(sums.head, sums.tail: _*)
+          }
+        val bucketOf = pmod(xxhash64(groupCols.map(col): _*),
+          lit(layout.nAggBuckets)).cast("int")
+        val staging = new Path(rootPath, s"$layer/.staging$frontier")
+        fs.delete(staging, true)
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          cached.withColumn("__bucket", bucketOf)
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(staging.toString)
+          val buckets = promoteStaged(fs, rootPath, layer, frontier)
+          if (retained) buckets.foreach { b =>
+            BatchMarkers.writeFloor(fs,
+              new Path(rootPath, s"$layer/bucket=$b"), frontier)
+          }
+          n
+        } finally { cached.unpersist(); () }
+    }
+    // the rebuilt layer has no history below the frontier — gate the
+    // whole state's range reads there (conservative, loud)
+    if (retained) BatchMarkers.writeFloor(fs, rootPath, frontier)
+    written
+  }
+
   // ---- layout plumbing ------------------------------------------------
 
   /** Latest COMMITTED version dir of each bucket of `layer` —

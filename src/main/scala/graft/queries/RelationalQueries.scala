@@ -720,6 +720,33 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // AS-OF SNAPSHOT of a plain bucketed rollup state
+    // ([[graft.streaming.EventStreams.readRollupViewAsOf]]): the last
+    // view family gains a history axis — retention enabled BEFORE the
+    // folds, three key-overlapping batches fold in, and the view read
+    // AS OF batch 1 must equal the one-shot GROUP BY over batches 0-1
+    // alone (batch 2's fold invisible). Per-bucket COW version chains
+    // + root commit markers + floor; a read that leaked batch 2,
+    // served a stale bucket, or resolved an uncommitted version
+    // hashes red.
+    "rollup_asof_view" -> ((s, dir) => {
+      val root = "/tmp/graft_rolas_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      graft.streaming.EventStreams.enableRollupRetention(s, root)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 4 === 0)
+      (0 until 3).foreach { i =>
+        graft.streaming.EventStreams.applyRollupBatchBucketed(
+          ord.filter(col("o_orderkey") % 3 === i), root, i.toLong,
+          Seq("o_custkey"), "o_totalprice", nBuckets = 4)
+      }
+      graft.streaming.EventStreams.readRollupViewAsOf(s, root, 1L).get
+        .orderBy(col("o_custkey"))
+    }),
+
     // Incremental JOIN-view maintenance: the denormalized
     // orders⋈lineitem view kept current by folding three insert
     // batches PER SIDE through the delta algebra
@@ -1848,6 +1875,18 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "incremental_rollup" -> rollupOracleSql,
     "incremental_rollup_bucketed" -> rollupOracleSql,
+    // batches 0-1 of the k%4 slice alone — batch 2's fold must be
+    // invisible at the as-of-1 snapshot
+    "rollup_asof_view" ->
+      """SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(o_totalprice) AS mean,
+        |  MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |FROM orders
+        |WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 < 2
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "forward_fill_events" ->
       """SELECT event_id, user_id, sparse,
         |  last_value(sparse IGNORE NULLS)

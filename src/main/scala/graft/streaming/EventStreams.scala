@@ -1003,6 +1003,28 @@ object EventStreams {
           "cannot be replayed exactly-once; feed batch ids in " +
           "increasing order")
     }
+    // AS-OF RETENTION mode ([[enableRollupRetention]]): after the swap
+    // the fold ALSO snapshots the touched buckets' post-fold state
+    // into `history/bucket=<b>/v<batchId>`, committed by a root
+    // `_APPLIED_<batchId>` marker written LAST — the COW history
+    // [[readRollupStateAsOf]] resolves. Written AFTER the swap (from
+    // the live state, so the stranded-stage recovery path's buckets
+    // are covered too); a crash between swap and marker leaves the
+    // version invisible, and the REPLAY of the same id backfills it
+    // from the (already swapped) state — `commitHistory` runs on the
+    // already-applied early returns for exactly that window.
+    val retainOn = graft.operators.BatchMarkers.readFloor(fs, root)
+      .isDefined
+    def commitHistory(touched: Seq[Int]): Unit = {
+      if (!retainOn || touched.isEmpty) return
+      if (graft.operators.BatchMarkers.read(fs, root)
+          .committed(batchId)) return // fully finished before
+      val slice = spark.read.parquet(cur.toString)
+        .filter(col("bucket")
+          .isin(touched.map(b => lit(b): Column): _*))
+      writeHistoryVersion(fs, root, batchId, slice)
+      graft.operators.BatchMarkers.commit(fs, root, batchId)
+    }
     def advanceLastBatch(): Unit =
       if (lastBatch.forall(batchId > _)) {
         // reap stranded temp files from prior crashed advances (the
@@ -1063,7 +1085,9 @@ object EventStreams {
       if (touched.isEmpty) { advanceLastBatch(); return Nil }
       var pending = touched.filterNot(b =>
         fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
-      if (pending.isEmpty) { advanceLastBatch(); return Nil }
+      if (pending.isEmpty) {
+        advanceLastBatch(); commitHistory(touched); return Nil
+      }
       // Stranded-stage triage for buckets missing from the state:
       //  - the stranded bucket carries THIS batch's marker → it is the
       //    replayed batch's own completed fold whose swap crashed;
@@ -1096,7 +1120,10 @@ object EventStreams {
           case None => true // genuine first write of this bucket
         }
       }
-      if (pending.isEmpty) { advanceLastBatch(); return recovered.result() }
+      if (pending.isEmpty) {
+        advanceLastBatch(); commitHistory(touched)
+        return recovered.result()
+      }
       val pendingCols = pending.map(b => lit(b): Column)
       val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
       val havePrior = pending.exists(b =>
@@ -1123,6 +1150,7 @@ object EventStreams {
         graft.app.SwapGuard.swapChildren(fs, stage, cur,
           pending.map(b => s"bucket=$b"))
       }
+      commitHistory(touched)
       recovered.result() ++ pending
     } finally partial.unpersist()
   }
@@ -1144,6 +1172,316 @@ object EventStreams {
     }
   }
 
+  // ---- as-of retention for bucketed rollup states --------------------
+
+  /** Replace/create history version `v<id>` of every bucket present
+    * in `df` (rollup state rows INCLUDING the `bucket` column) —
+    * staged hidden, renamed in; any prior v<id> of a touched bucket
+    * (a crashed attempt's residue) is dropped first. */
+  private def writeHistoryVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  id: Long, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(root, s"history/.staging$id")
+    fs.delete(staging, true)
+    val histDir = new Path(root, "history")
+    if (fs.exists(histDir))
+      fs.listStatus(histDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .foreach(b => fs.delete(new Path(b, s"v$id"), true))
+    df.write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    fs.listStatus(staging).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .foreach { child =>
+        val home = new Path(root, s"history/${child.getName}")
+        fs.mkdirs(home)
+        val to = new Path(home, s"v$id")
+        if (!fs.rename(child, to))
+          throw new java.io.IOException(s"rollup history: rename failed: $to")
+      }
+    fs.delete(staging, true)
+  }
+
+  /** Switch a bucketed rollup state into AS-OF RETENTION mode — the
+    * [[graft.operators.CdcRollup.enableRetention]] story for the
+    * insert-only rollup family, closing its "no history" gap: from
+    * now on every fold also snapshots its touched buckets' post-fold
+    * state into `history/bucket=<b>/v<batchId>` (committed by a root
+    * `_APPLIED_<batchId>` marker), and [[readRollupViewAsOf]] serves
+    * the exact finalized view any earlier batch saw.
+    *
+    * Enable cost: ONE scan of the current state — the baseline
+    * snapshot `v<floor>` every bucket resolves to until a later fold
+    * versions it (without it, a bucket untouched after enabling would
+    * have no chain to serve). The floor file is written LAST: every
+    * crash window leaves a root NOT in retention mode with only stray
+    * history the re-enable overwrites — conservative, never a
+    * half-promised snapshot axis. Refuses a pre-guard state (state
+    * rows but no `_LAST_BATCH`): its baseline has no position on the
+    * version axis. Idempotent — an existing floor wins.
+    *
+    * 100 TB shape: per fold the extra cost is ONE bucket-pruned read
+    * + write of exactly the touched buckets (the fold already sized
+    * that); as-of reads resolve per bucket to its own chain, still
+    * partition-pruned. @return the floor in force */
+  def enableRollupRetention(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.BatchMarkers.readFloor(fs, root).getOrElse {
+      val cur = new Path(root, "state")
+      val last = readLastBatch(fs, root)
+      require(last.isDefined || !fs.exists(cur),
+        s"enableRollupRetention: $statePath holds state rows but no " +
+          "_LAST_BATCH frontier (a pre-guard state) — the baseline " +
+          "snapshot has no position on the version axis; fold one " +
+          "batch (seeding the frontier) or compact into a fresh root " +
+          "first")
+      val floor = last.getOrElse(-1L)
+      fs.mkdirs(root)
+      if (floor >= 0 && fs.exists(cur)) {
+        writeHistoryVersion(fs, root, floor,
+          spark.read.parquet(cur.toString))
+        graft.operators.BatchMarkers.commit(fs, root, floor)
+      }
+      graft.operators.BatchMarkers.writeFloor(fs, root, floor)
+      floor
+    }
+  }
+
+  /** The rollup retention floor in force — None when the state is not
+    * in retention mode. */
+  def rollupAsofFloor(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.BatchMarkers.readFloor(fs, root)
+  }
+
+  /** The RAW monoid state as of `asOf`: per history bucket, the
+    * highest committed version with id <= asOf — exactly the state
+    * any reader saw right after that batch folded (ids between two
+    * folds serve the earlier one; above the frontier = current).
+    * Requires retention mode and `asOf >= floor`; None when nothing
+    * committed at or below `asOf` holds data. Restrict with `buckets`
+    * for pruned point reads. */
+  def readRollupStateAsOf(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, asOf: Long,
+                          buckets: Option[Set[Int]] = None)
+      : Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val floor = graft.operators.BatchMarkers.readFloor(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"rollup as-of read under $statePath: the state is not in " +
+          "retention mode — folds keep no history; enable it " +
+          "(enableRollupRetention / CLI kind 'retain') BEFORE the " +
+          "folds whose snapshots you need"))
+    require(asOf >= floor,
+      s"rollup as-of read at batch $asOf under $statePath: retained " +
+        s"history starts at floor $floor — earlier snapshots were " +
+        "never retained (or were reaped); widen the retention window " +
+        "on the gc cadence")
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val histDir = new Path(root, "history")
+    if (!fs.exists(histDir)) return None
+    val dirs = fs.listStatus(histDir).toSeq.map(_.getPath)
+      .filter { b =>
+        b.getName.startsWith("bucket=") &&
+          buckets.forall(bs => b.getName.stripPrefix("bucket=")
+            .toIntOption.exists(bs.contains))
+      }
+      .flatMap { b =>
+        fs.listStatus(b).toSeq.map(_.getPath)
+          .filter(v => v.getName.startsWith("v") &&
+            v.getName.length > 1 &&
+            v.getName.drop(1).forall(_.isDigit) &&
+            markers.committed(v.getName.drop(1).toLong) &&
+            v.getName.drop(1).toLong <= asOf)
+          .sortBy(_.getName.drop(1).toLong).lastOption
+      }
+      .filter(v => graft.sources.PartitionedStore.hasDataEntries(fs, v))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
+  /** The FINALIZED rollup view as of `asOf` — [[readRollupStateAsOf]]
+    * through [[graft.operators.IncrementalAgg.finalizeState]], keyed
+    * by the state's own pinned key columns. */
+  def readRollupViewAsOf(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String,
+                         asOf: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"readRollupViewAsOf: no layout pin under $statePath — not a " +
+          "rollup-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 3 && parts(0).toIntOption.exists(_ >= 1),
+      s"readRollupViewAsOf: unrecognized layout pin '$pin' under " +
+        statePath)
+    val keys = parts(1).split(',').toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    readRollupStateAsOf(spark, statePath, asOf)
+      .map(st => graft.operators.IncrementalAgg.finalizeState(st, keys))
+  }
+
+  /** Reap retained rollup history older than the window and ADVANCE
+    * THE FLOOR past everything reaped — the
+    * [[graft.operators.CdcRollup.reapRetainedVersions]] protocol
+    * verbatim: a version goes only when its SUPERSEDING version is
+    * older than the window, the new floor is written BEFORE any
+    * delete (crash windows refuse servable snapshots, never serve
+    * broken ones), and the latest committed version of every bucket
+    * is never touched. @return (deleted paths, floor in force) */
+  def reapRollupHistory(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String,
+                        retainMs: Long): (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val floor = graft.operators.BatchMarkers.readFloor(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"reapRollupHistory under $statePath: the state is not in " +
+          "retention mode — nothing accretes, nothing to reap"))
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val histDir = new Path(root, "history")
+    if (!fs.exists(histDir)) return (Nil, floor)
+    val doomed = Seq.newBuilder[(Path, Long)]
+    fs.listStatus(histDir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("bucket="))
+      .foreach { b =>
+        val chain = fs.listStatus(b.getPath).toSeq
+          .filter { v =>
+            val n = v.getPath.getName
+            n.startsWith("v") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit) &&
+              markers.committed(n.drop(1).toLong)
+          }
+          .sortBy(_.getPath.getName.drop(1).toLong)
+        chain.sliding(2).foreach {
+          case Seq(vi, vj) if vj.getModificationTime <= cutoff =>
+            doomed += ((vi.getPath, vj.getPath.getName.drop(1).toLong))
+          case _ => ()
+        }
+      }
+    val hits = doomed.result()
+    if (hits.isEmpty) return (Nil, floor)
+    val newFloor = math.max(floor, hits.map(_._2).max)
+    if (newFloor > floor)
+      graft.operators.BatchMarkers.writeFloor(fs, root, newFloor)
+    val deleted = hits.map { case (p, _) =>
+      fs.delete(p, true); p.toString }
+    (deleted, newFloor)
+  }
+
+  /** Collapse AGED committed history markers into ONE
+    * `_APPLIED_UPTO_<w>` watermark — the
+    * [[graft.operators.CdcRollup.foldMarkers]] discipline for the
+    * retained rollup family (root `_APPLIED_<id>` markers accrete one
+    * per fold in retention mode; the per-bucket swap markers are NOT
+    * touched — they belong to the fold protocol). The age gate keeps
+    * every id inside its replay window on a per-id marker: a replayed
+    * frontier fold finishing late must find its own marker absent (so
+    * `commitHistory` backfills), never watermark-subsumed — folding
+    * only markers older than `olderThanMs` keeps that window open,
+    * and anything older is abandoned by the single-writer contract.
+    * Uncommitted history garbage at or below the new watermark is
+    * swept FIRST — after the fold it would read as committed.
+    * @return the watermark written, None when nothing qualifies */
+  def foldRollupMarkers(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String,
+                        olderThanMs: Long = 24L * 3600 * 1000)
+      : Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val aged = markers.ids.filter(id => markers.mtimes(id) <= cutoff)
+    val w = (markers.watermark.toSeq ++ aged).maxOption
+    w.filter(v => markers.watermark.forall(_ < v) ||
+        markers.ids.exists(_ <= v)).map { frontier =>
+      val histDir = new Path(root, "history")
+      if (fs.exists(histDir))
+        fs.listStatus(histDir).toSeq.filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(".staging"))
+            name.stripPrefix(".staging").toLongOption
+              .filter(id => id <= frontier && !markers.committed(id))
+              .foreach(_ => fs.delete(st.getPath, true))
+          else if (name.startsWith("bucket="))
+            fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+              .filter(_.getPath.getName.startsWith("v"))
+              .foreach { v =>
+                v.getPath.getName.drop(1).toLongOption
+                  .filter(id => id <= frontier && !markers.committed(id))
+                  .foreach(_ => fs.delete(v.getPath, true))
+              }
+        }
+      graft.operators.BatchMarkers.foldInto(fs, root, markers, frontier)
+      frontier
+    }
+  }
+
+  /** Reap ABANDONED rollup-history garbage — staging shells and
+    * uncommitted `v<id>` dirs of batch ids the scheduler will never
+    * replay. An id STRICTLY below the `_LAST_BATCH` frontier can
+    * never fold again (the monotone guard refuses it), so its
+    * garbage goes regardless of age; the frontier id itself may be a
+    * mid-replay fold and anything above it in-flight — those only go
+    * once aged. Committed versions are live history, never touched.
+    * @return deleted paths */
+  def cleanRollupHistoryOrphans(spark: org.apache.spark.sql.SparkSession,
+                                statePath: String,
+                                olderThanMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val histDir = new Path(root, "history")
+    if (!fs.exists(histDir)) return Nil
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val frontier = readLastBatch(fs, root).getOrElse(Long.MinValue)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def dead(id: Long, mtime: Long): Boolean =
+      !markers.committed(id) && (id < frontier || mtime <= cutoff)
+    val deleted = Seq.newBuilder[String]
+    fs.listStatus(histDir).toSeq.filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".staging"))
+        name.stripPrefix(".staging").toLongOption.foreach { id =>
+          if (markers.committed(id) || id < frontier ||
+              st.getModificationTime <= cutoff) {
+            fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
+        }
+      else if (name.startsWith("bucket="))
+        fs.listStatus(st.getPath).toSeq.filter(_.isDirectory)
+          .foreach { v =>
+            val vn = v.getPath.getName
+            if (vn.startsWith("v"))
+              vn.drop(1).toLongOption.foreach { id =>
+                if (dead(id, v.getModificationTime)) {
+                  fs.delete(v.getPath, true)
+                  deleted += v.getPath.toString
+                }
+              }
+          }
+    }
+    deleted.result()
+  }
+
   /** Bucket-pruned POINT LOOKUP into a bucketed rollup state — the
     * rollup sibling of [[graft.operators.CdcRollup.lookupView]] and
     * the serving path behind the `lookup` CLI kind: reads ONLY the
@@ -1158,7 +1496,12 @@ object EventStreams {
     * the first fold. */
   def lookupRollupState(spark: org.apache.spark.sql.SparkSession,
                         statePath: String,
-                        keys: DataFrame): Option[DataFrame] = {
+                        keys: DataFrame,
+                        /** Serve the state AS OF this batch id —
+                          * retention mode required
+                          * ([[readRollupStateAsOf]] rules), still
+                          * bucket-pruned via the history chains. */
+                        asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1195,10 +1538,22 @@ object EventStreams {
         .cast("int")
       val touched = probe.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      val pruned = state
-        .filter(col("bucket").isin(touched.map(b => lit(b): Column): _*))
+      val pruned = asOf match {
+        case Some(a) =>
+          // as-of: resolve ONLY the touched buckets' history chains
+          // (floor + retention-mode gates live in the read)
+          readRollupStateAsOf(spark, statePath, a,
+            Some(touched.toSet)) match {
+            case Some(st) => st
+            case None => return None
+          }
+        case None => state
+          .filter(col("bucket")
+            .isin(touched.map(b => lit(b): Column): _*))
+          .drop("bucket")
+      }
       val fin = graft.operators.IncrementalAgg
-        .finalizeState(pruned.drop("bucket"), keyCols)
+        .finalizeState(pruned, keyCols)
       val cond = keyCols.map(c => fin(c) <=> probe(c)).reduce(_ && _)
       Some(fin.join(probe, cond, "left_semi"))
     } finally { probe.unpersist(); () }
@@ -1272,9 +1627,12 @@ object EventStreams {
         fs.listStatus(freshRoot).toSeq.map(_.getPath)
           .filter(st => st.getName.matches("state__stage_[0-9a-f]{8}") ||
             st.getName == "_LAST_BATCH" ||
-            st.getName.startsWith("_LAST_BATCH_tmp_"))
+            st.getName.startsWith("_LAST_BATCH_tmp_") ||
+            st.getName.startsWith("_APPLIED_"))
           .foreach(st => fs.delete(st, true))
         fs.delete(new Path(freshRoot, "_CONFIG"), true)
+        fs.delete(new Path(freshRoot, "history"), true)
+        graft.operators.BatchMarkers.clearFloors(fs, freshRoot)
       case Some(p) => throw new graft.model.UserException(
         s"compactRollupStateTo: $freshPath carries a non-rollup pin " +
           s"'$p' — refusing to overwrite a different state family")
@@ -1316,6 +1674,20 @@ object EventStreams {
     if (!fs.rename(stage, new Path(freshRoot, "state")))
       throw new java.io.IOException(
         s"compactRollupStateTo: rename failed: $freshPath/state")
+    // retention mode survives the swap but the history does NOT (the
+    // cdc compact discipline): the fresh floor is the frontier — the
+    // compacted state becomes the baseline v<frontier> snapshot,
+    // pre-compaction snapshots refuse loud, post-compaction folds
+    // accrete history again. Floor written LAST (the enable order):
+    // every crash window leaves the fresh root out of retention mode,
+    // which the crash-reset retry reclaims.
+    if (graft.operators.BatchMarkers.readFloor(fs, root).isDefined) {
+      val floor = seedId
+      writeHistoryVersion(fs, freshRoot, floor,
+        spark.read.parquet(new Path(freshRoot, "state").toString))
+      graft.operators.BatchMarkers.commit(fs, freshRoot, floor)
+      graft.operators.BatchMarkers.writeFloor(fs, freshRoot, floor)
+    }
     spark.read.parquet(new Path(freshRoot, "state").toString).count()
   }
 

@@ -2743,4 +2743,219 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "gc", "statePath": "mstate", "logRetainHours": 1}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
+
+  test("maintainView rollup retention lifecycle: retain snapshots the " +
+      "baseline → folds version touched buckets → asOf lookup/export " +
+      "serve earlier snapshots → gc retainHours advances the floor; " +
+      "status and fsck see the history; misuse refuses named") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rollupasof").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    def foldCfg(id: Int): Unit =
+      cfg(s"""{"kind": "rollup", "statePath": "rast", "batchId": $id,
+             | "keys": ["g"], "valueColumn": "v", "nBuckets": 4,
+             | "delta": {"input": "in/ra$id"}}""".stripMargin)
+    Seq(("a", 10.0), ("b", 20.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/ra0")
+    foldCfg(0)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // asOf before retention refuses named
+    cfg("""{"kind": "lookup", "statePath": "rast",
+          | "keys": [{"g": "a"}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // retain on the rollup family: floor = frontier, baseline snapshot
+    cfg("""{"kind": "retain", "statePath": "rast"}""")
+    val (cr, or) = Main.execute(spark, sink, dir)
+    withClue(or) { cr shouldBe 0 }
+    or.get should include(""""applied":true""")
+    or.get should include(""""asof_floor":0""")
+    Seq(("a", 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/ra1")
+    foldCfg(1)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // asOf lookup: batch 0 has one 'a' row, batch 1 two
+    cfg("""{"kind": "lookup", "statePath": "rast",
+          | "keys": [{"g": "a"}], "asOf": 0}""".stripMargin)
+    val (cl, ol) = Main.execute(spark, sink, dir)
+    withClue(ol) { cl shouldBe 0 }
+    ol.get should include(""""n":1""")
+    cfg("""{"kind": "lookup", "statePath": "rast",
+          | "keys": [{"g": "a"}], "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""n":2""")
+    // asOf export writes the batch-0 snapshot; untouched bucket rides
+    cfg("""{"kind": "export", "statePath": "rast",
+          | "output": "rsnap", "asOf": 0}""".stripMargin)
+    val (ce, oe) = Main.execute(spark, sink, dir)
+    withClue(oe) { ce shouldBe 0 }
+    rows(spark.read.parquet(s"$dir/rsnap")
+      .select(col("g"), col("n"), col("total")).orderBy("g")) shouldBe
+      Seq(Seq("a", 1L, 10.0), Seq("b", 1L, 20.0))
+    // status: floor + history shape
+    cfg("""{"kind": "status", "statePath": "rast"}""")
+    val st = Main.execute(spark, sink, dir)._2.get
+    st should include(""""asof_floor":0""")
+    st should include(""""history":{"buckets":""")
+    // fsck audits the retained state clean
+    cfg("""{"kind": "fsck", "statePath": "rast"}""")
+    val of = Main.execute(spark, sink, dir)._2.get
+    of should include(""""ok":true""")
+    // gc retainHours 0 reaps superseded history, floor advances
+    cfg("""{"kind": "gc", "statePath": "rast", "retainHours": 0,
+          | "foldMarkers": true, "olderThanHours": 0}""".stripMargin)
+    val (cg, og) = Main.execute(spark, sink, dir)
+    withClue(og) { cg shouldBe 0 }
+    og.get should include(""""asof_floor":1""")
+    // below the advanced floor refuses
+    cfg("""{"kind": "lookup", "statePath": "rast",
+          | "keys": [{"g": "a"}], "asOf": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...the frontier snapshot still serves
+    cfg("""{"kind": "lookup", "statePath": "rast",
+          | "keys": [{"g": "a"}], "asOf": 1}""".stripMargin)
+    Main.execute(spark, sink, dir)._2.get should include(""""n":2""")
+    // a planted floor ABOVE the frontier is an fsck error
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/rast")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/rast/_ASOF_FLOOR_9"),
+      true).close()
+    cfg("""{"kind": "fsck", "statePath": "rast"}""")
+    val of2 = Main.execute(spark, sink, dir)._2.get
+    of2 should include(""""ok":false""")
+    of2 should include("floor 9 is above the _LAST_BATCH")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/rast/_ASOF_FLOOR_9"),
+      false)
+    // retain still refuses the join family
+    import graft.operators.JoinView
+    JoinView.foldBatchDirs(s"$dir/rjst", 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "price"),
+      Seq((1L, 2.0)).toDF("k", "qty"), nBuckets = 2) shouldBe true
+    cfg("""{"kind": "retain", "statePath": "rjst"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView repair: dry-run mutates nothing; apply rebuilds " +
+      "deleted derived layers from the base (exact sums and extrema, " +
+      "floored at the frontier on retained states), restores a " +
+      "rollup _LAST_BATCH from marker evidence; the unsafe class " +
+      "stays manual and a malformed pin refuses the run") {
+    import spark.implicits._
+    import graft.operators.CdcRollup
+    val dir = Files.createTempDirectory("graft-viewrepair").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    // --- cdcRollup: retained state with minMax + an aux view ---
+    val root = s"$dir/rstate"
+    CdcRollup.enableRetention(spark, root) shouldBe -1L
+    def fold(id: Long, rows: Seq[(Long, String, String, Double)],
+             ops: (Long, String)): Unit =
+      CdcRollup.foldBatch(root, id,
+        rows.map { case (k, g, g2, v) => (k, g, g2, v, ops._1, ops._2) }
+          .toDF("id", "grp", "grp2", "v", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"),
+        nBaseBuckets = 2, nAggBuckets = 2,
+        minMaxCols = Seq("v"),
+        auxViews = Seq("by_g2" -> Seq("grp2")),
+        auxMinMaxCols = Map("by_g2" -> Seq("v"))) shouldBe true
+    fold(0L, Seq((1L, "a", "x", 10.0), (2L, "a", "y", 20.0),
+      (3L, "b", "x", 30.0)), (1L, "I"))
+    fold(1L, Seq((2L, "b", "x", 25.0)), (2L, "U"))
+    def viewRows() = rows(CdcRollup.readView(spark, root).get
+      .select(col("grp"), col("n"), col("total").cast("double"),
+        col("min_1"), col("max_1")).orderBy("grp"))
+    def auxRows() = rows(CdcRollup.readAuxView(spark, root, "by_g2").get
+      .select(col("grp2"), col("n"), col("total").cast("double"),
+        col("min_1"), col("max_1")).orderBy("grp2"))
+    val (vBefore, aBefore) = (viewRows(), auxRows())
+    // hand-delete ALL derived layers except agg — the fsck error class
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (l <- Seq("grp", "aux_by_g2", "grp_aux_by_g2"))
+      fs.delete(new org.apache.hadoop.fs.Path(root, l), true)
+    cfg("""{"kind": "fsck", "statePath": "rstate"}""")
+    Main.execute(spark, sink, dir)._2.get should include(""""ok":false""")
+    // dry-run: plans the rebuilds, mutates NOTHING
+    cfg("""{"kind": "repair", "statePath": "rstate"}""")
+    val (cd, od) = Main.execute(spark, sink, dir)
+    withClue(od) { cd shouldBe 0 }
+    od.get should include(""""apply":false""")
+    od.get should include("rebuild missing layer 'grp'")
+    od.get should include("rebuild missing layer 'aux_by_g2'")
+    od.get should include(""""result":null""")
+    fs.exists(new org.apache.hadoop.fs.Path(root, "grp")) shouldBe false
+    // apply: rebuilds every missing layer from the base images
+    cfg("""{"kind": "repair", "statePath": "rstate", "apply": true}""")
+    val (ca, oa) = Main.execute(spark, sink, dir)
+    withClue(oa) { ca shouldBe 0 }
+    oa.get should include(""""apply":true""")
+    oa.get should include(""""result":"rows=""")
+    oa.get should include(""""ok":true""")
+    viewRows() shouldBe vBefore
+    auxRows() shouldBe aBefore
+    // the rebuilt chains floor at the frontier on this RETAINED
+    // state: below-frontier reads refuse loud instead of serving the
+    // (gone) history
+    graft.operators.CdcRollup.asofFloor(spark, root) shouldBe Some(1L)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewAsOf(spark, root, 0L)
+    }.getMessage should include("floor")
+    // a later fold keeps maintaining the rebuilt layers exactly:
+    // id 3 moves x→y, so by_g2 = x:{id1 10, id2 25}, y:{id3 31}
+    fold(2L, Seq((3L, "b", "y", 31.0)), (3L, "U"))
+    rows(CdcRollup.readAuxView(spark, root, "by_g2").get
+      .select(col("grp2"), col("n"), col("total").cast("double"))
+      .orderBy("grp2")) shouldBe Seq(
+      Seq("x", 2L, 35.0), Seq("y", 1L, 31.0))
+    // --- rollup: _LAST_BATCH restore from per-bucket evidence ---
+    Seq(("a", 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/p0")
+    Seq(("a", 2.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/p1")
+    for (i <- 0 to 1) {
+      cfg(s"""{"kind": "rollup", "statePath": "pst", "batchId": $i,
+             | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+             | "delta": {"input": "in/p$i"}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    // corrupt the frontier: unparseable file + evidence at 1
+    // (written through the Hadoop fs so the local .crc sidecar stays
+    // consistent)
+    locally {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/pst/_LAST_BATCH"), true)
+      out.write("garbage".getBytes("UTF-8")); out.close()
+    }
+    cfg("""{"kind": "fsck", "statePath": "pst"}""")
+    Main.execute(spark, sink, dir)._2.get should include(""""ok":false""")
+    cfg("""{"kind": "repair", "statePath": "pst", "apply": true}""")
+    val (cr, or0) = Main.execute(spark, sink, dir)
+    withClue(or0) { cr shouldBe 0 }
+    or0.get should include("restore _LAST_BATCH to 1")
+    or0.get should include(""""result":"restored=1""")
+    or0.get should include(""""ok":true""")
+    // --- the unsafe class stays manual ---
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "agg/bucket=99/v0"))
+    cfg("""{"kind": "repair", "statePath": "rstate", "apply": true}""")
+    val (cu, ou) = Main.execute(spark, sink, dir)
+    withClue(ou) { cu shouldBe 0 }
+    ou.get should include(""""ok":false""")
+    ou.get should include("bucket id outside the pinned count")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "agg/bucket=99"), true)
+    // a malformed pin refuses the whole run (exit 1, named)
+    val broken = s"$dir/bstate"
+    CdcRollup.foldBatch(broken, 0L,
+      Seq((1L, "a", 1.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
+    locally {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/bstate/_CONFIG"), true)
+      out.write("cdcRollup|broken".getBytes("UTF-8")); out.close()
+    }
+    cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
 }

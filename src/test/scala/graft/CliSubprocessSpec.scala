@@ -512,4 +512,83 @@ class CliSubprocessSpec extends AnyFunSuite with Matchers {
           |  "fromBatch": 0, "toBatch": 1}""".stripMargin)
     runCli(dir).stdout should include(""""rows":0""")
   }
+
+  test("maintainView repair through the CLI protocol: fsck reports a " +
+      "hand-deleted derived layer, dry-run repair mutates nothing, " +
+      "repair --apply rebuilds it from the base, re-fsck reads ok") {
+    def items(cols: (String, String)*) = cols.map { case (n, t) =>
+      s"""{"name": "$n", "dbName": "$n", "type": "$t"}"""
+    }.mkString("[", ", ", "]")
+    val dir = mkDataDir("{}", None)
+    def cfg(view: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $view}}""")
+    def csv(name: String, content: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(s"$dir/in/$name"))
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in/$name/part.csv"), content)
+    }
+    csv("r0", "id,grp,v,seq,op\n1,x,10,1,I\n2,y,20,1,I\n")
+    cfg(s"""{"kind": "cdcRollup", "statePath": "rst", "batchId": 0,
+           |  "keyColumns": ["id"], "seqColumn": "seq",
+           |  "opColumn": "op", "keys": ["grp"], "valueColumns": ["v"],
+           |  "minMaxColumns": ["v"],
+           |  "nBaseBuckets": 2, "nAggBuckets": 2,
+           |  "delta": {"input": "in/r0", "format": "csv",
+           |    "items": ${items("id" -> "bigint", "grp" -> "nvarchar",
+                "v" -> "float8", "seq" -> "bigint",
+                "op" -> "nvarchar")}}
+           |}""".stripMargin)
+    runCli(dir).code shouldBe 0
+    // break the state: hand-delete the min/max image layer
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRec(c)) finally children.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    val grp = java.nio.file.Paths.get(s"$dir/rst/grp")
+    deleteRec(grp)
+    cfg("""{"kind": "fsck", "statePath": "rst"}""")
+    val f1 = runCli(dir)
+    withClue(s"stderr: ${f1.stderr}") { f1.code shouldBe 0 }
+    f1.stdout should include(""""ok":false""")
+    f1.stdout should include("grp image layer is missing")
+    // dry-run: plans the rebuild, mutates nothing (exit 0)
+    cfg("""{"kind": "repair", "statePath": "rst"}""")
+    val d = runCli(dir)
+    withClue(s"stderr: ${d.stderr}") { d.code shouldBe 0 }
+    d.stdout should include(""""apply":false""")
+    d.stdout should include("rebuild missing layer 'grp'")
+    d.stdout should include(""""result":null""")
+    Files.exists(grp) shouldBe false
+    // apply: the layer rebuilds from the base and fsck reads ok in
+    // the same report
+    cfg("""{"kind": "repair", "statePath": "rst", "apply": true}""")
+    val a = runCli(dir)
+    withClue(s"stderr: ${a.stderr}") { a.code shouldBe 0 }
+    a.stdout should include(""""apply":true""")
+    a.stdout should include(""""result":"rows=2"""")
+    a.stdout should include(""""ok":true""")
+    // the repaired state folds and serves min/max exactly
+    csv("r1", "id,grp,v,seq,op\n1,x,5,2,U\n")
+    cfg(s"""{"kind": "cdcRollup", "statePath": "rst", "batchId": 1,
+           |  "keyColumns": ["id"], "seqColumn": "seq",
+           |  "opColumn": "op", "keys": ["grp"], "valueColumns": ["v"],
+           |  "minMaxColumns": ["v"],
+           |  "nBaseBuckets": 2, "nAggBuckets": 2,
+           |  "delta": {"input": "in/r1", "format": "csv",
+           |    "items": ${items("id" -> "bigint", "grp" -> "nvarchar",
+                "v" -> "float8", "seq" -> "bigint",
+                "op" -> "nvarchar")}}
+           |}""".stripMargin)
+    runCli(dir).code shouldBe 0
+    cfg("""{"kind": "lookup", "statePath": "rst", "layer": "view",
+          |  "keys": [{"grp": "x"}]}""".stripMargin)
+    val lk = runCli(dir)
+    withClue(s"stderr: ${lk.stderr}") { lk.code shouldBe 0 }
+    lk.stdout should include(""""min_1":5.0""")
+    lk.stdout should include(""""max_1":5.0""")
+  }
 }

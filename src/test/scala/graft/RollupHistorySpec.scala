@@ -1,0 +1,215 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AS-OF retention for the plain bucketed rollup family
+  * ([[EventStreams.enableRollupRetention]] /
+  * [[EventStreams.readRollupViewAsOf]]): per-bucket COW history
+  * versions committed by root markers, floor-gated honesty, reap +
+  * compact + gc interplay — the CdcRollup retention contract,
+  * rollup-flavored. */
+class RollupHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-rolh").toString + "/state"
+
+  /** (key, value) batch frame. */
+  private def batch(rows: (String, Double)*): DataFrame =
+    rows.toDF("g", "v")
+
+  private def fold(root: String, id: Long, d: DataFrame): Seq[Int] =
+    EventStreams.applyRollupBatchBucketed(d, root, id, Seq("g"), "v",
+      nBuckets = 4)
+
+  /** Finalized view as a comparable map: g -> (n, total, vmin, vmax). */
+  private def toMap(df: DataFrame): Map[String, (Long, Double, Double,
+      Double)] =
+    df.collect().map(r => r.getAs[String]("g") ->
+      ((r.getAs[Long]("n"), r.getAs[Double]("total"),
+        r.getAs[Double]("vmin"), r.getAs[Double]("vmax")))).toMap
+
+  private def viewAsOf(root: String, a: Long) =
+    toMap(EventStreams.readRollupViewAsOf(spark, root, a).get
+      .select(col("g"), col("n"), col("total"), col("vmin"), col("vmax")))
+
+  /** The one-shot expectation over the given batches. */
+  private def oneShot(batches: DataFrame*) =
+    toMap(batches.reduce(_ unionByName _).groupBy("g")
+      .agg(count("v").as("n"),
+        sum(col("v").cast("decimal(38,6)")).cast("double").as("total"),
+        min("v").as("vmin"), max("v").as("vmax")))
+
+  test("as-of reads serve the exact finalized view every earlier " +
+      "batch saw; above the frontier = current; untouched buckets " +
+      "resolve through their own chains") {
+    val root = tmpRoot()
+    EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+    val b0 = batch(("a", 10.0), ("b", 20.0), ("c", 30.0))
+    // batch 1 touches ONLY group a's bucket — b and c's buckets must
+    // keep resolving their batch-0 versions at every later as-of
+    val b1 = batch(("a", 1.0))
+    val b2 = batch(("b", 2.0), ("c", 3.0))
+    fold(root, 0L, b0)
+    fold(root, 1L, b1)
+    fold(root, 2L, b2)
+    viewAsOf(root, 0L) shouldBe oneShot(b0)
+    viewAsOf(root, 1L) shouldBe oneShot(b0, b1)
+    viewAsOf(root, 2L) shouldBe oneShot(b0, b1, b2)
+    // the axis is total: ids between folds / above the frontier
+    // resolve to the highest committed version at or below them
+    viewAsOf(root, 99L) shouldBe viewAsOf(root, 2L)
+    // the current state agrees with the frontier snapshot
+    val cur = toMap(graft.operators.IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$root/state").drop("bucket"), Seq("g")))
+    cur shouldBe viewAsOf(root, 2L)
+  }
+
+  test("retention refuses loud: non-retained state; below the floor " +
+      "after enabling late (the baseline snapshot is the floor); " +
+      "pre-guard states refuse the enable itself") {
+    val root = tmpRoot()
+    fold(root, 0L, batch(("a", 10.0)))
+    intercept[IllegalStateException] {
+      EventStreams.readRollupViewAsOf(spark, root, 0L)
+    }.getMessage should include("not in retention mode")
+    fold(root, 1L, batch(("a", 11.0)))
+    // enable AFTER two folds: the floor is the frontier, the current
+    // state snapshots as the baseline every bucket resolves to
+    EventStreams.enableRollupRetention(spark, root) shouldBe 1L
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewAsOf(spark, root, 0L)
+    }.getMessage should include("floor")
+    viewAsOf(root, 1L) shouldBe
+      oneShot(batch(("a", 10.0)), batch(("a", 11.0)))
+    // idempotent — never lowers the floor
+    EventStreams.enableRollupRetention(spark, root) shouldBe 1L
+    fold(root, 2L, batch(("b", 5.0)))
+    viewAsOf(root, 1L) shouldBe
+      oneShot(batch(("a", 10.0)), batch(("a", 11.0)))
+    viewAsOf(root, 2L) shouldBe
+      oneShot(batch(("a", 10.0)), batch(("a", 11.0)), batch(("b", 5.0)))
+    // pre-guard state (rows but no _LAST_BATCH): the baseline has no
+    // position on the version axis — refuse the enable
+    val legacy = tmpRoot()
+    fold(legacy, 0L, batch(("a", 1.0)))
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(legacy, "_LAST_BATCH"), false)
+    intercept[IllegalArgumentException] {
+      EventStreams.enableRollupRetention(spark, legacy)
+    }.getMessage should include("pre-guard")
+  }
+
+  test("a crash between swap and history commit backfills on replay; " +
+      "an uncommitted planted version stays invisible; gc sweeps " +
+      "abandoned history garbage") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+    val b0 = batch(("a", 10.0), ("b", 20.0))
+    val b1 = batch(("a", 1.0))
+    fold(root, 0L, b0)
+    fold(root, 1L, b1)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the crash window: the swap committed but the history
+    // version + marker never landed (delete both), then REPLAY the id
+    val histDir = new Path(root, "history")
+    fs.listStatus(histDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .foreach(b => fs.delete(new Path(b, "v1"), true))
+    fs.delete(new Path(root, "_APPLIED_1"), false)
+    // inside the crash window the id's history is invisible: as-of 1
+    // resolves to the batch-0 snapshot (the fold's effect appears
+    // atomically with the marker), never a partial chain
+    viewAsOf(root, 1L) shouldBe oneShot(b0)
+    fold(root, 1L, b1) // replay: per-bucket markers no-op the fold...
+    // ...and commitHistory backfills the version from the live state
+    viewAsOf(root, 1L) shouldBe oneShot(b0, b1)
+    // an uncommitted planted version is invisible to as-of reads
+    val anyBucket = fs.listStatus(histDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+      .find(b => fs.exists(new Path(b, "v1"))).get
+    spark.read.parquet(new Path(anyBucket, "v1").toString)
+      .write.parquet(new Path(anyBucket, "v7").toString)
+    viewAsOf(root, 99L) shouldBe oneShot(b0, b1)
+    // gc: the planted id is above the frontier — the 24h gate spares
+    // it, the 0h gate declares it abandoned
+    EventStreams.cleanRollupHistoryOrphans(spark, root) shouldBe Nil
+    val swept = EventStreams.cleanRollupHistoryOrphans(spark, root,
+      olderThanMs = 0L)
+    swept.exists(_.endsWith("/v7")) shouldBe true
+  }
+
+  test("reapRollupHistory advances the floor past everything reaped " +
+      "(floor first — conservative), never touches a bucket's latest; " +
+      "foldRollupMarkers keeps as-of resolving through the watermark") {
+    val root = tmpRoot()
+    EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+    val b0 = batch(("a", 10.0), ("b", 20.0))
+    val b1 = batch(("a", 1.0))
+    val b2 = batch(("a", 2.0))
+    fold(root, 0L, b0); fold(root, 1L, b1); fold(root, 2L, b2)
+    // marker folding first: committedness must resolve through the
+    // watermark for every later read and reap
+    EventStreams.foldRollupMarkers(spark, root, olderThanMs = 0L)
+      .shouldBe(Some(2L))
+    viewAsOf(root, 1L) shouldBe oneShot(b0, b1)
+    val (deleted, floor) = EventStreams.reapRollupHistory(spark, root, 0L)
+    deleted should not be empty
+    floor shouldBe 2L
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewAsOf(spark, root, 1L)
+    }.getMessage should include("floor")
+    // the latest chain survives: the frontier snapshot still serves
+    viewAsOf(root, 2L) shouldBe oneShot(b0, b1, b2)
+    // nothing left to reap — idempotent
+    EventStreams.reapRollupHistory(spark, root, 0L)._1 shouldBe Nil
+  }
+
+  test("as-of point lookups are bucket-pruned over the history " +
+      "chains; compact carries retention mode but floors at the " +
+      "frontier") {
+    val root = tmpRoot()
+    EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+    val b0 = batch(("a", 10.0), ("b", 20.0))
+    val b1 = batch(("a", 1.0))
+    fold(root, 0L, b0); fold(root, 1L, b1)
+    val probe = Seq("b").toDF("g")
+    val hit = EventStreams.lookupRollupState(spark, root, probe,
+      asOf = Some(0L)).get
+    rows(hit.select(col("g"), col("n"), col("total"))) shouldBe
+      Seq(Seq("b", 1L, 20.0))
+    // pruned: only b's bucket's history files are read
+    val expectBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("b")), lit(4)).cast("int"))
+      .head().getInt(0)
+    hit.inputFiles.foreach { f =>
+      f should include(s"bucket=$expectBucket")
+    }
+    // the as-of axis discriminates: group a has ONE row at batch 0,
+    // two at batch 1 — each lookup resolves its bucket's own chain
+    val a0 = EventStreams.lookupRollupState(spark,
+      root, Seq("a").toDF("g"), asOf = Some(0L)).get
+    rows(a0.select(col("g"), col("n"), col("total"))) shouldBe
+      Seq(Seq("a", 1L, 10.0))
+    val a1 = EventStreams.lookupRollupState(spark,
+      root, Seq("a").toDF("g"), asOf = Some(1L)).get
+    rows(a1.select(col("g"), col("n"), col("total"))) shouldBe
+      Seq(Seq("a", 2L, 11.0))
+    // compact: retention survives, history does not — fresh floor =
+    // frontier, below refuses, the frontier snapshot serves
+    val fresh = tmpRoot()
+    EventStreams.compactRollupStateTo(spark, root, fresh)
+    EventStreams.rollupAsofFloor(spark, fresh) shouldBe Some(1L)
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewAsOf(spark, fresh, 0L)
+    }.getMessage should include("floor")
+    toMap(EventStreams.readRollupViewAsOf(spark, fresh, 1L).get
+      .select(col("g"), col("n"), col("total"), col("vmin"),
+        col("vmax"))) shouldBe oneShot(b0, b1)
+  }
+}
