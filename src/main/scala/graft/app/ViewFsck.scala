@@ -376,6 +376,54 @@ object ViewFsck {
               }
         }
         "cdcRollup"
+      } else if (pin.startsWith("foldManifest|")) {
+        // a manifest holds only marker files — its integrity is the
+        // marker hygiene plus each member root still backing the
+        // witness
+        fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
+        val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+        val group = markers.maxCommitted
+        val members = pin.stripPrefix("foldManifest|").split(',').toSeq
+          .filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+        check(members.isEmpty, error = true,
+          "foldManifest: the pin declares no roots — the witness " +
+            "covers nothing",
+          fix = "delete the manifest and re-commit it from the " +
+            "orchestrator with the group's actual root paths")
+        members.foreach { r =>
+          val rp = new Path(r)
+          val rfs = rp.getFileSystem(fs.getConf)
+          val rPin = graft.sources.PartitionedStore.readPin(rfs, rp)
+          check(rPin.isEmpty, error = true,
+            s"foldManifest: member root $r has no layout pin — the " +
+              "group witnesses a state that no longer exists",
+            fix = "if the root moved, the witnessed history belongs " +
+              "to the OLD path — create a fresh manifest for the new " +
+              "layout; if the root was deleted, the witness is void: " +
+              "delete the manifest")
+          val f: Option[Long] = rPin match {
+            case Some(x) if x.startsWith("join|") ||
+                x.startsWith("cdcRollup|") =>
+              graft.operators.BatchMarkers.read(rfs, rp).maxCommitted
+            case Some(_) =>
+              graft.streaming.EventStreams.readLastBatch(rfs, rp)
+            case None => None
+          }
+          check(rPin.isDefined &&
+              group.exists(g => f.forall(_ < g)), error = true,
+            s"foldManifest: member root $r is at frontier " +
+              s"${f.getOrElse(-1L)}, BEHIND the group frontier " +
+              s"${group.getOrElse(-1L)} — the witness OVERSTATES (a " +
+              "reset or restored root?); consumers capping at the " +
+              "group may have read mixed snapshots",
+            fix = "re-fold the root's missing batches up to the " +
+              "group frontier; if the root was restored from an " +
+              "older copy, rebuild the witness — delete the " +
+              "manifest's markers and re-commit from the restored " +
+              "frontier")
+        }
+        "foldManifest"
       } else {
         // rollup pin: nBuckets|keys|valueCol
         val parts = pin.split('|')

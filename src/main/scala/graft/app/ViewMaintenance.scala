@@ -120,6 +120,36 @@ object ViewMaintenance {
               "cdcRollup state's retained version chain; the state " +
               s"under $root is '${pin.takeWhile(_ != '|')}' — rollup " +
               "states keep no history")
+        // cross-root manifest cap: resolve the GROUP frontier once —
+        // every member view pulled with the same manifest reads one
+        // consistent snapshot, even while a lagging root recovers
+        val manifestCap: Option[Long] = e.manifest.map { m =>
+          val mRoot = resolve(m, dataDir)
+          val mPath = new org.apache.hadoop.fs.Path(mRoot)
+          val mfs = mPath.getFileSystem(
+            spark.sessionState.newHadoopConf())
+          val mPin = graft.sources.PartitionedStore.readPin(mfs, mPath)
+            .getOrElse(throw new UserException(
+              s"maintainView export: no layout pin under manifest " +
+                s"$mRoot — not a fold manifest"))
+          if (!mPin.startsWith("foldManifest|"))
+            throw new UserException(
+              "maintainView export: the state under " +
+                s"$mRoot is '${mPin.takeWhile(_ != '|')}', not a " +
+                "fold manifest")
+          val members = graft.operators.FoldManifest.roots(spark, mRoot)
+          if (!members.contains(root))
+            throw new UserException(
+              s"maintainView export: $root is not a member of the " +
+                "manifest's pinned group (has: " +
+                s"${members.mkString(", ")}) — capping at its " +
+                "frontier would be meaningless")
+          graft.operators.FoldManifest.frontier(spark, mRoot)
+            .getOrElse(throw new UserException(
+              s"maintainView export: the manifest under $mRoot has " +
+                "no group commit yet — nothing is group-consistent " +
+                "to pull"))
+        }
         // a sinceBatch pull resolves the committed frontier ONCE and
         // pins both the pulled range and the reported batch_id to it
         // — reading the frontier after the pull would let a
@@ -131,11 +161,19 @@ object ViewMaintenance {
           if (pin.startsWith("join|"))
             (e.asOf, e.sinceBatch) match {
               case (_, Some(since)) =>
-                val frontier = graft.operators.BatchMarkers
+                val rootFrontier = graft.operators.BatchMarkers
                   .read(fs, rootPath).maxCommitted
                   .getOrElse(throw new UserException(
                     s"maintainView export: no committed state under " +
                       s"$root"))
+                manifestCap.filter(_ > rootFrontier).foreach { u =>
+                  throw new UserException(
+                    s"maintainView export: the manifest frontier $u " +
+                      "is AHEAD of this root's committed frontier " +
+                      s"$rootFrontier — a group frontier this root " +
+                      "never produced (a reset root?); re-baseline")
+                }
+                val frontier = manifestCap.getOrElse(rootFrontier)
                 // ahead of the frontier refuses NAMED (the cdc-pull
                 // discipline): a frontier this state never produced
                 // means a wrong root or a reset state, and a silent
@@ -210,12 +248,15 @@ object ViewMaintenance {
                     val (d, frontier) =
                       if (l == "log")
                         graft.operators.CdcRollup.readBaseLogPinned(
-                          spark, root, e.sinceBatch.get)
+                          spark, root, e.sinceBatch.get,
+                          upTo = manifestCap)
                       else if (l == "base")
                         graft.operators.CdcRollup.readBaseSincePinned(
-                          spark, root, e.sinceBatch.get)
+                          spark, root, e.sinceBatch.get,
+                          upTo = manifestCap)
                       else graft.operators.CdcRollup.readViewSincePinned(
-                        spark, root, e.sinceBatch.get, auxName)
+                        spark, root, e.sinceBatch.get, auxName,
+                        upTo = manifestCap)
                     (Some(d), Some(frontier))
                   } catch {
                     case ex: IllegalArgumentException =>
@@ -355,6 +396,22 @@ object ViewMaintenance {
         val root = resolve(rp.statePath, dataDir)
         Report(rp.kind, applied = rp.apply,
           detail = Some(ViewRepair.repairJson(spark, root, rp.apply)))
+      case mf: ManifestViewConfig =>
+        // lagging roots / drifted root sets / out-of-order ids are
+        // operational conditions at this face — exit 1 with the
+        // library's named message, retry after re-running the folds
+        val root = resolve(mf.statePath, dataDir)
+        val roots = mf.roots.map(resolve(_, dataDir))
+        val applied =
+          try graft.operators.FoldManifest.commit(
+            spark, root, mf.batchId, roots)
+          catch {
+            case ex @ (_: IllegalStateException |
+                _: IllegalArgumentException) =>
+              throw new UserException(
+                s"maintainView manifest: ${ex.getMessage}")
+          }
+        Report(mf.kind, applied, Some(mf.batchId))
       case rt: RetainViewConfig =>
         val root = resolve(rt.statePath, dataDir)
         val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -467,6 +524,13 @@ object ViewMaintenance {
               if (g.foldMarkers)
                 graft.operators.CdcRollup.foldMarkers(spark, root, ms)
               else None)
+          else if (pin.startsWith("foldManifest|"))
+            // a manifest holds only marker files — foldMarkers is its
+            // one gc face
+            (Nil,
+              if (g.foldMarkers)
+                graft.operators.FoldManifest.foldMarkers(spark, root, ms)
+              else None)
           else {
             // rollup: stranded state__stage_* shells plus (in
             // retention mode) abandoned history staging/version dirs;
@@ -534,6 +598,13 @@ object ViewMaintenance {
             "maintainView compact: nAggBuckets is only valid for " +
               s"cdcRollup states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}' — use nBuckets")
+        // schema evolution is a cdcRollup-pin concern (the other
+        // families carry no typed payload pin) — refuse NAMED
+        if (c.addColumns.nonEmpty && !pin.startsWith("cdcRollup|"))
+          throw new UserException(
+            "maintainView compact: addColumns is only valid for " +
+              s"cdcRollup states; the state under $root is " +
+              s"'${pin.takeWhile(_ != '|')}' — drop the key")
         val rows =
           if (pin.startsWith("join|"))
             JoinView.compactStateTo(spark, root, fresh,
@@ -545,10 +616,23 @@ object ViewMaintenance {
             // the deliberate base/agg asymmetry (keys >> groups)
             // reshardable; absent, the source counts carry over
             val parts = pin.split('|')
-            graft.operators.CdcRollup.compactStateTo(spark, root, fresh,
+            // addColumns refusals (retype / namespace collision) are
+            // config misuse at this face — rewrap to exit 1
+            try graft.operators.CdcRollup.compactStateTo(spark, root,
+              fresh,
               c.nBuckets.orElse(parts(5).toIntOption).getOrElse(64),
               c.nAggBuckets.orElse(c.nBuckets)
-                .orElse(parts(6).toIntOption).getOrElse(16))
+                .orElse(parts(6).toIntOption).getOrElse(16),
+              addColumns = c.addColumns)
+            catch {
+              case ex: IllegalArgumentException
+                  if c.addColumns.nonEmpty &&
+                    (ex.getMessage.contains("addColumns") ||
+                      ex.getMessage.contains("added column") ||
+                      ex.getMessage.contains("already declared")) =>
+                throw new UserException(
+                  s"maintainView compact: ${ex.getMessage}")
+            }
           } else
             graft.streaming.EventStreams.compactRollupStateTo(
               spark, root, fresh, c.nBuckets)
@@ -844,6 +928,29 @@ object ViewMaintenance {
           if (!countRows) None
           else Some(graft.operators.CdcRollup.readView(spark, root)
             .map(_.count()).getOrElse(0L)))
+      } else if (pin.startsWith("foldManifest|")) {
+        // per-root frontier by each root's own family evidence; a
+        // root AHEAD of the group is the crash-between-roots residue
+        // (consumers stay consistent at the group frontier until the
+        // orchestrator's replay closes the gap)
+        val members = graft.operators.FoldManifest.roots(spark, root)
+        val group = markers.maxCommitted
+        val layers = members.map { r =>
+          val rp = new Path(r)
+          val rfs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+          val f: Option[Long] =
+            graft.sources.PartitionedStore.readPin(rfs, rp) match {
+              case Some(x) if x.startsWith("join|") ||
+                  x.startsWith("cdcRollup|") =>
+                graft.operators.BatchMarkers.read(rfs, rp).maxCommitted
+              case Some(_) =>
+                graft.streaming.EventStreams.readLastBatch(rfs, rp)
+              case None => None
+            }
+          s"""${graft.JsonUtil.str(r)}:{""" + opt("frontier", f) +
+            s""","ahead_of_group":${f.exists(x => group.forall(_ < x))}}"""
+        }.mkString(",")
+        ("foldManifest", layers, None)
       } else {
         // rollup pin: nBuckets|keys|valueCol — per-bucket markers
         // live INSIDE the state swap; the root carries _LAST_BATCH

@@ -91,6 +91,12 @@ object ViewRepair {
             .cleanOrphanBatchDirs(spark, root).size}"
         }
         "cdcRollup"
+      } else if (pin.startsWith("foldManifest|")) {
+        // a manifest holds only marker files — nothing in the
+        // safe-repair class lives here (gc foldMarkers owns the
+        // hygiene); the embedded fsck below still names anything
+        // manual (overstating witnesses, vanished roots)
+        "foldManifest"
       } else {
         // rollup pin: nBuckets|keys|valueCol — the frontier witness
         val statePq = new Path(rootPath, "state")

@@ -102,9 +102,14 @@ object ConfigParser {
             "view.layer 'log' is the change-log consumer pull — it " +
               "requires sinceBatch (use layer 'base' for a full " +
               "image export)")
+        val manifest = opt(v, "manifest").map(_.asText)
+        if (manifest.isDefined && since.isEmpty)
+          throw new UserException(
+            "view.manifest caps the incremental consumer pull at the " +
+              "group frontier — it requires sinceBatch")
         ExportViewConfig(statePath,
           output = req(v, "output").asText, layer = layer,
-          asOf = parseAsOf(v), sinceBatch = since)
+          asOf = parseAsOf(v), sinceBatch = since, manifest = manifest)
       case "retain" =>
         RetainViewConfig(statePath)
       case "changelog" =>
@@ -114,6 +119,13 @@ object ConfigParser {
       case "repair" =>
         RepairViewConfig(statePath,
           apply = opt(v, "apply").exists(_.asBoolean))
+      case "manifest" =>
+        val roots = opt(v, "roots").toSeq
+          .flatMap(_.elements.asScala.toSeq.map(_.asText))
+        if (roots.isEmpty)
+          throw new UserException(
+            "view.roots must list the group's state paths")
+        ManifestViewConfig(statePath, batchId, roots)
       case "diff" =>
         val from = req(v, "fromBatch").asLong
         val to = req(v, "toBatch").asLong
@@ -190,9 +202,23 @@ object ConfigParser {
         val nAggBuckets = opt(v, "nAggBuckets").map(_.asInt)
         if (nBuckets.exists(_ < 1) || nAggBuckets.exists(_ < 1))
           throw new UserException("view.nBuckets must be >= 1")
+        // addColumns: {name: type} — insertion order kept (it rides
+        // the migrated pin, so the spelling must be stable)
+        val addCols = opt(v, "addColumns").toSeq.flatMap { node =>
+          if (!node.isObject)
+            throw new UserException(
+              "view.addColumns must be an object of name -> type")
+          node.properties.asScala.toSeq.map { e =>
+            val t = e.getValue.asText
+            if (t.isEmpty)
+              throw new UserException(
+                s"view.addColumns.'${e.getKey}' needs a Spark DDL type")
+            e.getKey -> t
+          }
+        }
         CompactViewConfig(statePath,
           freshPath = req(v, "freshPath").asText, nBuckets = nBuckets,
-          nAggBuckets = nAggBuckets)
+          nAggBuckets = nAggBuckets, addColumns = addCols)
       case "join" =>
         val nBuckets = opt(v, "nBuckets").map(_.asInt).getOrElse(64)
         if (nBuckets < 1)

@@ -164,7 +164,18 @@ final case class ExportViewConfig(statePath: String, output: String,
                                     * frontier pulled to, pass it back
                                     * next time. Mutually exclusive
                                     * with `asOf`. */
-                                  sinceBatch: Option[Long] = None)
+                                  sinceBatch: Option[Long] = None,
+                                  /** Cap a `sinceBatch` pull at a
+                                    * cross-root manifest's GROUP
+                                    * frontier ([[graft.operators
+                                    * .FoldManifest]]): every view of
+                                    * the group pulled with the same
+                                    * manifest reads one consistent
+                                    * snapshot even while a lagging
+                                    * root recovers. The state must be
+                                    * a pinned member of the manifest;
+                                    * requires `sinceBatch`. */
+                                  manifest: Option[String] = None)
     extends ViewConfig {
   val kind = "export"
 }
@@ -339,6 +350,21 @@ final case class RepairViewConfig(statePath: String,
   val kind = "repair"
 }
 
+/** Group-commit WITNESS for one delta bus feeding N view roots
+  * ([[graft.operators.FoldManifest]]): after folding `batchId` into
+  * every root in `roots`, this kind verifies each root's own
+  * committed evidence and writes the group marker. Consumers cap
+  * their `sinceBatch` pulls at the group frontier (export's
+  * `manifest` key), so a crash between roots can only make reads
+  * slightly stale — never mixed across views. The root set is pinned
+  * at first commit; a drifted set refuses. Replaying a committed id
+  * reports `applied: false`. */
+final case class ManifestViewConfig(statePath: String, batchId: Long,
+                                    roots: Seq[String])
+    extends ViewConfig {
+  val kind = "manifest"
+}
+
 /** Out-of-band state compaction — the maintenance both fold protocols
   * prescribe in their ops notes, reachable through the same CLI
   * action. The view KIND is auto-detected from the state's own layout
@@ -360,7 +386,19 @@ final case class RepairViewConfig(statePath: String,
   * exactly as at the old root. */
 final case class CompactViewConfig(statePath: String, freshPath: String,
                                    nBuckets: Option[Int] = None,
-                                   nAggBuckets: Option[Int] = None)
+                                   nAggBuckets: Option[Int] = None,
+                                   /** cdcRollup only — SCHEMA
+                                     * EVOLUTION at compact time
+                                     * (config: `addColumns:
+                                     * {name: type}`): nullable
+                                     * payload columns added to the
+                                     * migrated pin, NULL-filled in
+                                     * the existing base images.
+                                     * Retypes / role columns keep
+                                     * refusing ([[graft.operators
+                                     * .CdcRollup.compactStateTo]]). */
+                                   addColumns: Seq[(String, String)]
+                                     = Nil)
     extends ViewConfig {
   val kind = "compact"
 }

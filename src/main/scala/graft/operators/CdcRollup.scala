@@ -1246,13 +1246,25 @@ object CdcRollup {
     * the pulled range would make the consumer skip that fold's
     * changes forever. */
   def readBaseSincePinned(spark: SparkSession, root: String,
-                          afterId: Long): (DataFrame, Long) = {
+                          afterId: Long,
+                          /** cap the pull at this id instead of the
+                            * root's own frontier — the cross-root
+                            * manifest gate ([[FoldManifest]]): every
+                            * view of a group pulled at the SAME cap
+                            * reads one consistent snapshot. Must not
+                            * exceed the root's frontier. */
+                          upTo: Option[Long] = None): (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val frontier = BatchMarkers.read(fs, rootPath).maxCommitted
+    val rootFrontier = BatchMarkers.read(fs, rootPath).maxCommitted
       .getOrElse(throw new IllegalStateException(
         s"readBaseSince: no committed state under $root"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readBaseSince: the manifest cap $u is AHEAD of the committed " +
+        s"frontier $rootFrontier under $root — a group frontier this " +
+        "root never produced (a reset root?); re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
     require(afterId <= frontier,
       s"readBaseSince: afterId $afterId is AHEAD of the committed " +
         s"frontier $frontier under $root — a frontier this state " +
@@ -1303,14 +1315,22 @@ object CdcRollup {
     * that fold's changes). */
   def readViewSincePinned(spark: SparkSession, root: String,
                           afterId: Long,
-                          auxView: Option[String] = None)
+                          auxView: Option[String] = None,
+                          /** the cross-root manifest cap — see
+                            * [[readBaseSincePinned]]. */
+                          upTo: Option[Long] = None)
       : (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val frontier = BatchMarkers.read(fs, rootPath).maxCommitted
+    val rootFrontier = BatchMarkers.read(fs, rootPath).maxCommitted
       .getOrElse(throw new IllegalStateException(
         s"readViewSince: no committed state under $root"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readViewSince: the manifest cap $u is AHEAD of the committed " +
+        s"frontier $rootFrontier under $root — a group frontier this " +
+        "root never produced (a reset root?); re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
     require(afterId <= frontier,
       s"readViewSince: afterId $afterId is AHEAD of the committed " +
         s"frontier $frontier under $root — a frontier this state " +
@@ -1406,7 +1426,10 @@ object CdcRollup {
     * O(changes in range), independent of state size; an idle state
     * costs nothing. */
   def readBaseLogPinned(spark: SparkSession, root: String,
-                        afterId: Long): (DataFrame, Long) = {
+                        afterId: Long,
+                        /** the cross-root manifest cap — see
+                          * [[readBaseSincePinned]]. */
+                        upTo: Option[Long] = None): (DataFrame, Long) = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1417,9 +1440,14 @@ object CdcRollup {
           "(enableChangeLog / CLI kind 'changelog') BEFORE the folds " +
           "whose changes you need"))
     val markers = BatchMarkers.read(fs, rootPath)
-    val frontier = markers.maxCommitted.getOrElse(
+    val rootFrontier = markers.maxCommitted.getOrElse(
       throw new IllegalStateException(
         s"readBaseLog: no committed state under $root"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readBaseLog: the manifest cap $u is AHEAD of the committed " +
+        s"frontier $rootFrontier under $root — a group frontier this " +
+        "root never produced (a reset root?); re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
     require(afterId >= logFrom,
       s"readBaseLog: afterId $afterId is below the change-log start " +
         s"$logFrom under $root — folds at or before it were never " +
@@ -1906,7 +1934,27 @@ object CdcRollup {
     * is reset and retried, not refused. @return view rows carried
     * over */
   def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
-                     nBaseBuckets: Int = 64, nAggBuckets: Int = 16): Long = {
+                     nBaseBuckets: Int = 64, nAggBuckets: Int = 16,
+                     /** SCHEMA EVOLUTION (the `Load.withStageColumns`
+                       * allowAddColumns discipline at compact time):
+                       * NULLABLE payload columns to ADD — each (name,
+                       * Spark DDL type) migrates the layout pin and
+                       * NULL-fills the existing base images, so a
+                       * long-lived state gains a column without a
+                       * full re-fold. Payload-only: an existing
+                       * column (retype), a pk/group/value/minMax
+                       * role, or a state-namespace name refuses —
+                       * xxhash64 bucketing and the fold arithmetic
+                       * are type-sensitive, and those drifts stay
+                       * the loud-refusal class by design. Post-
+                       * migration folds must carry the new columns
+                       * (NULL upstream where absent). A change-log
+                       * state RE-BASELINES its bound at the frontier
+                       * (old log rows lack the new columns — mixing
+                       * schemas would break pulls); forward-only
+                       * consumers take one full base export after
+                       * the swap. */
+                     addColumns: Seq[(String, String)] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     require(nBaseBuckets >= 1 && nAggBuckets >= 1,
       s"bucket counts must be >= 1, got $nBaseBuckets/$nAggBuckets")
@@ -1918,6 +1966,35 @@ object CdcRollup {
         s"compactStateTo: no layout pin under $root — not a cdcRollup state"))
     val parts = pin.split('|')
     val layout = parseLayout(pin, root)
+    require(addColumns.map(_._1).distinct.size == addColumns.size,
+      s"compactStateTo: addColumns lists a column twice")
+    val canonAdds = addColumns.map { case (c, t) =>
+      require(c.nonEmpty && t.nonEmpty,
+        "compactStateTo: addColumns entries need a name and a type")
+      require(!layout.typed.contains(c),
+        s"compactStateTo: column '$c' is already declared as " +
+          s"${layout.typed(c)} — compaction adds NULLABLE payload " +
+          "columns only; retyping or re-adding refuses (xxhash64 " +
+          "bucketing and the fold arithmetic are type-sensitive, so " +
+          "type drift stays the loud-refusal class)")
+      val mmWidest = (layout.minMaxCols.size +:
+        layout.auxMinMax.values.map(_.size).toSeq).max
+      val stateNames = Set("n") ++ aggNames(layout.valueCols.size) ++
+        minNames(mmWidest) ++ maxNames(mmWidest)
+      require(!stateNames(c) && !c.startsWith("__"),
+        s"compactStateTo: added column '$c' collides with the " +
+          "state/staging namespace — rename upstream")
+      val dt =
+        try org.apache.spark.sql.types.DataType.fromDDL(t)
+        catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"compactStateTo: added column '$c' has an unparseable " +
+              s"type '$t'")
+        }
+      // canonical spelling — the pin must match what later folds
+      // compute from their delta schemas (catalogString)
+      (c, dt.catalogString)
+    }
     // "already holds a state" means a COMMITTED batch, not a pin: a
     // crash between the fresh pin and the marker leaves a
     // pinned-but-dataless root the retry must reclaim, not refuse on
@@ -1947,9 +2024,18 @@ object CdcRollup {
     val pkCols = layout.pkCols
     val groupCols = layout.groupCols
     // fresh pin: the source's fields verbatim (incl. the minMax and
-    // aux fields when present), the (possibly new) bucket counts
+    // aux fields when present), the (possibly new) bucket counts —
+    // and the MIGRATED typed field when columns are added (sorted by
+    // name, the fold's own spelling, so post-migration folds match
+    // byte-for-byte)
+    def encPin(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val typedField =
+      if (canonAdds.isEmpty) parts(1)
+      else (layout.typed.toSeq ++ canonAdds).sortBy(_._1)
+        .map { case (c, t) => encPin(c) + ":" + encPin(t) }
+        .mkString(",")
     graft.sources.PartitionedStore.pinLayout(fs, freshPath, freshRoot,
-      (Seq("cdcRollup", parts(1), parts(2), parts(3), parts(4),
+      (Seq("cdcRollup", typedField, parts(2), parts(3), parts(4),
         nBaseBuckets.toString, nAggBuckets.toString) ++
         parts.drop(7)).mkString("|"))
     val baseBucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBaseBuckets))
@@ -1970,7 +2056,16 @@ object CdcRollup {
     }
     for ((layer, bucketOf) <- Seq("base" -> baseBucket,
         "agg" -> aggBucket, "grp" -> aggBucket) ++ auxBuckets)
-      readLatest(spark, fs, rootPath, layer, None, srcMarkers).foreach { df =>
+      readLatest(spark, fs, rootPath, layer, None, srcMarkers).foreach { df0 =>
+        // schema evolution: the existing images gain the added
+        // columns as typed NULLs (base only — the derived layers
+        // never carry payload columns outside group/pk/minMax)
+        val df =
+          if (layer == "base")
+            canonAdds.foldLeft(df0) { case (d, (c, t)) =>
+              d.withColumn(c, lit(null).cast(t))
+            }
+          else df0
         df.withColumn("__bucket", bucketOf)
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(new Path(freshPath, s"$layer/.staging0").toString)
@@ -2014,7 +2109,14 @@ object CdcRollup {
     BatchMarkers.readLogFrom(fs, rootPath).foreach { logFrom =>
       val srcLog = new Path(rootPath, "log")
       fs.mkdirs(new Path(freshPath, "log"))
-      if (fs.exists(srcLog))
+      if (canonAdds.nonEmpty) {
+        // the old log rows lack the added columns — mixing them with
+        // post-migration dirs would break the pull's schema, so the
+        // bound RE-BASELINES at the frontier: pulls below it refuse
+        // loud and forward-only consumers take one full base export
+        BatchMarkers.writeLogFrom(fs, freshPath,
+          srcMarkers.maxCommitted.getOrElse(0L))
+      } else if (fs.exists(srcLog))
         fs.listStatus(srcLog).toSeq.map(_.getPath)
           .filter { p =>
             val n = p.getName
@@ -2029,7 +2131,8 @@ object CdcRollup {
               new Path(freshPath, s"log/${p.getName}"), false,
               spark.sessionState.newHadoopConf())
           }
-      BatchMarkers.writeLogFrom(fs, freshPath, logFrom)
+      if (canonAdds.isEmpty)
+        BatchMarkers.writeLogFrom(fs, freshPath, logFrom)
     }
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0

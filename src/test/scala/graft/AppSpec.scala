@@ -2958,4 +2958,188 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
+
+  test("maintainView compact addColumns: schema evolution through the " +
+      "CLI — migrated pin, NULL-filled images, post-migration folds " +
+      "carry the column; retypes and non-cdc families refuse named") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewevolve").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    Seq((1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))
+      .toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/e0")
+    cfg("""{"kind": "cdcRollup", "statePath": "est", "batchId": 0,
+          | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+          | "keys": ["grp"], "valueColumn": "v",
+          | "nBaseBuckets": 2, "nAggBuckets": 2,
+          | "delta": {"input": "in/e0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    // evolve: one compact adds the nullable column
+    cfg("""{"kind": "compact", "statePath": "est", "freshPath": "est2",
+          | "nBuckets": 2, "nAggBuckets": 2,
+          | "addColumns": {"w": "double"}}""".stripMargin)
+    val (cc, oc) = Main.execute(spark, sink, dir)
+    withClue(oc) { cc shouldBe 0 }
+    // the migrated base serves the column as typed NULL
+    cfg("""{"kind": "export", "statePath": "est2", "layer": "base",
+          | "output": "eb"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val eb = spark.read.parquet(s"$dir/eb")
+    eb.columns should contain("w")
+    eb.filter(col("w").isNotNull).count() shouldBe 0L
+    // a post-migration fold carries the column
+    Seq((3L, "c", 30.0, 5.5, 2L, "I"))
+      .toDF("id", "grp", "v", "w", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/e1")
+    cfg("""{"kind": "cdcRollup", "statePath": "est2", "batchId": 1,
+          | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+          | "keys": ["grp"], "valueColumn": "v",
+          | "nBaseBuckets": 2, "nAggBuckets": 2,
+          | "delta": {"input": "in/e1"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "lookup", "statePath": "est2", "layer": "base",
+          | "keys": [{"id": "3"}]}""".stripMargin)
+    val (cl, ol) = Main.execute(spark, sink, dir)
+    withClue(ol) { cl shouldBe 0 }
+    ol.get should include(""""w":5.5""")
+    // a retype refuses as config misuse (exit 1)
+    cfg("""{"kind": "compact", "statePath": "est", "freshPath": "est3",
+          | "addColumns": {"v": "string"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...and so does addColumns on a non-cdc family
+    Seq((1L, 1.0)).toDF("g", "v")
+      .write.mode("overwrite").parquet(s"$dir/in/er0")
+    cfg("""{"kind": "rollup", "statePath": "erst", "batchId": 0,
+          | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+          | "delta": {"input": "in/er0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "compact", "statePath": "erst", "freshPath": "erst2",
+          | "addColumns": {"w": "double"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView manifest: the group-commit witness through the " +
+      "CLI — verifies both root families, a lagging root refuses, " +
+      "manifest-capped export pulls stay group-consistent, status " +
+      "reports per-root frontiers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewmanifest").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    def cdcFold(id: Int): Unit = {
+      Seq((id.toLong + 10, "a", 1.0 + id, 1L, "I"))
+        .toDF("id", "grp", "v", "seq", "op")
+        .write.mode("overwrite").parquet(s"$dir/in/c$id")
+      cfg(s"""{"kind": "cdcRollup", "statePath": "cst", "batchId": $id,
+             | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+             | "keys": ["grp"], "valueColumn": "v",
+             | "nBaseBuckets": 2, "nAggBuckets": 2,
+             | "delta": {"input": "in/c$id"}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    def rollFold(id: Int): Unit = {
+      Seq(("g", 1.0)).toDF("g", "v")
+        .write.mode("overwrite").parquet(s"$dir/in/r$id")
+      cfg(s"""{"kind": "rollup", "statePath": "rst", "batchId": $id,
+             | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+             | "delta": {"input": "in/r$id"}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    // the cdc root needs retention for the since-pull face
+    cdcFold(0)
+    cfg("""{"kind": "retain", "statePath": "cst"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    rollFold(0)
+    // the group commit witnesses batch 0 across BOTH families
+    cfg("""{"kind": "manifest", "statePath": "mf", "batchId": 0,
+          | "roots": ["cst", "rst"]}""".stripMargin)
+    val (cm, om) = Main.execute(spark, sink, dir)
+    withClue(om) { cm shouldBe 0 }
+    om.get should include(""""applied":true""")
+    // replay: quiet no-op
+    Main.execute(spark, sink, dir)._2.get should
+      include(""""applied":false""")
+    // crash between roots: batch 1 lands in the cdc root only
+    cdcFold(1)
+    cfg("""{"kind": "manifest", "statePath": "mf", "batchId": 1,
+          | "roots": ["cst", "rst"]}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // a manifest-capped pull reads the GROUP frontier (0): empty and
+    // reported as batch_id 0 — even though the root itself is at 1
+    cfg("""{"kind": "export", "statePath": "cst", "output": "mp0",
+          | "sinceBatch": 0, "manifest": "mf"}""".stripMargin)
+    val (cp, op) = Main.execute(spark, sink, dir)
+    withClue(op) { cp shouldBe 0 }
+    op.get should include(""""rows":0""")
+    op.get should include(""""batch_id":0""")
+    // ...the uncapped pull contrast: sees batch 1
+    cfg("""{"kind": "export", "statePath": "cst", "output": "mp1",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cu, ou) = Main.execute(spark, sink, dir)
+    withClue(ou) { cu shouldBe 0 }
+    ou.get should include(""""batch_id":1""")
+    // status: the lagging shape is visible — cst ahead of the group
+    cfg("""{"kind": "status", "statePath": "mf"}""")
+    val st = Main.execute(spark, sink, dir)._2.get
+    st should include(""""family":"foldManifest"""")
+    st should include(""""ahead_of_group":true""")
+    // recovery: the rollup root catches up, the witness lands, the
+    // capped pull advances
+    rollFold(1)
+    cfg("""{"kind": "manifest", "statePath": "mf", "batchId": 1,
+          | "roots": ["cst", "rst"]}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "cst", "output": "mp2",
+          | "sinceBatch": 0, "manifest": "mf"}""".stripMargin)
+    val (cr2, or2) = Main.execute(spark, sink, dir)
+    withClue(or2) { cr2 shouldBe 0 }
+    or2.get should include(""""rows":1""")
+    or2.get should include(""""batch_id":1""")
+    // misuse refusals: manifest without sinceBatch (parse); a
+    // non-member state; a non-manifest path
+    cfg("""{"kind": "export", "statePath": "cst", "output": "mx",
+          | "manifest": "mf"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cdcFold(2) // cst only — not relevant, just another state to test
+    Seq((99L, "z", 9.9, 1L, "I")).toDF("id", "grp", "v", "seq", "op")
+      .write.mode("overwrite").parquet(s"$dir/in/o0")
+    cfg("""{"kind": "cdcRollup", "statePath": "ost", "batchId": 0,
+          | "keyColumns": ["id"], "seqColumn": "seq", "opColumn": "op",
+          | "keys": ["grp"], "valueColumn": "v",
+          | "nBaseBuckets": 2, "nAggBuckets": 2,
+          | "delta": {"input": "in/o0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "retain", "statePath": "ost"}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "ost", "output": "my",
+          | "sinceBatch": 0, "manifest": "mf"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "export", "statePath": "cst", "output": "mz",
+          | "sinceBatch": 0, "manifest": "rst"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // fsck audits the healthy manifest clean...
+    cfg("""{"kind": "fsck", "statePath": "mf"}""")
+    val fj = Main.execute(spark, sink, dir)._2.get
+    fj should include(""""family":"foldManifest"""")
+    fj should include(""""ok":true""")
+    // ...and flags an OVERSTATING witness (a member falling behind
+    // the group — here the rollup root's frontier file vanishes)
+    val mfs = new org.apache.hadoop.fs.Path(s"$dir/rst")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    mfs.delete(new org.apache.hadoop.fs.Path(s"$dir/rst/_LAST_BATCH"),
+      false)
+    val fj2 = Main.execute(spark, sink, dir)._2.get
+    fj2 should include(""""ok":false""")
+    fj2 should include("BEHIND the group frontier")
+    // repair declares nothing safe here — the fsck rides the report
+    cfg("""{"kind": "repair", "statePath": "mf", "apply": true}""")
+    val rj = Main.execute(spark, sink, dir)._2.get
+    rj should include(""""family":"foldManifest"""")
+    rj should include(""""repairs":[]""")
+  }
 }

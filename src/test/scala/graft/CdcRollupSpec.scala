@@ -1839,4 +1839,71 @@ class CdcRollupSpec extends SparkSpec {
       CdcRollup.reapChangeLog(spark, tmpRoot(), 0L)
     }.getMessage should include("not in change-log mode")
   }
+
+  // ---- compact-time schema evolution --------------------------------
+
+  test("compact-time schema evolution: an added NULLABLE payload " +
+      "column migrates the pin and NULL-fills existing images; " +
+      "post-migration folds carry it and the view equals the " +
+      "one-shot; retypes/namespace names/old-schema deltas refuse; " +
+      "a change-log state re-baselines its bound") {
+    val root = tmpRoot()
+    CdcRollup.enableChangeLog(spark, root) shouldBe -1L
+    fold(root, 0L, log(
+      (1L, "a", 10.0, 1L, "I"), (2L, "b", 20.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((1L, "a", 11.0, 2L, "U"))) shouldBe true
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh, 4, 2,
+      addColumns = Seq("w" -> "double")) shouldBe 2L
+    // existing images carry the new column as typed NULL
+    val base = CdcRollup.readBase(spark, fresh).get
+    base.columns should contain("w")
+    base.schema("w").dataType.catalogString shouldBe "double"
+    rows(base.select(col("id"), col("w")).orderBy("id")) shouldBe
+      Seq(Seq(1L, null), Seq(2L, null))
+    // the change-log bound RE-BASELINED at the frontier: old log rows
+    // lack the column, so the old range refuses rather than mixing
+    // schemas
+    CdcRollup.changeLogFrom(spark, fresh) shouldBe Some(1L)
+    intercept[IllegalArgumentException] {
+      CdcRollup.readBaseLog(spark, fresh, 0L)
+    }.getMessage should include("below the change-log start")
+    // post-migration folds must carry the column — and do
+    def log2(rows: (Long, String, Double, java.lang.Double, Long,
+        String)*) = rows.toDF("id", "grp", "v", "w", "seq", "op")
+    def fold2(id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(fresh, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2)
+    fold2(2L, log2((3L, "c", 30.0, 7.5, 3L, "I"),
+      (1L, "a", 12.0, 1.0, 4L, "U"))) shouldBe true
+    // the view equals the one-shot over the union of all folds
+    view(fresh) shouldBe Map(
+      "a" -> ((1L, 12.0)), "b" -> ((1L, 20.0)), "c" -> ((1L, 30.0)))
+    rows(CdcRollup.readBase(spark, fresh).get
+      .select(col("id"), col("w")).orderBy("id")) shouldBe
+      Seq(Seq(1L, 1.0), Seq(2L, null), Seq(3L, 7.5))
+    // the forward-only pull from the re-baselined bound carries the
+    // new column in both payload sides
+    val pull = CdcRollup.readBaseLog(spark, fresh, 1L)
+    pull.columns should contain("w_from")
+    pull.columns should contain("w_to")
+    pull.count() shouldBe 2L // id1 changed, id3 added
+    // an OLD-schema delta refuses on the migrated pin
+    intercept[graft.model.UserException] {
+      fold(fresh, 3L, log((4L, "d", 1.0, 5L, "I")))
+    }.getMessage should include("pinned to layout")
+    // retype / state-namespace / unparseable-type refusals
+    intercept[IllegalArgumentException] {
+      CdcRollup.compactStateTo(spark, root, tmpRoot(), 4, 2,
+        addColumns = Seq("v" -> "string"))
+    }.getMessage should include("already declared")
+    intercept[IllegalArgumentException] {
+      CdcRollup.compactStateTo(spark, root, tmpRoot(), 4, 2,
+        addColumns = Seq("total" -> "double"))
+    }.getMessage should include("state/staging namespace")
+    intercept[IllegalArgumentException] {
+      CdcRollup.compactStateTo(spark, root, tmpRoot(), 4, 2,
+        addColumns = Seq("x" -> "not a type"))
+    }.getMessage should include("unparseable")
+  }
 }

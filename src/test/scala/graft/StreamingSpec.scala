@@ -1862,4 +1862,71 @@ class StreamingSpec extends SparkSpec {
       msg should include("side tag")
     } finally q3.stop()
   }
+
+  test("fold manifest: the group-commit witness for one bus feeding " +
+      "N roots — commit verifies every root's own evidence, a crash " +
+      "between roots refuses loud, and consumers capped at the group " +
+      "frontier never see a mixed read") {
+    import graft.operators.{CdcRollup, FoldManifest, JoinView}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString
+    val cdc = s"$dir/cdc"; val jv = s"$dir/join"; val m = s"$dir/mf"
+    CdcRollup.enableRetention(spark, cdc) shouldBe -1L
+    def cdcFold(id: Long, rows: Seq[(Long, String, Double)]): Boolean =
+      CdcRollup.foldBatch(cdc, id,
+        rows.map { case (k, g, v) => (k, g, v, id + 1, "I") }
+          .toDF("id", "grp", "v", "seq", "op"),
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2)
+    // batch 0 into BOTH roots, then the group commit witnesses it
+    cdcFold(0L, Seq((1L, "a", 1.0))) shouldBe true
+    JoinView.foldBatchDirs(jv, 0L, "k",
+      Seq((1L, 1.0)).toDF("k", "p"),
+      Seq((1L, 2.0)).toDF("k", "q"), nBuckets = 2) shouldBe true
+    FoldManifest.commit(spark, m, 0L, Seq(cdc, jv)) shouldBe true
+    FoldManifest.frontier(spark, m) shouldBe Some(0L)
+    // replaying a committed group id is a quiet no-op
+    FoldManifest.commit(spark, m, 0L, Seq(cdc, jv)) shouldBe false
+    // CRASH BETWEEN ROOTS: batch 1 lands in the cdc root only — the
+    // group commit refuses loud instead of blessing a mixed read
+    cdcFold(1L, Seq((2L, "b", 2.0))) shouldBe true
+    intercept[IllegalStateException] {
+      FoldManifest.commit(spark, m, 1L, Seq(cdc, jv))
+    }.getMessage should include("has NOT committed")
+    // the group frontier stays 0: a consumer capping its pull there
+    // reads batch 0's snapshot from EVERY view — consistent — even
+    // though the cdc root is already at 1
+    FoldManifest.frontier(spark, m) shouldBe Some(0L)
+    val (pull0, to0) = CdcRollup.readViewSincePinned(spark, cdc, 0L,
+      upTo = FoldManifest.frontier(spark, m))
+    to0 shouldBe 0L
+    pull0.count() shouldBe 0L
+    // recovery = the at-least-once replay: the already-applied root
+    // no-ops, the lagging root catches up, the witness lands
+    cdcFold(1L, Seq((2L, "b", 2.0))) shouldBe false
+    JoinView.foldBatchDirs(jv, 1L, "k",
+      Seq((2L, 3.0)).toDF("k", "p"),
+      Seq((2L, 4.0)).toDF("k", "q"), nBuckets = 2) shouldBe true
+    FoldManifest.commit(spark, m, 1L, Seq(cdc, jv)) shouldBe true
+    val (pull1, to1) = CdcRollup.readViewSincePinned(spark, cdc, 0L,
+      upTo = FoldManifest.frontier(spark, m))
+    to1 shouldBe 1L
+    pull1.count() shouldBe 1L // group b appeared in (0, 1]
+    // a drifted root set refuses on the pin; an out-of-order group id
+    // refuses on the monotone contract; a cap ahead of the root's own
+    // frontier refuses (a reset root)
+    intercept[graft.model.UserException] {
+      FoldManifest.commit(spark, m, 2L, Seq(cdc))
+    }
+    cdcFold(3L, Seq((3L, "c", 3.0))) shouldBe true
+    JoinView.foldBatchDirs(jv, 3L, "k",
+      Seq((3L, 5.0)).toDF("k", "p"),
+      Seq((3L, 6.0)).toDF("k", "q"), nBuckets = 2) shouldBe true
+    FoldManifest.commit(spark, m, 3L, Seq(cdc, jv)) shouldBe true
+    intercept[IllegalArgumentException] {
+      FoldManifest.commit(spark, m, 2L, Seq(cdc, jv))
+    }.getMessage should include("out of order")
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewSincePinned(spark, cdc, 0L, upTo = Some(9L))
+    }.getMessage should include("AHEAD of the committed frontier")
+  }
 }
