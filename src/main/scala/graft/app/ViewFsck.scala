@@ -308,21 +308,26 @@ object ViewFsck {
               s"_ASOF_FLOOR_$f file and re-run 'retain' to seed the " +
               "correct floor")
         }
-        // change-log hygiene: bound files, coverage gaps, stranded
-        // entries
+        // change-log hygiene: bound files, per-layer coverage gaps,
+        // stranded entries (base + view + aux logs share one bound)
         val logBounds = graft.operators.BatchMarkers
           .readLogFromAll(fs, rootPath)
         val logBound = logBounds.maxOption
-        val logDirP = new Path(rootPath, "log")
+        val logLayers = Seq("log", "log_view") ++
+          declaredAux.toSeq.sorted.map("log_aux_" + _)
+        val presentLog = ls(rootPath).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n == "log" || n == "log_view" ||
+            n.startsWith("log_aux_"))
         check(logBounds.size > 1, error = false,
           s"cdcRollup: ${logBounds.size} _LOG_FROM_ files — a " +
             "crashed bound advance; readers take the max, the next " +
             "log reap clears the rest")
-        check(fs.exists(logDirP) && logBound.isEmpty, error = false,
-          "cdcRollup: a log/ layer exists but no _LOG_FROM_ bound — " +
-            "change-log mode is off (a hand-removed bound?); pulls " +
-            "refuse loud and the dirs are stale; re-run 'changelog' " +
-            "to resume from the current frontier")
+        check(presentLog.nonEmpty && logBound.isEmpty, error = false,
+          "cdcRollup: change-log layer dirs exist but no _LOG_FROM_ " +
+            "bound — change-log mode is off (a hand-removed bound?); " +
+            "pulls refuse loud and the dirs are stale; re-run " +
+            "'changelog' to resume from the current frontier")
         logBound.foreach { lf =>
           check(lf > frontier.getOrElse(-1L), error = true,
             s"cdcRollup: change-log bound $lf is above the committed " +
@@ -332,48 +337,54 @@ object ViewFsck {
             fix = "verify which state this bound belongs to; if " +
               "foreign, delete the _LOG_FROM_ file and re-run " +
               "'changelog' to re-seed it at the frontier")
-          // every LISTABLE committed fold above the bound must have
-          // its log dir — a missing one is a coverage GAP a pull
-          // would silently lose (the one wrong-data shape this layer
-          // can take)
-          val present =
-            (if (fs.exists(logDirP))
-              fs.listStatus(logDirP).toSeq.map(_.getPath.getName)
-                .filter(n => n.startsWith("b") && n.length > 1 &&
-                  n.drop(1).forall(_.isDigit))
-                .map(_.drop(1).toLong)
-            else Nil).toSet
-          markers.ids.filter(_ > lf).toSeq.sorted.foreach { id =>
-            check(!present(id), error = true,
-              s"cdcRollup: batch $id committed after the change-log " +
-                s"bound $lf but log/b$id is missing — a pull " +
-                "spanning it would silently lose that fold's changes",
-              fix = "delete the _LOG_FROM_ file and re-run " +
-                "'changelog' (re-seeding the bound at the frontier, " +
-                "past the gap), then re-baseline consumers with a " +
-                "full base export — never serve a gapped pull")
+          for (ld <- logLayers) {
+            val ldP = new Path(rootPath, ld)
+            // every LISTABLE committed fold above the bound must have
+            // its dir in EVERY log layer — a missing one is a
+            // coverage GAP a pull would silently lose (the one
+            // wrong-data shape these layers can take)
+            val present =
+              (if (fs.exists(ldP))
+                fs.listStatus(ldP).toSeq.map(_.getPath.getName)
+                  .filter(n => n.startsWith("b") && n.length > 1 &&
+                    n.drop(1).forall(_.isDigit))
+                  .map(_.drop(1).toLong)
+              else Nil).toSet
+            markers.ids.filter(_ > lf).toSeq.sorted.foreach { id =>
+              check(!present(id), error = true,
+                s"cdcRollup: batch $id committed after the " +
+                  s"change-log bound $lf but $ld/b$id is missing — " +
+                  "a pull spanning it would silently lose that " +
+                  "fold's changes",
+                fix = "delete the _LOG_FROM_ file and re-run " +
+                  "'changelog' (re-seeding the bound at the " +
+                  "frontier, past the gap), then re-baseline " +
+                  "consumers with a full export — never serve a " +
+                  "gapped pull")
+            }
+            if (fs.exists(ldP))
+              fs.listStatus(ldP).toSeq.filter(_.isDirectory)
+                .foreach { st =>
+                  val n = st.getPath.getName
+                  if (n.startsWith(".staging")) {
+                    val id = n.stripPrefix(".staging").toLongOption
+                    check(id.exists(i => markers.committed(i) ||
+                        frontier.exists(i <= _)), error = false,
+                      s"cdcRollup/$ld/$n: staging shell that can " +
+                        "never promote — gc sweeps it")
+                  } else if (n.startsWith("b") && n.length > 1 &&
+                      n.drop(1).forall(_.isDigit)) {
+                    val id = n.drop(1).toLong
+                    check(!markers.committed(id) &&
+                        frontier.exists(id <= _), error = false,
+                      s"cdcRollup/$ld/$n: uncommitted log dir below " +
+                        "the frontier — abandoned garbage, gc " +
+                        "sweeps it")
+                  } else
+                    check(errorWhen = true, error = false,
+                      s"cdcRollup/$ld/$n: unrecognized entry")
+                }
           }
-          if (fs.exists(logDirP))
-            fs.listStatus(logDirP).toSeq.filter(_.isDirectory)
-              .foreach { st =>
-                val n = st.getPath.getName
-                if (n.startsWith(".staging")) {
-                  val id = n.stripPrefix(".staging").toLongOption
-                  check(id.exists(i => markers.committed(i) ||
-                      frontier.exists(i <= _)), error = false,
-                    s"cdcRollup/log/$n: staging shell that can " +
-                      "never promote — gc sweeps it")
-                } else if (n.startsWith("b") && n.length > 1 &&
-                    n.drop(1).forall(_.isDigit)) {
-                  val id = n.drop(1).toLong
-                  check(!markers.committed(id) &&
-                      frontier.exists(id <= _), error = false,
-                    s"cdcRollup/log/$n: uncommitted log dir below " +
-                      "the frontier — abandoned garbage, gc sweeps it")
-                } else
-                  check(errorWhen = true, error = false,
-                    s"cdcRollup/log/$n: unrecognized entry")
-              }
         }
         "cdcRollup"
       } else if (pin.startsWith("foldManifest|")) {

@@ -221,16 +221,30 @@ object ViewMaintenance {
                   throw new UserException(
                     s"maintainView export: ${ex.getMessage}")
               }
+            // sinceBatch dispatch: RETENTION mode serves pulls as
+            // bucket-pruned snapshot diffs; with retention OFF but
+            // CHANGE-LOG mode on, the same change set serves from the
+            // fold-time logs (identical rows — both equal
+            // diff(since, frontier)); in neither mode, refuse NAMING
+            // both options. A LOG-layer pull is always the log path.
+            val retained =
+              graft.operators.CdcRollup.asofFloor(spark, root).isDefined
             if (e.layer != "log") e.sinceBatch.foreach { since =>
-              // the pull cadence must fit the retention window: the
-              // same honesty checks as asOf (retention on + floor),
-              // as config misuse (exit 1). A LOG pull is exempt —
-              // that is its whole point: the append-only log serves
-              // forward-only consumers with retention OFF (its own
-              // _LOG_FROM_ bound is checked in the library, rewrapped
-              // below)
-              checkAsof(spark, "export", pin, root, since,
-                keyName = "sinceBatch")
+              if (retained)
+                // the pull cadence must fit the retention window: the
+                // same honesty checks as asOf, as config misuse
+                checkAsof(spark, "export", pin, root, since,
+                  keyName = "sinceBatch")
+              else if (graft.operators.CdcRollup
+                  .changeLogFrom(spark, root).isEmpty)
+                throw new UserException(
+                  "maintainView export: a sinceBatch pull needs " +
+                    "retention mode (snapshot-diff pulls; run " +
+                    "'retain') or change-log mode (fold-time log " +
+                    s"pulls; run 'changelog') on the state under " +
+                    s"$root — it is in neither")
+              // change-log-only: the library's _LOG_FROM_ bound gates
+              // the range, rewrapped below as config misuse
             }
             val (read, pulled): (Option[DataFrame], Option[Long]) =
               (e.layer, e.asOf) match {
@@ -250,13 +264,23 @@ object ViewMaintenance {
                         graft.operators.CdcRollup.readBaseLogPinned(
                           spark, root, e.sinceBatch.get,
                           upTo = manifestCap)
-                      else if (l == "base")
-                        graft.operators.CdcRollup.readBaseSincePinned(
+                      else if (l == "base") {
+                        if (retained)
+                          graft.operators.CdcRollup.readBaseSincePinned(
+                            spark, root, e.sinceBatch.get,
+                            upTo = manifestCap)
+                        else graft.operators.CdcRollup.readBaseLogPinned(
                           spark, root, e.sinceBatch.get,
                           upTo = manifestCap)
-                      else graft.operators.CdcRollup.readViewSincePinned(
-                        spark, root, e.sinceBatch.get, auxName,
-                        upTo = manifestCap)
+                      } else {
+                        if (retained)
+                          graft.operators.CdcRollup.readViewSincePinned(
+                            spark, root, e.sinceBatch.get, auxName,
+                            upTo = manifestCap)
+                        else graft.operators.CdcRollup.readViewLogPinned(
+                          spark, root, e.sinceBatch.get, auxName,
+                          upTo = manifestCap)
+                      }
                     (Some(d), Some(frontier))
                   } catch {
                     case ex: IllegalArgumentException =>
@@ -879,12 +903,14 @@ object ViewMaintenance {
           ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
             .filter(n => n.startsWith("aux_") ||
               n.startsWith("grp_aux_")).sorted
-        // the change log reports its own shape (append-only b<id>
-        // dirs, no buckets): committed dirs vs orphan candidates
-        val logJson =
-          if (!fs.exists(new Path(rootPath, "log"))) ""
-          else {
-            val entries = ls(new Path(rootPath, "log"))
+        // the change-log layers report their own shape (append-only
+        // b<id> dirs, no buckets): committed dirs vs orphan candidates
+        val logJson = ls(rootPath).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => n == "log" || n == "log_view" ||
+            n.startsWith("log_aux_")).sorted
+          .map { ld =>
+            val entries = ls(new Path(rootPath, ld))
               .filter(_.isDirectory)
             var committed = 0
             var orphans = 0
@@ -897,9 +923,9 @@ object ViewMaintenance {
                   case _ => orphans += 1
                 }
             }
-            s""""log":{"batch_dirs":$committed,""" +
+            s""""$ld":{"batch_dirs":$committed,""" +
               s""""orphan_candidates":$orphans},"""
-          }
+          }.mkString
         val layers = cdcLayers.map { layer =>
           val entries = ls(new Path(rootPath, layer))
             .filter(_.isDirectory)

@@ -68,6 +68,13 @@ import org.apache.spark.sql.functions._
   *    the forward-only mirror pull that needs NO retention history
   *    (the zero-retention sibling of [[readBaseSince]]); bounded by
   *    `_LOG_FROM_` + [[reapChangeLog]].
+  *  - `log_view/` and `log_aux_<name>/` — the GROUP-level siblings,
+  *    written by the same folds under the same bound: each fold's
+  *    per-group state changes (old agg row vs new, contributed groups
+  *    only, zero-net contributions dropped). Serve [[readViewLog]] —
+  *    readViewSince semantics with retention OFF; the export
+  *    `sinceBatch` face falls back to them automatically when the
+  *    state is in change-log mode but not retention mode.
   *
   * Exactly-once via COPY-ON-WRITE versioned buckets: a fold never
   * mutates a committed file — it writes `bucket=<k>/v<batchId>` dirs
@@ -150,6 +157,67 @@ object CdcRollup {
     * are dynamic; maintenance paths discover them via
     * [[presentLayers]]. */
   private val layerNames = Seq("base", "agg", "grp")
+
+  /** The change-log layer dirs a state in log mode maintains: the
+    * per-KEY base feed plus the per-GROUP view feed and one per aux
+    * view. */
+  private def logLayerNames(auxNames: Seq[String]): Seq[String] =
+    Seq("log", "log_view") ++ auxNames.map("log_aux_" + _)
+
+  /** Every change-log layer dir actually present under `root` — the
+    * maintenance sweeps iterate THIS (a reader knows its own layer). */
+  private def presentLogLayers(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path)
+      : Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n == "log" || n == "log_view" ||
+        n.startsWith("log_aux_"))
+
+  /** The per-GROUP view change rows ONE fold contributes to a
+    * `log_view`/`log_aux_*` layer: old agg row vs new, restricted to
+    * the groups that actually CONTRIBUTED this fold (the old frame
+    * carries whole touched buckets — ride-along groups are unchanged
+    * by construction), zero-net contributions dropped. Renamed-sides
+    * full-outer — the base-log self-join-ambiguity discipline;
+    * presence rides `n` (never NULL on a live state row, the diffView
+    * trick). */
+  private def groupChangeLog(oldAgg: DataFrame, newAgg: DataFrame,
+                             contrib: DataFrame, groupCols: Seq[String],
+                             stateCols: Seq[String],
+                             batchId: Long): DataFrame = {
+    val lf = oldAgg.select((groupCols ++ stateCols)
+      .map(c => col(c).as(s"__vf_$c")): _*)
+    val lt = newAgg.select((groupCols ++ stateCols)
+      .map(c => col(c).as(s"__vt_$c")): _*)
+    val cond = groupCols.map(c => lf(s"__vf_$c") <=> lt(s"__vt_$c"))
+      .reduce(_ && _)
+    val merged = lf.join(lt, cond, "full_outer")
+      .select((groupCols.map(c =>
+        coalesce(col(s"__vf_$c"), col(s"__vt_$c")).as(c)) ++
+        stateCols.map(c => col(s"__vf_$c").as(s"${c}_from")) ++
+        stateCols.map(c => col(s"__vt_$c").as(s"${c}_to")) ++
+        Seq(col("__vf_n").isNotNull.as("__inFrom"),
+          col("__vt_n").isNotNull.as("__inTo"))): _*)
+    val cKeys = contrib.select(groupCols
+      .map(c => col(c).as(s"__vc_$c")): _*).distinct()
+    val touched = merged.join(cKeys,
+      groupCols.map(c => merged(c) <=> cKeys(s"__vc_$c"))
+        .reduce(_ && _), "left_semi")
+    val differs = stateCols
+      .map(c => !(col(s"${c}_from") <=> col(s"${c}_to")))
+      .reduce(_ || _)
+    touched
+      .where((col("__inFrom") =!= col("__inTo")) || differs)
+      .select((groupCols.map(col) ++
+        stateCols.map(c => col(s"${c}_from")) ++
+        stateCols.map(c => col(s"${c}_to")) ++
+        Seq(when(col("__inFrom") && !col("__inTo"), lit("removed"))
+          .when(!col("__inFrom") && col("__inTo"), lit("added"))
+          .otherwise(lit("changed")).as("change"),
+          lit(batchId).as("__batch_id"))): _*)
+  }
 
   /** Every layer dir actually present under `root` — the fixed three
     * plus any `aux_<name>` layers. Maintenance (GC, marker folds,
@@ -412,27 +480,37 @@ object CdcRollup {
           .filter(_.getName.startsWith("bucket="))
           .foreach(b => fs.delete(new Path(b, s"v$batchId"), true))
     }
-    // ... and the change-log's (an uncommitted b<id> from the crashed
-    // attempt must go before the refold stages its replacement)
-    fs.delete(new Path(rootPath, s"log/.staging$batchId"), true)
-    fs.delete(new Path(rootPath, s"log/b$batchId"), true)
+    // ... and the change-log layers' (an uncommitted b<id> from the
+    // crashed attempt must go before the refold stages its
+    // replacement)
+    for (ld <- logLayerNames(auxViews.map(_._1))) {
+      fs.delete(new Path(rootPath, s"$ld/.staging$batchId"), true)
+      fs.delete(new Path(rootPath, s"$ld/b$batchId"), true)
+    }
     // change-log mode: every fold ALSO emits its net per-key image
     // changes into the append-only log/ layer (see [[enableChangeLog]])
     val logOn = BatchMarkers.readLogFrom(fs, rootPath).isDefined
     if (logOn) {
-      // the log persists <col>_from/<col>_to/change columns — an
-      // output-name collision (a pk named like a state col's suffixed
-      // spelling, a payload column named 'change') would write a
-      // duplicate-name schema; refuse NAMED
+      // the logs persist <col>_from/<col>_to/change columns — an
+      // output-name collision (a pk or group column named like a
+      // state col's suffixed spelling, a payload column named
+      // 'change') would write a duplicate-name schema; refuse NAMED
       val sc = payloadCols.filterNot(pkCols.contains)
-      val outNames = pkCols ++ sc.map(_ + "_from") ++
+      val baseOut = pkCols ++ sc.map(_ + "_from") ++
         sc.map(_ + "_to") ++ Seq("change")
-      val dup = outNames.groupBy(identity)
-        .collect { case (n, xs) if xs.size > 1 => n }
-      require(dup.isEmpty,
-        s"cdcRollup change log: output column collision on " +
-          s"${dup.mkString(", ")} — the log writes <col>_from/" +
-          "<col>_to plus 'change'; rename upstream")
+      val viewState = Set("n") ++ aggNames(valueCols.size) ++
+        minNames(mmWidest) ++ maxNames(mmWidest)
+      val viewOut = (groupCols ++ auxViews.flatMap(_._2)).distinct ++
+        viewState.toSeq.flatMap(c => Seq(s"${c}_from", s"${c}_to")) ++
+        Seq("change")
+      for (outNames <- Seq(baseOut, viewOut)) {
+        val dup = outNames.groupBy(identity)
+          .collect { case (n, xs) if xs.size > 1 => n }
+        require(dup.isEmpty,
+          s"cdcRollup change log: output column collision on " +
+            s"${dup.mkString(", ")} — the logs write <col>_from/" +
+            "<col>_to plus 'change'; rename upstream")
+      }
     }
     val baseBucket = pmod(xxhash64(pkCols.map(col): _*), lit(nBaseBuckets))
       .cast("int")
@@ -457,10 +535,11 @@ object CdcRollup {
           fs.mkdirs(new Path(rootPath, s"aux_$n")) }
         auxMinMaxCols.keys.foreach { n =>
           fs.mkdirs(new Path(rootPath, s"grp_aux_$n")) }
-        // an empty fold's change log is an empty (dataless) b<id> dir
-        // — present so a committed id > logFrom with NO log dir stays
-        // an fsck-able GAP signal, never an ambiguous shape
-        if (logOn) fs.mkdirs(new Path(rootPath, s"log/b$batchId"))
+        // an empty fold's change logs are empty (dataless) b<id>
+        // dirs — present so a committed id > logFrom with NO log dir
+        // stays an fsck-able GAP signal, never an ambiguous shape
+        if (logOn) logLayerNames(auxViews.map(_._1))
+          .foreach(ld => fs.mkdirs(new Path(rootPath, s"$ld/b$batchId")))
         BatchMarkers.commit(fs, rootPath, batchId)
         return true
       }
@@ -693,9 +772,15 @@ object CdcRollup {
                 (joinedA,
                   Seq((s"grp_aux_$name", newGrpA, bucketOf, touchedA)))
               }
+            val auxLog =
+              if (!logOn) Nil
+              else Seq(s"log_aux_$name" -> groupChangeLog(oldA,
+                finalA.filter(col("n") > 0), aContrib, cols,
+                Seq("n") ++ agg ++ aMins ++ aMaxs, batchId))
             (aContrib,
               Seq((s"aux_$name", finalA.filter(col("n") > 0), bucketOf,
-                touchedA)) ++ grpA)
+                touchedA)) ++ grpA,
+              auxLog)
           }
           // fold-time CDC change log: the net per-key image change
           // this fold applies — old image (_from) vs upsert image
@@ -708,8 +793,8 @@ object CdcRollup {
           // ambiguity-proof spelling: `old` can share lineage with
           // `upserts` through the empty-state fallback). Delta-sized
           // work: both sides are this fold's keys only.
-          val changeLog =
-            if (!logOn) None
+          val changeLogs =
+            if (!logOn) Nil
             else {
               val stateCols = payloadCols.filterNot(pkCols.contains)
               val lf = old.select(payloadCols.toSeq.map(c =>
@@ -726,7 +811,7 @@ object CdcRollup {
               val same = stateCols.toSeq.map(c =>
                 col(s"__lf_$c") <=> col(s"__lt_$c"))
                 .reduceOption(_ && _).getOrElse(lit(true))
-              Some(j.where(!(inFrom && inTo && same))
+              val baseLog = j.where(!(inFrom && inTo && same))
                 .select((pkCols.map(c => coalesce(col(s"__lf_$c"),
                     col(s"__lt_$c")).as(c)) ++
                   stateCols.toSeq.map(c =>
@@ -736,7 +821,15 @@ object CdcRollup {
                   Seq(when(inFrom && !inTo, lit("removed"))
                     .when(!inFrom && inTo, lit("added"))
                     .otherwise(lit("changed")).as("change"),
-                    lit(batchId).as("__batch_id"))): _*))
+                    lit(batchId).as("__batch_id"))): _*)
+              // the GROUP-level feed: old agg row vs new for exactly
+              // the contributed groups (main view; aux views emit
+              // theirs inside their own scopes above)
+              val viewLog = groupChangeLog(oldAgg,
+                withMinMax.filter(col("n") > 0), contrib, groupCols,
+                Seq("n") ++ agg ++ mins ++ maxs, batchId)
+              Seq("log" -> baseLog, "log_view" -> viewLog) ++
+                auxLayers.flatMap(_._3)
             }
           try {
             stageAndCommit(fs, rootPath, batchId,
@@ -748,7 +841,7 @@ object CdcRollup {
               // history — the fold keeps them; reapRetainedVersions
               // owns their (floor-advancing) deletion
               retain = readAsofFloor(fs, rootPath).isDefined,
-              changeLog = changeLog)
+              changeLogs = changeLogs)
           } finally { auxLayers.foreach(_._1.unpersist()); () }
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
@@ -1468,7 +1561,118 @@ object CdcRollup {
     // order, the diffBase discipline
     val payload = layout.typed.keys.toSeq.sorted
     val stateCols = payload.filterNot(pkCols.contains)
-    val logDir = new Path(rootPath, "log")
+    def typeOf(c: String) = org.apache.spark.sql.types.DataType
+      .fromDDL(layout.typed.getOrElse(c, "string"))
+    (netLogRange(spark, fs, rootPath, "log",
+      pkCols.map(c => c -> typeOf(c)),
+      stateCols.map(c => c -> typeOf(c)),
+      markers, afterId, frontier), frontier)
+  }
+
+  /** The per-GROUP view change set since `afterId`, served from the
+    * APPEND-ONLY view log — [[readViewSince]] semantics (same output
+    * schema, labels, and net-move-per-group rows) WITHOUT retention
+    * mode: the forward-only dashboard-cache pull, the group-level
+    * sibling of [[readBaseLog]]. `auxView` pulls that aux view's feed
+    * from its own `log_aux_<name>` layer. */
+  def readViewLog(spark: SparkSession, root: String, afterId: Long,
+                  auxView: Option[String] = None): DataFrame =
+    readViewLogPinned(spark, root, afterId, auxView)._1
+
+  /** [[readViewLog]] returning the frontier it pulled to — the
+    * [[readBaseLogPinned]] discipline, group-keyed: the committed
+    * `log_view/b<id>` (or `log_aux_<name>/b<id>`) dirs in range,
+    * netted per group (first `_from` side + last `_to` side,
+    * self-cancelling moves dropped) — row-for-row equal to
+    * `diffView(afterId, frontier)` on a retained twin. */
+  def readViewLogPinned(spark: SparkSession, root: String,
+                        afterId: Long,
+                        auxView: Option[String] = None,
+                        /** the cross-root manifest cap — see
+                          * [[readBaseSincePinned]]. */
+                        upTo: Option[Long] = None): (DataFrame, Long) = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logFrom = BatchMarkers.readLogFrom(fs, rootPath).getOrElse(
+      throw new IllegalStateException(
+        s"readViewLog under $root: the state is not in change-log " +
+          "mode — folds emit no change log; enable it " +
+          "(enableChangeLog / CLI kind 'changelog') BEFORE the folds " +
+          "whose changes you need"))
+    val markers = BatchMarkers.read(fs, rootPath)
+    val rootFrontier = markers.maxCommitted.getOrElse(
+      throw new IllegalStateException(
+        s"readViewLog: no committed state under $root"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readViewLog: the manifest cap $u is AHEAD of the committed " +
+        s"frontier $rootFrontier under $root — a group frontier this " +
+        "root never produced (a reset root?); re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
+    require(afterId >= logFrom,
+      s"readViewLog: afterId $afterId is below the change-log start " +
+        s"$logFrom under $root — folds at or before it were never " +
+        "logged (mode enabled later) or their log dirs were reaped; " +
+        "re-baseline the consumer with a full export")
+    require(afterId <= frontier,
+      s"readViewLog: afterId $afterId is AHEAD of the committed " +
+        s"frontier $frontier under $root — a frontier this state " +
+        "never produced (wrong root, or a reset state); re-baseline " +
+        "the consumer with a full export")
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"readViewLog: no layout pin under $root — not a cdcRollup " +
+          "state"))
+    val layout = parseLayout(pin, root)
+    val (groupCols, mmDecl, layer) = auxView match {
+      case None => (layout.groupCols, layout.minMaxCols, "log_view")
+      case Some(name) =>
+        val cols = layout.auxViews.collectFirst {
+          case (n, cs) if n == name => cs
+        }.getOrElse(throw new IllegalArgumentException(
+          s"readViewLog: no aux view '$name' declared under $root " +
+            s"(has: ${layout.auxViews.map(_._1).mkString(", ")})"))
+        (cols, layout.auxMinMax.getOrElse(name, Nil), s"log_aux_$name")
+    }
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    def typeOf(c: String) = org.apache.spark.sql.types.DataType
+      .fromDDL(layout.typed.getOrElse(c, "string"))
+    val k = layout.valueCols.length
+    val m = mmDecl.length
+    val states: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      (("n", LongType: org.apache.spark.sql.types.DataType) +:
+        aggNames(k).map(_ -> (DecimalType(38, 6):
+          org.apache.spark.sql.types.DataType))) ++
+        mmDecl.zipWithIndex.map { case (v, i) =>
+          minNames(m)(i) -> typeOf(v) } ++
+        mmDecl.zipWithIndex.map { case (v, i) =>
+          maxNames(m)(i) -> typeOf(v) }
+    (netLogRange(spark, fs, rootPath, layer,
+      groupCols.map(c => c -> typeOf(c)), states,
+      markers, afterId, frontier), frontier)
+  }
+
+  /** Shared log-range netting — the committed `<layer>/b<id>` dirs in
+    * `(afterId, frontier]`, netted per key: first row's `_from` side
+    * composed with last row's `_to` side (batch ids order the chain;
+    * one log row per key per fold, so min_by/max_by are tie-free),
+    * presence riding the per-fold labels, self-cancelling moves
+    * dropped (add-then-remove; change-then-revert). One shuffle over
+    * the rows in range — O(changes), never a state scan. */
+  private def netLogRange(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          rootPath: org.apache.hadoop.fs.Path,
+                          layer: String,
+                          keys: Seq[(String,
+                            org.apache.spark.sql.types.DataType)],
+                          states: Seq[(String,
+                            org.apache.spark.sql.types.DataType)],
+                          markers: BatchMarkers.Markers,
+                          afterId: Long, frontier: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val keyCols = keys.map(_._1)
+    val stateCols = states.map(_._1)
+    val logDir = new Path(rootPath, layer)
     val dirs =
       if (!fs.exists(logDir)) Nil
       else fs.listStatus(logDir).toSeq.map(_.getPath)
@@ -1484,12 +1688,10 @@ object CdcRollup {
           graft.sources.PartitionedStore.hasDataEntries(fs, p))
     import org.apache.spark.sql.types.{LongType, StringType,
       StructField, StructType}
-    def typeOf(c: String) = org.apache.spark.sql.types.DataType
-      .fromDDL(layout.typed.getOrElse(c, "string"))
     val rawSchema = StructType(
-      pkCols.map(c => StructField(c, typeOf(c))) ++
-        stateCols.map(c => StructField(s"${c}_from", typeOf(c))) ++
-        stateCols.map(c => StructField(s"${c}_to", typeOf(c))) ++
+      keys.map { case (c, t) => StructField(c, t) } ++
+        states.map { case (c, t) => StructField(s"${c}_from", t) } ++
+        states.map { case (c, t) => StructField(s"${c}_to", t) } ++
         Seq(StructField("change", StringType),
           StructField("__batch_id", LongType)))
     val raw =
@@ -1497,29 +1699,22 @@ object CdcRollup {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         rawSchema)
       else spark.read.parquet(dirs.map(_.toString): _*)
-    // NET the range per key: first row's _from side composed with
-    // last row's _to side (batch ids order the chain; one log row per
-    // key per fold, so min_by/max_by are tie-free). Presence rides
-    // the per-fold labels: the first row 'added' = no image at the
-    // range start; the last row 'removed' = none at the end.
     val fromStruct = struct((stateCols.map(c => col(s"${c}_from")) :+
       col("change").as("__chg")): _*)
     val toStruct = struct((stateCols.map(c => col(s"${c}_to")) :+
       col("change").as("__chg")): _*)
-    val netted = raw.groupBy(pkCols.map(col): _*)
+    val netted = raw.groupBy(keyCols.map(col): _*)
       .agg(min_by(fromStruct, col("__batch_id")).as("__f"),
         max_by(toStruct, col("__batch_id")).as("__t"))
     val inFrom = col("__f").getField("__chg") =!= lit("added")
     val inTo = col("__t").getField("__chg") =!= lit("removed")
-    // self-cancelling moves drop: add-then-remove (neither side),
-    // change-then-revert / remove-then-readd-identical (images equal)
     val same = stateCols.map(c =>
       col("__f").getField(s"${c}_from") <=>
         col("__t").getField(s"${c}_to"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val out = netted
+    netted
       .where((inFrom || inTo) && !(inFrom && inTo && same))
-      .select((pkCols.map(col) ++
+      .select((keyCols.map(col) ++
         stateCols.map(c =>
           col("__f").getField(s"${c}_from").as(s"${c}_from")) ++
         stateCols.map(c =>
@@ -1527,7 +1722,6 @@ object CdcRollup {
         when(inFrom && !inTo, lit("removed"))
           .when(!inFrom && inTo, lit("added"))
           .otherwise(lit("changed")).as("change")): _*)
-    (out, frontier)
   }
 
   /** Reap change-log dirs older than the retention window and ADVANCE
@@ -1549,14 +1743,16 @@ object CdcRollup {
           "mode — no log accretes, nothing to reap"))
     val markers = BatchMarkers.read(fs, rootPath)
     val cutoff = System.currentTimeMillis() - retainMs
-    val logDir = new Path(rootPath, "log")
-    if (!fs.exists(logDir)) return (Nil, logFrom)
-    val entries = fs.listStatus(logDir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .flatMap { st =>
-        st.getPath.getName.drop(1).toLongOption.map((st, _))
-      }
-      .filter { case (_, id) => markers.committed(id) }
+    val entries = presentLogLayers(fs, rootPath).flatMap { layer =>
+      fs.listStatus(new Path(rootPath, layer)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("b"))
+        .flatMap { st =>
+          st.getPath.getName.drop(1).toLongOption.map((st, _))
+        }
+        .filter { case (_, id) => markers.committed(id) }
+    }
+    if (entries.isEmpty) return (Nil, logFrom)
     val aged = entries.filter { case (st, id) =>
       id > logFrom && st.getModificationTime <= cutoff }
     val dead = entries.filter { case (_, id) => id <= logFrom }
@@ -1821,25 +2017,25 @@ object CdcRollup {
               }
         }
     }
-    // the change log strands the same two shapes (staging shells and
-    // uncommitted b<id> dirs) under its own layout
-    val logDir = new Path(rootPath, "log")
-    if (fs.exists(logDir))
-      fs.listStatus(logDir).toSeq.filter(_.isDirectory).foreach { st =>
-        val name = st.getPath.getName
-        val id =
-          if (name.startsWith(".staging"))
-            name.stripPrefix(".staging").toLongOption
-              .filter(i => deadStaging(i, st.getModificationTime))
-          else if (name.startsWith("b"))
-            name.drop(1).toLongOption
-              .filter(i => dead(i, st.getModificationTime))
-          else None
-        id.foreach { _ =>
-          fs.delete(st.getPath, true)
-          deleted += st.getPath.toString
+    // the change-log layers strand the same two shapes (staging
+    // shells and uncommitted b<id> dirs) under their own layout
+    for (layer <- presentLogLayers(fs, rootPath))
+      fs.listStatus(new Path(rootPath, layer)).toSeq
+        .filter(_.isDirectory).foreach { st =>
+          val name = st.getPath.getName
+          val id =
+            if (name.startsWith(".staging"))
+              name.stripPrefix(".staging").toLongOption
+                .filter(i => deadStaging(i, st.getModificationTime))
+            else if (name.startsWith("b"))
+              name.drop(1).toLongOption
+                .filter(i => dead(i, st.getModificationTime))
+            else None
+          id.foreach { _ =>
+            fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
         }
-      }
     deleted.result()
   }
 
@@ -1900,18 +2096,18 @@ object CdcRollup {
       }
       // uncommitted change-log dirs at or below the watermark would
       // read as committed after the fold — sweep them first too
-      val logDir = new Path(rootPath, "log")
-      if (fs.exists(logDir)) fs.listStatus(logDir).toSeq
-        .filter(_.isDirectory).foreach { st =>
-          val name = st.getPath.getName
-          val id =
-            if (name.startsWith(".staging"))
-              name.stripPrefix(".staging").toLongOption
-            else if (name.startsWith("b")) name.drop(1).toLongOption
-            else None
-          id.filter(i => i <= frontier && !markers.committed(i))
-            .foreach(_ => fs.delete(st.getPath, true))
-        }
+      for (layer <- presentLogLayers(fs, rootPath))
+        fs.listStatus(new Path(rootPath, layer)).toSeq
+          .filter(_.isDirectory).foreach { st =>
+            val name = st.getPath.getName
+            val id =
+              if (name.startsWith(".staging"))
+                name.stripPrefix(".staging").toLongOption
+              else if (name.startsWith("b")) name.drop(1).toLongOption
+              else None
+            id.filter(i => i <= frontier && !markers.committed(i))
+              .foreach(_ => fs.delete(st.getPath, true))
+          }
       BatchMarkers.foldInto(fs, rootPath, markers, frontier)
       frontier
     }
@@ -2008,7 +2204,8 @@ object CdcRollup {
         for (l <- presentLayers(fs, freshPath))
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
-        fs.delete(new Path(freshPath, "log"), true)
+        for (l <- presentLogLayers(fs, freshPath))
+          fs.delete(new Path(freshPath, l), true)
         BatchMarkers.clearFloors(fs, freshPath)
         BatchMarkers.clearSeeds(fs, freshPath)
         BatchMarkers.clearLogFrom(fs, freshPath)
@@ -2107,32 +2304,36 @@ object CdcRollup {
     // committed through the seeded watermark). The bound carries
     // verbatim.
     BatchMarkers.readLogFrom(fs, rootPath).foreach { logFrom =>
-      val srcLog = new Path(rootPath, "log")
-      fs.mkdirs(new Path(freshPath, "log"))
+      val logDirs = logLayerNames(layout.auxViews.map(_._1))
+      logDirs.foreach(l => fs.mkdirs(new Path(freshPath, l)))
       if (canonAdds.nonEmpty) {
-        // the old log rows lack the added columns — mixing them with
-        // post-migration dirs would break the pull's schema, so the
-        // bound RE-BASELINES at the frontier: pulls below it refuse
-        // loud and forward-only consumers take one full base export
+        // the old BASE log rows lack the added columns — mixing them
+        // with post-migration dirs would break the pull's schema, so
+        // the bound RE-BASELINES at the frontier: pulls below it
+        // refuse loud and forward-only consumers take one full
+        // export. (The view logs carry no payload columns, but one
+        // bound governs all layers — re-baseline them together.)
         BatchMarkers.writeLogFrom(fs, freshPath,
           srcMarkers.maxCommitted.getOrElse(0L))
-      } else if (fs.exists(srcLog))
-        fs.listStatus(srcLog).toSeq.map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.startsWith("b") && n.length > 1 &&
-              n.drop(1).forall(_.isDigit) && {
-                val id = n.drop(1).toLong
-                id > logFrom && srcMarkers.committed(id)
-              }
-          }
-          .foreach { p =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
-              new Path(freshPath, s"log/${p.getName}"), false,
-              spark.sessionState.newHadoopConf())
-          }
-      if (canonAdds.isEmpty)
+      } else {
+        for (ld <- logDirs; srcLog = new Path(rootPath, ld)
+            if fs.exists(srcLog))
+          fs.listStatus(srcLog).toSeq.map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("b") && n.length > 1 &&
+                n.drop(1).forall(_.isDigit) && {
+                  val id = n.drop(1).toLong
+                  id > logFrom && srcMarkers.committed(id)
+                }
+            }
+            .foreach { p =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+                new Path(freshPath, s"$ld/${p.getName}"), false,
+                spark.sessionState.newHadoopConf())
+            }
         BatchMarkers.writeLogFrom(fs, freshPath, logFrom)
+      }
     }
     // the v0 data dirs resolve committed through the watermark
     // (0 <= frontier); a source with nothing committed seeds 0
@@ -2319,12 +2520,13 @@ object CdcRollup {
                              layers: Seq[(String, DataFrame, Column,
                                Set[Int])],
                              retain: Boolean = false,
-                             /** change-log mode: this fold's net
-                               * per-key change rows, staged and
-                               * renamed into `log/b<batchId>` before
-                               * the marker — committed atomically
-                               * with the state it describes. */
-                             changeLog: Option[DataFrame] = None)
+                             /** change-log mode: this fold's change
+                               * rows per log layer (base + view +
+                               * aux), each staged and renamed into
+                               * `<layer>/b<batchId>` before the
+                               * marker — committed atomically with
+                               * the state they describe. */
+                             changeLogs: Seq[(String, DataFrame)] = Nil)
       : Unit = {
     import org.apache.hadoop.fs.Path
     for ((layer, df, bucketOf, touched) <- layers) {
@@ -2338,10 +2540,10 @@ object CdcRollup {
         fs.mkdirs(new Path(root, s"$layer/bucket=$b/v$batchId")); ()
       }
     }
-    changeLog.foreach { logDf =>
-      val staging = new Path(root, s"log/.staging$batchId")
+    changeLogs.foreach { case (layer, logDf) =>
+      val staging = new Path(root, s"$layer/.staging$batchId")
       logDf.write.mode("overwrite").parquet(staging.toString)
-      val home = new Path(root, s"log/b$batchId")
+      val home = new Path(root, s"$layer/b$batchId")
       if (!fs.rename(staging, home))
         throw new java.io.IOException(s"cdcRollup: rename failed: $home")
     }

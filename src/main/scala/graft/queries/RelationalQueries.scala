@@ -1293,6 +1293,52 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The GROUP-level forward-only pull ([[graft.operators.CdcRollup
+    // .readViewLog]]): the same zero-retention artifact as
+    // cdc_changelog_pull, read at the VIEW grain — per-group state
+    // changes netted across the three folds from the fold-time
+    // log_view layer (a group whose members moved out and back nets
+    // away; a group hit twice nets once). Oracle = batch-0 group
+    // states vs final group states, the cdc_since_view shape — but
+    // with retention OFF for the whole artifact.
+    "cdc_vlog_pull" -> ((s, dir) => {
+      import graft.operators.CdcRollup
+      val root = "/tmp/graft_cdcvl_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      CdcRollup.enableChangeLog(s, root)
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+        .select(k, col("o_orderpriority"), col("o_totalprice"))
+        .filter(k % 16 === 0)
+      val b0 = ord.select(k, col("o_orderpriority"),
+        col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op"))
+      val b1 = ord.filter(k % 7 === 0)
+        .select(k, lit("X-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(2L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(3L).as("seq"), lit("D").as("op")))
+      val b2 = ord.filter(k % 7 === 0 && k % 5 =!= 0)
+        .select(k, lit("Y-UPD").as("o_orderpriority"),
+          col("o_totalprice"), lit(4L).as("seq"), lit("U").as("op"))
+        .unionByName(ord.filter(k % 5 === 0 && k % 3 === 0)
+          .select(k, col("o_orderpriority"), col("o_totalprice"),
+            lit(5L).as("seq"), lit("I").as("op")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        CdcRollup.foldBatch(root, i.toLong, b, Seq("o_orderkey"),
+          "seq", "op", Seq("o_orderpriority"), Seq("o_totalprice"),
+          nBaseBuckets = 2, nAggBuckets = 2)
+      }
+      CdcRollup.readViewLog(s, root, 0L)
+        .select(col("o_orderpriority"),
+          col("n_from"), col("total_from").cast("double").as("total_from"),
+          col("n_to"), col("total_to").cast("double").as("total_to"),
+          col("change"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Retraction-exact VARIANCE by COMPOSITION: the invertible-sums
     // algebra carries (n, Σv, Σv²) when the square rides as a second
     // measure computed upstream — so per-group AVG and sample
@@ -1559,6 +1605,36 @@ object RelationalQueries {
         |FROM sliced FULL OUTER JOIN f ON sliced.k = f.k
         |WHERE f.k IS NULL OR sliced.k IS NULL
         |   OR sliced.p <> f.p OR sliced.v <> f.v
+        |ORDER BY 1""".stripMargin,
+    // batch-0 GROUP states vs FINAL group states over the same
+    // three-fold composition (the cdc_since_view oracle shape,
+    // retention OFF on the artifact)
+    "cdc_vlog_pull" ->
+      """WITH sliced AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |         o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 16 = 0),
+        |s0 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM sliced GROUP BY 1),
+        |f AS (
+        |  SELECT CASE WHEN k % 7 = 0 AND k % 5 <> 0 THEN 'Y-UPD'
+        |              ELSE p END AS p, v
+        |  FROM sliced WHERE NOT (k % 5 = 0 AND k % 3 <> 0)),
+        |s2 AS (
+        |  SELECT p, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS t
+        |  FROM f GROUP BY 1)
+        |SELECT COALESCE(s0.p, s2.p) AS o_orderpriority,
+        |       s0.n AS n_from, s0.t AS total_from,
+        |       s2.n AS n_to, s2.t AS total_to,
+        |       CASE WHEN s2.p IS NULL THEN 'removed'
+        |            WHEN s0.p IS NULL THEN 'added'
+        |            ELSE 'changed' END AS change
+        |FROM s0 FULL OUTER JOIN s2 ON s0.p = s2.p
+        |WHERE s0.p IS NULL OR s2.p IS NULL
+        |   OR s0.n <> s2.n OR s0.t <> s2.t
         |ORDER BY 1""".stripMargin,
     // the consumer pull = batch-0 image vs FINAL image (k%7 keys
     // moved to X-UPD, k%5 keys deleted — delete wins the overlap),

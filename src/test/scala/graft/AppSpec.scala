@@ -2686,11 +2686,28 @@ class AppSpec extends SparkSpec {
     row.head.getAs[String]("grp_from") shouldBe "a"
     row.head.getAs[String]("grp_to") shouldBe "b"
     row.head.getAs[String]("change") shouldBe "changed"
-    // status reports the bound and the log layer's shape
+    // status reports the bound and the log layers' shapes
     cfg("""{"kind": "status", "statePath": "lstate"}""")
     val st = Main.execute(spark, sink, dir)._2.get
     st should include(""""log_from":0""")
     st should include(""""log":{"batch_dirs":1""")
+    st should include(""""log_view":{"batch_dirs":1""")
+    // sinceBatch WITHOUT retention falls back to the fold-time logs
+    // transparently: the VIEW pull (group grain) and the base pull
+    // serve the same change sets a retained state's diffs would
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "lv0",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cv, ov) = Main.execute(spark, sink, dir)
+    withClue(ov) { cv shouldBe 0 }
+    ov.get should include(""""batch_id":1""")
+    spark.read.parquet(s"$dir/lv0").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("change")))
+      .toMap shouldBe Map("a" -> "removed", "b" -> "changed")
+    cfg("""{"kind": "export", "statePath": "lstate", "output": "lb0",
+          | "layer": "base", "sinceBatch": 0}""".stripMargin)
+    val (cb2, ob2) = Main.execute(spark, sink, dir)
+    withClue(ob2) { cb2 shouldBe 0 }
+    ob2.get should include(""""rows":1""")
     // fsck: clean, then a hand-deleted log dir is a GAP error
     cfg("""{"kind": "fsck", "statePath": "lstate"}""")
     val of0 = Main.execute(spark, sink, dir)._2.get
@@ -2711,7 +2728,7 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "gc", "statePath": "lstate", "logRetainHours": 0}""")
     val (cg, og) = Main.execute(spark, sink, dir)
     withClue(og) { cg shouldBe 0 }
-    og.get should include(""""log_deleted":1""")
+    og.get should include(""""log_deleted":2""")
     og.get should include(""""log_from":1""")
     // the reaped range refuses; a pull from the new bound serves empty
     cfg("""{"kind": "export", "statePath": "lstate", "output": "lpx",

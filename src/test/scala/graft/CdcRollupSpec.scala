@@ -1741,6 +1741,12 @@ class CdcRollupSpec extends SparkSpec {
     // a partial range nets only its own folds — equals the twin diff
     rows(CdcRollup.readBaseLog(spark, root, 1L).orderBy("id")) shouldBe
       rows(CdcRollup.diffBase(spark, twin, 1L, 2L).orderBy("id"))
+    // the GROUP-level feed nets the same way: row-equal to the
+    // retained twin's readViewSince / diffView at every range
+    rows(CdcRollup.readViewLog(spark, root, 0L).orderBy("grp")) shouldBe
+      rows(CdcRollup.readViewSince(spark, twin, 0L).orderBy("grp"))
+    rows(CdcRollup.readViewLog(spark, root, 1L).orderBy("grp")) shouldBe
+      rows(CdcRollup.diffView(spark, twin, 1L, 2L).orderBy("grp"))
     // re-pull byte-stable; empty pull at the frontier keeps the schema
     rows(CdcRollup.readBaseLog(spark, root, 0L).orderBy("id")) shouldBe
       rows(pull.orderBy("id"))
@@ -1905,5 +1911,49 @@ class CdcRollupSpec extends SparkSpec {
       CdcRollup.compactStateTo(spark, root, tmpRoot(), 4, 2,
         addColumns = Seq("x" -> "not a type"))
     }.getMessage should include("unparseable")
+  }
+
+  test("view change log: aux views pull their own group feeds with " +
+      "retention OFF — equal to the retained twin's aux " +
+      "readViewSince; compact carries every log layer") {
+    val root = tmpRoot(); val twin = tmpRoot()
+    CdcRollup.enableChangeLog(spark, root) shouldBe -1L
+    CdcRollup.enableRetention(spark, twin) shouldBe -1L
+    def alog(rows: (Long, String, String, Double, Long, String)*) =
+      rows.toDF("id", "grp", "grp2", "v", "seq", "op")
+    def afold(r: String, id: Long, d: DataFrame) =
+      CdcRollup.foldBatch(r, id, d, Seq("id"), "seq", "op",
+        Seq("grp"), Seq("v"), nBaseBuckets = 4, nAggBuckets = 2,
+        auxViews = Seq("by_g2" -> Seq("grp2")))
+    def both(id: Long, d: DataFrame): Unit = {
+      afold(root, id, d) shouldBe true
+      afold(twin, id, d) shouldBe true
+    }
+    both(0L, alog((1L, "a", "x", 10.0, 1L, "I"),
+      (2L, "a", "y", 20.0, 1L, "I"), (3L, "b", "x", 30.0, 1L, "I")))
+    both(1L, alog((2L, "b", "x", 25.0, 2L, "U")))
+    both(2L, alog((1L, "a", "x", 0.0, 3L, "D")))
+    rows(CdcRollup.readViewLog(spark, root, 0L).orderBy("grp")) shouldBe
+      rows(CdcRollup.readViewSince(spark, twin, 0L).orderBy("grp"))
+    rows(CdcRollup.readViewLog(spark, root, 0L, Some("by_g2"))
+      .orderBy("grp2")) shouldBe
+      rows(CdcRollup.readViewSince(spark, twin, 0L, Some("by_g2"))
+        .orderBy("grp2"))
+    // an undeclared aux refuses; below-bound and not-in-mode refusals
+    // ride the shared face
+    intercept[IllegalArgumentException] {
+      CdcRollup.readViewLog(spark, root, 0L, Some("nope"))
+    }.getMessage should include("no aux view")
+    intercept[IllegalStateException] {
+      CdcRollup.readViewLog(spark, twin, 0L)
+    }.getMessage should include("not in change-log mode")
+    // compact carries EVERY log layer: the aux feed's pull survives
+    // the swap byte-for-byte
+    val fresh = tmpRoot()
+    CdcRollup.compactStateTo(spark, root, fresh, 4, 2)
+    rows(CdcRollup.readViewLog(spark, fresh, 0L, Some("by_g2"))
+      .orderBy("grp2")) shouldBe
+      rows(CdcRollup.readViewLog(spark, root, 0L, Some("by_g2"))
+        .orderBy("grp2"))
   }
 }
