@@ -652,13 +652,21 @@ class CdcRollupSpec extends SparkSpec {
         :+ stream.length).sorted
       val parts = cuts.zip(cuts.tail).map { case (a, b) =>
         stream.slice(a, b) }
-      parts.zipWithIndex.foreach { case (evs, i) =>
-        val df = evs.map(e => (e.id, e.grp, e.g2, e.v, e.seq, e.op))
-          .toDF("id", "grp", "g2", "v", "seq", "op")
-        CdcRollup.foldBatch(root, i.toLong, df, Seq("id"), "seq", "op",
-          Seq("grp"), Seq("v"), 4, 2,
-          auxViews = Seq("byg2" -> Seq("g2"))) shouldBe true
-      }
+      def foldAll(r: String): Unit =
+        parts.zipWithIndex.foreach { case (evs, i) =>
+          val df = evs.map(e => (e.id, e.grp, e.g2, e.v, e.seq, e.op))
+            .toDF("id", "grp", "g2", "v", "seq", "op")
+          CdcRollup.foldBatch(r, i.toLong, df, Seq("id"), "seq", "op",
+            Seq("grp"), Seq("v"), 4, 2,
+            auxViews = Seq("byg2" -> Seq("g2"))) shouldBe true
+        }
+      foldAll(root)
+      // the CHANGE-LOG twin: the same adversarial parts with
+      // retention OFF — its forward-only pulls must equal the
+      // retained root's snapshot diffs byte-for-byte (below)
+      val twin = tmpRoot()
+      CdcRollup.enableChangeLog(spark, twin)
+      foldAll(twin)
       // the independent model: state after batches 0..i = final
       // images of the stream PREFIX those batches carried
       def model(i: Int): Map[Option[String], (Long, Double)] =
@@ -781,6 +789,29 @@ class CdcRollupSpec extends SparkSpec {
             r.getAs[Long]("id") -> r.getAs[String]("change")).toMap
         withClue(s"trial $trial base diff($i,$j) (cuts $cuts): ") {
           bgot shouldBe bwant
+        }
+      }
+      // forward-only pulls from the change-log twin ≡ the retained
+      // root's diffs to the frontier, for random 'since' points —
+      // the netting (first _from + last _to, self-cancelling moves
+      // dropped) under adversarial batch cuts, NULL groups/values,
+      // deletes and re-adds; base + view + aux grains, byte-for-byte
+      val last = (parts.length - 1).toLong
+      (0 until 3).foreach { _ =>
+        val i = rnd.nextInt(parts.length).toLong
+        withClue(s"trial $trial log pulls since $i (cuts $cuts): ") {
+          rows(CdcRollup.readBaseLog(spark, twin, i)
+            .orderBy("id")) shouldBe
+            rows(CdcRollup.diffBase(spark, root, i, last)
+              .orderBy("id"))
+          rows(CdcRollup.readViewLog(spark, twin, i)
+            .orderBy("grp")) shouldBe
+            rows(CdcRollup.diffView(spark, root, i, last)
+              .orderBy("grp"))
+          rows(CdcRollup.readViewLog(spark, twin, i, Some("byg2"))
+            .orderBy("g2")) shouldBe
+            rows(CdcRollup.diffView(spark, root, i, last,
+              auxView = Some("byg2")).orderBy("g2"))
         }
       }
     }
