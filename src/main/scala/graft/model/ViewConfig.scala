@@ -142,8 +142,12 @@ final case class CdcRollupViewConfig(statePath: String, batchId: Long,
   * images when they got the view). A plain overwrite parquet copy:
   * idempotent, no markers needed. */
 final case class ExportViewConfig(statePath: String, output: String,
-                                  /** cdcRollup only: "view" (default)
-                                    * or "base". */
+                                  /** cdcRollup only: "view" (default),
+                                    * "base" (SCD1 images),
+                                    * "aux:<name>" (an aux view), or
+                                    * "log" (the explicit base
+                                    * change-log pull — requires
+                                    * sinceBatch). */
                                   layer: String = "view",
                                   /** Export the state AS OF this batch
                                     * id — the reproducibility face.
@@ -155,15 +159,20 @@ final case class ExportViewConfig(statePath: String, output: String,
                                     * reap floor; refused on rollup
                                     * states (no history). */
                                   asOf: Option[Long] = None,
-                                  /** join states only: export ONLY
-                                    * the view rows APPENDED after
-                                    * this batch id — the incremental
-                                    * consumer pull
+                                  /** The incremental consumer pull:
+                                    * join states export the view rows
+                                    * APPENDED after this id
                                     * ([[graft.operators.JoinView
-                                    * .readViewDelta]]); record the
-                                    * frontier pulled to, pass it back
-                                    * next time. Mutually exclusive
-                                    * with `asOf`. */
+                                    * .readViewDelta]]); cdcRollup
+                                    * states export the CHANGE SET
+                                    * since it — snapshot-diff in
+                                    * retention mode, the fold-time
+                                    * logs in change-log mode, at the
+                                    * view/aux/base grain the layer
+                                    * key names. Record the reported
+                                    * batch_id (the frontier pulled
+                                    * to), pass it back next time.
+                                    * Mutually exclusive with `asOf`. */
                                   sinceBatch: Option[Long] = None,
                                   /** Cap a `sinceBatch` pull at a
                                     * cross-root manifest's GROUP
