@@ -60,6 +60,19 @@ object ViewFsck {
     }
     def ls(p: Path) = if (fs.exists(p)) fs.listStatus(p).toSeq else Nil
 
+    // witness hygiene (every family): a `_CONFIG_WITNESS` differing
+    // from a healthy live pin is the crash residue of pinLayout's
+    // commit-then-witness window — harmless (the next fold refreshes
+    // it; repair only consults the witness when the PIN is lost), but
+    // worth naming because the witness is the pin's restore path
+    graft.sources.PartitionedStore.readWitness(fs, rootPath)
+      .foreach { w =>
+        check(w != pin, error = false,
+          "stale _CONFIG_WITNESS (differs from the live pin) — a " +
+            "crash between the pin commit and the witness refresh; " +
+            "the next fold rewrites it")
+      }
+
     val family =
       if (pin.startsWith("join|")) {
         fsckMarkers(fs, rootPath, issues, () => { checks += 1 })
@@ -433,6 +446,25 @@ object ViewFsck {
               "older copy, rebuild the witness — delete the " +
               "manifest's markers and re-commit from the restored " +
               "frontier")
+          // rollup members: the frontier covering the group is not
+          // enough — the fold advances _LAST_BATCH BEFORE the bucket
+          // swap, so a crash in that gap leaves the frontier AT the
+          // group with the batch's buckets still staged (post-swap
+          // evidence is a stage no longer holding the id's markers)
+          check(rPin.exists(x => !x.startsWith("join|") &&
+              !x.startsWith("cdcRollup|")) &&
+              group.exists(g => f.exists(_ >= g) &&
+                !graft.streaming.EventStreams
+                  .rollupBatchApplied(rfs, rp, g)), error = true,
+            s"foldManifest: member root $r reports frontier " +
+              s"${f.getOrElse(-1L)} but the group-frontier batch " +
+              s"${group.getOrElse(-1L)}'s bucket swap did not finish " +
+              "(a stranded stage still holds its markers) — the " +
+              "witness OVERSTATES; consumers capping at the group " +
+              "may have read mixed snapshots",
+            fix = "re-run the fold for that batch — the replay " +
+              "recovers the staged buckets marker-first and " +
+              "completes the swap")
         }
         "foldManifest"
       } else {

@@ -110,16 +110,19 @@ object ViewMaintenance {
         // sinceBatch = the incremental consumer pull. Join views pull
         // the APPENDED rows (their batch dirs are an append log);
         // cdcRollup states pull the per-group CHANGE SET derived from
-        // the retained version chain. Plain rollup states keep no
-        // history — refuse NAMED.
+        // the retained version chain; plain rollup states pull the
+        // per-key view change set from THEIR retained COW chain —
+        // which exists only in retention mode, so without it refuse
+        // NAMED (the option that would fix it).
         if (e.sinceBatch.isDefined && !pin.startsWith("join|") &&
-            !pin.startsWith("cdcRollup|"))
+            !pin.startsWith("cdcRollup|") &&
+            graft.streaming.EventStreams.rollupAsofFloor(spark, root)
+              .isEmpty)
           throw new UserException(
-            "maintainView export: sinceBatch is the incremental pull " +
-              "over a join view's append-only batch dirs or a " +
-              "cdcRollup state's retained version chain; the state " +
-              s"under $root is '${pin.takeWhile(_ != '|')}' — rollup " +
-              "states keep no history")
+            "maintainView export: a sinceBatch pull over a rollup " +
+              "state needs retention mode (COW version chains per " +
+              s"fold; run 'retain') on the state under $root — it " +
+              "keeps no history without it")
         // cross-root manifest cap: resolve the GROUP frontier once —
         // every member view pulled with the same manifest reads one
         // consistent snapshot, even while a lagging root recovers
@@ -327,8 +330,23 @@ object ViewMaintenance {
             val keys = parts(1).split(',').toSeq
               .map(java.net.URLDecoder.decode(_, "UTF-8"))
             val statePq = new org.apache.hadoop.fs.Path(root, "state")
-            e.asOf match {
-              case Some(a) =>
+            (e.asOf, e.sinceBatch) match {
+              case (_, Some(since)) =>
+                // the pull cadence must fit the retention window —
+                // the same honesty checks as asOf, as config misuse
+                checkAsof(spark, "export", pin, root, since,
+                  keyName = "sinceBatch")
+                try {
+                  val (d, frontier) = graft.streaming.EventStreams
+                    .readRollupViewSincePinned(spark, root, since,
+                      upTo = manifestCap)
+                  (d, Some(frontier))
+                } catch {
+                  case ex: IllegalArgumentException =>
+                    throw new UserException(
+                      s"maintainView export: ${ex.getMessage}")
+                }
+              case (Some(a), _) =>
                 // the retention-mode + floor gates already ran in
                 // checkAsof above (as config misuse)
                 (graft.streaming.EventStreams
@@ -336,7 +354,7 @@ object ViewMaintenance {
                   .getOrElse(throw new UserException(
                     s"maintainView export: no committed state under " +
                       s"$root as of batch $a")), None)
-              case None =>
+              case _ =>
                 if (!fs.exists(statePq)) throw new UserException(
                   s"maintainView export: no committed state under $root")
                 (graft.operators.IncrementalAgg.finalizeState(
@@ -370,13 +388,15 @@ object ViewMaintenance {
           .getOrElse(throw new UserException(
             s"maintainView diff: no layout pin under $root — not a " +
               "view state"))
-        // diff is the cdcRollup change set (per-group state deltas);
+        // diff is the per-group/per-key change set over a retained
+        // version chain — cdcRollup states (layer-addressed) and
+        // plain rollup states (finalized view, COW history) serve it;
         // join views have no group state to diff — refuse NAMED
-        if (!pin.startsWith("cdcRollup|"))
+        if (pin.startsWith("join|"))
           throw new UserException(
             "maintainView diff: the change set is defined on " +
-              s"cdcRollup states; the state under $root is " +
-              s"'${pin.takeWhile(_ != '|')}'")
+              s"cdcRollup and rollup states; the state under $root " +
+              s"is '${pin.takeWhile(_ != '|')}'")
         // unknown layer values refuse as config misuse, never fall
         // through to the main view (the export-face discipline; the
         // parser validates too, this face also serves programmatic
@@ -387,12 +407,23 @@ object ViewMaintenance {
             s"maintainView diff: unknown layer '${d.layer}' for a " +
               "cdcRollup state (view | base | aux:<name>) — refusing " +
               "rather than silently diffing the main view")
+        // rollup states have ONE face — the finalized view; a layer
+        // address names a cdcRollup concept, refuse rather than
+        // silently serving the view
+        if (!pin.startsWith("cdcRollup|") && d.layer != "view")
+          throw new UserException(
+            s"maintainView diff: layer '${d.layer}' names a " +
+              "cdcRollup layer; a rollup state diffs its finalized " +
+              "view only (layer 'view')")
         // the same CLI-face honesty checks as asOf lookup/export
         checkAsof(spark, "diff", pin, root, d.fromBatch)
         val auxName = Some(d.layer).filter(_.startsWith("aux:"))
           .map(_.stripPrefix("aux:"))
         val df = try {
-          if (d.layer == "base")
+          if (!pin.startsWith("cdcRollup|"))
+            graft.streaming.EventStreams.diffRollupView(
+              spark, root, d.fromBatch, d.toBatch)
+          else if (d.layer == "base")
             graft.operators.CdcRollup.diffBase(
               spark, root, d.fromBatch, d.toBatch)
           else graft.operators.CdcRollup.diffView(
@@ -622,18 +653,52 @@ object ViewMaintenance {
             "maintainView compact: nAggBuckets is only valid for " +
               s"cdcRollup states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}' — use nBuckets")
-        // schema evolution is a cdcRollup-pin concern (the other
-        // families carry no typed payload pin) — refuse NAMED
-        if (c.addColumns.nonEmpty && !pin.startsWith("cdcRollup|"))
+        // schema evolution rides the typed pins: cdcRollup payload
+        // columns, or join-view side columns (side-qualified names —
+        // 'a.<col>' / 'b.<col>', the view keeps both sides' columns
+        // so the side must be explicit). Plain rollup states carry no
+        // typed payload pin — refuse NAMED.
+        if (c.addColumns.nonEmpty && !pin.startsWith("cdcRollup|") &&
+            !pin.startsWith("join|"))
           throw new UserException(
             "maintainView compact: addColumns is only valid for " +
-              s"cdcRollup states; the state under $root is " +
+              s"cdcRollup and join states; the state under $root is " +
               s"'${pin.takeWhile(_ != '|')}' — drop the key")
         val rows =
-          if (pin.startsWith("join|"))
-            JoinView.compactStateTo(spark, root, fresh,
+          if (pin.startsWith("join|")) {
+            // split the side-qualified adds; an unqualified name is
+            // config misuse (which side would it land on?)
+            val (qa, qb) = (Seq.newBuilder[(String, String)],
+              Seq.newBuilder[(String, String)])
+            c.addColumns.foreach { case (n, t) =>
+              if (n.startsWith("a.") && n.length > 2)
+                qa += ((n.stripPrefix("a."), t))
+              else if (n.startsWith("b.") && n.length > 2)
+                qb += ((n.stripPrefix("b."), t))
+              else throw new UserException(
+                s"maintainView compact: addColumns name '$n' on a " +
+                  "join state needs a side qualifier — 'a.<col>' or " +
+                  "'b.<col>' (the view keeps both sides' columns, so " +
+                  "the side must be explicit)")
+            }
+            // retype / collision / key / legacy-pin refusals are
+            // config misuse at this face — rewrap to exit 1
+            try JoinView.compactStateTo(spark, root, fresh,
               c.nBuckets.getOrElse(pin.split('|').last.toIntOption
-                .getOrElse(64)))
+                .getOrElse(64)),
+              addColumnsA = qa.result(), addColumnsB = qb.result())
+            catch {
+              case ex: IllegalArgumentException
+                  if c.addColumns.nonEmpty &&
+                    (ex.getMessage.contains("addColumns") ||
+                      ex.getMessage.contains("added column") ||
+                      ex.getMessage.contains("already declared") ||
+                      ex.getMessage.contains("join key") ||
+                      ex.getMessage.contains("names-only")) =>
+                throw new UserException(
+                  s"maintainView compact: ${ex.getMessage}")
+            }
+          }
           else if (pin.startsWith("cdcRollup|")) {
             // nBuckets (when given) re-shards BOTH layers; nAggBuckets
             // overrides the agg/grp side alone — the knob that keeps

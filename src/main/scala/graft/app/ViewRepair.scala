@@ -25,12 +25,20 @@ import org.apache.spark.sql.SparkSession
   *    gate; included here so one `repair --apply` leaves a state
   *    fsck-clean.
   *
-  * Everything else — pin drift, bucket dirs outside the pinned count,
-  * foreign floor/seed/bound files, change-log coverage gaps — is the
-  * UNSAFE class: repair never touches it (a malformed pin refuses the
-  * whole run loudly — nothing can be decided without the layout), and
-  * the post-repair fsck embedded in the report names what remains
-  * manual.
+  *  - **restore a lost/garbled `_CONFIG` from the writer-declared
+  *    witness** (`_CONFIG_WITNESS`, maintained by every fold through
+  *    [[graft.sources.PartitionedStore.pinLayout]]) — but ONLY with
+  *    proof: the witness parses for its family AND every on-disk
+  *    bucket dir fits its pinned counts (an id at or past a count
+  *    would mean a different bucket function — restoring that pin
+  *    would bless wrong-bucket reads). A missing, tampered, or
+  *    garbled-pin-identical witness keeps the whole run in the
+  *    loud-refusal class.
+  *
+  * Everything else — live pin drift, bucket dirs outside the pinned
+  * count, foreign floor/seed/bound files, change-log coverage gaps —
+  * is the UNSAFE class: repair never touches it, and the post-repair
+  * fsck embedded in the report names what remains manual.
   *
   * DRY-RUN by default: without `apply` the report lists what WOULD
   * run and mutates nothing. */
@@ -40,14 +48,137 @@ object ViewRepair {
                  apply: Boolean): String = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
-      .getOrElse(throw new UserException(
-        s"maintainView repair: no layout pin under $root — not a " +
-          "view state"))
     // (what, result) — result None on dry-run
     val repairs = Seq.newBuilder[(String, Option[String])]
     def plan(what: String)(exec: => String): Unit =
       repairs += ((what, if (apply) Some(exec) else None))
+
+    // ---- pin restore from the writer-declared witness -------------
+    // `_CONFIG_WITNESS` is the second pin copy every fold maintains
+    // (PartitionedStore.pinLayout). A lost/garbled `_CONFIG` joins
+    // the SAFE class exactly when the witness can PROVE it matches
+    // the state bytes: the witness parses for its family AND every
+    // on-disk bucket dir fits its pinned counts — an id at or past a
+    // count would mean the state was written under a DIFFERENT
+    // bucket function, and restoring that pin would bless wrong-
+    // bucket reads. Anything less stays the loud-refusal class.
+    def bucketIdsUnder(dir: Path, prefix: String): Seq[Int] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(_.stripPrefix(prefix).toIntOption)
+    /** None = provable; Some(reason) otherwise. */
+    def witnessFlaw(w: String): Option[String] =
+      if (w.startsWith("cdcRollup|")) {
+        try {
+          val l = graft.operators.CdcRollup.parseLayout(w, root)
+          val baseBad = bucketIdsUnder(new Path(rootPath, "base"),
+            "bucket=").filter(_ >= l.nBaseBuckets)
+          val aggLayers = Seq("agg", "grp") ++
+            l.auxViews.map("aux_" + _._1) ++
+            l.auxMinMax.keys.toSeq.map("grp_aux_" + _)
+          val aggBad = aggLayers.flatMap(ly => bucketIdsUnder(
+            new Path(rootPath, ly), "bucket=")).filter(_ >= l.nAggBuckets)
+          if (baseBad.nonEmpty || aggBad.nonEmpty)
+            Some("on-disk bucket ids " +
+              (baseBad ++ aggBad).distinct.sorted.mkString(",") +
+              " fall outside the witness's pinned counts")
+          else None
+        } catch {
+          case e: IllegalArgumentException =>
+            Some(s"the witness does not parse: ${e.getMessage}")
+        }
+      } else if (w.startsWith("join|")) {
+        val parts = w.split('|')
+        val n = if (parts.length == 5) parts(4).toIntOption else None
+        n.filter(_ >= 1) match {
+          case None => Some(s"the witness does not parse: '$w'")
+          case Some(nb) =>
+            val bad = Seq("a", "b", "view").flatMap { side =>
+              val sideDir = new Path(rootPath, side)
+              if (!fs.exists(sideDir)) Nil
+              else fs.listStatus(sideDir).toSeq.map(_.getPath)
+                .filter(_.getName.startsWith("d"))
+                .flatMap(d => bucketIdsUnder(d, "__bucket="))
+            }.filter(_ >= nb)
+            if (bad.nonEmpty) Some("on-disk bucket ids " +
+              bad.distinct.sorted.mkString(",") +
+              " fall outside the witness's pinned count")
+            else None
+        }
+      } else if (w.startsWith("foldManifest|")) {
+        // marker-only family — a parseable nonempty root list is the
+        // whole proof (no bucket dirs to cross-check)
+        if (w.stripPrefix("foldManifest|").split(',').exists(_.nonEmpty))
+          None
+        else Some("the witness declares no roots")
+      } else {
+        val parts = w.split('|')
+        val n = if (parts.length == 3) parts(0).toIntOption else None
+        n.filter(_ >= 1) match {
+          case None => Some(s"the witness does not parse: '$w'")
+          case Some(nb) =>
+            val bad = (bucketIdsUnder(new Path(rootPath, "state"),
+              "bucket=") ++ bucketIdsUnder(new Path(rootPath, "history"),
+              "bucket=")).filter(_ >= nb)
+            if (bad.nonEmpty) Some("on-disk bucket ids " +
+              bad.distinct.sorted.mkString(",") +
+              " fall outside the witness's pinned count")
+            else None
+        }
+      }
+    val stored = graft.sources.PartitionedStore.readPin(fs, rootPath)
+    def cdcGarbled(p: String) = p.startsWith("cdcRollup|") &&
+      scala.util.Try(graft.operators.CdcRollup.parseLayout(p, root))
+        .isFailure
+    val pin: String = stored match {
+      case Some(p) if !cdcGarbled(p) => p
+      case _ =>
+        val why = stored.map(p => s"malformed layout pin '$p'")
+          .getOrElse("no layout pin")
+        graft.sources.PartitionedStore.readWitness(fs, rootPath) match {
+          case Some(w) if !stored.contains(w) && witnessFlaw(w).isEmpty =>
+            plan("restore _CONFIG from the writer-declared witness " +
+              "(provable: the witness parses for its family and " +
+              "every on-disk bucket dir fits its pinned counts)") {
+              // the pin's own temp+rename discipline
+              fs.listStatus(rootPath).toSeq
+                .filter(_.getPath.getName.startsWith("_CONFIG_tmp_"))
+                .foreach(st => fs.delete(st.getPath, false))
+              val tmp = new Path(rootPath, "_CONFIG_tmp_repair")
+              val out = fs.create(tmp, true)
+              try out.write(w.getBytes("UTF-8")) finally out.close()
+              val dst = new Path(rootPath, "_CONFIG")
+              if (!fs.rename(tmp, dst)) {
+                if (fs.exists(dst)) fs.delete(dst, true)
+                if (!fs.rename(tmp, dst))
+                  throw new java.io.IOException(
+                    s"repair: could not restore _CONFIG at $root")
+              }
+              "restored"
+            }
+            w // plan (and on apply: run) the rest against the witness
+          case Some(w) =>
+            val reason =
+              if (stored.contains(w))
+                "the witness matches the garbled pin byte-for-byte — " +
+                  "no independent evidence"
+              else witnessFlaw(w).getOrElse("unprovable")
+            throw new UserException(
+              s"maintainView repair: $why under $root and the " +
+                s"_CONFIG_WITNESS cannot prove a restore ($reason) — " +
+                "the UNSAFE class: restore _CONFIG from the writer's " +
+                "declared layout by hand (the fsck runbook hint)")
+          case None =>
+            throw new UserException(
+              s"maintainView repair: $why under $root and no " +
+                "_CONFIG_WITNESS exists (a state written before the " +
+                "witness discipline gains one on its next fold) — " +
+                "the UNSAFE class: repair cannot derive anything " +
+                "without a provable layout; restore _CONFIG from the " +
+                "writer's declared layout by hand")
+        }
+    }
 
     val family =
       if (pin.startsWith("join|")) {
@@ -57,22 +188,16 @@ object ViewRepair {
         }
         "join"
       } else if (pin.startsWith("cdcRollup|")) {
-        // the unsafe class refuses the whole run: without a sane pin
-        // no rebuild target can be trusted
-        val layout =
-          try graft.operators.CdcRollup.parseLayout(pin, root)
-          catch {
-            case _: IllegalArgumentException =>
-              throw new UserException(
-                s"maintainView repair: malformed layout pin '$pin' " +
-                  s"under $root — the UNSAFE class: repair cannot " +
-                  "derive anything from a drifted pin; restore " +
-                  "_CONFIG from the writer's declared layout first " +
-                  "(the fsck runbook hint)")
-          }
+        // parses by construction: a stored pin passed cdcGarbled, a
+        // witness-restored one passed witnessFlaw
+        val layout = graft.operators.CdcRollup.parseLayout(pin, root)
         val markers = graft.operators.BatchMarkers.read(fs, rootPath)
         if (markers.maxCommitted.isDefined) {
-          val declared =
+          // 'agg' included: like every derived layer it is an exact
+          // function of the SCD1 base images (rebuildDerivedLayer's
+          // first supported target) — omitting it would leave a
+          // missing-agg state with a red embedded fsck and no plan
+          val declared = Seq("agg") ++
             (if (layout.minMaxCols.nonEmpty) Seq("grp") else Nil) ++
               layout.auxViews.map("aux_" + _._1) ++
               layout.auxMinMax.keys.toSeq.sorted.map("grp_aux_" + _)
@@ -125,10 +250,18 @@ object ViewRepair {
               try out.write(ev.toString.getBytes("UTF-8"))
               finally out.close()
               val dst = new Path(rootPath, "_LAST_BATCH")
-              if (fs.exists(dst)) fs.delete(dst, false)
-              if (!fs.rename(tmp, dst))
-                throw new java.io.IOException(
-                  s"repair: could not restore _LAST_BATCH at $root")
+              // overwriting-rename FIRST (local rename(2) replaces
+              // dst in place — no missing-_LAST_BATCH crash window);
+              // only a store whose rename refuses an existing dst
+              // falls back to delete-then-rename, whose crash residue
+              // (a missing _LAST_BATCH) is exactly what a re-run of
+              // this repair restores from the same evidence
+              if (!fs.rename(tmp, dst)) {
+                if (fs.exists(dst)) fs.delete(dst, false)
+                if (!fs.rename(tmp, dst))
+                  throw new java.io.IOException(
+                    s"repair: could not restore _LAST_BATCH at $root")
+              }
               s"restored=$ev"
             }
           }
@@ -148,8 +281,20 @@ object ViewRepair {
         result.map(graft.JsonUtil.str).getOrElse("null") + "}"
     }.mkString("[", ",", "]")
     // the post-repair audit names what stays manual — embedded whole,
-    // so one repair report is a complete runbook state
-    val fsck = ViewFsck.fsckJson(spark, root)
+    // so one repair report is a complete runbook state. On a DRY-RUN
+    // whose plan includes the pin restore, the state still has no
+    // servable pin — fsck refuses pinless paths; embed that refusal
+    // as the honest audit instead of crashing the report
+    val fsck =
+      try ViewFsck.fsckJson(spark, root)
+      catch {
+        case e: UserException =>
+          s"""{"family":"$family","ok":false,""" +
+            """"checks":0,"errors":[{"what":""" +
+            graft.JsonUtil.str(e.getMessage) +
+            ""","fix":"run repair with apply — the planned pin """ +
+            """restore clears this"}],"warnings":[]}"""
+      }
     s"""{"family":"$family","apply":$apply,""" +
       s""""repairs":$repairsJson,"fsck":$fsck}"""
   }

@@ -396,16 +396,21 @@ final case class ManifestViewConfig(statePath: String, batchId: Long,
 final case class CompactViewConfig(statePath: String, freshPath: String,
                                    nBuckets: Option[Int] = None,
                                    nAggBuckets: Option[Int] = None,
-                                   /** cdcRollup only — SCHEMA
-                                     * EVOLUTION at compact time
-                                     * (config: `addColumns:
+                                   /** SCHEMA EVOLUTION at compact
+                                     * time (config: `addColumns:
                                      * {name: type}`): nullable
                                      * payload columns added to the
                                      * migrated pin, NULL-filled in
-                                     * the existing base images.
-                                     * Retypes / role columns keep
-                                     * refusing ([[graft.operators
-                                     * .CdcRollup.compactStateTo]]). */
+                                     * the existing images. cdcRollup
+                                     * states take bare names
+                                     * ([[graft.operators.CdcRollup
+                                     * .compactStateTo]]); join states
+                                     * take side-qualified names —
+                                     * `a.<col>` / `b.<col>`
+                                     * ([[graft.operators.JoinView
+                                     * .compactStateTo]]). Retypes /
+                                     * role columns / cross-side
+                                     * collisions keep refusing. */
                                    addColumns: Seq[(String, String)]
                                      = Nil)
     extends ViewConfig {

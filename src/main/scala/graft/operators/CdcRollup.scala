@@ -1464,8 +1464,17 @@ object CdcRollup {
     * (this fold's keys only — the fold already holds both images);
     * pulls read ONLY the committed log dirs in range — O(changes in
     * range), never a state scan. Idempotent; an enable on a floorless
-    * crash residue simply resumes. @return the log-from bound in
-    * force */
+    * crash residue simply resumes.
+    *
+    * SINGLE-WRITER requirement: enable with NO fold in flight. A
+    * racing fold reads `logOn=false` at start and commits with no
+    * `b<id>` dir — yet its id lands ABOVE the enable-time bound
+    * (read as maxCommitted before that fold committed), minting a
+    * coverage gap. The gap cannot serve wrong data — [[readBaseLog]]
+    * / [[readViewLog]] refuse a range whose committed ids lack their
+    * log dirs (netLogRange's coverage check), and fsck names the
+    * same shape — but only re-enabling after a consumer re-baseline
+    * clears it. @return the log-from bound in force */
   def enableChangeLog(spark: SparkSession, root: String): Long = {
     import org.apache.hadoop.fs.Path
     val rootPath = new Path(root)
@@ -1673,7 +1682,7 @@ object CdcRollup {
     val keyCols = keys.map(_._1)
     val stateCols = states.map(_._1)
     val logDir = new Path(rootPath, layer)
-    val dirs =
+    val inRange =
       if (!fs.exists(logDir)) Nil
       else fs.listStatus(logDir).toSeq.map(_.getPath)
         .filter { p =>
@@ -1684,8 +1693,31 @@ object CdcRollup {
               markers.committed(id) && id > afterId && id <= frontier
             }
         }
-        .filter(p =>
-          graft.sources.PartitionedStore.hasDataEntries(fs, p))
+    // COVERAGE, not just presence: every committed fold in range MUST
+    // have its `b<id>` dir (even an empty fold mkdirs one — the
+    // coverage witness). A gap is the one wrong-data shape this layer
+    // can take — a fold that committed while log emission was off
+    // (enableChangeLog raced an in-flight fold: it read logOn=false
+    // at start, yet its id lands above the enable-time bound) or a
+    // hand-deleted dir — and netting around it would serve a silently
+    // incomplete change set. Refuse loud; fsck names the same shape
+    // out-of-band. Only individually-listable markers are checkable
+    // (watermark-subsumed ids carry no per-id witness), which covers
+    // the race: a fold recent enough to race the enable is never
+    // aged into the watermark yet.
+    val present = inRange.map(_.getName.drop(1).toLong).toSet
+    val gaps = markers.ids
+      .filter(id => id > afterId && id <= frontier && !present(id))
+    if (gaps.nonEmpty) throw new IllegalStateException(
+      s"$layer under $rootPath: committed fold(s) " +
+        s"${gaps.toSeq.sorted.mkString(", ")} in the pull range " +
+        s"($afterId, $frontier] have no log dir — the log does not " +
+        "cover the range (change-log mode enabled while a fold was " +
+        "in flight? a hand-deleted dir?); re-baseline the consumer " +
+        "with a full export. enableChangeLog requires the " +
+        "single-writer discipline: no fold in flight at enable time")
+    val dirs = inRange.filter(p =>
+      graft.sources.PartitionedStore.hasDataEntries(fs, p))
     import org.apache.spark.sql.types.{LongType, StringType,
       StructField, StructType}
     val rawSchema = StructType(
@@ -2204,6 +2236,7 @@ object CdcRollup {
         for (l <- presentLayers(fs, freshPath))
           fs.delete(new Path(freshPath, l), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
+        fs.delete(new Path(freshPath, "_CONFIG_WITNESS"), true)
         for (l <- presentLogLayers(fs, freshPath))
           fs.delete(new Path(freshPath, l), true)
         BatchMarkers.clearFloors(fs, freshPath)

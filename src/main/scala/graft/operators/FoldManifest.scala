@@ -92,15 +92,24 @@ object FoldManifest {
       val ok =
         if (pin.startsWith("join|") || pin.startsWith("cdcRollup|"))
           BatchMarkers.read(rfs, rp).committed(batchId)
-        else // rollup family: _LAST_BATCH is the committed frontier
-          graft.streaming.EventStreams.readLastBatch(rfs, rp)
-            .exists(batchId <= _)
+        else
+          // rollup family: POST-SWAP evidence, not bare _LAST_BATCH —
+          // the fold advances the frontier BEFORE the bucket swap, so
+          // a crash in that gap leaves the frontier at batchId with
+          // the buckets still staged; witnessing on the frontier
+          // alone would bless exactly the mixed read the manifest
+          // exists to prevent (rollupBatchApplied checks for a
+          // stranded stage still holding this id's markers)
+          graft.streaming.EventStreams.rollupBatchApplied(rfs, rp, batchId)
       if (!ok) throw new IllegalStateException(
         s"foldManifest batch $batchId: root $root has NOT committed " +
-          "it — the crash-between-roots shape; re-run the group's " +
-          "folds (each a quiet no-op where already applied), then " +
-          "retry the manifest commit. Witnessing an uncommitted " +
-          "root would bless a mixed read")
+          "it — the crash-between-roots shape (or, for a rollup " +
+          "root, a fold that crashed between its _LAST_BATCH advance " +
+          "and its bucket swap); re-run the group's folds (each a " +
+          "quiet no-op where already applied — the rollup replay " +
+          "recovers its staged buckets marker-first), then retry " +
+          "the manifest commit. Witnessing an uncommitted root " +
+          "would bless a mixed read")
     }
     BatchMarkers.commit(fs, p, batchId)
     true

@@ -519,7 +519,31 @@ object JoinView {
     *
     * @return number of view rows compacted */
   def compactStateTo(spark: SparkSession, root: String, freshRoot: String,
-                     nBuckets: Int = 64): Long = {
+                     nBuckets: Int = 64,
+                     /** SCHEMA EVOLUTION (the
+                       * [[graft.operators.CdcRollup.compactStateTo]]
+                       * addColumns discipline, join-flavored):
+                       * NULLABLE payload columns to ADD to side a /
+                       * side b — each (name, Spark DDL type) migrates
+                       * the side's typed pin field and NULL-fills the
+                       * compacted `d0` of that side AND of the view
+                       * (the view keeps both sides' columns), so a
+                       * long-lived join view gains a column without a
+                       * full rebuild. Payload-only: an existing column
+                       * on EITHER side (retype / cross-side collision
+                       * — the [[checkKeys]] rule), the join key, or a
+                       * staging-namespace name refuses loud. Post-
+                       * migration folds must carry the new columns in
+                       * their deltas (NULL upstream where absent) —
+                       * an old-schema delta refuses on the pin. The
+                       * delta-pull mixed-schema hazard needs no extra
+                       * bound: compaction already floors
+                       * [[readViewDelta]] at the frontier, and every
+                       * servable post-compact dir carries the new
+                       * schema (`d0` is NULL-filled for
+                       * [[readCommittedView]] unions). */
+                     addColumnsA: Seq[(String, String)] = Nil,
+                     addColumnsB: Seq[(String, String)] = Nil): Long = {
     import org.apache.hadoop.fs.Path
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val rootPath = new Path(root)
@@ -532,6 +556,46 @@ object JoinView {
     require(parts.length == 5 && parts(0) == "join",
       s"compactStateTo: unrecognized layout pin '$pin' under $root")
     val key = java.net.URLDecoder.decode(parts(1), "UTF-8")
+    // ---- schema evolution: validate + canonicalize the adds --------
+    def decPair(s: String) = s.split(':') match {
+      case Array(n, t) => (java.net.URLDecoder.decode(n, "UTF-8"),
+        java.net.URLDecoder.decode(t, "UTF-8"))
+      // legacy names-only pin field (pre-r12): name with no type
+      case _ => (java.net.URLDecoder.decode(s, "UTF-8"), "")
+    }
+    val declaredA = parts(2).split(',').toSeq.filter(_.nonEmpty).map(decPair)
+    val declaredB = parts(3).split(',').toSeq.filter(_.nonEmpty).map(decPair)
+    val declaredNames = (declaredA ++ declaredB).map(_._1).toSet
+    val allAdds = addColumnsA ++ addColumnsB
+    require(allAdds.map(_._1).distinct.size == allAdds.size,
+      "compactStateTo: addColumns lists a column twice (across both " +
+        "sides too — the view keeps both sides' columns)")
+    def canon(adds: Seq[(String, String)]) = adds.map { case (c, t) =>
+      require(c.nonEmpty && t.nonEmpty,
+        "compactStateTo: addColumns entries need a name and a type")
+      // covers the join key too: it is declared on both sides, and
+      // re-keying means re-bucketing — fold into a fresh root instead
+      require(!declaredNames(c),
+        s"compactStateTo: column '$c' is already declared on a side " +
+          "— compaction adds NULLABLE payload columns only; retyping " +
+          "or re-adding (on either side: the view keeps both sides' " +
+          "columns, so a cross-side duplicate would collide exactly " +
+          "like at init) refuses")
+      require(!c.startsWith("__"),
+        s"compactStateTo: added column '$c' collides with the " +
+          "staging namespace — rename upstream")
+      val dt =
+        try org.apache.spark.sql.types.DataType.fromDDL(t)
+        catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"compactStateTo: added column '$c' has an unparseable " +
+              s"type '$t'")
+        }
+      // canonical spelling — what later folds compute from their
+      // delta schemas (catalogString)
+      (c, dt.catalogString)
+    }
+    val (addsA, addsB) = (canon(addColumnsA), canon(addColumnsB))
     // "already holds a state" means a COMMITTED batch, not a pin: a
     // crash between the fresh pin and the marker leaves a
     // pinned-but-dataless root the retry must reclaim, not refuse on
@@ -545,6 +609,7 @@ object JoinView {
         for (side <- Seq("a", "b", "view"))
           fs.delete(new Path(freshPath, side), true)
         fs.delete(new Path(freshPath, "_CONFIG"), true)
+        fs.delete(new Path(freshPath, "_CONFIG_WITNESS"), true)
         BatchMarkers.clearFloors(fs, freshPath)
       case Some(p) => throw new IllegalStateException(
         s"compactStateTo: $freshRoot carries a non-join pin '$p' — " +
@@ -568,13 +633,39 @@ object JoinView {
       }
     // fresh pin: the SOURCE pin's key + column fields verbatim (so a
     // later fold checks against exactly what it would have at the old
-    // root), the (possibly new) bucket count
+    // root), the (possibly new) bucket count — and the MIGRATED side
+    // fields when columns are added (sorted by name in the fold's own
+    // spelling, so post-migration folds match byte-for-byte)
+    if (allAdds.nonEmpty)
+      require(declaredA.forall(_._2.nonEmpty) &&
+          declaredB.forall(_._2.nonEmpty),
+        s"compactStateTo: the pin under $root still carries the " +
+          "legacy names-only spelling — its column types are " +
+          "unknowable, so a migrated pin cannot be written; fold one " +
+          "batch first (the fold migrates the pin in place)")
+    def encPin(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    def sideField(verbatim: String, declared: Seq[(String, String)],
+                  adds: Seq[(String, String)]) =
+      if (adds.isEmpty) verbatim
+      else (declared ++ adds).sortBy(_._1)
+        .map { case (n, t) => encPin(n) + ":" + encPin(t) }
+        .mkString(",")
     graft.sources.PartitionedStore.pinLayout(fs, freshPath, freshRoot,
-      s"join|${parts(1)}|${parts(2)}|${parts(3)}|$nBuckets")
+      s"join|${parts(1)}|${sideField(parts(2), declaredA, addsA)}|" +
+        s"${sideField(parts(3), declaredB, addsB)}|$nBuckets")
     val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
+    // schema evolution: the compacted images gain the added columns
+    // as typed NULLs — side a its own adds, side b its own, the view
+    // both (it keeps both sides' columns)
+    def widen(df: DataFrame, adds: Seq[(String, String)]) =
+      adds.foldLeft(df) { case (d, (c, t)) =>
+        d.withColumn(c, lit(null).cast(t))
+      }
+    val addsFor = Map("a" -> addsA, "b" -> addsB,
+      "view" -> (addsA ++ addsB))
     def stage(side: String): Unit = committed(side) match {
       case Some(df) =>
-        df.withColumn("__bucket", bucketOf)
+        widen(df, addsFor(side)).withColumn("__bucket", bucketOf)
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(new Path(freshPath, s"$side/.staging0").toString)
         if (!fs.rename(new Path(freshPath, s"$side/.staging0"),

@@ -747,6 +747,34 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // CHANGE SET between two rollup snapshots
+    // ([[graft.streaming.EventStreams.diffRollupView]]): the last
+    // view-family asymmetry closed — diff(1, 2) over the retained COW
+    // chain must equal the full outer join of the batch-0..1 GROUP BY
+    // against the batch-0..2 GROUP BY, restricted to customers that
+    // actually differ, labeled added/changed ('removed' cannot arise
+    // on an insert-only rollup). Version-chain pruning: both snapshot
+    // reads touch ONLY buckets holding a committed version in (1, 2]
+    // — a diff that scanned either full state, leaked a ride-along
+    // key, or mislabeled a first-seen customer hashes red.
+    "rollup_diff_view" -> ((s, dir) => {
+      val root = "/tmp/graft_roldf_" + dir.replaceAll("[^0-9.]", "")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      graft.streaming.EventStreams.enableRollupRetention(s, root)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 4 === 0)
+      (0 until 3).foreach { i =>
+        graft.streaming.EventStreams.applyRollupBatchBucketed(
+          ord.filter(col("o_orderkey") % 3 === i), root, i.toLong,
+          Seq("o_custkey"), "o_totalprice", nBuckets = 4)
+      }
+      graft.streaming.EventStreams.diffRollupView(s, root, 1L, 2L)
+        .orderBy(col("o_custkey"))
+    }),
+
     // Incremental JOIN-view maintenance: the denormalized
     // orders⋈lineitem view kept current by folding three insert
     // batches PER SIDE through the delta algebra
@@ -1962,6 +1990,42 @@ object RelationalQueries {
         |FROM orders
         |WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 < 2
         |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    // the batch-0..1 prefix vs the batch-0..2 prefix of the k%4
+    // slice, full-outer-joined per customer, differing rows only
+    "rollup_diff_view" ->
+      """WITH f AS (
+        |  SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(o_totalprice) AS mean,
+        |    MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 < 2
+        |  GROUP BY o_custkey),
+        |t AS (
+        |  SELECT o_custkey, COUNT(o_totalprice) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(o_totalprice) AS mean,
+        |    MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 0
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(f.o_custkey, t.o_custkey) AS o_custkey,
+        |  f.n AS n_from, f.total AS total_from, f.mean AS mean_from,
+        |  f.vmin AS vmin_from, f.vmax AS vmax_from,
+        |  t.n AS n_to, t.total AS total_to, t.mean AS mean_to,
+        |  t.vmin AS vmin_to, t.vmax AS vmax_to,
+        |  CASE WHEN f.o_custkey IS NULL THEN 'added'
+        |       WHEN t.o_custkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM f FULL JOIN t ON f.o_custkey = t.o_custkey
+        |WHERE f.o_custkey IS NULL OR t.o_custkey IS NULL
+        |   OR f.n <> t.n OR f.total <> t.total OR f.mean <> t.mean
+        |   OR f.vmin <> t.vmin OR f.vmax <> t.vmax
         |ORDER BY o_custkey""".stripMargin,
     "forward_fill_events" ->
       """SELECT event_id, user_id, sparse,

@@ -269,16 +269,53 @@ object PartitionedStore {
         throw new java.io.IOException(
           s"could not commit layout pin at $configFile")
     }
+    // WRITER-DECLARED LAYOUT WITNESS: a second copy of the pin under
+    // an independent name (`_CONFIG_WITNESS`, same temp+rename
+    // discipline), refreshed on every call — the writer holds the
+    // full layout in hand anyway. It is maintenance metadata, never
+    // read on a serving path (readers trust only `_CONFIG`); its one
+    // consumer is `repair`, which may RESTORE a lost/garbled pin when
+    // the witness parses AND its bucket counts match the on-disk
+    // dirs — proof, hence the safe class. Cost on the steady-state
+    // matching-pin path: one extra exists+open per call.
+    def witness(): Unit = {
+      val wFile = new Path(target, "_CONFIG_WITNESS")
+      val cur =
+        if (!fs.exists(wFile)) None
+        else {
+          val in = fs.open(wFile)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        }
+      if (!cur.contains(config)) {
+        fs.listStatus(target).toSeq
+          .filter(_.getPath.getName.startsWith("_CONFIG_WITNESS_tmp_"))
+          .foreach(st => fs.delete(st.getPath, false))
+        val tmp = new Path(target, "_CONFIG_WITNESS_tmp_" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val out = fs.create(tmp, true)
+        try out.write(config.getBytes("UTF-8")) finally out.close()
+        // overwriting-rename first; delete-then-rename fallback's
+        // crash residue is a missing witness — refreshed next call
+        if (!fs.rename(tmp, wFile)) {
+          if (fs.exists(wFile)) fs.delete(wFile, false)
+          if (!fs.rename(tmp, wFile))
+            throw new java.io.IOException(
+              s"could not commit layout witness at $wFile")
+        }
+      }
+    }
     readPin(fs, target) match {
-      case Some(c) if c == config => ()
+      case Some(c) if c == config => witness()
       case Some(c) if c.nonEmpty &&
           (legacy.contains(c) ||
             // canon may decode stored bytes — a malformed pin (e.g. a
             // truncated %-escape) must fall through to the loud
             // mismatch error below, not crash with a decode exception
             scala.util.Try(canon(c) == canon(config)).getOrElse(false)) =>
-        commit() // same layout, older spelling — migrate the pin
-      case Some("") | None if !hasDataEntries(fs, target) => commit()
+        commit(); witness() // same layout, older spelling — migrate
+      case Some("") | None if !hasDataEntries(fs, target) =>
+        commit(); witness()
       case Some("") | None =>
         throw new graft.model.UserException(
           s"table at $path has a missing or empty layout pin but holds " +
@@ -305,6 +342,23 @@ object PartitionedStore {
     if (!fs.exists(configFile)) None
     else {
       val in = fs.open(configFile)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(s)
+    }
+  }
+
+  /** The writer-declared layout witness (`_CONFIG_WITNESS`) — the
+    * second pin copy [[pinLayout]] maintains; read ONLY by `repair`
+    * (serving paths trust `_CONFIG` alone). */
+  private[graft] def readWitness(fs: org.apache.hadoop.fs.FileSystem,
+                                 target: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val wFile = new Path(target, "_CONFIG_WITNESS")
+    if (!fs.exists(wFile)) None
+    else {
+      val in = fs.open(wFile)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       Some(s)

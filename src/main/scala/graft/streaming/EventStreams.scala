@@ -789,6 +789,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming face of the CROSS-ROOT fold manifest
+    * ([[graft.operators.FoldManifest]]): fold one micro-batch bus
+    * into N view roots, then GROUP-commit the batch id — each root's
+    * own exactly-once protocol plus the manifest witness, driven by
+    * a real foreachBatch restart loop instead of an out-of-band
+    * orchestrator.
+    *
+    * `folds` pairs each root path with its fold thunk — close over
+    * the family call ([[graft.operators.CdcRollup.foldBatch]],
+    * [[applyRollupBatchBucketed]],
+    * [[graft.operators.JoinView.foldBatchDirs]], ...). A thunk must
+    * write exactly its own root: the manifest commit verifies every
+    * root's OWN committed evidence (rollup roots by POST-swap
+    * evidence) before witnessing, so a thunk that wrote elsewhere
+    * refuses there rather than overstating the group.
+    *
+    * Crash ANYWHERE — between roots, or between the last fold and
+    * the manifest commit — restart-replays the micro-batch from the
+    * checkpoint: every already-applied root no-ops under its own
+    * markers, lagging roots catch up, and the group marker lands
+    * exactly once (a replayed committed id is a quiet false).
+    * Consumers gating pulls on the manifest frontier never observe a
+    * mixed snapshot through any of it — the crash-between-roots
+    * window shows them the PREVIOUS group frontier, consistent
+    * across every member view. */
+  def streamingMultiView(events: DataFrame, manifestPath: String,
+                         folds: Seq[(String, (DataFrame, Long) => Unit)],
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(folds.nonEmpty, "streamingMultiView needs at least one root")
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        // one bus, N folds — persist so the batch materializes once,
+        // not once per root
+        val df = batch.toDF().persist()
+        try {
+          folds.foreach { case (_, fold) => fold(df, batchId) }
+          graft.operators.FoldManifest.commit(batch.sparkSession,
+            manifestPath, batchId, folds.map(_._1))
+          ()
+        } finally { df.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Exactly-once RETRACTION-capable rollup over a streaming CDC log —
     * the streaming face of [[graft.operators.CdcRollup.foldBatch]]
     * (shared with the `maintainView` CLI action's `cdcRollup` kind)
@@ -993,7 +1041,10 @@ object EventStreams {
     // a crash in either order re-allows the SAME id (the refusal is
     // strictly <, and per-bucket markers discriminate the replay),
     // but advancing first also closes the window where a crash after
-    // the swap would briefly re-allow OLDER ids.
+    // the swap would briefly re-allow OLDER ids. The flip side: the
+    // frontier alone is PRE-swap evidence — group witnesses must use
+    // [[rollupBatchApplied]] (frontier + no stranded stage holding
+    // the id's markers), never bare `_LAST_BATCH >= id`.
     val lastBatch = readLastBatch(fs, root)
     lastBatch.filter(batchId < _).foreach { last =>
       throw new graft.model.UserException(
@@ -1037,10 +1088,17 @@ object EventStreams {
         val out = fs.create(tmp, true)
         try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
         val dst = new Path(root, "_LAST_BATCH")
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(
-            s"could not advance _LAST_BATCH at $root")
+        // overwriting-rename FIRST: local rename(2) replaces dst in
+        // place, so no crash leaves the frontier missing (a missing
+        // _LAST_BATCH would drop the monotone guard and briefly
+        // re-admit older ids); delete-then-rename only as a fallback
+        // for stores whose rename refuses an existing dst
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(
+              s"could not advance _LAST_BATCH at $root")
+        }
       }
     // The bucket function is part of the PERSISTED layout: a changed
     // nBuckets (or key set/order) re-hashes keys into different
@@ -1169,6 +1227,54 @@ object EventStreams {
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       s.trim.toLongOption
+    }
+  }
+
+  /** POST-SWAP evidence that `batchId` is FULLY applied to a bucketed
+    * rollup state — the group-witness face ([[graft.operators
+    * .FoldManifest]] commit, fsck's overstatement audit).
+    * `_LAST_BATCH >= batchId` alone is NOT it: the fold advances the
+    * frontier BEFORE the bucket swap (the ordering that closes the
+    * older-id replay window — see [[applyRollupBatchBucketed]]), so a
+    * crash in that gap leaves `_LAST_BATCH == batchId` with the
+    * batch's buckets still staged, and a witness trusting the
+    * frontier would bless exactly the mixed read it exists to
+    * prevent. The discriminator is the stage itself: the per-bucket
+    * `_APPLIED_<id>` markers are written INTO the stage before the
+    * frontier advances, and a completed swap deletes the stage
+    * ([[graft.app.SwapGuard.swapChildren]]) — so a stranded
+    * `state__stage_*` dir still holding this id's marker proves the
+    * swap did NOT finish (re-running the fold recovers it,
+    * marker-first). Per-BUCKET: a staged bucket with the id's marker
+    * disproves only while the LIVE state's same bucket lacks that
+    * marker — a replay that re-folds an existing bucket supersedes
+    * the stranded copy without deleting it (gc's job), and the live
+    * marker is the proof the swap landed. A frontier STRICTLY ahead
+    * needs no stage check at all: the fold contract replays an id
+    * until its fold RETURNS, so a later committed id implies this
+    * one completed (and the later swap may legitimately have dropped
+    * this id's live markers). */
+  private[graft] def rollupBatchApplied(fs: org.apache.hadoop.fs.FileSystem,
+                                        root: org.apache.hadoop.fs.Path,
+                                        batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val last = readLastBatch(fs, root)
+    if (!last.exists(batchId <= _)) false
+    else if (last.exists(batchId < _)) true
+    else {
+      val cur = new Path(root, "state")
+      val staged =
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(_.getName.matches("state__stage_[0-9a-f]{8}"))
+      !staged.exists { sp =>
+        fs.listStatus(sp).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("bucket=") &&
+            fs.exists(new Path(st.getPath, s"_APPLIED_$batchId")) &&
+            !fs.exists(new Path(cur, s"$n/_APPLIED_$batchId"))
+        }
+      }
     }
   }
 
@@ -1331,6 +1437,156 @@ object EventStreams {
     readRollupStateAsOf(spark, statePath, asOf)
       .map(st => graft.operators.IncrementalAgg.finalizeState(st, keys))
   }
+
+  /** The CHANGE SET between two rollup snapshots — the
+    * [[graft.operators.CdcRollup.diffView]] discipline for the plain
+    * bucketed rollup family, closing its last face asymmetry: the
+    * FINALIZED view at `fromId` vs at `toId`, restricted to keys that
+    * actually differ, labeled `added` / `removed` / `changed`. The
+    * rollup answer to "what moved since the run I shipped?"
+    *
+    * 100 TB shape: the COW version chain itself says which buckets
+    * changed — exactly those holding a committed `v<id>` in
+    * `(fromId, toId]` — so BOTH snapshot reads prune to the changed
+    * buckets ([[readRollupStateAsOf]]'s `buckets`) and the diff costs
+    * O(changed buckets), never two state scans. Keys in untouched
+    * buckets are byte-identical at both snapshots by construction;
+    * keys in touched buckets that merely rode along are compared and
+    * dropped (null-safe on every view column).
+    *
+    * Output: key columns, every finalized view column twice
+    * (`<col>_from` / `<col>_to`, NULL on the absent side), `change`.
+    * Requires retention mode with `fromId >= floor`; `toId` above the
+    * frontier reads each chain's current tip (the as-of axis is
+    * total, the [[readRollupStateAsOf]] rule). */
+  def diffRollupView(spark: org.apache.spark.sql.SparkSession,
+                     statePath: String,
+                     fromId: Long, toId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(fromId <= toId,
+      s"diffRollupView: fromId $fromId must be <= toId $toId")
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val floor = graft.operators.BatchMarkers.readFloor(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"diffRollupView under $statePath: the state is not in " +
+          "retention mode — folds keep no history to diff; enable it " +
+          "(enableRollupRetention / CLI kind 'retain') BEFORE the " +
+          "folds whose change sets you need"))
+    require(fromId >= floor,
+      s"diffRollupView from batch $fromId under $statePath: retained " +
+        s"history starts at floor $floor — earlier snapshots were " +
+        "never retained (or were reaped); widen the retention window " +
+        "on the gc cadence")
+    val pin = graft.sources.PartitionedStore.readPin(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"diffRollupView: no layout pin under $statePath — not a " +
+          "rollup-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 3 && parts(0).toIntOption.exists(_ >= 1),
+      s"diffRollupView: unrecognized layout pin '$pin' under $statePath")
+    val keys = parts(1).split(',').toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    // version-chain pruning: only buckets holding a committed version
+    // in (fromId, toId] can differ between the two snapshots
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val histDir = new Path(root, "history")
+    val changed: Set[Int] =
+      if (!fs.exists(histDir)) Set.empty
+      else fs.listStatus(histDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .filter { b =>
+          fs.listStatus(b).exists { v =>
+            val n = v.getPath.getName
+            n.startsWith("v") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit) && {
+                val id = n.drop(1).toLong
+                markers.committed(id) && id > fromId && id <= toId
+              }
+          }
+        }
+        .flatMap(_.getName.stripPrefix("bucket=").toIntOption).toSet
+    def snap(asOf: Long): Option[DataFrame] =
+      if (changed.isEmpty) None
+      else readRollupStateAsOf(spark, statePath, asOf, Some(changed))
+    val fromRaw = snap(fromId)
+    val toRaw = snap(toId)
+    // the empty diff keeps the full output schema — raw monoid schema
+    // from whichever endpoint holds data, else from the chain tip
+    // (metadata-only read; runs only on the no-change fast path)
+    val rawSchema = fromRaw.orElse(toRaw).map(_.schema).orElse(
+      readRollupStateAsOf(spark, statePath, Long.MaxValue).map(_.schema))
+      .getOrElse(throw new IllegalStateException(
+        s"diffRollupView: nothing committed under $statePath — " +
+          "nothing to diff"))
+    def emptyRaw = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      rawSchema)
+    val from = graft.operators.IncrementalAgg.finalizeState(
+      fromRaw.getOrElse(emptyRaw), keys)
+    val to = graft.operators.IncrementalAgg.finalizeState(
+      toRaw.getOrElse(emptyRaw), keys)
+    val viewCols = from.columns.toSeq.filterNot(keys.contains)
+    val cond = keys.map(c => from(c) <=> to(c)).reduce(_ && _)
+    val joined = from.join(to, cond, "full_outer")
+    // presence flags ride `n` (a count — never NULL on a live row)
+    val inFrom = from("n").isNotNull
+    val inTo = to("n").isNotNull
+    val differs = viewCols.map(c => !(from(c) <=> to(c)))
+      .reduce(_ || _)
+    joined
+      .where((inFrom =!= inTo) || differs)
+      .select((keys.map(c => coalesce(from(c), to(c)).as(c)) ++
+        viewCols.map(c => from(c).as(s"${c}_from")) ++
+        viewCols.map(c => to(c).as(s"${c}_to")) :+
+        when(inFrom && !inTo, lit("removed"))
+          .when(!inFrom && inTo, lit("added"))
+          .otherwise(lit("changed")).as("change")): _*)
+  }
+
+  /** The rollup view change set since `afterId` — `diffRollupView
+    * (afterId, frontier)` with the frontier resolved ONCE from the
+    * root's committed markers (the POST-swap evidence `commitHistory`
+    * writes, so a fold crashed between its `_LAST_BATCH` advance and
+    * its swap can never widen the pull past applied data). The
+    * consumer records the returned frontier and passes it back as its
+    * next `afterId` — the [[graft.operators.CdcRollup
+    * .readViewSincePinned]] contract, rollup-flavored. */
+  def readRollupViewSincePinned(spark: org.apache.spark.sql.SparkSession,
+                                statePath: String, afterId: Long,
+                                /** the cross-root manifest cap — see
+                                  * [[graft.operators.CdcRollup
+                                  * .readBaseSincePinned]]. */
+                                upTo: Option[Long] = None)
+      : (DataFrame, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootFrontier = graft.operators.BatchMarkers.read(fs, root)
+      .maxCommitted.getOrElse(throw new IllegalStateException(
+        s"readRollupViewSince: no committed history under $statePath " +
+          "— retention mode commits a root marker per fold; enable " +
+          "it (enableRollupRetention / CLI kind 'retain') first"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readRollupViewSince: the manifest cap $u is AHEAD of the " +
+        s"committed frontier $rootFrontier under $statePath — a " +
+        "group frontier this root never produced (a reset root?); " +
+        "re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
+    // ahead of the frontier refuses LOUD (the cdc-pull discipline): a
+    // silent empty pull would drop the consumer's backlog forever
+    require(afterId <= frontier,
+      s"readRollupViewSince: afterId $afterId is AHEAD of the " +
+        s"committed frontier $frontier under $statePath — a frontier " +
+        "this state never produced (wrong root, or a reset state); " +
+        "re-baseline the consumer with a full export")
+    (diffRollupView(spark, statePath, afterId, frontier), frontier)
+  }
+
+  /** [[readRollupViewSincePinned]] without the frontier report. */
+  def readRollupViewSince(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String, afterId: Long): DataFrame =
+    readRollupViewSincePinned(spark, statePath, afterId)._1
 
   /** Reap retained rollup history older than the window and ADVANCE
     * THE FLOOR past everything reaped — the
@@ -1631,6 +1887,7 @@ object EventStreams {
             st.getName.startsWith("_APPLIED_"))
           .foreach(st => fs.delete(st, true))
         fs.delete(new Path(freshRoot, "_CONFIG"), true)
+        fs.delete(new Path(freshRoot, "_CONFIG_WITNESS"), true)
         fs.delete(new Path(freshRoot, "history"), true)
         graft.operators.BatchMarkers.clearFloors(fs, freshRoot)
       case Some(p) => throw new graft.model.UserException(

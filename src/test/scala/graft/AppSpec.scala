@@ -2927,6 +2927,18 @@ class AppSpec extends SparkSpec {
       .select(col("grp2"), col("n"), col("total").cast("double"))
       .orderBy("grp2")) shouldBe Seq(
       Seq("x", 2L, 35.0), Seq("y", 1L, 31.0))
+    // --- 'agg' is a rebuild candidate too: it is an exact function
+    // of the base images like every other derived layer, and
+    // omitting it from the plan would leave a missing-agg state with
+    // a red embedded fsck and no repair offered ---
+    val vAfterFold = viewRows()
+    fs.delete(new org.apache.hadoop.fs.Path(root, "agg"), true)
+    cfg("""{"kind": "repair", "statePath": "rstate", "apply": true}""")
+    val (cagg, oagg) = Main.execute(spark, sink, dir)
+    withClue(oagg) { cagg shouldBe 0 }
+    oagg.get should include("rebuild missing layer 'agg'")
+    oagg.get should include(""""ok":true""")
+    viewRows() shouldBe vAfterFold
     // --- rollup: _LAST_BATCH restore from per-bucket evidence ---
     Seq(("a", 1.0)).toDF("g", "v")
       .write.mode("overwrite").parquet(s"$dir/in/p0")
@@ -2962,14 +2974,67 @@ class AppSpec extends SparkSpec {
     ou.get should include(""""ok":false""")
     ou.get should include("bucket id outside the pinned count")
     fs.delete(new org.apache.hadoop.fs.Path(root, "agg/bucket=99"), true)
-    // a malformed pin refuses the whole run (exit 1, named)
+    // a malformed pin RESTORES from the writer-declared witness when
+    // the witness proves it (parses + on-disk bucket dirs fit its
+    // counts) — and refuses loud once the witness is tampered
     val broken = s"$dir/bstate"
+    // 8 keys across 8 groups: both base and agg buckets occupied, so
+    // a count-tampered witness provably mismatches the dirs below
     CdcRollup.foldBatch(broken, 0L,
-      Seq((1L, "a", 1.0, 1L, "I")).toDF("id", "grp", "v", "seq", "op"),
+      (1L to 8L).map(i => (i, s"g$i", i * 1.0, 1L, "I"))
+        .toDF("id", "grp", "v", "seq", "op"),
       Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2) shouldBe true
-    locally {
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/bstate/base/bucket=1")) shouldBe true
+    val goodPin = graft.sources.PartitionedStore.readPin(fs,
+      new org.apache.hadoop.fs.Path(broken)).get
+    def garble(): Unit = locally {
       val out = fs.create(
         new org.apache.hadoop.fs.Path(s"$dir/bstate/_CONFIG"), true)
+      out.write("cdcRollup|broken".getBytes("UTF-8")); out.close()
+    }
+    garble()
+    // dry-run: plans the restore, mutates nothing (fsck still red)
+    cfg("""{"kind": "repair", "statePath": "bstate"}""")
+    val (cbd, obd) = Main.execute(spark, sink, dir)
+    withClue(obd) { cbd shouldBe 0 }
+    obd.get should include("writer-declared witness")
+    obd.get should include(""""result":null""")
+    graft.sources.PartitionedStore.readPin(fs,
+      new org.apache.hadoop.fs.Path(broken)).get should
+      include("broken")
+    // apply: the pin comes back byte-for-byte, fsck reads ok
+    cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
+    val (cb, ob) = Main.execute(spark, sink, dir)
+    withClue(ob) { cb shouldBe 0 }
+    ob.get should include(""""result":"restored"""")
+    ob.get should include(""""ok":true""")
+    graft.sources.PartitionedStore.readPin(fs,
+      new org.apache.hadoop.fs.Path(broken)).get shouldBe goodPin
+    // a DELETED pin restores the same way
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bstate/_CONFIG"),
+      false)
+    cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
+    Main.execute(spark, sink, dir)._2.get should
+      include(""""result":"restored"""")
+    graft.sources.PartitionedStore.readPin(fs,
+      new org.apache.hadoop.fs.Path(broken)).get shouldBe goodPin
+    // a TAMPERED witness (wrong bucket counts for the on-disk dirs)
+    // cannot prove anything — the whole run refuses (exit 1)
+    garble()
+    locally {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/bstate/_CONFIG_WITNESS"), true)
+      out.write(goodPin.replace("|2|2", "|1|1").getBytes("UTF-8"))
+      out.close()
+    }
+    cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...as does a witness garbled the same way as the pin (no
+    // independent evidence)
+    locally {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/bstate/_CONFIG_WITNESS"), true)
       out.write("cdcRollup|broken".getBytes("UTF-8")); out.close()
     }
     cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
@@ -3026,7 +3091,45 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "compact", "statePath": "est", "freshPath": "est3",
           | "addColumns": {"v": "string"}}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
-    // ...and so does addColumns on a non-cdc family
+    // --- join views evolve through the same face with SIDE-QUALIFIED
+    // names (a.<col> / b.<col> — the view keeps both sides' columns,
+    // so the side must be explicit) ---
+    Seq((1L, 10.0)).toDF("k", "price")
+      .write.mode("overwrite").parquet(s"$dir/in/ja0")
+    Seq((1L, 1.5)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/jb0")
+    cfg("""{"kind": "join", "statePath": "jst", "batchId": 0,
+          | "key": "k", "nBuckets": 2,
+          | "deltaA": {"input": "in/ja0"},
+          | "deltaB": {"input": "in/jb0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "compact", "statePath": "jst", "freshPath": "jst2",
+          | "nBuckets": 2,
+          | "addColumns": {"a.region": "string"}}""".stripMargin)
+    val (cj, oj) = Main.execute(spark, sink, dir)
+    withClue(oj) { cj shouldBe 0 }
+    // the evolved view serves the column as typed NULL, and a
+    // new-schema fold carries it
+    Seq((2L, 20.0, "eu")).toDF("k", "price", "region")
+      .write.mode("overwrite").parquet(s"$dir/in/ja1")
+    Seq((2L, 2.5)).toDF("k", "qty")
+      .write.mode("overwrite").parquet(s"$dir/in/jb1")
+    cfg("""{"kind": "join", "statePath": "jst2", "batchId": 1,
+          | "key": "k", "nBuckets": 2,
+          | "deltaA": {"input": "in/ja1"},
+          | "deltaB": {"input": "in/jb1"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "jst2",
+          | "output": "jv"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    val jv = spark.read.parquet(s"$dir/jv")
+    rows(jv.select(col("k"), col("region")).orderBy("k")) shouldBe
+      Seq(Seq(1L, null), Seq(2L, "eu"))
+    // an unqualified name on a join state is config misuse (exit 1)
+    cfg("""{"kind": "compact", "statePath": "jst", "freshPath": "jst3",
+          | "addColumns": {"region": "string"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // ...and so does addColumns on a plain rollup state
     Seq((1L, 1.0)).toDF("g", "v")
       .write.mode("overwrite").parquet(s"$dir/in/er0")
     cfg("""{"kind": "rollup", "statePath": "erst", "batchId": 0,
@@ -3035,6 +3138,70 @@ class AppSpec extends SparkSpec {
     Main.execute(spark, sink, dir)._1 shouldBe 0
     cfg("""{"kind": "compact", "statePath": "erst", "freshPath": "erst2",
           | "addColumns": {"w": "double"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+  }
+
+  test("maintainView rollup change-set faces through the CLI: diff " +
+      "labels the finalized deltas, export sinceBatch pulls " +
+      "diff(since, frontier) and reports the pulled frontier; " +
+      "non-retained and below-floor refuse named; cdc layer " +
+      "addresses refuse on a rollup state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rolldiff").toString
+    val sink = new ParquetSink(spark, s"$dir/out/tables")
+    def cfg(json: String): Unit = Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.json"),
+      s"""{"action": "maintainView", "parameters": {"view": $json}}""")
+    def fold(id: Int, rows: Seq[(String, Double)]): Unit = {
+      rows.toDF("g", "v").write.mode("overwrite")
+        .parquet(s"$dir/in/r$id")
+      cfg(s"""{"kind": "rollup", "statePath": "rst", "batchId": $id,
+             | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+             | "delta": {"input": "in/r$id"}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    // retention from batch 0 on (pin-dispatched kinds need the state
+    // to exist — the enable floors at the current frontier, 0, and
+    // snapshots the baseline every bucket resolves to)
+    fold(0, Seq(("a", 1.0), ("b", 2.0)))
+    cfg("""{"kind": "retain", "statePath": "rst"}""")
+    val (cr, or0) = Main.execute(spark, sink, dir)
+    withClue(or0) { cr shouldBe 0 }
+    fold(1, Seq(("a", 3.0), ("c", 5.0)))
+    // diff(0, 1): a changed (n 1→2), c added; b rides along and drops
+    cfg("""{"kind": "diff", "statePath": "rst", "fromBatch": 0,
+          | "toBatch": 1, "output": "d01"}""".stripMargin)
+    val (cd, od) = Main.execute(spark, sink, dir)
+    withClue(od) { cd shouldBe 0 }
+    val d01 = spark.read.parquet(s"$dir/d01")
+    rows(d01.select(col("g"), col("change"), col("n_from"),
+      col("n_to")).orderBy("g")) shouldBe Seq(
+      Seq("a", "changed", 1L, 2L), Seq("c", "added", null, 1L))
+    // export sinceBatch = diff(since, frontier), frontier reported
+    cfg("""{"kind": "export", "statePath": "rst", "output": "sp",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cs, os) = Main.execute(spark, sink, dir)
+    withClue(os) { cs shouldBe 0 }
+    os.get should include(""""batch_id":1""")
+    rows(spark.read.parquet(s"$dir/sp")
+      .select(col("g"), col("change")).orderBy("g")) shouldBe
+      Seq(Seq("a", "changed"), Seq("c", "added"))
+    // a cdc layer address on a rollup diff refuses named
+    cfg("""{"kind": "diff", "statePath": "rst", "fromBatch": 0,
+          | "toBatch": 1, "layer": "base", "output": "dx"}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    // a NON-retained rollup state refuses both faces named
+    Seq(("z", 1.0)).toDF("g", "v").write.mode("overwrite")
+      .parquet(s"$dir/in/b0")
+    cfg("""{"kind": "rollup", "statePath": "bare", "batchId": 0,
+          | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+          | "delta": {"input": "in/b0"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "bare", "output": "bp",
+          | "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
+    cfg("""{"kind": "diff", "statePath": "bare", "fromBatch": 0,
+          | "toBatch": 0, "output": "bd"}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 

@@ -1807,6 +1807,42 @@ class CdcRollupSpec extends SparkSpec {
     }.getMessage should include("below the change-log start")
   }
 
+  test("change log: a committed fold missing its b<id> dir is a " +
+      "COVERAGE GAP — pulls spanning it refuse loud instead of " +
+      "netting a silently incomplete change set; ranges past the " +
+      "gap still serve; the layers gap independently") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot()
+    CdcRollup.enableChangeLog(spark, root) shouldBe -1L
+    fold(root, 0L, log((1L, "a", 10.0, 1L, "I"))) shouldBe true
+    fold(root, 1L, log((2L, "b", 20.0, 2L, "I"))) shouldBe true
+    fold(root, 2L, log((3L, "c", 30.0, 3L, "I"))) shouldBe true
+    val fs = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // mint the gap shape by hand — the same residue enableChangeLog
+    // leaves when it races an in-flight fold (the fold read
+    // logOn=false at start, yet commits above the enable-time bound)
+    fs.delete(new Path(root, "log/b1"), true) shouldBe true
+    val e = intercept[IllegalStateException] {
+      CdcRollup.readBaseLog(spark, root, 0L).collect()
+    }
+    e.getMessage should include("no log dir")
+    e.getMessage should include("does not cover the range")
+    // the group-level layer gaps INDEPENDENTLY: its own dirs are
+    // intact, so the view pull over the same (0, 2] range still
+    // serves its two folds' group adds...
+    CdcRollup.readViewLog(spark, root, 0L).count() shouldBe 2L
+    // ...until its own dir goes
+    fs.delete(new Path(root, "log_view/b1"), true) shouldBe true
+    intercept[IllegalStateException] {
+      CdcRollup.readViewLog(spark, root, 0L).collect()
+    }.getMessage should include("does not cover the range")
+    // a range past the gap still serves — coverage is per-range
+    rows(CdcRollup.readBaseLog(spark, root, 1L)
+      .select("id")) shouldBe Seq(Seq(3L))
+    CdcRollup.readBaseLog(spark, root, 2L).count() shouldBe 0L
+  }
+
   test("change log: replay no-ops, crash garbage stays invisible and " +
       "gets reaped, foldMarkers keeps pulls resolving, compact " +
       "carries the log with retention OFF, and reapChangeLog " +

@@ -190,6 +190,77 @@ class JoinViewSpec extends SparkSpec {
       .orderBy("k")) shouldBe Seq(Seq(1L, 1.0, 8.0), Seq(2L, 9.0, 2.0))
   }
 
+  test("compactStateTo addColumns: schema evolution for join views — " +
+      "migrated side pins, NULL-filled d0 on the side AND the view, " +
+      "new-schema folds continue and the view equals the one-shot; " +
+      "retype / cross-side collision / key / old-schema delta refuse") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-jvevo").toString
+    val root = s"$base/state"; val fresh = s"$base/evolved"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"),
+      Seq((1L, 1.5), (2L, 2.5)).toDF("k", "qty"),
+      nBuckets = 4) shouldBe true
+    // widen side a with `region` (string) and side b with `w` (double)
+    JoinView.compactStateTo(spark, root, fresh, nBuckets = 4,
+      addColumnsA = Seq("region" -> "string"),
+      addColumnsB = Seq("w" -> "double")) shouldBe 2L
+    // the compacted view serves both columns as typed NULLs
+    val v0 = JoinView.readCommittedView(spark, fresh).get
+    v0.columns.toSeq should contain allOf ("region", "w")
+    v0.filter(col("region").isNotNull || col("w").isNotNull)
+      .count() shouldBe 0L
+    // a post-migration fold carries the columns; the maintained view
+    // equals the one-shot join over old (NULL-widened) + new rows
+    JoinView.foldBatchDirs(fresh, 1L, "k",
+      Seq((3L, 30.0, "eu")).toDF("k", "price", "region"),
+      Seq((3L, 3.5, 9.9)).toDF("k", "qty", "w"),
+      nBuckets = 4) shouldBe true
+    val allA = Seq((1L, 10.0, null), (2L, 20.0, null),
+      (3L, 30.0, "eu")).toDF("k", "price", "region")
+    val allB = Seq((1L, 1.5, null), (2L, 2.5, null),
+      (3L, 3.5, java.lang.Double.valueOf(9.9))).toDF("k", "qty", "w")
+    rows(JoinView.readCommittedView(spark, fresh).get
+      .select("k", "price", "region", "qty", "w").orderBy("k")) shouldBe
+      rows(allA.join(allB, "k")
+        .select("k", "price", "region", "qty", "w").orderBy("k"))
+    // an OLD-schema delta refuses on the migrated pin
+    intercept[Exception] {
+      JoinView.foldBatchDirs(fresh, 2L, "k",
+        Seq((4L, 40.0)).toDF("k", "price"),
+        Seq((4L, 4.5, 1.0)).toDF("k", "qty", "w"), nBuckets = 4)
+    }.getMessage.toLowerCase should include("layout")
+    // the delta pull serves only post-compact (new-schema) ranges —
+    // the compaction floor refuses below the frontier, so mixed-
+    // schema ranges cannot be requested
+    rows(JoinView.readViewDelta(spark, fresh, 0L).get
+      .select("k", "region", "w")) shouldBe
+      Seq(Seq(3L, "eu", 9.9))
+    // refusals: retype (either side), cross-side collision, the key
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, s"$base/x1", 4,
+        addColumnsA = Seq("price" -> "string"))
+    }.getMessage should include("already declared")
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, s"$base/x2", 4,
+        addColumnsA = Seq("qty" -> "double"))
+    }.getMessage should include("already declared")
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, s"$base/x3", 4,
+        addColumnsB = Seq("k" -> "long"))
+    }.getMessage should include("already declared")
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, s"$base/x4", 4,
+        addColumnsA = Seq("c" -> "double"),
+        addColumnsB = Seq("c" -> "double"))
+    }.getMessage should include("twice")
+    intercept[IllegalArgumentException] {
+      JoinView.compactStateTo(spark, root, s"$base/x5", 4,
+        addColumnsA = Seq("bad" -> "notatype"))
+    }.getMessage should include("unparseable")
+  }
+
   test("cleanOrphanBatchDirs: aged abandoned staging and unmarked " +
       "batch dirs are swept; fresh and committed dirs survive") {
     import spark.implicits._

@@ -380,9 +380,11 @@ class MaintenanceSpec extends SparkSpec {
       _.startsWith("state__stage_")) shouldBe 3
     Maintenance.cleanTableOrphanStages(spark, s"$root/state",
       olderThanMs = 0L) should have size 3
-    // live state + pin + the monotone-guard frontier file, nothing else
+    // live state + pin (+ its repair witness) + the monotone-guard
+    // frontier file, nothing else
     new java.io.File(root).list().filterNot(_.startsWith("."))
-      .sorted.toSeq shouldBe Seq("_CONFIG", "_LAST_BATCH", "state")
+      .sorted.toSeq shouldBe
+      Seq("_CONFIG", "_CONFIG_WITNESS", "_LAST_BATCH", "state")
     // the swept state still folds and reads correctly
     val got = graft.operators.IncrementalAgg.finalizeState(
       spark.read.parquet(s"$root/state").drop("bucket"), Seq("o_custkey"))

@@ -170,6 +170,67 @@ class RollupHistorySpec extends SparkSpec {
     EventStreams.reapRollupHistory(spark, root, 0L)._1 shouldBe Nil
   }
 
+  test("diffRollupView: the finalized change set between snapshots — " +
+      "added/changed labels, ride-along keys dropped, empty diff " +
+      "keeps the schema, the as-of axis is total; " +
+      "readRollupViewSince pins ONE frontier from the committed " +
+      "markers; refusals: not retained, reversed range, ahead of " +
+      "the frontier, below the floor after a reap") {
+    val root = tmpRoot()
+    EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+    val b0 = batch(("a", 10.0), ("b", 20.0), ("c", 30.0))
+    val b1 = batch(("a", 1.0))
+    val b2 = batch(("b", 2.0), ("d", 4.0))
+    fold(root, 0L, b0); fold(root, 1L, b1); fold(root, 2L, b2)
+    def diffMap(from: Long, to: Long) =
+      EventStreams.diffRollupView(spark, root, from, to).collect()
+        .map(r => r.getAs[String]("g") ->
+          ((r.getAs[String]("change"),
+            Option(r.getAs[java.lang.Long]("n_from")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("n_to")).map(_.toLong))))
+        .toMap
+    // (0,1]: only a changed (n 1→2); b/c ride along in a's touched
+    // bucket's snapshots when they share it — compared and dropped
+    diffMap(0L, 1L) shouldBe Map("a" -> (("changed", Some(1L), Some(2L))))
+    // (1,2]: b changed, d added (insert-only — 'removed' can't arise)
+    diffMap(1L, 2L) shouldBe Map(
+      "b" -> (("changed", Some(1L), Some(2L))),
+      "d" -> (("added", None, Some(1L))))
+    diffMap(0L, 2L).keySet shouldBe Set("a", "b", "d")
+    // the empty diff keeps the full output schema
+    val same = EventStreams.diffRollupView(spark, root, 2L, 2L)
+    same.count() shouldBe 0L
+    same.columns.toSeq should contain allOf
+      ("g", "n_from", "total_from", "n_to", "total_to", "change")
+    // toId above the frontier reads each chain's tip — the axis is
+    // total, like the as-of face
+    diffMap(0L, 99L) shouldBe diffMap(0L, 2L)
+    // since-pull: one frontier resolution pins range AND report
+    val (d02, f2) = EventStreams.readRollupViewSincePinned(spark, root, 0L)
+    f2 shouldBe 2L
+    rows(d02.orderBy("g")) shouldBe
+      rows(EventStreams.diffRollupView(spark, root, 0L, 2L).orderBy("g"))
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewSince(spark, root, 9L)
+    }.getMessage should include("AHEAD of the committed frontier")
+    intercept[IllegalArgumentException] {
+      EventStreams.diffRollupView(spark, root, 2L, 1L)
+    }.getMessage should include("must be <=")
+    val bare = tmpRoot()
+    fold(bare, 0L, batch(("a", 1.0)))
+    intercept[IllegalStateException] {
+      EventStreams.diffRollupView(spark, bare, 0L, 0L)
+    }.getMessage should include("not in retention mode")
+    // after a reap the floor gates the from side loud...
+    EventStreams.foldRollupMarkers(spark, root, olderThanMs = 0L)
+    EventStreams.reapRollupHistory(spark, root, 0L)._2 shouldBe 2L
+    intercept[IllegalArgumentException] {
+      EventStreams.diffRollupView(spark, root, 0L, 2L)
+    }.getMessage should include("floor")
+    // ...while the still-servable frontier diff stays empty-clean
+    EventStreams.diffRollupView(spark, root, 2L, 2L).count() shouldBe 0L
+  }
+
   test("as-of point lookups are bucket-pruned over the history " +
       "chains; compact carries retention mode but floors at the " +
       "frontier") {

@@ -1929,4 +1929,136 @@ class StreamingSpec extends SparkSpec {
       CdcRollup.readViewSincePinned(spark, cdc, 0L, upTo = Some(9L))
     }.getMessage should include("AHEAD of the committed frontier")
   }
+
+  test("streamingMultiView: one micro-batch bus folds into N roots " +
+      "then group-commits through a real foreachBatch loop; a crash " +
+      "BETWEEN roots restart-replays each root as its own no-op, and " +
+      "manifest-gated consumers never observe a mixed frontier") {
+    import graft.operators.{CdcRollup, FoldManifest}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-smv").toString
+    val cdc = s"$base/cdc"; val roll = s"$base/roll"; val m = s"$base/mf"
+    CdcRollup.enableRetention(spark, cdc) shouldBe -1L
+    // the injected crash: the SECOND root's fold throws exactly once,
+    // after the first root already committed — the between-roots shape
+    @volatile var failOnce = false
+    def cdcFold(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      CdcRollup.foldBatch(cdc, id, df,
+        Seq("id"), "seq", "op", Seq("grp"), Seq("v"), 2, 2)
+      ()
+    }
+    def rollFold(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      if (failOnce) { failOnce = false
+        throw new RuntimeException("injected crash between roots")
+      }
+      EventStreams.applyRollupBatchBucketed(
+        df.select($"grp", $"v"), roll, id, Seq("grp"), "v", 2)
+      ()
+    }
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    def start() = EventStreams.streamingMultiView(
+      input.toDF().toDF("id", "grp", "v", "seq", "op"), m,
+      Seq(cdc -> (cdcFold _), roll -> (rollFold _)),
+      checkpointDir = s"$base/ckpt")
+    val q = start()
+    try {
+      input.addData((1L, "a", 1.0, 1L, "I"))
+      q.processAllAvailable()
+      FoldManifest.frontier(spark, m) shouldBe Some(0L)
+      // batch 1 crashes BETWEEN the roots: cdc folds it, roll never
+      // does, the group marker never lands
+      failOnce = true
+      input.addData((2L, "b", 2.0, 2L, "I"))
+      intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+    // inside the crash window the group frontier holds at 0 — a
+    // consumer capping there reads batch 0's snapshot from EVERY
+    // view, even though the cdc root is already at 1
+    FoldManifest.frontier(spark, m) shouldBe Some(0L)
+    val (mid, to0) = CdcRollup.readViewSincePinned(spark, cdc, 0L,
+      upTo = FoldManifest.frontier(spark, m))
+    to0 shouldBe 0L
+    mid.count() shouldBe 0L
+    // restart from the SAME checkpoint: batch 1 replays — the cdc
+    // fold no-ops under its own marker, the rollup catches up, the
+    // group marker lands; the stream then continues normally
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      FoldManifest.frontier(spark, m) shouldBe Some(1L)
+      input.addData((3L, "c", 3.0, 3L, "I"))
+      q2.processAllAvailable()
+      FoldManifest.frontier(spark, m) shouldBe Some(2L)
+    } finally q2.stop()
+    // both roots converged — no double-fold anywhere: the cdc view
+    // and the rollup state agree with the one-shot expectation
+    CdcRollup.readView(spark, cdc).get.count() shouldBe 3L
+    rows(graft.operators.IncrementalAgg.finalizeState(
+      spark.read.parquet(s"$roll/state").drop("bucket"), Seq("grp"))
+      .select($"grp", $"n", $"total".cast("double"))
+      .orderBy("grp")) shouldBe Seq(
+      Seq("a", 1L, 1.0), Seq("b", 1L, 2.0), Seq("c", 1L, 3.0))
+  }
+
+  test("fold manifest: rollup member evidence is POST-swap — a fold " +
+      "crashed between its _LAST_BATCH advance and its bucket swap " +
+      "refuses the witness (the frontier alone overstates), fsck " +
+      "names a witness minted past the evidence, and the replay " +
+      "recovery clears both") {
+    import graft.operators.{BatchMarkers, FoldManifest}
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mf-rollup").toString
+    val real = s"$dir/rollup"; val twin = s"$dir/twin"; val m = s"$dir/mf"
+    def b(kv: (String, Double)*) = kv.toSeq.toDF("k", "v")
+    def foldInto(root: String, id: Long, d: org.apache.spark.sql.DataFrame) =
+      EventStreams.applyRollupBatchBucketed(d, root, id, Seq("k"), "v", 1)
+    foldInto(real, 0L, b("a" -> 1.0))
+    foldInto(twin, 0L, b("a" -> 1.0))
+    FoldManifest.commit(spark, m, 0L, Seq(real)) shouldBe true
+    // batch 1 completes on a twin; on the real root reproduce the
+    // crash BETWEEN the _LAST_BATCH advance and the bucket swap: the
+    // frontier reads 1, the batch's bucket (marker included) still
+    // sits in a stranded stage, the live state is batch 0's
+    foldInto(twin, 1L, b("b" -> 2.0))
+    val fs = new Path(real)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new Path(real, "state__stage_deadbeef")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(twin, "state/bucket=0"), fs,
+      new Path(stage, "bucket=0"), false,
+      spark.sessionState.newHadoopConf()) shouldBe true
+    locally {
+      val out = fs.create(new Path(real, "_LAST_BATCH"), true)
+      out.write("1".getBytes("UTF-8")); out.close()
+    }
+    EventStreams.readLastBatch(fs, new Path(real)) shouldBe Some(1L)
+    EventStreams.rollupBatchApplied(fs, new Path(real), 1L) shouldBe false
+    // bare `_LAST_BATCH >= id` would witness batch 1 right here; the
+    // post-swap evidence refuses instead of blessing the mixed read
+    intercept[IllegalStateException] {
+      FoldManifest.commit(spark, m, 1L, Seq(real))
+    }.getMessage should include("has NOT committed")
+    // a witness minted past the evidence is exactly what fsck's
+    // overstatement audit names
+    BatchMarkers.commit(fs, new Path(m), 1L)
+    graft.app.ViewFsck.fsckJson(spark, m) should
+      include("bucket swap did not finish")
+    // recovery = the at-least-once replay of the same fold: the
+    // bucket re-folds from the live batch-0 state (the stranded copy
+    // is superseded garbage gc sweeps later) and the swap completes
+    foldInto(real, 1L, b("b" -> 2.0))
+    EventStreams.rollupBatchApplied(fs, new Path(real), 1L) shouldBe true
+    (graft.app.ViewFsck.fsckJson(spark, m) should not).
+      include("bucket swap did not finish")
+    rows(spark.read.parquet(s"$real/state").drop("bucket")
+      .orderBy("k")) shouldBe
+      rows(spark.read.parquet(s"$twin/state").drop("bucket").orderBy("k"))
+    // a frontier STRICTLY ahead needs no stage check: the stale
+    // stage still holds batch 1's marker, but batch 2's commit
+    // proves batch 1's fold returned
+    foldInto(real, 2L, b("c" -> 3.0))
+    FoldManifest.commit(spark, m, 2L, Seq(real)) shouldBe true
+  }
 }
