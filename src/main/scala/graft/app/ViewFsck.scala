@@ -94,6 +94,8 @@ object ViewFsck {
               "dir present and committed); if so, delete the " +
               s"_ASOF_FLOOR_$f file — it cannot belong to this state")
         }
+        val committedIds = scala.collection.mutable.Map[String,
+          Set[Long]]().withDefaultValue(Set.empty)
         for (layer <- Seq("a", "b", "view")) {
           val dirs = ls(new Path(rootPath, layer)).filter(_.isDirectory)
           dirs.foreach { st =>
@@ -109,8 +111,35 @@ object ViewFsck {
                   markers.watermark.exists(i <= _), error = false,
                 s"join/$layer/d$i: uncommitted batch dir below the " +
                   "watermark — abandoned garbage, gc sweeps it")
+              if (markers.committed(i))
+                committedIds(layer) = committedIds(layer) + i
             }
           }
+        }
+        // cross-layer completeness: a committed fold writes ALL THREE
+        // d<id> dirs before its marker, so a hole is external loss —
+        // reads silently drop those rows (the state LIES about
+        // itself). The view layer is derived (repair rebuilds one
+        // hole from the sides' join invariant); the sides are the
+        // source of truth.
+        val allIds = committedIds("a") ++ committedIds("b") ++
+          committedIds("view")
+        allIds.toSeq.sorted.foreach { i =>
+          for (side <- Seq("a", "b"))
+            check(!committedIds(side).contains(i), error = true,
+              s"join/$side/d$i: committed batch dir MISSING — the " +
+                "sides are the source of truth and cannot be " +
+                "derived; reads silently drop the batch's rows",
+              fix = "restore the dir from the upstream feed or a " +
+                "pre-compaction root; do not fold further batches " +
+                "until then (their snapshot joins read the hole)")
+          check(!committedIds("view").contains(i), error = true,
+            s"join/view/d$i: committed batch dir MISSING — view " +
+              "reads and delta pulls silently drop its rows",
+            fix = "run repair — with both sides complete and exactly " +
+              "one view hole it rebuilds the dir from the invariant " +
+              "view-total = a JOIN b (multiset difference against " +
+              "the surviving dirs)")
         }
         "join"
       } else if (pin.startsWith("cdcRollup|")) {
@@ -494,6 +523,25 @@ object ViewFsck {
           check(name.startsWith("_LAST_BATCH_tmp_"), error = false,
             s"rollup/$name: stranded frontier temp — the next fold " +
               "reaps it")
+        }
+        // the crashed-pre-swap shape: the frontier already reads the
+        // id but a stranded stage still holds its per-bucket markers
+        // (the fold advances _LAST_BATCH BEFORE the swap) — an ERROR
+        // because a reader trusting the frontier (or an orchestrator
+        // skipping the replay) would act on data that is not applied;
+        // the remediation is the fold's own designed recovery
+        last.foreach { frontier =>
+          check(!graft.streaming.EventStreams.rollupBatchApplied(
+              fs, rootPath, frontier), error = true,
+            s"rollup: the _LAST_BATCH frontier reads $frontier but a " +
+              "stranded stage still holds that batch's bucket " +
+              "markers — the fold crashed between its frontier " +
+              "advance and its bucket swap, so the frontier " +
+              "overstates the applied state",
+            fix = s"re-run the fold for batch $frontier — the replay " +
+              "recovers the staged buckets marker-first and " +
+              "completes the swap (group witnesses already refuse " +
+              "this shape via rollupBatchApplied)")
         }
         var applied = 0
         ls(new Path(rootPath, "state")).filter(_.isDirectory)

@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   *    gate; included here so one `repair --apply` leaves a state
   *    fsck-clean.
   *
+  *  - **rebuild ONE missing committed join-view batch dir**
+  *    (`view/d<id>`): the view layer is derived from the sides, and
+  *    the delta algebra's coverage invariant (view total = a ⋈ b,
+  *    every cross pair exactly once) makes the hole's contents a
+  *    provable multiset difference
+  *    ([[graft.operators.JoinView.rebuildViewBatchDir]]) — side
+  *    holes and multiple view holes refuse (the sides are the source
+  *    of truth; two holes cannot be split apart).
   *  - **restore a lost/garbled `_CONFIG` from the writer-declared
   *    witness** (`_CONFIG_WITNESS`, maintained by every fold through
   *    [[graft.sources.PartitionedStore.pinLayout]]) — but ONLY with
@@ -182,6 +190,37 @@ object ViewRepair {
 
     val family =
       if (pin.startsWith("join|")) {
+        // rebuild ONE missing committed view/d<id> — the view layer
+        // is derived, and the sides' join invariant makes the hole's
+        // contents provable (JoinView.rebuildViewBatchDir); side
+        // holes and multiple view holes stay the manual class (the
+        // embedded fsck names them)
+        val markers = graft.operators.BatchMarkers.read(fs, rootPath)
+        def committedIds(layer: String): Set[Long] = {
+          val dir = new Path(rootPath, layer)
+          (if (!fs.exists(dir)) Nil
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(n => n.startsWith("d") && n.length > 1 &&
+              n.drop(1).forall(_.isDigit))
+            .map(_.drop(1).toLong).filter(markers.committed)).toSet
+        }
+        val (aIds, bIds, vIds) =
+          (committedIds("a"), committedIds("b"), committedIds("view"))
+        val sidesComplete = {
+          val all = aIds ++ bIds ++ vIds
+          (all -- aIds).isEmpty && (all -- bIds).isEmpty
+        }
+        val viewHoles = ((aIds ++ bIds) -- vIds).toSeq.sorted
+        if (sidesComplete && viewHoles.size == 1) {
+          val id = viewHoles.head
+          plan(s"rebuild missing view batch dir d$id from the sides " +
+            "(the invariant view-total = a JOIN b; multiset " +
+            "difference against the surviving dirs — exact for one " +
+            "hole)") {
+            s"rows=${graft.operators.JoinView
+              .rebuildViewBatchDir(spark, root, id)}"
+          }
+        }
         plan("sweep abandoned batch dirs (24h gate)") {
           s"deleted=${graft.operators.JoinView
             .cleanOrphanBatchDirs(spark, root).size}"

@@ -154,10 +154,10 @@ final case class ExportViewConfig(statePath: String, output: String,
                                     * join states serve any committed
                                     * prefix (append-only dirs; only a
                                     * compaction floor gates);
-                                    * cdcRollup states need retention
-                                    * mode and an id at or above the
-                                    * reap floor; refused on rollup
-                                    * states (no history). */
+                                    * cdcRollup AND rollup states need
+                                    * retention mode and an id at or
+                                    * above their reap floor (each
+                                    * family's own COW chain). */
                                   asOf: Option[Long] = None,
                                   /** The incremental consumer pull:
                                     * join states export the view rows
@@ -169,10 +169,16 @@ final case class ExportViewConfig(statePath: String, output: String,
                                     * retention mode, the fold-time
                                     * logs in change-log mode, at the
                                     * view/aux/base grain the layer
-                                    * key names. Record the reported
-                                    * batch_id (the frontier pulled
-                                    * to), pass it back next time.
-                                    * Mutually exclusive with `asOf`. */
+                                    * key names; rollup states export
+                                    * the finalized-view change set
+                                    * from their retained COW chain
+                                    * ([[graft.streaming.EventStreams
+                                    * .readRollupViewSincePinned]] —
+                                    * retention mode required). Record
+                                    * the reported batch_id (the
+                                    * frontier pulled to), pass it
+                                    * back next time. Mutually
+                                    * exclusive with `asOf`. */
                                   sinceBatch: Option[Long] = None,
                                   /** Cap a `sinceBatch` pull at a
                                     * cross-root manifest's GROUP
@@ -254,13 +260,16 @@ final case class LookupViewConfig(statePath: String,
 }
 
 /** CHANGE-SET export between two retained snapshots of a cdcRollup
-  * state ([[graft.operators.CdcRollup.diffView]]): per-group state at
+  * state ([[graft.operators.CdcRollup.diffView]]) or a plain rollup
+  * state ([[graft.streaming.EventStreams.diffRollupView]] — finalized
+  * view grain, `layer` must stay "view"): per-group state at
   * `fromBatch` vs `toBatch`, groups that differ only, labeled
-  * added/removed/changed, written as parquet to `output`. The version
-  * chain prunes BOTH snapshot reads to exactly the buckets that
-  * changed in `(from, to]` — O(changed buckets), never two state
-  * scans. Requires retention mode with `fromBatch` at or above the
-  * floor; refused on the other families (no version history). */
+  * added/removed/changed, written as parquet to `output`. Each
+  * family's version chain prunes BOTH snapshot reads to exactly the
+  * buckets that changed in `(from, to]` — O(changed buckets), never
+  * two state scans. Requires retention mode with `fromBatch` at or
+  * above the floor; refused on join states (no group state to
+  * diff). */
 final case class DiffViewConfig(statePath: String, output: String,
                                 fromBatch: Long, toBatch: Long,
                                 /** "view" (default) diffs the main

@@ -466,6 +466,106 @@ object JoinView {
     else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }
 
+  /** Rebuild ONE missing `view/d<id>` batch dir from the committed
+    * sides — the repair face of the view layer's derived-ness (the
+    * sides are the source of truth; the view is their join).
+    *
+    * Per-batch dir CONTENTS are fold-ORDER-dependent (batch ids need
+    * not be monotone, and ΔV_i joined against whatever was committed
+    * when batch i actually folded), so an id-based replay of the
+    * delta algebra could silently reconstruct the wrong rows. The
+    * rebuild leans on the order-INDEPENDENT invariant instead: the
+    * delta algebra covers every committed (a, b) cross pair exactly
+    * once across the view dirs, so
+    *
+    *   missing ΔV = (A ⋈ B) exceptAll (union of surviving view dirs)
+    *
+    * — a multiset difference, exact for exactly ONE missing dir (two
+    * holes cannot be split apart; refused). Also refuses an
+    * uncommitted id, an existing dir, or a side layer with holes of
+    * its own (an under-covered A ⋈ B would mis-derive). O(state) —
+    * the repair class, never a serving path. @return rebuilt rows */
+  def rebuildViewBatchDir(spark: SparkSession, root: String,
+                          batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = graft.sources.PartitionedStore.readPin(fs, rootPath)
+      .getOrElse(throw new IllegalStateException(
+        s"rebuildViewBatchDir: no layout pin under $root — not a " +
+          "join-view state"))
+    val parts = pin.split('|')
+    require(parts.length == 5 && parts(0) == "join",
+      s"rebuildViewBatchDir: unrecognized layout pin '$pin' under $root")
+    val key = java.net.URLDecoder.decode(parts(1), "UTF-8")
+    val nBuckets = parts(4).toInt
+    val markers = BatchMarkers.read(fs, rootPath)
+    require(markers.committed(batchId),
+      s"rebuildViewBatchDir: batch $batchId is not committed under " +
+        s"$root — an uncommitted dir is gc's garbage, not a hole")
+    def committedIds(layer: String): Set[Long] =
+      (if (!fs.exists(new Path(rootPath, layer))) Nil
+      else fs.listStatus(new Path(rootPath, layer)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("d") && n.length > 1 &&
+          n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong).filter(markers.committed)).toSet
+    val (aIds, bIds, vIds) =
+      (committedIds("a"), committedIds("b"), committedIds("view"))
+    val all = aIds ++ bIds ++ vIds + batchId
+    val sideHoles = (all -- aIds).map("a/d" + _) ++
+      (all -- bIds).map("b/d" + _)
+    require(sideHoles.isEmpty,
+      s"rebuildViewBatchDir: side dir(s) ${sideHoles.toSeq.sorted
+        .mkString(", ")} missing under $root — the sides are the " +
+        "SOURCE OF TRUTH and cannot be derived; restore them from " +
+        "the upstream feed or a pre-compaction root")
+    val viewHoles = (all -- vIds).toSeq.sorted
+    require(viewHoles == Seq(batchId),
+      s"rebuildViewBatchDir: committed view dir(s) ${viewHoles
+        .mkString(", ")} missing under $root — the multiset " +
+        "difference is exact only for ONE hole; rebuild " +
+        (if (viewHoles.isEmpty) "nothing (no hole)"
+        else "them one at a time is NOT possible — restore from a " +
+          "pre-compaction root or re-fold"))
+    // reap this id's rename-window garbage from a prior crashed
+    // rebuild (no view marker concept — the batch marker already
+    // exists; the staged dir is the only residue class)
+    fs.delete(new Path(rootPath, s"view/.staging$batchId"), true)
+    def side(layer: String): DataFrame =
+      committedLeafDirs(fs, rootPath, layer, None, markers) match {
+        case Seq() => null
+        case dirs  => spark.read.parquet(dirs.map(_.toString): _*)
+      }
+    val (a, b) = (side("a"), side("b"))
+    if (a == null || b == null) {
+      // a side with ZERO committed rows means the inner join is empty
+      // everywhere — the hole is an honest empty dir
+      fs.mkdirs(new Path(rootPath, s"view/d$batchId"))
+      return 0L
+    }
+    val total = a.join(b, key)
+    val surviving = committedLeafDirs(fs, rootPath, "view", None,
+      markers)
+    val dv =
+      if (surviving.isEmpty) total
+      else total.exceptAll(spark.read
+        .parquet(surviving.map(_.toString): _*)
+        .select(total.columns.map(col): _*))
+    val bucketOf = pmod(xxhash64(col(key)), lit(nBuckets)).cast("int")
+    val staged = dv.withColumn("__bucket", bucketOf).persist()
+    try {
+      val n = staged.count()
+      staged.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(new Path(rootPath, s"view/.staging$batchId").toString)
+      if (!fs.rename(new Path(rootPath, s"view/.staging$batchId"),
+        new Path(rootPath, s"view/d$batchId")))
+        throw new java.io.IOException(
+          s"rebuildViewBatchDir: rename failed: $root/view/d$batchId")
+      n
+    } finally { staged.unpersist(); () }
+  }
+
   /** Refuse an as-of read below the compaction floor: the compacted
     * d0 merges all pre-frontier history, so serving it as an earlier
     * snapshot would be silently wrong. A root that was never

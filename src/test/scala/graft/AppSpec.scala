@@ -3039,6 +3039,28 @@ class AppSpec extends SparkSpec {
     }
     cfg("""{"kind": "repair", "statePath": "bstate", "apply": true}""")
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // --- join family: ONE missing committed view dir rebuilds from
+    // the sides' join invariant through the same repair face ---
+    Seq((1L, 10.0)).toDF("k", "p").write.parquet(s"$dir/in/jra0")
+    Seq((1L, 1.5)).toDF("k", "q").write.parquet(s"$dir/in/jrb0")
+    Seq((2L, 20.0)).toDF("k", "p").write.parquet(s"$dir/in/jra1")
+    Seq((2L, 2.5)).toDF("k", "q").write.parquet(s"$dir/in/jrb1")
+    for (i <- 0 to 1) {
+      cfg(s"""{"kind": "join", "statePath": "jrst", "batchId": $i,
+             | "key": "k", "nBuckets": 2,
+             | "deltaA": {"input": "in/jra$i"},
+             | "deltaB": {"input": "in/jrb$i"}}""".stripMargin)
+      Main.execute(spark, sink, dir)._1 shouldBe 0
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/jrst/view/d1"), true)
+    cfg("""{"kind": "repair", "statePath": "jrst", "apply": true}""")
+    val (cjr, ojr) = Main.execute(spark, sink, dir)
+    withClue(ojr) { cjr shouldBe 0 }
+    ojr.get should include("rebuild missing view batch dir d1")
+    ojr.get should include(""""ok":true""")
+    rows(graft.operators.JoinView.readCommittedView(spark,
+      s"$dir/jrst").get.select(col("k")).orderBy("k")) shouldBe
+      Seq(Seq(1L), Seq(2L))
   }
 
   test("maintainView compact addColumns: schema evolution through the " +

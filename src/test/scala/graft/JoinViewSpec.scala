@@ -261,6 +261,77 @@ class JoinViewSpec extends SparkSpec {
     }.getMessage should include("unparseable")
   }
 
+  test("rebuildViewBatchDir: one lost committed view dir comes back " +
+      "EXACTLY from the sides' join invariant (multiset difference, " +
+      "duplicate rows included); the view and its delta pulls serve " +
+      "again; side holes, multiple view holes, uncommitted ids and " +
+      "empty-side states refuse or degrade honestly") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-jvreb").toString
+    val root = s"$base/state"
+    // batch 1 carries a DUPLICATE a-row (multiset semantics on trial)
+    // and a cross-batch match (k=2's b-row arrives in batch 2)
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 10.0)).toDF("k", "price"),
+      Seq((1L, 1.5)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((2L, 20.0), (2L, 20.0)).toDF("k", "price"),
+      Seq((1L, 9.9)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.foldBatchDirs(root, 2L, "k",
+      Seq.empty[(Long, Double)].toDF("k", "price"),
+      Seq((2L, 2.5)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val fs = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k", "price", "qty"))
+    val d1Before = rows(spark.read.parquet(s"$root/view/d1")
+      .orderBy("k", "price", "qty"))
+    // lose the middle view dir: fsck names it, reads drop its rows
+    fs.delete(new Path(root, "view/d1"), true) shouldBe true
+    val audit = graft.app.ViewFsck.fsckJson(spark, root)
+    audit should include(""""ok":false""")
+    audit should include("join/view/d1: committed batch dir MISSING")
+    // rebuild: byte-equal rows (duplicates preserved), total restored
+    JoinView.rebuildViewBatchDir(spark, root, 1L) shouldBe
+      d1Before.size.toLong
+    rows(spark.read.parquet(s"$root/view/d1")
+      .orderBy("k", "price", "qty")) shouldBe d1Before
+    rows(JoinView.readCommittedView(spark, root).get
+      .orderBy("k", "price", "qty")) shouldBe before
+    rows(JoinView.readViewDelta(spark, root, 0L).get
+      .select("k").orderBy("k")) shouldBe Seq(Seq(1L), Seq(2L), Seq(2L))
+    graft.app.ViewFsck.fsckJson(spark, root) should include(""""ok":true""")
+    // refusals: uncommitted id; no hole; two holes; a side hole
+    intercept[IllegalArgumentException] {
+      JoinView.rebuildViewBatchDir(spark, root, 9L)
+    }.getMessage should include("not committed")
+    intercept[IllegalArgumentException] {
+      JoinView.rebuildViewBatchDir(spark, root, 1L)
+    }.getMessage should include("no hole")
+    // two holes refuse — the difference cannot be split between them
+    val conf = spark.sessionState.newHadoopConf()
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, "view/d0"),
+      fs, new Path(base, "save_d0"), false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, "view/d2"),
+      fs, new Path(base, "save_d2"), false, conf)
+    fs.delete(new Path(root, "view/d0"), true)
+    fs.delete(new Path(root, "view/d2"), true)
+    intercept[IllegalArgumentException] {
+      JoinView.rebuildViewBatchDir(spark, root, 0L)
+    }.getMessage should include("one at a time is NOT possible")
+    fs.rename(new Path(base, "save_d0"), new Path(root, "view/d0"))
+    fs.rename(new Path(base, "save_d2"), new Path(root, "view/d2"))
+    fs.delete(new Path(root, "a/d1"), true)
+    fs.delete(new Path(root, "view/d1"), true)
+    intercept[IllegalArgumentException] {
+      JoinView.rebuildViewBatchDir(spark, root, 1L)
+    }.getMessage should include("SOURCE OF TRUTH")
+    graft.app.ViewFsck.fsckJson(spark, root) should
+      include("join/a/d1: committed batch dir MISSING")
+  }
+
   test("cleanOrphanBatchDirs: aged abandoned staging and unmarked " +
       "batch dirs are swept; fresh and committed dirs survive") {
     import spark.implicits._

@@ -192,6 +192,13 @@ class RollupHistorySpec extends SparkSpec {
     // (0,1]: only a changed (n 1→2); b/c ride along in a's touched
     // bucket's snapshots when they share it — compared and dropped
     diffMap(0L, 1L) shouldBe Map("a" -> (("changed", Some(1L), Some(2L))))
+    // version-chain pruning, plan-pinned: BOTH snapshot reads of the
+    // (0,1] diff touch ONLY the bucket batch 1 versioned (group a's)
+    val aBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("a")), lit(4)).cast("int"))
+      .head().getInt(0)
+    EventStreams.diffRollupView(spark, root, 0L, 1L).inputFiles
+      .foreach(f => f should include(s"bucket=$aBucket"))
     // (1,2]: b changed, d added (insert-only — 'removed' can't arise)
     diffMap(1L, 2L) shouldBe Map(
       "b" -> (("changed", Some(1L), Some(2L))),
@@ -229,6 +236,55 @@ class RollupHistorySpec extends SparkSpec {
     }.getMessage should include("floor")
     // ...while the still-servable frontier diff stays empty-clean
     EventStreams.diffRollupView(spark, root, 2L, 2L).count() shouldBe 0L
+  }
+
+  test("randomized differential: rollup diffs under random batch " +
+      "cuts equal the full-outer comparison of one-shot GROUP BYs " +
+      "over the batch prefixes (seeded, 3 trials); the since-pull " +
+      "twins diff(after, frontier)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val root = tmpRoot()
+      EventStreams.enableRollupRetention(spark, root) shouldBe -1L
+      val keys = ('a' to 'j').map(_.toString)
+      val batches = (0 to 3).map { _ =>
+        batch(Seq.fill(rnd.nextInt(7) + 1)(
+          (keys(rnd.nextInt(keys.size)),
+            (rnd.nextInt(100) + 1) * 1.0)): _*)
+      }
+      batches.zipWithIndex.foreach { case (b, i) => fold(root, i.toLong, b) }
+      val from = rnd.nextInt(4)
+      val to = from + rnd.nextInt(4 - from)
+      // expectation from the one-shot prefixes, in plain test code
+      val fm = oneShot(batches.take(from + 1): _*)
+      val tm = oneShot(batches.take(to + 1): _*)
+      val expected = (fm.keySet ++ tm.keySet).flatMap { k =>
+        (fm.get(k), tm.get(k)) match {
+          case (None, Some(t)) => Some(k -> (("added", None, Some(t))))
+          case (Some(f), Some(t)) if f != t =>
+            Some(k -> (("changed", Some(f), Some(t))))
+          case _ => None // identical (or both absent): not a change
+        }
+      }.toMap
+      val got = EventStreams.diffRollupView(spark, root,
+        from.toLong, to.toLong).collect().map { r =>
+        def side(sfx: String) =
+          Option(r.getAs[java.lang.Long](s"n$sfx")).map(n =>
+            (n.toLong, r.getAs[Double](s"total$sfx"),
+              r.getAs[Double](s"vmin$sfx"), r.getAs[Double](s"vmax$sfx")))
+        r.getAs[String]("g") ->
+          ((r.getAs[String]("change"), side("_from"), side("_to")))
+      }.toMap
+      got shouldBe expected
+      // the since-pull is the same diff pinned at the committed
+      // frontier (3 — every batch here is non-empty)
+      val (pull, frontier) =
+        EventStreams.readRollupViewSincePinned(spark, root, from.toLong)
+      frontier shouldBe 3L
+      rows(pull.orderBy("g")) shouldBe
+        rows(EventStreams.diffRollupView(spark, root, from.toLong, 3L)
+          .orderBy("g"))
+    }
   }
 
   test("as-of point lookups are bucket-pruned over the history " +

@@ -2035,6 +2035,9 @@ class StreamingSpec extends SparkSpec {
     }
     EventStreams.readLastBatch(fs, new Path(real)) shouldBe Some(1L)
     EventStreams.rollupBatchApplied(fs, new Path(real), 1L) shouldBe false
+    // the rollup root's OWN fsck names the shape as an error
+    graft.app.ViewFsck.fsckJson(spark, real) should
+      include("frontier advance and its bucket swap")
     // bare `_LAST_BATCH >= id` would witness batch 1 right here; the
     // post-swap evidence refuses instead of blessing the mixed read
     intercept[IllegalStateException] {
@@ -2050,6 +2053,8 @@ class StreamingSpec extends SparkSpec {
     // is superseded garbage gc sweeps later) and the swap completes
     foldInto(real, 1L, b("b" -> 2.0))
     EventStreams.rollupBatchApplied(fs, new Path(real), 1L) shouldBe true
+    (graft.app.ViewFsck.fsckJson(spark, real) should not).
+      include("frontier advance and its bucket swap")
     (graft.app.ViewFsck.fsckJson(spark, m) should not).
       include("bucket swap did not finish")
     rows(spark.read.parquet(s"$real/state").drop("bucket")
