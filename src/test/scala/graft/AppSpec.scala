@@ -3000,6 +3000,9 @@ class AppSpec extends SparkSpec {
     withClue(obd) { cbd shouldBe 0 }
     obd.get should include("writer-declared witness")
     obd.get should include(""""result":null""")
+    // the embedded fsck names the pin/witness divergence (the same
+    // warning a pinLayout commit-then-witness crash would earn)
+    obd.get should include("stale _CONFIG_WITNESS")
     graft.sources.PartitionedStore.readPin(fs,
       new org.apache.hadoop.fs.Path(broken)).get should
       include("broken")
