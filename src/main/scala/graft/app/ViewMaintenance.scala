@@ -111,18 +111,22 @@ object ViewMaintenance {
         // the APPENDED rows (their batch dirs are an append log);
         // cdcRollup states pull the per-group CHANGE SET derived from
         // the retained version chain; plain rollup states pull the
-        // per-key view change set from THEIR retained COW chain —
-        // which exists only in retention mode, so without it refuse
-        // NAMED (the option that would fix it).
+        // per-key finalized-view change set — snapshot-diff in
+        // retention mode, the fold-time log in change-log mode (the
+        // cdc dispatch, rollup-flavored); in NEITHER mode refuse
+        // NAMING both options.
         if (e.sinceBatch.isDefined && !pin.startsWith("join|") &&
             !pin.startsWith("cdcRollup|") &&
             graft.streaming.EventStreams.rollupAsofFloor(spark, root)
+              .isEmpty &&
+            graft.streaming.EventStreams.rollupChangeLogFrom(spark, root)
               .isEmpty)
           throw new UserException(
-            "maintainView export: a sinceBatch pull over a rollup " +
-              "state needs retention mode (COW version chains per " +
-              s"fold; run 'retain') on the state under $root — it " +
-              "keeps no history without it")
+            "maintainView export: a sinceBatch pull needs retention " +
+              "mode (snapshot-diff pulls; run 'retain') or " +
+              "change-log mode (fold-time log pulls; run " +
+              s"'changelog') on the rollup state under $root — it " +
+              "is in neither")
         // cross-root manifest cap: resolve the GROUP frontier once —
         // every member view pulled with the same manifest reads one
         // consistent snapshot, even while a lagging root recovers
@@ -332,14 +336,28 @@ object ViewMaintenance {
             val statePq = new org.apache.hadoop.fs.Path(root, "state")
             (e.asOf, e.sinceBatch) match {
               case (_, Some(since)) =>
-                // the pull cadence must fit the retention window —
-                // the same honesty checks as asOf, as config misuse
-                checkAsof(spark, "export", pin, root, since,
-                  keyName = "sinceBatch")
+                // RETENTION mode serves the pull as a bucket-pruned
+                // snapshot diff; with retention OFF but CHANGE-LOG
+                // mode on, the identical change set serves from the
+                // fold-time log (both equal diff(since, frontier) —
+                // the cdc dispatch, rollup-flavored). The library
+                // range refusals are config misuse at this face.
+                val retained = graft.streaming.EventStreams
+                  .rollupAsofFloor(spark, root).isDefined
+                if (retained)
+                  // the pull cadence must fit the retention window —
+                  // the same honesty checks as asOf
+                  checkAsof(spark, "export", pin, root, since,
+                    keyName = "sinceBatch")
                 try {
-                  val (d, frontier) = graft.streaming.EventStreams
-                    .readRollupViewSincePinned(spark, root, since,
-                      upTo = manifestCap)
+                  val (d, frontier) =
+                    if (retained)
+                      graft.streaming.EventStreams
+                        .readRollupViewSincePinned(spark, root, since,
+                          upTo = manifestCap)
+                    else graft.streaming.EventStreams
+                      .readRollupViewLogPinned(spark, root, since,
+                        upTo = manifestCap)
                   (d, Some(frontier))
                 } catch {
                   case ex: IllegalArgumentException =>
@@ -513,17 +531,30 @@ object ViewMaintenance {
           .getOrElse(throw new UserException(
             s"maintainView changelog: no layout pin under $root — " +
               "not a view state (change-log mode must be enabled on " +
-              "an EXISTING cdcRollup state; fold batch 0 first)"))
-        if (!pin.startsWith("cdcRollup|"))
+              "an EXISTING cdcRollup or rollup state; fold batch 0 " +
+              "first)"))
+        if (pin.startsWith("join|") || pin.startsWith("foldManifest|"))
           throw new UserException(
             "maintainView changelog: the fold-time change log " +
-              s"applies to cdcRollup states only; the state under " +
-              s"$root is '${pin.takeWhile(_ != '|')}'")
-        val already = graft.operators.CdcRollup
-          .changeLogFrom(spark, root).isDefined
-        val from = graft.operators.CdcRollup.enableChangeLog(spark, root)
-        Report(cl.kind, applied = !already,
-          detail = Some(s"""{"log_from":$from}"""))
+              s"applies to cdcRollup and rollup states; the state " +
+              s"under $root is '${pin.takeWhile(_ != '|')}'")
+        if (pin.startsWith("cdcRollup|")) {
+          val already = graft.operators.CdcRollup
+            .changeLogFrom(spark, root).isDefined
+          val from = graft.operators.CdcRollup.enableChangeLog(spark, root)
+          Report(cl.kind, applied = !already,
+            detail = Some(s"""{"log_from":$from}"""))
+        } else {
+          // plain bucketed rollup: per-key finalized-view log —
+          // [[graft.streaming.EventStreams.enableRollupChangeLog]]
+          // (a re-enable also advances past a raced-enable gap)
+          val before = graft.streaming.EventStreams
+            .rollupChangeLogFrom(spark, root)
+          val from = graft.streaming.EventStreams
+            .enableRollupChangeLog(spark, root)
+          Report(cl.kind, applied = !before.contains(from),
+            detail = Some(s"""{"log_from":$from}"""))
+        }
       case lk: LookupViewConfig =>
         runLookup(spark, lk, dataDir)
       case g: GcViewConfig =>
@@ -559,11 +590,19 @@ object ViewMaintenance {
         // logRetainHours = reap change-log history (bound-advancing)
         // — change-log mode only, the retainHours discipline
         if (g.logRetainHours.isDefined) {
-          if (!pin.startsWith("cdcRollup|")) throw new UserException(
-            "maintainView gc: logRetainHours applies to cdcRollup " +
-              s"states in change-log mode; the state under $root is " +
-              s"'${pin.takeWhile(_ != '|')}' — drop the key")
-          if (graft.operators.CdcRollup.changeLogFrom(spark, root).isEmpty)
+          if (pin.startsWith("join|") || pin.startsWith("foldManifest|"))
+            throw new UserException(
+              "maintainView gc: logRetainHours applies to cdcRollup " +
+                s"and rollup states in change-log mode; the state " +
+                s"under $root is '${pin.takeWhile(_ != '|')}' — drop " +
+                "the key")
+          val inLogMode =
+            if (pin.startsWith("cdcRollup|"))
+              graft.operators.CdcRollup.changeLogFrom(spark, root)
+                .isDefined
+            else graft.streaming.EventStreams
+              .rollupChangeLogFrom(spark, root).isDefined
+          if (!inLogMode)
             throw new UserException(
               s"maintainView gc: the state under $root is not in " +
                 "change-log mode — no log accretes; drop " +
@@ -594,12 +633,15 @@ object ViewMaintenance {
             // folds those, and keeps refusing on a non-retained
             // state (nothing accretes there)
             val retained0 = graft.streaming.EventStreams
-              .rollupAsofFloor(spark, root).isDefined
+              .rollupAsofFloor(spark, root).isDefined ||
+              graft.streaming.EventStreams
+                .rollupChangeLogFrom(spark, root).isDefined
             if (g.foldMarkers && !retained0) throw new UserException(
               "maintainView gc: foldMarkers does not apply to a " +
-                "non-retained rollup state — its per-bucket markers " +
-                "are part of the swap protocol and never accrete; " +
-                "root markers only accrete in retention mode")
+                "plain rollup state in neither retention nor " +
+                "change-log mode — its per-bucket markers are part " +
+                "of the swap protocol and never accrete; root " +
+                "markers only accrete in those modes")
             (graft.operators.Maintenance.cleanTableOrphanStages(
               spark, s"$root/state", ms) ++
               graft.streaming.EventStreams.cleanRollupHistoryOrphans(
@@ -617,7 +659,10 @@ object ViewMaintenance {
             spark, root, h * 3600L * 1000)
         }
         val logReaped = g.logRetainHours.map { h =>
-          graft.operators.CdcRollup.reapChangeLog(
+          if (pin.startsWith("cdcRollup|"))
+            graft.operators.CdcRollup.reapChangeLog(
+              spark, root, h * 3600L * 1000)
+          else graft.streaming.EventStreams.reapRollupChangeLog(
             spark, root, h * 3600L * 1000)
         }
         val reaped = retained.map(_._1.size).getOrElse(0) +

@@ -1667,8 +1667,11 @@ object CdcRollup {
     * one log row per key per fold, so min_by/max_by are tie-free),
     * presence riding the per-fold labels, self-cancelling moves
     * dropped (add-then-remove; change-then-revert). One shuffle over
-    * the rows in range — O(changes), never a state scan. */
-  private def netLogRange(spark: SparkSession,
+    * the rows in range — O(changes), never a state scan. ONE
+    * definition for every change-log family — the bucketed rollup's
+    * log pull ([[graft.streaming.EventStreams.readRollupViewLog]])
+    * nets through this too, so the semantics cannot diverge. */
+  private[graft] def netLogRange(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
                           rootPath: org.apache.hadoop.fs.Path,
                           layer: String,

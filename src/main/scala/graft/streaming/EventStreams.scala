@@ -1066,6 +1066,54 @@ object EventStreams {
     // already-applied early returns for exactly that window.
     val retainOn = graft.operators.BatchMarkers.readFloor(fs, root)
       .isDefined
+    // CHANGE-LOG mode ([[enableRollupChangeLog]]): every fold ALSO
+    // emits its per-key FINALIZED-view changes (old row vs merged
+    // row, batch keys only — a monoid key not in the batch cannot
+    // change) into `log/b<batchId>`, staged and RENAMED BEFORE the
+    // swap while the old state is still intact, and witnessed by a
+    // root `_APPLIED_<batchId>` marker committed AFTER the swap (the
+    // cdc log discipline: the marker is the committedness readers
+    // resolve; an unwitnessed dir is invisible). A replay that finds
+    // the dir SKIPS re-emission — mandatory, not an optimization: a
+    // partial swap already destroyed some old images, and the dir's
+    // contents are a pure function of (old state, batch), identical
+    // on every attempt. Any stage carrying this batch's markers
+    // implies the log rename already happened (emission strictly
+    // precedes staging), so the recovery paths never need the old
+    // state back.
+    val logOn = graft.operators.BatchMarkers.readLogFrom(fs, root)
+    logOn.foreach { bound =>
+      // the raced-enable / skipped-replay guard: a frontier ABOVE
+      // every witness with no log dir means a fold committed without
+      // logging (enableRollupChangeLog raced it) or a crashed fold's
+      // replay was skipped — folding PAST it would mint a silent
+      // coverage gap, so refuse loud. A frontier whose log dir exists
+      // and whose swap finished just lost its marker to a crash —
+      // heal by committing the witness here.
+      val maxC = graft.operators.BatchMarkers.read(fs, root)
+        .maxCommitted.getOrElse(-1L) max bound
+      lastBatch.filter(_ > maxC).foreach { lb =>
+        if (fs.exists(new Path(root, s"log/b$lb")) &&
+            rollupBatchApplied(fs, root, lb)) {
+          graft.operators.BatchMarkers.commit(fs, root, lb); ()
+        } else if (batchId > lb)
+          throw new graft.model.UserException(
+            s"rollup change log under $statePath: the frontier $lb " +
+              "is above every log witness and its log dir is " +
+              (if (fs.exists(new Path(root, s"log/b$lb")))
+                "present but its swap never finished — replay that " +
+                "batch first (the recovery completes the swap)"
+              else "absent — a fold committed without logging (the " +
+                "enable raced it?); re-run enableRollupChangeLog to " +
+                "advance the bound past the gap (forward-only " +
+                "consumers must re-baseline)"))
+      }
+    }
+    def commitLogWitness(): Unit =
+      if (logOn.isDefined && !graft.operators.BatchMarkers
+          .read(fs, root).committed(batchId)) {
+        graft.operators.BatchMarkers.commit(fs, root, batchId); ()
+      }
     def commitHistory(touched: Seq[Int]): Unit = {
       if (!retainOn || touched.isEmpty) return
       if (graft.operators.BatchMarkers.read(fs, root)
@@ -1140,11 +1188,18 @@ object EventStreams {
       // the batch's distinct buckets: ≤ nBuckets values, safe to collect
       val touched = partial.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
-      if (touched.isEmpty) { advanceLastBatch(); return Nil }
+      if (touched.isEmpty) {
+        // an empty fold's change log is an empty (dataless) b<id>
+        // dir — present so a committed id > the bound with NO log
+        // dir stays an unambiguous GAP signal (the cdc discipline)
+        if (logOn.isDefined) fs.mkdirs(new Path(root, s"log/b$batchId"))
+        advanceLastBatch(); commitLogWitness(); return Nil
+      }
       var pending = touched.filterNot(b =>
         fs.exists(new Path(cur, s"bucket=$b/_APPLIED_$batchId")))
       if (pending.isEmpty) {
-        advanceLastBatch(); commitHistory(touched); return Nil
+        advanceLastBatch(); commitHistory(touched); commitLogWitness()
+        return Nil
       }
       // Stranded-stage triage for buckets missing from the state:
       //  - the stranded bucket carries THIS batch's marker → it is the
@@ -1179,22 +1234,56 @@ object EventStreams {
         }
       }
       if (pending.isEmpty) {
-        advanceLastBatch(); commitHistory(touched)
+        advanceLastBatch(); commitHistory(touched); commitLogWitness()
         return recovered.result()
       }
       val pendingCols = pending.map(b => lit(b): Column)
       val partialPending = partial.filter(col("bucket").isin(pendingCols: _*))
       val havePrior = pending.exists(b =>
         fs.exists(new Path(cur, s"bucket=$b")))
-      val next =
-        (if (havePrior) {
+      val oldSlice =
+        if (havePrior)
           // partition-pruned: only the pending buckets' files scan
-          val slice = spark.read.parquet(cur.toString)
-            .filter(col("bucket").isin(pendingCols: _*))
-          IncrementalAgg.mergeStates(slice.drop("bucket"),
-            partialPending.drop("bucket"), keys)
-        } else partialPending.drop("bucket"))
-          .withColumn("bucket", bucketOf)
+          Some(spark.read.parquet(cur.toString)
+            .filter(col("bucket").isin(pendingCols: _*)))
+        else None
+      val merged = oldSlice match {
+        case Some(slice) => IncrementalAgg.mergeStates(
+          slice.drop("bucket"), partialPending.drop("bucket"), keys)
+        case None => partialPending.drop("bucket")
+      }
+      // change-log emission — BEFORE any staging/swap, while the old
+      // images are intact; skipped when the dir exists (a crashed
+      // attempt's complete, identical emission — see the mode note
+      // above: recovery paths REQUIRE the skip)
+      if (logOn.isDefined &&
+          !fs.exists(new Path(root, s"log/b$batchId"))) {
+        val batchKeys = partialPending.select(keys.map(col): _*)
+        // null-safe restriction: a NULL group key is a real group
+        def forKeys(df: DataFrame) = df.join(batchKeys,
+          keys.map(c => df(c) <=> batchKeys(c)).reduce(_ && _),
+          "left_semi")
+        val fromF = IncrementalAgg.finalizeState(
+          oldSlice.map(s => forKeys(s.drop("bucket")))
+            .getOrElse(merged.limit(0)), keys)
+        val toF = IncrementalAgg.finalizeState(forKeys(merged), keys)
+        val stateCols = toF.columns.toSeq.filterNot(keys.contains)
+        val jc = keys.map(c => fromF(c) <=> toF(c)).reduce(_ && _)
+        val logDf = toF.join(fromF, jc, "left_outer")
+          .select((keys.map(c => toF(c).as(c)) ++
+            stateCols.map(c => fromF(c).as(s"${c}_from")) ++
+            stateCols.map(c => toF(c).as(s"${c}_to")) :+
+            when(fromF("n").isNull, lit("added"))
+              .otherwise(lit("changed")).as("change") :+
+            lit(batchId).as("__batch_id")): _*)
+        val logStaging = new Path(root, s"log/.staging$batchId")
+        fs.delete(logStaging, true) // a crashed attempt's partial
+        logDf.write.mode("overwrite").parquet(logStaging.toString)
+        if (!fs.rename(logStaging, new Path(root, s"log/b$batchId")))
+          throw new java.io.IOException(
+            s"rollup change log: rename failed: $root/log/b$batchId")
+      }
+      val next = merged.withColumn("bucket", bucketOf)
       val stage = new Path(root,
         s"state__stage_${java.util.UUID.randomUUID().toString.take(8)}")
       next.write.mode("overwrite").partitionBy("bucket")
@@ -1209,6 +1298,7 @@ object EventStreams {
           pending.map(b => s"bucket=$b"))
       }
       commitHistory(touched)
+      commitLogWitness()
       recovered.result() ++ pending
     } finally partial.unpersist()
   }
@@ -1587,6 +1677,187 @@ object EventStreams {
   def readRollupViewSince(spark: org.apache.spark.sql.SparkSession,
                           statePath: String, afterId: Long): DataFrame =
     readRollupViewSincePinned(spark, statePath, afterId)._1
+
+  // ---- fold-time change log for bucketed rollup states ---------------
+
+  /** Switch a bucketed rollup state into CHANGE-LOG mode — the
+    * [[graft.operators.CdcRollup.enableChangeLog]] story for the
+    * plain rollup family, closing its forward-only-consumer gap:
+    * from now on every fold also emits its per-key FINALIZED-view
+    * changes into an append-only `log/b<id>` layer (see
+    * [[applyRollupBatchBucketed]]'s mode note for the exact crash
+    * protocol), and [[readRollupViewLog]] serves `(afterId,
+    * frontier]` pulls from the log alone — no COW retention, no
+    * floor to out-run.
+    *
+    * The `_LOG_FROM_<f>` file is both the mode switch and the
+    * honesty bound: the log covers folds strictly AFTER `f` (the
+    * `_LAST_BATCH` frontier at enable time). SINGLE-WRITER
+    * requirement, like the cdc enable: a racing fold reads log-off
+    * at start and commits above the bound with no dir — the NEXT
+    * fold refuses loud on that shape, and re-running this enable
+    * ADVANCES the bound past the gap (the raced fold's changes were
+    * never logged; forward-only consumers must re-baseline).
+    * Idempotent otherwise. @return the bound in force */
+  def enableRollupChangeLog(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.BatchMarkers.readLogFrom(fs, root) match {
+      case Some(bound) =>
+        val maxC = graft.operators.BatchMarkers.read(fs, root)
+          .maxCommitted.getOrElse(-1L) max bound
+        readLastBatch(fs, root)
+          .filter(lb => lb > maxC &&
+            !fs.exists(new Path(root, s"log/b$lb"))) match {
+          case Some(lb) =>
+            // the raced-enable residue: advance past the unlogged fold
+            graft.operators.BatchMarkers.writeLogFrom(fs, root, lb)
+            lb
+          case None => bound
+        }
+      case None =>
+        val from = readLastBatch(fs, root).getOrElse(-1L)
+        fs.mkdirs(root)
+        graft.operators.BatchMarkers.writeLogFrom(fs, root, from)
+        from
+    }
+  }
+
+  /** The rollup change-log bound in force — None when the state is
+    * not in change-log mode. */
+  def rollupChangeLogFrom(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.BatchMarkers.readLogFrom(fs, root)
+  }
+
+  /** The per-key finalized-view change set since `afterId`, served
+    * from the APPEND-ONLY fold-time log — [[readRollupViewSince]]
+    * semantics (same output schema, same added/changed labels, same
+    * net-move-per-key rows) WITHOUT retention mode: the forward-only
+    * mirror pull for the plain rollup family. Row-for-row equal to
+    * [[diffRollupView]]`(afterId, frontier)` on a retained twin
+    * ('removed' cannot arise — the monoid only grows). */
+  def readRollupViewLog(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String, afterId: Long): DataFrame =
+    readRollupViewLogPinned(spark, statePath, afterId)._1
+
+  /** [[readRollupViewLog]] returning the frontier it pulled to — the
+    * [[graft.operators.CdcRollup.readBaseLogPinned]] discipline: ONE
+    * frontier resolution (the root's committed log WITNESSES —
+    * post-swap evidence by construction, a marker lands only after
+    * its fold's swap) pins both the range and the report; the
+    * committed `log/b<id>` dirs in range net per key through the ONE
+    * shared [[graft.operators.CdcRollup.netLogRange]] (first `_from`
+    * ∘ last `_to`; a coverage gap — a committed witness in range
+    * with no dir — refuses loud there). O(changes in range), never a
+    * state scan. */
+  def readRollupViewLogPinned(spark: org.apache.spark.sql.SparkSession,
+                              statePath: String, afterId: Long,
+                              /** the cross-root manifest cap — see
+                                * [[graft.operators.CdcRollup
+                                * .readBaseSincePinned]]. */
+                              upTo: Option[Long] = None)
+      : (DataFrame, Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val logFrom = graft.operators.BatchMarkers.readLogFrom(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"readRollupViewLog under $statePath: the state is not in " +
+          "change-log mode — folds emit no log; enable it " +
+          "(enableRollupChangeLog) BEFORE the folds whose changes " +
+          "you need"))
+    val markers = graft.operators.BatchMarkers.read(fs, root)
+    val rootFrontier = markers.maxCommitted.getOrElse(
+      throw new IllegalStateException(
+        s"readRollupViewLog: no log-witnessed folds under $statePath"))
+    upTo.foreach(u => require(u <= rootFrontier,
+      s"readRollupViewLog: the manifest cap $u is AHEAD of the " +
+        s"witnessed frontier $rootFrontier under $statePath — a " +
+        "group frontier this root never produced (a reset root?); " +
+        "re-baseline"))
+    val frontier = upTo.getOrElse(rootFrontier)
+    require(afterId >= logFrom,
+      s"readRollupViewLog: afterId $afterId is below the change-log " +
+        s"start $logFrom under $statePath — folds at or before it " +
+        "were never logged (mode enabled later) or their dirs were " +
+        "reaped; re-baseline the consumer with a full export")
+    require(afterId <= frontier,
+      s"readRollupViewLog: afterId $afterId is AHEAD of the " +
+        s"witnessed frontier $frontier under $statePath — a frontier " +
+        "this state never produced (wrong root, or a reset state); " +
+        "re-baseline the consumer with a full export")
+    val pin = graft.sources.PartitionedStore.readPin(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"readRollupViewLog: no layout pin under $statePath"))
+    val parts = pin.split('|')
+    require(parts.length == 3 && parts(0).toIntOption.exists(_ >= 1),
+      s"readRollupViewLog: unrecognized layout pin '$pin' under " +
+        statePath)
+    val keys = parts(1).split(',').toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    // key + extremum types come from the state's own schema (the
+    // rollup pin carries no types); a state with a witnessed fold
+    // always has state rows (empty folds witness but add no keys —
+    // and an all-empty-folds state has nothing to pull anyway)
+    val cur = new Path(root, "state")
+    if (!fs.exists(cur))
+      throw new IllegalStateException(
+        s"readRollupViewLog: no state rows under $statePath — " +
+          "nothing was ever logged; pull after the first non-empty " +
+          "fold")
+    val sch = spark.read.parquet(cur.toString).schema
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val vType = sch("agg_min").dataType
+    val keyTypes = keys.map(c => c -> sch(c).dataType)
+    val stateTypes: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      Seq("n" -> LongType, "total" -> DoubleType,
+        "mean" -> DoubleType, "vmin" -> vType, "vmax" -> vType)
+    (graft.operators.CdcRollup.netLogRange(spark, fs, root, "log",
+      keyTypes, stateTypes, markers, afterId, frontier), frontier)
+  }
+
+  /** Reap rollup change-log dirs older than the window and ADVANCE
+    * the bound past everything reaped — the
+    * [[graft.operators.CdcRollup.reapChangeLog]] protocol verbatim:
+    * the new bound writes BEFORE any delete (a crash between refuses
+    * servable pulls, never serves a gapped one); dirs at or below
+    * the CURRENT bound are unreachable and go regardless of age.
+    * @return (deleted dir paths, the bound now in force) */
+  def reapRollupChangeLog(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String,
+                          retainMs: Long): (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val logFrom = graft.operators.BatchMarkers.readLogFrom(fs, root)
+      .getOrElse(throw new IllegalStateException(
+        s"reapRollupChangeLog under $statePath: the state is not in " +
+          "change-log mode — nothing accretes, nothing to reap"))
+    val logDir = new Path(root, "log")
+    if (!fs.exists(logDir)) return (Nil, logFrom)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val entries = fs.listStatus(logDir).toSeq
+      .filter(st => st.getPath.getName.startsWith("b") &&
+        st.getPath.getName.drop(1).nonEmpty &&
+        st.getPath.getName.drop(1).forall(_.isDigit))
+      .map(st => (st.getPath, st.getPath.getName.drop(1).toLong,
+        st.getModificationTime))
+    val doomed = entries.filter { case (_, id, m) =>
+      id <= logFrom || m <= cutoff }
+    if (doomed.isEmpty) return (Nil, logFrom)
+    val newBound = (logFrom +: doomed.map(_._2)).max
+    if (newBound > logFrom)
+      graft.operators.BatchMarkers.writeLogFrom(fs, root, newBound)
+    val deleted = doomed.map { case (p, _, _) =>
+      fs.delete(p, true); p.toString }
+    (deleted, newBound)
+  }
 
   /** Reap retained rollup history older than the window and ADVANCE
     * THE FLOOR past everything reaped — the

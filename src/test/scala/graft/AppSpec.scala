@@ -3228,6 +3228,33 @@ class AppSpec extends SparkSpec {
     cfg("""{"kind": "diff", "statePath": "bare", "fromBatch": 0,
           | "toBatch": 0, "output": "bd"}""".stripMargin)
     Main.execute(spark, sink, dir)._1 shouldBe 1
+    // --- change-log mode: the same sinceBatch pull serves with
+    // retention OFF from the fold-time log (the cdc dispatch,
+    // rollup-flavored) — enable on the bare state, fold, pull, reap
+    cfg("""{"kind": "changelog", "statePath": "bare"}""")
+    val (cc, oc) = Main.execute(spark, sink, dir)
+    withClue(oc) { cc shouldBe 0 }
+    oc.get should include(""""log_from":0""")
+    Seq(("w", 7.0)).toDF("g", "v").write.mode("overwrite")
+      .parquet(s"$dir/in/b1")
+    cfg("""{"kind": "rollup", "statePath": "bare", "batchId": 1,
+          | "keys": ["g"], "valueColumn": "v", "nBuckets": 2,
+          | "delta": {"input": "in/b1"}}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "bare", "output": "lp",
+          | "sinceBatch": 0}""".stripMargin)
+    val (cl2, ol2) = Main.execute(spark, sink, dir)
+    withClue(ol2) { cl2 shouldBe 0 }
+    ol2.get should include(""""batch_id":1""")
+    rows(spark.read.parquet(s"$dir/lp")
+      .select(col("g"), col("change"))) shouldBe
+      Seq(Seq("w", "added"))
+    // reap advances the bound; the now-unservable pull refuses named
+    cfg("""{"kind": "gc", "statePath": "bare", "logRetainHours": 0}""")
+    Main.execute(spark, sink, dir)._1 shouldBe 0
+    cfg("""{"kind": "export", "statePath": "bare", "output": "lp2",
+          | "sinceBatch": 0}""".stripMargin)
+    Main.execute(spark, sink, dir)._1 shouldBe 1
   }
 
   test("maintainView manifest: the group-commit witness through the " +

@@ -238,6 +238,96 @@ class RollupHistorySpec extends SparkSpec {
     EventStreams.diffRollupView(spark, root, 2L, 2L).count() shouldBe 0L
   }
 
+  test("rollup change log: forward-only pulls equal diffRollupView " +
+      "on a retained twin at every cut; empty folds witness dataless " +
+      "dirs; a lost witness heals at the next fold; a raced enable " +
+      "refuses then advances on re-enable; coverage gaps refuse " +
+      "loud; reap advances the bound before deleting") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpRoot(); val twin = tmpRoot()
+    EventStreams.enableRollupChangeLog(spark, root) shouldBe -1L
+    EventStreams.enableRollupRetention(spark, twin) shouldBe -1L
+    def foldBoth(id: Long, d: DataFrame): Unit = {
+      fold(root, id, d); fold(twin, id, d); ()
+    }
+    val b0 = batch(("a", 10.0), ("b", 20.0))
+    val b1 = batch(("a", 1.0), ("c", 30.0))
+    val b2 = batch(("a", 2.0))
+    foldBoth(0L, b0); foldBoth(1L, b1); foldBoth(2L, b2)
+    // the log pull IS the retained twin's snapshot diff, at every cut
+    for (after <- Seq(-1L, 0L, 1L, 2L))
+      rows(EventStreams.readRollupViewLog(spark, root, after)
+        .orderBy("g")) shouldBe
+        rows(EventStreams.diffRollupView(spark, twin, after, 2L)
+          .orderBy("g"))
+    val (_, f1) = EventStreams.readRollupViewLogPinned(spark, root, 0L)
+    f1 shouldBe 2L
+    // empty fold: dataless b<id> dir + witness — the gap signal stays
+    // unambiguous, pulls of its range stay empty
+    foldBoth(3L, batch())
+    val fs = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new Path(root, "log/b3")) shouldBe true
+    EventStreams.readRollupViewLog(spark, root, 2L).count() shouldBe 0L
+    // replay of the frontier id: per-bucket markers no-op the fold,
+    // the log dir is untouched, the pull byte-stable
+    fold(root, 3L, batch())
+    rows(EventStreams.readRollupViewLog(spark, root, 0L)
+      .orderBy("g")) shouldBe
+      rows(EventStreams.diffRollupView(spark, twin, 0L, 2L).orderBy("g"))
+    // refusals: not in change-log mode; ahead of the frontier
+    intercept[IllegalStateException] {
+      EventStreams.readRollupViewLog(spark, twin, 0L)
+    }.getMessage should include("not in change-log mode")
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewLog(spark, root, 9L)
+    }.getMessage should include("AHEAD")
+    // crashed-pre-witness: the swap landed, the marker didn't — the
+    // NEXT fold heals it from the log dir + post-swap evidence
+    fs.delete(new Path(root, "_APPLIED_3"), false) shouldBe true
+    fold(root, 4L, batch(("d", 5.0)))
+    graft.operators.BatchMarkers.read(fs, new Path(root))
+      .committed(3L) shouldBe true
+    // (1, 4]: a changed (folds 2), d added (fold 4) — 2 net rows
+    EventStreams.readRollupViewLog(spark, root, 1L).count() shouldBe 2L
+    // coverage gap: a committed witness in range with no dir refuses
+    fs.delete(new Path(root, "log/b1"), true) shouldBe true
+    intercept[IllegalStateException] {
+      EventStreams.readRollupViewLog(spark, root, 0L).collect()
+    }.getMessage should include("does not cover the range")
+    EventStreams.readRollupViewLog(spark, root, 1L).count() shouldBe 2L
+    // raced enable: a fold that committed with no witness AND no log
+    // dir blocks later folds loud; re-enabling advances past the gap
+    val raced = tmpRoot()
+    EventStreams.enableRollupChangeLog(spark, raced) shouldBe -1L
+    fold(raced, 0L, batch(("x", 1.0)))
+    val rfs = new Path(raced)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    rfs.delete(new Path(raced, "log/b0"), true) shouldBe true
+    rfs.delete(new Path(raced, "_APPLIED_0"), false) shouldBe true
+    intercept[graft.model.UserException] {
+      fold(raced, 1L, batch(("y", 2.0)))
+    }.getMessage should include("committed without logging")
+    EventStreams.enableRollupChangeLog(spark, raced) shouldBe 0L
+    fold(raced, 1L, batch(("y", 2.0)))
+    rows(EventStreams.readRollupViewLog(spark, raced, 0L)
+      .select(col("g"), col("change"))) shouldBe
+      Seq(Seq("y", "added"))
+    // reap: bound written BEFORE deleting; below-bound refuses, the
+    // frontier pull stays servable-empty; non-log states refuse
+    val (deleted, bound) =
+      EventStreams.reapRollupChangeLog(spark, root, 0L)
+    deleted should not be empty
+    bound shouldBe 4L
+    intercept[IllegalArgumentException] {
+      EventStreams.readRollupViewLog(spark, root, 3L)
+    }.getMessage should include("below the change-log start")
+    EventStreams.readRollupViewLog(spark, root, 4L).count() shouldBe 0L
+    intercept[IllegalStateException] {
+      EventStreams.reapRollupChangeLog(spark, twin, 0L)
+    }.getMessage should include("not in change-log mode")
+  }
+
   test("randomized differential: rollup diffs under random batch " +
       "cuts equal the full-outer comparison of one-shot GROUP BYs " +
       "over the batch prefixes (seeded, 3 trials); the since-pull " +
