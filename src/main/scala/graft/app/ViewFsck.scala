@@ -121,9 +121,18 @@ object ViewFsck {
         // reads silently drop those rows (the state LIES about
         // itself). The view layer is derived (repair rebuilds one
         // hole from the sides' join invariant); the sides are the
-        // source of truth.
+        // source of truth. The id universe is seeded from the per-id
+        // markers TOO, not just on-disk dirs: a committed batch whose
+        // a/, b/ AND view/ dirs are ALL lost (external triple loss —
+        // a mis-scoped cleanup) leaves the `_APPLIED_<id>` marker as
+        // the only listable evidence, and a dirs-only derivation
+        // would report CLEAN while every read silently drops the
+        // batch's rows. Watermark-subsumed ids stay best-effort
+        // (subsumption deletes their markers; on a compacted root
+        // the collapsed history below the floor is covered by d0) —
+        // the same bound the change-log coverage audit accepts.
         val allIds = committedIds("a") ++ committedIds("b") ++
-          committedIds("view")
+          committedIds("view") ++ markers.ids
         allIds.toSeq.sorted.foreach { i =>
           for (side <- Seq("a", "b"))
             check(!committedIds(side).contains(i), error = true,

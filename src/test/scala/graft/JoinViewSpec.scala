@@ -332,6 +332,42 @@ class JoinViewSpec extends SparkSpec {
       include("join/a/d1: committed batch dir MISSING")
   }
 
+  test("fsck completeness: a committed batch whose a/, b/ AND view/ " +
+      "dirs are ALL lost (external triple loss) surfaces as three " +
+      "named MISSING errors — the per-id marker seeds the id " +
+      "universe, so the state cannot report CLEAN while reads " +
+      "silently drop the batch's rows") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jvtriple").toString + "/state"
+    JoinView.foldBatchDirs(root, 0L, "k",
+      Seq((1L, 10.0)).toDF("k", "price"),
+      Seq((1L, 1.5)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    JoinView.foldBatchDirs(root, 1L, "k",
+      Seq((2L, 20.0)).toDF("k", "price"),
+      Seq((2L, 2.5)).toDF("k", "qty"), nBuckets = 4) shouldBe true
+    val fs = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a mis-scoped cleanup deletes EVERY d1 dir; only _APPLIED_1
+    // survives as evidence the batch ever committed
+    for (layer <- Seq("a", "b", "view"))
+      fs.delete(new Path(root, s"$layer/d1"), true) shouldBe true
+    val audit = graft.app.ViewFsck.fsckJson(spark, root)
+    audit should include(""""ok":false""")
+    audit should include("join/a/d1: committed batch dir MISSING")
+    audit should include("join/b/d1: committed batch dir MISSING")
+    audit should include("join/view/d1: committed batch dir MISSING")
+    // best-effort bound: once the id is watermark-subsumed its marker
+    // is gone, and a triple loss below the watermark has no listable
+    // evidence left — fsck honestly reports clean (documented bound,
+    // same as the change-log coverage audit)
+    graft.operators.BatchMarkers.foldInto(fs, new Path(root),
+      graft.operators.BatchMarkers.read(fs, new Path(root)), 1L)
+    graft.app.ViewFsck.fsckJson(spark, root) should
+      include(""""ok":true""")
+  }
+
   test("cleanOrphanBatchDirs: aged abandoned staging and unmarked " +
       "batch dirs are swept; fresh and committed dirs survive") {
     import spark.implicits._
