@@ -523,7 +523,19 @@ object CdcRollup {
       .select((payloadCols.map(col) :+ col("__cdc_delete")): _*)
       .persist()
     try {
-      if (net.isEmpty) { // empty delta: commit the marker, change nothing
+      // ONE delta-sized probe job serves the empty check, the NULL-pk
+      // refusal AND the touched-base-bucket set (three serial actions
+      // collapsed — the fold runs dozens of tiny jobs, so each saved
+      // job round-trip is real wall time at any scale; guide §1.2
+      // "don't compute things you throw away" applies to passes too)
+      val probeRow = labeled(spark, s"cdc-fold b$batchId: net probe") {
+        net.agg(
+          count(lit(1)).as("__cnt"),
+          count(when(pkCols.map(col(_).isNull).reduce(_ || _), 1))
+            .as("__nullpk"),
+          collect_set(baseBucket).as("__buckets")).head()
+      }
+      if (probeRow.getLong(0) == 0L) { // empty delta: commit the marker, change nothing
         // ... except materialize the DECLARED layer dirs (grp when
         // minMax is pinned, one aux_<name> per aux view) exactly like
         // compactStateTo does: a stream whose FIRST micro-batch is
@@ -546,12 +558,11 @@ object CdcRollup {
       // NULL pk components refuse LOUD: the pk joins below (semi/anti)
       // never match NULL, so a NULL-keyed image could neither be
       // updated nor deleted — every later upsert would append another
-      // copy the state can never reconcile. Delta-sized probe.
-      require(net.filter(pkCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      // copy the state can never reconcile.
+      require(probeRow.getLong(1) == 0L,
         s"cdcRollup batch $batchId: NULL in a pk column — a NULL key " +
           "can never be matched for update/delete; repair the feed")
-      val touchedBase = net.select(baseBucket.as("__b")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      val touchedBase = probeRow.getSeq[Int](2).toSet
       val upserts = net.filter(!col("__cdc_delete")).drop("__cdc_delete")
       val keys = net.select(pkCols.map(col): _*).distinct()
       // old images live ONLY in the delta's touched base buckets
@@ -578,8 +589,11 @@ object CdcRollup {
           .agg(sums.head, sums.tail: _*)
           .persist()
         try {
-          val touchedAgg = contrib.select(aggBucket.as("__b")).distinct()
-            .collect().map(_.getInt(0)).toSet
+          val touchedAgg = labeled(spark,
+              s"cdc-fold b$batchId: contrib + touched-agg") {
+            contrib.select(aggBucket.as("__b")).distinct()
+              .collect().map(_.getInt(0)).toSet
+          }
           // new base content for the touched buckets: pass-through
           // minus touched keys, plus the upsert images
           val newBase = prunedBase.join(keys, pkCols, "left_anti")
@@ -700,8 +714,11 @@ object CdcRollup {
               .groupBy(cols.map(col): _*)
               .agg(sums.head, sums.tail: _*)
               .persist()
-            val touchedA = aContrib.select(bucketOf.as("__b"))
-              .distinct().collect().map(_.getInt(0)).toSet
+            val touchedA = labeled(spark,
+                s"cdc-fold b$batchId: aux-contrib $name") {
+              aContrib.select(bucketOf.as("__b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+            }
             import org.apache.spark.sql.types.{StructField, StructType}
             val emptyA = spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -2506,6 +2523,14 @@ object CdcRollup {
     written
   }
 
+  /** Label the jobs an action spawns (optimization guide §1.5) so the
+    * fold's many small jobs are attributable in the UI/listeners;
+    * thread-local, restored after the action. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   // ---- layout plumbing ------------------------------------------------
 
   /** Latest COMMITTED version dir of each bucket of `layer` —
@@ -2565,10 +2590,19 @@ object CdcRollup {
                              changeLogs: Seq[(String, DataFrame)] = Nil)
       : Unit = {
     import org.apache.hadoop.fs.Path
+    // NOTE (r18, measured): running these independent layer writes
+    // from a thread pool (guide §2.6) was tried and REJECTED — at the
+    // bench config the concurrent write jobs contend on broadcast
+    // construction/codegen and oversubscribe the cores, and
+    // cdc_cube_view regressed 7.6 -> 22 s (4 threads) / 9.1 s
+    // (2 threads) warm. Serial writes keep the cluster busy per job
+    // and stay predictable; see OPTIMIZATION_r18.md.
     for ((layer, df, bucketOf, touched) <- layers) {
-      df.withColumn("__bucket", bucketOf)
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(new Path(root, s"$layer/.staging$batchId").toString)
+      labeled(df.sparkSession, s"cdc-fold b$batchId: write $layer") {
+        df.withColumn("__bucket", bucketOf)
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(new Path(root, s"$layer/.staging$batchId").toString)
+      }
       val written = promoteStaged(fs, root, layer, batchId)
       // a touched bucket with no surviving rows still needs a NEW
       // latest version, else its old content would resurface
@@ -2578,7 +2612,9 @@ object CdcRollup {
     }
     changeLogs.foreach { case (layer, logDf) =>
       val staging = new Path(root, s"$layer/.staging$batchId")
-      logDf.write.mode("overwrite").parquet(staging.toString)
+      labeled(logDf.sparkSession, s"cdc-fold b$batchId: write $layer") {
+        logDf.write.mode("overwrite").parquet(staging.toString)
+      }
       val home = new Path(root, s"$layer/b$batchId")
       if (!fs.rename(staging, home))
         throw new java.io.IOException(s"cdcRollup: rename failed: $home")
