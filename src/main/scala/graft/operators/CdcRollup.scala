@@ -528,6 +528,13 @@ object CdcRollup {
       // collapsed — the fold runs dozens of tiny jobs, so each saved
       // job round-trip is real wall time at any scale; guide §1.2
       // "don't compute things you throw away" applies to passes too)
+      // NOTE: collect_set silently drops NULLs — sound here only
+      // because baseBucket = pmod(xxhash64(pk...), n) is non-null by
+      // construction (xxhash64 never returns NULL, even on NULL
+      // input); if the bucket expression ever became nullable the
+      // touched set would silently shrink. Guarded by the NULL-pk
+      // refusal below, which rejects the only rows that could carry a
+      // surprising hash input.
       val probeRow = labeled(spark, s"cdc-fold b$batchId: net probe") {
         net.agg(
           count(lit(1)).as("__cnt"),
@@ -563,6 +570,34 @@ object CdcRollup {
         s"cdcRollup batch $batchId: NULL in a pk column — a NULL key " +
           "can never be matched for update/delete; repair the feed")
       val touchedBase = probeRow.getSeq[Int](2).toSet
+      // SMALL-FOLD FAST PATH (r19, measured): with AQE on, every
+      // exchange in the fold's many tiny actions materializes as its
+      // OWN Spark job (the stage-by-stage re-optimization), so a
+      // 3-fold gate query runs 50-70 jobs whose task time is <25% of
+      // wall — the fold is job-count-bound, not compute-bound (the
+      // r18 core-scaling ratios < 1 said the same). When the working
+      // set is provably small — the netted delta under
+      // `spark.graft.cdc.smallFoldRows` (default 1e6) AND the whole
+      // persisted state under `spark.graft.cdc.smallFoldBytes`
+      // (default 512 MB; one driver-side content summary) — adaptive
+      // re-planning cannot help (nothing to coalesce or skew-split
+      // that matters) and its per-exchange job round-trips are pure
+      // overhead, so the REST of this fold runs with AQE off: one job
+      // per action. A big fold (bulk backfill, huge touched buckets)
+      // keeps AQE — the policy is sized by the data, not by the
+      // bench config. Results are unaffected either way: the fold's
+      // arithmetic is exact and order-independent (decimal sums,
+      // sets, min/max).
+      val smallRows = spark.conf
+        .get("spark.graft.cdc.smallFoldRows", "1000000").toLong
+      val smallBytes = spark.conf
+        .get("spark.graft.cdc.smallFoldBytes", (512L << 20).toString).toLong
+      val stateBytes =
+        try fs.getContentSummary(rootPath).getLength
+        catch { case _: Exception => Long.MaxValue } // conservative
+      val smallFold =
+        probeRow.getLong(0) <= smallRows && stateBytes <= smallBytes
+      withAqeOffIf(spark, smallFold) {
       val upserts = net.filter(!col("__cdc_delete")).drop("__cdc_delete")
       val keys = net.select(pkCols.map(col): _*).distinct()
       // old images live ONLY in the delta's touched base buckets
@@ -589,11 +624,44 @@ object CdcRollup {
           .agg(sums.head, sums.tail: _*)
           .persist()
         try {
-          val touchedAgg = labeled(spark,
-              s"cdc-fold b$batchId: contrib + touched-agg") {
-            contrib.select(aggBucket.as("__b")).distinct()
-              .collect().map(_.getInt(0)).toSet
+          // build every aux view's signed contribution UP FRONT so ONE
+          // probe job (below) serves the main view's touched-agg set
+          // AND every aux view's — the r18 net-probe collapse extended
+          // to the per-view bucket probes (guide §1.2: each probe was
+          // a full driver round-trip; N views now pay one).
+          val auxPre = auxViews.map { case (name, cols) =>
+            val bucketOf = pmod(xxhash64(cols.map(col): _*),
+              lit(nAggBuckets)).cast("int")
+            val aMinus = old.select((cols.map(col) :+
+              lit(-1L).as("__dn")) ++
+              valueCols.zip(dts).map { case (v, d) =>
+                (-col(v).cast(dec)).as(d) }: _*)
+            val aPlus = upserts.select((cols.map(col) :+
+              lit(1L).as("__dn")) ++
+              valueCols.zip(dts).map { case (v, d) =>
+                col(v).cast(dec).as(d) }: _*)
+            val aContrib = aMinus.unionByName(aPlus)
+              .groupBy(cols.map(col): _*)
+              .agg(sums.head, sums.tail: _*)
+              .persist()
+            (name, cols, aContrib, bucketOf)
           }
+          // the main view rides tag NULL (an aux name is never NULL);
+          // the one collect also materializes every persisted contrib
+          val touchedRows = labeled(spark,
+              s"cdc-fold b$batchId: contrib + touched probes") {
+            auxPre.map { case (name, _, c, b) =>
+                c.select(lit(name).as("__v"), b.as("__b")) }
+              .foldLeft(
+                contrib.select(lit(null).cast("string").as("__v"),
+                  aggBucket.as("__b")))(_ unionByName _)
+              .distinct().collect()
+          }
+          val touchedByView = touchedRows
+            .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+            .map { case (k, rs) => k -> rs.map(_.getInt(1)).toSet }
+          val touchedAgg =
+            touchedByView.getOrElse(null, Set.empty[Int])
           // new base content for the touched buckets: pass-through
           // minus touched keys, plus the upsert images
           val newBase = prunedBase.join(keys, pkCols, "left_anti")
@@ -696,29 +764,12 @@ object CdcRollup {
           // bucketed by the AUX group key (the main `grp` layer could
           // never serve it: an aux group's members scatter across the
           // main layer's group-hashed buckets).
-          val auxLayers = auxViews.map { case (name, cols) =>
-            val bucketOf = pmod(xxhash64(cols.map(col): _*),
-              lit(nAggBuckets)).cast("int")
+          val auxLayers = auxPre.map { case (name, cols, aContrib,
+              bucketOf) =>
             val aMm = auxMinMaxCols.getOrElse(name, Nil)
             val aMins = minNames(aMm.size)
             val aMaxs = maxNames(aMm.size)
-            val aMinus = old.select((cols.map(col) :+
-              lit(-1L).as("__dn")) ++
-              valueCols.zip(dts).map { case (v, d) =>
-                (-col(v).cast(dec)).as(d) }: _*)
-            val aPlus = upserts.select((cols.map(col) :+
-              lit(1L).as("__dn")) ++
-              valueCols.zip(dts).map { case (v, d) =>
-                col(v).cast(dec).as(d) }: _*)
-            val aContrib = aMinus.unionByName(aPlus)
-              .groupBy(cols.map(col): _*)
-              .agg(sums.head, sums.tail: _*)
-              .persist()
-            val touchedA = labeled(spark,
-                s"cdc-fold b$batchId: aux-contrib $name") {
-              aContrib.select(bucketOf.as("__b"))
-                .distinct().collect().map(_.getInt(0)).toSet
-            }
+            val touchedA = touchedByView.getOrElse(name, Set.empty[Int])
             import org.apache.spark.sql.types.{StructField, StructType}
             val emptyA = spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -862,6 +913,7 @@ object CdcRollup {
           } finally { auxLayers.foreach(_._1.unpersist()); () }
         } finally { contrib.unpersist(); () }
       } finally { old.unpersist(); () }
+      } // withAqeOffIf
     } finally { net.unpersist(); () }
     true
   }
@@ -2526,9 +2578,34 @@ object CdcRollup {
   /** Label the jobs an action spawns (optimization guide §1.5) so the
     * fold's many small jobs are attributable in the UI/listeners;
     * thread-local, restored after the action. */
+  /** Run `body` with adaptive query execution OFF when `cond` holds
+    * (small-fold fast path — see the policy note in [[foldBatch]]):
+    * each action plans once and runs as ONE job instead of one job
+    * per exchange. Session-scoped set/restore is sound under the
+    * state's single-writer contract (folds never run concurrently on
+    * one session). */
+  private def withAqeOffIf[T](spark: SparkSession, cond: Boolean)
+                             (body: => T): T = {
+    if (!cond) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    // save/restore the PREVIOUS description (not null): nested scopes
+    // or an outer caller's label must survive this block
+    val prev = spark.sparkContext
+      .getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(desc)
-    try body finally spark.sparkContext.setJobDescription(null)
+    try body finally spark.sparkContext.setJobDescription(prev)
   }
 
   // ---- layout plumbing ------------------------------------------------
@@ -2596,7 +2673,11 @@ object CdcRollup {
     // construction/codegen and oversubscribe the cores, and
     // cdc_cube_view regressed 7.6 -> 22 s (4 threads) / 9.1 s
     // (2 threads) warm. Serial writes keep the cluster busy per job
-    // and stay predictable; see OPTIMIZATION_r18.md.
+    // and stay predictable AT THIS (local-mode) config; on a real
+    // cluster with idle tail capacity guide §2.6 still argues for 2-3
+    // concurrent write jobs — re-measure there before changing the
+    // default. Retro-documented in OPTIMIZATION_r19.md (the r18 round
+    // ended before its own account was written).
     for ((layer, df, bucketOf, touched) <- layers) {
       labeled(df.sparkSession, s"cdc-fold b$batchId: write $layer") {
         df.withColumn("__bucket", bucketOf)

@@ -916,12 +916,21 @@ object Dedup {
         s"live in two docs), got $maxShingleDf")
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), shingleSize)).as("sh"))
-    // df-cap: inner join keeps only shingles cold enough to pair on
+    // df-cap: inner join keeps only shingles cold enough to pair on.
+    // MATERIALIZED once (r19, measured): `cold` feeds three consumers
+    // (the denominator count, both sides of the pair self-join), and
+    // because the df filter rides a BROADCAST join there is no
+    // exchange boundary to reuse — without pinning, the whole
+    // scan + tokenize + shingle-explode subtree re-executes per
+    // consumer (the before-plan shows 6 Generate / 12 scans).
+    // localCheckpoint (not persist) so the blocks are context-cleaned
+    // when the frame is dereferenced (guide §5 caching note).
     val cold = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf)
         .select("sh"),
       "sh")
+      .localCheckpoint(true)
     val denom = cold.groupBy(col("doc_id").as("id_a"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = cold.as("a")

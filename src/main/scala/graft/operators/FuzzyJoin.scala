@@ -105,8 +105,28 @@ object FuzzyJoin {
   private[graft] def selfCandidates(df: DataFrame, idCol: String,
       strCol: String, maxDist: Int, maxBucket: Int,
       keyHash: Column => Column = xxhash64(_),
-      lengthPrefilter: Boolean = true): DataFrame = {
+      lengthPrefilter: Boolean = true,
+      /** dedup=false skips the pre-verify DISTINCT (r19, guide §2.3):
+        * a pair sharing v variants is emitted v times and each copy
+        * pays one (cheap, banded) levenshtein, but the full candidate
+        * set — orders of magnitude larger than the verified result —
+        * never crosses a dedup shuffle; the verify's final
+        * groupBy(id_a, id_b) dedupes AFTER the selective filter. The
+        * spec seam keeps dedup=true so measured candidate SETS stay
+        * well-defined. */
+      dedup: Boolean = true): DataFrame = {
+    // MATERIALIZED once (r19, measured): the keyed frame feeds the
+    // bucket-size aggregate and BOTH sides of the candidate self-join,
+    // and those consumers ride broadcast builds with no shuffle
+    // boundary to reuse — unpinned, the explode-the-deletion-
+    // neighborhood subtree re-executed per consumer (two ~equal
+    // broadcast-build stages dominated the query's task time). The
+    // frame is exactly the slim (id, len, 8-byte variant hash) proxy
+    // the scaladoc promises crosses the shuffle, so pinning it is
+    // cheap at any scale; localCheckpoint (not persist) so the blocks
+    // free on dereference.
     val keyed = neighborhoodKeys(df, idCol, strCol, maxDist, "__id", keyHash)
+      .localCheckpoint(true)
     val sizes = keyed.groupBy("__k").agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))
     val inB = keyed.join(sizes, Seq("__k"))
@@ -119,7 +139,8 @@ object FuzzyJoin {
       if (lengthPrefilter)
         paired.filter(abs(col("__la") - col("__lb")) <= maxDist)
       else paired
-    pre.select("id_a", "id_b").distinct()
+    val projected = pre.select("id_a", "id_b")
+    if (dedup) projected.distinct() else projected
   }
 
   /** Self-join: pairs of rows whose `strCol` values are within edit
@@ -133,12 +154,23 @@ object FuzzyJoin {
                maxDist: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
-    val candidates = selfCandidates(df, idCol, strCol, maxDist, maxBucket)
+    // dedup=false: the groupBy(min) below dedupes AFTER the verify
+    // filter, so the (large) raw candidate stream never pays a
+    // distinct shuffle — only verified pairs do
+    val candidates = selfCandidates(df, idCol, strCol, maxDist, maxBucket,
+      dedup = false)
     candidates
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .withColumn("__d", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("__d") <= maxDist)
+      // THRESHOLD form (r19, guide §"per-task work"): the banded DP
+      // computes O(maxDist·len) cells instead of the full O(len²)
+      // matrix and returns -1 past the bound — the verify is the hot
+      // per-pair kernel, and pairs over the bound (the common case)
+      // exit after one band. `>= 0` keeps exactly the same pair set
+      // and distances as the unbounded form filtered to <= maxDist.
+      .withColumn("__d",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("__d") >= 0 && col("__d") <= maxDist)
       // min over duplicate-id string collisions: deterministic
       // best-match distance per pair (contract above)
       .groupBy("id_a", "id_b").agg(min(col("__d")).as("dist"))
@@ -161,8 +193,11 @@ object FuzzyJoin {
         .filter(col(s"__s_$as").isNotNull)
     val l = base(left, leftId, leftStr, "left_id")
     val r = base(right, rightId, rightStr, "right_id")
+    // pinned once per side — the selfCandidates materialization note
     val lk = neighborhoodKeys(left, leftId, leftStr, maxDist, "left_id")
+      .localCheckpoint(true)
     val rk = neighborhoodKeys(right, rightId, rightStr, maxDist, "right_id")
+      .localCheckpoint(true)
     // PRODUCT cap: a candidate bucket contributes |l-bucket| ×
     // |r-bucket| verify pairs, so the admission test is on exactly
     // that product — a hot variant on either side alone is enough to
@@ -171,13 +206,17 @@ object FuzzyJoin {
       .join(rk.groupBy("__k").agg(count(lit(1)).as("__rn")), Seq("__k"))
       .filter(col("__ln") * col("__rn") <= lit(maxBucket.toLong))
       .select("__k")
+    // no pre-verify distinct — the groupBy(min) after the filter
+    // dedupes (the selfJoin dedup=false rationale)
     val candidates = lk.join(admitted, Seq("__k")).join(rk, Seq("__k"))
       .filter(abs(col("__len_left_id") - col("__len_right_id")) <= maxDist)
-      .select("left_id", "right_id").distinct()
+      .select("left_id", "right_id")
     candidates.join(l, "left_id").join(r, "right_id")
+      // threshold/banded form — see selfJoin's verify note
       .withColumn("__d",
-        levenshtein(col("__s_left_id"), col("__s_right_id")).cast("long"))
-      .filter(col("__d") <= maxDist)
+        levenshtein(col("__s_left_id"), col("__s_right_id"), maxDist)
+          .cast("long"))
+      .filter(col("__d") >= 0 && col("__d") <= maxDist)
       .groupBy("left_id", "right_id").agg(min(col("__d")).as("dist"))
   }
 }

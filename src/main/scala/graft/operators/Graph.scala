@@ -100,12 +100,23 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().cache()
+    // pre-partition + pre-sort the per-round join side ONCE (guide
+    // §2.4 "two operations keyed the same way share one exchange"):
+    // the cached layout IS HashPartitioning(src)/sorted(src), so every
+    // round's rank join plans zero Exchange and zero Sort on the
+    // edge side — only the (node-sized) rank frame moves per round,
+    // never the edge list. AQE stays out of cached plans by default
+    // (canChangeCachedPlanOutputPartitioning=false), so the
+    // partitioning survives for the sort-merge join to consume.
     val eDeg = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src")).sortWithinPartitions("src")
       .cache() // every round joins against it
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().cache()
+      .distinct()
+      .repartition(col("id")).sortWithinPartitions("id")
+      .cache() // the per-round left join consumes this layout too
     val n = nodes.count() // the one driver scalar
     require(n > 0, "empty graph")
     // auto-scale: denominator grows with the graph so the per-node
@@ -198,6 +209,14 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().cache()
+    // NOTE (r19, measured): caching one pre-partitioned copy per join
+    // orientation (eBySrc/eByDst, the pageRankQ discipline) was tried
+    // and REVERTED — at 3 iterations the two extra cache
+    // materializations cost more than the per-half-round exchange
+    // they save (job count 57→61, no-broadcast plan showed no
+    // exchange removed on the round chain), and memory triples. With
+    // many iterations the arithmetic flips; re-measure before raising
+    // the default round count.
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().cache()
@@ -335,6 +354,11 @@ object Graph {
             struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
           .as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
+      // pre-partition + pre-sort on the wedge key: BOTH sides of the
+      // wedge self-join below read this cache, so the join plans with
+      // ZERO exchanges and zero sorts (guide §2.4); only the closing
+      // probe re-keys (b, c)
+      .repartition(col("a")).sortWithinPartitions("a")
       .cache() // wedge join reads it twice + the closing probe
     // wedges (a; b → c) with b before c in the SAME total order, so
     // the closing edge {b, c} — if present — is oriented b → c and one
@@ -398,6 +422,10 @@ object Graph {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .distinct()
+      // pre-partition + pre-sort on the FIRST per-round join key: the
+      // u-side semi-join every peel round reuses the cached exchange
+      // and sort (guide §2.4); the v-side join re-keys unavoidably
+      .repartition(col("u")).sortWithinPartitions("u")
       .cache() // re-joined every peel round
     var live: DataFrame = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id")))
@@ -458,6 +486,9 @@ object Graph {
       .filter(col("s").isNotNull && col("d").isNotNull &&
         col("s") =!= col("d"))
       .distinct()
+      // pre-partition + pre-sort on the frontier-join key so every
+      // hop's expansion join reuses the cached exchange (guide §2.4)
+      .repartition(col("s")).sortWithinPartitions("s")
       .cache() // re-joined every hop
     var visited = seeds.select(col(idCol).as("id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(true)

@@ -44,6 +44,67 @@ object TextQueries {
       graft.operators.BpeInduction.induceMerges(docs, "text", nMerges = 20))
   }
 
+  /** Exact global `ntile(k)` over the total (sortCols) order WITHOUT
+    * the single-partition sort a global-order window forces (the
+    * "WindowExec: No Partition Defined — moving all data to a single
+    * partition" scale-killer; guide §2.4). Bit-equal to
+    * `ntile(k) OVER (ORDER BY sortCols)` — the oracle's ntile replays
+    * it — while every stage stays parallel:
+    *
+    *  1. range-repartition on the sort key + local sort (ordered,
+    *     disjoint partitions — the parallel form of a global sort);
+    *  2. tag each row with `monotonically_increasing_id()` (= partition
+    *     id in the high bits, LOCAL SORT POSITION in the low bits) and
+    *     pin the ids with one eager localCheckpoint (the id assignment
+    *     must not be re-derived between the two passes below);
+    *  3. ONE tiny collect of per-partition row counts → rank offsets;
+    *  4. global rank = offset(partition) + local position + 1, and the
+    *     bin falls out of the standard ntile fill rule (the first
+    *     n mod k tiles take ceil(n/k) rows, the rest floor(n/k)) as
+    *     pure codegen'd integer arithmetic.
+    *
+    * The input is persisted around the range exchange so its (often
+    * expensive — model scoring) lineage computes ONCE, not once for the
+    * range sampler and again for the shuffle. sortCols must be a total
+    * order (tie-break on a unique id) or the rank is ill-defined. */
+  private def globalNtile(df: DataFrame, k: Int, binName: String,
+                          sortCols: String*): DataFrame = {
+    val cached = df.persist()
+    val ranged = cached
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    cached.unpersist()
+    // per-partition counts: one metadata-sized collect (the
+    // quality_deciles broadcast-threshold budget — never node data)
+    val parts = ranged
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = parts.map(_._2).sum
+    val offs = parts.map(_._1)
+      .zip(parts.map(_._2).scanLeft(0L)(_ + _))
+    val offExpr = offs.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(shiftright(col("__mid"), 33) === lit(pid), lit(off))
+        .otherwise(acc)
+    }
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
+    ranged
+      .withColumn("__rank",
+        offExpr + (col("__mid") % lit(1L << 33)) + lit(1L))
+      // first `rem` tiles take base+1 rows, the rest base (the SQL
+      // ntile rule); all integer DIV — engine-exact. max(base,1)
+      // guards the (unreachable when n >= k) else-branch divisor.
+      .withColumn(binName, expr(
+        s"CAST(IF(__rank <= $cut, (__rank - 1) DIV ${base + 1} + 1, " +
+          s"$rem + (__rank - $cut - 1) DIV ${math.max(base, 1L)} + 1) " +
+          "AS BIGINT)"))
+      .drop("__mid", "__rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flesch reading-ease per document from pure regexp-group counts
     // (a [aeiouy]+ group ≈ one syllable — the standard cheap
@@ -197,17 +258,15 @@ object TextQueries {
     // well-calibrated ranker shows pos_rate monotone in the bin.
     "calibration_bins" -> ((s, dir) => {
       import graft.functions.LinearModel
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val w = LinearModel.trainPosteriorWeightsQ(
         docs.filter(pmod(col("doc_id"), lit(10)) < 8)
           .select(col("text"), (col("lang") === "en").as("is_en")),
         "text", "is_en", 4096)
-      docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        .select(col("doc_id"), (col("lang") === "en").as("pos"),
-          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+      globalNtile(docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            LinearModel.linearScoreQ(col("text"), w).as("score_q")),
+          10, "bin", "score_q", "doc_id")
         .groupBy("bin").agg(
           count(lit(1)).as("n"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
@@ -230,17 +289,15 @@ object TextQueries {
     // hash-matches.
     "calibration_isotonic" -> ((s, dir) => {
       import graft.functions.LinearModel
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
       val w = LinearModel.trainPosteriorWeightsQ(
         docs.filter(pmod(col("doc_id"), lit(10)) < 8)
           .select(col("text"), (col("lang") === "en").as("is_en")),
         "text", "is_en", 4096)
-      val binned = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        .select(col("doc_id"), (col("lang") === "en").as("pos"),
-          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+      val binned = globalNtile(docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            LinearModel.linearScoreQ(col("text"), w).as("score_q")),
+          10, "bin", "score_q", "doc_id")
         .groupBy("bin").agg(
           count(lit(1)).as("n"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
@@ -256,11 +313,10 @@ object TextQueries {
     // the documented convention, no ε.
     "woe_quality_bins" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), (col("lang") === "en").as("pos"),
-          qualityScore(col("text")).as("q"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("q"), col("doc_id"))).cast("long"))
+      val d = globalNtile(Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            qualityScore(col("text")).as("q")),
+          10, "bin", "q", "doc_id")
       val b = d.groupBy("bin").agg(
         count(lit(1)).as("n"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
@@ -293,11 +349,10 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(10)) < 8)
           .select(col("text"), (col("lang") === "en").as("is_en")),
         "text", "is_en", 4096)
-      val b = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        .select(col("doc_id"), (col("lang") === "en").as("pos"),
-          LinearModel.linearScoreQ(col("text"), w).as("score_q"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy(col("score_q"), col("doc_id"))).cast("long"))
+      val b = globalNtile(docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+          .select(col("doc_id"), (col("lang") === "en").as("pos"),
+            LinearModel.linearScoreQ(col("text"), w).as("score_q")),
+          10, "bin", "score_q", "doc_id")
         .groupBy("bin").agg(
           count(lit(1)).as("n"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))

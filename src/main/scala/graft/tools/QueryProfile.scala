@@ -36,8 +36,22 @@ object QueryProfile {
           jobLog += ((j.time, site))
         }
       }
+    /** GRAFT_PROFILE_JOBS=1: per-stage (name, wall ms, task-time ms)
+      * so the heavy stage of a compute-bound query is attributable. */
+    val stageLog =
+      new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-      synchronized { stages += 1 }
+      synchronized {
+        stages += 1
+        if (verbose) {
+          val si = s.stageInfo
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          val tt = Option(si.taskMetrics)
+            .map(_.executorRunTime).getOrElse(-1L)
+          stageLog += ((si.name.takeWhile(_ != '\n').take(70), wall, tt))
+        }
+      }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       tasks += 1
       if (t.taskInfo != null) taskTimeMs += t.taskInfo.duration
@@ -45,6 +59,13 @@ object QueryProfile {
     }
     def snap(): (Int, Int, Int, Long, Long) =
       synchronized { (jobs, stages, tasks, taskTimeMs, gcTimeMs) }
+    /** Snapshot-and-clear the job log under the listener's lock (the
+      * async bus may still be appending). */
+    def drainLog(): Seq[(Long, String)] = synchronized {
+      val out = jobLog.toList
+      jobLog.clear()
+      out
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,11 +78,12 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
-    // one warmup query so classloading/codegen doesn't pollute run 1
-    graft.SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    // one warmup job so classloading/codegen doesn't pollute run 1 —
+    // a fixed trivial job, NOT an arbitrary Map head (which is
+    // nondeterministic across runs and may be a heavyweight
+    // state-building query with on-disk side effects)
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
     println(f"${"query"}%-34s run  wall_s  jobs stages tasks task_s  gc_ms")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -71,21 +93,36 @@ object QueryProfile {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener bus is async (and private); a short settle beats
-        // under-counting the run's last stages
-        Thread.sleep(300)
+        // listener bus is async (and private); poll until the counts
+        // stabilize instead of hoping one fixed sleep covers the tail
+        var prev = acc.snap()
+        var settled = false
+        var polls = 0
+        while (!settled && polls < 20) {
+          Thread.sleep(100)
+          val cur = acc.snap()
+          settled = cur == prev
+          prev = cur
+          polls += 1
+        }
         val after = acc.snap()
         println(f"$name%-34s $r%3d  $wall%6.2f  ${after._1 - before._1}%4d " +
           f"${after._2 - before._2}%5d ${after._3 - before._3}%5d " +
           f"${(after._4 - before._4) / 1e3}%6.2f ${after._5 - before._5}%6d")
-        if (r == reps && acc.jobLog.nonEmpty) {
-          val t0j = acc.jobLog.head._1
-          acc.jobLog.foreach { case (t, site) =>
+        val log = acc.drainLog()
+        val slog = acc.synchronized {
+          val out = acc.stageLog.toList; acc.stageLog.clear(); out
+        }
+        if (r == reps && log.nonEmpty) {
+          val t0j = log.head._1
+          log.foreach { case (t, site) =>
             println(f"  job +${(t - t0j) / 1e3}%7.2fs  $site")
           }
-          acc.jobLog.clear()
         }
-        if (acc.jobLog.nonEmpty) acc.jobLog.clear()
+        if (r == reps && slog.nonEmpty)
+          slog.sortBy(-_._3).take(12).foreach { case (n, w, tt) =>
+            println(f"  stage wall ${w / 1e3}%6.2fs task ${tt / 1e3}%7.2fs  $n")
+          }
       }
     }
     spark.stop()
