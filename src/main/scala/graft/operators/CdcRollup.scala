@@ -570,34 +570,14 @@ object CdcRollup {
         s"cdcRollup batch $batchId: NULL in a pk column — a NULL key " +
           "can never be matched for update/delete; repair the feed")
       val touchedBase = probeRow.getSeq[Int](2).toSet
-      // SMALL-FOLD FAST PATH (r19, measured): with AQE on, every
-      // exchange in the fold's many tiny actions materializes as its
-      // OWN Spark job (the stage-by-stage re-optimization), so a
-      // 3-fold gate query runs 50-70 jobs whose task time is <25% of
-      // wall — the fold is job-count-bound, not compute-bound (the
-      // r18 core-scaling ratios < 1 said the same). When the working
-      // set is provably small — the netted delta under
-      // `spark.graft.cdc.smallFoldRows` (default 1e6) AND the whole
-      // persisted state under `spark.graft.cdc.smallFoldBytes`
-      // (default 512 MB; one driver-side content summary) — adaptive
-      // re-planning cannot help (nothing to coalesce or skew-split
-      // that matters) and its per-exchange job round-trips are pure
-      // overhead, so the REST of this fold runs with AQE off: one job
-      // per action. A big fold (bulk backfill, huge touched buckets)
-      // keeps AQE — the policy is sized by the data, not by the
-      // bench config. Results are unaffected either way: the fold's
-      // arithmetic is exact and order-independent (decimal sums,
-      // sets, min/max).
-      val smallRows = spark.conf
-        .get("spark.graft.cdc.smallFoldRows", "1000000").toLong
-      val smallBytes = spark.conf
-        .get("spark.graft.cdc.smallFoldBytes", (512L << 20).toString).toLong
-      val stateBytes =
-        try fs.getContentSummary(rootPath).getLength
-        catch { case _: Exception => Long.MaxValue } // conservative
+      // SMALL-FOLD FAST PATH (r19, measured): the rest of this fold
+      // runs with AQE off when the working set is provably small —
+      // one job per action instead of one per exchange. Policy,
+      // thresholds and rationale: [[FoldTuning]] (job counts on the
+      // 3-fold gate queries dropped 32-39%).
       val smallFold =
-        probeRow.getLong(0) <= smallRows && stateBytes <= smallBytes
-      withAqeOffIf(spark, smallFold) {
+        FoldTuning.smallFold(spark, probeRow.getLong(0), fs, rootPath)
+      FoldTuning.withAqeOffIf(spark, smallFold) {
       val upserts = net.filter(!col("__cdc_delete")).drop("__cdc_delete")
       val keys = net.select(pkCols.map(col): _*).distinct()
       // old images live ONLY in the delta's touched base buckets
@@ -2578,27 +2558,6 @@ object CdcRollup {
   /** Label the jobs an action spawns (optimization guide §1.5) so the
     * fold's many small jobs are attributable in the UI/listeners;
     * thread-local, restored after the action. */
-  /** Run `body` with adaptive query execution OFF when `cond` holds
-    * (small-fold fast path — see the policy note in [[foldBatch]]):
-    * each action plans once and runs as ONE job instead of one job
-    * per exchange. Session-scoped set/restore is sound under the
-    * state's single-writer contract (folds never run concurrently on
-    * one session). */
-  private def withAqeOffIf[T](spark: SparkSession, cond: Boolean)
-                             (body: => T): T = {
-    if (!cond) body
-    else {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "false")
-      try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-  }
-
   private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
     // save/restore the PREVIOUS description (not null): nested scopes
     // or an outer caller's label must survive this block

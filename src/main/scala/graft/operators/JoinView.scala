@@ -215,30 +215,47 @@ object JoinView {
     // side, never history
     val da = deltaA.persist(); val db = deltaB.persist()
     try {
-      // the deltas' distinct buckets: ≤ nBuckets values, safe to
-      // collect — they drive the snapshot-side leaf pruning
-      def touched(d: DataFrame): Set[Int] =
-        d.select(bucketOf.as("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
+      // ONE probe job serves BOTH deltas' distinct buckets (≤ nBuckets
+      // values per side, safe to collect — they drive the
+      // snapshot-side leaf pruning) AND both row counts (they drive
+      // the small-fold policy below); the same job materializes both
+      // persisted deltas. Two serial per-side probes collapsed — the
+      // CdcRollup r18/r19 probe discipline.
+      val probeRows = da.select(lit("a").as("__side"),
+          bucketOf.as("__bucket"))
+        .unionByName(db.select(lit("b").as("__side"),
+          bucketOf.as("__bucket")))
+        .groupBy("__side", "__bucket").agg(count(lit(1)).as("__n"))
+        .collect()
+      val touchedA = probeRows.filter(_.getString(0) == "a")
+        .map(_.getInt(1)).toSet
+      val touchedB = probeRows.filter(_.getString(0) == "b")
+        .map(_.getInt(1)).toSet
+      val deltaRows = probeRows.map(_.getLong(2)).sum
       def snapshot(side: String, like: DataFrame,
                    buckets: Set[Int]): DataFrame =
         committedLeafDirs(fs, rootPath, side, Some(buckets), markers) match {
           case Seq() => like.limit(0)
           case dirs  => spark.read.parquet(dirs.map(_.toString): _*)
         }
-      // ΔA only matches B rows hashing into ΔA's buckets (and A↔ΔB
-      // symmetrically) — read exactly those leaves
-      val a = snapshot("a", deltaA, touched(db))
-      val b = snapshot("b", deltaB, touched(da))
-      // ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB (same coverage as applyDelta)
-      val dv = da.join(b.unionByName(db), key)
-        .unionByName(a.join(db, key))
-      // stage (hidden, bucket-partitioned), rename, marker LAST
-      def stage(side: String, df: DataFrame): Unit =
-        df.withColumn("__bucket", bucketOf)
-          .write.mode("overwrite").partitionBy("__bucket")
-          .parquet(new Path(rootPath, s"$side/.staging$batchId").toString)
-      stage("view", dv); stage("a", da); stage("b", db)
+      // small folds run AQE-off: one job per action instead of one
+      // per exchange (policy + rationale: [[FoldTuning]])
+      FoldTuning.withAqeOffIf(spark,
+        FoldTuning.smallFold(spark, deltaRows, fs, rootPath)) {
+        // ΔA only matches B rows hashing into ΔA's buckets (and A↔ΔB
+        // symmetrically) — read exactly those leaves
+        val a = snapshot("a", deltaA, touchedB)
+        val b = snapshot("b", deltaB, touchedA)
+        // ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB (same coverage as applyDelta)
+        val dv = da.join(b.unionByName(db), key)
+          .unionByName(a.join(db, key))
+        // stage (hidden, bucket-partitioned), rename, marker LAST
+        def stage(side: String, df: DataFrame): Unit =
+          df.withColumn("__bucket", bucketOf)
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(new Path(rootPath, s"$side/.staging$batchId").toString)
+        stage("view", dv); stage("a", da); stage("b", db)
+      }
     } finally { da.unpersist(); db.unpersist() }
     for (side <- Seq("view", "a", "b")) {
       val from = new Path(rootPath, s"$side/.staging$batchId")
