@@ -53,9 +53,14 @@ private[graft] object FoldTuning {
 
   /** Run `body` with adaptive query execution OFF when `cond` holds:
     * each action plans once and runs as ONE job instead of one job
-    * per exchange. Session-scoped set/restore is sound under the
-    * states' single-writer contract (folds never run concurrently on
-    * one session). */
+    * per exchange. The toggle is session-scoped (SQLConf has no
+    * per-thread scope): each STATE is single-writer by contract, but
+    * two different states CAN fold concurrently on one session (two
+    * streaming sinks) and then race the toggle. That race is
+    * perf-only — a fold may plan with AQE on where off was intended
+    * or vice versa; results are identical either way (the fold
+    * arithmetic is exact and order-independent), so correctness never
+    * depends on which write wins. */
   def withAqeOffIf[T](spark: SparkSession, cond: Boolean)
                      (body: => T): T = {
     if (!cond) body
